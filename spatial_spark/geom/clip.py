@@ -1,0 +1,317 @@
+"""Polygon boolean operations (union/intersection/difference/symdifference).
+
+Parity targets: Union.java:30-62, Intersection.java:30-51, Difference.java:30-52,
+SymDifference.java:30-51, UnionAll.java:30-43, IntersectAll.java:30-42.
+
+Implementation: classic edge-fragmentation overlay —
+1. split each polygon's edges at intersections with the other's edges,
+2. classify each fragment by its midpoint (inside/outside/boundary of the
+   other polygon),
+3. select fragments per op, 4. stitch fragments into rings.
+
+Robust for simple, non-degenerate inputs (the conformance fixtures); shared
+collinear edges are handled heuristically.  Lines can be clipped by polygons
+(``clip_line``).  Not a full JTS overlay — documented engine limitation.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .core import (
+    GTYPE_GEOMETRY, GTYPE_LINESTRING, GTYPE_MULTILINESTRING, GTYPE_MULTIPOINT,
+    GTYPE_MULTIPOLYGON, GTYPE_POINT, GTYPE_POLYGON, Geometry, envelopes_intersect,
+)
+from .algorithms import point_in_polygon, ring_signed_area
+
+_SNAP = 1e-9
+
+
+def _key(p):
+    return (round(p[0] / _SNAP) * _SNAP, round(p[1] / _SNAP) * _SNAP)
+
+
+def _normalize(poly: Geometry) -> Geometry:
+    """Shells CCW, holes CW."""
+    out = []
+    for part in poly.parts():
+        rings = []
+        for i, r in enumerate(part.data):
+            s = ring_signed_area(r)
+            want_ccw = i == 0
+            if (s < 0 and want_ccw) or (s > 0 and not want_ccw):
+                r = r[::-1].copy()
+            rings.append(r)
+        out.append(Geometry(GTYPE_POLYGON, rings))
+    return out[0] if len(out) == 1 else Geometry(GTYPE_MULTIPOLYGON, out)
+
+
+def _seg_intersections(a0, a1, b0, b1):
+    """Parametric intersection(s) of segment a with segment b → list of t in (0,1)."""
+    r = a1 - a0
+    s = b1 - b0
+    denom = r[0] * s[1] - r[1] * s[0]
+    qp = b0 - a0
+    if denom == 0:
+        # collinear overlap: project b's endpoints on a
+        if qp[0] * r[1] - qp[1] * r[0] != 0:
+            return []
+        rr = r[0] * r[0] + r[1] * r[1]
+        if rr == 0:
+            return []
+        t0 = (qp[0] * r[0] + qp[1] * r[1]) / rr
+        t1 = ((b1 - a0)[0] * r[0] + (b1 - a0)[1] * r[1]) / rr
+        return [t for t in (t0, t1) if 1e-12 < t < 1 - 1e-12]
+    t = (qp[0] * s[1] - qp[1] * s[0]) / denom
+    u = (qp[0] * r[1] - qp[1] * r[0]) / denom
+    if -1e-12 <= u <= 1 + 1e-12 and 1e-12 < t < 1 - 1e-12:
+        return [t]
+    return []
+
+
+def _fragment_rings(rings_a, rings_b):
+    """Split every edge of rings_a at crossings with rings_b edges.
+    Returns list of fragments, each an (n,2) array (usually 2 points)."""
+    b_edges = []
+    for rb in rings_b:
+        for j in range(len(rb) - 1):
+            b_edges.append((rb[j], rb[j + 1]))
+    frags = []
+    for ra in rings_a:
+        for i in range(len(ra) - 1):
+            a0, a1 = ra[i], ra[i + 1]
+            lo = np.minimum(a0, a1)
+            hi = np.maximum(a0, a1)
+            ts = [0.0, 1.0]
+            for b0, b1 in b_edges:
+                if (
+                    max(b0[0], b1[0]) < lo[0] - _SNAP or min(b0[0], b1[0]) > hi[0] + _SNAP
+                    or max(b0[1], b1[1]) < lo[1] - _SNAP or min(b0[1], b1[1]) > hi[1] + _SNAP
+                ):
+                    continue
+                ts.extend(_seg_intersections(a0, a1, b0, b1))
+            ts = sorted(set(ts))
+            for k in range(len(ts) - 1):
+                p = a0 + (a1 - a0) * ts[k]
+                q = a0 + (a1 - a0) * ts[k + 1]
+                if _key(p) != _key(q):
+                    frags.append(np.array([p, q]))
+    return frags
+
+
+def _classify(frag, poly: Geometry) -> int:
+    """0=outside, 1=boundary, 2=inside — by fragment midpoint."""
+    mid = (frag[0] + frag[-1]) / 2.0
+    return point_in_polygon(float(mid[0]), float(mid[1]), poly)
+
+
+def _stitch(frags) -> list:
+    """Connect directed fragments endpoint-to-start into closed rings."""
+    from collections import defaultdict
+
+    by_start = defaultdict(list)
+    for idx, f in enumerate(frags):
+        by_start[_key(f[0])].append(idx)
+    used = [False] * len(frags)
+    rings = []
+    for i in range(len(frags)):
+        if used[i]:
+            continue
+        path = [frags[i]]
+        used[i] = True
+        start_key = _key(frags[i][0])
+        cur = _key(frags[i][-1])
+        guard = 0
+        while cur != start_key and guard < len(frags) + 1:
+            guard += 1
+            nxt = None
+            for j in by_start.get(cur, ()):
+                if not used[j]:
+                    nxt = j
+                    break
+            if nxt is None:
+                break
+            used[nxt] = True
+            path.append(frags[nxt])
+            cur = _key(frags[nxt][-1])
+        if cur == start_key:
+            pts = [path[0][0]]
+            for f in path:
+                pts.extend(f[1:])
+            ring = np.array(pts)
+            if _key(ring[0]) != _key(ring[-1]):
+                ring = np.vstack([ring, ring[:1]])
+            ring[-1] = ring[0]
+            if abs(ring_signed_area(ring)) > _SNAP:
+                rings.append(ring)
+    return rings
+
+
+def _assemble(rings) -> Geometry:
+    """Nest rings into polygons-with-holes by containment + orientation."""
+    if not rings:
+        return Geometry(GTYPE_POLYGON, [])
+    shells = []
+    holes = []
+    for r in rings:
+        (shells if ring_signed_area(r) > 0 else holes).append(r)
+    if not shells:  # all got reversed (e.g. difference output) — flip
+        shells = [r[::-1].copy() for r in holes]
+        holes = []
+    polys = [[s] for s in shells]
+    for h in holes:
+        mid = h[0]
+        placed = False
+        for p in polys:
+            if point_in_ring_np(mid, p[0]):
+                p.append(h)
+                placed = True
+                break
+        if not placed:
+            polys.append([h[::-1].copy()])
+    if len(polys) == 1:
+        return Geometry(GTYPE_POLYGON, polys[0])
+    return Geometry(GTYPE_MULTIPOLYGON, [Geometry(GTYPE_POLYGON, p) for p in polys])
+
+
+def point_in_ring_np(pt, ring) -> bool:
+    from .algorithms import point_in_ring
+    return point_in_ring(float(pt[0]), float(pt[1]), ring) > 0
+
+
+def _all_rings(g: Geometry):
+    rings = []
+    for p in g.parts():
+        if p.gtype == GTYPE_POLYGON:
+            rings.extend(p.data)
+    return rings
+
+
+def _overlay(g1: Geometry, g2: Geometry, op: str) -> Geometry:
+    a = _normalize(g1)
+    b = _normalize(g2)
+    fa = _fragment_rings(_all_rings(a), _all_rings(b))
+    fb = _fragment_rings(_all_rings(b), _all_rings(a))
+    ca = [_classify(f, b) for f in fa]
+    cb = [_classify(f, a) for f in fb]
+    sel = []
+    if op == "union":
+        sel += [f for f, c in zip(fa, ca) if c == 0 or c == 1]
+        sel += [f for f, c in zip(fb, cb) if c == 0]
+    elif op == "intersection":
+        sel += [f for f, c in zip(fa, ca) if c == 2 or c == 1]
+        sel += [f for f, c in zip(fb, cb) if c == 2]
+    elif op == "difference":
+        sel += [f for f, c in zip(fa, ca) if c == 0]
+        sel += [f[::-1] for f, c in zip(fb, cb) if c == 2]
+    rings = _stitch(sel)
+    return _assemble(rings)
+
+
+def _is_poly(g: Geometry) -> bool:
+    return g.gtype in (GTYPE_POLYGON, GTYPE_MULTIPOLYGON)
+
+
+def union(g1: Geometry, g2: Geometry) -> Geometry:
+    if _is_poly(g1) and _is_poly(g2):
+        if not envelopes_intersect(g1.envelope(), g2.envelope()):
+            return Geometry.multi(g1.parts() + g2.parts())
+        return _overlay(g1, g2, "union")
+    # mixed/lower dims: collect parts (JTS would node lines; we keep collection)
+    return Geometry.multi(g1.parts() + g2.parts())
+
+
+def intersection(g1: Geometry, g2: Geometry) -> Geometry:
+    if not envelopes_intersect(g1.envelope(), g2.envelope()):
+        return Geometry(GTYPE_POLYGON, [])
+    if _is_poly(g1) and _is_poly(g2):
+        return _overlay(g1, g2, "intersection")
+    if _is_poly(g2) and g1.gtype in (GTYPE_LINESTRING, GTYPE_MULTILINESTRING):
+        return clip_line(g1, g2)
+    if _is_poly(g1) and g2.gtype in (GTYPE_LINESTRING, GTYPE_MULTILINESTRING):
+        return clip_line(g2, g1)
+    if g1.gtype == GTYPE_POINT:
+        return g1 if _pt_on(g1, g2) else Geometry(GTYPE_GEOMETRY, [])
+    if g2.gtype == GTYPE_POINT:
+        return g2 if _pt_on(g2, g1) else Geometry(GTYPE_GEOMETRY, [])
+    raise NotImplementedError(
+        f"intersection({g1.type_name()},{g2.type_name()}) not supported by this kernel"
+    )
+
+
+def _pt_on(p: Geometry, g: Geometry) -> bool:
+    from .predicates import intersects
+    return intersects(p, g)
+
+
+def difference(g1: Geometry, g2: Geometry) -> Geometry:
+    if not _is_poly(g1) or not _is_poly(g2):
+        raise NotImplementedError("difference supported for polygonal inputs only")
+    if not envelopes_intersect(g1.envelope(), g2.envelope()):
+        return g1
+    return _overlay(g1, g2, "difference")
+
+
+def sym_difference(g1: Geometry, g2: Geometry) -> Geometry:
+    d1 = difference(g1, g2)
+    d2 = difference(g2, g1)
+    return union(d1, d2)
+
+
+def clip_line(line: Geometry, poly: Geometry) -> Geometry:
+    """Portions of `line` inside (or on boundary of) `poly`."""
+    segs = []
+    rings = _all_rings(_normalize(poly))
+    lines = line.parts() if line.is_multi else [line]
+    for ln in lines:
+        frags = _fragment_rings([ln.data], rings)
+        cur = []
+        for f in frags:
+            if _classify(f, poly) >= 1:
+                if cur and _key(cur[-1]) == _key(f[0]):
+                    cur.append(f[1])
+                else:
+                    if len(cur) >= 2:
+                        segs.append(np.array(cur))
+                    cur = [f[0], f[1]]
+            else:
+                if len(cur) >= 2:
+                    segs.append(np.array(cur))
+                cur = []
+        if len(cur) >= 2:
+            segs.append(np.array(cur))
+    if not segs:
+        return Geometry(GTYPE_LINESTRING, np.empty((0, 2)))
+    if len(segs) == 1:
+        return Geometry(GTYPE_LINESTRING, segs[0])
+    return Geometry(GTYPE_MULTILINESTRING, [Geometry(GTYPE_LINESTRING, s) for s in segs])
+
+
+def union_many(geoms: list) -> Geometry:
+    """Tree-reduce union (UnionAll.java equivalent, but balanced for scale —
+    the distributed version does partial unions per partition first)."""
+    geoms = [g for g in geoms if g is not None and not g.is_empty()]
+    if not geoms:
+        return Geometry(GTYPE_GEOMETRY, [])
+    while len(geoms) > 1:
+        nxt = []
+        for i in range(0, len(geoms) - 1, 2):
+            nxt.append(union(geoms[i], geoms[i + 1]))
+        if len(geoms) % 2:
+            nxt.append(geoms[-1])
+        geoms = nxt
+    return geoms[0]
+
+
+def intersect_many(geoms: list) -> Geometry:
+    geoms = [g for g in geoms if g is not None]
+    if not geoms:
+        return Geometry(GTYPE_GEOMETRY, [])
+    acc = geoms[0]
+    for g in geoms[1:]:
+        acc = intersection(acc, g)
+        if acc.is_empty():
+            return acc
+    return acc
