@@ -1,0 +1,106 @@
+"""Pure-Column spatial expressions — the JVM-side fast path.
+
+These never leave whole-stage codegen: no Python UDFs, no Arrow transfer.
+Point layers (x/y double columns) get their entire hot path here — the
+reference's two-phase search (envelope prefilter + exact test,
+rtree/filter/AbstractSearchEnvelopeIntersection.java:48-54) becomes pure
+column predicates that Catalyst pushes into the Parquet scan.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_KM = 6371.0  # OrthodromicDistance.java R=6371
+
+
+def sphere_distance_km(lon1, lat1, lon2, lat2) -> Column:
+    """Spherical law of cosines, R=6371 — exact replication of
+    OrthodromicDistance.calculateDistance (reference :90-97), as a pure
+    Column expression (codegen'd, vectorized, no Python)."""
+    rlat1 = F.radians(_c(lat1))
+    rlat2 = F.radians(_c(lat2))
+    dlon = F.radians(_c(lon2) - _c(lon1))
+    v = F.sin(rlat1) * F.sin(rlat2) + F.cos(rlat1) * F.cos(rlat2) * F.cos(dlon)
+    v = F.least(F.lit(1.0), F.greatest(F.lit(-1.0), v))
+    return F.acos(v) * F.lit(EARTH_RADIUS_KM)
+
+
+def _c(v):
+    if isinstance(v, Column):
+        return v
+    if isinstance(v, str):
+        return F.col(v)
+    return F.lit(v)
+
+
+def sphere_search_window(lon: float, lat: float, dist_km: float):
+    """(xmin, ymin, xmax, ymax) window guaranteed to contain the distance
+    circle — port of OrthodromicDistance.suggestSearchWindow
+    (reference :73-88): latitude span is dist/110.57 deg, longitude span is
+    widened by 1/cos(lat)."""
+    lat_span = dist_km / 110.574
+    # guard poles: clamp cos to avoid div by ~0
+    coslat = max(math.cos(math.radians(lat)), 1e-6)
+    lon_span = dist_km / (111.320 * coslat)
+    return (lon - lon_span, lat - lat_span, lon + lon_span, lat + lat_span)
+
+
+def bbox_intersects_window(xmin, ymin, xmax, ymax, window) -> Column:
+    """bbox-vs-rectangle predicate on the four bbox columns —
+    FilterIntersectWindow.java:32-51 as pure column math."""
+    wx0, wy0, wx1, wy1 = window
+    return (
+        (_c(xmax) >= F.lit(wx0)) & (_c(xmin) <= F.lit(wx1))
+        & (_c(ymax) >= F.lit(wy0)) & (_c(ymin) <= F.lit(wy1))
+    )
+
+
+def point_in_window(x, y, window) -> Column:
+    wx0, wy0, wx1, wy1 = window
+    return (
+        (_c(x) >= F.lit(wx0)) & (_c(x) <= F.lit(wx1))
+        & (_c(y) >= F.lit(wy0)) & (_c(y) <= F.lit(wy1))
+    )
+
+
+def bbox_covered_by_window(xmin, ymin, xmax, ymax, window) -> Column:
+    """SearchCoveredByEnvelope equivalent."""
+    wx0, wy0, wx1, wy1 = window
+    return (
+        (_c(xmin) >= F.lit(wx0)) & (_c(xmax) <= F.lit(wx1))
+        & (_c(ymin) >= F.lit(wy0)) & (_c(ymax) <= F.lit(wy1))
+    )
+
+
+def bbox_equals_window(xmin, ymin, xmax, ymax, window, tol: float = 0.0) -> Column:
+    """SearchEqualEnvelopes equivalent."""
+    wx0, wy0, wx1, wy1 = window
+    if tol == 0.0:
+        return (
+            (_c(xmin) == F.lit(wx0)) & (_c(xmax) == F.lit(wx1))
+            & (_c(ymin) == F.lit(wy0)) & (_c(ymax) == F.lit(wy1))
+        )
+    return (
+        (F.abs(_c(xmin) - F.lit(wx0)) <= tol) & (F.abs(_c(xmax) - F.lit(wx1)) <= tol)
+        & (F.abs(_c(ymin) - F.lit(wy0)) <= tol) & (F.abs(_c(ymax) - F.lit(wy1)) <= tol)
+    )
+
+
+def sfc_ranges_predicate(key_col, ranges) -> Column:
+    """OR-list of BETWEENs over an SFC key column; Catalyst turns each into
+    row-group min/max pruning — the reference's curve-range scans
+    (LayerSpaceFillingCurvePointIndex.java:114-179)."""
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    pred = None
+    for lo, hi in ranges:
+        p = key.between(int(lo), int(hi))
+        pred = p if pred is None else (pred | p)
+    return pred if pred is not None else F.lit(True)
+
+
+def planar_distance(x1, y1, x2, y2) -> Column:
+    return F.sqrt((_c(x2) - _c(x1)) ** 2 + (_c(y2) - _c(y1)) ** 2)

@@ -1,0 +1,316 @@
+"""The st_* scalar function library — Arrow-batched pandas UDFs over WKB.
+
+Parity: every 1→1 GeoPipe and Cypher scalar function from SURVEY.md §2.6-2.8
+(Area.java, Length.java, Centroid.java, Buffer.java, ... WellKnownText.java,
+GeoJSON.java, functions/SpatialFunctions.java:44-137) becomes an
+``st_*`` function, callable both from the DataFrame API and (after
+``register_all(spark)``) from SQL.
+
+Design: geometry travels as WKB BinaryType; each UDF parses a WKB batch,
+runs the NumPy kernel, and re-encodes.  Point-only paths should prefer the
+pure-Column versions in .columns (no Python at all) — these UDFs are the
+general-geometry path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..geom import Geometry, from_wkb, from_wkt, to_wkb, to_wkt
+from ..geom import algorithms as alg
+from ..geom import clip as cl
+from ..geom import predicates as pred
+from ..geom.io_text import from_geojson, to_geojson, to_gml, to_kml
+
+# ----------------------------------------------------------------- wrappers
+
+def _u_scalar(fn, rtype):
+    """unary geom → scalar"""
+    @F.pandas_udf(rtype)
+    def udf(wkb: pd.Series) -> pd.Series:
+        return wkb.map(lambda b: None if b is None else fn(from_wkb(b)))
+    return udf
+
+
+def _u_geom(fn):
+    """unary geom → geom"""
+    @F.pandas_udf(T.BinaryType())
+    def udf(wkb: pd.Series) -> pd.Series:
+        def run(b):
+            if b is None:
+                return None
+            g = fn(from_wkb(b))
+            return None if g is None else to_wkb(g)
+        return wkb.map(run)
+    return udf
+
+
+def _u_geom_p(fn):
+    """(geom, double-param) → geom"""
+    @F.pandas_udf(T.BinaryType())
+    def udf(wkb: pd.Series, p: pd.Series) -> pd.Series:
+        out = []
+        for b, v in zip(wkb, p):
+            out.append(None if b is None else to_wkb(fn(from_wkb(b), float(v))))
+        return pd.Series(out)
+    return udf
+
+
+def _b_bool(fn):
+    """(geom, geom) → bool"""
+    @F.pandas_udf(T.BooleanType())
+    def udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a, b):
+            out.append(None if (x is None or y is None) else fn(from_wkb(x), from_wkb(y)))
+        return pd.Series(out)
+    return udf
+
+
+def _b_geom(fn):
+    """(geom, geom) → geom"""
+    @F.pandas_udf(T.BinaryType())
+    def udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a, b):
+            out.append(None if (x is None or y is None)
+                       else to_wkb(fn(from_wkb(x), from_wkb(y))))
+        return pd.Series(out)
+    return udf
+
+
+def _b_scalar(fn, rtype):
+    @F.pandas_udf(rtype)
+    def udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a, b):
+            out.append(None if (x is None or y is None) else fn(from_wkb(x), from_wkb(y)))
+        return pd.Series(out)
+    return udf
+
+
+# ----------------------------------------------------------------- functions
+st_area = _u_scalar(alg.area, T.DoubleType())
+st_length = _u_scalar(alg.length, T.DoubleType())
+st_length_sphere = _u_scalar(alg.orthodromic_length_km, T.DoubleType())
+st_dimension = _u_scalar(lambda g: g.dimension(), T.IntegerType())
+st_numpoints = _u_scalar(lambda g: g.num_points(), T.IntegerType())
+st_numgeometries = _u_scalar(lambda g: g.num_geometries(), T.IntegerType())
+st_geometrytype = _u_scalar(lambda g: g.type_name(), T.StringType())
+st_isempty = _u_scalar(lambda g: g.is_empty(), T.BooleanType())
+st_isvalid = _u_scalar(pred.is_valid, T.BooleanType())
+st_x = _u_scalar(lambda g: float(g.data[0]) if g.gtype == 1 else None, T.DoubleType())
+st_y = _u_scalar(lambda g: float(g.data[1]) if g.gtype == 1 else None, T.DoubleType())
+
+st_astext = _u_scalar(to_wkt, T.StringType())
+st_asgeojson = _u_scalar(to_geojson, T.StringType())
+st_askml = _u_scalar(to_kml, T.StringType())
+st_asgml = _u_scalar(to_gml, T.StringType())
+
+st_envelope = _u_geom(alg.envelope_geom)
+st_centroid = _u_geom(alg.centroid)
+st_interiorpoint = _u_geom(alg.interior_point)
+st_boundary = _u_geom(alg.boundary)
+st_convexhull = _u_geom(alg.convex_hull)
+st_startpoint = _u_geom(alg.start_point)
+st_endpoint = _u_geom(alg.end_point)
+
+st_buffer = _u_geom_p(alg.buffer_geom)
+st_densify = _u_geom_p(alg.densify)
+st_simplify = _u_geom_p(lambda g, t: alg.simplify_dp(g, t, False))
+st_simplify_preserve_topology = _u_geom_p(lambda g, t: alg.simplify_dp(g, t, True))
+
+st_distance = _b_scalar(alg.distance, T.DoubleType())
+st_intersects = _b_bool(pred.intersects)
+st_disjoint = _b_bool(pred.disjoint)
+st_contains = _b_bool(pred.contains)
+st_within = _b_bool(pred.within)
+st_covers = _b_bool(pred.covers)
+st_coveredby = _b_bool(pred.covered_by)
+st_crosses = _b_bool(pred.crosses)
+st_overlaps = _b_bool(pred.overlaps)
+st_touches = _b_bool(pred.touches)
+st_equals = _b_bool(pred.equals_topo)
+st_equals_norm = _b_bool(pred.equals_norm)
+
+st_union = _b_geom(cl.union)
+st_intersection = _b_geom(cl.intersection)
+st_difference = _b_geom(cl.difference)
+st_symdifference = _b_geom(cl.sym_difference)
+
+
+@F.pandas_udf(T.BooleanType())
+def st_equals_exact(a: pd.Series, b: pd.Series, tol: pd.Series) -> pd.Series:
+    out = []
+    for x, y, t in zip(a, b, tol):
+        out.append(None if (x is None or y is None)
+                   else pred.equals_exact(from_wkb(x), from_wkb(y), float(t)))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BooleanType())
+def st_relate(a: pd.Series, b: pd.Series, pat: pd.Series) -> pd.Series:
+    out = []
+    for x, y, p in zip(a, b, pat):
+        out.append(None if (x is None or y is None)
+                   else pred.relate(from_wkb(x), from_wkb(y), str(p)))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.StringType())
+def st_relate_matrix(a: pd.Series, b: pd.Series) -> pd.Series:
+    out = []
+    for x, y in zip(a, b):
+        out.append(None if (x is None or y is None)
+                   else pred.relate_matrix(from_wkb(x), from_wkb(y)))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_point(x: pd.Series, y: pd.Series) -> pd.Series:
+    out = []
+    for xv, yv in zip(x, y):
+        out.append(None if (xv is None or yv is None)
+                   else to_wkb(Geometry.point(float(xv), float(yv))))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_geomfromtext(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: None if v is None else to_wkb(from_wkt(v)))
+
+
+@F.pandas_udf(T.BinaryType())
+def st_geomfromgeojson(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: None if v is None else to_wkb(from_geojson(v)))
+
+
+@F.pandas_udf(T.StringType())
+def st_wkt_to_geojson(s: pd.Series) -> pd.Series:
+    """spatial.wktToGeoJson (SpatialFunctions.java:46-62) equivalent."""
+    return s.map(lambda v: None if v is None else to_geojson(from_wkt(v)))
+
+
+@F.pandas_udf(T.DoubleType())
+def st_distance_sphere(lon1: pd.Series, lat1: pd.Series,
+                       lon2: pd.Series, lat2: pd.Series) -> pd.Series:
+    import numpy as np
+    la1 = np.radians(lat1.astype(float))
+    la2 = np.radians(lat2.astype(float))
+    dlon = np.radians(lon2.astype(float) - lon1.astype(float))
+    v = np.sin(la1) * np.sin(la2) + np.cos(la1) * np.cos(la2) * np.cos(dlon)
+    return pd.Series(np.arccos(np.clip(v, -1.0, 1.0)) * alg.EARTH_RADIUS_KM)
+
+
+_BBOX_TYPE = T.StructType([
+    T.StructField("xmin", T.DoubleType()),
+    T.StructField("ymin", T.DoubleType()),
+    T.StructField("xmax", T.DoubleType()),
+    T.StructField("ymax", T.DoubleType()),
+])
+
+
+@F.pandas_udf(_BBOX_TYPE)
+def st_bbox(wkb: pd.Series) -> pd.DataFrame:
+    rows = []
+    for b in wkb:
+        if b is None:
+            rows.append((None, None, None, None))
+        else:
+            rows.append(from_wkb(b).envelope())
+    return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax"])
+
+
+@F.pandas_udf(T.IntegerType())
+def st_gtype(wkb: pd.Series) -> pd.Series:
+    return wkb.map(lambda b: None if b is None else from_wkb(b).gtype)
+
+
+@F.pandas_udf(T.ArrayType(T.BinaryType()))
+def st_dump(wkb: pd.Series) -> pd.Series:
+    """Explode-ready: component geometries (ExtractGeometries.java:28-43)."""
+    return wkb.map(lambda b: None if b is None else [to_wkb(p) for p in from_wkb(b).parts()])
+
+
+@F.pandas_udf(T.ArrayType(T.BinaryType()))
+def st_points(wkb: pd.Series) -> pd.Series:
+    """Every vertex as a point (ExtractPoints.java:29-46)."""
+    def run(b):
+        if b is None:
+            return None
+        return [to_wkb(Geometry.point(float(x), float(y)))
+                for x, y in from_wkb(b).all_coords()]
+    return wkb.map(run)
+
+
+@F.pandas_udf(T.ArrayType(T.ArrayType(T.DoubleType())))
+def st_coords(wkb: pd.Series) -> pd.Series:
+    """Vertices as [x,y] arrays (cheaper than st_points when WKB not needed)."""
+    return wkb.map(
+        lambda b: None if b is None
+        else [[float(x), float(y)] for x, y in from_wkb(b).all_coords()]
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def st_affine(wkb: pd.Series, a: pd.Series, b: pd.Series, d: pd.Series,
+              e: pd.Series, xoff: pd.Series, yoff: pd.Series) -> pd.Series:
+    out = []
+    for g, *m in zip(wkb, a, b, d, e, xoff, yoff):
+        out.append(None if g is None
+                   else to_wkb(alg.affine_transform(from_wkb(g), [float(v) for v in m])))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_translate(wkb: pd.Series, dx: pd.Series, dy: pd.Series) -> pd.Series:
+    out = []
+    for g, x, y in zip(wkb, dx, dy):
+        out.append(None if g is None
+                   else to_wkb(alg.affine_transform(from_wkb(g), [1, 0, 0, 1, float(x), float(y)])))
+    return pd.Series(out)
+
+
+REGISTRY = {
+    "st_area": st_area, "st_length": st_length, "st_length_sphere": st_length_sphere,
+    "st_dimension": st_dimension, "st_numpoints": st_numpoints,
+    "st_numgeometries": st_numgeometries, "st_geometrytype": st_geometrytype,
+    "st_isempty": st_isempty, "st_isvalid": st_isvalid, "st_x": st_x, "st_y": st_y,
+    "st_astext": st_astext, "st_asgeojson": st_asgeojson, "st_askml": st_askml,
+    "st_asgml": st_asgml, "st_envelope": st_envelope, "st_centroid": st_centroid,
+    "st_interiorpoint": st_interiorpoint, "st_boundary": st_boundary,
+    "st_convexhull": st_convexhull, "st_startpoint": st_startpoint,
+    "st_endpoint": st_endpoint, "st_buffer": st_buffer, "st_densify": st_densify,
+    "st_simplify": st_simplify,
+    "st_simplify_preserve_topology": st_simplify_preserve_topology,
+    "st_distance": st_distance, "st_intersects": st_intersects,
+    "st_disjoint": st_disjoint, "st_contains": st_contains, "st_within": st_within,
+    "st_covers": st_covers, "st_coveredby": st_coveredby, "st_crosses": st_crosses,
+    "st_overlaps": st_overlaps, "st_touches": st_touches, "st_equals": st_equals,
+    "st_equals_norm": st_equals_norm, "st_equals_exact": st_equals_exact,
+    "st_relate": st_relate, "st_relate_matrix": st_relate_matrix,
+    "st_union": st_union, "st_intersection": st_intersection,
+    "st_difference": st_difference, "st_symdifference": st_symdifference,
+    "st_point": st_point, "st_geomfromtext": st_geomfromtext,
+    "st_geomfromgeojson": st_geomfromgeojson, "st_wkt_to_geojson": st_wkt_to_geojson,
+    "st_distance_sphere": st_distance_sphere, "st_bbox": st_bbox,
+    "st_gtype": st_gtype, "st_dump": st_dump, "st_points": st_points,
+    "st_coords": st_coords, "st_affine": st_affine, "st_translate": st_translate,
+}
+
+
+def register_all(spark) -> None:
+    """Register every st_* function for SQL use (the engine's analogue of the
+    reference's procedure/function registration,
+    SpatialProcedures.java / SpatialFunctions.java)."""
+    for name, udf in REGISTRY.items():
+        spark.udf.register(name, udf)
+
+
+def wkb_lit(geom_or_wkt):
+    """Literal WKB column from a Geometry or WKT string — the broadcast-side
+    geometry of every layer-vs-constant search (GeoPipeline.java:197-265)."""
+    g = from_wkt(geom_or_wkt) if isinstance(geom_or_wkt, str) else geom_or_wkt
+    return F.lit(bytearray(to_wkb(g)))

@@ -310,6 +310,35 @@ def _as_lines(g: Geometry) -> list:
     return out
 
 
+def nearest_point_on(g: Geometry, px: float, py: float):
+    """Nearest point of g to (px,py) — DistanceOp.nearestPoints analogue,
+    used by the non-point path of OrthodromicDistance (reference :37-72)."""
+    if g.gtype == GTYPE_POINT:
+        return float(g.data[0]), float(g.data[1])
+    if g.dimension() == 2 and point_in_polygon(px, py, g):
+        return px, py
+    best = (math.inf, px, py)
+    lines = _as_lines(g)
+    if not lines:
+        for c in g.all_coords():
+            d = math.hypot(px - c[0], py - c[1])
+            if d < best[0]:
+                best = (d, float(c[0]), float(c[1]))
+        return best[1], best[2]
+    for line in lines:
+        for i in range(len(line) - 1):
+            ax, ay = line[i]
+            bx, by = line[i + 1]
+            dx, dy = bx - ax, by - ay
+            ll = dx * dx + dy * dy
+            t = 0.0 if ll == 0 else max(0.0, min(1.0, ((px - ax) * dx + (py - ay) * dy) / ll))
+            qx, qy = ax + t * dx, ay + t * dy
+            d = math.hypot(px - qx, py - qy)
+            if d < best[0]:
+                best = (d, qx, qy)
+    return best[1], best[2]
+
+
 # ------------------------------------------------------- orthodromic (sphere)
 def orthodromic_distance_km(lon1, lat1, lon2, lat2) -> float:
     """Spherical law of cosines with R=6371 — exact replication of

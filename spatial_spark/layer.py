@@ -1,0 +1,262 @@
+"""Layer + SpatialContext — the engine's user-facing API.
+
+Parity map (SURVEY.md §1.1, §2.10):
+  SpatialDatabaseService.getOrCreate*Layer  -> SpatialContext.create_*_layer
+  EditableLayer.add/update/delete           -> Layer.add / update / delete (copy-on-write)
+  spatial.layers/layerMeta/getFeatureCount/getLayerBoundingBox
+                                            -> SpatialContext.layers / meta / Layer.count / Layer.bbox
+  GeoPipeline.start*Search                  -> Layer.within_distance / closest / bbox_search /
+                                               intersects / cql  (operators/search.py)
+  DynamicLayer views                        -> Layer.add_view / view
+
+Write layout: every add() computes (gtype, bbox, zkey) and the writer
+range-partitions by zkey — the distributed stand-in for R-tree bulk load
+(STR rebuild, RTreeIndex.java:238-269): co-located spatial neighborhoods,
+Parquet min/max stats as index-node envelopes.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .catalog import CORE_COLUMNS, Catalog
+from .functions.scalar import register_all, st_bbox, st_gtype, wkb_lit
+from .sfc import DEFAULT_LEVEL, WGS84, zorder_encode
+
+ENC_POINT = "point"          # SimplePointEncoder: two double columns
+ENC_WKB = "wkb"              # WKBGeometryEncoder: binary column (default generic)
+ENC_WKT = "wkt"              # WKTGeometryEncoder: string column
+
+
+class SpatialContext:
+    """Engine entry point (the SpatialDatabaseService analogue)."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.catalog = Catalog(warehouse)
+        register_all(spark)
+
+    # ---- DDL ----------------------------------------------------------
+    def create_point_layer(self, name: str, x: str = "longitude",
+                           y: str = "latitude", crs: str = "WGS84") -> "Layer":
+        self.catalog.add_layer(name, encoder=ENC_POINT, crs=crs,
+                               geometry_type="Point",
+                               config={"x": x, "y": y})
+        return Layer(self, name)
+
+    def create_layer(self, name: str, encoder: str = ENC_WKB,
+                     crs: str = "WGS84", geometry_type: str | None = None) -> "Layer":
+        self.catalog.add_layer(name, encoder=encoder, crs=crs,
+                               geometry_type=geometry_type)
+        return Layer(self, name)
+
+    def create_wkt_layer(self, name: str, crs: str = "WGS84") -> "Layer":
+        return self.create_layer(name, encoder=ENC_WKT, crs=crs)
+
+    def get_layer(self, name: str) -> "Layer":
+        self.catalog.get(name)
+        return Layer(self, name)
+
+    def get_or_create_point_layer(self, name: str, **kw) -> "Layer":
+        if self.catalog.exists(name):
+            return Layer(self, name)
+        return self.create_point_layer(name, **kw)
+
+    def layers(self) -> list:
+        return self.catalog.layers()
+
+    def meta(self, name: str) -> dict:
+        return self.catalog.get(name)
+
+    def remove_layer(self, name: str) -> None:
+        self.catalog.remove_layer(name)
+
+    def create_results_layer(self, name: str, df: DataFrame) -> "Layer":
+        """SpatialDatabaseService.createResultsLayer (:440-447): materialize a
+        query result as a new WKB layer."""
+        layer = self.create_layer(name, encoder=ENC_WKB)
+        layer.add(df)
+        return layer
+
+
+class Layer:
+    """One named geometry collection (Layer.java:44-132 analogue)."""
+
+    def __init__(self, ctx: SpatialContext, name: str):
+        self.ctx = ctx
+        self.name = name
+
+    @property
+    def meta(self) -> dict:
+        return self.ctx.catalog.get(self.name)
+
+    @property
+    def path(self) -> str:
+        return self.meta["path"]
+
+    # ---- write path ---------------------------------------------------
+    def add(self, df: DataFrame, geom: str = "geom", wkt: str | None = None,
+            x: str | None = None, y: str | None = None, mode: str = "append") -> None:
+        """Encode + index + write (EditableLayerImpl.add → encoder.encodeGeometry
+        → RTreeIndex.add, re-expressed as a bulk columnar write).
+
+        Accepts one of: WKB `geom` column, `wkt` string column, or point
+        `x`/`y` columns (per layer encoder config)."""
+        meta = self.meta
+        enc = meta["encoder"]
+        if enc == ENC_POINT:
+            x = x or meta["config"].get("x", "longitude")
+            y = y or meta["config"].get("y", "latitude")
+            out = self._encode_points(df, x, y)
+        elif wkt is not None or enc == ENC_WKT:
+            wkt_col = wkt or "wkt"
+            out = self._encode_wkb(df.withColumn("geom", F.expr(f"st_geomfromtext({wkt_col})"))
+                                     .drop(wkt_col))
+        else:
+            src = df if geom == "geom" else df.withColumnRenamed(geom, "geom")
+            if "geom" not in src.columns and {"xmin", "ymin"} <= set(src.columns):
+                # result rows from a point layer: synthesize WKB points
+                src = src.withColumn("geom", F.expr("st_point(xmin, ymin)"))
+            if {"xmin", "ymin", "xmax", "ymax", "zkey", "gtype"} <= set(src.columns):
+                out = src  # already encoded (e.g. results-layer materialization)
+            else:
+                out = self._encode_wkb(src)
+
+        if "id" not in out.columns:
+            out = out.withColumn("id", F.monotonically_increasing_id())
+
+        attr_cols = [c for c in out.columns if c not in CORE_COLUMNS]
+        self.ctx.catalog.record_attrs(
+            self.name, {c: out.schema[c].dataType.simpleString() for c in attr_cols})
+
+        cols = [c for c in CORE_COLUMNS if c in out.columns] + attr_cols
+        # write layout = SFC clustering (STR-bulk-load equivalent): range
+        # partition by zkey so each file covers a compact spatial region and
+        # Parquet min/max on (zkey, xmin..ymax) prune like R-tree node envelopes.
+        n = max(self.ctx.spark.sparkContext.defaultParallelism, 1)
+        (out.select(cols)
+            .repartitionByRange(n, "zkey")
+            .sortWithinPartitions("zkey")
+            .write.mode(mode).parquet(self.path))
+
+    def _encode_points(self, df: DataFrame, x: str, y: str) -> DataFrame:
+        @F.pandas_udf(T.LongType())
+        def zkey_udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
+            return pd.Series(zorder_encode(xs.to_numpy(float), ys.to_numpy(float)))
+
+        return (df
+                .withColumn("gtype", F.lit(1))
+                .withColumn("xmin", F.col(x).cast("double"))
+                .withColumn("ymin", F.col(y).cast("double"))
+                .withColumn("xmax", F.col(x).cast("double"))
+                .withColumn("ymax", F.col(y).cast("double"))
+                .withColumn("zkey", zkey_udf(F.col(x), F.col(y))))
+
+    def _encode_wkb(self, df: DataFrame) -> DataFrame:
+        @F.pandas_udf(T.LongType())
+        def zkey_udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
+            return pd.Series(zorder_encode(xs.to_numpy(float), ys.to_numpy(float)))
+
+        out = (df
+               .withColumn("_bbox", st_bbox("geom"))
+               .withColumn("gtype", st_gtype("geom"))
+               .select("*", "_bbox.xmin", "_bbox.ymin", "_bbox.xmax", "_bbox.ymax")
+               .drop("_bbox"))
+        return out.withColumn(
+            "zkey", zkey_udf((F.col("xmin") + F.col("xmax")) / 2,
+                             (F.col("ymin") + F.col("ymax")) / 2))
+
+    # ---- mutation (copy-on-write; reference mutates nodes in place) ----
+    def update(self, ids_df_or_list, wkt: str | None = None, **set_cols) -> None:
+        """updateWKT / updateFromWKT equivalent: rewrite matching ids."""
+        df = self.df()
+        ids = ids_df_or_list if isinstance(ids_df_or_list, list) else None
+        cond = F.col("id").isin(ids) if ids is not None else F.lit(False)
+        untouched = df.filter(~cond)
+        touched = df.filter(cond)
+        if wkt is not None:
+            touched = (touched.drop("geom", "gtype", "xmin", "ymin", "xmax", "ymax", "zkey")
+                       .withColumn("geom", F.expr(f"st_geomfromtext('{wkt}')")))
+            touched = self._encode_wkb(touched)
+        for k, v in set_cols.items():
+            touched = touched.withColumn(k, F.lit(v))
+        out = untouched.unionByName(touched, allowMissingColumns=False)
+        self._rewrite(out)
+
+    def delete(self, ids: list) -> None:
+        """removeNode(s) equivalent."""
+        self._rewrite(self.df().filter(~F.col("id").isin(ids)))
+
+    def _rewrite(self, df: DataFrame) -> None:
+        rows = df.collect()  # test-scale only; 100 TB path = Delta MERGE (documented)
+        if rows:
+            out = self.ctx.spark.createDataFrame(rows, df.schema)
+            out.write.mode("overwrite").parquet(self.path)
+        else:
+            import shutil
+            shutil.rmtree(self.path, ignore_errors=True)
+
+    # ---- read path ----------------------------------------------------
+    def df(self) -> DataFrame:
+        import os
+        if not os.path.exists(self.path):
+            # empty layer: synthesize empty frame with core schema
+            schema = T.StructType([
+                T.StructField("id", T.LongType()),
+                T.StructField("geom", T.BinaryType()),
+                T.StructField("gtype", T.IntegerType()),
+                T.StructField("xmin", T.DoubleType()),
+                T.StructField("ymin", T.DoubleType()),
+                T.StructField("xmax", T.DoubleType()),
+                T.StructField("ymax", T.DoubleType()),
+                T.StructField("zkey", T.LongType()),
+            ])
+            return self.ctx.spark.createDataFrame([], schema)
+        return self.ctx.spark.read.parquet(self.path)
+
+    def count(self) -> int:
+        """spatial.getFeatureCount (:589-596)."""
+        return self.df().count()
+
+    def bbox(self):
+        """spatial.getLayerBoundingBox (:598-611) — agg over bbox columns."""
+        row = self.df().agg(F.min("xmin"), F.min("ymin"),
+                            F.max("xmax"), F.max("ymax")).first()
+        return tuple(row)
+
+    def attribute_names(self) -> list:
+        """spatial.getFeatureAttributes equivalent."""
+        return sorted(self.meta.get("attrs", {}))
+
+    # ---- dynamic layers / views (DynamicLayer.java) --------------------
+    def add_view(self, view_name: str, predicate: str) -> None:
+        self.ctx.catalog.add_view(self.name, view_name, predicate)
+
+    def view(self, view_name: str) -> DataFrame:
+        pred = self.meta["views"][view_name]
+        return self.df().filter(pred)
+
+    # ---- searches (delegated to operators.search) ----------------------
+    def within_distance(self, lon: float, lat: float, km: float) -> DataFrame:
+        from .operators.search import within_distance
+        return within_distance(self, lon, lat, km)
+
+    def closest(self, lon: float, lat: float, k: int = 100,
+                max_km: float | None = None) -> DataFrame:
+        from .operators.search import closest
+        return closest(self, lon, lat, k=k, max_km=max_km)
+
+    def bbox_search(self, xmin, ymin, xmax, ymax) -> DataFrame:
+        from .operators.search import bbox_search
+        return bbox_search(self, (xmin, ymin, xmax, ymax))
+
+    def intersects(self, geom_or_wkt) -> DataFrame:
+        from .operators.search import intersects_search
+        return intersects_search(self, geom_or_wkt)
+
+    def cql(self, expression: str) -> DataFrame:
+        from .operators.cql import cql_filter
+        return cql_filter(self, expression)

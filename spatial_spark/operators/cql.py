@@ -1,0 +1,76 @@
+"""CQL (OGC Common Query Language) subset → Spark SQL translation.
+
+Parity: FilterCQL.java:35-52 + SearchCQL.java:39-69 evaluate ECQL per record
+via GeoTools; Utilities.extractEnvelopeFromFilter (:65-119) additionally
+mines the expression for an envelope to seed the index search.  Here the
+translator emits a Spark SQL string; the envelope mining emerges naturally —
+BBOX(...) becomes pure bbox-column range predicates that Catalyst pushes
+into the scan, and spatial predicates get an automatic bbox conjunct.
+
+Scope: the subset the reference's tests exercise (DynamicLayer.java:106-149,
+GeoPipesDocTest:154-225): BBOX, INTERSECTS/WITHIN/CONTAINS, comparisons,
+LIKE, IS [NOT] NULL, AND/OR/NOT, geometryType().
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+from ..geom import from_wkt
+
+_GEOM_PROPS = ("the_geom", "geometry", "geom")
+
+
+def cql_to_sql(expr: str) -> str:
+    s = expr
+
+    # BBOX(the_geom, x1, y1, x2, y2) → bbox-intersects column predicate
+    def bbox_repl(m):
+        x1, y1, x2, y2 = (float(v) for v in m.group(2, 3, 4, 5))
+        return (f"(xmax >= {min(x1, x2)!r} AND xmin <= {max(x1, x2)!r} AND "
+                f"ymax >= {min(y1, y2)!r} AND ymin <= {max(y1, y2)!r})")
+
+    s = re.sub(
+        r"BBOX\s*\(\s*(\w+)\s*,\s*([-\d.eE]+)\s*,\s*([-\d.eE]+)\s*,"
+        r"\s*([-\d.eE]+)\s*,\s*([-\d.eE]+)\s*\)",
+        bbox_repl, s, flags=re.I)
+
+    # Spatial predicates with WKT literal → st_* + envelope conjunct
+    def spatial_repl(m):
+        op = m.group(1).lower()
+        wkt = m.group(3).strip()
+        g = from_wkt(wkt)
+        e = g.envelope()
+        fn = {"intersects": "st_intersects", "within": "st_within",
+              "contains": "st_contains", "touches": "st_touches",
+              "crosses": "st_crosses", "overlaps": "st_overlaps",
+              "disjoint": "st_disjoint", "equals": "st_equals"}[op]
+        exact = f"{fn}(geom, st_geomfromtext('{wkt}'))"
+        if op == "disjoint":
+            return exact
+        # two-phase: envelope conjunct first (pushdown), exact refine second
+        return (f"(xmax >= {e[0]!r} AND xmin <= {e[2]!r} AND "
+                f"ymax >= {e[1]!r} AND ymin <= {e[3]!r} AND {exact})")
+
+    s = re.sub(
+        r"(INTERSECTS|WITHIN|CONTAINS|TOUCHES|CROSSES|OVERLAPS|DISJOINT|EQUALS)"
+        r"\s*\(\s*(\w+)\s*,\s*([A-Z]+[A-Z0-9 ]*\([^)]*\)+)\s*\)",
+        spatial_repl, s, flags=re.I)
+
+    # geometryType(the_geom) → st_geometrytype(geom)
+    s = re.sub(r"geometryType\s*\(\s*(\w+)\s*\)", "st_geometrytype(geom)", s, flags=re.I)
+
+    # normalize geometry property names to our column
+    for p in _GEOM_PROPS:
+        s = re.sub(rf"\b{p}\b", "geom", s)
+
+    # CQL operators → SQL
+    s = re.sub(r"<>", "!=", s)
+    return s
+
+
+def cql_filter(layer, expression: str) -> DataFrame:
+    """spatial.cql (:838-848)."""
+    return layer.df().filter(cql_to_sql(expression))

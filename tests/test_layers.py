@@ -1,0 +1,123 @@
+"""Layer DDL/DML + search tests.
+
+Mirrors the reference's test tiers (SURVEY.md §5): TestSimplePointLayer.java
+golden within-distance counts, LayersTest.java DDL, TestRemove.java deletes.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from spatial_spark.geom.algorithms import orthodromic_distance_km
+
+
+def _grid_points(spark, n_side=20, x0=12.9, y0=56.0, step=0.01):
+    rows = [
+        (i * n_side + j, x0 + i * step, y0 + j * step)
+        for i in range(n_side) for j in range(n_side)
+    ]
+    return spark.createDataFrame(rows, "id long, lon double, lat double")
+
+
+def test_layer_ddl_and_catalog(ctx, spark):
+    layer = ctx.create_point_layer("pts", x="lon", y="lat")
+    assert ctx.layers() == ["pts"]
+    layer.add(_grid_points(spark))
+    assert layer.count() == 400
+    meta = ctx.meta("pts")
+    assert meta["encoder"] == "point"
+    assert "lon" in meta["attrs"]
+    bbox = layer.bbox()
+    assert bbox[0] == pytest.approx(12.9)
+    assert bbox[2] == pytest.approx(12.9 + 19 * 0.01)
+    ctx.remove_layer("pts")
+    assert ctx.layers() == []
+
+
+def test_within_distance_golden(ctx, spark):
+    """Reproduce the reference's TestSimplePointLayer style assertions:
+    dense grid, exact result counts from an independent oracle."""
+    layer = ctx.create_point_layer("neo", x="lon", y="lat")
+    layer.add(_grid_points(spark))
+    probe = (13.0, 56.1)
+    for km in (0.5, 1.0, 2.0):
+        res = layer.within_distance(probe[0], probe[1], km)
+        got = res.count()
+        # oracle: direct haversine over the same grid
+        exp = sum(
+            1
+            for i in range(20) for j in range(20)
+            if orthodromic_distance_km(12.9 + i * 0.01, 56.0 + j * 0.01, *probe) <= km
+        )
+        assert got == exp and got > 0
+    # ordering: first row is the nearest
+    first = layer.within_distance(probe[0], probe[1], 2.0).first()
+    d0 = orthodromic_distance_km(13.0, 56.1, *probe)
+    assert first["distance"] == pytest.approx(d0, abs=1e-9)
+
+
+def test_closest_k(ctx, spark):
+    layer = ctx.create_point_layer("knn", x="lon", y="lat")
+    layer.add(_grid_points(spark))
+    res = layer.closest(13.0, 56.1, k=7)
+    rows = res.collect()
+    assert len(rows) == 7
+    dists = [r["distance"] for r in rows]
+    assert dists == sorted(dists)
+
+
+def test_bbox_search_and_cql(ctx, spark):
+    layer = ctx.create_point_layer("win", x="lon", y="lat")
+    layer.add(_grid_points(spark))
+    res = layer.bbox_search(12.95, 56.05, 13.0, 56.1)
+    exp = sum(
+        1 for i in range(20) for j in range(20)
+        if 12.95 <= 12.9 + i * 0.01 <= 13.0 and 56.05 <= 56.0 + j * 0.01 <= 56.1
+    )
+    assert res.count() == exp
+    cql = layer.cql("BBOX(the_geom, 12.95, 56.05, 13.0, 56.1)")
+    assert cql.count() == exp
+
+
+def test_wkt_layer_and_intersects(ctx, spark):
+    layer = ctx.create_wkt_layer("shapes")
+    df = spark.createDataFrame(
+        [
+            (1, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),
+            (2, "POLYGON ((10 10, 12 10, 12 12, 10 12, 10 10))"),
+            (3, "LINESTRING (1 1, 11 11)"),
+            (4, "POINT (1 1)"),
+        ],
+        "id long, wkt string",
+    )
+    layer.add(df, wkt="wkt")
+    assert layer.count() == 4
+    res = layer.intersects("POLYGON ((0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, 0.5 0.5))")
+    ids = {r["id"] for r in res.collect()}
+    assert ids == {1, 3, 4}
+
+
+def test_update_delete(ctx, spark):
+    layer = ctx.create_point_layer("mut", x="lon", y="lat")
+    layer.add(_grid_points(spark, n_side=3))
+    assert layer.count() == 9
+    layer.delete([0, 1])
+    assert layer.count() == 7
+
+
+def test_dynamic_view(ctx, spark):
+    layer = ctx.create_wkt_layer("dyn")
+    df = spark.createDataFrame(
+        [(1, "POINT (1 1)"), (2, "LINESTRING (0 0, 1 1)")], "id long, wkt string")
+    layer.add(df, wkt="wkt")
+    layer.add_view("points_only", "gtype = 1")
+    assert layer.view("points_only").count() == 1
+
+
+def test_results_layer(ctx, spark):
+    layer = ctx.create_point_layer("src", x="lon", y="lat")
+    layer.add(_grid_points(spark, n_side=5))
+    res = layer.bbox_search(12.9, 56.0, 12.92, 56.02)
+    out = ctx.create_results_layer("dst", res.drop("distance"))
+    assert out.count() == res.count()

@@ -1,0 +1,142 @@
+"""Operator tests: spatial join, geometric aggregates, SQL st_* functions."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spatial_spark.functions.scalar import register_all
+from spatial_spark.geom import from_wkb
+from spatial_spark.geom.algorithms import area
+from spatial_spark.operators.agg import (
+    density_islands, intersect_all, keep_max, keep_min, union_all,
+)
+from spatial_spark.operators.join import spatial_join, within_distance_join
+
+
+def _encoded(ctx, spark, name, rows, schema, **add_kw):
+    layer = ctx.create_layer(name) if "wkt" in schema else ctx.create_point_layer(
+        name, x="lon", y="lat")
+    df = spark.createDataFrame(rows, schema)
+    layer.add(df, **add_kw)
+    return layer
+
+
+def test_spatial_join_points_in_polygons(ctx, spark):
+    pts = [(i * 10 + j, float(i), float(j)) for i in range(10) for j in range(10)]
+    pl = _encoded(ctx, spark, "pts", pts, "id long, lon double, lat double")
+    polys = [
+        (100, "POLYGON ((0.5 0.5, 3.5 0.5, 3.5 3.5, 0.5 3.5, 0.5 0.5))"),
+        (200, "POLYGON ((5.5 5.5, 8.5 5.5, 8.5 8.5, 5.5 8.5, 5.5 5.5))"),
+    ]
+    gl = ctx.create_wkt_layer("polys")
+    gl.add(spark.createDataFrame(polys, "id long, wkt string"), wkt="wkt")
+
+    res = spatial_join(pl.df().withColumn("geom", F.expr("st_point(xmin, ymin)")),
+                       gl.df(), "within")
+    got = {(r["a_id"], r["b_id"]) for r in res.collect()}
+    exp = set()
+    for pid, x, y in pts:
+        if 0.5 < x < 3.5 and 0.5 < y < 3.5:
+            exp.add((pid, 100))
+        if 5.5 < x < 8.5 and 5.5 < y < 8.5:
+            exp.add((pid, 200))
+    assert got == exp
+
+
+def test_spatial_join_grid_path_matches_broadcast(ctx, spark):
+    """Force the grid (non-broadcast) path and check identical results."""
+    pts = [(i, float(i % 7), float(i % 5)) for i in range(60)]
+    pl = _encoded(ctx, spark, "pts2", pts, "id long, lon double, lat double")
+    polys = [(1, "POLYGON ((1.5 0.5, 4.5 0.5, 4.5 3.5, 1.5 3.5, 1.5 0.5))"),
+             (2, "POLYGON ((-0.5 -0.5, 2.5 -0.5, 2.5 2.5, -0.5 2.5, -0.5 -0.5))")]
+    gl = ctx.create_wkt_layer("polys2")
+    gl.add(spark.createDataFrame(polys, "id long, wkt string"), wkt="wkt")
+    a = pl.df().withColumn("geom", F.expr("st_point(xmin, ymin)"))
+    r_broad = {(r["a_id"], r["b_id"])
+               for r in spatial_join(a, gl.df(), "intersects").collect()}
+    r_grid = {(r["a_id"], r["b_id"])
+              for r in spatial_join(a, gl.df(), "intersects",
+                                    broadcast_threshold=0).collect()}
+    assert r_grid == r_broad and len(r_broad) > 0
+
+
+def test_within_distance_join(ctx, spark):
+    a_rows = [(1, 12.99, 56.0), (2, 13.5, 56.0)]
+    b_rows = [(10, 13.0, 56.0), (20, 14.0, 57.0)]
+    la = _encoded(ctx, spark, "wa", a_rows, "id long, lon double, lat double")
+    lb = _encoded(ctx, spark, "wb", b_rows, "id long, lon double, lat double")
+    res = within_distance_join(la.df(), lb.df(), km=5.0)
+    pairs = {(r["a_id"], r["b_id"]) for r in res.collect()}
+    assert pairs == {(1, 10)}
+
+
+def test_union_all_and_intersect_all(ctx, spark):
+    register_all(spark)
+    df = spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),
+         (2, "POLYGON ((1 0, 3 0, 3 2, 1 2, 1 0))"),
+         (3, "POLYGON ((1 1, 1.5 1, 1.5 1.5, 1 1.5, 1 1))")],
+        "id long, wkt string")
+    geoms = df.withColumn("geom", F.expr("st_geomfromtext(wkt)"))
+    u = union_all(geoms).collect()[0]["geom"]
+    assert area(from_wkb(u)) == pytest.approx(6.0)
+    i = intersect_all(geoms).collect()[0]["geom"]
+    assert area(from_wkb(i)) == pytest.approx(0.25)
+
+
+def test_keep_min_max(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 1.0), (3, 1.0), (4, 9.0)], "id long, v double")
+    assert {r["id"] for r in keep_min(df, "v").collect()} == {2, 3}
+    assert {r["id"] for r in keep_max(df, "v").collect()} == {4}
+
+
+def test_density_islands(ctx, spark):
+    # two clusters of points + one isolated
+    rows = ([(i, 0.0 + i * 0.1, 0.0) for i in range(3)]
+            + [(10 + i, 5.0 + i * 0.1, 0.0) for i in range(3)]
+            + [(99, 50.0, 50.0)])
+    layer = _encoded(ctx, spark, "dens", rows, "id long, lon double, lat double")
+    df = layer.df().withColumn("geom", F.expr("st_point(xmin, ymin)"))
+    labels = density_islands(df, density=0.5)
+    by_island = {}
+    for r in labels.collect():
+        by_island.setdefault(r["island"], set()).add(r["id"])
+    groups = sorted(by_island.values(), key=lambda s: min(s))
+    assert groups == [{0, 1, 2}, {10, 11, 12}, {99}]
+
+
+def test_sql_functions_e2e(spark):
+    register_all(spark)
+    row = spark.sql("""
+        SELECT
+          st_area(st_geomfromtext('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))')) AS a,
+          st_astext(st_centroid(st_geomfromtext('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'))) AS c,
+          st_intersects(st_geomfromtext('POINT (1 1)'),
+                        st_geomfromtext('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))')) AS i,
+          st_astext(st_union(st_geomfromtext('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'),
+                             st_geomfromtext('POLYGON ((2 0, 3 0, 3 1, 2 1, 2 0))'))) AS u,
+          st_asgeojson(st_geomfromtext('POINT (1 2)')) AS gj,
+          st_distance_sphere(0.0D, 0.0D, 0.0D, 1.0D) AS dsp,
+          st_numpoints(st_geomfromtext('LINESTRING (0 0, 1 1, 2 2)')) AS np
+    """).collect()[0]
+    assert row["a"] == 16.0
+    assert row["c"] == "POINT (2 2)"
+    assert row["i"] is True
+    assert row["u"].startswith("MULTIPOLYGON")
+    assert row["gj"] == '{"type":"Point","coordinates":[1,2]}'
+    assert row["dsp"] == pytest.approx(111.195, abs=0.01)
+    assert row["np"] == 3
+
+
+def test_st_dump_and_points_explode(spark):
+    register_all(spark)
+    df = spark.sql("""
+        SELECT explode(st_dump(st_geomfromtext(
+          'MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((2 2, 3 2, 3 3, 2 3, 2 2)))'
+        ))) AS part
+    """)
+    assert df.count() == 2
+    pts = spark.sql("""
+        SELECT explode(st_points(st_geomfromtext('LINESTRING (0 0, 1 1, 2 2)'))) AS p
+    """)
+    assert pts.count() == 3
