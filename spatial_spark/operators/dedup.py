@@ -1,0 +1,249 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Extension axis beyond reference parity (SURVEY.md §7.2 M8): exact dedup,
+MinHash+LSH, SimHash, n-gram Jaccard.  All deterministic (fixed hash
+parameters), shuffle-lean (band-bucket equi-joins, no cross joins), and
+designed so the candidate-pair stage scales linearly at 100 TB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# deterministic 64-bit hash family: (a*x + b) mod p, fixed seed
+_MERSENNE = (1 << 61) - 1
+_RNG = np.random.RandomState(42)
+_MAX_PERM = 256
+_A = _RNG.randint(1, _MERSENNE, size=_MAX_PERM, dtype=np.int64)
+_B = _RNG.randint(0, _MERSENNE, size=_MAX_PERM, dtype=np.int64)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate removal: keep the min-id row per identical text.
+    Hash-groupBy — one shuffle on a 128-bit digest, never on the full text
+    (critical at 100 TB: shuffle keys are 16 bytes, not documents)."""
+    h = F.md5(F.col(text_col))
+    w = Window.partitionBy(h).orderBy(F.col(id_col).asc())
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def duplicate_groups(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Groups of exact duplicates: (canonical_id, member_id) pairs."""
+    h = F.md5(F.col(text_col)).alias("_h")
+    grouped = (df.select(h, F.col(id_col))
+               .groupBy("_h")
+               .agg(F.min(id_col).alias("canonical_id"),
+                    F.collect_list(id_col).alias("members"),
+                    F.count(F.lit(1)).alias("n_dups")))
+    return grouped.select("canonical_id", "n_dups",
+                          F.explode("members").alias("member_id"))
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Hashes of the k-character shingles of `text` (deterministic)."""
+    t = " ".join(text.lower().split())
+    if len(t) < k:
+        t = t.ljust(k)
+    views = [hash_bytes(t[i:i + k]) for i in range(len(t) - k + 1)]
+    return np.unique(np.array(views, dtype=np.int64))
+
+
+def hash_bytes(s: str) -> int:
+    """FNV-1a 64-bit — deterministic across workers/runs (unlike hash())."""
+    h = 0xCBF29CE484222325
+    for b in s.encode("utf-8"):
+        h ^= b
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h - (1 << 63) if h >= (1 << 63) else h
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_perm: int = 64,
+                       shingle_k: int = 5) -> DataFrame:
+    """(id, signature array<long>) MinHash signatures."""
+    a = _A[:num_perm]
+    b = _B[:num_perm]
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            sh = _shingle_hashes(t or "", shingle_k).astype(np.uint64)
+            # (a*x+b) mod p, then min per permutation
+            vals = (a.astype(np.uint64)[None, :] * sh[:, None]
+                    + b.astype(np.uint64)[None, :]) % np.uint64(_MERSENNE)
+            out.append(vals.min(axis=0).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), sig(F.col(text_col)).alias("signature"))
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_perm: int = 64,
+                      bands: int = 16, threshold: float = 0.8,
+                      shingle_k: int = 5) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding.
+
+    Plan shape: signature → explode to (band, band_hash) → self equi-join on
+    the bucket (shuffle co-locates only same-bucket rows — the LSH property
+    bounds bucket sizes) → estimated-Jaccard filter on the full signatures.
+    Returns (a_id, b_id, jaccard_est) with a_id < b_id."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+
+    banded = sigs.select(
+        F.col(id_col), "signature",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.hash(*[F.col("signature")[i * rows_per_band + j]
+                              for j in range(rows_per_band)]).alias("bh"))
+            for i in range(bands)
+        ])).alias("bb"))
+    banded = banded.select(id_col, "signature", "bb.band", "bb.bh")
+
+    a = banded.select(F.col(id_col).alias("a_id"),
+                      F.col("signature").alias("a_sig"), "band", "bh")
+    b = banded.select(F.col(id_col).alias("b_id"),
+                      F.col("signature").alias("b_sig"), "band", "bh")
+    cand = (a.join(b, ["band", "bh"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id", "a_sig", "b_sig")
+            .distinct())
+
+    matches = F.aggregate(
+        F.zip_with("a_sig", "b_sig", lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, v: acc + v)
+    return (cand.withColumn("jaccard_est", matches / F.lit(float(num_perm)))
+            .filter(F.col("jaccard_est") >= threshold)
+            .select("a_id", "b_id", "jaccard_est"))
+
+
+def simhash_64(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over whitespace tokens → (id, simhash long)."""
+
+    @F.pandas_udf(T.LongType())
+    def sh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = (t or "").lower().split()
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in toks:
+                h = np.uint64(hash_bytes(tok))
+                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                acc += np.where(bits.astype(bool), 1, -1)
+            v = np.uint64(0)
+            for i in range(64):
+                if acc[i] > 0:
+                    v |= np.uint64(1) << np.uint64(i)
+            out.append(int(v.astype(np.int64)))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), sh(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Banding: split 64 bits into (max_hamming+1) blocks — pigeonhole: any pair
+    within the radius agrees on at least one full block, so candidates come
+    from block-equality equi-joins (no cross join)."""
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    sigs = simhash_64(df, text_col, id_col)
+    block_cols = [
+        (F.shiftrightunsigned(F.col("simhash"), i * width)
+         .bitwiseAND(F.lit((1 << width) - 1))).alias(f"blk{i}")
+        for i in range(nblocks)
+    ]
+    banded = sigs.select(id_col, "simhash",
+                         F.explode(F.array(*[
+                             F.struct(F.lit(i).alias("b"), block_cols[i].alias("v"))
+                             for i in range(nblocks)])).alias("bb"))
+    banded = banded.select(id_col, "simhash", "bb.b", "bb.v")
+    a = banded.select(F.col(id_col).alias("a_id"), F.col("simhash").alias("a_sh"), "b", "v")
+    b = banded.select(F.col(id_col).alias("b_id"), F.col("simhash").alias("b_sh"), "b", "v")
+    cand = (a.join(b, ["b", "v"]).filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id", "a_sh", "b_sh").distinct())
+    ham = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
+    return (cand.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("a_id", "b_id", "hamming"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact word-n-gram Jaccard over candidate pairs.
+
+    Candidates come from shared-n-gram buckets (equi-join on n-gram hash,
+    counts aggregated) — |A∩B| from the join, |A∪B| = |A|+|B|-|A∩B|, so the
+    exact Jaccard needs no second pass over the texts."""
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_ngrams_col(text_col, n))).alias("gram"))
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.select(F.col(id_col).alias("a_id"), "gram")
+    b = grams.select(F.col(id_col).alias("b_id"), "gram")
+    inter = (a.join(b, "gram").filter(F.col("a_id") < F.col("b_id"))
+             .groupBy("a_id", "b_id").agg(F.count(F.lit(1)).alias("n_common")))
+    sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n_grams").alias("a_n"))
+    sb = sizes.select(F.col(id_col).alias("b_id"), F.col("n_grams").alias("b_n"))
+    return (inter.join(sa, "a_id").join(sb, "b_id")
+            .withColumn("jaccard",
+                        F.col("n_common")
+                        / (F.col("a_n") + F.col("b_n") - F.col("n_common")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("a_id", "b_id", "jaccard"))
+
+
+def _ngrams_col(text_col: str, n: int):
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    # word n-grams via transform over token index range
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+
+
+def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
+                             id_col: str = "vec_id", threshold: float = 0.95,
+                             planes: int = 16) -> DataFrame:
+    """Near-duplicate vectors by cosine >= threshold.
+
+    Random-hyperplane LSH (fixed seed): sign-bit signature → bucket equi-join
+    → exact cosine verify with F.aggregate/zip_with (JVM-side)."""
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        return df.sparkSession.createDataFrame(
+            [], "a_id long, b_id long, cosine double")
+    dim = dim_row["d"]
+    rng = np.random.RandomState(7)
+    hp = rng.standard_normal((planes, dim))
+
+    @F.pandas_udf(T.IntegerType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy())
+        signs = (m @ hp.T) > 0
+        return pd.Series(signs.dot(1 << np.arange(planes)).astype(np.int32))
+
+    with_b = df.select(F.col(id_col), F.col(vec_col), bucket(F.col(vec_col)).alias("bkt"))
+    a = with_b.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_v"), "bkt")
+    b = with_b.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_v"), "bkt")
+    cand = a.join(b, "bkt").filter(F.col("a_id") < F.col("b_id"))
+    dot = F.aggregate(F.zip_with("a_v", "b_v", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    norm = (F.sqrt(F.aggregate(F.transform("a_v", lambda x: x * x),
+                               F.lit(0.0), lambda acc, v: acc + v))
+            * F.sqrt(F.aggregate(F.transform("b_v", lambda x: x * x),
+                                 F.lit(0.0), lambda acc, v: acc + v)))
+    return (cand.withColumn("cosine", dot / norm)
+            .filter(F.col("cosine") >= threshold)
+            .select("a_id", "b_id", "cosine"))

@@ -1,0 +1,143 @@
+"""Text-analysis operators: token counting, quality scoring, language ID,
+fingerprinting.  All pure-Column (JVM-side, codegen) — no Python in the hot
+path; the BPE-ish tokenizer is a regexp, the language detector a stopword
+frequency heuristic, the fingerprint an md5/rolling-hash pair.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# GPT-2-style pre-tokenizer regex, simplified to what Spark's RE2-ish engine
+# supports: contractions, words, numbers, punctuation runs.
+BPE_SPLIT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "und", "die", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "los", "que", "es"],
+}
+
+
+def token_count_ws(text: Column | str) -> Column:
+    """Whitespace token count."""
+    c = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+")))
+
+
+def token_count_bpe(text: Column | str) -> Column:
+    """BPE-ish token count via the split regex (approximates GPT-2
+    pre-tokenization granularity; deterministic, pure column)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.filter(
+        F.split(c, f"(?=({BPE_SPLIT}))"),  # lookahead split keeps tokens
+        lambda t: F.length(F.trim(t)) > 0))
+
+
+def _count_occurrences(c: Column, word: str) -> Column:
+    """Occurrences of ` word ` in the padded lowercase text — pure column
+    ((len - len(replace))/len(pattern) trick; no regex, replicable in ANSI SQL)."""
+    pat = f" {word} "
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    return ((F.length(padded) - F.length(F.replace(padded, F.lit(pat), F.lit(""))))
+            / F.lit(len(pat))).cast("int")
+
+
+def language_id(text: Column | str) -> Column:
+    """Stopword-vote language ID over {en,de,fr,es} with 'und' fallback.
+    Deterministic tie-break: language order as listed."""
+    c = F.col(text) if isinstance(text, str) else text
+    scores = {lang: sum_cols([_count_occurrences(c, w) for w in words])
+              for lang, words in _STOPWORDS.items()}
+    best = None
+    # build nested CASE: pick first language achieving the max positive score
+    max_score = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(list(_STOPWORDS)):
+        expr = F.when((scores[lang] == max_score) & (max_score > 0), lang).otherwise(expr)
+    return expr
+
+
+def sum_cols(cols):
+    out = cols[0]
+    for c in cols[1:]:
+        out = out + c
+    return out
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-signal columns: length, token count, punctuation ratio,
+    uppercase ratio, stopword ratio, mean word length."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_tokens = token_count_ws(c)
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[\.,;:!\?'\"()\[\]{}-]", ""))
+    n_upper = F.length(c) - F.length(F.regexp_replace(c, r"[A-Z]", ""))
+    n_stop = sum_cols([_count_occurrences(c, w) for w in _STOPWORDS["en"]])
+    return (df
+            .withColumn("n_chars_m", n_chars)
+            .withColumn("n_tokens", n_tokens)
+            .withColumn("punct_ratio", F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0))
+            .withColumn("upper_ratio", F.when(n_chars > 0, n_upper / n_chars).otherwise(0.0))
+            .withColumn("stopword_ratio",
+                        F.when(n_tokens > 0, n_stop / n_tokens).otherwise(0.0))
+            .withColumn("mean_word_len",
+                        F.when(n_tokens > 0,
+                               (n_chars - n_tokens + 1) / n_tokens).otherwise(0.0)))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite [0,1] quality score (heuristic linear blend — the standard
+    pretraining-filter shape: penalize too-short, too-punctuated,
+    too-uppercase; reward stopword presence)."""
+    feats = quality_features(df, text_col)
+    len_score = F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
+    punct_score = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("punct_ratio") * 5.0)
+    upper_score = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("upper_ratio") * 5.0)
+    stop_score = F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0))
+    return feats.withColumn(
+        "quality",
+        F.round((len_score + punct_score + upper_score + stop_score) / 4.0, 6))
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Whitespace-normalized md5 content fingerprint (exact-dup key)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.trim(F.lower(c)), r"\s+", " "))
+
+
+def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 8,
+                           window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    k-gram rolling hashes, min per sliding window, deduped — the standard
+    near-dup sketch for plagiarism-style matching.  (id, fingerprint) rows."""
+    from .dedup import hash_bytes
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def fp(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            t = " ".join((t or "").lower().split())
+            if len(t) < k:
+                out.append([])
+                continue
+            hs = np.array([hash_bytes(t[i:i + k]) for i in range(len(t) - k + 1)],
+                          dtype=np.int64)
+            if len(hs) <= window:
+                out.append([int(hs.min())])
+                continue
+            mins = set()
+            for i in range(len(hs) - window + 1):
+                mins.add(int(hs[i:i + window].min()))
+            out.append(sorted(mins))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), F.explode(fp(F.col(text_col))).alias("fingerprint"))

@@ -1,0 +1,76 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has no streaming surface (SURVEY.md §2.11) — this is the
+engine's extension axis: point-event ingestion with watermarked windowed
+aggregation and geofence filtering, built on readStream/writeStream so the
+same code runs against Kafka at scale (swap the source).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ts is timestamp_ntz: the driver's parquet stores naive timestamp[ns]
+EVENT_SCHEMA = ("event_id long, ts timestamp_ntz, user_id long, "
+                "event_type string, value double, props string")
+
+
+def read_events_stream(spark: SparkSession, path: str,
+                       max_files_per_trigger: int = 8) -> DataFrame:
+    return (spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path))
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour",
+                          slide: str | None = None,
+                          watermark: str = "2 hours") -> DataFrame:
+    """Tumbling/sliding window counts + value stats per event_type, with a
+    watermark bounding late data (state store stays finite)."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(win.alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("sum_value"),
+                 F.approx_count_distinct("user_id").alias("approx_users"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "event_type", "n_events", "sum_value", "approx_users"))
+
+
+def geofence_filter(events: DataFrame, lon_col: str, lat_col: str,
+                    window) -> DataFrame:
+    """Streaming bbox filter (the streaming analogue of
+    FilterIntersectWindow) — stateless, fully pushable."""
+    wx0, wy0, wx1, wy1 = window
+    return events.filter(
+        (F.col(lon_col) >= wx0) & (F.col(lon_col) <= wx1)
+        & (F.col(lat_col) >= wy0) & (F.col(lat_col) <= wy1))
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes",
+               watermark: str = "2 hours") -> DataFrame:
+    """Per-user session windows (F.session_window — native state handling,
+    no custom applyInPandasWithState needed for the common case)."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("sum_value"))
+            .select(F.col("s.start").alias("session_start"),
+                    F.col("s.end").alias("session_end"),
+                    "user_id", "n_events", "sum_value"))
+
+
+def run_batchlike(stream_df: DataFrame, out_mode: str = "append"):
+    """Execute a streaming query to completion over the currently-available
+    files (availableNow trigger) into an in-memory sink; returns the result
+    as a batch DataFrame.  Used by tests and the bench harness."""
+    import uuid
+    name = "s_" + uuid.uuid4().hex[:8]
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode(out_mode).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

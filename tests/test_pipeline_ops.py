@@ -1,0 +1,187 @@
+"""Tests for dedup / text / similarity / multimodal / streaming operators,
+run against the driver's synthetic documents/embeddings/events tables."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spatial_spark.operators.dedup import (
+    embedding_near_dup_pairs, exact_dedup, duplicate_groups, minhash_lsh_pairs,
+    minhash_signatures, ngram_jaccard_pairs, simhash_near_pairs,
+)
+from spatial_spark.operators.similarity import IVFIndex, knn_cosine
+from spatial_spark.operators.text import (
+    fingerprint_md5, language_id, quality_score, token_count_bpe,
+    token_count_ws, winnowing_fingerprints,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "unique")],
+        "doc_id long, text string")
+    kept = exact_dedup(df)
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3}
+    groups = duplicate_groups(df)
+    dup = groups.filter(F.col("n_dups") > 1).collect()
+    assert len(dup) == 2 and all(r["canonical_id"] == 1 for r in dup)
+
+
+def test_minhash_identical_and_disjoint(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "completely different content here " * 5)],
+        "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, threshold=0.9).collect()
+    assert {(r["a_id"], r["b_id"]) for r in pairs} == {(1, 2)}
+    sigs = minhash_signatures(df).collect()
+    s = {r["doc_id"]: r["signature"] for r in sigs}
+    assert s[1] == s[2] != s[3]
+
+
+def test_minhash_near_dup(spark):
+    a = "the quick brown fox jumps over the lazy dog and runs far away today"
+    b = a.replace("today", "tonight")  # tiny edit
+    df = spark.createDataFrame([(1, a * 3), (2, (b) * 3), (3, "zzz " * 40)],
+                               "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, threshold=0.5).collect()
+    ids = {(r["a_id"], r["b_id"]) for r in pairs}
+    assert (1, 2) in ids and not any(3 in p for p in ids)
+
+
+def test_simhash(spark):
+    a = "word " * 30 + "alpha beta gamma delta"
+    b = "word " * 30 + "alpha beta gamma epsilon"
+    df = spark.createDataFrame([(1, a), (2, b), (3, "qq ww ee rr tt yy uu ii oo pp")],
+                               "doc_id long, text string")
+    pairs = simhash_near_pairs(df, max_hamming=8).collect()
+    ids = {(r["a_id"], r["b_id"]) for r in pairs}
+    assert (1, 2) in ids and not any(3 in p for p in ids)
+
+
+def test_ngram_jaccard(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g x"), (3, "p q r s t u v w")],
+        "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(df, n=2, threshold=0.3).collect()
+    ids = {(r["a_id"], r["b_id"]): r["jaccard"] for r in pairs}
+    assert (1, 2) in ids and not any(3 in p for p in ids)
+    # 7 bigrams each, 6 shared → jaccard 6/8
+    assert ids[(1, 2)] == pytest.approx(6 / 8)
+
+
+def test_text_features(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat and the dog is happy."),
+         (2, "Der Hund und die Katze ist froh."),
+         (3, "")],
+        "doc_id long, text string")
+    res = (df.withColumn("tc", token_count_ws("text"))
+             .withColumn("bpe", token_count_bpe("text"))
+             .withColumn("lang", language_id("text"))
+             .withColumn("fp", fingerprint_md5("text"))).collect()
+    by = {r["doc_id"]: r for r in res}
+    assert by[1]["tc"] == 7
+    assert by[1]["lang"] == "en"
+    assert by[2]["lang"] == "de"
+    assert by[3]["tc"] == 0
+    assert by[1]["bpe"] >= 7
+    assert len(by[1]["fp"]) == 32
+    q = quality_score(df).collect()
+    qby = {r["doc_id"]: r["quality"] for r in q}
+    assert 0.0 <= qby[3] <= qby[1] <= 1.0
+
+
+def test_quality_on_real_docs(docs):
+    out = quality_score(docs)
+    rows = out.select("doc_id", "quality").collect()
+    assert len(rows) == docs.count()
+    assert all(0.0 <= r["quality"] <= 1.0 for r in rows)
+
+
+def test_winnowing(spark):
+    df = spark.createDataFrame(
+        [(1, "some shared content block here padded"), (2, "some shared content block here padded x")],
+        "doc_id long, text string")
+    fps = winnowing_fingerprints(df)
+    a = {r["fingerprint"] for r in fps.filter("doc_id=1").collect()}
+    b = {r["fingerprint"] for r in fps.filter("doc_id=2").collect()}
+    assert len(a & b) > 0
+
+
+def test_knn_cosine_vs_numpy(embs):
+    pdf = embs.toPandas()
+    mat = np.vstack(pdf["embedding"].to_numpy())
+    probe = mat[0].astype(float).tolist()
+    res = knn_cosine(embs, probe, k=5).collect()
+    cos = mat @ np.array(probe) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(probe))
+    order = np.argsort([(-round(c, 6), i) for i, c in
+                        zip(pdf["vec_id"], cos)], axis=0)
+    exp_ids = [int(pdf["vec_id"][i]) for i in
+               sorted(range(len(cos)), key=lambda i: (-round(cos[i], 6), pdf["vec_id"][i]))[:5]]
+    assert [r["vec_id"] for r in res] == exp_ids
+    assert res[0]["cosine"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_ivf_recall(embs):
+    idx = IVFIndex.build(embs, n_cells=8)
+    assigned = idx.assign(embs).cache()
+    pdf = embs.toPandas()
+    probe = np.vstack(pdf["embedding"].to_numpy())[3].astype(float).tolist()
+    exact = [r["vec_id"] for r in knn_cosine(embs, probe, k=10).collect()]
+    approx = [r["vec_id"] for r in idx.search(assigned, probe, k=10, nprobe=4).collect()]
+    overlap = len(set(exact) & set(approx)) / 10
+    assert overlap >= 0.5  # nprobe=4/8 cells: decent recall on 500 vecs
+
+
+def test_embedding_near_dup(spark):
+    vecs = [(1, [1.0, 0.0, 0.0]), (2, [0.999, 0.01, 0.0]), (3, [0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    pairs = embedding_near_dup_pairs(df, threshold=0.99, planes=4).collect()
+    ids = {(r["a_id"], r["b_id"]) for r in pairs}
+    assert (1, 2) in ids and not any(3 in p for p in ids)
+
+
+def test_multimodal_plumbing(spark):
+    from spatial_spark.operators.multimodal import (
+        decode_features, frame_sample_stub, make_fake_media_df, resize_stub,
+    )
+    media = make_fake_media_df(spark, 16)
+    feats = decode_features(media).collect()
+    assert all(r["decoded_w"] == r["width"] for r in feats)
+    assert all(len(r["histogram16"]) == 16 for r in feats)
+    resized = resize_stub(media, 4, 4)
+    f2 = decode_features(resized).collect()
+    assert all(r["decoded_w"] == 4 and r["decoded_h"] == 4 for r in f2)
+    frames = frame_sample_stub(media, every_n=4)
+    assert frames.count() > media.count()
+    with pytest.raises(Exception):
+        decode_features(media, decoder="real").collect()
+
+
+def test_streaming_windowed_counts(spark, sf_dir, tmp_path):
+    from spatial_spark.streaming.events import (
+        read_events_stream, run_batchlike, windowed_event_counts,
+    )
+    import shutil
+    stream_dir = tmp_path / "events_stream"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "part-0.parquet")
+    stream = read_events_stream(spark, str(stream_dir))
+    res = run_batchlike(windowed_event_counts(stream, window="1 day"))
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exp = (batch.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n_events")))
+    got_total = sum(r["n_events"] for r in res.collect())
+    exp_total = sum(r["n_events"] for r in exp.collect())
+    assert got_total == exp_total == batch.count()
