@@ -23,6 +23,9 @@ def get_spark(app: str = "spatial_spark", cpus: int | None = None) -> SparkSessi
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # driver testdata uses parquet TIMESTAMP(NANOS), illegal for Spark's
+        # reader — surface as long nanos; io.tables.load_table converts
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPATIAL_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

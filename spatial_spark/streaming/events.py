@@ -11,16 +11,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# ts is timestamp_ntz: the driver's parquet stores naive timestamp[ns]
-EVENT_SCHEMA = ("event_id long, ts timestamp_ntz, user_id long, "
+# driver parquet stores TIMESTAMP(NANOS) → read as long nanos (see
+# session.get_spark nanosAsLong) and convert; watermarks need tz-aware
+# TIMESTAMP and the session tz is pinned UTC, so this is deterministic
+EVENT_SCHEMA = ("event_id long, ts long, user_id long, "
                 "event_type string, value double, props string")
 
 
 def read_events_stream(spark: SparkSession, path: str,
                        max_files_per_trigger: int = 8) -> DataFrame:
-    return (spark.readStream.schema(EVENT_SCHEMA)
-            .option("maxFilesPerTrigger", max_files_per_trigger)
-            .parquet(path))
+    df = (spark.readStream.schema(EVENT_SCHEMA)
+          .option("maxFilesPerTrigger", max_files_per_trigger)
+          .parquet(path))
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",

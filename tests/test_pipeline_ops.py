@@ -178,8 +178,10 @@ def test_streaming_windowed_counts(spark, sf_dir, tmp_path):
     stream_dir.mkdir()
     shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "part-0.parquet")
     stream = read_events_stream(spark, str(stream_dir))
-    res = run_batchlike(windowed_event_counts(stream, window="1 day"))
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    res = run_batchlike(windowed_event_counts(stream, window="1 day"),
+                        out_mode="complete")
+    from spatial_spark.io.tables import load_table
+    batch = load_table(spark, sf_dir, "events")
     exp = (batch.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
            .agg(F.count(F.lit(1)).alias("n_events")))
     got_total = sum(r["n_events"] for r in res.collect())
