@@ -1,38 +1,733 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Spatial data is derived deterministically from the TPC-H-ish tables (the
+driver tables carry no geometry), with identical arithmetic on the Spark and
+DuckDB sides so value-hashes match:
+
+  customer points : lon = ((c_custkey*7919)  % 36000)/100.0 - 180.0
+                    lat = ((c_custkey*104729)% 17000)/100.0 - 85.0
+  supplier points : same shape, multipliers 15485863 / 32452843
+  nation cells    : 5x5 world grid keyed by n_nationkey (72 x 34 degrees)
+  part rects      : x0,y0 hashed from p_partkey; w,h from p_size
+  lineitem paths  : one LineString per order, vertices hashed from
+                    (l_partkey, l_suppkey), ordered by l_linenumber
+
+Hash-safety policy: ids/counts exact; money sums integerized to cents before
+aggregation (order-independent, engine-independent); trig outputs rounded to
+6 decimals on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (valid in BOTH Spark SQL and DuckDB)
+# ---------------------------------------------------------------------------
+# NOTE: every fragment casts the integer hash to DOUBLE *before* any further
+# arithmetic so both engines run the identical IEEE double expression (Spark
+# would otherwise compute in DECIMAL for `x / 100.0`); integer division is
+# spelled floor(a/b) because DuckDB's CAST(x AS INT) rounds while Spark's
+# truncates.
+CUST_LON = "(CAST((c_custkey * 7919) % 36000 AS DOUBLE) / 100.0 - 180.0)"
+CUST_LAT = "(CAST((c_custkey * 104729) % 17000 AS DOUBLE) / 100.0 - 85.0)"
+SUPP_LON = "(CAST((s_suppkey * 15485863) % 36000 AS DOUBLE) / 100.0 - 180.0)"
+SUPP_LAT = "(CAST((s_suppkey * 32452843) % 17000 AS DOUBLE) / 100.0 - 85.0)"
+# nation cell (5x5 world grid): x0..x0+72, y0..y0+34
+NAT_X0 = "(CAST(n_nationkey % 5 AS DOUBLE) * 72.0 - 180.0)"
+NAT_Y0 = "(CAST(floor(n_nationkey / 5) AS DOUBLE) * 34.0 - 85.0)"
+# part rectangle
+PART_X0 = "(CAST((p_partkey * 7919) % 3000 AS DOUBLE) / 10.0)"
+PART_Y0 = "(CAST((p_partkey * 104729) % 1500 AS DOUBLE) / 10.0)"
+PART_W = "(CAST(p_size % 50 AS DOUBLE) / 10.0 + 0.1)"
+PART_H = "(CAST((p_size * 7) % 50 AS DOUBLE) / 10.0 + 0.1)"
+# lineitem vertex
+LI_X = "(CAST((l_partkey * 7919) % 3600 AS DOUBLE) / 10.0 - 180.0)"
+LI_Y = "(CAST((l_suppkey * 104729) % 1700 AS DOUBLE) / 10.0 - 85.0)"
+
+PROBE_LON, PROBE_LAT = 10.0, 45.0
+
+
+def _sphere_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+    """Spherical law of cosines, R=6371 (reference OrthodromicDistance
+    :90-97) — one SQL text evaluated by both engines."""
+    return (
+        f"acos(least(1.0, greatest(-1.0, "
+        f"sin(radians({lat1})) * sin(radians({lat2})) + "
+        f"cos(radians({lat1})) * cos(radians({lat2})) * "
+        f"cos(radians(({lon2}) - ({lon1})))))) * 6371.0"
+    )
+
+
+def _setup(spark: SparkSession, sf_dir: str) -> None:
+    from spatial_spark.functions import register_all
+    from spatial_spark.io.tables import register_views
+    register_all(spark)
+    register_views(spark, sf_dir)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: distributed point-in-polygon spatial join (customers ->
+    nation grid cells) + per-cell aggregation, on sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    _setup(spark, sf_dir)
+    return _q_spatial_join_agg(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# query implementations (Spark side)
+# ---------------------------------------------------------------------------
+def _customer_points(spark: SparkSession) -> DataFrame:
+    return spark.sql(f"""
+        SELECT c_custkey, {CUST_LON} AS lon, {CUST_LAT} AS lat FROM customer
+    """)
+
+
+def _q_within_distance(spark, sf_dir) -> DataFrame:
+    """spatial.withinDistance parity: two-phase (bbox window prefilter from
+    suggestSearchWindow, then exact spherical distance), pure column math."""
+    from spatial_spark.functions.columns import (
+        bbox_intersects_window, sphere_distance_km, sphere_search_window,
+    )
+    km = 500.0
+    pts = _customer_points(spark)
+    window = sphere_search_window(PROBE_LON, PROBE_LAT, km)
+    dist = F.round(sphere_distance_km(F.lit(PROBE_LON), F.lit(PROBE_LAT),
+                                      F.col("lon"), F.col("lat")), 6)
+    return (pts
+            .filter(bbox_intersects_window("lon", "lat", "lon", "lat", window))
+            .withColumn("distance_km", dist)
+            .filter(F.col("distance_km") <= km)
+            .select("c_custkey", "distance_km"))
+
+
+def _q_knn(spark, sf_dir) -> DataFrame:
+    from spatial_spark.functions.columns import sphere_distance_km
+    dist = F.round(sphere_distance_km(F.lit(PROBE_LON), F.lit(PROBE_LAT),
+                                      F.col("lon"), F.col("lat")), 6)
+    return (_customer_points(spark)
+            .withColumn("distance_km", dist)
+            .orderBy(F.col("distance_km").asc(), F.col("c_custkey").asc())
+            .limit(25)
+            .select("c_custkey", "distance_km"))
+
+
+def _q_bbox_window(spark, sf_dir) -> DataFrame:
+    from spatial_spark.functions.columns import point_in_window
+    return (_customer_points(spark)
+            .filter(point_in_window("lon", "lat", (-30.0, -20.0, 60.0, 40.0)))
+            .select("c_custkey", "lon", "lat"))
+
+
+def _q_layer_stats(spark, sf_dir) -> DataFrame:
+    """getFeatureCount + getLayerBoundingBox parity."""
+    return (_customer_points(spark)
+            .agg(F.count(F.lit(1)).alias("n_features"),
+                 F.min("lon").alias("bbox_xmin"), F.min("lat").alias("bbox_ymin"),
+                 F.max("lon").alias("bbox_xmax"), F.max("lat").alias("bbox_ymax")))
+
+
+def _nation_cells(spark) -> DataFrame:
+    wkt = F.expr(
+        f"concat('POLYGON ((', {NAT_X0}, ' ', {NAT_Y0}, ', ', {NAT_X0} + 72.0,"
+        f" ' ', {NAT_Y0}, ', ', {NAT_X0} + 72.0, ' ', {NAT_Y0} + 34.0, ', ',"
+        f" {NAT_X0}, ' ', {NAT_Y0} + 34.0, ', ', {NAT_X0}, ' ', {NAT_Y0}, '))')")
+    df = spark.table("nation").withColumn("wkt", wkt)
+    df = df.withColumn("geom", F.expr("st_geomfromtext(wkt)"))
+    return (df.withColumn("gtype", F.lit(3))
+            .withColumn("xmin", F.expr(NAT_X0))
+            .withColumn("ymin", F.expr(NAT_Y0))
+            .withColumn("xmax", F.expr(NAT_X0) + 72.0)
+            .withColumn("ymax", F.expr(NAT_Y0) + 34.0)
+            .select("n_nationkey", "geom", "gtype", "xmin", "ymin", "xmax", "ymax"))
+
+
+def _cust_point_geoms(spark) -> DataFrame:
+    pts = _customer_points(spark)
+    return (pts.withColumn("geom", F.expr("st_point(lon, lat)"))
+            .withColumn("gtype", F.lit(1))
+            .withColumn("xmin", F.col("lon")).withColumn("ymin", F.col("lat"))
+            .withColumn("xmax", F.col("lon")).withColumn("ymax", F.col("lat"))
+            .select("c_custkey", "geom", "gtype", "xmin", "ymin", "xmax", "ymax"))
+
+
+def _q_spatial_join(spark, sf_dir) -> DataFrame:
+    """Layer-to-layer spatial join (the engine's value-add operator):
+    customer points WITHIN nation grid cells."""
+    from spatial_spark.operators.join import spatial_join
+    res = spatial_join(_cust_point_geoms(spark), _nation_cells(spark), "within")
+    return res.select(F.col("a_c_custkey").alias("c_custkey"),
+                      F.col("b_n_nationkey").alias("cell_nationkey"))
+
+
+def _q_spatial_join_agg(spark, sf_dir) -> DataFrame:
+    from spatial_spark.operators.join import spatial_join
+    res = spatial_join(_cust_point_geoms(spark), _nation_cells(spark), "within")
+    return (res.groupBy(F.col("b_n_nationkey").alias("cell_nationkey"))
+            .agg(F.count(F.lit(1)).alias("n_points"))
+            .orderBy("cell_nationkey"))
+
+
+def _q_distance_join(spark, sf_dir) -> DataFrame:
+    """within-distance join: supplier-customer pairs < 500 km (spherical)."""
+    from spatial_spark.functions.columns import sphere_distance_km
+    cust = _customer_points(spark)
+    supp = spark.sql(f"SELECT s_suppkey, {SUPP_LON} AS slon, {SUPP_LAT} AS slat FROM supplier")
+    dist = F.round(sphere_distance_km(F.col("slon"), F.col("slat"),
+                                      F.col("lon"), F.col("lat")), 6)
+    # lat-band prefilter (500km ≈ 4.53 deg) keeps the join from going N×M
+    pair = cust.join(F.broadcast(supp),
+                     F.abs(F.col("lat") - F.col("slat")) <= F.lit(500.0 / 110.574))
+    return (pair.withColumn("distance_km", dist)
+            .filter(F.col("distance_km") <= 500.0)
+            .select("s_suppkey", "c_custkey", "distance_km"))
+
+
+def _q_st_area_rects(spark, sf_dir) -> DataFrame:
+    """st_area/st_length over WKB geometries built from part rects."""
+    df = spark.sql(f"""
+        SELECT p_partkey, {PART_X0} AS x0, {PART_Y0} AS y0,
+               {PART_W} AS w, {PART_H} AS h FROM part
+    """)
+    geoms = df.withColumn("geom", F.expr(
+        "st_geomfromtext(concat('POLYGON ((', x0, ' ', y0, ', ', "
+        "x0+w, ' ', y0, ', ', x0+w, ' ', y0+h, ', ', x0, ' ', "
+        "y0+h, ', ', x0, ' ', y0, '))'))"))
+    return geoms.select(
+        "p_partkey",
+        F.round(F.expr("st_area(geom)"), 9).alias("area"),
+        F.round(F.expr("st_length(geom)"), 9).alias("perimeter"),
+    )
+
+
+def _q_st_centroid_rects(spark, sf_dir) -> DataFrame:
+    df = spark.sql(f"""
+        SELECT p_partkey, {PART_X0} AS x0, {PART_Y0} AS y0,
+               {PART_W} AS w, {PART_H} AS h FROM part
+    """)
+    geoms = df.withColumn("geom", F.expr(
+        "st_geomfromtext(concat('POLYGON ((', x0, ' ', y0, ', ', x0+w, ' ', y0, "
+        "', ', x0+w, ' ', y0+h, ', ', x0, ' ', y0+h, ', ', x0, ' ', y0, '))'))"))
+    # round 6 (not 9): the kernel's shoelace centroid and the oracle's
+    # x0 + w/2 differ in the last ulps
+    c = F.expr("st_coords(st_centroid(geom))")
+    return geoms.select(
+        "p_partkey",
+        F.round(c[0][0], 6).alias("cx"),
+        F.round(c[0][1], 6).alias("cy"))
+
+
+def _order_paths(spark) -> DataFrame:
+    """One LineString per order from its lineitem vertices (ordered by
+    l_linenumber) — the OSM way-geometry assembly shape (join +
+    collect_list), cf. OSMGeometryEncoder."""
+    pts = spark.sql(f"""
+        SELECT l_orderkey, l_linenumber, {LI_X} AS px, {LI_Y} AS py FROM lineitem
+    """)
+    arr = (pts.groupBy("l_orderkey")
+           .agg(F.sort_array(F.collect_list(F.struct("l_linenumber", "px", "py")))
+                .alias("vs")))
+    wkt = F.concat(
+        F.lit("LINESTRING ("),
+        F.array_join(F.transform("vs", lambda v: F.concat(
+            v["px"].cast("string"), F.lit(" "), v["py"].cast("string"))), ", "),
+        F.lit(")"))
+    return (arr.select("l_orderkey", wkt.alias("wkt"))
+            .withColumn("geom", F.expr("st_geomfromtext(wkt)")))
+
+
+def _q_extract_points(spark, sf_dir) -> DataFrame:
+    """ExtractPoints parity: explode every path vertex back out."""
+    paths = _order_paths(spark).filter(F.col("l_orderkey") <= 600)
+    pt = F.explode(F.expr("st_coords(geom)")).alias("pt")
+    ex = paths.select("l_orderkey", pt)
+    return ex.select("l_orderkey",
+                     F.round(F.col("pt")[0], 9).alias("px"),
+                     F.round(F.col("pt")[1], 9).alias("py"))
+
+
+def _q_path_envelope(spark, sf_dir) -> DataFrame:
+    """st_envelope / bbox parity per order path."""
+    paths = _order_paths(spark)
+    bb = F.expr("st_bbox(geom)")
+    return paths.select(
+        "l_orderkey",
+        F.round(bb["xmin"], 9).alias("exmin"), F.round(bb["ymin"], 9).alias("eymin"),
+        F.round(bb["xmax"], 9).alias("exmax"), F.round(bb["ymax"], 9).alias("eymax"))
+
+
+def _q_geometry_meta(spark, sf_dir) -> DataFrame:
+    """st_geometrytype / st_dimension / st_numpoints parity."""
+    paths = _order_paths(spark)
+    return paths.select(
+        "l_orderkey",
+        F.expr("st_geometrytype(geom)").alias("gtype_name"),
+        F.expr("st_dimension(geom)").alias("gdim"),
+        F.expr("st_numpoints(geom)").alias("n_points"))
+
+
+def _q_orthodromic_length(spark, sf_dir) -> DataFrame:
+    """OrthodromicLength parity: spherical length of each order path."""
+    paths = _order_paths(spark).filter(F.col("l_orderkey") <= 1000)
+    return paths.select(
+        "l_orderkey",
+        F.round(F.expr("st_length_sphere(geom)"), 4).alias("len_km"))
+
+
+def _q_zorder_keys(spark, sf_dir) -> DataFrame:
+    """SFC index parity: level-12 z-order keys for customer points."""
+    from spatial_spark.functions.scalar import zorder_key_udf
+    return (_customer_points(spark)
+            .select("c_custkey", zorder_key_udf("lon", "lat").alias("zkey")))
+
+
+def _q_cql_filter(spark, sf_dir) -> DataFrame:
+    """CQL translation parity (FilterCQL): bbox + attribute comparison."""
+    from spatial_spark.operators.cql import cql_to_sql
+    pts = (_customer_points(spark)
+           .join(spark.table("customer").select("c_custkey", "c_acctbal", "c_mktsegment"),
+                 "c_custkey")
+           .withColumn("xmin", F.col("lon")).withColumn("ymin", F.col("lat"))
+           .withColumn("xmax", F.col("lon")).withColumn("ymax", F.col("lat")))
+    sql = cql_to_sql("BBOX(the_geom, -120, -60, 60, 60) AND c_acctbal > 1000"
+                     " AND c_mktsegment <> 'BUILDING'")
+    return pts.filter(sql).select("c_custkey", "c_acctbal", "c_mktsegment")
+
+
+def _q_property_paging(spark, sf_dir) -> DataFrame:
+    """Sort + RangeFilterPipe paging parity: rows 11..30 of orders by price."""
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (spark.table("orders")
+            .withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") >= 11) & (F.col("rn") <= 30))
+            .select("o_orderkey",
+                    F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+                    .alias("price_cents"), "rn"))
+
+
+def _q_keep_max(spark, sf_dir) -> DataFrame:
+    """Max property keeper (ties kept) parity."""
+    from spatial_spark.operators.agg import keep_max
+    return (keep_max(spark.table("orders"), "o_totalprice")
+            .select("o_orderkey",
+                    F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+                    .alias("price_cents")))
+
+
+def _q_tpch_q1(spark, sf_dir) -> DataFrame:
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """)
+
+
+def _q_revenue_by_nation(spark, sf_dir) -> DataFrame:
+    return spark.sql("""
+        SELECT n.n_name,
+               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                   AS BIGINT)) AS revenue_cents,
+               count(*) AS n_items
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY n.n_name
+    """)
+
+
+def _q_dedup_exact(spark, sf_dir) -> DataFrame:
+    from spatial_spark.operators.dedup import exact_dedup
+    return (exact_dedup(spark.table("documents"), "text", "doc_id")
+            .select("doc_id"))
+
+
+def _q_dedup_groups(spark, sf_dir) -> DataFrame:
+    from spatial_spark.operators.dedup import duplicate_groups
+    g = duplicate_groups(spark.table("documents"), "text", "doc_id")
+    return (g.groupBy("n_dups")
+            .agg(F.count_distinct("canonical_id").alias("n_groups"))
+            .orderBy("n_dups"))
+
+
+def _q_token_counts(spark, sf_dir) -> DataFrame:
+    from spatial_spark.operators.text import token_count_ws
+    return (spark.table("documents")
+            .select("doc_id", token_count_ws("text").alias("n_tokens")))
+
+
+def _q_quality(spark, sf_dir) -> DataFrame:
+    from spatial_spark.operators.text import quality_score
+    return (quality_score(spark.table("documents"))
+            .select("doc_id", "quality"))
+
+
+def _q_lang_id(spark, sf_dir) -> DataFrame:
+    from spatial_spark.operators.text import language_id
+    return (spark.table("documents")
+            .select(language_id("text").alias("lang_detected"))
+            .groupBy("lang_detected")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+def _q_fingerprint(spark, sf_dir) -> DataFrame:
+    from spatial_spark.operators.text import fingerprint_md5
+    return (spark.table("documents")
+            .select("doc_id", fingerprint_md5("text").alias("fp")))
+
+
+def _q_knn_cosine(spark, sf_dir) -> DataFrame:
+    """Brute-force cosine top-k against basis-vector probe e0."""
+    from spatial_spark.operators.similarity import _dot, _norm
+    e = spark.table("embeddings")
+    first = F.col("embedding")[0].cast("double")
+    cos = F.round(first / _norm(F.transform("embedding",
+                                            lambda x: x.cast("double"))), 6)
+    return (e.withColumn("cosine", cos)
+            .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+            .limit(20)
+            .select("vec_id", "cosine"))
+
+
+def _q_events_daily(spark, sf_dir) -> DataFrame:
+    return (spark.table("events")
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+                 .alias("value_cents"))
+            .select(F.unix_timestamp(F.col("w.start")).alias("day_epoch"),
+                    "event_type", "n_events", "value_cents"))
+
+
+# ---- rows-only queries (no SQL-expressible oracle) ------------------------
+def _q_minhash_pairs(spark, sf_dir) -> DataFrame:
+    from spatial_spark.operators.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(spark.table("documents"), threshold=0.8)
+
+
+def _q_simhash_pairs(spark, sf_dir) -> DataFrame:
+    from spatial_spark.operators.dedup import simhash_near_pairs
+    return simhash_near_pairs(spark.table("documents"), max_hamming=3)
+
+
+def _q_union_all_rects(spark, sf_dir) -> DataFrame:
+    """Geometric union aggregate over the first 40 part rects; returns the
+    merged area (overlay kernel — no SQL oracle)."""
+    from spatial_spark.operators.agg import union_all
+    df = spark.sql(f"""
+        SELECT p_partkey, {PART_X0} AS x0, {PART_Y0} AS y0,
+               {PART_W} AS w, {PART_H} AS h FROM part WHERE p_partkey <= 40
+    """).withColumn("geom", F.expr(
+        "st_geomfromtext(concat('POLYGON ((', x0, ' ', y0, ', ', x0+w, ' ', y0, "
+        "', ', x0+w, ' ', y0+h, ', ', x0, ' ', y0+h, ', ', x0, ' ', y0, '))'))"))
+    u = union_all(df)
+    return u.select(F.round(F.expr("st_area(geom)"), 6).alias("union_area"))
+
+
+def _q_density_islands(spark, sf_dir) -> DataFrame:
+    from spatial_spark.operators.agg import density_islands
+    pts = (_cust_point_geoms(spark)
+           .withColumnRenamed("c_custkey", "id").limit(300))
+    labels = density_islands(pts, density=2.0)
+    return (labels.groupBy("island").agg(F.count(F.lit(1)).alias("n_members"))
+            .groupBy("n_members").agg(F.count(F.lit(1)).alias("n_islands"))
+            .orderBy("n_members"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _setup(spark, sf_dir)
+            return fn(spark, sf_dir)
+        return run
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+    return {name: wrap(fn) for name, fn in {
+        "within_distance": _q_within_distance,
+        "knn": _q_knn,
+        "bbox_window": _q_bbox_window,
+        "layer_stats": _q_layer_stats,
+        "spatial_join": _q_spatial_join,
+        "spatial_join_agg": _q_spatial_join_agg,
+        "distance_join": _q_distance_join,
+        "st_area_rects": _q_st_area_rects,
+        "st_centroid_rects": _q_st_centroid_rects,
+        "extract_points": _q_extract_points,
+        "path_envelope": _q_path_envelope,
+        "geometry_meta": _q_geometry_meta,
+        "orthodromic_length": _q_orthodromic_length,
+        "zorder_keys": _q_zorder_keys,
+        "cql_filter": _q_cql_filter,
+        "property_paging": _q_property_paging,
+        "keep_max": _q_keep_max,
+        "tpch_q1": _q_tpch_q1,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_groups": _q_dedup_groups,
+        "token_counts": _q_token_counts,
+        "quality_scores": _q_quality,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "knn_cosine": _q_knn_cosine,
+        "events_daily": _q_events_daily,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "union_all_rects": _q_union_all_rects,
+        "density_islands": _q_density_islands,
+    }.items()}
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (plain SQL on the registered parquet views)
+# ---------------------------------------------------------------------------
+def _zorder_oracle_sql() -> str:
+    """Bit-interleave in pure SQL: 12 bits of lon cell + 12 of lat cell."""
+    cx = f"CAST(least(greatest(floor(({CUST_LON} + 180.0) / 360.0 * 4096), 0), 4095) AS BIGINT)"
+    cy = f"CAST(least(greatest(floor(({CUST_LAT} + 90.0) / 180.0 * 4096), 0), 4095) AS BIGINT)"
+    terms = []
+    for i in range(12):
+        terms.append(f"(((cx >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((cy >> {i}) & 1) << {2 * i + 1})")
+    z = " + ".join(terms)
+    return f"""
+        WITH cells AS (SELECT c_custkey, {cx} AS cx, {cy} AS cy FROM customer)
+        SELECT c_custkey, CAST({z} AS BIGINT) AS zkey FROM cells
     """
-    return {}
+
+
+def _lang_oracle_sql() -> str:
+    langs = {"en": ["the", "and", "of", "to", "is"],
+             "de": ["der", "und", "die", "das", "ist"],
+             "fr": ["le", "la", "et", "les", "des"],
+             "es": ["el", "la", "los", "que", "es"]}
+
+    def count_word(w):
+        pat = f" {w} "
+        return (f"CAST((length(' ' || lower(text) || ' ') - "
+                f"length(replace(' ' || lower(text) || ' ', '{pat}', ''))) "
+                f"/ {len(pat)} AS INT)")
+
+    scores = {l: " + ".join(count_word(w) for w in ws) for l, ws in langs.items()}
+    sel = ", ".join(f"({scores[l]}) AS s_{l}" for l in langs)
+    best = "greatest(s_en, s_de, s_fr, s_es)"
+    case = "CASE "
+    for l in langs:  # first-match order en,de,fr,es
+        case += f"WHEN s_{l} = mx AND mx > 0 THEN '{l}' "
+    case += "ELSE 'und' END"
+    return f"""
+        WITH scored AS (SELECT doc_id, {sel} FROM documents),
+             mxd AS (SELECT *, {best} AS mx FROM scored)
+        SELECT {case} AS lang_detected, count(*) AS n_docs
+        FROM mxd GROUP BY 1
+    """
+
+
+def _quality_oracle_sql() -> str:
+    stop = ["the", "and", "of", "to", "is"]
+
+    def count_word(w):
+        pat = f" {w} "
+        return (f"CAST((length(' ' || lower(text) || ' ') - "
+                f"length(replace(' ' || lower(text) || ' ', '{pat}', ''))) "
+                f"/ {len(pat)} AS INT)")
+
+    n_stop = " + ".join(count_word(w) for w in stop)
+    return f"""
+        WITH f AS (
+          SELECT doc_id,
+                 length(text) AS n_chars,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                 length(text) - length(regexp_replace(text,
+                     '[\\.,;:!\\?''"()\\[\\]{{}}-]', '', 'g')) AS n_punct,
+                 length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+                 {n_stop} AS n_stop
+          FROM documents),
+        r AS (
+          SELECT doc_id,
+                 CASE WHEN n_tokens > 0 THEN least(n_tokens / 100.0, 1.0) ELSE 0 END AS len_score,
+                 CASE WHEN n_chars > 0 THEN greatest(0.0, 1.0 - (n_punct / CAST(n_chars AS DOUBLE)) * 5.0) ELSE 1.0 END AS punct_score,
+                 CASE WHEN n_chars > 0 THEN greatest(0.0, 1.0 - (n_upper / CAST(n_chars AS DOUBLE)) * 5.0) ELSE 1.0 END AS upper_score,
+                 CASE WHEN n_tokens > 0 THEN least((n_stop / CAST(n_tokens AS DOUBLE)) * 5.0, 1.0) ELSE 0.0 END AS stop_score
+          FROM f)
+        SELECT doc_id,
+               round((len_score + punct_score + upper_score + stop_score) / 4.0, 6) AS quality
+        FROM r
+    """
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    d = _sphere_sql(str(PROBE_LON), str(PROBE_LAT), CUST_LON, CUST_LAT)
+    li_path_pts = f"""
+        SELECT l_orderkey, l_linenumber, {LI_X} AS px, {LI_Y} AS py FROM lineitem
     """
-    return {}
+    seg = _sphere_sql("prev_px", "prev_py", "px", "py")
+    return {
+        "within_distance": f"""
+            SELECT c_custkey, round({d}, 6) AS distance_km
+            FROM customer WHERE round({d}, 6) <= 500.0
+        """,
+        "knn": f"""
+            SELECT c_custkey, round({d}, 6) AS distance_km
+            FROM customer ORDER BY round({d}, 6) ASC, c_custkey ASC LIMIT 25
+        """,
+        "bbox_window": f"""
+            SELECT c_custkey, {CUST_LON} AS lon, {CUST_LAT} AS lat
+            FROM customer
+            WHERE {CUST_LON} BETWEEN -30.0 AND 60.0
+              AND {CUST_LAT} BETWEEN -20.0 AND 40.0
+        """,
+        "layer_stats": f"""
+            SELECT count(*) AS n_features,
+                   min({CUST_LON}) AS bbox_xmin, min({CUST_LAT}) AS bbox_ymin,
+                   max({CUST_LON}) AS bbox_xmax, max({CUST_LAT}) AS bbox_ymax
+            FROM customer
+        """,
+        "spatial_join": f"""
+            SELECT c.c_custkey, n.n_nationkey AS cell_nationkey
+            FROM customer c JOIN nation n
+              ON {CUST_LON} > {NAT_X0} AND {CUST_LON} < {NAT_X0} + 72.0
+             AND {CUST_LAT} > {NAT_Y0} AND {CUST_LAT} < {NAT_Y0} + 34.0
+        """,
+        "spatial_join_agg": f"""
+            SELECT n.n_nationkey AS cell_nationkey, count(*) AS n_points
+            FROM customer c JOIN nation n
+              ON {CUST_LON} > {NAT_X0} AND {CUST_LON} < {NAT_X0} + 72.0
+             AND {CUST_LAT} > {NAT_Y0} AND {CUST_LAT} < {NAT_Y0} + 34.0
+            GROUP BY n.n_nationkey ORDER BY n.n_nationkey
+        """,
+        "distance_join": f"""
+            SELECT s_suppkey, c_custkey,
+                   round({_sphere_sql(SUPP_LON, SUPP_LAT, CUST_LON, CUST_LAT)}, 6)
+                     AS distance_km
+            FROM supplier, customer
+            WHERE round({_sphere_sql(SUPP_LON, SUPP_LAT, CUST_LON, CUST_LAT)}, 6) <= 500.0
+        """,
+        "st_area_rects": f"""
+            SELECT p_partkey,
+                   round({PART_W} * {PART_H}, 9) AS area,
+                   round(2 * ({PART_W} + {PART_H}), 9) AS perimeter
+            FROM part
+        """,
+        "st_centroid_rects": f"""
+            SELECT p_partkey,
+                   round({PART_X0} + {PART_W} / 2, 6) AS cx,
+                   round({PART_Y0} + {PART_H} / 2, 6) AS cy
+            FROM part
+        """,
+        "extract_points": f"""
+            SELECT l_orderkey, round({LI_X}, 9) AS px, round({LI_Y}, 9) AS py
+            FROM lineitem WHERE l_orderkey <= 600
+        """,
+        "path_envelope": f"""
+            SELECT l_orderkey,
+                   round(min({LI_X}), 9) AS exmin, round(min({LI_Y}), 9) AS eymin,
+                   round(max({LI_X}), 9) AS exmax, round(max({LI_Y}), 9) AS eymax
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "geometry_meta": """
+            SELECT l_orderkey, 'LineString' AS gtype_name, 1 AS gdim,
+                   CAST(count(*) AS INT) AS n_points
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "orthodromic_length": f"""
+            WITH pts AS ({li_path_pts}),
+            ordered AS (
+              SELECT l_orderkey, px, py,
+                     lag(px) OVER (PARTITION BY l_orderkey
+                                   ORDER BY l_linenumber, px, py) AS prev_px,
+                     lag(py) OVER (PARTITION BY l_orderkey
+                                   ORDER BY l_linenumber, px, py) AS prev_py
+              FROM pts WHERE l_orderkey <= 1000)
+            SELECT l_orderkey,
+                   round(coalesce(sum(CASE WHEN prev_px IS NULL THEN 0 ELSE {seg} END), 0), 4)
+                     AS len_km
+            FROM ordered GROUP BY l_orderkey
+        """,
+        "zorder_keys": _zorder_oracle_sql(),
+        "cql_filter": f"""
+            SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+            WHERE {CUST_LON} >= -120 AND {CUST_LON} <= 60
+              AND {CUST_LAT} >= -60 AND {CUST_LAT} <= 60
+              AND c_acctbal > 1000 AND c_mktsegment <> 'BUILDING'
+        """,
+        "property_paging": """
+            WITH ranked AS (
+              SELECT o_orderkey,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                     row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders)
+            SELECT o_orderkey, price_cents, CAST(rn AS INT) AS rn
+            FROM ranked WHERE rn BETWEEN 11 AND 30
+        """,
+        "keep_max": """
+            SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+            FROM orders WHERE o_totalprice = (SELECT max(o_totalprice) FROM orders)
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n.n_name,
+                   sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                       AS BIGINT)) AS revenue_cents,
+                   count(*) AS n_items
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY n.n_name
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "dedup_groups": """
+            WITH g AS (SELECT text, count(*) AS n_dups FROM documents GROUP BY text)
+            SELECT n_dups, count(*) AS n_groups FROM g GROUP BY n_dups ORDER BY n_dups
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS INT)
+                   END AS n_tokens
+            FROM documents
+        """,
+        "quality_scores": _quality_oracle_sql(),
+        "lang_id": _lang_oracle_sql(),
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+        """,
+        "knn_cosine": """
+            SELECT vec_id,
+                   round(embedding[1] /
+                         sqrt(list_aggregate(list_transform(embedding, x -> x * x),
+                                             'sum')), 6) AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id ASC LIMIT 20
+        """,
+        "events_daily": """
+            SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+                   event_type, count(*) AS n_events,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+            FROM events GROUP BY 1, 2
+        """,
+    }

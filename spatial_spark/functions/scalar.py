@@ -273,7 +273,30 @@ def st_translate(wkb: pd.Series, dx: pd.Series, dy: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+@F.pandas_udf(T.LongType())
+def zorder_key_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    """Level-12 z-order key over WGS84 (the SFC point-index key column)."""
+    from ..sfc import zorder_encode
+    return pd.Series(zorder_encode(lon.to_numpy(float), lat.to_numpy(float)))
+
+
+@F.pandas_udf(T.LongType())
+def hilbert_key_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    """Level-12 Hilbert key over WGS84 (LayerHilbertPointIndex parity)."""
+    from ..sfc import hilbert_encode
+    return pd.Series(hilbert_encode(lon.to_numpy(float), lat.to_numpy(float)))
+
+
+@F.pandas_udf(T.StringType())
+def geohash_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    """Geohash string (LayerGeohashPointIndex parity)."""
+    from ..sfc import geohash_encode
+    return pd.Series(geohash_encode(lon.to_numpy(float), lat.to_numpy(float)))
+
+
 REGISTRY = {
+    "st_zorder_key": zorder_key_udf, "st_hilbert_key": hilbert_key_udf,
+    "st_geohash": geohash_udf,
     "st_area": st_area, "st_length": st_length, "st_length_sphere": st_length_sphere,
     "st_dimension": st_dimension, "st_numpoints": st_numpoints,
     "st_numgeometries": st_numgeometries, "st_geometrytype": st_geometrytype,
