@@ -176,18 +176,20 @@ def _q_spatial_join_agg(spark, sf_dir) -> DataFrame:
 
 
 def _q_distance_join(spark, sf_dir) -> DataFrame:
-    """within-distance join: supplier-customer pairs < 500 km (spherical)."""
-    from spatial_spark.functions.columns import sphere_distance_km
-    cust = _customer_points(spark)
-    supp = spark.sql(f"SELECT s_suppkey, {SUPP_LON} AS slon, {SUPP_LAT} AS slat FROM supplier")
-    dist = F.round(sphere_distance_km(F.col("slon"), F.col("slat"),
-                                      F.col("lon"), F.col("lat")), 6)
-    # lat-band prefilter (500km ≈ 4.53 deg) keeps the join from going N×M
-    pair = cust.join(F.broadcast(supp),
-                     F.abs(F.col("lat") - F.col("slat")) <= F.lit(500.0 / 110.574))
-    return (pair.withColumn("distance_km", dist)
-            .filter(F.col("distance_km") <= 500.0)
-            .select("s_suppkey", "c_custkey", "distance_km"))
+    """within-distance join: supplier-customer pairs < 500 km (spherical),
+    via the engine's banded-equi-join operator."""
+    from spatial_spark.operators.join import within_distance_join
+    cust = (_customer_points(spark)
+            .select("c_custkey", F.col("lon").alias("xmin"), F.col("lat").alias("ymin")))
+    supp = spark.sql(
+        f"SELECT s_suppkey, {SUPP_LON} AS xmin, {SUPP_LAT} AS ymin FROM supplier")
+    # km padded slightly: the operator filters the unrounded distance, the
+    # exposed filter below uses the rounded value like the oracle
+    res = within_distance_join(cust, supp, km=500.001)
+    return res.select(F.col("b_s_suppkey").alias("s_suppkey"),
+                      F.col("a_c_custkey").alias("c_custkey"),
+                      F.round(F.col("distance"), 6).alias("distance_km")) \
+              .filter(F.col("distance_km") <= 500.0)
 
 
 def _q_st_area_rects(spark, sf_dir) -> DataFrame:

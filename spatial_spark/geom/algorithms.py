@@ -250,6 +250,25 @@ def points_in_ring_bulk(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
     return inside
 
 
+def points_min_dist_to_boundary(pts: np.ndarray, poly: Geometry) -> np.ndarray:
+    """Per-point min distance to the polygon's ring edges (vectorized).
+    Used to make bulk point-in-polygon boundary-exact: dist==0 ⇔ on boundary."""
+    best = np.full(len(pts), np.inf)
+    for part in poly.parts():
+        for ring in part.data:
+            a = ring[:-1]
+            b = ring[1:]
+            ab = b - a
+            ll = (ab * ab).sum(1)
+            ll_safe = np.where(ll == 0, 1e-300, ll)
+            ap = pts[:, None, :] - a[None, :, :]
+            t = np.clip((ap * ab[None, :, :]).sum(-1) / ll_safe[None, :], 0.0, 1.0)
+            proj = a[None, :, :] + t[:, :, None] * ab[None, :, :]
+            d = pts[:, None, :] - proj
+            best = np.minimum(best, np.sqrt((d * d).sum(-1)).min(axis=1))
+    return best
+
+
 def points_in_polygon_bulk(pts: np.ndarray, poly: Geometry) -> np.ndarray:
     res = np.zeros(len(pts), dtype=bool)
     for part in poly.parts():

@@ -47,12 +47,22 @@ def duplicate_groups(df: DataFrame, text_col: str = "text",
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Hashes of the k-character shingles of `text` (deterministic)."""
+    """FNV-1a hashes of the k-byte shingles of normalized `text` —
+    vectorized: the FNV loop runs k times over ALL shingles at once
+    (numpy sliding windows), not once per shingle."""
     t = " ".join(text.lower().split())
     if len(t) < k:
         t = t.ljust(k)
-    views = [hash_bytes(t[i:i + k]) for i in range(len(t) - k + 1)]
-    return np.unique(np.array(views, dtype=np.int64))
+    raw = np.frombuffer(t.encode("utf-8", "replace"), dtype=np.uint8)
+    n = len(raw) - k + 1
+    if n <= 0:
+        raw = np.pad(raw, (0, k - len(raw)), constant_values=32)
+        n = 1
+    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for j in range(k):
+        h = (h ^ raw[j:j + n].astype(np.uint64)) * prime
+    return np.unique(h.astype(np.int64))
 
 
 def hash_bytes(s: str) -> int:
@@ -127,26 +137,33 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
 def simhash_64(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over whitespace tokens → (id, simhash long)."""
+    """64-bit SimHash over whitespace tokens → (id, simhash long).
 
-    @F.pandas_udf(T.LongType())
-    def sh(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            toks = (t or "").lower().split()
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in toks:
-                h = np.uint64(hash_bytes(tok))
-                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits.astype(bool), 1, -1)
-            v = np.uint64(0)
-            for i in range(64):
-                if acc[i] > 0:
-                    v |= np.uint64(1) << np.uint64(i)
-            out.append(int(v.astype(np.int64)))
-        return pd.Series(out)
-
-    return df.select(F.col(id_col), sh(F.col(text_col)).alias("simhash"))
+    Fully JVM-side: explode tokens, xxhash64 each (codegen'd), then one
+    groupBy with 64 sign-sum aggregates and a bit-reassembly expression —
+    no Python in the path, and the shuffle key is the doc id (map-side
+    partial aggregation applies)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"))
+    toks = toks.filter(F.length("tok") > 0).withColumn("h", F.xxhash64("tok"))
+    aggs = [
+        F.sum(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+        .alias(f"b{i}")
+        for i in range(64)
+    ]
+    sums = toks.groupBy(id_col).agg(*aggs)
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0,
+                     F.lit(1).cast("long") * (2 ** i if i < 63 else -(2 ** 63))
+                     ).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim.bitwiseOR(bit)
+    out = sums.select(F.col(id_col), sim.alias("simhash"))
+    # docs with zero tokens hash to 0
+    empty = (df.join(out, id_col, "left_anti")
+             .select(F.col(id_col), F.lit(0).cast("long").alias("simhash")))
+    return out.unionByName(empty)
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",

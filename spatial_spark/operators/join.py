@@ -114,7 +114,6 @@ def _refine_pred(predicate: str):
     @F.pandas_udf(T.BooleanType())
     def refine(a_geom: pd.Series, a_gtype: pd.Series,
                b_geom: pd.Series, b_gtype: pd.Series) -> pd.Series:
-        # vectorized fast path: point (a) vs polygon (b) containment-style
         out = np.empty(len(a_geom), dtype=object)
         cache: dict = {}
 
@@ -126,46 +125,60 @@ def _refine_pred(predicate: str):
                 cache[key] = g
             return g
 
+        # vectorized fast path: batch all point-a rows sharing one polygon b
+        # through a single ray-cast sweep (points_in_polygon_bulk); only
+        # boundary-adjacent disagreements fall back to the exact test
+        vec_ok = predicate in ("within", "intersects", "coveredby")
+        groups: dict = {}
+        slow: list = []
         for i in range(len(a_geom)):
             ab, bb = a_geom.iloc[i], b_geom.iloc[i]
             if ab is None or bb is None:
                 out[i] = None
-                continue
-            ga = geom_of(ab)
-            gb = geom_of(bb)
-            if predicate in ("within", "intersects", "coveredby") and ga.gtype == 1 and gb.dimension() == 2:
-                loc = point_in_polygon(float(ga.data[0]), float(ga.data[1]), gb)
-                out[i] = loc == 2 if predicate == "within" else loc > 0
+            elif vec_ok and a_gtype.iloc[i] == 1 and b_gtype.iloc[i] in (3, 6):
+                groups.setdefault(bytes(bb), []).append(i)
             else:
-                out[i] = fn(ga, gb)
+                slow.append(i)
+        for bkey, idxs in groups.items():
+            gb = geom_of(bkey)
+            pts = np.array([from_wkb(a_geom.iloc[i]).data for i in idxs])
+            inside = points_in_polygon_bulk(pts, gb)
+            from ..geom.algorithms import points_min_dist_to_boundary
+            on_bnd = points_min_dist_to_boundary(pts, gb) == 0.0
+            if predicate == "within":
+                res = inside & ~on_bnd
+            else:  # intersects / coveredby: boundary counts
+                res = inside | on_bnd
+            for j, i in enumerate(idxs):
+                out[i] = bool(res[j])
+        for i in slow:
+            out[i] = fn(geom_of(a_geom.iloc[i]), geom_of(b_geom.iloc[i]))
         return pd.Series(out)
 
     return refine(F.col("a_geom"), F.col("a_gtype"), F.col("b_geom"), F.col("b_gtype"))
 
 
-def within_distance_join(a: DataFrame, b: DataFrame, km: float,
-                         broadcast_threshold: int = 10000) -> DataFrame:
+def within_distance_join(a: DataFrame, b: DataFrame, km: float) -> DataFrame:
     """Distance join on point layers (spherical, km): pairs within km.
-    Pure column math end-to-end when both sides are points."""
+
+    Pure column math end-to-end.  A latitude-band *equi*-join carries the
+    prefilter: each b row replicates to its band ± 1, the join key is the
+    band index, so Spark picks a hash join (shuffle or broadcast via AQE)
+    instead of a nested-loop inequality join — the shape that survives a
+    100× scale-up.  Exact spherical distance refines."""
     from ..functions.columns import sphere_distance_km
 
-    deg = km / 110.574  # conservative lat padding; lon handled by formula
+    band_deg = max(km / 110.574, 1e-9)  # 1 band ≈ the distance radius in lat
     a_pref = a.select([F.col(c).alias(f"a_{c}") for c in a.columns])
     b_pref = b.select([F.col(c).alias(f"b_{c}") for c in b.columns])
-    b_exp = b_pref.withColumn("b_xmin_pad", F.col("b_xmin") - deg * 3) \
-                  .withColumn("b_xmax_pad", F.col("b_xmax") + deg * 3) \
-                  .withColumn("b_ymin_pad", F.col("b_ymin") - deg) \
-                  .withColumn("b_ymax_pad", F.col("b_ymax") + deg)
-    cond = (
-        (F.col("a_xmin") <= F.col("b_xmax_pad")) & (F.col("a_xmax") >= F.col("b_xmin_pad"))
-        & (F.col("a_ymin") <= F.col("b_ymax_pad")) & (F.col("a_ymax") >= F.col("b_ymin_pad"))
-    )
-    if b.count() <= broadcast_threshold:
-        joined = a_pref.join(F.broadcast(b_exp), cond)
-    else:
-        joined = a_pref.join(b_exp, cond)
+    a_band = a_pref.withColumn("band", F.floor(F.col("a_ymin") / band_deg).cast("int"))
+    b_band = b_pref.withColumn(
+        "band",
+        F.explode(F.array(*[F.floor(F.col("b_ymin") / band_deg).cast("int") + i
+                            for i in (-1, 0, 1)])))
+    joined = a_band.join(b_band, "band")
     dist = sphere_distance_km(F.col("a_xmin"), F.col("a_ymin"),
                               F.col("b_xmin"), F.col("b_ymin"))
     return (joined.withColumn("distance", dist)
             .filter(F.col("distance") <= km)
-            .drop("b_xmin_pad", "b_xmax_pad", "b_ymin_pad", "b_ymax_pad"))
+            .drop("band"))
