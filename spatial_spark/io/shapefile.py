@@ -1,0 +1,328 @@
+"""Shapefile source/sink — pure-Python ESRI .shp/.dbf codec.
+
+Parity: ShapefileImporter.java:58-282 (which uses GeoTools' ShpFiles +
+record-at-a-time layer.add with 1000-record commits).  Spark-first shape:
+the driver parses the sidecar .dbf/.prj (tiny), while .shp geometry records
+can be parsed either driver-side (small files) or distributed via
+binaryFiles + mapInPandas when importing a directory of shapefiles — at
+100 TB the unit of parallelism is the file, matching how shapefile datasets
+ship (many tiles).
+
+Supported shapes: Point(1), PolyLine(3), Polygon(5), MultiPoint(8) and
+their Z/M variants (Z/M ordinates dropped, like the reference's 2D layers).
+The writer emits Point/PolyLine/Polygon files with a minimal DBF — enough
+for round-trip tests and GeoTools-style export parity.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+
+from ..geom import (
+    GTYPE_LINESTRING, GTYPE_MULTILINESTRING, GTYPE_MULTIPOINT,
+    GTYPE_MULTIPOLYGON, GTYPE_POINT, GTYPE_POLYGON, Geometry,
+)
+from ..geom.algorithms import ring_signed_area
+
+_SHAPE_POINT = 1
+_SHAPE_POLYLINE = 3
+_SHAPE_POLYGON = 5
+_SHAPE_MULTIPOINT = 8
+
+
+# ---------------------------------------------------------------- .shp read
+def parse_shp(buf: bytes) -> list:
+    """Parse .shp bytes → list of Geometry (None for null shapes)."""
+    (file_len,) = struct.unpack_from(">i", buf, 24)
+    geoms = []
+    pos = 100
+    end = min(len(buf), file_len * 2)
+    while pos < end:
+        (_recno, content_len) = struct.unpack_from(">ii", buf, pos)
+        pos += 8
+        rec_end = pos + content_len * 2
+        (stype,) = struct.unpack_from("<i", buf, pos)
+        base = stype % 10  # Z (+10) / M (+20) variants share layout prefix
+        if stype == 0:
+            geoms.append(None)
+        elif base == _SHAPE_POINT:
+            x, y = struct.unpack_from("<dd", buf, pos + 4)
+            geoms.append(Geometry.point(x, y))
+        elif base == _SHAPE_MULTIPOINT:
+            (n,) = struct.unpack_from("<i", buf, pos + 36)
+            pts = np.frombuffer(buf, "<f8", n * 2, pos + 40).reshape(-1, 2)
+            geoms.append(Geometry(GTYPE_MULTIPOINT,
+                                  [Geometry(GTYPE_POINT, p.copy()) for p in pts]))
+        elif base in (_SHAPE_POLYLINE, _SHAPE_POLYGON):
+            nparts, npoints = struct.unpack_from("<ii", buf, pos + 36)
+            parts = struct.unpack_from(f"<{nparts}i", buf, pos + 44)
+            pts_off = pos + 44 + 4 * nparts
+            pts = np.frombuffer(buf, "<f8", npoints * 2, pts_off).reshape(-1, 2)
+            rings = []
+            for i in range(nparts):
+                lo = parts[i]
+                hi = parts[i + 1] if i + 1 < nparts else npoints
+                rings.append(np.array(pts[lo:hi]))
+            if base == _SHAPE_POLYLINE:
+                lines = [Geometry(GTYPE_LINESTRING, r) for r in rings]
+                geoms.append(lines[0] if len(lines) == 1
+                             else Geometry(GTYPE_MULTILINESTRING, lines))
+            else:
+                geoms.append(_assemble_polygon(rings))
+        else:
+            geoms.append(None)  # unsupported shape type
+        pos = rec_end
+    return geoms
+
+
+def _assemble_polygon(rings: list) -> Geometry:
+    """Shapefile polygons: CW rings are shells, CCW are holes; assign each
+    hole to the shell containing its first vertex."""
+    shells = []
+    holes = []
+    for r in rings:
+        if len(r) and (r[0] != r[-1]).any():
+            r = np.vstack([r, r[:1]])
+        (shells if ring_signed_area(r) < 0 else holes).append(r)
+    if not shells:
+        shells, holes = holes, []
+    polys = [[s] for s in shells]
+    from ..geom.algorithms import point_in_ring
+    for h in holes:
+        for p in polys:
+            if point_in_ring(float(h[0][0]), float(h[0][1]), p[0]):
+                p.append(h)
+                break
+        else:
+            polys.append([h])
+    if len(polys) == 1:
+        return Geometry(GTYPE_POLYGON, polys[0])
+    return Geometry(GTYPE_MULTIPOLYGON, [Geometry(GTYPE_POLYGON, p) for p in polys])
+
+
+# ---------------------------------------------------------------- .dbf read
+def parse_dbf(buf: bytes) -> tuple:
+    """Parse .dbf bytes → (field_descs, rows) where rows are dicts.
+    field_descs: list of (name, type_char, length, decimals)."""
+    n_records = struct.unpack_from("<I", buf, 4)[0]
+    header_size, record_size = struct.unpack_from("<HH", buf, 8)
+    fields = []
+    pos = 32
+    while buf[pos] != 0x0D:
+        name = buf[pos:pos + 11].split(b"\x00")[0].decode("ascii", "replace")
+        ftype = chr(buf[pos + 11])
+        flen = buf[pos + 16]
+        fdec = buf[pos + 17]
+        fields.append((name, ftype, flen, fdec))
+        pos += 32
+    rows = []
+    pos = header_size
+    for _ in range(n_records):
+        deleted = buf[pos:pos + 1] == b"*"
+        off = pos + 1
+        row = {}
+        for name, ftype, flen, fdec in fields:
+            raw = buf[off:off + flen].decode("latin-1").strip()
+            off += flen
+            if ftype == "N" or ftype == "F":
+                if raw == "":
+                    row[name] = None
+                elif fdec or ftype == "F" or "." in raw:
+                    row[name] = float(raw)
+                else:
+                    try:
+                        row[name] = int(raw)
+                    except ValueError:
+                        row[name] = None
+            elif ftype == "L":
+                row[name] = raw.upper() in ("T", "Y")
+            else:
+                row[name] = raw
+        if not deleted:
+            rows.append(row)
+        pos += record_size
+    return fields, rows
+
+
+# ---------------------------------------------------------------- import
+def read_shapefile(shp_path: str):
+    """(geoms, attr_rows, crs_wkt) from a .shp (+.dbf +.prj) path set."""
+    with open(shp_path, "rb") as f:
+        geoms = parse_shp(f.read())
+    base = shp_path[:-4]
+    attrs = [{} for _ in geoms]
+    if os.path.exists(base + ".dbf"):
+        with open(base + ".dbf", "rb") as f:
+            _, rows = parse_dbf(f.read())
+        if len(rows) == len(geoms):
+            attrs = rows
+    crs = None
+    if os.path.exists(base + ".prj"):
+        with open(base + ".prj") as f:
+            crs = f.read().strip()
+    return geoms, attrs, crs
+
+
+def import_shapefile(ctx, shp_path: str, layer_name: str):
+    """spatial.importShapefileToLayer parity (SpatialProcedures.java:788-820):
+    parse, encode WKB + bbox + SFC key, bulk-write the layer."""
+    from ..geom.wkb import to_wkb
+    geoms, attrs, crs = read_shapefile(shp_path)
+    rows = []
+    keys = sorted({k for a in attrs for k in a})
+    for i, (g, a) in enumerate(zip(geoms, attrs)):
+        if g is None:
+            continue
+        rows.append((i, bytearray(to_wkb(g)), *[a.get(k) for k in keys]))
+    from pyspark.sql import types as T
+    fields = [T.StructField("id", T.LongType()), T.StructField("geom", T.BinaryType())]
+    for k in keys:
+        sample = next((a[k] for a in attrs if a.get(k) is not None), "")
+        if isinstance(sample, bool):
+            t = T.BooleanType()
+        elif isinstance(sample, int):
+            t = T.LongType()
+        elif isinstance(sample, float):
+            t = T.DoubleType()
+        else:
+            t = T.StringType()
+        fields.append(T.StructField(k, t))
+    df = ctx.spark.createDataFrame(rows, T.StructType(fields))
+    layer = ctx.create_layer(layer_name, crs=crs or "WGS84")
+    layer.add(df)
+    return layer
+
+
+def import_shapefile_dir(ctx, dir_path: str, layer_name: str):
+    """Distributed variant: every .shp under dir_path parsed in parallel via
+    binaryFiles → one layer.  The 100 TB path (file = task)."""
+    from ..geom.wkb import to_wkb
+    sc = ctx.spark.sparkContext
+    rdd = sc.binaryFiles(os.path.join(dir_path, "*.shp"))
+
+    def parse(kv):
+        path, buf = kv
+        out = []
+        for i, g in enumerate(parse_shp(bytes(buf))):
+            if g is not None:
+                out.append((os.path.basename(path), i, bytearray(to_wkb(g))))
+        return out
+
+    rows = rdd.flatMap(parse)
+    df = ctx.spark.createDataFrame(rows, "source string, rec long, geom binary")
+    layer = ctx.create_layer(layer_name)
+    layer.add(df)
+    return layer
+
+
+# ---------------------------------------------------------------- write
+def write_shapefile(df_rows: list, shp_path: str) -> None:
+    """Minimal writer: rows of (Geometry, dict) → .shp/.shx/.dbf triple.
+    All geometries must share one shape class (point/line/polygon)."""
+    geoms = [g for g, _ in df_rows]
+    attrs = [a for _, a in df_rows]
+    if not geoms:
+        raise ValueError("nothing to write")
+    g0 = geoms[0].gtype
+    if g0 == GTYPE_POINT:
+        stype = _SHAPE_POINT
+    elif g0 in (GTYPE_LINESTRING, GTYPE_MULTILINESTRING):
+        stype = _SHAPE_POLYLINE
+    elif g0 in (GTYPE_POLYGON, GTYPE_MULTIPOLYGON):
+        stype = _SHAPE_POLYGON
+    else:
+        raise ValueError(f"unsupported shapefile type {geoms[0].type_name()}")
+
+    records = []
+    shx = []
+    offset = 50  # in 16-bit words
+    for i, g in enumerate(geoms):
+        content = _shape_record(g, stype)
+        rec = struct.pack(">ii", i + 1, len(content) // 2) + content
+        shx.append(struct.pack(">ii", offset, len(content) // 2))
+        offset += len(rec) // 2
+        records.append(rec)
+    body = b"".join(records)
+
+    allc = np.vstack([g.all_coords() for g in geoms])
+    bbox = (allc[:, 0].min(), allc[:, 1].min(), allc[:, 0].max(), allc[:, 1].max())
+
+    def header(total_words):
+        return (struct.pack(">i", 9994) + b"\x00" * 20
+                + struct.pack(">i", total_words)
+                + struct.pack("<ii", 1000, stype)
+                + struct.pack("<4d", *bbox) + struct.pack("<4d", 0, 0, 0, 0))
+
+    with open(shp_path, "wb") as f:
+        f.write(header(50 + len(body) // 2))
+        f.write(body)
+    with open(shp_path[:-4] + ".shx", "wb") as f:
+        f.write(header(50 + len(shx) * 4))
+        f.write(b"".join(shx))
+    _write_dbf(shp_path[:-4] + ".dbf", attrs)
+
+
+def _shape_record(g: Geometry, stype: int) -> bytes:
+    if stype == _SHAPE_POINT:
+        return struct.pack("<i", 1) + struct.pack("<dd", g.data[0], g.data[1])
+    if stype == _SHAPE_POLYLINE:
+        lines = [p.data for p in g.parts()] if g.is_multi else [g.data]
+        return _poly_record(_SHAPE_POLYLINE, lines)
+    rings = []
+    for part in g.parts():
+        for i, r in enumerate(part.data):
+            want_cw = i == 0  # shells CW in shapefile
+            s = ring_signed_area(r)
+            if (s > 0 and want_cw) or (s < 0 and not want_cw):
+                r = r[::-1].copy()
+            rings.append(r)
+    return _poly_record(_SHAPE_POLYGON, rings)
+
+
+def _poly_record(stype: int, parts: list) -> bytes:
+    allp = np.vstack(parts)
+    bbox = (allp[:, 0].min(), allp[:, 1].min(), allp[:, 0].max(), allp[:, 1].max())
+    out = struct.pack("<i", stype) + struct.pack("<4d", *bbox)
+    out += struct.pack("<ii", len(parts), len(allp))
+    idx = 0
+    for p in parts:
+        out += struct.pack("<i", idx)
+        idx += len(p)
+    out += np.ascontiguousarray(allp, "<f8").tobytes()
+    return out
+
+
+def _write_dbf(path: str, attrs: list) -> None:
+    keys = sorted({k for a in attrs for k in a})
+    fields = []
+    for k in keys:
+        sample = next((a[k] for a in attrs if a.get(k) is not None), "")
+        if isinstance(sample, (int, float)) and not isinstance(sample, bool):
+            fields.append((k[:10], "N", 19, 6 if isinstance(sample, float) else 0))
+        else:
+            fields.append((k[:10], "C", 64, 0))
+    rec_size = 1 + sum(f[2] for f in fields)
+    hdr_size = 32 + 32 * len(fields) + 1
+    with open(path, "wb") as f:
+        f.write(struct.pack("<B3BIHH20x", 3, 95, 7, 26, len(attrs), hdr_size, rec_size))
+        for name, t, ln, dec in fields:
+            f.write(name.encode("ascii").ljust(11, b"\x00"))
+            f.write(t.encode("ascii"))
+            f.write(b"\x00" * 4)
+            f.write(struct.pack("<BB", ln, dec))
+            f.write(b"\x00" * 14)
+        f.write(b"\x0d")
+        for a in attrs:
+            f.write(b" ")
+            for (name, t, ln, dec), k in zip(fields, keys):
+                v = a.get(k)
+                if t == "N":
+                    s = ("" if v is None else
+                         (f"{v:.{dec}f}" if dec else str(int(v)))).rjust(ln)[:ln]
+                else:
+                    s = ("" if v is None else str(v)).ljust(ln)[:ln]
+                f.write(s.encode("latin-1", "replace"))
+        f.write(b"\x1a")

@@ -1,0 +1,103 @@
+"""Shapefile + OSM importer tests (reference: ShapefileImporter / OSMImporter
+golden behaviors on tiny fixtures, cf. TestOSMImportBase / two-street.osm)."""
+
+import os
+import textwrap
+
+import pytest
+from pyspark.sql import functions as F
+
+from spatial_spark.geom import Geometry, from_wkb, from_wkt, to_wkt
+from spatial_spark.geom.algorithms import area
+from spatial_spark.io.shapefile import (
+    import_shapefile, read_shapefile, write_shapefile,
+)
+from spatial_spark.io.osm import (
+    assemble_multipolygons, assemble_way_geometries, import_osm, parse_osm_xml,
+)
+
+TWO_STREET_OSM = textwrap.dedent("""\
+    <?xml version='1.0' encoding='UTF-8'?>
+    <osm version="0.6">
+      <node id="1" lon="12.9710" lat="56.0538"/>
+      <node id="2" lon="12.9740" lat="56.0545"/>
+      <node id="3" lon="12.9776" lat="56.0561"/>
+      <node id="4" lon="12.9814" lat="56.0572"/>
+      <node id="10" lon="12.99" lat="56.05"/>
+      <node id="11" lon="12.995" lat="56.05"/>
+      <node id="12" lon="12.995" lat="56.055"/>
+      <node id="13" lon="12.99" lat="56.055"/>
+      <way id="100">
+        <nd ref="1"/><nd ref="2"/><nd ref="3"/><nd ref="4"/>
+        <tag k="highway" v="residential"/><tag k="name" v="Villagatan"/>
+      </way>
+      <way id="200">
+        <nd ref="10"/><nd ref="11"/><nd ref="12"/><nd ref="13"/><nd ref="10"/>
+        <tag k="building" v="yes"/>
+      </way>
+      <relation id="300">
+        <member type="way" ref="200" role="outer"/>
+        <tag k="type" v="multipolygon"/>
+      </relation>
+    </osm>
+""")
+
+
+def test_shapefile_roundtrip_points(ctx, tmp_path):
+    rows = [(Geometry.point(1.5, 2.5), {"name": "a", "val": 7}),
+            (Geometry.point(-3.0, 4.0), {"name": "b", "val": 9})]
+    shp = str(tmp_path / "pts.shp")
+    write_shapefile(rows, shp)
+    geoms, attrs, crs = read_shapefile(shp)
+    assert [to_wkt(g) for g in geoms] == ["POINT (1.5 2.5)", "POINT (-3 4)"]
+    assert attrs[0]["name"] == "a" and attrs[0]["val"] == 7
+    layer = import_shapefile(ctx, shp, "shp_pts")
+    assert layer.count() == 2
+    assert "name" in layer.attribute_names()
+
+
+def test_shapefile_roundtrip_polygons(ctx, tmp_path):
+    poly = from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))")
+    line = from_wkt("LINESTRING (0 0, 5 5, 10 0)")
+    shp1 = str(tmp_path / "polys.shp")
+    write_shapefile([(poly, {"kind": "sq"})], shp1)
+    geoms, attrs, _ = read_shapefile(shp1)
+    assert area(geoms[0]) == pytest.approx(96.0)  # hole preserved
+    shp2 = str(tmp_path / "lines.shp")
+    write_shapefile([(line, {})], shp2)
+    geoms2, _, _ = read_shapefile(shp2)
+    assert to_wkt(geoms2[0]) == "LINESTRING (0 0, 5 5, 10 0)"
+
+
+def test_osm_parse_and_assembly(spark, tmp_path):
+    osm_path = str(tmp_path / "two-street.osm")
+    with open(osm_path, "w") as f:
+        f.write(TWO_STREET_OSM)
+    tables = parse_osm_xml(spark, osm_path)
+    assert tables["osm_nodes"].count() == 8
+    assert tables["osm_way_nds"].count() == 9
+    geoms = {r["way_id"]: (from_wkb(r["geom"]), r["gtype"])
+             for r in assemble_way_geometries(tables).collect()}
+    g100, t100 = geoms[100]
+    assert t100 == 2  # LineString street
+    assert to_wkt(g100).startswith("LINESTRING (12.971 56.0538, 12.974")
+    g200, t200 = geoms[200]
+    assert t200 == 3  # closed building way -> Polygon
+    assert area(g200) == pytest.approx(0.005 * 0.005)
+    mp = {r["rel_id"]: from_wkb(r["geom"])
+          for r in assemble_multipolygons(tables).collect()}
+    assert area(mp[300]) == pytest.approx(0.005 * 0.005)
+
+
+def test_osm_import_layer(ctx, spark, tmp_path):
+    osm_path = str(tmp_path / "mini.osm")
+    with open(osm_path, "w") as f:
+        f.write(TWO_STREET_OSM)
+    layer, tables = import_osm(ctx, osm_path, "osm_mini")
+    assert layer.count() == 2
+    # FilterOSMAttributes parity: filter layer by tag via the tags map column
+    named = layer.df().filter(F.col("tags")["name"] == "Villagatan")
+    assert named.count() == 1
+    # window search over the imported layer
+    res = layer.bbox_search(12.97, 56.05, 12.98, 56.06)
+    assert res.count() >= 1
