@@ -413,6 +413,114 @@ def _q_events_daily(spark, sf_dir) -> DataFrame:
                     "event_type", "n_events", "value_cents"))
 
 
+def _part_rect_pairs(spark) -> DataFrame:
+    """Each part rect paired with a shifted copy (variable shift → some pairs
+    overlap, some are disjoint) — the overlay-kernel test bed."""
+    return spark.sql(f"""
+        SELECT p_partkey, {PART_X0} AS x0, {PART_Y0} AS y0,
+               {PART_W} AS w, {PART_H} AS h,
+               CAST(p_partkey % 7 AS DOUBLE) / 2.0 + 0.25 AS dx,
+               CAST(p_partkey % 5 AS DOUBLE) / 2.0 + 0.25 AS dy
+        FROM part
+    """).withColumn("geom_a", F.expr(
+        "st_geomfromtext(concat('POLYGON ((', x0, ' ', y0, ', ', x0+w, ' ', y0, "
+        "', ', x0+w, ' ', y0+h, ', ', x0, ' ', y0+h, ', ', x0, ' ', y0, '))'))"
+    )).withColumn("geom_b", F.expr(
+        "st_geomfromtext(concat('POLYGON ((', x0+dx, ' ', y0+dy, ', ', x0+dx+w, ' ', y0+dy, "
+        "', ', x0+dx+w, ' ', y0+dy+h, ', ', x0+dx, ' ', y0+dy+h, ', ', x0+dx, ' ', y0+dy, '))'))"))
+
+
+# shared oracle arithmetic for the rect-pair overlay queries (+0.25 keeps
+# the shifted edges off the originals — no collinear-overlap degeneracy,
+# which the overlay kernel handles only heuristically, clip.py docstring)
+_DX = "(CAST(p_partkey % 7 AS DOUBLE) / 2.0 + 0.25)"
+_DY = "(CAST(p_partkey % 5 AS DOUBLE) / 2.0 + 0.25)"
+_RECT_INTER = (f"greatest(0.0, least({PART_X0} + {PART_W}, {PART_X0} + {_DX} + {PART_W})"
+               f" - greatest({PART_X0}, {PART_X0} + {_DX}))"
+               f" * greatest(0.0, least({PART_Y0} + {PART_H}, {PART_Y0} + {_DY} + {PART_H})"
+               f" - greatest({PART_Y0}, {PART_Y0} + {_DY}))")
+
+
+def _q_st_intersection_area(spark, sf_dir) -> DataFrame:
+    """Overlay kernel: per-pair intersection area vs closed-form oracle."""
+    return _part_rect_pairs(spark).select(
+        "p_partkey",
+        F.round(F.expr("st_area(st_intersection(geom_a, geom_b))"), 6).alias("inter_area"))
+
+
+def _q_st_union_area(spark, sf_dir) -> DataFrame:
+    return _part_rect_pairs(spark).select(
+        "p_partkey",
+        F.round(F.expr("st_area(st_union(geom_a, geom_b))"), 6).alias("union_area"))
+
+
+def _q_st_difference_area(spark, sf_dir) -> DataFrame:
+    return _part_rect_pairs(spark).select(
+        "p_partkey",
+        F.round(F.expr("st_area(st_difference(geom_a, geom_b))"), 6).alias("diff_area"))
+
+
+def _q_st_symdifference_area(spark, sf_dir) -> DataFrame:
+    return _part_rect_pairs(spark).select(
+        "p_partkey",
+        F.round(F.expr("st_area(st_symdifference(geom_a, geom_b))"), 6).alias("symdiff_area"))
+
+
+def _q_st_buffer_area(spark, sf_dir) -> DataFrame:
+    """st_buffer (32-gon disc) area vs the exact n-gon formula
+    (n/2)·r²·sin(2π/n)."""
+    df = spark.sql(f"""
+        SELECT s_suppkey, {SUPP_LON} AS lon, {SUPP_LAT} AS lat,
+               CAST(s_suppkey % 5 + 1 AS DOUBLE) / 10.0 AS r
+        FROM supplier
+    """)
+    return df.select(
+        "s_suppkey",
+        F.round(F.expr("st_area(st_buffer(st_point(lon, lat), r))"), 6)
+        .alias("buf_area"))
+
+
+def _q_geohash(spark, sf_dir) -> DataFrame:
+    """Geohash point-index parity (LayerGeohashPointIndex): precision-8
+    geohash strings, oracled by pure-SQL bit interleave + base32."""
+    from spatial_spark.functions.scalar import make_geohash_udf
+    gh8 = make_geohash_udf(8)
+    return _customer_points(spark).select(
+        "c_custkey", gh8("lon", "lat").alias("geohash8"))
+
+
+def _q_sessionize(spark, sf_dir) -> DataFrame:
+    """Session windows over the events stream surface (gap 30 min), batch
+    semantics — oracled by the lag-chain formulation in SQL."""
+    return (spark.table("events")
+            .groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id",
+                    F.unix_timestamp(F.col("s.start")).alias("session_start"),
+                    "n_events"))
+
+
+def _q_dynamic_view(spark, sf_dir) -> DataFrame:
+    """DynamicLayer parity through the real catalog: build a WKT layer from
+    part rects in a temp warehouse, register a predicate view, read it back."""
+    import tempfile
+    from spatial_spark.layer import SpatialContext
+    ctx = SpatialContext(spark, tempfile.mkdtemp(prefix="spatial_wh_"))
+    df = spark.sql(f"""
+        SELECT p_partkey AS id, {PART_X0} AS x0, {PART_Y0} AS y0,
+               {PART_W} AS w, {PART_H} AS h FROM part
+    """).withColumn("wkt", F.expr(
+        "concat('POLYGON ((', x0, ' ', y0, ', ', x0+w, ' ', y0, "
+        "', ', x0+w, ' ', y0+h, ', ', x0, ' ', y0+h, ', ', x0, ' ', y0, '))')"
+    )).select("id", "wkt")
+    layer = ctx.create_wkt_layer("rects_view_test")
+    layer.add(df, wkt="wkt")
+    layer.add_view("wide_rects", "xmax - xmin > 3.0")
+    return (layer.view("wide_rects")
+            .select(F.col("id").alias("p_partkey"))
+            .orderBy("p_partkey"))
+
+
 # ---- rows-only queries (no SQL-expressible oracle) ------------------------
 def _q_minhash_pairs(spark, sf_dir) -> DataFrame:
     from spatial_spark.operators.dedup import minhash_lsh_pairs
@@ -483,6 +591,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "knn_cosine": _q_knn_cosine,
         "events_daily": _q_events_daily,
+        "st_intersection_area": _q_st_intersection_area,
+        "st_union_area": _q_st_union_area,
+        "st_difference_area": _q_st_difference_area,
+        "st_symdifference_area": _q_st_symdifference_area,
+        "st_buffer_area": _q_st_buffer_area,
+        "geohash": _q_geohash,
+        "sessionize": _q_sessionize,
+        "dynamic_view": _q_dynamic_view,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "union_all_rects": _q_union_all_rects,
@@ -505,6 +621,31 @@ def _zorder_oracle_sql() -> str:
     return f"""
         WITH cells AS (SELECT c_custkey, {cx} AS cx, {cy} AS cy FROM customer)
         SELECT c_custkey, CAST({z} AS BIGINT) AS zkey FROM cells
+    """
+
+
+def _geohash_oracle_sql() -> str:
+    """Precision-8 geohash in pure SQL: 20+20-bit cells, 40-bit interleave
+    (lon at even positions from the MSB), 5-bit groups → base32 chars."""
+    cx = (f"CAST(least(greatest(floor(({CUST_LON} + 180.0) / 360.0 * 1048576), 0),"
+          f" 1048575) AS BIGINT)")
+    cy = (f"CAST(least(greatest(floor(({CUST_LAT} + 90.0) / 180.0 * 1048576), 0),"
+          f" 1048575) AS BIGINT)")
+    terms = []
+    for i in range(40):
+        if i % 2 == 0:  # even position from MSB → lon bit
+            terms.append(f"(((cx >> {19 - i // 2}) & 1) << {39 - i})")
+        else:
+            terms.append(f"(((cy >> {19 - (i - 1) // 2}) & 1) << {39 - i})")
+    total = " + ".join(terms)
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    chars = " || ".join(
+        f"substr('{alphabet}', CAST(((total >> {5 * (7 - c)}) & 31) AS INT) + 1, 1)"
+        for c in range(8))
+    return f"""
+        WITH cells AS (SELECT c_custkey, {cx} AS cx, {cy} AS cy FROM customer),
+             tot AS (SELECT c_custkey, CAST({total} AS BIGINT) AS total FROM cells)
+        SELECT c_custkey, {chars} AS geohash8 FROM tot
     """
 
 
@@ -731,5 +872,52 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n_events,
                    sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "st_intersection_area": f"""
+            SELECT p_partkey, round({_RECT_INTER}, 6) AS inter_area FROM part
+        """,
+        "st_union_area": f"""
+            SELECT p_partkey,
+                   round(2 * {PART_W} * {PART_H} - {_RECT_INTER}, 6) AS union_area
+            FROM part
+        """,
+        "st_difference_area": f"""
+            SELECT p_partkey,
+                   round({PART_W} * {PART_H} - {_RECT_INTER}, 6) AS diff_area
+            FROM part
+        """,
+        "st_symdifference_area": f"""
+            SELECT p_partkey,
+                   round(2 * ({PART_W} * {PART_H} - {_RECT_INTER}), 6) AS symdiff_area
+            FROM part
+        """,
+        "st_buffer_area": f"""
+            SELECT s_suppkey,
+                   round(16.0 * (CAST(s_suppkey % 5 + 1 AS DOUBLE) / 10.0)
+                              * (CAST(s_suppkey % 5 + 1 AS DOUBLE) / 10.0)
+                              * sin(2 * pi() / 32), 6) AS buf_area
+            FROM supplier
+        """,
+        "geohash": _geohash_oracle_sql(),
+        "sessionize": """
+            WITH flagged AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            sess AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM flagged)
+            SELECT user_id,
+                   CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+                   count(*) AS n_events
+            FROM sess GROUP BY user_id, sid
+        """,
+        "dynamic_view": f"""
+            SELECT p_partkey FROM part WHERE {PART_W} > 3.0 ORDER BY p_partkey
         """,
     }

@@ -287,11 +287,19 @@ def hilbert_key_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
     return pd.Series(hilbert_encode(lon.to_numpy(float), lat.to_numpy(float)))
 
 
-@F.pandas_udf(T.StringType())
-def geohash_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
-    """Geohash string (LayerGeohashPointIndex parity)."""
-    from ..sfc import geohash_encode
-    return pd.Series(geohash_encode(lon.to_numpy(float), lat.to_numpy(float)))
+def make_geohash_udf(precision: int = 12):
+    """Geohash string UDF factory (LayerGeohashPointIndex parity)."""
+
+    @F.pandas_udf(T.StringType())
+    def geohash(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        from ..sfc import geohash_encode
+        return pd.Series(geohash_encode(lon.to_numpy(float), lat.to_numpy(float),
+                                        precision=precision))
+
+    return geohash
+
+
+geohash_udf = make_geohash_udf(12)
 
 
 REGISTRY = {
