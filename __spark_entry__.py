@@ -96,7 +96,7 @@ def _q_within_distance(spark, sf_dir) -> DataFrame:
     from spatial_spark.functions.columns import (
         bbox_intersects_window, sphere_distance_km, sphere_search_window,
     )
-    km = 500.0
+    km = 2000.0
     pts = _customer_points(spark)
     window = sphere_search_window(PROBE_LON, PROBE_LAT, km)
     dist = F.round(sphere_distance_km(F.lit(PROBE_LON), F.lit(PROBE_LAT),
@@ -198,10 +198,7 @@ def _q_st_area_rects(spark, sf_dir) -> DataFrame:
         SELECT p_partkey, {PART_X0} AS x0, {PART_Y0} AS y0,
                {PART_W} AS w, {PART_H} AS h FROM part
     """)
-    geoms = df.withColumn("geom", F.expr(
-        "st_geomfromtext(concat('POLYGON ((', x0, ' ', y0, ', ', "
-        "x0+w, ' ', y0, ', ', x0+w, ' ', y0+h, ', ', x0, ' ', "
-        "y0+h, ', ', x0, ' ', y0, '))'))"))
+    geoms = df.withColumn("geom", F.expr("st_make_box(x0, y0, x0+w, y0+h)"))
     return geoms.select(
         "p_partkey",
         F.round(F.expr("st_area(geom)"), 9).alias("area"),
@@ -214,9 +211,7 @@ def _q_st_centroid_rects(spark, sf_dir) -> DataFrame:
         SELECT p_partkey, {PART_X0} AS x0, {PART_Y0} AS y0,
                {PART_W} AS w, {PART_H} AS h FROM part
     """)
-    geoms = df.withColumn("geom", F.expr(
-        "st_geomfromtext(concat('POLYGON ((', x0, ' ', y0, ', ', x0+w, ' ', y0, "
-        "', ', x0+w, ' ', y0+h, ', ', x0, ' ', y0+h, ', ', x0, ' ', y0, '))'))"))
+    geoms = df.withColumn("geom", F.expr("st_make_box(x0, y0, x0+w, y0+h)"))
     # round 6 (not 9): the kernel's shoelace centroid and the oracle's
     # x0 + w/2 differ in the last ulps
     c = F.expr("st_coords(st_centroid(geom))")
@@ -422,12 +417,8 @@ def _part_rect_pairs(spark) -> DataFrame:
                CAST(p_partkey % 7 AS DOUBLE) / 2.0 + 0.25 AS dx,
                CAST(p_partkey % 5 AS DOUBLE) / 2.0 + 0.25 AS dy
         FROM part
-    """).withColumn("geom_a", F.expr(
-        "st_geomfromtext(concat('POLYGON ((', x0, ' ', y0, ', ', x0+w, ' ', y0, "
-        "', ', x0+w, ' ', y0+h, ', ', x0, ' ', y0+h, ', ', x0, ' ', y0, '))'))"
-    )).withColumn("geom_b", F.expr(
-        "st_geomfromtext(concat('POLYGON ((', x0+dx, ' ', y0+dy, ', ', x0+dx+w, ' ', y0+dy, "
-        "', ', x0+dx+w, ' ', y0+dy+h, ', ', x0+dx, ' ', y0+dy+h, ', ', x0+dx, ' ', y0+dy, '))'))"))
+    """).withColumn("geom_a", F.expr("st_make_box(x0, y0, x0+w, y0+h)")) \
+        .withColumn("geom_b", F.expr("st_make_box(x0+dx, y0+dy, x0+dx+w, y0+dy+h)"))
 
 
 # shared oracle arithmetic for the rect-pair overlay queries (+0.25 keeps
@@ -521,6 +512,29 @@ def _q_dynamic_view(spark, sf_dir) -> DataFrame:
             .orderBy("p_partkey"))
 
 
+def _q_layer_within_distance(spark, sf_dir) -> DataFrame:
+    """The REAL layer search path under the correctness gate: write customer
+    points through Layer.add (bbox + zkey + SFC-clustered parquet), then
+    Layer.within_distance (zkey range pruning + bbox prefilter + exact
+    spherical distance + sort)."""
+    import tempfile
+    from spatial_spark.layer import SpatialContext
+    ctx = SpatialContext(spark, tempfile.mkdtemp(prefix="spatial_wh_"))
+    layer = ctx.create_point_layer("cust_layer", x="lon", y="lat")
+    layer.add(_customer_points(spark).withColumn("id", F.col("c_custkey")))
+    res = layer.within_distance(PROBE_LON, PROBE_LAT, 2000.001)
+    return (res.withColumn("distance_km", F.round(F.col("distance"), 6))
+            .filter(F.col("distance_km") <= 2000.0)
+            .select("c_custkey", "distance_km"))
+
+
+def _q_hilbert_keys(spark, sf_dir) -> DataFrame:
+    """Hilbert point-index parity (rows-only: no tractable SQL oracle)."""
+    from spatial_spark.functions.scalar import hilbert_key_udf
+    return (_customer_points(spark)
+            .select("c_custkey", hilbert_key_udf("lon", "lat").alias("hkey")))
+
+
 # ---- rows-only queries (no SQL-expressible oracle) ------------------------
 def _q_minhash_pairs(spark, sf_dir) -> DataFrame:
     from spatial_spark.operators.dedup import minhash_lsh_pairs
@@ -539,9 +553,7 @@ def _q_union_all_rects(spark, sf_dir) -> DataFrame:
     df = spark.sql(f"""
         SELECT p_partkey, {PART_X0} AS x0, {PART_Y0} AS y0,
                {PART_W} AS w, {PART_H} AS h FROM part WHERE p_partkey <= 40
-    """).withColumn("geom", F.expr(
-        "st_geomfromtext(concat('POLYGON ((', x0, ' ', y0, ', ', x0+w, ' ', y0, "
-        "', ', x0+w, ' ', y0+h, ', ', x0, ' ', y0+h, ', ', x0, ' ', y0, '))'))"))
+    """).withColumn("geom", F.expr("st_make_box(x0, y0, x0+w, y0+h)"))
     u = union_all(df)
     return u.select(F.round(F.expr("st_area(geom)"), 6).alias("union_area"))
 
@@ -599,6 +611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash": _q_geohash,
         "sessionize": _q_sessionize,
         "dynamic_view": _q_dynamic_view,
+        "layer_within_distance": _q_layer_within_distance,
+        "hilbert_keys": _q_hilbert_keys,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "union_all_rects": _q_union_all_rects,
@@ -719,7 +733,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "within_distance": f"""
             SELECT c_custkey, round({d}, 6) AS distance_km
-            FROM customer WHERE round({d}, 6) <= 500.0
+            FROM customer WHERE round({d}, 6) <= 2000.0
         """,
         "knn": f"""
             SELECT c_custkey, round({d}, 6) AS distance_km
@@ -919,5 +933,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dynamic_view": f"""
             SELECT p_partkey FROM part WHERE {PART_W} > 3.0 ORDER BY p_partkey
+        """,
+        "layer_within_distance": f"""
+            SELECT c_custkey, round({d}, 6) AS distance_km
+            FROM customer WHERE round({d}, 6) <= 2000.0
         """,
     }

@@ -39,13 +39,22 @@ def _c(v):
 
 def sphere_search_window(lon: float, lat: float, dist_km: float):
     """(xmin, ymin, xmax, ymax) window guaranteed to contain the distance
-    circle — port of OrthodromicDistance.suggestSearchWindow
-    (reference :73-88): latitude span is dist/110.57 deg, longitude span is
-    widened by 1/cos(lat)."""
-    lat_span = dist_km / 110.574
-    # guard poles: clamp cos to avoid div by ~0
-    coslat = max(math.cos(math.radians(lat)), 1e-6)
-    lon_span = dist_km / (111.320 * coslat)
+    circle.
+
+    Improves on OrthodromicDistance.suggestSearchWindow (reference :73-88),
+    whose `span/cos(lat)` longitude widening under-covers away from the
+    probe latitude (the documented may-miss flaw): the exact max longitude
+    extent of a spherical cap of angular radius r at latitude φ is
+    asin(sin(r)/cos(φ)), reached at a latitude beyond φ.  We use that, plus
+    a 1e-9° guard so boundary points survive the prefilter."""
+    r = dist_km / EARTH_RADIUS_KM  # angular radius, radians
+    lat_span = math.degrees(r) + 1e-9
+    coslat = math.cos(math.radians(lat))
+    sinr = math.sin(min(r, math.pi / 2))
+    if sinr >= coslat or abs(lat) + lat_span >= 90.0:
+        lon_span = 360.0  # cap reaches a pole: all longitudes
+    else:
+        lon_span = math.degrees(math.asin(sinr / coslat)) + 1e-9
     return (lon - lon_span, lat - lat_span, lon + lon_span, lat + lat_span)
 
 

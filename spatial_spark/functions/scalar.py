@@ -169,6 +169,20 @@ def st_relate_matrix(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(T.BinaryType())
+def st_make_box(x0: pd.Series, y0: pd.Series,
+                x1: pd.Series, y1: pd.Series) -> pd.Series:
+    """Rectangle polygon from corner columns — the fast path for
+    envelope-shaped geometry construction (no WKT round-trip)."""
+    out = []
+    for a, b, c, d in zip(x0, y0, x1, y1):
+        if a is None:
+            out.append(None)
+        else:
+            out.append(to_wkb(Geometry.box(float(a), float(b), float(c), float(d))))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BinaryType())
 def st_point(x: pd.Series, y: pd.Series) -> pd.Series:
     out = []
     for xv, yv in zip(x, y):
@@ -324,7 +338,8 @@ REGISTRY = {
     "st_relate": st_relate, "st_relate_matrix": st_relate_matrix,
     "st_union": st_union, "st_intersection": st_intersection,
     "st_difference": st_difference, "st_symdifference": st_symdifference,
-    "st_point": st_point, "st_geomfromtext": st_geomfromtext,
+    "st_point": st_point, "st_make_box": st_make_box,
+    "st_geomfromtext": st_geomfromtext,
     "st_geomfromgeojson": st_geomfromgeojson, "st_wkt_to_geojson": st_wkt_to_geojson,
     "st_distance_sphere": st_distance_sphere, "st_bbox": st_bbox,
     "st_gtype": st_gtype, "st_dump": st_dump, "st_points": st_points,
