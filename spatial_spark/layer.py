@@ -191,13 +191,19 @@ class Layer:
         self._rewrite(self.df().filter(~F.col("id").isin(ids)))
 
     def _rewrite(self, df: DataFrame) -> None:
-        rows = df.collect()  # test-scale only; 100 TB path = Delta MERGE (documented)
-        if rows:
-            out = self.ctx.spark.createDataFrame(rows, df.schema)
-            out.write.mode("overwrite").parquet(self.path)
-        else:
-            import shutil
-            shutil.rmtree(self.path, ignore_errors=True)
+        """Copy-on-write rewrite: distributed write to a temp dir, then an
+        atomic directory swap — no driver-side collect.  (The reference
+        mutates nodes in place; the 100 TB upgrade is a Delta/Iceberg MERGE,
+        which slots in here because all writes flow through this method.)"""
+        import os
+        import shutil
+        tmp = self.path + ".rewrite.tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        old = self.path + ".rewrite.old"
+        if os.path.exists(self.path):
+            shutil.move(self.path, old)
+        shutil.move(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
 
     # ---- read path ----------------------------------------------------
     def df(self) -> DataFrame:

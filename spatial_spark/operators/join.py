@@ -69,6 +69,23 @@ def _cells_expr(prefix: str, side: int, x0: float, y0: float, cw: float, ch: flo
     return F.flatten(F.transform(ys, lambda y: F.transform(xs, lambda x: y * side + x)))
 
 
+def _estimated_rows(df: DataFrame) -> int:
+    """Row estimate from Catalyst plan stats (free: parquet footer sizes);
+    falls back to a count only for unplannable frames (e.g. local relations
+    whose stats are exact anyway)."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+        size = int(str(stats.sizeInBytes()))
+        # assume ≥64 bytes/row (WKB rows are bigger) — errs toward shuffle
+        # join, never toward broadcasting something huge
+        return max(size // 64, 1)
+    except Exception:
+        return df.count()
+
+
 def spatial_join(a: DataFrame, b: DataFrame, predicate: str = "intersects",
                  broadcast_threshold: int = 10000) -> DataFrame:
     """Join rows of `a` and `b` where predicate(a.geom, b.geom) holds.
@@ -81,18 +98,20 @@ def spatial_join(a: DataFrame, b: DataFrame, predicate: str = "intersects",
     a_pref = a.select([F.col(c).alias(f"a_{c}") for c in a.columns])
     b_pref = b.select([F.col(c).alias(f"b_{c}") for c in b.columns])
 
-    b_count = b.count()
     bbox_pair = (
         (F.col("a_xmax") >= F.col("b_xmin")) & (F.col("a_xmin") <= F.col("b_xmax"))
         & (F.col("a_ymax") >= F.col("b_ymin")) & (F.col("a_ymin") <= F.col("b_ymax"))
     )
 
-    if b_count <= broadcast_threshold:
+    # broadcast decision from Catalyst's plan statistics (file-size based,
+    # no job) — a .count() here would be a full scan at 100 TB
+    b_rows = _estimated_rows(b)
+    if b_rows <= broadcast_threshold:
         joined = a_pref.join(F.broadcast(b_pref), bbox_pair)
     else:
         a_bbox = a.agg(F.min("xmin"), F.min("ymin"), F.max("xmax"), F.max("ymax")).first()
         b_bbox = b.agg(F.min("xmin"), F.min("ymin"), F.max("xmax"), F.max("ymax")).first()
-        n = max(a.count(), b_count)
+        n = max(_estimated_rows(a), b_rows)
         x0, y0, cw, ch, side = _grid_params(tuple(a_bbox), tuple(b_bbox), n)
         ae = a_pref.withColumn("cell", F.explode(_cells_expr("a_", side, x0, y0, cw, ch)))
         be = b_pref.withColumn("cell", F.explode(_cells_expr("b_", side, x0, y0, cw, ch)))

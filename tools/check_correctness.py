@@ -94,6 +94,8 @@ def main():
         ok_cols = sorted(scols) == sorted(ocols)
         ok_hash = s_hash == o_hash
         status = "OK" if (ok_count and ok_cols and ok_hash) else "MISMATCH"
+        if status == "OK" and len(srows) == 0:
+            status = "OK_EMPTY"  # vacuous: both sides 0 rows — check the query
         results[name] = {
             "status": status, "rows": len(srows), "oracle_rows": len(orows),
             "cols_ok": ok_cols, "hash_ok": ok_hash, "secs": spark_secs,
