@@ -414,18 +414,19 @@ def _part_rect_pairs(spark) -> DataFrame:
     return spark.sql(f"""
         SELECT p_partkey, {PART_X0} AS x0, {PART_Y0} AS y0,
                {PART_W} AS w, {PART_H} AS h,
-               CAST(p_partkey % 7 AS DOUBLE) / 2.0 + 0.25 AS dx,
-               CAST(p_partkey % 5 AS DOUBLE) / 2.0 + 0.25 AS dy
+               CAST(p_partkey % 7 AS DOUBLE) / 2.0 AS dx,
+               CAST(p_partkey % 5 AS DOUBLE) / 2.0 AS dy
         FROM part
     """).withColumn("geom_a", F.expr("st_make_box(x0, y0, x0+w, y0+h)")) \
         .withColumn("geom_b", F.expr("st_make_box(x0+dx, y0+dy, x0+dx+w, y0+dy+h)"))
 
 
-# shared oracle arithmetic for the rect-pair overlay queries (+0.25 keeps
-# the shifted edges off the originals — no collinear-overlap degeneracy,
-# which the overlay kernel handles only heuristically, clip.py docstring)
-_DX = "(CAST(p_partkey % 7 AS DOUBLE) / 2.0 + 0.25)"
-_DY = "(CAST(p_partkey % 5 AS DOUBLE) / 2.0 + 0.25)"
+# shared oracle arithmetic for the rect-pair overlay queries; dx/dy of 0
+# occur (p_partkey % 7 == 0 etc.) so the gate covers identical and
+# collinear-shared-edge pairs — the overlay resolves those via directed
+# shared-fragment matching (clip.py)
+_DX = "(CAST(p_partkey % 7 AS DOUBLE) / 2.0)"
+_DY = "(CAST(p_partkey % 5 AS DOUBLE) / 2.0)"
 _RECT_INTER = (f"greatest(0.0, least({PART_X0} + {PART_W}, {PART_X0} + {_DX} + {PART_W})"
                f" - greatest({PART_X0}, {PART_X0} + {_DX}))"
                f" * greatest(0.0, least({PART_Y0} + {PART_H}, {PART_Y0} + {_DY} + {PART_H})"

@@ -196,15 +196,31 @@ def _overlay(g1: Geometry, g2: Geometry, op: str) -> Geometry:
     fb = _fragment_rings(_all_rings(b), _all_rings(a))
     ca = [_classify(f, b) for f in fa]
     cb = [_classify(f, a) for f in fb]
+    # collinear shared edges: a boundary(1)-classified A fragment coincides
+    # with a B fragment either same-direction (interiors on the same side)
+    # or opposite (interiors on opposite sides); the op decides which kind
+    # belongs to the result boundary.  B boundary fragments never emit —
+    # A's copy is authoritative.
+    b_dirs = {(_key(f[0]), _key(f[-1])) for f in fb}
+
+    def sd(f):  # shared edge, same direction: interiors on the same side
+        return (_key(f[0]), _key(f[-1])) in b_dirs
+
+    def od(f):  # shared edge, opposite direction: interiors on opposite sides
+        return (_key(f[-1]), _key(f[0])) in b_dirs
+
     sel = []
     if op == "union":
-        sel += [f for f, c in zip(fa, ca) if c == 0 or c == 1]
+        sel += [f for f, c in zip(fa, ca)
+                if c == 0 or (c == 1 and (sd(f) or not od(f)))]
         sel += [f for f, c in zip(fb, cb) if c == 0]
     elif op == "intersection":
-        sel += [f for f, c in zip(fa, ca) if c == 2 or c == 1]
+        sel += [f for f, c in zip(fa, ca)
+                if c == 2 or (c == 1 and (sd(f) or not od(f)))]
         sel += [f for f, c in zip(fb, cb) if c == 2]
     elif op == "difference":
-        sel += [f for f, c in zip(fa, ca) if c == 0]
+        sel += [f for f, c in zip(fa, ca)
+                if c == 0 or (c == 1 and od(f) and not sd(f))]
         sel += [f[::-1] for f, c in zip(fb, cb) if c == 2]
     rings = _stitch(sel)
     return _assemble(rings)

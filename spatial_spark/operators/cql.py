@@ -23,7 +23,12 @@ from ..geom import from_wkt
 _GEOM_PROPS = ("the_geom", "geometry", "geom")
 
 
-def cql_to_sql(expr: str) -> str:
+def cql_to_sql(expr: str, strict: bool = True) -> str:
+    """Translate the CQL subset to a Spark SQL predicate string.
+
+    strict=True (default) raises on CQL spatial constructs the translator
+    failed to rewrite (wrong arity, malformed WKT) instead of letting them
+    fall through to a confusing Spark analysis error."""
     s = expr
 
     # BBOX(the_geom, x1, y1, x2, y2) → bbox-intersects column predicate
@@ -68,6 +73,15 @@ def cql_to_sql(expr: str) -> str:
 
     # CQL operators → SQL
     s = re.sub(r"<>", "!=", s)
+
+    if strict:
+        leftover = re.search(
+            r"\b(BBOX|INTERSECTS|WITHIN|CONTAINS|TOUCHES|CROSSES|OVERLAPS"
+            r"|DISJOINT|EQUALS)\s*\(", s, flags=re.I)
+        if leftover:
+            raise ValueError(
+                f"CQL: could not translate {leftover.group(1).upper()}(...) — "
+                f"check argument count/WKT in: {expr!r}")
     return s
 
 

@@ -252,3 +252,33 @@ def test_clip_line():
     line = from_wkt("LINESTRING (-5 5, 15 5)")
     c = clip_line(line, SQ1)
     assert length(c) == pytest.approx(10.0)
+
+
+# ------------------------------------------------- collinear-edge overlay
+def test_union_side_by_side():
+    a = from_wkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+    b = from_wkt("POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))")
+    assert area(union(a, b)) == pytest.approx(8.0)
+
+
+def test_union_collinear_partial_overlap():
+    a = from_wkt("POLYGON ((0 0, 3 0, 3 2, 0 2, 0 0))")
+    b = from_wkt("POLYGON ((1 0, 4 0, 4 2, 1 2, 1 0))")
+    assert area(union(a, b)) == pytest.approx(8.0)
+    assert area(intersection(a, b)) == pytest.approx(4.0)
+    assert area(difference(a, b)) == pytest.approx(2.0)
+    assert area(sym_difference(a, b)) == pytest.approx(4.0)
+
+
+def test_union_identical():
+    a = from_wkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+    assert area(union(a, a)) == pytest.approx(4.0)
+    assert area(intersection(a, a)) == pytest.approx(4.0)
+    assert area(difference(a, a)) == pytest.approx(0.0)
+
+
+def test_union_contained_shared_edge():
+    big = from_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    small = from_wkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")  # shares corner edges
+    assert area(union(big, small)) == pytest.approx(16.0)
+    assert area(difference(big, small)) == pytest.approx(12.0)
