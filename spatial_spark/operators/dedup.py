@@ -106,26 +106,31 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     bounds bucket sizes) → estimated-Jaccard filter on the full signatures.
     Returns (a_id, b_id, jaccard_est) with a_id < b_id."""
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k).cache()
 
+    # band on bare (id, band, hash) — the 64-long signature array never rides
+    # the 16x explode or the distinct; it joins back once per unique pair
     banded = sigs.select(
-        F.col(id_col), "signature",
+        F.col(id_col),
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("band"),
                      F.hash(*[F.col("signature")[i * rows_per_band + j]
                               for j in range(rows_per_band)]).alias("bh"))
             for i in range(bands)
         ])).alias("bb"))
-    banded = banded.select(id_col, "signature", "bb.band", "bb.bh")
+    banded = banded.select(id_col, "bb.band", "bb.bh")
 
-    a = banded.select(F.col(id_col).alias("a_id"),
-                      F.col("signature").alias("a_sig"), "band", "bh")
-    b = banded.select(F.col(id_col).alias("b_id"),
-                      F.col("signature").alias("b_sig"), "band", "bh")
+    a = banded.select(F.col(id_col).alias("a_id"), "band", "bh")
+    b = banded.select(F.col(id_col).alias("b_id"), "band", "bh")
     cand = (a.join(b, ["band", "bh"])
             .filter(F.col("a_id") < F.col("b_id"))
-            .select("a_id", "b_id", "a_sig", "b_sig")
+            .select("a_id", "b_id")
             .distinct())
+    cand = (cand
+            .join(sigs.select(F.col(id_col).alias("a_id"),
+                              F.col("signature").alias("a_sig")), "a_id")
+            .join(sigs.select(F.col(id_col).alias("b_id"),
+                              F.col("signature").alias("b_sig")), "b_id"))
 
     matches = F.aggregate(
         F.zip_with("a_sig", "b_sig", lambda x, y: (x == y).cast("int")),

@@ -101,3 +101,22 @@ def test_osm_import_layer(ctx, spark, tmp_path):
     # window search over the imported layer
     res = layer.bbox_search(12.97, 56.05, 12.98, 56.06)
     assert res.count() >= 1
+
+
+def test_render_layer_png(ctx, spark, tmp_path):
+    from spatial_spark.io.render import render_layer, render_to_file, render_tiles
+    layer = ctx.create_wkt_layer("render_me")
+    df = spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+         (2, "LINESTRING (0 0, 10 10)"),
+         (3, "POINT (5 5)")],
+        "id long, wkt string")
+    layer.add(df, wkt="wkt")
+    png = render_layer(layer, width=64, height=64)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    assert len(png) > 100
+    p = render_to_file(layer, str(tmp_path / "out.png"), width=32, height=32)
+    assert os.path.getsize(p) > 50
+    tiles = render_tiles(layer.df(), (0, 0, 10, 10), 2, 2, tile_px=32).collect()
+    assert len(tiles) == 4
+    assert all(t["png"][:8] == b"\x89PNG\r\n\x1a\n" for t in tiles)
