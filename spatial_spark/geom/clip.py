@@ -140,7 +140,10 @@ def _stitch(frags) -> list:
             pts = [path[0][0]]
             for f in path:
                 pts.extend(f[1:])
-            ring = np.array(pts)
+            # decimal-snap interpolated vertices (poor-man's snap rounding:
+            # pulls a0+(a1-a0)*t artifacts like 1.5000000000000002 back onto
+            # clean coordinates; error bound 5e-10 per ordinate)
+            ring = np.round(np.array(pts), 9)
             if _key(ring[0]) != _key(ring[-1]):
                 ring = np.vstack([ring, ring[:1]])
             ring[-1] = ring[0]

@@ -68,6 +68,19 @@ class SpatialContext:
     def layers(self) -> list:
         return self.catalog.layers()
 
+    @staticmethod
+    def layer_types() -> dict:
+        """spatial.layerTypes parity (SpatialLayerTypePresets.java:40-67):
+        the registered layer/encoder presets."""
+        return {
+            "SimplePoint": {"encoder": ENC_POINT, "geometry_type": "Point"},
+            "NativePoint": {"encoder": ENC_POINT, "geometry_type": "Point"},
+            "WKT": {"encoder": ENC_WKT, "geometry_type": None},
+            "WKB": {"encoder": ENC_WKB, "geometry_type": None},
+            "Geometry": {"encoder": ENC_WKB, "geometry_type": None},
+            "OSM": {"encoder": ENC_WKB, "geometry_type": None},
+        }
+
     def meta(self, name: str) -> dict:
         return self.catalog.get(name)
 
@@ -266,3 +279,33 @@ class Layer:
     def cql(self, expression: str) -> DataFrame:
         from .operators.cql import cql_filter
         return cql_filter(self, expression)
+
+    def covered_by_search(self, xmin, ymin, xmax, ymax) -> DataFrame:
+        """SearchCoveredByEnvelope parity: records whose envelope lies
+        entirely inside the window."""
+        from .functions.columns import bbox_covered_by_window
+        return self.df().filter(bbox_covered_by_window(
+            "xmin", "ymin", "xmax", "ymax", (xmin, ymin, xmax, ymax)))
+
+    def equal_envelope_search(self, xmin, ymin, xmax, ymax,
+                              tol: float = 0.0) -> DataFrame:
+        """SearchEqualEnvelopes parity: records whose envelope equals the
+        window (within tol)."""
+        from .functions.columns import bbox_equals_window
+        return self.df().filter(bbox_equals_window(
+            "xmin", "ymin", "xmax", "ymax", (xmin, ymin, xmax, ymax), tol))
+
+    def add_wkt(self, wkt_str: str, **attrs) -> None:
+        """spatial.addWKT parity: single-record insert (row-level DML is a
+        tiny append — the batch path is Layer.add)."""
+        from pyspark.sql import types as T
+        fields = [T.StructField("wkt", T.StringType())]
+        row = [wkt_str]
+        for k, v in attrs.items():
+            t = (T.LongType() if isinstance(v, int) and not isinstance(v, bool)
+                 else T.DoubleType() if isinstance(v, float)
+                 else T.BooleanType() if isinstance(v, bool) else T.StringType())
+            fields.append(T.StructField(k, t))
+            row.append(v)
+        df = self.ctx.spark.createDataFrame([tuple(row)], T.StructType(fields))
+        self.add(df, wkt="wkt")

@@ -1,0 +1,130 @@
+"""Property-based tests for the geometry kernel (hypothesis).
+
+The reference has no randomized testing (SURVEY.md §5) — these invariants
+harden the kernel beyond its golden-count style: codec roundtrips, metric
+identities, predicate algebra, overlay area conservation.
+"""
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from spatial_spark.geom import Geometry, from_wkb, from_wkt, to_wkb, to_wkt
+from spatial_spark.geom.algorithms import (
+    area, centroid, convex_hull, distance, orthodromic_distance_km,
+)
+from spatial_spark.geom.clip import difference, intersection, union
+from spatial_spark.geom.predicates import (
+    contains, covers, disjoint, intersects, overlaps, within,
+)
+
+coord = st.floats(min_value=-1000, max_value=1000,
+                  allow_nan=False, allow_infinity=False)
+lon = st.floats(min_value=-179.9, max_value=179.9, allow_nan=False)
+lat = st.floats(min_value=-89.0, max_value=89.0, allow_nan=False)
+side = st.floats(min_value=0.1, max_value=100, allow_nan=False)
+
+
+@st.composite
+def rects(draw):
+    x = draw(coord)
+    y = draw(coord)
+    w = draw(side)
+    h = draw(side)
+    return Geometry.box(x, y, x + w, y + h)
+
+
+@st.composite
+def point_sets(draw):
+    n = draw(st.integers(min_value=3, max_value=20))
+    return [(draw(coord), draw(coord)) for _ in range(n)]
+
+
+@given(rects())
+@settings(max_examples=100, deadline=None)
+def test_wkb_roundtrip_preserves_geometry(r):
+    assert to_wkt(from_wkb(to_wkb(r))) == to_wkt(r)
+
+
+@given(rects())
+@settings(max_examples=100, deadline=None)
+def test_wkt_roundtrip_preserves_area(r):
+    assert area(from_wkt(to_wkt(r))) == area(r)
+
+
+@given(rects(), rects())
+@settings(max_examples=100, deadline=None)
+def test_predicate_symmetries(a, b):
+    assert intersects(a, b) == intersects(b, a)
+    assert disjoint(a, b) == (not intersects(a, b))
+    assert within(a, b) == contains(b, a)
+    if contains(a, b):
+        assert covers(a, b)
+        assert intersects(a, b)
+    if overlaps(a, b):
+        assert overlaps(b, a)
+
+
+@given(rects(), rects())
+@settings(max_examples=60, deadline=None)
+def test_overlay_area_conservation(a, b):
+    """|A∪B| + |A∩B| == |A| + |B| (inclusion-exclusion)."""
+    ua = area(union(a, b))
+    ia = area(intersection(a, b))
+    assert math.isclose(ua + ia, area(a) + area(b),
+                        rel_tol=1e-6, abs_tol=1e-6)
+
+
+@given(rects(), rects())
+@settings(max_examples=60, deadline=None)
+def test_difference_area_identity(a, b):
+    """|A\\B| == |A| - |A∩B|."""
+    da = area(difference(a, b))
+    ia = area(intersection(a, b))
+    assert math.isclose(da, area(a) - ia, rel_tol=1e-6, abs_tol=1e-6)
+
+
+@given(rects(), rects())
+@settings(max_examples=60, deadline=None)
+def test_intersection_within_both(a, b):
+    """A∩B sticks out of neither input (area-based: overlay vertices carry
+    ~1 ulp interpolation noise, so exact covers() is not a valid invariant —
+    same as JTS pre-snap-rounding)."""
+    inter = intersection(a, b)
+    if not inter.is_empty() and inter.dimension() == 2:
+        assert area(difference(inter, a)) < 1e-6
+        assert area(difference(inter, b)) < 1e-6
+
+
+@given(point_sets())
+@settings(max_examples=60, deadline=None)
+def test_convex_hull_contains_points(pts):
+    mp = Geometry(4, [Geometry.point(x, y) for x, y in pts])
+    hull = convex_hull(mp)
+    if hull.dimension() == 2:
+        for x, y in pts:
+            assert covers(hull, Geometry.point(x, y))
+
+
+@given(rects())
+@settings(max_examples=60, deadline=None)
+def test_centroid_inside_rect(r):
+    c = centroid(r)
+    assert contains(r, c)
+
+
+@given(st.tuples(coord, coord), st.tuples(coord, coord))
+@settings(max_examples=100, deadline=None)
+def test_distance_symmetry_and_identity(p, q):
+    a = Geometry.point(*p)
+    b = Geometry.point(*q)
+    assert distance(a, b) == distance(b, a)
+    assert distance(a, a) == 0.0
+
+
+@given(lon, lat, lon, lat)
+@settings(max_examples=100, deadline=None)
+def test_orthodromic_bounds(lo1, la1, lo2, la2):
+    d = orthodromic_distance_km(lo1, la1, lo2, la2)
+    assert 0.0 <= d <= 6371.0 * math.pi + 1e-6
+    assert orthodromic_distance_km(lo2, la2, lo1, la1) == d

@@ -121,3 +121,20 @@ def test_results_layer(ctx, spark):
     res = layer.bbox_search(12.9, 56.0, 12.92, 56.02)
     out = ctx.create_results_layer("dst", res.drop("distance"))
     assert out.count() == res.count()
+
+
+def test_envelope_searches_and_addwkt(ctx, spark):
+    layer = ctx.create_wkt_layer("env_s")
+    layer.add_wkt("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))", name="inner")
+    layer.add_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", name="outer")
+    assert layer.count() == 2
+    cov = layer.covered_by_search(0.5, 0.5, 5, 5)
+    assert [r["name"] for r in cov.collect()] == ["inner"]
+    eq = layer.equal_envelope_search(0, 0, 10, 10)
+    assert [r["name"] for r in eq.collect()] == ["outer"]
+    assert layer.equal_envelope_search(0, 0, 10.1, 10, tol=0.2).count() == 1
+
+
+def test_layer_types(ctx):
+    types = ctx.layer_types()
+    assert "SimplePoint" in types and "WKB" in types
