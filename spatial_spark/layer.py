@@ -234,7 +234,9 @@ class Layer:
                 T.StructField("zkey", T.LongType()),
             ])
             return self.ctx.spark.createDataFrame([], schema)
-        return self.ctx.spark.read.parquet(self.path)
+        # mergeSchema: appends may add discovered attribute columns over time
+        # (the reference's dynamic attribute model, EditableLayerImpl:224-237)
+        return self.ctx.spark.read.option("mergeSchema", "true").parquet(self.path)
 
     def count(self) -> int:
         """spatial.getFeatureCount (:589-596)."""
