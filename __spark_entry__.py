@@ -167,6 +167,16 @@ def _q_spatial_join(spark, sf_dir) -> DataFrame:
                       F.col("b_n_nationkey").alias("cell_nationkey"))
 
 
+def _q_spatial_join_grid(spark, sf_dir) -> DataFrame:
+    """Same join, grid (non-broadcast) path forced: exercises the PBSM
+    cell explode + reference-point dedup under the correctness gate."""
+    from spatial_spark.operators.join import spatial_join
+    res = spatial_join(_cust_point_geoms(spark), _nation_cells(spark), "within",
+                       broadcast_threshold=0)
+    return res.select(F.col("a_c_custkey").alias("c_custkey"),
+                      F.col("b_n_nationkey").alias("cell_nationkey"))
+
+
 def _q_spatial_join_agg(spark, sf_dir) -> DataFrame:
     from spatial_spark.operators.join import spatial_join
     res = spatial_join(_cust_point_geoms(spark), _nation_cells(spark), "within")
@@ -582,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_window": _q_bbox_window,
         "layer_stats": _q_layer_stats,
         "spatial_join": _q_spatial_join,
+        "spatial_join_grid": _q_spatial_join_grid,
         "spatial_join_agg": _q_spatial_join_agg,
         "distance_join": _q_distance_join,
         "st_area_rects": _q_st_area_rects,
@@ -753,6 +764,12 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
         """,
         "spatial_join": f"""
+            SELECT c.c_custkey, n.n_nationkey AS cell_nationkey
+            FROM customer c JOIN nation n
+              ON {CUST_LON} > {NAT_X0} AND {CUST_LON} < {NAT_X0} + 72.0
+             AND {CUST_LAT} > {NAT_Y0} AND {CUST_LAT} < {NAT_Y0} + 34.0
+        """,
+        "spatial_join_grid": f"""
             SELECT c.c_custkey, n.n_nationkey AS cell_nationkey
             FROM customer c JOIN nation n
               ON {CUST_LON} > {NAT_X0} AND {CUST_LON} < {NAT_X0} + 72.0

@@ -187,3 +187,50 @@ def test_streaming_windowed_counts(spark, sf_dir, tmp_path):
     got_total = sum(r["n_events"] for r in res.collect())
     exp_total = sum(r["n_events"] for r in exp.collect())
     assert got_total == exp_total == batch.count()
+
+
+def test_streaming_stateful_dedup(spark, sf_dir, tmp_path):
+    """applyInPandasWithState streaming dedup: duplicates of (user_id,
+    event_type) suppressed within TTL."""
+    import shutil
+    from spatial_spark.streaming.events import read_events_stream, run_batchlike
+    from spatial_spark.streaming.stateful import streaming_dedup
+    from spatial_spark.io.tables import load_table
+    stream_dir = tmp_path / "ev"
+    stream_dir.mkdir()
+    # stateful ops carry per-batch state-store overhead: use a 100-row sample
+    spark.read.parquet(f"{sf_dir}/events.parquet").limit(100) \
+        .coalesce(1).write.parquet(str(stream_dir / "p0"))
+    stream = read_events_stream(spark, str(stream_dir / "p0"))
+    res = run_batchlike(streaming_dedup(stream, ["user_id", "event_type"]))
+    batch = spark.read.parquet(str(stream_dir / "p0"))  # the exact sample
+    exp = batch.select("user_id", "event_type").distinct().count()
+    assert res.count() == exp
+    assert res.select("user_id", "event_type").distinct().count() == exp
+
+
+def test_streaming_running_stats(spark, sf_dir, tmp_path):
+    import shutil
+    from pyspark.sql import functions as F
+    from spatial_spark.streaming.events import read_events_stream, run_batchlike
+    from spatial_spark.streaming.stateful import running_user_stats
+    from spatial_spark.io.tables import load_table
+    stream_dir = tmp_path / "ev2"
+    stream_dir.mkdir()
+    spark.read.parquet(f"{sf_dir}/events.parquet").limit(100) \
+        .coalesce(1).write.parquet(str(stream_dir / "p0"))
+    stream = read_events_stream(spark, str(stream_dir / "p0"))
+    res = run_batchlike(running_user_stats(stream), out_mode="update")
+    # final state per user == batch aggregate (read the exact sample back)
+    batch = spark.read.parquet(str(stream_dir / "p0"))
+    exp = {r["user_id"]: (r["n"], round(r["s"], 6)) for r in
+           batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"),
+                                        F.sum("value").alias("s")).collect()}
+    from pyspark.sql import Window
+    import pyspark.sql.functions as FF
+    latest = (res.withColumn("_r", FF.row_number().over(
+        Window.partitionBy("user_id").orderBy(FF.col("n_events").desc())))
+        .filter("_r = 1"))
+    got = {r["user_id"]: (r["n_events"], round(r["sum_value"], 6))
+           for r in latest.collect()}
+    assert got == exp
