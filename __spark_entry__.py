@@ -69,6 +69,15 @@ def _sphere_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
 def _setup(spark: SparkSession, sf_dir: str) -> None:
     from spatial_spark.functions import register_all
     from spatial_spark.io.tables import register_views
+    # the driver owns the session: apply the runtime confs we rely on
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:  # tune shuffle width for local mode (harmless on a real cluster)
+        cores = spark.sparkContext.defaultParallelism
+        if int(spark.conf.get("spark.sql.shuffle.partitions")) > max(cores, 32):
+            spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 8)))
+    except Exception:
+        pass
     register_all(spark)
     register_views(spark, sf_dir)
 

@@ -24,6 +24,9 @@ NANOS_TS = {
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # nanosAsLong is a runtime SQL conf: set it here so sessions we didn't
+    # build (e.g. the driver's) can read the TIMESTAMP(NANOS) files too
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in NANOS_TS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
