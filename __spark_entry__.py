@@ -526,7 +526,10 @@ def _q_dynamic_view(spark, sf_dir) -> DataFrame:
     )).select("id", "wkt")
     layer = ctx.create_wkt_layer("rects_view_test")
     layer.add(df, wkt="wkt")
-    layer.add_view("wide_rects", "xmax - xmin > 3.0")
+    # threshold 3.05 sits mid-gap of the 0.1-quantized widths: the
+    # (x0+w)-x0 float round-trip cannot cross it (w > 3.0 could: 2.9+0.1
+    # lands on either side of 3.0 depending on association)
+    layer.add_view("wide_rects", "xmax - xmin > 3.05")
     return (layer.view("wide_rects")
             .select(F.col("id").alias("p_partkey"))
             .orderBy("p_partkey"))
@@ -545,6 +548,19 @@ def _q_layer_within_distance(spark, sf_dir) -> DataFrame:
     res = layer.within_distance(PROBE_LON, PROBE_LAT, 2000.001)
     return (res.withColumn("distance_km", F.round(F.col("distance"), 6))
             .filter(F.col("distance_km") <= 2000.0)
+            .select("c_custkey", "distance_km"))
+
+
+def _q_layer_knn(spark, sf_dir) -> DataFrame:
+    """Layer.closest (adaptive-window k-NN) under the correctness gate."""
+    import tempfile
+    from spatial_spark.layer import SpatialContext
+    ctx = SpatialContext(spark, tempfile.mkdtemp(prefix="spatial_wh_"))
+    layer = ctx.create_point_layer("knn_layer", x="lon", y="lat")
+    layer.add(_customer_points(spark).withColumn("id", F.col("c_custkey")))
+    res = layer.closest(PROBE_LON, PROBE_LAT, k=25)
+    return (res.withColumn("distance_km", F.round(F.col("distance"), 6))
+            .orderBy(F.col("distance_km").asc(), F.col("c_custkey").asc())
             .select("c_custkey", "distance_km"))
 
 
@@ -633,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "dynamic_view": _q_dynamic_view,
         "layer_within_distance": _q_layer_within_distance,
+        "layer_knn": _q_layer_knn,
         "hilbert_keys": _q_hilbert_keys,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -959,7 +976,11 @@ def oracle_sql() -> dict[str, str]:
             FROM sess GROUP BY user_id, sid
         """,
         "dynamic_view": f"""
-            SELECT p_partkey FROM part WHERE {PART_W} > 3.0 ORDER BY p_partkey
+            SELECT p_partkey FROM part WHERE {PART_W} > 3.05 ORDER BY p_partkey
+        """,
+        "layer_knn": f"""
+            SELECT c_custkey, round({d}, 6) AS distance_km
+            FROM customer ORDER BY round({d}, 6) ASC, c_custkey ASC LIMIT 25
         """,
         "layer_within_distance": f"""
             SELECT c_custkey, round({d}, 6) AS distance_km

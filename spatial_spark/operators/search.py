@@ -88,27 +88,36 @@ def closest(layer, lon: float, lat: float, k: int = 100,
     bx = layer.bbox()
     import math
     area = max((bx[2] - bx[0]) * (bx[3] - bx[1]), 1e-12)
-    # estimated radius (degrees) containing ~2k points under uniform density
-    est_deg = math.sqrt(2.0 * k * area / (math.pi * total))
-    est_km = est_deg * 110.574
+    # window sized for ~4k expected candidates under uniform density —
+    # one prefiltered top-k pass; a single full-layer fallback pass only if
+    # the window under-delivered (two jobs max, not an O(log) count loop)
+    est_deg = math.sqrt(4.0 * k * area / (math.pi * total))
+    km = max(est_deg * 110.574, 1e-6)
     if max_km is not None:
-        est_km = min(est_km, max_km)
-    km = max(est_km, 1e-6)
-    while True:
-        window = sphere_search_window(lon, lat, km)
-        cand = _window_prefilter(layer.df(), window)
-        n = cand.count()
-        world = (window[0] <= bx[0] and window[1] <= bx[1]
-                 and window[2] >= bx[2] and window[3] >= bx[3])
-        if n >= k or world or (max_km is not None and km >= max_km):
-            break
-        km *= 2.0
-        if max_km is not None:
-            km = min(km, max_km)
+        km = min(km, max_km)
+    window = sphere_search_window(lon, lat, km)
+    cand = _window_prefilter(layer.df(), window)
     cand = cand.withColumn("distance", _distance_col(cand, lon, lat))
     if max_km is not None:
         cand = cand.filter(F.col("distance") <= max_km)
-    return cand.orderBy("distance").limit(k)
+    rows = cand.orderBy("distance").limit(k).collect()
+    window_covers_layer = (window[0] <= bx[0] and window[1] <= bx[1]
+                           and window[2] >= bx[2] and window[3] >= bx[3])
+    # guarantee: a point outside the window is farther than `km`, so the
+    # in-window top-k is globally correct only while d_k <= km (window
+    # corners can hold candidates beyond the inscribed ball)
+    incomplete = len(rows) < k or (rows and rows[-1]["distance"] > km)
+    need_fallback = incomplete and not window_covers_layer \
+        and (max_km is None or km < max_km)
+    if need_fallback:
+        full = layer.df()
+        full = full.withColumn("distance", _distance_col(full, lon, lat))
+        if max_km is not None:
+            full = full.filter(F.col("distance") <= max_km)
+        return full.orderBy("distance").limit(k)
+    out = layer.ctx.spark.createDataFrame(rows, cand.schema) if rows else \
+        cand.limit(0)
+    return out.orderBy("distance")
 
 
 def bbox_search(layer, window) -> DataFrame:
