@@ -120,3 +120,20 @@ def test_render_layer_png(ctx, spark, tmp_path):
     tiles = render_tiles(layer.df(), (0, 0, 10, 10), 2, 2, tile_px=32).collect()
     assert len(tiles) == 4
     assert all(t["png"][:8] == b"\x89PNG\r\n\x1a\n" for t in tiles)
+
+
+def test_export_sinks(ctx, spark, tmp_path):
+    from spatial_spark.io.export import export_geojson, export_lines
+    import json
+    layer = ctx.create_wkt_layer("exp")
+    layer.add(spark.createDataFrame(
+        [(1, "POINT (1 2)", "a"), (2, "LINESTRING (0 0, 1 1)", "b")],
+        "id long, wkt string, name string"), wkt="wkt")
+    p = export_geojson(layer, str(tmp_path / "out.geojson"))
+    fc = json.load(open(p))
+    assert fc["type"] == "FeatureCollection" and len(fc["features"]) == 2
+    names = {f["properties"]["name"] for f in fc["features"]}
+    assert names == {"a", "b"}
+    d = export_lines(layer, str(tmp_path / "wkts"), fmt="wkt")
+    lines = spark.read.text(d).collect()
+    assert len(lines) == 2 and any("POINT" in r["value"] for r in lines)
