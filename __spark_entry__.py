@@ -564,6 +564,18 @@ def _q_layer_knn(spark, sf_dir) -> DataFrame:
             .select("c_custkey", "distance_km"))
 
 
+def _q_line_interpolate(spark, sf_dir) -> DataFrame:
+    """LRS parity: midpoint (fraction 0.5) of 2-vertex order paths —
+    oracle is the closed-form segment midpoint."""
+    paths = _order_paths(spark)
+    two_pt = paths.filter(F.expr("st_numpoints(geom)") == 2)
+    mid = F.expr("st_coords(st_line_interpolate_point(geom, 0.5))")
+    return two_pt.select(
+        "l_orderkey",
+        F.round(mid[0][0], 6).alias("mx"),
+        F.round(mid[0][1], 6).alias("my"))
+
+
 def _q_hilbert_keys(spark, sf_dir) -> DataFrame:
     """Hilbert point-index parity (rows-only: no tractable SQL oracle)."""
     from spatial_spark.functions.scalar import hilbert_key_udf
@@ -650,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dynamic_view": _q_dynamic_view,
         "layer_within_distance": _q_layer_within_distance,
         "layer_knn": _q_layer_knn,
+        "line_interpolate": _q_line_interpolate,
         "hilbert_keys": _q_hilbert_keys,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -977,6 +990,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dynamic_view": f"""
             SELECT p_partkey FROM part WHERE {PART_W} > 3.05 ORDER BY p_partkey
+        """,
+        "line_interpolate": f"""
+            WITH pts AS (
+              SELECT l_orderkey, {LI_X} AS px, {LI_Y} AS py FROM lineitem)
+            SELECT l_orderkey,
+                   round(sum(px) / 2, 6) AS mx,
+                   round(sum(py) / 2, 6) AS my
+            FROM pts GROUP BY l_orderkey HAVING count(*) = 2
         """,
         "layer_knn": f"""
             SELECT c_custkey, round({d}, 6) AS distance_km

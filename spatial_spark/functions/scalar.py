@@ -287,6 +287,40 @@ def st_translate(wkb: pd.Series, dx: pd.Series, dy: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+@F.pandas_udf(T.BinaryType())
+def st_closest_point(geom: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
+    """Nearest point of geom to (x,y) — closest-edge snap (DistanceOp /
+    SpatialTopologyUtils parity)."""
+    out = []
+    for b, px, py in zip(geom, x, y):
+        if b is None:
+            out.append(None)
+            continue
+        qx, qy = alg.nearest_point_on(from_wkb(b), float(px), float(py))
+        out.append(to_wkb(Geometry.point(qx, qy)))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.DoubleType())
+def st_line_locate_point(geom: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
+    """Fraction [0,1] along a linestring of the projected point (LRS)."""
+    out = []
+    for b, px, py in zip(geom, x, y):
+        out.append(None if b is None
+                   else alg.line_locate_point(from_wkb(b), float(px), float(py)))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_line_interpolate_point(geom: pd.Series, frac: pd.Series) -> pd.Series:
+    """Point at a length fraction of a linestring (LRS)."""
+    out = []
+    for b, f in zip(geom, frac):
+        out.append(None if b is None
+                   else to_wkb(alg.line_interpolate_point(from_wkb(b), float(f))))
+    return pd.Series(out)
+
+
 @F.pandas_udf(T.LongType())
 def zorder_key_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
     """Level-12 z-order key over WGS84 (the SFC point-index key column)."""
@@ -318,7 +352,9 @@ geohash_udf = make_geohash_udf(12)
 
 REGISTRY = {
     "st_zorder_key": zorder_key_udf, "st_hilbert_key": hilbert_key_udf,
-    "st_geohash": geohash_udf,
+    "st_geohash": geohash_udf, "st_closest_point": st_closest_point,
+    "st_line_locate_point": st_line_locate_point,
+    "st_line_interpolate_point": st_line_interpolate_point,
     "st_area": st_area, "st_length": st_length, "st_length_sphere": st_length_sphere,
     "st_dimension": st_dimension, "st_numpoints": st_numpoints,
     "st_numgeometries": st_numgeometries, "st_geometrytype": st_geometrytype,

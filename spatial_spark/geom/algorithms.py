@@ -358,6 +358,56 @@ def nearest_point_on(g: Geometry, px: float, py: float):
     return best[1], best[2]
 
 
+def line_locate_point(line: Geometry, px: float, py: float) -> float:
+    """Fraction [0,1] along the linestring of the point's projection —
+    linear referencing (the reference's LRS/closest-edge capability,
+    TestSpatialQueries.java / SpatialTopologyUtils)."""
+    a = line.coords
+    if len(a) < 2:
+        return 0.0
+    seg = np.diff(a, axis=0)
+    seg_len = np.sqrt((seg * seg).sum(1))
+    total = seg_len.sum()
+    if total == 0:
+        return 0.0
+    best = (math.inf, 0.0)
+    acc = 0.0
+    for i in range(len(a) - 1):
+        ax, ay = a[i]
+        dx, dy = seg[i]
+        ll = dx * dx + dy * dy
+        t = 0.0 if ll == 0 else max(0.0, min(1.0, ((px - ax) * dx + (py - ay) * dy) / ll))
+        qx, qy = ax + t * dx, ay + t * dy
+        d = math.hypot(px - qx, py - qy)
+        if d < best[0]:
+            best = (d, acc + t * seg_len[i])
+        acc += seg_len[i]
+    return best[1] / total
+
+
+def line_interpolate_point(line: Geometry, fraction: float) -> Geometry:
+    """Point at `fraction` [0,1] of the linestring's length (LRS)."""
+    a = line.coords
+    if len(a) == 0:
+        return Geometry(GTYPE_POINT, np.array([np.nan, np.nan]))
+    if len(a) == 1:
+        return Geometry(GTYPE_POINT, a[0].copy())
+    fraction = max(0.0, min(1.0, fraction))
+    seg = np.diff(a, axis=0)
+    seg_len = np.sqrt((seg * seg).sum(1))
+    total = seg_len.sum()
+    if total == 0:
+        return Geometry(GTYPE_POINT, a[0].copy())
+    target = fraction * total
+    acc = 0.0
+    for i in range(len(a) - 1):
+        if acc + seg_len[i] >= target or i == len(a) - 2:
+            t = 0.0 if seg_len[i] == 0 else (target - acc) / seg_len[i]
+            return Geometry(GTYPE_POINT, a[i] + np.clip(t, 0, 1) * seg[i])
+        acc += seg_len[i]
+    return Geometry(GTYPE_POINT, a[-1].copy())
+
+
 # ------------------------------------------------------- orthodromic (sphere)
 def orthodromic_distance_km(lon1, lat1, lon2, lat2) -> float:
     """Spherical law of cosines with R=6371 — exact replication of

@@ -297,6 +297,18 @@ class Layer:
         return self.df().filter(bbox_equals_window(
             "xmin", "ymin", "xmax", "ymax", (xmin, ymin, xmax, ymax), tol))
 
+    def closest_edge(self, x: float, y: float, k: int = 1) -> DataFrame:
+        """k geometries with the nearest edge to (x,y), with the snapped
+        point and planar distance (TestSpatialQueries closest-edge / LRS
+        parity: SpatialTopologyUtils.findClosestEdges)."""
+        from .functions.scalar import st_closest_point
+        df = self.df()
+        snapped = st_closest_point(F.col("geom"), F.lit(float(x)), F.lit(float(y)))
+        df = df.withColumn("closest_point", snapped)
+        cp = F.expr("st_coords(closest_point)")
+        dist = F.sqrt((cp[0][0] - float(x)) ** 2 + (cp[0][1] - float(y)) ** 2)
+        return df.withColumn("edge_distance", dist).orderBy("edge_distance").limit(k)
+
     def add_wkt(self, wkt_str: str, **attrs) -> None:
         """spatial.addWKT parity: single-record insert (row-level DML is a
         tiny append — the batch path is Layer.add)."""

@@ -138,3 +138,24 @@ def test_envelope_searches_and_addwkt(ctx, spark):
 def test_layer_types(ctx):
     types = ctx.layer_types()
     assert "SimplePoint" in types and "WKB" in types
+
+
+def test_closest_edge_and_lrs(ctx, spark):
+    """Closest-edge + linear referencing (TestSpatialQueries parity)."""
+    layer = ctx.create_wkt_layer("lrs")
+    layer.add_wkt("LINESTRING (0 0, 10 0)", name="h")
+    layer.add_wkt("LINESTRING (0 5, 0 15)", name="v")
+    res = layer.closest_edge(3.0, 1.0, k=1).collect()
+    assert res[0]["name"] == "h"
+    assert res[0]["edge_distance"] == pytest.approx(1.0)
+    row = spark.sql("""
+        SELECT st_astext(st_closest_point(
+                 st_geomfromtext('LINESTRING (0 0, 10 0)'), 3.0D, 4.0D)) AS cp,
+               st_line_locate_point(
+                 st_geomfromtext('LINESTRING (0 0, 10 0)'), 2.5D, 9.0D) AS frac,
+               st_astext(st_line_interpolate_point(
+                 st_geomfromtext('LINESTRING (0 0, 6 0, 6 4)'), 0.8D)) AS ip
+    """).collect()[0]
+    assert row["cp"] == "POINT (3 0)"
+    assert row["frac"] == pytest.approx(0.25)
+    assert row["ip"] == "POINT (6 2)"
