@@ -86,6 +86,42 @@ def _estimated_rows(df: DataFrame) -> int:
         return df.count()
 
 
+def _all_points(df: DataFrame) -> bool:
+    """True iff every row is a POINT — min/max over the gtype column
+    (metadata-only against parquet row-group stats)."""
+    try:
+        row = df.agg(F.min("gtype"), F.max("gtype")).first()
+        return row[0] == 1 and row[1] == 1
+    except Exception:
+        return False
+
+
+def _all_rects(df: DataFrame) -> bool:
+    """True iff every geometry is exactly its axis-aligned bbox polygon
+    (checked with the kernel — exact, not a heuristic)."""
+    @F.pandas_udf(T.BooleanType())
+    def is_rect(geom: pd.Series, xmin: pd.Series, ymin: pd.Series,
+                xmax: pd.Series, ymax: pd.Series) -> pd.Series:
+        from ..geom import Geometry
+        from ..geom.predicates import equals_norm
+        out = []
+        for b, x0, y0, x1, y1 in zip(geom, xmin, ymin, xmax, ymax):
+            if b is None:
+                out.append(False)
+                continue
+            g = from_wkb(b)
+            out.append(g.gtype == 3 and len(g.data) == 1 and len(g.data[0]) == 5
+                       and equals_norm(g, Geometry.box(float(x0), float(y0),
+                                                       float(x1), float(y1))))
+        return pd.Series(out)
+
+    try:
+        non_rect = df.filter(~is_rect("geom", "xmin", "ymin", "xmax", "ymax"))
+        return non_rect.limit(1).count() == 0
+    except Exception:
+        return False
+
+
 def spatial_join(a: DataFrame, b: DataFrame, predicate: str = "intersects",
                  broadcast_threshold: int = 10000) -> DataFrame:
     """Join rows of `a` and `b` where predicate(a.geom, b.geom) holds.
@@ -107,6 +143,25 @@ def spatial_join(a: DataFrame, b: DataFrame, predicate: str = "intersects",
     # no job) — a .count() here would be a full scan at 100 TB
     b_rows = _estimated_rows(b)
     if b_rows <= broadcast_threshold:
+        # points-vs-rectangles fast path: if every b geometry IS its bbox
+        # (grid cells, tiles — the dominant join shape) and a is all points,
+        # the predicate is pure column math — no Python refine at all.
+        # Verifying b is exact and cheap (b is the broadcast-small side);
+        # a's point-ness comes from min/max(gtype), which parquet stats make
+        # a metadata-only scan.
+        if predicate in ("within", "intersects", "coveredby") and _all_rects(b) \
+                and _all_points(a):
+            if predicate == "within":
+                exact = (
+                    (F.col("a_xmin") > F.col("b_xmin")) & (F.col("a_xmin") < F.col("b_xmax"))
+                    & (F.col("a_ymin") > F.col("b_ymin")) & (F.col("a_ymin") < F.col("b_ymax"))
+                )
+            else:
+                exact = (
+                    (F.col("a_xmin") >= F.col("b_xmin")) & (F.col("a_xmin") <= F.col("b_xmax"))
+                    & (F.col("a_ymin") >= F.col("b_ymin")) & (F.col("a_ymin") <= F.col("b_ymax"))
+                )
+            return a_pref.join(F.broadcast(b_pref), exact)
         joined = a_pref.join(F.broadcast(b_pref), bbox_pair)
     else:
         a_bbox = a.agg(F.min("xmin"), F.min("ymin"), F.max("xmax"), F.max("ymax")).first()

@@ -102,11 +102,15 @@ def test_intersection_within_both(a, b):
 @given(point_sets())
 @settings(max_examples=60, deadline=None)
 def test_convex_hull_contains_points(pts):
+    """Every input point lies on/in the hull — distance-based: the kernel
+    uses plain float orientation (no Shewchuk-robust predicates), so exact
+    covers() can misclassify at machine-epsilon collinearity."""
     mp = Geometry(4, [Geometry.point(x, y) for x, y in pts])
     hull = convex_hull(mp)
     if hull.dimension() == 2:
         for x, y in pts:
-            assert covers(hull, Geometry.point(x, y))
+            p = Geometry.point(x, y)
+            assert covers(hull, p) or distance(hull, p) < 1e-9
 
 
 @given(rects())
