@@ -90,6 +90,33 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q_spatial_join_agg(spark, sf_dir)
 
 
+# identical SQL text run by BOTH engines (valid Spark SQL and DuckDB):
+# per-row integerization before SUM + outer CAST of every BIGINT sum
+# (DuckDB sum(BIGINT) -> HUGEINT -> pandas float64 otherwise)
+_TPCH_Q1_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_base_cents,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+_REVENUE_SQL = """
+    SELECT n.n_name,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents,
+           count(*) AS n_items
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY n.n_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # query implementations (Spark side)
 # ---------------------------------------------------------------------------
@@ -339,29 +366,15 @@ def _q_keep_max(spark, sf_dir) -> DataFrame:
 
 
 def _q_tpch_q1(spark, sf_dir) -> DataFrame:
-    return spark.sql("""
-        SELECT l_returnflag, l_linestatus,
-               CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-               count(*) AS count_order
-        FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        GROUP BY l_returnflag, l_linestatus
-    """)
+    # hash-exact rules: integerize PER ROW before SUM (float-sum order
+    # differs across engines), and CAST the final sum back to BIGINT —
+    # DuckDB's sum(BIGINT) returns HUGEINT which pandas coerces to float64
+    # ("123.0" vs "123" hash mismatch).
+    return spark.sql(_TPCH_Q1_SQL)
 
 
 def _q_revenue_by_nation(spark, sf_dir) -> DataFrame:
-    return spark.sql("""
-        SELECT n.n_name,
-               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
-                   AS BIGINT)) AS revenue_cents,
-               count(*) AS n_items
-        FROM customer c
-        JOIN nation n ON c.c_nationkey = n.n_nationkey
-        JOIN orders o ON o.o_custkey = c.c_custkey
-        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-        GROUP BY n.n_name
-    """)
+    return spark.sql(_REVENUE_SQL)
 
 
 def _q_dedup_exact(spark, sf_dir) -> DataFrame:
@@ -418,13 +431,15 @@ def _q_knn_cosine(spark, sf_dir) -> DataFrame:
 
 
 def _q_events_daily(spark, sf_dir) -> DataFrame:
+    # timezone-free day bucketing: pure epoch-microsecond column math (the
+    # F.window path depends on the session TZ at window-alignment time)
+    day = (F.floor(F.unix_micros(F.col("ts")) / F.lit(86400000000.0))
+           .cast("long") * F.lit(86400)).alias("day_epoch")
     return (spark.table("events")
-            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .groupBy(day, "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
-                 .alias("value_cents"))
-            .select(F.unix_timestamp(F.col("w.start")).alias("day_epoch"),
-                    "event_type", "n_events", "value_cents"))
+                 .cast("long").alias("value_cents")))
 
 
 def _part_rect_pairs(spark) -> DataFrame:
@@ -466,15 +481,30 @@ def _q_st_union_area(spark, sf_dir) -> DataFrame:
 
 
 def _q_st_difference_area(spark, sf_dir) -> DataFrame:
+    # integer micro-areas: round(x, 6) emits -0.0 for tiny negative
+    # closed-form residue ("-0.0" vs "0.0" hash mismatch) and is subject to
+    # 1-ulp output-representation differences between engines
     return _part_rect_pairs(spark).select(
         "p_partkey",
-        F.round(F.expr("st_area(st_difference(geom_a, geom_b))"), 6).alias("diff_area"))
+        F.expr("CAST(round(st_area(st_difference(geom_a, geom_b)) * 1000000.0)"
+               " AS BIGINT)").alias("diff_area_micro"))
 
 
 def _q_st_symdifference_area(spark, sf_dir) -> DataFrame:
     return _part_rect_pairs(spark).select(
         "p_partkey",
-        F.round(F.expr("st_area(st_symdifference(geom_a, geom_b))"), 6).alias("symdiff_area"))
+        F.expr("CAST(round(st_area(st_symdifference(geom_a, geom_b)) * 1000000.0)"
+               " AS BIGINT)").alias("symdiff_area_micro"))
+
+
+def _q_relate_classes(spark, sf_dir) -> DataFrame:
+    """Exact DE-9IM matrix (FilterInRelation parity) over the rect-pair bed:
+    covers disjoint / corner-touch / edge-touch / equal / single-axis-shift
+    (collinear boundary overlap) / generic-overlap classes.  Oracle is the
+    closed-form axis-aligned-rectangle matrix."""
+    return _part_rect_pairs(spark).select(
+        "p_partkey",
+        F.expr("st_relate_matrix(geom_a, geom_b)").alias("de9im"))
 
 
 def _q_st_buffer_area(spark, sf_dir) -> DataFrame:
@@ -569,11 +599,13 @@ def _q_line_interpolate(spark, sf_dir) -> DataFrame:
     oracle is the closed-form segment midpoint."""
     paths = _order_paths(spark)
     two_pt = paths.filter(F.expr("st_numpoints(geom)") == 2)
+    # "+ 0.0" canonicalizes IEEE -0.0 to +0.0 (identity otherwise): the
+    # oracle's sum(py)/2 can produce a tiny negative that rounds to -0.0
     mid = F.expr("st_coords(st_line_interpolate_point(geom, 0.5))")
     return two_pt.select(
         "l_orderkey",
-        F.round(mid[0][0], 6).alias("mx"),
-        F.round(mid[0][1], 6).alias("my"))
+        (F.round(mid[0][0], 6) + F.lit(0.0)).alias("mx"),
+        (F.round(mid[0][1], 6) + F.lit(0.0)).alias("my"))
 
 
 def _q_hilbert_keys(spark, sf_dir) -> DataFrame:
@@ -656,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_union_area": _q_st_union_area,
         "st_difference_area": _q_st_difference_area,
         "st_symdifference_area": _q_st_symdifference_area,
+        "relate_classes": _q_relate_classes,
         "st_buffer_area": _q_st_buffer_area,
         "geohash": _q_geohash,
         "sessionize": _q_sessionize,
@@ -889,26 +922,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
             FROM orders WHERE o_totalprice = (SELECT max(o_totalprice) FROM orders)
         """,
-        "tpch_q1": """
-            SELECT l_returnflag, l_linestatus,
-                   CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-                   count(*) AS count_order
-            FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-            GROUP BY l_returnflag, l_linestatus
-        """,
-        "revenue_by_nation": """
-            SELECT n.n_name,
-                   sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
-                       AS BIGINT)) AS revenue_cents,
-                   count(*) AS n_items
-            FROM customer c
-            JOIN nation n ON c.c_nationkey = n.n_nationkey
-            JOIN orders o ON o.o_custkey = c.c_custkey
-            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-            GROUP BY n.n_name
-        """,
+        "tpch_q1": _TPCH_Q1_SQL,
+        "revenue_by_nation": _REVENUE_SQL,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
         """,
@@ -939,9 +954,10 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, vec_id ASC LIMIT 20
         """,
         "events_daily": """
-            SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+            SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS day_epoch,
                    event_type, count(*) AS n_events,
-                   sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS value_cents
             FROM events GROUP BY 1, 2
         """,
         "st_intersection_area": f"""
@@ -954,13 +970,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "st_difference_area": f"""
             SELECT p_partkey,
-                   round({PART_W} * {PART_H} - {_RECT_INTER}, 6) AS diff_area
+                   CAST(round(({PART_W} * {PART_H} - {_RECT_INTER}) * 1000000.0)
+                        AS BIGINT) AS diff_area_micro
             FROM part
         """,
         "st_symdifference_area": f"""
             SELECT p_partkey,
-                   round(2 * ({PART_W} * {PART_H} - {_RECT_INTER}), 6) AS symdiff_area
+                   CAST(round(2 * ({PART_W} * {PART_H} - {_RECT_INTER}) * 1000000.0)
+                        AS BIGINT) AS symdiff_area_micro
             FROM part
+        """,
+        "relate_classes": f"""
+            WITH r AS (
+              SELECT p_partkey,
+                     {PART_X0} AS ax0, {PART_Y0} AS ay0,
+                     {PART_X0} + {PART_W} AS ax1, {PART_Y0} + {PART_H} AS ay1,
+                     {PART_X0} + {_DX} AS bx0, {PART_Y0} + {_DY} AS by0,
+                     {PART_X0} + {_DX} + {PART_W} AS bx1,
+                     {PART_Y0} + {_DY} + {PART_H} AS by1
+              FROM part)
+            SELECT p_partkey, CASE
+              WHEN bx0 > ax1 OR by0 > ay1 THEN 'FF2FF1212'
+              WHEN bx0 = ax1 AND by0 = ay1 THEN 'FF2F01212'
+              WHEN bx0 = ax1 OR by0 = ay1 THEN 'FF2F11212'
+              WHEN bx0 = ax0 AND by0 = ay0 THEN '2FFF1FFF2'
+              WHEN bx0 = ax0 OR by0 = ay0 THEN '212111212'
+              ELSE '212101212' END AS de9im
+            FROM r
         """,
         "st_buffer_area": f"""
             SELECT s_suppkey,
@@ -995,8 +1031,8 @@ def oracle_sql() -> dict[str, str]:
             WITH pts AS (
               SELECT l_orderkey, {LI_X} AS px, {LI_Y} AS py FROM lineitem)
             SELECT l_orderkey,
-                   round(sum(px) / 2, 6) AS mx,
-                   round(sum(py) / 2, 6) AS my
+                   round(sum(px) / 2, 6) + 0.0 AS mx,
+                   round(sum(py) / 2, 6) + 0.0 AS my
             FROM pts GROUP BY l_orderkey HAVING count(*) = 2
         """,
         "layer_knn": f"""

@@ -74,8 +74,17 @@ def _point_loc(p: Geometry, g: Geometry) -> int:
     return 0
 
 
+def _polyize(g: Geometry) -> Geometry:
+    polys = [p for p in g.parts() if p.gtype == GTYPE_POLYGON]
+    return polys[0] if len(polys) == 1 else Geometry(GTYPE_MULTIPOLYGON, polys)
+
+
 def covers(a: Geometry, b: Geometry) -> bool:
-    """Every point of b is in (interior ∪ boundary of) a."""
+    """Every point of b is in (interior ∪ boundary of) a.
+
+    Point operands use the direct (exact, hole-aware) location test; all
+    other combos go through the exact DE-9IM matrix (relate.py) — covers
+    ⇔ E(a)∩I(b) = F and E(a)∩B(b) = F and a,b intersect."""
     if a.is_empty() or b.is_empty():
         return False
     if not envelope_covers(a.envelope(), b.envelope()):
@@ -85,66 +94,28 @@ def covers(a: Geometry, b: Geometry) -> bool:
         return False
     if db == 0:
         return all(_point_loc(p, a) > 0 for p in b.parts())
-    if da == 2:
-        # all vertices inside/boundary and no edge of b crosses outside a
-        verts = b.all_coords()
-        for vx, vy in verts:
-            if point_in_polygon(float(vx), float(vy), _polyize(a)) == 0:
-                return False
-        return not _boundary_crosses(b, a)
-    if da == 1 and db == 1:
-        # line covers line: every segment midpoint + vertex of b on a
-        for line in _as_lines(b):
-            for i in range(len(line) - 1):
-                mid = (line[i] + line[i + 1]) / 2.0
-                if _point_loc(Geometry.point(*mid), a) == 0:
-                    return False
-                if _point_loc(Geometry(GTYPE_POINT, line[i]), a) == 0:
-                    return False
-            if _point_loc(Geometry(GTYPE_POINT, line[-1]), a) == 0:
-                return False
-        return True
-    return False
-
-
-def _polyize(g: Geometry) -> Geometry:
-    polys = [p for p in g.parts() if p.gtype == GTYPE_POLYGON]
-    return polys[0] if len(polys) == 1 else Geometry(GTYPE_MULTIPOLYGON, polys)
-
-
-def _boundary_crosses(b: Geometry, a: Geometry) -> bool:
-    """Does any edge of b properly cross a's boundary (leaving a)?"""
-    a_rings = [r for part in _polyize(a).parts() for r in part.data]
-    for line in _as_lines(b):
-        for i in range(len(line) - 1):
-            p0, p1 = line[i], line[i + 1]
-            mid = (p0 + p1) / 2.0
-            # sample quarter points: if any strictly outside → crossing
-            for t in (0.25, 0.5, 0.75):
-                q = p0 + (p1 - p0) * t
-                if point_in_polygon(float(q[0]), float(q[1]), _polyize(a)) == 0:
-                    return True
-    return False
+    from .relate import relate_matrix as _rm
+    m = _rm(a, b)
+    return (m[6] == "F" and m[7] == "F"
+            and any(m[i] != "F" for i in (0, 1, 3, 4)))
 
 
 def contains(a: Geometry, b: Geometry) -> bool:
-    """JTS contains: covers + interiors intersect (b not entirely on boundary)."""
-    if not covers(a, b):
+    """JTS contains: covers + interiors intersect (b not entirely on
+    boundary): matrix T*****FF*."""
+    if a.is_empty() or b.is_empty():
         return False
-    if _dim(a) == 2:
-        if _dim(b) == 0:
-            return any(_point_loc(p, a) == 2 for p in b.parts())
-        if _dim(b) == 1:
-            for line in _as_lines(b):
-                for i in range(len(line) - 1):
-                    mid = (line[i] + line[i + 1]) / 2.0
-                    if point_in_polygon(float(mid[0]), float(mid[1]), _polyize(a)) == 2:
-                        return True
-            return False
-        return True
-    if _dim(a) == 1 and _dim(b) == 0:
-        return any(_point_loc(p, a) == 2 for p in b.parts())
-    return True
+    if not envelope_covers(a.envelope(), b.envelope()):
+        return False
+    da, db = _dim(a), _dim(b)
+    if db > da:
+        return False
+    if db == 0:
+        return (all(_point_loc(p, a) > 0 for p in b.parts())
+                and any(_point_loc(p, a) == 2 for p in b.parts()))
+    from .relate import relate_matrix as _rm
+    m = _rm(a, b)
+    return m[0] != "F" and m[6] == "F" and m[7] == "F"
 
 
 def within(a: Geometry, b: Geometry) -> bool:
@@ -157,50 +128,12 @@ def covered_by(a: Geometry, b: Geometry) -> bool:
 
 # ------------------------------------------------------------------ touch/cross/overlap
 def touches(a: Geometry, b: Geometry) -> bool:
-    """Intersect, but interiors do not intersect."""
+    """Intersect, but interiors do not intersect: FT*******|F**T*****|F***T****."""
     if not intersects(a, b):
         return False
-    return not _interiors_intersect(a, b)
-
-
-def _interiors_intersect(a: Geometry, b: Geometry) -> bool:
-    da, db = _dim(a), _dim(b)
-    if da > db:
-        a, b, da, db = b, a, db, da
-    if da == 0:
-        return any(_point_loc(p, b) == 2 for p in a.parts())
-    if da == 1 and db == 1:
-        # proper crossing or shared-midpoint segments
-        for l1 in _as_lines(a):
-            for l2 in _as_lines(b):
-                for i in range(len(l1) - 1):
-                    for j in range(len(l2) - 1):
-                        if _proper_cross(l1[i], l1[i + 1], l2[j], l2[j + 1]):
-                            return True
-        # collinear overlap: midpoint of some a-segment interior to b
-        for l1 in _as_lines(a):
-            for i in range(len(l1) - 1):
-                mid = (l1[i] + l1[i + 1]) / 2.0
-                if _point_loc(Geometry.point(*mid), b) == 2:
-                    return True
-        return False
-    if da == 1 and db == 2:
-        for line in _as_lines(a):
-            for i in range(len(line) - 1):
-                for t in (0.25, 0.5, 0.75):
-                    q = line[i] + (line[i + 1] - line[i]) * t
-                    if point_in_polygon(float(q[0]), float(q[1]), _polyize(b)) == 2:
-                        return True
-        return False
-    if da == 2 and db == 2:
-        from .clip import intersection
-        from .algorithms import area
-        try:
-            inter = intersection(a, b)
-            return area(inter) > 0
-        except NotImplementedError:
-            return True
-    return False
+    from .relate import relate_matrix as _rm
+    m = _rm(a, b)
+    return m[0] == "F" and (m[1] != "F" or m[3] != "F" or m[4] != "F")
 
 
 def _proper_cross(p0, p1, q0, q1) -> bool:
@@ -217,52 +150,34 @@ def _proper_cross(p0, p1, q0, q1) -> bool:
 
 
 def crosses(a: Geometry, b: Geometry) -> bool:
-    """dim(intersection) < min(dim(a), dim(b)) and interiors intersect
-    (point/line, point/poly, line/line proper cross, line/poly partial)."""
+    """dim(intersection) < min(dim(a), dim(b)) and interiors intersect:
+    T*T****** (dim a < dim b), T*****T** (dim a > dim b), 0******** (1/1)."""
     da, db = _dim(a), _dim(b)
     if not intersects(a, b):
         return False
-    if da == db == 1:
-        # line/line: proper crossing at a point
-        for l1 in _as_lines(a):
-            for l2 in _as_lines(b):
-                for i in range(len(l1) - 1):
-                    for j in range(len(l2) - 1):
-                        if _proper_cross(l1[i], l1[i + 1], l2[j], l2[j + 1]):
-                            return True
-        return False
-    if da == db:
+    if da == db and da != 1:
         return False  # equal dims (0/0, 2/2) never cross
-    lo, hi = (a, b) if da < db else (b, a)
-    if _dim(lo) == 0:
-        # some point inside, some point outside
-        locs = [_point_loc(p, hi) for p in lo.parts()]
-        return any(l == 2 for l in locs) and any(l == 0 for l in locs)
-    # line vs polygon: interior intersection AND part of line outside
-    inside = _interiors_intersect(lo, hi)
-    if not inside:
-        return False
-    for line in _as_lines(lo):
-        for i in range(len(line) - 1):
-            for t in (0.25, 0.5, 0.75):
-                q = line[i] + (line[i + 1] - line[i]) * t
-                if point_in_polygon(float(q[0]), float(q[1]), _polyize(hi)) == 0:
-                    return True
-        for v in line:
-            if point_in_polygon(float(v[0]), float(v[1]), _polyize(hi)) == 0:
-                return True
-    return False
+    from .relate import relate_matrix as _rm
+    m = _rm(a, b)
+    if da == db == 1:
+        return m[0] == "0"
+    if da < db:
+        return m[0] != "F" and m[2] != "F"
+    return m[0] != "F" and m[6] != "F"
 
 
 def overlaps(a: Geometry, b: Geometry) -> bool:
-    """Same dimension, interiors intersect, neither covers the other."""
-    if _dim(a) != _dim(b):
+    """Same dimension, interiors intersect, neither covers the other:
+    T*T***T** (dim 0/2), 1*T***T** (dim 1)."""
+    da, db = _dim(a), _dim(b)
+    if da != db:
         return False
     if not intersects(a, b):
         return False
-    if covers(a, b) or covers(b, a):
-        return False
-    return _interiors_intersect(a, b)
+    from .relate import relate_matrix as _rm
+    m = _rm(a, b)
+    ii_ok = m[0] == "1" if da == 1 else m[0] != "F"
+    return ii_ok and m[2] != "F" and m[6] != "F"
 
 
 # ------------------------------------------------------------------ equality
@@ -300,10 +215,15 @@ def equals_norm(a: Geometry, b: Geometry) -> bool:
 
 
 def equals_topo(a: Geometry, b: Geometry) -> bool:
-    """Topological equality: mutual covers."""
+    """Topological equality: T*F**FFF* (same point sets)."""
     if a.gtype == b.gtype and equals_exact(a, b):
         return True
-    return covers(a, b) and covers(b, a)
+    if a.is_empty() or b.is_empty():
+        return False
+    from .relate import relate_matrix as _rm
+    m = _rm(a, b)
+    return (m[0] != "F" and m[2] == "F" and m[5] == "F"
+            and m[6] == "F" and m[7] == "F")
 
 
 # ------------------------------------------------------------------ validity
@@ -349,85 +269,13 @@ def _ring_self_intersects(r: np.ndarray) -> bool:
 
 # ------------------------------------------------------------------ relate
 def relate(a: Geometry, b: Geometry, pattern: str) -> bool:
-    """DE-9IM pattern match (FilterInRelation.java:30-50).  Computes the
-    matrix from primitive predicates — supports the intersection-dimension
-    classes needed by the reference's tests (T/F/*/0/1/2)."""
-    m = relate_matrix(a, b)
-    if len(pattern) != 9:
-        raise ValueError("DE-9IM pattern must have 9 chars")
-    for mc, pc in zip(m, pattern):
-        if pc == "*":
-            continue
-        if pc == "T" and mc != "F":
-            continue
-        if pc == "F" and mc == "F":
-            continue
-        if pc == mc:
-            continue
-        return False
-    return True
+    """DE-9IM pattern match (FilterInRelation.java:30-50), computed on the
+    exact noding-based matrix (relate.py)."""
+    from .relate import matches
+    return matches(relate_matrix(a, b), pattern)
 
 
 def relate_matrix(a: Geometry, b: Geometry) -> str:
-    """Approximate DE-9IM matrix.  Entries: dimension chars '0','1','2','F'.
-    Derived from predicate primitives; exact for point/line/poly combos in
-    general position."""
-    da, db = _dim(a), _dim(b)
-    inter = intersects(a, b)
-    ii = _interiors_intersect(a, b) if inter else False
-    m = ["F"] * 9
-
-    def setd(idx, dim):
-        m[idx] = str(dim) if dim >= 0 else "F"
-
-    # interior/interior
-    if ii:
-        setd(0, min(da, db) if not (da == db == 1 and not _collinear_overlap(a, b)) else 0)
-    # boundary dims
-    ba = 1 if da == 2 else (0 if da == 1 else -1)
-    bb = 1 if db == 2 else (0 if db == 1 else -1)
-    if inter:
-        # interior/boundary, boundary/interior, boundary/boundary — coarse:
-        if bb >= 0 and _geom_boundary_hits(a, b, "ib"):
-            setd(1, min(da, bb))
-        if ba >= 0 and _geom_boundary_hits(b, a, "ib"):
-            setd(3, min(db, ba))
-        if ba >= 0 and bb >= 0 and _geom_boundary_hits(a, b, "bb"):
-            setd(4, min(ba, bb))
-    # interior/exterior: a not covered by b
-    if not covered_by(a, b):
-        setd(2, da)
-        if ba >= 0:
-            setd(5, ba)
-    # exterior/interior
-    if not covers(a, b):
-        setd(6, db)
-        if bb >= 0:
-            setd(7, bb)
-    m[8] = "2"
-    return "".join(m)
-
-
-def _collinear_overlap(a: Geometry, b: Geometry) -> bool:
-    for l1 in _as_lines(a):
-        for i in range(len(l1) - 1):
-            mid = (l1[i] + l1[i + 1]) / 2.0
-            if _point_loc(Geometry.point(*mid), b) == 2:
-                return True
-    return False
-
-
-def _geom_boundary_hits(a: Geometry, b: Geometry, which: str) -> bool:
-    from .algorithms import boundary
-    try:
-        bb = boundary(b)
-        if bb.is_empty():
-            return False
-        if which == "ib":
-            return intersects(a, bb)
-        ba = boundary(a)
-        if ba.is_empty():
-            return False
-        return intersects(ba, bb)
-    except Exception:
-        return False
+    """Exact DE-9IM matrix (see relate.py for the construction)."""
+    from .relate import relate_matrix as _rm
+    return _rm(a, b)

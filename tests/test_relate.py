@@ -1,0 +1,151 @@
+"""Exact DE-9IM engine tests (geom/relate.py).
+
+Parity target: JTS Geometry.relate via FilterInRelation.java:30-50.
+The axis-aligned-rectangle closed form used here is the same
+classification the relate_classes gate query's DuckDB oracle uses.
+"""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from spatial_spark.geom.core import Geometry
+from spatial_spark.geom import predicates as P
+from spatial_spark.geom.relate import relate_matrix, matches
+
+
+def box(x0, y0, x1, y1):
+    return Geometry.box(x0, y0, x1, y1)
+
+
+def rect_matrix_closed_form(ax0, ay0, ax1, ay1, bx0, by0, bx1, by1):
+    """DE-9IM for two axis-aligned rectangles (closed form)."""
+    lox, hix = max(ax0, bx0), min(ax1, bx1)
+    loy, hiy = max(ay0, by0), min(ay1, by1)
+    if lox > hix or loy > hiy:
+        return "FF2FF1212"
+    if lox == hix and loy == hiy:
+        return "FF2F01212"  # corner touch
+    if lox == hix or loy == hiy:
+        return "FF2F11212"  # edge touch
+    a_eq_b = (ax0, ay0, ax1, ay1) == (bx0, by0, bx1, by1)
+    if a_eq_b:
+        return "2FFF1FFF2"
+    a_in_b = ax0 >= bx0 and ay0 >= by0 and ax1 <= bx1 and ay1 <= by1
+    b_in_a = bx0 >= ax0 and by0 >= ay0 and bx1 <= ax1 and by1 <= ay1
+    shared_x = ax0 == bx0 or ax1 == bx1
+    shared_y = ay0 == by0 or ay1 == by1
+    bb = "1" if (shared_x or shared_y) else "0"
+    if b_in_a:
+        strict = bx0 > ax0 and by0 > ay0 and bx1 < ax1 and by1 < ay1
+        return "212FF1FF2" if strict else "212F" + bb + "1FF2"
+    if a_in_b:
+        strict = ax0 > bx0 and ay0 > by0 and ax1 < bx1 and ay1 < by1
+        return "2FF1FF212" if strict else "2FF1" + bb + "F212"
+    return "2121" + bb + "1212"
+
+
+class TestRelateUnit:
+    def test_hole_blindness_fixed(self):
+        # ADVICE high: hole of a strictly inside b was previously invisible
+        a = Geometry.polygon([(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)],
+                             holes=[[(4, 4), (6, 4), (6, 6), (4, 6), (4, 4)]])
+        b = Geometry.polygon([(3, 3), (7, 3), (7, 7), (3, 7), (3, 3)])
+        assert not P.covers(a, b)
+        assert not P.contains(a, b)
+        assert P.overlaps(a, b)
+        assert relate_matrix(a, b) == "2121F12F2"
+
+    def test_geometry_in_hole_is_disjoint(self):
+        a = Geometry.polygon([(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)],
+                             holes=[[(4, 4), (6, 4), (6, 6), (4, 6), (4, 4)]])
+        inner = box(4.5, 4.5, 5.5, 5.5)
+        assert P.disjoint(a, inner)
+        assert relate_matrix(a, inner) == "FF2FF1212"
+        line = Geometry.linestring([(4.5, 5), (5.5, 5)])
+        assert not P.intersects(a, line)
+
+    def test_polygon_covers_boundary_line(self):
+        a = box(0, 0, 10, 10)
+        l = Geometry.linestring([(0, 0), (10, 0)])
+        assert P.covers(a, l)
+        assert not P.contains(a, l)   # line entirely on boundary
+        assert P.touches(a, l)
+
+    def test_line_line(self):
+        m1 = Geometry.linestring([(0, 0), (2, 0)])
+        assert P.crosses(m1, Geometry.linestring([(1, -1), (1, 1)]))
+        assert P.overlaps(m1, Geometry.linestring([(1, 0), (3, 0)]))
+        assert P.touches(m1, Geometry.linestring([(2, 0), (3, 0)]))
+        assert P.contains(m1, Geometry.linestring([(0.5, 0), (1.5, 0)]))
+        # endpoint-to-interior touch
+        assert P.touches(m1, Geometry.linestring([(1, 0), (1, 5)]))
+        # identical lines
+        assert P.equals_topo(m1, Geometry.linestring([(0, 0), (1, 0), (2, 0)]))
+
+    def test_point_combos(self):
+        a = box(0, 0, 4, 4)
+        p_in = Geometry.point(2, 2)
+        p_bnd = Geometry.point(0, 2)
+        p_out = Geometry.point(9, 9)
+        assert relate_matrix(p_in, a) == "0FFFFF212"
+        assert relate_matrix(p_bnd, a) == "F0FFFF212"
+        assert relate_matrix(p_out, a) == "FF0FFF212"
+        assert P.within(p_in, a)
+        assert P.covered_by(p_bnd, a) and not P.within(p_bnd, a)
+        assert P.touches(p_bnd, a)
+
+    def test_pattern_matching(self):
+        a, b = box(0, 0, 4, 4), box(1, 1, 3, 3)
+        assert P.relate(a, b, "T*****FF*")   # covers
+        assert P.relate(a, b, "212FF1FF2")   # exact
+        assert not P.relate(b, a, "T*****FF*")
+
+    def test_multipolygon_shared_part(self):
+        # a = S1∪S2, b = S2∪S3: II must be found via per-part interior pts
+        s1, s2, s3 = box(0, 0, 1, 1), box(5, 5, 6, 6), box(9, 9, 10, 10)
+        a = Geometry.multi([s1, s2])
+        b = Geometry.multi([s2, s3])
+        m = relate_matrix(a, b)
+        assert m[0] == "2"
+        assert not P.covers(a, b) and not P.covers(b, a)
+
+
+class TestRelateRectProperty:
+    COORD = st.integers(min_value=0, max_value=8)
+
+    @given(st.tuples(COORD, COORD, st.integers(1, 6), st.integers(1, 6)),
+           st.tuples(COORD, COORD, st.integers(1, 6), st.integers(1, 6)))
+    @settings(max_examples=300, deadline=None)
+    def test_matches_closed_form(self, ra, rb):
+        ax0, ay0, aw, ah = ra
+        bx0, by0, bw, bh = rb
+        ax1, ay1 = ax0 + aw, ay0 + ah
+        bx1, by1 = bx0 + bw, by0 + bh
+        a, b = box(ax0, ay0, ax1, ay1), box(bx0, by0, bx1, by1)
+        want = rect_matrix_closed_form(ax0, ay0, ax1, ay1,
+                                       bx0, by0, bx1, by1)
+        got = relate_matrix(a, b)
+        assert got == want, f"A={ra} B={rb}: got {got} want {want}"
+
+    @given(st.tuples(COORD, COORD, st.integers(1, 6), st.integers(1, 6)),
+           st.tuples(COORD, COORD, st.integers(1, 6), st.integers(1, 6)))
+    @settings(max_examples=150, deadline=None)
+    def test_predicate_consistency(self, ra, rb):
+        a = box(ra[0], ra[1], ra[0] + ra[2], ra[1] + ra[3])
+        b = box(rb[0], rb[1], rb[0] + rb[2], rb[1] + rb[3])
+        m = relate_matrix(a, b)
+        # predicates agree with their defining patterns
+        assert P.intersects(a, b) == (m != "FF2FF1212")
+        assert P.covers(a, b) == (m[6] == "F" and m[7] == "F"
+                                  and any(m[i] != "F" for i in (0, 1, 3, 4)))
+        assert P.contains(a, b) == matches(m, "T*****FF*")
+        assert P.touches(a, b) == (m[0] == "F" and P.intersects(a, b))
+        assert P.equals_topo(a, b) == matches(m, "T*F**FFF*")
+        # mutual exclusions
+        if P.touches(a, b):
+            assert not P.overlaps(a, b) and not P.contains(a, b)
+        if P.contains(a, b):
+            assert P.covers(a, b)
+        # transpose symmetry
+        assert relate_matrix(b, a) == "".join(
+            m[i] for i in (0, 3, 6, 1, 4, 7, 2, 5, 8))

@@ -1,10 +1,19 @@
-"""Local replica of the driver's correctness gate.
+"""Local replica of the driver's correctness gate — STRICT mode.
 
 Runs every queries() entry on Spark and its oracle_sql() on DuckDB over the
-same sf dir, compares row count, column names, and an order-insensitive
-value hash (rows stringified, sorted).  Usage:
+same sf dir and compares row count, column names, and an order-insensitive
+value hash.  The hash is computed under TWO representations and BOTH must
+match, so local green implies driver green regardless of which fetch path
+the driver uses:
 
-    python tools/check_correctness.py [sf_dir] [query ...]
+  * row objects  — Spark .collect()  vs DuckDB .fetchall()
+  * pandas       — Spark .toPandas() vs DuckDB .fetchdf()
+    (this is where DuckDB HUGEINT -> float64 coercion and -0.0 surface)
+
+Float cells use full-precision repr — no rounding, no integerizing — so a
+1-ulp difference or a -0.0 fails here exactly as it would on the driver.
+
+Usage:  python tools/check_correctness.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -17,18 +26,22 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import numpy as np
+
 
 def norm_cell(v):
+    """Exact, representation-revealing normalization (NO leniency)."""
     if v is None:
         return "NULL"
-    if isinstance(v, float):
-        if v != v:
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if f != f:
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(round(v, 9))
-    if isinstance(v, bool):
-        return str(v).lower()
+        return repr(f)  # full precision; distinguishes -0.0 from 0.0
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v)).lower()
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
     return str(v)
 
 
@@ -42,6 +55,17 @@ def table_hash(cols, rows):
         h.update(ln.encode())
         h.update(b"\n")
     return h.hexdigest()[:16]
+
+
+def _first_diff(cols_a, rows_a, cols_b, rows_b, label):
+    oa = sorted(range(len(cols_a)), key=lambda i: cols_a[i])
+    ob = sorted(range(len(cols_b)), key=lambda i: cols_b[i])
+    sa = sorted("|".join(norm_cell(r[i]) for i in oa) for r in rows_a)
+    sb = sorted("|".join(norm_cell(r[i]) for i in ob) for r in rows_b)
+    for a, b in zip(sa, sb):
+        if a != b:
+            print(f"   [{label}] spark : {a}\n   [{label}] oracle: {b}")
+            return
 
 
 def main():
@@ -69,8 +93,10 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            srows = sdf.collect()
-            scols = sdf.columns
+            spdf = sdf.toPandas()
+            scols = list(spdf.columns)
+            srows = [list(t) for t in spdf.itertuples(index=False, name=None)]
+            srows_obj = [[r[c] for c in scols] for r in sdf.collect()]
             spark_secs = round(time.time() - t0, 2)
         except Exception as e:
             results[name] = {"status": "SPARK_ERROR", "error": str(e)[:300]}
@@ -82,37 +108,38 @@ def main():
             print(f"{name:24s} ROWS_ONLY rows={len(srows)} ({spark_secs}s)")
             continue
         try:
-            orows = con.execute(oracles[name]).fetchall()
-            ocols = [d[0] for d in con.description]
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            opdf = res.fetchdf()
+            orows = [list(t) for t in opdf.itertuples(index=False, name=None)]
+            orows_obj = con.execute(oracles[name]).fetchall()
         except Exception as e:
             results[name] = {"status": "ORACLE_ERROR", "error": str(e)[:300]}
             print(f"{name:24s} ORACLE_ERROR {str(e)[:160]}")
             continue
-        s_hash = table_hash(scols, [[r[c] for c in scols] for r in srows])
-        o_hash = table_hash(ocols, orows)
         ok_count = len(srows) == len(orows)
         ok_cols = sorted(scols) == sorted(ocols)
-        ok_hash = s_hash == o_hash
+        ok_pd = table_hash(scols, srows) == table_hash(ocols, orows)
+        ok_obj = (table_hash(scols, srows_obj)
+                  == table_hash(ocols, orows_obj))
+        ok_hash = ok_pd and ok_obj
         status = "OK" if (ok_count and ok_cols and ok_hash) else "MISMATCH"
         if status == "OK" and len(srows) == 0:
             status = "OK_EMPTY"  # vacuous: both sides 0 rows — check the query
         results[name] = {
             "status": status, "rows": len(srows), "oracle_rows": len(orows),
-            "cols_ok": ok_cols, "hash_ok": ok_hash, "secs": spark_secs,
+            "cols_ok": ok_cols, "hash_pandas_ok": ok_pd,
+            "hash_obj_ok": ok_obj, "secs": spark_secs,
         }
         print(f"{name:24s} {status} rows={len(srows)}/{len(orows)} "
-              f"cols={'Y' if ok_cols else 'N'} hash={'Y' if ok_hash else 'N'} "
-              f"({spark_secs}s)")
-        if status == "MISMATCH" and (not ok_hash) and ok_count and ok_cols:
-            # print first differing rows to debug
-            so = sorted("|".join(norm_cell(r[c]) for c in sorted(scols)) for r in srows)
-            oo = sorted("|".join(norm_cell(v) for v in
-                                 [r[ocols.index(c)] for c in sorted(ocols)])
-                        for r in orows)
-            for a, b in zip(so, oo):
-                if a != b:
-                    print(f"   spark : {a}\n   oracle: {b}")
-                    break
+              f"cols={'Y' if ok_cols else 'N'} "
+              f"hash_pd={'Y' if ok_pd else 'N'} "
+              f"hash_obj={'Y' if ok_obj else 'N'} ({spark_secs}s)")
+        if status == "MISMATCH" and ok_count and ok_cols:
+            if not ok_pd:
+                _first_diff(scols, srows, ocols, orows, "pandas")
+            if not ok_obj:
+                _first_diff(scols, srows_obj, ocols, orows_obj, "obj")
 
     n_ok = sum(1 for r in results.values() if r["status"] == "OK")
     n_total = len(results)
