@@ -93,6 +93,32 @@ class Catalog:
             data[name].setdefault("attrs", {}).update(attrs)
             self._write(data)
 
+    def merge_stats(self, name: str, stats: dict, replace: bool = False) -> None:
+        """Write-time layer statistics (count, gtype min/max, bbox) collected
+        by an Observation during the write job — the metadata that lets every
+        search plan WITHOUT running a Spark job first (the reference reads
+        the same facts off its layer node: DefaultLayer.getGeometryType,
+        Layer.getIndex().count()/getBoundingBox()).
+
+        Append merges monotonically (count adds, mins/maxes combine)."""
+        with _LOCK:
+            data = self._read()
+            cur = {} if replace else (data[name].get("stats") or {})
+            merged = dict(cur)
+            for k, v in stats.items():
+                if v is None:
+                    continue
+                if k == "count":
+                    merged[k] = int(cur.get(k, 0)) + int(v)
+                elif k in ("gtype_min", "xmin", "ymin"):
+                    merged[k] = v if k not in cur else min(cur[k], v)
+                elif k in ("gtype_max", "xmax", "ymax"):
+                    merged[k] = v if k not in cur else max(cur[k], v)
+                else:
+                    merged[k] = v
+            data[name]["stats"] = merged
+            self._write(data)
+
     def add_view(self, name: str, view_name: str, predicate: str) -> None:
         """DynamicLayerConfig (DynamicLayer.java:37-217): a named read-only
         filtered view stored as a SQL predicate."""

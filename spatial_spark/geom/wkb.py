@@ -66,7 +66,6 @@ class _Reader:
         self.pos += 1
         (raw,) = struct.unpack_from(endian + "I", self.buf, self.pos)
         self.pos += 4
-        has_z = bool(raw & 0x80000000) or (1000 <= (raw & 0xFFFF) % 10000 // 1000 >= 1)
         # ISO: type = base + 1000*Z + 2000*M + 3000*ZM ; EWKB: high bits
         base = raw & 0x0FFFFFFF
         dims = 2

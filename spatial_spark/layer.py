@@ -150,10 +150,49 @@ class Layer:
         # partition by zkey so each file covers a compact spatial region and
         # Parquet min/max on (zkey, xmin..ymax) prune like R-tree node envelopes.
         n = max(self.ctx.spark.sparkContext.defaultParallelism, 1)
+        # layer statistics ride along on the write job (Observation = zero
+        # extra jobs); they make count/bbox/all_points metadata-only reads,
+        # so searches never run a planning-time scan
+        from pyspark.sql import Observation
+        obs = Observation()
+        # observe sits ABOVE the range shuffle: repartitionByRange's sampling
+        # pass re-executes the subtree below it, which would double-count
         (out.select(cols)
             .repartitionByRange(n, "zkey")
             .sortWithinPartitions("zkey")
+            .observe(obs,
+                     F.count(F.lit(1)).alias("count"),
+                     F.min("gtype").alias("gtype_min"),
+                     F.max("gtype").alias("gtype_max"),
+                     F.min("xmin").alias("xmin"), F.min("ymin").alias("ymin"),
+                     F.max("xmax").alias("xmax"), F.max("ymax").alias("ymax"))
             .write.mode(mode).parquet(self.path))
+        try:
+            self.ctx.catalog.merge_stats(self.name, dict(obs.get),
+                                         replace=(mode == "overwrite"))
+        except Exception:
+            pass  # stats are an optimization; the read path tolerates absence
+        self._record_schema(out.select(cols).schema,
+                            replace=(mode == "overwrite"))
+
+    def _record_schema(self, schema: T.StructType, replace: bool = False) -> None:
+        """Persist the union schema so df() can read with an explicit schema
+        instead of a mergeSchema footer-listing job (a plan-time cluster job
+        at 100 TB).  Appends union by field name; later types win."""
+        try:
+            cur = None if replace else self.meta.get("schema_json")
+            if cur:
+                prev = T.StructType.fromJson(__import__("json").loads(cur))
+                by_name = {f.name: f for f in prev.fields}
+                for f in schema.fields:
+                    by_name[f.name] = f
+                ordered = [f.name for f in prev.fields] + \
+                    [f.name for f in schema.fields if f.name not in
+                     {p.name for p in prev.fields}]
+                schema = T.StructType([by_name[n] for n in ordered])
+            self.ctx.catalog.update(self.name, schema_json=schema.json())
+        except Exception:
+            pass
 
     def _encode_points(self, df: DataFrame, x: str, y: str) -> DataFrame:
         @F.pandas_udf(T.LongType())
@@ -210,8 +249,26 @@ class Layer:
         which slots in here because all writes flow through this method.)"""
         import os
         import shutil
+        from pyspark.sql import Observation
         tmp = self.path + ".rewrite.tmp"
+        obs = Observation()
+        has_core = {"gtype", "xmin", "ymin", "xmax", "ymax"} <= set(df.columns)
+        if has_core:
+            df = df.observe(
+                obs,
+                F.count(F.lit(1)).alias("count"),
+                F.min("gtype").alias("gtype_min"),
+                F.max("gtype").alias("gtype_max"),
+                F.min("xmin").alias("xmin"), F.min("ymin").alias("ymin"),
+                F.max("xmax").alias("xmax"), F.max("ymax").alias("ymax"))
         df.write.mode("overwrite").parquet(tmp)
+        if has_core:
+            try:
+                self.ctx.catalog.merge_stats(self.name, dict(obs.get),
+                                             replace=True)
+            except Exception:
+                pass
+        self._record_schema(df.schema, replace=True)
         old = self.path + ".rewrite.old"
         if os.path.exists(self.path):
             shutil.move(self.path, old)
@@ -234,16 +291,47 @@ class Layer:
                 T.StructField("zkey", T.LongType()),
             ])
             return self.ctx.spark.createDataFrame([], schema)
-        # mergeSchema: appends may add discovered attribute columns over time
-        # (the reference's dynamic attribute model, EditableLayerImpl:224-237)
+        # appends may add discovered attribute columns over time (the
+        # reference's dynamic attribute model, EditableLayerImpl:224-237);
+        # the union schema is recorded at write time so the read needs no
+        # mergeSchema footer-listing job
+        schema_json = self.meta.get("schema_json")
+        if schema_json:
+            import json as _json
+            st = T.StructType.fromJson(_json.loads(schema_json))
+            return self.ctx.spark.read.schema(st).parquet(self.path)
         return self.ctx.spark.read.option("mergeSchema", "true").parquet(self.path)
 
+    @property
+    def stats(self) -> dict:
+        return self.meta.get("stats") or {}
+
+    @property
+    def all_points(self) -> bool | None:
+        """True/False from write-time stats; None when unknown (pre-stats
+        layer) — callers must then choose the conservative plan, never a
+        planning-time scan."""
+        if self.meta["encoder"] == ENC_POINT:
+            return True
+        s = self.stats
+        if "gtype_min" in s and "gtype_max" in s:
+            return s["gtype_min"] == 1 and s["gtype_max"] == 1
+        return None
+
     def count(self) -> int:
-        """spatial.getFeatureCount (:589-596)."""
+        """spatial.getFeatureCount (:589-596) — metadata-only when write-time
+        stats exist (mutations rewrite stats via _rewrite)."""
+        s = self.stats
+        if "count" in s:
+            return int(s["count"])
         return self.df().count()
 
     def bbox(self):
-        """spatial.getLayerBoundingBox (:598-611) — agg over bbox columns."""
+        """spatial.getLayerBoundingBox (:598-611) — from write-time stats,
+        agg fallback for stat-less layers."""
+        s = self.stats
+        if all(k in s for k in ("xmin", "ymin", "xmax", "ymax")):
+            return (s["xmin"], s["ymin"], s["xmax"], s["ymax"])
         row = self.df().agg(F.min("xmin"), F.min("ymin"),
                             F.max("xmax"), F.max("ymax")).first()
         return tuple(row)
@@ -281,6 +369,25 @@ class Layer:
     def cql(self, expression: str) -> DataFrame:
         from .operators.cql import cql_filter
         return cql_filter(self, expression)
+
+    def join(self, other: "Layer", predicate: str = "intersects",
+             **kw) -> DataFrame:
+        """Layer×layer spatial join with catalog-stats planning hints —
+        zero Spark jobs before the join itself executes."""
+        from .operators.join import spatial_join
+        extent = None
+        sa, sb = self.stats, other.stats
+        if all(k in sa for k in ("xmin", "ymin", "xmax", "ymax")) and \
+                all(k in sb for k in ("xmin", "ymin", "xmax", "ymax")):
+            extent = (min(sa["xmin"], sb["xmin"]), min(sa["ymin"], sb["ymin"]),
+                      max(sa["xmax"], sb["xmax"]), max(sa["ymax"], sb["ymax"]))
+        def with_geom(df):
+            if "geom" not in df.columns:
+                df = df.withColumn("geom", F.expr("st_point(xmin, ymin)"))
+            return df
+        return spatial_join(with_geom(self.df()), with_geom(other.df()),
+                            predicate, a_all_points=self.all_points,
+                            extent=extent, **kw)
 
     def covered_by_search(self, xmin, ymin, xmax, ymax) -> DataFrame:
         """SearchCoveredByEnvelope parity: records whose envelope lies

@@ -123,11 +123,21 @@ def _all_rects(df: DataFrame) -> bool:
 
 
 def spatial_join(a: DataFrame, b: DataFrame, predicate: str = "intersects",
-                 broadcast_threshold: int = 10000) -> DataFrame:
+                 broadcast_threshold: int = 10000,
+                 a_all_points: bool | None = None,
+                 b_all_rects: bool | None = None,
+                 extent: tuple | None = None) -> DataFrame:
     """Join rows of `a` and `b` where predicate(a.geom, b.geom) holds.
 
     Both inputs need the layer core columns (geom/gtype/xmin..ymax).  Output
-    columns: a.* (prefixed a_) + b.* (prefixed b_)."""
+    columns: a.* (prefixed a_) + b.* (prefixed b_).
+
+    ``a_all_points`` / ``b_all_rects`` / ``extent`` are planning hints a
+    layer-backed caller supplies from catalog write-time stats
+    (Layer.all_points / Layer.bbox) so planning runs ZERO Spark jobs; when
+    absent (ad-hoc frames) the operator probes — an agg that parquet
+    min/max stats usually answer without data reads, but still a job, so
+    hinted callers are the 100 TB path."""
     if predicate not in _PREDS:
         raise ValueError(f"unknown predicate {predicate!r}")
 
@@ -149,8 +159,10 @@ def spatial_join(a: DataFrame, b: DataFrame, predicate: str = "intersects",
         # Verifying b is exact and cheap (b is the broadcast-small side);
         # a's point-ness comes from min/max(gtype), which parquet stats make
         # a metadata-only scan.
-        if predicate in ("within", "intersects", "coveredby") and _all_rects(b) \
-                and _all_points(a):
+        b_rects = b_all_rects if b_all_rects is not None else _all_rects(b)
+        a_points = a_all_points if a_all_points is not None else _all_points(a)
+        if predicate in ("within", "intersects", "coveredby") and b_rects \
+                and a_points:
             if predicate == "within":
                 exact = (
                     (F.col("a_xmin") > F.col("b_xmin")) & (F.col("a_xmin") < F.col("b_xmax"))
@@ -164,10 +176,15 @@ def spatial_join(a: DataFrame, b: DataFrame, predicate: str = "intersects",
             return a_pref.join(F.broadcast(b_pref), exact)
         joined = a_pref.join(F.broadcast(b_pref), bbox_pair)
     else:
-        a_bbox = a.agg(F.min("xmin"), F.min("ymin"), F.max("xmax"), F.max("ymax")).first()
-        b_bbox = b.agg(F.min("xmin"), F.min("ymin"), F.max("xmax"), F.max("ymax")).first()
+        if extent is not None:
+            a_bbox = b_bbox = tuple(extent)
+        else:
+            a_bbox = tuple(a.agg(F.min("xmin"), F.min("ymin"),
+                                 F.max("xmax"), F.max("ymax")).first())
+            b_bbox = tuple(b.agg(F.min("xmin"), F.min("ymin"),
+                                 F.max("xmax"), F.max("ymax")).first())
         n = max(_estimated_rows(a), b_rows)
-        x0, y0, cw, ch, side = _grid_params(tuple(a_bbox), tuple(b_bbox), n)
+        x0, y0, cw, ch, side = _grid_params(a_bbox, b_bbox, n)
         ae = a_pref.withColumn("cell", F.explode(_cells_expr("a_", side, x0, y0, cw, ch)))
         be = b_pref.withColumn("cell", F.explode(_cells_expr("b_", side, x0, y0, cw, ch)))
         joined = ae.join(be, "cell").filter(bbox_pair)

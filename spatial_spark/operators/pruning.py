@@ -19,25 +19,22 @@ from ..sfc import WGS84, zorder_ranges
 MAX_RANGES = 32
 
 
-def sfc_window_predicate(df: DataFrame, window, extent=WGS84):
+def sfc_window_predicate(df: DataFrame, window, extent=WGS84,
+                         all_points: bool | None = None):
     """Column predicate over zkey for rows whose bbox centre may fall in
-    `window`, or None if the layer has no zkey column.
+    `window`, or None if it cannot be applied.
 
     NOTE: zkey indexes the bbox *centre* cell.  For point layers this is
     exact; for extended geometries a centre can sit in a cell outside the
-    query window even though the bbox intersects it, so we pad the window by
-    one cell at the curve level before enumerating ranges — conservative for
-    geometries smaller than a cell (the common case after SFC-clustered
-    ingestion); larger geometries are caught by the bbox predicate, so the
-    zkey predicate is only applied when the layer is all-points.
+    query window even though the bbox intersects it, so the zkey predicate
+    is only applied when the layer is all-points.
+
+    ``all_points`` comes from the layer catalog's write-time statistics
+    (Layer.all_points) — planning NEVER scans the data to find out.  When
+    the caller can't supply it (stat-less frame), the answer is the
+    conservative plan (bbox pruning only), not a plan-time job.
     """
-    if "zkey" not in df.columns:
+    if "zkey" not in df.columns or all_points is not True:
         return None
-    try:
-        gtypes = df.select("gtype").distinct().toPandas()["gtype"].tolist()
-    except Exception:
-        return None
-    if set(gtypes) - {1}:
-        return None  # non-point geometries: rely on bbox columns only
     ranges = zorder_ranges(window, extent=extent, max_ranges=MAX_RANGES)
     return sfc_ranges_predicate("zkey", ranges)

@@ -31,13 +31,22 @@ from ..sfc import zorder_ranges
 from .pruning import sfc_window_predicate
 
 
-def _window_prefilter(df: DataFrame, window) -> DataFrame:
-    """bbox window + SFC key range pruning (two independent prune layers)."""
+def _window_prefilter(df: DataFrame, window,
+                      all_points: bool | None = None) -> DataFrame:
+    """bbox window + SFC key range pruning (two independent prune layers).
+    ``all_points`` is the layer catalog's write-time fact — no plan-time scan."""
     pred = bbox_intersects_window("xmin", "ymin", "xmax", "ymax", window)
-    zpred = sfc_window_predicate(df, window)
+    zpred = sfc_window_predicate(df, window, all_points=all_points)
     if zpred is not None:
         pred = zpred & pred
     return df.filter(pred)
+
+
+def _layer_all_points(layer) -> bool | None:
+    try:
+        return layer.all_points
+    except Exception:
+        return None
 
 
 def _distance_col(df: DataFrame, lon: float, lat: float):
@@ -67,7 +76,7 @@ def within_distance(layer, lon: float, lat: float, km: float) -> DataFrame:
     """All records within `km` of (lon,lat), with a `distance` column,
     ordered ascending — spatial.withinDistance semantics."""
     window = sphere_search_window(lon, lat, km)
-    df = _window_prefilter(layer.df(), window)
+    df = _window_prefilter(layer.df(), window, _layer_all_points(layer))
     df = df.withColumn("distance", _distance_col(df, lon, lat))
     return df.filter(F.col("distance") <= km).orderBy("distance")
 
@@ -81,57 +90,64 @@ def closest(layer, lon: float, lat: float, k: int = 100,
     (SpatialTopologyUtils.createEnvelopeForGeometryDensityEstimate:200-238)
     but iteratively doubles until >=k candidates — fixing the reference's
     documented may-return-nothing flaw (GeoPipeline.java:268-276) while
-    remaining superset-correct."""
-    total = layer.count()
+    remaining superset-correct.
+
+    Planning is metadata-only: count/bbox come from the layer catalog's
+    write-time stats.  The result is a LAZY frame — no collect in the
+    builder.  One cheap probe action (top-k over the pruned window, a
+    TakeOrdered of k rows) runs only when the window does not already cover
+    the whole layer, to decide whether the pruned plan is globally correct;
+    its rows are never materialized into the result (the returned frame is
+    the pruned- or full-scan plan itself, composable by the caller)."""
+    total = layer.count()      # metadata (catalog stats) for written layers
     if total == 0:
         return layer.df().withColumn("distance", F.lit(0.0)).limit(0)
-    bx = layer.bbox()
+    bx = layer.bbox()          # metadata likewise
     import math
+    all_pts = _layer_all_points(layer)
     area = max((bx[2] - bx[0]) * (bx[3] - bx[1]), 1e-12)
-    # window sized for ~4k expected candidates under uniform density —
-    # one prefiltered top-k pass; a single full-layer fallback pass only if
-    # the window under-delivered (two jobs max, not an O(log) count loop)
+    # window sized for ~4k expected candidates under uniform density
     est_deg = math.sqrt(4.0 * k * area / (math.pi * total))
     km = max(est_deg * 110.574, 1e-6)
     if max_km is not None:
         km = min(km, max_km)
     window = sphere_search_window(lon, lat, km)
-    cand = _window_prefilter(layer.df(), window)
+    cand = _window_prefilter(layer.df(), window, all_pts)
     cand = cand.withColumn("distance", _distance_col(cand, lon, lat))
     if max_km is not None:
         cand = cand.filter(F.col("distance") <= max_km)
-    rows = cand.orderBy("distance").limit(k).collect()
+    pruned = cand.orderBy("distance").limit(k)
     window_covers_layer = (window[0] <= bx[0] and window[1] <= bx[1]
                            and window[2] >= bx[2] and window[3] >= bx[3])
-    # guarantee: a point outside the window is farther than `km`, so the
-    # in-window top-k is globally correct only while d_k <= km (window
-    # corners can hold candidates beyond the inscribed ball)
-    incomplete = len(rows) < k or (rows and rows[-1]["distance"] > km)
-    need_fallback = incomplete and not window_covers_layer \
-        and (max_km is None or km < max_km)
-    if need_fallback:
-        full = layer.df()
-        full = full.withColumn("distance", _distance_col(full, lon, lat))
-        if max_km is not None:
-            full = full.filter(F.col("distance") <= max_km)
-        return full.orderBy("distance").limit(k)
-    out = layer.ctx.spark.createDataFrame(rows, cand.schema) if rows else \
-        cand.limit(0)
-    return out.orderBy("distance")
+    if window_covers_layer or (max_km is not None and km >= max_km):
+        return pruned
+    # correctness probe: a point outside the window is farther than `km`,
+    # so the in-window top-k is globally correct only while d_k <= km
+    probe = pruned.agg(F.count(F.lit(1)).alias("n"),
+                       F.max("distance").alias("dmax")).first()
+    if probe["n"] >= k and (probe["dmax"] is None or probe["dmax"] <= km):
+        return pruned
+    full = layer.df()
+    full = full.withColumn("distance", _distance_col(full, lon, lat))
+    if max_km is not None:
+        full = full.filter(F.col("distance") <= max_km)
+    return full.orderBy("distance").limit(k)
 
 
 def bbox_search(layer, window) -> DataFrame:
     """spatial.bbox (:822-836): envelope-intersection search."""
-    return _window_prefilter(layer.df(), window)
+    return _window_prefilter(layer.df(), window, _layer_all_points(layer))
 
 
 def intersects_search(layer, geom_or_wkt) -> DataFrame:
     """spatial.intersects (:901-911): window prefilter on the probe
     geometry's envelope, then exact st_intersects refine — the degenerate
-    broadcast spatial join (one literal geometry)."""
+    broadcast spatial join (one literal geometry).  Point-ness comes from
+    the catalog's write-time stats, never a plan-time scan."""
     g = from_wkt(geom_or_wkt) if isinstance(geom_or_wkt, str) else geom_or_wkt
-    df = _window_prefilter(layer.df(), g.envelope())
-    if set(df.select("gtype").distinct().toPandas()["gtype"]) <= {1}:
+    all_pts = _layer_all_points(layer)
+    df = _window_prefilter(layer.df(), g.envelope(), all_pts)
+    if all_pts is True:
         # pure point layer: exact test is point-in-geometry, vectorized
         from ..geom.algorithms import points_in_polygon_bulk, point_in_polygon
         import numpy as np
