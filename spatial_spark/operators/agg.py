@@ -76,16 +76,23 @@ def intersect_all(df: DataFrame, geom_col: str = "geom",
     return _fold_agg(df, intersect_many, geom_col, group_cols)
 
 
+def _keep_extreme(df: DataFrame, prop: str, agg_fn) -> DataFrame:
+    """Rows attaining the global extreme of prop, ties kept — a broadcast
+    join against the 1-row aggregate (map-side combine + tiny broadcast),
+    NOT a global Window (which funnels every row through one partition)."""
+    ext = df.agg(agg_fn(F.col(prop)).alias("_ext"))
+    return (df.join(F.broadcast(ext), F.col(prop) == F.col("_ext"))
+            .drop("_ext"))
+
+
 def keep_min(df: DataFrame, prop: str) -> DataFrame:
     """Rows attaining min(prop), ties kept (Min.java:30-73)."""
-    w = Window.orderBy(F.col(prop).asc())
-    return (df.withColumn("_r", F.rank().over(w)).filter(F.col("_r") == 1).drop("_r"))
+    return _keep_extreme(df, prop, F.min)
 
 
 def keep_max(df: DataFrame, prop: str) -> DataFrame:
     """Rows attaining max(prop), ties kept (Max.java:30-73)."""
-    w = Window.orderBy(F.col(prop).desc())
-    return (df.withColumn("_r", F.rank().over(w)).filter(F.col("_r") == 1).drop("_r"))
+    return _keep_extreme(df, prop, F.max)
 
 
 def density_islands(df: DataFrame, density: float, id_col: str = "id") -> DataFrame:
@@ -99,40 +106,28 @@ def density_islands(df: DataFrame, density: float, id_col: str = "id") -> DataFr
     self-join builds the edge list, then iterative min-label propagation
     (hash-partitioned joins, converges in O(log n) rounds).
 
+    Edge generation is the PBSM grid (the same cell-explode equi-join the
+    spatial join uses, with the a-side bbox padded by `density`): NO
+    theta-join — a bare inequality join plans as a broadcast-nested-loop /
+    cartesian, O(N²) scans at any real scale.  Cell size is at least
+    `density`, so padded-bbox cell cover is bounded (points → ≤ 9 cells).
+
     Returns (id, island) — join back to the layer for geometries, or feed
     union_all(group_cols=['island']) for merged island geometries."""
-    from ..geom.algorithms import distance as geom_distance
+    import warnings
 
-    a = df.select(F.col(id_col).alias("a_id"), F.col("geom").alias("a_geom"),
-                  "xmin", "ymin", "xmax", "ymax")
-    b = df.select(F.col(id_col).alias("b_id"), F.col("geom").alias("b_geom"),
-                  F.col("xmin").alias("bxmin"), F.col("ymin").alias("bymin"),
-                  F.col("xmax").alias("bxmax"), F.col("ymax").alias("bymax"))
-    cond = (
-        (F.col("xmin") <= F.col("bxmax") + density)
-        & (F.col("xmax") >= F.col("bxmin") - density)
-        & (F.col("ymin") <= F.col("bymax") + density)
-        & (F.col("ymax") >= F.col("bymin") - density)
-        & (F.col("a_id") < F.col("b_id"))
-    )
-    pairs = a.join(b, cond)
-
-    @F.pandas_udf(T.BooleanType())
-    def close_enough(ag: pd.Series, bg: pd.Series) -> pd.Series:
-        out = []
-        for x, y in zip(ag, bg):
-            out.append(geom_distance(from_wkb(x), from_wkb(y)) <= density)
-        return pd.Series(out)
-
-    edges = (pairs.filter(close_enough(F.col("a_geom"), F.col("b_geom")))
-             .select("a_id", "b_id"))
+    edges = density_edges(df, density, id_col)
     edges = edges.union(edges.select(F.col("b_id").alias("a_id"),
                                      F.col("a_id").alias("b_id"))).cache()
 
     labels = df.select(F.col(id_col).alias("node"),
                        F.col(id_col).cast("long").alias("island")).cache()
-    # min-label propagation until fixpoint (bounded rounds)
-    for _ in range(30):
+    # min-label propagation until fixpoint.  Plain propagation converges in
+    # O(graph diameter) rounds (not O(log n)); the bound is a safety rail
+    # and an unconverged exit is reported, never silent.
+    max_rounds = 50
+    changed = -1
+    for _ in range(max_rounds):
         neighbor_min = (edges.join(labels, edges.b_id == labels.node)
                         .groupBy("a_id").agg(F.min("island").alias("n_island")))
         new_labels = (labels.join(neighbor_min, labels.node == neighbor_min.a_id, "left")
@@ -147,4 +142,69 @@ def density_islands(df: DataFrame, density: float, id_col: str = "id") -> DataFr
         labels = new_labels.cache()
         if changed == 0:
             break
+    if changed != 0:
+        warnings.warn(
+            f"density_islands: label propagation did not converge within "
+            f"{max_rounds} rounds ({changed} labels still changing) — "
+            f"components with diameter > {max_rounds} are split; raise the "
+            f"round budget or pre-contract the graph", RuntimeWarning)
     return labels.select(F.col("node").alias(id_col), "island")
+
+
+def density_edges(df: DataFrame, density: float, id_col: str = "id") -> DataFrame:
+    """(a_id, b_id) pairs whose geometries lie within `density` — the PBSM
+    grid candidate join + exact distance refine (see density_islands)."""
+    import math
+
+    from ..geom.algorithms import distance as geom_distance
+    from .join import _cells_expr, _estimated_rows
+
+    bb = df.agg(F.min("xmin"), F.min("ymin"), F.max("xmax"), F.max("ymax")).first()
+    x0 = float(bb[0]) - density
+    y0 = float(bb[1]) - density
+    w = (float(bb[2]) + density) - x0
+    h = (float(bb[3]) + density) - y0
+    n = _estimated_rows(df)
+    ncells = min(max(n // 2, 64), 1 << 20)
+    side = max(int(math.sqrt(ncells)), 1)
+    cw = max(w / side or 1.0, density, 1e-12)
+    ch = max(h / side or 1.0, density, 1e-12)
+    # one clamp bound for both axes, shared by cell explode AND reference
+    # point (a mismatch would silently drop pairs at the extent edge)
+    side_n = max(int(math.ceil(w / cw)), int(math.ceil(h / ch)), 1)
+
+    a = (df.select(F.col(id_col).alias("a_id"), F.col("geom").alias("a_geom"),
+                   (F.col("xmin") - density).alias("a_xmin"),
+                   (F.col("ymin") - density).alias("a_ymin"),
+                   (F.col("xmax") + density).alias("a_xmax"),
+                   (F.col("ymax") + density).alias("a_ymax"))
+         .withColumn("cell", F.explode(
+             _cells_expr("a_", side_n, x0, y0, cw, ch))))
+    b = (df.select(F.col(id_col).alias("b_id"), F.col("geom").alias("b_geom"),
+                   F.col("xmin").alias("b_xmin"), F.col("ymin").alias("b_ymin"),
+                   F.col("xmax").alias("b_xmax"), F.col("ymax").alias("b_ymax"))
+         .withColumn("cell", F.explode(
+             _cells_expr("b_", side_n, x0, y0, cw, ch))))
+    pairs = (a.join(b, "cell")
+             .filter((F.col("a_id") < F.col("b_id"))
+                     & (F.col("a_xmin") <= F.col("b_xmax"))
+                     & (F.col("a_xmax") >= F.col("b_xmin"))
+                     & (F.col("a_ymin") <= F.col("b_ymax"))
+                     & (F.col("a_ymax") >= F.col("b_ymin"))))
+    # reference-point dedup: keep the pair only in the cell holding the
+    # min corner of the (padded-a, b) bbox intersection
+    def _clamp(col):
+        return F.greatest(F.lit(0), F.least(F.lit(side_n - 1), col.cast("int")))
+    ref_cx = _clamp(F.floor((F.greatest("a_xmin", "b_xmin") - F.lit(x0)) / F.lit(cw)))
+    ref_cy = _clamp(F.floor((F.greatest("a_ymin", "b_ymin") - F.lit(y0)) / F.lit(ch)))
+    pairs = pairs.filter(F.col("cell") == (ref_cy * side_n + ref_cx)).drop("cell")
+
+    @F.pandas_udf(T.BooleanType())
+    def close_enough(ag: pd.Series, bg: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(ag, bg):
+            out.append(geom_distance(from_wkb(x), from_wkb(y)) <= density)
+        return pd.Series(out)
+
+    return (pairs.filter(close_enough(F.col("a_geom"), F.col("b_geom")))
+            .select("a_id", "b_id"))

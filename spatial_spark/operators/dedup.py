@@ -203,19 +203,32 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_df: int = 1000) -> DataFrame:
     """Exact word-n-gram Jaccard over candidate pairs.
 
-    Candidates come from shared-n-gram buckets (equi-join on n-gram hash,
-    counts aggregated) — |A∩B| from the join, |A∪B| = |A|+|B|-|A∩B|, so the
-    exact Jaccard needs no second pass over the texts."""
+    Candidate generation equi-joins on RARE grams only: grams with document
+    frequency > ``max_df`` are excluded from the join (standard LSH-style
+    hot-key cap — a stop-phrase gram like "of the and" otherwise creates a
+    quadratic bucket at corpus scale).  The Jaccard reported for surviving
+    candidates is EXACT over the full gram sets (hot grams included): the
+    intersection is re-counted per candidate pair, so the cap only bounds
+    who becomes a candidate (pairs similar solely through ubiquitous grams
+    are not reported — the standard, documented approximation)."""
     grams = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(_ngrams_col(text_col, n))).alias("gram"))
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
-    a = grams.select(F.col(id_col).alias("a_id"), "gram")
-    b = grams.select(F.col(id_col).alias("b_id"), "gram")
-    inter = (a.join(b, "gram").filter(F.col("a_id") < F.col("b_id"))
+    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
+    rare = grams.join(freq.filter(F.col("_df") <= max_df), "gram")
+    a = rare.select(F.col(id_col).alias("a_id"), "gram")
+    b = rare.select(F.col(id_col).alias("b_id"), "gram")
+    cand = (a.join(b, "gram").filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id").distinct())
+    # exact |A∩B| for candidates over ALL grams; |A∪B| = |A|+|B|-|A∩B|
+    ga = grams.select(F.col(id_col).alias("a_id"), "gram")
+    gb = grams.select(F.col(id_col).alias("b_id"), "gram")
+    inter = (cand.join(ga, "a_id").join(gb, ["b_id", "gram"])
              .groupBy("a_id", "b_id").agg(F.count(F.lit(1)).alias("n_common")))
     sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n_grams").alias("a_n"))
     sb = sizes.select(F.col(id_col).alias("b_id"), F.col("n_grams").alias("b_n"))

@@ -252,24 +252,62 @@ def _refine_pred(predicate: str):
 def within_distance_join(a: DataFrame, b: DataFrame, km: float) -> DataFrame:
     """Distance join on point layers (spherical, km): pairs within km.
 
-    Pure column math end-to-end.  A latitude-band *equi*-join carries the
-    prefilter: each b row replicates to its band ± 1, the join key is the
-    band index, so Spark picks a hash join (shuffle or broadcast via AQE)
-    instead of a nested-loop inequality join — the shape that survives a
-    100× scale-up.  Exact spherical distance refines."""
+    Pure column math end-to-end, keyed on 2-D (lat band, lon cell) — a
+    1-D latitude band is a hot key at scale (every longitude in a band
+    co-locates on one reducer).  Each b row replicates to the 3×3
+    neighborhood; the composite key drives a hash join, exact spherical
+    distance refines.
+
+    Longitude cell width is latitude-dependent (band_deg / cos at the
+    band's worst-case |lat| + 2-band slack, so ±1 lon cells provably
+    cover the radius even at high latitude; bands touching the pole
+    collapse to one 360° cell), and lon cells are modular so pairs
+    straddling the antimeridian are found."""
     from ..functions.columns import sphere_distance_km
 
     band_deg = max(km / 110.574, 1e-9)  # 1 band ≈ the distance radius in lat
+
+    def lon_cell_width(band_col):
+        # degrees per lon cell for rows joined in band `band_col`
+        phi = F.least((F.abs(band_col.cast("double")) + 2.0) * F.lit(band_deg),
+                      F.lit(90.0))
+        w = F.lit(band_deg) / F.greatest(F.cos(F.radians(phi)), F.lit(1e-12))
+        return F.least(w, F.lit(360.0))
+
+    def n_cells(wcol):
+        return F.greatest(F.floor(F.lit(360.0) / wcol), F.lit(1)).cast("int")
+
     a_pref = a.select([F.col(c).alias(f"a_{c}") for c in a.columns])
     b_pref = b.select([F.col(c).alias(f"b_{c}") for c in b.columns])
-    a_band = a_pref.withColumn("band", F.floor(F.col("a_ymin") / band_deg).cast("int"))
+
+    a_band = F.floor(F.col("a_ymin") / band_deg).cast("int")
+    aw = lon_cell_width(a_band)
+    an = n_cells(aw)
+    a_keyed = (a_pref
+               .withColumn("band", a_band)
+               .withColumn("lcell", F.pmod(
+                   F.floor((F.col("a_xmin") + 180.0) / aw).cast("int"), an)))
+
+    # b replicates to the 3×3 (band, lon-cell) neighborhood; the lon cell is
+    # computed with the TARGET band's width so keys agree across bands
     b_band = b_pref.withColumn(
         "band",
         F.explode(F.array(*[F.floor(F.col("b_ymin") / band_deg).cast("int") + i
                             for i in (-1, 0, 1)])))
-    joined = a_band.join(b_band, "band")
+    bw = lon_cell_width(F.col("band"))
+    bn = n_cells(bw)
+    # array_distinct: with few cells per ring the ±1 replicas can collapse
+    # to one cell — in-row dedup keeps each (band, lcell) replica unique, so
+    # no pair is emitted twice (a rows carry exactly one key)
+    b_keyed = (b_band
+               .withColumn("_lc0", F.floor((F.col("b_xmin") + 180.0) / bw).cast("int"))
+               .withColumn("lcell", F.explode(F.array_distinct(F.array(
+                   *[F.pmod(F.col("_lc0") + i, bn) for i in (-1, 0, 1)]))))
+               .drop("_lc0"))
+
+    joined = a_keyed.join(b_keyed, ["band", "lcell"])
     dist = sphere_distance_km(F.col("a_xmin"), F.col("a_ymin"),
                               F.col("b_xmin"), F.col("b_ymin"))
     return (joined.withColumn("distance", dist)
             .filter(F.col("distance") <= km)
-            .drop("band"))
+            .drop("band", "lcell"))

@@ -80,6 +80,27 @@ def test_ngram_jaccard(spark):
     assert ids[(1, 2)] == pytest.approx(6 / 8)
 
 
+def test_ngram_jaccard_hot_gram_cap(spark):
+    """VERDICT r1 #8: grams above the document-frequency cap are excluded
+    from candidate generation (bounded buckets on skewed corpora), but the
+    Jaccard of surviving candidates stays EXACT over full gram sets."""
+    # every doc shares the hot phrase; docs 1/2 also share rare content
+    hot = "of the and"
+    rows = [(i, f"{hot} filler{i} x{i} y{i}") for i in range(3, 30)]
+    rows += [(1, f"{hot} alpha beta gamma delta"),
+             (2, f"{hot} alpha beta gamma epsilon")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(df, n=3, threshold=0.1, max_df=5).collect()
+    ids = {(r["a_id"], r["b_id"]): r["jaccard"] for r in pairs}
+    # candidates come only from rare grams: filler docs pair with nobody
+    # (their only shared grams involve the hot phrase, df=29 > 5)
+    assert all(p in ((1, 2),) for p in ids)
+    # exact jaccard counts hot grams too: doc1/doc2 have 5 trigrams each
+    # ("of the and","the and alpha","and alpha beta","alpha beta gamma",
+    #  "beta gamma {delta|epsilon}") sharing 4 → 4/6
+    assert ids[(1, 2)] == pytest.approx(4 / 6)
+
+
 def test_text_features(spark):
     df = spark.createDataFrame(
         [(1, "The cat and the dog is happy."),
