@@ -58,6 +58,21 @@ def sphere_search_window(lon: float, lat: float, dist_km: float):
     return (lon - lon_span, lat - lat_span, lon + lon_span, lat + lat_span)
 
 
+def sphere_search_windows(lon: float, lat: float, dist_km: float) -> list:
+    """Antimeridian-aware window list: 1 window normally, 2 when the cap
+    crosses ±180 (layer coordinates stay in [-180, 180], so a window
+    extending past the antimeridian must wrap).  OR the per-window
+    prefilters (bbox_intersects_any)."""
+    x0, y0, x1, y1 = sphere_search_window(lon, lat, dist_km)
+    if x1 - x0 >= 360.0:
+        return [(-180.0, y0, 180.0, y1)]
+    if x0 < -180.0:
+        return [(-180.0, y0, x1, y1), (x0 + 360.0, y0, 180.0, y1)]
+    if x1 > 180.0:
+        return [(x0, y0, 180.0, y1), (-180.0, y0, x1 - 360.0, y1)]
+    return [(x0, y0, x1, y1)]
+
+
 def bbox_intersects_window(xmin, ymin, xmax, ymax, window) -> Column:
     """bbox-vs-rectangle predicate on the four bbox columns —
     FilterIntersectWindow.java:32-51 as pure column math."""

@@ -223,19 +223,37 @@ class Layer:
 
     # ---- mutation (copy-on-write; reference mutates nodes in place) ----
     def update(self, ids_df_or_list, wkt: str | None = None, **set_cols) -> None:
-        """updateWKT / updateFromWKT equivalent: rewrite matching ids."""
+        """updateWKT / updateFromWKT equivalent: rewrite matching ids.
+
+        Accepts a Python list of ids or a DataFrame whose first column is
+        the id (anti/semi joins — the distributed shape).  The WKT is parsed
+        driver-side into a WKB literal (never interpolated into SQL text, so
+        quotes and hostile input are inert)."""
+        from .functions.scalar import wkb_lit
         df = self.df()
-        ids = ids_df_or_list if isinstance(ids_df_or_list, list) else None
-        cond = F.col("id").isin(ids) if ids is not None else F.lit(False)
-        untouched = df.filter(~cond)
-        touched = df.filter(cond)
+        if isinstance(ids_df_or_list, list):
+            cond = F.col("id").isin(ids_df_or_list)
+            untouched = df.filter(~cond)
+            touched = df.filter(cond)
+        elif isinstance(ids_df_or_list, DataFrame):
+            ids_df = (ids_df_or_list
+                      .select(F.col(ids_df_or_list.columns[0]).alias("id"))
+                      .distinct())
+            untouched = df.join(ids_df, "id", "left_anti")
+            touched = df.join(ids_df, "id", "left_semi")
+        else:
+            raise TypeError(
+                "update() takes a list of ids or a DataFrame of ids, got "
+                f"{type(ids_df_or_list).__name__}")
         if wkt is not None:
             touched = (touched.drop("geom", "gtype", "xmin", "ymin", "xmax", "ymax", "zkey")
-                       .withColumn("geom", F.expr(f"st_geomfromtext('{wkt}')")))
+                       .withColumn("geom", wkb_lit(wkt)))
             touched = self._encode_wkb(touched)
         for k, v in set_cols.items():
             touched = touched.withColumn(k, F.lit(v))
-        out = untouched.unionByName(touched, allowMissingColumns=False)
+        # allowMissingColumns: update may introduce a new attribute column —
+        # untouched rows get NULL (the discovered-attribute model)
+        out = untouched.unionByName(touched, allowMissingColumns=True)
         self._rewrite(out)
 
     def delete(self, ids: list) -> None:

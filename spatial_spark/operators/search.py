@@ -23,6 +23,7 @@ import pandas as pd
 
 from ..functions.columns import (
     bbox_intersects_window, sphere_distance_km, sphere_search_window,
+    sphere_search_windows,
 )
 from ..functions.scalar import wkb_lit
 from ..geom import from_wkb, from_wkt
@@ -34,11 +35,17 @@ from .pruning import sfc_window_predicate
 def _window_prefilter(df: DataFrame, window,
                       all_points: bool | None = None) -> DataFrame:
     """bbox window + SFC key range pruning (two independent prune layers).
+    ``window`` may be a single (x0,y0,x1,y1) or a list of windows (the
+    antimeridian split) — list windows OR their per-window predicates.
     ``all_points`` is the layer catalog's write-time fact — no plan-time scan."""
-    pred = bbox_intersects_window("xmin", "ymin", "xmax", "ymax", window)
-    zpred = sfc_window_predicate(df, window, all_points=all_points)
-    if zpred is not None:
-        pred = zpred & pred
+    windows = window if isinstance(window, list) else [window]
+    pred = None
+    for w in windows:
+        p = bbox_intersects_window("xmin", "ymin", "xmax", "ymax", w)
+        zpred = sfc_window_predicate(df, w, all_points=all_points)
+        if zpred is not None:
+            p = zpred & p
+        pred = p if pred is None else (pred | p)
     return df.filter(pred)
 
 
@@ -75,8 +82,8 @@ def _distance_col(df: DataFrame, lon: float, lat: float):
 def within_distance(layer, lon: float, lat: float, km: float) -> DataFrame:
     """All records within `km` of (lon,lat), with a `distance` column,
     ordered ascending — spatial.withinDistance semantics."""
-    window = sphere_search_window(lon, lat, km)
-    df = _window_prefilter(layer.df(), window, _layer_all_points(layer))
+    windows = sphere_search_windows(lon, lat, km)
+    df = _window_prefilter(layer.df(), windows, _layer_all_points(layer))
     df = df.withColumn("distance", _distance_col(df, lon, lat))
     return df.filter(F.col("distance") <= km).orderBy("distance")
 
@@ -111,8 +118,9 @@ def closest(layer, lon: float, lat: float, k: int = 100,
     km = max(est_deg * 110.574, 1e-6)
     if max_km is not None:
         km = min(km, max_km)
-    window = sphere_search_window(lon, lat, km)
-    cand = _window_prefilter(layer.df(), window, all_pts)
+    window = sphere_search_window(lon, lat, km)  # unwrapped, for coverage test
+    cand = _window_prefilter(layer.df(), sphere_search_windows(lon, lat, km),
+                             all_pts)
     cand = cand.withColumn("distance", _distance_col(cand, lon, lat))
     if max_km is not None:
         cand = cand.filter(F.col("distance") <= max_km)

@@ -106,6 +106,43 @@ def test_update_delete(ctx, spark):
     assert layer.count() == 7
 
 
+def test_update_dataframe_ids_and_wkt_quoting(ctx, spark):
+    """ADVICE r1: update() silently no-op'd on DataFrame input, and WKT was
+    interpolated into SQL text (broke on quotes)."""
+    import pytest
+    layer = ctx.create_wkt_layer("mut2")
+    df = spark.createDataFrame(
+        [(1, "POINT (1 1)"), (2, "POINT (2 2)"), (3, "POINT (3 3)")],
+        "id long, wkt string")
+    layer.add(df, wkt="wkt")
+    # DataFrame of ids (semi/anti join path)
+    ids_df = spark.createDataFrame([(1,), (3,)], "the_id long")
+    layer.update(ids_df, flag="touched")
+    rows = {r["id"]: r["flag"] for r in layer.df().collect()}
+    assert rows == {1: "touched", 2: None, 3: "touched"}
+    # WKT goes through as a literal — a quote must not break parsing
+    layer.update([2], wkt="POINT (9 9)", note="it's quoted")
+    r2 = {r["id"]: (r["xmin"], r["note"]) for r in layer.df().collect()}
+    assert r2[2] == (9.0, "it's quoted")
+    with pytest.raises(TypeError):
+        layer.update("not-ids")
+
+
+def test_within_distance_antimeridian(ctx, spark):
+    """ADVICE r1: the search window must wrap at ±180 — points physically
+    near the probe but across the antimeridian were missed."""
+    layer = ctx.create_point_layer("anti", x="lon", y="lat")
+    layer.add(spark.createDataFrame(
+        [(1, 179.5, 0.0), (2, -179.5, 0.0), (3, 170.0, 0.0), (4, 0.0, 0.0)],
+        "id long, lon double, lat double"))
+    # probe sits right of the antimeridian; id 2 is ~111 km away across it
+    res = layer.within_distance(179.9, 0.0, 200.0)
+    ids = {r["id"] for r in res.collect()}
+    assert ids == {1, 2}
+    res2 = layer.closest(-179.9, 0.0, k=2)
+    assert {r["id"] for r in res2.collect()} == {1, 2}
+
+
 def test_dynamic_view(ctx, spark):
     layer = ctx.create_wkt_layer("dyn")
     df = spark.createDataFrame(
