@@ -631,11 +631,39 @@ def end_point(g: Geometry):
     return None
 
 
+def segment_capsule(a, b, dist: float, quad_segs: int = 8) -> Geometry:
+    """Round-join capsule of segment a-b: offset rectangle + two k-chord
+    semicircular fans (k = 2·quad_segs, matching the 4·quad_segs disc).
+
+    The construction is JTS's offset-curve for a single segment; its area
+    is closed-form: 2·d·L + k·d²·sin(π/k)  (L=0 degenerates to the disc,
+    same formula) — which makes buffered segments ORACLE-EXPRESSIBLE."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    k = 2 * quad_segs
+    dxy = b - a
+    ll = math.hypot(dxy[0], dxy[1])
+    if ll == 0.0:
+        ang = np.linspace(0, 2 * math.pi, 4 * quad_segs, endpoint=False)
+        return Geometry.polygon(a + np.column_stack([np.cos(ang), np.sin(ang)]) * dist)
+    t = dxy / ll
+    phi0 = math.atan2(t[0], -t[1])  # angle of the left normal (-ty, tx)
+    j = np.arange(k + 1)
+    arc_b = b + dist * np.column_stack([np.cos(phi0 - j * math.pi / k),
+                                        np.sin(phi0 - j * math.pi / k)])
+    arc_a = a + dist * np.column_stack([np.cos(phi0 - math.pi - j * math.pi / k),
+                                        np.sin(phi0 - math.pi - j * math.pi / k)])
+    return Geometry.polygon(np.vstack([arc_b, arc_a]))
+
+
 def buffer_geom(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
-    """Buffer (Buffer.java:29-54).  Point/multipoint: exact n-gon discs
-    (JTS default quadrantSegments=8 → 32-gon).  Lines/polygons: disc-sampled
-    hull-of-capsules approximation per segment, unioned; adequate for
-    window/prefilter use, documented as approximate."""
+    """Buffer (Buffer.java:29-54), positive distances.
+
+    Point/multipoint: n-gon discs (JTS quadrantSegments=8 → 32-gon).
+    Lines: union of per-segment round-join capsules (segment_capsule) —
+    exactly JTS's buffer decomposition, with the same arc discretization.
+    Polygons: union of the polygon with its ring capsules (outward growth
+    on shells, inward shrink of holes both emerge from the union)."""
     if dist <= 0:
         return g
     ang = np.linspace(0, 2 * math.pi, 4 * quad_segs, endpoint=False)
@@ -649,13 +677,10 @@ def buffer_geom(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
     if g.gtype == GTYPE_MULTIPOINT:
         from .clip import union_many
         return union_many([pt_buf(p.data) for p in g.parts()])
-    # capsule per segment = hull(disc@a ∪ disc@b)
     caps = []
     for line in _as_lines(g):
         for i in range(len(line) - 1):
-            pts = np.vstack([line[i] + disc, line[i + 1] + disc])
-            caps.append(convex_hull(Geometry(GTYPE_MULTIPOINT,
-                                             [Geometry(GTYPE_POINT, p) for p in pts])))
+            caps.append(segment_capsule(line[i], line[i + 1], dist, quad_segs))
     if g.dimension() == 2:
         caps.extend(p for p in g.parts())
     from .clip import union_many

@@ -102,9 +102,33 @@ def _fragment_rings(rings_a, rings_b):
 
 
 def _classify(frag, poly: Geometry) -> int:
-    """0=outside, 1=boundary, 2=inside — by fragment midpoint."""
+    """0=outside, 1=boundary, 2=inside — by fragment midpoint.
+
+    Boundary is decided by DISTANCE (≤ _SNAP) rather than an exact
+    zero-cross test: coincident edges that arrive via different float
+    arithmetic (e.g. two arcs sampled around the same center from
+    different phase grids) differ in the last ulps, and an exact test
+    classifies them inconsistently — the snap-tolerance makes every
+    near-coincident fragment agree on 'boundary'.  The parity test only
+    runs for midpoints safely off the boundary, where it is stable."""
     mid = (frag[0] + frag[-1]) / 2.0
+    from .algorithms import points_min_dist_to_boundary
+    if points_min_dist_to_boundary(mid[None, :], poly)[0] <= _SNAP:
+        return 1
     return point_in_polygon(float(mid[0]), float(mid[1]), poly)
+
+
+def _classify_all(frags, poly: Geometry) -> list:
+    """Vectorized _classify for a fragment list (one distance sweep + one
+    ray-cast sweep over all midpoints instead of per-fragment Python)."""
+    if not frags:
+        return []
+    from .algorithms import points_in_polygon_bulk, points_min_dist_to_boundary
+    mids = np.array([(f[0] + f[-1]) / 2.0 for f in frags])
+    on_bnd = points_min_dist_to_boundary(mids, poly) <= _SNAP
+    inside = points_in_polygon_bulk(mids, poly)
+    return [1 if on_bnd[i] else (2 if inside[i] else 0)
+            for i in range(len(frags))]
 
 
 def _stitch(frags) -> list:
@@ -197,8 +221,8 @@ def _overlay(g1: Geometry, g2: Geometry, op: str) -> Geometry:
     b = _normalize(g2)
     fa = _fragment_rings(_all_rings(a), _all_rings(b))
     fb = _fragment_rings(_all_rings(b), _all_rings(a))
-    ca = [_classify(f, b) for f in fa]
-    cb = [_classify(f, a) for f in fb]
+    ca = _classify_all(fa, b)
+    cb = _classify_all(fb, a)
     # collinear shared edges: a boundary(1)-classified A fragment coincides
     # with a B fragment either same-direction (interiors on the same side)
     # or opposite (interiors on opposite sides); the op decides which kind
