@@ -71,13 +71,16 @@ def _seg_param(px, py, ax, ay, bx, by) -> float:
     return (py - ay) / dy if dy != 0.0 else 0.0
 
 
-def _seg_nodes(p0, p1, q0, q1) -> list[float]:
-    """Params t on segment p0-p1 where it meets segment q0-q1.
+def _seg_nodes(p0, p1, q0, q1) -> list[tuple[float, bool]]:
+    """(t, proper) pairs on segment p0-p1 where it meets segment q0-q1.
 
     Handles: endpoint-on-segment touches (exact orientation test),
     collinear overlap (overlap-interval endpoints), and proper interior
-    crossings (computed once, by parametric solve)."""
-    ts: list[float] = []
+    crossings (computed once, by parametric solve).  ``proper`` is True
+    only for the crossing branch: by construction such a node lies in
+    the *interior* of both segments (all four orientation signs are
+    nonzero), a fact the rounded coordinates cannot reliably re-derive."""
+    ts: list[tuple[float, bool]] = []
     px, py = p1[0] - p0[0], p1[1] - p0[1]
     qx, qy = q1[0] - q0[0], q1[1] - q0[1]
     d0 = _orient(q0[0], q0[1], q1[0], q1[1], p0[0], p0[1])
@@ -91,17 +94,17 @@ def _seg_nodes(p0, p1, q0, q1) -> list[float]:
         lo, hi = min(t0, t1), max(t0, t1)
         lo, hi = max(lo, 0.0), min(hi, 1.0)
         if lo <= hi:
-            ts.extend((lo, hi))
+            ts.extend(((lo, False), (hi, False)))
         return ts
     # endpoint touches (exact)
     if d0 == 0.0 and _on_segment(p0[0], p0[1], q0[0], q0[1], q1[0], q1[1]):
-        ts.append(0.0)
+        ts.append((0.0, False))
     if d1 == 0.0 and _on_segment(p1[0], p1[1], q0[0], q0[1], q1[0], q1[1]):
-        ts.append(1.0)
+        ts.append((1.0, False))
     if e0 == 0.0 and _on_segment(q0[0], q0[1], p0[0], p0[1], p1[0], p1[1]):
-        ts.append(_seg_param(q0[0], q0[1], p0[0], p0[1], p1[0], p1[1]))
+        ts.append((_seg_param(q0[0], q0[1], p0[0], p0[1], p1[0], p1[1]), False))
     if e1 == 0.0 and _on_segment(q1[0], q1[1], p0[0], p0[1], p1[0], p1[1]):
-        ts.append(_seg_param(q1[0], q1[1], p0[0], p0[1], p1[0], p1[1]))
+        ts.append((_seg_param(q1[0], q1[1], p0[0], p0[1], p1[0], p1[1]), False))
     # proper crossing
     if ((d0 > 0) != (d1 > 0)) and ((e0 > 0) != (e1 > 0)) \
             and d0 != 0.0 and d1 != 0.0 and e0 != 0.0 and e1 != 0.0:
@@ -109,18 +112,22 @@ def _seg_nodes(p0, p1, q0, q1) -> list[float]:
         if denom != 0.0:
             t = ((q0[0] - p0[0]) * qy - (q0[1] - p0[1]) * qx) / denom
             if 0.0 < t < 1.0:
-                ts.append(t)
+                ts.append((t, True))
     return ts
 
 
 def _pieces_and_nodes(lines_a: list, lines_b: list):
     """Node every segment of lines_a against lines_b.
 
-    Returns (midpoints, nodes): midpoints of the elementary open pieces
-    of A, and the node points (t-split locations, including touched
-    endpoints) on A."""
+    Returns (midpoints, nodes, cross_nodes): midpoints of the elementary
+    open pieces of A, the node points (t-split locations, including
+    touched endpoints) on A, and the subset of nodes produced by the
+    proper-crossing branch of ``_seg_nodes`` — those are known *by
+    construction* to lie in the interiors of both the A and B segments
+    (the rounded point generally fails an exact re-location)."""
     mids: list[tuple[float, float]] = []
     nodes: list[tuple[float, float]] = []
+    cross_nodes: list[tuple[float, float]] = []
     for la in lines_a:
         for i in range(len(la) - 1):
             p0, p1 = la[i], la[i + 1]
@@ -129,6 +136,7 @@ def _pieces_and_nodes(lines_a: list, lines_b: list):
             lo = (min(p0[0], p1[0]), min(p0[1], p1[1]))
             hi = (max(p0[0], p1[0]), max(p0[1], p1[1]))
             ts = [0.0, 1.0]
+            cross_ts: set[float] = set()
             for lb in lines_b:
                 for j in range(len(lb) - 1):
                     q0, q1 = lb[j], lb[j + 1]
@@ -136,17 +144,23 @@ def _pieces_and_nodes(lines_a: list, lines_b: list):
                             or max(q0[1], q1[1]) < lo[1]
                             or min(q0[1], q1[1]) > hi[1]):
                         continue
-                    ts.extend(_seg_nodes(p0, p1, q0, q1))
+                    for t, proper in _seg_nodes(p0, p1, q0, q1):
+                        ts.append(t)
+                        if proper:
+                            cross_ts.add(t)
             ts = sorted(set(min(1.0, max(0.0, t)) for t in ts))
             dx, dy = p1[0] - p0[0], p1[1] - p0[1]
             for a, b in zip(ts, ts[1:]):
                 tm = (a + b) / 2.0
                 mids.append((p0[0] + dx * tm, p0[1] + dy * tm))
             for t in ts[1:-1]:
-                nodes.append((p0[0] + dx * t, p0[1] + dy * t))
+                pt = (p0[0] + dx * t, p0[1] + dy * t)
+                nodes.append(pt)
+                if t in cross_ts:
+                    cross_nodes.append(pt)
             for t in (0.0, 1.0):
                 nodes.append((p0[0] + dx * t, p0[1] + dy * t))
-    return mids, nodes
+    return mids, nodes, cross_nodes
 
 
 # ---------------------------------------------------------------- location
@@ -312,8 +326,8 @@ def _relate_ll(a, b):
     m = ["F"] * 9
     la, lb = _as_lines(a), _as_lines(b)
     ba, bb = _line_boundary_points(a), _line_boundary_points(b)
-    mids_a, nodes_a = _pieces_and_nodes(la, lb)
-    mids_b, nodes_b = _pieces_and_nodes(lb, la)
+    mids_a, nodes_a, cross_a = _pieces_and_nodes(la, lb)
+    mids_b, nodes_b, _ = _pieces_and_nodes(lb, la)
     shared_1d = False
     for x, y in mids_a:
         if _locate_on_lines(x, y, lb, bb) != 0:
@@ -326,10 +340,17 @@ def _relate_ll(a, b):
     for x, y in mids_b:
         if _locate_on_lines(x, y, la, ba) == 0:
             _set(m, 6, 1)
-    # 0-dim contacts at nodes
+    # 0-dim contacts at nodes.  Proper-crossing nodes are interior to
+    # both segments by construction — the rounded point would fail the
+    # exact _on_segment re-location, so classify from provenance.
+    cross = set(cross_a)
     for x, y in nodes_a:
-        loc_a = _locate_on_lines(x, y, la, ba)
-        loc_b = _locate_on_lines(x, y, lb, bb)
+        if (x, y) in cross:
+            loc_a = 1 if (x, y) in ba else 2
+            loc_b = 1 if (x, y) in bb else 2
+        else:
+            loc_a = _locate_on_lines(x, y, la, ba)
+            loc_b = _locate_on_lines(x, y, lb, bb)
         if loc_a == 2 and loc_b == 2 and not shared_1d:
             _set(m, 0, 0)
         if loc_a == 2 and loc_b == 1:
@@ -353,7 +374,7 @@ def _relate_la(a, b):
     ba = _line_boundary_points(a)
     poly = _poly(b)
     rings = _as_lines(b)
-    mids_a, nodes_a = _pieces_and_nodes(la, rings)
+    mids_a, nodes_a, cross_a = _pieces_and_nodes(la, rings)
     for x, y in mids_a:
         loc = point_in_polygon(x, y, poly)
         if loc == 2:
@@ -362,9 +383,17 @@ def _relate_la(a, b):
             _set(m, 1, 1)  # collinear piece along a ring
         else:
             _set(m, 2, 1)
+    # A segment properly crossing a ring passes through B's boundary at
+    # an interior point of both segments — on-boundary by construction,
+    # even when the rounded node fails the exact point_in_polygon probe.
+    cross = set(cross_a)
     for x, y in nodes_a:
-        loc_a = _locate_on_lines(x, y, la, ba)
-        loc = point_in_polygon(x, y, poly)
+        if (x, y) in cross:
+            loc_a = 1 if (x, y) in ba else 2
+            loc = 1
+        else:
+            loc_a = _locate_on_lines(x, y, la, ba)
+            loc = point_in_polygon(x, y, poly)
         if loc == 1:
             if loc_a == 2:
                 _set(m, 1, 0)
@@ -380,7 +409,7 @@ def _relate_la(a, b):
             _set(m, 5, 0)
     _set(m, 6, 2)  # a 1-dim line never covers a polygon interior
     # EB: are B's rings fully covered by A?
-    mids_r, _ = _pieces_and_nodes(rings, la)
+    mids_r, _, _ = _pieces_and_nodes(rings, la)
     for x, y in mids_r:
         if _locate_on_lines(x, y, la, ba) == 0:
             _set(m, 7, 1)
@@ -392,8 +421,8 @@ def _relate_aa(a, b):
     m = ["F"] * 9
     pa, pb = _poly(a), _poly(b)
     rings_a, rings_b = _as_lines(pa), _as_lines(pb)
-    mids_a, nodes_a = _pieces_and_nodes(rings_a, rings_b)
-    mids_b, nodes_b = _pieces_and_nodes(rings_b, rings_a)
+    mids_a, nodes_a, cross_a = _pieces_and_nodes(rings_a, rings_b)
+    mids_b, nodes_b, _ = _pieces_and_nodes(rings_b, rings_a)
     # pieces of A's rings against B (and vice versa)
     a_ring_in_b_int = a_ring_in_b_ext = False
     for x, y in mids_a:
@@ -415,12 +444,18 @@ def _relate_aa(a, b):
         elif loc == 0:
             _set(m, 7, 1)       # EB
             b_ring_in_a_ext = True
-    # isolated boundary/boundary touch points
+    # isolated boundary/boundary touch points.  A proper ring/ring
+    # crossing is a boundary/boundary contact by construction — the
+    # rounded node generally fails the exact on-boundary probe, so use
+    # the provenance first (ADVICE r2: slanted-polygon BB was dropped).
     if m[4] == "F":
-        for x, y in nodes_a:
-            if point_in_polygon(x, y, pb) == 1:
-                _set(m, 4, 0)
-                break
+        if cross_a:
+            _set(m, 4, 0)
+        else:
+            for x, y in nodes_a:
+                if point_in_polygon(x, y, pb) == 1:
+                    _set(m, 4, 0)
+                    break
     # interiors: a ring of one inside the other's interior separates that
     # interior locally into int/ext of the ring's own polygon -> both II
     # and the corresponding I/E entry are 2-dimensional

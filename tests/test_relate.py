@@ -11,6 +11,7 @@ from hypothesis import given, settings, strategies as st
 from spatial_spark.geom.core import Geometry
 from spatial_spark.geom import predicates as P
 from spatial_spark.geom.relate import relate_matrix, matches
+from spatial_spark.geom.wkt import from_wkt
 
 
 def box(x0, y0, x1, y1):
@@ -149,3 +150,44 @@ class TestRelateRectProperty:
         # transpose symmetry
         assert relate_matrix(b, a) == "".join(
             m[i] for i in (0, 3, 6, 1, 4, 7, 2, 5, 8))
+
+
+class TestSlantedGeometries:
+    """Non-representable intersection points (ADVICE r2): crossing nodes
+    must be classified by construction, not by re-locating the rounded
+    point with exact tests."""
+
+    def test_slanted_line_cross(self):
+        # rounded crossing point is not exactly incident to either line
+        a = from_wkt("LINESTRING (0.1 0.2, 2.7 1.9)")
+        b = from_wkt("LINESTRING (0.3 1.7, 2.9 0.1)")
+        m = relate_matrix(a, b)
+        assert m == "0F1FF0102"
+        assert P.crosses(a, b) and P.crosses(b, a)
+
+    def test_slanted_triangle_overlap(self):
+        t1 = from_wkt("POLYGON ((0 0, 3 0.5, 1 2.5, 0 0))")
+        t2 = from_wkt("POLYGON ((0.5 2, 2.5 2.2, 1.5 -0.5, 0.5 2))")
+        m = relate_matrix(t1, t2)
+        assert m == "212101212"   # BB='0' at the boundary crossings
+        assert P.overlaps(t1, t2)
+
+    def test_slanted_line_enters_polygon(self):
+        l = from_wkt("LINESTRING (-1 -1, 2 2)")
+        p = from_wkt("POLYGON ((0.3 0.1, 2.7 0.4, 1.1 2.9, 0.3 0.1))")
+        m = relate_matrix(l, p)
+        assert m[0] == "1" and m[1] == "0" and m[2] == "1"
+        assert P.crosses(l, p)
+
+    @given(st.floats(0.05, 0.95), st.floats(0.05, 0.95),
+           st.floats(1.05, 1.95), st.floats(1.05, 1.95))
+    @settings(max_examples=60, deadline=None)
+    def test_random_slanted_crossings(self, x0, y0, x1, y1):
+        # two segments guaranteed to properly cross inside the unit box:
+        # a runs SW->NE through it, b runs NW->SE through it
+        a = from_wkt(f"LINESTRING ({x0 - 1} {y0 - 1}, {x1 + 1} {y1 + 1})")
+        b = from_wkt(f"LINESTRING ({x0 - 1} {y1 + 1.0001}, "
+                     f"{x1 + 1} {y0 - 1.0001})")
+        m = relate_matrix(a, b)
+        assert m[0] == "0", m
+        assert P.intersects(a, b)
