@@ -66,7 +66,18 @@ def _sphere_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
     )
 
 
+_SETUP_DONE: dict = {}
+
+
 def _setup(spark: SparkSession, sf_dir: str) -> None:
+    # Memoized on the session's CURRENT sf_dir: re-registering 61 UDFs and
+    # re-reading 10 parquet schemas added a fixed ~0.2s to EVERY query (the
+    # r2 bench regression floor).  Keyed by session so switching sf_dir
+    # re-registers the views; the value keeps the session object alive so
+    # id() cannot be recycled onto a different live session.
+    cur = _SETUP_DONE.get(id(spark))
+    if cur is not None and cur[1] == sf_dir:
+        return
     from spatial_spark.functions import register_all
     from spatial_spark.io.tables import register_views
     # the driver owns the session: apply the runtime confs we rely on
@@ -80,6 +91,7 @@ def _setup(spark: SparkSession, sf_dir: str) -> None:
         pass
     register_all(spark)
     register_views(spark, sf_dir)
+    _SETUP_DONE[id(spark)] = (spark, sf_dir)
 
 
 def entry(spark: SparkSession) -> DataFrame:

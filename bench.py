@@ -24,6 +24,21 @@ HEADLINE = [
     "knn_cosine", "events_daily",
 ]
 
+# Per-query budgets at sf0.1 / local[32]: ~1.6x the recorded best (r3), so
+# a regression like r2's (per-query re-registration overhead) fails loudly
+# instead of drifting.  Reported in the JSON as budget_violations; exits
+# nonzero only when SPARK_GRAFT_STRICT_BENCH=1 (machine noise must not trip
+# the driver's rc gate).
+BUDGET_SF01 = {
+    "within_distance": 1.8, "knn": 0.7, "bbox_window": 0.5,
+    "spatial_join": 2.6, "spatial_join_agg": 2.2, "distance_join": 1.7,
+    "st_area_rects": 1.7, "extract_points": 1.4, "orthodromic_length": 1.0,
+    "zorder_keys": 0.7, "tpch_q1": 1.0, "revenue_by_nation": 1.9,
+    "dedup_exact": 0.9, "minhash_pairs": 4.8, "simhash_pairs": 6.2,
+    "quality_scores": 1.3, "lang_id": 1.7, "knn_cosine": 0.7,
+    "events_daily": 0.7,
+}
+
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -56,13 +71,24 @@ def main():
             timings[name] = -1.0
             print(f"# {name} failed: {str(e)[:200]}", file=sys.stderr)
     total = round(time.time() - t_all, 3)
+    violations = {}
+    if sf == 0.1:
+        violations = {q: {"sec": t, "budget": BUDGET_SF01[q]}
+                      for q, t in timings.items()
+                      if q in BUDGET_SF01 and t > BUDGET_SF01[q]}
+        for q, v in violations.items():
+            print(f"# BUDGET EXCEEDED: {q} {v['sec']}s > {v['budget']}s",
+                  file=sys.stderr)
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "budget_violations": violations,
     }))
+    if violations and os.environ.get("SPARK_GRAFT_STRICT_BENCH") == "1":
+        sys.exit(3)
 
 
 if __name__ == "__main__":
