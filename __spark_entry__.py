@@ -651,9 +651,13 @@ def _q_union_all_rects(spark, sf_dir) -> DataFrame:
 
 
 def _q_density_islands(spark, sf_dir) -> DataFrame:
+    # c_custkey <= 300 (not .limit: partition-order-dependent) so the
+    # point set is deterministic and the DuckDB connected-components
+    # oracle sees the identical input
     from spatial_spark.operators.agg import density_islands
     pts = (_cust_point_geoms(spark)
-           .withColumnRenamed("c_custkey", "id").limit(300))
+           .filter(F.col("c_custkey") <= 300)
+           .withColumnRenamed("c_custkey", "id"))
     labels = density_islands(pts, density=2.0)
     return (labels.groupBy("island").agg(F.count(F.lit(1)).alias("n_members"))
             .groupBy("n_members").agg(F.count(F.lit(1)).alias("n_islands"))
@@ -756,6 +760,89 @@ def _geohash_oracle_sql() -> str:
         WITH cells AS (SELECT c_custkey, {cx} AS cx, {cy} AS cy FROM customer),
              tot AS (SELECT c_custkey, CAST({total} AS BIGINT) AS total FROM cells)
         SELECT c_custkey, {chars} AS geohash8 FROM tot
+    """
+
+
+def _hilbert_oracle_sql() -> str:
+    """Level-12 Hilbert d(x,y) unrolled into 12 chained CTEs — the same
+    iterative rotate/flip loop as sfc.hilbert_encode (sfc.py:53-76), one
+    CTE per curve level (DuckDB-only SQL; the oracle never runs in Spark)."""
+    cx = (f"CAST(least(greatest(floor(({CUST_LON} + 180.0) / 360.0 * 4096),"
+          f" 0), 4095) AS BIGINT)")
+    cy = (f"CAST(least(greatest(floor(({CUST_LAT} + 90.0) / 180.0 * 4096),"
+          f" 0), 4095) AS BIGINT)")
+    level = 12
+    sql = (f"WITH c0 AS (SELECT c_custkey, {cx} AS x, {cy} AS y,"
+           f" CAST(0 AS BIGINT) AS d FROM customer)")
+    for i in range(level):
+        s = 1 << (level - 1 - i)   # current block size
+        sh = level - 1 - i         # bit index of s
+        rx = f"((x >> {sh}) & 1)"
+        ry = f"((y >> {sh}) & 1)"
+        dinc = (f"CASE WHEN {rx} = 1 AND {ry} = 1 THEN 2"
+                f" WHEN {rx} = 1 THEN 3 WHEN {ry} = 1 THEN 1 ELSE 0 END")
+        # ry=1: no rotate; ry=0,rx=0: swap; ry=0,rx=1: swap + flip
+        newx = f"CASE WHEN {ry} = 1 THEN x WHEN {rx} = 1 THEN {s - 1} - y ELSE y END"
+        newy = f"CASE WHEN {ry} = 1 THEN y WHEN {rx} = 1 THEN {s - 1} - x ELSE x END"
+        sql += (f", c{i + 1} AS (SELECT c_custkey, {newx} AS x, {newy} AS y,"
+                f" d + {s * s} * ({dinc}) AS d FROM c{i})")
+    sql += f" SELECT c_custkey, CAST(d AS BIGINT) AS hkey FROM c{level}"
+    return sql
+
+
+def _union_rects_oracle_sql() -> str:
+    """Exact union area of the p_partkey<=40 rect bed by coordinate
+    compression: elementary grid cells from the distinct x/y coordinates,
+    a cell is in the union iff some rect covers it.  True area has <= 2
+    decimal digits (0.1-quantized corners) so round(. , 6) is hash-safe."""
+    return f"""
+        WITH rects AS (
+          SELECT {PART_X0} AS x0, {PART_Y0} AS y0,
+                 {PART_X0} + {PART_W} AS x1, {PART_Y0} + {PART_H} AS y1
+          FROM part WHERE p_partkey <= 40),
+        xs AS (SELECT DISTINCT x0 AS v FROM rects
+               UNION SELECT DISTINCT x1 FROM rects),
+        xi AS (SELECT v AS lo, lead(v) OVER (ORDER BY v) AS hi FROM xs),
+        ys AS (SELECT DISTINCT y0 AS v FROM rects
+               UNION SELECT DISTINCT y1 FROM rects),
+        yi AS (SELECT v AS lo, lead(v) OVER (ORDER BY v) AS hi FROM ys),
+        cells AS (
+          SELECT xi.lo AS xl, xi.hi AS xh, yi.lo AS yl, yi.hi AS yh
+          FROM xi, yi WHERE xi.hi IS NOT NULL AND yi.hi IS NOT NULL),
+        cov AS (
+          SELECT DISTINCT c.xl, c.xh, c.yl, c.yh
+          FROM cells c JOIN rects r
+            ON c.xl >= r.x0 AND c.xh <= r.x1
+           AND c.yl >= r.y0 AND c.yh <= r.y1)
+        SELECT round(sum((xh - xl) * (yh - yl)), 6) AS union_area FROM cov
+    """
+
+
+def _density_islands_oracle_sql() -> str:
+    """Connected components of the distance<=2.0 graph over the c_custkey
+    <= 300 points via a recursive min-label reachability CTE, then the
+    same island-size histogram the Spark query emits
+    (DensityIslands.java:26-55 parity; SURVEY §7.4.1 documents the
+    transitive-closure semantic)."""
+    return f"""
+        WITH RECURSIVE pts AS (
+          SELECT c_custkey AS id, {CUST_LON} AS x, {CUST_LAT} AS y
+          FROM customer WHERE c_custkey <= 300),
+        edges AS (
+          SELECT a.id AS src, b.id AS dst
+          FROM pts a JOIN pts b
+            ON a.id <> b.id
+           AND sqrt((a.x - b.x) * (a.x - b.x)
+                    + (a.y - b.y) * (a.y - b.y)) <= 2.0),
+        reach(id, label) AS (
+          SELECT id, id FROM pts
+          UNION
+          SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+        comp AS (SELECT id, min(label) AS island FROM reach GROUP BY id),
+        members AS (
+          SELECT island, count(*) AS n_members FROM comp GROUP BY island)
+        SELECT n_members, count(*) AS n_islands FROM members
+        GROUP BY n_members ORDER BY n_members
     """
 
 
@@ -1055,4 +1142,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, round({d}, 6) AS distance_km
             FROM customer WHERE round({d}, 6) <= 2000.0
         """,
+        "hilbert_keys": _hilbert_oracle_sql(),
+        "union_all_rects": _union_rects_oracle_sql(),
+        "density_islands": _density_islands_oracle_sql(),
     }
