@@ -533,6 +533,19 @@ def _q_st_buffer_area(spark, sf_dir) -> DataFrame:
         .alias("buf_area"))
 
 
+def _q_st_buffer_lines(spark, sf_dir) -> DataFrame:
+    """Line buffer (JTS round-join capsule decomposition) area on 2-vertex
+    order paths vs the closed-form capsule area 2·d·L + 16·d²·sin(π/16)
+    (segment_capsule docstring; Buffer.java:29-54 parity)."""
+    paths = _order_paths(spark)
+    two_pt = paths.filter(F.expr("st_numpoints(geom)") == 2)
+    return two_pt.select(
+        "l_orderkey",
+        F.round(F.expr(
+            "st_area(st_buffer(geom, CAST(l_orderkey % 5 + 1 AS DOUBLE) / 10.0))"
+        ), 4).alias("buf_area"))
+
+
 def _q_geohash(spark, sf_dir) -> DataFrame:
     """Geohash point-index parity (LayerGeohashPointIndex): precision-8
     geohash strings, oracled by pure-SQL bit interleave + base32."""
@@ -706,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_symdifference_area": _q_st_symdifference_area,
         "relate_classes": _q_relate_classes,
         "st_buffer_area": _q_st_buffer_area,
+        "st_buffer_lines": _q_st_buffer_lines,
         "geohash": _q_geohash,
         "sessionize": _q_sessionize,
         "dynamic_view": _q_dynamic_view,
@@ -1103,6 +1117,28 @@ def oracle_sql() -> dict[str, str]:
                               * (CAST(s_suppkey % 5 + 1 AS DOUBLE) / 10.0)
                               * sin(2 * pi() / 32), 6) AS buf_area
             FROM supplier
+        """,
+        "st_buffer_lines": f"""
+            WITH pts AS ({li_path_pts}),
+            seg AS (
+              SELECT l_orderkey, px, py,
+                     lag(px) OVER (PARTITION BY l_orderkey
+                                   ORDER BY l_linenumber, px, py) AS ppx,
+                     lag(py) OVER (PARTITION BY l_orderkey
+                                   ORDER BY l_linenumber, px, py) AS ppy
+              FROM pts),
+            g AS (
+              SELECT l_orderkey,
+                     sum(CASE WHEN ppx IS NULL THEN 0
+                         ELSE sqrt((px - ppx) * (px - ppx)
+                                   + (py - ppy) * (py - ppy)) END) AS len
+              FROM seg GROUP BY l_orderkey HAVING count(*) = 2)
+            SELECT l_orderkey,
+                   round(2.0 * (CAST(l_orderkey % 5 + 1 AS DOUBLE) / 10.0) * len
+                         + 16.0 * (CAST(l_orderkey % 5 + 1 AS DOUBLE) / 10.0)
+                                * (CAST(l_orderkey % 5 + 1 AS DOUBLE) / 10.0)
+                                * sin(pi() / 16), 4) AS buf_area
+            FROM g
         """,
         "geohash": _geohash_oracle_sql(),
         "sessionize": """

@@ -657,14 +657,31 @@ def segment_capsule(a, b, dist: float, quad_segs: int = 8) -> Geometry:
 
 
 def buffer_geom(g: Geometry, dist: float, quad_segs: int = 8) -> Geometry:
-    """Buffer (Buffer.java:29-54), positive distances.
+    """Buffer (Buffer.java:29-54), positive AND negative distances.
 
     Point/multipoint: n-gon discs (JTS quadrantSegments=8 → 32-gon).
     Lines: union of per-segment round-join capsules (segment_capsule) —
     exactly JTS's buffer decomposition, with the same arc discretization.
     Polygons: union of the polygon with its ring capsules (outward growth
-    on shells, inward shrink of holes both emerge from the union)."""
-    if dist <= 0:
+    on shells, inward shrink of holes both emerge from the union).
+    Negative distance erodes a polygon: the set of interior points at
+    least |dist| from the boundary, computed as polygon MINUS the union
+    of its ring capsules (JTS buffer(-d) parity; a 0/1-dim geometry's
+    negative buffer is empty, as in JTS)."""
+    if dist < 0:
+        if g.dimension() != 2:
+            return Geometry(GTYPE_POLYGON, [])
+        from .clip import difference, union_many
+        caps = []
+        for line in _as_lines(g):
+            for i in range(len(line) - 1):
+                caps.append(segment_capsule(line[i], line[i + 1],
+                                            -dist, quad_segs))
+        shrink = union_many(caps)
+        if shrink.is_empty():
+            return _poly_view(g)
+        return difference(_poly_view(g), shrink)
+    if dist == 0:
         return g
     ang = np.linspace(0, 2 * math.pi, 4 * quad_segs, endpoint=False)
     disc = np.column_stack([np.cos(ang), np.sin(ang)]) * dist

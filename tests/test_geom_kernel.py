@@ -140,6 +140,29 @@ def test_buffer_point():
     assert area(b) == pytest.approx(math.pi * 100, rel=0.01)
 
 
+def test_buffer_negative():
+    """JTS buffer(-d) parity: polygon erosion (Buffer.java:29-54)."""
+    r = Geometry.box(0, 0, 10, 6)
+    # analytic shrunk rect: convex corners stay sharp under erosion
+    assert area(buffer_geom(r, -1.0)) == pytest.approx(8 * 4, abs=1e-9)
+    assert area(buffer_geom(r, -2.5)) == pytest.approx(5 * 1, abs=1e-9)
+    # eroding past the inradius empties the polygon
+    assert buffer_geom(r, -3.0).is_empty()
+    assert buffer_geom(r, -100.0).is_empty()
+    # a hole grows by Minkowski sum: hole area 4 + perimeter*d + pi_32*d^2
+    holed = Geometry.polygon(
+        [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]],
+        holes=[[[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]]])
+    pi_32 = 16 * math.sin(math.pi / 16)   # discretized pi of the 32-gon arcs
+    assert area(buffer_geom(holed, -1.0)) == pytest.approx(
+        8 * 8 - (4 + 8 + pi_32), abs=1e-6)
+    # 0/1-dim inputs erode to empty, as in JTS
+    assert buffer_geom(from_wkt("LINESTRING (0 0, 5 0)"), -1.0).is_empty()
+    assert buffer_geom(from_wkt("POINT (1 1)"), -0.5).is_empty()
+    # dist=0 is identity
+    assert area(buffer_geom(r, 0.0)) == pytest.approx(60.0)
+
+
 # ---------------------------------------------------------------- predicates
 def test_basic_predicates():
     assert intersects(SQ1, SQ2)
