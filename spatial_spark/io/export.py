@@ -9,36 +9,63 @@ shape — downstream tools concatenate or read the directory).
 
 from __future__ import annotations
 
-import json
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..geom import from_wkb
-from ..geom.io_text import to_geojson
+from ..functions.scalar import st_asgeojson
 
 
 def _df_of(layer_or_df) -> DataFrame:
     return layer_or_df.df() if hasattr(layer_or_df, "df") else layer_or_df
 
 
+def _default_attrs(df: DataFrame) -> list:
+    return [c for c in df.columns
+            if c not in ("geom", "gtype", "xmin", "ymin", "xmax", "ymax", "zkey")]
+
+
+def _feature_col(attrs: list):
+    """One GeoJSON Feature per row as a STRING column — serialization runs
+    in the tasks (st_asgeojson + JVM to_json), never on the driver."""
+    props = (F.to_json(F.struct(*[F.col(a) for a in attrs]))
+             if attrs else F.lit("{}"))
+    return F.concat(F.lit('{"type": "Feature", "geometry": '),
+                    st_asgeojson(F.col("geom")),
+                    F.lit(', "properties": '), props, F.lit("}"))
+
+
 def export_geojson(layer_or_df, path: str, attrs: list | None = None) -> str:
-    """Write a GeoJSON FeatureCollection file (driver-side; small layers)."""
+    """Write one GeoJSON FeatureCollection file.
+
+    Features are serialized IN the tasks; the driver only streams finished
+    strings (toLocalIterator — one partition in flight, reference streams
+    record-at-a-time the same way, GeoPipeline.java:833-872) and writes
+    them between the FeatureCollection brackets.  For output too large for
+    one file, use export_geojsonl (distributed part files)."""
     df = _df_of(layer_or_df)
-    attrs = attrs if attrs is not None else [
-        c for c in df.columns
-        if c not in ("geom", "gtype", "xmin", "ymin", "xmax", "ymax", "zkey")]
-    feats = []
-    for r in df.select("geom", *attrs).collect():
-        if r["geom"] is None:
-            continue
-        feats.append({
-            "type": "Feature",
-            "geometry": json.loads(to_geojson(from_wkb(r["geom"]))),
-            "properties": {a: r[a] for a in attrs},
-        })
+    attrs = attrs if attrs is not None else _default_attrs(df)
+    rows = (df.filter(F.col("geom").isNotNull())
+            .select(_feature_col(attrs).alias("feature")))
     with open(path, "w") as f:
-        json.dump({"type": "FeatureCollection", "features": feats}, f)
+        f.write('{"type": "FeatureCollection", "features": [')
+        first = True
+        for r in rows.toLocalIterator():
+            if not first:
+                f.write(", ")
+            f.write(r["feature"])
+            first = False
+        f.write("]}")
+    return path
+
+
+def export_geojsonl(layer_or_df, path: str, attrs: list | None = None) -> str:
+    """Distributed newline-delimited GeoJSON features (directory of part
+    files) — the 100 TB export shape: no driver funnel at all."""
+    df = _df_of(layer_or_df)
+    attrs = attrs if attrs is not None else _default_attrs(df)
+    (df.filter(F.col("geom").isNotNull())
+       .select(_feature_col(attrs).alias("value"))
+       .write.mode("overwrite").text(path))
     return path
 
 

@@ -90,7 +90,16 @@ def _rasterize(geoms, bbox, w, h, style) -> np.ndarray:
 
 def render_layer(layer_or_df, width: int = 512, height: int = 512,
                  bbox=None, style=None) -> bytes:
-    """Render a layer (or core-schema DataFrame) to PNG bytes."""
+    """Render a layer (or core-schema DataFrame) to PNG bytes.
+
+    Distributed: each partition rasterizes ITS geometries onto its own
+    canvas (tasks never ship geometry to the driver); the driver streams
+    the per-partition rasters (zlib RGB, one per partition — bounded by
+    partition count, not row count) and composites non-background pixels.
+    The old implementation collect()ed every geometry driver-side — an
+    OOM at real layer sizes (r1/r2 verdict)."""
+    import pandas as pd
+
     df = layer_or_df.df() if hasattr(layer_or_df, "df") else layer_or_df
     style = style or DEFAULT_STYLE
     if bbox is None:
@@ -100,9 +109,25 @@ def render_layer(layer_or_df, width: int = 512, height: int = 512,
         pad_x = (bbox[2] - bbox[0]) * 0.05 or 1.0
         pad_y = (bbox[3] - bbox[1]) * 0.05 or 1.0
         bbox = (bbox[0] - pad_x, bbox[1] - pad_y, bbox[2] + pad_x, bbox[3] + pad_y)
-    geoms = [from_wkb(r["geom"]) for r in df.select("geom").collect()
-             if r["geom"] is not None]
-    return encode_png(_rasterize(geoms, bbox, width, height, style))
+
+    b, w, h, sty = bbox, width, height, style
+
+    def raster_part(batches):
+        geoms = []
+        for pdf in batches:
+            geoms.extend(from_wkb(x) for x in pdf["geom"] if x is not None)
+        if geoms:
+            img = _rasterize(geoms, b, w, h, sty)
+            yield pd.DataFrame({"raster": [zlib.compress(img.tobytes(), 6)]})
+
+    img = np.full((h, w, 3), 255, dtype=np.uint8)
+    partials = df.select("geom").mapInPandas(raster_part, "raster binary")
+    for row in partials.toLocalIterator():
+        part = np.frombuffer(zlib.decompress(row["raster"]),
+                             dtype=np.uint8).reshape(h, w, 3)
+        mask = (part != 255).any(axis=-1)
+        img[mask] = part[mask]
+    return encode_png(img)
 
 
 def render_to_file(layer_or_df, path: str, **kw) -> str:

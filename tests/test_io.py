@@ -137,3 +137,43 @@ def test_export_sinks(ctx, spark, tmp_path):
     d = export_lines(layer, str(tmp_path / "wkts"), fmt="wkt")
     lines = spark.read.text(d).collect()
     assert len(lines) == 2 and any("POINT" in r["value"] for r in lines)
+
+
+def test_export_geojsonl_distributed(ctx, spark, tmp_path):
+    from spatial_spark.io.export import export_geojsonl
+    import json
+    layer = ctx.create_wkt_layer("expl")
+    layer.add(spark.createDataFrame(
+        [(1, "POINT (1 2)", "a"), (2, "POINT (3 4)", "b")],
+        "id long, wkt string, name string"), wkt="wkt")
+    d = export_geojsonl(layer, str(tmp_path / "features"))
+    feats = [json.loads(r["value"]) for r in spark.read.text(d).collect()]
+    assert len(feats) == 2
+    assert {f["properties"]["name"] for f in feats} == {"a", "b"}
+    assert all(f["type"] == "Feature" and "coordinates" in f["geometry"]
+               for f in feats)
+
+
+def test_export_render_never_collect(ctx, spark, tmp_path, monkeypatch):
+    """Scale guard: the streamed sinks must not funnel rows through
+    DataFrame.collect (r1/r2 verdict scale-killer)."""
+    from pyspark.sql import DataFrame as SparkDF
+    from spatial_spark.io.export import export_geojson
+    from spatial_spark.io.render import render_to_file
+    layer = ctx.create_wkt_layer("noc")
+    layer.add(spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", "a"),
+         (2, "POINT (2 2)", "b")],
+        "id long, wkt string, name string"), wkt="wkt")
+
+    def boom(self):
+        raise AssertionError("driver-side collect() in a streamed sink")
+
+    monkeypatch.setattr(SparkDF, "collect", boom)
+    p = export_geojson(layer, str(tmp_path / "nc.geojson"))
+    import json
+    fc = json.load(open(p))
+    assert len(fc["features"]) == 2
+    png_path = render_to_file(layer, str(tmp_path / "nc.png"),
+                              width=32, height=32)
+    assert os.path.getsize(png_path) > 50
