@@ -119,25 +119,34 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
     k-gram rolling hashes, min per sliding window, deduped — the standard
     near-dup sketch for plagiarism-style matching.  (id, fingerprint) rows."""
-    from .dedup import hash_bytes
-
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def fp(texts: pd.Series) -> pd.Series:
+        # Vectorized FNV-1a over all k-gram byte windows at once (the
+        # _shingle_hashes trick: the FNV loop runs k times over every
+        # window, not once per gram), then window minima via a strided
+        # view — no per-gram Python (r1/r2 verdict perf debt).
+        prime = np.uint64(0x100000001B3)
         out = []
         for t in texts:
             t = " ".join((t or "").lower().split())
-            if len(t) < k:
+            raw = np.frombuffer(t.encode("utf-8", "replace"), dtype=np.uint8)
+            if len(raw) < k:
                 out.append([])
                 continue
-            hs = np.array([hash_bytes(t[i:i + k]) for i in range(len(t) - k + 1)],
-                          dtype=np.int64)
-            if len(hs) <= window:
+            n = len(raw) - k + 1
+            h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+            for j in range(k):
+                h = (h ^ raw[j:j + n].astype(np.uint64)) * prime
+            # hash_bytes's signed mapping is h - 2^63 for the top half (a
+            # 63-bit fold, NOT a two's-complement view) — replicate it so
+            # fingerprints are bit-identical to the per-gram implementation
+            half = np.uint64(1 << 63)
+            hs = np.where(h >= half, h - half, h).astype(np.int64)
+            if n <= window:
                 out.append([int(hs.min())])
                 continue
-            mins = set()
-            for i in range(len(hs) - window + 1):
-                mins.add(int(hs[i:i + window].min()))
-            out.append(sorted(mins))
+            mins = np.lib.stride_tricks.sliding_window_view(hs, window).min(axis=1)
+            out.append(np.unique(mins).tolist())
         return pd.Series(out)
 
     return df.select(F.col(id_col), F.explode(fp(F.col(text_col))).alias("fingerprint"))
