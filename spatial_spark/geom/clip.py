@@ -11,7 +11,9 @@ Implementation: classic edge-fragmentation overlay —
 
 Robust for simple, non-degenerate inputs (the conformance fixtures); shared
 collinear edges are handled heuristically.  Lines can be clipped by polygons
-(``clip_line``).  Not a full JTS overlay — documented engine limitation.
+(``clip_line``); difference/symdifference accept any dimension pair
+(line−polygon, line−line, point−any).  Not a full JTS overlay — documented
+engine limitation.
 """
 
 from __future__ import annotations
@@ -290,29 +292,85 @@ def _pt_on(p: Geometry, g: Geometry) -> bool:
 
 
 def difference(g1: Geometry, g2: Geometry) -> Geometry:
-    if not _is_poly(g1) or not _is_poly(g2):
-        raise NotImplementedError("difference supported for polygonal inputs only")
+    """A \\ B for any dimension pair (Difference.java:30-52 / JTS
+    Geometry.difference):
+
+    - polygon − polygon: edge-fragmentation overlay;
+    - line − polygon: line fragments strictly outside the polygon
+      (boundary-riding fragments are inside the closed polygon → removed);
+    - line − line: fragments of A not collinear-on B;
+    - point − any: points of A not intersecting B;
+    - subtracting a LOWER-dimensional B leaves A unchanged (removing a
+      measure-zero set does not change the closure)."""
+    d1, d2 = g1.dimension(), g2.dimension()
+    if d2 < d1 or g2.is_empty():
+        return g1
+    if d1 == 0:
+        from .predicates import intersects
+        kept = [p for p in g1.parts() if not intersects(p, g2)]
+        if not kept:
+            return Geometry(GTYPE_MULTIPOINT, [])
+        return kept[0] if len(kept) == 1 else Geometry(GTYPE_MULTIPOINT, kept)
     if not envelopes_intersect(g1.envelope(), g2.envelope()):
         return g1
+    if d1 == 1 and d2 == 2:
+        return _select_line_parts(g1, _all_rings(_normalize(g2)),
+                                  lambda c: c == 0, poly=g2)
+    if d1 == 1 and d2 == 1:
+        b_lines = [p.data for p in g2.parts() if p.gtype == GTYPE_LINESTRING]
+        return _select_line_parts(g1, b_lines,
+                                  lambda c: c == 0, lines_b=b_lines)
     return _overlay(g1, g2, "difference")
 
 
 def sym_difference(g1: Geometry, g2: Geometry) -> Geometry:
+    """(A \\ B) ∪ (B \\ A), any dimension pair (SymDifference.java:30-51);
+    mixed-dimension results collect parts, as JTS's GeometryCollection."""
     d1 = difference(g1, g2)
     d2 = difference(g2, g1)
+    if d1.is_empty():
+        return d2
+    if d2.is_empty():
+        return d1
     return union(d1, d2)
 
 
-def clip_line(line: Geometry, poly: Geometry) -> Geometry:
-    """Portions of `line` inside (or on boundary of) `poly`."""
+def _pt_on_polylines(pt, polylines) -> bool:
+    """Min distance of pt to any segment of the polylines <= _SNAP."""
+    for ln in polylines:
+        if len(ln) < 2:
+            continue
+        a = np.asarray(ln[:-1], dtype=np.float64)
+        b = np.asarray(ln[1:], dtype=np.float64)
+        d = b - a
+        ap = pt[None, :] - a
+        denom = np.maximum((d * d).sum(1), 1e-300)
+        t = np.clip((ap * d).sum(1) / denom, 0.0, 1.0)
+        proj = a + t[:, None] * d
+        if np.sqrt(((pt[None, :] - proj) ** 2).sum(1)).min() <= _SNAP:
+            return True
+    return False
+
+
+def _select_line_parts(line: Geometry, cut_polylines, keep,
+                       poly: Geometry | None = None,
+                       lines_b=None) -> Geometry:
+    """Fragment `line` at crossings with cut_polylines, classify each
+    fragment (against `poly` interior/boundary/exterior, or on/off the
+    `lines_b` polylines), keep those passing `keep`, and stitch
+    consecutive survivors back into polylines."""
     segs = []
-    rings = _all_rings(_normalize(poly))
-    lines = line.parts() if line.is_multi else [line]
+    lines = [p for p in line.parts() if p.gtype == GTYPE_LINESTRING]
     for ln in lines:
-        frags = _fragment_rings([ln.data], rings)
+        frags = _fragment_rings([ln.data], cut_polylines)
         cur = []
         for f in frags:
-            if _classify(f, poly) >= 1:
+            if poly is not None:
+                c = _classify(f, poly)
+            else:
+                mid = (f[0] + f[-1]) / 2.0
+                c = 1 if _pt_on_polylines(mid, lines_b) else 0
+            if keep(c):
                 if cur and _key(cur[-1]) == _key(f[0]):
                     cur.append(f[1])
                 else:
@@ -330,6 +388,12 @@ def clip_line(line: Geometry, poly: Geometry) -> Geometry:
     if len(segs) == 1:
         return Geometry(GTYPE_LINESTRING, segs[0])
     return Geometry(GTYPE_MULTILINESTRING, [Geometry(GTYPE_LINESTRING, s) for s in segs])
+
+
+def clip_line(line: Geometry, poly: Geometry) -> Geometry:
+    """Portions of `line` inside (or on boundary of) `poly`."""
+    return _select_line_parts(line, _all_rings(_normalize(poly)),
+                              lambda c: c >= 1, poly=poly)
 
 
 def union_many(geoms: list) -> Geometry:

@@ -305,3 +305,30 @@ def test_union_contained_shared_edge():
     small = from_wkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")  # shares corner edges
     assert area(union(big, small)) == pytest.approx(16.0)
     assert area(difference(big, small)) == pytest.approx(12.0)
+
+
+def test_difference_mixed_dimensions():
+    """Non-polygonal difference (Difference.java:30-52 semantics)."""
+    from spatial_spark.geom.algorithms import length as glen
+    box = Geometry.box(0, 0, 10, 10)
+    # line crossing a polygon: only the outside parts remain
+    l = from_wkt("LINESTRING (-2 5, 12 5)")
+    assert glen(difference(l, box)) == pytest.approx(4.0)
+    # line fully inside / riding the boundary: empty
+    assert difference(from_wkt("LINESTRING (2 2, 8 8)"), box).is_empty()
+    assert difference(from_wkt("LINESTRING (0 0, 10 0)"), box).is_empty()
+    # line - line: collinear overlap removed, crossings keep everything
+    a = from_wkt("LINESTRING (0 0, 10 0)")
+    assert glen(difference(a, from_wkt("LINESTRING (3 0, 5 0)"))) == pytest.approx(8.0)
+    assert glen(difference(a, from_wkt("LINESTRING (0 10, 10 0)"))) == pytest.approx(10.0)
+    # point - polygon
+    assert difference(from_wkt("POINT (5 5)"), box).is_empty()
+    assert not difference(from_wkt("POINT (50 5)"), box).is_empty()
+    mp = difference(from_wkt("MULTIPOINT ((5 5), (50 5), (60 6))"), box)
+    assert len(mp.parts()) == 2
+    # subtracting lower-dimension leaves input unchanged
+    assert area(difference(box, a)) == pytest.approx(100.0)
+    assert glen(difference(a, from_wkt("POINT (5 0)"))) == pytest.approx(10.0)
+    # mixed symdifference collects both sides
+    sd = sym_difference(l, box)
+    assert sorted(p.gtype for p in sd.parts()) == [2, 2, 3]
