@@ -40,7 +40,9 @@ def encode_png(rgb: np.ndarray) -> bytes:
             + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
 
 
-def _rasterize(geoms, bbox, w, h, style) -> np.ndarray:
+def _rasterize(geoms, bbox, w, h, style, colors=None) -> np.ndarray:
+    """colors: optional per-geometry RGB list (e.g. SLD-resolved); a None
+    entry falls back to the gtype style."""
     xmin, ymin, xmax, ymax = bbox
     sx = (w - 1) / max(xmax - xmin, 1e-12)
     sy = (h - 1) / max(ymax - ymin, 1e-12)
@@ -58,11 +60,12 @@ def _rasterize(geoms, bbox, w, h, style) -> np.ndarray:
         xs, ys = px(pts)
         img[ys, xs] = color
 
-    for g in geoms:
+    for gi, g in enumerate(geoms):
         if g is None:
             continue
-        color = style.get(g.gtype if g.gtype <= 3 else g.gtype - 3,
-                          style.get(0))
+        color = colors[gi] if colors is not None and colors[gi] is not None \
+            else style.get(g.gtype if g.gtype <= 3 else g.gtype - 3,
+                           style.get(0))
         for part in g.parts():
             if part.gtype == 1:
                 xs, ys = px(part.data.reshape(1, 2))
@@ -89,7 +92,7 @@ def _rasterize(geoms, bbox, w, h, style) -> np.ndarray:
 
 
 def render_layer(layer_or_df, width: int = 512, height: int = 512,
-                 bbox=None, style=None) -> bytes:
+                 bbox=None, style=None, sld=None) -> bytes:
     """Render a layer (or core-schema DataFrame) to PNG bytes.
 
     Distributed: each partition rasterizes ITS geometries onto its own
@@ -97,7 +100,10 @@ def render_layer(layer_or_df, width: int = 512, height: int = 512,
     the per-partition rasters (zlib RGB, one per partition — bounded by
     partition count, not row count) and composites non-background pixels.
     The old implementation collect()ed every geometry driver-side — an
-    OOM at real layer sizes (r1/r2 verdict)."""
+    OOM at real layer sizes (r1/r2 verdict).
+
+    sld: optional SLD XML string (StyledImageExporter.java parity subset,
+    io/sld.py) — per-feature colors resolved from rules inside the tasks."""
     import pandas as pd
 
     df = layer_or_df.df() if hasattr(layer_or_df, "df") else layer_or_df
@@ -110,18 +116,39 @@ def render_layer(layer_or_df, width: int = 512, height: int = 512,
         pad_y = (bbox[3] - bbox[1]) * 0.05 or 1.0
         bbox = (bbox[0] - pad_x, bbox[1] - pad_y, bbox[2] + pad_x, bbox[3] + pad_y)
 
+    rules = None
+    cols = ["geom"]
+    if sld is not None:
+        from .sld import parse_sld
+        rules = parse_sld(sld)
+        attr_names = {r["property"] for r in rules if r["property"]}
+        cols += [c for c in df.columns
+                 if c in attr_names or c == "gtype"]
+
     b, w, h, sty = bbox, width, height, style
 
     def raster_part(batches):
-        geoms = []
+        geoms, colors = [], []
         for pdf in batches:
-            geoms.extend(from_wkb(x) for x in pdf["geom"] if x is not None)
+            if rules is None:
+                geoms.extend(from_wkb(x) for x in pdf["geom"] if x is not None)
+                continue
+            from .sld import resolve_color
+            for _, row in pdf.iterrows():
+                if row["geom"] is None:
+                    continue
+                g = from_wkb(row["geom"])
+                geoms.append(g)
+                colors.append(resolve_color(
+                    rules, row.get("gtype", g.gtype),
+                    {c: row[c] for c in pdf.columns if c != "geom"}))
         if geoms:
-            img = _rasterize(geoms, b, w, h, sty)
+            img = _rasterize(geoms, b, w, h, sty,
+                             colors if rules is not None else None)
             yield pd.DataFrame({"raster": [zlib.compress(img.tobytes(), 6)]})
 
     img = np.full((h, w, 3), 255, dtype=np.uint8)
-    partials = df.select("geom").mapInPandas(raster_part, "raster binary")
+    partials = df.select(*cols).mapInPandas(raster_part, "raster binary")
     for row in partials.toLocalIterator():
         part = np.frombuffer(zlib.decompress(row["raster"]),
                              dtype=np.uint8).reshape(h, w, 3)

@@ -358,6 +358,22 @@ class Layer:
         """spatial.getFeatureAttributes equivalent."""
         return sorted(self.meta.get("attrs", {}))
 
+    # ---- named conversion functions (SpatialFunctions.java:46-136) -----
+    def decode_geometry(self, node_id):
+        """spatial.decodeGeometry: the Geometry stored on a layer row."""
+        from .functions.conversion import decode_geometry
+        return decode_geometry(self, node_id)
+
+    def node_as_wkt(self, node_id) -> str:
+        """spatial.nodeAsWKT: the WKT of a layer row's geometry."""
+        from .functions.conversion import node_as_wkt
+        return node_as_wkt(self, node_id)
+
+    def extract_attributes(self, node_id) -> dict:
+        """spatial.extractAttributes: the row's non-geometry attributes."""
+        from .functions.conversion import extract_attributes
+        return extract_attributes(self, node_id)
+
     # ---- dynamic layers / views (DynamicLayer.java) --------------------
     def add_view(self, view_name: str, predicate: str) -> None:
         self.ctx.catalog.add_view(self.name, view_name, predicate)

@@ -177,3 +177,80 @@ def test_export_render_never_collect(ctx, spark, tmp_path, monkeypatch):
     png_path = render_to_file(layer, str(tmp_path / "nc.png"),
                               width=32, height=32)
     assert os.path.getsize(png_path) > 50
+
+
+def test_named_conversion_functions(ctx, spark):
+    """SpatialFunctions.java:46-136 parity surface."""
+    from spatial_spark.functions.conversion import (
+        as_geometry, as_map, native_to_wkt, wkt_to_geojson,
+    )
+    layer = ctx.create_wkt_layer("convs")
+    layer.add(spark.createDataFrame(
+        [(7, "POINT (3 4)", "x")], "id long, wkt string, name string"),
+        wkt="wkt")
+    # decodeGeometry / nodeAsWKT / extractAttributes on a layer row
+    g = layer.decode_geometry(7)
+    assert tuple(g.data) == (3.0, 4.0)
+    assert layer.node_as_wkt(7) == "POINT (3 4)"
+    attrs = layer.extract_attributes(7)
+    assert attrs["name"] == "x" and attrs["id"] == 7 and "geom" not in attrs
+    import pytest
+    with pytest.raises(KeyError):
+        layer.node_as_wkt(99)
+    # asMap / asGeometry / wktToGeoJson / neo4jGeometryToWkt
+    m = as_map("POINT (1 2)")
+    assert m == {"type": "Point", "coordinates": [1.0, 2.0]}
+    assert as_geometry(m).gtype == 1
+    assert wkt_to_geojson("POINT (1 2)")["type"] == "Point"
+    assert wkt_to_geojson(None) is None
+    assert native_to_wkt((1.0, 2.0)) == "POINT (1 2)"
+    assert native_to_wkt([(0.0, 0.0), (1.0, 1.0)]) == "LINESTRING (0 0, 1 1)"
+
+
+def test_sld_styled_render(ctx, spark, tmp_path):
+    """StyledImageExporter SLD subset: rule colors reach the raster."""
+    from spatial_spark.io.render import render_layer
+    from spatial_spark.io.sld import parse_sld, resolve_color
+    sld = """<?xml version="1.0"?>
+    <StyledLayerDescriptor xmlns="http://www.opengis.net/sld"
+        xmlns:ogc="http://www.opengis.net/ogc">
+      <NamedLayer><UserStyle><FeatureTypeStyle>
+        <Rule>
+          <ogc:Filter><ogc:And>
+            <ogc:PropertyIsEqualTo>
+              <ogc:Function name="geometryType">
+                <ogc:PropertyName>the_geom</ogc:PropertyName>
+              </ogc:Function>
+              <ogc:Literal>Polygon</ogc:Literal>
+            </ogc:PropertyIsEqualTo>
+            <ogc:PropertyIsEqualTo>
+              <ogc:PropertyName>rank</ogc:PropertyName>
+              <ogc:Literal>1</ogc:Literal>
+            </ogc:PropertyIsEqualTo>
+          </ogc:And></ogc:Filter>
+          <PolygonSymbolizer><Fill>
+            <CssParameter name="fill">#FF0000</CssParameter>
+          </Fill></PolygonSymbolizer>
+        </Rule>
+        <Rule>
+          <LineSymbolizer><Stroke>
+            <CssParameter name="stroke">#00FF00</CssParameter>
+          </Stroke></LineSymbolizer>
+        </Rule>
+      </FeatureTypeStyle></UserStyle></NamedLayer>
+    </StyledLayerDescriptor>"""
+    rules = parse_sld(sld)
+    assert rules[0]["geometry_type"] == "Polygon"
+    assert rules[0]["property"] == "rank" and rules[0]["value"] == "1"
+    assert rules[0]["fill"] == (255, 0, 0)
+    assert rules[1]["stroke"] == (0, 255, 0)
+    # resolve: polygon rank=1 -> red; polygon rank=2 -> catch-all green
+    assert resolve_color(rules, 3, {"rank": 1}) == (255, 0, 0)
+    assert resolve_color(rules, 3, {"rank": 2}) == (0, 255, 0)
+    layer = ctx.create_wkt_layer("sld_render")
+    layer.add(spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0))", 1),
+         (2, "POLYGON ((10 10, 14 10, 14 14, 10 14, 10 10))", 2)],
+        "id long, wkt string, rank int"), wkt="wkt")
+    png = render_layer(layer, width=48, height=48, sld=sld)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
