@@ -210,7 +210,9 @@ def _q_spatial_join(spark, sf_dir) -> DataFrame:
     """Layer-to-layer spatial join (the engine's value-add operator):
     customer points WITHIN nation grid cells."""
     from spatial_spark.operators.join import spatial_join
-    res = spatial_join(_cust_point_geoms(spark), _nation_cells(spark), "within")
+    # hints are true by construction (points; cells are their bboxes)
+    res = spatial_join(_cust_point_geoms(spark), _nation_cells(spark), "within",
+                       a_all_points=True, b_all_rects=True)
     return res.select(F.col("a_c_custkey").alias("c_custkey"),
                       F.col("b_n_nationkey").alias("cell_nationkey"))
 
@@ -227,7 +229,8 @@ def _q_spatial_join_grid(spark, sf_dir) -> DataFrame:
 
 def _q_spatial_join_agg(spark, sf_dir) -> DataFrame:
     from spatial_spark.operators.join import spatial_join
-    res = spatial_join(_cust_point_geoms(spark), _nation_cells(spark), "within")
+    res = spatial_join(_cust_point_geoms(spark), _nation_cells(spark), "within",
+                       a_all_points=True, b_all_rects=True)
     return (res.groupBy(F.col("b_n_nationkey").alias("cell_nationkey"))
             .agg(F.count(F.lit(1)).alias("n_points"))
             .orderBy("cell_nationkey"))

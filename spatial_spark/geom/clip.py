@@ -238,14 +238,30 @@ def _overlay(g1: Geometry, g2: Geometry, op: str) -> Geometry:
     def od(f):  # shared edge, opposite direction: interiors on opposite sides
         return (_key(f[-1]), _key(f[0])) in b_dirs
 
+    def parity(f, poly):
+        # exact parity class of the midpoint — the fallback for a
+        # snap-classified boundary(1) fragment that matches NO B fragment
+        # (neither sd nor od): it is not a shared edge, merely near one,
+        # so the op must treat it by which side it actually lies on
+        # (ADVICE r2: treating orphans as shared risked spurious rings)
+        mid = (f[0] + f[-1]) / 2.0
+        return point_in_polygon(float(mid[0]), float(mid[1]), poly)
+
+    def keep_bnd(f, other, inside_keeps: bool) -> bool:
+        s, o = sd(f), od(f)
+        if not s and not o:
+            c = parity(f, other)
+            return c == (2 if inside_keeps else 0) or c == 1
+        return s or not o
+
     sel = []
     if op == "union":
         sel += [f for f, c in zip(fa, ca)
-                if c == 0 or (c == 1 and (sd(f) or not od(f)))]
+                if c == 0 or (c == 1 and keep_bnd(f, b, inside_keeps=False))]
         sel += [f for f, c in zip(fb, cb) if c == 0]
     elif op == "intersection":
         sel += [f for f, c in zip(fa, ca)
-                if c == 2 or (c == 1 and (sd(f) or not od(f)))]
+                if c == 2 or (c == 1 and keep_bnd(f, b, inside_keeps=True))]
         sel += [f for f, c in zip(fb, cb) if c == 2]
     elif op == "difference":
         sel += [f for f, c in zip(fa, ca)

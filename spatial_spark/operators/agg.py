@@ -79,19 +79,25 @@ def intersect_all(df: DataFrame, geom_col: str = "geom",
 def _keep_extreme(df: DataFrame, prop: str, agg_fn) -> DataFrame:
     """Rows attaining the global extreme of prop, ties kept — a broadcast
     join against the 1-row aggregate (map-side combine + tiny broadcast),
-    NOT a global Window (which funnels every row through one partition)."""
-    ext = df.agg(agg_fn(F.col(prop)).alias("_ext"))
-    return (df.join(F.broadcast(ext), F.col(prop) == F.col("_ext"))
+    NOT a global Window (which funnels every row through one partition).
+
+    NULL prop rows are excluded EXPLICITLY up front (min/max ignore NULLs
+    and the equality join is null-rejecting anyway — the filter makes the
+    semantics visible rather than incidental; documented difference from
+    the r1 Window formulation, which surfaced NULLs as the minimum)."""
+    non_null = df.filter(F.col(prop).isNotNull())
+    ext = non_null.agg(agg_fn(F.col(prop)).alias("_ext"))
+    return (non_null.join(F.broadcast(ext), F.col(prop) == F.col("_ext"))
             .drop("_ext"))
 
 
 def keep_min(df: DataFrame, prop: str) -> DataFrame:
-    """Rows attaining min(prop), ties kept (Min.java:30-73)."""
+    """Rows attaining min(prop), ties kept, NULLs ignored (Min.java:30-73)."""
     return _keep_extreme(df, prop, F.min)
 
 
 def keep_max(df: DataFrame, prop: str) -> DataFrame:
-    """Rows attaining max(prop), ties kept (Max.java:30-73)."""
+    """Rows attaining max(prop), ties kept, NULLs ignored (Max.java:30-73)."""
     return _keep_extreme(df, prop, F.max)
 
 

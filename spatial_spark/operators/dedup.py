@@ -204,7 +204,7 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.5,
-                        max_df: int = 1000) -> DataFrame:
+                        max_df: int | None = 1000) -> DataFrame:
     """Exact word-n-gram Jaccard over candidate pairs.
 
     Candidate generation equi-joins on RARE grams only: grams with document
@@ -214,13 +214,21 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     candidates is EXACT over the full gram sets (hot grams included): the
     intersection is re-counted per candidate pair, so the cap only bounds
     who becomes a candidate (pairs similar solely through ubiquitous grams
-    are not reported — the standard, documented approximation)."""
+    are not reported — the standard, documented approximation).
+
+    ``max_df=None`` disables the cap: every pair sharing ANY gram becomes
+    a candidate — the fully exact operator, at the cost of quadratic
+    hot-gram buckets (use only when the gram frequency distribution is
+    known to be flat)."""
     grams = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(_ngrams_col(text_col, n))).alias("gram"))
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
-    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
-    rare = grams.join(freq.filter(F.col("_df") <= max_df), "gram")
+    if max_df is None:
+        rare = grams
+    else:
+        freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
+        rare = grams.join(freq.filter(F.col("_df") <= max_df), "gram")
     a = rare.select(F.col(id_col).alias("a_id"), "gram")
     b = rare.select(F.col(id_col).alias("b_id"), "gram")
     cand = (a.join(b, "gram").filter(F.col("a_id") < F.col("b_id"))

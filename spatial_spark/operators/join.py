@@ -134,10 +134,12 @@ def spatial_join(a: DataFrame, b: DataFrame, predicate: str = "intersects",
 
     ``a_all_points`` / ``b_all_rects`` / ``extent`` are planning hints a
     layer-backed caller supplies from catalog write-time stats
-    (Layer.all_points / Layer.bbox) so planning runs ZERO Spark jobs; when
-    absent (ad-hoc frames) the operator probes — an agg that parquet
-    min/max stats usually answer without data reads, but still a job, so
-    hinted callers are the 100 TB path."""
+    (Layer.all_points / Layer.bbox) so planning runs ZERO Spark jobs.
+    The pure-column fast path engages ONLY when both hints are passed
+    (callers assert them; _all_points/_all_rects exist for callers that
+    want to verify first) — an unhinted call used to run a Python-UDF
+    scan of b at plan time (r2 verdict #10), now it plans jobless and
+    relies on the exact refine instead."""
     if predicate not in _PREDS:
         raise ValueError(f"unknown predicate {predicate!r}")
 
@@ -156,11 +158,11 @@ def spatial_join(a: DataFrame, b: DataFrame, predicate: str = "intersects",
         # points-vs-rectangles fast path: if every b geometry IS its bbox
         # (grid cells, tiles — the dominant join shape) and a is all points,
         # the predicate is pure column math — no Python refine at all.
-        # Verifying b is exact and cheap (b is the broadcast-small side);
-        # a's point-ness comes from min/max(gtype), which parquet stats make
-        # a metadata-only scan.
-        b_rects = b_all_rects if b_all_rects is not None else _all_rects(b)
-        a_points = a_all_points if a_all_points is not None else _all_points(a)
+        # Hint-gated: probing here would cost plan-time jobs (b's rect
+        # check is a Python-UDF scan); without hints the exact refine
+        # below gives the same answer, just per-row.
+        b_rects = bool(b_all_rects)
+        a_points = bool(a_all_points)
         if predicate in ("within", "intersects", "coveredby") and b_rects \
                 and a_points:
             if predicate == "within":

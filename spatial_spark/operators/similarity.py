@@ -86,12 +86,29 @@ class IVFIndex:
                id_col: str = "vec_id") -> DataFrame:
         """Top-k among the nprobe nearest cells (approximate; recall grows
         with nprobe).  The cell filter prunes partitions before any vector
-        math runs."""
+        math runs (on a write_assigned store it prunes FILES: ivf_cell is
+        the physical partition column, so non-probed cells are never read)."""
         p = np.asarray(probe, dtype=np.float64)
         d = ((self.centroids - p[None, :]) ** 2).sum(1)
         cells = [int(c) for c in np.argsort(d)[:nprobe]]
         return knn_cosine(assigned.filter(F.col("ivf_cell").isin(cells)),
                           probe, k, vec_col, id_col)
+
+    def write_assigned(self, df: DataFrame, path: str,
+                       vec_col: str = "embedding") -> str:
+        """Assign cells and persist partitioned BY ivf_cell — the scale
+        shape: a probe's isin(cells) filter becomes a Parquet partition
+        filter, so search reads nprobe directories instead of the whole
+        table (the file-level analogue of the reference's index-node
+        pruning)."""
+        (self.assign(df, vec_col)
+         .write.mode("overwrite").partitionBy("ivf_cell").parquet(path))
+        return path
+
+    @staticmethod
+    def read_assigned(spark, path: str) -> DataFrame:
+        """Read a write_assigned store; pass the result to search."""
+        return spark.read.parquet(path)
 
 
 def pairwise_topk_cosine(df: DataFrame, k: int = 5, vec_col: str = "embedding",

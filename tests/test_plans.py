@@ -127,3 +127,62 @@ def test_groupby_partial_aggregation(spark, sf_dir):
     # map-side partial + final aggregate around one shuffle
     assert plan.count("HashAggregate") >= 2
     assert "Exchange hashpartitioning" in plan
+
+
+def test_adhoc_spatial_join_plans_jobless(spark, tmp_path):
+    """r2 verdict #10: an unhinted (ad-hoc) spatial_join used to run a
+    Python-UDF scan of b at plan time.  Now planning launches no jobs;
+    the exact refine replaces the fast path."""
+    from spatial_spark.functions import register_all
+    from spatial_spark.operators.join import spatial_join
+    register_all(spark)
+    # materialize inputs so the join plan contains no geom-construction UDFs
+    spark.range(200).select(
+        F.col("id"),
+        F.expr("st_point(CAST(id % 20 AS DOUBLE), CAST(id % 11 AS DOUBLE))").alias("geom"),
+        F.lit(1).alias("gtype"),
+        (F.col("id") % 20).cast("double").alias("xmin"),
+        (F.col("id") % 11).cast("double").alias("ymin"),
+        (F.col("id") % 20).cast("double").alias("xmax"),
+        (F.col("id") % 11).cast("double").alias("ymax")) \
+        .write.parquet(str(tmp_path / "a"))
+    spark.range(3).select(
+        F.col("id"),
+        F.expr("st_make_box(CAST(id*5 AS DOUBLE), 0.0, CAST(id*5+5 AS DOUBLE), 10.0)").alias("geom"),
+        F.lit(3).alias("gtype"),
+        (F.col("id") * 5).cast("double").alias("xmin"),
+        F.lit(0.0).alias("ymin"),
+        (F.col("id") * 5 + 5).cast("double").alias("xmax"),
+        F.lit(10.0).alias("ymax")) \
+        .write.parquet(str(tmp_path / "b"))
+    a = spark.read.parquet(str(tmp_path / "a"))
+    b = spark.read.parquet(str(tmp_path / "b"))
+    assert _jobs_run(spark, lambda: spatial_join(a, b, "within")) == 0
+    # hinted call still engages the pure-column fast path (no Python eval)
+    hinted = spatial_join(a, b, "within", a_all_points=True, b_all_rects=True)
+    plan = _plan(hinted)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # unhinted result matches hinted result (refine gives the same answer)
+    unhinted = spatial_join(a, b, "within")
+    key = lambda rows: sorted((r["a_id"], r["b_id"]) for r in rows)
+    assert key(hinted.collect()) == key(unhinted.collect())
+
+
+def test_ivf_partitioned_store_prunes_files(spark, tmp_path):
+    """similarity.write_assigned: the probe's cell filter must become a
+    Parquet PARTITION filter (directory pruning), not a row filter."""
+    import numpy as np
+    from spatial_spark.operators.similarity import IVFIndex
+    rng = np.random.RandomState(0)
+    vecs = [(i, rng.randn(8).astype(float).tolist()) for i in range(400)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    idx = IVFIndex.build(df, n_cells=4, sample=400, iters=5)
+    path = str(tmp_path / "ivf_store")
+    idx.write_assigned(df, path)
+    store = IVFIndex.read_assigned(spark, path)
+    res = idx.search(store, probe=list(rng.randn(8)), k=5, nprobe=2)
+    plan = _plan(res)
+    scan = plan[plan.index("FileScan parquet"):]
+    pf = scan.split("PartitionFilters")[1][:300]
+    assert "ivf_cell" in pf
+    assert len(res.collect()) == 5
