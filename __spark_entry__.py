@@ -863,6 +863,175 @@ def _density_islands_oracle_sql() -> str:
     """
 
 
+# ---- uint64 arithmetic in DuckDB SQL (HUGEINT-backed) ---------------------
+# The minhash/simhash oracles replicate the operators' 64-bit hash math
+# exactly.  DuckDB HUGEINT is signed 128-bit: products of two uint64s can
+# overflow, so multiplication goes through a 32-bit split; xor/rotl/shift
+# are composed from the same split.  All values stay in [0, 2^64).
+_W64 = "18446744073709551616"   # 2^64
+_H32 = "4294967296"             # 2^32
+
+
+def _mulmod(a: str, b: str) -> str:
+    """(a*b) mod 2^64 for a,b < 2^64 (intermediates < 2^97)."""
+    return (f"((({a}) % {_H32}) * ({b})"
+            f" + (((({a}) // {_H32}) * ({b})) % {_H32}) * {_H32}) % {_W64}")
+
+
+def _xor64(a: str, b: str) -> str:
+    return (f"(xor((({a}) // {_H32})::BIGINT, (({b}) // {_H32})::BIGINT)::HUGEINT * {_H32}"
+            f" + xor((({a}) % {_H32})::BIGINT, (({b}) % {_H32})::BIGINT)::HUGEINT)")
+
+
+def _rotl64(x: str, r: int) -> str:
+    lo = 1 << (64 - r)
+    return f"((({x}) % {lo}) * {1 << r} + (({x}) // {lo}))"
+
+
+def _shr64(x: str, s: int) -> str:
+    return f"(({x}) // {1 << s})"
+
+
+def _minhash_oracle_sql(num_perm: int = 64, k: int = 5,
+                        threshold: float = 0.8) -> str:
+    """Independent recomputation of minhash_lsh_pairs in DuckDB SQL.
+
+    FNV-1a over the k-byte shingles (CTE per byte step, exact uint64
+    wraparound), the (a*x+b) mod 2^64 mod M permutation mins as 64
+    aggregates, then ALL pairs with estimated Jaccard >= threshold.
+    The banding stage needs no oracle: at threshold 0.8 a passing pair
+    has <= 12 mismatched signature rows < 16 bands, so pigeonhole
+    guarantees a band collision — LSH candidate generation is lossless
+    for reported pairs, and the oracle checks the exact output set."""
+    from spatial_spark.operators.dedup import _A, _B, _MERSENNE
+    a_c = [int(x) for x in _A[:num_perm]]
+    b_c = [int(x) for x in _B[:num_perm]]
+    fnv_off = "14695981039346656037"
+    fnv_p = "1099511628211"
+    sql = f"""WITH clean AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS c
+      FROM documents),
+    norm AS (
+      SELECT doc_id, CASE WHEN length(c) < {k} THEN rpad(c, {k}, ' ') ELSE c END AS t
+      FROM clean),
+    pos AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - {k - 1})) AS i FROM norm),
+    sh AS (SELECT DISTINCT doc_id, substr(t, i, {k}) AS s FROM pos),
+    f0 AS (SELECT doc_id, s, CAST({fnv_off} AS HUGEINT) AS h FROM sh)"""
+    for j in range(k):
+        byte = f"ord(substr(s, {j + 1}, 1))"
+        # byte < 256: xor touches the low 32 bits only
+        x = (f"((h) - ((h) % {_H32})"
+             f" + xor(((h) % {_H32})::BIGINT, ({byte})::BIGINT)::HUGEINT)")
+        keep_s = ", s" if j < k - 1 else ""
+        sql += (f",\n    f{j + 1} AS (SELECT doc_id{keep_s},"
+                f" {_mulmod(x, fnv_p)} AS h FROM f{j})")
+    mins = ",\n        ".join(
+        f"min(((({_mulmod('h', str(a_c[i]))}) + {b_c[i]}) % {_W64}) % {_MERSENNE}) AS m{i}"
+        for i in range(num_perm))
+    matches = " + ".join(f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END"
+                         for i in range(num_perm))
+    sql += f""",
+    sig AS (SELECT doc_id, {mins} FROM f{k} GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, ({matches}) AS matches
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+    SELECT a_id, b_id, CAST(matches AS DOUBLE) / {float(num_perm)} AS jaccard_est
+    FROM pairs WHERE CAST(matches AS DOUBLE) / {float(num_perm)} >= {threshold}"""
+    return sql
+
+
+# xxHash64 primes (public domain xxHash spec, as used by Spark's XxHash64)
+_XXP1 = "11400714785074694791"
+_XXP2 = "14029467366897019727"
+_XXP3 = "1609587929392839161"
+_XXP4 = "9650029242287828579"
+_XXP5 = "2870177450012600261"
+_XXSEED_P5 = str((42 + 0x27D4EB2F165667C5) % (1 << 64))  # Spark seed 42
+
+
+def _xxhash64_ctes(src: str):
+    """CTE chain computing h = xxhash64(tok) (Spark seed 42) for tokens up
+    to 16 bytes, starting from CTE src(doc_id, tok, n).  One CTE per hash
+    step keeps expressions linear (no nested-duplication blowup)."""
+    def chunk(nbytes: int) -> str:
+        return " + ".join(
+            f"ord(substr(tok, i + {j + 1}, 1))::HUGEINT * {1 << (8 * j)}"
+            for j in range(nbytes))
+
+    ctes = [f"x0 AS (SELECT doc_id, tok, n, ({_XXSEED_P5} + n) % {_W64} AS acc,"
+            f" 0 AS i FROM {src})"]
+    prev, step = "x0", 1
+    for _ in range(2):          # up to two 8-byte stripes
+        c = f"x{step}"
+        k1 = _mulmod(f"({chunk(8)})", _XXP2)
+        ctes.append(f"{c}a AS (SELECT doc_id, tok, n, acc, i,"
+                    f" CASE WHEN n - i >= 8 THEN {k1} ELSE NULL END AS k1 FROM {prev})")
+        k1r = _mulmod(_rotl64("k1", 31), _XXP1)
+        ctes.append(f"{c}b AS (SELECT doc_id, tok, n, acc, i,"
+                    f" CASE WHEN k1 IS NULL THEN NULL ELSE {k1r} END AS k1 FROM {c}a)")
+        acc2 = f"({_mulmod(_rotl64(_xor64('acc', 'k1'), 27), _XXP1)} + {_XXP4}) % {_W64}"
+        ctes.append(f"{c}c AS (SELECT doc_id, tok, n,"
+                    f" CASE WHEN k1 IS NULL THEN acc ELSE {acc2} END AS acc,"
+                    f" CASE WHEN k1 IS NULL THEN i ELSE i + 8 END AS i FROM {c}b)")
+        prev, step = f"{c}c", step + 1
+    c = f"x{step}"; step += 1   # one 4-byte chunk
+    ch4 = _mulmod(f"({chunk(4)})", _XXP1)
+    acc4 = f"({_mulmod(_rotl64(_xor64('acc', ch4), 23), _XXP2)} + {_XXP3}) % {_W64}"
+    ctes.append(f"{c} AS (SELECT doc_id, tok, n,"
+                f" CASE WHEN n - i >= 4 THEN {acc4} ELSE acc END AS acc,"
+                f" CASE WHEN n - i >= 4 THEN i + 4 ELSE i END AS i FROM {prev})")
+    prev = c
+    for _ in range(3):          # tail bytes
+        c = f"x{step}"; step += 1
+        bexpr = _mulmod("ord(substr(tok, i + 1, 1))::HUGEINT", _XXP5)
+        accb = _mulmod(_rotl64(_xor64("acc", bexpr), 11), _XXP1)
+        ctes.append(f"{c} AS (SELECT doc_id, tok, n,"
+                    f" CASE WHEN i < n THEN {accb} ELSE acc END AS acc,"
+                    f" CASE WHEN i < n THEN i + 1 ELSE i END AS i FROM {prev})")
+        prev = c
+    for sh_bits, prime in ((33, _XXP2), (29, _XXP3)):   # avalanche
+        c = f"x{step}"; step += 1
+        ctes.append(f"{c} AS (SELECT doc_id,"
+                    f" {_mulmod(_xor64('acc', _shr64('acc', sh_bits)), prime)}"
+                    f" AS acc FROM {prev})")
+        prev = c
+    c = f"x{step}"
+    ctes.append(f"{c} AS (SELECT doc_id, {_xor64('acc', _shr64('acc', 32))}"
+                f" AS h FROM {prev})")
+    return ctes, c
+
+
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """Independent recomputation of simhash_near_pairs in DuckDB SQL:
+    xxhash64 (exact, incl. Spark's seed 42) per token via the CTE chain,
+    64 sign-sum aggregates per doc, then ALL pairs with hamming <=
+    max_hamming.  The pigeonhole block join needs no oracle: <= 3 bit
+    flips cannot touch all 4 blocks, so every reported pair necessarily
+    collides on a block — the oracle checks the exact output set."""
+    ctes, last = _xxhash64_ctes("tf")
+    sums = ",\n        ".join(
+        f"sum(2 * ((h // {1 << j}) % 2) - 1) AS b{j}" for j in range(64))
+    sim = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN {1 << j}::HUGEINT ELSE 0::HUGEINT END"
+        for j in range(64))
+    ham = (f"(bit_count((xor((a.sim // {_H32})::BIGINT, (b.sim // {_H32})::BIGINT)))"
+           f" + bit_count((xor((a.sim % {_H32})::BIGINT, (b.sim % {_H32})::BIGINT))))")
+    return f"""WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents),
+    tf AS (SELECT doc_id, tok, length(tok) AS n FROM toks WHERE length(tok) > 0),
+    {",".join(ctes)},
+    sums AS (SELECT doc_id, {sums} FROM {last} GROUP BY doc_id),
+    sims0 AS (SELECT doc_id, ({sim}) AS sim FROM sums),
+    sims AS (
+      SELECT d.doc_id, coalesce(s.sim, 0::HUGEINT) AS sim
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      LEFT JOIN sims0 s ON d.doc_id = s.doc_id)
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST({ham} AS INT) AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE {ham} <= {max_hamming}"""
+
+
 def _lang_oracle_sql() -> str:
     langs = {"en": ["the", "and", "of", "to", "is"],
              "de": ["der", "und", "die", "das", "ist"],
@@ -1184,4 +1353,6 @@ def oracle_sql() -> dict[str, str]:
         "hilbert_keys": _hilbert_oracle_sql(),
         "union_all_rects": _union_rects_oracle_sql(),
         "density_islands": _density_islands_oracle_sql(),
+        "minhash_pairs": _minhash_oracle_sql(),
+        "simhash_pairs": _simhash_oracle_sql(),
     }
