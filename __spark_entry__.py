@@ -680,6 +680,35 @@ def _q_density_islands(spark, sf_dir) -> DataFrame:
             .orderBy("n_members"))
 
 
+def _norm_documents(spark) -> DataFrame:
+    """documents with whitespace-normalized text — pins tokenizer parity
+    between Spark split('\\s+') and the DuckDB oracle's single-space split
+    regardless of the generator's whitespace habits."""
+    return spark.table("documents").withColumn(
+        "text", F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+
+
+def _q_ngram_jaccard(spark, sf_dir) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs (max_df=None: fully exact mode —
+    candidate join on every shared gram, tractable at gate scale)."""
+    from spatial_spark.operators.dedup import ngram_jaccard_pairs
+    pairs = ngram_jaccard_pairs(_norm_documents(spark), n=3,
+                                threshold=0.5, max_df=None)
+    return pairs.select("a_id", "b_id",
+                        F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_dedup_clusters(spark, sf_dir) -> DataFrame:
+    """Near-dup clustering: exact ngram pairs → connected components →
+    (doc_id, cluster, is_canonical).  Exercises the full dedup pipeline
+    shape: detector → pair graph → canonical selection."""
+    from spatial_spark.operators.dedup import (near_dup_clusters,
+                                               ngram_jaccard_pairs)
+    docs = _norm_documents(spark)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_df=None)
+    return near_dup_clusters(docs, pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -734,6 +763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "union_all_rects": _q_union_all_rects,
         "density_islands": _q_density_islands,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
     }.items()}
 
 
@@ -860,6 +891,61 @@ def _density_islands_oracle_sql() -> str:
           SELECT island, count(*) AS n_members FROM comp GROUP BY island)
         SELECT n_members, count(*) AS n_islands FROM members
         GROUP BY n_members ORDER BY n_members
+    """
+
+
+def _ngram_pairs_ctes(n: int = 3, threshold: float = 0.5) -> str:
+    """Shared CTE text ending in jpairs(a_id, b_id, jaccard): exact
+    word-n-gram Jaccard over whitespace-normalized documents — the DuckDB
+    mirror of ngram_jaccard_pairs(max_df=None) + _ngrams_col."""
+    return f"""toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents),
+    pos AS (SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t) - {n}, 0) + 1)) AS i
+            FROM toks),
+    grams AS (SELECT DISTINCT doc_id,
+                     array_to_string(t[i : i + {n - 1}], ' ') AS gram
+              FROM pos),
+    gsizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+    ginter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    jpairs AS (
+      SELECT a_id, b_id,
+             CAST(n_common AS DOUBLE)
+               / (sa.n_grams + sb.n_grams - n_common) AS jaccard
+      FROM ginter
+      JOIN gsizes sa ON sa.doc_id = a_id
+      JOIN gsizes sb ON sb.doc_id = b_id
+      WHERE CAST(n_common AS DOUBLE)
+              / (sa.n_grams + sb.n_grams - n_common) >= {threshold})"""
+
+
+def _ngram_jaccard_oracle_sql() -> str:
+    """Independent exact recomputation of ngram_jaccard_pairs in DuckDB."""
+    return (f"WITH {_ngram_pairs_ctes()}\n"
+            f"    SELECT a_id, b_id, round(jaccard, 6) AS jaccard FROM jpairs")
+
+
+def _dedup_clusters_oracle_sql() -> str:
+    """ngram pairs → connected components via a recursive min-label
+    reachability CTE → (doc_id, cluster, is_canonical) — the same
+    pipeline near_dup_clusters runs distributed."""
+    return f"""
+    WITH RECURSIVE {_ngram_pairs_ctes()},
+    dedges AS (SELECT a_id AS src, b_id AS dst FROM jpairs
+               UNION ALL SELECT b_id AS src, a_id AS dst FROM jpairs),
+    reach(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN dedges e ON e.src = r.id)
+    SELECT id AS doc_id, min(label) AS cluster,
+           CAST(CASE WHEN min(label) = id THEN 1 ELSE 0 END AS INT)
+             AS is_canonical
+    FROM reach GROUP BY id
     """
 
 
@@ -1355,4 +1441,6 @@ def oracle_sql() -> dict[str, str]:
         "density_islands": _density_islands_oracle_sql(),
         "minhash_pairs": _minhash_oracle_sql(),
         "simhash_pairs": _simhash_oracle_sql(),
+        "ngram_jaccard": _ngram_jaccard_oracle_sql(),
+        "dedup_clusters": _dedup_clusters_oracle_sql(),
     }

@@ -101,7 +101,8 @@ def keep_max(df: DataFrame, prop: str) -> DataFrame:
     return _keep_extreme(df, prop, F.max)
 
 
-def density_islands(df: DataFrame, density: float, id_col: str = "id") -> DataFrame:
+def density_islands(df: DataFrame, density: float, id_col: str = "id",
+                    max_rounds: int = 50) -> DataFrame:
     """Cluster rows whose geometries lie within `density` of each other
     (DensityIslands.java:26-55).
 
@@ -118,42 +119,16 @@ def density_islands(df: DataFrame, density: float, id_col: str = "id") -> DataFr
     cartesian, O(N²) scans at any real scale.  Cell size is at least
     `density`, so padded-bbox cell cover is bounded (points → ≤ 9 cells).
 
+    Label propagation is pointer-doubled min-label (O(log diameter)
+    rounds, lineage-truncated per round — see operators/graph.py).
+
     Returns (id, island) — join back to the layer for geometries, or feed
     union_all(group_cols=['island']) for merged island geometries."""
-    import warnings
+    from .graph import min_label_components
 
     edges = density_edges(df, density, id_col)
-    edges = edges.union(edges.select(F.col("b_id").alias("a_id"),
-                                     F.col("a_id").alias("b_id"))).cache()
-
-    labels = df.select(F.col(id_col).alias("node"),
-                       F.col(id_col).cast("long").alias("island")).cache()
-    # min-label propagation until fixpoint.  Plain propagation converges in
-    # O(graph diameter) rounds (not O(log n)); the bound is a safety rail
-    # and an unconverged exit is reported, never silent.
-    max_rounds = 50
-    changed = -1
-    for _ in range(max_rounds):
-        neighbor_min = (edges.join(labels, edges.b_id == labels.node)
-                        .groupBy("a_id").agg(F.min("island").alias("n_island")))
-        new_labels = (labels.join(neighbor_min, labels.node == neighbor_min.a_id, "left")
-                      .select("node",
-                              F.least(F.col("island"),
-                                      F.coalesce(F.col("n_island"), F.col("island"))
-                                      ).alias("island")))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-                   .filter(F.col("n.island") != F.col("o.island")).count())
-        labels.unpersist()
-        labels = new_labels.cache()
-        if changed == 0:
-            break
-    if changed != 0:
-        warnings.warn(
-            f"density_islands: label propagation did not converge within "
-            f"{max_rounds} rounds ({changed} labels still changing) — "
-            f"components with diameter > {max_rounds} are split; raise the "
-            f"round budget or pre-contract the graph", RuntimeWarning)
+    nodes = df.select(F.col(id_col).alias("node"))
+    labels = min_label_components(nodes, edges, max_rounds=max_rounds)
     return labels.select(F.col("node").alias(id_col), "island")
 
 

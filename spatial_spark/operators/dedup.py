@@ -256,6 +256,42 @@ def _ngrams_col(text_col: str, n: int):
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
 
 
+def near_dup_clusters(df: DataFrame, pairs: DataFrame,
+                      id_col: str = "doc_id",
+                      max_rounds: int = 50) -> DataFrame:
+    """Cluster documents by near-duplicate pairs: connected components of
+    the pair graph (any detector's output: minhash/simhash/ngram/embedding
+    ``(a_id, b_id, ...)`` frames all fit).
+
+    This is the canonical-selection step of a production dedup pipeline:
+    pair lists alone over-delete (A~B, B~C must keep ONE of {A,B,C}, not
+    drop both B and C).  Components via pointer-doubled min-label
+    propagation (O(log diameter) rounds, lineage-truncated — see
+    operators/graph.py).
+
+    Returns ``(id_col, cluster, is_canonical)``: cluster = min doc id of
+    the component (singletons cluster to themselves), is_canonical = 1
+    for the kept representative."""
+    from .graph import min_label_components
+
+    nodes = df.select(F.col(id_col).alias("node"))
+    labels = min_label_components(nodes, pairs.select("a_id", "b_id"),
+                                  max_rounds=max_rounds)
+    return labels.select(
+        F.col("node").alias(id_col), F.col("island").alias("cluster"),
+        (F.col("node") == F.col("island")).cast("int").alias("is_canonical"))
+
+
+def dedup_near(df: DataFrame, pairs: DataFrame,
+               id_col: str = "doc_id") -> DataFrame:
+    """Remove near-duplicates: keep the min-id representative per
+    connected component of the pair graph (left-semi join back — the
+    document payload never shuffles through the clustering)."""
+    keep = (near_dup_clusters(df, pairs, id_col)
+            .filter(F.col("is_canonical") == 1).select(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
 def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
                              id_col: str = "vec_id", threshold: float = 0.95,
                              planes: int = 16) -> DataFrame:

@@ -202,3 +202,20 @@ def test_st_dump_and_points_explode(spark):
         SELECT explode(st_points(st_geomfromtext('LINESTRING (0 0, 1 1, 2 2)'))) AS p
     """)
     assert pts.count() == 3
+
+
+def test_density_islands_chain_pointer_doubling(ctx, spark):
+    """A 40-node chain (diameter 40) must converge within O(log d) rounds
+    — the label(label(u)) pointer-jumping hop; plain propagation would
+    need 40 rounds and trip the max_rounds=10 rail with a warning."""
+    import warnings
+    rows = [(i, i * 0.4, 0.0) for i in range(40)]   # spacing 0.4 < 0.5
+    layer = _encoded(ctx, spark, "dens_chain", rows,
+                     "id long, lon double, lat double")
+    df = layer.df().withColumn("geom", F.expr("st_point(xmin, ymin)"))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        labels = density_islands(df, density=0.5, max_rounds=10)
+        got = labels.collect()
+    assert {r["island"] for r in got} == {0}
+    assert len(got) == 40
