@@ -254,3 +254,54 @@ def test_sld_styled_render(ctx, spark, tmp_path):
         "id long, wkt string, rank int"), wkt="wkt")
     png = render_layer(layer, width=48, height=48, sld=sld)
     assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+# ---------------------------------------------------------------- datastore
+def test_datastore_layer_types_and_rw(ctx, spark):
+    from spatial_spark.io.datastore import SpatialDataStore
+    store = SpatialDataStore(ctx)
+    store.create_schema("ds_pts", kind="point", x="lon", y="lat")
+    w = store.get_feature_writer("ds_pts")
+    w.write(spark.createDataFrame(
+        [(1, 10.0, 45.0, "a"), (2, 11.0, 46.0, "b"), (3, 50.0, -3.0, "c")],
+        "id long, lon double, lat double, name string"))
+    assert "ds_pts" in store.get_type_names()
+    src = store.get_feature_source("ds_pts")
+    assert src.features().count() == 3
+    assert "zkey" not in src.features().columns         # internals hidden
+    assert {f.name for f in store.get_schema("ds_pts")} >= {"xmin", "name"}
+    # bbox goes through the layer's pruned search path
+    assert src.bbox(9.0, 44.0, 12.0, 47.0).count() == 2
+    assert src.cql("name = 'c'").count() == 1
+    b = src.bounds()
+    assert b[0] == 10.0 and b[3] == 46.0
+
+
+def test_datastore_external_shapefile_and_geojsonl(ctx, spark, tmp_path):
+    from spatial_spark.io.datastore import SpatialDataStore
+    from spatial_spark.io.export import export_geojsonl
+    store = SpatialDataStore(ctx)
+    # shapefile source
+    shp = str(tmp_path / "ext.shp")
+    write_shapefile([(Geometry.point(1.0, 2.0), {"name": "x"}),
+                     (Geometry.point(30.0, 40.0), {"name": "y"})], shp)
+    src = store.register_file("ext_shp", shp)
+    assert src.features().count() == 2
+    assert src.bbox(0.0, 0.0, 10.0, 10.0).count() == 1
+    assert src.cql("name = 'y'").count() == 1
+    # geojsonl source: round-trip a layer through the export sink
+    layer = ctx.create_wkt_layer("ds_exp")
+    layer.add(spark.createDataFrame(
+        [(1, "POINT (1 2)", "a"), (2, "LINESTRING (0 0, 5 5)", "b")],
+        "id long, wkt string, name string"), wkt="wkt")
+    d = export_geojsonl(layer, str(tmp_path / "feats"))
+    gsrc = store.register_file("ext_gjl", d, fmt="geojsonl")
+    got = gsrc.features()
+    assert got.count() == 2
+    assert got.filter("xmax = 5.0").count() == 1        # line bbox decoded
+    names = {r["properties"] for r in got.collect()}
+    assert any('"name": "a"' in n or '"name":"a"' in n for n in names)
+    # duplicate registration rejected
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        store.register_file("ext_shp", shp)
