@@ -709,6 +709,20 @@ def _q_dedup_clusters(spark, sf_dir) -> DataFrame:
     return near_dup_clusters(docs, pairs)
 
 
+def _q_winnowing(spark, sf_dir) -> DataFrame:
+    """Winnowing fingerprints (k=8, window=4) over documents — vectorized
+    FNV-1a k-gram hashes + sliding-window minima, deduped per doc."""
+    from spatial_spark.operators.text import winnowing_fingerprints
+    return winnowing_fingerprints(spark.table("documents"), k=8, window=4)
+
+
+def _q_tf_idf(spark, sf_dir) -> DataFrame:
+    """Top-5 tf·idf terms per document (whitespace-normalized corpus)."""
+    from spatial_spark.operators.text import tf_idf_top_terms
+    top = tf_idf_top_terms(_norm_documents(spark), top_n=5)
+    return top.select("doc_id", "term", F.round("tf_idf", 6).alias("tf_idf"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -765,6 +779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "density_islands": _q_density_islands,
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
+        "winnowing": _q_winnowing,
+        "tf_idf": _q_tf_idf,
     }.items()}
 
 
@@ -946,6 +962,74 @@ def _dedup_clusters_oracle_sql() -> str:
            CAST(CASE WHEN min(label) = id THEN 1 ELSE 0 END AS INT)
              AS is_canonical
     FROM reach GROUP BY id
+    """
+
+
+def _winnowing_oracle_sql(k: int = 8, window: int = 4) -> str:
+    """Independent recomputation of winnowing_fingerprints in DuckDB:
+    unrolled FNV-1a over every k-char window (exact uint64 wraparound via
+    the HUGEINT helpers below), the 63-bit signed fold the operator uses,
+    then sliding-window minima as a ROWS window function.  Docs with
+    fewer than `window` k-grams contribute their single global min
+    (mirrors the operator's short-doc branch)."""
+    fnv_off = "14695981039346656037"
+    fnv_p = "1099511628211"
+    sql = f"""WITH clean AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents),
+    docs AS (SELECT doc_id, t FROM clean WHERE length(t) >= {k}),
+    pos AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - {k - 1})) AS i
+            FROM docs),
+    f0 AS (SELECT doc_id, t, i, CAST({fnv_off} AS HUGEINT) AS h FROM pos)"""
+    for j in range(k):
+        byte = f"ord(substr(t, i + {j}, 1))"
+        x = (f"((h) - ((h) % {_H32})"
+             f" + xor(((h) % {_H32})::BIGINT, ({byte})::BIGINT)::HUGEINT)")
+        keep_t = "t, " if j < k - 1 else ""
+        sql += (f",\n    f{j + 1} AS (SELECT doc_id, {keep_t}i,"
+                f" {_mulmod(x, fnv_p)} AS h FROM f{j})")
+    half = str(1 << 63)
+    sql += f""",
+    hashes AS (SELECT doc_id, i, (h % {half})::BIGINT AS hs FROM f{k}),
+    counts AS (SELECT doc_id, count(*) AS n FROM hashes GROUP BY doc_id),
+    wins AS (
+      SELECT doc_id, i,
+             min(hs) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW
+                           AND {window - 1} FOLLOWING) AS fingerprint
+      FROM hashes)
+    SELECT DISTINCT w.doc_id, w.fingerprint
+    FROM wins w JOIN counts c ON w.doc_id = c.doc_id
+    WHERE c.n > {window} AND w.i <= c.n - {window - 1}
+    UNION
+    SELECT h.doc_id, min(h.hs) AS fingerprint
+    FROM hashes h JOIN counts c ON h.doc_id = c.doc_id
+    WHERE c.n <= {window} GROUP BY h.doc_id"""
+    return sql
+
+
+def _tf_idf_oracle_sql(top_n: int = 5) -> str:
+    """Same two-aggregation tf·idf pipeline in DuckDB (idf = ln(N/df),
+    row_number tie-break by term asc)."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE length(term) > 0 GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, t.term,
+             CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df) AS tf_idf
+      FROM tf t JOIN dfreq d ON t.term = d.term CROSS JOIN nd),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tf_idf DESC, term ASC) AS rn
+      FROM scored)
+    SELECT doc_id, term, round(tf_idf, 6) AS tf_idf
+    FROM ranked WHERE rn <= {top_n}
     """
 
 
@@ -1443,4 +1527,6 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_oracle_sql(),
         "ngram_jaccard": _ngram_jaccard_oracle_sql(),
         "dedup_clusters": _dedup_clusters_oracle_sql(),
+        "winnowing": _winnowing_oracle_sql(),
+        "tf_idf": _tf_idf_oracle_sql(),
     }

@@ -150,3 +150,67 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
         return pd.Series(out)
 
     return df.select(F.col(id_col), F.explode(fp(F.col(text_col))).alias("fingerprint"))
+
+
+def tf_idf_top_terms(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", top_n: int = 5) -> DataFrame:
+    """Top-N terms per document by tf·idf (idf = ln(N/df), natural log;
+    ties broken by term ascending).
+
+    Pure DataFrame — the canonical two-aggregation shape: explode
+    whitespace tokens, per-(doc,term) counts, per-term document
+    frequency, then a per-doc top-N window.  The corpus size joins in as
+    a broadcast 1-row aggregate (stays lazy — no driver action at plan
+    time).  Scale: shuffles are keyed on (doc,term) and term; the top-N
+    window partitions by doc (bounded per-key cardinality = unique terms
+    of one document), so no global funnel exists at 100 TB."""
+    from pyspark.sql import Window
+
+    toks = (df.select(F.col(id_col),
+                      F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))
+                      .alias("term"))
+            .filter(F.length("term") > 0))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(dfreq, "term")
+              .crossJoin(F.broadcast(ndocs))
+              .withColumn("tf_idf",
+                          F.col("tf").cast("double")
+                          * F.log(F.col("n_docs").cast("double") / F.col("df"))))
+    w = Window.partitionBy(id_col).orderBy(F.desc("tf_idf"), F.asc("term"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= top_n)
+            .select(id_col, "term", "tf_idf"))
+
+
+def bm25_score(df: DataFrame, query_terms: list, text_col: str = "text",
+               id_col: str = "doc_id", k1: float = 1.2,
+               b: float = 0.75) -> DataFrame:
+    """Okapi BM25 relevance of each document to `query_terms`.
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)); same distributed shape as
+    tf_idf_top_terms (corpus stats join in as broadcast aggregates)."""
+    toks = (df.select(F.col(id_col),
+                      F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))
+                      .alias("term"))
+            .filter(F.length("term") > 0))
+    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = doclen.agg(F.count(F.lit(1)).alias("n_docs"),
+                       F.avg("dl").alias("avgdl"))
+    qt = [t.lower() for t in query_terms]
+    tf = (toks.filter(F.lower(F.col("term")).isin(qt))
+          .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (tf.join(dfreq, "term")
+               .join(doclen, id_col)
+               .crossJoin(F.broadcast(stats))
+               .withColumn("idf", F.log(F.lit(1.0)
+                                        + (F.col("n_docs") - F.col("df") + 0.5)
+                                        / (F.col("df") + 0.5)))
+               .withColumn("c", F.col("idf") * F.col("tf") * (k1 + 1)
+                           / (F.col("tf") + k1 * (1 - b + b * F.col("dl")
+                                                  / F.col("avgdl")))))
+    return (contrib.groupBy(id_col).agg(F.sum("c").alias("bm25"))
+            .join(df.select(id_col), id_col, "right")
+            .fillna(0.0, ["bm25"]))

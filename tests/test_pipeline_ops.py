@@ -255,3 +255,40 @@ def test_streaming_running_stats(spark, sf_dir, tmp_path):
     got = {r["user_id"]: (r["n_events"], round(r["sum_value"], 6))
            for r in latest.collect()}
     assert got == exp
+
+
+def test_tf_idf_top_terms(spark):
+    import math
+    from spatial_spark.operators.text import tf_idf_top_terms
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "durian")],
+        "doc_id long, text string")
+    rows = tf_idf_top_terms(df, top_n=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["term"], r["tf_idf"]))
+    # doc 1: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
+    d1 = dict(by_doc[1])
+    assert d1["apple"] == pytest.approx(2 * math.log(3.0))
+    assert d1["banana"] == pytest.approx(math.log(1.5))
+    assert by_doc[1][0][0] == "apple"          # ordered by score desc
+    # doc 3: durian only term
+    assert [t for t, _ in by_doc[3]] == ["durian"]
+
+
+def test_bm25_score(spark):
+    import math
+    from spatial_spark.operators.text import bm25_score
+    df = spark.createDataFrame(
+        [(1, "spark spatial join"), (2, "spark sql"), (3, "nothing here")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r["bm25"] for r in
+            bm25_score(df, ["spark", "join"]).collect()}
+    assert rows[3] == 0.0                       # no query terms
+    assert rows[1] > rows[2] > 0.0              # doc1 matches both terms
+    # idf of 'spark' (df=2, N=3): ln(1 + (3-2+0.5)/(2+0.5))
+    idf_spark = math.log(1 + 1.5 / 2.5)
+    k1, b = 1.2, 0.75
+    avgdl = (3 + 2 + 2) / 3.0
+    c = idf_spark * (1 * (k1 + 1)) / (1 + k1 * (1 - b + b * 2 / avgdl))
+    assert rows[2] == pytest.approx(c)
