@@ -709,6 +709,21 @@ def _q_dedup_clusters(spark, sf_dir) -> DataFrame:
     return near_dup_clusters(docs, pairs)
 
 
+def _q_ivf_knn(spark, sf_dir) -> DataFrame:
+    """IVF ANN end-to-end: build coarse centroids, assign cells, probe
+    ALL cells.  Exhaustive probing (nprobe = n_cells) makes IVF exact, so
+    brute-force SQL top-k is a true oracle while the query still runs the
+    real index path — build, assignment UDF, and the cell-pruning filter
+    the partitioned store turns into file skipping."""
+    from spatial_spark.operators.similarity import IVFIndex
+    e = spark.table("embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    idx = IVFIndex.build(e, n_cells=8, seed=42)
+    dim = len(idx.centroids[0])
+    probe = [1.0] + [0.0] * (dim - 1)
+    return idx.search(idx.assign(e), probe, k=20, nprobe=8)
+
+
 def _q_winnowing(spark, sf_dir) -> DataFrame:
     """Winnowing fingerprints (k=8, window=4) over documents — vectorized
     FNV-1a k-gram hashes + sliding-window minima, deduped per doc."""
@@ -781,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "winnowing": _q_winnowing,
         "tf_idf": _q_tf_idf,
+        "ivf_knn": _q_ivf_knn,
     }.items()}
 
 
@@ -1529,4 +1545,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_oracle_sql(),
         "winnowing": _winnowing_oracle_sql(),
         "tf_idf": _tf_idf_oracle_sql(),
+        "ivf_knn": """
+            SELECT vec_id,
+                   round(embedding[1] /
+                         sqrt(list_aggregate(list_transform(embedding, x -> x * x),
+                                             'sum')), 6) AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id ASC LIMIT 20
+        """,
     }
