@@ -724,6 +724,29 @@ def _q_ivf_knn(spark, sf_dir) -> DataFrame:
     return idx.search(idx.assign(e), probe, k=20, nprobe=8)
 
 
+def _q_media_features(spark, sf_dir) -> DataFrame:
+    """Multimodal decode plumbing, oracle-checked: the deterministic fake
+    payload (header + (i*31+j*7)%251 bytes) makes decoded dims and mean
+    intensity exact closed forms DuckDB can recompute — so the mapInPandas
+    batching, schema, and decode seam are all on the hard gate."""
+    from spatial_spark.operators.multimodal import (decode_features,
+                                                    make_fake_media_df)
+    media = make_fake_media_df(spark, 64)
+    return (decode_features(media)
+            .select("media_id", "decoded_w", "decoded_h",
+                    F.round("mean_intensity", 6).alias("mean_intensity")))
+
+
+def _q_media_histogram(spark, sf_dir) -> DataFrame:
+    """16-bin intensity histograms from the fake decoder, exploded to
+    (media_id, bin, n) rows — bin membership is v // 16, recomputable."""
+    from spatial_spark.operators.multimodal import (decode_features,
+                                                    make_fake_media_df)
+    feats = decode_features(make_fake_media_df(spark, 64))
+    return (feats.select("media_id",
+                         F.posexplode("histogram16").alias("bin", "n")))
+
+
 def _q_winnowing(spark, sf_dir) -> DataFrame:
     """Winnowing fingerprints (k=8, window=4) over documents — vectorized
     FNV-1a k-gram hashes + sliding-window minima, deduped per doc."""
@@ -797,6 +820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing": _q_winnowing,
         "tf_idf": _q_tf_idf,
         "ivf_knn": _q_ivf_knn,
+        "media_features": _q_media_features,
+        "media_histogram": _q_media_histogram,
     }.items()}
 
 
@@ -1552,5 +1577,33 @@ def oracle_sql() -> dict[str, str]:
                                              'sum')), 6) AS cosine
             FROM embeddings
             ORDER BY cosine DESC, vec_id ASC LIMIT 20
+        """,
+        # the fake-decoder closed forms: dims from the header formula,
+        # mean over the (i*31 + j*7) % 251 byte sequence
+        "media_features": """
+            WITH items AS (SELECT unnest(generate_series(0, 63)) AS i),
+            dims AS (SELECT i, 8 + (i % 5) * 4 AS w, 8 + (i % 3) * 4 AS h
+                     FROM items),
+            px AS (SELECT i, w, h, unnest(generate_series(0, w * h - 1)) AS j
+                   FROM dims),
+            vals AS (SELECT i, w, h, (i * 31 + j * 7) % 251 AS v FROM px)
+            SELECT i AS media_id, CAST(w AS INT) AS decoded_w,
+                   CAST(h AS INT) AS decoded_h,
+                   round(avg(CAST(v AS DOUBLE)), 6) AS mean_intensity
+            FROM vals GROUP BY i, w, h
+        """,
+        "media_histogram": """
+            WITH items AS (SELECT unnest(generate_series(0, 63)) AS i),
+            dims AS (SELECT i, 8 + (i % 5) * 4 AS w, 8 + (i % 3) * 4 AS h
+                     FROM items),
+            px AS (SELECT i, w, h, unnest(generate_series(0, w * h - 1)) AS j
+                   FROM dims),
+            binned AS (SELECT i, ((i * 31 + j * 7) % 251) // 16 AS bin FROM px),
+            bins AS (SELECT unnest(generate_series(0, 15)) AS bin),
+            counts AS (SELECT i, bin, count(*) AS n FROM binned GROUP BY i, bin)
+            SELECT it.i AS media_id, CAST(b.bin AS INT) AS bin,
+                   COALESCE(c.n, 0) AS n
+            FROM items it CROSS JOIN bins b
+            LEFT JOIN counts c ON c.i = it.i AND c.bin = b.bin
         """,
     }

@@ -110,14 +110,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
     # band on bare (id, band, hash) — the 64-long signature array never rides
     # the 16x explode or the distinct; it joins back once per unique pair
-    banded = sigs.select(
-        F.col(id_col),
-        F.explode(F.array(*[
-            F.struct(F.lit(i).alias("band"),
-                     F.hash(*[F.col("signature")[i * rows_per_band + j]
-                              for j in range(rows_per_band)]).alias("bh"))
-            for i in range(bands)
-        ])).alias("bb"))
+    # one selectExpr string, not composed Columns — the 16x8 py4j calls
+    # of the Column formulation are measurable driver latency (r3 profile)
+    structs = ", ".join(
+        "struct({i} as band, hash({cols}) as bh)".format(
+            i=i, cols=", ".join(f"signature[{i * rows_per_band + j}]"
+                                for j in range(rows_per_band)))
+        for i in range(bands))
+    banded = sigs.selectExpr(id_col, f"explode(array({structs})) as bb")
     banded = banded.select(id_col, "bb.band", "bb.bh")
 
     a = banded.select(F.col(id_col).alias("a_id"), "band", "bh")
@@ -152,19 +152,15 @@ def simhash_64(df: DataFrame, text_col: str = "text",
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"))
     toks = toks.filter(F.length("tok") > 0).withColumn("h", F.xxhash64("tok"))
-    aggs = [
-        F.sum(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
-        .alias(f"b{i}")
-        for i in range(64)
-    ]
+    # single-string F.expr per aggregate (and one for the bit fold): the
+    # Column-operator formulation cost ~900 py4j round trips = ~2s of
+    # DRIVER time per call — plan construction, not execution (r3 profile)
+    aggs = [F.expr(f"sum(cast(shiftrightunsigned(h, {i}) & 1 as int) * 2 - 1)")
+            .alias(f"b{i}") for i in range(64)]
     sums = toks.groupBy(id_col).agg(*aggs)
-    sim = None
-    for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0,
-                     F.lit(1).cast("long") * (2 ** i if i < 63 else -(2 ** 63))
-                     ).otherwise(F.lit(0).cast("long"))
-        sim = bit if sim is None else sim.bitwiseOR(bit)
-    out = sums.select(F.col(id_col), sim.alias("simhash"))
+    # shiftleft(1L, 63) wraps to the sign bit — same value as -(2^63)
+    fold = " | ".join(f"IF(b{i} > 0, shiftleft(1L, {i}), 0L)" for i in range(64))
+    out = sums.select(F.col(id_col), F.expr(fold).alias("simhash"))
     # docs with zero tokens hash to 0
     empty = (df.join(out, id_col, "left_anti")
              .select(F.col(id_col), F.lit(0).cast("long").alias("simhash")))
