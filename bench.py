@@ -30,13 +30,13 @@ HEADLINE = [
 # nonzero only when SPARK_GRAFT_STRICT_BENCH=1 (machine noise must not trip
 # the driver's rc gate).
 BUDGET_SF01 = {
-    "within_distance": 1.8, "knn": 0.7, "bbox_window": 0.5,
-    "spatial_join": 2.6, "spatial_join_agg": 2.2, "distance_join": 1.7,
-    "st_area_rects": 1.7, "extract_points": 1.4, "orthodromic_length": 1.0,
-    "zorder_keys": 0.7, "tpch_q1": 1.0, "revenue_by_nation": 1.9,
-    "dedup_exact": 0.9, "minhash_pairs": 4.8, "simhash_pairs": 6.2,
-    "quality_scores": 1.3, "lang_id": 1.7, "knn_cosine": 0.7,
-    "events_daily": 0.7,
+    "within_distance": 1.5, "knn": 0.6, "bbox_window": 0.4,
+    "spatial_join": 1.4, "spatial_join_agg": 1.7, "distance_join": 1.5,
+    "st_area_rects": 1.6, "extract_points": 1.6, "orthodromic_length": 0.8,
+    "zorder_keys": 0.5, "tpch_q1": 0.9, "revenue_by_nation": 1.7,
+    "dedup_exact": 0.7, "minhash_pairs": 4.3, "simhash_pairs": 5.0,
+    "quality_scores": 1.2, "lang_id": 1.4, "knn_cosine": 0.5,
+    "events_daily": 0.5,
 }
 
 
