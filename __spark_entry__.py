@@ -724,6 +724,16 @@ def _q_ivf_knn(spark, sf_dir) -> DataFrame:
     return idx.search(idx.assign(e), probe, k=20, nprobe=8)
 
 
+def _q_event_transitions(spark, sf_dir) -> DataFrame:
+    """Per-user zone transitions over the event stream surface (geofence
+    enter/exit shape): zone = floor(value/50), ordered by (ts, event_id),
+    emit rows where the zone changes."""
+    from spatial_spark.streaming.events import zone_transitions
+    zone = F.floor(F.col("value") / 50).cast("int")
+    return zone_transitions(spark.table("events"), zone,
+                            order_cols=["event_id"])
+
+
 def _q_media_features(spark, sf_dir) -> DataFrame:
     """Multimodal decode plumbing, oracle-checked: the deterministic fake
     payload (header + (i*31+j*7)%251 bytes) makes decoded dims and mean
@@ -822,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_knn": _q_ivf_knn,
         "media_features": _q_media_features,
         "media_histogram": _q_media_histogram,
+        "event_transitions": _q_event_transitions,
     }.items()}
 
 
@@ -1577,6 +1588,19 @@ def oracle_sql() -> dict[str, str]:
                                              'sum')), 6) AS cosine
             FROM embeddings
             ORDER BY cosine DESC, vec_id ASC LIMIT 20
+        """,
+        "event_transitions": """
+            WITH z AS (
+              SELECT user_id, event_id, ts,
+                     CAST(floor(value / 50) AS INT) AS zone
+              FROM events),
+            t AS (
+              SELECT user_id, event_id, zone,
+                     lag(zone) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+              FROM z)
+            SELECT user_id, event_id, prev AS from_zone, zone AS to_zone
+            FROM t WHERE prev IS NOT NULL AND prev <> zone
         """,
         # the fake-decoder closed forms: dims from the header formula,
         # mean over the (i*31 + j*7) % 251 byte sequence

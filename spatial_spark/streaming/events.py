@@ -77,3 +77,25 @@ def run_batchlike(stream_df: DataFrame, out_mode: str = "append"):
          .outputMode(out_mode).trigger(availableNow=True).start())
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def zone_transitions(events: DataFrame, zone, entity_col: str = "user_id",
+                     ts_col: str = "ts", order_cols: list | None = None) -> DataFrame:
+    """Per-entity zone-transition detection — the geofence enter/exit
+    shape: order each entity's events by time, emit a row whenever the
+    zone label changes.  `zone` is any Column expression (a geofence
+    membership test, a value bucket, a grid cell id).
+
+    Batch formulation (lag window, partitioned per entity — no global
+    funnel); `streaming/stateful.zone_transitions_stream` is the
+    arbitrary-stateful streaming twin."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(entity_col).orderBy(ts_col, *(order_cols or []))
+    z = events.withColumn("_zone", zone)
+    return (z.withColumn("_prev", F.lag("_zone").over(w))
+            .filter(F.col("_prev").isNotNull()
+                    & (F.col("_prev") != F.col("_zone")))
+            .select(entity_col, *(order_cols or []),
+                    F.col("_prev").alias("from_zone"),
+                    F.col("_zone").alias("to_zone")))

@@ -86,3 +86,38 @@ def running_user_stats(events: DataFrame,
 
     return events.groupBy("user_id").applyInPandasWithState(
         stats_fn, out_schema, state_schema, "update", timeout)
+
+
+def zone_transitions_stream(events: DataFrame, zone,
+                            entity_col: str = "user_id",
+                            ts_col: str = "ts") -> DataFrame:
+    """Streaming twin of events.zone_transitions: per-entity last-zone
+    state, emit (entity, from_zone, to_zone) on change.  Events are
+    assumed per-entity time-ordered within a microbatch (sort locally);
+    cross-batch order is the state's job."""
+    z = events.withColumn("_zone", zone)
+    out_schema = T.StructType([
+        T.StructField(entity_col, events.schema[entity_col].dataType),
+        T.StructField("from_zone", T.LongType()),
+        T.StructField("to_zone", T.LongType()),
+    ])
+    state_schema = T.StructType([T.StructField("last", T.LongType())])
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        last = state.get[0] if state.exists else None
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for zv in pdf["_zone"]:
+                zv = int(zv)
+                if last is not None and zv != last:
+                    rows.append((key[0], last, zv))
+                last = zv
+        if last is not None:
+            state.update((last,))
+        if rows:
+            yield pd.DataFrame(rows, columns=[entity_col, "from_zone",
+                                              "to_zone"])
+
+    return z.groupBy(entity_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout)

@@ -292,3 +292,25 @@ def test_bm25_score(spark):
     avgdl = (3 + 2 + 2) / 3.0
     c = idf_spark * (1 * (k1 + 1)) / (1 + k1 * (1 - b + b * 2 / avgdl))
     assert rows[2] == pytest.approx(c)
+
+
+def test_zone_transitions_batch_vs_stream(spark, sf_dir, tmp_path):
+    """The streaming stateful transition detector must agree with the
+    batch lag-window formulation on the same (single-batch) input."""
+    from spatial_spark.streaming.events import (read_events_stream,
+                                                run_batchlike,
+                                                zone_transitions)
+    from spatial_spark.streaming.stateful import zone_transitions_stream
+    stream_dir = tmp_path / "ev"
+    stream_dir.mkdir()
+    spark.read.parquet(f"{sf_dir}/events.parquet").limit(200) \
+        .coalesce(1).write.parquet(str(stream_dir / "p0"))
+    batch = spark.read.parquet(str(stream_dir / "p0"))
+    zone = F.floor(F.col("value") / 50).cast("long")
+    exp = {(r["user_id"], r["from_zone"], r["to_zone"])
+           for r in zone_transitions(batch, zone).collect()}
+    stream = read_events_stream(spark, str(stream_dir / "p0"))
+    got = {(r["user_id"], r["from_zone"], r["to_zone"])
+           for r in run_batchlike(
+               zone_transitions_stream(stream, zone)).collect()}
+    assert got == exp
