@@ -724,6 +724,12 @@ def _q_ivf_knn(spark, sf_dir) -> DataFrame:
     return idx.search(idx.assign(e), probe, k=20, nprobe=8)
 
 
+def _q_repetition(spark, sf_dir) -> DataFrame:
+    """Gopher-style within-doc repetition signals over bigrams."""
+    from spatial_spark.operators.text import repetition_scores
+    return repetition_scores(_norm_documents(spark), n=2)
+
+
 def _q_event_transitions(spark, sf_dir) -> DataFrame:
     """Per-user zone transitions over the event stream surface (geofence
     enter/exit shape): zone = floor(value/50), ordered by (ts, event_id),
@@ -833,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "media_histogram": _q_media_histogram,
         "event_transitions": _q_event_transitions,
+        "repetition": _q_repetition,
     }.items()}
 
 
@@ -1588,6 +1595,28 @@ def oracle_sql() -> dict[str, str]:
                                              'sum')), 6) AS cosine
             FROM embeddings
             ORDER BY cosine DESC, vec_id ASC LIMIT 20
+        """,
+        "repetition": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+              FROM documents),
+            pos AS (SELECT doc_id, t,
+                           unnest(generate_series(1, greatest(len(t) - 2, 0) + 1)) AS i
+                    FROM toks),
+            grams AS (SELECT doc_id, array_to_string(t[i : i + 1], ' ') AS gram
+                      FROM pos),
+            counts AS (SELECT doc_id, gram, count(*) AS c
+                       FROM grams GROUP BY doc_id, gram),
+            aggd AS (SELECT doc_id, sum(c) AS total, count(*) AS dist,
+                            max(c) AS top
+                     FROM counts GROUP BY doc_id)
+            SELECT d.doc_id,
+                   round(COALESCE(1.0 - CAST(dist AS DOUBLE) / total, 0.0), 6)
+                     AS dup_ngram_frac,
+                   round(COALESCE(CAST(top AS DOUBLE) / total, 0.0), 6)
+                     AS top_ngram_frac
+            FROM documents d LEFT JOIN aggd ON d.doc_id = aggd.doc_id
         """,
         "event_transitions": """
             WITH z AS (

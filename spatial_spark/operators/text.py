@@ -214,3 +214,30 @@ def bm25_score(df: DataFrame, query_terms: list, text_col: str = "text",
     return (contrib.groupBy(id_col).agg(F.sum("c").alias("bm25"))
             .join(df.select(id_col), id_col, "right")
             .fillna(0.0, ["bm25"]))
+
+
+def repetition_scores(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 2) -> DataFrame:
+    """Within-document repetition signals (the Gopher-style quality
+    filters): duplicate-n-gram fraction (1 - distinct/total) and
+    top-n-gram fraction (occurrences of the most frequent n-gram /
+    total).  High values flag boilerplate and degenerate generations.
+
+    Shape: explode n-grams → (doc, gram) counts → per-doc aggregate —
+    both shuffles are keyed (map-side combine applies); the right join
+    restores gram-less (shorter than n tokens) docs with 0.0 scores."""
+    from .dedup import _ngrams_col
+
+    grams = df.select(F.col(id_col),
+                      F.explode(_ngrams_col(text_col, n)).alias("gram"))
+    counts = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    aggd = counts.groupBy(id_col).agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("dist"),
+        F.max("c").alias("top"))
+    return (aggd.join(df.select(id_col), id_col, "right")
+            .select(id_col,
+                    F.round(F.coalesce(
+                        F.lit(1.0) - F.col("dist") / F.col("total"),
+                        F.lit(0.0)), 6).alias("dup_ngram_frac"),
+                    F.round(F.coalesce(F.col("top") / F.col("total"),
+                                       F.lit(0.0)), 6).alias("top_ngram_frac")))

@@ -314,3 +314,17 @@ def test_zone_transitions_batch_vs_stream(spark, sf_dir, tmp_path):
            for r in run_batchlike(
                zone_transitions_stream(stream, zone)).collect()}
     assert got == exp
+
+
+def test_repetition_scores(spark):
+    from spatial_spark.operators.text import repetition_scores
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"),       # bigrams: ab,ba,ab,ba,ab -> 5 total, 2 distinct, top 3
+         (2, "w x y z"),           # 3 distinct bigrams, all unique
+         (3, "solo")],             # single (partial) gram
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in repetition_scores(df, n=2).collect()}
+    assert rows[1]["dup_ngram_frac"] == pytest.approx(1 - 2 / 5)
+    assert rows[1]["top_ngram_frac"] == pytest.approx(3 / 5)
+    assert rows[2]["dup_ngram_frac"] == 0.0
+    assert rows[3]["top_ngram_frac"] == 1.0
