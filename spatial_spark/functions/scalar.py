@@ -218,6 +218,23 @@ def st_distance_sphere(lon1: pd.Series, lat1: pd.Series,
     return pd.Series(np.arccos(np.clip(v, -1.0, 1.0)) * alg.EARTH_RADIUS_KM)
 
 
+@F.pandas_udf(T.DoubleType())
+def st_sphere_distance(wkb: pd.Series, lon: pd.Series,
+                       lat: pd.Series) -> pd.Series:
+    """Great-circle km from a geometry to a (lon, lat) probe — point
+    fast-path plus DistanceOp-style nearest-point fallback for lines and
+    polygons (OrthodromicDistance.java:37-72)."""
+    out = []
+    for b, x, y in zip(wkb, lon.astype(float), lat.astype(float)):
+        if b is None:
+            out.append(None)
+            continue
+        g = from_wkb(b)
+        qx, qy = alg.nearest_point_on(g, x, y)
+        out.append(alg.orthodromic_distance_km(x, y, qx, qy))
+    return pd.Series(out)
+
+
 _BBOX_TYPE = T.StructType([
     T.StructField("xmin", T.DoubleType()),
     T.StructField("ymin", T.DoubleType()),
@@ -378,6 +395,7 @@ REGISTRY = {
     "st_geomfromtext": st_geomfromtext,
     "st_geomfromgeojson": st_geomfromgeojson, "st_wkt_to_geojson": st_wkt_to_geojson,
     "st_distance_sphere": st_distance_sphere, "st_bbox": st_bbox,
+    "st_sphere_distance": st_sphere_distance,
     "st_gtype": st_gtype, "st_dump": st_dump, "st_points": st_points,
     "st_coords": st_coords, "st_affine": st_affine, "st_translate": st_translate,
 }

@@ -52,7 +52,9 @@ class FeatureSource:
         if layer is not None:
             return layer.cql(expression)
         from ..operators.cql import cql_to_sql
-        return self.features().filter(F.expr(cql_to_sql(expression)))
+        df = self.features()
+        return df.filter(F.expr(
+            cql_to_sql(expression, has_geom="geom" in df.columns)))
 
     def bounds(self):
         """(xmin, ymin, xmax, ymax) of the type (ReferencedEnvelope

@@ -23,12 +23,14 @@ from ..geom import from_wkt
 _GEOM_PROPS = ("the_geom", "geometry", "geom")
 
 
-def cql_to_sql(expr: str, strict: bool = True) -> str:
+def cql_to_sql(expr: str, strict: bool = True, has_geom: bool = True) -> str:
     """Translate the CQL subset to a Spark SQL predicate string.
 
     strict=True (default) raises on CQL spatial constructs the translator
     failed to rewrite (wrong arity, malformed WKT) instead of letting them
-    fall through to a confusing Spark analysis error."""
+    fall through to a confusing Spark analysis error.  has_geom=False
+    targets point layers (no WKB column): distance predicates compile to
+    the pure-column spherical formula on (xmin, ymin)."""
     s = expr
 
     # BBOX(the_geom, x1, y1, x2, y2) → bbox-intersects column predicate
@@ -41,6 +43,32 @@ def cql_to_sql(expr: str, strict: bool = True) -> str:
         r"BBOX\s*\(\s*(\w+)\s*,\s*([-\d.eE]+)\s*,\s*([-\d.eE]+)\s*,"
         r"\s*([-\d.eE]+)\s*,\s*([-\d.eE]+)\s*\)",
         bbox_repl, s, flags=re.I)
+
+    # DWITHIN(the_geom, POINT(x y), d, units) → orthodromic distance test
+    # (ECQL extension; units: meters | kilometers, reference distances are
+    # great-circle km via OrthodromicDistance.java:90-97).  Runs BEFORE the
+    # plain spatial predicates so WITHIN's pattern cannot nibble at it.
+    def dwithin_repl(m):
+        wkt = m.group(2).strip()
+        g = from_wkt(wkt)
+        if g.gtype != 1:
+            raise ValueError("DWITHIN: probe geometry must be a POINT")
+        x, y = float(g.data[0]), float(g.data[1])
+        dist = float(m.group(3))
+        unit = m.group(4).lower()
+        km = {"meters": dist / 1000.0, "kilometers": dist}.get(unit)
+        if km is None:
+            raise ValueError(f"DWITHIN: unknown units {unit!r}")
+        if has_geom:
+            return (f"st_sphere_distance(geom, CAST({x!r} AS DOUBLE), "
+                    f"CAST({y!r} AS DOUBLE)) <= {km!r}")
+        return (f"st_distance_sphere(CAST({x!r} AS DOUBLE), "
+                f"CAST({y!r} AS DOUBLE), xmin, ymin) <= {km!r}")
+
+    s = re.sub(
+        r"DWITHIN\s*\(\s*(\w+)\s*,\s*([A-Z]+[A-Z0-9 ]*\([^)]*\)+)\s*,"
+        r"\s*([-\d.eE]+)\s*,\s*(\w+)\s*\)",
+        dwithin_repl, s, flags=re.I)
 
     # Spatial predicates with WKT literal → st_* + envelope conjunct
     def spatial_repl(m):
@@ -76,8 +104,8 @@ def cql_to_sql(expr: str, strict: bool = True) -> str:
 
     if strict:
         leftover = re.search(
-            r"\b(BBOX|INTERSECTS|WITHIN|CONTAINS|TOUCHES|CROSSES|OVERLAPS"
-            r"|DISJOINT|EQUALS)\s*\(", s, flags=re.I)
+            r"\b(BBOX|INTERSECTS|DWITHIN|WITHIN|CONTAINS|TOUCHES|CROSSES"
+            r"|OVERLAPS|DISJOINT|EQUALS)\s*\(", s, flags=re.I)
         if leftover:
             raise ValueError(
                 f"CQL: could not translate {leftover.group(1).upper()}(...) — "
@@ -87,4 +115,5 @@ def cql_to_sql(expr: str, strict: bool = True) -> str:
 
 def cql_filter(layer, expression: str) -> DataFrame:
     """spatial.cql (:838-848)."""
-    return layer.df().filter(cql_to_sql(expression))
+    df = layer.df()
+    return df.filter(cql_to_sql(expression, has_geom="geom" in df.columns))

@@ -196,3 +196,34 @@ def test_closest_edge_and_lrs(ctx, spark):
     assert row["cp"] == "POINT (3 0)"
     assert row["frac"] == pytest.approx(0.25)
     assert row["ip"] == "POINT (6 2)"
+
+
+def test_cql_dwithin(ctx, spark):
+    """ECQL DWITHIN → orthodromic distance predicate (km / meters)."""
+    layer = ctx.create_point_layer("dw", x="lon", y="lat")
+    layer.add(spark.createDataFrame(
+        [(1, 13.0, 56.0), (2, 13.1, 56.0), (3, 20.0, 60.0)],
+        "id long, lon double, lat double"))
+    # ~6.2 km between lon 13.0 and 13.1 at lat 56
+    near = layer.cql("DWITHIN(the_geom, POINT(13.0 56.0), 10, kilometers)")
+    assert {r["id"] for r in near.collect()} == {1, 2}
+    near_m = layer.cql("DWITHIN(the_geom, POINT(13.0 56.0), 10000, meters)")
+    assert near_m.count() == 2
+    only_self = layer.cql("DWITHIN(the_geom, POINT(13.0 56.0), 1, kilometers)")
+    assert only_self.count() == 1
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        layer.cql("DWITHIN(the_geom, POINT(13.0 56.0), 1, furlongs)")
+
+
+def test_cql_dwithin_wkb_layer(ctx, spark):
+    """DWITHIN on a WKB layer: nearest-point distance, not centroid —
+    the long linestring passes within 10 km of the probe."""
+    layer = ctx.create_wkt_layer("dwl")
+    layer.add(spark.createDataFrame(
+        [(1, "LINESTRING (12.0 56.0, 14.0 56.0)"),
+         (2, "POINT (13.0 56.05)"),
+         (3, "POLYGON ((25 60, 26 60, 26 61, 25 61, 25 60))")],
+        "id long, wkt string"), wkt="wkt")
+    near = layer.cql("DWITHIN(the_geom, POINT(13.0 56.0), 10, kilometers)")
+    assert {r["id"] for r in near.collect()} == {1, 2}
