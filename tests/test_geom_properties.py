@@ -135,3 +135,51 @@ def test_orthodromic_bounds(lo1, la1, lo2, la2):
     d = orthodromic_distance_km(lo1, la1, lo2, la2)
     assert 0.0 <= d <= 6371.0 * math.pi + 1e-6
     assert orthodromic_distance_km(lo2, la2, lo1, la1) == d
+
+
+@st.composite
+def triangles(draw):
+    """Non-degenerate slanted triangles (CCW) — exercises intersection
+    points that are not exactly representable, the regime where r2's
+    relate/overlay bugs lived."""
+    from hypothesis import assume
+    pts = [(draw(coord), draw(coord)) for _ in range(3)]
+    (ax, ay), (bx, by), (cx, cy) = pts
+    cross = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    assume(abs(cross) > 1.0)    # area > 0.5, robustly non-degenerate
+    if cross < 0:
+        pts = [pts[0], pts[2], pts[1]]
+    ring = pts + [pts[0]]
+    return from_wkt("POLYGON ((" +
+                    ", ".join(f"{x!r} {y!r}" for x, y in ring) + "))")
+
+
+@given(triangles(), triangles())
+@settings(max_examples=150, deadline=None)
+def test_overlay_area_conservation_triangles(a, b):
+    """area(a∪b) + area(a∩b) == area(a) + area(b) for slanted inputs
+    (intersection vertices generally non-representable)."""
+    u = area(union(a, b))
+    i = area(intersection(a, b))
+    expect = area(a) + area(b)
+    assert u + i == pytest_approx(expect)
+
+
+def pytest_approx(v):
+    import pytest
+    return pytest.approx(v, rel=1e-6, abs=1e-6)
+
+
+@given(triangles(), triangles())
+@settings(max_examples=150, deadline=None)
+def test_relate_consistent_with_predicates_triangles(a, b):
+    """The exact DE-9IM matrix must agree with the boolean predicates on
+    random slanted polygon pairs."""
+    from spatial_spark.geom.relate import relate_matrix, matches
+    m = relate_matrix(a, b)
+    assert intersects(a, b) == (not matches(m, "FF*FF****"))
+    assert within(a, b) == matches(m, "T*F**F***")
+    assert contains(a, b) == matches(m, "T*****FF*")
+    # symmetry: transpose of relate(b,a)
+    mt = relate_matrix(b, a)
+    assert m == "".join(mt[i] for i in (0, 3, 6, 1, 4, 7, 2, 5, 8))
