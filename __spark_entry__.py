@@ -724,6 +724,29 @@ def _q_ivf_knn(spark, sf_dir) -> DataFrame:
     return idx.search(idx.assign(e), probe, k=20, nprobe=8)
 
 
+def _q_knn_join(spark, sf_dir) -> DataFrame:
+    """Radius-bounded k-NN join: each customer's 3 nearest suppliers
+    within 2000 km (the radius where the k-cap actually binds at gate SF).  Rank on the rounded distance (like the oracle) with
+    supplier-key tie-break so ordering is engine-independent."""
+    from pyspark.sql import Window
+    from spatial_spark.operators.join import within_distance_join
+    cust = (_customer_points(spark)
+            .select("c_custkey", F.col("lon").alias("xmin"),
+                    F.col("lat").alias("ymin")))
+    supp = spark.sql(
+        f"SELECT s_suppkey, {SUPP_LON} AS xmin, {SUPP_LAT} AS ymin FROM supplier")
+    pairs = (within_distance_join(cust, supp, km=2000.001)
+             .withColumn("distance_km", F.round("distance", 6))
+             .filter(F.col("distance_km") <= 2000.0))
+    w = (Window.partitionBy("a_c_custkey")
+         .orderBy(F.col("distance_km").asc(), F.col("b_s_suppkey").asc()))
+    return (pairs.withColumn("knn_rank", F.row_number().over(w))
+            .filter(F.col("knn_rank") <= 3)
+            .select(F.col("a_c_custkey").alias("c_custkey"),
+                    F.col("b_s_suppkey").alias("s_suppkey"),
+                    "distance_km", "knn_rank"))
+
+
 def _q_repetition(spark, sf_dir) -> DataFrame:
     """Gopher-style within-doc repetition signals over bigrams."""
     from spatial_spark.operators.text import repetition_scores
@@ -840,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_histogram": _q_media_histogram,
         "event_transitions": _q_event_transitions,
         "repetition": _q_repetition,
+        "knn_join": _q_knn_join,
     }.items()}
 
 
@@ -1595,6 +1619,20 @@ def oracle_sql() -> dict[str, str]:
                                              'sum')), 6) AS cosine
             FROM embeddings
             ORDER BY cosine DESC, vec_id ASC LIMIT 20
+        """,
+        "knn_join": f"""
+            WITH pairs AS (
+              SELECT c_custkey, s_suppkey,
+                     round({_sphere_sql(SUPP_LON, SUPP_LAT, CUST_LON, CUST_LAT)}, 6)
+                       AS distance_km
+              FROM customer, supplier),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                           ORDER BY distance_km, s_suppkey)
+                        AS knn_rank
+              FROM pairs WHERE distance_km <= 2000.0)
+            SELECT c_custkey, s_suppkey, distance_km, CAST(knn_rank AS INT) AS knn_rank
+            FROM ranked WHERE knn_rank <= 3
         """,
         "repetition": """
             WITH toks AS (

@@ -313,3 +313,26 @@ def within_distance_join(a: DataFrame, b: DataFrame, km: float) -> DataFrame:
     return (joined.withColumn("distance", dist)
             .filter(F.col("distance") <= km)
             .drop("band", "lcell"))
+
+
+def knn_join(a: DataFrame, b: DataFrame, k: int, radius_km: float,
+             a_id: str = "id", b_id: str = "id") -> DataFrame:
+    """Radius-bounded k-nearest-neighbor join on point layers: for each
+    `a` row, the k nearest `b` rows within `radius_km` (great-circle km,
+    ties by `b_id`).  Generalizes the reference's single-probe
+    findClosestPointsTo (SimplePointLayer.java:61-77) to a table-valued
+    probe side.
+
+    Shape: candidates from the banded within_distance_join (2-D keyed
+    hash join, no cross product), then a per-probe row_number window —
+    partition cardinality is bounded by the radius, so no key funnels.
+    Probes with fewer than k neighbors inside the radius return those
+    found; an unbounded k-NN join needs iterative radius doubling —
+    exposing the radius keeps the distributed cost model explicit."""
+    from pyspark.sql import Window
+
+    pairs = within_distance_join(a, b, radius_km)
+    w = (Window.partitionBy(f"a_{a_id}")
+         .orderBy(F.col("distance").asc(), F.col(f"b_{b_id}").asc()))
+    return (pairs.withColumn("knn_rank", F.row_number().over(w))
+            .filter(F.col("knn_rank") <= k))

@@ -219,3 +219,28 @@ def test_density_islands_chain_pointer_doubling(ctx, spark):
         got = labels.collect()
     assert {r["island"] for r in got} == {0}
     assert len(got) == 40
+
+
+def test_knn_join_vs_brute(ctx, spark):
+    """knn_join agrees with a numpy brute-force k-NN on a random bed."""
+    import numpy as np
+    from spatial_spark.operators.join import knn_join
+    from spatial_spark.geom.algorithms import orthodromic_distance_km
+    rng = np.random.RandomState(5)
+    a_rows = [(i, float(x), float(y)) for i, (x, y) in
+              enumerate(zip(rng.uniform(-20, 20, 25), rng.uniform(30, 60, 25)))]
+    b_rows = [(100 + i, float(x), float(y)) for i, (x, y) in
+              enumerate(zip(rng.uniform(-20, 20, 40), rng.uniform(30, 60, 40)))]
+    la = _encoded(ctx, spark, "ka", a_rows, "id long, lon double, lat double")
+    lb = _encoded(ctx, spark, "kb", b_rows, "id long, lon double, lat double")
+    res = knn_join(la.df(), lb.df(), k=4, radius_km=800.0)
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["a_id"], []).append((r["knn_rank"], r["b_id"]))
+    for aid, alon, alat in a_rows:
+        dists = sorted(
+            (orthodromic_distance_km(alon, alat, blon, blat), bid)
+            for bid, blon, blat in b_rows
+            if orthodromic_distance_km(alon, alat, blon, blat) <= 800.0)[:4]
+        exp = [(i + 1, bid) for i, (_, bid) in enumerate(dists)]
+        assert sorted(got.get(aid, [])) == exp, f"probe {aid}"
