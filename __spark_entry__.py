@@ -724,6 +724,43 @@ def _q_ivf_knn(spark, sf_dir) -> DataFrame:
     return idx.search(idx.assign(e), probe, k=20, nprobe=8)
 
 
+def _q_asof_join(spark, sf_dir) -> DataFrame:
+    """Attribution shape: each purchase joined as-of to the user's latest
+    prior click.  Timestamps floor to epoch seconds on BOTH engines so
+    the comparison set is identical despite nanos-vs-micros storage;
+    clicks dedupe to one row per (user, second) so the match is unique."""
+    from spatial_spark.operators.temporal import asof_join
+    ev = spark.table("events")
+    sec = F.unix_timestamp("ts").alias("s")
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .select("user_id", F.col("event_id").alias("purchase_id"), sec))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", sec, "event_id")
+              .groupBy("user_id", "s")
+              .agg(F.max("event_id").alias("click_id")))
+    out = asof_join(purch, clicks, on="user_id", left_ts="s", right_ts="s")
+    return out.select("user_id", "purchase_id",
+                      F.col("r_click_id").alias("click_id"),
+                      F.col("r_s").alias("click_s"))
+
+
+def _q_range_join(spark, sf_dir) -> DataFrame:
+    """Interval-containment join via bin-grid equi-join: every click
+    inside a [error, error+3600s] window of the same user."""
+    from spatial_spark.operators.temporal import range_join
+    ev = spark.table("events")
+    sec = F.unix_timestamp("ts").alias("s")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("event_id").alias("click_id"), sec))
+    errs = (ev.filter(F.col("event_type") == "error")
+            .select("user_id", F.col("event_id").alias("error_id"),
+                    F.unix_timestamp("ts").alias("start_s"))
+            .withColumn("end_s", F.col("start_s") + 3600))
+    out = range_join(clicks, errs, on="user_id", ts_col="s",
+                     start_col="start_s", end_col="end_s", bin_width=3600)
+    return out.select("user_id", "click_id", F.col("i_error_id").alias("error_id"))
+
+
 def _q_knn_join(spark, sf_dir) -> DataFrame:
     """Radius-bounded k-NN join: each customer's 3 nearest suppliers
     within 2000 km (the radius where the k-cap actually binds at gate SF).  Rank on the rounded distance (like the oracle) with
@@ -864,6 +901,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _q_event_transitions,
         "repetition": _q_repetition,
         "knn_join": _q_knn_join,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
     }.items()}
 
 
@@ -1619,6 +1658,34 @@ def oracle_sql() -> dict[str, str]:
                                              'sum')), 6) AS cosine
             FROM embeddings
             ORDER BY cosine DESC, vec_id ASC LIMIT 20
+        """,
+        "range_join": """
+            WITH clicks AS (
+              SELECT user_id, event_id AS click_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS s
+              FROM events WHERE event_type = 'click'),
+            errs AS (
+              SELECT user_id, event_id AS error_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS start_s
+              FROM events WHERE event_type = 'error')
+            SELECT c.user_id, c.click_id, e.error_id
+            FROM clicks c JOIN errs e
+              ON c.user_id = e.user_id
+             AND c.s BETWEEN e.start_s AND e.start_s + 3600
+        """,
+        "asof_join": """
+            WITH purch AS (
+              SELECT user_id, event_id AS purchase_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS s
+              FROM events WHERE event_type = 'purchase'),
+            clicks AS (
+              SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                     max(event_id) AS click_id
+              FROM events WHERE event_type = 'click'
+              GROUP BY user_id, CAST(floor(epoch(ts)) AS BIGINT))
+            SELECT p.user_id, p.purchase_id, c.click_id, c.s AS click_s
+            FROM purch p ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND p.s >= c.s
         """,
         "knn_join": f"""
             WITH pairs AS (

@@ -244,3 +244,37 @@ def test_knn_join_vs_brute(ctx, spark):
             if orthodromic_distance_km(alon, alat, blon, blat) <= 800.0)[:4]
         exp = [(i + 1, bid) for i, (_, bid) in enumerate(dists)]
         assert sorted(got.get(aid, [])) == exp, f"probe {aid}"
+
+
+def test_asof_join_brute(spark):
+    from spatial_spark.operators.temporal import asof_join
+    left = spark.createDataFrame(
+        [(1, 10, "p1"), (1, 20, "p2"), (2, 5, "p3"), (3, 9, "p4")],
+        "k long, ts long, lbl string")
+    right = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 15, 200.0), (1, 20, 300.0), (2, 50, 400.0)],
+        "k long, ts long, v double")
+    rows = {r["lbl"]: (r["r_ts"], r["r_v"]) for r in
+            asof_join(left, right, on="k").collect()}
+    assert rows["p1"] == (8, 100.0)
+    assert rows["p2"] == (20, 300.0)      # equal ts matches (>=)
+    assert rows["p3"] == (None, None)     # no prior right row
+    assert rows["p4"] == (None, None)     # key absent on the right
+    # tolerance: p1's match at gap 2 survives a tol of 2, dies at 1
+    tol = {r["lbl"]: r["r_v"] for r in
+           asof_join(left, right, on="k", tolerance=1).collect()}
+    assert tol["p1"] is None and tol["p2"] == 300.0
+
+
+def test_range_join_brute(spark):
+    from spatial_spark.operators.temporal import range_join
+    pts = spark.createDataFrame(
+        [(1, 5, "a"), (1, 10, "b"), (1, 99, "c"), (2, 10, "d")],
+        "k long, ts long, lbl string")
+    ivs = spark.createDataFrame(
+        [(1, 0, 10, "i1"), (1, 7, 8, "i2"), (2, 0, 5, "i3")],
+        "k long, lo long, hi long, ivl string")
+    got = sorted((r["lbl"], r["i_ivl"]) for r in
+                 range_join(pts, ivs, on="k", ts_col="ts", start_col="lo",
+                            end_col="hi", bin_width=4).collect())
+    assert got == [("a", "i1"), ("b", "i1")]   # b at 10 == hi inclusive
