@@ -134,9 +134,20 @@ def _classify_all(frags, poly: Geometry) -> list:
 
 
 def _stitch(frags) -> list:
-    """Connect directed fragments endpoint-to-start into closed rings."""
+    return _stitch_ex(frags)[0]
+
+
+def _stitch_ex(frags) -> tuple:
+    """Connect directed fragments endpoint-to-start into closed rings.
+
+    Returns ``(rings, complete)`` where ``complete`` is False when any
+    selected fragment chain failed to close — the signal that the noding
+    was inconsistent (near-parallel crossings put the same intersection
+    point at two different float locations) and the snapped retry in
+    ``_overlay`` should run."""
     from collections import defaultdict
 
+    complete = True
     by_start = defaultdict(list)
     for idx, f in enumerate(frags):
         by_start[_key(f[0])].append(idx)
@@ -162,6 +173,8 @@ def _stitch(frags) -> list:
             used[nxt] = True
             path.append(frags[nxt])
             cur = _key(frags[nxt][-1])
+        if cur != start_key:
+            complete = False
         if cur == start_key:
             pts = [path[0][0]]
             for f in path:
@@ -175,7 +188,7 @@ def _stitch(frags) -> list:
             ring[-1] = ring[0]
             if abs(ring_signed_area(ring)) > _SNAP:
                 rings.append(ring)
-    return rings
+    return rings, complete
 
 
 def _assemble(rings) -> Geometry:
@@ -218,7 +231,94 @@ def _all_rings(g: Geometry):
     return rings
 
 
-def _overlay(g1: Geometry, g2: Geometry, op: str) -> Geometry:
+def _snap_tolerance(a: Geometry, b: Geometry) -> float:
+    """JTS GeometrySnapper.computeOverlaySnapTolerance parity: a fixed
+    fraction (1e-9) of the largest coordinate magnitude in either input."""
+    mag = 0.0
+    for g in (a, b):
+        for r in _all_rings(g):
+            if len(r):
+                mag = max(mag, float(np.abs(np.asarray(r)).max()))
+    return max(_SNAP, 1e-9 * mag)
+
+
+def _snap_ring(ring, tgt_pts, tol):
+    """Snap one ring's vertices to nearby target vertices, then insert
+    target vertices into segments they pass within tol of.  Returns a
+    closed (n,2) array, or None if the ring collapses."""
+    pts = np.asarray(ring[:-1], dtype=np.float64).copy()
+    if len(tgt_pts):
+        d2 = ((pts[:, None, :] - tgt_pts[None, :, :]) ** 2).sum(-1)
+        j = d2.argmin(1)
+        near = d2[np.arange(len(pts)), j] <= tol * tol
+        pts[near] = tgt_pts[j[near]]
+    # drop consecutive duplicates produced by the vertex snap
+    keep = [0]
+    for i in range(1, len(pts)):
+        if _key(pts[i]) != _key(pts[keep[-1]]):
+            keep.append(i)
+    while len(keep) > 1 and _key(pts[keep[-1]]) == _key(pts[keep[0]]):
+        keep.pop()
+    pts = pts[keep]
+    if len(pts) < 3:
+        return None
+    # segment snap: node each edge at target vertices within tol of it
+    out = []
+    n = len(pts)
+    tol2 = tol * tol
+    for i in range(n):
+        p0, p1 = pts[i], pts[(i + 1) % n]
+        out.append(p0)
+        if not len(tgt_pts):
+            continue
+        d = p1 - p0
+        denom = float(d @ d)
+        if denom <= 0.0:
+            continue
+        t = ((tgt_pts - p0) @ d) / denom
+        proj = p0[None, :] + t[:, None] * d[None, :]
+        dist2 = ((tgt_pts - proj) ** 2).sum(1)
+        cand = np.nonzero((t > 1e-9) & (t < 1 - 1e-9) & (dist2 <= tol2))[0]
+        for c in cand[np.argsort(t[cand])]:
+            q = tgt_pts[c]
+            if (_key(q) != _key(p0) and _key(q) != _key(p1)
+                    and _key(q) != _key(out[-1])):
+                out.append(q.copy())
+    ring = np.vstack(out + [out[0]])
+    return ring if len(ring) >= 4 else None
+
+
+def _snap_geom(src: Geometry, tgt: Geometry, tol: float) -> Geometry | None:
+    """Snap src to tgt (vertex snap + segment noding) — JTS GeometrySnapper
+    parity, used only by the snap-if-needed overlay retry.  Returns None if
+    every shell collapses."""
+    tgt_rings = _all_rings(tgt)
+    tgt_pts = (np.vstack([np.asarray(r[:-1], dtype=np.float64)
+                          for r in tgt_rings if len(r) > 1])
+               if tgt_rings else np.empty((0, 2)))
+    parts_out = []
+    for part in src.parts():
+        if part.gtype != GTYPE_POLYGON:
+            continue
+        rings = []
+        for i, r in enumerate(part.data):
+            rr = _snap_ring(r, tgt_pts, tol)
+            if rr is None:
+                if i == 0:
+                    rings = None
+                    break
+                continue  # collapsed hole: drop it, keep the shell
+            rings.append(rr)
+        if rings:
+            parts_out.append(Geometry(GTYPE_POLYGON, rings))
+    if not parts_out:
+        return None
+    if len(parts_out) == 1:
+        return parts_out[0]
+    return Geometry(GTYPE_MULTIPOLYGON, parts_out)
+
+
+def _overlay(g1: Geometry, g2: Geometry, op: str, _snapped: bool = False) -> Geometry:
     a = _normalize(g1)
     b = _normalize(g2)
     fa = _fragment_rings(_all_rings(a), _all_rings(b))
@@ -267,7 +367,23 @@ def _overlay(g1: Geometry, g2: Geometry, op: str) -> Geometry:
         sel += [f for f, c in zip(fa, ca)
                 if c == 0 or (c == 1 and od(f) and not sd(f))]
         sel += [f[::-1] for f, c in zip(fb, cb) if c == 2]
-    rings = _stitch(sel)
+    rings, complete = _stitch_ex(sel)
+    if not complete and not _snapped:
+        # Noding was inconsistent (near-parallel crossing located at two
+        # different float points): retry once with inputs snapped to each
+        # other — JTS SnapIfNeededOverlayOp parity.  Exact inputs never
+        # take this path, so well-noded results are byte-identical.
+        tol = _snap_tolerance(a, b)
+        b2 = _snap_geom(b, a, tol)
+        a2 = _snap_geom(a, b2, tol) if b2 is not None else None
+        if a2 is not None and b2 is not None:
+            return _overlay(a2, b2, op, _snapped=True)
+        if a2 is None and b2 is None:
+            return Geometry(GTYPE_POLYGON, [])
+        if b2 is None:  # b collapsed at tol: it is measure-~0 relative to a
+            return (a if op in ("union", "difference")
+                    else Geometry(GTYPE_POLYGON, []))
+        return b2 if op == "union" else Geometry(GTYPE_POLYGON, [])
     return _assemble(rings)
 
 
