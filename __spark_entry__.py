@@ -446,10 +446,10 @@ def _q_knn_cosine(spark, sf_dir) -> DataFrame:
 
 
 def _q_events_daily(spark, sf_dir) -> DataFrame:
-    # timezone-free day bucketing: pure epoch-microsecond column math (the
-    # F.window path depends on the session TZ at window-alignment time)
-    day = (F.floor(F.unix_micros(F.col("ts")) / F.lit(86400000000.0))
-           .cast("long") * F.lit(86400)).alias("day_epoch")
+    # type-proof day bucketing: unix_date(to_date(ts)) works for TIMESTAMP,
+    # TIMESTAMP_NTZ, and DATE alike with no TZ dependence (session TZ is UTC)
+    day = (F.unix_date(F.to_date(F.col("ts"))).cast("long")
+           * F.lit(86400)).alias("day_epoch")
     return (spark.table("events")
             .groupBy(day, "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),

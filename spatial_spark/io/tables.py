@@ -29,8 +29,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in NANOS_TS.get(name, ()):
-        if dict(df.dtypes).get(col) == "bigint":
+        dt = dict(df.dtypes).get(col)
+        if dt == "bigint":
+            # TIMESTAMP(NANOS) surfaced as long nanos via nanosAsLong
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        elif dt == "timestamp_ntz":
+            # TIMESTAMP(MICROS) without TZ: reinterpret as UTC instant (the
+            # session TZ is pinned to UTC, so this is a pure type change)
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

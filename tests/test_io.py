@@ -305,3 +305,29 @@ def test_datastore_external_shapefile_and_geojsonl(ctx, spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError):
         store.register_file("ext_shp", shp)
+
+
+def test_load_table_timestamp_variants(spark, tmp_path):
+    """events.ts must load as TIMESTAMP whether the parquet holds
+    TIMESTAMP(NANOS) (surfaced as bigint nanos via nanosAsLong) or
+    TIMESTAMP(MICROS) without timezone (surfaced as timestamp_ntz).
+    Regression guard for the r3 events_daily break (CORRECTNESS_r03)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from spatial_spark.io.tables import load_table
+
+    micros = [1704067200_000000, 1704070800_500000]       # 2024-01-01 UTC
+    for sub, typ, vals in [
+        ("nanos", pa.timestamp("ns"), [m * 1000 for m in micros]),
+        ("ntz", pa.timestamp("us"), micros),
+    ]:
+        d = tmp_path / sub
+        d.mkdir()
+        tbl = pa.table({"event_id": pa.array([1, 2], pa.int64()),
+                        "ts": pa.array(vals, typ)})
+        pq.write_table(tbl, str(d / "events.parquet"))
+        df = load_table(spark, str(d), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", sub
+        got = sorted(r.epoch for r in
+                     df.selectExpr("unix_micros(ts) AS epoch").collect())
+        assert got == micros, sub
