@@ -35,11 +35,18 @@ def _dim(g: Geometry) -> int:
 
 # ------------------------------------------------------------------ intersects
 def intersects(a: Geometry, b: Geometry) -> bool:
+    """Derived from the exact DE-9IM matrix (not matches "FF*FF****").
+
+    The obvious fast path — ``distance(a, b) == 0.0`` — is NOT used: the
+    squared-sum distance kernel underflows to exact 0.0 on denormal-scale
+    coordinates, silently contradicting the matrix.  Routing every
+    boolean predicate through the one noded topology keeps the whole
+    family self-consistent (JTS does the same: every predicate is a
+    pattern over ``Geometry.relate``, FilterInRelation.java:30-50)."""
     if a.is_empty() or b.is_empty():
         return False
-    if not envelopes_intersect(a.envelope(), b.envelope()):
-        return False
-    return distance(a, b) == 0.0
+    from .relate import matches, relate_matrix as _rm
+    return not matches(_rm(a, b), "FF*FF****")
 
 
 def disjoint(a: Geometry, b: Geometry) -> bool:
@@ -87,13 +94,16 @@ def covers(a: Geometry, b: Geometry) -> bool:
     ⇔ E(a)∩I(b) = F and E(a)∩B(b) = F and a,b intersect."""
     if a.is_empty() or b.is_empty():
         return False
-    if not envelope_covers(a.envelope(), b.envelope()):
-        return False
     da, db = _dim(a), _dim(b)
     if db > da:
         return False
     if db == 0:
+        if not envelope_covers(a.envelope(), b.envelope()):
+            return False
         return all(_point_loc(p, a) > 0 for p in b.parts())
+    # no envelope short-circuit for dim>0 operands: the float min/max
+    # comparison can contradict the noded matrix on denormal coordinates,
+    # and the matrix is the source of truth
     from .relate import relate_matrix as _rm
     m = _rm(a, b)
     return (m[6] == "F" and m[7] == "F"
@@ -105,12 +115,12 @@ def contains(a: Geometry, b: Geometry) -> bool:
     boundary): matrix T*****FF*."""
     if a.is_empty() or b.is_empty():
         return False
-    if not envelope_covers(a.envelope(), b.envelope()):
-        return False
     da, db = _dim(a), _dim(b)
     if db > da:
         return False
     if db == 0:
+        if not envelope_covers(a.envelope(), b.envelope()):
+            return False
         return (all(_point_loc(p, a) > 0 for p in b.parts())
                 and any(_point_loc(p, a) == 2 for p in b.parts()))
     from .relate import relate_matrix as _rm

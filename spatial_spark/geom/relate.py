@@ -71,15 +71,20 @@ def _seg_param(px, py, ax, ay, bx, by) -> float:
     return (py - ay) / dy if dy != 0.0 else 0.0
 
 
-def _seg_nodes(p0, p1, q0, q1) -> list[tuple[float, bool]]:
-    """(t, proper) pairs on segment p0-p1 where it meets segment q0-q1.
+def _seg_nodes(p0, p1, q0, q1):
+    """``(ts, overlap)`` for segment p0-p1 against segment q0-q1.
 
-    Handles: endpoint-on-segment touches (exact orientation test),
-    collinear overlap (overlap-interval endpoints), and proper interior
-    crossings (computed once, by parametric solve).  ``proper`` is True
-    only for the crossing branch: by construction such a node lies in
-    the *interior* of both segments (all four orientation signs are
-    nonzero), a fact the rounded coordinates cannot reliably re-derive."""
+    ``ts`` holds (t, proper) pairs where p0-p1 meets q0-q1: endpoint-on-
+    segment touches (exact orientation test), collinear overlap-interval
+    endpoints, and proper interior crossings (parametric solve).
+    ``proper`` is True only for the crossing branch: by construction such
+    a node lies in the *interior* of both segments (all four orientation
+    signs are nonzero), a fact the rounded coordinates cannot reliably
+    re-derive.  ``overlap`` is the collinear overlap interval (lo, hi) in
+    p-params when the segments are collinear and overlapping, else None —
+    provenance the piece classifiers use so that dim-1 shared-boundary
+    verdicts come from construction, never from a rounded midpoint
+    landing on a line by accident."""
     ts: list[tuple[float, bool]] = []
     px, py = p1[0] - p0[0], p1[1] - p0[1]
     qx, qy = q1[0] - q0[0], q1[1] - q0[1]
@@ -95,7 +100,8 @@ def _seg_nodes(p0, p1, q0, q1) -> list[tuple[float, bool]]:
         lo, hi = max(lo, 0.0), min(hi, 1.0)
         if lo <= hi:
             ts.extend(((lo, False), (hi, False)))
-        return ts
+            return ts, ((lo, hi) if lo < hi else None)
+        return ts, None
     # endpoint touches (exact)
     if d0 == 0.0 and _on_segment(p0[0], p0[1], q0[0], q0[1], q1[0], q1[1]):
         ts.append((0.0, False))
@@ -113,19 +119,24 @@ def _seg_nodes(p0, p1, q0, q1) -> list[tuple[float, bool]]:
             t = ((q0[0] - p0[0]) * qy - (q0[1] - p0[1]) * qx) / denom
             if 0.0 < t < 1.0:
                 ts.append((t, True))
-    return ts
+    return ts, None
 
 
 def _pieces_and_nodes(lines_a: list, lines_b: list):
     """Node every segment of lines_a against lines_b.
 
-    Returns (midpoints, nodes, cross_nodes): midpoints of the elementary
-    open pieces of A, the node points (t-split locations, including
-    touched endpoints) on A, and the subset of nodes produced by the
-    proper-crossing branch of ``_seg_nodes`` — those are known *by
-    construction* to lie in the interiors of both the A and B segments
-    (the rounded point generally fails an exact re-location)."""
-    mids: list[tuple[float, float]] = []
+    Returns (pieces, nodes, cross_nodes).  Each *piece* is an elementary
+    open sub-segment of A between consecutive nodes, described as
+    ``(x0, y0, dx, dy, ta, tb, on_other)`` — the parent segment origin
+    and direction, the piece's parameter interval, and whether the piece
+    lies inside a collinear-overlap interval with B (known exactly from
+    the noding, not from any rounded point probe).  ``nodes`` are the
+    node points (t-split locations, including touched endpoints) on A,
+    and ``cross_nodes`` the subset produced by the proper-crossing
+    branch of ``_seg_nodes`` — those are known *by construction* to lie
+    in the interiors of both the A and B segments (the rounded point
+    generally fails an exact re-location)."""
+    pieces: list[tuple] = []
     nodes: list[tuple[float, float]] = []
     cross_nodes: list[tuple[float, float]] = []
     for la in lines_a:
@@ -137,6 +148,7 @@ def _pieces_and_nodes(lines_a: list, lines_b: list):
             hi = (max(p0[0], p1[0]), max(p0[1], p1[1]))
             ts = [0.0, 1.0]
             cross_ts: set[float] = set()
+            overlaps: list[tuple[float, float]] = []
             for lb in lines_b:
                 for j in range(len(lb) - 1):
                     q0, q1 = lb[j], lb[j + 1]
@@ -144,15 +156,19 @@ def _pieces_and_nodes(lines_a: list, lines_b: list):
                             or max(q0[1], q1[1]) < lo[1]
                             or min(q0[1], q1[1]) > hi[1]):
                         continue
-                    for t, proper in _seg_nodes(p0, p1, q0, q1):
+                    seg_ts, ov = _seg_nodes(p0, p1, q0, q1)
+                    for t, proper in seg_ts:
                         ts.append(t)
                         if proper:
                             cross_ts.add(t)
+                    if ov is not None:
+                        overlaps.append(ov)
             ts = sorted(set(min(1.0, max(0.0, t)) for t in ts))
             dx, dy = p1[0] - p0[0], p1[1] - p0[1]
             for a, b in zip(ts, ts[1:]):
                 tm = (a + b) / 2.0
-                mids.append((p0[0] + dx * tm, p0[1] + dy * tm))
+                onb = any(olo <= tm <= ohi for olo, ohi in overlaps)
+                pieces.append((p0[0], p0[1], dx, dy, a, b, onb))
             for t in ts[1:-1]:
                 pt = (p0[0] + dx * t, p0[1] + dy * t)
                 nodes.append(pt)
@@ -160,7 +176,47 @@ def _pieces_and_nodes(lines_a: list, lines_b: list):
                     cross_nodes.append(pt)
             for t in (0.0, 1.0):
                 nodes.append((p0[0] + dx * t, p0[1] + dy * t))
-    return mids, nodes, cross_nodes
+    return pieces, nodes, cross_nodes
+
+
+def _piece_probes(piece):
+    """Up to three sample points along an open piece (mid, quarter,
+    three-quarter) — used to out-vote a rounded midpoint that lands on a
+    boundary line by floating-point accident."""
+    x0, y0, dx, dy, ta, tb, _ = piece
+    for f in (0.5, 0.25, 0.75):
+        t = ta + (tb - ta) * f
+        yield (x0 + dx * t, y0 + dy * t)
+
+
+def _piece_region(piece, locate) -> int:
+    """Region code (via ``locate``) of an elementary open piece.
+
+    Collinear-overlap pieces are on the other geometry's boundary *by
+    construction* (``_seg_nodes`` provenance).  Any other piece lies
+    strictly in one region; a probe that claims a boundary hit (1) is a
+    rounding artifact, so the first probe point answering non-boundary
+    decides.  This is what keeps relate() symmetric on slanted inputs:
+    a proper crossing can no longer masquerade as a dim-1 shared edge
+    in just one direction."""
+    if piece[6]:
+        return 1
+    loc = 1
+    for x, y in _piece_probes(piece):
+        loc = locate(x, y)
+        if loc != 1:
+            return loc
+    return loc
+
+
+def _piece_on_lines(piece, lines, boundary_pts) -> bool:
+    """Is an elementary open piece of one line geometry covered by the
+    other's 1-dim point set?  True only from collinear-overlap provenance
+    or a unanimous on-line vote of the probe points."""
+    if piece[6]:
+        return True
+    return all(_locate_on_lines(x, y, lines, boundary_pts) != 0
+               for x, y in _piece_probes(piece))
 
 
 # ---------------------------------------------------------------- location
@@ -253,6 +309,15 @@ def relate_matrix(a: Geometry, b: Geometry) -> str:
         return "".join(m)
     if da > db:
         return _transpose(relate_matrix(b, a))
+    if da == db and _geom_key(b) < _geom_key(a):
+        # canonical pair order: the noded topology is computed ONCE per
+        # unordered pair and the reverse direction is its transpose, so
+        # relate(a,b) == transpose(relate(b,a)) holds *identically* —
+        # float orientation tests are not direction-consistent on
+        # adversarial (e.g. subnormal) coordinates, so computing each
+        # direction independently cannot guarantee the DE-9IM symmetry
+        # axiom that JTS's relate (FilterInRelation.java:30-50) provides.
+        return _transpose(relate_matrix(b, a))
     key = (da, db)
     if key == (0, 0):
         m = _relate_pp(a, b)
@@ -272,6 +337,14 @@ def relate_matrix(a: Geometry, b: Geometry) -> str:
 
 def _transpose(m: str) -> str:
     return "".join(m[i] for i in (0, 3, 6, 1, 4, 7, 2, 5, 8))
+
+
+def _geom_key(g: Geometry):
+    """Deterministic total order on geometries (type, then coordinate
+    bytes) — only used to pick the canonical direction of a relate pair."""
+    return (g.gtype, len(g.parts()),
+            tuple(np.asarray(p.data, dtype=np.float64).tobytes()
+                  for p in g.parts()))
 
 
 def _relate_pp(a, b):
@@ -326,19 +399,19 @@ def _relate_ll(a, b):
     m = ["F"] * 9
     la, lb = _as_lines(a), _as_lines(b)
     ba, bb = _line_boundary_points(a), _line_boundary_points(b)
-    mids_a, nodes_a, cross_a = _pieces_and_nodes(la, lb)
-    mids_b, nodes_b, _ = _pieces_and_nodes(lb, la)
+    pieces_a, nodes_a, cross_a = _pieces_and_nodes(la, lb)
+    pieces_b, nodes_b, _ = _pieces_and_nodes(lb, la)
     shared_1d = False
-    for x, y in mids_a:
-        if _locate_on_lines(x, y, lb, bb) != 0:
+    for piece in pieces_a:
+        if _piece_on_lines(piece, lb, bb):
             # piece of A lying on B: 1-dim common part; the piece minus
             # B's finite boundary still meets both interiors
             _set(m, 0, 1)
             shared_1d = True
         else:
             _set(m, 2, 1)
-    for x, y in mids_b:
-        if _locate_on_lines(x, y, la, ba) == 0:
+    for piece in pieces_b:
+        if not _piece_on_lines(piece, la, ba):
             _set(m, 6, 1)
     # 0-dim contacts at nodes.  Proper-crossing nodes are interior to
     # both segments by construction — the rounded point would fail the
@@ -374,13 +447,13 @@ def _relate_la(a, b):
     ba = _line_boundary_points(a)
     poly = _poly(b)
     rings = _as_lines(b)
-    mids_a, nodes_a, cross_a = _pieces_and_nodes(la, rings)
-    for x, y in mids_a:
-        loc = point_in_polygon(x, y, poly)
+    pieces_a, nodes_a, cross_a = _pieces_and_nodes(la, rings)
+    for piece in pieces_a:
+        loc = _piece_region(piece, lambda x, y: point_in_polygon(x, y, poly))
         if loc == 2:
             _set(m, 0, 1)
         elif loc == 1:
-            _set(m, 1, 1)  # collinear piece along a ring
+            _set(m, 1, 1)  # collinear piece along a ring (by construction)
         else:
             _set(m, 2, 1)
     # A segment properly crossing a ring passes through B's boundary at
@@ -409,9 +482,9 @@ def _relate_la(a, b):
             _set(m, 5, 0)
     _set(m, 6, 2)  # a 1-dim line never covers a polygon interior
     # EB: are B's rings fully covered by A?
-    mids_r, _, _ = _pieces_and_nodes(rings, la)
-    for x, y in mids_r:
-        if _locate_on_lines(x, y, la, ba) == 0:
+    pieces_r, _, _ = _pieces_and_nodes(rings, la)
+    for piece in pieces_r:
+        if not _piece_on_lines(piece, la, ba):
             _set(m, 7, 1)
             break
     return m
@@ -421,12 +494,14 @@ def _relate_aa(a, b):
     m = ["F"] * 9
     pa, pb = _poly(a), _poly(b)
     rings_a, rings_b = _as_lines(pa), _as_lines(pb)
-    mids_a, nodes_a, cross_a = _pieces_and_nodes(rings_a, rings_b)
-    mids_b, nodes_b, _ = _pieces_and_nodes(rings_b, rings_a)
+    pieces_a, nodes_a, cross_a = _pieces_and_nodes(rings_a, rings_b)
+    pieces_b, nodes_b, _ = _pieces_and_nodes(rings_b, rings_a)
+    in_pb = lambda x, y: point_in_polygon(x, y, pb)  # noqa: E731
+    in_pa = lambda x, y: point_in_polygon(x, y, pa)  # noqa: E731
     # pieces of A's rings against B (and vice versa)
     a_ring_in_b_int = a_ring_in_b_ext = False
-    for x, y in mids_a:
-        loc = point_in_polygon(x, y, pb)
+    for piece in pieces_a:
+        loc = _piece_region(piece, in_pb)
         if loc == 2:
             _set(m, 3, 1)       # BI
             a_ring_in_b_int = True
@@ -436,8 +511,8 @@ def _relate_aa(a, b):
             _set(m, 5, 1)       # BE
             a_ring_in_b_ext = True
     b_ring_in_a_int = b_ring_in_a_ext = False
-    for x, y in mids_b:
-        loc = point_in_polygon(x, y, pa)
+    for piece in pieces_b:
+        loc = _piece_region(piece, in_pa)
         if loc == 2:
             _set(m, 1, 1)       # IB
             b_ring_in_a_int = True
