@@ -1325,26 +1325,28 @@ def _simhash_oracle_sql(max_hamming: int = 3) -> str:
 
 
 def _lang_oracle_sql() -> str:
+    # token-vote semantics, mirroring text.language_id: one whitespace
+    # split of the lowered text, count tokens IN each stopword list
     langs = {"en": ["the", "and", "of", "to", "is"],
              "de": ["der", "und", "die", "das", "ist"],
              "fr": ["le", "la", "et", "les", "des"],
              "es": ["el", "la", "los", "que", "es"]}
 
-    def count_word(w):
-        pat = f" {w} "
-        return (f"CAST((length(' ' || lower(text) || ' ') - "
-                f"length(replace(' ' || lower(text) || ' ', '{pat}', ''))) "
-                f"/ {len(pat)} AS INT)")
+    def score(ws):
+        lst = ", ".join(f"'{w}'" for w in ws)
+        return f"len(list_filter(toks, x -> x IN ({lst})))"
 
-    scores = {l: " + ".join(count_word(w) for w in ws) for l, ws in langs.items()}
-    sel = ", ".join(f"({scores[l]}) AS s_{l}" for l in langs)
+    sel = ", ".join(f"{score(ws)} AS s_{l}" for l, ws in langs.items())
     best = "greatest(s_en, s_de, s_fr, s_es)"
     case = "CASE "
     for l in langs:  # first-match order en,de,fr,es
         case += f"WHEN s_{l} = mx AND mx > 0 THEN '{l}' "
     case += "ELSE 'und' END"
     return f"""
-        WITH scored AS (SELECT doc_id, {sel} FROM documents),
+        WITH t AS (SELECT doc_id,
+                          string_split_regex(lower(text), '\\s+') AS toks
+                   FROM documents),
+             scored AS (SELECT doc_id, {sel} FROM t),
              mxd AS (SELECT *, {best} AS mx FROM scored)
         SELECT {case} AS lang_detected, count(*) AS n_docs
         FROM mxd GROUP BY 1
@@ -1352,15 +1354,9 @@ def _lang_oracle_sql() -> str:
 
 
 def _quality_oracle_sql() -> str:
-    stop = ["the", "and", "of", "to", "is"]
-
-    def count_word(w):
-        pat = f" {w} "
-        return (f"CAST((length(' ' || lower(text) || ' ') - "
-                f"length(replace(' ' || lower(text) || ' ', '{pat}', ''))) "
-                f"/ {len(pat)} AS INT)")
-
-    n_stop = " + ".join(count_word(w) for w in stop)
+    stop = ", ".join(f"'{w}'" for w in ["the", "and", "of", "to", "is"])
+    n_stop = (f"len(list_filter(string_split_regex(lower(text), '\\s+'), "
+              f"x -> x IN ({stop})))")
     return f"""
         WITH f AS (
           SELECT doc_id,
