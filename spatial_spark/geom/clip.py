@@ -133,10 +133,6 @@ def _classify_all(frags, poly: Geometry) -> list:
             for i in range(len(frags))]
 
 
-def _stitch(frags) -> list:
-    return _stitch_ex(frags)[0]
-
-
 def _stitch_ex(frags) -> tuple:
     """Connect directed fragments endpoint-to-start into closed rings.
 
@@ -232,14 +228,28 @@ def _all_rings(g: Geometry):
 
 
 def _snap_tolerance(a: Geometry, b: Geometry) -> float:
-    """JTS GeometrySnapper.computeOverlaySnapTolerance parity: a fixed
-    fraction (1e-9) of the largest coordinate magnitude in either input."""
-    mag = 0.0
+    """JTS GeometrySnapper.computeOverlaySnapTolerance parity: per
+    geometry, 1e-9 × the smaller envelope dimension (width vs height);
+    across the two operands, the MIN — so a small geometry far from the
+    origin is not snapped at the scale of its coordinate magnitude
+    (which can be ~1e7× coarser).  Floored at the kernel resolution
+    ``_SNAP``: rings with extent below it are degenerate here anyway."""
+    tol = math.inf
     for g in (a, b):
+        lo = np.array([math.inf, math.inf])
+        hi = np.array([-math.inf, -math.inf])
+        any_ring = False
         for r in _all_rings(g):
             if len(r):
-                mag = max(mag, float(np.abs(np.asarray(r)).max()))
-    return max(_SNAP, 1e-9 * mag)
+                any_ring = True
+                arr = np.asarray(r, dtype=np.float64)
+                lo = np.minimum(lo, arr.min(axis=0))
+                hi = np.maximum(hi, arr.max(axis=0))
+        if any_ring:
+            tol = min(tol, 1e-9 * float((hi - lo).min()))
+    if not math.isfinite(tol):
+        return _SNAP
+    return max(_SNAP, tol)
 
 
 def _snap_ring(ring, tgt_pts, tol):
@@ -248,10 +258,15 @@ def _snap_ring(ring, tgt_pts, tol):
     closed (n,2) array, or None if the ring collapses."""
     pts = np.asarray(ring[:-1], dtype=np.float64).copy()
     if len(tgt_pts):
-        d2 = ((pts[:, None, :] - tgt_pts[None, :, :]) ** 2).sum(-1)
-        j = d2.argmin(1)
-        near = d2[np.arange(len(pts)), j] <= tol * tol
-        pts[near] = tgt_pts[j[near]]
+        # chunk the (n_src x n_tgt) distance sweep so the retry path stays
+        # bounded-memory on large rings (10k x 10k would be ~800 MB dense)
+        chunk = max(1, 4_000_000 // max(1, len(tgt_pts)))
+        for s in range(0, len(pts), chunk):
+            blk = pts[s:s + chunk]
+            d2 = ((blk[:, None, :] - tgt_pts[None, :, :]) ** 2).sum(-1)
+            j = d2.argmin(1)
+            near = d2[np.arange(len(blk)), j] <= tol * tol
+            blk[near] = tgt_pts[j[near]]
     # drop consecutive duplicates produced by the vertex snap
     keep = [0]
     for i in range(1, len(pts)):
@@ -375,15 +390,13 @@ def _overlay(g1: Geometry, g2: Geometry, op: str, _snapped: bool = False) -> Geo
         # take this path, so well-noded results are byte-identical.
         tol = _snap_tolerance(a, b)
         b2 = _snap_geom(b, a, tol)
-        a2 = _snap_geom(a, b2, tol) if b2 is not None else None
-        if a2 is not None and b2 is not None:
-            return _overlay(a2, b2, op, _snapped=True)
-        if a2 is None and b2 is None:
-            return Geometry(GTYPE_POLYGON, [])
         if b2 is None:  # b collapsed at tol: it is measure-~0 relative to a
             return (a if op in ("union", "difference")
                     else Geometry(GTYPE_POLYGON, []))
-        return b2 if op == "union" else Geometry(GTYPE_POLYGON, [])
+        a2 = _snap_geom(a, b2, tol)
+        if a2 is None:  # a collapsed at tol
+            return b2 if op == "union" else Geometry(GTYPE_POLYGON, [])
+        return _overlay(a2, b2, op, _snapped=True)
     return _assemble(rings)
 
 
