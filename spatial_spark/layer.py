@@ -24,7 +24,7 @@ from pyspark.sql import types as T
 
 from .catalog import CORE_COLUMNS, Catalog
 from .functions.scalar import register_all, st_bbox, st_gtype, wkb_lit
-from .sfc import DEFAULT_LEVEL, WGS84, zorder_encode
+from .sfc import DEFAULT_LEVEL, WGS84, hilbert_encode, zorder_encode
 
 ENC_POINT = "point"          # SimplePointEncoder: two double columns
 ENC_WKB = "wkb"              # WKBGeometryEncoder: binary column (default generic)
@@ -41,16 +41,26 @@ class SpatialContext:
 
     # ---- DDL ----------------------------------------------------------
     def create_point_layer(self, name: str, x: str = "longitude",
-                           y: str = "latitude", crs: str = "WGS84") -> "Layer":
+                           y: str = "latitude", crs: str = "WGS84",
+                           curve: str = "zorder") -> "Layer":
+        """``curve`` picks the write-clustering space-filling curve
+        ("zorder" | "hilbert") — LayerZOrderPointIndex vs
+        LayerHilbertPointIndex (the reference's per-layer index choice)."""
+        if curve not in ("zorder", "hilbert"):
+            raise ValueError(f"unknown curve {curve!r}")
         self.catalog.add_layer(name, encoder=ENC_POINT, crs=crs,
                                geometry_type="Point",
-                               config={"x": x, "y": y})
+                               config={"x": x, "y": y, "curve": curve})
         return Layer(self, name)
 
     def create_layer(self, name: str, encoder: str = ENC_WKB,
-                     crs: str = "WGS84", geometry_type: str | None = None) -> "Layer":
+                     crs: str = "WGS84", geometry_type: str | None = None,
+                     curve: str = "zorder") -> "Layer":
+        if curve not in ("zorder", "hilbert"):
+            raise ValueError(f"unknown curve {curve!r}")
         self.catalog.add_layer(name, encoder=encoder, crs=crs,
-                               geometry_type=geometry_type)
+                               geometry_type=geometry_type,
+                               config={"curve": curve})
         return Layer(self, name)
 
     def create_wkt_layer(self, name: str, crs: str = "WGS84") -> "Layer":
@@ -194,32 +204,40 @@ class Layer:
         except Exception:
             pass
 
-    def _encode_points(self, df: DataFrame, x: str, y: str) -> DataFrame:
-        @F.pandas_udf(T.LongType())
-        def zkey_udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
-            return pd.Series(zorder_encode(xs.to_numpy(float), ys.to_numpy(float)))
+    @property
+    def curve(self) -> str:
+        """Write-clustering curve from the catalog ("zorder" default)."""
+        return (self.meta.get("config") or {}).get("curve", "zorder")
 
+    def _key_udf(self):
+        encode = (hilbert_encode if self.curve == "hilbert" else zorder_encode)
+
+        @F.pandas_udf(T.LongType())
+        def key_udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
+            return pd.Series(encode(xs.to_numpy(float), ys.to_numpy(float)))
+
+        return key_udf
+
+    def _encode_points(self, df: DataFrame, x: str, y: str) -> DataFrame:
+        key_udf = self._key_udf()
         return (df
                 .withColumn("gtype", F.lit(1))
                 .withColumn("xmin", F.col(x).cast("double"))
                 .withColumn("ymin", F.col(y).cast("double"))
                 .withColumn("xmax", F.col(x).cast("double"))
                 .withColumn("ymax", F.col(y).cast("double"))
-                .withColumn("zkey", zkey_udf(F.col(x), F.col(y))))
+                .withColumn("zkey", key_udf(F.col(x), F.col(y))))
 
     def _encode_wkb(self, df: DataFrame) -> DataFrame:
-        @F.pandas_udf(T.LongType())
-        def zkey_udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
-            return pd.Series(zorder_encode(xs.to_numpy(float), ys.to_numpy(float)))
-
+        key_udf = self._key_udf()
         out = (df
                .withColumn("_bbox", st_bbox("geom"))
                .withColumn("gtype", st_gtype("geom"))
                .select("*", "_bbox.xmin", "_bbox.ymin", "_bbox.xmax", "_bbox.ymax")
                .drop("_bbox"))
         return out.withColumn(
-            "zkey", zkey_udf((F.col("xmin") + F.col("xmax")) / 2,
-                             (F.col("ymin") + F.col("ymax")) / 2))
+            "zkey", key_udf((F.col("xmin") + F.col("xmax")) / 2,
+                            (F.col("ymin") + F.col("ymax")) / 2))
 
     # ---- mutation (copy-on-write; reference mutates nodes in place) ----
     def update(self, ids_df_or_list, wkt: str | None = None, **set_cols) -> None:

@@ -14,13 +14,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from ..functions.columns import sfc_ranges_predicate
-from ..sfc import WGS84, zorder_ranges
+from ..sfc import WGS84, hilbert_ranges, zorder_ranges
 
 MAX_RANGES = 32
 
+_RANGE_FNS = {"zorder": zorder_ranges, "hilbert": hilbert_ranges}
+
 
 def sfc_window_predicate(df: DataFrame, window, extent=WGS84,
-                         all_points: bool | None = None):
+                         all_points: bool | None = None,
+                         curve: str = "zorder"):
     """Column predicate over zkey for rows whose bbox centre may fall in
     `window`, or None if it cannot be applied.
 
@@ -33,8 +36,14 @@ def sfc_window_predicate(df: DataFrame, window, extent=WGS84,
     (Layer.all_points) — planning NEVER scans the data to find out.  When
     the caller can't supply it (stat-less frame), the answer is the
     conservative plan (bbox pruning only), not a plan-time job.
+
+    ``curve`` is the layer's write-clustering curve from the catalog: the
+    window decomposes into key ranges of the SAME curve the zkey column
+    was encoded with (the reference's getTilesIntersectingEnvelope is
+    curve-generic the same way, LayerSpaceFillingCurvePointIndex.java:
+    114-124).
     """
     if "zkey" not in df.columns or all_points is not True:
         return None
-    ranges = zorder_ranges(window, extent=extent, max_ranges=MAX_RANGES)
+    ranges = _RANGE_FNS[curve](window, extent=extent, max_ranges=MAX_RANGES)
     return sfc_ranges_predicate("zkey", ranges)

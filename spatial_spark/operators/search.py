@@ -32,17 +32,18 @@ from ..sfc import zorder_ranges
 from .pruning import sfc_window_predicate
 
 
-def _window_prefilter(df: DataFrame, window,
-                      all_points: bool | None = None) -> DataFrame:
+def _window_prefilter(df: DataFrame, window, all_points: bool | None = None,
+                      curve: str = "zorder") -> DataFrame:
     """bbox window + SFC key range pruning (two independent prune layers).
     ``window`` may be a single (x0,y0,x1,y1) or a list of windows (the
     antimeridian split) — list windows OR their per-window predicates.
-    ``all_points`` is the layer catalog's write-time fact — no plan-time scan."""
+    ``all_points`` and ``curve`` are the layer catalog's write-time facts
+    — no plan-time scan."""
     windows = window if isinstance(window, list) else [window]
     pred = None
     for w in windows:
         p = bbox_intersects_window("xmin", "ymin", "xmax", "ymax", w)
-        zpred = sfc_window_predicate(df, w, all_points=all_points)
+        zpred = sfc_window_predicate(df, w, all_points=all_points, curve=curve)
         if zpred is not None:
             p = zpred & p
         pred = p if pred is None else (pred | p)
@@ -54,6 +55,13 @@ def _layer_all_points(layer) -> bool | None:
         return layer.all_points
     except Exception:
         return None
+
+
+def _layer_curve(layer) -> str:
+    try:
+        return layer.curve
+    except Exception:
+        return "zorder"
 
 
 def _distance_col(df: DataFrame, lon: float, lat: float):
@@ -83,7 +91,8 @@ def within_distance(layer, lon: float, lat: float, km: float) -> DataFrame:
     """All records within `km` of (lon,lat), with a `distance` column,
     ordered ascending — spatial.withinDistance semantics."""
     windows = sphere_search_windows(lon, lat, km)
-    df = _window_prefilter(layer.df(), windows, _layer_all_points(layer))
+    df = _window_prefilter(layer.df(), windows, _layer_all_points(layer),
+                           _layer_curve(layer))
     df = df.withColumn("distance", _distance_col(df, lon, lat))
     return df.filter(F.col("distance") <= km).orderBy("distance")
 
@@ -120,7 +129,7 @@ def closest(layer, lon: float, lat: float, k: int = 100,
         km = min(km, max_km)
     window = sphere_search_window(lon, lat, km)  # unwrapped, for coverage test
     cand = _window_prefilter(layer.df(), sphere_search_windows(lon, lat, km),
-                             all_pts)
+                             all_pts, _layer_curve(layer))
     cand = cand.withColumn("distance", _distance_col(cand, lon, lat))
     if max_km is not None:
         cand = cand.filter(F.col("distance") <= max_km)
@@ -144,7 +153,8 @@ def closest(layer, lon: float, lat: float, k: int = 100,
 
 def bbox_search(layer, window) -> DataFrame:
     """spatial.bbox (:822-836): envelope-intersection search."""
-    return _window_prefilter(layer.df(), window, _layer_all_points(layer))
+    return _window_prefilter(layer.df(), window, _layer_all_points(layer),
+                             _layer_curve(layer))
 
 
 def intersects_search(layer, geom_or_wkt) -> DataFrame:
@@ -154,7 +164,8 @@ def intersects_search(layer, geom_or_wkt) -> DataFrame:
     the catalog's write-time stats, never a plan-time scan."""
     g = from_wkt(geom_or_wkt) if isinstance(geom_or_wkt, str) else geom_or_wkt
     all_pts = _layer_all_points(layer)
-    df = _window_prefilter(layer.df(), g.envelope(), all_pts)
+    df = _window_prefilter(layer.df(), g.envelope(), all_pts,
+                           _layer_curve(layer))
     if all_pts is True:
         # pure point layer: exact test is point-in-geometry, vectorized
         from ..geom.algorithms import points_in_polygon_bulk, point_in_polygon

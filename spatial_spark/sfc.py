@@ -149,21 +149,84 @@ def zorder_ranges(window, extent=WGS84, level: int = DEFAULT_LEVEL,
             recurse(cx + dx * h, cy + dy * h, h, qkey, bits_left - 1)
 
     recurse(0, 0, n, 0, level)
-    ranges.sort()
-    # merge adjacent
+    return _merge_coarsen(ranges, max_ranges)
+
+
+def _merge_coarsen(ranges: list, max_ranges: int) -> list:
+    """Sort + merge adjacent ranges, then coarsen to the budget by closing
+    the smallest gaps (shared by the z-order and Hilbert decompositions)."""
+    ranges = sorted(ranges)
     merged = []
     for lo, hi in ranges:
         if merged and lo <= merged[-1][1] + 1:
             merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
         else:
             merged.append((lo, hi))
-    # coarsen to budget by merging closest gaps
     while len(merged) > max_ranges:
         gaps = [(merged[i + 1][0] - merged[i][1], i) for i in range(len(merged) - 1)]
         _, i = min(gaps)
         merged[i] = (merged[i][0], merged[i + 1][1])
         del merged[i + 1]
     return merged
+
+
+# curve order of quadrants: q = (3*rx) ^ ry (matches hilbert_encode)
+_HILBERT_QUADS = ((0, 0), (0, 1), (1, 1), (1, 0))
+
+
+def hilbert_ranges(window, extent=WGS84, level: int = DEFAULT_LEVEL,
+                   max_ranges: int = 64) -> list:
+    """Decompose a (xmin,ymin,xmax,ymax) window into Hilbert key ranges.
+
+    The Hilbert analogue of ``zorder_ranges`` — the curve-generic range
+    enumeration of LayerSpaceFillingCurvePointIndex.java:114-124.  Works
+    top-down over quadrants *in curve order* (every block of the curve is
+    a contiguous key interval), carrying the window rect through the same
+    rotate/flip transform the encoder applies, so the emitted intervals
+    line up exactly with ``hilbert_encode`` keys.  Returned ranges are
+    inclusive [lo, hi]."""
+    xmin, ymin, xmax, ymax = window
+    exmin, eymin, exmax, eymax = extent
+    n = 1 << level
+
+    def cell_of(v, lo, hi):
+        c = int((v - lo) / (hi - lo) * n)
+        return min(max(c, 0), n - 1)
+
+    wx0, wx1 = cell_of(xmin, exmin, exmax), cell_of(xmax, exmin, exmax)
+    wy0, wy1 = cell_of(ymin, eymin, eymax), cell_of(ymax, eymin, eymax)
+
+    ranges: list = []
+
+    def recurse(x0, y0, x1, y1, m, key):
+        """window rect (inclusive, local coords) inside a side-``m`` block
+        whose keys are [key, key + m*m)."""
+        if x0 <= 0 and y0 <= 0 and x1 >= m - 1 and y1 >= m - 1:
+            ranges.append((key, key + m * m - 1))
+            return
+        if m == 1 or len(ranges) > max_ranges * 4:
+            ranges.append((key, key + m * m - 1))
+            return
+        h = m // 2
+        for q, (rx, ry) in enumerate(_HILBERT_QUADS):
+            # clip to the quadrant, in child-local (pre-transform) coords
+            cx0 = max(x0 - rx * h, 0)
+            cx1 = min(x1 - rx * h, h - 1)
+            cy0 = max(y0 - ry * h, 0)
+            cy1 = min(y1 - ry * h, h - 1)
+            if cx0 > cx1 or cy0 > cy1:
+                continue
+            # the encoder's rot(): for ry==0, flip when rx==1, then swap
+            if ry == 0:
+                if rx == 1:
+                    cx0, cx1 = h - 1 - cx1, h - 1 - cx0
+                    cy0, cy1 = h - 1 - cy1, h - 1 - cy0
+                cx0, cy0 = cy0, cx0
+                cx1, cy1 = cy1, cx1
+            recurse(cx0, cy0, cx1, cy1, h, key + q * h * h)
+
+    recurse(wx0, wy0, wx1, wy1, n, 0)
+    return _merge_coarsen(ranges, max_ranges)
 
 
 def geohash_prefix(window) -> str:

@@ -183,3 +183,34 @@ def test_relate_consistent_with_predicates_triangles(a, b):
     # symmetry: transpose of relate(b,a)
     mt = relate_matrix(b, a)
     assert m == "".join(mt[i] for i in (0, 3, 6, 1, 4, 7, 2, 5, 8))
+
+
+@given(st.floats(-180, 179, allow_nan=False), st.floats(-90, 89, allow_nan=False),
+       st.floats(0.1, 90, allow_nan=False), st.floats(0.1, 60, allow_nan=False))
+@settings(max_examples=60, deadline=None)
+def test_hilbert_ranges_cover_window_exactly(x0, y0, w, h):
+    """hilbert_ranges with an unlimited budget covers exactly the Hilbert
+    keys of the cells whose centre lies in the window (level 5 grid)."""
+    import numpy as np
+    from spatial_spark.sfc import hilbert_encode, hilbert_ranges
+
+    level, ext = 5, (-180.0, -90.0, 180.0, 90.0)
+    n = 1 << level
+    window = (x0, y0, min(x0 + w, 180.0), min(y0 + h, 90.0))
+    xs = np.repeat(np.arange(n), n)
+    ys = np.tile(np.arange(n), n)
+    cxs = ext[0] + (xs + 0.5) * (ext[2] - ext[0]) / n
+    cys = ext[1] + (ys + 0.5) * (ext[3] - ext[1]) / n
+    keys = hilbert_encode(cxs, cys, ext, level)
+
+    def cell_of(v, lo, hi):
+        return min(max(int((v - lo) / (hi - lo) * n), 0), n - 1)
+
+    wx0, wx1 = cell_of(window[0], ext[0], ext[2]), cell_of(window[2], ext[0], ext[2])
+    wy0, wy1 = cell_of(window[1], ext[1], ext[3]), cell_of(window[3], ext[1], ext[3])
+    expect = set(keys[(xs >= wx0) & (xs <= wx1)
+                      & (ys >= wy0) & (ys <= wy1)].tolist())
+    got = set()
+    for lo, hi in hilbert_ranges(window, ext, level, max_ranges=10**9):
+        got.update(range(lo, hi + 1))
+    assert got == expect

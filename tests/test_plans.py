@@ -186,3 +186,28 @@ def test_ivf_partitioned_store_prunes_files(spark, tmp_path):
     pf = scan.split("PartitionFilters")[1][:300]
     assert "ivf_cell" in pf
     assert len(res.collect()) == 5
+
+
+def test_hilbert_layer_key_range_pruning(ctx, spark):
+    """A hilbert-clustered layer must get zkey range conjuncts in the scan
+    (the Hilbert analogue of test_within_distance_pushdown) and return the
+    same rows as a z-order layer over the same data."""
+    rows = [(i, (i * 7919 % 36000) / 100 - 180.0, (i * 104729 % 17000) / 100 - 85.0)
+            for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, lon double, lat double")
+    hl = ctx.create_point_layer("plan_pts_h", x="lon", y="lat", curve="hilbert")
+    hl.add(df)
+    zl = ctx.create_point_layer("plan_pts_z", x="lon", y="lat")
+    zl.add(df)
+    assert hl.curve == "hilbert" and zl.curve == "zorder"
+    plan = _plan(hl.bbox_search(0, 0, 20, 20))
+    assert "FileScan parquet" in plan
+    scan = plan[plan.index("FileScan parquet"):]
+    assert "DataFilters" in scan and "zkey" in scan.split("DataFilters")[1][:2000]
+    got_h = sorted(r.id for r in hl.bbox_search(0, 0, 20, 20).collect())
+    got_z = sorted(r.id for r in zl.bbox_search(0, 0, 20, 20).collect())
+    assert got_h == got_z and len(got_h) > 0
+    # and the distance search agrees too (pruning must not drop rows)
+    d_h = sorted(r.id for r in hl.within_distance(10.0, 45.0, 500.0).collect())
+    d_z = sorted(r.id for r in zl.within_distance(10.0, 45.0, 500.0).collect())
+    assert d_h == d_z and len(d_h) > 0
