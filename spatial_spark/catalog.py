@@ -110,7 +110,7 @@ class Catalog:
                     continue
                 if k == "count":
                     merged[k] = int(cur.get(k, 0)) + int(v)
-                elif k in ("gtype_min", "xmin", "ymin"):
+                elif k in ("gtype_min", "xmin", "ymin", "rect_min"):
                     merged[k] = v if k not in cur else min(cur[k], v)
                 elif k in ("gtype_max", "xmax", "ymax"):
                     merged[k] = v if k not in cur else max(cur[k], v)

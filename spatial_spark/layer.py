@@ -105,6 +105,26 @@ class SpatialContext:
         return layer
 
 
+@F.pandas_udf(T.BooleanType())
+def _is_rect_udf(geom: pd.Series, xmin: pd.Series, ymin: pd.Series,
+                 xmax: pd.Series, ymax: pd.Series) -> pd.Series:
+    """Exact rect-ness: the geometry IS its axis-aligned bbox polygon.
+    Runs once per row at WRITE time (alongside the bbox/gtype encode) so
+    query planning reads the fact from catalog stats."""
+    from .geom import Geometry, from_wkb
+    from .geom.predicates import equals_norm
+    out = []
+    for b, x0, y0, x1, y1 in zip(geom, xmin, ymin, xmax, ymax):
+        if b is None:
+            out.append(False)
+            continue
+        g = from_wkb(b)
+        out.append(g.gtype == 3 and len(g.data) == 1 and len(g.data[0]) == 5
+                   and equals_norm(g, Geometry.box(float(x0), float(y0),
+                                                   float(x1), float(y1))))
+    return pd.Series(out)
+
+
 class Layer:
     """One named geometry collection (Layer.java:44-132 analogue)."""
 
@@ -165,9 +185,18 @@ class Layer:
         # so searches never run a planning-time scan
         from pyspark.sql import Observation
         obs = Observation()
+        # rect-ness is a write-time stat like all_points: Layer.join's
+        # pure-column fast path engages from the catalog alone, never a
+        # plan-time Python probe of the data (r3 verdict ask #8)
+        body = out.select(cols)
+        if "geom" in body.columns and enc != ENC_POINT:
+            body = body.withColumn("_rect", _is_rect_udf(
+                "geom", "xmin", "ymin", "xmax", "ymax").cast("int"))
+        else:
+            body = body.withColumn("_rect", F.lit(0))
         # observe sits ABOVE the range shuffle: repartitionByRange's sampling
         # pass re-executes the subtree below it, which would double-count
-        (out.select(cols)
+        (body
             .repartitionByRange(n, "zkey")
             .sortWithinPartitions("zkey")
             .observe(obs,
@@ -175,7 +204,9 @@ class Layer:
                      F.min("gtype").alias("gtype_min"),
                      F.max("gtype").alias("gtype_max"),
                      F.min("xmin").alias("xmin"), F.min("ymin").alias("ymin"),
-                     F.max("xmax").alias("xmax"), F.max("ymax").alias("ymax"))
+                     F.max("xmax").alias("xmax"), F.max("ymax").alias("ymax"),
+                     F.min("_rect").alias("rect_min"))
+            .drop("_rect")
             .write.mode(mode).parquet(self.path))
         try:
             self.ctx.catalog.merge_stats(self.name, dict(obs.get),
@@ -354,6 +385,17 @@ class Layer:
             return s["gtype_min"] == 1 and s["gtype_max"] == 1
         return None
 
+    @property
+    def all_rects(self) -> bool | None:
+        """True iff every geometry is exactly its bbox polygon — from the
+        write-time rect_min stat; None when unknown (pre-stats layer)."""
+        if self.meta["encoder"] == ENC_POINT:
+            return False
+        s = self.stats
+        if "rect_min" in s:
+            return s["rect_min"] == 1
+        return None
+
     def count(self) -> int:
         """spatial.getFeatureCount (:589-596) — metadata-only when write-time
         stats exist (mutations rewrite stats via _rewrite)."""
@@ -433,11 +475,11 @@ class Layer:
                 all(k in sb for k in ("xmin", "ymin", "xmax", "ymax")):
             extent = (min(sa["xmin"], sb["xmin"]), min(sa["ymin"], sb["ymin"]),
                       max(sa["xmax"], sb["xmax"]), max(sa["ymax"], sb["ymax"]))
-        def with_geom(df):
-            if "geom" not in df.columns:
-                df = df.withColumn("geom", F.expr("st_point(xmin, ymin)"))
-            return df
-        return spatial_join(with_geom(self.df()), with_geom(other.df()),
+        kw.setdefault("b_all_rects", other.all_rects)
+        # geom synthesis for point layers happens inside spatial_join and
+        # only on refine paths — the pure-column fast path must not drag a
+        # Python-UDF column into its plan
+        return spatial_join(self.df(), other.df(),
                             predicate, a_all_points=self.all_points,
                             extent=extent, **kw)
 

