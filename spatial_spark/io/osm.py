@@ -35,61 +35,157 @@ AREA_TAGS = {"building", "landuse", "natural", "leisure", "amenity", "area",
              "place", "boundary"}
 
 
-def parse_osm_xml(spark: SparkSession, path: str) -> dict:
-    """Stream-parse .osm XML into the normalized DataFrames."""
-    nodes, node_tags = [], []
-    ways, way_tags, way_nds = [], [], []
-    rels, rel_tags, members = [], [], []
+# top-level OSM element starts; \b-like boundary via the [ \t\r\n/>] probe
+_ELEM_RE = None  # compiled lazily inside executors (regex not picklable-cheap)
 
-    for _, elem in ET.iterparse(path, events=("end",)):
-        if elem.tag == "node":
-            nid = int(elem.get("id"))
-            nodes.append((nid, float(elem.get("lon")), float(elem.get("lat"))))
-            for t in elem.findall("tag"):
-                node_tags.append((nid, t.get("k"), t.get("v")))
-            elem.clear()
-        elif elem.tag == "way":
-            wid = int(elem.get("id"))
-            ways.append((wid,))
-            for seq, nd in enumerate(elem.findall("nd")):
-                way_nds.append((wid, seq, int(nd.get("ref"))))
-            for t in elem.findall("tag"):
-                way_tags.append((wid, t.get("k"), t.get("v")))
-            elem.clear()
-        elif elem.tag == "relation":
-            rid = int(elem.get("id"))
-            rels.append((rid,))
-            for seq, m in enumerate(elem.findall("member")):
-                members.append((rid, seq, m.get("type"), int(m.get("ref")),
-                                m.get("role") or ""))
-            for t in elem.findall("tag"):
-                rel_tags.append((rid, t.get("k"), t.get("v")))
-            elem.clear()
+
+def _parse_chunk(path: str, start: int, end: int, read_step: int = 1 << 22):
+    """Parse the top-level OSM elements whose START offset lies in
+    [start, end) of the file, yielding denormalized union rows.
+
+    Chunk recovery: scan forward from ``start`` to the first element-start
+    tag; the LAST element may extend past ``end`` — keep reading until its
+    close tag so element boundaries never need to align with chunks.  Each
+    task opens the file itself (local/shared FS), so no element list ever
+    exists on the driver."""
+    import re
+    elem_re = re.compile(rb"<(node|way|relation)[ \t\r\n/>]")
+
+    with open(path, "rb") as fh:
+        fh.seek(start)
+        # the whole chunk plus one step of margin: element-start tags can
+        # then only be cut at the margin edge, where extend() recovers
+        buf = fh.read(end - start + read_step)
+
+        def extend():
+            more = fh.read(read_step)
+            if not more:
+                return False
+            nonlocal buf
+            buf += more
+            return True
+
+        pos = 0
+        rows = []
+        while True:
+            m = elem_re.search(buf, pos)
+            while m is None and len(buf) - pos < 64 and extend():
+                m = elem_re.search(buf, pos)
+            if m is None or start + m.start() >= end:
+                break
+            kind = m.group(1).decode()
+            close = b"</" + m.group(1) + b">"
+            # element ends at its self-closing '/>' (before any child tag)
+            # or at the matching close tag; extend the buffer as needed
+            while True:
+                gt = buf.find(b">", m.start())
+                if gt != -1:
+                    break
+                if not extend():
+                    gt = len(buf) - 1
+                    break
+            if gt > m.start() and buf[gt - 1:gt] == b"/":
+                span_end = gt + 1
+            else:
+                while True:
+                    span_end = buf.find(close, m.start())
+                    if span_end != -1:
+                        span_end += len(close)
+                        break
+                    if not extend():
+                        span_end = len(buf)
+                        break
+            try:
+                elem = ET.fromstring(buf[m.start():span_end])
+            except ET.ParseError:
+                pos = m.start() + 1
+                continue
+            _emit_elem(kind, elem, rows)
+            pos = span_end
+        return rows
+
+
+def _emit_elem(kind: str, elem, rows: list) -> None:
+    """Append union rows (kind,id,lon,lat,seq,ref,mtype,role,k,v)."""
+    if kind == "node":
+        nid = int(elem.get("id"))
+        rows.append(("node", nid, float(elem.get("lon")),
+                     float(elem.get("lat")), None, None, None, None, None, None))
+        for t in elem.findall("tag"):
+            rows.append(("node_tag", nid, None, None, None, None, None, None,
+                         t.get("k"), t.get("v")))
+    elif kind == "way":
+        wid = int(elem.get("id"))
+        rows.append(("way", wid, None, None, None, None, None, None, None, None))
+        for seq, nd in enumerate(elem.findall("nd")):
+            rows.append(("way_nd", wid, None, None, seq, int(nd.get("ref")),
+                         None, None, None, None))
+        for t in elem.findall("tag"):
+            rows.append(("way_tag", wid, None, None, None, None, None, None,
+                         t.get("k"), t.get("v")))
+    else:
+        rid = int(elem.get("id"))
+        rows.append(("rel", rid, None, None, None, None, None, None, None, None))
+        for seq, m in enumerate(elem.findall("member")):
+            rows.append(("member", rid, None, None, seq, int(m.get("ref")),
+                         m.get("type"), m.get("role") or "", None, None))
+        for t in elem.findall("tag"):
+            rows.append(("rel_tag", rid, None, None, None, None, None, None,
+                         t.get("k"), t.get("v")))
+
+
+_UNION_SCHEMA = ("kind string, id long, lon double, lat double, seq int, "
+                 "ref long, mtype string, role string, k string, v string")
+
+
+def parse_osm_xml(spark: SparkSession, path: str,
+                  chunk_bytes: int = 64 << 20) -> dict:
+    """Distributed parse of .osm XML into the normalized DataFrames.
+
+    The file splits into byte-offset chunks, one executor task each
+    (mapInPandas over a range of offsets) — no driver-side element list,
+    unlike the reference's single-threaded StAX importer
+    (OSMImporter.java:1416-1554).  Per-chunk XML recovery (scan to the
+    first element start, finish the last element past the boundary) makes
+    the split safe at any offset, so a planet-scale file parses at the
+    cluster's aggregate read bandwidth.  The union frame is cached; the
+    eight normalized tables are filters/projections of it."""
+    import os
+
+    import pandas as pd
+
+    size = max(os.path.getsize(path), 1)
+    n_chunks = max(1, min((size + chunk_bytes - 1) // chunk_bytes,
+                          spark.sparkContext.defaultParallelism * 4))
+    step = (size + n_chunks - 1) // n_chunks
+    offsets = spark.range(n_chunks).select(
+        (F.col("id") * step).alias("start"),
+        F.least((F.col("id") + 1) * step, F.lit(size)).alias("end"))
+
+    cols = ["kind", "id", "lon", "lat", "seq", "ref", "mtype", "role", "k", "v"]
+
+    def run(batches):
+        for pdf in batches:
+            for s, e in zip(pdf["start"], pdf["end"]):
+                yield pd.DataFrame(_parse_chunk(path, int(s), int(e)),
+                                   columns=cols)
+
+    un = offsets.mapInPandas(run, _UNION_SCHEMA).cache()
+
+    def tbl(kind, *sel):
+        return un.filter(F.col("kind") == kind).select(*sel)
 
     return {
-        "osm_nodes": spark.createDataFrame(
-            nodes or [(0, 0.0, 0.0)], "node_id long, lon double, lat double"
-        ).limit(len(nodes)),
-        "osm_node_tags": spark.createDataFrame(
-            node_tags or [(0, "", "")], "node_id long, k string, v string"
-        ).limit(len(node_tags)),
-        "osm_ways": spark.createDataFrame(ways or [(0,)], "way_id long"
-                                          ).limit(len(ways)),
-        "osm_way_tags": spark.createDataFrame(
-            way_tags or [(0, "", "")], "way_id long, k string, v string"
-        ).limit(len(way_tags)),
-        "osm_way_nds": spark.createDataFrame(
-            way_nds or [(0, 0, 0)], "way_id long, seq int, node_id long"
-        ).limit(len(way_nds)),
-        "osm_relations": spark.createDataFrame(rels or [(0,)], "rel_id long"
-                                               ).limit(len(rels)),
-        "osm_rel_tags": spark.createDataFrame(
-            rel_tags or [(0, "", "")], "rel_id long, k string, v string"
-        ).limit(len(rel_tags)),
-        "osm_members": spark.createDataFrame(
-            members or [(0, 0, "", 0, "")],
-            "rel_id long, seq int, type string, ref long, role string"
-        ).limit(len(members)),
+        "osm_nodes": tbl("node", F.col("id").alias("node_id"), "lon", "lat"),
+        "osm_node_tags": tbl("node_tag", F.col("id").alias("node_id"), "k", "v"),
+        "osm_ways": tbl("way", F.col("id").alias("way_id")),
+        "osm_way_tags": tbl("way_tag", F.col("id").alias("way_id"), "k", "v"),
+        "osm_way_nds": tbl("way_nd", F.col("id").alias("way_id"), "seq",
+                           F.col("ref").alias("node_id")),
+        "osm_relations": tbl("rel", F.col("id").alias("rel_id")),
+        "osm_rel_tags": tbl("rel_tag", F.col("id").alias("rel_id"), "k", "v"),
+        "osm_members": tbl("member", F.col("id").alias("rel_id"), "seq",
+                           F.col("mtype").alias("type"), "ref", "role"),
     }
 
 

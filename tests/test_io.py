@@ -331,3 +331,60 @@ def test_load_table_timestamp_variants(spark, tmp_path):
         got = sorted(r.epoch for r in
                      df.selectExpr("unix_micros(ts) AS epoch").collect())
         assert got == micros, sub
+
+
+def _synth_osm(path, n_nodes=120, n_ways=15):
+    """Synthetic OSM XML big enough to split across chunks."""
+    lines = ['<?xml version="1.0" encoding="UTF-8"?>', '<osm version="0.6">']
+    for i in range(1, n_nodes + 1):
+        lines.append(f'  <node id="{i}" lon="{i * 0.01:.4f}" lat="{i * 0.005:.4f}">')
+        lines.append(f'    <tag k="name" v="n{i}"/>')
+        lines.append('  </node>')
+    for w in range(1, n_ways + 1):
+        lines.append(f'  <way id="{1000 + w}">')
+        for s in range(6):
+            lines.append(f'    <nd ref="{(w * 7 + s) % n_nodes + 1}"/>')
+        lines.append('    <tag k="highway" v="residential"/>')
+        lines.append('  </way>')
+    lines.append('  <relation id="5000">')
+    lines.append('    <member type="way" ref="1001" role="outer"/>')
+    lines.append('    <tag k="type" v="multipolygon"/>')
+    lines.append('  </relation>')
+    lines.append('</osm>')
+    path.write_text("\n".join(lines))
+    return str(path)
+
+
+def test_osm_parse_distributed_chunks(spark, tmp_path):
+    """Chunked parse must agree with single-chunk parse no matter where
+    the byte splits land (per-chunk XML recovery)."""
+    from spatial_spark.io.osm import parse_osm_xml
+    p = _synth_osm(tmp_path / "chunky.osm")
+    whole = parse_osm_xml(spark, p, chunk_bytes=1 << 30)
+    tiny = parse_osm_xml(spark, p, chunk_bytes=700)   # many mid-element splits
+    for name in whole:
+        a = sorted(map(tuple, whole[name].collect()))
+        b = sorted(map(tuple, tiny[name].collect()))
+        assert a == b, name
+    assert len(sorted(map(tuple, whole["osm_nodes"].collect()))) == 120
+
+
+def test_osm_parse_no_driver_materialization(spark, tmp_path, monkeypatch):
+    """r3 verdict ask #9: the parse must not createDataFrame a driver-side
+    element list — elements are read and parsed inside executor tasks."""
+    from spatial_spark.io import osm as osm_mod
+    p = _synth_osm(tmp_path / "nodriver.osm")
+    calls = []
+    orig = type(spark).createDataFrame
+
+    def spy(self, data, *a, **kw):
+        calls.append(data)
+        return orig(self, data, *a, **kw)
+
+    monkeypatch.setattr(type(spark), "createDataFrame", spy)
+    tables = osm_mod.parse_osm_xml(spark, p)
+    n = tables["osm_nodes"].count()
+    assert n == 120
+    for data in calls:
+        assert not (isinstance(data, list) and len(data) > 10), \
+            "driver-side element list materialized"
