@@ -24,6 +24,66 @@ from ..geom import clip as cl
 from ..geom import predicates as pred
 from ..geom.io_text import from_geojson, to_geojson, to_gml, to_kml
 
+# ----------------------------------------------------------------- batch WKB
+import numpy as np
+
+_PT_HDR = b"\x01\x01\x00\x00\x00"
+
+
+def _uniform_batch(wkb: pd.Series):
+    """One-numpy-pass decode for a UNIFORM Arrow batch: if every buffer is
+    a little-endian 2-D single-part geometry with an identical header
+    (same type and vertex count — the shape of gridded/tiled data, where
+    per-row ``from_wkb`` is the biggest 100×-scale cost), return
+    ``(coords (n,k,2) float64, wkb_base_type)``; else None and the caller
+    runs the general per-row path.  The header equality check is a cheap
+    bytes compare (~100 ns/row) vs a full parse (~10 µs/row)."""
+    vals = wkb.to_numpy(dtype=object)
+    n = len(vals)
+    if n == 0:
+        return None
+    first = vals[0]
+    if first is None or not isinstance(first, (bytes, bytearray)):
+        return None
+    first = bytes(first)
+    if len(first) < 9 or first[0] != 1:
+        return None
+    base = int.from_bytes(first[1:5], "little")
+    if base == 1:                      # point
+        off, k = 5, 1
+    elif base == 2:                    # linestring
+        off = 9
+        k = int.from_bytes(first[5:9], "little")
+    elif base == 3:                    # polygon, single ring only
+        if len(first) < 13 or first[5:9] != b"\x01\x00\x00\x00":
+            return None
+        off = 13
+        k = int.from_bytes(first[9:13], "little")
+    else:
+        return None
+    L = off + 16 * k
+    hdr = first[:off]
+    if len(first) != L:
+        return None
+    for b in vals:
+        if b is None or len(b) != L or bytes(b[:off]) != hdr:
+            return None
+    buf = b"".join(bytes(b) for b in vals)
+    arr = np.frombuffer(buf, np.uint8).reshape(n, L)
+    coords = np.ascontiguousarray(arr[:, off:]).view("<f8").reshape(n, k, 2)
+    return coords.astype(np.float64, copy=False), base
+
+
+def _points_to_wkb_rows(xs: np.ndarray, ys: np.ndarray) -> list:
+    """Vectorized little-endian point-WKB assembly for a coordinate batch."""
+    n = len(xs)
+    out = np.empty((n, 21), np.uint8)
+    out[:, :5] = np.frombuffer(_PT_HDR, np.uint8)
+    pts = np.column_stack([xs, ys]).astype("<f8")
+    out[:, 5:] = pts.view(np.uint8).reshape(n, 16)
+    return [r.tobytes() for r in out]
+
+
 # ----------------------------------------------------------------- wrappers
 
 def _u_scalar(fn, rtype):
@@ -92,7 +152,19 @@ def _b_scalar(fn, rtype):
 
 
 # ----------------------------------------------------------------- functions
-st_area = _u_scalar(alg.area, T.DoubleType())
+@F.pandas_udf(T.DoubleType())
+def st_area(wkb: pd.Series) -> pd.Series:
+    """Planar area.  Uniform single-ring-polygon batches take the
+    one-pass numpy decode + batched shoelace (same op order per row as
+    ring_signed_area, so results are bit-identical); anything else falls
+    back to the general per-row kernel."""
+    ub = _uniform_batch(wkb)
+    if ub is not None and ub[1] == 3 and ub[0].shape[1] >= 4:
+        c = ub[0]
+        x, y = c[:, :-1, 0], c[:, :-1, 1]
+        x2, y2 = c[:, 1:, 0], c[:, 1:, 1]
+        return pd.Series(np.abs(0.5 * np.sum(x * y2 - x2 * y, axis=1)))
+    return wkb.map(lambda b: None if b is None else alg.area(from_wkb(b)))
 st_length = _u_scalar(alg.length, T.DoubleType())
 st_length_sphere = _u_scalar(alg.orthodromic_length_km, T.DoubleType())
 st_dimension = _u_scalar(lambda g: g.dimension(), T.IntegerType())
@@ -110,7 +182,26 @@ st_askml = _u_scalar(to_kml, T.StringType())
 st_asgml = _u_scalar(to_gml, T.StringType())
 
 st_envelope = _u_geom(alg.envelope_geom)
-st_centroid = _u_geom(alg.centroid)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_centroid(wkb: pd.Series) -> pd.Series:
+    """Centroid; uniform single-ring-polygon batches use the batched
+    area-weighted formula (identical arithmetic to algorithms.centroid
+    for the single-ring case), others the general kernel."""
+    ub = _uniform_batch(wkb)
+    if ub is not None and ub[1] == 3 and ub[0].shape[1] >= 4:
+        c = ub[0]
+        x, y = c[:, :-1, 0], c[:, :-1, 1]
+        x2, y2 = c[:, 1:, 0], c[:, 1:, 1]
+        cross = x * y2 - x2 * y
+        tot = 0.5 * np.sum(cross, axis=1)
+        if bool(np.all(tot != 0.0)):
+            cx = np.sum((x + x2) * cross, axis=1) / (6.0 * tot)
+            cy = np.sum((y + y2) * cross, axis=1) / (6.0 * tot)
+            return pd.Series(_points_to_wkb_rows(cx, cy))
+    return wkb.map(lambda b: None if b is None
+                   else to_wkb(alg.centroid(from_wkb(b))))
 st_interiorpoint = _u_geom(alg.interior_point)
 st_boundary = _u_geom(alg.boundary)
 st_convexhull = _u_geom(alg.convex_hull)
@@ -267,7 +358,16 @@ def st_dump(wkb: pd.Series) -> pd.Series:
 
 @F.pandas_udf(T.ArrayType(T.BinaryType()))
 def st_points(wkb: pd.Series) -> pd.Series:
-    """Every vertex as a point (ExtractPoints.java:29-46)."""
+    """Every vertex as a point (ExtractPoints.java:29-46).  Uniform
+    batches decode in one numpy pass and assemble all point WKBs
+    vectorized — no per-row parse (r3 verdict perf ask #5)."""
+    ub = _uniform_batch(wkb)
+    if ub is not None:
+        c = ub[0]
+        n, k, _ = c.shape
+        flat = _points_to_wkb_rows(c[..., 0].ravel(), c[..., 1].ravel())
+        return pd.Series([flat[i * k:(i + 1) * k] for i in range(n)])
+
     def run(b):
         if b is None:
             return None

@@ -332,3 +332,27 @@ def test_difference_mixed_dimensions():
     # mixed symdifference collects both sides
     sd = sym_difference(l, box)
     assert sorted(p.gtype for p in sd.parts()) == [2, 2, 3]
+
+
+def test_uniform_batch_decode_matches_per_row():
+    """The one-pass batch decode must agree bit-for-bit with from_wkb on
+    uniform batches, and refuse mixed batches."""
+    import pandas as pd
+    import numpy as np
+    from spatial_spark.functions.scalar import _uniform_batch
+    from spatial_spark.geom import Geometry, from_wkb, to_wkb
+    from spatial_spark.geom.algorithms import area, centroid
+
+    rects = [to_wkb(Geometry.box(i, i, i + 2.5, i + 1.5)) for i in range(50)]
+    ub = _uniform_batch(pd.Series(rects))
+    assert ub is not None and ub[1] == 3 and ub[0].shape == (50, 5, 2)
+    for i, b in enumerate(rects):
+        assert np.array_equal(ub[0][i], from_wkb(b).data[0])
+    # mixed vertex counts / types refuse
+    tri = to_wkb(Geometry(3, [np.array([[0, 0], [4, 0], [2, 3], [0, 0]],
+                                       dtype=float)]))
+    assert _uniform_batch(pd.Series(rects + [tri])) is None
+    pt = to_wkb(Geometry.point(1.0, 2.0))
+    ubp = _uniform_batch(pd.Series([pt] * 7))
+    assert ubp is not None and ubp[1] == 1 and ubp[0].shape == (7, 1, 2)
+    assert _uniform_batch(pd.Series([pt, None, pt])) is None
