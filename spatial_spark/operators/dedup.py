@@ -152,7 +152,14 @@ def simhash_64(df: DataFrame, text_col: str = "text",
     Fully JVM-side: explode tokens, xxhash64 each (codegen'd), then one
     groupBy with 64 sign-sum aggregates and a bit-reassembly expression —
     no Python in the path, and the shuffle key is the doc id (map-side
-    partial aggregation applies)."""
+    partial aggregation applies).
+
+    The 64 separate aggregates are deliberate: packing bit-counts into
+    8- or 16-bit lanes of a few longs (the obvious fan-out trim) silently
+    overflows a lane once a document exceeds 255 / 65535 tokens — a
+    wrong-answer class, not a perf trade — and the aggregation state here
+    is only 64 ints (~256 B/doc) with map-side combine, so the fan-out is
+    not a shuffle-width problem at scale."""
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"))
