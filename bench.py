@@ -24,18 +24,19 @@ HEADLINE = [
     "knn_cosine", "events_daily",
 ]
 
-# Per-query budgets at sf0.1 / local[32]: ~1.6x the recorded best (r3), so
-# a regression like r2's (per-query re-registration overhead) fails loudly
-# instead of drifting.  Reported in the JSON as budget_violations; exits
-# nonzero only when SPARK_GRAFT_STRICT_BENCH=1 (machine noise must not trip
-# the driver's rc gate).
+# Per-query budgets at sf0.1 / local[32]: min(previous budget, ~1.6x the
+# recorded r4 best) — monotone ratchet, so a regression like r2's
+# (per-query re-registration overhead) or r3's (lang_id codegen blowup)
+# fails loudly instead of drifting.  Reported in the JSON as
+# budget_violations; exits nonzero only when SPARK_GRAFT_STRICT_BENCH=1
+# (machine noise must not trip the driver's rc gate).
 BUDGET_SF01 = {
-    "within_distance": 1.5, "knn": 0.6, "bbox_window": 0.4,
-    "spatial_join": 1.4, "spatial_join_agg": 1.7, "distance_join": 1.5,
+    "within_distance": 1.1, "knn": 0.5, "bbox_window": 0.3,
+    "spatial_join": 1.1, "spatial_join_agg": 1.6, "distance_join": 1.5,
     "st_area_rects": 1.6, "extract_points": 1.6, "orthodromic_length": 0.8,
     "zorder_keys": 0.5, "tpch_q1": 0.9, "revenue_by_nation": 1.7,
     "dedup_exact": 0.7, "minhash_pairs": 4.3, "simhash_pairs": 5.0,
-    "quality_scores": 1.2, "lang_id": 1.4, "knn_cosine": 0.5,
+    "quality_scores": 0.8, "lang_id": 0.6, "knn_cosine": 0.4,
     "events_daily": 0.5,
 }
 
