@@ -837,6 +837,51 @@ def _q_tf_idf(spark, sf_dir) -> DataFrame:
     return top.select("doc_id", "term", F.round("tf_idf", 6).alias("tf_idf"))
 
 
+def _q_bm25(spark, sf_dir) -> DataFrame:
+    """Okapi BM25 relevance of every document to a fixed query."""
+    from spatial_spark.operators.text import bm25_score
+    scored = bm25_score(_norm_documents(spark), ["data", "query", "table"])
+    return scored.select("doc_id", F.round("bm25", 6).alias("bm25"))
+
+
+def _q_path_length(spark, sf_dir) -> DataFrame:
+    """Planar st_length of each order path (Length.java parity gate)."""
+    paths = _order_paths(spark).filter(F.col("l_orderkey") <= 1000)
+    return paths.select(
+        "l_orderkey", F.round(F.expr("st_length(geom)"), 6).alias("len"))
+
+
+def _q_pii_scrub(spark, sf_dir) -> DataFrame:
+    """PII scrub over documents with synthesized PII spans (emails/phones
+    appended deterministically per doc so the redaction is exercised,
+    identically on both engines)."""
+    from spatial_spark.operators.text import pii_scrub
+    docs = spark.table("documents").withColumn(
+        "text",
+        F.concat("text",
+                 F.lit(" contact user"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com or 555-123-4"),
+                 F.lpad(F.pmod("doc_id", F.lit(1000)).cast("string"), 3, "0")))
+    out = pii_scrub(docs)
+    return out.select("doc_id", "email_count", "phone_count", "ssn_count",
+                      F.md5("text").alias("scrubbed_md5"))
+
+
+def _q_stratified_sample(spark, sf_dir) -> DataFrame:
+    """Deterministic hash-stratified sampling + split assignment: strata
+    by doc_id % 4 with per-stratum keep-rates, then train/valid/test
+    splits on the survivors — reproducible with no RNG anywhere."""
+    from spatial_spark.operators.sample import split_assign, stratified_sample
+    docs = spark.table("documents").withColumn(
+        "stratum", F.pmod("doc_id", F.lit(4)).cast("string"))
+    kept = stratified_sample(docs, "stratum",
+                             {"0": 1.0, "1": 0.5, "2": 0.25, "3": 0.0},
+                             key_col="doc_id")
+    out = split_assign(kept, {"train": 0.8, "valid": 0.1, "test": 0.1},
+                       key_col="doc_id")
+    return out.select("doc_id", "stratum", "split")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -903,6 +948,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": _q_knn_join,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
+        "bm25": _q_bm25,
+        "path_length": _q_path_length,
+        "pii_scrub": _q_pii_scrub,
+        "stratified_sample": _q_stratified_sample,
     }.items()}
 
 
@@ -1654,6 +1703,89 @@ def oracle_sql() -> dict[str, str]:
                                              'sum')), 6) AS cosine
             FROM embeddings
             ORDER BY cosine DESC, vec_id ASC LIMIT 20
+        """,
+        "bm25": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+              FROM documents),
+            doclen AS (SELECT doc_id, count(*) AS dl FROM toks
+                       WHERE length(term) > 0 GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                   WHERE lower(term) IN ('data', 'query', 'table')
+                   GROUP BY doc_id, term),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            contrib AS (
+              SELECT t.doc_id,
+                     ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                       * tf * (1.2 + 1)
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS c
+              FROM tf t JOIN dfreq d ON t.term = d.term
+              JOIN doclen l ON t.doc_id = l.doc_id CROSS JOIN stats)
+            SELECT d.doc_id,
+                   round(coalesce(s.bm25, 0.0), 6) AS bm25
+            FROM documents d
+            LEFT JOIN (SELECT doc_id, sum(c) AS bm25 FROM contrib
+                       GROUP BY doc_id) s ON d.doc_id = s.doc_id
+        """,
+        "path_length": f"""
+            WITH pts AS (
+              SELECT l_orderkey, l_linenumber, {LI_X} AS px, {LI_Y} AS py
+              FROM lineitem WHERE l_orderkey <= 1000),
+            seg AS (
+              SELECT l_orderkey,
+                     sqrt(power(px - lag(px) OVER w, 2)
+                          + power(py - lag(py) OVER w, 2)) AS d
+              FROM pts
+              WINDOW w AS (PARTITION BY l_orderkey
+                           ORDER BY l_linenumber, px, py))
+            SELECT l_orderkey, round(sum(coalesce(d, 0.0)), 6) AS len
+            FROM seg GROUP BY l_orderkey
+        """,
+        "pii_scrub": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com or 555-123-4'
+                          || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') AS text
+              FROM documents),
+            scrubbed AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS email_count,
+                     len(regexp_extract_all(text,
+                         '(\\+?[0-9]{1,3}[-. ])?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}')) AS phone_count,
+                     len(regexp_extract_all(text,
+                         '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS ssn_count,
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '[EMAIL]', 'g'),
+                         '(\\+?[0-9]{1,3}[-. ])?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}',
+                         '[PHONE]', 'g'),
+                       '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[SSN]', 'g') AS text
+              FROM aug)
+            SELECT doc_id, email_count, phone_count, ssn_count,
+                   md5(text) AS scrubbed_md5
+            FROM scrubbed
+        """,
+        "stratified_sample": """
+            WITH strat AS (
+              SELECT doc_id, CAST(doc_id % 4 AS VARCHAR) AS stratum,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket
+              FROM documents),
+            kept AS (
+              SELECT * FROM strat
+              WHERE bucket < CASE stratum
+                               WHEN '0' THEN 'g' WHEN '1' THEN '8000'
+                               WHEN '2' THEN '4000' ELSE '0000' END)
+            SELECT doc_id, stratum,
+                   CASE WHEN bucket < 'cccd' THEN 'train'
+                        WHEN bucket < 'e666' THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM kept
         """,
         "range_join": """
             WITH clicks AS (

@@ -1,0 +1,80 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Random sampling with RNG state is irreproducible across retries, engines
+and partitionings — a real problem when a 100 TB corpus is sampled in
+stages and a stage re-runs.  These operators key every decision off a
+content hash (md5 of a caller-chosen key column), so:
+
+* the same row always gets the same verdict (idempotent re-runs,
+  stable A/B splits);
+* the sample composes with partitioning/ordering changes — no
+  per-partition RNG seeds, no `rand()` in the plan;
+* any engine that computes md5 reproduces the exact sample (the
+  correctness oracle replicates it in DuckDB SQL verbatim).
+
+The decision rule: keep a row iff the first 4 hex chars of
+``md5(key)`` — a uniform 16-bit bucket — are lexicographically below
+the stratum's threshold (``rate * 65536`` rendered as 4-digit hex).
+String comparison on fixed-width lowercase hex is identical to integer
+comparison and avoids engine-specific hex→int conversions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hex_threshold(rate: float) -> str:
+    """rate ∈ [0,1] → 4-digit lowercase hex threshold over 16-bit buckets.
+    rate 1.0 needs a value above every bucket: 'g' sorts after 'f' in any
+    lexicographic compare, so it keeps all 65536 buckets (a 5-digit
+    '10000' would compare char-by-char and break)."""
+    n = max(0, min(65536, int(round(float(rate) * 65536))))
+    return "g" if n >= 65536 else format(n, "04x")
+
+
+def _bucket(key_col: Column) -> Column:
+    return F.substring(F.md5(key_col.cast("string")), 1, 4)
+
+
+def deterministic_sample(df: DataFrame, rate: float,
+                         key_col: str = "doc_id") -> DataFrame:
+    """Keep a deterministic ~``rate`` fraction of rows, decided per row by
+    the content hash of ``key_col`` (no RNG, reproducible anywhere)."""
+    return df.filter(_bucket(F.col(key_col)) < F.lit(_hex_threshold(rate)))
+
+
+def stratified_sample(df: DataFrame, strata_col: str, rates: dict,
+                      key_col: str = "doc_id",
+                      default_rate: float = 0.0) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum value gets its own
+    keep-rate (e.g. ``{"en": 0.1, "und": 1.0}`` to downsample English and
+    keep everything rare).  Strata not in ``rates`` use ``default_rate``.
+
+    Scale shape: a single filter — no shuffle, no RNG, pushdown-friendly;
+    the strata thresholds fold into one literal CASE."""
+    thresh = F.lit(_hex_threshold(default_rate))
+    for value, rate in rates.items():
+        thresh = F.when(F.col(strata_col) == F.lit(value),
+                        F.lit(_hex_threshold(rate))).otherwise(thresh)
+    return df.filter(_bucket(F.col(key_col)) < thresh)
+
+
+def split_assign(df: DataFrame, weights: dict, key_col: str = "doc_id",
+                 out_col: str = "split") -> DataFrame:
+    """Assign each row to a named split (train/valid/test…) by hash bucket
+    — deterministic, disjoint, exhaustive.  ``weights`` maps split name →
+    fraction; fractions are normalized and converted to contiguous hex
+    bucket ranges in dict order."""
+    total = float(sum(weights.values()))
+    edges = []
+    acc = 0.0
+    for name, w in weights.items():
+        acc += float(w) / total
+        edges.append((name, _hex_threshold(min(acc, 1.0))))
+    bucket = _bucket(F.col(key_col))
+    expr = F.lit(edges[-1][0])  # numeric-edge rounding safety net
+    for name, hi in reversed(edges):
+        expr = F.when(bucket < F.lit(hi), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)

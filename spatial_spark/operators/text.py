@@ -257,6 +257,35 @@ def bm25_score(df: DataFrame, query_terms: list, text_col: str = "text",
             .fillna(0.0, ["bm25"]))
 
 
+# RE2-compatible (no lookaround/backrefs) so the same patterns run in
+# Spark's Java regex AND the DuckDB oracle byte-identically
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"(\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              kinds: tuple = ("email", "phone", "ssn")) -> DataFrame:
+    """Redact PII spans with ``[KIND]`` tokens and count what was removed
+    — the standard pretraining-corpus scrub pass.
+
+    Pure Column (chained regexp_replace / regexp_count, JVM codegen, no
+    shuffle): at 100 TB this is a map-only pass that pipelines with
+    whatever scan feeds it.  Adds ``{kind}_count`` columns and replaces
+    ``text_col`` with the scrubbed text; patterns avoid lookaround so any
+    RE2-class engine reproduces the result exactly."""
+    out = df
+    scrubbed = F.col(text_col)
+    for kind in kinds:
+        pat = PII_PATTERNS[kind]
+        out = out.withColumn(f"{kind}_count",
+                             F.regexp_count(F.col(text_col), F.lit(pat)))
+        scrubbed = F.regexp_replace(scrubbed, pat, f"[{kind.upper()}]")
+    return out.withColumn(text_col, scrubbed)
+
+
 def repetition_scores(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 2) -> DataFrame:
     """Within-document repetition signals (the Gopher-style quality

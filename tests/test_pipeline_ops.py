@@ -328,3 +328,51 @@ def test_repetition_scores(spark):
     assert rows[1]["top_ngram_frac"] == pytest.approx(3 / 5)
     assert rows[2]["dup_ngram_frac"] == 0.0
     assert rows[3]["top_ngram_frac"] == 1.0
+
+
+def test_deterministic_sampling(spark):
+    from spatial_spark.operators.sample import (
+        deterministic_sample, split_assign, stratified_sample)
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    s = deterministic_sample(df, 0.25, key_col="doc_id")
+    n = s.count()
+    assert 800 < n < 1200                      # ~1000 expected
+    # idempotent: same rows every time
+    assert sorted(r.doc_id for r in s.collect()) == \
+        sorted(r.doc_id for r in deterministic_sample(
+            df, 0.25, key_col="doc_id").collect())
+    # subset property: raising the rate only adds rows
+    big = set(r.doc_id for r in
+              deterministic_sample(df, 0.5, key_col="doc_id").collect())
+    assert set(r.doc_id for r in s.collect()) <= big
+    # stratified rates honored (roughly), rate-1.0 keeps everything
+    from pyspark.sql import functions as F
+    st = df.withColumn("g", (F.col("doc_id") % 2).cast("string"))
+    kept = stratified_sample(st, "g", {"0": 1.0, "1": 0.1}, key_col="doc_id")
+    per = {r.g: r.n for r in
+           kept.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert per["0"] == 2000 and 100 < per["1"] < 320
+    # splits: disjoint, exhaustive, deterministic
+    sp = split_assign(df, {"train": 0.8, "valid": 0.1, "test": 0.1},
+                      key_col="doc_id")
+    cnt = {r.split: r.n for r in
+           sp.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(cnt.values()) == 4000
+    assert cnt["train"] > 2900 and cnt["valid"] > 200 and cnt["test"] > 200
+
+
+def test_pii_scrub(spark):
+    from spatial_spark.operators.text import pii_scrub
+    df = spark.createDataFrame(
+        [(1, "mail me at jo.doe+x@corp.example.org today"),
+         (2, "call 555-123-4567 or +1 555 987 6543 now"),
+         (3, "ssn 123-45-6789 leaked"),
+         (4, "nothing sensitive here")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert out[1].email_count == 1 and "[EMAIL]" in out[1].text
+    assert "jo.doe" not in out[1].text
+    assert out[2].phone_count == 2 and out[2].text.count("[PHONE]") == 2
+    assert out[3].ssn_count == 1 and "[SSN]" in out[3].text
+    assert out[4].text == "nothing sensitive here"
+    assert out[4].email_count == out[4].phone_count == out[4].ssn_count == 0
