@@ -132,15 +132,20 @@ def density_islands(df: DataFrame, density: float, id_col: str = "id",
     return labels.select(F.col("node").alias(id_col), "island")
 
 
-def density_edges(df: DataFrame, density: float, id_col: str = "id") -> DataFrame:
+def density_edges(df: DataFrame, density: float, id_col: str = "id",
+                  extent: tuple | None = None) -> DataFrame:
     """(a_id, b_id) pairs whose geometries lie within `density` — the PBSM
-    grid candidate join + exact distance refine (see density_islands)."""
+    grid candidate join + exact distance refine (see density_islands).
+
+    ``extent`` (xmin,ymin,xmax,ymax) skips the plan-time bbox aggregate —
+    layer-backed callers pass catalog write-time stats."""
     import math
 
     from ..geom.algorithms import distance as geom_distance
     from .join import _cells_expr, _estimated_rows
 
-    bb = df.agg(F.min("xmin"), F.min("ymin"), F.max("xmax"), F.max("ymax")).first()
+    bb = extent if extent is not None else \
+        df.agg(F.min("xmin"), F.min("ymin"), F.max("xmax"), F.max("ymax")).first()
     x0 = float(bb[0]) - density
     y0 = float(bb[1]) - density
     w = (float(bb[2]) + density) - x0
