@@ -103,6 +103,59 @@ def _fragment_rings(rings_a, rings_b):
     return frags
 
 
+def _split_fragments_at(frags, node_pts):
+    """Split fragments at foreign node points lying within ``_SNAP`` of
+    their interior (the node coordinate itself is inserted, so endpoint
+    keys match exactly across the two sides).
+
+    Mutual noding can fragment the SAME geometric edge differently on
+    each side: a near-vertex crossing of two OTHER edges drops a node X'
+    onto B's copy of a shared edge but not onto A's (X' is merely within
+    float fuzz of A's edge, not a computed intersection of it).  The
+    directed shared-fragment matching in ``_overlay`` then sees no
+    counterpart, mis-keeps the unsplit copy, and the stitch closes a
+    phantom sliver ring instead of the real boundary (found by the
+    2500-example area-conservation fuzz).  Reconciling both sides against
+    the union of node points restores the fragment bijection."""
+    if not len(node_pts):
+        return frags
+    pts = np.asarray(node_pts, dtype=np.float64)
+    out = []
+    tol2 = _SNAP * _SNAP
+    for f in frags:
+        a0, a1 = f[0], f[-1]
+        d = a1 - a0
+        denom = float(d @ d)
+        if denom <= 0.0:
+            out.append(f)
+            continue
+        t = ((pts - a0) @ d) / denom
+        proj = a0[None, :] + t[:, None] * d[None, :]
+        dist2 = ((pts - proj) ** 2).sum(1)
+        # within the open segment, with endpoint exclusion in DISTANCE
+        # space (on a long edge a node a few nm inside the endpoint has
+        # t ~ 1e-12, so a parameter-space epsilon would reject it)
+        hit = np.nonzero((dist2 <= tol2) & (t > 0.0) & (t < 1.0)
+                         & (t * t * denom > tol2)
+                         & ((1.0 - t) * (1.0 - t) * denom > tol2))[0]
+        if len(hit) == 0:
+            out.append(f)
+            continue
+        seq = [a0]
+        k0, k1 = _key(a0), _key(a1)
+        seen = {k0, k1}
+        for i in hit[np.argsort(t[hit])]:
+            k = _key(pts[i])
+            if k not in seen:
+                seen.add(k)
+                seq.append(pts[i])
+        seq.append(a1)
+        for p, q in zip(seq, seq[1:]):
+            if _key(p) != _key(q):
+                out.append(np.array([p, q]))
+    return out
+
+
 def _classify(frag, poly: Geometry) -> int:
     """0=outside, 1=boundary, 2=inside — by fragment midpoint.
 
@@ -338,6 +391,12 @@ def _overlay(g1: Geometry, g2: Geometry, op: str, _snapped: bool = False) -> Geo
     b = _normalize(g2)
     fa = _fragment_rings(_all_rings(a), _all_rings(b))
     fb = _fragment_rings(_all_rings(b), _all_rings(a))
+    # reconcile the two fragmentations: each side also splits at the
+    # other side's node points (see _split_fragments_at)
+    na = {_key(f[i]): f[i] for f in fa for i in (0, -1)}
+    nb = {_key(f[i]): f[i] for f in fb for i in (0, -1)}
+    fa = _split_fragments_at(fa, list(nb.values()))
+    fb = _split_fragments_at(fb, list(na.values()))
     ca = _classify_all(fa, b)
     cb = _classify_all(fb, a)
     # collinear shared edges: a boundary(1)-classified A fragment coincides
@@ -369,19 +428,38 @@ def _overlay(g1: Geometry, g2: Geometry, op: str, _snapped: bool = False) -> Geo
             return c == (2 if inside_keeps else 0) or c == 1
         return s or not o
 
+    # B-side boundary(1) fragments are normally dropped (A's copy of a
+    # shared edge is authoritative) — but a B fragment can be *snap*-
+    # classified boundary while matching NO A fragment (it merely runs
+    # within tolerance of A's boundary: a near-boundary interior/exterior
+    # sliver).  Dropping those leaves the result ring unclosable — the
+    # mirror of the A-side orphan case above, caught by the 1500-example
+    # area-conservation fuzz (union+inter lost the sliver's area).
+    a_dirs = {(_key(f[0]), _key(f[-1])) for f in fa}
+
+    def orphan_b(f, inside_keeps: bool) -> bool:
+        if (_key(f[0]), _key(f[-1])) in a_dirs \
+                or (_key(f[-1]), _key(f[0])) in a_dirs:
+            return False            # true shared edge: A's copy decides
+        c = parity(f, a)
+        return c == (2 if inside_keeps else 0)
+
     sel = []
     if op == "union":
         sel += [f for f, c in zip(fa, ca)
                 if c == 0 or (c == 1 and keep_bnd(f, b, inside_keeps=False))]
-        sel += [f for f, c in zip(fb, cb) if c == 0]
+        sel += [f for f, c in zip(fb, cb)
+                if c == 0 or (c == 1 and orphan_b(f, inside_keeps=False))]
     elif op == "intersection":
         sel += [f for f, c in zip(fa, ca)
                 if c == 2 or (c == 1 and keep_bnd(f, b, inside_keeps=True))]
-        sel += [f for f, c in zip(fb, cb) if c == 2]
+        sel += [f for f, c in zip(fb, cb)
+                if c == 2 or (c == 1 and orphan_b(f, inside_keeps=True))]
     elif op == "difference":
         sel += [f for f, c in zip(fa, ca)
                 if c == 0 or (c == 1 and od(f) and not sd(f))]
-        sel += [f[::-1] for f, c in zip(fb, cb) if c == 2]
+        sel += [f[::-1] for f, c in zip(fb, cb)
+                if c == 2 or (c == 1 and orphan_b(f, inside_keeps=True))]
     rings, complete = _stitch_ex(sel)
     if not complete and not _snapped:
         # Noding was inconsistent (near-parallel crossing located at two
