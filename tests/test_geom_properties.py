@@ -155,7 +155,7 @@ def triangles(draw):
 
 
 @given(triangles(), triangles())
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=400, deadline=None)
 def test_overlay_area_conservation_triangles(a, b):
     """area(a∪b) + area(a∩b) == area(a) + area(b) for slanted inputs
     (intersection vertices generally non-representable)."""
@@ -171,7 +171,7 @@ def pytest_approx(v):
 
 
 @given(triangles(), triangles())
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=400, deadline=None)
 def test_relate_consistent_with_predicates_triangles(a, b):
     """The exact DE-9IM matrix must agree with the boolean predicates on
     random slanted polygon pairs."""
