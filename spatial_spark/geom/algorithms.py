@@ -244,7 +244,7 @@ def points_in_ring_bulk(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
         cond = (a1 > y) != (b1 > y)
         if not cond.any():
             continue
-        with np.errstate(divide="ignore", invalid="ignore"):
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
             xint = (b0 - a0) * (y - a1) / (b1 - a1) + a0
         inside ^= cond & (x < xint)
     return inside
