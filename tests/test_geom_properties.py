@@ -214,3 +214,13 @@ def test_hilbert_ranges_cover_window_exactly(x0, y0, w, h):
     for lo, hi in hilbert_ranges(window, ext, level, max_ranges=10**9):
         got.update(range(lo, hi + 1))
     assert got == expect
+
+
+@given(triangles(), triangles())
+@settings(max_examples=300, deadline=None)
+def test_difference_area_conservation_triangles(a, b):
+    """area(a\\b) + area(a∩b) == area(a), both directions, on slanted
+    inputs — complements the union conservation fuzz."""
+    i = area(intersection(a, b))
+    assert area(difference(a, b)) + i == pytest_approx(area(a))
+    assert area(difference(b, a)) + i == pytest_approx(area(b))
