@@ -882,6 +882,29 @@ def _q_stratified_sample(spark, sf_dir) -> DataFrame:
     return out.select("doc_id", "stratum", "split")
 
 
+def _q_boilerplate(spark, sf_dir) -> DataFrame:
+    """C4-style boilerplate line detection over documents with synthetic
+    repeated footer/banner lines appended (the raw corpus has no line
+    structure; both engines append identically)."""
+    from spatial_spark.operators.dedup import boilerplate_lines
+    docs = spark.table("documents").withColumn(
+        "text",
+        F.concat("text", F.lit("\nshared footer line\n"),
+                 F.when(F.pmod("doc_id", F.lit(2)) == 0,
+                        F.lit("even banner")).otherwise(F.lit("odd banner"))))
+    return boilerplate_lines(docs, min_df=100)
+
+
+def _q_contamination(spark, sf_dir) -> DataFrame:
+    """Eval-set decontamination: corpus docs sharing any distinct word
+    8-gram with a benchmark slice (every 97th document)."""
+    from spatial_spark.operators.dedup import contamination_check
+    docs = spark.table("documents")
+    bench = (docs.filter(F.pmod("doc_id", F.lit(97)) == 0)
+             .select(F.col("doc_id").alias("bench_id"), "text"))
+    return contamination_check(docs, bench, n=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -952,6 +975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_length": _q_path_length,
         "pii_scrub": _q_pii_scrub,
         "stratified_sample": _q_stratified_sample,
+        "boilerplate": _q_boilerplate,
+        "contamination": _q_contamination,
     }.items()}
 
 
@@ -1770,6 +1795,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, email_count, phone_count, ssn_count,
                    md5(text) AS scrubbed_md5
             FROM scrubbed
+        """,
+        "boilerplate": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text || chr(10) || 'shared footer line' || chr(10) ||
+                     CASE WHEN doc_id % 2 = 0 THEN 'even banner'
+                          ELSE 'odd banner' END AS text
+              FROM documents),
+            lines AS (
+              SELECT DISTINCT doc_id,
+                     trim(unnest(string_split(text, chr(10)))) AS line
+              FROM aug),
+            counted AS (
+              SELECT line, count(*) AS n_docs FROM lines
+              WHERE length(line) > 0 GROUP BY line)
+            SELECT line, n_docs FROM counted WHERE n_docs >= 100
+        """,
+        "contamination": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+              FROM documents),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(t[i : i + 7], ' ') AS gram
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(1, greatest(len(t) - 8, 0) + 1)) AS i
+                    FROM toks)),
+            bgrams AS (
+              SELECT DISTINCT doc_id AS bench_id, gram
+              FROM grams WHERE doc_id % 97 = 0)
+            SELECT g.doc_id, b.bench_id,
+                   count(*) AS shared_ngrams
+            FROM grams g JOIN bgrams b ON g.gram = b.gram
+            GROUP BY g.doc_id, b.bench_id
+            HAVING count(*) >= 1
         """,
         "stratified_sample": """
             WITH strat AS (

@@ -300,6 +300,53 @@ def dedup_near(df: DataFrame, pairs: DataFrame,
     return df.join(keep, id_col, "left_semi")
 
 
+def boilerplate_lines(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", min_df: int = 2,
+                      sep: str = "\n") -> DataFrame:
+    """Lines occurring in ≥ ``min_df`` distinct documents — the C4-style
+    boilerplate detector (nav bars, footers, license blurbs repeat across
+    pages; prose does not).
+
+    Shape: explode lines → distinct per (doc, line) → count per line —
+    two keyed shuffles with map-side combine, no all-pairs anything; the
+    result is a small dimension a scrub pass broadcast-joins against."""
+    lines = (df.select(F.col(id_col),
+                       F.explode(F.split(F.col(text_col), sep)).alias("line"))
+             .withColumn("line", F.trim("line"))
+             .filter(F.length("line") > 0)
+             .distinct())
+    return (lines.groupBy("line")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") >= min_df))
+
+
+def contamination_check(corpus: DataFrame, benchmark: DataFrame,
+                        n: int = 8, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        bench_id_col: str = "bench_id",
+                        min_hits: int = 1) -> DataFrame:
+    """Corpus documents sharing ≥ ``min_hits`` distinct word n-grams with
+    any benchmark document — the standard eval-decontamination test
+    (long n-grams from a small benchmark set are near-unique, so a hit
+    means the document quotes the benchmark).
+
+    Shape: both sides explode to distinct (id, gram); the join hits only
+    on grams the BENCHMARK contains — a broadcast-sized dimension at any
+    corpus scale — so the corpus never shuffles on anything wider than
+    its own gram extraction."""
+    c_grams = (corpus.select(F.col(id_col),
+                             F.explode(_ngrams_col(text_col, n)).alias("gram"))
+               .distinct())
+    b_grams = (benchmark.select(F.col(bench_id_col),
+                                F.explode(_ngrams_col(text_col, n)).alias("gram"))
+               .distinct())
+    hits = (c_grams.join(F.broadcast(b_grams), "gram")
+            .groupBy(id_col, bench_id_col)
+            .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+            .filter(F.col("shared_ngrams") >= min_hits))
+    return hits
+
+
 def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
                              id_col: str = "vec_id", threshold: float = 0.95,
                              planes: int = 16) -> DataFrame:

@@ -376,3 +376,27 @@ def test_pii_scrub(spark):
     assert out[3].ssn_count == 1 and "[SSN]" in out[3].text
     assert out[4].text == "nothing sensitive here"
     assert out[4].email_count == out[4].phone_count == out[4].ssn_count == 0
+
+
+def test_boilerplate_and_contamination(spark):
+    from spatial_spark.operators.dedup import (
+        boilerplate_lines, contamination_check)
+    docs = spark.createDataFrame(
+        [(1, "unique prose one\nCOMMON FOOTER\nmore text"),
+         (2, "other words here\nCOMMON FOOTER"),
+         (3, "third document\nCOMMON FOOTER\nrare line"),
+         (4, "nothing shared at all")],
+        "doc_id long, text string")
+    bp = {r.line: r.n_docs for r in boilerplate_lines(docs, min_df=2).collect()}
+    assert bp == {"COMMON FOOTER": 3}
+    # contamination: doc 5 quotes the benchmark verbatim, doc 6 does not
+    corpus = spark.createDataFrame(
+        [(5, "intro words the quick brown fox jumps over the lazy dog end"),
+         (6, "totally unrelated content with no overlap whatsoever here")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "bench_id long, text string")
+    hits = contamination_check(corpus, bench, n=8).collect()
+    assert {(r.doc_id, r.bench_id) for r in hits} == {(5, 100)}
+    assert all(r.shared_ngrams >= 1 for r in hits)
