@@ -95,9 +95,21 @@ def _fragment_rings(rings_a, rings_b):
                     continue
                 ts.extend(_seg_intersections(a0, a1, b0, b1))
             ts = sorted(set(ts))
+
+            def at(t):
+                # exact endpoints at t∈{0,1}: a0+(a1-a0)*1.0 is NOT a1 in
+                # float, and a vertex sitting on a key-grid half-boundary
+                # then rounds to a different key than its own ring start —
+                # an unclosable union ring (hole-case fuzz find)
+                if t == 0.0:
+                    return a0
+                if t == 1.0:
+                    return a1
+                return a0 + (a1 - a0) * t
+
             for k in range(len(ts) - 1):
-                p = a0 + (a1 - a0) * ts[k]
-                q = a0 + (a1 - a0) * ts[k + 1]
+                p = at(ts[k])
+                q = at(ts[k + 1])
                 if _key(p) != _key(q):
                     frags.append(np.array([p, q]))
     return frags

@@ -224,3 +224,48 @@ def test_difference_area_conservation_triangles(a, b):
     i = area(intersection(a, b))
     assert area(difference(a, b)) + i == pytest_approx(area(a))
     assert area(difference(b, a)) + i == pytest_approx(area(b))
+
+
+def test_overlay_conservation_with_holes():
+    """Seeded sweep of rect-with-hole vs triangle/rect-with-hole pairs:
+    union/intersection/difference area conservation must hold with hole
+    rings in play (caught the t=1 endpoint-recompute key bug)."""
+    import random
+    rng = random.Random(11)
+
+    def rect_with_hole():
+        x0 = rng.uniform(-100, 50)
+        y0 = rng.uniform(-100, 50)
+        w = rng.uniform(10, 80)
+        h = rng.uniform(10, 80)
+        hx = x0 + w * rng.uniform(0.2, 0.5)
+        hy = y0 + h * rng.uniform(0.2, 0.5)
+        hw = w * rng.uniform(0.1, 0.4)
+        hh = h * rng.uniform(0.1, 0.4)
+        return from_wkt(
+            f"POLYGON (({x0} {y0}, {x0+w} {y0}, {x0+w} {y0+h}, {x0} {y0+h},"
+            f" {x0} {y0}), ({hx} {hy}, {hx} {hy+hh}, {hx+hw} {hy+hh},"
+            f" {hx+hw} {hy}, {hx} {hy}))")
+
+    def tri():
+        while True:
+            pts = [(rng.uniform(-120, 120), rng.uniform(-120, 120))
+                   for _ in range(3)]
+            (ax, ay), (bx, by), (cx, cy) = pts
+            cr = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+            if abs(cr) > 1.0:
+                if cr < 0:
+                    pts = [pts[0], pts[2], pts[1]]
+                ring = pts + [pts[0]]
+                return from_wkt("POLYGON ((" + ", ".join(
+                    f"{x!r} {y!r}" for x, y in ring) + "))")
+
+    for i in range(150):
+        a = rect_with_hole()
+        b = tri() if i % 2 == 0 else rect_with_hole()
+        u = area(union(a, b))
+        x = area(intersection(a, b))
+        d = area(difference(a, b))
+        exp = area(a) + area(b)
+        assert abs(u + x - exp) <= max(1e-6, 1e-8 * abs(exp)), (i, u + x, exp)
+        assert abs(d + x - area(a)) <= max(1e-6, 1e-8 * area(a)), (i, d + x)
