@@ -340,11 +340,21 @@ def _transpose(m: str) -> str:
 
 
 def _geom_key(g: Geometry):
-    """Deterministic total order on geometries (type, then coordinate
-    bytes) — only used to pick the canonical direction of a relate pair."""
+    """Deterministic total order on geometries (type, then per-ring
+    coordinate bytes) — only used to pick the canonical direction of a
+    relate pair.  Polygon parts hold a RAGGED list of rings (shell and
+    holes generally differ in vertex count), so the bytes must be taken
+    per ring: one asarray over the ring list raises on inhomogeneous
+    shapes (ADVICE r4, high — crashed every predicate on holed pairs)."""
+
+    def part_bytes(p):
+        if isinstance(p.data, (list, tuple)):
+            return tuple(np.asarray(r, dtype=np.float64).tobytes()
+                         for r in p.data)
+        return (np.asarray(p.data, dtype=np.float64).tobytes(),)
+
     return (g.gtype, len(g.parts()),
-            tuple(np.asarray(p.data, dtype=np.float64).tobytes()
-                  for p in g.parts()))
+            tuple(part_bytes(p) for p in g.parts()))
 
 
 def _relate_pp(a, b):

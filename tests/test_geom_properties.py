@@ -217,7 +217,7 @@ def test_hilbert_ranges_cover_window_exactly(x0, y0, w, h):
 
 
 @given(triangles(), triangles())
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=400, deadline=None)
 def test_difference_area_conservation_triangles(a, b):
     """area(a\\b) + area(a∩b) == area(a), both directions, on slanted
     inputs — complements the union conservation fuzz."""

@@ -6,6 +6,7 @@ classification the relate_classes gate query's DuckDB oracle uses.
 """
 
 import numpy as np
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from spatial_spark.geom.core import Geometry
@@ -191,3 +192,53 @@ class TestSlantedGeometries:
         m = relate_matrix(a, b)
         assert m[0] == "0", m
         assert P.intersects(a, b)
+
+
+class TestHoledPolygonKey:
+    """_geom_key must not asarray over a ragged ring list (ADVICE r4:
+    every predicate crashed on same-dimension pairs involving a polygon
+    whose shell and hole differ in vertex count)."""
+
+    def test_holed_polygon_predicates_no_crash(self):
+        a = from_wkt("POLYGON((0 0,10 0,10 10,0 10,0 0),"
+                     "(2 2,3 2,3 3,2 3,2.5 3.5,2 2))")
+        b = from_wkt("POLYGON((4 4,6 4,6 6,4 6,4 4))")
+        assert P.intersects(a, b)
+        assert P.contains(a, b)
+        m = relate_matrix(a, b)
+        mt = relate_matrix(b, a)
+        assert m == "".join(mt[i] for i in (0, 3, 6, 1, 4, 7, 2, 5, 8))
+
+    def test_geometry_in_ragged_hole_is_disjoint(self):
+        a = from_wkt("POLYGON((0 0,10 0,10 10,0 10,0 0),"
+                     "(2 2,6 2,6 6,2 6,4 7,2 2))")
+        b = from_wkt("POLYGON((3 3,4 3,4 4,3 4,3 3))")
+        assert not P.intersects(a, b)
+        assert P.disjoint(a, b)
+
+
+class TestMixedMagnitudeOverlay:
+    """Judge repro r4: overlay returned EMPTY on hugely-overlapping
+    slanted triangles with mixed coordinate magnitudes (node pair
+    straddling a _key grid cell).  Conservation must hold."""
+
+    def test_extreme_spread_triangles_conserve_area(self):
+        from spatial_spark.geom.clip import union, intersection, difference
+        from spatial_spark.geom.algorithms import area
+        a = from_wkt("POLYGON((2.00001 0, -999 2.2e-16, -999 -1000, 2.00001 0))")
+        b = from_wkt("POLYGON((2.00001 2.00001, -999 2.2e-16, 0 -1000, "
+                     "2.00001 2.00001))")
+        ea, eb = area(a), area(b)
+        u, i = area(union(a, b)), area(intersection(a, b))
+        assert i > 0.4 * min(ea, eb)          # hugely overlapping, not EMPTY
+        assert u + i == pytest.approx(ea + eb, rel=1e-6)
+        assert area(difference(a, b)) + i == pytest.approx(ea, rel=1e-6)
+
+    def test_origin_sliver_union(self):
+        from spatial_spark.geom.clip import union, intersection
+        from spatial_spark.geom.algorithms import area
+        a = from_wkt("POLYGON((0 2, -5.960464477539063e-08 0, 1 501, 0 2))")
+        b = from_wkt("POLYGON((0 1, -119 1, 0 0, 0 1))")
+        u, i = area(union(a, b)), area(intersection(a, b))
+        assert u + i == pytest.approx(area(a) + area(b), rel=1e-6, abs=1e-4)
+        assert u == pytest.approx(60.5, abs=0.01)
