@@ -912,57 +912,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return fn(spark, sf_dir)
         return run
 
+    # Dict ORDER is part of the driver contract: the driver's correctness
+    # gate checks the first 50 entries.  r3/r4 shipped the same 50-key
+    # prefix, leaving 14 registered queries pytest-covered but never
+    # driver-oracled (VERDICT r4 ask #2).  Rotation: the 14 first-timers
+    # lead, then the 36 highest-value veterans; the 14 demoted veterans
+    # (positions 51-64) are each shadowed by a kept query exercising the
+    # same code path (e.g. spatial_join_grid by spatial_join, layer_knn by
+    # knn, tpch_q1 by revenue_by_nation) and keep their local-gate oracles.
     return {name: wrap(fn) for name, fn in {
-        "within_distance": _q_within_distance,
-        "knn": _q_knn,
-        "bbox_window": _q_bbox_window,
-        "layer_stats": _q_layer_stats,
-        "spatial_join": _q_spatial_join,
-        "spatial_join_grid": _q_spatial_join_grid,
-        "spatial_join_agg": _q_spatial_join_agg,
-        "distance_join": _q_distance_join,
-        "st_area_rects": _q_st_area_rects,
-        "st_centroid_rects": _q_st_centroid_rects,
-        "extract_points": _q_extract_points,
-        "path_envelope": _q_path_envelope,
-        "geometry_meta": _q_geometry_meta,
-        "orthodromic_length": _q_orthodromic_length,
-        "zorder_keys": _q_zorder_keys,
-        "cql_filter": _q_cql_filter,
-        "property_paging": _q_property_paging,
-        "keep_max": _q_keep_max,
-        "tpch_q1": _q_tpch_q1,
-        "revenue_by_nation": _q_revenue_by_nation,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_groups": _q_dedup_groups,
-        "token_counts": _q_token_counts,
-        "quality_scores": _q_quality,
-        "lang_id": _q_lang_id,
-        "fingerprint": _q_fingerprint,
-        "knn_cosine": _q_knn_cosine,
-        "events_daily": _q_events_daily,
-        "st_intersection_area": _q_st_intersection_area,
-        "st_union_area": _q_st_union_area,
-        "st_difference_area": _q_st_difference_area,
-        "st_symdifference_area": _q_st_symdifference_area,
-        "relate_classes": _q_relate_classes,
-        "st_buffer_area": _q_st_buffer_area,
-        "st_buffer_lines": _q_st_buffer_lines,
-        "geohash": _q_geohash,
-        "sessionize": _q_sessionize,
-        "dynamic_view": _q_dynamic_view,
-        "layer_within_distance": _q_layer_within_distance,
-        "layer_knn": _q_layer_knn,
-        "line_interpolate": _q_line_interpolate,
-        "hilbert_keys": _q_hilbert_keys,
-        "minhash_pairs": _q_minhash_pairs,
-        "simhash_pairs": _q_simhash_pairs,
-        "union_all_rects": _q_union_all_rects,
-        "density_islands": _q_density_islands,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "dedup_clusters": _q_dedup_clusters,
-        "winnowing": _q_winnowing,
-        "tf_idf": _q_tf_idf,
+        # --- first-timers: never had a driver CORRECTNESS row ---
         "ivf_knn": _q_ivf_knn,
         "media_features": _q_media_features,
         "media_histogram": _q_media_histogram,
@@ -977,6 +936,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "boilerplate": _q_boilerplate,
         "contamination": _q_contamination,
+        # --- veterans kept in the 50-row window ---
+        "within_distance": _q_within_distance,
+        "knn": _q_knn,
+        "bbox_window": _q_bbox_window,
+        "layer_stats": _q_layer_stats,
+        "spatial_join": _q_spatial_join,
+        "spatial_join_agg": _q_spatial_join_agg,
+        "distance_join": _q_distance_join,
+        "st_area_rects": _q_st_area_rects,
+        "extract_points": _q_extract_points,
+        "geometry_meta": _q_geometry_meta,
+        "orthodromic_length": _q_orthodromic_length,
+        "zorder_keys": _q_zorder_keys,
+        "cql_filter": _q_cql_filter,
+        "keep_max": _q_keep_max,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "dedup_exact": _q_dedup_exact,
+        "quality_scores": _q_quality,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "knn_cosine": _q_knn_cosine,
+        "events_daily": _q_events_daily,
+        "st_intersection_area": _q_st_intersection_area,
+        "st_union_area": _q_st_union_area,
+        "st_difference_area": _q_st_difference_area,
+        "relate_classes": _q_relate_classes,
+        "st_buffer_area": _q_st_buffer_area,
+        "st_buffer_lines": _q_st_buffer_lines,
+        "geohash": _q_geohash,
+        "sessionize": _q_sessionize,
+        "dynamic_view": _q_dynamic_view,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "density_islands": _q_density_islands,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
+        "tf_idf": _q_tf_idf,
+        # --- demoted veterans (each shadowed by a kept same-path query) ---
+        "spatial_join_grid": _q_spatial_join_grid,
+        "st_centroid_rects": _q_st_centroid_rects,
+        "path_envelope": _q_path_envelope,
+        "property_paging": _q_property_paging,
+        "tpch_q1": _q_tpch_q1,
+        "dedup_groups": _q_dedup_groups,
+        "token_counts": _q_token_counts,
+        "st_symdifference_area": _q_st_symdifference_area,
+        "layer_within_distance": _q_layer_within_distance,
+        "layer_knn": _q_layer_knn,
+        "line_interpolate": _q_line_interpolate,
+        "hilbert_keys": _q_hilbert_keys,
+        "union_all_rects": _q_union_all_rects,
+        "winnowing": _q_winnowing,
     }.items()}
 
 
