@@ -168,6 +168,47 @@ def test_adhoc_spatial_join_plans_jobless(spark, tmp_path):
     assert key(hinted.collect()) == key(unhinted.collect())
 
 
+def test_grid_spatial_join_plans_jobless_without_extent(spark, tmp_path):
+    """r4 verdict #3: the GRID path (big-b, no broadcast) used to run two
+    plan-time min/max extent jobs when no ``extent`` hint was passed.  Now
+    it defaults to the world window — planning launches zero jobs — and
+    the result is identical to an extent-hinted run (cell clamping keeps
+    out-of-window data correct)."""
+    from spatial_spark.functions import register_all
+    from spatial_spark.operators.join import spatial_join
+    register_all(spark)
+    spark.range(300).select(
+        F.col("id"),
+        F.expr("st_point(CAST(id % 30 AS DOUBLE), CAST(id % 13 AS DOUBLE))").alias("geom"),
+        F.lit(1).alias("gtype"),
+        (F.col("id") % 30).cast("double").alias("xmin"),
+        (F.col("id") % 13).cast("double").alias("ymin"),
+        (F.col("id") % 30).cast("double").alias("xmax"),
+        (F.col("id") % 13).cast("double").alias("ymax")) \
+        .write.parquet(str(tmp_path / "ga"))
+    spark.range(40).select(
+        F.col("id"),
+        F.expr("st_make_box(CAST(id % 8 * 4 AS DOUBLE), 0.0, "
+               "CAST(id % 8 * 4 + 4 AS DOUBLE), 13.0)").alias("geom"),
+        F.lit(3).alias("gtype"),
+        (F.col("id") % 8 * 4).cast("double").alias("xmin"),
+        F.lit(0.0).alias("ymin"),
+        (F.col("id") % 8 * 4 + 4).cast("double").alias("xmax"),
+        F.lit(13.0).alias("ymax")) \
+        .write.parquet(str(tmp_path / "gb"))
+    a = spark.read.parquet(str(tmp_path / "ga"))
+    b = spark.read.parquet(str(tmp_path / "gb"))
+    # broadcast_threshold=0 forces the grid path
+    assert _jobs_run(
+        spark, lambda: spatial_join(a, b, "within", broadcast_threshold=0)) == 0
+    got = spatial_join(a, b, "within", broadcast_threshold=0)
+    hinted = spatial_join(a, b, "within", broadcast_threshold=0,
+                          extent=(0.0, 0.0, 30.0, 13.0))
+    key = lambda rows: sorted((r["a_id"], r["b_id"]) for r in rows)
+    assert key(got.collect()) == key(hinted.collect())
+    assert len(got.collect()) > 0
+
+
 def test_ivf_partitioned_store_prunes_files(spark, tmp_path):
     """similarity.write_assigned: the probe's cell filter must become a
     Parquet PARTITION filter (directory pruning), not a row filter."""
