@@ -3,9 +3,10 @@
 Image/audio/video travel as `binary` columns with a metadata struct; all
 decode/feature steps run as Arrow-batched `mapInPandas` so the per-batch
 shape (schema, partitioning, batch iteration) is the real 100 TB plumbing.
-The actual codec calls are STUBBED (no image/audio libs in this container):
-`decoder="fake"` runs a deterministic header-parse stand-in, `decoder="real"`
-raises NotImplementedError at the exact seam where PIL/ffmpeg would slot in.
+`decoder="fake"` runs a deterministic header-parse stand-in (the oracle
+path); `decoder="real"` decodes uncompressed BMP/PPM/WAV natively in
+numpy (operators/codecs.py) and raises only for compressed formats
+(PNG/JPEG/MP4) at the exact seam where PIL/ffmpeg would slot in.
 """
 
 from __future__ import annotations
@@ -47,9 +48,18 @@ def decode_features(df: DataFrame, decoder: str = "fake",
     """Decode payloads → per-item feature struct via mapInPandas.
 
     Output adds: decoded_w, decoded_h, mean_intensity, histogram16.
-    decoder="real" marks where a real codec (PIL / torchaudio / ffmpeg)
-    plugs in; everything around it (Arrow batching, schema, partition
-    parallelism) is production-shaped."""
+
+    decoder="fake" runs the deterministic header-parse stand-in (the
+    oracle path).  decoder="real" decodes uncompressed BMP/PPM/WAV
+    natively in numpy (operators/codecs.py) — a genuine bytes→pixels→
+    features pipeline; compressed formats (PNG/JPEG/MP4) raise at the
+    codec seam where PIL/ffmpeg would plug in.  Everything around the
+    codec (Arrow batching, schema, partition parallelism) is identical
+    on both paths.
+
+    Feature semantics on the real path: images use pixel values over all
+    channels; audio uses |sample|>>8 so the 16-bit PCM amplitude lands in
+    the same 0..255 intensity frame (decoded_w=samples, decoded_h=channels)."""
     out_schema = T.StructType(
         list(df.schema.fields)
         + [T.StructField("decoded_w", T.IntegerType()),
@@ -58,6 +68,7 @@ def decode_features(df: DataFrame, decoder: str = "fake",
            T.StructField("histogram16", T.ArrayType(T.LongType()))])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import decode_any
         for pdf in batches:
             ws, hs, means, hists = [], [], [], []
             for buf in pdf[payload_col]:
@@ -65,9 +76,21 @@ def decode_features(df: DataFrame, decoder: str = "fake",
                     ws.append(None); hs.append(None); means.append(None); hists.append(None)
                     continue
                 if decoder == "real":
-                    raise NotImplementedError(
-                        "real media decode requires PIL/ffmpeg — not in this "
-                        "container; plug the codec in here")
+                    kind, val = decode_any(bytes(buf))
+                    if kind == "image":
+                        img = val
+                        ws.append(int(img.shape[1])); hs.append(int(img.shape[0]))
+                        flat = img.reshape(-1).astype(np.uint8)
+                    else:                      # audio: (rate, (n, ch) int16)
+                        _rate, samples = val
+                        ws.append(int(samples.shape[0]))
+                        hs.append(int(samples.shape[1]))
+                        flat = (np.abs(samples.astype(np.int32)) >> 8) \
+                            .astype(np.uint8).reshape(-1)
+                    means.append(float(flat.mean()) if len(flat) else 0.0)
+                    hists.append(np.histogram(flat, bins=16, range=(0, 256))[0]
+                                 .astype(np.int64).tolist())
+                    continue
                 magic, w, h, _seed = struct.unpack_from("<4sIII", bytes(buf), 0)
                 if magic != b"FAKE":
                     raise ValueError("unknown payload format")
@@ -84,25 +107,39 @@ def decode_features(df: DataFrame, decoder: str = "fake",
 
 def resize_stub(df: DataFrame, target_w: int, target_h: int,
                 payload_col: str = "payload") -> DataFrame:
-    """Resize plumbing: fake decoder emits a payload with the new header
-    dims and nearest-neighbor-sampled body (deterministic)."""
+    """Nearest-neighbor resize inside mapInPandas.
+
+    FAKE payloads keep their header+body shape; real BMP/PPM payloads are
+    decoded, resampled, and re-encoded in the SAME format so a downstream
+    decode_features(decoder="real") keeps working on the resized table."""
     out_schema = df.schema
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import decode_bmp, decode_ppm, encode_bmp, encode_ppm, sniff_format
+
+        def nn(img, th, tw):
+            yi = np.arange(th) * img.shape[0] // th
+            xi = np.arange(tw) * img.shape[1] // tw
+            return img[yi][:, xi]
+
         for pdf in batches:
             out = []
             for buf in pdf[payload_col]:
                 if buf is None:
                     out.append(None)
                     continue
+                fmt = sniff_format(bytes(buf))
+                if fmt == "bmp":
+                    out.append(encode_bmp(nn(decode_bmp(buf), target_h, target_w)))
+                    continue
+                if fmt == "ppm":
+                    out.append(encode_ppm(nn(decode_ppm(buf), target_h, target_w)))
+                    continue
                 magic, w, h, seed = struct.unpack_from("<4sIII", bytes(buf), 0)
                 px = np.frombuffer(bytes(buf), dtype=np.uint8, offset=16)
                 img = px[: w * h].reshape(h, w)
-                yi = (np.arange(target_h) * h // target_h)
-                xi = (np.arange(target_w) * w // target_w)
-                resized = img[yi][:, xi]
                 out.append(struct.pack("<4sIII", b"FAKE", target_w, target_h, seed)
-                           + resized.tobytes())
+                           + nn(img, target_h, target_w).tobytes())
             pdf = pdf.copy()
             pdf[payload_col] = out
             pdf["width"] = target_w

@@ -186,8 +186,86 @@ def test_multimodal_plumbing(spark):
     assert all(r["decoded_w"] == 4 and r["decoded_h"] == 4 for r in f2)
     frames = frame_sample_stub(media, every_n=4)
     assert frames.count() > media.count()
+    # FAKE payloads are not a real format: the real path must still raise
     with pytest.raises(Exception):
         decode_features(media, decoder="real").collect()
+
+
+def test_codecs_bmp_roundtrip_byte_exact():
+    import numpy as np
+    from spatial_spark.operators.codecs import decode_bmp, encode_bmp
+    rng = np.random.default_rng(7)
+    for w, h in [(4, 4), (3, 5), (7, 2), (1, 1)]:   # odd widths hit row padding
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        buf = encode_bmp(img)
+        assert buf[:2] == b"BM"
+        back = decode_bmp(buf)
+        assert back.shape == (h, w, 3)
+        assert np.array_equal(back, img)
+        assert encode_bmp(back) == buf          # byte-exact re-encode
+
+
+def test_codecs_bmp_32bit_and_topdown():
+    import struct
+    import numpy as np
+    from spatial_spark.operators.codecs import decode_bmp
+    # hand-build a 2x2 32-bit top-down BMP (BGRA rows, no padding needed)
+    pix = [(10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120)]  # RGB
+    body = b"".join(struct.pack("<BBBB", b, g, r, 255) for r, g, b in pix)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, -2, 1, 32, 0, len(body),
+                       0, 0, 0, 0)
+    img = decode_bmp(hdr + info + body)
+    assert img.shape == (2, 2, 3)
+    assert img[0, 0].tolist() == [10, 20, 30]   # top-down: first row first
+    assert img[1, 1].tolist() == [100, 110, 120]
+
+
+def test_codecs_ppm_roundtrip_and_comments():
+    import numpy as np
+    from spatial_spark.operators.codecs import decode_ppm, encode_ppm
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    # header comments are legal PPM
+    with_comment = b"P6\n# a comment\n3 2\n# more\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(with_comment), img)
+
+
+def test_codecs_wav_roundtrip():
+    import numpy as np
+    from spatial_spark.operators.codecs import decode_wav, encode_wav
+    samples = (np.sin(np.linspace(0, 20, 400)) * 20000).astype(np.int16)
+    stereo = np.stack([samples, -samples], axis=1)
+    rate, back = decode_wav(encode_wav(stereo, 8000))
+    assert rate == 8000
+    assert np.array_equal(back, stereo)
+
+
+def test_real_decode_features_end_to_end(spark):
+    """decode_features(decoder='real') over a Spark table of real BMP and
+    WAV payloads computes exact pixel/amplitude features."""
+    import numpy as np
+    from spatial_spark.operators.codecs import encode_bmp, encode_wav
+    from spatial_spark.operators.multimodal import MEDIA_SCHEMA, decode_features, resize_stub
+
+    img = np.full((6, 5, 3), 100, dtype=np.uint8)
+    img[0, 0] = (0, 0, 0)
+    wav = encode_wav(np.full(256, 512, dtype=np.int16), 16000)
+    rows = [(0, bytearray(encode_bmp(img)), "image", "bmp", 5, 6, None),
+            (1, bytearray(wav), "audio", "wav", None, None, 16)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in decode_features(df, decoder="real").collect()}
+    bmp_f, wav_f = feats[0], feats[1]
+    assert (bmp_f["decoded_w"], bmp_f["decoded_h"]) == (5, 6)
+    expect_mean = (100.0 * (90 - 3)) / 90           # one black pixel
+    assert abs(bmp_f["mean_intensity"] - expect_mean) < 1e-9
+    assert bmp_f["histogram16"][6] == 87 and bmp_f["histogram16"][0] == 3
+    assert (wav_f["decoded_w"], wav_f["decoded_h"]) == (256, 1)
+    assert wav_f["mean_intensity"] == 2.0           # |512| >> 8
+    # real-format resize: BMP re-encoded as BMP, still decodable downstream
+    resized = decode_features(resize_stub(df.filter("media_id = 0"), 3, 3),
+                              decoder="real").collect()[0]
+    assert (resized["decoded_w"], resized["decoded_h"]) == (3, 3)
 
 
 def test_streaming_windowed_counts(spark, sf_dir, tmp_path):
