@@ -13,6 +13,11 @@ from __future__ import annotations
 
 import json
 
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
 from ..geom import Geometry, from_wkb, from_wkt, to_wkt
 from ..geom.io_text import from_geojson, to_geojson
 
@@ -88,3 +93,48 @@ def extract_attributes(layer, node_id) -> dict:
     row (everything the geometry encoder did not claim)."""
     row = _node_row(layer, node_id)
     return {k: v for k, v in row.asDict().items() if k not in CORE_COLS}
+
+
+# --------------------------------------------------------------- encoders
+def interleaved_to_wkb_udf():
+    """Column fn: interleaved [x0,y0,x1,y1,...] float array → WKB
+    LineString (SimplePropertyEncoder.java:49-75 parity: the reference
+    stores float32 pairs and decodes to a LineString; coordinates are
+    rounded through float32 here so decode round-trips bit-exactly)."""
+    from ..geom.wkb import to_wkb
+
+    @F.pandas_udf(T.BinaryType())
+    def enc(arrs: pd.Series) -> pd.Series:
+        out = []
+        for a in arrs:
+            if a is None:
+                out.append(None)
+                continue
+            v = np.asarray(a, dtype=np.float32).astype(np.float64)
+            if len(v) % 2 or len(v) < 4:
+                raise ValueError(
+                    "SimpleProperty data must hold >=2 interleaved x,y pairs")
+            out.append(to_wkb(Geometry.linestring(v.reshape(-1, 2))))
+        return pd.Series(out)
+
+    return enc
+
+
+def wkb_to_interleaved_udf():
+    """Column fn: WKB LineString → interleaved float32 array (the
+    SimplePropertyEncoder.decodeGeometry direction)."""
+    from ..geom.wkb import from_wkb as _wkb_parse
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def dec(bufs: pd.Series) -> pd.Series:
+        out = []
+        for b in bufs:
+            if b is None:
+                out.append(None)
+                continue
+            g = _wkb_parse(bytes(b))
+            out.append(np.asarray(g.data, dtype=np.float64)
+                       .reshape(-1).astype(np.float32).tolist())
+        return pd.Series(out)
+
+    return dec

@@ -29,6 +29,10 @@ from .sfc import DEFAULT_LEVEL, WGS84, hilbert_encode, zorder_encode
 ENC_POINT = "point"          # SimplePointEncoder: two double columns
 ENC_WKB = "wkb"              # WKBGeometryEncoder: binary column (default generic)
 ENC_WKT = "wkt"              # WKTGeometryEncoder: string column
+ENC_ARRAY = "array"          # SimplePropertyEncoder: interleaved float32 [x0,y0,x1,y1,...]
+ENC_NATIVE_POINT = "native_point"  # NativePointEncoder: struct{x,y[,srid]} column
+
+_ENCODERS = (ENC_POINT, ENC_WKB, ENC_WKT, ENC_ARRAY, ENC_NATIVE_POINT)
 
 
 class SpatialContext:
@@ -55,12 +59,21 @@ class SpatialContext:
 
     def create_layer(self, name: str, encoder: str = ENC_WKB,
                      crs: str = "WGS84", geometry_type: str | None = None,
-                     curve: str = "zorder") -> "Layer":
+                     curve: str = "zorder",
+                     config: dict | None = None) -> "Layer":
+        """``config`` carries encoder options, mirroring the reference's
+        encoder configuration string (Configurable.setConfiguration):
+        array encoder: {"data": <array column>}; native point encoder:
+        {"location": <struct column>}."""
         if curve not in ("zorder", "hilbert"):
             raise ValueError(f"unknown curve {curve!r}")
+        if encoder not in _ENCODERS:
+            raise ValueError(f"unknown encoder {encoder!r} (one of {_ENCODERS})")
+        cfg = {"curve": curve}
+        cfg.update(config or {})
         self.catalog.add_layer(name, encoder=encoder, crs=crs,
                                geometry_type=geometry_type,
-                               config={"curve": curve})
+                               config=cfg)
         return Layer(self, name)
 
     def create_wkt_layer(self, name: str, crs: str = "WGS84") -> "Layer":
@@ -84,7 +97,9 @@ class SpatialContext:
         the registered layer/encoder presets."""
         return {
             "SimplePoint": {"encoder": ENC_POINT, "geometry_type": "Point"},
-            "NativePoint": {"encoder": ENC_POINT, "geometry_type": "Point"},
+            "NativePoint": {"encoder": ENC_NATIVE_POINT, "geometry_type": "Point"},
+            "NativePoints": {"encoder": ENC_NATIVE_POINT, "geometry_type": "Point"},
+            "SimpleProperty": {"encoder": ENC_ARRAY, "geometry_type": "LineString"},
             "WKT": {"encoder": ENC_WKT, "geometry_type": None},
             "WKB": {"encoder": ENC_WKB, "geometry_type": None},
             "Geometry": {"encoder": ENC_WKB, "geometry_type": None},
@@ -154,6 +169,28 @@ class Layer:
             x = x or meta["config"].get("x", "longitude")
             y = y or meta["config"].get("y", "latitude")
             out = self._encode_points(df, x, y)
+        elif enc == ENC_NATIVE_POINT:
+            # NativePointEncoder.java:52-63 parity: a single point-struct
+            # property; non-point input is impossible by construction (the
+            # struct IS a point), matching the reference's gtype guard.
+            # The struct column stays as an attribute; core columns come
+            # from its fields — same storage shape as ENC_POINT (no WKB).
+            loc = meta["config"].get("location", "location")
+            if loc not in df.columns:
+                raise ValueError(f"native point layer needs a {loc!r} struct column")
+            out = self._encode_points(df, f"{loc}.x", f"{loc}.y")
+        elif enc == ENC_ARRAY:
+            # SimplePropertyEncoder.java:49-75 parity: interleaved float32
+            # pairs, LineString-only.  The WKB working form is derived
+            # through a float32 round so decode (wkb_to_interleaved_udf)
+            # reproduces the reference's stored array bit-exactly.
+            from .functions.conversion import interleaved_to_wkb_udf
+            data = meta["config"].get("data", "data")
+            if data not in df.columns:
+                raise ValueError(f"array layer needs a {data!r} array column")
+            out = self._encode_wkb(
+                df.withColumn("geom", interleaved_to_wkb_udf()(F.col(data)))
+                  .drop(data))
         elif wkt is not None or enc == ENC_WKT:
             wkt_col = wkt or "wkt"
             out = self._encode_wkb(df.withColumn("geom", F.expr(f"st_geomfromtext({wkt_col})"))
@@ -378,7 +415,7 @@ class Layer:
         """True/False from write-time stats; None when unknown (pre-stats
         layer) — callers must then choose the conservative plan, never a
         planning-time scan."""
-        if self.meta["encoder"] == ENC_POINT:
+        if self.meta["encoder"] in (ENC_POINT, ENC_NATIVE_POINT):
             return True
         s = self.stats
         if "gtype_min" in s and "gtype_max" in s:
@@ -389,7 +426,7 @@ class Layer:
     def all_rects(self) -> bool | None:
         """True iff every geometry is exactly its bbox polygon — from the
         write-time rect_min stat; None when unknown (pre-stats layer)."""
-        if self.meta["encoder"] == ENC_POINT:
+        if self.meta["encoder"] in (ENC_POINT, ENC_NATIVE_POINT):
             return False
         s = self.stats
         if "rect_min" in s:

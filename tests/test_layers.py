@@ -227,3 +227,90 @@ def test_cql_dwithin_wkb_layer(ctx, spark):
         "id long, wkt string"), wkt="wkt")
     near = layer.cql("DWITHIN(the_geom, POINT(13.0 56.0), 10, kilometers)")
     assert {r["id"] for r in near.collect()} == {1, 2}
+
+
+class TestEncoderIndexMatrix:
+    """Encoder x SFC-curve matrix (IndexImplementationMatrixTest.java:82-182
+    parity): every encoder preset must answer the same searches under
+    either write-clustering curve."""
+
+    POINTS = [(i, 12.9 + (i % 5) * 0.01, 56.0 + (i // 5) * 0.01)
+              for i in range(25)]
+
+    def _make(self, ctx, spark, encoder, curve, name):
+        from spatial_spark.layer import (
+            ENC_ARRAY, ENC_NATIVE_POINT, ENC_POINT, ENC_WKB, ENC_WKT,
+        )
+        if encoder == ENC_POINT:
+            layer = ctx.create_point_layer(name, x="lon", y="lat", curve=curve)
+            layer.add(spark.createDataFrame(
+                self.POINTS, "id long, lon double, lat double"))
+        elif encoder == ENC_NATIVE_POINT:
+            layer = ctx.create_layer(name, encoder=encoder, curve=curve,
+                                     config={"location": "location"})
+            rows = [(i, {"x": x, "y": y, "srid": 4326})
+                    for i, x, y in self.POINTS]
+            layer.add(spark.createDataFrame(
+                rows, "id long, location struct<x:double,y:double,srid:int>"))
+        elif encoder == ENC_WKT:
+            layer = ctx.create_wkt_layer(name)
+            rows = [(i, f"POINT ({x} {y})") for i, x, y in self.POINTS]
+            layer.add(spark.createDataFrame(rows, "id long, wkt string"),
+                      wkt="wkt")
+        elif encoder == ENC_ARRAY:
+            # degenerate 2-point linestrings anchored at each grid point
+            layer = ctx.create_layer(name, encoder=encoder, curve=curve)
+            rows = [(i, [x, y, x + 1e-4, y]) for i, x, y in self.POINTS]
+            layer.add(spark.createDataFrame(rows, "id long, data array<double>"))
+        else:  # ENC_WKB
+            layer = ctx.create_layer(name, encoder=encoder, curve=curve)
+            df = spark.createDataFrame(
+                [(i, x, y) for i, x, y in self.POINTS],
+                "id long, x double, y double"
+            ).select("id", F.expr("st_point(x, y)").alias("geom"))
+            layer.add(df)
+        return layer
+
+    def test_matrix(self, ctx, spark):
+        from spatial_spark.layer import (
+            ENC_ARRAY, ENC_NATIVE_POINT, ENC_POINT, ENC_WKB, ENC_WKT,
+        )
+        # bbox covering the 3x3 lower corner of the 5x5 grid
+        window = (12.899, 55.999, 12.921, 56.021)
+        expect = {i for i, x, y in self.POINTS
+                  if window[0] <= x <= window[2] and window[1] <= y <= window[3]}
+        for encoder in (ENC_POINT, ENC_NATIVE_POINT, ENC_WKT, ENC_ARRAY, ENC_WKB):
+            for curve in ("zorder", "hilbert"):
+                name = f"mx_{encoder}_{curve}"
+                layer = self._make(ctx, spark, encoder, curve, name)
+                got = {r["id"] for r in
+                       layer.bbox_search(*window).select("id").collect()}
+                assert got == expect, (encoder, curve)
+                assert layer.count() == 25
+                ctx.remove_layer(name)
+
+    def test_array_roundtrip_float32_exact(self, ctx, spark):
+        """decode reproduces the reference's stored float32 array
+        bit-exactly (SimplePropertyEncoder decode direction)."""
+        import numpy as np
+        from spatial_spark.functions.conversion import wkb_to_interleaved_udf
+        layer = ctx.create_layer("arr_rt", encoder="array")
+        src = [0.1, 0.2, 0.30000001, 4.0000001e-8]   # not float64-exact values
+        layer.add(spark.createDataFrame([(1, src)], "id long, data array<double>"))
+        row = layer.df().select(
+            wkb_to_interleaved_udf()(F.col("geom")).alias("data")).first()
+        assert row["data"] == np.asarray(src, dtype=np.float32).tolist()
+        ctx.remove_layer("arr_rt")
+
+    def test_native_point_searches(self, ctx, spark):
+        layer = ctx.create_layer("np_l", encoder="native_point",
+                                 config={"location": "location"})
+        rows = [(i, {"x": x, "y": y, "srid": 4326}) for i, x, y in self.POINTS]
+        layer.add(spark.createDataFrame(
+            rows, "id long, location struct<x:double,y:double,srid:int>"))
+        assert layer.all_points is True
+        res = layer.within_distance(12.92, 56.02, 1.0)
+        assert res.count() > 0
+        # the native struct column survives as an attribute
+        assert "location" in layer.df().columns
+        ctx.remove_layer("np_l")
