@@ -187,8 +187,10 @@ st_envelope = _u_geom(alg.envelope_geom)
 @F.pandas_udf(T.BinaryType())
 def st_centroid(wkb: pd.Series) -> pd.Series:
     """Centroid; uniform single-ring-polygon batches use the batched
-    area-weighted formula (identical arithmetic to algorithms.centroid
-    for the single-ring case), others the general kernel."""
+    area-weighted formula with the SAME op order as algorithms.centroid
+    (including the kernel's `(cx*s)/s` weight round-trip, which is not a
+    float identity), so a row's bytes do not depend on whether its Arrow
+    batch happened to be uniform (ADVICE r4)."""
     ub = _uniform_batch(wkb)
     if ub is not None and ub[1] == 3 and ub[0].shape[1] >= 4:
         c = ub[0]
@@ -197,8 +199,9 @@ def st_centroid(wkb: pd.Series) -> pd.Series:
         cross = x * y2 - x2 * y
         tot = 0.5 * np.sum(cross, axis=1)
         if bool(np.all(tot != 0.0)):
-            cx = np.sum((x + x2) * cross, axis=1) / (6.0 * tot)
-            cy = np.sum((y + y2) * cross, axis=1) / (6.0 * tot)
+            s = np.abs(tot)
+            cx = (np.sum((x + x2) * cross, axis=1) / (6.0 * tot) * s) / s
+            cy = (np.sum((y + y2) * cross, axis=1) / (6.0 * tot) * s) / s
             return pd.Series(_points_to_wkb_rows(cx, cy))
     return wkb.map(lambda b: None if b is None
                    else to_wkb(alg.centroid(from_wkb(b))))

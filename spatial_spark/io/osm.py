@@ -65,6 +65,26 @@ def _parse_chunk(path: str, start: int, end: int, read_step: int = 1 << 22):
             buf += more
             return True
 
+        def tag_close(from_pos):
+            # Offset of the '>' that ends the tag opened at from_pos.
+            # XML allows a raw '>' inside quoted attribute values, so the
+            # first '>' is not necessarily the tag close: track quote state.
+            i = from_pos
+            quote = 0
+            while True:
+                while i >= len(buf):
+                    if not extend():
+                        return len(buf) - 1
+                c = buf[i]
+                if quote:
+                    if c == quote:
+                        quote = 0
+                elif c in (34, 39):  # '"' or "'"
+                    quote = c
+                elif c == 62:  # '>'
+                    return i
+                i += 1
+
         pos = 0
         rows = []
         while True:
@@ -73,17 +93,23 @@ def _parse_chunk(path: str, start: int, end: int, read_step: int = 1 << 22):
                 m = elem_re.search(buf, pos)
             if m is None or start + m.start() >= end:
                 break
+            # element-start text inside an XML comment is not an element:
+            # skip past the comment instead of emitting phantom rows.  (A
+            # chunk that BEGINS mid-comment can't see the opener — same
+            # accepted blind spot as beginning mid-CDATA; OSM dumps carry
+            # comments only between elements.)
+            cm = buf.find(b"<!--", pos, m.start() + 1)
+            if cm != -1 and cm <= m.start():
+                cend = buf.find(b"-->", cm)
+                while cend == -1 and extend():
+                    cend = buf.find(b"-->", cm)
+                pos = cend + 3 if cend != -1 else len(buf)
+                continue
             kind = m.group(1).decode()
             close = b"</" + m.group(1) + b">"
             # element ends at its self-closing '/>' (before any child tag)
             # or at the matching close tag; extend the buffer as needed
-            while True:
-                gt = buf.find(b">", m.start())
-                if gt != -1:
-                    break
-                if not extend():
-                    gt = len(buf) - 1
-                    break
+            gt = tag_close(m.start())
             if gt > m.start() and buf[gt - 1:gt] == b"/":
                 span_end = gt + 1
             else:

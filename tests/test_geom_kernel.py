@@ -356,3 +356,26 @@ def test_uniform_batch_decode_matches_per_row():
     ubp = _uniform_batch(pd.Series([pt] * 7))
     assert ubp is not None and ubp[1] == 1 and ubp[0].shape == (7, 1, 2)
     assert _uniform_batch(pd.Series([pt, None, pt])) is None
+
+
+def test_batched_centroid_bit_identical_to_kernel():
+    """ADVICE r4: a row's centroid bytes must not depend on whether its
+    Arrow batch happened to be uniform.  The batched formula replicates
+    the kernel's exact op order (incl. the (cx*s)/s weight round-trip),
+    so slanted triangles — where sum/(6*tot) and (cx*s)/s can differ by
+    an ulp — must come out byte-equal."""
+    import pandas as pd
+    import numpy as np
+    from spatial_spark.functions.scalar import st_centroid
+    from spatial_spark.geom import Geometry, from_wkb, to_wkb
+    from spatial_spark.geom.algorithms import centroid
+
+    rng = np.random.default_rng(42)
+    tris = []
+    for _ in range(300):
+        p = rng.uniform(-1e3, 1e3, (3, 2)) * rng.choice([1e-6, 1.0, 1e4])
+        ring = np.vstack([p, p[:1]])
+        tris.append(to_wkb(Geometry(3, [ring])))
+    batched = st_centroid.func(pd.Series(tris))
+    for b, out in zip(tris, batched):
+        assert out == to_wkb(centroid(from_wkb(b))), from_wkb(b)

@@ -388,3 +388,40 @@ def test_osm_parse_no_driver_materialization(spark, tmp_path, monkeypatch):
     for data in calls:
         assert not (isinstance(data, list) and len(data) > 10), \
             "driver-side element list materialized"
+
+
+def test_osm_parse_quote_and_comment_edges(tmp_path):
+    """ADVICE r4: a raw '>' inside a quoted attribute value must not be
+    mistaken for the tag close (worst case: preceded by '/', which used to
+    flag a self-closing element), and element-start text inside an XML
+    comment must not be parsed as a real element."""
+    from spatial_spark.io.osm import _parse_chunk
+    xml = (
+        '<?xml version="1.0"?>\n<osm version="0.6">\n'
+        # attribute value containing '/>': first '>' is inside quotes
+        '  <node id="1" lon="1.0" lat="2.0" user="a/>b">\n'
+        '    <tag k="name" v="kept"/>\n'
+        '  </node>\n'
+        '  <!-- disabled: <node id="99" lon="0" lat="0"/> -->\n'
+        '  <node id="2" lon="3.0" lat="4.0"/>\n'
+        '  <!-- a comment\n     spanning lines <way id="77"> -->\n'
+        '  <way id="10"><nd ref="1"/><nd ref="2"/></way>\n'
+        '</osm>\n'
+    )
+    p = tmp_path / "edges.osm"
+    p.write_text(xml)
+    rows = _parse_chunk(str(p), 0, p.stat().st_size)
+    nodes = {r[1] for r in rows if r[0] == "node"}
+    ways = {r[1] for r in rows if r[0] == "way"}
+    tags = {(r[1], r[8], r[9]) for r in rows if r[0] == "node_tag"}
+    assert nodes == {1, 2}, rows          # 99 (commented) excluded, 1 parsed whole
+    assert ways == {10}                    # 77 (commented) excluded
+    assert (1, "name", "kept") in tags     # node 1 was not cut at the fake '/>'
+    # chunk splits landing inside the comment must not resurrect node 99
+    size = p.stat().st_size
+    split_rows = []
+    for s, e in [(0, size // 3), (size // 3, 2 * size // 3), (2 * size // 3, size)]:
+        split_rows.extend(_parse_chunk(str(p), s, e))
+    assert {r[1] for r in split_rows if r[0] == "node"} <= {1, 2, 99}
+    assert sorted(split_rows) == sorted(rows) or \
+        {r[1] for r in split_rows if r[0] == "node"} == {1, 2}
