@@ -22,6 +22,10 @@ HEADLINE = [
     "zorder_keys", "tpch_q1", "revenue_by_nation", "dedup_exact",
     "minhash_pairs", "simhash_pairs", "quality_scores", "lang_id",
     "knn_cosine", "events_daily",
+    # dedup/text axis heavies — previously correctness-gated only; a
+    # regression here (e.g. the r4 ngram O(L²) tokenizer) now fails loudly
+    "ngram_jaccard", "dedup_clusters", "contamination", "winnowing",
+    "tf_idf",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: min(previous budget, ~1.6x the
@@ -38,6 +42,10 @@ BUDGET_SF01 = {
     "dedup_exact": 0.7, "minhash_pairs": 4.3, "simhash_pairs": 5.0,
     "quality_scores": 0.8, "lang_id": 0.6, "knn_cosine": 0.4,
     "events_daily": 0.5,
+    # initial pins at ~1.6x the best observed in-bench times
+    # (r5: 4.1 / 5.8 / 2.4 / 0.95 / 1.25)
+    "ngram_jaccard": 6.6, "dedup_clusters": 9.3, "contamination": 3.8,
+    "winnowing": 1.6, "tf_idf": 2.1,
 }
 
 

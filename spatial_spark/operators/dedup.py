@@ -228,24 +228,59 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     a candidate — the fully exact operator, at the cost of quadratic
     hot-gram buckets (use only when the gram frequency distribution is
     known to be flat)."""
+    # per-doc distinct gram count is a pure map (no explode/shuffle); the
+    # join key is the 64-bit gram hash, not the gram string — the shuffle
+    # carries 8 bytes instead of an ~3-word string per row.  Counts could
+    # differ only if two DIFFERENT grams colliding at 64 bits met inside
+    # one candidate pair (~1e-19 per pair — documented approximation).
+    garr = F.array_distinct(_ngrams_col(text_col, n))
+    # Pair generation: ONE groupBy(gram) collects each gram's (tiny) doc
+    # list, singleton grams — the vast majority of any corpus — drop
+    # before expansion, and ordered pairs expand IN PLACE.  vs the naive
+    # gram self-join this derives the grams once instead of twice and
+    # replaces the join's two-sided shuffle with a single keyed shuffle.
+    # A gram with document frequency D expands to D(D-1)/2 rows inside
+    # one task — bounded by max_df² in capped mode; in exact mode an
+    # unbounded hot gram is a task-level hotspot, the inherent cost of
+    # exactness (use the cap at corpus scale).
+    def _pair_buckets(g, hi):
+        # collect_list over a PLAIN long: a struct payload here demotes
+        # the aggregate off the fast object-hash path (measured 30x
+        # slower), which is why |A|,|B| join back below instead of riding
+        # along in the bucket.
+        b = g.groupBy("gram").agg(F.collect_list(id_col).alias("ids"))
+        b = b.filter(F.size("ids") >= 2)
+        if hi is not None:
+            b = b.filter(F.size("ids") <= hi)
+        pair_arr = F.filter(
+            F.flatten(F.transform(
+                "ids",
+                lambda x: F.transform(
+                    "ids", lambda y: F.struct(x.alias("a_id"),
+                                              y.alias("b_id"))))),
+            lambda s: s["a_id"] < s["b_id"])
+        return (b.select(F.explode(pair_arr).alias("p"))
+                .select("p.a_id", "p.b_id"))
+
     grams = df.select(
         F.col(id_col),
-        F.explode(F.array_distinct(_ngrams_col(text_col, n))).alias("gram"))
-    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+        F.explode(F.transform(garr, lambda g: F.xxhash64(g))).alias("gram"))
     if max_df is None:
-        rare = grams
+        # fully exact mode: each shared distinct gram contributes EXACTLY
+        # one pair row, so |A∩B| is a straight count — no recount joins.
+        inter = (_pair_buckets(grams, None)
+                 .groupBy("a_id", "b_id")
+                 .agg(F.count(F.lit(1)).alias("n_common")))
     else:
-        freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
-        rare = grams.join(freq.filter(F.col("_df") <= max_df), "gram")
-    a = rare.select(F.col(id_col).alias("a_id"), "gram")
-    b = rare.select(F.col(id_col).alias("b_id"), "gram")
-    cand = (a.join(b, "gram").filter(F.col("a_id") < F.col("b_id"))
-            .select("a_id", "b_id").distinct())
-    # exact |A∩B| for candidates over ALL grams; |A∪B| = |A|+|B|-|A∩B|
-    ga = grams.select(F.col(id_col).alias("a_id"), "gram")
-    gb = grams.select(F.col(id_col).alias("b_id"), "gram")
-    inter = (cand.join(ga, "a_id").join(gb, ["b_id", "gram"])
-             .groupBy("a_id", "b_id").agg(F.count(F.lit(1)).alias("n_common")))
+        cand = _pair_buckets(grams, max_df).distinct()
+        # exact |A∩B| for candidates over ALL grams (hot grams included)
+        ga = grams.select(F.col(id_col).alias("a_id"), "gram")
+        gb = grams.select(F.col(id_col).alias("b_id"), "gram")
+        inter = (cand.join(ga, "a_id").join(gb, ["b_id", "gram"])
+                 .groupBy("a_id", "b_id")
+                 .agg(F.count(F.lit(1)).alias("n_common")))
+    # |A∪B| = |A|+|B|-|A∩B|; per-doc distinct-gram counts are a pure map
+    sizes = df.select(F.col(id_col), F.size(garr).alias("n_grams"))
     sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n_grams").alias("a_n"))
     sb = sizes.select(F.col(id_col).alias("b_id"), F.col("n_grams").alias("b_n"))
     return (inter.join(sa, "a_id").join(sb, "b_id")
@@ -258,10 +293,20 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
 def _ngrams_col(text_col: str, n: int):
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
-    # word n-grams via transform over token index range
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    # Word n-grams via zipped SHIFTED copies of the token array, not
+    # per-index slicing: a lambda body like slice(split(text),i,n) inlines
+    # the split into every element evaluation (O(L²·regex) per row — this
+    # exact formulation was a measured 10x slowdown); arrays_zip arguments
+    # evaluate once per ROW, so this is O(n·L).  arrays_zip null-pads the
+    # shorter shifts and concat_ws skips nulls, so the tail would emit
+    # short grams — the final slice keeps the max(L-n+1, 1) real ones
+    # (for L < n that's the single all-tokens gram, as before).
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, F.size(toks)).alias(f"t{i}")
+                            for i in range(n)])
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[f"t{i}"] for i in range(n)]))
+    return F.slice(grams, 1,
+                   F.greatest(F.size(toks) - (n - 1), F.lit(1)))
 
 
 def near_dup_clusters(df: DataFrame, pairs: DataFrame,
