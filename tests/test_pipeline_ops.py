@@ -478,3 +478,160 @@ def test_boilerplate_and_contamination(spark):
     hits = contamination_check(corpus, bench, n=8).collect()
     assert {(r.doc_id, r.bench_id) for r in hits} == {(5, 100)}
     assert all(r.shared_ngrams >= 1 for r in hits)
+
+
+# ---------------------------------------------------------------------------
+# Property fuzz for the r4 pipeline operators (VERDICT r4 ask #7) — each
+# invariant is checked against an exact in-process Python model, mirroring
+# the geometry fuzz discipline: hypothesis picks the inputs, the model is
+# the oracle, Spark must agree EXACTLY (not statistically).
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings, strategies as hst
+
+
+def _py_thresh(rate):
+    n = max(0, min(65536, int(round(float(rate) * 65536))))
+    return "g" if n >= 65536 else format(n, "04x")
+
+
+def _py_bucket(key):
+    import hashlib
+    return hashlib.md5(str(key).encode()).hexdigest()[:4]
+
+
+@given(hst.floats(min_value=0.0, max_value=1.0),
+       hst.floats(min_value=0.0, max_value=1.0))
+@settings(max_examples=300, deadline=None)
+def test_hex_threshold_properties(r1, r2):
+    from spatial_spark.operators.sample import _hex_threshold
+    t1, t2 = _hex_threshold(r1), _hex_threshold(r2)
+    for r, t in ((r1, t1), (r2, t2)):
+        assert t == "g" or (len(t) == 4
+                            and all(c in "0123456789abcdef" for c in t))
+        assert (t == "g") == (round(r * 65536) >= 65536)
+    # monotone: a higher rate never yields a lexicographically lower
+    # threshold ('g' sorts above every hex digit)
+    if r1 <= r2:
+        assert t1 <= t2
+
+
+_ids = hst.lists(hst.integers(min_value=-10**9, max_value=10**9),
+                 min_size=0, max_size=60, unique=True)
+_rate = hst.floats(min_value=0.0, max_value=1.0)
+
+
+@given(_ids,
+       hst.dictionaries(hst.sampled_from(["a", "b", "c"]), _rate,
+                        max_size=3),
+       _rate)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_stratified_sample_matches_model(spark, ids, rates, default_rate):
+    """Exact membership: Spark's kept set must equal the md5 model's,
+    including rate-1.0 ('g' sentinel), rate-0.0, boundary buckets, and
+    strata missing from the rates dict (default_rate)."""
+    from spatial_spark.operators.sample import stratified_sample
+    rows = [(i, ["a", "b", "c", "d"][abs(i) % 4]) for i in ids]
+    df = spark.createDataFrame(rows, "doc_id long, g string") if rows else \
+        spark.createDataFrame([], "doc_id long, g string")
+    kept = {r.doc_id for r in
+            stratified_sample(df, "g", rates, key_col="doc_id",
+                              default_rate=default_rate).collect()}
+    expect = {i for i, g in rows
+              if _py_bucket(i) < _py_thresh(rates.get(g, default_rate))}
+    assert kept == expect
+
+
+@given(_ids,
+       hst.lists(hst.floats(min_value=1e-3, max_value=10.0),
+                 min_size=1, max_size=4))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_split_assign_matches_model(spark, ids, weights):
+    """Splits are disjoint + exhaustive (every row exactly one split) and
+    each row's assignment equals the normalized cumulative-edge model."""
+    from spatial_spark.operators.sample import split_assign
+    names = [f"s{k}" for k in range(len(weights))]
+    wmap = dict(zip(names, weights))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = {r.doc_id: r.split
+           for r in split_assign(df, wmap, key_col="doc_id").collect()}
+    assert set(out) == set(ids)          # exhaustive, one row per id
+    total = sum(weights)
+    acc, edges = 0.0, []
+    for nm, w in wmap.items():
+        acc += w / total
+        edges.append((nm, _py_thresh(min(acc, 1.0))))
+    for i in ids:
+        b = _py_bucket(i)
+        expect = edges[-1][0]
+        for nm, hi in edges:
+            if b < hi:
+                expect = nm
+                break
+        assert out[i] == expect, (i, b, edges)
+
+
+_line = hst.text(alphabet="xyz ", min_size=0, max_size=8)
+
+
+@given(hst.lists(hst.lists(_line, min_size=0, max_size=5),
+                 min_size=0, max_size=8),
+       hst.integers(min_value=1, max_value=4))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_boilerplate_min_df_boundary(spark, docs, min_df):
+    """A line lands in the result iff its trimmed form appears in >=
+    min_df DISTINCT documents; repeats inside one document count once."""
+    from spatial_spark.operators.dedup import boilerplate_lines
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string") if rows \
+        else spark.createDataFrame([], "doc_id long, text string")
+    got = {r.line: r.n_docs
+           for r in boilerplate_lines(df, min_df=min_df).collect()}
+    from collections import Counter
+    per_line = Counter()
+    for i, lines in enumerate(docs):
+        seen = {ln.strip(" ") for ln in "\n".join(lines).split("\n")}
+        for ln in seen:
+            if ln:
+                per_line[ln] += 1
+    assert got == {ln: c for ln, c in per_line.items() if c >= min_df}
+
+
+_text = hst.lists(hst.sampled_from(["alpha", "beta", "gamma", "delta"]),
+                  min_size=1, max_size=10).map(" ".join)
+
+
+@given(hst.lists(_text, min_size=0, max_size=6),
+       hst.lists(_text, min_size=0, max_size=3),
+       hst.integers(min_value=1, max_value=3),
+       hst.integers(min_value=2, max_value=4))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_contamination_min_hits_boundary(spark, corpus, bench, min_hits, n):
+    """A (doc, bench) pair is reported iff they share >= min_hits distinct
+    word n-grams, with the short-document all-tokens gram included."""
+    from spatial_spark.operators.dedup import contamination_check
+
+    def py_ngrams(text):
+        toks = text.lower().split(" ")
+        return {" ".join(toks[i:i + n])
+                for i in range(max(len(toks) - n + 1, 1))}
+
+    cdf = spark.createDataFrame(list(enumerate(corpus)),
+                                "doc_id long, text string") if corpus else \
+        spark.createDataFrame([], "doc_id long, text string")
+    bdf = spark.createDataFrame(list(enumerate(bench)),
+                                "bench_id long, text string") if bench else \
+        spark.createDataFrame([], "bench_id long, text string")
+    got = {(r.doc_id, r.bench_id): r.shared_ngrams
+           for r in contamination_check(cdf, bdf, n=n,
+                                        min_hits=min_hits).collect()}
+    expect = {}
+    for ci, ct in enumerate(corpus):
+        for bi, bt in enumerate(bench):
+            shared = len(py_ngrams(ct) & py_ngrams(bt))
+            if shared >= min_hits:
+                expect[(ci, bi)] = shared
+    assert got == expect
