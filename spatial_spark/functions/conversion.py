@@ -71,16 +71,22 @@ def native_to_wkt(obj) -> str:
 
 
 def _node_row(layer, node_id):
-    from pyspark.sql import functions as F
-    row = layer.df().filter(F.col("id") == node_id).first()
+    # file-pruned two-step read on id-indexed layers, pushed-filter scan
+    # otherwise — see Layer.lookup_row
+    row = layer.lookup_row(node_id)
     if row is None:
         raise KeyError(f"no node {node_id!r} in layer {layer.name!r}")
     return row
 
 
 def decode_geometry(layer, node_id) -> Geometry:
-    """spatial.decodeGeometry: the Geometry stored on a layer row."""
-    return from_wkb(bytes(_node_row(layer, node_id)["geom"]))
+    """spatial.decodeGeometry: the Geometry stored on a layer row.  Point
+    layers store no WKB — the point is its (xmin, ymin) core columns
+    (SimplePointEncoder.decodeGeometry parity)."""
+    d = _node_row(layer, node_id).asDict()
+    if d.get("geom") is not None:
+        return from_wkb(bytes(d["geom"]))
+    return Geometry.point(float(d["xmin"]), float(d["ymin"]))
 
 
 def node_as_wkt(layer, node_id) -> str:

