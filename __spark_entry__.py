@@ -905,6 +905,31 @@ def _q_contamination(spark, sf_dir) -> DataFrame:
     return contamination_check(docs, bench, n=8)
 
 
+def _q_pack_sequences(spark, sf_dir) -> DataFrame:
+    """Sequence packing positions (concat-then-chunk, 512-token windows,
+    one stream per language — the trainer-shard shape)."""
+    from spatial_spark.operators.pack import pack_sequences
+    return pack_sequences(spark.table("documents"), 512, by="lang")
+
+
+def _q_paragraph_dedup(spark, sf_dir) -> DataFrame:
+    """C4-style paragraph-level exact dedup (first occurrence by
+    (doc, position) wins corpus-wide; documents rebuilt)."""
+    from spatial_spark.operators.dedup import paragraph_dedup
+    return paragraph_dedup(spark.table("documents"))
+
+
+def _q_semantic_dedup(spark, sf_dir) -> DataFrame:
+    """SemDeDup-style clustering: exact cosine pairs >= 0.44 (threshold
+    sits in a >=1e-4-wide gap of the pairwise-cosine distribution at
+    every test SF, so engine float-sum noise cannot flip a pair) →
+    connected components → canonical representative."""
+    from spatial_spark.operators.dedup import semantic_dedup
+    e = spark.table("embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    return semantic_dedup(e, threshold=0.44, exact=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -922,6 +947,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # knn, tpch_q1 by revenue_by_nation) and keep their local-gate oracles.
     return {name: wrap(fn) for name, fn in {
         # --- first-timers: never had a driver CORRECTNESS row ---
+        # new in r5 (pack/paragraph/semantic); three multi-round-green
+        # veterans (st_difference_area, st_buffer_lines, fingerprint)
+        # rotate to 51+ to make room, each shadowed by a kept same-path
+        # query (st_intersection_area+st_union_area / st_buffer_area /
+        # dedup_exact's md5 path).
+        "pack_sequences": _q_pack_sequences,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "semantic_dedup": _q_semantic_dedup,
         "ivf_knn": _q_ivf_knn,
         "media_features": _q_media_features,
         "media_histogram": _q_media_histogram,
@@ -955,15 +988,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "quality_scores": _q_quality,
         "lang_id": _q_lang_id,
-        "fingerprint": _q_fingerprint,
         "knn_cosine": _q_knn_cosine,
         "events_daily": _q_events_daily,
         "st_intersection_area": _q_st_intersection_area,
         "st_union_area": _q_st_union_area,
-        "st_difference_area": _q_st_difference_area,
         "relate_classes": _q_relate_classes,
         "st_buffer_area": _q_st_buffer_area,
-        "st_buffer_lines": _q_st_buffer_lines,
         "geohash": _q_geohash,
         "sessionize": _q_sessionize,
         "dynamic_view": _q_dynamic_view,
@@ -974,6 +1004,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "tf_idf": _q_tf_idf,
         # --- demoted veterans (each shadowed by a kept same-path query) ---
+        "fingerprint": _q_fingerprint,
+        "st_difference_area": _q_st_difference_area,
+        "st_buffer_lines": _q_st_buffer_lines,
         "spatial_join_grid": _q_spatial_join_grid,
         "st_centroid_rects": _q_st_centroid_rects,
         "path_envelope": _q_path_envelope,
@@ -1731,6 +1764,79 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _ngram_jaccard_oracle_sql(),
         "dedup_clusters": _dedup_clusters_oracle_sql(),
         "winnowing": _winnowing_oracle_sql(),
+        "pack_sequences": """
+            WITH t AS (
+              SELECT doc_id, lang,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE CAST(length(regexp_split_to_array(trim(text),
+                                                                 '\\s+'))
+                               AS BIGINT)
+                     END AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, lang, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                       - n_tokens AS cb
+              FROM t)
+            SELECT doc_id, lang, n_tokens,
+                   CAST(floor(CAST(cb AS DOUBLE) / 512) AS BIGINT) AS pack_id,
+                   CAST(cb % 512 AS BIGINT) AS pack_offset
+            FROM c
+        """,
+        "paragraph_dedup": """
+            WITH split AS (
+              SELECT doc_id, string_split(text, chr(10)) AS ps
+              FROM documents),
+            pos AS (SELECT doc_id, ps,
+                           unnest(generate_series(1, len(ps))) AS i
+                    FROM split),
+            paras AS (
+              SELECT doc_id, i - 1 AS idx, ps[i] AS para,
+                     trim(ps[i]) AS norm
+              FROM pos WHERE length(trim(ps[i])) > 0),
+            kept AS (
+              SELECT doc_id, idx, para FROM (
+                SELECT doc_id, idx, para,
+                       row_number() OVER (PARTITION BY norm
+                                          ORDER BY doc_id, idx) AS rn
+                FROM paras) WHERE rn = 1),
+            agg AS (
+              SELECT doc_id, string_agg(para, chr(10) ORDER BY idx) AS text2,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id),
+            tot AS (SELECT doc_id, count(*) AS n FROM paras GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(a.text2, '') AS text,
+                   CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(coalesce(t.n, 0) - coalesce(a.n_kept, 0) AS BIGINT)
+                     AS n_removed
+            FROM documents d
+            LEFT JOIN tot t ON d.doc_id = t.doc_id
+            LEFT JOIN agg a ON d.doc_id = a.doc_id
+        """,
+        "semantic_dedup": """
+            WITH RECURSIVE vecs AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+            norms AS (
+              SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv
+              FROM vecs),
+            pairs AS (
+              SELECT a.vec_id AS a_id, b.vec_id AS b_id
+              FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+              WHERE list_dot_product(a.v, b.v) / (a.nv * b.nv) >= 0.44),
+            dedges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                       UNION ALL SELECT b_id, a_id FROM pairs),
+            reach(id, label) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT e.dst, r.label FROM reach r
+              JOIN dedges e ON e.src = r.id)
+            SELECT id AS vec_id, min(label) AS cluster,
+                   CAST(CASE WHEN min(label) = id THEN 1 ELSE 0 END AS INT)
+                     AS is_canonical
+            FROM reach GROUP BY id
+        """,
         "tf_idf": _tf_idf_oracle_sql(),
         "ivf_knn": """
             SELECT vec_id,

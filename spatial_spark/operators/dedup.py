@@ -431,3 +431,85 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
     return (cand.withColumn("cosine", dot / norm)
             .filter(F.col("cosine") >= threshold)
             .select("a_id", "b_id", "cosine"))
+
+
+def paragraph_dedup(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", sep: str = "\n") -> DataFrame:
+    """C4-style paragraph-granularity exact dedup: across the whole
+    corpus each distinct (trimmed) paragraph is kept only at its FIRST
+    occurrence — ordered by (doc id, position) — and every later copy is
+    dropped; documents are rebuilt from their surviving paragraphs.
+
+    Shape: explode → groupBy(paragraph) min-position (partial aggregation
+    absorbs hot boilerplate paragraphs map-side — deliberately NOT a
+    row_number window, whose per-paragraph sort would hotspot on a
+    paragraph shared by millions of docs) → equi-join back → groupBy(doc)
+    rebuild.  Empty/whitespace paragraphs are dropped like boilerplate.
+
+    Returns ``(id_col, text, n_kept, n_removed)`` for every input row
+    (documents losing all paragraphs come back with empty text)."""
+    paras = (df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "para"))
+        .withColumn("_norm", F.trim("para"))
+        .filter(F.length("_norm") > 0))
+    winners = (paras.groupBy("_norm")
+               .agg(F.min(F.struct(id_col, "idx")).alias("w")))
+    kept = (paras.join(winners, "_norm")
+            .filter((F.col(f"w.{id_col}") == F.col(id_col))
+                    & (F.col("w.idx") == F.col("idx"))))
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("idx", "para"))),
+                            lambda s: s["para"]),
+                        sep).alias("_text"),
+                    F.count(F.lit(1)).alias("n_kept")))
+    totals = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("_total"))
+    return (df.select(id_col).join(totals, id_col, "left")
+            .join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.coalesce("_text", F.lit("")).alias("text"),
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    (F.coalesce("_total", F.lit(0))
+                     - F.coalesce("n_kept", F.lit(0))).alias("n_removed")))
+
+
+def cosine_pairs_exact(df: DataFrame, vec_col: str = "embedding",
+                       id_col: str = "vec_id",
+                       threshold: float = 0.95) -> DataFrame:
+    """ALL id-ordered pairs with cosine >= threshold — brute force O(n²),
+    the small-corpus / oracle baseline.  The scale path is
+    embedding_near_dup_pairs (hyperplane LSH buckets); this exists so
+    exactness-sensitive callers (and the correctness gate) have a
+    variant with no bucketing approximation."""
+    a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_v"))
+    b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_v"))
+    cand = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
+    dot = F.aggregate(F.zip_with("a_v", "b_v", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    norm = (F.sqrt(F.aggregate(F.transform("a_v", lambda x: x * x),
+                               F.lit(0.0), lambda acc, v: acc + v))
+            * F.sqrt(F.aggregate(F.transform("b_v", lambda x: x * x),
+                                 F.lit(0.0), lambda acc, v: acc + v)))
+    return (cand.withColumn("cosine", dot / norm)
+            .filter(F.col("cosine") >= threshold)
+            .select("a_id", "b_id", "cosine"))
+
+
+def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
+                   id_col: str = "vec_id", threshold: float = 0.95,
+                   exact: bool = False, planes: int = 16) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate clustering: cosine-similar
+    embedding pairs → connected components → one canonical representative
+    (min id) per semantic cluster.
+
+    ``exact=False`` (default, the scale path) generates candidates with
+    hyperplane-LSH buckets; ``exact=True`` brute-forces all pairs —
+    only for small corpora / verification.  Returns
+    ``(id_col, cluster, is_canonical)`` like near_dup_clusters."""
+    pairs = (cosine_pairs_exact(df, vec_col, id_col, threshold) if exact
+             else embedding_near_dup_pairs(df, vec_col, id_col,
+                                           threshold, planes))
+    return near_dup_clusters(df, pairs, id_col=id_col)

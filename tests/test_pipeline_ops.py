@@ -635,3 +635,83 @@ def test_contamination_min_hits_boundary(spark, corpus, bench, min_hits, n):
             if shared >= min_hits:
                 expect[(ci, bi)] = shared
     assert got == expect
+
+
+def test_pack_sequences(spark):
+    from spatial_spark.operators.pack import pack_sequences, pack_stats
+    df = spark.createDataFrame(
+        [(1, "a", "w " * 100), (2, "a", "w " * 400), (3, "a", "w " * 200),
+         (4, "b", "w " * 600), (5, "b", ""), (6, "b", "x")],
+        "doc_id long, lang string, text string")
+    out = {r.doc_id: r for r in
+           pack_sequences(df, 512, by="lang").collect()}
+    # stream a: 100 + 400 + 200 tokens, head-to-tail
+    assert (out[1].pack_id, out[1].pack_offset) == (0, 0)
+    assert (out[2].pack_id, out[2].pack_offset) == (0, 100)
+    assert (out[3].pack_id, out[3].pack_offset) == (0, 500)   # starts in 0
+    # stream b restarts its own stream; empty doc -> 0 tokens
+    assert (out[4].pack_id, out[4].pack_offset) == (0, 0)
+    assert out[5].n_tokens == 0 and out[5].pack_id == 1
+    assert out[6].n_tokens == 1 and out[6].pack_offset == 600 % 512
+    # global single stream (no by): positions follow doc_id order
+    g = {r.doc_id: r for r in pack_sequences(df, 512).collect()}
+    assert g[4].pack_offset == (100 + 400 + 200) % 512
+    st = {r.lang: r for r in
+          pack_stats(pack_sequences(df, 512, by="lang"), 512,
+                     by="lang").collect()}
+    assert st["a"].n_packs == 2 and st["a"].total_tokens == 700
+    assert st["a"].fill_frac == pytest.approx(700 / 1024)
+    assert st["b"].n_packs == 2 and st["b"].n_docs == 3
+
+
+def test_paragraph_dedup(spark):
+    from spatial_spark.operators.dedup import paragraph_dedup
+    df = spark.createDataFrame(
+        [(1, "intro one\nSHARED FOOTER\nbody one"),
+         (2, "SHARED FOOTER\nbody two"),
+         (3, "body one\nSHARED FOOTER"),   # both paras seen before
+         (4, "  \n\n")],                    # nothing survives trimming
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+    assert out[1].text == "intro one\nSHARED FOOTER\nbody one"
+    assert out[1].n_removed == 0
+    # doc 2 loses the footer (first seen in doc 1), keeps its own body
+    assert out[2].text == "body two" and out[2].n_removed == 1
+    # doc 3 loses everything
+    assert out[3].text == "" and out[3].n_kept == 0 and out[3].n_removed == 2
+    assert out[4].text == "" and out[4].n_kept == 0 and out[4].n_removed == 0
+    # first occurrence is by (doc, position) even inside one document
+    rep = spark.createDataFrame([(7, "dup\ndup\nother")],
+                                "doc_id long, text string")
+    r7 = paragraph_dedup(rep).collect()[0]
+    assert r7.text == "dup\nother" and r7.n_removed == 1
+
+
+def test_semantic_dedup_exact_vs_lsh(spark):
+    import numpy as np
+    from spatial_spark.operators.dedup import (cosine_pairs_exact,
+                                               semantic_dedup)
+    rng = np.random.RandomState(3)
+    base = rng.randn(6, 16)
+    vecs = []
+    for i, v in enumerate(base):
+        vecs.append((2 * i, (v / np.linalg.norm(v)).tolist()))
+        # a tight near-duplicate of each base vector
+        w = v + 0.01 * rng.randn(16)
+        vecs.append((2 * i + 1, (w / np.linalg.norm(w)).tolist()))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    pairs = {(r.a_id, r.b_id)
+             for r in cosine_pairs_exact(df, threshold=0.99).collect()}
+    assert pairs == {(2 * i, 2 * i + 1) for i in range(6)}
+    out = {r.vec_id: r for r in
+           semantic_dedup(df, threshold=0.99, exact=True).collect()}
+    assert len(out) == 12
+    for i in range(6):
+        assert out[2 * i].cluster == out[2 * i + 1].cluster == 2 * i
+        assert out[2 * i].is_canonical == 1
+        assert out[2 * i + 1].is_canonical == 0
+    # LSH path finds the same tight duplicates here (16 planes, near-
+    # parallel vectors land in one bucket)
+    lsh = {r.vec_id: r.cluster for r in
+           semantic_dedup(df, threshold=0.99, exact=False).collect()}
+    assert lsh == {k: v.cluster for k, v in out.items()}
