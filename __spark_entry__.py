@@ -905,6 +905,21 @@ def _q_contamination(spark, sf_dir) -> DataFrame:
     return contamination_check(docs, bench, n=8)
 
 
+def _q_gopher_rules(spark, sf_dir) -> DataFrame:
+    """Gopher-style hard quality gates: per-rule flags + keep verdict.
+    All rules are integer comparisons (cross-multiplied ratios), so the
+    oracle recomputation cannot disagree on a boundary."""
+    from spatial_spark.operators.text import gopher_rules
+    return gopher_rules(spark.table("documents"))
+
+
+def _q_mixture_weights(spark, sf_dir) -> DataFrame:
+    """Per-language token shares and the sampling weight toward a uniform
+    language mixture (the pretraining data-recipe knob)."""
+    from spatial_spark.operators.text import mixture_weights
+    return mixture_weights(spark.table("documents"), by="lang")
+
+
 def _q_pack_sequences(spark, sf_dir) -> DataFrame:
     """Sequence packing positions (concat-then-chunk, 512-token windows,
     one stream per language — the trainer-shard shape)."""
@@ -952,6 +967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotate to 51+ to make room, each shadowed by a kept same-path
         # query (st_intersection_area+st_union_area / st_buffer_area /
         # dedup_exact's md5 path).
+        "gopher_rules": _q_gopher_rules,
+        "mixture_weights": _q_mixture_weights,
         "pack_sequences": _q_pack_sequences,
         "paragraph_dedup": _q_paragraph_dedup,
         "semantic_dedup": _q_semantic_dedup,
@@ -983,7 +1000,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orthodromic_length": _q_orthodromic_length,
         "zorder_keys": _q_zorder_keys,
         "cql_filter": _q_cql_filter,
-        "keep_max": _q_keep_max,
         "revenue_by_nation": _q_revenue_by_nation,
         "dedup_exact": _q_dedup_exact,
         "quality_scores": _q_quality,
@@ -994,7 +1010,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_union_area": _q_st_union_area,
         "relate_classes": _q_relate_classes,
         "st_buffer_area": _q_st_buffer_area,
-        "geohash": _q_geohash,
         "sessionize": _q_sessionize,
         "dynamic_view": _q_dynamic_view,
         "minhash_pairs": _q_minhash_pairs,
@@ -1004,6 +1019,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "tf_idf": _q_tf_idf,
         # --- demoted veterans (each shadowed by a kept same-path query) ---
+        "geohash": _q_geohash,
+        "keep_max": _q_keep_max,
         "fingerprint": _q_fingerprint,
         "st_difference_area": _q_st_difference_area,
         "st_buffer_lines": _q_st_buffer_lines,
@@ -1764,6 +1781,54 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _ngram_jaccard_oracle_sql(),
         "dedup_clusters": _dedup_clusters_oracle_sql(),
         "winnowing": _winnowing_oracle_sql(),
+        "gopher_rules": """
+            WITH f AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE length(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS n_tokens,
+                     length(text) - length(regexp_replace(text,
+                         '[\\.,;:!\\?''"()\\[\\]{}-]', '', 'g')) AS n_punct,
+                     len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x IN ('the', 'and', 'of', 'to', 'is'))) AS n_stop
+              FROM documents),
+            flags AS (
+              SELECT doc_id,
+                     CAST(n_tokens < 50 AS INT) AS too_short,
+                     CAST(n_tokens > 100000 AS INT) AS too_long,
+                     CAST(n_tokens > 0
+                          AND ((n_chars - n_tokens + 1) < 3 * n_tokens
+                               OR (n_chars - n_tokens + 1) > 10 * n_tokens)
+                          AS INT) AS bad_word_len,
+                     CAST(n_punct * 5 > n_chars AS INT) AS too_punct,
+                     CAST(n_stop < 2 AS INT) AS low_stopword
+              FROM f)
+            SELECT *,
+                   CAST(too_short + too_long + bad_word_len + too_punct
+                        + low_stopword = 0 AS INT) AS keep
+            FROM flags
+        """,
+        "mixture_weights": """
+            WITH g AS (
+              SELECT lang, count(*) AS n_docs,
+                     sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                              ELSE length(regexp_split_to_array(trim(text),
+                                                                '\\s+'))
+                         END) AS total_tokens
+              FROM documents GROUP BY lang),
+            s AS (
+              SELECT lang, n_docs, CAST(total_tokens AS BIGINT) AS total_tokens,
+                     CAST(total_tokens AS DOUBLE)
+                       / sum(total_tokens) OVER () AS actual_share,
+                     1.0 / count(*) OVER () AS target_share
+              FROM g)
+            SELECT lang, n_docs, total_tokens,
+                   round(actual_share, 6) AS actual_share,
+                   round(target_share, 6) AS target_share,
+                   round(target_share / actual_share, 6) AS weight
+            FROM s
+        """,
         "pack_sequences": """
             WITH t AS (
               SELECT doc_id, lang,

@@ -311,3 +311,88 @@ def repetition_scores(df: DataFrame, text_col: str = "text",
                         F.lit(0.0)), 6).alias("dup_ngram_frac"),
                     F.round(F.coalesce(F.col("top") / F.col("total"),
                                        F.lit(0.0)), 6).alias("top_ngram_frac")))
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 min_tokens: int = 50, max_tokens: int = 100_000,
+                 min_mean_word_len: int = 3, max_mean_word_len: int = 10,
+                 punct_num: int = 1, punct_den: int = 5,
+                 min_stopwords: int = 2) -> DataFrame:
+    """Gopher-style hard quality gates with per-rule flags and a final
+    keep verdict — the standard pretraining document filter (length
+    bounds, mean-word-length band, punctuation share, stopword
+    presence).
+
+    Every rule is an INTEGER comparison (ratio thresholds are
+    cross-multiplied: ``n_punct * punct_den > n_chars * punct_num``
+    instead of ``n_punct/n_chars > punct_num/punct_den``), so verdicts
+    are engine-exact — no float boundary can flip a document between
+    this and an oracle recomputation.  Pure column map: pushdown-
+    friendly, zero shuffles, composes with deterministic_sample for
+    "filter then sample" pipelines."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_tokens = token_count_ws(c)
+    n_punct = (F.length(c) -
+               F.length(F.regexp_replace(c, r"[\.,;:!\?'\"()\[\]{}-]", "")))
+    n_stop = _stopword_hits(c, _STOPWORDS["en"])
+    # mean word length m/n with m = n_chars - n_tokens + 1 (the
+    # quality_features estimator): band check via m <=> k*n
+    m = n_chars - n_tokens + F.lit(1)
+    too_short = (n_tokens < min_tokens).cast("int")
+    too_long = (n_tokens > max_tokens).cast("int")
+    bad_word_len = ((n_tokens > 0)
+                    & ((m < min_mean_word_len * n_tokens)
+                       | (m > max_mean_word_len * n_tokens))).cast("int")
+    too_punct = (n_punct * punct_den > n_chars * punct_num).cast("int")
+    low_stop = (n_stop < min_stopwords).cast("int")
+    out = df.select(
+        F.col(id_col),
+        too_short.alias("too_short"), too_long.alias("too_long"),
+        bad_word_len.alias("bad_word_len"), too_punct.alias("too_punct"),
+        low_stop.alias("low_stopword"))
+    keep = ((F.col("too_short") + F.col("too_long") + F.col("bad_word_len")
+             + F.col("too_punct") + F.col("low_stopword")) == 0).cast("int")
+    return out.withColumn("keep", keep)
+
+
+def mixture_weights(df: DataFrame, by: str = "lang",
+                    target: dict | None = None,
+                    text_col: str = "text",
+                    token_col: str | None = None) -> DataFrame:
+    """Per-group token accounting and the sampling weight that moves the
+    corpus toward a target mixture — the knob a pretraining data recipe
+    turns (e.g. upweight low-resource languages).
+
+    ``target`` maps group value → desired token share (missing groups
+    get 0); ``None`` means uniform across observed groups.  ``weight``
+    is ``target_share / actual_share``: feed it to stratified_sample
+    rates (capped at 1.0) to downsample, or use it as a repeat factor.
+
+    Shape: one keyed aggregation (map-side combine) to per-group totals
+    — a broadcast-sized frame at any corpus scale — then window math on
+    that tiny frame.  Returns (by, n_docs, total_tokens, actual_share,
+    target_share, weight), shares/weights rounded to 6."""
+    from pyspark.sql import Window
+    n_tok = (F.col(token_col) if token_col
+             else token_count_ws(text_col)).cast("long")
+    g = (df.withColumn("_nt", n_tok)
+         .groupBy(by)
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.sum("_nt").alias("total_tokens")))
+    w = Window.partitionBy(F.lit(0))
+    actual = F.col("total_tokens") / F.sum("total_tokens").over(w)
+    if target is None:
+        tgt = F.lit(1.0) / F.count(F.lit(1)).over(w)
+    else:
+        tgt = F.lit(0.0)
+        for k, v in target.items():
+            tgt = F.when(F.col(by) == F.lit(k), F.lit(float(v))).otherwise(tgt)
+    return (g.withColumn("actual_share", actual)
+            .withColumn("target_share", tgt)
+            .withColumn("weight", F.col("target_share") / F.col("actual_share"))
+            .select(by, "n_docs", "total_tokens",
+                    F.round("actual_share", 6).alias("actual_share"),
+                    F.round("target_share", 6).alias("target_share"),
+                    F.round("weight", 6).alias("weight")))

@@ -715,3 +715,44 @@ def test_semantic_dedup_exact_vs_lsh(spark):
     lsh = {r.vec_id: r.cluster for r in
            semantic_dedup(df, threshold=0.99, exact=False).collect()}
     assert lsh == {k: v.cluster for k, v in out.items()}
+
+
+def test_gopher_rules(spark):
+    from spatial_spark.operators.text import gopher_rules
+    long_good = ("word " * 100 + "the and of to is").strip()
+    df = spark.createDataFrame(
+        [(1, long_good),                       # passes everything
+         (2, "short text"),                    # too short
+         (3, "the !!! ??? ... " + "!? " * 60), # punctuation-heavy
+         (4, ("a " * 80).strip()),             # mean word len 1 < 3, no stopwords
+         (5, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_rules(df, min_tokens=20).collect()}
+    assert out[1].keep == 1 and out[1].too_short == 0
+    assert out[2].too_short == 1 and out[2].keep == 0
+    assert out[3].too_punct == 1 and out[3].keep == 0
+    assert out[4].bad_word_len == 1 and out[4].low_stopword == 1
+    assert out[5].too_short == 1 and out[5].keep == 0
+    # integer cross-multiplication matches the float ratio on boundaries:
+    # 1 punct char in 5 chars is exactly the 1/5 threshold -> NOT flagged
+    edge = spark.createDataFrame([(9, "abcd.")], "doc_id long, text string")
+    assert gopher_rules(edge, min_tokens=1, min_stopwords=0) \
+        .collect()[0].too_punct == 0
+
+
+def test_mixture_weights(spark):
+    from spatial_spark.operators.text import mixture_weights
+    df = spark.createDataFrame(
+        [(1, "en", "w " * 300), (2, "en", "w " * 100),
+         (3, "de", "w " * 100)],
+        "doc_id long, lang string, text string")
+    out = {r.lang: r for r in mixture_weights(df, by="lang").collect()}
+    assert out["en"].total_tokens == 400 and out["en"].n_docs == 2
+    assert out["en"].actual_share == pytest.approx(0.8)
+    assert out["en"].target_share == pytest.approx(0.5)   # uniform default
+    assert out["en"].weight == pytest.approx(0.625)
+    assert out["de"].weight == pytest.approx(2.5)
+    tgt = {r.lang: r for r in
+           mixture_weights(df, by="lang", target={"de": 1.0}).collect()}
+    assert tgt["de"].target_share == 1.0 and tgt["en"].target_share == 0.0
+    assert tgt["en"].weight == 0.0 and tgt["de"].weight == pytest.approx(5.0)
