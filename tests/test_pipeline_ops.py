@@ -756,3 +756,72 @@ def test_mixture_weights(spark):
            mixture_weights(df, by="lang", target={"de": 1.0}).collect()}
     assert tgt["de"].target_share == 1.0 and tgt["en"].target_share == 0.0
     assert tgt["en"].weight == 0.0 and tgt["de"].weight == pytest.approx(5.0)
+
+
+_doc_text = hst.lists(hst.sampled_from(["aa", "bb", "cc", ""]),
+                      min_size=0, max_size=12).map(" ".join)
+
+
+@given(hst.lists(_doc_text, min_size=0, max_size=10),
+       hst.sampled_from([1, 3, 7, 512]))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pack_sequences_matches_model(spark, texts, seq_len):
+    """pack positions equal the in-process prefix-sum model, including
+    zero-token docs and seq_len=1; pack_offset < seq_len always."""
+    from spatial_spark.operators.pack import pack_sequences
+    rows = [(i, ["a", "b"][i % 2], t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, text string") \
+        if rows else spark.createDataFrame([], "doc_id long, g string, text string")
+    out = {r.doc_id: r for r in
+           pack_sequences(df, seq_len, by="g").collect()}
+
+    # python model per stream
+    import re
+    def ntok_ws(t):
+        t = t.strip()
+        return 0 if t == "" else len(re.split(r"\s+", t))
+    for gval in ("a", "b"):
+        cum = 0
+        for i, t in sorted((i, t) for i, g2, t in rows if g2 == gval):
+            n = ntok_ws(t)
+            r = out[i]
+            assert r.n_tokens == n
+            assert r.pack_id == cum // seq_len
+            assert r.pack_offset == cum % seq_len
+            assert 0 <= r.pack_offset < seq_len
+            cum += n
+    assert set(out) == {i for i, _, _ in rows}
+
+
+_para = hst.text(alphabet="pq ", min_size=0, max_size=5)
+
+
+@given(hst.lists(hst.lists(_para, min_size=0, max_size=4),
+                 min_size=0, max_size=8))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_paragraph_dedup_matches_model(spark, docs):
+    """Rebuilt texts equal the first-occurrence-wins python model; kept +
+    removed counts reconcile with the non-empty paragraph totals."""
+    from spatial_spark.operators.dedup import paragraph_dedup
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string") if rows \
+        else spark.createDataFrame([], "doc_id long, text string")
+    out = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+    seen = set()
+    for i, text in rows:
+        kept, total = [], 0
+        for para in text.split("\n"):
+            norm = para.strip(" ")
+            if not norm:
+                continue
+            total += 1
+            if norm not in seen:
+                seen.add(norm)
+                kept.append(para)
+        r = out[i]
+        assert r.text == "\n".join(kept)
+        assert r.n_kept == len(kept)
+        assert r.n_removed == total - len(kept)
+    assert set(out) == {i for i, _ in rows}
