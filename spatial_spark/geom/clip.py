@@ -26,7 +26,7 @@ from .core import (
     GTYPE_GEOMETRY, GTYPE_LINESTRING, GTYPE_MULTILINESTRING, GTYPE_MULTIPOINT,
     GTYPE_MULTIPOLYGON, GTYPE_POINT, GTYPE_POLYGON, Geometry, envelopes_intersect,
 )
-from .algorithms import point_in_polygon, ring_signed_area
+from .algorithms import affine_transform, point_in_polygon, ring_signed_area
 
 _SNAP = 1e-9
 
@@ -462,7 +462,102 @@ def _max_coord_magnitude(a: Geometry, b: Geometry) -> float:
     return m
 
 
+def _overlay_frame(a: Geometry, b: Geometry):
+    """Joint-envelope unit-frame transform ``(cx, cy, scale)``, or None
+    when the inputs already sit at ordinary scale.
+
+    The kernel's resolution model (``_SNAP`` = 1e-9 grid keys, absolute
+    area/length epsilons) assumes roughly unit-magnitude coordinates; a
+    pair of triangles with extent ~1e-6 has fragment areas below those
+    epsilons and collapsed to EMPTY (20k-trial conservation stress, r5).
+    Working in ``(x - c) * s`` space makes every epsilon relative.  The
+    identity path is kept for ordinary data (extent within [1e-4, 1e6],
+    coordinates under 1e6) so well-tested outputs stay byte-identical."""
+    lo = np.array([math.inf, math.inf])
+    hi = np.array([-math.inf, -math.inf])
+    for g in (a, b):
+        for r in _all_rings(g):
+            if len(r):
+                arr = np.asarray(r, dtype=np.float64)
+                lo = np.minimum(lo, arr.min(axis=0))
+                hi = np.maximum(hi, arr.max(axis=0))
+    if not (np.all(np.isfinite(lo)) and np.all(np.isfinite(hi))):
+        return None
+    ext = float((hi - lo).max())
+    mag = float(np.abs(np.array([lo, hi])).max())
+    if ext <= 0.0 or not math.isfinite(ext):
+        return None
+    # the kernel's relative accuracy is ~_SNAP/extent: at extent 1e-3 a
+    # 1e-9 grid is already 1e-6 relative error, so frame anything whose
+    # extent leaves [1e-2, 1e6] (or that sits far from the origin)
+    if 1e-2 <= ext <= 1e6 and mag <= 1e6:
+        return None
+    c = (lo + hi) / 2.0
+    return float(c[0]), float(c[1]), 1.0 / ext
+
+
+def _ring_extent(g: Geometry) -> float:
+    ext = 0.0
+    for r in _all_rings(g):
+        if len(r):
+            arr = np.asarray(r, dtype=np.float64)
+            ext = max(ext, float((arr.max(axis=0) - arr.min(axis=0)).max()))
+    return ext
+
+
+def _merge_disjoint(a: Geometry, b: Geometry) -> Geometry:
+    """Collection of both operands' polygon parts (known disjoint)."""
+    parts = [p for g in (a, b) for p in g.parts()
+             if p.gtype == GTYPE_POLYGON and len(p.data)]
+    if not parts:
+        return Geometry(GTYPE_POLYGON, [])
+    if len(parts) == 1:
+        return parts[0]
+    return Geometry(GTYPE_MULTIPOLYGON, parts)
+
+
 def _overlay(g1: Geometry, g2: Geometry, op: str) -> Geometry:
+    """Unit-frame wrapper around the snap-ladder overlay: extreme-scale
+    operands are translated/scaled into a ~unit frame (undone on output);
+    ordinary inputs run identically to before (see _overlay_frame).
+
+    When one operand's extent is below the kernel resolution RELATIVE to
+    the pair (ratio < 1e-9, e.g. a 1e-3-sized triangle against a
+    1e6-sized one), it is measure-zero at any representable tolerance:
+    short-circuit instead of letting sub-resolution fragments poison the
+    stitch (a half-missing best-effort result is worse than the exact
+    measure-zero answer)."""
+    e1, e2 = _ring_extent(g1), _ring_extent(g2)
+    joint = max(e1, e2)
+    if joint > 0.0 and min(e1, e2) < 1e-9 * joint:
+        small, big = (g2, g1) if e2 < e1 else (g1, g2)
+        rep = next((r[0] for r in _all_rings(small) if len(r)), None)
+        inside = (rep is not None
+                  and point_in_polygon(float(rep[0]), float(rep[1]),
+                                       big) > 0)
+        if op == "intersection":
+            return small if inside else Geometry(GTYPE_POLYGON, [])
+        if op == "union":
+            return big if inside else _merge_disjoint(big, small)
+        if op == "symdifference":
+            # big minus a measure-zero bite is big at kernel resolution
+            return big if inside else _merge_disjoint(big, small)
+        if op == "difference":
+            if small is g2:
+                return g1                     # g1 loses a measure-zero bite
+            return Geometry(GTYPE_POLYGON, []) if inside else g1
+    fr = _overlay_frame(g1, g2)
+    if fr is None:
+        return _overlay_impl(g1, g2, op)
+    cx, cy, s = fr
+    fwd = [s, 0.0, 0.0, s, -cx * s, -cy * s]
+    inv = [1.0 / s, 0.0, 0.0, 1.0 / s, cx, cy]
+    res = _overlay_impl(affine_transform(g1, fwd),
+                        affine_transform(g2, fwd), op)
+    return affine_transform(res, inv)
+
+
+def _overlay_impl(g1: Geometry, g2: Geometry, op: str) -> Geometry:
     """Snap-if-needed overlay driver (JTS SnapIfNeededOverlayOp parity,
     plus a coarser magnitude-based escalation JTS lacks).
 
@@ -507,7 +602,28 @@ def _overlay(g1: Geometry, g2: Geometry, op: str) -> Geometry:
         area = sum(abs(ring_signed_area(r)) for r in rings)
         if area > best_area:
             best, best_area = rings, area
-    return _assemble(best)
+    return _bounded_best_effort(a, b, op, _assemble(best))
+
+
+def _bounded_best_effort(a: Geometry, b: Geometry, op: str,
+                         res: Geometry) -> Geometry:
+    """Sanity-bound a best-effort (incomplete-stitch) result with the
+    op's area identities before returning it.  A needle-sliver operand
+    can fragment the other's boundary so badly that the stitch loses
+    whole rings — e.g. difference(huge, sliver) coming back with HALF of
+    `huge` (error ~area(a)/2) when returning `a` unchanged bounds the
+    error by area(b).  Only unambiguous violations fall back; anything
+    within bounds keeps the assembled result."""
+    from .algorithms import area as _area
+    A, B, R = _area(a), _area(b), _area(res)
+    slack = 1e-9 * (A + B)
+    if op == "difference" and R < A - B - slack:
+        return a
+    if op == "union" and R < max(A, B) - slack:
+        return _merge_disjoint(a, b)
+    if op == "symdifference" and R < abs(A - B) - slack:
+        return _merge_disjoint(a, b)
+    return res
 
 
 def _overlay_once(a: Geometry, b: Geometry, op: str) -> tuple:
