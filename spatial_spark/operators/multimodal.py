@@ -149,19 +149,37 @@ def resize_stub(df: DataFrame, target_w: int, target_h: int,
     return df.mapInPandas(run, out_schema)
 
 
-def frame_sample_stub(df: DataFrame, every_n: int = 2) -> DataFrame:
-    """Video frame-sampling plumbing: treat each payload row as a 'video'
-    whose frames are row-chunks; emit one row per sampled frame (1→N
-    mapInPandas, the real shape of frame extraction)."""
+def frame_sample_stub(df: DataFrame, every_n: int = 2,
+                      frame_len: int = 1024) -> DataFrame:
+    """Frame/window sampling: 1→N mapInPandas, one output row per sampled
+    frame (the real shape of video frame extraction / audio windowing).
+
+    WAV payloads take a REAL path: decode, cut the sample stream into
+    ``frame_len``-sample windows, keep every ``every_n``-th, and re-encode
+    each kept window as a standalone WAV payload — a genuine
+    bytes→samples→window→bytes pipeline.  FAKE payloads keep the r4
+    header-chunk semantics (frames = pixel rows).  Compressed video
+    (MP4 …) would slot in at the same seam as the other codecs."""
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField("frame_no", T.IntegerType())])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import decode_wav, encode_wav, sniff_format
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
                 buf = row["payload"]
                 if buf is None:
+                    continue
+                if sniff_format(bytes(buf)) == "wav":
+                    rate, samples = decode_wav(bytes(buf))
+                    n_frames = max(-(-samples.shape[0] // frame_len), 1)
+                    for f in range(0, n_frames, every_n):
+                        r = row.to_dict()
+                        win = samples[f * frame_len:(f + 1) * frame_len]
+                        r["payload"] = encode_wav(win, rate)
+                        r["frame_no"] = f
+                        rows.append(r)
                     continue
                 _, w, h, _ = struct.unpack_from("<4sIII", bytes(buf), 0)
                 n_frames = max(int(h), 1)
@@ -173,3 +191,6 @@ def frame_sample_stub(df: DataFrame, every_n: int = 2) -> DataFrame:
                 yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, out_schema)
+
+
+frame_sample = frame_sample_stub  # real for WAV; stub only for fake/video

@@ -825,3 +825,25 @@ def test_paragraph_dedup_matches_model(spark, docs):
         assert r.n_kept == len(kept)
         assert r.n_removed == total - len(kept)
     assert set(out) == {i for i, _ in rows}
+
+
+def test_frame_sample_real_wav(spark):
+    """WAV payloads frame-sample through a real decode→window→re-encode
+    path: each emitted row's payload is a standalone WAV of the window."""
+    import numpy as np
+    from spatial_spark.operators.codecs import decode_wav, encode_wav
+    from spatial_spark.operators.multimodal import MEDIA_SCHEMA, frame_sample
+    rng = np.random.RandomState(5)
+    samples = (rng.randn(3500, 1) * 1000).astype(np.int16)
+    wav = encode_wav(samples, 8000)
+    df = spark.createDataFrame(
+        [(1, wav, "audio", "wav", None, None, None)], MEDIA_SCHEMA)
+    rows = sorted(frame_sample(df, every_n=2, frame_len=1024).collect(),
+                  key=lambda r: r.frame_no)
+    # ceil(3500/1024) = 4 windows -> keep frames 0 and 2
+    assert [r.frame_no for r in rows] == [0, 2]
+    for r in rows:
+        rate, win = decode_wav(bytes(r.payload))
+        assert rate == 8000
+        lo = r.frame_no * 1024
+        assert np.array_equal(win, samples[lo:lo + 1024])
