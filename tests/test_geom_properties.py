@@ -301,3 +301,32 @@ def test_overlay_extreme_scale_conservation():
         scale = max(A, B, 1e-300)
         assert abs(A - (inter + diff)) <= 1e-6 * scale + B, (trial, A, B)
         assert uni - (A + B - inter) <= 1e-6 * scale + 1e-12, (trial, A, B)
+
+
+def test_predicates_extreme_scale_consistency():
+    """Predicate invariants across mixed coordinate scales: symmetry of
+    intersects, disjoint = !intersects, contains(a,b) = within(b,a), and
+    shared-vertex pairs always intersect."""
+    import numpy as np
+    from spatial_spark.geom import Geometry
+    from spatial_spark.geom import predicates as P
+
+    rng = np.random.default_rng(7)
+    scales = [1e-6, 1e-3, 1.0, 1e3, 1e6]
+    for trial in range(1500):
+        s1, s2 = rng.choice(scales, 2)
+        a = rng.uniform(-1, 1, (3, 2)) * s1
+        b = rng.uniform(-1, 1, (3, 2)) * s2
+        shared = False
+        if trial % 5 == 0:
+            b = a + rng.uniform(-0.1, 0.1, (3, 2)) * s1
+        elif trial % 3 == 0:
+            b[0] = a[0]
+            shared = True
+        ga = Geometry(3, [np.vstack([a, a[:1]])])
+        gb = Geometry(3, [np.vstack([b, b[:1]])])
+        assert P.intersects(ga, gb) == P.intersects(gb, ga), trial
+        assert P.disjoint(ga, gb) != P.intersects(ga, gb), trial
+        assert P.contains(ga, gb) == P.within(gb, ga), trial
+        if shared:
+            assert P.intersects(ga, gb), trial
