@@ -847,3 +847,41 @@ def test_frame_sample_real_wav(spark):
         assert rate == 8000
         lo = r.frame_no * 1024
         assert np.array_equal(win, samples[lo:lo + 1024])
+
+
+def test_streaming_layer_ingest(ctx, spark, tmp_path):
+    """Structured-Streaming ingest lands in the layer through the same
+    Layer.add chokepoint: zkey clustering, write-time stats, and the
+    id-index sidecar all apply to streamed micro-batches; searches see
+    the union of all committed batches."""
+    import os
+    from spatial_spark.streaming.ingest import stream_into_layer
+    src = tmp_path / "arriving"
+    src.mkdir()
+    schema = "id long, lon double, lat double"
+    spark.createDataFrame(
+        [(i, float(i % 30), float(i % 20)) for i in range(40)], schema
+    ).write.mode("overwrite").parquet(str(src / "batch1"))
+    spark.createDataFrame(
+        [(100 + i, float(i % 30), -float(i % 20)) for i in range(25)], schema
+    ).write.mode("overwrite").parquet(str(src / "batch2"))
+
+    layer = ctx.create_point_layer("stream_pts", x="lon", y="lat",
+                                   id_index=True)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src) + "/batch*"))
+    q = stream_into_layer(stream, layer, str(tmp_path / "ckpt"),
+                          x="lon", y="lat")
+    q.awaitTermination(120)
+    assert layer.count() == 65
+    # searches and point lookups work over the streamed store
+    assert layer.within_distance(0.0, 0.0, 10000.0).count() == 65
+    assert layer.lookup_row(105) is not None
+    assert os.path.exists(layer._id_index_path)
+    # restart with the same checkpoint: no files re-ingested (exactly-once
+    # per epoch via the streaming checkpoint)
+    q2 = stream_into_layer(stream, layer, str(tmp_path / "ckpt"),
+                           x="lon", y="lat")
+    q2.awaitTermination(120)
+    assert layer.count() == 65
