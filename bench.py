@@ -42,10 +42,10 @@ BUDGET_SF01 = {
     "dedup_exact": 0.7, "minhash_pairs": 4.3, "simhash_pairs": 5.0,
     "quality_scores": 0.8, "lang_id": 0.6, "knn_cosine": 0.4,
     "events_daily": 0.5,
-    # initial pins at ~1.6x the best observed in-bench times
-    # (r5: 4.1 / 5.8 / 2.4 / 0.95 / 1.25)
-    "ngram_jaccard": 6.6, "dedup_clusters": 9.3, "contamination": 3.8,
-    "winnowing": 1.6, "tf_idf": 2.1,
+    # pins at ~1.6x the best clean-machine in-bench times
+    # (r5: 3.57 / 5.62 / 2.17 / 0.85 / 1.31)
+    "ngram_jaccard": 5.7, "dedup_clusters": 9.0, "contamination": 3.5,
+    "winnowing": 1.4, "tf_idf": 2.1,
 }
 
 

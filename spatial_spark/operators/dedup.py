@@ -110,20 +110,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     the bucket (shuffle co-locates only same-bucket rows — the LSH property
     bounds bucket sizes) → estimated-Jaccard filter on the full signatures.
     Returns (a_id, b_id, jaccard_est) with a_id < b_id."""
-    rows_per_band = num_perm // bands
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k).cache()
-
     # band on bare (id, band, hash) — the 64-long signature array never rides
     # the 16x explode or the distinct; it joins back once per unique pair
-    # one selectExpr string, not composed Columns — the 16x8 py4j calls
-    # of the Column formulation are measurable driver latency (r3 profile)
-    structs = ", ".join(
-        "struct({i} as band, hash({cols}) as bh)".format(
-            i=i, cols=", ".join(f"signature[{i * rows_per_band + j}]"
-                                for j in range(rows_per_band)))
-        for i in range(bands))
-    banded = sigs.selectExpr(id_col, f"explode(array({structs})) as bb")
-    banded = banded.select(id_col, "bb.band", "bb.bh")
+    banded = _band_signatures(sigs, id_col, num_perm, bands)
 
     a = banded.select(F.col(id_col).alias("a_id"), "band", "bh")
     b = banded.select(F.col(id_col).alias("b_id"), "band", "bh")
@@ -513,3 +503,61 @@ def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
              else embedding_near_dup_pairs(df, vec_col, id_col,
                                            threshold, planes))
     return near_dup_clusters(df, pairs, id_col=id_col)
+
+
+def _band_signatures(sigs: DataFrame, id_col: str, num_perm: int,
+                     bands: int) -> DataFrame:
+    """(id, band, bh) bucket rows from a signature frame — one selectExpr
+    string (the Column formulation costs measurable py4j driver latency,
+    r3 profile); the signature array never rides the explode."""
+    rows_per_band = num_perm // bands
+    structs = ", ".join(
+        "struct({i} as band, hash({cols}) as bh)".format(
+            i=i, cols=", ".join(f"signature[{i * rows_per_band + j}]"
+                                for j in range(rows_per_band)))
+        for i in range(bands))
+    return (sigs.selectExpr(id_col, f"explode(array({structs})) as bb")
+            .select(id_col, "bb.band", "bb.bh"))
+
+
+def dedup_against(df: DataFrame, reference: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  ref_text_col: str | None = None,
+                  ref_id_col: str | None = None,
+                  num_perm: int = 64, bands: int = 16,
+                  threshold: float = 0.8,
+                  shingle_k: int = 5) -> DataFrame:
+    """Cross-corpus near-dedup: drop from ``df`` every document that
+    near-duplicates ANY reference document (scrub a new crawl against the
+    existing corpus or held-out eval sets — the asymmetric sibling of
+    minhash_lsh_pairs' within-corpus pairing).
+
+    Shape: both sides sign once, band into (band, hash) buckets, and
+    candidates exist only on bucket collisions — the corpus never joins
+    the reference wider than the LSH collision rate.  Survivors return
+    via left-anti join, so the document payload never rides the
+    signature shuffles."""
+    rtext = ref_text_col or text_col
+    rid = ref_id_col or id_col
+    sigs_c = minhash_signatures(df, text_col, id_col,
+                                num_perm, shingle_k).cache()
+    sigs_r = minhash_signatures(reference, rtext, rid, num_perm, shingle_k)
+    bc = _band_signatures(sigs_c, id_col, num_perm, bands)
+    br = (_band_signatures(sigs_r, rid, num_perm, bands)
+          .withColumnRenamed(rid, "_ref_id"))
+    cand = (bc.join(br, ["band", "bh"])
+            .select(id_col, "_ref_id").distinct())
+    cand = (cand
+            .join(sigs_c.select(F.col(id_col),
+                                F.col("signature").alias("c_sig")), id_col)
+            .join(sigs_r.select(F.col(rid).alias("_ref_id"),
+                                F.col("signature").alias("r_sig")),
+                  "_ref_id"))
+    matches = F.aggregate(
+        F.zip_with("c_sig", "r_sig", lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, v: acc + v)
+    hits = (cand.withColumn("jaccard_est",
+                            matches / F.lit(float(num_perm)))
+            .filter(F.col("jaccard_est") >= threshold)
+            .select(id_col).distinct())
+    return df.join(hits, id_col, "left_anti")

@@ -885,3 +885,21 @@ def test_streaming_layer_ingest(ctx, spark, tmp_path):
                            x="lon", y="lat")
     q2.awaitTermination(120)
     assert layer.count() == 65
+
+
+def test_dedup_against_reference(spark):
+    from spatial_spark.operators.dedup import dedup_against
+    base = "the quick brown fox jumps over the lazy dog and keeps going " * 4
+    corpus = spark.createDataFrame(
+        [(1, base),                                 # near-dups a reference doc
+         (2, base.replace("lazy", "sleepy")),       # still near
+         (3, "entirely different material here " * 8)],
+        "doc_id long, text string")
+    ref = spark.createDataFrame([(900, base)], "bench_id long, text string")
+    kept = dedup_against(corpus, ref, ref_id_col="bench_id",
+                         threshold=0.5).collect()
+    assert {r.doc_id for r in kept} == {3}
+    # empty reference removes nothing
+    empty_ref = spark.createDataFrame([], "bench_id long, text string")
+    assert dedup_against(corpus, empty_ref,
+                         ref_id_col="bench_id").count() == 3
