@@ -437,6 +437,31 @@ class Layer:
             return self.ctx.spark.read.schema(st).parquet(self.path)
         return self.ctx.spark.read.option("mergeSchema", "true").parquet(self.path)
 
+    def signature(self) -> str:
+        """Compact layer signature string — Layer.getSignature /
+        LayerSignatureTest.java:52-90 parity.  Same shape as the
+        reference (``EditableLayer(name=…, encoder=…Encoder(…))``) with
+        the configured source columns; all our layers are editable, and
+        the bbox is the persisted core (xmin..ymax) columns."""
+        meta = self.meta
+        enc = meta["encoder"]
+        cfg = meta.get("config") or {}
+        crs = {"WGS84": 4326}.get(meta.get("crs"), meta.get("crs"))
+        if enc == ENC_POINT:
+            e = (f"SimplePointEncoder(x='{cfg.get('x', 'longitude')}', "
+                 f"y='{cfg.get('y', 'latitude')}', bbox='bbox')")
+        elif enc == ENC_NATIVE_POINT:
+            e = (f"NativePointEncoder(geometry="
+                 f"'{cfg.get('location', 'location')}', bbox='mbr', "
+                 f"crs={crs})")
+        elif enc == ENC_ARRAY:
+            e = f"SimplePropertyEncoder(data='{cfg.get('data', 'data')}', bbox='bbox')"
+        elif enc == ENC_WKT:
+            e = "WKTGeometryEncoder(geom='wkt', bbox='bbox')"
+        else:
+            e = "WKBGeometryEncoder(geom='geom', bbox='bbox')"
+        return f"EditableLayer(name='{self.name}', encoder={e})"
+
     def lookup_row(self, node_id):
         """Point lookup by id (the per-node accessor path behind
         spatial.decodeGeometry / nodeAsWKT, GeometryEncoder.decodeGeometry

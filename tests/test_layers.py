@@ -314,3 +314,52 @@ class TestEncoderIndexMatrix:
         # the native struct column survives as an attribute
         assert "location" in layer.df().columns
         ctx.remove_layer("np_l")
+
+
+def test_layer_signatures(ctx):
+    """LayerSignatureTest.java:52-90 parity: compact DDL signature per
+    encoder preset."""
+    assert ctx.create_point_layer("sig_pt", x="lng", y="lat").signature() \
+        == "EditableLayer(name='sig_pt', encoder=SimplePointEncoder(" \
+           "x='lng', y='lat', bbox='bbox'))"
+    assert ctx.create_point_layer("sig_pt_def").signature() \
+        == "EditableLayer(name='sig_pt_def', encoder=SimplePointEncoder(" \
+           "x='longitude', y='latitude', bbox='bbox'))"
+    from spatial_spark.layer import ENC_ARRAY, ENC_NATIVE_POINT
+    assert ctx.create_layer("sig_np", encoder=ENC_NATIVE_POINT,
+                            config={"location": "position"}).signature() \
+        == "EditableLayer(name='sig_np', encoder=NativePointEncoder(" \
+           "geometry='position', bbox='mbr', crs=4326))"
+    assert ctx.create_wkt_layer("sig_wkt").signature() \
+        == "EditableLayer(name='sig_wkt', encoder=WKTGeometryEncoder(" \
+           "geom='wkt', bbox='bbox'))"
+    assert ctx.create_layer("sig_wkb").signature() \
+        == "EditableLayer(name='sig_wkb', encoder=WKBGeometryEncoder(" \
+           "geom='geom', bbox='bbox'))"
+    assert ctx.create_layer("sig_arr", encoder=ENC_ARRAY).signature() \
+        == "EditableLayer(name='sig_arr', encoder=SimplePropertyEncoder(" \
+           "data='data', bbox='bbox'))"
+
+
+def test_bulk_grid_window_counts(ctx, spark):
+    """RTreeBulkInsertTest.java:270-278 parity: uniform i/width point
+    grids, window search (0.5,0.5)-(0.52,0.52), exact hit counts against
+    a numpy ground truth computed over the same float grid (the
+    reference pins 9 hits at width=100; boundary behavior at other
+    widths depends on float rounding, so the oracle recomputes it)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    for width in (100, 250, 500):
+        layer = ctx.create_point_layer(f"grid_{width}", x="lon", y="lat")
+        pts = (spark.range(width * width)
+               .withColumn("lon", (F.col("id") % width).cast("double") / width)
+               .withColumn("lat", (F.col("id") / width).cast("long")
+                           .cast("double") / width))
+        layer.add(pts.select(F.col("id"), "lon", "lat"))
+        assert layer.count() == width * width
+        got = layer.bbox_search(0.5, 0.5, 0.52, 0.52).count()
+        axis = np.arange(width, dtype=np.float64) / width
+        inside = ((axis >= 0.5) & (axis <= 0.52)).sum()
+        assert got == inside * inside, (width, got, inside)
+        if width == 100:
+            assert got == 9   # the reference's pinned very_small count
