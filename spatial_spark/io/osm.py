@@ -5,11 +5,16 @@ graph, then reIndex creating geometries; OSMGeometryEncoder.java:250-330
 polygon/multipolygon assembly).  Spark-first shape: the XML parses into five
 normalized DataFrames —
 
-    osm_nodes(node_id, lon, lat)               osm_node_tags(node_id, k, v)
-    osm_ways(way_id)                           osm_way_tags(way_id, k, v)
-    osm_way_nds(way_id, seq, node_id)
-    osm_relations(rel_id), osm_members(rel_id, seq, type, ref, role),
-    osm_rel_tags(rel_id, k, v)
+    osm_nodes(node_id, lon, lat, user, uid, ts, changeset, version)
+    osm_node_tags(node_id, k, v)
+    osm_ways(way_id, user, uid, ts, changeset, version)
+    osm_way_tags(way_id, k, v)     osm_way_nds(way_id, seq, node_id)
+    osm_relations(rel_id, user, uid, ts, changeset, version)
+    osm_members(rel_id, seq, type, ref, role), osm_rel_tags(rel_id, k, v)
+
+— element rows carry the contributor metadata the reference models as
+changeset/user nodes (OSMImporter user wiring; analyzed by
+osm_user_activity, OsmAnalysisTest parity)
 
 — and geometry assembly is a join + collect_list job (way → ordered node
 chain → LineString/Polygon), the reference's graph walk re-expressed as
@@ -131,37 +136,56 @@ def _parse_chunk(path: str, start: int, end: int, read_step: int = 1 << 22):
         return rows
 
 
+def _elem_meta(elem) -> tuple:
+    """Contributor metadata carried on every OSM element (the reference's
+    changeset/user model, OSMImporter user node wiring): (user, uid,
+    timestamp, changeset, version) — None when the dump omits them."""
+    uid, cs, ver = elem.get("uid"), elem.get("changeset"), elem.get("version")
+    return (elem.get("user"), int(uid) if uid else None,
+            elem.get("timestamp"), int(cs) if cs else None,
+            int(ver) if ver else None)
+
+
+_PAD = (None, None, None, None, None)
+
+
 def _emit_elem(kind: str, elem, rows: list) -> None:
-    """Append union rows (kind,id,lon,lat,seq,ref,mtype,role,k,v)."""
+    """Append union rows (kind,id,lon,lat,seq,ref,mtype,role,k,v,
+    user,uid,ts,changeset,version)."""
     if kind == "node":
         nid = int(elem.get("id"))
         rows.append(("node", nid, float(elem.get("lon")),
-                     float(elem.get("lat")), None, None, None, None, None, None))
+                     float(elem.get("lat")), None, None, None, None,
+                     None, None) + _elem_meta(elem))
         for t in elem.findall("tag"):
             rows.append(("node_tag", nid, None, None, None, None, None, None,
-                         t.get("k"), t.get("v")))
+                         t.get("k"), t.get("v")) + _PAD)
     elif kind == "way":
         wid = int(elem.get("id"))
-        rows.append(("way", wid, None, None, None, None, None, None, None, None))
+        rows.append(("way", wid, None, None, None, None, None, None,
+                     None, None) + _elem_meta(elem))
         for seq, nd in enumerate(elem.findall("nd")):
             rows.append(("way_nd", wid, None, None, seq, int(nd.get("ref")),
-                         None, None, None, None))
+                         None, None, None, None) + _PAD)
         for t in elem.findall("tag"):
             rows.append(("way_tag", wid, None, None, None, None, None, None,
-                         t.get("k"), t.get("v")))
+                         t.get("k"), t.get("v")) + _PAD)
     else:
         rid = int(elem.get("id"))
-        rows.append(("rel", rid, None, None, None, None, None, None, None, None))
+        rows.append(("rel", rid, None, None, None, None, None, None,
+                     None, None) + _elem_meta(elem))
         for seq, m in enumerate(elem.findall("member")):
             rows.append(("member", rid, None, None, seq, int(m.get("ref")),
-                         m.get("type"), m.get("role") or "", None, None))
+                         m.get("type"), m.get("role") or "", None, None) + _PAD)
         for t in elem.findall("tag"):
             rows.append(("rel_tag", rid, None, None, None, None, None, None,
-                         t.get("k"), t.get("v")))
+                         t.get("k"), t.get("v")) + _PAD)
 
 
 _UNION_SCHEMA = ("kind string, id long, lon double, lat double, seq int, "
-                 "ref long, mtype string, role string, k string, v string")
+                 "ref long, mtype string, role string, k string, v string, "
+                 "user string, uid long, ts string, changeset long, "
+                 "version int")
 
 
 def parse_osm_xml(spark: SparkSession, path: str,
@@ -188,7 +212,8 @@ def parse_osm_xml(spark: SparkSession, path: str,
         (F.col("id") * step).alias("start"),
         F.least((F.col("id") + 1) * step, F.lit(size)).alias("end"))
 
-    cols = ["kind", "id", "lon", "lat", "seq", "ref", "mtype", "role", "k", "v"]
+    cols = ["kind", "id", "lon", "lat", "seq", "ref", "mtype", "role", "k",
+            "v", "user", "uid", "ts", "changeset", "version"]
 
     def run(batches):
         for pdf in batches:
@@ -201,14 +226,16 @@ def parse_osm_xml(spark: SparkSession, path: str,
     def tbl(kind, *sel):
         return un.filter(F.col("kind") == kind).select(*sel)
 
+    meta = ["user", "uid", "ts", "changeset", "version"]
     return {
-        "osm_nodes": tbl("node", F.col("id").alias("node_id"), "lon", "lat"),
+        "osm_nodes": tbl("node", F.col("id").alias("node_id"), "lon", "lat",
+                         *meta),
         "osm_node_tags": tbl("node_tag", F.col("id").alias("node_id"), "k", "v"),
-        "osm_ways": tbl("way", F.col("id").alias("way_id")),
+        "osm_ways": tbl("way", F.col("id").alias("way_id"), *meta),
         "osm_way_tags": tbl("way_tag", F.col("id").alias("way_id"), "k", "v"),
         "osm_way_nds": tbl("way_nd", F.col("id").alias("way_id"), "seq",
                            F.col("ref").alias("node_id")),
-        "osm_relations": tbl("rel", F.col("id").alias("rel_id")),
+        "osm_relations": tbl("rel", F.col("id").alias("rel_id"), *meta),
         "osm_rel_tags": tbl("rel_tag", F.col("id").alias("rel_id"), "k", "v"),
         "osm_members": tbl("member", F.col("id").alias("rel_id"), "seq",
                            F.col("mtype").alias("type"), "ref", "role"),
@@ -347,3 +374,37 @@ def import_osm(ctx, path: str, layer_name: str):
     layer = ctx.create_layer(layer_name)
     layer.add(df.drop("gtype"))
     return layer, tables
+
+
+def osm_user_activity(tables: dict) -> DataFrame:
+    """Per-contributor edit statistics — the OsmAnalysisTest.java:99-176
+    analysis (changeset/user walk → per-user counts, activity span, days
+    active, activity rank) re-expressed as one keyed aggregation over the
+    element tables instead of a graph traversal.
+
+    Returns ``(user, uid, n_nodes, n_ways, n_relations, n_edits,
+    first_ts, last_ts, active_days, user_rank)``; rank 1 = most edits
+    (ties by name, deterministic).  OSM timestamps are ISO-8601 strings →
+    ``to_timestamp`` directly.  Scale shape: union of projections, one
+    groupBy(user) with map-side combine; the ranking window runs on the
+    contributor frame, which is corpus-size-independent (bounded by the
+    active-mapper population)."""
+    from pyspark.sql import Window
+
+    frames = []
+    for tname, kind in (("osm_nodes", "node"), ("osm_ways", "way"),
+                        ("osm_relations", "rel")):
+        frames.append(tables[tname].select(
+            "user", "uid", "ts", F.lit(kind).alias("kind")))
+    un = frames[0].unionByName(frames[1]).unionByName(frames[2])
+    acts = (un.filter(F.col("user").isNotNull())
+            .withColumn("t", F.to_timestamp("ts")))
+    agg = (acts.groupBy("user", "uid")
+           .agg(F.sum((F.col("kind") == "node").cast("long")).alias("n_nodes"),
+                F.sum((F.col("kind") == "way").cast("long")).alias("n_ways"),
+                F.sum((F.col("kind") == "rel").cast("long")).alias("n_relations"),
+                F.count(F.lit(1)).alias("n_edits"),
+                F.min("t").alias("first_ts"), F.max("t").alias("last_ts"),
+                F.countDistinct(F.to_date("t")).alias("active_days")))
+    w = Window.orderBy(F.desc("n_edits"), F.asc("user"))
+    return agg.withColumn("user_rank", F.row_number().over(w))

@@ -425,3 +425,40 @@ def test_osm_parse_quote_and_comment_edges(tmp_path):
     assert {r[1] for r in split_rows if r[0] == "node"} <= {1, 2, 99}
     assert sorted(split_rows) == sorted(rows) or \
         {r[1] for r in split_rows if r[0] == "node"} == {1, 2}
+
+
+def test_osm_user_activity(spark, tmp_path):
+    """OsmAnalysisTest parity: contributor metadata survives the parse and
+    aggregates to per-user activity stats with a deterministic rank."""
+    from spatial_spark.io.osm import osm_user_activity, parse_osm_xml
+    xml = (
+        '<?xml version="1.0"?>\n<osm version="0.6">\n'
+        '  <node id="1" lon="1" lat="1" user="alice" uid="7"'
+        '        timestamp="2020-01-01T10:00:00Z" changeset="100" version="2"/>\n'
+        '  <node id="2" lon="2" lat="2" user="alice" uid="7"'
+        '        timestamp="2020-01-02T10:00:00Z" changeset="101" version="1"/>\n'
+        '  <node id="3" lon="3" lat="3" user="bob" uid="9"'
+        '        timestamp="2020-03-05T00:00:00Z" changeset="102" version="1"/>\n'
+        '  <node id="4" lon="4" lat="4"/>\n'
+        '  <way id="10" user="alice" uid="7" timestamp="2020-01-02T11:00:00Z"'
+        '       changeset="101" version="1"><nd ref="1"/><nd ref="2"/></way>\n'
+        '  <relation id="20" user="bob" uid="9"'
+        '            timestamp="2020-03-06T00:00:00Z" changeset="103" version="1">\n'
+        '    <member type="way" ref="10" role="outer"/>\n'
+        '  </relation>\n'
+        '</osm>\n'
+    )
+    p = tmp_path / "users.osm"
+    p.write_text(xml)
+    tables = parse_osm_xml(spark, str(p))
+    rows = {r.user: r for r in osm_user_activity(tables).collect()}
+    assert set(rows) == {"alice", "bob"}
+    a, b = rows["alice"], rows["bob"]
+    assert (a.n_nodes, a.n_ways, a.n_relations, a.n_edits) == (2, 1, 0, 3)
+    assert (b.n_nodes, b.n_ways, b.n_relations, b.n_edits) == (1, 0, 1, 2)
+    assert a.user_rank == 1 and b.user_rank == 2
+    assert a.active_days == 2 and b.active_days == 2
+    assert str(a.first_ts).startswith("2020-01-01")
+    assert str(a.last_ts).startswith("2020-01-02")
+    # the anonymous node still parses as an element, just without a user
+    assert tables["osm_nodes"].count() == 4
