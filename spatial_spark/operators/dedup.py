@@ -443,6 +443,9 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
         F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "para"))
         .withColumn("_norm", F.trim("para"))
         .filter(F.length("_norm") > 0))
+    # min(struct) plans as a SortAggregate but KEEPS the partial/final
+    # split (plan-verified), so hot paragraphs still combine map-side —
+    # the property this formulation exists for
     winners = (paras.groupBy("_norm")
                .agg(F.min(F.struct(id_col, "idx")).alias("w")))
     kept = (paras.join(winners, "_norm")

@@ -903,3 +903,35 @@ def test_dedup_against_reference(spark):
     empty_ref = spark.createDataFrame([], "bench_id long, text string")
     assert dedup_against(corpus, empty_ref,
                          ref_id_col="bench_id").count() == 3
+
+
+@given(hst.lists(hst.text(alphabet="aB. !x", min_size=0, max_size=40),
+                 min_size=0, max_size=12),
+       hst.integers(min_value=0, max_value=8))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_gopher_rules_matches_model(spark, texts, min_tokens):
+    """Integer cross-multiplied thresholds mean the verdicts must equal an
+    exact Python recomputation on arbitrary text (incl. empty, punct-only,
+    uppercase-heavy strings)."""
+    import re
+    from spatial_spark.operators.text import gopher_rules
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string") if rows \
+        else spark.createDataFrame([], "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           gopher_rules(df, min_tokens=min_tokens).collect()}
+    for i, t in rows:
+        n_chars = len(t)
+        n_tokens = 0 if t.strip() == "" else len(re.split(r"\s+", t.strip()))
+        n_punct = sum(c in ".,;:!?'\"()[]{}-" for c in t)
+        n_stop = 0  # alphabet excludes whole stopwords ("the" etc.)
+        m = n_chars - n_tokens + 1
+        r = out[i]
+        assert r.too_short == int(n_tokens < min_tokens), (i, t)
+        assert r.bad_word_len == int(
+            n_tokens > 0 and (m < 3 * n_tokens or m > 10 * n_tokens)), (i, t)
+        assert r.too_punct == int(n_punct * 5 > n_chars), (i, t)
+        assert r.low_stopword == int(n_stop < 2), (i, t)
+        assert r.keep == int(r.too_short + r.too_long + r.bad_word_len
+                             + r.too_punct + r.low_stopword == 0)
