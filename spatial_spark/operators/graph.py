@@ -57,19 +57,33 @@ def min_label_components(nodes: DataFrame, edges: DataFrame,
                                     F.col("island").alias("j_island")),
                       F.col("l1.island") == F.col("jnode"))
                 .select(F.col("l1.node").alias("node"), "j_island"))
+        new_island = F.least(
+            F.col("island"),
+            F.coalesce(F.col("n_island"), F.col("island")),
+            F.coalesce(F.col("j_island"), F.col("island")))
+        # convergence check rides the checkpoint job via Observation
+        # (eager localCheckpoint goes through the action pipeline, so the
+        # CollectMetrics node fills during the SAME materialization) —
+        # one fewer join+count job per round
+        from pyspark.sql import Observation
+        obs = Observation()
         new_labels = (labels
                       .join(neighbor_min, "node", "left")
                       .join(jump, "node", "left")
-                      .select("node",
-                              F.least(
-                                  F.col("island"),
-                                  F.coalesce(F.col("n_island"), F.col("island")),
-                                  F.coalesce(F.col("j_island"), F.col("island")),
-                              ).alias("island"))
+                      .select("node", new_island.alias("island"),
+                              (new_island != F.col("island"))
+                              .cast("long").alias("_chg"))
+                      .observe(obs, F.sum("_chg").alias("changed"))
+                      .drop("_chg")
                       .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-                   .filter(F.col("n.island") != F.col("o.island")).count())
+        try:
+            changed = int(obs.get["changed"] or 0)
+        except Exception:  # metrics unavailable: fall back to a count job
+            changed = (new_labels.alias("n")
+                       .join(labels.alias("o"),
+                             F.col("n.node") == F.col("o.node"))
+                       .filter(F.col("n.island") != F.col("o.island"))
+                       .count())
         labels = new_labels
         if changed == 0:
             break
