@@ -28,24 +28,23 @@ HEADLINE = [
     "tf_idf",
 ]
 
-# Per-query budgets at sf0.1 / local[32]: min(previous budget, ~1.6x the
-# recorded r4 best) — monotone ratchet, so a regression like r2's
-# (per-query re-registration overhead) or r3's (lang_id codegen blowup)
-# fails loudly instead of drifting.  Reported in the JSON as
+# Per-query budgets at sf0.1 / local[32]: monotone ratchet —
+# min(previous budget, ~2.2x the recorded best under the min-of-2
+# measurement) — so a regression like r2's (per-query re-registration
+# overhead) or r3's (lang_id codegen blowup) fails loudly instead of
+# drifting; the 2.2x slack absorbs the measured host-noise band.  Reported in the JSON as
 # budget_violations; exits nonzero only when SPARK_GRAFT_STRICT_BENCH=1
 # (machine noise must not trip the driver's rc gate).
 BUDGET_SF01 = {
-    "within_distance": 1.1, "knn": 0.5, "bbox_window": 0.3,
+    "within_distance": 0.7, "knn": 0.5, "bbox_window": 0.3,
     "spatial_join": 1.1, "spatial_join_agg": 1.6, "distance_join": 1.5,
-    "st_area_rects": 1.6, "extract_points": 1.6, "orthodromic_length": 0.8,
+    "st_area_rects": 1.6, "extract_points": 1.3, "orthodromic_length": 0.8,
     "zorder_keys": 0.5, "tpch_q1": 0.9, "revenue_by_nation": 1.7,
-    "dedup_exact": 0.7, "minhash_pairs": 4.3, "simhash_pairs": 5.0,
+    "dedup_exact": 0.5, "minhash_pairs": 3.5, "simhash_pairs": 4.9,
     "quality_scores": 0.8, "lang_id": 0.6, "knn_cosine": 0.4,
     "events_daily": 0.5,
-    # pins at ~1.6x the best clean-machine in-bench times
-    # (r5: 3.57 / 5.62 / 2.17 / 0.85 / 1.31)
-    "ngram_jaccard": 5.7, "dedup_clusters": 9.0, "contamination": 3.5,
-    "winnowing": 1.4, "tf_idf": 2.1,
+    "ngram_jaccard": 5.7, "dedup_clusters": 8.9, "contamination": 3.5,
+    "winnowing": 1.4, "tf_idf": 1.8,
 }
 
 
