@@ -278,3 +278,55 @@ def test_range_join_brute(spark):
                  range_join(pts, ivs, on="k", ts_col="ts", start_col="lo",
                             end_col="hi", bin_width=4).collect())
     assert got == [("a", "i1"), ("b", "i1")]   # b at 10 == hi inclusive
+
+
+def test_spatial_join_random_vs_brute_force(spark):
+    """Randomized PBSM grid join vs an in-process brute-force oracle:
+    points-in-rects and rect-intersects-rect, including boundary-touching
+    points and shared-edge rects (the dedup rule must not drop or double
+    any qualifying pair)."""
+    import numpy as np
+    from spatial_spark.functions.scalar import register_all
+    register_all(spark)
+    rng = np.random.default_rng(17)
+    pts = [(int(i), float(x), float(y)) for i, (x, y) in enumerate(
+        np.round(rng.uniform(0, 20, (200, 2)), 1))]   # 0.1 grid → boundary hits
+    rects = []
+    for j in range(50):
+        x0, y0 = np.round(rng.uniform(0, 18, 2), 1)
+        w, h = np.round(rng.uniform(0.2, 3, 2), 1)
+        rects.append((int(j), float(x0), float(y0),
+                      float(x0 + w), float(y0 + h)))
+    a = spark.createDataFrame(pts, "pid long, x double, y double") \
+        .selectExpr("pid", "st_point(x, y) AS geom",
+                    "x AS xmin", "y AS ymin", "x AS xmax", "y AS ymax",
+                    "CAST(1 AS int) AS gtype")
+    b = spark.createDataFrame(rects,
+                              "rid long, x0 double, y0 double, "
+                              "x1 double, y1 double") \
+        .selectExpr("rid", "st_geomfromtext(concat("
+                    "'POLYGON ((', x0, ' ', y0, ', ', x1, ' ', y0, ', ',"
+                    " x1, ' ', y1, ', ', x0, ' ', y1, ', ', x0, ' ', y0,"
+                    " '))')) AS geom",
+                    "x0 AS xmin", "y0 AS ymin", "x1 AS xmax", "y1 AS ymax",
+                    "CAST(3 AS int) AS gtype")
+    got = {(r.a_pid, r.b_rid) for r in
+           spatial_join(a, b, "intersects")
+           .select("a_pid", "b_rid").collect()}
+    want = {(pid, rid)
+            for pid, x, y in pts
+            for rid, x0, y0, x1, y1 in rects
+            if x0 <= x <= x1 and y0 <= y <= y1}
+    assert got == want
+    # rects × rects, intersects (closed-boundary semantics: touching counts)
+    got2 = {(r.a_rid, r.b_rid2) for r in
+            spatial_join(b, b.selectExpr("rid AS rid2", "geom", "xmin",
+                                         "ymin", "xmax", "ymax", "gtype"),
+                         "intersects")
+            .select("a_rid", "b_rid2").collect()}
+    def ix(r1, r2):
+        _, a0, b0, a1, b1 = r1
+        _, c0, d0, c1, d1 = r2
+        return a0 <= c1 and c0 <= a1 and b0 <= d1 and d0 <= b1
+    want2 = {(r1[0], r2[0]) for r1 in rects for r2 in rects if ix(r1, r2)}
+    assert got2 == want2
