@@ -935,3 +935,37 @@ def test_gopher_rules_matches_model(spark, texts, min_tokens):
         assert r.low_stopword == int(n_stop < 2), (i, t)
         assert r.keep == int(r.too_short + r.too_long + r.bad_word_len
                              + r.too_punct + r.low_stopword == 0)
+
+
+@given(hst.lists(hst.tuples(hst.integers(0, 1), hst.integers(0, 30)),
+                 min_size=0, max_size=15),
+       hst.lists(hst.tuples(hst.integers(0, 1), hst.integers(0, 30)),
+                 min_size=0, max_size=10, unique=True),
+       hst.sampled_from([None, 0, 3, 100]))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_asof_join_matches_model(spark, lrows, rrows, tol):
+    """Backward as-of against an exact model: latest right ts <= left ts
+    per key, ties (equal ts) matching, tolerance nulling the payload but
+    keeping the left row.  Right timestamps are unique per key (equal-ts
+    right rows are an order-undefined input by ASOF semantics)."""
+    from spatial_spark.operators.temporal import asof_join
+    left = [(i, k, t) for i, (k, t) in enumerate(lrows)]
+    right = [(k, t, k * 1000 + t) for k, t in rrows]
+    ldf = spark.createDataFrame(left, "lid long, k long, ts long") if left \
+        else spark.createDataFrame([], "lid long, k long, ts long")
+    rdf = spark.createDataFrame(right, "k long, ts long, payload long") if right \
+        else spark.createDataFrame([], "k long, ts long, payload long")
+    out = {r.lid: r for r in
+           asof_join(ldf, rdf, on="k", tolerance=tol).collect()}
+    assert set(out) == {i for i, _, _ in left}
+    for lid, k, t in left:
+        cand = [(rt, p) for rk, rt, p in right if rk == k and rt <= t]
+        exp = max(cand) if cand else None
+        if exp is not None and tol is not None and t - exp[0] > tol:
+            exp = None
+        r = out[lid]
+        if exp is None:
+            assert r.r_payload is None, (lid, r)
+        else:
+            assert (r.r_ts, r.r_payload) == exp, (lid, r, exp)
