@@ -412,13 +412,22 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
     a = with_b.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_v"), "bkt")
     b = with_b.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_v"), "bkt")
     cand = a.join(b, "bkt").filter(F.col("a_id") < F.col("b_id"))
-    dot = F.aggregate(F.zip_with("a_v", "b_v", lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, v: acc + v)
-    norm = (F.sqrt(F.aggregate(F.transform("a_v", lambda x: x * x),
-                               F.lit(0.0), lambda acc, v: acc + v))
-            * F.sqrt(F.aggregate(F.transform("b_v", lambda x: x * x),
-                                 F.lit(0.0), lambda acc, v: acc + v)))
-    return (cand.withColumn("cosine", dot / norm)
+
+    # exact-cosine verify via Arrow-batched numpy (a per-pair
+    # aggregate/zip_with fold is interpreted — see cosine_pairs_exact;
+    # candidate volume grows with the corpus, so the verify stage must
+    # be the fast path too)
+    @F.pandas_udf(T.DoubleType())
+    def pair_cos(av: pd.Series, bv: pd.Series) -> pd.Series:
+        if len(av) == 0:
+            return pd.Series([], dtype="float64")
+        ma = np.vstack(av.to_numpy())
+        mb = np.vstack(bv.to_numpy())
+        dots = np.einsum("ij,ij->i", ma, mb)
+        return pd.Series(dots / (np.linalg.norm(ma, axis=1)
+                                 * np.linalg.norm(mb, axis=1)))
+
+    return (cand.withColumn("cosine", pair_cos("a_v", "b_v"))
             .filter(F.col("cosine") >= threshold)
             .select("a_id", "b_id", "cosine"))
 
