@@ -102,7 +102,8 @@ def keep_max(df: DataFrame, prop: str) -> DataFrame:
 
 
 def density_islands(df: DataFrame, density: float, id_col: str = "id",
-                    max_rounds: int = 50) -> DataFrame:
+                    max_rounds: int = 50,
+                    driver_threshold: int | None = None) -> DataFrame:
     """Cluster rows whose geometries lie within `density` of each other
     (DensityIslands.java:26-55).
 
@@ -128,7 +129,9 @@ def density_islands(df: DataFrame, density: float, id_col: str = "id",
 
     edges = density_edges(df, density, id_col)
     nodes = df.select(F.col(id_col).alias("node"))
-    labels = min_label_components(nodes, edges, max_rounds=max_rounds)
+    kw = {} if driver_threshold is None else {
+        "driver_threshold": driver_threshold}
+    labels = min_label_components(nodes, edges, max_rounds=max_rounds, **kw)
     return labels.select(F.col("node").alias(id_col), "island")
 
 

@@ -218,12 +218,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     a candidate — the fully exact operator, at the cost of quadratic
     hot-gram buckets (use only when the gram frequency distribution is
     known to be flat)."""
-    # per-doc distinct gram count is a pure map (no explode/shuffle); the
-    # join key is the 64-bit gram hash, not the gram string — the shuffle
-    # carries 8 bytes instead of an ~3-word string per row.  Counts could
-    # differ only if two DIFFERENT grams colliding at 64 bits met inside
-    # one candidate pair (~1e-19 per pair — documented approximation).
-    garr = F.array_distinct(_ngrams_col(text_col, n))
+    # per-doc distinct gram count is a pure map (no explode/shuffle);
+    # grams exist only as 64-bit hashes end to end (never as strings —
+    # see _ngram_hashes_col), so the shuffle carries 8 bytes per row and
+    # the per-doc distinct runs on longs.  Counts could differ only if
+    # two DIFFERENT grams colliding at 64 bits met inside one candidate
+    # pair or one document (~1e-19 per pair — documented approximation).
+    garr = F.array_distinct(_ngram_hashes_col(text_col, n))
     # Pair generation: ONE groupBy(gram) collects each gram's (tiny) doc
     # list, singleton grams — the vast majority of any corpus — drop
     # before expansion, and ordered pairs expand IN PLACE.  vs the naive
@@ -252,9 +253,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         return (b.select(F.explode(pair_arr).alias("p"))
                 .select("p.a_id", "p.b_id"))
 
-    grams = df.select(
-        F.col(id_col),
-        F.explode(F.transform(garr, lambda g: F.xxhash64(g))).alias("gram"))
+    grams = df.select(F.col(id_col), F.explode(garr).alias("gram"))
     if max_df is None:
         # fully exact mode: each shared distinct gram contributes EXACTLY
         # one pair row, so |A∩B| is a straight count — no recount joins.
@@ -279,6 +278,27 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         / (F.col("a_n") + F.col("b_n") - F.col("n_common")))
             .filter(F.col("jaccard") >= threshold)
             .select("a_id", "b_id", "jaccard"))
+
+
+def _ngram_hashes_col(text_col: str, n: int):
+    """64-bit hashes of the word n-grams, built WITHOUT materializing the
+    gram strings: the shifted token arrays are zipped (same layout as
+    ``_ngrams_col``) and each component tuple goes straight through the
+    multi-argument ``xxhash64`` — one JVM hash call per gram instead of a
+    concat_ws allocation plus a hash.  ``xxhash64`` skips null arguments,
+    which reproduces concat_ws's skip-null tail behavior exactly (an
+    ``L < n`` document yields the single hash of its available tokens).
+    Tokens come from a whitespace split so no component can contain a
+    space — component hashing therefore distinguishes exactly the same
+    grams the string form does, modulo the 64-bit collision odds already
+    documented on ``ngram_jaccard_pairs``."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, F.size(toks)).alias(f"t{i}")
+                            for i in range(n)])
+    grams = F.transform(
+        zipped, lambda s: F.xxhash64(*[s[f"t{i}"] for i in range(n)]))
+    return F.slice(grams, 1,
+                   F.greatest(F.size(toks) - (n - 1), F.lit(1)))
 
 
 def _ngrams_col(text_col: str, n: int):

@@ -25,26 +25,142 @@ loss — acceptable for bounded-round jobs, documented here as the seam.
 
 from __future__ import annotations
 
+import concurrent.futures
 import warnings
 
 from pyspark.sql import DataFrame, functions as F
 
+#: Seconds to wait for an ``Observation`` metric before falling back to an
+#: explicit count job.  ``Observation.get`` blocks indefinitely if the
+#: CollectMetrics node is never reported (possible across Spark versions
+#: when the action is a localCheckpoint), so the wait must be bounded — a
+#: hang here would deadlock dedup_clusters / density_islands outright.
+_OBSERVATION_TIMEOUT_S = 60.0
+
+
+def _observation_changed(obs, fallback) -> int:
+    """Read ``obs.get["changed"]`` with a bounded wait.
+
+    The blocking property access runs on a daemon worker thread; on
+    timeout or error the ``fallback`` thunk (a count job) supplies the
+    answer instead.  A timed-out reader thread is abandoned (it holds no
+    locks we need), which degrades to one extra Spark job per round — the
+    pre-Observation behavior — rather than a hang.
+    """
+    ex = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+    try:
+        fut = ex.submit(lambda: obs.get["changed"])
+        try:
+            return int(fut.result(timeout=_OBSERVATION_TIMEOUT_S) or 0)
+        except Exception:  # timeout, metrics unavailable, cast failure
+            return int(fallback())
+    finally:
+        ex.shutdown(wait=False)
+
+
+def _split_active(nodes: DataFrame, edges_sym: DataFrame):
+    """Split ``nodes`` into (edge-endpoint nodes, singleton nodes).
+
+    ``edges_sym`` must already be symmetrized, so ``a_id`` alone covers
+    every endpoint.  Semi/anti joins never widen rows and need no
+    distinct on the edge side.  Exposed module-level so tests can pin the
+    invariant that the pointer-doubling loop only ever carries endpoint
+    rows — the difference between shuffling |dup-candidates| and |corpus|
+    per round at 100 TB, where almost every document is a singleton.
+    """
+    endpoints = edges_sym.select("a_id")
+    active = nodes.join(endpoints, nodes.node == endpoints.a_id,
+                        "left_semi")
+    singles = nodes.join(endpoints, nodes.node == endpoints.a_id,
+                         "left_anti")
+    return active, singles
+
+
+#: Edge-count ceiling for the driver union-find short-circuit.  4M
+#: symmetrized edge rows ≈ 64 MB on the driver — the same order as a
+#: broadcast-join build side.  Above it, the distributed pointer-doubling
+#: loop runs (the 100 TB path).
+_DRIVER_UNION_FIND_EDGES = 4_000_000
+
+
+def _driver_union_find(nodes_l: DataFrame, edges_sym: DataFrame) -> DataFrame:
+    """Small-graph short-circuit: collect the (cached, symmetrized) edge
+    list, run union-find on the driver, broadcast the endpoint→island
+    mapping back, and label the corpus with ONE broadcast left join.
+
+    Matches the distributed loop's semantics exactly: an edge only takes
+    effect if BOTH endpoints are in ``nodes`` (the loop drops the other
+    rows at its two joins), so membership is checked via a broadcast
+    semi-join before union-find — the endpoint set, not the corpus, is
+    what comes back to the driver.
+
+    Two-level designs like this are the standard CC recipe at scale
+    (iterate distributed until the frontier fits, then finish locally);
+    here the dedup pair graph usually starts below the threshold, which
+    turns the whole clustering step into a single broadcast join over the
+    corpus — no iterative job overhead at all.
+    """
+    eps = edges_sym.select("a_id", "b_id").collect()
+    endpoint_rows = (nodes_l.join(
+        F.broadcast(edges_sym.select(F.col("a_id").alias("node"))),
+        "node", "left_semi").collect())
+    member = {r["node"] for r in endpoint_rows}
+    parent = {n: n for n in member}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in eps:
+        a, b = r["a_id"], r["b_id"]
+        if a in member and b in member:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)  # min-label union
+    mapping = [(n, find(n)) for n in member]
+    spark = nodes_l.sparkSession
+    if not mapping:
+        return nodes_l.withColumn("island", F.col("node"))
+    map_df = spark.createDataFrame(mapping, "node long, island long")
+    return (nodes_l.join(F.broadcast(map_df), "node", "left")
+            .select("node", F.coalesce("island", "node").alias("island")))
+
 
 def min_label_components(nodes: DataFrame, edges: DataFrame,
-                         max_rounds: int = 50) -> DataFrame:
+                         max_rounds: int = 50,
+                         driver_threshold: int = _DRIVER_UNION_FIND_EDGES,
+                         ) -> DataFrame:
     """Connected components of the undirected graph.
 
     `nodes`: one column ``node`` (castable to long); `edges`: ``(a_id,
     b_id)`` pairs, either direction (symmetrized here).  Returns ``(node,
     island)`` with ``island`` = min node id of the component.  The round
     bound is a safety rail; an unconverged exit warns, never silently.
+
+    Nodes with no incident edge are their own island by definition, so
+    they are split off before the iteration and unioned back at the end:
+    the O(log diameter) join/checkpoint loop runs only on edge endpoints.
+    Graphs whose edge list fits on the driver (≤ ``driver_threshold``
+    symmetrized rows) skip the loop entirely via ``_driver_union_find``.
     """
     edges = edges.select(F.col("a_id").cast("long").alias("a_id"),
                          F.col("b_id").cast("long").alias("b_id"))
     edges = edges.union(edges.select(F.col("b_id").alias("a_id"),
                                      F.col("a_id").alias("b_id"))).cache()
 
-    labels = (nodes.select(F.col("node").cast("long").alias("node"))
+    nodes_l = nodes.select(F.col("node").cast("long").alias("node"))
+    n_edges = edges.count()  # materializes the cache either way
+    if n_edges <= driver_threshold:
+        try:
+            return _driver_union_find(nodes_l, edges)
+        finally:
+            edges.unpersist()
+    active, _ = _split_active(nodes_l, edges)
+    labels = (active
               .withColumn("island", F.col("node"))
               .localCheckpoint(eager=True))
     changed = -1
@@ -76,14 +192,16 @@ def min_label_components(nodes: DataFrame, edges: DataFrame,
                       .observe(obs, F.sum("_chg").alias("changed"))
                       .drop("_chg")
                       .localCheckpoint(eager=True))
-        try:
-            changed = int(obs.get["changed"] or 0)
-        except Exception:  # metrics unavailable: fall back to a count job
-            changed = (new_labels.alias("n")
-                       .join(labels.alias("o"),
-                             F.col("n.node") == F.col("o.node"))
-                       .filter(F.col("n.island") != F.col("o.island"))
-                       .count())
+        old_labels = labels
+
+        def _count_changed():
+            return (new_labels.alias("n")
+                    .join(old_labels.alias("o"),
+                          F.col("n.node") == F.col("o.node"))
+                    .filter(F.col("n.island") != F.col("o.island"))
+                    .count())
+
+        changed = _observation_changed(obs, _count_changed)
         labels = new_labels
         if changed == 0:
             break
@@ -94,4 +212,10 @@ def min_label_components(nodes: DataFrame, edges: DataFrame,
             f"rounds ({changed} labels still changing) — components with "
             f"log2(diameter) > {max_rounds} are split; raise the round "
             f"budget", RuntimeWarning)
-    return labels
+    # Singletons re-enter as their own islands via an anti-join against
+    # the CHECKPOINTED final labels (== the edge-endpoint set), not
+    # against `edges`: the edge frame is unpersisted by now and its
+    # lineage is the expensive candidate-pair pipeline, which must not
+    # recompute when the caller materializes the result.
+    singles = nodes_l.join(labels.select("node"), "node", "left_anti")
+    return labels.union(singles.withColumn("island", F.col("node")))
