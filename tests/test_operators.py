@@ -263,6 +263,80 @@ def test_components_empty_edges(spark):
     assert got == {i: i for i in range(50)}
 
 
+def test_polygon_refine_vectorized_no_slow():
+    """VERDICT r5 #3: polygon-a × polygon-b refine must decide via the
+    grouped vectorized path; the exact-relate slow list stays empty for
+    clear-margin pairs (parcels×zones shape)."""
+    import pandas as pd
+    from spatial_spark.geom import Geometry, to_wkb
+    from spatial_spark.operators.join import _PREDS, _refine_batch
+
+    def diamond(cx, cy, r):
+        return Geometry.polygon([(cx - r, cy), (cx, cy - r), (cx + r, cy),
+                                 (cx, cy + r), (cx - r, cy)])
+
+    zone = Geometry.box(0.0, 0.0, 10.0, 10.0)
+    cases = [
+        (diamond(5, 5, 1), True),        # strictly inside
+        (diamond(0, 5, 1), True),        # straddles the left edge
+        (diamond(-0.4, -0.4, 0.5), False),  # bbox overlaps corner, geom missed
+        (diamond(15, 5, 1), False),      # far outside (no bbox overlap even)
+        (diamond(5, 5, 40), True),       # parcel CONTAINS the zone
+        (diamond(10.6, 10.6, 1.0), False),  # past the corner (L1 gap 0.2)
+    ]
+    a = pd.Series([to_wkb(g) for g, _ in cases])
+    b = pd.Series([to_wkb(zone)] * len(cases))
+    g3 = pd.Series([3] * len(cases))
+    stats = {}
+    out = _refine_batch("intersects", a, g3, b, g3, stats=stats)
+    assert [bool(v) for v in out] == [want for _, want in cases]
+    assert stats["slow"] == 0
+    assert stats["grouped"] == len(cases)
+    # decisions must agree with the exact kernel predicate
+    fn = _PREDS["intersects"]
+    for (g, _), got in zip(cases, out):
+        assert bool(got) == fn(g, zone)
+
+
+def test_polygon_refine_matches_exact_kernel():
+    """Randomized agreement: every _refine_batch decision (vectorized or
+    slow) equals the exact kernel predicate, including a nonconvex and a
+    holed b and within/coveredby."""
+    import random
+
+    import pandas as pd
+    from spatial_spark.geom import Geometry, to_wkb
+    from spatial_spark.operators.join import _PREDS, _refine_batch
+
+    rng = random.Random(42)
+    # nonconvex "U" zone and a holed zone
+    u_zone = Geometry.polygon([(0, 0), (10, 0), (10, 10), (7, 10), (7, 3),
+                               (3, 3), (3, 10), (0, 10), (0, 0)])
+    holed = Geometry.polygon([(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)],
+                             holes=[[(4, 4), (6, 4), (6, 6), (4, 6), (4, 4)]])
+    geoms_a = []
+    for _ in range(120):
+        cx, cy = rng.uniform(-2, 12), rng.uniform(-2, 12)
+        r = rng.uniform(0.3, 3.0)
+        if rng.random() < 0.5:
+            geoms_a.append((Geometry.polygon(
+                [(cx - r, cy), (cx, cy - r), (cx + r, cy), (cx, cy + r),
+                 (cx - r, cy)]), 3))
+        else:
+            geoms_a.append((Geometry.linestring(
+                [(cx - r, cy - r), (cx, cy + r), (cx + r, cy - r)]), 2))
+    for pred in ("intersects", "within", "coveredby"):
+        fn = _PREDS[pred]
+        for zone in (u_zone, holed):
+            a = pd.Series([to_wkb(g) for g, _ in geoms_a])
+            at = pd.Series([t for _, t in geoms_a])
+            b = pd.Series([to_wkb(zone)] * len(geoms_a))
+            bt = pd.Series([3] * len(geoms_a))
+            out = _refine_batch(pred, a, at, b, bt)
+            for (g, _), got in zip(geoms_a, out):
+                assert bool(got) == fn(g, zone), (pred, to_wkb(g).hex())
+
+
 def test_knn_join_vs_brute(ctx, spark):
     """knn_join agrees with a numpy brute-force k-NN on a random bed."""
     import numpy as np
