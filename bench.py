@@ -26,6 +26,10 @@ HEADLINE = [
     # regression here (e.g. the r4 ngram O(L²) tokenizer) now fails loudly
     "ngram_jaccard", "dedup_clusters", "contamination", "winnowing",
     "tf_idf",
+    # r6: the remaining heavies (VERDICT r5 ask #6) — every substantial
+    # pipeline operator now has a ratcheted budget
+    "semantic_dedup", "paragraph_dedup", "pack_sequences",
+    "knn_join", "asof_join", "range_join", "ivf_knn",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -95,10 +99,17 @@ def main():
     total = round(sum(t for t in timings.values() if t > 0), 3)
     wall = round(time.time() - t_all, 3)
     violations = {}
+    # a crashed query (-1.0) is always a violation (ADVICE r5: it used to
+    # be excluded from the total AND the budget check, so a crash made the
+    # headline number look faster and strict mode still exited 0)
+    for q, t in timings.items():
+        if t < 0:
+            violations[q] = {"sec": t, "budget": BUDGET_SF01.get(q, 0.0),
+                             "error": True}
     if sf == 0.1:
-        violations = {q: {"sec": t, "budget": BUDGET_SF01[q]}
-                      for q, t in timings.items()
-                      if q in BUDGET_SF01 and t > BUDGET_SF01[q]}
+        violations.update({q: {"sec": t, "budget": BUDGET_SF01[q]}
+                           for q, t in timings.items()
+                           if q in BUDGET_SF01 and t > BUDGET_SF01[q]})
         for q, v in violations.items():
             print(f"# BUDGET EXCEEDED: {q} {v['sec']}s > {v['budget']}s",
                   file=sys.stderr)

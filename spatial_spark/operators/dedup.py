@@ -355,6 +355,14 @@ def dedup_near(df: DataFrame, pairs: DataFrame,
     return df.join(keep, id_col, "left_semi")
 
 
+def _literal_pattern(sep: str) -> str:
+    """Quote ``sep`` as a literal for Spark's Java-regex ``F.split``
+    (ADVICE r5: a regex-special separator like ``'.'`` or ``'|'`` would
+    silently split per-character; the DuckDB oracles and the docstrings
+    treat the separator literally, so the engine must too)."""
+    return "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def boilerplate_lines(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", min_df: int = 2,
                       sep: str = "\n") -> DataFrame:
@@ -366,7 +374,8 @@ def boilerplate_lines(df: DataFrame, text_col: str = "text",
     two keyed shuffles with map-side combine, no all-pairs anything; the
     result is a small dimension a scrub pass broadcast-joins against."""
     lines = (df.select(F.col(id_col),
-                       F.explode(F.split(F.col(text_col), sep)).alias("line"))
+                       F.explode(F.split(F.col(text_col),
+                                         _literal_pattern(sep))).alias("line"))
              .withColumn("line", F.trim("line"))
              .filter(F.length("line") > 0)
              .distinct())
@@ -469,7 +478,8 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
     (documents losing all paragraphs come back with empty text)."""
     paras = (df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "para"))
+        F.posexplode(F.split(F.col(text_col),
+                             _literal_pattern(sep))).alias("idx", "para"))
         .withColumn("_norm", F.trim("para"))
         .filter(F.length("_norm") > 0))
     # min(struct) plans as a SortAggregate but KEEPS the partial/final

@@ -9,10 +9,19 @@ batch writes — so encoding, SFC clustering, write-time stats and the
 optional id-index sidecar all apply to streamed data unchanged.
 
 foreachBatch is the right shape here (not a raw file sink): the layer
-write is a *transformation* (encode + repartitionByRange + observe), and
-foreachBatch gives exactly-once-per-epoch batch semantics with the
-checkpoint tracking which source files/offsets are committed.  At scale
-the source swaps to Kafka and nothing else changes.
+write is a *transformation* (encode + repartitionByRange + observe).
+foreachBatch is AT-LEAST-ONCE, not exactly-once (ADVICE r5): the stream
+checkpoint tracks which source offsets are committed, but if the driver
+dies after Layer.add's non-transactional parquet append and before the
+epoch commits, the restarted query replays the epoch.  We make the
+replay idempotent with a layer-side epoch log (one marker file per
+committed epoch, keyed by checkpoint identity + epoch_id, written AFTER
+the append): a replayed epoch whose marker exists is skipped.  The
+residual window — append done, marker not yet written — is a crash
+inside two local filesystem ops; on a transactional table format
+(Delta/Iceberg) the epoch id rides the commit itself and the window
+disappears.  At scale the source swaps to Kafka and nothing else
+changes.
 
 Caveat (documented, inherent to SFC-clustered appends): each micro-batch
 range-partitions independently, so long-running streams accrete
@@ -36,10 +45,26 @@ def stream_into_layer(stream_df: DataFrame, layer, checkpoint: str,
     string column, or WKB ``geom``).  Returns the StreamingQuery; pass
     ``available_now=False`` for a continuous micro-batch stream.
     """
+    import hashlib
+    import os
+
+    # layer-side epoch log: markers live next to the layer store, keyed by
+    # the checkpoint identity so two independent streams into one layer
+    # cannot collide on epoch numbering
+    log_dir = os.path.join(
+        layer.path + "_epochs",
+        hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()[:12])
+
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        marker = os.path.join(log_dir, f"epoch-{epoch_id}")
+        if os.path.exists(marker):
+            return  # replayed epoch (at-least-once restart): already appended
         if batch_df.isEmpty():
             return
         layer.add(batch_df, geom=geom, wkt=wkt, x=x, y=y, mode="append")
+        os.makedirs(log_dir, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write("committed")
 
     writer = (stream_df.writeStream
               .foreachBatch(write_batch)

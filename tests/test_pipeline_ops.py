@@ -756,6 +756,30 @@ def test_paragraph_dedup(spark):
     assert r7.text == "dup\nother" and r7.n_removed == 1
 
 
+def test_separator_treated_literally(spark):
+    """ADVICE r5: a regex-special separator ('.', '|') must split
+    literally — F.split takes a Java regex, so the operators quote it."""
+    from spatial_spark.operators.dedup import (boilerplate_lines,
+                                               paragraph_dedup)
+    df = spark.createDataFrame(
+        [(1, "alpha beta.shared tail"), (2, "gamma delta.shared tail")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           paragraph_dedup(df, sep=".").collect()}
+    # '.' as a raw regex would split per-character and destroy everything;
+    # literal '.' keeps two paragraphs per doc and dedups the shared tail
+    assert out[1].text == "alpha beta.shared tail"
+    assert out[2].text == "gamma delta" and out[2].n_removed == 1
+    lines = {(r.line, r.n_docs)
+             for r in boilerplate_lines(df, sep=".", min_df=2).collect()}
+    assert lines == {("shared tail", 2)}
+    # '|' (alternation, matches everywhere as an empty pattern) likewise
+    df2 = spark.createDataFrame([(1, "a|b"), (2, "c|b")],
+                                "doc_id long, text string")
+    assert {(r.line, r.n_docs) for r in
+            boilerplate_lines(df2, sep="|", min_df=2).collect()} == {("b", 2)}
+
+
 def test_semantic_dedup_exact_vs_lsh(spark):
     import numpy as np
     from spatial_spark.operators.dedup import (cosine_pairs_exact,
@@ -953,6 +977,16 @@ def test_streaming_layer_ingest(ctx, spark, tmp_path):
     q2 = stream_into_layer(stream, layer, str(tmp_path / "ckpt"),
                            x="lon", y="lat")
     q2.awaitTermination(120)
+    assert layer.count() == 65
+    # at-least-once replay (ADVICE r5): losing the stream checkpoint makes
+    # the restarted query replay every epoch from offset 0 — the
+    # layer-side epoch log (markers written after each committed append)
+    # recognizes the replayed epochs and skips them, so no duplicates land
+    import shutil
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    q3 = stream_into_layer(stream, layer, str(tmp_path / "ckpt"),
+                           x="lon", y="lat")
+    q3.awaitTermination(120)
     assert layer.count() == 65
 
 
