@@ -971,6 +971,14 @@ def _q_paragraph_dedup(spark, sf_dir) -> DataFrame:
     return paragraph_dedup(spark.table("documents"))
 
 
+def _q_lm_perplexity(spark, sf_dir) -> DataFrame:
+    """CCNet-style LM quality scoring: per-document average negative
+    log-likelihood under a word-bigram model trained on the corpus
+    itself (self-perplexity bootstrap mode)."""
+    from spatial_spark.operators.lm import lm_score
+    return lm_score(spark.table("documents"))
+
+
 def _q_semantic_dedup(spark, sf_dir) -> DataFrame:
     """SemDeDup-style clustering: exact cosine pairs >= 0.44 (threshold
     sits in a >=1e-4-wide gap of the pairwise-cosine distribution at
@@ -1023,6 +1031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing": _q_winnowing,
         # --- new this round (needs a first driver row) ---
         "polygon_join": _q_polygon_join,
+        "lm_perplexity": _q_lm_perplexity,
         # --- veterans kept in the 50-row window ---
         "within_distance": _q_within_distance,
         "knn": _q_knn,
@@ -1898,6 +1907,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(CAST(cb AS DOUBLE) / 512) AS BIGINT) AS pack_id,
                    CAST(cb % 512 AS BIGINT) AS pack_offset
             FROM c
+        """,
+        "lm_perplexity": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> length(x) > 0) AS t
+              FROM documents),
+            big AS (
+              SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(1, len(t) - 1)) AS i
+                    FROM toks WHERE len(t) >= 2)),
+            c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+            c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+            v AS (SELECT count(DISTINCT tok) AS vs
+                  FROM (SELECT unnest(t) AS tok FROM toks)),
+            lp AS (
+              SELECT b.doc_id,
+                     ln((CAST(coalesce(c2.c2, 0) AS DOUBLE)
+                         + CAST(0.5 AS DOUBLE))
+                        / (CAST(coalesce(c1.c1, 0) AS DOUBLE)
+                           + CAST(0.5 AS DOUBLE) * CAST(v.vs AS DOUBLE)))
+                       AS lp
+              FROM big b
+              LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+              LEFT JOIN c1 ON b.w1 = c1.w1
+              CROSS JOIN v),
+            per_doc AS (
+              SELECT doc_id, count(*) AS n_bigrams,
+                     round(-avg(lp), 6) AS nll
+              FROM lp GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   p.nll AS nll
+            FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
         """,
         "paragraph_dedup": """
             WITH split AS (

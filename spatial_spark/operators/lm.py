@@ -1,0 +1,111 @@
+"""Statistical language-model scoring for corpus quality filtering.
+
+CCNet / RedPajama-style pipelines bucket documents by the perplexity of
+a small language model trained on a trusted reference corpus (ccnet
+paper: Wenzek et al., "CCNet: Extracting High Quality Monolingual
+Datasets from Web Crawl Data", LREC 2020) — low-perplexity docs read
+like the reference, high-perplexity docs are noise/boilerplate/garble.
+The reference engine (neo4j-contrib/spatial) has no LM axis; this is
+part of the training-data-pipeline extension surface.
+
+Spark-first shape
+-----------------
+The model is two count tables and a scalar:
+
+  * ``c2(w1, w2)`` — bigram occurrences in the reference corpus
+  * ``c1(w1)``     — bigram-prefix occurrences (sum of c2 over w2)
+  * ``V``          — reference vocabulary size (distinct unigrams)
+
+and the smoothed conditional is
+
+  P(w2 | w1) = (c2 + alpha) / (c1 + alpha * V)
+
+Training is two keyed aggregations with map-side combine; scoring is the
+document bigram stream LEFT-joined against the count tables (keyed
+equi-joins — AQE broadcasts them when the model is small, which is the
+normal case: CCNet trains on a bounded trusted sample, not the crawl).
+Nothing here collects to the driver; ``V`` rides a 1-row broadcast.
+
+At 100 TB: pass a sampled/curated ``ref_df`` so the model stays
+broadcast-size; the corpus-side token stream is map-only until the two
+model joins, and the per-document aggregation combines map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["train_bigram_lm", "lm_score"]
+
+#: Additive smoothing mass for unseen bigrams.
+DEFAULT_ALPHA = 0.5
+
+
+def _bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, w1, w2) stream: lowercase whitespace tokens, consecutive
+    pairs.  slice/zip_with (never ``sequence``, whose descending-range
+    behavior on 1-token docs would explode) keeps it whole-stage
+    codegen; empty tokens from leading/trailing whitespace are dropped
+    to match the oracle's ``list_filter``."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda t: F.length(t) > 0)
+    return (df.select(F.col(id_col), toks.alias("t"))
+            .select(id_col, F.explode(F.expr(
+                "zip_with(slice(t, 1, greatest(size(t) - 1, 0)),"
+                "         slice(t, 2, greatest(size(t) - 1, 0)),"
+                "         (a, b) -> struct(a AS w1, b AS w2))")).alias("bg"))
+            .select(id_col, "bg.w1", "bg.w2"))
+
+
+def train_bigram_lm(ref_df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Count tables of a word-bigram LM over ``ref_df``.
+
+    Returns ``(c2, c1, vocab)`` DataFrames: ``(w1, w2, c2)``,
+    ``(w1, c1)`` and a 1-row ``(V)``.  Two shuffles on the gram keys
+    (partial aggregation absorbs hot grams map-side) plus one global
+    distinct-count for the vocabulary.
+    """
+    bi = _bigrams(ref_df, text_col, id_col)
+    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda t: F.length(t) > 0)
+    vocab = (ref_df.select(F.explode(toks).alias("tok"))
+             .agg(F.countDistinct("tok").alias("V")))
+    return c2, c1, vocab
+
+
+def lm_score(df: DataFrame, ref_df: DataFrame | None = None,
+             text_col: str = "text", id_col: str = "doc_id",
+             alpha: float = DEFAULT_ALPHA) -> DataFrame:
+    """Per-document average negative log-likelihood under a bigram LM
+    trained on ``ref_df`` (default: the corpus itself — self-perplexity,
+    the bootstrap mode when no trusted reference exists yet).
+
+    Returns ``(id_col, n_bigrams, nll)`` for EVERY input row; documents
+    with fewer than two tokens score ``n_bigrams = 0, nll = NULL``.
+    ``nll`` is rounded to 6 decimals (cross-engine float discipline —
+    ln()/avg() may differ by ulps between engines).  Low nll ≈ fluent
+    under the reference model; a pipeline filters or buckets on it.
+    """
+    if ref_df is None:
+        ref_df = df
+    c2, c1, vocab = train_bigram_lm(ref_df, text_col, id_col)
+    bi = _bigrams(df, text_col, id_col)
+    scored = (bi
+              .join(c2, ["w1", "w2"], "left")
+              .join(c1, ["w1"], "left")
+              .crossJoin(F.broadcast(vocab))
+              .select(F.col(id_col), (
+                  F.log((F.coalesce(F.col("c2"), F.lit(0)) + F.lit(alpha))
+                        / (F.coalesce(F.col("c1"), F.lit(0))
+                           + F.lit(alpha) * F.col("V")))).alias("lp")))
+    per_doc = (scored.groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                    F.round(-F.avg("lp"), 6).alias("nll")))
+    return (df.select(id_col).join(per_doc, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    F.col("nll")))

@@ -1072,3 +1072,45 @@ def test_asof_join_matches_model(spark, lrows, rrows, tol):
             assert r.r_payload is None, (lid, r)
         else:
             assert (r.r_ts, r.r_payload) == exp, (lid, r, exp)
+
+
+def test_lm_score_matches_hand_model(spark):
+    """Bigram LM nll against a hand-computed model: corpus bigrams
+    (a,b)x3 (b,a)x1 (b,c)x1; prefixes a=3 b=2; vocab {a,b,c,x} V=4."""
+    import math
+    from spatial_spark.operators.lm import lm_score
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x"), (4, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in lm_score(df).collect()}
+
+    def p(c2, c1, v=4, a=0.5):
+        return (c2 + a) / (c1 + a * v)
+
+    nll1 = -(math.log(p(3, 3)) + math.log(p(1, 2)) + math.log(p(3, 3))) / 3
+    nll2 = -(math.log(p(3, 3)) + math.log(p(1, 2))) / 2
+    assert (out[1].n_bigrams, out[1].nll) == (3, round(nll1, 6))
+    assert (out[2].n_bigrams, out[2].nll) == (2, round(nll2, 6))
+    # short/empty docs keep their row with no score
+    assert (out[3].n_bigrams, out[3].nll) == (0, None)
+    assert (out[4].n_bigrams, out[4].nll) == (0, None)
+
+
+def test_lm_score_reference_corpus(spark):
+    """Scoring against a separate trusted reference: text the reference
+    never saw scores strictly worse (every bigram unseen -> -ln of the
+    uniform floor), and fluent-under-reference text scores better."""
+    from spatial_spark.operators.lm import lm_score
+    ref = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),
+         (101, "the quick red fox runs past the lazy cat")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "zxq wvu tsr qpo")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in lm_score(corpus, ref_df=ref).collect()}
+    assert out[1].nll < out[2].nll
+    # fully-unseen doc: every bigram hits the smoothing floor ln(1/V)
+    import math
+    v = 12  # distinct tokens in ref
+    assert out[2].nll == round(math.log(v), 6)
