@@ -979,6 +979,24 @@ def _q_lm_perplexity(spark, sf_dir) -> DataFrame:
     return lm_score(spark.table("documents"))
 
 
+def _q_doc_chunks(spark, sf_dir) -> DataFrame:
+    """Sliding-window chunking (16-token windows every 8 tokens) — the
+    per-document training-sample cutter; map-only, no shuffle."""
+    from spatial_spark.operators.pack import chunk_documents
+    return chunk_documents(spark.table("documents"), window=16, stride=8)
+
+
+def _q_tile_counts(spark, sf_dir) -> DataFrame:
+    """Customer density per web-mercator tile at z=6 plus the z=5
+    pyramid level rolled up from it (tile export precursor — the
+    scale-out stat behind the reference's image/tile rendering)."""
+    from spatial_spark.operators.tiles import tile_counts, tile_rollup
+    pts = spark.table("customer").selectExpr(
+        "c_custkey", f"{CUST_LON} AS lon", f"{CUST_LAT} AS lat")
+    z6 = tile_counts(pts, 6, "lon", "lat")
+    return z6.unionAll(tile_rollup(z6))
+
+
 def _q_semantic_dedup(spark, sf_dir) -> DataFrame:
     """SemDeDup-style clustering: exact cosine pairs >= 0.44 (threshold
     sits in a >=1e-4-wide gap of the pairwise-cosine distribution at
@@ -1032,6 +1050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round (needs a first driver row) ---
         "polygon_join": _q_polygon_join,
         "lm_perplexity": _q_lm_perplexity,
+        "doc_chunks": _q_doc_chunks,
+        "tile_counts": _q_tile_counts,
         # --- veterans kept in the 50-row window ---
         "within_distance": _q_within_distance,
         "knn": _q_knn,
@@ -1091,6 +1111,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # DuckDB oracles (plain SQL on the registered parquet views)
 # ---------------------------------------------------------------------------
+def _tile_counts_oracle_sql() -> str:
+    """z=6 tile counts + z=5 rollup; the tile x/y expressions are the
+    SAME SQL text the Spark operator evaluates (tiles.tile_xy_sql)."""
+    from spatial_spark.operators.tiles import tile_xy_sql
+    x6, y6 = tile_xy_sql(6, CUST_LON, CUST_LAT)
+    return f"""
+        WITH z6 AS (
+          SELECT CAST(6 AS INT) AS tile_z, {x6} AS tile_x, {y6} AS tile_y,
+                 count(*) AS n
+          FROM customer GROUP BY 2, 3),
+        z5 AS (
+          SELECT CAST(5 AS INT) AS tile_z,
+                 CAST(floor(CAST(tile_x AS DOUBLE) / 2) AS BIGINT) AS tile_x,
+                 CAST(floor(CAST(tile_y AS DOUBLE) / 2) AS BIGINT) AS tile_y,
+                 CAST(sum(n) AS BIGINT) AS n
+          FROM z6 GROUP BY 2, 3)
+        SELECT * FROM z6 UNION ALL SELECT * FROM z5
+    """
+
+
 def _zorder_oracle_sql() -> str:
     """Bit-interleave in pure SQL: 12 bits of lon cell + 12 of lat cell."""
     cx = f"CAST(least(greatest(floor(({CUST_LON} + 180.0) / 360.0 * 4096), 0), 4095) AS BIGINT)"
@@ -1942,6 +1982,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
                    p.nll AS nll
             FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+        """,
+        "tile_counts": _tile_counts_oracle_sql(),
+        "doc_chunks": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> length(x) > 0) AS t
+              FROM documents),
+            starts AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(0, len(t) - 1, 8)) AS s
+              FROM toks WHERE len(t) > 0)
+            SELECT doc_id,
+                   CAST(floor(CAST(s AS DOUBLE) / 8) AS BIGINT) AS chunk_id,
+                   CAST(least(len(t) - s, 16) AS BIGINT) AS n_tokens,
+                   array_to_string(t[s + 1 : s + 16], ' ') AS chunk
+            FROM starts
         """,
         "paragraph_dedup": """
             WITH split AS (

@@ -76,3 +76,42 @@ def pack_stats(packed: DataFrame, seq_len: int,
     return agg.withColumn(
         "fill_frac",
         F.col("total_tokens") / (F.col("n_packs") * F.lit(float(seq_len))))
+
+
+def chunk_documents(df: DataFrame, window: int, stride: int | None = None,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Sliding-window chunking: cut each document's token sequence into
+    ``window``-token chunks starting every ``stride`` tokens (default:
+    non-overlapping, ``stride = window``) — the per-document alternative
+    to pack_sequences when examples must not cross document boundaries
+    (long-context SFT samples, embedding inputs, retrieval passages).
+
+    A chunk starts at every multiple of ``stride`` below the document's
+    token count, so the tail chunk may be short; empty documents yield
+    no chunks.  Returns ``(id_col, chunk_id, n_tokens, chunk)``.
+
+    Scale shape: 100% whole-stage-codegen Columns (split → sequence of
+    starts → explode → slice/array_join) — a map-only operator with no
+    shuffle at all; output size is input x (window / stride) overlap
+    factor, which the caller chooses.
+    """
+    if stride is None:
+        stride = window
+    if window <= 0 or stride <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = F.filter(F.split(F.col(text_col), r"\s+"),
+                    lambda t: F.length(t) > 0)
+    return (df.select(F.col(id_col), toks.alias("t"))
+            .filter(F.size("t") > 0)
+            .select(id_col, "t", F.explode(
+                F.expr(f"sequence(0, size(t) - 1, {int(stride)})"))
+                .alias("start"))
+            .select(
+                F.col(id_col),
+                (F.col("start") / F.lit(int(stride)))
+                .cast("long").alias("chunk_id"),
+                F.least(F.size("t") - F.col("start"), F.lit(int(window)))
+                .cast("long").alias("n_tokens"),
+                F.array_join(F.expr(f"slice(t, start + 1, {int(window)})"),
+                             " ").alias("chunk")))

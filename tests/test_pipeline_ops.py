@@ -1114,3 +1114,53 @@ def test_lm_score_reference_corpus(spark):
     import math
     v = 12  # distinct tokens in ref
     assert out[2].nll == round(math.log(v), 6)
+
+
+def test_chunk_documents(spark):
+    from spatial_spark.operators.pack import chunk_documents
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, "   "), (4, "only")],
+        "doc_id long, text string")
+    out = sorted(chunk_documents(df, window=4, stride=2).collect(),
+                 key=lambda r: (r.doc_id, r.chunk_id))
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.n_tokens, r.chunk))
+    # starts at 0,2,4,6 (every stride below n=7); tail chunks shrink
+    assert by_doc[1] == [(0, 4, "a b c d"), (1, 4, "c d e f"),
+                         (2, 3, "e f g"), (3, 1, "g")]
+    assert by_doc[2] == [(0, 2, "x y")]
+    assert 3 not in by_doc          # whitespace-only: no chunks
+    assert by_doc[4] == [(0, 1, "only")]
+    # non-overlapping default: stride = window
+    flat = sorted(chunk_documents(df, window=3).collect(),
+                  key=lambda r: (r.doc_id, r.chunk_id))
+    d1 = [(r.chunk_id, r.chunk) for r in flat if r.doc_id == 1]
+    assert d1 == [(0, "a b c"), (1, "d e f"), (2, "g")]
+    # every token lands in exactly one chunk when stride == window
+    assert sum(r.n_tokens for r in flat) == 7 + 2 + 1
+
+
+def test_tile_assignment_known_points(spark):
+    """Slippy-map sanity: known city tiles at z=10 (OSM convention)."""
+    from spatial_spark.operators.tiles import tile_rollup, with_tiles, tile_counts
+    pts = spark.createDataFrame(
+        [("london", -0.1276, 51.5072), ("nyc", -74.0060, 40.7128),
+         ("sydney", 151.2093, -33.8688), ("npole", 0.0, 89.9),
+         ("spole", 0.0, -89.9), ("dateline", 180.0, 0.0)],
+        "name string, lon double, lat double")
+    t = {r.name: (r.tile_x, r.tile_y)
+         for r in with_tiles(pts, 10, "lon", "lat").collect()}
+    assert t["london"] == (511, 340)
+    assert t["nyc"] == (301, 385)
+    assert t["sydney"] == (942, 614)
+    # poles clamp inside the mercator domain, dateline clamps to n-1
+    assert t["npole"][1] == 0 and t["spole"][1] == 1023
+    assert t["dateline"][0] == 1023
+    # rollup: each level-up tile is the sum of its 4 children
+    counts = tile_counts(pts, 10, "lon", "lat")
+    up = tile_rollup(counts).collect()
+    assert sum(r.n for r in up) == 6
+    assert all(r.tile_z == 9 for r in up)
+    lon9 = [r for r in up if (r.tile_x, r.tile_y) == (255, 170)]
+    assert len(lon9) == 1 and lon9[0].n == 1
