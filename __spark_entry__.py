@@ -997,6 +997,16 @@ def _q_tile_counts(spark, sf_dir) -> DataFrame:
     return z6.unionAll(tile_rollup(z6))
 
 
+def _q_dsir_weights(spark, sf_dir) -> DataFrame:
+    """DSIR importance weights of every document toward the English
+    subset (hashed unigram buckets; Xie et al. 2023) — the data-selection
+    knob that upweights target-like text."""
+    from spatial_spark.operators.dsir import dsir_weights
+    docs = spark.table("documents")
+    return dsir_weights(docs, docs.filter(F.col("lang") == "en"),
+                        n_buckets=1024)
+
+
 def _q_semantic_dedup(spark, sf_dir) -> DataFrame:
     """SemDeDup-style clustering: exact cosine pairs >= 0.44 (threshold
     sits in a >=1e-4-wide gap of the pairwise-cosine distribution at
@@ -1052,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": _q_lm_perplexity,
         "doc_chunks": _q_doc_chunks,
         "tile_counts": _q_tile_counts,
+        "dsir_weights": _q_dsir_weights,
         # --- veterans kept in the 50-row window ---
         "within_distance": _q_within_distance,
         "knn": _q_knn,
@@ -1111,6 +1122,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # DuckDB oracles (plain SQL on the registered parquet views)
 # ---------------------------------------------------------------------------
+def _dsir_oracle_sql(n_buckets: int = 1024, alpha: float = 0.5) -> str:
+    """DSIR weights in pure SQL: the md5-hex-prefix bucket is parsed
+    nibble-by-nibble (exact integer, mirrors Spark's conv(.,16,10))."""
+    nib = "(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+    val = " + ".join(f"{nib.format(i=i + 1)} * {16 ** (5 - i)}"
+                     for i in range(6))
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, lang, unnest(
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> length(x) > 0)) AS tok
+          FROM documents),
+        bk AS (
+          SELECT doc_id, lang, CAST(({val}) % {n_buckets} AS BIGINT) AS bucket
+          FROM (SELECT doc_id, lang, md5(tok) AS h FROM toks)),
+        ct AS (SELECT bucket, count(*) AS ct FROM bk
+               WHERE lang = 'en' GROUP BY bucket),
+        cr AS (SELECT bucket, count(*) AS cr FROM bk GROUP BY bucket),
+        nt AS (SELECT count(*) AS nt FROM bk WHERE lang = 'en'),
+        nr AS (SELECT count(*) AS nr FROM bk),
+        lr AS (
+          SELECT b.doc_id,
+                 ln((CAST(coalesce(ct.ct, 0) AS DOUBLE) + {alpha})
+                    / (CAST(nt.nt AS DOUBLE) + {alpha} * {float(n_buckets)}))
+                 - ln((CAST(coalesce(cr.cr, 0) AS DOUBLE) + {alpha})
+                      / (CAST(nr.nr AS DOUBLE) + {alpha} * {float(n_buckets)}))
+                   AS lr
+          FROM bk b LEFT JOIN ct ON b.bucket = ct.bucket
+                    LEFT JOIN cr ON b.bucket = cr.bucket
+                    CROSS JOIN nt CROSS JOIN nr),
+        per_doc AS (
+          SELECT doc_id, count(*) AS n_tokens, round(avg(lr), 6) AS weight
+          FROM lr GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+               p.weight AS weight
+        FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """
+
+
 def _tile_counts_oracle_sql() -> str:
     """z=6 tile counts + z=5 rollup; the tile x/y expressions are the
     SAME SQL text the Spark operator evaluates (tiles.tile_xy_sql)."""
@@ -1984,6 +2035,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
         """,
         "tile_counts": _tile_counts_oracle_sql(),
+        "dsir_weights": _dsir_oracle_sql(),
         "doc_chunks": """
             WITH toks AS (
               SELECT doc_id,

@@ -30,6 +30,9 @@ HEADLINE = [
     # pipeline operator now has a ratcheted budget
     "semantic_dedup", "paragraph_dedup", "pack_sequences",
     "knn_join", "asof_join", "range_join", "ivf_knn",
+    # r6 new operators
+    "lm_perplexity", "doc_chunks", "tile_counts", "dsir_weights",
+    "polygon_join",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -49,6 +52,13 @@ BUDGET_SF01 = {
     "events_daily": 0.5,
     "ngram_jaccard": 5.7, "dedup_clusters": 8.9, "contamination": 3.5,
     "winnowing": 1.4, "tf_idf": 1.8,
+    # r6 pins: ~2.2x the best min-of-2 on an otherwise-idle host
+    # (semantic_dedup's best is AFTER the chunked-GEMM rewrite of
+    # cosine_pairs_exact — the r5 row-level crossJoin measured ~24s)
+    "semantic_dedup": 8.3, "paragraph_dedup": 1.5, "pack_sequences": 0.5,
+    "knn_join": 6.5, "asof_join": 1.0, "range_join": 0.7, "ivf_knn": 1.6,
+    "lm_perplexity": 5.0, "doc_chunks": 1.5, "tile_counts": 0.8,
+    "dsir_weights": 5.0, "polygon_join": 3.0,
 }
 
 

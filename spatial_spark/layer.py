@@ -553,6 +553,37 @@ class Layer:
         if (self.meta.get("config") or {}).get("id_index"):
             self._write_id_index(self.df(), "overwrite")
 
+    def compact(self, target_files: int | None = None) -> dict:
+        """Re-cluster the store into ``target_files`` zkey-ranged files
+        (default: one per core) — the maintenance pass for stores that
+        accreted per-batch file sets (streaming ingest appends, repeated
+        small ``add`` calls), each range-partitioned independently so
+        their zkey ranges overlap and envelope pruning degrades toward
+        scanning every file.
+
+        One global ``repartitionByRange(zkey)`` + in-partition sort, then
+        the same atomic swap as ``_rewrite`` (stats ride the write job;
+        the id sidecar is rebuilt).  This is the OPTIMIZE/compaction job
+        of a transactional table format, expressed on plain parquet; at
+        100 TB run it per zkey-range slice on whatever cadence the
+        ingest rate demands.  Returns ``{"files_before", "files_after"}``.
+        """
+        import os
+
+        def _n_parts(p):
+            return (len([f for f in os.listdir(p) if f.startswith("part-")])
+                    if os.path.exists(p) else 0)
+
+        before = _n_parts(self.path)
+        if before == 0:
+            return {"files_before": 0, "files_after": 0}
+        n = target_files or max(
+            self.ctx.spark.sparkContext.defaultParallelism, 1)
+        self._rewrite(self.df()
+                      .repartitionByRange(n, "zkey")
+                      .sortWithinPartitions("zkey"))
+        return {"files_before": before, "files_after": _n_parts(self.path)}
+
     @property
     def _id_index_path(self) -> str:
         return self.path + "_idx"

@@ -509,41 +509,86 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
 
 
 def cosine_pairs_exact(df: DataFrame, vec_col: str = "embedding",
-                       id_col: str = "vec_id",
-                       threshold: float = 0.95) -> DataFrame:
+                       id_col: str = "vec_id", threshold: float = 0.95,
+                       n_chunks: int = 32) -> DataFrame:
     """ALL id-ordered pairs with cosine >= threshold — brute force O(n²),
     the small-corpus / oracle baseline.  The scale path is
     embedding_near_dup_pairs (hyperplane LSH buckets); this exists so
     exactness-sensitive callers (and the correctness gate) have a
     variant with no bucketing approximation.
 
-    Execution shape (measured at 2M pairs x dim 64): each vector
-    normalizes ONCE (O(n) higher-order fold — fine), and the per-PAIR
-    work is a single Arrow-batched numpy matmul row-dot.  The obvious
-    alternatives are traps: an aggregate/zip_with fold per pair is
-    INTERPRETED (~36s), and unrolling the dot to a flat 64-term
-    expression blows past codegen method limits and runs slower still
-    (~104s); the numpy batch runs in ~3s."""
+    Execution shape — CHUNKED GEMM, not a row-level cross join: vectors
+    normalize once (JVM fold), hash into ``n_chunks`` chunk rows (each
+    one Arrow cell holding the chunk's id vector + flattened unit
+    matrix), and the O(n²) work runs as ``n_chunks·(n_chunks+1)/2``
+    chunk-pair GEMMs inside mapInPandas.  The r5 shape (crossJoin of
+    (id, vec) rows + per-pair batched row-dot) moved BOTH 64-double
+    vectors through Arrow for every one of the n²/2 pairs — ~13 GB at
+    n=5000 and the whole 12s of the old gate; the chunked form moves
+    each vector ``n_chunks`` times (~80 MB, 150x less) and replaces the
+    per-pair dot with BLAS matmuls.  Survivor rows (the only per-pair
+    output) are threshold-filtered inside the UDF, so the operator's
+    output — not its intermediate — is the widest thing shuffled.
+    Per-task memory is 2·(n/n_chunks)·dim doubles plus the
+    (n/n_chunks)² score block: size ``n_chunks`` ~ n/2048 for big n.
+    """
     inv = F.lit(1.0) / F.sqrt(F.aggregate(
         F.transform(vec_col, lambda x: x * x),
         F.lit(0.0), lambda acc, v: acc + v))
-    unit = df.select(F.col(id_col),
-                     F.transform(vec_col, lambda x: x * inv).alias("_u"))
-    a = unit.select(F.col(id_col).alias("a_id"), F.col("_u").alias("a_v"))
-    b = unit.select(F.col(id_col).alias("b_id"), F.col("_u").alias("b_v"))
-    cand = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
+    unit = df.select(F.col(id_col).alias("_id"),
+                     F.transform(vec_col, lambda x: x * inv).alias("_u"),
+                     (F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks)))
+                     .alias("_ck"))
 
-    @F.pandas_udf(T.DoubleType())
-    def pair_dot(av: pd.Series, bv: pd.Series) -> pd.Series:
-        if len(av) == 0:
-            return pd.Series([], dtype="float64")
-        ma = np.vstack(av.to_numpy())
-        mb = np.vstack(bv.to_numpy())
-        return pd.Series(np.einsum("ij,ij->i", ma, mb))
+    pack_schema = ("ck int, ids array<long>, vecs array<double>, "
+                   "n int, d int")
 
-    return (cand.withColumn("cosine", pair_dot("a_v", "b_v"))
-            .filter(F.col("cosine") >= threshold)
-            .select("a_id", "b_id", "cosine"))
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.vstack(pdf["_u"].to_numpy())
+        return pd.DataFrame(
+            [[int(pdf["_ck"].iloc[0]), pdf["_id"].tolist(),
+              m.ravel().tolist(), m.shape[0], m.shape[1]]],
+            columns=["ck", "ids", "vecs", "n", "d"])
+
+    chunks = unit.groupBy("_ck").applyInPandas(pack, pack_schema)
+    a = chunks.select(F.col("ck").alias("a_ck"), F.col("ids").alias("a_ids"),
+                      F.col("vecs").alias("a_vecs"), F.col("n").alias("a_n"),
+                      F.col("d").alias("a_d"))
+    b = chunks.select(F.col("ck").alias("b_ck"), F.col("ids").alias("b_ids"),
+                      F.col("vecs").alias("b_vecs"), F.col("n").alias("b_n"),
+                      F.col("d").alias("b_d"))
+    # the chunk-pair frame is tiny in ROWS but each row is a real GEMM;
+    # spread the pairs across the cluster (without this, the crossJoin of
+    # two single-partition frames runs every GEMM in one task)
+    pair_rows = (a.crossJoin(b).filter(F.col("a_ck") <= F.col("b_ck"))
+                 .repartition(max(n_chunks, 1) * 2, "a_ck", "b_ck"))
+
+    def gemm(batches):
+        for pdf in batches:
+            outs = {"a_id": [], "b_id": [], "cosine": []}
+            for row in pdf.itertuples(index=False):
+                am = np.asarray(row.a_vecs).reshape(row.a_n, row.a_d)
+                bm = np.asarray(row.b_vecs).reshape(row.b_n, row.b_d)
+                aids = np.asarray(row.a_ids)
+                bids = np.asarray(row.b_ids)
+                scores = am @ bm.T
+                mask = scores >= threshold
+                if row.a_ck == row.b_ck:
+                    # same chunk: the matrix holds both orientations —
+                    # take the id-ordered triangle once
+                    mask &= aids[:, None] < bids[None, :]
+                # distinct chunks hold disjoint ids, so every unordered
+                # pair appears exactly once — emit it id-ordered
+                ii, jj = np.nonzero(mask)
+                lo = np.minimum(aids[ii], bids[jj])
+                hi = np.maximum(aids[ii], bids[jj])
+                outs["a_id"].extend(lo.tolist())
+                outs["b_id"].extend(hi.tolist())
+                outs["cosine"].extend(scores[ii, jj].tolist())
+            yield pd.DataFrame(outs)
+
+    return pair_rows.mapInPandas(
+        gemm, "a_id long, b_id long, cosine double")
 
 
 def semantic_dedup(df: DataFrame, vec_col: str = "embedding",

@@ -407,3 +407,38 @@ def test_bulk_grid_window_counts(ctx, spark):
         assert got == inside * inside, (width, got, inside)
         if width == 100:
             assert got == 9   # the reference's pinned very_small count
+
+
+def test_compact_recluster(ctx, spark):
+    """compact() collapses an accreted multi-append store into the target
+    file count, preserving rows, search results, stats and the sidecar."""
+    import os
+    from pyspark.sql import functions as F
+    layer = ctx.create_point_layer("compact_me", x="lon", y="lat",
+                                   id_index=True)
+    for batch in range(3):
+        pts = (spark.range(batch * 50, batch * 50 + 50)
+               .withColumn("lon", (F.col("id") % 36).cast("double") * 10 - 175)
+               .withColumn("lat", (F.col("id") % 17).cast("double") * 10 - 83))
+        layer.add(pts.select("id", "lon", "lat"))
+    assert layer.count() == 150
+    hits_before = layer.within_distance(5.0, 7.0, 2500.0).count()
+    res = layer.compact(target_files=2)
+    assert res["files_before"] > res["files_after"] == 2
+    n_files = len([f for f in os.listdir(layer.path)
+                   if f.startswith("part-")])
+    assert n_files == 2
+    # rows, search results, point lookups and stats all survive
+    assert layer.count() == 150
+    assert layer.within_distance(5.0, 7.0, 2500.0).count() == hits_before
+    assert layer.lookup_row(120) is not None
+    # zkey clustering is restored: each file's zkey range is disjoint
+    files = sorted(os.path.join(layer.path, f)
+                   for f in os.listdir(layer.path) if f.startswith("part-"))
+    ranges = []
+    for f in files:
+        zf = spark.read.parquet(f).agg(F.min("zkey"), F.max("zkey")).first()
+        ranges.append((zf[0], zf[1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2

@@ -1164,3 +1164,76 @@ def test_tile_assignment_known_points(spark):
     assert all(r.tile_z == 9 for r in up)
     lon9 = [r for r in up if (r.tile_x, r.tile_y) == (255, 170)]
     assert len(lon9) == 1 and lon9[0].n == 1
+
+
+def test_streaming_dedup(spark, tmp_path):
+    """Cross-batch streaming dedup: the same text arriving in a later
+    micro-batch (inside the watermark horizon) is dropped; distinct
+    texts all pass.  State holds fingerprints, not payloads."""
+    from spatial_spark.streaming.dedup import dedup_stream
+    import datetime as dt
+    src = tmp_path / "feed"
+    src.mkdir()
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "doc_id long, ts timestamp, text string"
+    spark.createDataFrame(
+        [(1, t0, "alpha doc"), (2, t0, "beta doc"),
+         (3, t0, "alpha doc")],                      # in-batch dup
+        schema).write.parquet(str(src / "b1"))
+    spark.createDataFrame(
+        [(4, t0 + dt.timedelta(minutes=1), "alpha doc"),   # cross-batch dup
+         (5, t0 + dt.timedelta(minutes=1), "gamma doc")],
+        schema).write.parquet(str(src / "b2"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src) + "/b*"))
+    q = (dedup_stream(stream, delay="30 minutes")
+         .writeStream.format("memory").queryName("dedup_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from dedup_sink").collect()
+    texts = sorted(r.text for r in rows)
+    assert texts == ["alpha doc", "beta doc", "gamma doc"]
+    # the surviving alpha is a first occurrence, not the batch-2 copy
+    assert {r.doc_id for r in rows if r.text == "alpha doc"} <= {1, 3}
+    # fingerprint helper column does not leak into the output
+    assert "_fp" not in spark.sql("select * from dedup_sink").columns
+
+
+def test_dsir_weights_matches_model(spark):
+    """DSIR log importance weights against an exact Python model
+    (including whatever md5-bucket collisions the corpus happens to
+    produce at a small bucket count)."""
+    import hashlib
+    import math
+    from spatial_spark.operators.dsir import dsir_weights
+    B, a = 32, 0.5
+    raw_docs = [(1, "the quick brown fox"), (2, "zzz qqq vvv"),
+                (3, "the the the"), (4, "")]
+    tgt_docs = [(10, "the quick dog"), (11, "the brown dog")]
+
+    def bks(text):
+        return [int(hashlib.md5(t.encode()).hexdigest()[:6], 16) % B
+                for t in text.lower().split() if t]
+
+    t_all = [b for _, txt in tgt_docs for b in bks(txt)]
+    r_all = [b for _, txt in raw_docs for b in bks(txt)]
+    nt, nr = len(t_all), len(r_all)
+
+    def w(text):
+        bs = bks(text)
+        if not bs:
+            return None
+        lr = [math.log((t_all.count(b) + a) / (nt + a * B))
+              - math.log((r_all.count(b) + a) / (nr + a * B)) for b in bs]
+        return round(sum(lr) / len(lr), 6)
+
+    df = spark.createDataFrame(raw_docs, "doc_id long, text string")
+    tgt = spark.createDataFrame(tgt_docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           dsir_weights(df, tgt, n_buckets=B, alpha=a).collect()}
+    for doc_id, text in raw_docs:
+        exp = w(text)
+        assert out[doc_id].n_tokens == len(bks(text))
+        assert out[doc_id].weight == exp, (doc_id, out[doc_id].weight, exp)
+    # target-like docs outrank target-unlike docs
+    assert out[1].weight > out[2].weight
