@@ -1237,3 +1237,22 @@ def test_dsir_weights_matches_model(spark):
         assert out[doc_id].weight == exp, (doc_id, out[doc_id].weight, exp)
     # target-like docs outrank target-unlike docs
     assert out[1].weight > out[2].weight
+
+
+def test_corpus_stats(spark):
+    from spatial_spark.operators.profile import corpus_stats
+    df = spark.createDataFrame(
+        [(1, "aa bb", "en", "s1"), (2, "cccc", "de", "s1"),
+         (3, "dd ee ff", "en", "s2"), (4, "", "en", "s1")],
+        "doc_id long, text string, lang string, source string")
+    out = {r.source: r for r in corpus_stats(df).collect()}
+    s1 = out["s1"]
+    assert (s1.n_docs, s1.total_chars, s1.total_tokens) == (3, 9, 3)
+    assert s1.n_langs == 2
+    # exact percentiles over [0, 4, 5]
+    assert s1.p50_chars == 4.0 and s1.avg_chars == 3.0
+    assert s1.p95_chars == round(4 + 0.9 * 1, 4)
+    assert out["s2"].p50_chars == 8.0
+    # approx mode keeps the same schema
+    ap = corpus_stats(df, approx=True)
+    assert ap.schema.simpleString() == corpus_stats(df).schema.simpleString()
