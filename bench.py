@@ -32,7 +32,7 @@ HEADLINE = [
     "knn_join", "asof_join", "range_join", "ivf_knn",
     # r6 new operators
     "lm_perplexity", "doc_chunks", "tile_counts", "dsir_weights",
-    "polygon_join",
+    "polygon_join", "corpus_stats",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -57,8 +57,8 @@ BUDGET_SF01 = {
     # cosine_pairs_exact — the r5 row-level crossJoin measured ~24s)
     "semantic_dedup": 8.3, "paragraph_dedup": 1.5, "pack_sequences": 0.5,
     "knn_join": 6.5, "asof_join": 1.0, "range_join": 0.7, "ivf_knn": 1.6,
-    "lm_perplexity": 5.0, "doc_chunks": 1.5, "tile_counts": 0.8,
-    "dsir_weights": 5.0, "polygon_join": 3.0,
+    "lm_perplexity": 3.7, "doc_chunks": 0.8, "tile_counts": 0.8,
+    "dsir_weights": 3.6, "polygon_join": 4.1, "corpus_stats": 0.8,
 }
 
 

@@ -79,3 +79,43 @@ def tile_rollup(tiles: DataFrame) -> DataFrame:
                          "n")
             .groupBy("tile_z", "tile_x", "tile_y")
             .agg(F.sum("n").alias("n")))
+
+
+def quadkey(tile_z, tile_x, tile_y):
+    """Bing-style quadkey string Column for a z/x/y tile (one char per
+    zoom level from the interleaved x/y bits) — the flat string key tile
+    stores and caches address by.  Pure Column math: per level i
+    (from z-1 down to 0), digit = ((x >> i) & 1) + 2 * ((y >> i) & 1).
+
+    Built as a SQL expression over fixed 31 levels with the leading
+    levels sliced off by z, so it works for a *column* z (no per-row
+    Python)."""
+    zc = F.col(tile_z) if isinstance(tile_z, str) else tile_z
+    xc = F.col(tile_x) if isinstance(tile_x, str) else tile_x
+    yc = F.col(tile_y) if isinstance(tile_y, str) else tile_y
+    digits = [
+        ((xc.bitwiseAND(F.lit(1 << i)) != 0).cast("int")
+         + (yc.bitwiseAND(F.lit(1 << i)) != 0).cast("int") * 2
+         ).cast("string")
+        for i in range(30, -1, -1)]
+    full = F.concat(*digits)               # 31 digits, msb first
+    return F.substring(full, F.lit(31) - zc + 1, zc)
+
+
+def windowed_tile_counts(events: DataFrame, z: int,
+                         lon_col: str = "lon", lat_col: str = "lat",
+                         window: str = "1 hour",
+                         watermark: str = "2 hours") -> DataFrame:
+    """STREAMING tile aggregation: event counts per (time window, z/x/y
+    tile) with a watermark bounding state — the live heatmap feed.
+    Tile assignment is the same codegen Column math as the batch path,
+    so batch and stream agree tile-for-tile; works on batch DataFrames
+    too (window agg without watermark semantics differences)."""
+    out = with_tiles(events, z, lon_col, lat_col)
+    if events.isStreaming:
+        out = out.withWatermark("ts", watermark)
+    return (out.groupBy(F.window("ts", window).alias("w"),
+                        "tile_z", "tile_x", "tile_y")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"),
+                    "tile_z", "tile_x", "tile_y", "n"))

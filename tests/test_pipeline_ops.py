@@ -1256,3 +1256,55 @@ def test_corpus_stats(spark):
     # approx mode keeps the same schema
     ap = corpus_stats(df, approx=True)
     assert ap.schema.simpleString() == corpus_stats(df).schema.simpleString()
+
+
+def test_quadkey_matches_reference_algorithm(spark):
+    """Quadkey column vs the textbook per-level digit algorithm,
+    including variable z per row."""
+    from spatial_spark.operators.tiles import quadkey
+
+    def qk(z, x, y):
+        s = ""
+        for i in range(z - 1, -1, -1):
+            d = 0
+            if x & (1 << i):
+                d += 1
+            if y & (1 << i):
+                d += 2
+            s += str(d)
+        return s
+
+    rows = [(3, 3, 5), (10, 511, 340), (1, 0, 0), (1, 1, 1), (18, 12345, 54321)]
+    df = spark.createDataFrame(rows, "z int, x int, y int")
+    got = [r.q for r in df.select(quadkey("z", "x", "y").alias("q")).collect()]
+    assert got == [qk(*r) for r in rows]
+    # prefix property: a child tile's quadkey extends its parent's
+    assert qk(10, 511, 340).startswith(qk(9, 255, 170))
+
+
+def test_windowed_tile_counts_stream_matches_batch(spark, tmp_path):
+    """Streaming per-window tile counts equal the batch formulation over
+    the same events (same Column math on both paths)."""
+    import datetime as dt
+    from spatial_spark.operators.tiles import windowed_tile_counts
+    from spatial_spark.streaming.events import run_batchlike
+    t0 = dt.datetime(2024, 3, 1, 10, 30)
+    rows = [(i, t0 + dt.timedelta(minutes=20 * i),
+             float((i * 37) % 360 - 180), float((i * 23) % 160 - 80))
+            for i in range(60)]
+    schema = "event_id long, ts timestamp, lon double, lat double"
+    src = tmp_path / "ev"
+    src.mkdir()
+    spark.createDataFrame(rows[:30], schema).write.parquet(str(src / "p1"))
+    spark.createDataFrame(rows[30:], schema).write.parquet(str(src / "p2"))
+    batch = {((r.window_start, r.tile_x, r.tile_y)): r.n
+             for r in windowed_tile_counts(
+                 spark.read.parquet(str(src) + "/p*"), 5).collect()}
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src) + "/p*"))
+    # complete mode: append would withhold windows the final watermark
+    # hasn't closed when the availableNow stream terminates
+    got = {((r.window_start, r.tile_x, r.tile_y)): r.n
+           for r in run_batchlike(windowed_tile_counts(stream, 5),
+                                  out_mode="complete").collect()}
+    assert got == batch and sum(got.values()) == 60
