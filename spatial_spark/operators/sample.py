@@ -78,3 +78,29 @@ def split_assign(df: DataFrame, weights: dict, key_col: str = "doc_id",
     for name, hi in reversed(edges):
         expr = F.when(bucket < F.lit(hi), F.lit(name)).otherwise(expr)
     return df.withColumn(out_col, expr)
+
+
+def deterministic_shuffle(df: DataFrame, key_col: str = "doc_id",
+                          seed: int = 0, shards: int = 16) -> DataFrame:
+    """Reproducible global training order: every row gets a ``shard``
+    and a dense ``pos`` within its shard, both derived from
+    ``md5(seed ":" key)`` — change the seed to get an independent
+    permutation, re-run anywhere to get the identical one.
+
+    This is the trainer-facing layout (each data-parallel rank reads its
+    shard sequentially), and the shard is also the SCALE unit: the only
+    non-map work is one row_number window per shard, so the sort
+    parallelism equals ``shards`` and no global total-order sort ever
+    runs.  No RNG in the plan — same idempotence story as
+    deterministic_sample."""
+    from pyspark.sql import Window
+    skey = F.md5(F.concat(F.lit(f"{int(seed)}:"),
+                          F.col(key_col).cast("string")))
+    shard = (F.conv(F.substring(skey, 1, 6), 16, 10)
+             .cast("long") % F.lit(int(shards)))
+    w = (Window.partitionBy("shard")
+         .orderBy(F.col("_sk"), F.col(key_col)))
+    return (df.withColumn("_sk", skey)
+            .withColumn("shard", shard)
+            .withColumn("pos", F.row_number().over(w) - 1)
+            .drop("_sk"))

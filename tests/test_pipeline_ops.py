@@ -1308,3 +1308,31 @@ def test_windowed_tile_counts_stream_matches_batch(spark, tmp_path):
            for r in run_batchlike(windowed_tile_counts(stream, 5),
                                   out_mode="complete").collect()}
     assert got == batch and sum(got.values()) == 60
+
+
+def test_deterministic_shuffle(spark):
+    import hashlib
+    from spatial_spark.operators.sample import deterministic_shuffle
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    out = deterministic_shuffle(df, shards=4, seed=7).collect()
+    # reproducible: second run identical
+    out2 = deterministic_shuffle(df, shards=4, seed=7).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    # shard/pos match the hash-derived model
+    def model(i):
+        h = hashlib.md5(f"7:{i}".encode()).hexdigest()
+        return int(h[:6], 16) % 4, h
+    by_shard = {}
+    for i in range(200):
+        s, h = model(i)
+        by_shard.setdefault(s, []).append((h, i))
+    exp = {}
+    for s, lst in by_shard.items():
+        for pos, (_, i) in enumerate(sorted(lst)):
+            exp[i] = (s, pos)
+    got = {r.doc_id: (r.shard, r.pos) for r in out}
+    assert got == exp
+    # a different seed gives a different permutation
+    out3 = {r.doc_id: (r.shard, r.pos)
+            for r in deterministic_shuffle(df, shards=4, seed=8).collect()}
+    assert out3 != got
