@@ -1336,3 +1336,85 @@ def test_deterministic_shuffle(spark):
     out3 = {r.doc_id: (r.shard, r.pos)
             for r in deterministic_shuffle(df, shards=4, seed=8).collect()}
     assert out3 != got
+
+
+@given(hst.lists(
+    hst.tuples(hst.integers(0, 10**6),
+               hst.lists(hst.sampled_from("ab cd efg h ij".split()),
+                         min_size=0, max_size=30)),
+    min_size=0, max_size=12, unique_by=lambda t: t[0]),
+    hst.integers(1, 8), hst.integers(1, 8))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_chunk_documents_matches_model(spark, docs, window, stride):
+    """chunk_documents vs an exact Python model over random corpora and
+    window/stride combinations."""
+    from spatial_spark.operators.pack import chunk_documents
+    rows = [(i, " ".join(toks)) for i, toks in docs]
+    df = (spark.createDataFrame(rows, "doc_id long, text string")
+          if rows else
+          spark.createDataFrame([], "doc_id long, text string"))
+    got = {(r.doc_id, r.chunk_id): (r.n_tokens, r.chunk)
+           for r in chunk_documents(df, window, stride).collect()}
+    exp = {}
+    for i, toks in docs:
+        for ci, s in enumerate(range(0, len(toks), stride)):
+            piece = toks[s:s + window]
+            exp[(i, ci)] = (len(piece), " ".join(piece))
+    assert got == exp
+
+
+@given(hst.lists(
+    hst.tuples(hst.integers(0, 10**6),
+               hst.lists(hst.sampled_from("aa bb cc dd".split()),
+                         min_size=0, max_size=12)),
+    min_size=1, max_size=10, unique_by=lambda t: t[0]))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_lm_score_matches_model_fuzz(spark, docs):
+    """Self-trained bigram LM nll vs an exact Python model on random
+    small-vocab corpora (hot/cold bigrams, repeated docs, empties)."""
+    import math
+    from spatial_spark.operators.lm import lm_score
+    rows = [(i, " ".join(toks)) for i, toks in docs]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    big, pre, vocab = {}, {}, set()
+    for _, toks in docs:
+        vocab.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+            pre[a] = pre.get(a, 0) + 1
+    v = len(vocab)
+    got = {r.doc_id: r for r in lm_score(df).collect()}
+    for i, toks in docs:
+        pairs = list(zip(toks, toks[1:]))
+        assert got[i].n_bigrams == len(pairs)
+        if not pairs:
+            assert got[i].nll is None
+            continue
+        nll = -sum(math.log((big[p] + 0.5) / (pre[p[0]] + 0.5 * v))
+                   for p in pairs) / len(pairs)
+        assert got[i].nll == round(nll, 6), (i, got[i].nll, nll)
+
+
+@given(hst.lists(hst.tuples(hst.floats(-180, 180), hst.floats(-89, 89)),
+                 min_size=1, max_size=40),
+       hst.integers(1, 12))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_tile_rollup_conserves_counts(spark, pts, z):
+    """Every rollup level conserves the total count, and each parent's
+    count is the sum of exactly its children."""
+    from spatial_spark.operators.tiles import tile_counts, tile_rollup
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in pts], "lon double, lat double")
+    level = tile_counts(df, z, "lon", "lat").collect()
+    total = sum(r.n for r in level)
+    assert total == len(pts)
+    rolled = {(r.tile_x, r.tile_y): r.n
+              for r in tile_rollup(spark.createDataFrame(level)).collect()}
+    exp = {}
+    for r in level:
+        k = (r.tile_x >> 1, r.tile_y >> 1)
+        exp[k] = exp.get(k, 0) + r.n
+    assert rolled == exp and sum(rolled.values()) == total
