@@ -1418,3 +1418,40 @@ def test_tile_rollup_conserves_counts(spark, pts, z):
         k = (r.tile_x >> 1, r.tile_y >> 1)
         exp[k] = exp.get(k, 0) + r.n
     assert rolled == exp and sum(rolled.values()) == total
+
+
+@given(hst.integers(0, 2**31), hst.integers(1, 24), hst.integers(1, 6),
+       hst.sampled_from([1, 2, 3, 7, 40]),
+       hst.floats(min_value=0.3, max_value=0.99))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cosine_pairs_exact_matches_numpy(spark, seed, n, n_chunks, dim,
+                                          threshold):
+    """Chunked-GEMM exact cosine vs numpy brute force: pair sets must
+    agree for every pair decisively on either side of the threshold
+    (a 1e-9 band absolves float-summation ULP at the boundary), at
+    chunk counts below/at/above the row count and tiny dims."""
+    from spatial_spark.operators.dedup import cosine_pairs_exact
+    rng = np.random.RandomState(seed % 2**32)
+    ids = rng.choice(10**6, size=n, replace=False)
+    vecs = rng.randn(n, dim)
+    df = spark.createDataFrame(
+        [(int(i), v.tolist()) for i, v in zip(ids, vecs)],
+        "vec_id long, embedding array<double>")
+    got = {(r.a_id, r.b_id)
+           for r in cosine_pairs_exact(df, threshold=threshold,
+                                       n_chunks=n_chunks).collect()}
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cos = norm @ norm.T
+    exp_in, exp_out = set(), set()
+    for i in range(n):
+        for j in range(n):
+            if ids[i] >= ids[j]:
+                continue
+            p = (int(ids[i]), int(ids[j]))
+            if cos[i, j] >= threshold + 1e-9:
+                exp_in.add(p)
+            elif cos[i, j] < threshold - 1e-9:
+                exp_out.add(p)
+    assert exp_in <= got, exp_in - got
+    assert not (exp_out & got), exp_out & got
