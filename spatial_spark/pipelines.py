@@ -1,0 +1,125 @@
+"""End-to-end pretraining-data pipeline composed from the operator set —
+the C4 / CCNet / Gopher / RedPajama chain as one reusable function, so a
+user gets the whole flow (and its scale shape) without wiring fifteen
+operators by hand.
+
+Stage order follows the published pipelines: cheap map-only filters
+first (every row they drop is work the expensive stages never see),
+exact dedup before near-dup (hash equality is cheaper than MinHash),
+corpus-level near-dup before decontamination (fewer docs to check), and
+selection/shuffle/packing last, on the smallest surviving corpus.
+
+Every stage is one of this repo's oracled operators; the composition
+adds NO new semantics — just the standard ordering and the bookkeeping
+(`corpus_stats` before/after, per-stage surviving counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pretrain_pipeline"]
+
+
+def pretrain_pipeline(docs: DataFrame,
+                      benchmark: DataFrame | None = None,
+                      target: DataFrame | None = None,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      languages: tuple = ("en",),
+                      near_dup_threshold: float = 0.8,
+                      dsir_rate: float | None = None,
+                      seq_len: int = 2048,
+                      seed: int = 0) -> dict:
+    """Run the standard pretraining cleanup chain over ``docs``.
+
+    Stages (each keyed in the returned dict, in order):
+      1.  ``lang``     — keep ``languages`` (lang-id heuristic)
+      2.  ``gopher``   — Gopher hard quality gates (map-only)
+      3.  ``exact``    — exact dedup (md5 digest shuffle)
+      4.  ``paragraph``— C4 paragraph-level dedup
+      5.  ``near``     — MinHash-LSH near-dup removal (cluster-canonical)
+      6.  ``decontam`` — drop docs sharing 8-grams with ``benchmark``
+      7.  ``dsir``     — keep the ``dsir_rate`` fraction most
+                         target-like docs (needs ``target``; skipped
+                         when either is None)
+      8.  ``shuffled`` — deterministic training order (shard + pos)
+      9.  ``packed``   — sequence-packing positions at ``seq_len``
+
+    Also returns ``stats_before`` / ``stats_after`` (corpus_stats).
+    Everything returned is an UNEVALUATED DataFrame — no stage runs any
+    driver-side action; at 100 TB you persist the stage you iterate on
+    and the rest of the chain reads from it.
+    """
+    from .operators.dedup import (contamination_check, exact_dedup,
+                                  minhash_lsh_pairs, near_dup_clusters,
+                                  paragraph_dedup)
+    from .operators.dsir import dsir_weights
+    from .operators.pack import pack_sequences
+    from .operators.profile import corpus_stats
+    from .operators.sample import deterministic_shuffle
+    from .operators.text import gopher_rules, language_id
+
+    out: dict = {"stats_before": corpus_stats(
+        docs, by="source", text_col=text_col,
+        lang_col=None)}
+
+    # 1-2: map-only filters first — cheapest work drops the most rows
+    lang = docs.filter(language_id(F.col(text_col)).isin(*languages))
+    out["lang"] = lang
+    gopher = (gopher_rules(lang.select(id_col, text_col))
+              .filter(F.col("keep") == 1).select(id_col))
+    kept = lang.join(gopher, id_col, "left_semi")
+    out["gopher"] = kept
+
+    # 3: exact dedup (digest-only shuffle)
+    kept = exact_dedup(kept, text_col=text_col, id_col=id_col)
+    out["exact"] = kept
+
+    # 4: paragraph-level dedup rebuilds text; keep non-empty survivors
+    para = paragraph_dedup(kept, text_col=text_col, id_col=id_col)
+    kept = (kept.drop(text_col)
+            .join(para.filter(F.length(text_col) > 0)
+                  .select(id_col, text_col), id_col))
+    out["paragraph"] = kept
+
+    # 5: near-dup clustering -> canonical representative per cluster
+    pairs = minhash_lsh_pairs(kept, text_col=text_col, id_col=id_col,
+                              threshold=near_dup_threshold)
+    canon = (near_dup_clusters(kept, pairs, id_col=id_col)
+             .filter(F.col("is_canonical") == 1).select(id_col))
+    kept = kept.join(canon, id_col, "left_semi")
+    out["near"] = kept
+
+    # 6: eval decontamination (benchmark grams broadcast)
+    if benchmark is not None:
+        dirty = contamination_check(kept, benchmark, text_col=text_col,
+                                    id_col=id_col).select(id_col).distinct()
+        kept = kept.join(dirty, id_col, "left_anti")
+    out["decontam"] = kept
+
+    # 7: DSIR selection toward the target corpus — keep the most
+    # target-like ``dsir_rate`` fraction.  The cut is a t-digest
+    # quantile of the weight distribution (lazy, no driver action, no
+    # global sort): approximate at the fraction boundary, exact in
+    # spirit — the paper's resampling is itself stochastic.
+    if target is not None and dsir_rate is not None:
+        w = (dsir_weights(kept, target, text_col=text_col, id_col=id_col)
+             .filter(F.col("weight").isNotNull()))
+        thr = w.agg(F.expr(
+            f"percentile_approx(weight, {1.0 - float(dsir_rate)}D)")
+            .alias("_thr"))
+        kept = kept.join(
+            w.crossJoin(F.broadcast(thr))
+            .filter(F.col("weight") >= F.col("_thr")).select(id_col),
+            id_col, "left_semi")
+    out["dsir"] = kept
+
+    # 8-9: training order + packing positions
+    shuffled = deterministic_shuffle(kept, key_col=id_col, seed=seed)
+    out["shuffled"] = shuffled
+    out["packed"] = pack_sequences(shuffled, seq_len, text_col=text_col,
+                                   id_col=id_col, by="shard")
+    out["stats_after"] = corpus_stats(kept, by="source", text_col=text_col,
+                                      lang_col=None)
+    return out

@@ -1455,3 +1455,42 @@ def test_cosine_pairs_exact_matches_numpy(spark, seed, n, n_chunks, dim,
                 exp_out.add(p)
     assert exp_in <= got, exp_in - got
     assert not (exp_out & got), exp_out & got
+
+
+def test_pretrain_pipeline_end_to_end(spark, docs):
+    """The composed C4/CCNet chain over the synthetic documents table:
+    monotone row shrink through the filter stages, schema stability,
+    and working shuffle/pack output on the survivors."""
+    from spatial_spark.pipelines import pretrain_pipeline
+    bench = docs.filter(F.col("doc_id") % 97 == 0) \
+                .selectExpr("doc_id AS bench_id", "text")
+    target = docs.filter(F.col("lang") == "en").limit(50)
+    out = pretrain_pipeline(docs, benchmark=bench, target=target,
+                            dsir_rate=0.8, seq_len=128)
+    stages = ("lang", "gopher", "exact", "paragraph", "near", "decontam",
+              "dsir", "shuffled")
+    # cache each stage: later stages' plans contain earlier stages'
+    # subtrees, so Spark substitutes the cached result instead of
+    # recomputing the whole chain per count
+    for k in stages:
+        out[k].cache()
+    n = {k: out[k].count() for k in stages}
+    # monotone shrink through the cleaning chain
+    order = ["lang", "gopher", "exact", "paragraph", "near", "decontam",
+             "dsir"]
+    for a, b in zip(order, order[1:]):
+        assert n[b] <= n[a], (a, b, n)
+    assert n["shuffled"] == n["dsir"] > 0
+    # stage frames carry the document schema (id + text at least)
+    for k in ("lang", "gopher", "exact", "paragraph", "near", "decontam"):
+        assert {"doc_id", "text"} <= set(out[k].columns), k
+    # shuffle output has shard/pos; packing rides the shard streams
+    sh = out["shuffled"]
+    assert {"shard", "pos"} <= set(sh.columns)
+    packed = out["packed"]
+    rows = packed.limit(5).collect()
+    assert rows and {"pack_id", "pack_offset"} <= set(packed.columns)
+    # profiler frames evaluate
+    assert out["stats_before"].count() >= out["stats_after"].count() > 0
+    for k in stages:
+        out[k].unpersist()
