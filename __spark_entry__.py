@@ -1015,6 +1015,14 @@ def _q_shuffle_order(spark, sf_dir) -> DataFrame:
         spark.table("documents"), shards=8).select("doc_id", "shard", "pos")
 
 
+def _q_vocab_top_k(spark, sf_dir) -> DataFrame:
+    """Top-50 vocabulary with cumulative occurrence coverage (the
+    tokenizer-training precursor); ranking tie-broken by token so both
+    engines order identically."""
+    from spatial_spark.operators.text import vocab_top_k
+    return vocab_top_k(spark.table("documents"), k=50)
+
+
 def _q_corpus_stats(spark, sf_dir) -> DataFrame:
     """Per-source corpus profile (docs, chars, tokens, exact length
     percentiles, language spread) — the before/after dashboard of every
@@ -1082,6 +1090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "corpus_stats": _q_corpus_stats,
         "shuffle_order": _q_shuffle_order,
+        "vocab_top_k": _q_vocab_top_k,
         # --- veterans kept in the 50-row window ---
         "within_distance": _q_within_distance,
         "knn": _q_knn,
@@ -2055,6 +2064,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tile_counts": _tile_counts_oracle_sql(),
         "dsir_weights": _dsir_oracle_sql(),
+        "vocab_top_k": """
+            WITH toks AS (
+              SELECT unnest(list_filter(
+                       string_split_regex(lower(text), '\\s+'),
+                       x -> length(x) > 0)) AS token
+              FROM documents),
+            counts AS (SELECT token, count(*) AS n FROM toks
+                       GROUP BY token),
+            tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM counts),
+            ranked AS (
+              SELECT token, CAST(n AS BIGINT) AS n,
+                     CAST(row_number() OVER (ORDER BY n DESC, token)
+                          AS INT) AS rank,
+                     CAST(sum(n) OVER (ORDER BY n DESC, token
+                                       ROWS UNBOUNDED PRECEDING)
+                          AS DOUBLE) AS cum
+              FROM counts)
+            SELECT rank, token, n, round(cum / t, 6) AS cum_share
+            FROM ranked CROSS JOIN tot
+            WHERE rank <= 50
+        """,
         "shuffle_order": """
             WITH keyed AS (
               SELECT doc_id, md5('0:' || CAST(doc_id AS VARCHAR)) AS sk

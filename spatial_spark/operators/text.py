@@ -396,3 +396,39 @@ def mixture_weights(df: DataFrame, by: str = "lang",
                     F.round("actual_share", 6).alias("actual_share"),
                     F.round("target_share", 6).alias("target_share"),
                     F.round("weight", 6).alias("weight")))
+
+
+def vocab_top_k(df: DataFrame, k: int = 1000, text_col: str = "text",
+                min_count: int = 1) -> DataFrame:
+    """Top-``k`` vocabulary with cumulative coverage — the
+    tokenizer-training precursor (what fraction of the corpus's token
+    occurrences does a k-entry word vocabulary cover, and where does the
+    long tail start).
+
+    Returns ``(rank, token, n, cum_share)``: tokens by descending count
+    (token string breaks ties, so the ranking is engine-deterministic),
+    ``cum_share`` = cumulative occurrence share rounded to 6 decimals.
+
+    Scale shape: the token count is one keyed agg with map-side combine
+    over the corpus; everything after operates on the VOCABULARY (≤ a
+    few million rows at web scale — the global ranking window sorts
+    that, never the corpus), and the total-occurrence scalar rides a
+    1-row broadcast."""
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda t: F.length(t) > 0)
+    counts = (df.select(F.explode(toks).alias("token"))
+              .groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+              .filter(F.col("n") >= min_count))
+    total = counts.agg(F.sum("n").alias("_total"))
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return (counts
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .crossJoin(F.broadcast(total))
+            .withColumn("cum_share",
+                        F.round(F.sum("n").over(
+                            w.rowsBetween(Window.unboundedPreceding, 0))
+                            / F.col("_total"), 6))
+            .select("rank", "token", "n", "cum_share"))

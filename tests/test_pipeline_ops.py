@@ -1494,3 +1494,22 @@ def test_pretrain_pipeline_end_to_end(spark, docs):
     assert out["stats_before"].count() >= out["stats_after"].count() > 0
     for k in stages:
         out[k].unpersist()
+
+
+def test_vocab_top_k(spark):
+    from spatial_spark.operators.text import vocab_top_k
+    df = spark.createDataFrame(
+        [(1, "aa bb aa cc"), (2, "aa bb dd"), (3, "")],
+        "doc_id long, text string")
+    rows = vocab_top_k(df, k=3).collect()
+    # counts: aa=3 bb=2 cc=1 dd=1 (cc before dd on the tie), total 7
+    assert [(r.rank, r.token, r.n) for r in rows] == \
+        [(1, "aa", 3), (2, "bb", 2), (3, "cc", 1)]
+    assert [r.cum_share for r in rows] == \
+        [round(3 / 7, 6), round(5 / 7, 6), round(6 / 7, 6)]
+    # k larger than the vocabulary: all tokens, coverage reaches 1
+    all_rows = vocab_top_k(df, k=100).collect()
+    assert len(all_rows) == 4 and all_rows[-1].cum_share == 1.0
+    # min_count prunes the tail before ranking
+    assert [r.token for r in vocab_top_k(df, k=10, min_count=2).collect()] \
+        == ["aa", "bb"]
