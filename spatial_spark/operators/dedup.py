@@ -416,8 +416,15 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
                              planes: int = 16) -> DataFrame:
     """Near-duplicate vectors by cosine >= threshold.
 
-    Random-hyperplane LSH (fixed seed): sign-bit signature → bucket equi-join
-    → exact cosine verify with F.aggregate/zip_with (JVM-side).
+    Random-hyperplane LSH (fixed seed): sign-bit signature → ONE
+    all-pairs GEMM per bucket (groupBy + applyInPandas) — the r6 shape.
+    The previous bucket self-join shipped both vectors through Arrow for
+    every candidate pair; grouping moves each vector exactly once and
+    verifies the whole bucket with a single BLAS matmul, emitting only
+    threshold survivors.  Bucket size (and so the per-task score block)
+    is controlled by ``planes``; a pathological hot bucket — every
+    vector identical — degrades to the same all-pairs volume the join
+    already had, in one task instead of a shuffle's worth of rows.
 
     The hyperplanes are derived inside the UDF from (seed, dim) — same
     matrix for every batch and every run, but no plan-time job probing the
@@ -437,28 +444,25 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
         signs = (m @ hp.T) > 0
         return pd.Series(signs.dot(1 << np.arange(planes)).astype(np.int32))
 
-    with_b = df.select(F.col(id_col), F.col(vec_col), bucket(F.col(vec_col)).alias("bkt"))
-    a = with_b.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_v"), "bkt")
-    b = with_b.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_v"), "bkt")
-    cand = a.join(b, "bkt").filter(F.col("a_id") < F.col("b_id"))
+    with_b = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+                       bucket(F.col(vec_col)).alias("bkt"))
 
-    # exact-cosine verify via Arrow-batched numpy (a per-pair
-    # aggregate/zip_with fold is interpreted — see cosine_pairs_exact;
-    # candidate volume grows with the corpus, so the verify stage must
-    # be the fast path too)
-    @F.pandas_udf(T.DoubleType())
-    def pair_cos(av: pd.Series, bv: pd.Series) -> pd.Series:
-        if len(av) == 0:
-            return pd.Series([], dtype="float64")
-        ma = np.vstack(av.to_numpy())
-        mb = np.vstack(bv.to_numpy())
-        dots = np.einsum("ij,ij->i", ma, mb)
-        return pd.Series(dots / (np.linalg.norm(ma, axis=1)
-                                 * np.linalg.norm(mb, axis=1)))
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"a_id": pd.Series([], dtype="int64"),
+                                 "b_id": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        m = np.vstack(pdf["_v"].to_numpy())
+        ids = pdf["_id"].to_numpy()
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        scores = m @ m.T
+        ii, jj = np.nonzero((scores >= threshold)
+                            & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame({"a_id": ids[ii], "b_id": ids[jj],
+                             "cosine": scores[ii, jj]})
 
-    return (cand.withColumn("cosine", pair_cos("a_v", "b_v"))
-            .filter(F.col("cosine") >= threshold)
-            .select("a_id", "b_id", "cosine"))
+    return with_b.groupBy("bkt").applyInPandas(
+        bucket_pairs, "a_id long, b_id long, cosine double")
 
 
 def paragraph_dedup(df: DataFrame, text_col: str = "text",
