@@ -1015,6 +1015,18 @@ def _q_shuffle_order(spark, sf_dir) -> DataFrame:
         spark.table("documents"), shards=8).select("doc_id", "shard", "pos")
 
 
+def _q_dedup_against(spark, sf_dir) -> DataFrame:
+    """Cross-corpus near-dedup: scrub the corpus against the doc_id%97
+    reference slice (each reference doc is its own exact twin in the
+    corpus, so it and its near-dups drop; everything else survives)."""
+    from spatial_spark.operators.dedup import dedup_against
+    docs = spark.table("documents")
+    ref = (docs.filter(F.col("doc_id") % 97 == 0)
+           .selectExpr("doc_id AS bench_id", "text"))
+    return (dedup_against(docs, ref, ref_id_col="bench_id")
+            .select("doc_id"))
+
+
 def _q_vocab_top_k(spark, sf_dir) -> DataFrame:
     """Top-50 vocabulary with cumulative occurrence coverage (the
     tokenizer-training precursor); ranking tie-broken by token so both
@@ -1091,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _q_corpus_stats,
         "shuffle_order": _q_shuffle_order,
         "vocab_top_k": _q_vocab_top_k,
+        "dedup_against": _q_dedup_against,
         # --- veterans kept in the 50-row window ---
         "within_distance": _q_within_distance,
         "knn": _q_knn,
@@ -1485,52 +1498,89 @@ def _shr64(x: str, s: int) -> str:
     return f"(({x}) // {1 << s})"
 
 
-def _minhash_oracle_sql(num_perm: int = 64, k: int = 5,
-                        threshold: float = 0.8) -> str:
-    """Independent recomputation of minhash_lsh_pairs in DuckDB SQL.
-
-    FNV-1a over the k-byte shingles (CTE per byte step, exact uint64
-    wraparound), the (a*x+b) mod 2^64 mod M permutation mins as 64
-    aggregates, then ALL pairs with estimated Jaccard >= threshold.
-    The banding stage needs no oracle: at threshold 0.8 a passing pair
-    has <= 12 mismatched signature rows < 16 bands, so pigeonhole
-    guarantees a band collision — LSH candidate generation is lossless
-    for reported pairs, and the oracle checks the exact output set."""
+def _minhash_sig_ctes(num_perm: int, k: int, src_sql: str,
+                      prefix: str = "") -> str:
+    """CTE chain text (no leading WITH) producing ``{prefix}sig(doc_id,
+    m0..m{num_perm-1})`` — minhash signatures of ``src_sql`` (a SELECT
+    yielding (doc_id, text)) recomputed in pure DuckDB SQL: FNV-1a over
+    k-byte shingles with exact uint64 wraparound, then the (a*x+b)
+    mod 2^64 mod M permutation mins as ``num_perm`` aggregates."""
     from spatial_spark.operators.dedup import _A, _B, _MERSENNE
     a_c = [int(x) for x in _A[:num_perm]]
     b_c = [int(x) for x in _B[:num_perm]]
     fnv_off = "14695981039346656037"
     fnv_p = "1099511628211"
-    sql = f"""WITH clean AS (
+    p = prefix
+    sql = f"""{p}clean AS (
       SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS c
-      FROM documents),
-    norm AS (
+      FROM ({src_sql})),
+    {p}norm AS (
       SELECT doc_id, CASE WHEN length(c) < {k} THEN rpad(c, {k}, ' ') ELSE c END AS t
-      FROM clean),
-    pos AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - {k - 1})) AS i FROM norm),
-    sh AS (SELECT DISTINCT doc_id, substr(t, i, {k}) AS s FROM pos),
-    f0 AS (SELECT doc_id, s, CAST({fnv_off} AS HUGEINT) AS h FROM sh)"""
+      FROM {p}clean),
+    {p}pos AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - {k - 1})) AS i FROM {p}norm),
+    {p}sh AS (SELECT DISTINCT doc_id, substr(t, i, {k}) AS s FROM {p}pos),
+    {p}f0 AS (SELECT doc_id, s, CAST({fnv_off} AS HUGEINT) AS h FROM {p}sh)"""
     for j in range(k):
         byte = f"ord(substr(s, {j + 1}, 1))"
         # byte < 256: xor touches the low 32 bits only
         x = (f"((h) - ((h) % {_H32})"
              f" + xor(((h) % {_H32})::BIGINT, ({byte})::BIGINT)::HUGEINT)")
         keep_s = ", s" if j < k - 1 else ""
-        sql += (f",\n    f{j + 1} AS (SELECT doc_id{keep_s},"
-                f" {_mulmod(x, fnv_p)} AS h FROM f{j})")
+        sql += (f",\n    {p}f{j + 1} AS (SELECT doc_id{keep_s},"
+                f" {_mulmod(x, fnv_p)} AS h FROM {p}f{j})")
     mins = ",\n        ".join(
         f"min(((({_mulmod('h', str(a_c[i]))}) + {b_c[i]}) % {_W64}) % {_MERSENNE}) AS m{i}"
         for i in range(num_perm))
-    matches = " + ".join(f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END"
-                         for i in range(num_perm))
     sql += f""",
-    sig AS (SELECT doc_id, {mins} FROM f{k} GROUP BY doc_id),
+    {p}sig AS (SELECT doc_id, {mins} FROM {p}f{k} GROUP BY doc_id)"""
+    return sql
+
+
+def _sig_matches(num_perm: int) -> str:
+    return " + ".join(f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END"
+                      for i in range(num_perm))
+
+
+def _minhash_oracle_sql(num_perm: int = 64, k: int = 5,
+                        threshold: float = 0.8) -> str:
+    """Independent recomputation of minhash_lsh_pairs in DuckDB SQL:
+    signatures via _minhash_sig_ctes, then ALL pairs with estimated
+    Jaccard >= threshold.  The banding stage needs no oracle: at
+    threshold 0.8 a passing pair has <= 12 mismatched signature rows
+    < 16 bands, so pigeonhole guarantees a band collision — LSH
+    candidate generation is lossless for reported pairs, and the oracle
+    checks the exact output set."""
+    matches = _sig_matches(num_perm)
+    return f"""WITH {_minhash_sig_ctes(num_perm, k,
+                                       'SELECT doc_id, text FROM documents')},
     pairs AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id, ({matches}) AS matches
       FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
     SELECT a_id, b_id, CAST(matches AS DOUBLE) / {float(num_perm)} AS jaccard_est
     FROM pairs WHERE CAST(matches AS DOUBLE) / {float(num_perm)} >= {threshold}"""
-    return sql
+
+
+def _dedup_against_oracle_sql(num_perm: int = 64, k: int = 5,
+                              threshold: float = 0.8) -> str:
+    """dedup_against oracle: corpus and reference (doc_id % 97 = 0)
+    sign independently; a corpus doc is dropped iff its signature
+    matches ANY reference signature in >= threshold of the permutation
+    rows (banding is lossless at 0.8 by the same pigeonhole argument
+    as _minhash_oracle_sql).  Survivor doc ids are the output."""
+    matches = _sig_matches(num_perm)
+    corpus = _minhash_sig_ctes(num_perm, k,
+                               "SELECT doc_id, text FROM documents", "c_")
+    ref = _minhash_sig_ctes(
+        num_perm, k,
+        "SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0", "r_")
+    return f"""WITH {corpus},
+    {ref},
+    hits AS (
+      SELECT DISTINCT a.doc_id
+      FROM c_sig a JOIN r_sig b
+        ON CAST(({matches}) AS DOUBLE) / {float(num_perm)} >= {threshold})
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM hits)"""
 
 
 # xxHash64 primes (public domain xxHash spec, as used by Spark's XxHash64)
@@ -2064,6 +2114,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tile_counts": _tile_counts_oracle_sql(),
         "dsir_weights": _dsir_oracle_sql(),
+        "dedup_against": _dedup_against_oracle_sql(),
         "vocab_top_k": """
             WITH toks AS (
               SELECT unnest(list_filter(
