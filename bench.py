@@ -33,6 +33,7 @@ HEADLINE = [
     # r6 new operators
     "lm_perplexity", "doc_chunks", "tile_counts", "dsir_weights",
     "polygon_join", "corpus_stats", "shuffle_order",
+    "density_islands", "dedup_against",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -59,7 +60,7 @@ BUDGET_SF01 = {
     "knn_join": 6.5, "asof_join": 1.0, "range_join": 0.7, "ivf_knn": 1.6,
     "lm_perplexity": 3.7, "doc_chunks": 0.8, "tile_counts": 0.8,
     "dsir_weights": 3.6, "polygon_join": 4.1, "corpus_stats": 0.8,
-    "shuffle_order": 0.9,
+    "shuffle_order": 0.9, "density_islands": 4.6, "dedup_against": 2.6,
 }
 
 
