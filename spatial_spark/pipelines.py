@@ -28,6 +28,7 @@ def pretrain_pipeline(docs: DataFrame,
                       text_col: str = "text", id_col: str = "doc_id",
                       languages: tuple = ("en",),
                       near_dup_threshold: float = 0.8,
+                      near_dup: bool = True,
                       dsir_rate: float | None = None,
                       seq_len: int = 2048,
                       seed: int = 0) -> dict:
@@ -47,9 +48,13 @@ def pretrain_pipeline(docs: DataFrame,
       9.  ``packed``   — sequence-packing positions at ``seq_len``
 
     Also returns ``stats_before`` / ``stats_after`` (corpus_stats).
-    Everything returned is an UNEVALUATED DataFrame — no stage runs any
-    driver-side action; at 100 TB you persist the stage you iterate on
-    and the rest of the chain reads from it.
+    Every stage except near-dup clustering builds LAZILY (no Spark jobs
+    until the caller forces a frame — test-pinned); the ``near`` stage
+    is the one exception because connected components is iterative —
+    the pointer-doubling loop's convergence checks ARE actions.  Pass
+    ``near_dup=False`` to defer it (e.g. to persist the paragraph stage
+    first and run clustering against the materialized store, the shape
+    a 100 TB run uses anyway).
     """
     from .operators.dedup import (contamination_check, exact_dedup,
                                   minhash_lsh_pairs, near_dup_clusters,
@@ -83,12 +88,14 @@ def pretrain_pipeline(docs: DataFrame,
                   .select(id_col, text_col), id_col))
     out["paragraph"] = kept
 
-    # 5: near-dup clustering -> canonical representative per cluster
-    pairs = minhash_lsh_pairs(kept, text_col=text_col, id_col=id_col,
-                              threshold=near_dup_threshold)
-    canon = (near_dup_clusters(kept, pairs, id_col=id_col)
-             .filter(F.col("is_canonical") == 1).select(id_col))
-    kept = kept.join(canon, id_col, "left_semi")
+    # 5: near-dup clustering -> canonical representative per cluster.
+    # The ONLY eager stage: the CC loop's convergence checks are actions.
+    if near_dup:
+        pairs = minhash_lsh_pairs(kept, text_col=text_col, id_col=id_col,
+                                  threshold=near_dup_threshold)
+        canon = (near_dup_clusters(kept, pairs, id_col=id_col)
+                 .filter(F.col("is_canonical") == 1).select(id_col))
+        kept = kept.join(canon, id_col, "left_semi")
     out["near"] = kept
 
     # 6: eval decontamination (benchmark grams broadcast)

@@ -1513,3 +1513,23 @@ def test_vocab_top_k(spark):
     # min_count prunes the tail before ranking
     assert [r.token for r in vocab_top_k(df, k=10, min_count=2).collect()] \
         == ["aa", "bb"]
+
+
+def test_pretrain_pipeline_builds_lazily(spark, docs):
+    """Building the pipeline dict (near_dup=False) must run ZERO Spark
+    jobs — every non-iterative stage is an unevaluated DataFrame (the
+    100 TB contract: the caller decides what to persist/force).  The CC
+    loop is the documented exception, so it is deferred here."""
+    from spatial_spark.pipelines import pretrain_pipeline
+    docs.count()  # warm the fixture cache outside the probe window
+    sc = spark.sparkContext
+    sc.setJobGroup("pipeline-build-probe", "lazy-build check")
+    try:
+        out = pretrain_pipeline(docs, benchmark=docs.limit(5).selectExpr(
+            "doc_id AS bench_id", "text"), target=docs.limit(5),
+            dsir_rate=0.5, near_dup=False)
+        assert set(out) >= {"lang", "near", "packed", "stats_after"}
+        jobs = sc.statusTracker().getJobIdsForGroup("pipeline-build-probe")
+        assert list(jobs) == [], f"pipeline build ran Spark jobs: {jobs}"
+    finally:
+        sc.setJobGroup(None, None)
