@@ -58,8 +58,8 @@ BUDGET_SF01 = {
     # cosine_pairs_exact — the r5 row-level crossJoin measured ~24s)
     "semantic_dedup": 8.3, "paragraph_dedup": 1.5, "pack_sequences": 0.5,
     "knn_join": 6.5, "asof_join": 1.0, "range_join": 0.7, "ivf_knn": 1.6,
-    "lm_perplexity": 3.7, "doc_chunks": 0.8, "tile_counts": 0.8,
-    "dsir_weights": 3.6, "polygon_join": 4.1, "corpus_stats": 0.8,
+    "lm_perplexity": 3.7, "doc_chunks": 0.8, "tile_counts": 1.5,
+    "dsir_weights": 3.6, "polygon_join": 4.1, "corpus_stats": 1.5,
     "shuffle_order": 0.9, "density_islands": 4.6, "dedup_against": 2.6,
 }
 
