@@ -337,3 +337,45 @@ def test_id_indexed_lookup_prunes_files(ctx, spark):
     # mutations rebuild the sidecar (no stale lookups)
     layer.delete([1234])
     assert layer.lookup_row(1234) is None
+
+
+def test_doc_chunks_is_map_only(spark):
+    """chunk_documents must plan with ZERO exchanges — split/sequence/
+    explode/slice are all narrow (SCALE.md r6)."""
+    from spatial_spark.operators.pack import chunk_documents
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    plan = _plan(chunk_documents(df, window=4, stride=2))
+    assert "Exchange" not in plan, plan
+
+
+def test_dsir_model_joins_broadcast(spark):
+    """dsir_weights' bucket-count joins must be broadcast (the tables are
+    capped at n_buckets rows — the whole point of hashed features)."""
+    from spatial_spark.operators.dsir import dsir_weights
+    rows = [(i, f"tok{i % 7} tok{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dsir_weights(df, df.limit(50), n_buckets=64)
+    plan = _plan(out, execute=True)
+    assert "BroadcastHashJoin" in plan
+    # the MODEL joins (on bucket) must never be shuffle joins; the final
+    # per-document re-join on doc_id is corpus-keyed and may shuffle
+    assert "SortMergeJoin [bucket" not in plan, plan
+
+
+def test_cosine_exact_packs_before_pairing(spark):
+    """cosine_pairs_exact must pair CHUNK rows, not vector rows: the
+    cross join's inputs are the packed FlatMapGroupsInPandas output, so
+    per-pair Arrow traffic is chunk-count², never n²-vectors."""
+    from spatial_spark.operators.dedup import cosine_pairs_exact
+    import numpy as np
+    rng = np.random.RandomState(0)
+    df = spark.createDataFrame(
+        [(i, rng.randn(8).tolist()) for i in range(40)],
+        "vec_id long, embedding array<double>")
+    plan = _plan(cosine_pairs_exact(df, threshold=0.9, n_chunks=4))
+    pack_ix = plan.index("FlatMapGroupsInPandas")
+    join_ix = max(plan.find("BroadcastNestedLoopJoin"),
+                  plan.find("CartesianProduct"))
+    assert join_ix >= 0
+    # the pack runs BELOW the pair join (later in toString = deeper)
+    assert pack_ix > join_ix, plan[:4000]
