@@ -1015,6 +1015,15 @@ def _q_shuffle_order(spark, sf_dir) -> DataFrame:
         spark.table("documents"), shards=8).select("doc_id", "shard", "pos")
 
 
+def _q_line_dedup_doc(spark, sf_dir) -> DataFrame:
+    """Within-document repeated-line scrub (C4's in-page boilerplate
+    rule): paragraph_dedup at document scope — cross-document
+    repetition survives, in-page repeats drop."""
+    from spatial_spark.operators.dedup import paragraph_dedup
+    return paragraph_dedup(spark.table("documents"), sep=" ",
+                           scope="document")
+
+
 def _q_dedup_against(spark, sf_dir) -> DataFrame:
     """Cross-corpus near-dedup: scrub the corpus against the doc_id%97
     reference slice (each reference doc is its own exact twin in the
@@ -1104,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_order": _q_shuffle_order,
         "vocab_top_k": _q_vocab_top_k,
         "dedup_against": _q_dedup_against,
+        "line_dedup_doc": _q_line_dedup_doc,
         # --- veterans kept in the 50-row window ---
         "within_distance": _q_within_distance,
         "knn": _q_knn,
@@ -2115,6 +2125,37 @@ def oracle_sql() -> dict[str, str]:
         "tile_counts": _tile_counts_oracle_sql(),
         "dsir_weights": _dsir_oracle_sql(),
         "dedup_against": _dedup_against_oracle_sql(),
+        "line_dedup_doc": """
+            WITH split AS (
+              SELECT doc_id, string_split(text, ' ') AS ps
+              FROM documents),
+            pos AS (SELECT doc_id, ps,
+                           unnest(generate_series(1, len(ps))) AS i
+                    FROM split),
+            paras AS (
+              SELECT doc_id, i - 1 AS idx, ps[i] AS para,
+                     trim(ps[i]) AS norm
+              FROM pos WHERE length(trim(ps[i])) > 0),
+            kept AS (
+              SELECT doc_id, idx, para FROM (
+                SELECT doc_id, idx, para,
+                       row_number() OVER (PARTITION BY doc_id, norm
+                                          ORDER BY idx) AS rn
+                FROM paras) WHERE rn = 1),
+            agg AS (
+              SELECT doc_id, string_agg(para, ' ' ORDER BY idx) AS text2,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id),
+            tot AS (SELECT doc_id, count(*) AS n FROM paras GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(a.text2, '') AS text,
+                   CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(coalesce(t.n, 0) - coalesce(a.n_kept, 0) AS BIGINT)
+                     AS n_removed
+            FROM documents d
+            LEFT JOIN tot t ON d.doc_id = t.doc_id
+            LEFT JOIN agg a ON d.doc_id = a.doc_id
+        """,
         "vocab_top_k": """
             WITH toks AS (
               SELECT unnest(list_filter(

@@ -466,11 +466,20 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
 
 
 def paragraph_dedup(df: DataFrame, text_col: str = "text",
-                    id_col: str = "doc_id", sep: str = "\n") -> DataFrame:
-    """C4-style paragraph-granularity exact dedup: across the whole
-    corpus each distinct (trimmed) paragraph is kept only at its FIRST
-    occurrence — ordered by (doc id, position) — and every later copy is
-    dropped; documents are rebuilt from their surviving paragraphs.
+                    id_col: str = "doc_id", sep: str = "\n",
+                    scope: str = "corpus") -> DataFrame:
+    """C4-style paragraph-granularity exact dedup: each distinct
+    (trimmed) paragraph is kept only at its FIRST occurrence — ordered
+    by (doc id, position) — and every later copy is dropped; documents
+    are rebuilt from their surviving paragraphs.
+
+    ``scope="corpus"`` (default) dedups across the WHOLE corpus (the C4
+    three-sentence-span rule's paragraph analogue); ``scope="document"``
+    dedups only within each document (C4's repeated-line scrub — drops
+    in-page boilerplate like repeated nav text without touching
+    legitimate cross-document repetition).  Document scope adds the doc
+    id to the winner key, so the aggregation remains the same map-side
+    combining shape — just keyed finer.
 
     Shape: explode → groupBy(paragraph) min-position (partial aggregation
     absorbs hot boilerplate paragraphs map-side — deliberately NOT a
@@ -480,6 +489,8 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
 
     Returns ``(id_col, text, n_kept, n_removed)`` for every input row
     (documents losing all paragraphs come back with empty text)."""
+    if scope not in ("corpus", "document"):
+        raise ValueError(f"scope must be corpus|document, got {scope!r}")
     paras = (df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col),
@@ -489,9 +500,10 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
     # min(struct) plans as a SortAggregate but KEEPS the partial/final
     # split (plan-verified), so hot paragraphs still combine map-side —
     # the property this formulation exists for
-    winners = (paras.groupBy("_norm")
+    win_keys = ["_norm"] if scope == "corpus" else [id_col, "_norm"]
+    winners = (paras.groupBy(*win_keys)
                .agg(F.min(F.struct(id_col, "idx")).alias("w")))
-    kept = (paras.join(winners, "_norm")
+    kept = (paras.join(winners, win_keys)
             .filter((F.col(f"w.{id_col}") == F.col(id_col))
                     & (F.col("w.idx") == F.col("idx"))))
     rebuilt = (kept.groupBy(id_col)

@@ -1533,3 +1533,20 @@ def test_pretrain_pipeline_builds_lazily(spark, docs):
         assert list(jobs) == [], f"pipeline build ran Spark jobs: {jobs}"
     finally:
         sc.setJobGroup(None, None)
+
+
+def test_paragraph_dedup_document_scope(spark):
+    """scope='document' drops only in-page repeats; cross-document
+    repetition survives (unlike corpus scope)."""
+    from spatial_spark.operators.dedup import paragraph_dedup
+    df = spark.createDataFrame(
+        [(1, "nav bar\ncontent one\nnav bar"),
+         (2, "nav bar\ncontent two")],
+        "doc_id long, text string")
+    doc = {r.doc_id: r for r in
+           paragraph_dedup(df, scope="document").collect()}
+    assert doc[1].text == "nav bar\ncontent one" and doc[1].n_removed == 1
+    # doc 2 keeps its own nav bar — cross-doc repetition untouched
+    assert doc[2].text == "nav bar\ncontent two" and doc[2].n_removed == 0
+    corpus = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+    assert corpus[2].text == "content two" and corpus[2].n_removed == 1
