@@ -1024,6 +1024,16 @@ def _q_line_dedup_doc(spark, sf_dir) -> DataFrame:
                            scope="document")
 
 
+def _q_duplicate_spans(spark, sf_dir) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al. 2022 shape): maximal
+    runs of 8-gram positions shared by >= 2 documents.  The oracle works
+    over gram STRINGS while the engine uses 64-bit component hashes —
+    positions agree unless a 64-bit collision lands inside one document
+    (the documented ~1e-19 odds)."""
+    from spatial_spark.operators.dedup import duplicate_spans
+    return duplicate_spans(spark.table("documents"), n=8)
+
+
 def _q_dedup_against(spark, sf_dir) -> DataFrame:
     """Cross-corpus near-dedup: scrub the corpus against the doc_id%97
     reference slice (each reference doc is its own exact twin in the
@@ -1114,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_k": _q_vocab_top_k,
         "dedup_against": _q_dedup_against,
         "line_dedup_doc": _q_line_dedup_doc,
+        "duplicate_spans": _q_duplicate_spans,
         # --- veterans kept in the 50-row window ---
         "within_distance": _q_within_distance,
         "knn": _q_knn,
@@ -2125,6 +2136,43 @@ def oracle_sql() -> dict[str, str]:
         "tile_counts": _tile_counts_oracle_sql(),
         "dsir_weights": _dsir_oracle_sql(),
         "dedup_against": _dedup_against_oracle_sql(),
+        "duplicate_spans": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+              FROM documents),
+            grams AS (
+              SELECT doc_id, i - 1 AS idx,
+                     array_to_string(t[i : i + 7], ' ') AS g,
+                     len(t) AS L
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(
+                             1, greatest(len(t) - 7, 1))) AS i
+                    FROM toks)),
+            dfreq AS (
+              SELECT g FROM (
+                SELECT g, count(DISTINCT doc_id) AS d FROM grams GROUP BY g)
+              WHERE d >= 2),
+            pos AS (SELECT doc_id, idx, L FROM grams JOIN dfreq USING (g)),
+            lagged AS (
+              SELECT doc_id, idx, L,
+                     lag(idx) OVER (PARTITION BY doc_id ORDER BY idx)
+                       AS prev
+              FROM pos),
+            isl AS (
+              SELECT doc_id, idx, L,
+                     sum(CASE WHEN prev IS NULL OR idx - prev > 8
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY idx
+                             ROWS UNBOUNDED PRECEDING) AS island
+              FROM lagged)
+            SELECT doc_id,
+                   CAST(min(idx) AS BIGINT) AS span_start,
+                   CAST(least(max(idx) + 7, min(L) - 1) AS BIGINT)
+                     AS span_end,
+                   CAST(least(max(idx) + 7, min(L) - 1) - min(idx) + 1
+                        AS BIGINT) AS n_tokens
+            FROM isl GROUP BY doc_id, island
+        """,
         "line_dedup_doc": """
             WITH split AS (
               SELECT doc_id, string_split(text, ' ') AS ps

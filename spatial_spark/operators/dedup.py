@@ -681,3 +681,50 @@ def dedup_against(df: DataFrame, reference: DataFrame,
             .filter(F.col("jaccard_est") >= threshold)
             .select(id_col).distinct())
     return df.join(hits, id_col, "left_anti")
+
+
+def duplicate_spans(df: DataFrame, n: int = 8, text_col: str = "text",
+                    id_col: str = "doc_id", min_docs: int = 2) -> DataFrame:
+    """Maximal duplicated token spans — the position-level half of exact
+    substring dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): every maximal run of n-gram positions
+    whose grams occur in >= ``min_docs`` distinct documents.  A scrub
+    pass drops or trims these spans; emitting positions (not rebuilt
+    text) keeps the operator composable and the output narrow.
+
+    Returns ``(id_col, span_start, span_end, n_tokens)`` — token index
+    bounds, inclusive, clamped to the document length.
+
+    Shape: gram hashes ride the ngram machinery (never strings); the
+    doc-frequency filter is two keyed aggs with map-side combine; island
+    merging is one lag/cumsum window per document (parallel unit = doc).
+    Grams exist only as 8-byte hashes in every shuffle; the same 64-bit
+    collision odds documented on ngram_jaccard_pairs apply.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    grams = df.select(
+        F.col(id_col), F.size(toks).alias("_L"),
+        F.posexplode(_ngram_hashes_col(text_col, n)).alias("idx", "g"))
+    dfreq = (grams.select(id_col, "g").distinct()
+             .groupBy("g").agg(F.count(F.lit(1)).alias("_d"))
+             .filter(F.col("_d") >= min_docs).select("g"))
+    pos = grams.join(dfreq, "g")
+    w = Window.partitionBy(id_col).orderBy("idx")
+    flagged = (pos
+               .withColumn("_prev", F.lag("idx").over(w))
+               .withColumn("_new", (F.col("_prev").isNull()
+                                    | (F.col("idx") - F.col("_prev") > n))
+                           .cast("int"))
+               .withColumn("_isl", F.sum("_new").over(
+                   w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (flagged.groupBy(id_col, "_isl")
+            .agg(F.min("idx").alias("span_start"),
+                 F.least(F.max("idx") + F.lit(n - 1),
+                         F.min("_L") - F.lit(1)).alias("span_end"))
+            .select(F.col(id_col),
+                    F.col("span_start").cast("long"),
+                    F.col("span_end").cast("long"),
+                    (F.col("span_end") - F.col("span_start") + 1)
+                    .cast("long").alias("n_tokens")))

@@ -1550,3 +1550,38 @@ def test_paragraph_dedup_document_scope(spark):
     assert doc[2].text == "nav bar\ncontent two" and doc[2].n_removed == 0
     corpus = {r.doc_id: r for r in paragraph_dedup(df).collect()}
     assert corpus[2].text == "content two" and corpus[2].n_removed == 1
+
+
+def test_duplicate_spans(spark):
+    """Exact-substring duplicate spans: shared n-gram runs merge into
+    maximal intervals; unique text yields none; short docs clamp."""
+    from spatial_spark.operators.dedup import duplicate_spans
+    shared = "one two three four five six"        # 6 shared tokens
+    df = spark.createDataFrame(
+        [(1, f"{shared} uniqA uniqB uniqC"),
+         (2, f"uniqX uniqY {shared}"),
+         (3, "totally different words here entirely now")],
+        "doc_id long, text string")
+    out = {}
+    for r in duplicate_spans(df, n=4).collect():
+        out.setdefault(r.doc_id, []).append(
+            (r.span_start, r.span_end, r.n_tokens))
+    # doc1: grams at idx 0,1,2 shared (each covering 4 tokens) -> [0,5]
+    assert out[1] == [(0, 5, 6)]
+    # doc2: shared block starts at token 2 -> [2,7]
+    assert out[2] == [(2, 7, 6)]
+    assert 3 not in out
+    # identical short docs (< n tokens): single whole-doc span, clamped
+    short = spark.createDataFrame([(7, "tiny doc"), (8, "tiny doc")],
+                                  "doc_id long, text string")
+    s = {r.doc_id: (r.span_start, r.span_end, r.n_tokens)
+         for r in duplicate_spans(short, n=4).collect()}
+    assert s == {7: (0, 1, 2), 8: (0, 1, 2)}
+    # two disjoint shared runs stay separate islands
+    gap = spark.createDataFrame(
+        [(10, f"{shared} filler1 filler2 filler3 filler4 filler5 {shared}"),
+         (11, shared)], "doc_id long, text string")
+    spans10 = sorted((r.span_start, r.span_end)
+                     for r in duplicate_spans(gap, n=4).collect()
+                     if r.doc_id == 10)
+    assert spans10 == [(0, 5), (11, 16)]
