@@ -707,8 +707,8 @@ def duplicate_spans(df: DataFrame, n: int = 8, text_col: str = "text",
     grams = df.select(
         F.col(id_col), F.size(toks).alias("_L"),
         F.posexplode(_ngram_hashes_col(text_col, n)).alias("idx", "g"))
-    dfreq = (grams.select(id_col, "g").distinct()
-             .groupBy("g").agg(F.count(F.lit(1)).alias("_d"))
+    dfreq = (grams.groupBy("g")
+             .agg(F.countDistinct(id_col).alias("_d"))
              .filter(F.col("_d") >= min_docs).select("g"))
     pos = grams.join(dfreq, "g")
     w = Window.partitionBy(id_col).orderBy("idx")
