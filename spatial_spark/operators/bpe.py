@@ -1,0 +1,157 @@
+"""BPE tokenizer training and application over a Spark corpus.
+
+Byte-pair encoding training (Sennrich et al. 2016; the GPT-2/tiktoken
+family's construction) iterates "count adjacent symbol pairs → merge
+the most frequent" — inherently sequential in the merge dimension.  The
+scale-correct split (what HF/sentencepiece trainers do too):
+
+  * the CORPUS-sized work is ONE aggregation: the word-frequency table
+    (`word -> count`, with map-side combine).  100 TB of text becomes a
+    vocabulary-sized table (heap's law: ~millions of rows, not
+    billions), collected once.
+  * the merge loop then runs DRIVER-side over that compact table — each
+    round touches only words that contain the merged pair (indexed), so
+    training is O(vocab), independent of corpus size.
+
+Applying the trained tokenizer is map-only again: the merges list
+broadcasts and an Arrow-batched UDF tokenizes each document.
+
+No DuckDB oracle (the merge loop is iterative/driver-side by design);
+correctness is pinned by unit tests against hand-traced merges and the
+greedy-merge reference semantics.
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["word_frequencies", "train_bpe", "apply_bpe", "bpe_token_counts"]
+
+#: End-of-word marker (classic BPE: lets merges distinguish suffixes).
+EOW = "</w>"
+
+
+def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(word, n)`` over lowercase whitespace tokens — the one
+    corpus-sized aggregation of BPE training (map-side combine)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda t: F.length(t) > 0)
+    return (df.select(F.explode(toks).alias("word"))
+            .groupBy("word").agg(F.count(F.lit(1)).alias("n")))
+
+
+def _merge_word(sym: tuple, pair: tuple) -> tuple:
+    out = []
+    i = 0
+    while i < len(sym):
+        if i + 1 < len(sym) and (sym[i], sym[i + 1]) == pair:
+            out.append(sym[i] + sym[i + 1])
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
+def train_bpe(df_or_freqs: DataFrame, num_merges: int = 1000,
+              text_col: str = "text",
+              min_pair_count: int = 2) -> list:
+    """Train BPE merges from a corpus (or a precomputed
+    ``word_frequencies`` frame).  Returns the ordered merge list
+    ``[(left, right), ...]`` — deterministic: ties on pair count break
+    lexicographically, so retraining on the same corpus reproduces the
+    identical tokenizer anywhere.
+
+    The driver-side loop indexes which words contain each pair, so a
+    merge round costs O(words containing the merged pair), not O(vocab).
+    """
+    cols = set(df_or_freqs.columns)
+    freqs = (df_or_freqs if {"word", "n"} <= cols
+             else word_frequencies(df_or_freqs, text_col))
+    vocab = {}
+    for row in freqs.collect():  # vocabulary-sized, not corpus-sized
+        vocab[tuple(row["word"]) + (EOW,)] = (
+            vocab.get(tuple(row["word"]) + (EOW,), 0) + int(row["n"]))
+
+    pair_counts: Counter = Counter()
+    where: defaultdict = defaultdict(set)
+    for wsym, n in vocab.items():
+        for a, b in zip(wsym, wsym[1:]):
+            pair_counts[(a, b)] += n
+            where[(a, b)].add(wsym)
+
+    merges = []
+    for _ in range(num_merges):
+        if not pair_counts:
+            break
+        # deterministic argmax: count desc, pair lexicographic
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pair_counts[best] < min_pair_count:
+            break
+        merges.append(best)
+        for wsym in list(where[best]):
+            n = vocab.pop(wsym)
+            new = _merge_word(wsym, best)
+            for a, b in zip(wsym, wsym[1:]):
+                pair_counts[(a, b)] -= n
+                if pair_counts[(a, b)] <= 0:
+                    del pair_counts[(a, b)]
+                where[(a, b)].discard(wsym)
+            vocab[new] = vocab.get(new, 0) + n
+            for a, b in zip(new, new[1:]):
+                pair_counts[(a, b)] += n
+                where[(a, b)].add(new)
+    return merges
+
+
+def _encode_word(word: str, ranks: dict) -> list:
+    sym = list(word) + [EOW]
+    while len(sym) > 1:
+        best_rank, best_i = None, None
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        sym[best_i:best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+def apply_bpe(df: DataFrame, merges: list, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Tokenize each document with a trained merge list (broadcast) —
+    map-only Arrow-batched UDF.  Returns ``(id_col, tokens
+    array<string>, n_tokens)``."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def tok(texts: pd.Series) -> pd.Series:
+        cache: dict = {}
+        out = []
+        for t in texts:
+            pieces = []
+            for w in (t or "").lower().split():
+                got = cache.get(w)
+                if got is None:
+                    got = _encode_word(w, ranks)
+                    cache[w] = got
+                pieces.extend(got)
+            out.append(pieces)
+        return pd.Series(out)
+
+    return (df.select(F.col(id_col), tok(F.col(text_col)).alias("tokens"))
+            .withColumn("n_tokens", F.size("tokens")))
+
+
+def bpe_token_counts(df: DataFrame, merges: list,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """``(id_col, n_tokens)`` under the trained tokenizer — the real
+    sequence-length accounting for packing/chunking budgets."""
+    return apply_bpe(df, merges, text_col, id_col).select(id_col, "n_tokens")

@@ -1585,3 +1585,33 @@ def test_duplicate_spans(spark):
                      for r in duplicate_spans(gap, n=4).collect()
                      if r.doc_id == 10)
     assert spans10 == [(0, 5), (11, 16)]
+
+
+def test_bpe_train_and_apply(spark):
+    """BPE training against the hand-traceable classic example, and
+    application consistency (training corpus re-tokenizes into exactly
+    the merged symbols)."""
+    from spatial_spark.operators.bpe import (EOW, apply_bpe, train_bpe,
+                                             word_frequencies)
+    # classic Sennrich corpus: low x5, lower x2, newest x6, widest x3
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6
+                    + ["widest"] * 3)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    wf = {r.word: r.n for r in word_frequencies(df).collect()}
+    assert wf == {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = train_bpe(df, num_merges=10)
+    # first merges must assemble "est</w>" (freq 9 dominates)
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    assert merges[2] == ("est", EOW)
+    toks = {r.doc_id: r for r in apply_bpe(df, merges).collect()}
+    flat = toks[1].tokens
+    # every 'newest' occurrence carries the est</w> merge (possibly
+    # folded into a larger unit by later merges)
+    assert any(t.endswith("est" + EOW) for t in flat)
+    assert toks[1].n_tokens == len(flat) > 0
+    # determinism: retraining reproduces the same merge list
+    assert train_bpe(df, num_merges=10) == merges
+    # empty merge list degrades to characters + EOW
+    none = apply_bpe(df, [], text_col="text").collect()[0]
+    assert none.n_tokens == sum(len(w) + 1 for w in text.split())
