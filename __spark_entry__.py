@@ -1034,6 +1034,13 @@ def _q_duplicate_spans(spark, sf_dir) -> DataFrame:
     return duplicate_spans(spark.table("documents"), n=8)
 
 
+def _q_scrub_spans(spark, sf_dir) -> DataFrame:
+    """Exact substring dedup, scrub half: documents rebuilt with their
+    cross-document duplicated 8-gram spans removed."""
+    from spatial_spark.operators.dedup import remove_duplicate_spans
+    return remove_duplicate_spans(spark.table("documents"), n=8)
+
+
 def _q_dedup_against(spark, sf_dir) -> DataFrame:
     """Cross-corpus near-dedup: scrub the corpus against the doc_id%97
     reference slice (each reference doc is its own exact twin in the
@@ -1125,6 +1132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against": _q_dedup_against,
         "line_dedup_doc": _q_line_dedup_doc,
         "duplicate_spans": _q_duplicate_spans,
+        "scrub_spans": _q_scrub_spans,
         # --- veterans kept in the 50-row window ---
         "within_distance": _q_within_distance,
         "knn": _q_knn,
@@ -2172,6 +2180,66 @@ def oracle_sql() -> dict[str, str]:
                    CAST(least(max(idx) + 7, min(L) - 1) - min(idx) + 1
                         AS BIGINT) AS n_tokens
             FROM isl GROUP BY doc_id, island
+        """,
+        "scrub_spans": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+              FROM documents),
+            grams AS (
+              SELECT doc_id, i - 1 AS idx,
+                     array_to_string(t[i : i + 7], ' ') AS g,
+                     len(t) AS L
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(
+                             1, greatest(len(t) - 7, 1))) AS i
+                    FROM toks)),
+            dfreq AS (
+              SELECT g FROM (
+                SELECT g, count(DISTINCT doc_id) AS d FROM grams GROUP BY g)
+              WHERE d >= 2),
+            pos AS (SELECT doc_id, idx, L FROM grams JOIN dfreq USING (g)),
+            lagged AS (
+              SELECT doc_id, idx, L,
+                     lag(idx) OVER (PARTITION BY doc_id ORDER BY idx)
+                       AS prev
+              FROM pos),
+            isl AS (
+              SELECT doc_id, idx, L,
+                     sum(CASE WHEN prev IS NULL OR idx - prev > 8
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY idx
+                             ROWS UNBOUNDED PRECEDING) AS island
+              FROM lagged),
+            spans AS (
+              SELECT doc_id, min(idx) AS s,
+                     least(max(idx) + 7, min(L) - 1) AS e
+              FROM isl GROUP BY doc_id, island),
+            dropped AS (
+              SELECT DISTINCT doc_id, unnest(generate_series(s, e)) AS idx
+              FROM spans),
+            toksl AS (
+              SELECT doc_id, i - 1 AS idx, t[i] AS tok
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(1, len(t))) AS i
+                    FROM toks)
+              WHERE length(t[i]) > 0),
+            kept AS (
+              SELECT k.doc_id, k.idx, k.tok
+              FROM toksl k ANTI JOIN dropped d
+                USING (doc_id, idx)),
+            agg AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text2,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id),
+            tot AS (SELECT doc_id, count(*) AS n FROM toksl GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(a.text2, '') AS text,
+                   CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(coalesce(t.n, 0) - coalesce(a.n_kept, 0) AS BIGINT)
+                     AS n_removed
+            FROM documents d
+            LEFT JOIN tot t ON d.doc_id = t.doc_id
+            LEFT JOIN agg a ON d.doc_id = a.doc_id
         """,
         "line_dedup_doc": """
             WITH split AS (

@@ -728,3 +728,46 @@ def duplicate_spans(df: DataFrame, n: int = 8, text_col: str = "text",
                     F.col("span_end").cast("long"),
                     (F.col("span_end") - F.col("span_start") + 1)
                     .cast("long").alias("n_tokens")))
+
+
+def remove_duplicate_spans(df: DataFrame, n: int = 8,
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           min_docs: int = 2) -> DataFrame:
+    """Exact substring dedup, scrub half: rebuild each document with its
+    ``duplicate_spans`` removed (Lee et al. 2022 drop the repeated
+    substring from all-but-one occurrence; this removes ALL occurrences
+    — the conservative form that needs no global occurrence ordering,
+    and what decontamination-style scrubbing wants anyway).
+
+    Shape: spans explode to (doc, idx) drop-rows (bounded by the
+    corpus's duplicated-token volume, not its size), tokens left-anti
+    equi-join them per (doc, idx) — no range join needed — and the
+    survivors rebuild in position order with the same min-struct-free
+    groupBy as paragraph_dedup.  Returns ``(id_col, text, n_kept,
+    n_removed)`` for every input row."""
+    spans = duplicate_spans(df, n, text_col, id_col, min_docs)
+    drop = spans.select(
+        F.col(id_col),
+        F.explode(F.expr("sequence(span_start, span_end)")).alias("idx"))
+    toks = (df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+"))
+        .alias("idx", "tok"))
+        .filter(F.length("tok") > 0))
+    kept = toks.join(drop, [id_col, "idx"], "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("idx", "tok"))),
+                            lambda s: s["tok"]), " ").alias("_text"),
+                    F.count(F.lit(1)).alias("n_kept")))
+    totals = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_total"))
+    return (df.select(id_col).join(totals, id_col, "left")
+            .join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.coalesce("_text", F.lit("")).alias("text"),
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    (F.coalesce("_total", F.lit(0))
+                     - F.coalesce("n_kept", F.lit(0))).alias("n_removed")))

@@ -1615,3 +1615,18 @@ def test_bpe_train_and_apply(spark):
     # empty merge list degrades to characters + EOW
     none = apply_bpe(df, [], text_col="text").collect()[0]
     assert none.n_tokens == sum(len(w) + 1 for w in text.split())
+
+
+def test_remove_duplicate_spans(spark):
+    from spatial_spark.operators.dedup import remove_duplicate_spans
+    shared = "one two three four five six"
+    df = spark.createDataFrame(
+        [(1, f"{shared} keepA keepB"),
+         (2, f"keepX {shared}"),
+         (3, "all original text stays right here")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in remove_duplicate_spans(df, n=4).collect()}
+    assert out[1].text == "keepa keepb" and out[1].n_removed == 6
+    assert out[2].text == "keepx" and out[2].n_removed == 6
+    assert out[3].text == "all original text stays right here"
+    assert out[3].n_removed == 0 and out[3].n_kept == 6
