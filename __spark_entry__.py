@@ -1034,6 +1034,13 @@ def _q_duplicate_spans(spark, sf_dir) -> DataFrame:
     return duplicate_spans(spark.table("documents"), n=8)
 
 
+def _q_funnel(spark, sf_dir) -> DataFrame:
+    """Ordered funnel view→click→purchase (greedy-earliest chain,
+    strictly-later stages) — one shuffle, JVM fold per user."""
+    from spatial_spark.operators.funnel import funnel
+    return funnel(spark.table("events"), ["view", "click", "purchase"])
+
+
 def _q_scrub_spans(spark, sf_dir) -> DataFrame:
     """Exact substring dedup, scrub half: documents rebuilt with their
     cross-document duplicated 8-gram spans removed."""
@@ -1133,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_doc": _q_line_dedup_doc,
         "duplicate_spans": _q_duplicate_spans,
         "scrub_spans": _q_scrub_spans,
+        "funnel": _q_funnel,
         # --- veterans kept in the 50-row window ---
         "within_distance": _q_within_distance,
         "knn": _q_knn,
@@ -2180,6 +2188,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(least(max(idx) + 7, min(L) - 1) - min(idx) + 1
                         AS BIGINT) AS n_tokens
             FROM isl GROUP BY doc_id, island
+        """,
+        "funnel": """
+            WITH u0 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY user_id),
+            u1 AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN u0 ON e.user_id = u0.user_id AND e.ts > u0.t
+              WHERE e.event_type = 'click' GROUP BY e.user_id),
+            u2 AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN u1 ON e.user_id = u1.user_id AND e.ts > u1.t
+              WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+            SELECT 0 AS step_idx, 'view' AS step,
+                   count(*) AS n_users FROM u0
+            UNION ALL SELECT 1, 'click', count(*) FROM u1
+            UNION ALL SELECT 2, 'purchase', count(*) FROM u2
         """,
         "scrub_spans": """
             WITH toks AS (

@@ -1,0 +1,67 @@
+"""Ordered-funnel analysis over an event stream — the classic product
+analytics operator (how many users did step1, then step2 AFTER step1,
+then step3 after that), greedy-earliest semantics: per user, the
+earliest step-1 event starts the chain and each later stage binds to
+its earliest strictly-later occurrence.
+
+Spark-first shape: ONE shuffle.  Events are filtered to the funnel's
+step types, grouped per user into a time-sorted array, and the chain is
+computed by a JVM higher-order ``aggregate`` fold over that array (no
+window-per-stage, no k passes over the corpus, no Python).  Per-user
+state is k timestamps; per-user event lists are bounded by that user's
+activity — the same per-entity assumption every sessionizer makes.
+The final stage counts are one tiny aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["funnel"]
+
+
+def funnel(events: DataFrame, steps: list,
+           user_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type") -> DataFrame:
+    """Per-stage completion counts for the ordered ``steps`` chain.
+
+    Returns ``(step_idx, step, n_users)`` — users whose chain reached
+    each stage (monotonically non-increasing down the funnel).  Later
+    stages require a STRICTLY later event time than the stage before.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    k = len(steps)
+    fields = ", ".join(f"'t{i}', CAST(NULL AS TIMESTAMP)"
+                       for i in range(k))
+    branches = []
+    for i, st in enumerate(steps):
+        lit = st.replace("'", "''")
+        prev_ok = "" if i == 0 else \
+            f" AND acc.t{i - 1} IS NOT NULL AND x.ts > acc.t{i - 1}"
+        keep = ", ".join(
+            f"'t{j}', {'x.ts' if j == i else f'acc.t{j}'}"
+            for j in range(k))
+        branches.append(
+            f"WHEN acc.t{i} IS NULL AND x.et = '{lit}'{prev_ok} "
+            f"THEN named_struct({keep})")
+    fold = (f"aggregate(seq, named_struct({fields}), "
+            f"(acc, x) -> CASE {' '.join(branches)} ELSE acc END)")
+
+    per_user = (events
+                .filter(F.col(type_col).isin(*steps))
+                .select(F.col(user_col).alias("u"),
+                        F.struct(F.col(ts_col).alias("ts"),
+                                 F.col(type_col).alias("et")).alias("e"))
+                .groupBy("u")
+                .agg(F.array_sort(F.collect_list("e")).alias("seq"))
+                .select(F.expr(fold).alias("chain")))
+    counts = per_user.agg(*[
+        F.sum(F.col(f"chain.t{i}").isNotNull().cast("long")).alias(f"c{i}")
+        for i in range(k)])
+    stack = ", ".join(
+        f"{i}, '{s.replace(chr(39), chr(39) * 2)}', c{i}"
+        for i, s in enumerate(steps))
+    return counts.select(F.expr(
+        f"stack({k}, {stack}) AS (step_idx, step, n_users)"))

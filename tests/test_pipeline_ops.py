@@ -1630,3 +1630,35 @@ def test_remove_duplicate_spans(spark):
     assert out[2].text == "keepx" and out[2].n_removed == 6
     assert out[3].text == "all original text stays right here"
     assert out[3].n_removed == 0 and out[3].n_kept == 6
+
+
+def test_funnel(spark):
+    """Greedy-earliest ordered funnel against hand-built user journeys."""
+    import datetime as dt
+    from spatial_spark.operators.funnel import funnel
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)
+    rows = [
+        # u1: full chain in order
+        (1, t(0), "view"), (1, t(5), "click"), (1, t(9), "purchase"),
+        # u2: clicked BEFORE viewing -> stops at view
+        (2, t(3), "click"), (2, t(4), "view"),
+        # u3: view then purchase (no click) -> stops after view
+        (3, t(0), "view"), (3, t(1), "purchase"),
+        # u4: never viewed
+        (4, t(2), "click"), (4, t(3), "purchase"),
+        # u5: two views; chain binds the EARLIEST, click lands between
+        (5, t(6), "view"), (5, t(7), "click"), (5, t(8), "view"),
+        # noise types are ignored
+        (1, t(1), "error"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r.step: (r.step_idx, r.n_users)
+           for r in funnel(df, ["view", "click", "purchase"]).collect()}
+    assert out["view"] == (0, 4)       # u1 u2 u3 u5
+    assert out["click"] == (1, 2)      # u1 u5
+    assert out["purchase"] == (2, 1)   # u1
+    # strictly-later rule: same-timestamp next step does not advance
+    same = spark.createDataFrame([(9, t(0), "view"), (9, t(0), "click")],
+                                 "user_id long, ts timestamp, event_type string")
+    s = {r.step: r.n_users for r in funnel(same, ["view", "click"]).collect()}
+    assert s == {"view": 1, "click": 0}
