@@ -1041,6 +1041,12 @@ def _q_funnel(spark, sf_dir) -> DataFrame:
     return funnel(spark.table("events"), ["view", "click", "purchase"])
 
 
+def _q_retention(spark, sf_dir) -> DataFrame:
+    """Weekly cohort retention triangle over the events stream."""
+    from spatial_spark.operators.funnel import retention
+    return retention(spark.table("events"))
+
+
 def _q_scrub_spans(spark, sf_dir) -> DataFrame:
     """Exact substring dedup, scrub half: documents rebuilt with their
     cross-document duplicated 8-gram spans removed."""
@@ -1141,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": _q_duplicate_spans,
         "scrub_spans": _q_scrub_spans,
         "funnel": _q_funnel,
+        "retention": _q_retention,
         # --- veterans kept in the 50-row window ---
         "within_distance": _q_within_distance,
         "knn": _q_knn,
@@ -2188,6 +2195,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(least(max(idx) + 7, min(L) - 1) - min(idx) + 1
                         AS BIGINT) AS n_tokens
             FROM isl GROUP BY doc_id, island
+        """,
+        "retention": """
+            WITH per AS (
+              SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS w
+              FROM events),
+            cohort AS (SELECT u, min(w) AS c FROM per GROUP BY u)
+            SELECT strftime(c, '%Y-%m-%d') AS cohort_week,
+                   CAST(datediff('day', c, w) / 7 AS INT) AS weeks_since,
+                   count(DISTINCT p.u) AS n_users
+            FROM per p JOIN cohort ch ON p.u = ch.u
+            GROUP BY 1, 2
         """,
         "funnel": """
             WITH u0 AS (

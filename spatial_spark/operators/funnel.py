@@ -65,3 +65,25 @@ def funnel(events: DataFrame, steps: list,
         for i, s in enumerate(steps))
     return counts.select(F.expr(
         f"stack({k}, {stack}) AS (step_idx, step, n_users)"))
+
+
+def retention(events: DataFrame, user_col: str = "user_id",
+              ts_col: str = "ts") -> DataFrame:
+    """Weekly cohort retention: users are cohorted by their first active
+    ISO week; each later active week increments that cohort's
+    ``weeks_since`` bucket.  Returns ``(cohort_week 'yyyy-MM-dd',
+    weeks_since int, n_users)`` — the classic retention triangle (the
+    week is a string so every fetch path renders it identically).
+
+    Shape: distinct (user, week) → per-user min week (both keyed aggs
+    with map-side combine) → one re-join on the user key → final keyed
+    agg.  Nothing is corpus-wide except the user-keyed shuffles."""
+    wk = F.date_trunc("week", F.col(ts_col))
+    per = (events.select(F.col(user_col).alias("u"), wk.alias("w"))
+           .distinct())
+    cohort = per.groupBy("u").agg(F.min("w").alias("c"))
+    return (per.join(cohort, "u")
+            .groupBy(F.date_format("c", "yyyy-MM-dd").alias("cohort_week"),
+                     (F.datediff("w", "c") / 7).cast("int")
+                     .alias("weeks_since"))
+            .agg(F.countDistinct("u").alias("n_users")))

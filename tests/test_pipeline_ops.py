@@ -1662,3 +1662,21 @@ def test_funnel(spark):
                                  "user_id long, ts timestamp, event_type string")
     s = {r.step: r.n_users for r in funnel(same, ["view", "click"]).collect()}
     assert s == {"view": 1, "click": 0}
+
+
+def test_retention(spark):
+    import datetime as dt
+    from spatial_spark.operators.funnel import retention
+    # week of 2024-01-01 (Mon) and 2024-01-08
+    rows = [
+        (1, dt.datetime(2024, 1, 2, 10)),   # cohort wk0
+        (1, dt.datetime(2024, 1, 9, 10)),   # returns wk1
+        (2, dt.datetime(2024, 1, 3, 10)),   # cohort wk0, never returns
+        (3, dt.datetime(2024, 1, 10, 10)),  # cohort wk1
+        (1, dt.datetime(2024, 1, 4, 10)),   # same week, no double count
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(r.cohort_week, r.weeks_since): r.n_users
+           for r in retention(df).collect()}
+    assert out == {("2024-01-01", 0): 2, ("2024-01-01", 1): 1,
+                   ("2024-01-08", 0): 1}
