@@ -62,7 +62,7 @@ BUDGET_SF01 = {
     "lm_perplexity": 3.7, "doc_chunks": 0.8, "tile_counts": 1.5,
     "dsir_weights": 3.6, "polygon_join": 4.1, "corpus_stats": 1.5,
     "shuffle_order": 0.9, "density_islands": 4.6, "dedup_against": 2.6, "line_dedup_doc": 4.7,
-    "duplicate_spans": 11.8, "scrub_spans": 11.3, "funnel": 1.1,
+    "duplicate_spans": 4.6, "scrub_spans": 6.2, "funnel": 1.1,
     "retention": 1.5,
 }
 

@@ -224,7 +224,19 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # the per-doc distinct runs on longs.  Counts could differ only if
     # two DIFFERENT grams colliding at 64 bits met inside one candidate
     # pair or one document (~1e-19 per pair — documented approximation).
-    garr = F.array_distinct(_ngram_hashes_col(text_col, n))
+    # pre-project the token array: the gram expression references the
+    # split from many slice/size sites, and under the generator that
+    # defeats subexpression elimination (the regex re-runs per exploded
+    # row — same fix as duplicate_spans, measured 2.4x on the explode)
+    pre = df.select(F.col(id_col),
+                    F.split(F.lower(F.col(text_col)), r"\s+").alias("_t"))
+    tcol = F.col("_t")
+    zipped = F.arrays_zip(*[F.slice(tcol, i + 1, F.size(tcol))
+                            .alias(f"t{i}") for i in range(n)])
+    garr = F.array_distinct(F.slice(
+        F.transform(zipped,
+                    lambda s: F.xxhash64(*[s[f"t{i}"] for i in range(n)])),
+        1, F.greatest(F.size(tcol) - (n - 1), F.lit(1))))
     # Pair generation: ONE groupBy(gram) collects each gram's (tiny) doc
     # list, singleton grams — the vast majority of any corpus — drop
     # before expansion, and ordered pairs expand IN PLACE.  vs the naive
@@ -253,7 +265,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         return (b.select(F.explode(pair_arr).alias("p"))
                 .select("p.a_id", "p.b_id"))
 
-    grams = df.select(F.col(id_col), F.explode(garr).alias("gram"))
+    grams = pre.select(F.col(id_col), F.explode(garr).alias("gram"))
     if max_df is None:
         # fully exact mode: each shared distinct gram contributes EXACTLY
         # one pair row, so |A∩B| is a straight count — no recount joins.
@@ -269,7 +281,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                  .groupBy("a_id", "b_id")
                  .agg(F.count(F.lit(1)).alias("n_common")))
     # |A∪B| = |A|+|B|-|A∩B|; per-doc distinct-gram counts are a pure map
-    sizes = df.select(F.col(id_col), F.size(garr).alias("n_grams"))
+    sizes = pre.select(F.col(id_col), F.size(garr).alias("n_grams"))
     sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n_grams").alias("a_n"))
     sb = sizes.select(F.col(id_col).alias("b_id"), F.col("n_grams").alias("b_n"))
     return (inter.join(sa, "a_id").join(sb, "b_id")
@@ -703,10 +715,22 @@ def duplicate_spans(df: DataFrame, n: int = 8, text_col: str = "text",
     """
     from pyspark.sql import Window
 
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
-    grams = df.select(
-        F.col(id_col), F.size(toks).alias("_L"),
-        F.posexplode(_ngram_hashes_col(text_col, n)).alias("idx", "g"))
+    # PRE-PROJECT the token array: referencing the split expression from
+    # several slice/size sites in one select defeats subexpression
+    # elimination under the generator, re-running the regex per exploded
+    # row (measured 4.2s -> 0.6s on the gram stage at sf0.1)
+    pre = df.select(F.col(id_col),
+                    F.split(F.lower(F.col(text_col)), r"\s+").alias("_t"))
+    tcol = F.col("_t")
+    zipped = F.arrays_zip(*[F.slice(tcol, i + 1, F.size(tcol))
+                            .alias(f"t{i}") for i in range(n)])
+    gram_arr = F.slice(
+        F.transform(zipped,
+                    lambda s: F.xxhash64(*[s[f"t{i}"] for i in range(n)])),
+        1, F.greatest(F.size(tcol) - (n - 1), F.lit(1)))
+    grams = pre.select(
+        F.col(id_col), F.size(tcol).alias("_L"),
+        F.posexplode(gram_arr).alias("idx", "g"))
     dfreq = (grams.groupBy("g")
              .agg(F.countDistinct(id_col).alias("_d"))
              .filter(F.col("_d") >= min_docs).select("g"))
