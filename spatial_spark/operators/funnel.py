@@ -58,8 +58,10 @@ def funnel(events: DataFrame, steps: list,
                 .agg(F.array_sort(F.collect_list("e")).alias("seq"))
                 .select(F.expr(fold).alias("chain")))
     counts = per_user.agg(*[
-        F.sum(F.col(f"chain.t{i}").isNotNull().cast("long")).alias(f"c{i}")
-        for i in range(k)])
+        F.coalesce(
+            F.sum(F.col(f"chain.t{i}").isNotNull().cast("long")),
+            F.lit(0).cast("long")).alias(f"c{i}")
+        for i in range(k)])  # coalesce: an empty stream counts 0, not NULL
     stack = ", ".join(
         f"{i}, '{s.replace(chr(39), chr(39) * 2)}', c{i}"
         for i, s in enumerate(steps))

@@ -1680,3 +1680,80 @@ def test_retention(spark):
            for r in retention(df).collect()}
     assert out == {("2024-01-01", 0): 2, ("2024-01-01", 1): 1,
                    ("2024-01-08", 0): 1}
+
+
+@given(hst.lists(
+    hst.tuples(hst.integers(1, 6),          # user
+               hst.integers(0, 50),         # minute
+               hst.sampled_from(["view", "click", "purchase", "noise"])),
+    min_size=0, max_size=60))
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_funnel_matches_model(spark, evs):
+    """Funnel counts vs an exact greedy-chain Python model over random
+    event streams (duplicate timestamps, out-of-order arrival, noise)."""
+    import datetime as dt
+    from spatial_spark.operators.funnel import funnel
+    steps = ["view", "click", "purchase"]
+    base = dt.datetime(2024, 1, 1)
+    rows = [(u, base + dt.timedelta(minutes=m), t) for u, m, t in evs]
+    df = (spark.createDataFrame(rows,
+                                "user_id long, ts timestamp, event_type string")
+          if rows else spark.createDataFrame(
+              [], "user_id long, ts timestamp, event_type string"))
+    got = {r.step: r.n_users for r in funnel(df, steps).collect()}
+
+    by_user = {}
+    for u, m, t in evs:
+        if t in steps:
+            by_user.setdefault(u, []).append((m, t))
+    exp = [0] * len(steps)
+    for u, lst in by_user.items():
+        lst.sort()
+        chain = [None] * len(steps)
+        for m, t in lst:
+            i = steps.index(t)
+            if chain[i] is None and (i == 0 or (chain[i - 1] is not None
+                                                and m > chain[i - 1])):
+                chain[i] = m
+        for i in range(len(steps)):
+            if chain[i] is not None:
+                exp[i] += 1
+    assert [got[s] for s in steps] == exp
+
+
+def test_funnel_stream_matches_batch(spark, tmp_path):
+    """Streaming funnel advances equal the batch funnel's stage counts
+    when batches arrive in time order (the reconciliation contract)."""
+    import datetime as dt
+    from spatial_spark.operators.funnel import funnel
+    from spatial_spark.streaming.funnel import funnel_stream
+    t0 = dt.datetime(2024, 2, 1, 9, 0)
+    rows = [(i % 7 + 1, t0 + dt.timedelta(minutes=i),
+             ["view", "click", "purchase", "noise"][(i * 3) % 4])
+            for i in range(80)]
+    schema = "user_id long, ts timestamp, event_type string"
+    src = tmp_path / "fev"
+    src.mkdir()
+    # time-ordered batches: first 40 then last 40
+    spark.createDataFrame(rows[:40], schema).write.parquet(str(src / "b1"))
+    spark.createDataFrame(rows[40:], schema).write.parquet(str(src / "b2"))
+    steps = ["view", "click", "purchase"]
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src) + "/b*"))
+    q = (funnel_stream(stream, steps)
+         .writeStream.format("memory").queryName("funnel_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    emits = spark.sql("select * from funnel_sink").collect()
+    # one advance per (user, stage), stages reached in order
+    seen = {}
+    for r in emits:
+        seen.setdefault(r.user, set())
+        assert r.step_idx not in seen[r.user]
+        seen[r.user].add(r.step_idx)
+    stream_counts = [sum(1 for s in seen.values() if i in s)
+                     for i in range(3)]
+    batch = {r.step_idx: r.n_users for r in
+             funnel(spark.read.parquet(str(src) + "/b*"), steps).collect()}
+    assert stream_counts == [batch[0], batch[1], batch[2]]
