@@ -1757,3 +1757,31 @@ def test_funnel_stream_matches_batch(spark, tmp_path):
     batch = {r.step_idx: r.n_users for r in
              funnel(spark.read.parquet(str(src) + "/b*"), steps).collect()}
     assert stream_counts == [batch[0], batch[1], batch[2]]
+
+
+@given(hst.lists(hst.tuples(hst.integers(1, 5), hst.integers(0, 40)),
+                 min_size=1, max_size=50))
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_retention_matches_model(spark, evs):
+    """Weekly cohort retention vs an exact Python model (ISO-Monday
+    truncation, distinct-week semantics, multi-cohort)."""
+    import datetime as dt
+    from spatial_spark.operators.funnel import retention
+    base = dt.datetime(2024, 1, 3, 12)   # a Wednesday
+    rows = [(u, base + dt.timedelta(days=d)) for u, d in evs]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(r.cohort_week, r.weeks_since): r.n_users
+           for r in retention(df).collect()}
+    weeks = {}
+    for u, d in evs:
+        t = base + dt.timedelta(days=d)
+        wk = (t - dt.timedelta(days=t.weekday())).date()
+        weeks.setdefault(u, set()).add(wk)
+    exp = {}
+    for u, ws in weeks.items():
+        c = min(ws)
+        for w in ws:
+            key = (c.strftime("%Y-%m-%d"), (w - c).days // 7)
+            exp[key] = exp.get(key, 0) + 1
+    assert got == exp
