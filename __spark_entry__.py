@@ -1034,6 +1034,49 @@ def _q_duplicate_spans(spark, sf_dir) -> DataFrame:
     return duplicate_spans(spark.table("documents"), n=8)
 
 
+_AZIMUTH_SQL = f"""
+    WITH pts AS (
+      SELECT c_custkey, {CUST_LON} AS lon, {CUST_LAT} AS lat FROM customer),
+    az AS (
+      SELECT c_custkey, lon, lat,
+             (((degrees(atan2(
+                  sin(radians(CAST(10.0 AS DOUBLE) - lon))
+                    * cos(radians(CAST(45.0 AS DOUBLE))),
+                  cos(radians(lat)) * sin(radians(CAST(45.0 AS DOUBLE)))
+                    - sin(radians(lat)) * cos(radians(CAST(45.0 AS DOUBLE)))
+                      * cos(radians(CAST(10.0 AS DOUBLE) - lon))))
+               % 360.0) + 360.0) % 360.0) AS azm
+      FROM pts),
+    pr AS (
+      SELECT c_custkey, azm, lon, lat,
+             degrees(asin(
+               sin(radians(lat)) * cos(CAST(100.0 AS DOUBLE) / 6371.0)
+               + cos(radians(lat)) * sin(CAST(100.0 AS DOUBLE) / 6371.0)
+                 * cos(radians(azm)))) AS plat
+      FROM az)
+    SELECT c_custkey,
+           round(azm, 6) AS azimuth_deg,
+           round(((degrees(radians(lon) + atan2(
+                     sin(radians(azm)) * sin(CAST(100.0 AS DOUBLE) / 6371.0)
+                       * cos(radians(lat)),
+                     cos(CAST(100.0 AS DOUBLE) / 6371.0)
+                       - sin(radians(lat)) * sin(radians(plat))))
+                   % 360.0 + 540.0) % 360.0 - 180.0), 6) AS dest_lon,
+           round(plat, 6) AS dest_lat
+    FROM pr
+"""
+
+
+def _q_azimuth_project(spark, sf_dir) -> DataFrame:
+    """Great-circle bearing to the probe + 100 km destination point per
+    customer (ST_Azimuth / ST_Project spherical parity) — one SQL text
+    evaluated by BOTH engines; the Column API twins
+    (functions/columns.sphere_azimuth_deg / sphere_project) implement
+    the same formulas and are validated by spherical round-trip
+    identities in test_operators."""
+    return spark.sql(_AZIMUTH_SQL)
+
+
 def _q_funnel(spark, sf_dir) -> DataFrame:
     """Ordered funnel view→click→purchase (greedy-earliest chain,
     strictly-later stages) — one shuffle, JVM fold per user."""
@@ -1148,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_spans": _q_scrub_spans,
         "funnel": _q_funnel,
         "retention": _q_retention,
+        "azimuth_project": _q_azimuth_project,
         # --- veterans kept in the 50-row window ---
         "within_distance": _q_within_distance,
         "knn": _q_knn,
@@ -2196,6 +2240,7 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_tokens
             FROM isl GROUP BY doc_id, island
         """,
+        "azimuth_project": _AZIMUTH_SQL,
         "retention": """
             WITH per AS (
               SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS w

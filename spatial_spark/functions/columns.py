@@ -128,3 +128,36 @@ def sfc_ranges_predicate(key_col, ranges) -> Column:
 
 def planar_distance(x1, y1, x2, y2) -> Column:
     return F.sqrt((_c(x2) - _c(x1)) ** 2 + (_c(y2) - _c(y1)) ** 2)
+
+
+def sphere_azimuth_deg(lon1, lat1, lon2, lat2) -> Column:
+    """Initial great-circle bearing from point 1 to point 2, degrees in
+    [0, 360) — ST_Azimuth's spherical form, pure Column (codegen'd)."""
+    lon1, lat1, lon2, lat2 = [
+        F.col(c) if isinstance(c, str) else c
+        for c in (lon1, lat1, lon2, lat2)]
+    dl = F.radians(lon2 - lon1)
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    az = F.degrees(F.atan2(
+        F.sin(dl) * F.cos(p2),
+        F.cos(p1) * F.sin(p2) - F.sin(p1) * F.cos(p2) * F.cos(dl)))
+    return (az % 360 + 360) % 360
+
+
+def sphere_project(lon, lat, bearing_deg, km):
+    """Destination point ``km`` along the great circle at
+    ``bearing_deg`` (R=6371, the engine's sphere) — ST_Project's
+    spherical form.  Returns ``(lon2, lat2)`` Columns; longitude is
+    normalized to [-180, 180)."""
+    lon, lat, bearing_deg, km = [
+        F.col(c) if isinstance(c, str) else c
+        for c in (lon, lat, bearing_deg, km)]
+    d = km / F.lit(6371.0)
+    th = F.radians(bearing_deg)
+    p1 = F.radians(lat)
+    p2 = F.asin(F.sin(p1) * F.cos(d) + F.cos(p1) * F.sin(d) * F.cos(th))
+    l2 = F.radians(lon) + F.atan2(
+        F.sin(th) * F.sin(d) * F.cos(p1),
+        F.cos(d) - F.sin(p1) * F.sin(p2))
+    lon2 = (F.degrees(l2) % 360 + 540) % 360 - 180
+    return lon2, F.degrees(p2)

@@ -446,3 +446,43 @@ def test_spatial_join_random_vs_brute_force(spark):
         return a0 <= c1 and c0 <= a1 and b0 <= d1 and d0 <= b1
     want2 = {(r1[0], r2[0]) for r1 in rects for r2 in rects if ix(r1, r2)}
     assert got2 == want2
+
+
+def test_sphere_azimuth_and_project(spark):
+    """Bearing/destination round-trip: projecting along the azimuth to a
+    target lands on the target (spherical identities), cardinal bearings
+    behave, and longitudes normalize."""
+    import math
+    from pyspark.sql import functions as F
+    from spatial_spark.functions.columns import (sphere_azimuth_deg,
+                                                 sphere_distance_km,
+                                                 sphere_project)
+    df = spark.createDataFrame(
+        [(0.0, 0.0, 0.0, 10.0), (10.0, 45.0, 12.0, 47.0),
+         (179.5, 10.0, -179.5, 10.0), (5.0, 80.0, 5.0, -80.0)],
+        "lon1 double, lat1 double, lon2 double, lat2 double")
+    az = sphere_azimuth_deg("lon1", "lat1", "lon2", "lat2")
+    dist = sphere_distance_km(F.col("lon1"), F.col("lat1"),
+                              F.col("lon2"), F.col("lat2"))
+    plon, plat = sphere_project(F.col("lon1"), F.col("lat1"), az, dist)
+    rows = df.select(az.alias("az"), plon.alias("plon"),
+                     plat.alias("plat"), "lon2", "lat2").collect()
+    for r in rows:
+        assert 0.0 <= r.az < 360.0
+        # round-trip hits the target to within float/sphere tolerance
+        assert abs(r.plat - r.lat2) < 1e-6
+        dlon = abs((r.plon - r.lon2 + 180) % 360 - 180)
+        assert dlon < 1e-6, (r.plon, r.lon2)
+    # due north and due east
+    r = spark.createDataFrame([(0.0, 0.0)], "lon double, lat double") \
+        .select(sphere_azimuth_deg(F.lit(0.0), F.lit(0.0), F.lit(0.0),
+                                   F.lit(5.0)).alias("n"),
+                sphere_azimuth_deg(F.lit(0.0), F.lit(0.0), F.lit(5.0),
+                                   F.lit(0.0)).alias("e")).collect()[0]
+    assert abs(r.n - 0.0) < 1e-9 and abs(r.e - 90.0) < 1e-9
+    # antimeridian normalization stays in [-180, 180)
+    p = spark.createDataFrame([(179.9, 0.0)], "lon double, lat double")
+    lon2, _ = sphere_project(F.col("lon"), F.col("lat"),
+                             F.lit(90.0), F.lit(100.0))
+    v = p.select(lon2.alias("l")).collect()[0].l
+    assert -180.0 <= v < 180.0 and v < -179.0
