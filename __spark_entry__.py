@@ -2205,7 +2205,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_against": _dedup_against_oracle_sql(),
         "duplicate_spans": """
             WITH toks AS (
-              SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> length(x) > 0) AS t
               FROM documents),
             grams AS (
               SELECT doc_id, i - 1 AS idx,
@@ -2214,7 +2216,7 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT doc_id, t,
                            unnest(generate_series(
                              1, greatest(len(t) - 7, 1))) AS i
-                    FROM toks)),
+                    FROM toks WHERE len(t) > 0)),
             dfreq AS (
               SELECT g FROM (
                 SELECT g, count(DISTINCT doc_id) AS d FROM grams GROUP BY g)
@@ -2271,7 +2273,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "scrub_spans": """
             WITH toks AS (
-              SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> length(x) > 0) AS t
               FROM documents),
             grams AS (
               SELECT doc_id, i - 1 AS idx,
@@ -2280,7 +2284,7 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT doc_id, t,
                            unnest(generate_series(
                              1, greatest(len(t) - 7, 1))) AS i
-                    FROM toks)),
+                    FROM toks WHERE len(t) > 0)),
             dfreq AS (
               SELECT g FROM (
                 SELECT g, count(DISTINCT doc_id) AS d FROM grams GROUP BY g)
@@ -2309,8 +2313,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, i - 1 AS idx, t[i] AS tok
               FROM (SELECT doc_id, t,
                            unnest(generate_series(1, len(t))) AS i
-                    FROM toks)
-              WHERE length(t[i]) > 0),
+                    FROM toks WHERE len(t) > 0)),
             kept AS (
               SELECT k.doc_id, k.idx, k.tok
               FROM toksl k ANTI JOIN dropped d

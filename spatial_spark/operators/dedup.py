@@ -720,7 +720,8 @@ def duplicate_spans(df: DataFrame, n: int = 8, text_col: str = "text",
     # elimination under the generator, re-running the regex per exploded
     # row (measured 4.2s -> 0.6s on the gram stage at sf0.1)
     pre = df.select(F.col(id_col),
-                    F.split(F.lower(F.col(text_col)), r"\s+").alias("_t"))
+                    F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                             lambda t: F.length(t) > 0).alias("_t"))
     tcol = F.col("_t")
     zipped = F.arrays_zip(*[F.slice(tcol, i + 1, F.size(tcol))
                             .alias(f"t{i}") for i in range(n)])
@@ -774,11 +775,11 @@ def remove_duplicate_spans(df: DataFrame, n: int = 8,
     drop = spans.select(
         F.col(id_col),
         F.explode(F.expr("sequence(span_start, span_end)")).alias("idx"))
-    toks = (df.select(
+    toks = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+"))
+        F.posexplode(F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                              lambda t: F.length(t) > 0))
         .alias("idx", "tok"))
-        .filter(F.length("tok") > 0))
     kept = toks.join(drop, [id_col, "idx"], "left_anti")
     rebuilt = (kept.groupBy(id_col)
                .agg(F.array_join(

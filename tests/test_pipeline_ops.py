@@ -1785,3 +1785,93 @@ def test_retention_matches_model(spark, evs):
             key = (c.strftime("%Y-%m-%d"), (w - c).days // 7)
             exp[key] = exp.get(key, 0) + 1
     assert got == exp
+
+
+def _span_model(docs, n, min_docs=2):
+    """Exact Python model of duplicate_spans over token lists."""
+    from collections import defaultdict
+    gpos = defaultdict(list)   # gram -> [(doc, idx)]
+    for did, toks in docs:
+        L = len(toks)
+        if L == 0:
+            continue
+        idxs = range(max(L - n + 1, 1))
+        for i in idxs:
+            gpos[tuple(toks[i:i + n])].append((did, i))
+    dup = {g for g, ps in gpos.items() if len({d for d, _ in ps}) >= min_docs}
+    per_doc = defaultdict(list)
+    for g in dup:
+        for did, i in gpos[g]:
+            per_doc[did].append(i)
+    spans = {}
+    for did, toks in docs:
+        pos = sorted(set(per_doc.get(did, [])))
+        if not pos:
+            continue
+        out, s, e = [], pos[0], pos[0]
+        for p in pos[1:]:
+            if p - e > n:
+                out.append((s, e))
+                s = p
+            e = p
+        out.append((s, e))
+        L = len(toks)
+        spans[did] = sorted((a, min(b + n - 1, L - 1)) for a, b in out)
+    return spans
+
+
+@given(hst.lists(
+    hst.tuples(hst.integers(0, 10**5),
+               hst.lists(hst.sampled_from("aa bb cc dd ee".split()),
+                         min_size=0, max_size=20)),
+    min_size=0, max_size=8, unique_by=lambda t: t[0]),
+    hst.integers(2, 5))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_duplicate_and_scrub_spans_match_model(spark, docs, n):
+    """duplicate_spans + remove_duplicate_spans vs an exact Python model
+    on tiny-vocab corpora (heavy collisions of shared grams, short docs
+    below n, island merges at every gap width)."""
+    from spatial_spark.operators.dedup import (duplicate_spans,
+                                               remove_duplicate_spans)
+    rows = [(i, " ".join(toks)) for i, toks in docs]
+    df = (spark.createDataFrame(rows, "doc_id long, text string")
+          if rows else spark.createDataFrame([], "doc_id long, text string"))
+    exp = _span_model(docs, n)
+    got = {}
+    for r in duplicate_spans(df, n=n).collect():
+        got.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    got = {k: sorted(v) for k, v in got.items()}
+    assert got == exp
+    # scrub consistency: survivors = tokens outside every span
+    scrub = {r.doc_id: r for r in remove_duplicate_spans(df, n=n).collect()}
+    for did, toks in docs:
+        dropped = set()
+        for a, b in exp.get(did, []):
+            dropped.update(range(a, b + 1))
+        keep = [t for i, t in enumerate(toks) if i not in dropped]
+        assert scrub[did].text == " ".join(keep), (did, scrub[did].text)
+        assert scrub[did].n_removed == len(toks) - len(keep)
+
+
+@given(hst.lists(hst.sampled_from("x yy z w v".split()),
+                 min_size=0, max_size=60),
+       hst.integers(1, 6))
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_vocab_top_k_matches_model(spark, toks, k):
+    from collections import Counter
+    from spatial_spark.operators.text import vocab_top_k
+    df = spark.createDataFrame([(1, " ".join(toks))],
+                               "doc_id long, text string")
+    got = [(r.rank, r.token, r.n, r.cum_share)
+           for r in sorted(vocab_top_k(df, k=k).collect(),
+                           key=lambda r: r.rank)]
+    c = Counter(toks)
+    total = sum(c.values())
+    ordered = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    acc, exp = 0, []
+    for i, (t, nn) in enumerate(ordered):
+        acc += nn
+        exp.append((i + 1, t, nn, round(acc / total, 6)))
+    assert got == exp
