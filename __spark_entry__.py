@@ -1155,6 +1155,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r05.json (verified programmatically) and keeps its
     # local-gate oracle (tools/check_correctness runs ALL entries).
     # Over rounds 5+6 every registered query has a driver row.
+    # r7 rotation plan: the 34 entries now OUTSIDE the window all hold
+    # green r5 driver rows; next round, demote the r6 head (the 19
+    # veterans regain fresh rows this round, and the 15 r6 first-timers
+    # earn theirs) and promote the outside list back — oldest driver row
+    # first — keeping every entry's newest row at most two rounds old.
     return {name: wrap(fn) for name, fn in {
         # --- returning veterans: no r5 driver row (rotated out in r5) ---
         "geohash": _q_geohash,
