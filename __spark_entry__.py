@@ -1090,6 +1090,14 @@ def _q_retention(spark, sf_dir) -> DataFrame:
     return retention(spark.table("events"))
 
 
+def _q_funnel_timings(spark, sf_dir) -> DataFrame:
+    """Time-to-convert (p50/p95 seconds) for users completing the full
+    view→click→purchase chain."""
+    from spatial_spark.operators.funnel import funnel_timings
+    return funnel_timings(spark.table("events"),
+                          ["view", "click", "purchase"])
+
+
 def _q_scrub_spans(spark, sf_dir) -> DataFrame:
     """Exact substring dedup, scrub half: documents rebuilt with their
     cross-document duplicated 8-gram spans removed."""
@@ -1197,6 +1205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": _q_funnel,
         "retention": _q_retention,
         "azimuth_project": _q_azimuth_project,
+        "funnel_timings": _q_funnel_timings,
         # --- veterans kept in the 50-row window ---
         "within_distance": _q_within_distance,
         "knn": _q_knn,
@@ -2248,6 +2257,26 @@ def oracle_sql() -> dict[str, str]:
             FROM isl GROUP BY doc_id, island
         """,
         "azimuth_project": _AZIMUTH_SQL,
+        "funnel_timings": """
+            WITH u0 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY user_id),
+            u1 AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN u0 ON e.user_id = u0.user_id AND e.ts > u0.t
+              WHERE e.event_type = 'click' GROUP BY e.user_id),
+            u2 AS (
+              SELECT e.user_id, min(e.ts) AS t FROM events e
+              JOIN u1 ON e.user_id = u1.user_id AND e.ts > u1.t
+              WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+            durs AS (
+              SELECT epoch(u2.t) - epoch(u0.t) AS secs
+              FROM u2 JOIN u0 ON u2.user_id = u0.user_id)
+            SELECT count(*) AS n_completed,
+                   round(quantile_cont(secs, 0.5), 3) AS p50_secs,
+                   round(quantile_cont(secs, 0.95), 3) AS p95_secs
+            FROM durs
+        """,
         "retention": """
             WITH per AS (
               SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS w

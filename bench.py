@@ -35,7 +35,7 @@ HEADLINE = [
     "polygon_join", "corpus_stats", "shuffle_order",
     "density_islands", "dedup_against", "line_dedup_doc",
     "duplicate_spans", "scrub_spans", "funnel", "retention",
-    "azimuth_project",
+    "azimuth_project", "funnel_timings",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -64,7 +64,7 @@ BUDGET_SF01 = {
     "dsir_weights": 3.6, "polygon_join": 4.1, "corpus_stats": 1.5,
     "shuffle_order": 0.9, "density_islands": 4.6, "dedup_against": 2.6, "line_dedup_doc": 4.7,
     "duplicate_spans": 4.6, "scrub_spans": 6.2, "funnel": 1.1,
-    "retention": 1.5, "azimuth_project": 1.0,
+    "retention": 1.5, "azimuth_project": 1.0, "funnel_timings": 1.2,
 }
 
 

@@ -18,20 +18,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel"]
+__all__ = ["funnel", "funnel_timings", "retention"]
 
 
-def funnel(events: DataFrame, steps: list,
-           user_col: str = "user_id", ts_col: str = "ts",
-           type_col: str = "event_type") -> DataFrame:
-    """Per-stage completion counts for the ordered ``steps`` chain.
-
-    Returns ``(step_idx, step, n_users)`` — users whose chain reached
-    each stage (monotonically non-increasing down the funnel).  Later
-    stages require a STRICTLY later event time than the stage before.
-    """
-    if not steps:
-        raise ValueError("funnel needs at least one step")
+def _chains(events: DataFrame, steps: list, user_col: str,
+            ts_col: str, type_col: str) -> DataFrame:
+    """Per-user greedy-earliest chain struct (``chain.t0..t{k-1}``) —
+    the shared single-shuffle core of funnel() and funnel_timings()."""
     k = len(steps)
     fields = ", ".join(f"'t{i}', CAST(NULL AS TIMESTAMP)"
                        for i in range(k))
@@ -57,6 +50,22 @@ def funnel(events: DataFrame, steps: list,
                 .groupBy("u")
                 .agg(F.array_sort(F.collect_list("e")).alias("seq"))
                 .select(F.expr(fold).alias("chain")))
+    return per_user
+
+
+def funnel(events: DataFrame, steps: list,
+           user_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type") -> DataFrame:
+    """Per-stage completion counts for the ordered ``steps`` chain.
+
+    Returns ``(step_idx, step, n_users)`` — users whose chain reached
+    each stage (monotonically non-increasing down the funnel).  Later
+    stages require a STRICTLY later event time than the stage before.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    k = len(steps)
+    per_user = _chains(events, steps, user_col, ts_col, type_col)
     counts = per_user.agg(*[
         F.coalesce(
             F.sum(F.col(f"chain.t{i}").isNotNull().cast("long")),
@@ -89,3 +98,25 @@ def retention(events: DataFrame, user_col: str = "user_id",
                      (F.datediff("w", "c") / 7).cast("int")
                      .alias("weeks_since"))
             .agg(F.countDistinct("u").alias("n_users")))
+
+
+def funnel_timings(events: DataFrame, steps: list,
+                   user_col: str = "user_id", ts_col: str = "ts",
+                   type_col: str = "event_type") -> DataFrame:
+    """Time-to-convert for users completing the WHOLE chain: count plus
+    exact p50/p95 seconds between the chain's first and last stage
+    (rounded to 3 decimals — cross-engine float discipline).  Same
+    single-shuffle chain core as funnel(); the percentile aggregates
+    see one duration per completed user."""
+    if len(steps) < 2:
+        raise ValueError("funnel_timings needs at least two steps")
+    k = len(steps)
+    per_user = _chains(events, steps, user_col, ts_col, type_col)
+    dur = (per_user
+           .filter(F.col(f"chain.t{k - 1}").isNotNull())
+           .select((F.col(f"chain.t{k - 1}").cast("double")
+                    - F.col("chain.t0").cast("double")).alias("secs")))
+    return dur.agg(
+        F.count(F.lit(1)).alias("n_completed"),
+        F.round(F.expr("percentile(secs, 0.5D)"), 3).alias("p50_secs"),
+        F.round(F.expr("percentile(secs, 0.95D)"), 3).alias("p95_secs"))

@@ -1875,3 +1875,20 @@ def test_vocab_top_k_matches_model(spark, toks, k):
         acc += nn
         exp.append((i + 1, t, nn, round(acc / total, 6)))
     assert got == exp
+
+
+def test_funnel_timings(spark):
+    import datetime as dt
+    from spatial_spark.operators.funnel import funnel_timings
+    t = lambda m, s=0: dt.datetime(2024, 1, 1, 10, m, s)
+    rows = [
+        (1, t(0), "view"), (1, t(2), "click"), (1, t(10), "purchase"),   # 600s
+        (2, t(0), "view"), (2, t(1), "click"), (2, t(5, 30), "purchase"),  # 330s
+        (3, t(0), "view"), (3, t(4), "click"),                           # incomplete
+    ]
+    df = spark.createDataFrame(rows,
+                               "user_id long, ts timestamp, event_type string")
+    r = funnel_timings(df, ["view", "click", "purchase"]).collect()[0]
+    assert r.n_completed == 2
+    assert r.p50_secs == 465.0    # interpolated median of {330, 600}
+    assert r.p95_secs == round(330 + 0.95 * 270, 3)
