@@ -1738,6 +1738,16 @@ def test_funnel_stream_matches_batch(spark, tmp_path):
     # time-ordered batches: first 40 then last 40
     spark.createDataFrame(rows[:40], schema).write.parquet(str(src / "b1"))
     spark.createDataFrame(rows[40:], schema).write.parquet(str(src / "b2"))
+    # the file source orders batches by modification time: pin b1's files
+    # clearly earlier so the time-ordered-batches precondition holds (a
+    # same-mtime tie once flipped the order and a cross-batch purchase
+    # arrived before its click — the documented no-rewind contract)
+    import os as _os
+    import time as _time
+    now = _time.time()
+    for d, off in ((src / "b1", -60), (src / "b2", 0)):
+        for f in _os.listdir(d):
+            _os.utime(_os.path.join(d, f), (now + off, now + off))
     steps = ["view", "click", "purchase"]
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1).parquet(str(src) + "/b*"))
