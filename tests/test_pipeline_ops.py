@@ -173,6 +173,20 @@ def test_embedding_near_dup(spark):
     assert (1, 2) in ids and not any(3 in p for p in ids)
 
 
+def test_embedding_near_dup_string_ids(spark):
+    """Pair schema derives from the input id type (r6 advice): string
+    doc ids flow through both the LSH and the exact chunked-GEMM path."""
+    from spatial_spark.operators.dedup import cosine_pairs_exact
+    vecs = [("docA", [1.0, 0.0, 0.0]), ("docB", [0.999, 0.01, 0.0]),
+            ("docC", [0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(vecs, "vec_id string, embedding array<double>")
+    for fn in (embedding_near_dup_pairs, cosine_pairs_exact):
+        out = fn(df, threshold=0.99, id_col="vec_id")
+        assert dict(out.dtypes)["a_id"] == "string"
+        ids = {(r["a_id"], r["b_id"]) for r in out.collect()}
+        assert ids == {("docA", "docB")}
+
+
 def test_multimodal_plumbing(spark):
     from spatial_spark.operators.multimodal import (
         decode_features, frame_sample_stub, make_fake_media_df, resize_stub,
@@ -1623,13 +1637,18 @@ def test_remove_duplicate_spans(spark):
     df = spark.createDataFrame(
         [(1, f"{shared} keepA keepB"),
          (2, f"keepX {shared}"),
-         (3, "all original text stays right here")],
+         (3, "all original text stays right here"),
+         (4, f"{shared.upper()} KeepZ")],
         "doc_id long, text string")
     out = {r.doc_id: r for r in remove_duplicate_spans(df, n=4).collect()}
-    assert out[1].text == "keepa keepb" and out[1].n_removed == 6
-    assert out[2].text == "keepx" and out[2].n_removed == 6
+    # matching is case-insensitive but survivors keep their ORIGINAL case
+    assert out[1].text == "keepA keepB" and out[1].n_removed == 6
+    assert out[2].text == "keepX" and out[2].n_removed == 6
     assert out[3].text == "all original text stays right here"
     assert out[3].n_removed == 0 and out[3].n_kept == 6
+    # an upper-cased copy of the shared span still matches (lowered grams)
+    # and its surviving token keeps its original mixed case
+    assert out[4].text == "KeepZ" and out[4].n_removed == 6
 
 
 def test_funnel(spark):
@@ -1735,10 +1754,16 @@ def test_funnel_stream_matches_batch(spark, tmp_path):
     schema = "user_id long, ts timestamp, event_type string"
     src = tmp_path / "fev"
     src.mkdir()
-    # time-ordered batches: first 40 then last 40
-    spark.createDataFrame(rows[:40], schema).write.parquet(str(src / "b1"))
-    spark.createDataFrame(rows[40:], schema).write.parquet(str(src / "b2"))
-    # the file source orders batches by modification time: pin b1's files
+    # time-ordered batches: first 40 then last 40.  coalesce(1) makes
+    # each batch dir exactly ONE data file — with maxFilesPerTrigger=1
+    # the file source gives no ordering among equal-mtime files, so a
+    # multi-file batch could split across micro-batches out of event-time
+    # order (observed flake, r6 advice)
+    (spark.createDataFrame(rows[:40], schema).coalesce(1)
+     .write.parquet(str(src / "b1")))
+    (spark.createDataFrame(rows[40:], schema).coalesce(1)
+     .write.parquet(str(src / "b2")))
+    # the file source orders batches by modification time: pin b1's file
     # clearly earlier so the time-ordered-batches precondition holds (a
     # same-mtime tie once flipped the order and a cross-batch purchase
     # arrived before its click — the documented no-rewind contract)
