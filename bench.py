@@ -36,6 +36,8 @@ HEADLINE = [
     "density_islands", "dedup_against", "line_dedup_doc",
     "duplicate_spans", "scrub_spans", "funnel", "retention",
     "azimuth_project", "funnel_timings",
+    # r7: the two last never-benched operators (driver-gated this round)
+    "bpe_apply", "pipeline_e2e",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -65,6 +67,10 @@ BUDGET_SF01 = {
     "shuffle_order": 0.9, "density_islands": 4.6, "dedup_against": 2.6, "line_dedup_doc": 4.7,
     "duplicate_spans": 4.6, "scrub_spans": 6.2, "funnel": 1.1,
     "retention": 1.5, "azimuth_project": 1.0, "funnel_timings": 1.2,
+    # r7 pins (~2.2x measured min-of-2; pipeline_e2e is six chained
+    # operators incl. a fresh persist + CC loop per run, so its pin is
+    # the sum-shape, not a single operator's)
+    "bpe_apply": 1.6, "pipeline_e2e": 26.0,
 }
 
 

@@ -1601,6 +1601,42 @@ def test_duplicate_spans(spark):
     assert spans10 == [(0, 5), (11, 16)]
 
 
+def test_apply_bpe_sequential_replace_equivalence(spark):
+    """apply_bpe's rank-greedy encoder equals sequential replace-all per
+    merge — the property the bpe_apply DuckDB oracle's delimiter-guarded
+    replace chain relies on (valid because every merge has left != right,
+    so per-merge occurrences are disjoint and merging is confluent).
+    Chain-heavy corpus: repeated pairs sharing boundaries, merges that
+    build on earlier merges' output symbols."""
+    from spatial_spark.operators.bpe import EOW, apply_bpe
+    merges = [("a", "b"), ("ab", "c"), ("t", "h"), ("th", "e"),
+              ("ab", "a")]
+
+    def seq_encode(word):
+        sym = list(word) + [EOW]
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return sym
+
+    texts = ["ababab abcabc ththe thethe", "ababa abab zzz",
+             "the theth ababcab", ""]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: list(r.tokens)
+           for r in apply_bpe(df, merges).collect()}
+    for i, t in enumerate(texts):
+        exp = [tok for w in t.lower().split() for tok in seq_encode(w)]
+        assert got[i] == exp, (t, got[i], exp)
+
+
 def test_bpe_train_and_apply(spark):
     """BPE training against the hand-traceable classic example, and
     application consistency (training corpus re-tokenizes into exactly

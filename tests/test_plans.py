@@ -129,6 +129,22 @@ def test_groupby_partial_aggregation(spark, sf_dir):
     assert "Exchange hashpartitioning" in plan
 
 
+def test_property_paging_takeordered(spark, sf_dir):
+    """The paging gate's corpus-wide step must plan as TakeOrdered
+    (per-partition top-k heaps + driver merge), NOT a global
+    single-partition sort feeding the row_number window; the window's
+    one-partition stage may only ever see the already-limited top-hi
+    rows (VERDICT r6 ask #9)."""
+    import __spark_entry__ as entry
+    entry._setup(spark, sf_dir)
+    plan = _plan(entry._q_property_paging(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # the single-partition exchange for the window must sit ABOVE the
+    # TakeOrdered, i.e. the full-table scan feeds TakeOrdered first
+    scan_pos = plan.index("FileScan")
+    assert plan.index("TakeOrderedAndProject") < scan_pos
+
+
 def test_adhoc_spatial_join_plans_jobless(spark, tmp_path):
     """r2 verdict #10: an unhinted (ad-hoc) spatial_join used to run a
     Python-UDF scan of b at plan time.  Now planning launches no jobs;
