@@ -442,3 +442,121 @@ def test_compact_recluster(ctx, spark):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2
+
+
+# ---------------------------------------------------------------------------
+# Manifest commit protocol (VERDICT r6 ask #5): crash-window simulations.
+# The semantic target is EditableLayerImpl.java:102-238 — the reference's
+# mutations are transactional via Neo4j; ours are transactional via the
+# atomic manifest publish.
+# ---------------------------------------------------------------------------
+
+def test_mutation_crash_before_publish_keeps_old_snapshot(ctx, spark,
+                                                          monkeypatch):
+    """Kill the writer AFTER new part files moved in but BEFORE the
+    manifest publish: readers must see the PRE-mutation snapshot exactly
+    once (the moved-in files are invisible orphans), and re-running the
+    mutation must heal."""
+    from spatial_spark.manifest import Manifest
+    layer = ctx.create_point_layer("crash_pre", x="lon", y="lat",
+                                   id_index=True)
+    layer.add(_grid_points(spark))
+    assert layer.count() == 400
+
+    real_commit = Manifest.commit
+    state = {"armed": True}
+
+    def dying_commit(self, files, base_epoch=None):
+        if state["armed"]:
+            state["armed"] = False
+            raise RuntimeError("simulated crash before manifest publish")
+        return real_commit(self, files, base_epoch)
+
+    monkeypatch.setattr(Manifest, "commit", dying_commit)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        layer.delete([0])
+    # lock must have been released by the failed writer
+    assert not __import__("os").path.exists(
+        layer._manifest._lock_path), "crashed writer leaked the lock"
+    # old snapshot intact, EXACTLY once per row (no duplicates from the
+    # moved-in orphan files)
+    ids = [r["id"] for r in layer.df().select("id").collect()]
+    assert sorted(ids) == list(range(400))
+    # re-run heals
+    layer.delete([0])
+    ids = [r["id"] for r in layer.df().select("id").collect()]
+    assert sorted(ids) == list(range(1, 400))
+
+
+def test_mutation_crash_after_publish_exactly_once(ctx, spark, monkeypatch):
+    """Kill the writer AFTER the manifest publish but BEFORE the replaced
+    files are unlinked: readers must see the POST-mutation snapshot
+    exactly once (the replaced files are invisible orphans), and gc()
+    reclaims them."""
+    import os as _os
+    layer = ctx.create_point_layer("crash_post", x="lon", y="lat",
+                                   id_index=True)
+    layer.add(_grid_points(spark))
+    store = layer.path
+    real_remove = _os.remove
+    state = {"arm": False}
+
+    def dying_remove(path):
+        p = str(path)
+        if (state["arm"] and _os.path.dirname(p) == store
+                and _os.path.basename(p).startswith("part-")):
+            raise RuntimeError("simulated crash before old-file unlink")
+        return real_remove(path)
+
+    monkeypatch.setattr(_os, "remove", dying_remove)
+    state["arm"] = True
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        layer.delete([0])
+    state["arm"] = False
+    # post-mutation snapshot, exactly once per surviving row — the
+    # replaced (still-on-disk) files must NOT be read
+    ids = [r["id"] for r in layer.df().select("id").collect()]
+    assert sorted(ids) == list(range(1, 400))
+    # the orphaned replaced files are on disk but invisible; gc reclaims
+    live = set(layer._manifest.current()[1])
+    on_disk = {f for f in _os.listdir(store) if f.startswith("part-")}
+    assert on_disk - live, "expected orphaned replaced files on disk"
+    removed = layer._manifest.gc()
+    assert set(removed) == on_disk - live
+    ids = [r["id"] for r in layer.df().select("id").collect()]
+    assert sorted(ids) == list(range(1, 400))
+
+
+def test_manifest_lock_serializes_writers(ctx, spark):
+    """A held writer lock blocks a second writer until timeout — the
+    mutual exclusion mutation/compact()/streaming ingest serialize on."""
+    import pytest as _pytest
+    from spatial_spark.manifest import ManifestLockTimeout
+    layer = ctx.create_point_layer("lockser", x="lon", y="lat")
+    layer.add(_grid_points(spark, n_side=5))
+    man = layer._manifest
+    with man.lock():
+        with _pytest.raises(ManifestLockTimeout):
+            with man.lock(timeout=0.3):
+                pass
+    # released: a fresh acquire succeeds
+    with man.lock(timeout=1.0):
+        pass
+
+
+def test_manifest_orphans_invisible_to_readers(ctx, spark, tmp_path):
+    """A stray part file dropped into the store directory (the shape any
+    crashed write leaves) must not appear in reads."""
+    import shutil
+    layer = ctx.create_point_layer("orphan_inv", x="lon", y="lat")
+    layer.add(_grid_points(spark, n_side=5))   # 25 rows
+    assert layer.df().count() == 25
+    # copy an existing committed file under a new part- name: a reader
+    # scanning the directory would double those rows
+    import os as _os
+    src = next(f for f in _os.listdir(layer.path) if f.startswith("part-"))
+    shutil.copy(_os.path.join(layer.path, src),
+                _os.path.join(layer.path, "part-orphan-copy.parquet"))
+    assert layer.df().count() == 25, "orphan file leaked into the read"
