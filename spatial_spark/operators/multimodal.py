@@ -4,9 +4,9 @@ Image/audio/video travel as `binary` columns with a metadata struct; all
 decode/feature steps run as Arrow-batched `mapInPandas` so the per-batch
 shape (schema, partitioning, batch iteration) is the real 100 TB plumbing.
 `decoder="fake"` runs a deterministic header-parse stand-in (the oracle
-path); `decoder="real"` decodes uncompressed BMP/PPM/WAV natively in
-numpy (operators/codecs.py) and raises only for compressed formats
-(PNG/JPEG/MP4) at the exact seam where PIL/ffmpeg would slot in.
+path); `decoder="real"` decodes PNG, baseline JPEG and uncompressed
+BMP/PPM/WAV natively in numpy (operators/codecs.py) and raises only for
+video (MP4) at the exact seam where ffmpeg would slot in.
 """
 
 from __future__ import annotations
@@ -51,9 +51,10 @@ def decode_features(df: DataFrame, decoder: str = "fake",
 
     decoder="fake" runs the deterministic header-parse stand-in (the
     oracle path).  decoder="real" decodes PNG (stdlib zlib inflate +
-    numpy unfilter) and uncompressed BMP/PPM/WAV natively in numpy
-    (operators/codecs.py) — a genuine bytes→pixels→features pipeline;
-    JPEG/MP4 raise at the codec seam where PIL/ffmpeg would plug in.
+    numpy unfilter), baseline JPEG (numpy Huffman + IDCT, r7) and
+    uncompressed BMP/PPM/WAV natively in numpy (operators/codecs.py) —
+    a genuine bytes→pixels→features pipeline; MP4/video raises at the
+    codec seam where ffmpeg would plug in.
     Everything around the codec (Arrow batching, schema, partition
     parallelism) is identical on both paths.
 

@@ -305,6 +305,88 @@ def test_codecs_png_unsupported_variants():
         decode_png(b"\x89PNH" + b"\x00" * 20)
 
 
+def test_codecs_jpeg_roundtrip():
+    """Baseline JPEG encode→decode (VERDICT r6 ask #6): uniform blocks
+    are exact (DC-only), smooth images round-trip within DCT rounding,
+    4:2:0 / grayscale / odd dimensions all work."""
+    import numpy as np
+    from spatial_spark.operators.codecs import (decode_jpeg, encode_jpeg,
+                                                sniff_format)
+    # uniform 8x8: single DC coefficient, decode is exact
+    img = np.full((8, 8), 130, dtype=np.uint8)
+    buf = encode_jpeg(img, quality=90)
+    assert sniff_format(buf) == "jpeg"
+    assert np.abs(decode_jpeg(buf).astype(int) - 130).max() == 0
+    # smooth color gradient, 4:4:4
+    yy, xx = np.mgrid[0:24, 0:40]
+    img = np.stack([(xx * 6) % 256, (yy * 9) % 256, ((xx + yy) * 4) % 256],
+                   axis=2).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=95))
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 8 and err.mean() < 1.5
+    # 4:2:0 subsampled (the web default) exercises the sampling path
+    smooth = np.stack([100 + xx, 80 + yy, 120 + (xx + yy) // 2],
+                      axis=2).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(smooth, quality=95, subsample=True))
+    assert np.abs(out.astype(int) - smooth.astype(int)).max() <= 4
+    # odd (non-MCU-multiple) dimensions crop exactly
+    flat = np.full((21, 35, 3), [200, 40, 90], dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(flat, quality=90, subsample=True))
+    assert out.shape == (21, 35, 3)
+    assert np.abs(out.astype(int) - flat.astype(int)).max() == 0
+    # grayscale decodes to replicated RGB
+    g = (np.mgrid[0:16, 0:16][0] * 15).astype(np.uint8)
+    og = decode_jpeg(encode_jpeg(g, quality=95))
+    assert og.shape == (16, 16, 3)
+    assert np.abs(og[:, :, 0].astype(int) - g.astype(int)).mean() < 1.0
+
+
+def test_codecs_jpeg_dc_fixture_and_unsupported():
+    """Spec-math fixture: a uniform block's decoded value must equal the
+    round-trip of its lone quantized DC coefficient computed from the
+    T.81 formulas independently; progressive (SOF2) raises at the
+    seam."""
+    import numpy as np
+    import pytest as _pytest
+    from spatial_spark.operators.codecs import (_scaled_qt, _QT_LUMA,
+                                                decode_jpeg, encode_jpeg)
+    for v in (0, 7, 128, 200, 255):
+        img = np.full((8, 8), v, dtype=np.uint8)
+        buf = encode_jpeg(img, quality=75)
+        # independent expectation: DC = round(8*(v-128)/q0); pixel =
+        # clip(round(DC*q0/8 + 128))  (T.81 A.3.3 with all ACs zero)
+        q0 = int(_scaled_qt(_QT_LUMA, 75)[0])
+        dc = round(8.0 * (v - 128.0) / q0)
+        exp = int(np.clip(round(dc * q0 / 8.0 + 128.0), 0, 255))
+        got = decode_jpeg(buf)
+        assert (got == exp).all(), (v, exp, got[0, 0])
+    buf = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+    sof = buf.find(b"\xFF\xC0")
+    buf[sof + 1] = 0xC2   # flip SOF0 -> SOF2 (progressive)
+    with _pytest.raises(NotImplementedError, match="SOF2"):
+        decode_jpeg(bytes(buf))
+
+
+def test_real_decode_features_jpeg_column(spark):
+    """A JPEG payload column flows through decode_features(decoder=
+    'real') — the web-crawl image-column shape (r6 ask #6).  Uniform
+    payload keeps the features exact despite lossy coding."""
+    import numpy as np
+    from spatial_spark.operators.codecs import encode_jpeg
+    from spatial_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                    decode_features)
+    img = np.full((8, 16, 3), 96, dtype=np.uint8)
+    rows = [(0, bytearray(encode_jpeg(img, quality=90)), "image", "jpeg",
+             16, 8, None),
+            (1, bytearray(encode_jpeg(img, quality=90, subsample=True)),
+             "image", "jpeg", 16, 8, None)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    for f in decode_features(df, decoder="real").collect():
+        assert (f["decoded_w"], f["decoded_h"]) == (16, 8)
+        assert abs(f["mean_intensity"] - 96.0) < 1e-9
+        assert f["histogram16"][6] == 8 * 16 * 3
+
+
 def test_real_decode_features_png_column(spark):
     """A PNG payload column flows through decode_features(decoder='real')
     — the last multimodal seam a real pipeline hits (r5 ask #4)."""
