@@ -862,6 +862,36 @@ def _q_media_features(spark, sf_dir) -> DataFrame:
                     F.round("mean_intensity", 6).alias("mean_intensity")))
 
 
+def _q_media_jpeg(spark, sf_dir) -> DataFrame:
+    """REAL JPEG decode on the hard gate (r7): deterministic
+    uniform-color JPEG payloads (value v = (i*37)%256, alternating
+    4:4:4 / 4:2:0) built with the numpy encoder and decoded by the
+    numpy decoder via decode_features(decoder='real').  A uniform block
+    survives as a lone DC coefficient, so the decoded intensity is the
+    closed-form quantizer round-trip clip(round(round(8(v-128)/q0) *
+    q0/8 + 128)) with q0 = 3 (Annex K luma [0] scaled to quality 90) —
+    exactly recomputable in SQL; chroma stays exactly 128 end to end.
+    No reachable value lands on a .5 rounding boundary (16Δ = 3(2m+1)
+    has no integer solution), so banker's-vs-half-away rounding cannot
+    diverge."""
+    import numpy as np
+    from spatial_spark.operators.codecs import encode_jpeg
+    from spatial_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                    decode_features)
+    rows = []
+    for i in range(32):
+        v = (i * 37) % 256
+        w, h = 8 + (i % 5) * 4, 8 + (i % 3) * 4
+        img = np.full((h, w, 3), v, dtype=np.uint8)
+        rows.append((i, bytearray(encode_jpeg(img, quality=90,
+                                              subsample=bool(i % 2))),
+                     "image", "jpeg", w, h, None))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return (decode_features(df, decoder="real")
+            .select("media_id", "decoded_w", "decoded_h",
+                    F.round("mean_intensity", 6).alias("mean_intensity")))
+
+
 def _q_media_histogram(spark, sf_dir) -> DataFrame:
     """16-bin intensity histograms from the fake decoder, exploded to
     (media_id, bin, n) rows — bin membership is v // 16, recomputable."""
@@ -1264,6 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW in r7: first driver row ---
         "bpe_apply": _q_bpe_apply,
         "pipeline_e2e": _q_pipeline_e2e,
+        "media_jpeg": _q_media_jpeg,
         # --- fill to 50 (these also hold green r6 rows) ---
         "geohash": _q_geohash,
         "keep_max": _q_keep_max,
@@ -1277,8 +1308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "dedup_groups": _q_dedup_groups,
         "token_counts": _q_token_counts,
-        "st_symdifference_area": _q_st_symdifference_area,
         # --- rotated out this round: all hold green r6 driver rows ---
+        "st_symdifference_area": _q_st_symdifference_area,
         "layer_within_distance": _q_layer_within_distance,
         "layer_knn": _q_layer_knn,
         "line_interpolate": _q_line_interpolate,
@@ -2432,6 +2463,22 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": _dsir_oracle_sql(),
         "dedup_against": _dedup_against_oracle_sql(),
         "bpe_apply": _bpe_oracle_sql(_BPE_MERGES),
+        "media_jpeg": """
+            WITH items AS (SELECT unnest(generate_series(0, 31)) AS i),
+            vals AS (
+              SELECT i, (i * 37) % 256 AS v,
+                     8 + (i % 5) * 4 AS w, 8 + (i % 3) * 4 AS h
+              FROM items),
+            dc AS (SELECT i, v, w, h,
+                          round(8.0 * (v - 128.0) / 3.0) AS dcq
+                   FROM vals)
+            SELECT CAST(i AS BIGINT) AS media_id,
+                   CAST(w AS INT) AS decoded_w, CAST(h AS INT) AS decoded_h,
+                   round(least(greatest(
+                       round(dcq * 3.0 / 8.0 + 128.0), 0.0), 255.0), 6)
+                     AS mean_intensity
+            FROM dc
+        """,
         "pipeline_e2e": _pipeline_oracle_sql(),
         "duplicate_spans": """
             WITH toks AS (
