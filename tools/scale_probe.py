@@ -1,0 +1,261 @@
+"""Scale-linearity probe (VERDICT r6 ask #3).
+
+The per-round bench only measures sf0.1, so a hidden superlinearity
+(the r4 O(L^2) tokenizer class of bug) stays invisible until it is a
+100x claim.  This tool synthesizes statistically-similar corpora at
+1x / 2x / 4x the sf0.1 row counts, times the expensive queries at each
+scale (min-of-2), fits the time-vs-rows exponent on a log-log least
+squares, and asserts the map/agg-shaped queries stay <= MAX_EXP.
+
+Synthesis, not replication, for text: replicating documents k-times
+creates k-cliques of exact/near duplicates, which blows up every pair
+generator quadratically in a way natural growth does not.  Instead
+documents are re-drawn from the original corpus's word-frequency and
+length distributions (with the original's ~1% exact-dup / ~1% near-dup
+rates injected proportionally), embeddings are re-drawn with the same
+near-dup rate, customers get fresh keys (their lon/lat derive from the
+key, so new keys spread naturally), and events replicate with fresh
+user ids (new users, the natural growth axis).  All other tables
+symlink to sf0.1.
+
+Usage:
+    python tools/scale_probe.py [--scales 1,2,4] [--out /tmp/scale_probe]
+
+Prints a markdown table (paste into SCALE.md) and exits 1 if any
+linear-class query's exponent exceeds MAX_EXP.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+MAX_EXP = 1.5
+
+# query -> (expected class, rationale recorded in the table)
+PROBES = {
+    "dsir_weights": ("linear", "map-only scoring vs broadcast model"),
+    "lm_perplexity": ("linear", "broadcast count tables, map-side aggs"),
+    "scrub_spans": ("linear", "shared-gram islands; dup volume scales 1x"),
+    "line_dedup_doc": ("linear", "per-doc keyed aggs"),
+    "corpus_stats": ("linear", "keyed aggs + exact percentiles"),
+    "tf_idf": ("linear", "two keyed aggs + top-n window per doc"),
+    "minhash_pairs": ("linear", "sig gen linear; banded pairs ~ dup rate"),
+    "dedup_clusters": ("linear", "gram pairs + CC over dup candidates"),
+    "simhash_pairs": ("pair-bound", "pigeonhole block join; near-collision"
+                      " volume grows with corpus density"),
+    "ngram_jaccard": ("pair-bound", "exact mode (max_df=None): candidates"
+                      " = docs sharing any gram"),
+    "knn_join": ("pair-bound", "radius-bounded pairs grow with point"
+                 " density (fixed world, more points)"),
+    "semantic_dedup": ("pair-bound", "exact chunked-GEMM mode is O(n^2)"
+                       " by contract; LSH mode is the scale path"),
+    "funnel": ("linear", "one keyed agg + per-user fold"),
+    "contamination": ("linear", "corpus grams vs broadcast benchmark"),
+}
+
+
+def _load_base():
+    import pyarrow.parquet as pq
+    docs = pq.read_table(f"{BASE}/documents.parquet")
+    return docs.to_pydict()
+
+
+def synth_documents(out, k, rng):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    base = _load_base()
+    texts = base["text"]
+    langs = base["lang"]
+    sources = sorted(set(base["source"]))
+    # empirical word distribution + doc length distribution
+    from collections import Counter
+    cnt = Counter()
+    lengths = []
+    for t in texts:
+        toks = t.split()
+        lengths.append(len(toks))
+        cnt.update(toks)
+    vocab = np.array(list(cnt.keys()))
+    probs = np.array(list(cnt.values()), dtype=np.float64)
+    probs /= probs.sum()
+    lengths = np.array(lengths)
+    n = len(texts) * k
+    ls = rng.choice(lengths, size=n)
+    flat = rng.choice(vocab, size=int(ls.sum()), p=probs)
+    docs, pos = [], 0
+    for L in ls:
+        docs.append(" ".join(flat[pos:pos + L]))
+        pos += L
+    # inject proportional exact (1%) and near (1%) duplicates
+    n_dup = max(n // 100, 1)
+    src_idx = rng.integers(0, n, size=2 * n_dup)
+    dst_idx = rng.integers(0, n, size=2 * n_dup)
+    for i in range(n_dup):          # exact copies
+        docs[dst_idx[i]] = docs[src_idx[i]]
+    for i in range(n_dup, 2 * n_dup):   # near copies: perturb ~5% of tokens
+        toks = docs[src_idx[i]].split()
+        if not toks:
+            continue
+        m = max(len(toks) // 20, 1)
+        for j in rng.integers(0, len(toks), size=m):
+            toks[j] = str(vocab[rng.integers(0, len(vocab))])
+        docs[dst_idx[i]] = " ".join(toks)
+    lang_pool = np.array(langs)
+    tbl = pa.table({
+        "doc_id": pa.array(range(1, n + 1), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+        "lang": pa.array(rng.choice(lang_pool, size=n), pa.string()),
+        "source": pa.array(rng.choice(sources, size=n), pa.string()),
+        "n_chars": pa.array([len(d) for d in docs], pa.int64()),
+    })
+    pq.write_table(tbl, out)
+
+
+def synth_embeddings(out, k, rng):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyarrow.parquet as _pq
+    base = _pq.read_table(f"{BASE}/embeddings.parquet")
+    n0 = base.num_rows
+    dim = len(base.column("embedding")[0])
+    n = n0 * k
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    n_dup = max(n // 50, 1)     # ~2% near-dups
+    src = rng.integers(0, n, size=n_dup)
+    dst = rng.integers(0, n, size=n_dup)
+    vecs[dst] = vecs[src] + rng.standard_normal(
+        (n_dup, dim)).astype(np.float32) * 0.01
+    tbl = pa.table({
+        "vec_id": pa.array(range(1, n + 1), pa.int64()),
+        "embedding": pa.array([v for v in vecs.tolist()],
+                              pa.list_(pa.float32())),
+        "label": pa.array((np.arange(n) % 8).astype(np.int32), pa.int32()),
+    })
+    pq.write_table(tbl, out)
+
+
+def synth_customer(out, k, rng):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    base = pq.read_table(f"{BASE}/customer.parquet")
+    n = base.num_rows * k
+    seg_pool = np.array(base.column("c_mktsegment").to_pylist())
+    keys = np.arange(1, n + 1, dtype=np.int64)
+    tbl = pa.table({
+        "c_custkey": pa.array(keys, pa.int64()),
+        "c_name": pa.array([f"Customer#{i:09d}" for i in keys], pa.string()),
+        "c_nationkey": pa.array((keys % 25).astype(np.int32), pa.int32()),
+        "c_acctbal": pa.array(
+            np.round(rng.uniform(-999.99, 9999.99, size=n), 2), pa.float64()),
+        "c_mktsegment": pa.array(rng.choice(seg_pool, size=n), pa.string()),
+    })
+    pq.write_table(tbl, out)
+
+
+def synth_events(out, k, rng):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    base = pq.read_table(f"{BASE}/events.parquet")
+    n0 = base.num_rows
+    uid = np.asarray(base.column("user_id"))
+    max_uid = int(uid.max())
+    max_eid = int(np.asarray(base.column("event_id")).max())
+    ts = base.column("ts").cast(pa.int64()).to_numpy()  # ns
+    cols = {c: base.column(c).to_pylist()
+            for c in ("event_type", "value", "props")}
+    parts = []
+    for rep in range(k):
+        parts.append(pa.table({
+            "event_id": pa.array(
+                np.asarray(base.column("event_id")) + rep * max_eid,
+                pa.int64()),
+            "ts": pa.array(ts + rep * 1_000_000, pa.timestamp("ns")),
+            "user_id": pa.array(uid + rep * max_uid, pa.int64()),
+            "event_type": pa.array(cols["event_type"], pa.string()),
+            "value": pa.array(cols["value"], pa.float64()),
+            "props": pa.array(cols["props"], pa.string()),
+        }))
+    pq.write_table(pa.concat_tables(parts), out)
+
+
+def build_scale_dir(root, k, seed=42):
+    d = os.path.join(root, f"x{k}")
+    if os.path.exists(os.path.join(d, ".done")):
+        return d
+    os.makedirs(d, exist_ok=True)
+    for f in os.listdir(BASE):
+        if f.endswith(".parquet") and f.split(".")[0] not in (
+                "documents", "embeddings", "customer", "events"):
+            dst = os.path.join(d, f)
+            if not os.path.exists(dst):
+                os.symlink(os.path.join(BASE, f), dst)
+    rng = np.random.default_rng(seed + k)
+    synth_documents(os.path.join(d, "documents.parquet"), k, rng)
+    synth_embeddings(os.path.join(d, "embeddings.parquet"), k, rng)
+    synth_customer(os.path.join(d, "customer.parquet"), k, rng)
+    synth_events(os.path.join(d, "events.parquet"), k, rng)
+    open(os.path.join(d, ".done"), "w").write("ok")
+    return d
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="1,2,4")
+    ap.add_argument("--out", default="/tmp/scale_probe")
+    ap.add_argument("--queries", nargs="*", default=None)
+    args = ap.parse_args()
+    scales = [int(s) for s in args.scales.split(",")]
+
+    import __spark_entry__ as entry
+    from spatial_spark.session import get_spark
+    spark = get_spark("scale_probe")
+    qs = entry.queries()
+    names = args.queries or list(PROBES)
+
+    dirs = {k: build_scale_dir(args.out, k) for k in scales}
+    times: dict = {}
+    for k in scales:
+        entry._setup(spark, dirs[k])
+        spark.sql("SELECT count(*) FROM documents").collect()  # warm
+        for name in names:
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                (qs[name](spark, dirs[k])
+                 .write.format("noop").mode("overwrite").save())
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            times.setdefault(name, {})[k] = best
+            print(f"# x{k} {name}: {best:.2f}s", file=sys.stderr)
+
+    print("| query | class | " + " | ".join(f"x{k}" for k in scales)
+          + " | exponent | note |")
+    print("|---|---|" + "---|" * (len(scales) + 2))
+    failed = []
+    for name in names:
+        cls, note = PROBES.get(name, ("linear", ""))
+        xs = np.log([float(k) for k in scales])
+        ys = np.log([times[name][k] for k in scales])
+        exp = (float(np.polyfit(xs, ys, 1)[0]) if len(scales) > 1
+               else float("nan"))
+        cells = " | ".join(f"{times[name][k]:.2f}s" for k in scales)
+        flag = ""
+        if cls == "linear" and exp > MAX_EXP:
+            failed.append((name, exp))
+            flag = " **EXCEEDS**"
+        print(f"| {name} | {cls} | {cells} | {exp:.2f}{flag} | {note} |")
+    if failed:
+        print(f"# FAILED: {failed}", file=sys.stderr)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
