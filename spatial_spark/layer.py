@@ -392,35 +392,41 @@ class Layer:
                     ids, lambda sub: self._apply_update(sub, cond, wkt,
                                                         set_cols)):
                 return
-            out = self._apply_update(self.df(), cond, wkt, set_cols)
+
+            def build():
+                return self._apply_update(self.df(), cond, wkt, set_cols)
         elif isinstance(ids_df_or_list, DataFrame):
             ids_df = (ids_df_or_list
                       .select(F.col(ids_df_or_list.columns[0]).alias("id"))
                       .distinct())
-            df = self.df()
-            untouched = df.join(ids_df, "id", "left_anti")
-            touched = df.join(ids_df, "id", "left_semi")
-            from .functions.scalar import wkb_lit
-            if wkt is not None:
-                touched = (touched.drop("geom", "gtype", "xmin", "ymin",
-                                        "xmax", "ymax", "zkey")
-                           .withColumn("geom", wkb_lit(wkt)))
-                touched = self._encode_wkb(touched)
-            for k, v in set_cols.items():
-                touched = touched.withColumn(k, F.lit(v))
-            out = untouched.unionByName(touched, allowMissingColumns=True)
+
+            def build():
+                df = self.df()
+                untouched = df.join(ids_df, "id", "left_anti")
+                touched = df.join(ids_df, "id", "left_semi")
+                from .functions.scalar import wkb_lit
+                if wkt is not None:
+                    touched = (touched.drop("geom", "gtype", "xmin", "ymin",
+                                            "xmax", "ymax", "zkey")
+                               .withColumn("geom", wkb_lit(wkt)))
+                    touched = self._encode_wkb(touched)
+                for k, v in set_cols.items():
+                    touched = touched.withColumn(k, F.lit(v))
+                return untouched.unionByName(touched,
+                                             allowMissingColumns=True)
         else:
             raise TypeError(
                 "update() takes a list of ids or a DataFrame of ids, got "
                 f"{type(ids_df_or_list).__name__}")
-        self._rewrite(out)
+        self._rewrite(build)
 
     def delete(self, ids: list) -> None:
         """removeNode(s) equivalent."""
         if self._mutate_files(
                 ids, lambda sub: sub.filter(~F.col("id").isin(ids))):
             return
-        self._rewrite(self.df().filter(~F.col("id").isin(ids)))
+        self._rewrite(
+            lambda: self.df().filter(~F.col("id").isin(ids)))
 
     @staticmethod
     def _local_path(uri: str) -> str:
@@ -567,20 +573,37 @@ class Layer:
             os.remove(f)
         shutil.rmtree(tmp, ignore_errors=True)
 
-    def _rewrite(self, df: DataFrame) -> None:
+    def _rewrite(self, build_df, _retries: int = 2) -> None:
         """Copy-on-write rewrite: distributed write to a temp dir, then a
         MANIFEST commit — new part files move into the store, the
-        manifest publishes atomically (new snapshot = new files only),
-        then the old files unlink; readers see the old snapshot or the
-        new one, never an empty/partial store (the pre-manifest version
-        swapped directories, which had a brief store-missing window).
-        No driver-side collect.  (The reference mutates nodes in place;
-        the 100 TB upgrade is a Delta/Iceberg MERGE, which slots in here
-        because all writes flow through this method.)"""
+        manifest publishes atomically (new snapshot = new files only
+        plus any files APPENDED since the base snapshot), then the base
+        files unlink; readers see the old snapshot or the new one,
+        never an empty/partial store (the pre-manifest version swapped
+        directories, which had a brief store-missing window).
+
+        The expensive distributed write runs OUTSIDE the writer lock:
+        at 100 TB a compaction would otherwise block streaming ingest
+        for its whole duration.  The merge rule at publish: files a
+        concurrent writer APPENDED (present now, absent at base) are
+        additive and carry into the new snapshot untouched; if any BASE
+        file disappeared (a concurrent file-level mutation replaced it
+        — its rows exist in our rewritten output in PRE-mutation form,
+        so merging would resurrect them), the rewrite retries from the
+        new snapshot instead of publishing a conflict — ``build_df`` is
+        a zero-arg CALLABLE so the retry re-resolves the manifest into
+        a fresh plan (a captured DataFrame would still read the
+        replaced files).  No driver-side collect.  (The reference
+        mutates nodes in place; the 100 TB upgrade is a Delta/Iceberg
+        MERGE, which slots in here because all writes flow through
+        this method.)"""
         import os
         import shutil
         from pyspark.sql import Observation
+
+        from .manifest import ManifestConflict
         tmp = self.path + ".rewrite.tmp"
+        df = build_df()
         obs = Observation()
         has_core = {"gtype", "xmin", "ymin", "xmax", "ymax"} <= set(df.columns)
         if has_core:
@@ -594,28 +617,47 @@ class Layer:
         man = self._manifest
         with man.lock():
             self._adopt_manifest(man)
-            df.write.mode("overwrite").parquet(tmp)
-            if has_core:
-                try:
-                    self.ctx.catalog.merge_stats(self.name, dict(obs.get),
-                                                 replace=True)
-                except Exception:
-                    pass
-            self._record_schema(df.schema, replace=True)
-            old = set(man.current()[1]) if man.current() else set()
-            os.makedirs(self.path, exist_ok=True)
-            moved = []
-            for p in os.listdir(tmp):
-                if p.startswith("part-"):
-                    shutil.move(os.path.join(tmp, p),
-                                os.path.join(self.path, p))
-                    moved.append(p)
-            man.commit(sorted(moved))
-            for f in old:
-                try:
-                    os.remove(os.path.join(self.path, f))
-                except OSError:
-                    pass
+            base = set(man.current()[1])
+        # the df plan reads the base snapshot (df() resolved the
+        # manifest when the caller built it); concurrent appends write
+        # NEW files, which this job never reads
+        df.write.mode("overwrite").parquet(tmp)
+        if has_core:
+            try:
+                self.ctx.catalog.merge_stats(self.name, dict(obs.get),
+                                             replace=True)
+            except Exception:
+                pass
+        self._record_schema(df.schema, replace=True)
+        os.makedirs(self.path, exist_ok=True)
+        try:
+            with man.lock():
+                cur = set(man.current()[1])
+                if base - cur:
+                    raise ManifestConflict(
+                        f"{len(base - cur)} base file(s) replaced by a "
+                        "concurrent mutation during rewrite")
+                appended = sorted(cur - base)
+                moved = []
+                for p in os.listdir(tmp):
+                    if p.startswith("part-"):
+                        shutil.move(os.path.join(tmp, p),
+                                    os.path.join(self.path, p))
+                        moved.append(p)
+                man.commit(sorted(moved) + appended)
+                for f in base:
+                    try:
+                        os.remove(os.path.join(self.path, f))
+                    except OSError:
+                        pass
+        except ManifestConflict:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if _retries <= 0:
+                raise
+            # re-derive the transform's input from the NEW snapshot and
+            # try again (compact()'s re-clustering; update/delete fall
+            # back here only without a sidecar, same re-derivation)
+            return self._rewrite(build_df, _retries - 1)
         shutil.rmtree(tmp, ignore_errors=True)
         # mutations change the id set / zkeys: rebuild the sidecar from the
         # committed store so it can never serve stale lookups
@@ -648,7 +690,7 @@ class Layer:
             return {"files_before": 0, "files_after": 0}
         n = target_files or max(
             self.ctx.spark.sparkContext.defaultParallelism, 1)
-        self._rewrite(self.df()
+        self._rewrite(lambda: self.df()
                       .repartitionByRange(n, "zkey")
                       .sortWithinPartitions("zkey"))
         # reclaim crash orphans (files on disk but outside the committed

@@ -560,3 +560,55 @@ def test_manifest_orphans_invisible_to_readers(ctx, spark, tmp_path):
     shutil.copy(_os.path.join(layer.path, src),
                 _os.path.join(layer.path, "part-orphan-copy.parquet"))
     assert layer.df().count() == 25, "orphan file leaked into the read"
+
+
+def test_compact_merges_concurrent_append(ctx, spark, monkeypatch):
+    """compact()'s distributed write runs OUTSIDE the writer lock (a
+    100 TB compaction must not block streaming ingest); a file APPENDED
+    while the rewrite job ran must survive into the published snapshot
+    (the additive merge rule)."""
+    from spatial_spark.layer import Layer
+    layer = ctx.create_point_layer("cc_appends", x="lon", y="lat")
+    layer.add(_grid_points(spark, n_side=10))   # ids 0..99
+    orig = Layer._record_schema
+    state = {"armed": True}
+
+    # _record_schema runs between the rewrite's tmp write and its
+    # publish lock — the injection point for a concurrent append
+    def hook(self, schema, replace=False):
+        orig(self, schema, replace)
+        if state["armed"]:
+            state["armed"] = False
+            layer.add(spark.createDataFrame(
+                [(1000, 10.0, 50.0)], "id long, lon double, lat double"))
+
+    monkeypatch.setattr(Layer, "_record_schema", hook)
+    layer.compact(target_files=2)
+    ids = sorted(r["id"] for r in layer.df().select("id").collect())
+    assert ids == list(range(100)) + [1000], "concurrent append lost"
+
+
+def test_rewrite_conflicting_mutation_retries(ctx, spark, monkeypatch):
+    """A file-level mutation REPLACING a base file while a rewrite job
+    runs must not be resurrected by the rewrite's stale output: the
+    publish detects the replaced base file and retries from the fresh
+    snapshot."""
+    from spatial_spark.layer import Layer
+    layer = ctx.create_point_layer("cc_conflict", x="lon", y="lat",
+                                   id_index=True)
+    layer.add(_grid_points(spark, n_side=10))   # ids 0..99
+    orig = Layer._record_schema
+    state = {"armed": True}
+
+    def hook(self, schema, replace=False):
+        orig(self, schema, replace)
+        if state["armed"]:
+            state["armed"] = False
+            layer.delete([5])   # file-level path: replaces a base file
+
+    monkeypatch.setattr(Layer, "_record_schema", hook)
+    layer.compact(target_files=2)
+    ids = sorted(r["id"] for r in layer.df().select("id").collect())
+    assert ids == [i for i in range(100) if i != 5], \
+        "deleted row resurrected or rows lost by the conflicting rewrite"
+    assert len(ids) == len(set(ids))
