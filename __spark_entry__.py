@@ -1244,15 +1244,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gate checks the first 50 registered entries.  r7 rotation (VERDICT
     # r6 ask #1): promote the 35 entries that sat OUTSIDE the r6 window
     # (newest driver row r5 for all of them — the oldest rows in the
-    # registry), then the two queries NEW in r7 (bpe_apply,
+    # registry), then the three queries NEW in r7 (bpe_apply and
     # pipeline_e2e — the last never-oracled operators, VERDICT r6 ask
-    # #2), then 13 r6-row holders to fill the window.  The 37 entries
-    # now outside all hold green r6 driver rows (1 round old at r7),
-    # and every entry keeps its local-gate oracle
-    # (tools/check_correctness runs ALL entries).  r8 rotation plan:
-    # demote this head, promote the 37 outside (r6 rows, then the
-    # 13 fill entries' r7 rows) — keeping every entry's newest driver
-    # row at most two rounds old.
+    # #2 — plus media_jpeg, the real-JPEG-decode gate), then 12 r6-row
+    # holders to fill the window.  The 38 entries now outside all hold
+    # green r6 driver rows (1 round old at r7), and every entry keeps
+    # its local-gate oracle (tools/check_correctness runs ALL entries).
+    # r8 rotation plan: demote this head, promote the 38 outside
+    # (oldest driver row first: the 26 r6-row holders, then the 12
+    # fill entries once their r7 rows land) — keeping every entry's
+    # newest driver row at most two rounds old.
     return {name: wrap(fn) for name, fn in {
         # --- r5-row veterans returning to the window (16) ---
         "quality_scores": _q_quality,

@@ -715,7 +715,12 @@ class Layer:
          .write.mode(mode).parquet(self._id_index_path))
 
     # ---- read path ----------------------------------------------------
-    def df(self) -> DataFrame:
+    def snapshots(self) -> list:
+        """Retained manifest epochs (oldest first) — the inputs to
+        ``df(epoch=...)`` time travel."""
+        return self._manifest.epochs()
+
+    def df(self, epoch: int | None = None) -> DataFrame:
         import os
 
         def _empty():
@@ -742,7 +747,26 @@ class Layer:
             st = T.StructType.fromJson(_json.loads(schema_json))
         # a store written through the commit protocol reads exactly the
         # CURRENT manifest snapshot — crash orphans in the directory are
-        # invisible (manifest.py; VERDICT r6 ask #5)
+        # invisible (manifest.py; VERDICT r6 ask #5).  ``epoch`` reads a
+        # RETAINED older snapshot (time travel): complete for
+        # append-only history; a snapshot whose files a later mutation
+        # already unlinked raises with the missing names.
+        if epoch is not None:
+            files = self._manifest.files_at(epoch)
+            missing = [f for f in files if not os.path.exists(f)]
+            if missing:
+                raise FileNotFoundError(
+                    f"snapshot {epoch} references "
+                    f"{len(missing)} file(s) a later commit removed "
+                    f"(vacuumed); earliest fully-readable epoch differs: "
+                    f"{[os.path.basename(m) for m in missing[:3]]}...")
+            if not files:
+                return (self.ctx.spark.createDataFrame([], st) if st
+                        else _empty())
+            if st is not None:
+                return self.ctx.spark.read.schema(st).parquet(*files)
+            return (self.ctx.spark.read.option("mergeSchema", "true")
+                    .parquet(*files))
         files = self._manifest.files()
         if files is not None:
             if not files:

@@ -97,6 +97,36 @@ class Manifest:
             return None
         return [os.path.join(self.store, n) for n in cur[1]]
 
+    def epochs(self) -> list:
+        """Retained snapshot epochs, oldest first (the commit history —
+        the newest KEEP_GENERATIONS survive pruning)."""
+        if not os.path.isdir(self.dir):
+            return []
+        out = []
+        for f in os.listdir(self.dir):
+            if f.startswith("manifest-") and f.endswith(".json"):
+                try:
+                    out.append(int(f[len("manifest-"):-len(".json")]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def files_at(self, epoch: int):
+        """Absolute paths of snapshot ``epoch``'s data files.  Raises
+        KeyError for a pruned/unknown epoch; note a RETAINED manifest
+        may still reference data files a later commit already removed —
+        time travel is only complete back to the last vacuum (gc() /
+        compact() reclaim orphans, commits unlink what they replace
+        after publishing).  The caller (Layer.df(epoch=...)) surfaces a
+        clear error when a referenced file is gone."""
+        path = os.path.join(self.dir, f"manifest-{epoch}.json")
+        if not os.path.exists(path):
+            raise KeyError(
+                f"epoch {epoch} not retained (have {self.epochs()})")
+        with open(path) as fh:
+            doc = json.load(fh)
+        return [os.path.join(self.store, n) for n in doc["files"]]
+
     # ---- write side ---------------------------------------------------
     @contextmanager
     def lock(self, timeout: float = 60.0, stale: float = 300.0):

@@ -612,3 +612,27 @@ def test_rewrite_conflicting_mutation_retries(ctx, spark, monkeypatch):
     assert ids == [i for i in range(100) if i != 5], \
         "deleted row resurrected or rows lost by the conflicting rewrite"
     assert len(ids) == len(set(ids))
+
+
+def test_snapshot_time_travel(ctx, spark):
+    """df(epoch=N) reads a retained older manifest snapshot — complete
+    for append-only history (appends never unlink), with a clear error
+    once a later mutation has vacuumed a snapshot's files."""
+    import pytest as _pytest
+    layer = ctx.create_point_layer("tt", x="lon", y="lat", id_index=True)
+    layer.add(_grid_points(spark, n_side=5))            # 25 rows
+    e1 = layer.snapshots()[-1]
+    layer.add(spark.createDataFrame(
+        [(100 + i, 1.0 * i, 2.0 * i) for i in range(5)],
+        "id long, lon double, lat double"))             # +5 rows
+    e2 = layer.snapshots()[-1]
+    assert e2 > e1
+    assert layer.df(epoch=e1).count() == 25
+    assert layer.df(epoch=e2).count() == 30
+    assert layer.df().count() == 30
+    # a mutation unlinks replaced files: the pre-mutation snapshot that
+    # referenced them now raises instead of returning wrong rows
+    layer.delete([0])
+    assert layer.df().count() == 29
+    with _pytest.raises(FileNotFoundError, match="later commit removed"):
+        layer.df(epoch=e1).count()
