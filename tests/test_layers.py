@@ -636,3 +636,26 @@ def test_snapshot_time_travel(ctx, spark):
     assert layer.df().count() == 29
     with _pytest.raises(FileNotFoundError, match="later commit removed"):
         layer.df(epoch=e1).count()
+
+
+def test_manifest_cas_and_generation_pruning(tmp_path):
+    """Pure-manifest unit behaviors: the optional base-epoch CAS
+    detects a snapshot that moved underneath a writer, and generation
+    pruning keeps exactly KEEP_GENERATIONS manifests with the newest
+    always the current one."""
+    import pytest as _pytest
+    from spatial_spark.manifest import Manifest, ManifestConflict
+    man = Manifest(str(tmp_path / "store"))
+    e0 = man.commit(["part-a"])
+    man.commit(["part-a", "part-b"])        # someone else commits
+    with _pytest.raises(ManifestConflict):
+        man.commit(["part-c"], base_epoch=e0)
+    for i in range(10):
+        man.commit([f"part-{i}"])
+    eps = man.epochs()
+    assert len(eps) == Manifest.KEEP_GENERATIONS
+    assert eps == sorted(eps) and eps[-1] == man.current()[0]
+    assert man.current()[1] == ["part-9"]
+    # files_at on a pruned epoch is a clear KeyError
+    with _pytest.raises(KeyError):
+        man.files_at(e0)
