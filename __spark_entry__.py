@@ -1233,6 +1233,35 @@ def _q_pipeline_e2e(spark, sf_dir) -> DataFrame:
                     .alias("n_tokens")))
 
 
+def _q_bloom_dedup(spark, sf_dir) -> DataFrame:
+    """Bloom seen-set dedup (r7 sketch family): corpus docs definitely
+    NOT in a Bloom filter built from the doc_id%97 reference slice's
+    texts.  m=4096/k=3 is deliberately small so false positives
+    genuinely occur at gate scale — and are EXACTLY reproduced by the
+    oracle, because positions are pure md5 nibble arithmetic in both
+    engines (no RNG, no engine hash)."""
+    from spatial_spark.operators.sketch import bloom_filter_new, build_bloom
+    docs = spark.table("documents")
+    ref = docs.filter(F.pmod("doc_id", F.lit(97)) == 0)
+    bloom = build_bloom(ref, "text", m_bits=4096, k=3)
+    return (bloom_filter_new(docs, bloom, m_bits=4096, k=3)
+            .select("doc_id"))
+
+
+def _q_cms_hitters(spark, sf_dir) -> DataFrame:
+    """Count-min heavy-hitter tokens (width 512, depth 3 — narrow
+    enough that counters genuinely collide) with their upward-biased
+    estimates; the oracle replays the identical md5 grid."""
+    from spatial_spark.operators.sketch import build_cms, cms_heavy_hitters
+    toks = (spark.table("documents")
+            .select(F.explode(F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda t: F.length(t) > 0)).alias("tok")))
+    cms = build_cms(toks, "tok", width=512, depth=3)
+    return cms_heavy_hitters(toks, cms, "tok", min_count=100,
+                             width=512, depth=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1244,14 +1273,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gate checks the first 50 registered entries.  r7 rotation (VERDICT
     # r6 ask #1): promote the 35 entries that sat OUTSIDE the r6 window
     # (newest driver row r5 for all of them — the oldest rows in the
-    # registry), then the three queries NEW in r7 (bpe_apply and
+    # registry), then the FIVE queries NEW in r7 (bpe_apply and
     # pipeline_e2e — the last never-oracled operators, VERDICT r6 ask
-    # #2 — plus media_jpeg, the real-JPEG-decode gate), then 12 r6-row
-    # holders to fill the window.  The 38 entries now outside all hold
-    # green r6 driver rows (1 round old at r7), and every entry keeps
-    # its local-gate oracle (tools/check_correctness runs ALL entries).
-    # r8 rotation plan: demote this head, promote the 38 outside
-    # (oldest driver row first: the 26 r6-row holders, then the 12
+    # #2 — plus media_jpeg, the real-JPEG-decode gate, and the sketch
+    # family bloom_dedup / cms_hitters), then 10 r6-row holders to
+    # fill the window.  The 40 entries now outside all hold green r6
+    # driver rows (1 round old at r7), and every entry keeps its
+    # local-gate oracle (tools/check_correctness runs ALL entries).
+    # r8 rotation plan: demote this head, promote the 40 outside
+    # (oldest driver row first: the 30 r6-row holders, then the 10
     # fill entries once their r7 rows land) — keeping every entry's
     # newest driver row at most two rounds old.
     return {name: wrap(fn) for name, fn in {
@@ -1296,6 +1326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_apply": _q_bpe_apply,
         "pipeline_e2e": _q_pipeline_e2e,
         "media_jpeg": _q_media_jpeg,
+        "bloom_dedup": _q_bloom_dedup,
+        "cms_hitters": _q_cms_hitters,
         # --- fill to 50 (these also hold green r6 rows) ---
         "geohash": _q_geohash,
         "keep_max": _q_keep_max,
@@ -1307,9 +1339,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_envelope": _q_path_envelope,
         "property_paging": _q_property_paging,
         "tpch_q1": _q_tpch_q1,
+        # --- rotated out this round: all hold green r6 driver rows ---
         "dedup_groups": _q_dedup_groups,
         "token_counts": _q_token_counts,
-        # --- rotated out this round: all hold green r6 driver rows ---
         "st_symdifference_area": _q_st_symdifference_area,
         "layer_within_distance": _q_layer_within_distance,
         "layer_knn": _q_layer_knn,
@@ -2481,6 +2513,46 @@ def oracle_sql() -> dict[str, str]:
             FROM dc
         """,
         "pipeline_e2e": _pipeline_oracle_sql(),
+        "bloom_dedup": """
+            WITH salts AS (SELECT unnest(generate_series(0, 2)) AS s),
+            ref_pos AS (
+              SELECT DISTINCT ((strpos('0123456789abcdef', substr(md5(text || ':' || CAST(s AS VARCHAR)), 1, 1)) - 1) * 72057594037927936 + (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(s AS VARCHAR)), 2, 1)) - 1) * 4503599627370496 + (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(s AS VARCHAR)), 3, 1)) - 1) * 281474976710656 + (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(s AS VARCHAR)), 4, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(s AS VARCHAR)), 5, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(s AS VARCHAR)), 6, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(s AS VARCHAR)), 7, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(s AS VARCHAR)), 8, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(s AS VARCHAR)), 9, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(s AS VARCHAR)), 10, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(s AS VARCHAR)), 11, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(s AS VARCHAR)), 12, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(s AS VARCHAR)), 13, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(s AS VARCHAR)), 14, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(s AS VARCHAR)), 15, 1)) - 1) * 1) % 4096 AS pos
+              FROM documents CROSS JOIN salts WHERE doc_id % 97 = 0),
+            probe AS (
+              SELECT doc_id, s,
+                     ((strpos('0123456789abcdef', substr(md5(text || ':' || CAST(s AS VARCHAR)), 1, 1)) - 1) * 72057594037927936 + (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(s AS VARCHAR)), 2, 1)) - 1) * 4503599627370496 + (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(s AS VARCHAR)), 3, 1)) - 1) * 281474976710656 + (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(s AS VARCHAR)), 4, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(s AS VARCHAR)), 5, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(s AS VARCHAR)), 6, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(s AS VARCHAR)), 7, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(s AS VARCHAR)), 8, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(s AS VARCHAR)), 9, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(s AS VARCHAR)), 10, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(s AS VARCHAR)), 11, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(s AS VARCHAR)), 12, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(s AS VARCHAR)), 13, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(s AS VARCHAR)), 14, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(text || ':' || CAST(s AS VARCHAR)), 15, 1)) - 1) * 1) % 4096 AS pos
+              FROM documents CROSS JOIN salts),
+            seen AS (
+              SELECT doc_id FROM (
+                SELECT p.doc_id,
+                       min(CASE WHEN r.pos IS NOT NULL THEN 1 ELSE 0 END) AS m
+                FROM probe p LEFT JOIN ref_pos r ON p.pos = r.pos
+                GROUP BY p.doc_id) WHERE m = 1)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM seen)
+        """,
+        "cms_hitters": """
+            WITH toks AS (
+              SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        x -> length(x) > 0)) AS tok
+              FROM documents),
+            salts AS (SELECT unnest(generate_series(0, 2)) AS r),
+            pp AS (
+              SELECT tok, r,
+                     ((strpos('0123456789abcdef', substr(md5(tok || ':' || CAST(1000 + r AS VARCHAR)), 1, 1)) - 1) * 72057594037927936 + (strpos('0123456789abcdef', substr(md5(tok || ':' || CAST(1000 + r AS VARCHAR)), 2, 1)) - 1) * 4503599627370496 + (strpos('0123456789abcdef', substr(md5(tok || ':' || CAST(1000 + r AS VARCHAR)), 3, 1)) - 1) * 281474976710656 + (strpos('0123456789abcdef', substr(md5(tok || ':' || CAST(1000 + r AS VARCHAR)), 4, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substr(md5(tok || ':' || CAST(1000 + r AS VARCHAR)), 5, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substr(md5(tok || ':' || CAST(1000 + r AS VARCHAR)), 6, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substr(md5(tok || ':' || CAST(1000 + r AS VARCHAR)), 7, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substr(md5(tok || ':' || CAST(1000 + r AS VARCHAR)), 8, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5(tok || ':' || CAST(1000 + r AS VARCHAR)), 9, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5(tok || ':' || CAST(1000 + r AS VARCHAR)), 10, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5(tok || ':' || CAST(1000 + r AS VARCHAR)), 11, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5(tok || ':' || CAST(1000 + r AS VARCHAR)), 12, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5(tok || ':' || CAST(1000 + r AS VARCHAR)), 13, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5(tok || ':' || CAST(1000 + r AS VARCHAR)), 14, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(tok || ':' || CAST(1000 + r AS VARCHAR)), 15, 1)) - 1) * 1) % 512 AS col
+              FROM toks CROSS JOIN salts),
+            counters AS (SELECT r, col, count(*) AS n FROM pp GROUP BY r, col),
+            dp AS (
+              SELECT tok, r,
+                     ((strpos('0123456789abcdef', substr(md5(tok || ':' || CAST(1000 + r AS VARCHAR)), 1, 1)) - 1) * 72057594037927936 + (strpos('0123456789abcdef', substr(md5(tok || ':' || CAST(1000 + r AS VARCHAR)), 2, 1)) - 1) * 4503599627370496 + (strpos('0123456789abcdef', substr(md5(tok || ':' || CAST(1000 + r AS VARCHAR)), 3, 1)) - 1) * 281474976710656 + (strpos('0123456789abcdef', substr(md5(tok || ':' || CAST(1000 + r AS VARCHAR)), 4, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substr(md5(tok || ':' || CAST(1000 + r AS VARCHAR)), 5, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substr(md5(tok || ':' || CAST(1000 + r AS VARCHAR)), 6, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substr(md5(tok || ':' || CAST(1000 + r AS VARCHAR)), 7, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substr(md5(tok || ':' || CAST(1000 + r AS VARCHAR)), 8, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5(tok || ':' || CAST(1000 + r AS VARCHAR)), 9, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5(tok || ':' || CAST(1000 + r AS VARCHAR)), 10, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5(tok || ':' || CAST(1000 + r AS VARCHAR)), 11, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5(tok || ':' || CAST(1000 + r AS VARCHAR)), 12, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5(tok || ':' || CAST(1000 + r AS VARCHAR)), 13, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5(tok || ':' || CAST(1000 + r AS VARCHAR)), 14, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(tok || ':' || CAST(1000 + r AS VARCHAR)), 15, 1)) - 1) * 1) % 512 AS col
+              FROM (SELECT DISTINCT tok FROM toks) CROSS JOIN salts),
+            est AS (
+              SELECT tok, min(coalesce(c.n, 0)) AS est_count
+              FROM dp LEFT JOIN counters c ON dp.r = c.r AND dp.col = c.col
+              GROUP BY tok)
+            SELECT tok, CAST(est_count AS BIGINT) AS est_count
+            FROM est WHERE est_count >= 100
+        """,
         "duplicate_spans": """
             WITH toks AS (
               SELECT doc_id,

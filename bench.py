@@ -37,7 +37,8 @@ HEADLINE = [
     "duplicate_spans", "scrub_spans", "funnel", "retention",
     "azimuth_project", "funnel_timings",
     # r7: the two last never-benched operators (driver-gated this round)
-    "bpe_apply", "pipeline_e2e",
+    # plus the new sketch family
+    "bpe_apply", "pipeline_e2e", "bloom_dedup", "cms_hitters",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -71,7 +72,7 @@ BUDGET_SF01 = {
     "dedup_against": 1.5, "line_dedup_doc": 2.4, "duplicate_spans": 3.5,
     "scrub_spans": 5.1, "funnel": 0.7, "retention": 0.8,
     "azimuth_project": 0.2, "funnel_timings": 0.7, "bpe_apply": 1.5,
-    "pipeline_e2e": 24.6,
+    "pipeline_e2e": 24.6, "bloom_dedup": 4.0, "cms_hitters": 6.0,
 }
 
 

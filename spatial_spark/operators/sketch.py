@@ -1,0 +1,136 @@
+"""Probabilistic sketches as plain DataFrames: Bloom seen-sets and
+count-min heavy hitters.
+
+The 100 TB pipelines these serve:
+
+* **Bloom seen-set** — incremental crawl/ingest dedup ACROSS runs.  A
+  full exact dedup against yesterday's 100 TB corpus is a join against
+  100 TB; a Bloom filter of yesterday's fingerprints is a few GB that
+  BROADCASTS, and filtering today's batch is map-only.  No false
+  negatives: everything actually seen is dropped; a tunable ~fpr of
+  genuinely-new rows is wrongly dropped (the standard, documented
+  trade).
+* **Count-min** — heavy-hitter detection (hot grams, hot domains, hot
+  users) without a full groupBy over an unbounded key space: the
+  sketch is a fixed (d x w) counter grid built with ONE aggregation
+  whose output is at most d*w rows regardless of corpus size;
+  estimates are upward-biased minima over d counters.
+
+Both sketches are ordinary DataFrames (word/bits rows; row/col/count
+rows), so they persist as parquet, union across runs (bit_or / sum),
+and broadcast-join for probing — no JVM sketch objects, no driver-side
+state beyond the sketch itself.
+
+Determinism contract: positions derive from md5 (exact in any engine —
+the same nibble arithmetic the sampling oracles use), seeded per probe
+index, so DuckDB can recompute membership and estimates EXACTLY; there
+is no RNG anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["build_bloom", "bloom_filter_new", "build_cms",
+           "cms_estimate", "cms_heavy_hitters"]
+
+
+def _md5_pos(col, salt: int, mod: int):
+    """Deterministic position in [0, mod): the top 15 hex chars of
+    md5(key ':' salt) as a 60-bit integer, mod ``mod``.  Pure JVM
+    (md5/conv/pmod), exactly reproducible in SQL."""
+    h = F.md5(F.concat_ws(":", col.cast("string"), F.lit(str(salt))))
+    return F.pmod(F.conv(F.substring(h, 1, 15), 16, 10).cast("long"),
+                  F.lit(mod))
+
+
+# ------------------------------------------------------------------ Bloom
+def build_bloom(df: DataFrame, key_col: str = "text",
+                m_bits: int = 1 << 20, k: int = 5) -> DataFrame:
+    """Build a Bloom filter over ``key_col`` as a ``(word, bits)``
+    bitmap frame (64 bits per word; at most m_bits/64 rows).
+
+    One aggregation: k positions per row explode, fold with ``bit_or``
+    (map-side combining — the shuffle carries at most one row per
+    bitmap word per task).  Size for ~1% fpr: m ≈ 10 bits per distinct
+    key with k=7; the default 2^20 bits (128 KiB) covers ~100k keys."""
+    pos = df.select(F.explode(F.array(
+        *[_md5_pos(F.col(key_col), i, m_bits) for i in range(k)]
+    )).alias("pos"))
+    return (pos
+            .select((F.col("pos") / 64).cast("long").alias("word"),
+                    F.expr("shiftleft(CAST(1 AS BIGINT), "
+                           "CAST(pos % 64 AS INT))").alias("b"))
+            .groupBy("word").agg(F.expr("bit_or(b)").alias("bits")))
+
+
+def bloom_filter_new(df: DataFrame, bloom: DataFrame,
+                     key_col: str = "text", id_col: str = "doc_id",
+                     m_bits: int = 1 << 20, k: int = 5) -> DataFrame:
+    """Rows of ``df`` whose key is DEFINITELY NOT in the set the bloom
+    was built from (at least one probe bit unset).
+
+    Bloom semantics: no false negatives — every previously-seen row is
+    dropped; ~fpr of genuinely-new rows are wrongly dropped too.  Shape:
+    k probe positions per row explode to (id, word, bit), broadcast-join
+    the bitmap (the bloom is small by construction), per-id ALL-bits-set
+    test, anti-join back — the input's payload columns never ride the
+    probe shuffle."""
+    probes = (df.select(F.col(id_col),
+                        F.explode(F.array(
+                            *[_md5_pos(F.col(key_col), i, m_bits)
+                              for i in range(k)])).alias("pos"))
+              .select(id_col, (F.col("pos") / 64).cast("long").alias("word"),
+                      (F.col("pos") % 64).cast("int").alias("bit")))
+    hit = (probes.join(F.broadcast(bloom), "word", "left")
+           .select(id_col,
+                   F.when(F.col("bits").isNotNull()
+                          & (F.expr("shiftrightunsigned(bits, bit) & 1")
+                             == 1), 1)
+                   .otherwise(0).alias("hit")))
+    seen = (hit.groupBy(id_col).agg(F.min("hit").alias("all_set"))
+            .filter(F.col("all_set") == 1).select(id_col))
+    return df.join(seen, id_col, "left_anti")
+
+
+# -------------------------------------------------------------- count-min
+def build_cms(df: DataFrame, key_col: str = "text",
+              width: int = 1 << 12, depth: int = 4,
+              weight_col: str | None = None) -> DataFrame:
+    """Count-min sketch over ``key_col`` as ``(row, col, n)`` counter
+    rows (at most depth*width).  One aggregation, map-side combined;
+    ``weight_col`` aggregates a weight instead of a count of 1."""
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1)
+    probes = df.select(F.explode(F.array(*[
+        F.struct(F.lit(r).alias("row"),
+                 _md5_pos(F.col(key_col), 1000 + r, width).alias("col"))
+        for r in range(depth)])).alias("p"), w.alias("w"))
+    return (probes.select("p.row", "p.col", "w")
+            .groupBy("row", "col").agg(F.sum("w").alias("n")))
+
+
+def cms_estimate(keys: DataFrame, cms: DataFrame, key_col: str,
+                 width: int = 1 << 12, depth: int = 4) -> DataFrame:
+    """Estimated count per input key: min over the depth counters —
+    upward-biased, never an undercount.  The sketch broadcast-joins
+    (<= depth*width rows by construction)."""
+    probes = keys.select(F.col(key_col), F.explode(F.array(*[
+        F.struct(F.lit(r).alias("row"),
+                 _md5_pos(F.col(key_col), 1000 + r, width).alias("col"))
+        for r in range(depth)])).alias("p")).select(key_col, "p.row", "p.col")
+    return (probes.join(F.broadcast(cms), ["row", "col"], "left")
+            .groupBy(key_col)
+            .agg(F.min(F.coalesce("n", F.lit(0))).alias("est_count")))
+
+
+def cms_heavy_hitters(df: DataFrame, cms: DataFrame,
+                      key_col: str = "text", min_count: int = 100,
+                      width: int = 1 << 12, depth: int = 4) -> DataFrame:
+    """Distinct keys of ``df`` whose estimated count >= min_count —
+    upward-biased, so the TRUE heavy hitters are always included (the
+    no-false-negatives mirror of the Bloom contract); some near-misses
+    ride along at sketch-collision rate."""
+    return (cms_estimate(df.select(key_col).distinct(), cms, key_col,
+                         width, depth)
+            .filter(F.col("est_count") >= min_count))

@@ -2093,3 +2093,69 @@ def test_funnel_timings(spark):
     assert r.n_completed == 2
     assert r.p50_secs == 465.0    # interpolated median of {330, 600}
     assert r.p95_secs == round(330 + 0.95 * 270, 3)
+
+
+def test_bloom_seen_set_matches_exact_model(spark):
+    """Bloom seen-set filter vs an exact Python replay of the md5
+    position arithmetic: identical drop set (not just statistics) —
+    every seen row dropped (no false negatives), false positives are
+    exactly the model's."""
+    import hashlib
+    from spatial_spark.operators.sketch import bloom_filter_new, build_bloom
+    m_bits, k = 128, 3   # small bitmap: forces 6 real false positives
+    seen_keys = [f"seen-{i}" for i in range(40)]
+    new_keys = [f"new-{i}" for i in range(60)]
+    ref = spark.createDataFrame([(kk,) for kk in seen_keys], "text string")
+    docs = spark.createDataFrame(
+        [(i, kk) for i, kk in enumerate(seen_keys + new_keys)],
+        "doc_id long, text string")
+    bloom = build_bloom(ref, m_bits=m_bits, k=k)
+
+    def pos(key, salt):
+        h = hashlib.md5(f"{key}:{salt}".encode()).hexdigest()
+        return int(h[:15], 16) % m_bits
+
+    bits = {pos(kk, i) for kk in seen_keys for i in range(k)}
+    expect_kept = [i for i, kk in enumerate(seen_keys + new_keys)
+                   if not all(pos(kk, i2) in bits for i2 in range(k))]
+    got = sorted(r["doc_id"] for r in
+                 bloom_filter_new(docs, bloom, m_bits=m_bits, k=k)
+                 .select("doc_id").collect())
+    assert got == expect_kept
+    # contract: nothing from the seen set survives
+    assert all(i >= len(seen_keys) for i in got)
+    # and the small bitmap really produced collisions (test is non-trivial)
+    assert len(got) < len(new_keys)
+
+
+def test_cms_heavy_hitters_matches_exact_model(spark):
+    """Count-min estimates vs an exact Python sketch replay: estimates
+    agree exactly, every estimate >= the true count, and heavy hitters
+    always include every TRUE heavy hitter."""
+    import hashlib
+    from collections import Counter
+    from spatial_spark.operators.sketch import (build_cms,
+                                                cms_heavy_hitters)
+    width, depth = 64, 3   # tiny grid: force collisions
+    toks = (["hot"] * 50 + ["warm"] * 20
+            + [f"cold-{i}" for i in range(100)] * 2)
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    cms = build_cms(df, key_col="tok", width=width, depth=depth)
+
+    def pos(key, r):
+        h = hashlib.md5(f"{key}:{1000 + r}".encode()).hexdigest()
+        return int(h[:15], 16) % width
+
+    true = Counter(toks)
+    grid = Counter()
+    for t, n in true.items():
+        for r in range(depth):
+            grid[(r, pos(t, r))] += n
+    model_est = {t: min(grid[(r, pos(t, r))] for r in range(depth))
+                 for t in true}
+    got = {r["tok"]: r["est_count"] for r in
+           cms_heavy_hitters(df, cms, "tok", min_count=20,
+                             width=width, depth=depth).collect()}
+    assert got == {t: e for t, e in model_est.items() if e >= 20}
+    assert all(model_est[t] >= true[t] for t in true)
+    assert {"hot", "warm"} <= set(got)
