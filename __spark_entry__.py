@@ -1262,6 +1262,20 @@ def _q_cms_hitters(spark, sf_dir) -> DataFrame:
                              width=512, depth=3)
 
 
+def _q_hll_registers(spark, sf_dir) -> DataFrame:
+    """HyperLogLog register table (p=12) over the corpus's lowered
+    whitespace tokens — the cardinality sketch's EXACT integer state
+    (bucket, max leading-zero rank), bit-for-bit reproducible in SQL
+    because rank comes from binary-string length, not float log.  The
+    float estimator is pytest-pinned separately against true counts."""
+    from spatial_spark.operators.sketch import build_hll
+    toks = (spark.table("documents")
+            .select(F.explode(F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda t: F.length(t) > 0)).alias("tok")))
+    return build_hll(toks, key_col="tok", p=12)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1273,15 +1287,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gate checks the first 50 registered entries.  r7 rotation (VERDICT
     # r6 ask #1): promote the 35 entries that sat OUTSIDE the r6 window
     # (newest driver row r5 for all of them — the oldest rows in the
-    # registry), then the FIVE queries NEW in r7 (bpe_apply and
+    # registry), then the SIX queries NEW in r7 (bpe_apply and
     # pipeline_e2e — the last never-oracled operators, VERDICT r6 ask
     # #2 — plus media_jpeg, the real-JPEG-decode gate, and the sketch
-    # family bloom_dedup / cms_hitters), then 10 r6-row holders to
-    # fill the window.  The 40 entries now outside all hold green r6
+    # family bloom_dedup / cms_hitters / hll_registers), then 9
+    # r6-row holders to
+    # fill the window.  The 41 entries now outside all hold green r6
     # driver rows (1 round old at r7), and every entry keeps its
     # local-gate oracle (tools/check_correctness runs ALL entries).
-    # r8 rotation plan: demote this head, promote the 40 outside
-    # (oldest driver row first: the 30 r6-row holders, then the 10
+    # r8 rotation plan: demote this head, promote the 41 outside
+    # (oldest driver row first: the 32 r6-row holders, then the 9
     # fill entries once their r7 rows land) — keeping every entry's
     # newest driver row at most two rounds old.
     return {name: wrap(fn) for name, fn in {
@@ -1328,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_jpeg": _q_media_jpeg,
         "bloom_dedup": _q_bloom_dedup,
         "cms_hitters": _q_cms_hitters,
+        "hll_registers": _q_hll_registers,
         # --- fill to 50 (these also hold green r6 rows) ---
         "geohash": _q_geohash,
         "keep_max": _q_keep_max,
@@ -1338,8 +1354,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_centroid_rects": _q_st_centroid_rects,
         "path_envelope": _q_path_envelope,
         "property_paging": _q_property_paging,
-        "tpch_q1": _q_tpch_q1,
         # --- rotated out this round: all hold green r6 driver rows ---
+        "tpch_q1": _q_tpch_q1,
         "dedup_groups": _q_dedup_groups,
         "token_counts": _q_token_counts,
         "st_symdifference_area": _q_st_symdifference_area,
@@ -2513,6 +2529,19 @@ def oracle_sql() -> dict[str, str]:
             FROM dc
         """,
         "pipeline_e2e": _pipeline_oracle_sql(),
+        "hll_registers": """
+            WITH toks AS (
+              SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        x -> length(x) > 0)) AS tok
+              FROM documents),
+            vals AS (SELECT ((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 72057594037927936 + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 4503599627370496 + (strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 281474976710656 + (strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1) * 17592186044416 + (strpos('0123456789abcdef', substr(md5(tok), 5, 1)) - 1) * 1099511627776 + (strpos('0123456789abcdef', substr(md5(tok), 6, 1)) - 1) * 68719476736 + (strpos('0123456789abcdef', substr(md5(tok), 7, 1)) - 1) * 4294967296 + (strpos('0123456789abcdef', substr(md5(tok), 8, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5(tok), 9, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5(tok), 10, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5(tok), 11, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5(tok), 12, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5(tok), 13, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5(tok), 14, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(tok), 15, 1)) - 1) * 1) AS v FROM toks),
+            sp AS (SELECT v % 4096 AS bucket, v // 4096 AS suffix FROM vals)
+            SELECT bucket,
+                   CAST(max(CASE WHEN suffix = 0 THEN 49
+                            ELSE 48 - length(bin(suffix)) + 1 END) AS INT)
+                     AS max_rank
+            FROM sp GROUP BY bucket
+        """,
         "bloom_dedup": """
             WITH salts AS (SELECT unnest(generate_series(0, 2)) AS s),
             ref_pos AS (

@@ -39,6 +39,7 @@ HEADLINE = [
     # r7: the two last never-benched operators (driver-gated this round)
     # plus the new sketch family
     "bpe_apply", "pipeline_e2e", "bloom_dedup", "cms_hitters",
+    "hll_registers",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -73,6 +74,7 @@ BUDGET_SF01 = {
     "scrub_spans": 5.1, "funnel": 0.7, "retention": 0.8,
     "azimuth_project": 0.2, "funnel_timings": 0.7, "bpe_apply": 1.5,
     "pipeline_e2e": 24.6, "bloom_dedup": 4.0, "cms_hitters": 6.0,
+    "hll_registers": 2.0,
 }
 
 

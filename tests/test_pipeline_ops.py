@@ -2159,3 +2159,27 @@ def test_cms_heavy_hitters_matches_exact_model(spark):
     assert got == {t: e for t, e in model_est.items() if e >= 20}
     assert all(model_est[t] >= true[t] for t in true)
     assert {"hot", "warm"} <= set(got)
+
+
+def test_hll_registers_and_estimate(spark):
+    """HLL registers vs an exact Python replay of the md5/bucket/rank
+    arithmetic (bit-for-bit), plus the estimator landing within the
+    expected relative-error band; duplicate rows leave registers
+    unchanged (cardinality, not count)."""
+    import hashlib
+    from spatial_spark.operators.sketch import build_hll, hll_cardinality
+    p, n = 10, 5000
+    keys = [f"key-{i}" for i in range(n)]
+    df = spark.createDataFrame([(kk,) for kk in keys + keys], "text string")
+    hll = build_hll(df, p=p)
+    regs = {}
+    rem = 60 - p
+    for kk in keys:
+        v = int(hashlib.md5(kk.encode()).hexdigest()[:15], 16)
+        b, suf = v % (1 << p), v >> p
+        r = rem + 1 if suf == 0 else rem - suf.bit_length() + 1
+        regs[b] = max(regs.get(b, 0), r)
+    got = {int(r["bucket"]): int(r["max_rank"]) for r in hll.collect()}
+    assert got == regs
+    est = hll_cardinality(hll, p=p)
+    assert abs(est - n) / n < 0.1   # ~3.3% std error at p=10
