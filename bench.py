@@ -57,24 +57,24 @@ HEADLINE = [
 # budget_violations; exits nonzero only when SPARK_GRAFT_STRICT_BENCH=1
 # (machine noise must not trip the driver's rc gate).
 BUDGET_SF01 = {
-    "within_distance": 0.7, "knn": 0.5, "bbox_window": 0.3,
-    "spatial_join": 1.1, "spatial_join_agg": 1.6, "distance_join": 1.5,
-    "st_area_rects": 1.6, "extract_points": 1.3, "orthodromic_length": 0.8,
-    "zorder_keys": 0.5, "tpch_q1": 0.8, "revenue_by_nation": 1.7,
-    "dedup_exact": 0.5, "minhash_pairs": 3.4, "simhash_pairs": 4.7,
-    "quality_scores": 0.8, "lang_id": 0.6, "knn_cosine": 0.4,
-    "events_daily": 0.4, "ngram_jaccard": 5.7, "dedup_clusters": 8.9,
+    "within_distance": 0.6, "knn": 0.4, "bbox_window": 0.3,
+    "spatial_join": 1.1, "spatial_join_agg": 1.5, "distance_join": 1.5,
+    "st_area_rects": 1.6, "extract_points": 1.0, "orthodromic_length": 0.8,
+    "zorder_keys": 0.5, "tpch_q1": 0.7, "revenue_by_nation": 1.7,
+    "dedup_exact": 0.4, "minhash_pairs": 2.8, "simhash_pairs": 3.6,
+    "quality_scores": 0.8, "lang_id": 0.6, "knn_cosine": 0.3,
+    "events_daily": 0.4, "ngram_jaccard": 5.5, "dedup_clusters": 7.8,
     "contamination": 3.5, "winnowing": 1.4, "tf_idf": 1.8,
-    "semantic_dedup": 8.3, "paragraph_dedup": 1.3, "pack_sequences": 0.4,
-    "knn_join": 6.1, "asof_join": 1.0, "range_join": 0.6,
-    "ivf_knn": 1.4, "lm_perplexity": 2.6, "doc_chunks": 0.6,
-    "tile_counts": 0.5, "dsir_weights": 3.3, "polygon_join": 3.9,
-    "corpus_stats": 0.7, "shuffle_order": 0.4, "density_islands": 2.9,
+    "semantic_dedup": 8.0, "paragraph_dedup": 1.3, "pack_sequences": 0.4,
+    "knn_join": 5.6, "asof_join": 1.0, "range_join": 0.6,
+    "ivf_knn": 1.1, "lm_perplexity": 2.5, "doc_chunks": 0.5,
+    "tile_counts": 0.5, "dsir_weights": 3.2, "polygon_join": 3.9,
+    "corpus_stats": 0.7, "shuffle_order": 0.3, "density_islands": 2.9,
     "dedup_against": 1.5, "line_dedup_doc": 2.4, "duplicate_spans": 3.5,
-    "scrub_spans": 5.1, "funnel": 0.7, "retention": 0.8,
-    "azimuth_project": 0.2, "funnel_timings": 0.7, "bpe_apply": 1.5,
-    "pipeline_e2e": 24.6, "bloom_dedup": 4.0, "cms_hitters": 6.0,
-    "hll_registers": 2.0,
+    "scrub_spans": 5.1, "funnel": 0.6, "retention": 0.8,
+    "azimuth_project": 0.2, "funnel_timings": 0.7, "bpe_apply": 1.2,
+    "pipeline_e2e": 23.5, "bloom_dedup": 1.7, "cms_hitters": 2.7,
+    "hll_registers": 1.5,
 }
 
 
