@@ -2183,3 +2183,64 @@ def test_hll_registers_and_estimate(spark):
     assert got == regs
     est = hll_cardinality(hll, p=p)
     assert abs(est - n) / n < 0.1   # ~3.3% std error at p=10
+
+
+def test_stream_bloom_dedup_matches_model(spark, tmp_path):
+    """Cross-batch Bloom dedup stream vs an exact Python replay: the
+    admitted set (first occurrence wins, minus exactly the model's
+    false positives) matches batch for batch; previously admitted keys
+    never re-admit; keys wrongly dropped by a false positive may admit
+    in a later batch only if the model says so."""
+    import hashlib
+    import os as _os
+    import time as _time
+    from spatial_spark.streaming.sketches import stream_dedup_with_bloom
+    m_bits, k = 256, 3
+    batches = [
+        [(i, f"key-{i}") for i in range(30)],
+        [(100 + i, f"key-{i + 20}") for i in range(30)],   # 10 repeats
+        [(200 + i, f"key-{i}") for i in range(50)],        # all repeats
+    ]
+    src = tmp_path / "bloomsrc"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    for b, rows in enumerate(batches):
+        (spark.createDataFrame(rows, schema).coalesce(1)
+         .write.parquet(str(src / f"b{b}")))
+    now = _time.time()
+    for b in range(3):
+        d = src / f"b{b}"
+        for f in _os.listdir(d):
+            _os.utime(_os.path.join(d, f), (now + 60 * b - 300,) * 2)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src) + "/b*"))
+    out_path = str(tmp_path / "admitted")
+    q = stream_dedup_with_bloom(
+        stream, out_path, str(tmp_path / "bloom"),
+        str(tmp_path / "ckpt"), m_bits=m_bits, k=k)
+    q.awaitTermination(120)
+
+    def pos(key, salt):
+        h = hashlib.md5(f"{key}:{salt}".encode()).hexdigest()
+        return int(h[:15], 16) % m_bits
+
+    bits, expect = set(), set()
+    for rows in batches:
+        firsts = {}
+        for i, kk in rows:
+            if kk not in firsts or i < firsts[kk]:
+                firsts[kk] = i
+        admitted_now = [(i, kk) for kk, i in firsts.items()
+                        if not all(pos(kk, s) in bits for s in range(k))]
+        for i, kk in admitted_now:
+            expect.add((i, kk))
+            for s in range(k):
+                bits.add(pos(kk, s))
+    got = {(r["doc_id"], r["text"])
+           for r in spark.read.parquet(out_path).collect()}
+    assert got == expect
+    # sanity: real dedup happened and the final batch admitted nothing
+    # beyond earlier false-positive drops
+    assert len(got) < sum(len(b) for b in batches)
+    admitted_keys = {kk for _, kk in got}
+    assert len(admitted_keys) == len(got)   # one admit per key ever
