@@ -49,8 +49,19 @@ def stream_dedup_with_bloom(stream_df: DataFrame, out_path: str,
     from ..operators.sketch import bloom_filter_new, build_bloom
 
     spark = stream_df.sparkSession
-    ckpt_key = hashlib.md5(
-        os.path.abspath(checkpoint).encode()).hexdigest()[:12]
+    # marker key = the HADOOP-QUALIFIED checkpoint URI (same rationale
+    # as streaming/ingest.py: a relative path restarted from another
+    # cwd must not change the key).  The marker writes and the bloom
+    # swap below are local-fs ops — on a remote store, route them
+    # through spatial_spark.manifest (the commit seam) instead.
+    try:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        jp = jvm.org.apache.hadoop.fs.Path(checkpoint)
+        ckpt_id = str(jp.getFileSystem(conf).makeQualified(jp))
+    except Exception:
+        ckpt_id = os.path.abspath(checkpoint)
+    ckpt_key = hashlib.md5(ckpt_id.encode()).hexdigest()[:12]
     log_dir = bloom_path + "_epochs/" + ckpt_key
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
