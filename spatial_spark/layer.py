@@ -698,6 +698,68 @@ class Layer:
         self._manifest.gc()
         return {"files_before": before, "files_after": _n_parts(self.path)}
 
+    def compact_range(self, zmin: int, zmax: int,
+                      target_files: int = 1) -> dict:
+        """Incremental OPTIMIZE (the per-slice cadence ``compact``'s
+        docstring prescribes for 100 TB): re-cluster ONLY the part
+        files whose zkey range intersects ``[zmin, zmax]``, leaving
+        every other file byte-identical.  A streaming-accreted store
+        compacts hot ingest slices on their own schedule instead of
+        rewriting the world.
+
+        One job reads per-file zkey bounds (footer-cheap: zkey is the
+        sort column, so min/max come from row-group stats), the
+        intersecting files re-cluster through the same manifest commit
+        as file-level mutation (publish THEN unlink — crash windows
+        leave invisible orphans), and the id sidecar needs NO rebuild:
+        compaction moves rows between files, never changes (id, zkey).
+        Returns ``{"files_before", "files_after", "files_compacted"}``
+        (before/after = whole store)."""
+        import os
+        import shutil
+
+        man = self._manifest
+        with man.lock():
+            self._adopt_manifest(man)
+            live = man.files() or []
+            if len(live) <= 1:
+                return {"files_before": len(live),
+                        "files_after": len(live), "files_compacted": 0}
+            bounds = (self._subset(live)
+                      .groupBy(F.input_file_name().alias("f"))
+                      .agg(F.min("zkey").alias("lo"),
+                           F.max("zkey").alias("hi"))
+                      .collect())   # one row per part file
+            targets = sorted(self._local_path(r["f"]) for r in bounds
+                             if r["hi"] >= zmin and r["lo"] <= zmax)
+            if len(targets) <= 1:
+                return {"files_before": len(live),
+                        "files_after": len(live), "files_compacted": 0}
+            tmp = self.path + ".compact.tmp"
+            (self._subset(targets)
+             .repartitionByRange(max(target_files, 1), "zkey")
+             .sortWithinPartitions("zkey")
+             .write.mode("overwrite").parquet(tmp))
+            moved = []
+            for p in os.listdir(tmp):
+                if p.startswith("part-"):
+                    shutil.move(os.path.join(tmp, p),
+                                os.path.join(self.path, p))
+                    moved.append(p)
+            replaced = {os.path.basename(f) for f in targets}
+            keep = [os.path.basename(f) for f in live
+                    if os.path.basename(f) not in replaced]
+            man.commit(sorted(keep + moved))
+            for f in targets:   # post-publish cleanup
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+            shutil.rmtree(tmp, ignore_errors=True)
+            return {"files_before": len(live),
+                    "files_after": len(keep) + len(moved),
+                    "files_compacted": len(targets)}
+
     @property
     def _id_index_path(self) -> str:
         return self.path + "_idx"

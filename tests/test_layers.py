@@ -659,3 +659,38 @@ def test_manifest_cas_and_generation_pruning(tmp_path):
     # files_at on a pruned epoch is a clear KeyError
     with _pytest.raises(KeyError):
         man.files_at(e0)
+
+
+def test_compact_range_incremental(ctx, spark):
+    """compact_range re-clusters ONLY the files intersecting the zkey
+    slice: untouched files stay byte-identical (same names), rows /
+    search results / point lookups survive, the id sidecar stays valid
+    without a rebuild, and a disjoint slice is a no-op."""
+    import os
+    from pyspark.sql import functions as F
+    layer = ctx.create_point_layer("compact_slice", x="lon", y="lat",
+                                   id_index=True)
+    for batch in range(4):   # accrete overlapping per-batch file sets
+        pts = (spark.range(batch * 50, batch * 50 + 50)
+               .withColumn("lon", (F.col("id") % 36).cast("double") * 10 - 175)
+               .withColumn("lat", (F.col("id") % 17).cast("double") * 10 - 83))
+        layer.add(pts.select("id", "lon", "lat"))
+    assert layer.count() == 200
+    hits_before = layer.within_distance(5.0, 7.0, 2500.0).count()
+    live = set(layer._manifest.current()[1])
+    zmid = layer.df().agg(
+        F.expr("percentile_approx(zkey, 0.5)")).first()[0]
+    res = layer.compact_range(0, int(zmid), target_files=1)
+    assert 0 < res["files_compacted"] < res["files_before"]
+    assert res["files_after"] < res["files_before"]
+    after = set(layer._manifest.current()[1])
+    untouched = live & after
+    assert untouched, "files outside the slice must be preserved"
+    # everything still exact
+    assert layer.count() == 200
+    assert layer.within_distance(5.0, 7.0, 2500.0).count() == hits_before
+    assert layer.lookup_row(0) is not None
+    assert layer.lookup_row(199) is not None
+    # a slice with no multi-file overlap is a no-op
+    res2 = layer.compact_range(-10, -5)
+    assert res2["files_compacted"] == 0
