@@ -603,7 +603,17 @@ class Layer:
 
         from .manifest import ManifestConflict
         tmp = self.path + ".rewrite.tmp"
-        df = build_df()
+        man = self._manifest
+        # base snapshot and plan are captured under ONE lock hold: the
+        # plan (build_df → df() → manifest file list) and ``base`` must
+        # name the SAME snapshot, else an append committed between the
+        # two reads lands in base-but-not-plan and the base unlink at
+        # publish silently drops it (ADVICE r7 high).  Plan construction
+        # is jobless (test-pinned), so the lock hold stays milliseconds.
+        with man.lock():
+            self._adopt_manifest(man)
+            base = set(man.current()[1])
+            df = build_df()
         obs = Observation()
         has_core = {"gtype", "xmin", "ymin", "xmax", "ymax"} <= set(df.columns)
         if has_core:
@@ -614,13 +624,9 @@ class Layer:
                 F.max("gtype").alias("gtype_max"),
                 F.min("xmin").alias("xmin"), F.min("ymin").alias("ymin"),
                 F.max("xmax").alias("xmax"), F.max("ymax").alias("ymax"))
-        man = self._manifest
-        with man.lock():
-            self._adopt_manifest(man)
-            base = set(man.current()[1])
-        # the df plan reads the base snapshot (df() resolved the
-        # manifest when the caller built it); concurrent appends write
-        # NEW files, which this job never reads
+        # the df plan reads exactly the ``base`` snapshot (same lock
+        # hold); concurrent appends write NEW files, which this job
+        # never reads and which carry into the new snapshot at publish
         df.write.mode("overwrite").parquet(tmp)
         if has_core:
             try:

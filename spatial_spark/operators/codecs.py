@@ -535,7 +535,13 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
     h, w = img.shape[:2]
     ncomp = len(planes)
     samp = 0x22 if subsample else 0x11   # luma sampling factors
-    qts = [_scaled_qt(_QT_LUMA, quality), _scaled_qt(_QT_CHROMA, quality)]
+    # quant tables live in ZIGZAG order from here on: the quantizer
+    # divides zigzag-scanned coefficients and DQT stores zigzag bytes
+    # (T.81 B.2.4.1), so frequencies line up with Annex K as libjpeg
+    # does — quantizing in natural order silently permuted the steps
+    # (high-frequency steps on low frequencies; ADVICE r7).
+    qts = [_scaled_qt(_QT_LUMA, quality)[_ZIGZAG],
+           _scaled_qt(_QT_CHROMA, quality)[_ZIGZAG]]
     out = bytearray(b"\xFF\xD8")                       # SOI
     out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
         + struct.pack(">HHBB", 1, 1, 0, 0)             # APP0

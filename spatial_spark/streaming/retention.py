@@ -8,7 +8,8 @@ emits each (user, cohort, weeks_since) cell the moment it first
 happens, so the retention triangle accretes live.
 
 State per user is ONE cohort week plus a seen-weeks bitmap
-(``n_words``×64 weeks, default 256 weeks ≈ 5 years) — bounded
+(``n_words``×63 weeks, default 252 weeks ≈ 4.8 years; 63 bits per
+signed-int64 word so no stored value ever sets the sign bit) — bounded
 regardless of event volume, managed by ``applyInPandasWithState``.
 
 Ordering contract (same no-rewind monotonicity as the funnel twin):
@@ -43,10 +44,13 @@ def retention_stream(events: DataFrame, user_col: str = "user_id",
     emissions by (cohort_week, weeks_since) yields exactly the batch
     ``retention`` triangle when batches arrive in time order.
 
-    ``n_words`` sizes the per-user seen-week bitmap (64 weeks per
-    word); activity beyond the bitmap horizon is dropped with the same
+    ``n_words`` sizes the per-user seen-week bitmap (63 weeks per
+    word — bit 63 stays clear because the state column is a SIGNED
+    int64: ``1 << 63`` overflows LongType and would crash the stream
+    the first time a user is active ~1.2 years after cohort, ADVICE
+    r7); activity beyond the bitmap horizon is dropped with the same
     reconcile-via-batch contract as late events."""
-    max_weeks = n_words * 64
+    max_weeks = n_words * 63
     state_schema = T.StructType(
         [T.StructField("cohort_days", T.LongType())]
         + [T.StructField(f"w{i}", T.LongType()) for i in range(n_words)])
@@ -75,7 +79,7 @@ def retention_stream(events: DataFrame, user_col: str = "user_id",
             k = (wd - cohort_days) // 7
             if k < 0 or k >= max_weeks:
                 continue  # pre-cohort late event / beyond bitmap horizon
-            word, bit = divmod(int(k), 64)
+            word, bit = divmod(int(k), 63)
             if words[word] & (1 << bit):
                 continue  # this (user, week) cell already emitted
             words[word] |= 1 << bit

@@ -661,6 +661,66 @@ def test_manifest_cas_and_generation_pruning(tmp_path):
         man.files_at(e0)
 
 
+def test_rewrite_carries_append_racing_the_first_lock(ctx, spark,
+                                                      monkeypatch,
+                                                      tmp_path):
+    """ADVICE r7 (high): an append that commits while _rewrite is
+    WAITING on its first lock must survive the rewrite.  The fix pins
+    plan construction and the base-snapshot read under one lock hold, so
+    the racing append lands either before both (plan reads it — its rows
+    flow through the rewrite) or after both (carried as ``cur - base``
+    at publish).  The old ordering (plan built BEFORE the lock) lost the
+    appended file: in ``base`` but in neither the plan nor ``cur -
+    base``, it was unlinked at publish.
+
+    Simulation: patch Manifest.lock so the first acquisition inside
+    _rewrite happens just AFTER a concurrent writer committed an append
+    — the exact interleaving the advisory lock serializes in real runs.
+    """
+    import os
+    import shutil
+
+    from spatial_spark.manifest import Manifest
+
+    layer = ctx.create_point_layer("rw_race", x="lon", y="lat")
+    layer.add(_grid_points(spark, n_side=5))           # ids 0..24
+    store = layer.path
+    man = layer._manifest
+    src = next(f for f in os.listdir(store) if f.startswith("part-"))
+    appended_ids = sorted(
+        r["id"] + 1000 for r in
+        spark.read.parquet(os.path.join(store, src)).select("id").collect())
+    assert appended_ids, "fixture part file must be non-empty"
+
+    def append_commit():
+        # a concurrent writer's full append: new part file + commit
+        app = str(tmp_path / "race_append")
+        (spark.read.parquet(os.path.join(store, src))
+         .withColumn("id", F.col("id") + 1000)
+         .coalesce(1).write.mode("overwrite").parquet(app))
+        part = next(p for p in os.listdir(app) if p.startswith("part-"))
+        name = f"part-raceappend-{part[5:]}"
+        shutil.move(os.path.join(app, part), os.path.join(store, name))
+        man.commit(sorted(set(man.current()[1]) | {name}))
+
+    real_lock = Manifest.lock
+    state = {"fired": False}
+
+    def racing_lock(self, timeout=60.0, stale=300.0):
+        if not state["fired"]:
+            state["fired"] = True
+            append_commit()
+        return real_lock(self, timeout=timeout, stale=stale)
+
+    monkeypatch.setattr(Manifest, "lock", racing_lock)
+    layer._rewrite(lambda: layer.df().filter(F.col("id") != 0))
+    monkeypatch.undo()
+
+    ids = sorted(r["id"] for r in layer.df().select("id").collect())
+    assert ids == list(range(1, 25)) + appended_ids, \
+        "racing append was lost by the rewrite"
+
+
 def test_compact_range_incremental(ctx, spark):
     """compact_range re-clusters ONLY the files intersecting the zkey
     slice: untouched files stay byte-identical (same names), rows /

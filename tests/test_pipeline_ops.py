@@ -341,6 +341,22 @@ def test_codecs_jpeg_roundtrip():
     assert np.abs(og[:, :, 0].astype(int) - g.astype(int)).mean() < 1.0
 
 
+def test_codecs_jpeg_dqt_is_zigzag_annex_k():
+    """ADVICE r7: the DQT segment must carry the quality-scaled Annex K
+    table in ZIGZAG order (T.81 B.2.4.1, libjpeg behavior), and the
+    quantizer must use that same ordering — natural-order emission
+    permuted the steps so quality=N wasn't Annex-K quality N."""
+    import numpy as np
+    from spatial_spark.operators import codecs as C
+    buf = C.encode_jpeg(np.full((8, 8), 99, dtype=np.uint8), quality=50)
+    i = buf.index(b"\xFF\xDB")
+    payload = np.frombuffer(buf[i + 5:i + 5 + 64], dtype=np.uint8)
+    # at quality 50 the scale factor is 100 → the table is Annex K verbatim
+    assert (payload == C._QT_LUMA[C._ZIGZAG]).all()
+    # zigzag index 1 is natural index 1 (11) and index 2 is natural 8 (12)
+    assert payload[1] == 11 and payload[2] == 12
+
+
 def test_codecs_jpeg_dc_fixture_and_unsupported():
     """Spec-math fixture: a uniform block's decoded value must equal the
     round-trip of its lone quantized DC coefficient computed from the
@@ -1958,6 +1974,31 @@ def test_retention_stream_matches_batch(spark, tmp_path):
     exp = {(r.cohort_week, r.weeks_since): r.n_users
            for r in retention(spark.read.parquet(str(src) + "/b*")).collect()}
     assert got == exp
+
+
+def test_retention_stream_word_boundary_no_overflow(spark, tmp_path):
+    """ADVICE r7: a user active exactly 63/64 weeks after cohort must
+    not overflow the signed-int64 state word (the old 64-bit packing
+    computed ``1 << 63`` and crashed state.update).  Bitmap words now
+    hold 63 weeks each, so the sign bit is never set."""
+    import datetime as dt
+    from spatial_spark.streaming.retention import retention_stream
+    t0 = dt.datetime(2024, 1, 1, 9, 0)   # a Monday
+    weeks = [0, 62, 63, 64, 125, 126, 127, 251]
+    rows = [(1, t0 + dt.timedelta(weeks=w)) for w in weeks]
+    rows += [(1, t0 + dt.timedelta(weeks=252))]   # beyond horizon: dropped
+    src = tmp_path / "wb"
+    (spark.createDataFrame(rows, "user_id long, ts timestamp")
+     .coalesce(1).write.parquet(str(src)))
+    q = (retention_stream(
+            spark.readStream.schema("user_id long, ts timestamp")
+            .parquet(str(src)))
+         .writeStream.format("memory").queryName("retention_wb")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(r.weeks_since
+                 for r in spark.sql("select * from retention_wb").collect())
+    assert got == weeks
 
 
 @given(hst.lists(hst.tuples(hst.integers(1, 5), hst.integers(0, 40)),
