@@ -396,6 +396,51 @@ def _q_cql_filter(spark, sf_dir) -> DataFrame:
     return pts.filter(sql).select("c_custkey", "c_acctbal", "c_mktsegment")
 
 
+def _q_cql2(spark, sf_dir) -> DataFrame:
+    """ECQL tier 2 (VERDICT r7 ask #6): NOT / IN / BETWEEN /
+    INTERSECTS-with-WKT-literal (polygon WITH a hole) in one
+    expression, translated by cql_to_sql and cross-checked against the
+    equivalent closed-form SQL.  Polygon bounds sit at x.xx5 offsets so
+    no 0.01-grid point lands exactly on a boundary (the hole-boundary
+    intersects semantics stay out of the hash).  Parity:
+    FilterCQL.java:35-52 / Utilities.java:65-119."""
+    from spatial_spark.operators.cql import cql_to_sql
+    pts = (_customer_points(spark)
+           .join(spark.table("customer")
+                 .select("c_custkey", "c_acctbal", "c_mktsegment"),
+                 "c_custkey")
+           .withColumn("geom", F.expr("st_point(lon, lat)"))
+           .withColumn("xmin", F.col("lon")).withColumn("ymin", F.col("lat"))
+           .withColumn("xmax", F.col("lon")).withColumn("ymax", F.col("lat")))
+    holed = ("POLYGON ((-60.005 -40.005, 59.995 -40.005, 59.995 39.995, "
+             "-60.005 39.995, -60.005 -40.005), "
+             "(-20.005 -10.005, 19.995 -10.005, 19.995 9.995, "
+             "-20.005 9.995, -20.005 -10.005))")
+    sql = cql_to_sql(
+        f"INTERSECTS(the_geom, {holed})"
+        " AND c_acctbal BETWEEN 1000 AND 8000"
+        " AND c_mktsegment NOT IN ('BUILDING', 'MACHINERY')"
+        " AND NOT (c_acctbal < 2000)")
+    return (pts.filter(sql)
+            .select("c_custkey",
+                    F.expr("CAST(round(c_acctbal * 100) AS BIGINT)")
+                    .alias("acctbal_cents"), "c_mktsegment"))
+
+
+def _q_st_transform_merc(spark, sf_dir) -> DataFrame:
+    """CRS reprojection gate (VERDICT r7 ask #7): customer points
+    4326→3857 through the registered st_transform UDF, cross-checked
+    against the closed-form spherical-mercator SQL in DuckDB.  cm
+    integers keep libm-ulp differences out of the hash."""
+    pts = (_customer_points(spark)
+           .withColumn("m", F.expr("st_transform(st_point(lon, lat), "
+                                   "'EPSG:4326', 'EPSG:3857')")))
+    return pts.select(
+        "c_custkey",
+        F.expr("CAST(round(st_x(m) * 100) AS BIGINT)").alias("mx_cm"),
+        F.expr("CAST(round(st_y(m) * 100) AS BIGINT)").alias("my_cm"))
+
+
 def _q_property_paging(spark, sf_dir) -> DataFrame:
     """Sort + RangeFilterPipe paging parity: rows 11..30 of orders by
     price.  Shaped as orderBy().limit(hi) + a row_number window over the
@@ -1394,6 +1439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orthodromic_length": _q_orthodromic_length,
         "zorder_keys": _q_zorder_keys,
         "cql_filter": _q_cql_filter,
+        "cql2": _q_cql2,
+        "st_transform_merc": _q_st_transform_merc,
         "revenue_by_nation": _q_revenue_by_nation,
         "dedup_exact": _q_dedup_exact,
     }.items()}
@@ -2241,6 +2288,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE {CUST_LON} >= -120 AND {CUST_LON} <= 60
               AND {CUST_LAT} >= -60 AND {CUST_LAT} <= 60
               AND c_acctbal > 1000 AND c_mktsegment <> 'BUILDING'
+        """,
+        "st_transform_merc": f"""
+            SELECT c_custkey,
+                   CAST(round((6378137.0 * radians({CUST_LON})) * 100)
+                        AS BIGINT) AS mx_cm,
+                   CAST(round((6378137.0 * ln(tan(pi() / 4.0
+                        + radians({CUST_LAT}) / 2.0))) * 100)
+                        AS BIGINT) AS my_cm
+            FROM customer
+        """,
+        "cql2": f"""
+            SELECT c_custkey,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+                   c_mktsegment
+            FROM customer
+            WHERE {CUST_LON} >= -60.005 AND {CUST_LON} <= 59.995
+              AND {CUST_LAT} >= -40.005 AND {CUST_LAT} <= 39.995
+              AND NOT ({CUST_LON} > -20.005 AND {CUST_LON} < 19.995
+                       AND {CUST_LAT} > -10.005 AND {CUST_LAT} < 9.995)
+              AND c_acctbal BETWEEN 1000 AND 8000
+              AND c_mktsegment NOT IN ('BUILDING', 'MACHINERY')
+              AND NOT (c_acctbal < 2000)
         """,
         "property_paging": """
             WITH ranked AS (

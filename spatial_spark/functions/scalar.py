@@ -23,6 +23,7 @@ from ..geom import algorithms as alg
 from ..geom import clip as cl
 from ..geom import predicates as pred
 from ..geom.io_text import from_geojson, to_geojson, to_gml, to_kml
+from .crs import st_transform
 
 # ----------------------------------------------------------------- batch WKB
 import numpy as np
@@ -501,6 +502,7 @@ REGISTRY = {
     "st_sphere_distance": st_sphere_distance,
     "st_gtype": st_gtype, "st_dump": st_dump, "st_points": st_points,
     "st_coords": st_coords, "st_affine": st_affine, "st_translate": st_translate,
+    "st_transform": st_transform,
 }
 
 

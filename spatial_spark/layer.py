@@ -170,16 +170,31 @@ class Layer:
         """Commit protocol for the store (manifest.py): every writer —
         add / file-level mutation / compact / streaming ingest —
         serializes through its lock and publishes atomically; readers
-        resolve the current snapshot's file list (VERDICT r6 ask #5)."""
-        from .manifest import Manifest
-        return Manifest(self.path)
+        resolve the current snapshot's file list (VERDICT r6 ask #5).
 
-    def _adopt_manifest(self, man) -> None:
+        Manifest I/O routes through the Hadoop FileSystem API when
+        ``spark.spatial_spark.manifest.io=hadoop`` is set (or the store
+        path carries a non-file scheme) — same create-no-overwrite /
+        atomic-rename semantics on HDFS as the local POSIX default
+        (VERDICT r7 ask #4)."""
+        from .manifest import HadoopManifestIO, Manifest
+        io = None
+        try:
+            mode = self.ctx.spark.conf.get(
+                "spark.spatial_spark.manifest.io", "local")
+        except Exception:
+            mode = "local"
+        if mode == "hadoop" or ("://" in self.path
+                                and not self.path.startswith("file:")):
+            io = HadoopManifestIO(self.ctx.spark)
+        return Manifest(self.path, io=io)
+
+    def _adopt_manifest(self, man, lock_token: str | None = None) -> None:
         """First write to a pre-manifest store: publish the CURRENT
         directory listing as epoch 0, so every later crash window
         resolves against a snapshot instead of raw listing."""
         if man.current() is None:
-            man.commit(sorted(man.snapshot_names()))
+            man.commit(sorted(man.snapshot_names()), lock_token=lock_token)
 
     # ---- write path ---------------------------------------------------
     def add(self, df: DataFrame, geom: str = "geom", wkt: str | None = None,
@@ -278,16 +293,17 @@ class Layer:
         # the lock, and the file set only becomes visible at the
         # manifest publish — a crash mid-write leaves invisible orphans
         man = self._manifest
-        with man.lock():
-            self._adopt_manifest(man)
+        with man.lock() as lk:
+            self._adopt_manifest(man, lk.token)
             before = man.snapshot_names()
             writer.parquet(self.path)
             after = man.snapshot_names()
             if mode == "overwrite":
-                man.commit(sorted(after))
+                man.commit(sorted(after), lock_token=lk.token)
             else:
                 cur = man.current()
-                man.commit(sorted(set(cur[1]) | (after - before)))
+                man.commit(sorted(set(cur[1]) | (after - before)),
+                           lock_token=lk.token)
         try:
             self.ctx.catalog.merge_stats(self.name, dict(obs.get),
                                          replace=(mode == "overwrite"))
@@ -491,8 +507,8 @@ class Layer:
         man = self._manifest
         # the lock spans read → transform → publish: a concurrent
         # mutation/compact/ingest cannot change the snapshot under us
-        with man.lock():
-            self._adopt_manifest(man)
+        with man.lock() as lk:
+            self._adopt_manifest(man, lk.token)
             files = self._files_for_ids(ids)
             if files is None:
                 return False
@@ -532,7 +548,8 @@ class Layer:
             replaced = {os.path.basename(f) for f in files}
             live = set(man.current()[1])
             man.commit(sorted((live - replaced)
-                              | {os.path.basename(m) for m in moved}))
+                              | {os.path.basename(m) for m in moved}),
+                       lock_token=lk.token)
             # post-publish cleanup: failures here leave invisible orphans
             for f in files:
                 os.remove(f)
@@ -610,8 +627,8 @@ class Layer:
         # two reads lands in base-but-not-plan and the base unlink at
         # publish silently drops it (ADVICE r7 high).  Plan construction
         # is jobless (test-pinned), so the lock hold stays milliseconds.
-        with man.lock():
-            self._adopt_manifest(man)
+        with man.lock() as lk0:
+            self._adopt_manifest(man, lk0.token)
             base = set(man.current()[1])
             df = build_df()
         obs = Observation()
@@ -637,7 +654,7 @@ class Layer:
         self._record_schema(df.schema, replace=True)
         os.makedirs(self.path, exist_ok=True)
         try:
-            with man.lock():
+            with man.lock() as lk:
                 cur = set(man.current()[1])
                 if base - cur:
                     raise ManifestConflict(
@@ -650,7 +667,7 @@ class Layer:
                         shutil.move(os.path.join(tmp, p),
                                     os.path.join(self.path, p))
                         moved.append(p)
-                man.commit(sorted(moved) + appended)
+                man.commit(sorted(moved) + appended, lock_token=lk.token)
                 for f in base:
                     try:
                         os.remove(os.path.join(self.path, f))
@@ -725,8 +742,8 @@ class Layer:
         import shutil
 
         man = self._manifest
-        with man.lock():
-            self._adopt_manifest(man)
+        with man.lock() as lk:
+            self._adopt_manifest(man, lk.token)
             live = man.files() or []
             if len(live) <= 1:
                 return {"files_before": len(live),
@@ -755,7 +772,7 @@ class Layer:
             replaced = {os.path.basename(f) for f in targets}
             keep = [os.path.basename(f) for f in live
                     if os.path.basename(f) not in replaced]
-            man.commit(sorted(keep + moved))
+            man.commit(sorted(keep + moved), lock_token=lk.token)
             for f in targets:   # post-publish cleanup
                 try:
                     os.remove(f)

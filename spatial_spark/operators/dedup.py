@@ -669,7 +669,10 @@ def dedup_against(df: DataFrame, reference: DataFrame,
                   ref_id_col: str | None = None,
                   num_perm: int = 64, bands: int = 16,
                   threshold: float = 0.8,
-                  shingle_k: int = 5) -> DataFrame:
+                  shingle_k: int = 5,
+                  ref_bloom: DataFrame | None = None,
+                  bloom_m_bits: int = 1 << 20,
+                  bloom_k: int = 5) -> DataFrame:
     """Cross-corpus near-dedup: drop from ``df`` every document that
     near-duplicates ANY reference document (scrub a new crawl against the
     existing corpus or held-out eval sets — the asymmetric sibling of
@@ -679,9 +682,25 @@ def dedup_against(df: DataFrame, reference: DataFrame,
     candidates exist only on bucket collisions — the corpus never joins
     the reference wider than the LSH collision rate.  Survivors return
     via left-anti join, so the document payload never rides the
-    signature shuffles."""
+    signature shuffles.
+
+    **Incremental path (VERDICT r7 ask #8):** pass ``ref_bloom`` — a
+    Bloom filter built over the reference's EXACT ``text`` keys
+    (``build_bloom(reference, key_col=...)``, persisted across runs and
+    accreted with ``bloom_merge``) — and exact duplicates are dropped
+    MAP-ONLY against the broadcast bitmap before any signature work:
+    the daily-crawl case where most repeats are verbatim never signs or
+    shuffles them.  Bloom contract applies: every exact repeat is
+    dropped (an exact duplicate is a near-duplicate at any threshold),
+    plus ~fpr of genuinely-new rows (sized by ``bloom_m_bits``/
+    ``bloom_k``; at 10 bits/key the overkill is ~1%)."""
     rtext = ref_text_col or text_col
     rid = ref_id_col or id_col
+    if ref_bloom is not None:
+        from .sketch import bloom_filter_new
+        df = bloom_filter_new(df, ref_bloom, key_col=text_col,
+                              id_col=id_col, m_bits=bloom_m_bits,
+                              k=bloom_k)
     sigs_c = minhash_signatures(df, text_col, id_col,
                                 num_perm, shingle_k).cache()
     sigs_r = minhash_signatures(reference, rtext, rid, num_perm, shingle_k)

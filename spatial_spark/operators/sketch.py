@@ -32,9 +32,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["build_bloom", "bloom_filter_new", "build_cms",
-           "cms_estimate", "cms_heavy_hitters", "build_hll",
-           "hll_cardinality"]
+__all__ = ["build_bloom", "bloom_filter_new", "bloom_merge", "build_cms",
+           "cms_estimate", "cms_heavy_hitters", "cms_merge", "build_hll",
+           "hll_cardinality", "hll_merge"]
 
 
 def _md5_pos(col, salt: int, mod: int):
@@ -95,6 +95,19 @@ def bloom_filter_new(df: DataFrame, bloom: DataFrame,
     return df.join(seen, id_col, "left_anti")
 
 
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """Union Bloom filters built with the SAME (m_bits, k): the merged
+    bitmap is bit-for-bit what building over the concatenated inputs
+    would produce (``bit_or`` is the union of set bits) — the
+    sketch-lifecycle primitive for accreting a seen-set across runs
+    (VERDICT r7 ask #8): persist each run's filter as parquet, merge,
+    broadcast into ``bloom_filter_new`` / ``dedup_against``."""
+    out = blooms[0]
+    for b in blooms[1:]:
+        out = out.unionByName(b)
+    return out.groupBy("word").agg(F.expr("bit_or(bits)").alias("bits"))
+
+
 # -------------------------------------------------------------- count-min
 def build_cms(df: DataFrame, key_col: str = "text",
               width: int = 1 << 12, depth: int = 4,
@@ -137,6 +150,16 @@ def cms_heavy_hitters(df: DataFrame, cms: DataFrame,
             .filter(F.col("est_count") >= min_count))
 
 
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Union count-min sketches built with the SAME (width, depth):
+    counters ADD, so merge == rebuild over the concatenated inputs
+    exactly (count-min is a linear sketch)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "col").agg(F.sum("n").alias("n"))
+
+
 # ----------------------------------------------------------- HyperLogLog
 def build_hll(df: DataFrame, key_col: str = "text",
               p: int = 12) -> DataFrame:
@@ -166,6 +189,16 @@ def build_hll(df: DataFrame, key_col: str = "text",
         F.lit(rem_bits) - F.length(F.expr("bin(suffix)")) + F.lit(1))
     return (splits.select("bucket", rank.alias("rank"))
             .groupBy("bucket").agg(F.max("rank").alias("max_rank")))
+
+
+def hll_merge(*hlls: DataFrame) -> DataFrame:
+    """Union HLL register tables built with the SAME p: registers take
+    the max, so merge == rebuild over the concatenated inputs exactly
+    (HLL's defining property)."""
+    out = hlls[0]
+    for h in hlls[1:]:
+        out = out.unionByName(h)
+    return out.groupBy("bucket").agg(F.max("max_rank").alias("max_rank"))
 
 
 def hll_cardinality(hll: DataFrame, p: int = 12) -> float:

@@ -13,23 +13,46 @@ Per micro-batch (foreachBatch):
   1. in-batch exact dedup on the key (the bloom can only see PRIOR
      batches),
   2. filter against the current bloom (definitely-new survivors),
-  3. append survivors to the output store,
-  4. fold the survivors' positions into the bloom (union + bit_or —
-     sketches are DataFrames, so accretion is the same aggregation as
-     construction) and publish it with write-temp + atomic rename.
+  3. ADMIT survivors through a MANIFEST COMMIT on the output store
+     (spatial_spark.manifest): the new part files and the stream-epoch
+     marker publish in ONE atomic CAS rename, so a crash anywhere in
+     the batch leaves either "epoch fully admitted" or "epoch not
+     admitted, orphan files invisible to manifest readers" — never the
+     duplicate-replay window the old separate marker file had
+     (ADVICE r7),
+  4. fold the survivors' positions into the bloom (union + bit_or)
+     and publish it with write-temp + atomic rename, tagged with the
+     epoch it reflects.
 
-Replay safety mirrors streaming/ingest.py: an epoch-marker log keyed
-by the Hadoop-qualified checkpoint URI makes at-least-once replays
-idempotent — a replayed epoch whose marker exists skips entirely.
+The bloom is a CACHE of the committed store: if a crash lands between
+the manifest publish and the bloom swap, the next batch sees the tag
+lag the store's epoch and rebuilds the bloom exactly from the admitted
+rows — no key ever re-admits and no row is silently dropped.
+
+Reading the output: ``read_admitted(spark, out_path)`` resolves the
+manifest (exactly-once even across crashes).  A raw directory read
+matches it in crash-free runs but may additionally see orphan files
+from an interrupted batch (gc-able via Manifest.gc()).
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def read_admitted(spark: SparkSession, out_path: str):
+    """The admitted rows per the CURRENT manifest snapshot (None when
+    nothing has committed yet)."""
+    from ..manifest import Manifest
+    files = Manifest(out_path).files()
+    if not files:
+        return None
+    return spark.read.parquet(*files)
 
 
 def stream_dedup_with_bloom(stream_df: DataFrame, out_path: str,
@@ -39,21 +62,20 @@ def stream_dedup_with_bloom(stream_df: DataFrame, out_path: str,
                             available_now: bool = True):
     """Start the bloom-dedup stream; returns the StreamingQuery.
 
-    ``out_path`` accretes the admitted rows (parquet appends);
-    ``bloom_path`` holds the current bitmap (atomically swapped each
-    batch).  Determinism: positions are md5 arithmetic, so which rows
-    are admitted is exactly reproducible — pinned against a Python
-    replay in tests."""
+    ``out_path`` accretes the admitted rows (manifest-committed parquet
+    appends); ``bloom_path`` holds the current bitmap (atomically
+    swapped each batch, epoch-tagged).  Determinism: positions are md5
+    arithmetic, so which rows are admitted is exactly reproducible —
+    pinned against a Python replay in tests."""
     import hashlib
 
+    from ..manifest import Manifest
     from ..operators.sketch import bloom_filter_new, build_bloom
 
     spark = stream_df.sparkSession
-    # marker key = the HADOOP-QUALIFIED checkpoint URI (same rationale
-    # as streaming/ingest.py: a relative path restarted from another
-    # cwd must not change the key).  The marker writes and the bloom
-    # swap below are local-fs ops — on a remote store, route them
-    # through spatial_spark.manifest (the commit seam) instead.
+    # epoch-marker key = the HADOOP-QUALIFIED checkpoint URI (same
+    # rationale as streaming/ingest.py: a relative path restarted from
+    # another cwd must not change the key)
     try:
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()
@@ -62,20 +84,52 @@ def stream_dedup_with_bloom(stream_df: DataFrame, out_path: str,
     except Exception:
         ckpt_id = os.path.abspath(checkpoint)
     ckpt_key = hashlib.md5(ckpt_id.encode()).hexdigest()[:12]
-    log_dir = bloom_path + "_epochs/" + ckpt_key
+    tag_path = bloom_path + "_epoch.json"
+
+    def bloom_tag() -> int:
+        try:
+            with open(tag_path) as fh:
+                return int(json.load(fh)["epoch"])
+        except (OSError, ValueError, KeyError):
+            return -1
+
+    def publish_bloom(df, epoch_id: int) -> None:
+        tmp = bloom_path + ".tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        old = bloom_path + ".old"
+        if os.path.exists(bloom_path):
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(bloom_path, old)
+        os.rename(tmp, bloom_path)
+        shutil.rmtree(old, ignore_errors=True)
+        ttmp = tag_path + ".tmp"
+        with open(ttmp, "w") as fh:
+            json.dump({"epoch": int(epoch_id)}, fh)
+        os.rename(ttmp, tag_path)
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        marker = os.path.join(log_dir, f"epoch-{epoch_id}")
-        if os.path.exists(marker):
-            return  # replayed epoch: already admitted + folded
+        man = Manifest(out_path)
+        meta = man.current_meta()
+        last = int(meta.get("stream_epochs", {}).get(ckpt_key, -1))
+        if epoch_id <= last:
+            return  # replayed epoch: its admit already committed
         if batch_df.isEmpty():
             return
+        # bloom freshness: the tag must match the store's last epoch;
+        # a crash between manifest publish and bloom swap leaves it
+        # behind — rebuild EXACTLY from the admitted rows
+        files = man.files()
+        if last >= 0 and files and bloom_tag() != last:
+            admitted = spark.read.parquet(*files)
+            publish_bloom(
+                build_bloom(admitted, key_col=key_col,
+                            m_bits=m_bits, k=k), last)
+        have_bloom = os.path.exists(bloom_path)
         # 1. in-batch exact dedup (min id per key — deterministic)
         w_keys = (batch_df.groupBy(key_col)
                   .agg(F.min(id_col).alias(id_col)))
         batch = batch_df.join(w_keys, [key_col, id_col], "left_semi")
         # 2. filter against the prior bloom
-        have_bloom = os.path.exists(bloom_path)
         if have_bloom:
             bloom = spark.read.parquet(bloom_path)
             new = bloom_filter_new(batch, bloom, key_col=key_col,
@@ -84,28 +138,39 @@ def stream_dedup_with_bloom(stream_df: DataFrame, out_path: str,
             new = batch
         new = new.persist()
         try:
-            # 3. admit survivors
-            new.write.mode("append").parquet(out_path)
-            # 4. fold their positions into the bloom and publish
+            # 3. admit survivors atomically WITH the epoch marker: part
+            # files move in first (invisible orphans until publish),
+            # then one manifest CAS carries files + stream_epochs
+            tmp = out_path + f".epoch{epoch_id}.tmp"
+            new.write.mode("overwrite").parquet(tmp)
+            os.makedirs(out_path, exist_ok=True)
+            moved = []
+            for p in os.listdir(tmp):
+                if p.startswith("part-"):
+                    name = f"part-e{epoch_id}-{p[5:]}"
+                    shutil.move(os.path.join(tmp, p),
+                                os.path.join(out_path, name))
+                    moved.append(name)
+            shutil.rmtree(tmp, ignore_errors=True)
+            with man.lock() as lk:
+                cur = man.current()
+                live = cur[1] if cur else []
+                epochs = dict(man.current_meta().get("stream_epochs", {}))
+                epochs[ckpt_key] = int(epoch_id)
+                man.commit(sorted(set(live) | set(moved)),
+                           lock_token=lk.token,
+                           meta={"stream_epochs": epochs})
+            # 4. fold survivors into the bloom and publish (crash here
+            # → next batch rebuilds from the store, see above)
             delta = build_bloom(new, key_col=key_col, m_bits=m_bits, k=k)
             if have_bloom:
                 delta = (spark.read.parquet(bloom_path)
                          .unionByName(delta)
                          .groupBy("word").agg(F.expr("bit_or(bits)")
                                               .alias("bits")))
-            tmp = bloom_path + ".tmp"
-            delta.coalesce(1).write.mode("overwrite").parquet(tmp)
-            old = bloom_path + ".old"
-            if os.path.exists(bloom_path):
-                shutil.rmtree(old, ignore_errors=True)
-                os.rename(bloom_path, old)
-            os.rename(tmp, bloom_path)
-            shutil.rmtree(old, ignore_errors=True)
+            publish_bloom(delta, epoch_id)
         finally:
             new.unpersist()
-        os.makedirs(log_dir, exist_ok=True)
-        with open(marker, "w") as fh:
-            fh.write("committed")
 
     writer = (stream_df.writeStream
               .foreachBatch(write_batch)

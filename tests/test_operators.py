@@ -190,6 +190,80 @@ def test_sql_functions_e2e(spark):
     assert row["np"] == 3
 
 
+def test_st_transform_webmercator(spark):
+    """EPSG:4326 ↔ EPSG:3857 (VERDICT r7 ask #7): known fixed points,
+    UDF-vs-SQL-text agreement, per-vertex transform of a holed polygon,
+    cartesian passthrough, and unsupported pairs raising."""
+    import math
+
+    import pytest as _pt
+    from spatial_spark.functions.crs import (MERC_R, merc_forward_sql,
+                                             merc_inverse_sql)
+    register_all(spark)
+    # fixed points: origin, and the mercator domain corner
+    r = spark.sql("""
+        SELECT st_x(st_transform(st_point(0.0D, 0.0D),
+                                 'EPSG:4326', 'EPSG:3857')) AS x0,
+               st_y(st_transform(st_point(0.0D, 0.0D),
+                                 'EPSG:4326', 'EPSG:3857')) AS y0,
+               st_x(st_transform(st_point(180.0D, 0.0D),
+                                 'EPSG:4326', 'EPSG:3857')) AS x180,
+               st_y(st_transform(st_point(0.0D, 85.05112878D),
+                                 'EPSG:4326', 'EPSG:3857')) AS ytop
+    """).collect()[0]
+    assert r["x0"] == 0.0 and r["y0"] == 0.0
+    assert r["x180"] == pytest.approx(MERC_R * math.pi, rel=1e-12)
+    # the mercator square: y(85.05112878°) == x(180°)
+    assert r["ytop"] == pytest.approx(MERC_R * math.pi, rel=1e-9)
+    # UDF and dual-engine SQL text agree; inverse round-trips
+    fx, fy = merc_forward_sql("lon", "lat")
+    ilon, ilat = merc_inverse_sql(fx, fy)
+    rows = (spark.createDataFrame(
+                [(i * 1.0, -70.0 + i * 7.0) for i in range(20)],
+                "lon double, lat double")
+            .selectExpr("lon", "lat", f"{fx} AS mx", f"{fy} AS my",
+                        f"{ilon} AS rlon", f"{ilat} AS rlat",
+                        "st_x(st_transform(st_point(lon, lat), "
+                        "'EPSG:4326', 'EPSG:3857')) AS ux",
+                        "st_y(st_transform(st_point(lon, lat), "
+                        "'EPSG:4326', 'EPSG:3857')) AS uy")
+            .collect())
+    for row in rows:
+        assert row["ux"] == pytest.approx(row["mx"], abs=1e-6)
+        assert row["uy"] == pytest.approx(row["my"], abs=1e-6)
+        assert row["rlon"] == pytest.approx(row["lon"], abs=1e-9)
+        assert row["rlat"] == pytest.approx(row["lat"], abs=1e-9)
+    # holed polygon: every vertex transforms, rings survive
+    wkt = ("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+           "(2 2, 4 2, 4 4, 2 4, 2 2))")
+    back = spark.sql(f"""
+        SELECT st_astext(st_transform(st_transform(st_geomfromtext('{wkt}'),
+                 'EPSG:4326', 'EPSG:3857'), 'EPSG:3857', 'EPSG:4326')) AS w,
+               st_area(st_transform(st_geomfromtext('{wkt}'),
+                 'EPSG:4326', 'EPSG:3857')) AS a
+    """).collect()[0]
+    from spatial_spark.geom import from_wkt as _fw
+    got = _fw(back["w"])
+    exp = _fw(wkt)
+    import numpy as _np
+    for gr, er in zip(got.data, exp.data):
+        assert _np.abs(_np.asarray(gr) - _np.asarray(er)).max() < 1e-9
+    assert back["a"] > 0
+    # cartesian passthrough is byte-identical; cart↔merc is undefined
+    same = spark.sql("""
+        SELECT st_transform(st_point(3.0D, 4.0D),
+                            'cartesian', 'cartesian') AS g,
+               st_point(3.0D, 4.0D) AS p
+    """).collect()[0]
+    assert bytes(same["g"]) == bytes(same["p"])
+    with _pt.raises(Exception):
+        spark.sql("SELECT st_transform(st_point(0.0D, 0.0D), "
+                  "'cartesian', 'EPSG:3857')").collect()
+    with _pt.raises(Exception):
+        spark.sql("SELECT st_transform(st_point(0.0D, 0.0D), "
+                  "'EPSG:32633', 'EPSG:4326')").collect()
+
+
 def test_st_dump_and_points_explode(spark):
     register_all(spark)
     df = spark.sql("""

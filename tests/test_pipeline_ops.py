@@ -2226,6 +2226,78 @@ def test_hll_registers_and_estimate(spark):
     assert abs(est - n) / n < 0.1   # ~3.3% std error at p=10
 
 
+def test_sketch_merge_equals_rebuild_and_roundtrip(spark, tmp_path):
+    """Sketch lifecycle (VERDICT r7 ask #8): for all three sketches,
+    merging per-run sketches equals rebuilding over the concatenated
+    corpus on md5-exact positions, and the merge survives a parquet
+    persist/reload round-trip."""
+    from spatial_spark.operators.sketch import (bloom_merge, build_bloom,
+                                                build_cms, build_hll,
+                                                cms_merge, hll_merge)
+    runs = [
+        spark.createDataFrame([(f"r{r}k{i % 7}",) for i in range(25)],
+                              "text string")
+        for r in range(3)]
+    both = runs[0]
+    for r in runs[1:]:
+        both = both.unionByName(r)
+    m_bits, k = 512, 3
+
+    def rows(df):
+        return {tuple(r) for r in df.collect()}
+
+    # bloom: merge == rebuild, and through parquet
+    parts = [build_bloom(r, key_col="text", m_bits=m_bits, k=k)
+             for r in runs]
+    for i, p_ in enumerate(parts):
+        p_.write.mode("overwrite").parquet(str(tmp_path / f"bl{i}"))
+    reread = [spark.read.parquet(str(tmp_path / f"bl{i}"))
+              for i in range(3)]
+    assert rows(bloom_merge(*reread)) == \
+        rows(build_bloom(both, key_col="text", m_bits=m_bits, k=k))
+    # count-min: linear sketch, counters add
+    cparts = [build_cms(r, key_col="text", width=64, depth=3)
+              for r in runs]
+    assert rows(cms_merge(*cparts)) == \
+        rows(build_cms(both, key_col="text", width=64, depth=3))
+    # hll: registers take max
+    hparts = [build_hll(r, key_col="text", p=6) for r in runs]
+    assert rows(hll_merge(*hparts)) == \
+        rows(build_hll(both, key_col="text", p=6))
+
+
+def test_dedup_against_bloom_prepass(spark):
+    """dedup_against's incremental path: a Bloom of the reference's
+    exact texts drops verbatim repeats map-only, and the final survivor
+    set matches the non-bloom run (no false positives at this size —
+    the bloom only removes rows the signature stage would drop too)."""
+    from spatial_spark.operators.dedup import dedup_against
+    from spatial_spark.operators.sketch import build_bloom
+    ref = spark.createDataFrame(
+        [(i, f"the quick brown fox jumps over dog number {i} "
+             f"again and again and again") for i in range(20)],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        # 5 verbatim repeats of ref, 5 near-dups (one word changed),
+        # 10 genuinely new
+        [(100 + i, f"the quick brown fox jumps over dog number {i} "
+                   f"again and again and again") for i in range(5)]
+        + [(200 + i, f"the quick brown fox jumps over dog number {i} "
+                     f"again and again and AGAIN") for i in range(5)]
+        + [(300 + i, f"completely unrelated document about topic {i} "
+                     f"with plenty of distinct words {i * 17}")
+           for i in range(10)],
+        "doc_id long, text string")
+    bloom = build_bloom(ref, key_col="text", m_bits=1 << 14, k=5)
+    base = {r["doc_id"] for r in
+            dedup_against(corpus, ref, threshold=0.5).collect()}
+    inc = {r["doc_id"] for r in
+           dedup_against(corpus, ref, threshold=0.5, ref_bloom=bloom,
+                         bloom_m_bits=1 << 14, bloom_k=5).collect()}
+    assert inc == base
+    assert all(d >= 300 for d in base)   # verbatim + near-dups gone
+
+
 def test_stream_bloom_dedup_matches_model(spark, tmp_path):
     """Cross-batch Bloom dedup stream vs an exact Python replay: the
     admitted set (first occurrence wins, minus exactly the model's
@@ -2285,3 +2357,77 @@ def test_stream_bloom_dedup_matches_model(spark, tmp_path):
     assert len(got) < sum(len(b) for b in batches)
     admitted_keys = {kk for _, kk in got}
     assert len(admitted_keys) == len(got)   # one admit per key ever
+
+
+def test_stream_bloom_dedup_crash_replay_exactly_once(spark, tmp_path,
+                                                      monkeypatch):
+    """ADVICE r7: the admit + epoch marker publish atomically through
+    the manifest, so a batch that crashes AFTER its part files moved in
+    but BEFORE the manifest publish replays without duplicating — the
+    moved files are orphans invisible to manifest readers, and gc()
+    reclaims them."""
+    import os as _os
+    import time as _time
+
+    from spatial_spark.manifest import Manifest
+    from spatial_spark.streaming.sketches import (read_admitted,
+                                                  stream_dedup_with_bloom)
+    batches = [[(i, f"k{i}") for i in range(10)],
+               [(100 + i, f"k{i + 5}") for i in range(10)]]  # 5 repeats
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    for b, rows in enumerate(batches):
+        (spark.createDataFrame(rows, schema).coalesce(1)
+         .write.parquet(str(src / f"b{b}")))
+    now = _time.time()
+    for b in range(2):
+        d = src / f"b{b}"
+        for f in _os.listdir(d):
+            _os.utime(_os.path.join(d, f), (now + 60 * b - 300,) * 2)
+    out, bloom, ckpt = (str(tmp_path / n) for n in ("out", "bloom", "ck"))
+
+    real_commit = Manifest.commit
+    state = {"commits": 0}
+
+    def dying_commit(self, files, base_epoch=None, lock_token=None,
+                     meta=None):
+        state["commits"] += 1
+        if state["commits"] == 2:     # second batch: crash pre-publish
+            raise RuntimeError("injected crash before manifest publish")
+        return real_commit(self, files, base_epoch,
+                           lock_token=lock_token, meta=meta)
+
+    def start():
+        return stream_dedup_with_bloom(
+            (spark.readStream.schema(schema)
+             .option("maxFilesPerTrigger", 1).parquet(str(src) + "/b*")),
+            out, bloom, ckpt, m_bits=1 << 16, k=3)
+
+    monkeypatch.setattr(Manifest, "commit", dying_commit)
+    import pytest as _pytest
+    q = start()
+    with _pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+        q.processAllAvailable()
+    monkeypatch.undo()
+    # epoch 0 committed; epoch 1's files are invisible orphans
+    man = Manifest(out)
+    assert len(man.current()[1]) >= 1
+    orphans = {f for f in _os.listdir(out)
+               if f.startswith("part-")} - set(man.current()[1])
+    assert orphans, "crashed batch should have left orphan part files"
+    # restart: the failed epoch replays and admits exactly once
+    q2 = start()
+    q2.awaitTermination(120)
+    rows = read_admitted(spark, out).collect()
+    got = {(r["doc_id"], r["text"]) for r in rows}
+    exp = {(i, f"k{i}") for i in range(10)}
+    exp |= {(100 + i, f"k{i + 5}") for i in range(5, 10)}   # k10..k14 new
+    assert got == exp
+    assert len({t for _, t in got}) == len(got)
+    # orphans stay invisible; gc reclaims them and the dir converges
+    man.gc()
+    dir_rows = {(r["doc_id"], r["text"])
+                for r in spark.read.parquet(out).collect()}
+    assert dir_rows == exp
