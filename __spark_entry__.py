@@ -1329,77 +1329,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return run
 
     # Dict ORDER is part of the driver contract: the driver's correctness
-    # gate checks the first 50 registered entries.  r7 rotation (VERDICT
-    # r6 ask #1): promote the 35 entries that sat OUTSIDE the r6 window
-    # (newest driver row r5 for all of them — the oldest rows in the
-    # registry), then the SIX queries NEW in r7 (bpe_apply and
-    # pipeline_e2e — the last never-oracled operators, VERDICT r6 ask
-    # #2 — plus media_jpeg, the real-JPEG-decode gate, and the sketch
-    # family bloom_dedup / cms_hitters / hll_registers), then 9
-    # r6-row holders to
-    # fill the window.  The 41 entries now outside all hold green r6
-    # driver rows (1 round old at r7), and every entry keeps its
-    # local-gate oracle (tools/check_correctness runs ALL entries).
-    # r8 rotation plan: demote this head, promote the 41 outside
-    # (oldest driver row first: the 32 r6-row holders, then the 9
-    # fill entries once their r7 rows land) — keeping every entry's
-    # newest driver row at most two rounds old.
+    # gate checks the first 50 registered entries.  r8 rotation (VERDICT
+    # r7 ask #1, executed as written): promote the 41 entries that sat
+    # OUTSIDE the r7 window (newest driver row r6 for all of them — the
+    # oldest rows in the registry), plus the TWO queries NEW in r8
+    # (cql2 — ECQL tier 2, VERDICT r7 ask #6 — and st_transform_merc —
+    # CRS reprojection, ask #7 — both needing first driver rows), then
+    # 7 of the 9 r7 fill entries to complete the window.  The 43
+    # entries now outside all hold green r7 driver rows (1 round old at
+    # r8), and every entry keeps its local-gate oracle
+    # (tools/check_correctness runs ALL entries).
+    # r9 rotation plan: demote this head, promote the 43 outside
+    # (all r7-row holders, 2 rounds old by r9 — promote every one of
+    # them; the window is 50, so 7 of this head's entries stay a second
+    # round — pick the 7 whose r8 rows land last in this file's order)
+    # — keeping every entry's newest driver row at most two rounds old.
     return {name: wrap(fn) for name, fn in {
-        # --- r5-row veterans returning to the window (16) ---
-        "quality_scores": _q_quality,
-        "lang_id": _q_lang_id,
-        "knn_cosine": _q_knn_cosine,
-        "events_daily": _q_events_daily,
-        "st_intersection_area": _q_st_intersection_area,
-        "st_union_area": _q_st_union_area,
-        "relate_classes": _q_relate_classes,
-        "st_buffer_area": _q_st_buffer_area,
-        "sessionize": _q_sessionize,
-        "dynamic_view": _q_dynamic_view,
-        "minhash_pairs": _q_minhash_pairs,
-        "simhash_pairs": _q_simhash_pairs,
-        "density_islands": _q_density_islands,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "dedup_clusters": _q_dedup_clusters,
-        "tf_idf": _q_tf_idf,
-        # --- r5 first-timers returning to the window (19) ---
-        "gopher_rules": _q_gopher_rules,
-        "mixture_weights": _q_mixture_weights,
-        "pack_sequences": _q_pack_sequences,
-        "paragraph_dedup": _q_paragraph_dedup,
-        "semantic_dedup": _q_semantic_dedup,
-        "ivf_knn": _q_ivf_knn,
-        "media_features": _q_media_features,
-        "media_histogram": _q_media_histogram,
-        "event_transitions": _q_event_transitions,
-        "repetition": _q_repetition,
-        "knn_join": _q_knn_join,
-        "asof_join": _q_asof_join,
-        "range_join": _q_range_join,
-        "bm25": _q_bm25,
-        "path_length": _q_path_length,
-        "pii_scrub": _q_pii_scrub,
-        "stratified_sample": _q_stratified_sample,
-        "boilerplate": _q_boilerplate,
-        "contamination": _q_contamination,
-        # --- NEW in r7: first driver row ---
-        "bpe_apply": _q_bpe_apply,
-        "pipeline_e2e": _q_pipeline_e2e,
-        "media_jpeg": _q_media_jpeg,
-        "bloom_dedup": _q_bloom_dedup,
-        "cms_hitters": _q_cms_hitters,
-        "hll_registers": _q_hll_registers,
-        # --- fill to 50 (these also hold green r6 rows) ---
-        "geohash": _q_geohash,
-        "keep_max": _q_keep_max,
-        "fingerprint": _q_fingerprint,
-        "st_difference_area": _q_st_difference_area,
-        "st_buffer_lines": _q_st_buffer_lines,
-        "spatial_join_grid": _q_spatial_join_grid,
-        "st_centroid_rects": _q_st_centroid_rects,
-        "path_envelope": _q_path_envelope,
-        "property_paging": _q_property_paging,
-        # --- rotated out this round: all hold green r6 driver rows ---
+        # --- r6-row holders returning to the window (41) + the two
+        # --- NEW r8 gates (cql2, st_transform_merc) in file order ---
         "tpch_q1": _q_tpch_q1,
         "dedup_groups": _q_dedup_groups,
         "token_counts": _q_token_counts,
@@ -1443,6 +1390,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_transform_merc": _q_st_transform_merc,
         "revenue_by_nation": _q_revenue_by_nation,
         "dedup_exact": _q_dedup_exact,
+        # --- fill to 50 (these also hold green r7 rows) ---
+        "geohash": _q_geohash,
+        "keep_max": _q_keep_max,
+        "fingerprint": _q_fingerprint,
+        "st_difference_area": _q_st_difference_area,
+        "st_buffer_lines": _q_st_buffer_lines,
+        "spatial_join_grid": _q_spatial_join_grid,
+        "st_centroid_rects": _q_st_centroid_rects,
+        # --- rotated out this round: all hold green r7 driver rows ---
+        "quality_scores": _q_quality,
+        "lang_id": _q_lang_id,
+        "knn_cosine": _q_knn_cosine,
+        "events_daily": _q_events_daily,
+        "st_intersection_area": _q_st_intersection_area,
+        "st_union_area": _q_st_union_area,
+        "relate_classes": _q_relate_classes,
+        "st_buffer_area": _q_st_buffer_area,
+        "sessionize": _q_sessionize,
+        "dynamic_view": _q_dynamic_view,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "density_islands": _q_density_islands,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
+        "tf_idf": _q_tf_idf,
+        "gopher_rules": _q_gopher_rules,
+        "mixture_weights": _q_mixture_weights,
+        "pack_sequences": _q_pack_sequences,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "semantic_dedup": _q_semantic_dedup,
+        "ivf_knn": _q_ivf_knn,
+        "media_features": _q_media_features,
+        "media_histogram": _q_media_histogram,
+        "event_transitions": _q_event_transitions,
+        "repetition": _q_repetition,
+        "knn_join": _q_knn_join,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
+        "bm25": _q_bm25,
+        "path_length": _q_path_length,
+        "pii_scrub": _q_pii_scrub,
+        "stratified_sample": _q_stratified_sample,
+        "boilerplate": _q_boilerplate,
+        "contamination": _q_contamination,
+        "bpe_apply": _q_bpe_apply,
+        "pipeline_e2e": _q_pipeline_e2e,
+        "media_jpeg": _q_media_jpeg,
+        "bloom_dedup": _q_bloom_dedup,
+        "cms_hitters": _q_cms_hitters,
+        "hll_registers": _q_hll_registers,
+        "path_envelope": _q_path_envelope,
+        "property_paging": _q_property_paging,
     }.items()}
 
 

@@ -102,6 +102,63 @@ def test_within_distance_join_high_lat_and_antimeridian(ctx, spark):
     assert got == want
 
 
+def test_within_distance_and_knn_join_polar_band(ctx, spark):
+    """VERDICT r7 ask #9: the pole-adjacent branch — bands whose
+    worst-case latitude reaches 90° collapse to ONE 360° lon cell
+    (join.py lon_cell_width least(w, 360)); pin pair-set equality vs an
+    exact brute-force model on a fixture dense around both poles,
+    including antimeridian straddles, and the knn_join ranking on top
+    of those candidates."""
+    import math
+
+    from spatial_spark.operators.join import knn_join
+
+    def sphere_km(lo1, la1, lo2, la2):
+        return 6371.0 * math.acos(min(1.0, max(-1.0,
+            math.sin(math.radians(la1)) * math.sin(math.radians(la2))
+            + math.cos(math.radians(la1)) * math.cos(math.radians(la2))
+            * math.cos(math.radians(lo2 - lo1)))))
+
+    # 40 probes / 50 candidates packed into the polar caps (|lat| > 83),
+    # lons spread over the full circle so the collapsed 360° cell is load-
+    # bearing; a few rows exactly AT the poles
+    a_rows = ([(i, float((i * 71) % 360 - 180),
+                83.2 + (i * 13 % 65) / 10.0) for i in range(18)]
+              + [(50 + i, float((i * 47 + 3) % 360 - 180),
+                  -83.2 - (i * 11 % 65) / 10.0) for i in range(18)]
+              + [(90, 0.0, 90.0), (91, 120.0, -90.0),
+                 (92, -179.95, 86.0), (93, 179.95, -86.0)])
+    b_rows = ([(100 + i, float((i * 59 + 7) % 360 - 180),
+                83.1 + (i * 17 % 66) / 10.0) for i in range(22)]
+              + [(200 + i, float((i * 31 + 5) % 360 - 180),
+                  -83.1 - (i * 19 % 66) / 10.0) for i in range(22)]
+              + [(300, 45.0, 89.9), (301, -45.0, -89.9),
+                 (302, 179.9, 86.1), (303, -179.9, -86.1)])
+    la = _encoded(ctx, spark, "pol_a", a_rows,
+                  "id long, lon double, lat double")
+    lb = _encoded(ctx, spark, "pol_b", b_rows,
+                  "id long, lon double, lat double")
+    km = 300.0
+    got = sorted((r["a_id"], r["b_id"]) for r in
+                 within_distance_join(la.df(), lb.df(), km=km).collect())
+    want = sorted((ia, ib) for ia, xa, ya in a_rows for ib, xb, yb in b_rows
+                  if sphere_km(xa, ya, xb, yb) <= km)
+    assert got == want and len(want) > 50
+    # knn on the same fixture vs the model's per-probe ranking
+    kk = 3
+    res = knn_join(la.df(), lb.df(), k=kk, radius_km=km)
+    got_knn = sorted((r["a_id"], r["b_id"], r["knn_rank"])
+                     for r in res.collect())
+    want_knn = []
+    for ia, xa, ya in a_rows:
+        cand = sorted(((sphere_km(xa, ya, xb, yb), ib)
+                       for ib, xb, yb in b_rows
+                       if sphere_km(xa, ya, xb, yb) <= km))
+        want_knn += [(ia, ib, r + 1) for r, (_, ib) in
+                     enumerate(cand[:kk])]
+    assert got_knn == sorted(want_knn)
+
+
 def test_within_distance_join_is_equi_join(ctx, spark):
     la = _encoded(ctx, spark, "weq_a", [(1, 0.0, 0.0)], "id long, lon double, lat double")
     lb = _encoded(ctx, spark, "weq_b", [(2, 1.0, 1.0)], "id long, lon double, lat double")
