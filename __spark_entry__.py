@@ -1204,6 +1204,24 @@ def _q_dedup_against(spark, sf_dir) -> DataFrame:
             .select("doc_id"))
 
 
+def _q_dedup_against_inc(spark, sf_dir) -> DataFrame:
+    """dedup_against through its incremental path (VERDICT r7 ask #8):
+    a Bloom of the reference's exact texts pre-drops verbatim repeats
+    map-only (broadcast bitmap, no signature work for them), then the
+    banded minhash stage scrubs the survivors.  The oracle reproduces
+    the bloom exactly — positions are md5 arithmetic — so even its
+    false positives hash-match."""
+    from spatial_spark.operators.dedup import dedup_against
+    from spatial_spark.operators.sketch import build_bloom
+    docs = spark.table("documents")
+    ref = (docs.filter(F.col("doc_id") % 97 == 0)
+           .selectExpr("doc_id AS bench_id", "text"))
+    bloom = build_bloom(ref, key_col="text", m_bits=4096, k=3)
+    return (dedup_against(docs, ref, ref_id_col="bench_id",
+                          ref_bloom=bloom, bloom_m_bits=4096, bloom_k=3)
+            .select("doc_id"))
+
+
 def _q_vocab_top_k(spark, sf_dir) -> DataFrame:
     """Top-50 vocabulary with cumulative occurrence coverage (the
     tokenizer-training precursor); ranking tie-broken by token so both
@@ -1332,10 +1350,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gate checks the first 50 registered entries.  r8 rotation (VERDICT
     # r7 ask #1, executed as written): promote the 41 entries that sat
     # OUTSIDE the r7 window (newest driver row r6 for all of them — the
-    # oldest rows in the registry), plus the TWO queries NEW in r8
-    # (cql2 — ECQL tier 2, VERDICT r7 ask #6 — and st_transform_merc —
-    # CRS reprojection, ask #7 — both needing first driver rows), then
-    # 7 of the 9 r7 fill entries to complete the window.  The 43
+    # oldest rows in the registry), plus the THREE queries NEW in r8
+    # (cql2 — ECQL tier 2, VERDICT r7 ask #6 — st_transform_merc —
+    # CRS reprojection, ask #7 — and dedup_against_inc — the Bloom
+    # incremental path, ask #8 — all needing first driver rows), then
+    # 6 of the 9 r7 fill entries to complete the window.  The 43
     # entries now outside all hold green r7 driver rows (1 round old at
     # r8), and every entry keeps its local-gate oracle
     # (tools/check_correctness runs ALL entries).
@@ -1390,6 +1409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_transform_merc": _q_st_transform_merc,
         "revenue_by_nation": _q_revenue_by_nation,
         "dedup_exact": _q_dedup_exact,
+        # --- NEW r8 gate: the incremental dedup_against path ---
+        "dedup_against_inc": _q_dedup_against_inc,
         # --- fill to 50 (these also hold green r7 rows) ---
         "geohash": _q_geohash,
         "keep_max": _q_keep_max,
@@ -1397,8 +1418,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_difference_area": _q_st_difference_area,
         "st_buffer_lines": _q_st_buffer_lines,
         "spatial_join_grid": _q_spatial_join_grid,
-        "st_centroid_rects": _q_st_centroid_rects,
         # --- rotated out this round: all hold green r7 driver rows ---
+        "st_centroid_rects": _q_st_centroid_rects,
         "quality_scores": _q_quality,
         "lang_id": _q_lang_id,
         "knn_cosine": _q_knn_cosine,
@@ -1866,6 +1887,61 @@ def _dedup_against_oracle_sql(num_perm: int = 64, k: int = 5,
         ON CAST(({matches}) AS DOUBLE) / {float(num_perm)} >= {threshold})
     SELECT d.doc_id FROM documents d
     WHERE d.doc_id NOT IN (SELECT doc_id FROM hits)"""
+
+
+def _md5_pos_sql(arg: str, mod: int) -> str:
+    """The sketch position function (operators/sketch._md5_pos) in SQL:
+    top 15 hex chars of md5(arg) as a 60-bit integer, mod ``mod`` —
+    exact nibble arithmetic, same in Spark SQL and DuckDB."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({arg}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (14 - i)}" for i in range(15))
+    return f"(({terms}) % {mod})"
+
+
+def _dedup_against_inc_oracle_sql(num_perm: int = 64, k: int = 5,
+                                  threshold: float = 0.8,
+                                  m_bits: int = 4096,
+                                  bloom_k: int = 3) -> str:
+    """dedup_against with the INCREMENTAL Bloom pre-pass (VERDICT r7
+    ask #8): the reference slice's exact texts populate a Bloom filter
+    (position set == set bits, md5-exact in SQL), corpus docs whose
+    every probe position is set drop map-only, and the minhash stage
+    runs on the survivors.  Final survivors = not bloom-seen AND not a
+    near-dup hit — byte-identical to the Spark path including the
+    bloom's false positives, because membership is pure md5
+    arithmetic."""
+    pos = _md5_pos_sql("text || ':' || CAST(s AS VARCHAR)", m_bits)
+    matches = _sig_matches(num_perm)
+    corpus = _minhash_sig_ctes(
+        num_perm, k,
+        "SELECT doc_id, text FROM documents "
+        "WHERE doc_id NOT IN (SELECT doc_id FROM bloom_seen)", "c_")
+    ref = _minhash_sig_ctes(
+        num_perm, k,
+        "SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0", "r_")
+    return f"""WITH salts AS (
+      SELECT unnest(generate_series(0, {bloom_k - 1})) AS s),
+    inc_ref_pos AS (
+      SELECT DISTINCT {pos} AS pos
+      FROM documents CROSS JOIN salts WHERE doc_id % 97 = 0),
+    inc_probe AS (
+      SELECT doc_id, {pos} AS pos FROM documents CROSS JOIN salts),
+    bloom_seen AS (
+      SELECT doc_id FROM (
+        SELECT p.doc_id,
+               min(CASE WHEN r.pos IS NOT NULL THEN 1 ELSE 0 END) AS m
+        FROM inc_probe p LEFT JOIN inc_ref_pos r ON p.pos = r.pos
+        GROUP BY p.doc_id) WHERE m = 1),
+    {corpus},
+    {ref},
+    hits AS (
+      SELECT DISTINCT a.doc_id
+      FROM c_sig a JOIN r_sig b
+        ON CAST(({matches}) AS DOUBLE) / {float(num_perm)} >= {threshold})
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM bloom_seen)
+      AND d.doc_id NOT IN (SELECT doc_id FROM hits)"""
 
 
 def _bpe_oracle_sql(merges) -> str:
@@ -2579,6 +2655,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_counts": _tile_counts_oracle_sql(),
         "dsir_weights": _dsir_oracle_sql(),
         "dedup_against": _dedup_against_oracle_sql(),
+        "dedup_against_inc": _dedup_against_inc_oracle_sql(),
         "bpe_apply": _bpe_oracle_sql(_BPE_MERGES),
         "media_jpeg": """
             WITH items AS (SELECT unnest(generate_series(0, 31)) AS i),
