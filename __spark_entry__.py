@@ -937,6 +937,33 @@ def _q_media_jpeg(spark, sf_dir) -> DataFrame:
                     F.round("mean_intensity", 6).alias("mean_intensity")))
 
 
+def _q_media_gif(spark, sf_dir) -> DataFrame:
+    """REAL GIF decode on the hard gate (r8): deterministic two-tone
+    payloads (left w//2 columns = v, rest = u) written by the numpy GIF
+    encoder and decoded by the LZW decoder via
+    decode_features(decoder='real').  GIF is LOSSLESS, so the decoded
+    mean intensity is the exact rational (wA*v + (w-wA)*u) / w —
+    closed-form in SQL with no quantizer modeling at all (the
+    complement of media_jpeg's DC round-trip)."""
+    import numpy as np
+    from spatial_spark.operators.codecs import encode_gif
+    from spatial_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                    decode_features)
+    rows = []
+    for i in range(32):
+        v, u = (i * 37) % 256, (i * 91 + 13) % 256
+        w, h = 6 + (i % 5) * 3, 4 + (i % 3) * 5
+        img = np.zeros((h, w, 3), dtype=np.uint8)
+        img[:, :w // 2] = v
+        img[:, w // 2:] = u
+        rows.append((i, bytearray(encode_gif(img)),
+                     "image", "gif", w, h, None))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return (decode_features(df, decoder="real")
+            .select("media_id", "decoded_w", "decoded_h",
+                    F.round("mean_intensity", 6).alias("mean_intensity")))
+
+
 def _q_media_histogram(spark, sf_dir) -> DataFrame:
     """16-bin intensity histograms from the fake decoder, exploded to
     (media_id, bin, n) rows — bin membership is v // 16, recomputable."""
@@ -1350,11 +1377,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gate checks the first 50 registered entries.  r8 rotation (VERDICT
     # r7 ask #1, executed as written): promote the 41 entries that sat
     # OUTSIDE the r7 window (newest driver row r6 for all of them — the
-    # oldest rows in the registry), plus the THREE queries NEW in r8
+    # oldest rows in the registry), plus the FOUR queries NEW in r8
     # (cql2 — ECQL tier 2, VERDICT r7 ask #6 — st_transform_merc —
-    # CRS reprojection, ask #7 — and dedup_against_inc — the Bloom
-    # incremental path, ask #8 — all needing first driver rows), then
-    # 6 of the 9 r7 fill entries to complete the window.  The 43
+    # CRS reprojection, ask #7 — dedup_against_inc — the Bloom
+    # incremental path, ask #8 — and media_gif — lossless GIF decode
+    # on the hard gate — all needing first driver rows), then
+    # 5 of the 9 r7 fill entries to complete the window.  The 44
     # entries now outside all hold green r7 driver rows (1 round old at
     # r8), and every entry keeps its local-gate oracle
     # (tools/check_correctness runs ALL entries).
@@ -1409,16 +1437,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_transform_merc": _q_st_transform_merc,
         "revenue_by_nation": _q_revenue_by_nation,
         "dedup_exact": _q_dedup_exact,
-        # --- NEW r8 gate: the incremental dedup_against path ---
+        # --- NEW r8 gates: incremental dedup_against, real GIF decode ---
         "dedup_against_inc": _q_dedup_against_inc,
+        "media_gif": _q_media_gif,
         # --- fill to 50 (these also hold green r7 rows) ---
         "geohash": _q_geohash,
         "keep_max": _q_keep_max,
         "fingerprint": _q_fingerprint,
         "st_difference_area": _q_st_difference_area,
         "st_buffer_lines": _q_st_buffer_lines,
-        "spatial_join_grid": _q_spatial_join_grid,
         # --- rotated out this round: all hold green r7 driver rows ---
+        "spatial_join_grid": _q_spatial_join_grid,
         "st_centroid_rects": _q_st_centroid_rects,
         "quality_scores": _q_quality,
         "lang_id": _q_lang_id,
@@ -2672,6 +2701,18 @@ def oracle_sql() -> dict[str, str]:
                        round(dcq * 3.0 / 8.0 + 128.0), 0.0), 255.0), 6)
                      AS mean_intensity
             FROM dc
+        """,
+        "media_gif": """
+            WITH items AS (SELECT unnest(generate_series(0, 31)) AS i),
+            vals AS (
+              SELECT i, (i * 37) % 256 AS v, (i * 91 + 13) % 256 AS u,
+                     6 + (i % 5) * 3 AS w, 4 + (i % 3) * 5 AS h
+              FROM items)
+            SELECT CAST(i AS BIGINT) AS media_id,
+                   CAST(w AS INT) AS decoded_w, CAST(h AS INT) AS decoded_h,
+                   round(CAST((w // 2) * v + (w - w // 2) * u AS DOUBLE)
+                         / w, 6) AS mean_intensity
+            FROM vals
         """,
         "pipeline_e2e": _pipeline_oracle_sql(),
         "hll_registers": """

@@ -764,6 +764,268 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                    255).astype(np.uint8)
 
 
+# --------------------------------------------------------------------- GIF
+# GIF87a/89a (the web-crawl animation/sticker format): palette images
+# with variable-width LZW.  Decoder handles global/local color tables,
+# interlacing, transparency, and multi-frame animations with disposal
+# methods 0-3 (frame sampling for media pipelines); encoder writes a
+# single-frame GIF89a from any image with <= 256 distinct colors
+# (lossless round-trip — quantization is out of scope, callers dither
+# first).  Compatibility-grade throughput like the JPEG codec: the LZW
+# inner loop is python-per-code, fine for the mapInPandas feature seam.
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytearray:
+    """GIF-variant LZW: variable code width starting at
+    min_code_size+1, clear/EOI codes, dictionary capped at 4096."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    table: list = []
+    width = 0
+    prev = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset()
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("GIF: LZW code out of range")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return out
+
+
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF-variant LZW encoder (emits clear up front, EOI at the end,
+    resets the dictionary at 4096 entries)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    run = b""
+    for ix in indices:
+        cand = run + bytes([ix])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        run = bytes([ix])
+    if run:
+        emit(table[run], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def decode_gif(buf: bytes, frame: int = 0) -> np.ndarray:
+    """GIF → (h, w, 3) uint8 of logical-screen frame ``frame``
+    (0-based; frames composite per the disposal method — pass the
+    index a frame-sampling pipeline wants).  Raises IndexError when
+    the animation has fewer frames."""
+    if bytes(buf[:6]) not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    W, H = struct.unpack_from("<HH", buf, 6)
+    packed, bg_ix = buf[10], buf[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(buf, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    if gct is not None and bg_ix < len(gct):
+        canvas = np.tile(gct[bg_ix], (H, W, 1)).astype(np.uint8)
+    else:
+        canvas = np.zeros((H, W, 3), np.uint8)
+    transparent = None
+    disposal = 0
+    frames_seen = 0
+    prev_canvas = canvas.copy()
+    while pos < len(buf):
+        b0 = buf[pos]
+        pos += 1
+        if b0 == 0x3B:                                      # trailer
+            break
+        if b0 == 0x21:                                      # extension
+            label = buf[pos]
+            pos += 1
+            blocks = []
+            while buf[pos]:
+                sz = buf[pos]
+                blocks.append(bytes(buf[pos + 1:pos + 1 + sz]))
+                pos += 1 + sz
+            pos += 1
+            if label == 0xF9 and blocks:                    # graphic control
+                flags, _delay = blocks[0][0], blocks[0][1:3]
+                disposal = (flags >> 2) & 0x7
+                transparent = blocks[0][3] if flags & 1 else None
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"GIF: unexpected block 0x{b0:02x}")
+        x0, y0, w, h = struct.unpack_from("<HHHH", buf, pos)
+        ipacked = buf[pos + 8]
+        pos += 9
+        ct = gct
+        if ipacked & 0x80:                                  # local table
+            n = 2 << (ipacked & 0x07)
+            ct = np.frombuffer(buf, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("GIF: image has no color table")
+        min_code = buf[pos]
+        pos += 1
+        data = bytearray()
+        while buf[pos]:
+            sz = buf[pos]
+            data += buf[pos + 1:pos + 1 + sz]
+            pos += 1 + sz
+        pos += 1
+        ix = np.frombuffer(_lzw_decode(bytes(data), min_code),
+                           np.uint8)[:w * h].reshape(h, w)
+        if ipacked & 0x40:                                  # interlaced
+            de = np.empty_like(ix)
+            rows = (list(range(0, h, 8)) + list(range(4, h, 8))
+                    + list(range(2, h, 4)) + list(range(1, h, 2)))
+            de[np.array(rows, int)] = ix
+            ix = de
+        prev_canvas = canvas.copy()
+        patch = ct[np.minimum(ix, len(ct) - 1)]
+        region = canvas[y0:y0 + h, x0:x0 + w]
+        if transparent is not None:
+            mask = (ix != transparent)[..., None]
+            canvas[y0:y0 + h, x0:x0 + w] = np.where(mask, patch, region)
+        else:
+            canvas[y0:y0 + h, x0:x0 + w] = patch
+        if frames_seen == frame:
+            return canvas.copy()
+        # dispose AFTER presenting, per the animation model
+        if disposal == 2:                                   # restore bg
+            if gct is not None and bg_ix < len(gct):
+                canvas[y0:y0 + h, x0:x0 + w] = gct[bg_ix]
+            else:
+                canvas[y0:y0 + h, x0:x0 + w] = 0
+        elif disposal == 3:                                 # restore prev
+            canvas = prev_canvas
+        frames_seen += 1
+        transparent = None
+        disposal = 0
+    raise IndexError(f"GIF has only {frames_seen} frame(s), "
+                     f"wanted index {frame}")
+
+
+def gif_frame_count(buf: bytes) -> int:
+    """Number of image frames (cheap scan, no LZW work)."""
+    if bytes(buf[:6]) not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    packed = buf[10]
+    pos = 13 + (3 * (2 << (packed & 0x07)) if packed & 0x80 else 0)
+    count = 0
+    while pos < len(buf):
+        b0 = buf[pos]
+        pos += 1
+        if b0 == 0x3B:
+            break
+        if b0 == 0x21:
+            pos += 1
+            while buf[pos]:
+                pos += 1 + buf[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"GIF: unexpected block 0x{b0:02x}")
+        ipacked = buf[pos + 8]
+        pos += 9 + (3 * (2 << (ipacked & 0x07)) if ipacked & 0x80 else 0)
+        pos += 1                                            # LZW min code
+        while buf[pos]:
+            pos += 1 + buf[pos]
+        pos += 1
+        count += 1
+    return count
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 with <= 256 distinct colors → single-frame
+    GIF89a (lossless).  More colors raise ValueError — quantize/dither
+    upstream; this codec does not pick palettes."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_gif expects (h, w, 3) uint8")
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(
+            f"encode_gif: {len(palette)} distinct colors (max 256); "
+            "quantize first")
+    depth = max(int(np.ceil(np.log2(max(len(palette), 2)))), 1)
+    table_n = 1 << depth
+    ct = np.zeros((table_n, 3), np.uint8)
+    ct[:len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (depth - 1), 0, 0])                # GCT, bg 0
+    out += ct.tobytes()
+    out += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    min_code = max(depth, 2)
+    out.append(min_code)
+    lzw = _lzw_encode(inverse.astype(np.uint8).tolist(), min_code)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
 def sniff_format(buf: bytes) -> str:
     """Identify a payload by magic bytes: png|jpeg|bmp|ppm|wav|fake|unknown."""
     head = bytes(buf[:12])
@@ -777,6 +1039,8 @@ def sniff_format(buf: bytes) -> str:
         return "ppm"
     if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
         return "wav"
+    if head[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if head[:4] == b"FAKE":
         return "fake"
     return "unknown"
@@ -798,6 +1062,8 @@ def decode_any(buf: bytes):
         return "image", decode_ppm(buf)
     if fmt == "wav":
         return "audio", decode_wav(buf)
+    if fmt == "gif":
+        return "image", decode_gif(buf)
     raise NotImplementedError(
         "real decode supports PNG (zlib + numpy unfilter), baseline JPEG "
         "(numpy Huffman + IDCT) and uncompressed BMP/PPM/WAV natively; "

@@ -17,7 +17,10 @@ Scope (still a strict subset — untranslatable spatial constructs raise):
     INCLUDE / EXCLUDE match-all/none literals, RELATE with a DE-9IM
     pattern, an optional trailing CRS argument on BBOX, and WKT
     literals with full nesting (polygon holes, multipolygons) via
-    balanced-paren extraction instead of the old single-level regex.
+    balanced-paren extraction instead of the old single-level regex,
+  * tier 3: temporal BEFORE / AFTER / DURING with ISO-8601 instants
+    (instant/instant periods; durations and non-Z offsets strictly
+    rejected).
 """
 
 from __future__ import annotations
@@ -187,6 +190,42 @@ def cql_to_sql(expr: str, strict: bool = True, has_geom: bool = True) -> str:
     # INCLUDE / EXCLUDE match-all / match-none literals (tier 2)
     s = re.sub(r"\bINCLUDE\b", "TRUE", s, flags=re.I)
     s = re.sub(r"\bEXCLUDE\b", "FALSE", s, flags=re.I)
+
+    # Temporal predicates (ECQL): attr BEFORE t, attr AFTER t,
+    # attr DURING t1/t2 with ISO-8601 instants (a trailing Z is
+    # accepted and read in session time — the engine stores naive
+    # timestamps; offsets other than Z are rejected).  DURING follows
+    # the OGC filter semantics: strictly inside the period.
+    _ISO = (r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?"
+            r"(?:Z|[+-]\d{2}:\d{2})?")
+
+    def _ts(lit: str) -> str:
+        if re.search(r"[+-]\d{2}:\d{2}$", lit):
+            raise ValueError(
+                f"CQL temporal: only Z/naive instants supported, got {lit!r}")
+        return ("TIMESTAMP '"
+                + lit.rstrip("Zz").replace("T", " ") + "'")
+
+    def before_after(m):
+        op = "<" if m.group(2).upper() == "BEFORE" else ">"
+        return f"{m.group(1)} {op} {_ts(m.group(3))}"
+
+    s = re.sub(rf"(\w+)\s+(BEFORE|AFTER)\s+({_ISO})\b", before_after,
+               s, flags=re.I)
+
+    def during(m):
+        a, b = _ts(m.group(2)), _ts(m.group(3))
+        return f"({m.group(1)} > {a} AND {m.group(1)} < {b})"
+
+    s = re.sub(rf"(\w+)\s+DURING\s+({_ISO})\s*/\s*({_ISO})\b", during,
+               s, flags=re.I)
+    leftover_t = re.search(
+        r"\b\w+\s+(BEFORE|AFTER|DURING)\s", s, flags=re.I)
+    if strict and leftover_t:
+        raise ValueError(
+            f"CQL: could not translate temporal "
+            f"{leftover_t.group(1).upper()} — ISO-8601 instant "
+            f"(or instant/instant period for DURING) required in: {expr!r}")
 
     # normalize geometry property names to our column
     for p in _GEOM_PROPS:

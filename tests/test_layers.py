@@ -312,6 +312,36 @@ def test_cql_tier2_constructs(ctx, spark):
         cql_to_sql("INTERSECTS(the_geom, POLYGON((0 0, 1 1)")
 
 
+def test_cql_temporal_predicates(spark):
+    """ECQL tier 3: BEFORE / AFTER / DURING with ISO-8601 instants,
+    composing with NOT and attribute predicates; durations and
+    non-Z offsets strictly rejected."""
+    import datetime as dt
+
+    import pytest as _pt
+
+    from spatial_spark.operators.cql import cql_to_sql
+    rows = [(i, dt.datetime(2024, 3, 1 + i, 12, 0)) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+
+    def ids(expr):
+        return sorted(r["id"] for r in
+                      df.filter(cql_to_sql(expr)).collect())
+
+    assert ids("ts BEFORE 2024-03-04T00:00:00Z") == [0, 1, 2]
+    assert ids("ts AFTER 2024-03-08T12:00:00") == [8, 9]
+    assert ids("ts DURING 2024-03-03T00:00:00Z/2024-03-07T00:00:00Z") \
+        == [2, 3, 4, 5]
+    # boundary instants are excluded (OGC during = strictly inside)
+    assert ids("ts DURING 2024-03-03T12:00:00/2024-03-06T12:00:00") == [3, 4]
+    assert ids("NOT ts BEFORE 2024-03-09T00:00:00 AND id < 100") == [8, 9]
+    assert ids("ts AFTER 2024-03-05T11:59:59.5Z") == [4, 5, 6, 7, 8, 9]
+    with _pt.raises(ValueError, match="only Z/naive"):
+        cql_to_sql("ts BEFORE 2024-03-04T00:00:00+02:00")
+    with _pt.raises(ValueError, match="temporal"):
+        cql_to_sql("ts DURING 2024-03-03T00:00:00/P10D")
+
+
 def test_cql_dwithin_wkb_layer(ctx, spark):
     """DWITHIN on a WKB layer: nearest-point distance, not centroid —
     the long linestring passes within 10 km of the probe."""

@@ -341,6 +341,77 @@ def test_codecs_jpeg_roundtrip():
     assert np.abs(og[:, :, 0].astype(int) - g.astype(int)).mean() < 1.0
 
 
+def test_codecs_gif_roundtrip_and_features():
+    """GIF codec: lossless palette round-trip, interlacing, multi-frame
+    compositing with transparency + disposal, frame counting, and the
+    >256-color refusal (quantization is explicitly upstream)."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+    from spatial_spark.operators import codecs as C
+
+    rng = np.random.default_rng(11)
+    # lossless round-trip at several shapes / palette sizes
+    for hh, ww, ncol in [(1, 1, 1), (7, 3, 2), (40, 33, 16), (9, 200, 256)]:
+        pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        img = pal[rng.integers(0, ncol, (hh, ww))]
+        buf = C.encode_gif(img)
+        assert C.sniff_format(buf) == "gif"
+        assert np.array_equal(C.decode_gif(buf), img)
+        kind, val = C.decode_any(buf)
+        assert kind == "image" and np.array_equal(val, img)
+        assert C.gif_frame_count(buf) == 1
+
+    # hand-built 2-frame 89a animation: 4x4 screen, GCT {black, red,
+    # green, blue}, frame 0 = all red; frame 1 = 2x2 patch at (1,1)
+    # with green/transparent checker — transparent pixels must show
+    # frame 0's red through
+    gct = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+    hdr = b"GIF89a" + struct.pack("<HH", 4, 4) + bytes([0x81, 0, 0]) + gct
+    f0 = (b"\x2C" + struct.pack("<HHHH", 0, 0, 4, 4) + b"\x00" + b"\x02")
+    lzw0 = C._lzw_encode([1] * 16, 2)
+    f0 += bytes([len(lzw0)]) + lzw0 + b"\x00"
+    gce = b"\x21\xF9\x04" + bytes([0x01, 0, 0, 0]) + b"\x00"  # transp ix 0
+    f1 = (b"\x2C" + struct.pack("<HHHH", 1, 1, 2, 2) + b"\x00" + b"\x02")
+    lzw1 = C._lzw_encode([2, 0, 0, 2], 2)   # green, transp / transp, green
+    f1 += bytes([len(lzw1)]) + lzw1 + b"\x00"
+    anim = hdr + f0 + gce + f1 + b"\x3B"
+    assert C.gif_frame_count(anim) == 2
+    red, green = [255, 0, 0], [0, 255, 0]
+    fr0 = C.decode_gif(anim, frame=0)
+    assert (fr0 == red).all()
+    fr1 = C.decode_gif(anim, frame=1)
+    exp = np.tile(np.array(red, np.uint8), (4, 4, 1))
+    exp[1, 1] = green
+    exp[2, 2] = green
+    assert np.array_equal(fr1, exp)
+    with _pytest.raises(IndexError):
+        C.decode_gif(anim, frame=2)
+
+    # interlaced frame: rows stored in pass order must deinterlace back
+    h, w = 8, 5
+    pal = np.array([[i * 30, 0, 255 - i * 30] for i in range(8)], np.uint8)
+    ix = rng.integers(0, 8, (h, w))
+    pass_rows = ([r for r in range(0, h, 8)] + [r for r in range(4, h, 8)]
+                 + [r for r in range(2, h, 4)] + [r for r in range(1, h, 2)])
+    stored = ix[np.array(pass_rows)]
+    ihdr = (b"GIF89a" + struct.pack("<HH", w, h) + bytes([0x82, 0, 0])
+            + pal.tobytes())
+    idesc = (b"\x2C" + struct.pack("<HHHH", 0, 0, w, h)
+             + bytes([0x40]) + b"\x03")
+    ilzw = C._lzw_encode(stored.reshape(-1).tolist(), 3)
+    body = bytearray()
+    for i in range(0, len(ilzw), 255):
+        chunk = ilzw[i:i + 255]
+        body += bytes([len(chunk)]) + chunk
+    igif = ihdr + idesc + bytes(body) + b"\x00\x3B"
+    assert np.array_equal(C.decode_gif(igif), pal[ix])
+
+    with _pytest.raises(ValueError, match="distinct colors"):
+        C.encode_gif(rng.integers(0, 256, (40, 40, 3), dtype=np.uint8))
+
+
 def test_codecs_jpeg_dqt_is_zigzag_annex_k():
     """ADVICE r7: the DQT segment must carry the quality-scaled Annex K
     table in ZIGZAG order (T.81 B.2.4.1, libjpeg behavior), and the
