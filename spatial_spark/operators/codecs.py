@@ -411,6 +411,113 @@ def _huff_decode_map(counts, values):
             for sym, (code, ln) in _huff_codes(counts, values).items()}
 
 
+_LUT_CACHE: dict = {}
+
+
+def _huff_lut(counts, values):
+    """Flat 16-bit-window lookup table: lut[next16bits] = (symbol,
+    code_length) — one dict probe per SYMBOL instead of one per BIT
+    (the r7 decoder walked read_bit per bit).  JPEG codes are <= 16
+    bits, so peeking 16 always covers a full code.  Cached on the
+    (counts, values) bytes: real streams ship the 4 standard tables, so
+    the 64K-slot build cost is paid once per process, not per image."""
+    key = (bytes(counts), bytes(values))
+    lut = _LUT_CACHE.get(key)
+    if lut is not None:
+        return lut
+    lut = [(-1, 0)] * 65536
+    for sym, (code, ln) in _huff_codes(counts, values).items():
+        base = code << (16 - ln)
+        span = 1 << (16 - ln)
+        lut[base:base + span] = [(sym, ln)] * span
+    _LUT_CACHE[key] = lut
+    return lut
+
+
+class _LutBitReader:
+    """MSB-first bit reader over unstuffed entropy bytes with a
+    64-bit-ish accumulator and LUT Huffman decode (throughput path;
+    the bit-at-a-time _BitReader remains the reference shape)."""
+
+    __slots__ = ("d", "n", "pos", "acc", "bits")
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.n = len(data)
+        self.pos = 0
+        self.acc = 0
+        self.bits = 0
+
+    def _fill(self) -> None:
+        while self.bits <= 48 and self.pos < self.n:
+            self.acc = (self.acc << 8) | self.d[self.pos]
+            self.pos += 1
+            self.bits += 8
+
+    def read_huff(self, lut) -> int:
+        if self.bits < 16:
+            self._fill()
+        b = self.bits
+        if b >= 16:
+            window = (self.acc >> (b - 16)) & 0xFFFF
+        else:
+            window = (self.acc << (16 - b)) & 0xFFFF
+        sym, ln = lut[window]
+        if sym < 0 or ln > b:
+            raise ValueError("invalid JPEG Huffman code")
+        self.bits = b - ln
+        self.acc &= (1 << self.bits) - 1
+        return sym
+
+    def read_bits(self, k: int) -> int:
+        if self.bits < k:
+            self._fill()
+            if self.bits < k:
+                raise ValueError("truncated JPEG entropy segment")
+        self.bits -= k
+        v = self.acc >> self.bits
+        self.acc &= (1 << self.bits) - 1
+        return v
+
+    def receive_extend(self, s: int) -> int:
+        v = self.read_bits(s)
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    def read_sym_extend(self, lut):
+        """One fused call per coefficient: Huffman symbol + its
+        magnitude bits (sign-extended).  Returns (symbol, value) —
+        for DC tables symbol IS the size category; for AC tables the
+        caller splits run/size from the symbol and ``value`` is the
+        coefficient (0 for EOB/ZRL, whose size nibble is 0)."""
+        if self.bits < 16:
+            self._fill()
+        b = self.bits
+        if b >= 16:
+            window = (self.acc >> (b - 16)) & 0xFFFF
+        else:
+            window = (self.acc << (16 - b)) & 0xFFFF
+        sym, ln = lut[window]
+        if sym < 0 or ln > b:
+            raise ValueError("invalid JPEG Huffman code")
+        b -= ln
+        acc = self.acc & ((1 << b) - 1)
+        s = sym & 15
+        if s == 0:
+            self.bits, self.acc = b, acc
+            return sym, 0
+        if b < s:
+            self.bits, self.acc = b, acc
+            self._fill()
+            b, acc = self.bits, self.acc
+            if b < s:
+                raise ValueError("truncated JPEG entropy segment")
+        b -= s
+        v = acc >> b
+        self.bits = b
+        self.acc = acc & ((1 << b) - 1)
+        return sym, (v if v >= (1 << (s - 1)) else v - (1 << s) + 1)
+
+
 class _BitWriter:
     def __init__(self):
         self.buf = bytearray()
@@ -661,7 +768,7 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
                 counts = list(body[j + 1:j + 17])
                 nval = sum(counts)
                 values = list(body[j + 17:j + 17 + nval])
-                huff[(tc, th)] = _huff_decode_map(counts, values)
+                huff[(tc, th)] = _huff_lut(counts, values)
                 j += 17 + nval
         elif marker == 0xDD:                            # DRI
             restart = struct.unpack_from(">H", body, 0)[0]
@@ -709,11 +816,16 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     order = [by_id[s["id"]] for s in scan]
     preds = [0] * len(comps)
     seg_idx, mcu_in_seg = 0, 0
-    br = _BitReader(segments[0])
+    br = _LutBitReader(segments[0])
+    # entropy pass fills per-component coefficient stacks; the IDCT
+    # runs ONCE per component as a batched einsum afterwards (the r7
+    # decoder did two 8x8 matmuls inside the per-block python loop)
+    coef = [np.zeros((mcux * mcuy * c["h"] * c["v"], 64)) for c in comps]
+    coef_pos: list = [[] for _ in comps]
     for m in range(mcux * mcuy):
         if restart and mcu_in_seg == restart:
             seg_idx += 1
-            br = _BitReader(segments[seg_idx])
+            br = _LutBitReader(segments[seg_idx])
             preds = [0] * len(comps)
             mcu_in_seg = 0
         my, mx = divmod(m, mcux)
@@ -722,32 +834,37 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
             dc_t = huff[(0, scan[si]["dc"])]
             ac_t = huff[(1, scan[si]["ac"])]
             qt = qts[c["tq"]]
+            pos = coef_pos[k]
             for byy in range(c["v"]):
                 for bxx in range(c["h"]):
-                    s = br.read_huff(dc_t)
-                    preds[k] += br.receive_extend(s) if s else 0
-                    zz = np.zeros(64)
-                    zz[0] = preds[k] * qt[0]
+                    _s, diff = br.read_sym_extend(dc_t)
+                    preds[k] += diff
+                    row = coef[k][len(pos)]
+                    row[0] = preds[k] * qt[0]
                     kk = 0
                     while kk < 63:
-                        rs = br.read_huff(ac_t)
-                        r, s = rs >> 4, rs & 15
-                        if s == 0:
-                            if r == 15:
+                        rs, v = br.read_sym_extend(ac_t)
+                        if rs & 15 == 0:
+                            if rs == 0xF0:
                                 kk += 16
                                 continue
                             break  # EOB
-                        kk += r + 1
+                        kk += (rs >> 4) + 1
                         if kk > 63:
                             raise ValueError("JPEG AC run past block end")
-                        zz[kk] = br.receive_extend(s) * qt[kk]
-                    blk = np.zeros(64)
-                    blk[_ZIGZAG] = zz
-                    px = _DCT_A.T @ blk.reshape(8, 8) @ _DCT_A + 128.0
-                    y0 = (my * c["v"] + byy) * 8
-                    x0 = (mx * c["h"] + bxx) * 8
-                    planes[k][y0:y0 + 8, x0:x0 + 8] = px
+                        row[kk] = v * qt[kk]
+                    pos.append(((my * c["v"] + byy) * 8,
+                                (mx * c["h"] + bxx) * 8))
         mcu_in_seg += 1
+    for k, c in enumerate(comps):
+        n_blk = len(coef_pos[k])
+        blocks = np.zeros((n_blk, 64))
+        blocks[:, _ZIGZAG] = coef[k][:n_blk]
+        px = np.einsum("ij,njk,kl->nil", _DCT_A.T,
+                       blocks.reshape(n_blk, 8, 8), _DCT_A) + 128.0
+        plane = planes[k]
+        for b_ix, (y0, x0) in enumerate(coef_pos[k]):
+            plane[y0:y0 + 8, x0:x0 + 8] = px[b_ix]
     # upsample to full resolution, crop, color-convert
     full = []
     for k, c in enumerate(comps):
