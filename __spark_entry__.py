@@ -441,6 +441,145 @@ def _q_st_transform_merc(spark, sf_dir) -> DataFrame:
         F.expr("CAST(round(st_y(m) * 100) AS BIGINT)").alias("my_cm"))
 
 
+def _q_wkt_export(spark, sf_dir) -> DataFrame:
+    """Text-sink writers on the hard gate (SURVEY §2.7 #48, previously
+    pytest-only): WKT / GeoJSON / KML / GML serializations of the
+    nation zone rectangles, byte-compared against SQL-built strings
+    (integer coordinates format bare in every writer, so the oracle is
+    pure string concatenation).  Parity: WellKnownText.java /
+    GeoJSON.java / KeyholeMarkupLanguage.java /
+    GeographyMarkupLanguage.java."""
+    cells = _nation_cells(spark)
+    return cells.select(
+        "n_nationkey",
+        F.expr("st_astext(geom)").alias("wkt"),
+        F.expr("st_asgeojson(geom)").alias("geojson"),
+        F.expr("st_askml(geom)").alias("kml"),
+        F.expr("st_asgml(geom)").alias("gml"))
+
+
+def _q_shapefile_source(spark, sf_dir) -> DataFrame:
+    """Shapefile source on the hard gate (SURVEY §2.1 #3, previously
+    pytest-only): the nation zone rectangles round-trip through the
+    real ESRI codec — write_shapefile emits .shp/.shx/.dbf, parse_shp /
+    parse_dbf read them back — and the parsed envelopes + DBF attribute
+    are hash-compared against the closed-form SQL.  Coordinates are
+    integers, so the double storage is exact.  Parity:
+    ShapefileImporter.java:58-282."""
+    import os
+    import tempfile
+
+    from spatial_spark.geom import from_wkt
+    from spatial_spark.io.shapefile import read_shapefile, write_shapefile
+    keys = sorted(r["n_nationkey"]
+                  for r in spark.table("nation")
+                  .select("n_nationkey").collect())
+    recs = []
+    for n in keys:
+        x0, y0 = n % 5 * 72 - 180, (n // 5) * 34 - 85
+        recs.append((from_wkt(
+            f"POLYGON (({x0} {y0}, {x0 + 72} {y0}, {x0 + 72} {y0 + 34}, "
+            f"{x0} {y0 + 34}, {x0} {y0}))"), {"NKEY": int(n)}))
+    d = tempfile.mkdtemp(prefix="shp_gate_")
+    path = os.path.join(d, "zones.shp")
+    write_shapefile(recs, path)
+    geoms, attrs, _crs = read_shapefile(path)
+    out = [(int(a["NKEY"]), *(float(v) for v in g.envelope()))
+           for g, a in zip(geoms, attrs)]
+    return spark.createDataFrame(
+        out, "n_nationkey long, xmin double, ymin double, "
+             "xmax double, ymax double")
+
+
+def _q_osm_source(spark, sf_dir) -> DataFrame:
+    """OSM XML source on the hard gate (SURVEY §2.1 #4, previously
+    pytest-only): a deterministic .osm document (one 2x2-degree
+    building square per nation, 4 shared-corner nodes, closed way with
+    an AREA_TAGS tag) goes through the DISTRIBUTED offset-chunked
+    parser — chunk_bytes is forced tiny so the gate exercises the
+    chunk-boundary XML recovery, the actual 100 TB machinery — and way
+    assembly; the assembled polygon gtype/area and the nd counts are
+    hash-compared against closed-form SQL.  Parity:
+    OSMImporter.java:1416-1554 / OSMGeometryEncoder."""
+    import os
+    import tempfile
+
+    from spatial_spark.io.osm import assemble_way_geometries, parse_osm_xml
+    keys = sorted(r["n_nationkey"]
+                  for r in spark.table("nation")
+                  .select("n_nationkey").collect())
+    xml = ['<?xml version="1.0" encoding="UTF-8"?>', '<osm version="0.6">']
+    for n in keys:
+        x0, y0 = n % 5 * 72 - 179, (n // 5) * 34 - 84
+        ids = [n * 10 + j + 1 for j in range(4)]
+        for i, (x, y) in zip(ids, [(x0, y0), (x0 + 2, y0),
+                                   (x0 + 2, y0 + 2), (x0, y0 + 2)]):
+            xml.append(f'<node id="{i}" lat="{y}" lon="{x}" '
+                       f'user="u{n % 3}" uid="{n % 3}" version="1"/>')
+        xml.append(f'<way id="{1000 + n}" user="u{n % 3}" '
+                   f'uid="{n % 3}" version="1">')
+        xml.extend(f'<nd ref="{i}"/>' for i in ids + [ids[0]])
+        xml.append('<tag k="building" v="yes"/>')
+        xml.append(f'<tag k="name" v="zone{n}"/>')
+        xml.append('</way>')
+    xml.append('</osm>')
+    d = tempfile.mkdtemp(prefix="osm_gate_")
+    path = os.path.join(d, "zones.osm")
+    with open(path, "w") as fh:
+        fh.write("\n".join(xml))
+    tables = parse_osm_xml(spark, path, chunk_bytes=1 << 10)
+    ways = assemble_way_geometries(tables)
+    nd_counts = (tables["osm_way_nds"].groupBy("way_id")
+                 .agg(F.count(F.lit(1)).alias("n_nds")))
+    return (ways.join(nd_counts, "way_id")
+            .select("way_id", "gtype",
+                    F.expr("st_area(geom)").alias("area"), "n_nds"))
+
+
+def _q_render_sink(spark, sf_dir) -> DataFrame:
+    """Image sink on the hard gate (SURVEY §2.1 #8, previously reached
+    only via tile gates): one distributed render of 25 half-pixel-
+    aligned squares (side 4 + n%7 world units, one per 24x24-px nation
+    cell, pixel centers on integers so no center sits on a boundary)
+    through render_layer's per-partition rasterize + driver composite +
+    PNG encode, decoded back with the repo's PNG decoder; per-nation
+    fill / outline pixel counts obey the closed form fill = (s-1)^2,
+    outline = 4s (scanline fill over pixel centers + Bresenham-style
+    edge walk; verified exhaustively for s in 4..10).  Parity:
+    StyledImageExporter.java."""
+    import numpy as np
+    from spatial_spark.io.render import render_layer
+    from spatial_spark.operators.codecs import decode_png
+    keys = sorted(r["n_nationkey"]
+                  for r in spark.table("nation")
+                  .select("n_nationkey").collect())
+    data = []
+    for n in keys:
+        s = 4 + (n % 7)
+        x0 = 24 * (n % 5) + 4.5
+        y0 = 24 * (n // 5) + 4.5
+        data.append((n, f"POLYGON (({x0} {y0}, {x0 + s} {y0}, "
+                        f"{x0 + s} {y0 + s}, {x0} {y0 + s}, {x0} {y0}))"))
+    df = (spark.createDataFrame(data, "n_nationkey long, wkt string")
+          .withColumn("geom", F.expr("st_geomfromtext(wkt)"))
+          .select("geom")
+          .coalesce(4))   # 25 rows: still multi-partition compositing,
+    # without toLocalIterator paying one job per near-empty partition
+    png = render_layer(df, width=120, height=120,
+                       bbox=(0.0, 0.0, 119.0, 119.0))
+    img = decode_png(png)
+    out = []
+    for n in keys:
+        cx, cy = n % 5, n // 5
+        sub = img[120 - 24 * (cy + 1):120 - 24 * cy,
+                  24 * cx:24 * cx + 24]
+        out.append((n,
+                    int((sub == (147, 207, 167)).all(-1).sum()),
+                    int((sub == (40, 160, 80)).all(-1).sum())))
+    return spark.createDataFrame(
+        out, "n_nationkey long, fill_px long, outline_px long")
+
+
 def _q_property_paging(spark, sf_dir) -> DataFrame:
     """Sort + RangeFilterPipe paging parity: rows 11..30 of orders by
     price.  Shaped as orderBy().limit(hi) + a row_number window over the
@@ -1377,12 +1516,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gate checks the first 50 registered entries.  r8 rotation (VERDICT
     # r7 ask #1, executed as written): promote the 41 entries that sat
     # OUTSIDE the r7 window (newest driver row r6 for all of them — the
-    # oldest rows in the registry), plus the FOUR queries NEW in r8
+    # oldest rows in the registry), plus the EIGHT queries NEW in r8
     # (cql2 — ECQL tier 2, VERDICT r7 ask #6 — st_transform_merc —
     # CRS reprojection, ask #7 — dedup_against_inc — the Bloom
-    # incremental path, ask #8 — and media_gif — lossless GIF decode
-    # on the hard gate — all needing first driver rows), then
-    # 5 of the 9 r7 fill entries to complete the window.  The 44
+    # incremental path, ask #8 — media_gif — lossless GIF decode on
+    # the hard gate — wkt_export — the text-sink writers, the first
+    # §2.7#48 oracle row — shapefile_source — the ESRI codec
+    # round-trip, the first §2.1#3 oracle row — osm_source — the
+    # distributed chunk-recovery OSM parse, the first §2.1#4 oracle
+    # row — and render_sink — the rasterizer/PNG image sink, the
+    # first §2.1#8 oracle row — all needing first driver rows), then
+    # 1 of the 9 r7 fill entries to complete the window.  The 49
     # entries now outside all hold green r7 driver rows (1 round old at
     # r8), and every entry keeps its local-gate oracle
     # (tools/check_correctness runs ALL entries).
@@ -1437,16 +1581,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_transform_merc": _q_st_transform_merc,
         "revenue_by_nation": _q_revenue_by_nation,
         "dedup_exact": _q_dedup_exact,
-        # --- NEW r8 gates: incremental dedup_against, real GIF decode ---
+        # --- NEW r8 gates: incremental dedup_against, real GIF decode,
+        # --- text-sink writers ---
         "dedup_against_inc": _q_dedup_against_inc,
         "media_gif": _q_media_gif,
+        "wkt_export": _q_wkt_export,
+        "shapefile_source": _q_shapefile_source,
+        "osm_source": _q_osm_source,
+        "render_sink": _q_render_sink,
         # --- fill to 50 (these also hold green r7 rows) ---
         "geohash": _q_geohash,
+        # --- rotated out this round: all hold green r7 driver rows ---
         "keep_max": _q_keep_max,
         "fingerprint": _q_fingerprint,
         "st_difference_area": _q_st_difference_area,
         "st_buffer_lines": _q_st_buffer_lines,
-        # --- rotated out this round: all hold green r7 driver rows ---
         "spatial_join_grid": _q_spatial_join_grid,
         "st_centroid_rects": _q_st_centroid_rects,
         "quality_scores": _q_quality,
@@ -2392,6 +2541,59 @@ def oracle_sql() -> dict[str, str]:
             WHERE {CUST_LON} >= -120 AND {CUST_LON} <= 60
               AND {CUST_LAT} >= -60 AND {CUST_LAT} <= 60
               AND c_acctbal > 1000 AND c_mktsegment <> 'BUILDING'
+        """,
+        "render_sink": """
+            SELECT n_nationkey,
+                   CAST((3 + n_nationkey % 7) * (3 + n_nationkey % 7)
+                        AS BIGINT) AS fill_px,
+                   CAST(4 * (4 + n_nationkey % 7) AS BIGINT) AS outline_px
+            FROM nation
+        """,
+        "osm_source": """
+            SELECT CAST(1000 + n_nationkey AS BIGINT) AS way_id,
+                   CAST(3 AS INT) AS gtype,
+                   CAST(4 AS DOUBLE) AS area,
+                   CAST(5 AS BIGINT) AS n_nds
+            FROM nation
+        """,
+        "shapefile_source": """
+            SELECT n_nationkey,
+                   CAST(n_nationkey % 5 * 72 - 180 AS DOUBLE) AS xmin,
+                   CAST((n_nationkey // 5) * 34 - 85 AS DOUBLE) AS ymin,
+                   CAST(n_nationkey % 5 * 72 - 108 AS DOUBLE) AS xmax,
+                   CAST((n_nationkey // 5) * 34 - 51 AS DOUBLE) AS ymax
+            FROM nation
+        """,
+        "wkt_export": """
+            WITH c AS (
+              SELECT n_nationkey,
+                     CAST(n_nationkey % 5 * 72 - 180 AS VARCHAR) AS x0,
+                     CAST(n_nationkey % 5 * 72 - 108 AS VARCHAR) AS x1,
+                     CAST((n_nationkey // 5) * 34 - 85 AS VARCHAR) AS y0,
+                     CAST((n_nationkey // 5) * 34 - 51 AS VARCHAR) AS y1
+              FROM nation)
+            SELECT n_nationkey,
+                   'POLYGON ((' || x0 || ' ' || y0 || ', ' || x1 || ' ' || y0
+                     || ', ' || x1 || ' ' || y1 || ', ' || x0 || ' ' || y1
+                     || ', ' || x0 || ' ' || y0 || '))' AS wkt,
+                   '{"type":"Polygon","coordinates":[[[' || x0 || ',' || y0
+                     || '],[' || x1 || ',' || y0 || '],[' || x1 || ',' || y1
+                     || '],[' || x0 || ',' || y1 || '],[' || x0 || ',' || y0
+                     || ']]]}' AS geojson,
+                   '<Polygon><outerBoundaryIs><LinearRing><coordinates>'
+                     || x0 || ',' || y0 || ' ' || x1 || ',' || y0 || ' '
+                     || x1 || ',' || y1 || ' ' || x0 || ',' || y1 || ' '
+                     || x0 || ',' || y0
+                     || '</coordinates></LinearRing></outerBoundaryIs>'
+                     || '</Polygon>' AS kml,
+                   '<gml:Polygon><gml:outerBoundaryIs><gml:LinearRing>'
+                     || '<gml:coordinates>'
+                     || x0 || ',' || y0 || ' ' || x1 || ',' || y0 || ' '
+                     || x1 || ',' || y1 || ' ' || x0 || ',' || y1 || ' '
+                     || x0 || ',' || y0
+                     || '</gml:coordinates></gml:LinearRing>'
+                     || '</gml:outerBoundaryIs></gml:Polygon>' AS gml
+            FROM c
         """,
         "st_transform_merc": f"""
             SELECT c_custkey,
