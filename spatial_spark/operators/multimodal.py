@@ -158,27 +158,43 @@ def frame_sample_stub(df: DataFrame, every_n: int = 2,
     WAV payloads take a REAL path: decode, cut the sample stream into
     ``frame_len``-sample windows, keep every ``every_n``-th, and re-encode
     each kept window as a standalone WAV payload — a genuine
-    bytes→samples→window→bytes pipeline.  FAKE payloads keep the r4
-    header-chunk semantics (frames = pixel rows).  Compressed video
-    (MP4 …) would slot in at the same seam as the other codecs."""
+    bytes→samples→window→bytes pipeline.  Animated GIFs take a REAL
+    temporal path too (r8): every ``every_n``-th animation frame is
+    composited per the disposal chain (decode_gif(frame=f)) and
+    re-encoded as a standalone single-frame GIF — actual
+    bytes→frames→bytes video-shaped sampling, not a stub.  FAKE
+    payloads keep the r4 header-chunk semantics (frames = pixel rows).
+    Compressed video (MP4 …) would slot in at the same seam as the
+    other codecs."""
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField("frame_no", T.IntegerType())])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .codecs import decode_wav, encode_wav, sniff_format
+        from .codecs import (decode_gif, decode_wav, encode_gif, encode_wav,
+                             gif_frame_count, sniff_format)
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
                 buf = row["payload"]
                 if buf is None:
                     continue
-                if sniff_format(bytes(buf)) == "wav":
+                fmt = sniff_format(bytes(buf))
+                if fmt == "wav":
                     rate, samples = decode_wav(bytes(buf))
                     n_frames = max(-(-samples.shape[0] // frame_len), 1)
                     for f in range(0, n_frames, every_n):
                         r = row.to_dict()
                         win = samples[f * frame_len:(f + 1) * frame_len]
                         r["payload"] = encode_wav(win, rate)
+                        r["frame_no"] = f
+                        rows.append(r)
+                    continue
+                if fmt == "gif":
+                    n_frames = gif_frame_count(bytes(buf))
+                    for f in range(0, n_frames, every_n):
+                        r = row.to_dict()
+                        r["payload"] = encode_gif(
+                            decode_gif(bytes(buf), frame=f))
                         r["frame_no"] = f
                         rows.append(r)
                     continue
@@ -194,4 +210,5 @@ def frame_sample_stub(df: DataFrame, every_n: int = 2,
     return df.mapInPandas(run, out_schema)
 
 
-frame_sample = frame_sample_stub  # real for WAV; stub only for fake/video
+# real for WAV windows and animated-GIF frames; stub only for fake/MP4
+frame_sample = frame_sample_stub

@@ -412,6 +412,47 @@ def test_codecs_gif_roundtrip_and_features():
         C.encode_gif(rng.integers(0, 256, (40, 40, 3), dtype=np.uint8))
 
 
+def test_frame_sample_gif_animation(spark):
+    """frame_sample takes the REAL temporal path for animated GIFs:
+    every_n-th composited frame re-encodes as a standalone GIF whose
+    decode equals decode_gif(original, frame=f)."""
+    import struct
+
+    import numpy as np
+    from spatial_spark.operators import codecs as C
+    from spatial_spark.operators.multimodal import frame_sample
+    # 3-frame animation, shared 4-color GCT: full red, then green and
+    # blue 2x2 patches marching across a 4x4 canvas
+    gct = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+    buf = bytearray(b"GIF89a" + struct.pack("<HH", 4, 4)
+                    + bytes([0x81, 0, 0]) + gct)
+    frames = [(0, 0, 4, 4, [1] * 16), (0, 0, 2, 2, [2] * 4),
+              (2, 2, 2, 2, [3] * 4)]
+    for x0, y0, w, h, ix in frames:
+        buf += (b"\x2C" + struct.pack("<HHHH", x0, y0, w, h)
+                + b"\x00" + b"\x02")
+        lzw = C._lzw_encode(ix, 2)
+        buf += bytes([len(lzw)]) + lzw + b"\x00"
+    buf += b"\x3B"
+    gif = bytes(buf)
+    assert C.gif_frame_count(gif) == 3
+    df = spark.createDataFrame(
+        [(1, bytearray(gif), "image", "gif", 4, 4, None)],
+        "media_id long, payload binary, kind string, fmt string, "
+        "w int, h int, extra string")
+    rows = {r["frame_no"]: bytes(r["payload"])
+            for r in frame_sample(df, every_n=2).collect()}
+    assert sorted(rows) == [0, 2]
+    for f, payload in rows.items():
+        assert np.array_equal(C.decode_gif(payload),
+                              C.decode_gif(gif, frame=f))
+    # frame 2's canvas carries frame 1's compositing history
+    f2 = C.decode_gif(rows[2])
+    assert (f2[0, 0] == (0, 255, 0)).all()    # green patch persisted
+    assert (f2[2, 2] == (0, 0, 255)).all()    # blue patch drawn
+    assert (f2[0, 3] == (255, 0, 0)).all()    # red base
+
+
 def test_codecs_jpeg_dqt_is_zigzag_annex_k():
     """ADVICE r7: the DQT segment must carry the quality-scaled Annex K
     table in ZIGZAG order (T.81 B.2.4.1, libjpeg behavior), and the
