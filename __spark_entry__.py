@@ -580,6 +580,34 @@ def _q_render_sink(spark, sf_dir) -> DataFrame:
         out, "n_nationkey long, fill_px long, outline_px long")
 
 
+def _q_audio_features(spark, sf_dir) -> DataFrame:
+    """Audio spectral features on the hard gate (r8): pure int16 sine
+    WAVs (m = 3 + i%13 integer cycles per 1024-sample window, amplitude
+    A = 2000 + 100*(i%7), two windows each) through the real
+    decode→rFFT path.  Closed forms: dominant_bin = m exactly (DFT
+    orthogonality), noise-gated spectral centroid = m, rms rounds to
+    round(A/sqrt(2)) (verified off every fixture value — none sits near
+    a rounding boundary).  zero_crossings stays pytest-only (its exact
+    count depends on int16 zero-sample sign conventions)."""
+    import numpy as np
+    from spatial_spark.operators.codecs import encode_wav
+    from spatial_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                    audio_features)
+    nfft = 1024
+    rows = []
+    for i in range(32):
+        m, amp = 3 + i % 13, 2000 + 100 * (i % 7)
+        k = np.arange(2 * nfft)
+        s = np.round(amp * np.sin(2 * np.pi * m * k / nfft)) \
+            .astype(np.int16).reshape(-1, 1)
+        rows.append((i, bytearray(encode_wav(s, 16000)),
+                     "audio", "wav", 2 * nfft, 1, None))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return (audio_features(df, nfft=nfft)
+            .select("media_id", "window_no", "dominant_bin", "rms_q",
+                    "spectral_centroid_bin"))
+
+
 def _q_property_paging(spark, sf_dir) -> DataFrame:
     """Sort + RangeFilterPipe paging parity: rows 11..30 of orders by
     price.  Shaped as orderBy().limit(hi) + a row_number window over the
@@ -1524,9 +1552,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # §2.7#48 oracle row — shapefile_source — the ESRI codec
     # round-trip, the first §2.1#3 oracle row — osm_source — the
     # distributed chunk-recovery OSM parse, the first §2.1#4 oracle
-    # row — and render_sink — the rasterizer/PNG image sink, the
-    # first §2.1#8 oracle row — all needing first driver rows), then
-    # 1 of the 9 r7 fill entries to complete the window.  The 49
+    # row — render_sink — the rasterizer/PNG image sink, the first
+    # §2.1#8 oracle row — and audio_features — spectral features over
+    # WAV payloads with DFT-orthogonality closed forms — all needing
+    # first driver rows), which with the 41 promotions exactly fills
+    # the window (no fill entries this round).  The 50
     # entries now outside all hold green r7 driver rows (1 round old at
     # r8), and every entry keeps its local-gate oracle
     # (tools/check_correctness runs ALL entries).
@@ -1589,9 +1619,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shapefile_source": _q_shapefile_source,
         "osm_source": _q_osm_source,
         "render_sink": _q_render_sink,
-        # --- fill to 50 (these also hold green r7 rows) ---
-        "geohash": _q_geohash,
+        "audio_features": _q_audio_features,
         # --- rotated out this round: all hold green r7 driver rows ---
+        "geohash": _q_geohash,
         "keep_max": _q_keep_max,
         "fingerprint": _q_fingerprint,
         "st_difference_area": _q_st_difference_area,
@@ -2541,6 +2571,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE {CUST_LON} >= -120 AND {CUST_LON} <= 60
               AND {CUST_LAT} >= -60 AND {CUST_LAT} <= 60
               AND c_acctbal > 1000 AND c_mktsegment <> 'BUILDING'
+        """,
+        "audio_features": """
+            WITH items AS (SELECT unnest(generate_series(0, 31)) AS i),
+            wins AS (SELECT unnest(generate_series(0, 1)) AS w)
+            SELECT CAST(i AS BIGINT) AS media_id,
+                   CAST(w AS INT) AS window_no,
+                   CAST(3 + i % 13 AS INT) AS dominant_bin,
+                   CAST(round((2000 + 100 * (i % 7)) / sqrt(2.0))
+                        AS BIGINT) AS rms_q,
+                   CAST(3 + i % 13 AS INT) AS spectral_centroid_bin
+            FROM items CROSS JOIN wins
         """,
         "render_sink": """
             SELECT n_nationkey,

@@ -212,3 +212,66 @@ def frame_sample_stub(df: DataFrame, every_n: int = 2,
 
 # real for WAV windows and animated-GIF frames; stub only for fake/MP4
 frame_sample = frame_sample_stub
+
+
+def audio_features(df: DataFrame, nfft: int = 1024,
+                   payload_col: str = "payload") -> DataFrame:
+    """Spectral features per NFFT window of each WAV payload — the
+    audio half of the media feature-extract axis (1→N mapInPandas,
+    same shape as frame_sample).  Per (media_id, window):
+
+      * ``dominant_bin`` — argmax of the rFFT magnitude (excluding DC),
+        an exact integer for any tone, which is what makes the driver
+        oracle closed-form,
+      * ``rms_q`` — round(sqrt(mean(sample^2))) as an integer (a pure
+        tone at amplitude A with integer periods per window gives
+        exactly A/sqrt(2) by DFT orthogonality),
+      * ``zero_crossings`` — sign-change count,
+      * ``spectral_centroid_bin`` — round(sum(bin*|X|)/sum(|X|)) over
+        the non-DC bins at or above 1% of the peak magnitude (the
+        noise gate keeps int16-quantization noise — hundreds of tiny
+        bins — from biasing the centroid of clean tones).
+
+    Channels are averaged before analysis; a trailing partial window is
+    dropped (windows are the unit of parallel work downstream).
+    Non-WAV payloads are skipped (images have no sample axis)."""
+    out_schema = T.StructType([
+        T.StructField("media_id", df.schema["media_id"].dataType),
+        T.StructField("window_no", T.IntegerType()),
+        T.StructField("dominant_bin", T.IntegerType()),
+        T.StructField("rms_q", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+        T.StructField("spectral_centroid_bin", T.IntegerType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import decode_wav, sniff_format
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                buf = row[payload_col]
+                if buf is None or sniff_format(bytes(buf)) != "wav":
+                    continue
+                _rate, samples = decode_wav(bytes(buf))
+                mono = samples.astype(np.float64).mean(axis=1)
+                for wno in range(len(mono) // nfft):
+                    win = mono[wno * nfft:(wno + 1) * nfft]
+                    mag = np.abs(np.fft.rfft(win))
+                    body = mag[1:]
+                    dom = int(body.argmax()) + 1 if body.any() else 0
+                    gated = np.where(body >= body.max() / 100.0, body, 0.0) \
+                        if body.any() else body
+                    cent = (int(np.round((np.arange(1, len(mag))
+                                          * gated).sum() / gated.sum()))
+                            if gated.sum() > 0 else 0)
+                    rows.append((row["media_id"], wno, dom,
+                                 int(np.round(np.sqrt((win ** 2).mean()))),
+                                 int((np.signbit(win[1:])
+                                      != np.signbit(win[:-1])).sum()),
+                                 cent))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "media_id", "window_no", "dominant_bin", "rms_q",
+                    "zero_crossings", "spectral_centroid_bin"])
+
+    return df.mapInPandas(run, out_schema)

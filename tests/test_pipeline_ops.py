@@ -453,6 +453,45 @@ def test_frame_sample_gif_animation(spark):
     assert (f2[0, 3] == (255, 0, 0)).all()    # red base
 
 
+def test_audio_features_spectral(spark):
+    """audio_features vs exact DSP facts: pure integer-cycle tones give
+    dominant_bin == cycle count, noise-gated centroid == dominant, rms
+    == A/sqrt(2); a two-tone signal's centroid sits between the tones;
+    zero-crossing count for a clean tone is 2m-1 or 2m; trailing
+    partial windows drop; non-WAV payloads are skipped."""
+    import numpy as np
+    from spatial_spark.operators.codecs import encode_png, encode_wav
+    from spatial_spark.operators.multimodal import audio_features
+    nfft = 512
+    k = np.arange(2 * nfft + 100)      # +100: a partial window to drop
+    tone = np.round(3000 * np.sin(2 * np.pi * 9 * k / nfft)) \
+        .astype(np.int16).reshape(-1, 1)
+    two = np.round(2000 * np.sin(2 * np.pi * 5 * k / nfft)
+                   + 2000 * np.sin(2 * np.pi * 11 * k / nfft)) \
+        .astype(np.int16).reshape(-1, 1)
+    img = encode_png(np.zeros((4, 4, 3), np.uint8))
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(tone, 8000)), "audio", "wav",
+          len(k), 1, None),
+         (2, bytearray(encode_wav(two, 8000)), "audio", "wav",
+          len(k), 1, None),
+         (3, bytearray(img), "image", "png", 4, 4, None)],
+        "media_id long, payload binary, kind string, fmt string, "
+        "w int, h int, extra string")
+    rows = {(r["media_id"], r["window_no"]): r
+            for r in audio_features(df, nfft=nfft).collect()}
+    assert set(rows) == {(1, 0), (1, 1), (2, 0), (2, 1)}  # png skipped
+    for w in (0, 1):
+        r = rows[(1, w)]
+        assert r["dominant_bin"] == 9
+        assert r["spectral_centroid_bin"] == 9
+        assert r["rms_q"] == round(3000 / np.sqrt(2))
+        assert r["zero_crossings"] in (17, 18)
+        t = rows[(2, w)]
+        assert t["dominant_bin"] in (5, 11)
+        assert 5 <= t["spectral_centroid_bin"] <= 11
+
+
 def test_codecs_jpeg_dqt_is_zigzag_annex_k():
     """ADVICE r7: the DQT segment must carry the quality-scaled Annex K
     table in ZIGZAG order (T.81 B.2.4.1, libjpeg behavior), and the
