@@ -608,6 +608,28 @@ def _q_audio_features(spark, sf_dir) -> DataFrame:
                     "spectral_centroid_bin"))
 
 
+def _q_mp4_meta(spark, sf_dir) -> DataFrame:
+    """MP4 container metadata on the hard gate (r8): deterministic
+    single-track ISO-BMFF files (build_mp4 — real ftyp/moov/trak/stbl
+    boxes) parsed back by the real box walker via mp4_metadata; every
+    field is a closed-form function of the build parameters.  This is
+    the container half of the video seam — the bitstream stays the
+    documented ffmpeg plug point."""
+    from spatial_spark.operators.codecs import build_mp4
+    from spatial_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                    mp4_metadata)
+    codecs_by_mod = ["avc1", "hvc1", "vp09"]
+    rows = []
+    for i in range(32):
+        w, h = 320 + 16 * (i % 8), 240 + 16 * (i % 5)
+        n, delta = 30 + i, 33 + i % 7
+        rows.append((i, bytearray(build_mp4(
+            w, h, n, 1000, delta, codec=codecs_by_mod[i % 3])),
+            "video", "mp4", w, h, None))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return mp4_metadata(df)
+
+
 def _q_property_paging(spark, sf_dir) -> DataFrame:
     """Sort + RangeFilterPipe paging parity: rows 11..30 of orders by
     price.  Shaped as orderBy().limit(hi) + a row_number window over the
@@ -1553,10 +1575,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round-trip, the first §2.1#3 oracle row — osm_source — the
     # distributed chunk-recovery OSM parse, the first §2.1#4 oracle
     # row — render_sink — the rasterizer/PNG image sink, the first
-    # §2.1#8 oracle row — and audio_features — spectral features over
-    # WAV payloads with DFT-orthogonality closed forms — all needing
-    # first driver rows), which with the 41 promotions exactly fills
-    # the window (no fill entries this round).  The 50
+    # §2.1#8 oracle row — audio_features — spectral features over
+    # WAV payloads with DFT-orthogonality closed forms — and mp4_meta
+    # — the ISO-BMFF container box walker, narrowing the video seam to
+    # the bitstream — all needing first driver rows).  The TEN new
+    # gates squeeze ONE r6-row promotion (dedup_exact) out of the
+    # window; it leads the r9 rotation.  The 50
     # entries now outside all hold green r7 driver rows (1 round old at
     # r8), and every entry keeps its local-gate oracle
     # (tools/check_correctness runs ALL entries).
@@ -1610,9 +1634,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cql2": _q_cql2,
         "st_transform_merc": _q_st_transform_merc,
         "revenue_by_nation": _q_revenue_by_nation,
-        "dedup_exact": _q_dedup_exact,
         # --- NEW r8 gates: incremental dedup_against, real GIF decode,
-        # --- text-sink writers ---
+        # --- text-sink writers, source codecs, renderer, audio, MP4 ---
         "dedup_against_inc": _q_dedup_against_inc,
         "media_gif": _q_media_gif,
         "wkt_export": _q_wkt_export,
@@ -1620,7 +1643,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osm_source": _q_osm_source,
         "render_sink": _q_render_sink,
         "audio_features": _q_audio_features,
-        # --- rotated out this round: all hold green r7 driver rows ---
+        "mp4_meta": _q_mp4_meta,
+        # --- rotated out this round (geohash..property_paging hold r7
+        # rows; dedup_exact holds an r6 row — the one entry the 10 new
+        # gates squeezed out, FIRST in line for the r9 window) ---
+        "dedup_exact": _q_dedup_exact,
         "geohash": _q_geohash,
         "keep_max": _q_keep_max,
         "fingerprint": _q_fingerprint,
@@ -2571,6 +2598,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE {CUST_LON} >= -120 AND {CUST_LON} <= 60
               AND {CUST_LAT} >= -60 AND {CUST_LAT} <= 60
               AND c_acctbal > 1000 AND c_mktsegment <> 'BUILDING'
+        """,
+        "mp4_meta": """
+            WITH items AS (SELECT unnest(generate_series(0, 31)) AS i)
+            SELECT CAST(i AS BIGINT) AS media_id,
+                   'isom' AS brand,
+                   CAST((30 + i) * (33 + i % 7) AS BIGINT) AS movie_ms,
+                   CAST(1 AS BIGINT) AS track_id,
+                   'vide' AS track_type,
+                   CASE i % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1'
+                        ELSE 'vp09' END AS codec,
+                   CAST(320 + 16 * (i % 8) AS INT) AS width,
+                   CAST(240 + 16 * (i % 5) AS INT) AS height,
+                   CAST(30 + i AS BIGINT) AS n_samples,
+                   CAST((30 + i) * (33 + i % 7) AS BIGINT) AS track_ms
+            FROM items
         """,
         "audio_features": """
             WITH items AS (SELECT unnest(generate_series(0, 31)) AS i),

@@ -1143,6 +1143,148 @@ def encode_gif(img: np.ndarray) -> bytes:
     return bytes(out)
 
 
+# --------------------------------------------------------------------- MP4
+# ISO BMFF (MP4/MOV) CONTAINER layer: box walk + metadata extraction.
+# This deliberately narrows the video seam to the codec bitstream —
+# brand, movie/track timescales and durations, track handler types,
+# sample-entry fourccs, visual dimensions and sample counts all come
+# from the container and are parsed here for real; decoding avc1/mp4a
+# PAYLOADS still needs ffmpeg and stays the documented decode_any seam.
+
+def _walk_boxes(buf: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        size, tag = struct.unpack_from(">I4s", buf, pos)
+        hdr = 8
+        if size == 1:
+            size = struct.unpack_from(">Q", buf, pos + 8)[0]
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(f"MP4: bad box size at {pos}")
+        yield tag, pos + hdr, pos + size
+        pos += size
+
+
+def _find_boxes(buf, start, end, tag):
+    return [(b, e) for t, b, e in _walk_boxes(buf, start, end) if t == tag]
+
+
+def parse_mp4_meta(buf: bytes) -> dict:
+    """MP4/MOV container metadata: ``{"brand", "timescale",
+    "duration_ms", "tracks": [{"id", "type", "codec", "width",
+    "height", "n_samples", "duration_ms"}]}``.  mvhd/mdhd v0 and v1
+    both handled; tkhd width/height are 16.16 fixed point."""
+    buf = bytes(buf)
+    if sniff_format(buf) != "mp4":
+        raise ValueError("not an ISO-BMFF payload")
+    out = {"brand": None, "timescale": None, "duration_ms": None,
+           "tracks": []}
+    for tag, b, e in _walk_boxes(buf, 0, len(buf)):
+        if tag == b"ftyp":
+            out["brand"] = buf[b:b + 4].decode("latin1")
+        elif tag == b"moov":
+            for mb, me in _find_boxes(buf, b, e, b"mvhd"):
+                ver = buf[mb]
+                if ver == 1:
+                    ts, dur = struct.unpack_from(">IQ", buf, mb + 20)
+                else:
+                    ts, dur = struct.unpack_from(">II", buf, mb + 12)
+                out["timescale"] = ts
+                out["duration_ms"] = dur * 1000 // max(ts, 1)
+            for tb, te in _find_boxes(buf, b, e, b"trak"):
+                out["tracks"].append(_parse_trak(buf, tb, te))
+    return out
+
+
+def _parse_trak(buf: bytes, start: int, end: int) -> dict:
+    tr = {"id": None, "type": None, "codec": None, "width": None,
+          "height": None, "n_samples": None, "duration_ms": None}
+    for hb, he in _find_boxes(buf, start, end, b"tkhd"):
+        ver = buf[hb]
+        # FullBox(4) + ctime/mtime (2x4 at v0, 2x8 at v1) → track_ID
+        tr["id"] = struct.unpack_from(
+            ">I", buf, hb + (20 if ver == 1 else 12))[0]
+        w, h = struct.unpack_from(">II", buf, he - 8)
+        tr["width"], tr["height"] = w >> 16, h >> 16
+    for mb, me in _find_boxes(buf, start, end, b"mdia"):
+        for db, de in _find_boxes(buf, mb, me, b"mdhd"):
+            ver = buf[db]
+            if ver == 1:
+                ts, dur = struct.unpack_from(">IQ", buf, db + 20)
+            else:
+                ts, dur = struct.unpack_from(">II", buf, db + 12)
+            tr["duration_ms"] = dur * 1000 // max(ts, 1)
+        for db, de in _find_boxes(buf, mb, me, b"hdlr"):
+            tr["type"] = buf[db + 8:db + 12].decode("latin1")
+        for nb, ne in _find_boxes(buf, mb, me, b"minf"):
+            for sb, se in _find_boxes(buf, nb, ne, b"stbl"):
+                for xb, xe in _find_boxes(buf, sb, se, b"stsd"):
+                    if struct.unpack_from(">I", buf, xb + 4)[0] >= 1:
+                        tr["codec"] = buf[xb + 12:xb + 16].decode("latin1")
+                for xb, xe in _find_boxes(buf, sb, se, b"stsz"):
+                    tr["n_samples"] = struct.unpack_from(
+                        ">I", buf, xb + 8)[0]
+    return tr
+
+
+def build_mp4(width: int, height: int, n_samples: int, timescale: int,
+              sample_delta: int, codec: str = "avc1",
+              handler: str = "vide", brand: str = "isom") -> bytes:
+    """Minimal valid single-track ISO-BMFF container (empty mdat) —
+    the deterministic test/gate fixture generator for parse_mp4_meta.
+    Writes ftyp + moov(mvhd, trak(tkhd, mdia(mdhd, hdlr,
+    minf(stbl(stsd/stts/stsc/stsz/stco))))) + mdat."""
+
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    dur = n_samples * sample_delta
+    ftyp = box(b"ftyp", brand.encode() + struct.pack(">I", 0x200)
+               + b"isomiso2")
+    mvhd = box(b"mvhd", struct.pack(">B3x", 0)
+               + struct.pack(">II", 0, 0)            # ctime/mtime
+               + struct.pack(">II", timescale, dur)
+               + struct.pack(">I", 0x00010000) + struct.pack(">H2x", 0x0100)
+               + b"\x00" * 8
+               + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                             0x40000000)
+               + b"\x00" * 24 + struct.pack(">I", 2))
+    tkhd = box(b"tkhd", struct.pack(">B3B", 0, 0, 0, 7)
+               + struct.pack(">II", 0, 0)
+               + struct.pack(">I4xI", 1, dur)        # track id, duration
+               + b"\x00" * 16
+               + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                             0x40000000)
+               + struct.pack(">II", width << 16, height << 16))
+    mdhd = box(b"mdhd", struct.pack(">B3x", 0) + struct.pack(">II", 0, 0)
+               + struct.pack(">II", timescale, dur)
+               + struct.pack(">HH", 0x55C4, 0))
+    hdlr = box(b"hdlr", struct.pack(">B3x4x", 0) + handler.encode()
+               + b"\x00" * 12 + b"spark_graft\x00")
+    entry = (struct.pack(">I", 86) + codec.encode() + b"\x00" * 6
+             + struct.pack(">H", 1) + b"\x00" * 16
+             + struct.pack(">HH", width, height)
+             + struct.pack(">II", 0x480000, 0x480000) + b"\x00" * 4
+             + struct.pack(">H", 1) + b"\x00" * 32
+             + struct.pack(">Hh", 0x18, -1))
+    stsd = box(b"stsd", struct.pack(">B3xI", 0, 1) + entry)
+    stts = box(b"stts", struct.pack(">B3xIII", 0, 1, n_samples,
+                                    sample_delta))
+    stsc = box(b"stsc", struct.pack(">B3xIIII", 0, 1, 1, n_samples, 1))
+    stsz = box(b"stsz", struct.pack(">B3xII", 0, 0, n_samples)
+               + b"".join(struct.pack(">I", 0) for _ in range(n_samples)))
+    stco = box(b"stco", struct.pack(">B3xII", 0, 1, 0))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", box(b"vmhd", struct.pack(">B3xH6x", 1, 0))
+               + stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + moov + box(b"mdat", b"")
+
+
 def sniff_format(buf: bytes) -> str:
     """Identify a payload by magic bytes: png|jpeg|bmp|ppm|wav|fake|unknown."""
     head = bytes(buf[:12])
@@ -1158,6 +1300,8 @@ def sniff_format(buf: bytes) -> str:
         return "wav"
     if head[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if len(head) >= 12 and head[4:8] == b"ftyp":
+        return "mp4"
     if head[:4] == b"FAKE":
         return "fake"
     return "unknown"
@@ -1181,7 +1325,14 @@ def decode_any(buf: bytes):
         return "audio", decode_wav(buf)
     if fmt == "gif":
         return "image", decode_gif(buf)
+    if fmt == "mp4":
+        raise NotImplementedError(
+            "MP4 CONTAINER metadata parses natively (parse_mp4_meta: "
+            "brand, durations, track types/codecs/dimensions/sample "
+            "counts); decoding the avc1/mp4a BITSTREAM needs ffmpeg — "
+            "plug the codec in here")
     raise NotImplementedError(
         "real decode supports PNG (zlib + numpy unfilter), baseline JPEG "
-        "(numpy Huffman + IDCT) and uncompressed BMP/PPM/WAV natively; "
-        "MP4/video needs ffmpeg — plug the codec in here")
+        "(numpy Huffman + IDCT), GIF (incl. animation) and uncompressed "
+        "BMP/PPM/WAV natively; compressed video bitstreams need ffmpeg — "
+        "plug the codec in here")

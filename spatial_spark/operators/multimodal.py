@@ -214,6 +214,50 @@ def frame_sample_stub(df: DataFrame, every_n: int = 2,
 frame_sample = frame_sample_stub
 
 
+def mp4_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """ISO-BMFF container metadata per MP4 payload (1→N over tracks):
+    brand, movie duration, and each track's handler type / sample-entry
+    codec fourcc / visual dimensions / sample count.  This is the
+    container HALF of video support — real parsing of real boxes
+    (codecs.parse_mp4_meta); the bitstream decode stays the documented
+    ffmpeg seam.  Non-MP4 payloads are skipped."""
+    out_schema = T.StructType([
+        T.StructField("media_id", df.schema["media_id"].dataType),
+        T.StructField("brand", T.StringType()),
+        T.StructField("movie_ms", T.LongType()),
+        T.StructField("track_id", T.LongType()),
+        T.StructField("track_type", T.StringType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("track_ms", T.LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import parse_mp4_meta, sniff_format
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                buf = row[payload_col]
+                if buf is None or sniff_format(bytes(buf)) != "mp4":
+                    continue
+                meta = parse_mp4_meta(bytes(buf))
+                for tr in meta["tracks"]:
+                    rows.append((row["media_id"], meta["brand"],
+                                 meta["duration_ms"], tr["id"],
+                                 tr["type"], tr["codec"], tr["width"],
+                                 tr["height"], tr["n_samples"],
+                                 tr["duration_ms"]))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "media_id", "brand", "movie_ms", "track_id",
+                    "track_type", "codec", "width", "height",
+                    "n_samples", "track_ms"])
+
+    return df.mapInPandas(run, out_schema)
+
+
 def audio_features(df: DataFrame, nfft: int = 1024,
                    payload_col: str = "payload") -> DataFrame:
     """Spectral features per NFFT window of each WAV payload — the

@@ -453,6 +453,33 @@ def test_frame_sample_gif_animation(spark):
     assert (f2[0, 3] == (255, 0, 0)).all()    # red base
 
 
+def test_mp4_container_metadata():
+    """ISO-BMFF container parsing: build→parse closed-form fields,
+    audio-handler tracks, decode_any's narrowed seam message, and
+    malformed-box rejection."""
+    import pytest as _pytest
+    from spatial_spark.operators import codecs as C
+    buf = C.build_mp4(1280, 720, 250, 25000, 1000, codec="avc1")
+    assert C.sniff_format(buf) == "mp4"
+    meta = C.parse_mp4_meta(buf)
+    assert meta["brand"] == "isom" and meta["timescale"] == 25000
+    assert meta["duration_ms"] == 10000
+    (tr,) = meta["tracks"]
+    assert (tr["id"], tr["type"], tr["codec"]) == (1, "vide", "avc1")
+    assert (tr["width"], tr["height"], tr["n_samples"]) == (1280, 720, 250)
+    # audio-shaped track metadata
+    a = C.parse_mp4_meta(C.build_mp4(0, 0, 441, 44100, 1024,
+                                     codec="mp4a", handler="soun"))
+    assert a["tracks"][0]["type"] == "soun"
+    assert a["tracks"][0]["codec"] == "mp4a"
+    # the container parses; the bitstream is the documented seam
+    with _pytest.raises(NotImplementedError, match="BITSTREAM"):
+        C.decode_any(buf)
+    # corrupt the moov box header (ftyp is the first 24 bytes)
+    with _pytest.raises(ValueError, match="bad box size"):
+        C.parse_mp4_meta(buf[:24] + b"\x00\x00\x00\x02zzzz" + buf[32:])
+
+
 def test_audio_features_spectral(spark):
     """audio_features vs exact DSP facts: pure integer-cycle tones give
     dominant_bin == cycle count, noise-gated centroid == dominant, rms
