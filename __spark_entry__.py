@@ -608,6 +608,22 @@ def _q_audio_features(spark, sf_dir) -> DataFrame:
                     "spectral_centroid_bin"))
 
 
+def _q_knn_cosine_q8(spark, sf_dir) -> DataFrame:
+    """int8 quantized-scan + exact-rescore ANN vs the brute-force SQL
+    oracle: the candidate cut (top k*8 by integer-dot cosine over the
+    4x-smaller quantized column) provably captures the true top-20 for
+    the e0 basis probe at every test SF (verified 0.001/0.01/0.1), so
+    the rescored output EQUALS the exact baseline — the conformance
+    contract of approximate-scan/exact-rescore retrieval."""
+    from spatial_spark.operators.similarity import knn_cosine_q8
+    e = (spark.table("embeddings")
+         .withColumn("embedding",
+                     F.transform("embedding",
+                                 lambda x: x.cast("double"))))
+    dim = len(e.select("embedding").first()[0])
+    return knn_cosine_q8(e, [1.0] + [0.0] * (dim - 1), k=20, rescore=8)
+
+
 def _q_mp4_meta(spark, sf_dir) -> DataFrame:
     """MP4 container metadata on the hard gate (r8): deterministic
     single-track ISO-BMFF files (build_mp4 — real ftyp/moov/trak/stbl
@@ -1576,11 +1592,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # distributed chunk-recovery OSM parse, the first §2.1#4 oracle
     # row — render_sink — the rasterizer/PNG image sink, the first
     # §2.1#8 oracle row — audio_features — spectral features over
-    # WAV payloads with DFT-orthogonality closed forms — and mp4_meta
-    # — the ISO-BMFF container box walker, narrowing the video seam to
-    # the bitstream — all needing first driver rows).  The TEN new
-    # gates squeeze ONE r6-row promotion (dedup_exact) out of the
-    # window; it leads the r9 rotation.  The 50
+    # WAV payloads with DFT-orthogonality closed forms — mp4_meta —
+    # the ISO-BMFF container box walker, narrowing the video seam to
+    # the bitstream — and knn_cosine_q8 — int8 quantized-scan +
+    # exact-rescore ANN — all needing first driver rows).  The ELEVEN
+    # new gates squeeze TWO r6-row promotions (dedup_exact,
+    # revenue_by_nation) out of the window; they lead the r9 rotation.
+    # The 50
     # entries now outside all hold green r7 driver rows (1 round old at
     # r8), and every entry keeps its local-gate oracle
     # (tools/check_correctness runs ALL entries).
@@ -1633,9 +1651,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cql_filter": _q_cql_filter,
         "cql2": _q_cql2,
         "st_transform_merc": _q_st_transform_merc,
-        "revenue_by_nation": _q_revenue_by_nation,
         # --- NEW r8 gates: incremental dedup_against, real GIF decode,
-        # --- text-sink writers, source codecs, renderer, audio, MP4 ---
+        # --- text-sink writers, source codecs, renderer, audio, MP4,
+        # --- quantized ANN ---
         "dedup_against_inc": _q_dedup_against_inc,
         "media_gif": _q_media_gif,
         "wkt_export": _q_wkt_export,
@@ -1644,10 +1662,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_sink": _q_render_sink,
         "audio_features": _q_audio_features,
         "mp4_meta": _q_mp4_meta,
+        "knn_cosine_q8": _q_knn_cosine_q8,
         # --- rotated out this round (geohash..property_paging hold r7
-        # rows; dedup_exact holds an r6 row — the one entry the 10 new
-        # gates squeezed out, FIRST in line for the r9 window) ---
+        # rows; dedup_exact and revenue_by_nation hold r6 rows — the
+        # two entries the 11 new gates squeezed out, FIRST in line for
+        # the r9 window) ---
         "dedup_exact": _q_dedup_exact,
+        "revenue_by_nation": _q_revenue_by_nation,
         "geohash": _q_geohash,
         "keep_max": _q_keep_max,
         "fingerprint": _q_fingerprint,
@@ -2598,6 +2619,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE {CUST_LON} >= -120 AND {CUST_LON} <= 60
               AND {CUST_LAT} >= -60 AND {CUST_LAT} <= 60
               AND c_acctbal > 1000 AND c_mktsegment <> 'BUILDING'
+        """,
+        "knn_cosine_q8": """
+            SELECT vec_id,
+                   round(embedding[1] /
+                         sqrt(list_aggregate(list_transform(embedding, x -> x * x),
+                                             'sum')), 6) AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id ASC LIMIT 20
         """,
         "mp4_meta": """
             WITH items AS (SELECT unnest(generate_series(0, 31)) AS i)

@@ -127,3 +127,69 @@ def pairwise_topk_cosine(df: DataFrame, k: int = 5, vec_col: str = "embedding",
             .filter(F.col("rnk") <= k)
             .select(F.col("a_id").alias(id_col),
                     F.col("b_id").alias("neighbor_id"), "cosine", "rnk"))
+
+
+# -------------------------------------------------------- int8 quantized ANN
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-vector symmetric int8 quantization (the memory-bound scale
+    lever: a 100 TB float32 embedding table becomes ~25 TB and the
+    candidate scan touches a quarter of the bytes).  Adds:
+
+      * ``q``  — array<int> with values in [-127, 127],
+        round(v * 127 / max|v|),
+      * ``q_scale`` — max|v| / 127 (dequant multiplier; 0 for the
+        all-zero vector, whose ``q`` is all zeros).
+
+    Pure Column math (transform/aggregate — JVM-side), deterministic."""
+    vc = F.col(vec_col)
+    mx = F.aggregate(F.transform(vc, lambda x: F.abs(x)),
+                     F.lit(0.0), lambda acc, v: F.greatest(acc, v))
+    df = df.withColumn("_mx", mx)
+    q = F.when(F.col("_mx") == 0.0,
+               F.transform(vc, lambda x: F.lit(0))) \
+         .otherwise(F.transform(
+             vc, lambda x: F.round(x * 127.0 / F.col("_mx"))
+             .cast("int")))
+    return (df.withColumn("q", q)
+            .withColumn("q_scale", F.col("_mx") / 127.0)
+            .drop("_mx"))
+
+
+def knn_cosine_q8(df: DataFrame, probe: list, k: int = 10,
+                  rescore: int = 4, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Quantized-scan + exact-rescore cosine top-k: candidates are the
+    top ``k * rescore`` rows by INT8 cosine (integer dot products over
+    the 4x-smaller quantized column — the part that scans the corpus),
+    and only those candidates get the exact float cosine, whose top-k
+    is returned (same output schema/rounding as ``knn_cosine``).
+
+    The approximation only affects which rows REACH the rescore:
+    whenever the true top-k survives the candidate cut (int8 cosine
+    error is ~1/127 per component; recall-vs-rescore is pinned in
+    tests), the result EQUALS the brute-force baseline."""
+    p = np.asarray(probe, dtype=np.float64)
+    mx = float(np.abs(p).max())
+    qp = (np.round(p * 127.0 / mx).astype(int) if mx > 0
+          else np.zeros(len(p), dtype=int))
+    qp_lit = F.array(*[F.lit(int(v)) for v in qp])
+    qp_norm = float(np.sqrt((qp.astype(np.float64) ** 2).sum())) or 1.0
+    qdf = quantize_embeddings(df, vec_col)
+    qdot = F.aggregate(
+        F.zip_with("q", qp_lit, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"), lambda acc, v: acc + v).cast("double")
+    qnorm = F.sqrt(F.aggregate(
+        F.transform("q", lambda x: (x * x).cast("long")),
+        F.lit(0).cast("long"), lambda acc, v: acc + v).cast("double"))
+    cand = (qdf.withColumn(
+                "q_cosine",
+                qdot / (F.greatest(qnorm, F.lit(1e-12)) * F.lit(qp_norm)))
+            .orderBy(F.col("q_cosine").desc(), F.col(id_col).asc())
+            .limit(k * rescore))
+    exact = F.when(_norm(F.col(vec_col)) == 0.0, F.lit(-1.0)) \
+        .otherwise(cosine_to_probe(vec_col, probe))
+    return (cand
+            .withColumn("cosine", F.round(exact, 6))
+            .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+            .limit(k)
+            .select(id_col, "cosine"))

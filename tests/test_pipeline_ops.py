@@ -154,6 +154,42 @@ def test_knn_cosine_vs_numpy(embs):
     assert res[0]["cosine"] == pytest.approx(1.0, abs=1e-6)
 
 
+def test_knn_cosine_q8_quantize_and_recall(embs, spark):
+    """int8 quantized ANN: quantization invariants (|q| <= 127, peak
+    component hits 127, dequant error bounded by scale/2), and the
+    quantized-scan + exact-rescore path matches brute force exactly at
+    a generous rescore on the seeded corpus while keeping high recall
+    at rescore=2."""
+    from spatial_spark.operators.similarity import (knn_cosine_q8,
+                                                    quantize_embeddings)
+    q = quantize_embeddings(embs).select("vec_id", "embedding", "q",
+                                         "q_scale")
+    for r in q.limit(50).collect():
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        qv = np.asarray(r["q"], dtype=np.int64)
+        assert np.abs(qv).max() <= 127
+        if np.abs(v).max() > 0:
+            assert np.abs(qv).max() == 127
+            assert np.abs(qv * r["q_scale"] - v).max() \
+                <= r["q_scale"] / 2 + 1e-12
+    pdf = embs.toPandas()
+    probe = np.vstack(pdf["embedding"].to_numpy())[7].astype(float).tolist()
+    exact = [(r["vec_id"], r["cosine"])
+             for r in knn_cosine(embs, probe, k=10).collect()]
+    same = [(r["vec_id"], r["cosine"])
+            for r in knn_cosine_q8(embs, probe, k=10, rescore=8).collect()]
+    assert same == exact
+    fast = {r["vec_id"] for r in
+            knn_cosine_q8(embs, probe, k=10, rescore=2).collect()}
+    assert len(fast & {i for i, _ in exact}) >= 8
+    # zero probe component path + all-zero vector safety
+    zdf = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    rows = knn_cosine_q8(zdf, [1.0, 0.0], k=2, rescore=1).collect()
+    assert rows[0]["vec_id"] == 2
+
+
 def test_ivf_recall(embs):
     idx = IVFIndex.build(embs, n_cells=8)
     assigned = idx.assign(embs).cache()
