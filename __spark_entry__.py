@@ -1580,36 +1580,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # Dict ORDER is part of the driver contract: the driver's correctness
     # gate checks the first 50 registered entries.  r8 rotation (VERDICT
-    # r7 ask #1, executed as written): promote the 41 entries that sat
-    # OUTSIDE the r7 window (newest driver row r6 for all of them — the
-    # oldest rows in the registry), plus the EIGHT queries NEW in r8
-    # (cql2 — ECQL tier 2, VERDICT r7 ask #6 — st_transform_merc —
-    # CRS reprojection, ask #7 — dedup_against_inc — the Bloom
-    # incremental path, ask #8 — media_gif — lossless GIF decode on
-    # the hard gate — wkt_export — the text-sink writers, the first
-    # §2.7#48 oracle row — shapefile_source — the ESRI codec
-    # round-trip, the first §2.1#3 oracle row — osm_source — the
-    # distributed chunk-recovery OSM parse, the first §2.1#4 oracle
-    # row — render_sink — the rasterizer/PNG image sink, the first
-    # §2.1#8 oracle row — audio_features — spectral features over
-    # WAV payloads with DFT-orthogonality closed forms — mp4_meta —
-    # the ISO-BMFF container box walker, narrowing the video seam to
-    # the bitstream — and knn_cosine_q8 — int8 quantized-scan +
-    # exact-rescore ANN — all needing first driver rows).  The ELEVEN
-    # new gates squeeze TWO r6-row promotions (dedup_exact,
-    # revenue_by_nation) out of the window; they lead the r9 rotation.
-    # The 50
-    # entries now outside all hold green r7 driver rows (1 round old at
-    # r8), and every entry keeps its local-gate oracle
-    # (tools/check_correctness runs ALL entries).
-    # r9 rotation plan: demote this head, promote the 43 outside
-    # (all r7-row holders, 2 rounds old by r9 — promote every one of
-    # them; the window is 50, so 7 of this head's entries stay a second
-    # round — pick the 7 whose r8 rows land last in this file's order)
-    # — keeping every entry's newest driver row at most two rounds old.
+    # r7 ask #1, executed as written, then extended): promote the
+    # entries that sat OUTSIDE the r7 window (newest driver row r6 —
+    # the oldest rows in the registry), plus the ELEVEN queries NEW in
+    # r8, all needing first driver rows: cql2 (ECQL tier 2, VERDICT r7
+    # ask #6), st_transform_merc (CRS reprojection, ask #7),
+    # dedup_against_inc (the Bloom incremental path, ask #8), media_gif
+    # (lossless GIF decode on the hard gate), wkt_export (text-sink
+    # writers — the first §2.7#48 oracle row), shapefile_source (ESRI
+    # codec round-trip — §2.1#3), osm_source (distributed
+    # chunk-recovery OSM parse — §2.1#4), render_sink (rasterizer/PNG
+    # image sink — §2.1#8), audio_features (WAV spectral features with
+    # DFT-orthogonality closed forms), mp4_meta (ISO-BMFF container box
+    # walk), knn_cosine_q8 (int8 quantized-scan + exact-rescore ANN).
+    # The 11 new gates squeeze TWO r6-row promotions (dedup_exact,
+    # revenue_by_nation) out of the 50-window; everything else outside
+    # holds a green r7 row (1 round old at r8), and every entry keeps
+    # its local-gate oracle (tools/check_correctness runs ALL entries).
+    # r9 rotation plan: demote this head; promote OLDEST-FIRST —
+    # dedup_exact and revenue_by_nation (r6 rows) lead, then 48 of the
+    # 50 r7-row holders in this file's order.  NOTE: at 102 entries the
+    # registry now exceeds 2x the window, so the every-row-<=2-rounds
+    # invariant is arithmetically out of reach for ~2 entries per
+    # round; the rule becomes strictly-oldest-first rotation (max age
+    # 3 rounds for the two entries that just missed a window, which
+    # then lead the next one).
     return {name: wrap(fn) for name, fn in {
-        # --- r6-row holders returning to the window (41) + the two
-        # --- NEW r8 gates (cql2, st_transform_merc) in file order ---
+        # --- r6-row holders returning to the window (39 after the two
+        # --- squeezed out below) + cql2 / st_transform_merc inline ---
         "tpch_q1": _q_tpch_q1,
         "dedup_groups": _q_dedup_groups,
         "token_counts": _q_token_counts,
