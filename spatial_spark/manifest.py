@@ -347,17 +347,23 @@ class Manifest:
 
     def _read_lock(self):
         """(token, heartbeat_ts) of the current lock file, or None when
-        absent/unreadable (a legacy or torn lock parses as (None, 0.0) —
-        immediately stale, claimed through the same rename protocol)."""
-        try:
-            raw = self.io.read_text(self._lock_path)
-        except (FileNotFoundError, OSError):
-            return None
-        try:
-            doc = json.loads(raw)
-            return doc.get("token"), float(doc.get("hb", 0.0))
-        except (ValueError, TypeError):
-            return None, 0.0
+        absent.  A lock that does not parse is re-read once after a
+        beat: heartbeat rewrites are not atomic, so a single torn read
+        must not be mistaken for a legacy/corrupt lock (which parses as
+        (None, 0.0) — immediately stale, claimed through the same
+        rename protocol)."""
+        for attempt in range(2):
+            try:
+                raw = self.io.read_text(self._lock_path)
+            except (FileNotFoundError, OSError):
+                return None
+            try:
+                doc = json.loads(raw)
+                return doc.get("token"), float(doc.get("hb", 0.0))
+            except (ValueError, TypeError):
+                if attempt == 0:
+                    time.sleep(0.05)   # mid-heartbeat torn read: retry
+        return None, 0.0
 
     @contextmanager
     def lock(self, timeout: float = 60.0, stale: float = 300.0):
