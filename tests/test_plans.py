@@ -395,3 +395,20 @@ def test_cosine_exact_packs_before_pairing(spark):
     assert join_ix >= 0
     # the pack runs BELOW the pair join (later in toString = deeper)
     assert pack_ix > join_ix, plan[:4000]
+
+
+def test_knn_cosine_q8_plan_is_jvm_side(spark):
+    """The quantized-scan path must stay in JVM Column math: no Python
+    UDF evaluation anywhere in the plan (quantization is
+    transform/aggregate, the candidate cut a TakeOrdered), so the
+    corpus scan never crosses into Python."""
+    import numpy as np
+    from spatial_spark.operators.similarity import knn_cosine_q8
+    rng = np.random.RandomState(1)
+    df = spark.createDataFrame(
+        [(i, rng.randn(8).tolist()) for i in range(60)],
+        "vec_id long, embedding array<double>")
+    plan = _plan(knn_cosine_q8(df, rng.randn(8).tolist(), k=5, rescore=3))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -144,3 +144,30 @@ def test_funnel_mega_user(spark):
            for r in funnel(mega.unionByName(normal), steps).collect()}
     # mega user completes the whole chain; normals stop at click
     assert got == {"view": 101, "click": 101, "purchase": 1}
+
+
+def test_dedup_against_bloom_prepass_all_verbatim(spark):
+    """The incremental path's design case at its most skewed: a corpus
+    that is 100% verbatim repeats of ONE reference text (the hottest
+    possible key).  The Bloom pre-pass must drop everything map-only —
+    the expensive signature/banding stages see ZERO rows — and a lone
+    fresh document still survives."""
+    from spatial_spark.operators.dedup import dedup_against
+    from spatial_spark.operators.sketch import build_bloom
+    hot = ("the exact same boilerplate paragraph repeated across an "
+           "entire crawl partition again and again")
+    ref = spark.createDataFrame(
+        [(1, hot), (2, "some other reference doc with distinct words")],
+        "doc_id long, text string")
+    corpus = (spark.range(10_000)
+              .select((F.col("id") + 100).alias("doc_id"),
+                      F.lit(hot).alias("text"))
+              .unionByName(spark.createDataFrame(
+                  [(99_999, "a genuinely new document about an "
+                            "unrelated subject entirely")],
+                  "doc_id long, text string")))
+    bloom = build_bloom(ref, key_col="text", m_bits=1 << 14, k=5)
+    out = dedup_against(corpus, ref, threshold=0.5, ref_bloom=bloom,
+                        bloom_m_bits=1 << 14, bloom_k=5)
+    ids = [r["doc_id"] for r in out.collect()]
+    assert ids == [99_999]
