@@ -352,3 +352,30 @@ def test_webmercator_roundtrip_property(lon, lat):
         assert eps[0, 0] > xy[0, 0]
     if lat + 1e-3 <= 85.06:
         assert eps[0, 1] > xy[0, 1]
+
+
+@given(st.integers(1, 60), st.integers(1, 60), st.integers(1, 256),
+       st.integers(0, 2**31 - 1))
+@settings(max_examples=60, deadline=None)
+def test_gif_roundtrip_property(h, w, ncol, seed):
+    """Any <=256-color image round-trips LOSSLESSLY through the GIF
+    codec (random palettes, sizes, color counts — exercises variable
+    code widths and, at larger sizes, the LZW dictionary growth)."""
+    import numpy as np
+    from spatial_spark.operators.codecs import decode_gif, encode_gif
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, ncol, (h, w))]
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+
+def test_gif_lzw_dictionary_reset():
+    """A 256-color noise image large enough to overflow the 4096-entry
+    LZW dictionary (forcing the encoder's mid-stream clear + the
+    decoder's table reset) still round-trips exactly."""
+    import numpy as np
+    from spatial_spark.operators.codecs import decode_gif, encode_gif
+    rng = np.random.default_rng(123)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 256, (150, 150))]   # 22500 px >> 4096 codes
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
