@@ -646,6 +646,48 @@ def _q_mp4_meta(spark, sf_dir) -> DataFrame:
     return mp4_metadata(df)
 
 
+def _q_datastore_gjl(spark, sf_dir) -> DataFrame:
+    """GeoTools-DataStore facade on the hard gate (SURVEY §2.1 #6,
+    previously pytest-only): nation zones serialized as
+    newline-delimited GeoJSON Features, registered as an external
+    feature type, read back DISTRIBUTED through the facade's
+    mapInPandas GeoJSONL parser, and bbox-filtered through the same
+    FeatureSource API an external tool would use; envelopes +
+    properties hash-compared against closed-form SQL.  Parity:
+    Neo4jSpatialDataStore.java:53-173."""
+    import json
+    import os
+    import tempfile
+
+    from spatial_spark.io.datastore import SpatialDataStore
+    from spatial_spark.layer import SpatialContext
+    keys = sorted(r["n_nationkey"]
+                  for r in spark.table("nation")
+                  .select("n_nationkey").collect())
+    lines = []
+    for n in keys:
+        x0, y0 = n % 5 * 72 - 180, (n // 5) * 34 - 85
+        ring = [[x0, y0], [x0 + 72, y0], [x0 + 72, y0 + 34],
+                [x0, y0 + 34], [x0, y0]]
+        lines.append(json.dumps({
+            "type": "Feature",
+            "geometry": {"type": "Polygon", "coordinates": [ring]},
+            "properties": {"nkey": n}}))
+    d = tempfile.mkdtemp(prefix="gjl_gate_")
+    path = os.path.join(d, "zones.geojsonl")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines))
+    ctx = SpatialContext(spark, tempfile.mkdtemp(prefix="spatial_wh_"))
+    store = SpatialDataStore(ctx)
+    src = store.register_file("zones_gjl", path, fmt="geojsonl")
+    # bbox filter through the facade: the eastern hemisphere's columns
+    feats = src.bbox(0.0, -90.0, 180.0, 90.0)
+    return (feats.select(
+        F.get_json_object("properties", "$.nkey").cast("long")
+        .alias("n_nationkey"), "xmin", "ymin", "xmax", "ymax")
+        .orderBy("n_nationkey"))
+
+
 def _q_property_paging(spark, sf_dir) -> DataFrame:
     """Sort + RangeFilterPipe paging parity: rows 11..30 of orders by
     price.  Shaped as orderBy().limit(hi) + a row_number window over the
@@ -1582,8 +1624,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gate checks the first 50 registered entries.  r8 rotation (VERDICT
     # r7 ask #1, executed as written, then extended): promote the
     # entries that sat OUTSIDE the r7 window (newest driver row r6 —
-    # the oldest rows in the registry), plus the ELEVEN queries NEW in
-    # r8, all needing first driver rows: cql2 (ECQL tier 2, VERDICT r7
+    # the oldest rows in the registry), plus the queries NEW in
+    # r8 (TWELVE after the late additions), all needing first driver
+    # rows: cql2 (ECQL tier 2, VERDICT r7
     # ask #6), st_transform_merc (CRS reprojection, ask #7),
     # dedup_against_inc (the Bloom incremental path, ask #8), media_gif
     # (lossless GIF decode on the hard gate), wkt_export (text-sink
@@ -1592,23 +1635,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # chunk-recovery OSM parse — §2.1#4), render_sink (rasterizer/PNG
     # image sink — §2.1#8), audio_features (WAV spectral features with
     # DFT-orthogonality closed forms), mp4_meta (ISO-BMFF container box
-    # walk), knn_cosine_q8 (int8 quantized-scan + exact-rescore ANN).
-    # The 11 new gates squeeze TWO r6-row promotions (dedup_exact,
-    # revenue_by_nation) out of the 50-window; everything else outside
-    # holds a green r7 row (1 round old at r8), and every entry keeps
-    # its local-gate oracle (tools/check_correctness runs ALL entries).
+    # walk), knn_cosine_q8 (int8 quantized-scan + exact-rescore ANN), and
+    # datastore_gjl (the DataStore facade over external GeoJSONL, the
+    # first §2.1#6 oracle row).  The 12 new gates squeeze THREE r6-row
+    # promotions (dedup_exact, revenue_by_nation, tpch_q1) out of the
+    # 50-window; everything else outside holds a green r7 row (1 round
+    # old at r8), and every entry keeps its local-gate oracle
+    # (tools/check_correctness runs ALL entries).
     # r9 rotation plan: demote this head; promote OLDEST-FIRST —
-    # dedup_exact and revenue_by_nation (r6 rows) lead, then 48 of the
-    # 50 r7-row holders in this file's order.  NOTE: at 102 entries the
-    # registry now exceeds 2x the window, so the every-row-<=2-rounds
-    # invariant is arithmetically out of reach for ~2 entries per
-    # round; the rule becomes strictly-oldest-first rotation (max age
-    # 3 rounds for the two entries that just missed a window, which
-    # then lead the next one).
+    # dedup_exact, revenue_by_nation and tpch_q1 (r6 rows) lead, then
+    # 47 of the 50 r7-row holders in this file's order.  NOTE: at 103
+    # entries the registry now exceeds 2x the window, so the
+    # every-row-<=2-rounds invariant is arithmetically out of reach for
+    # ~3 entries per round; the rule becomes strictly-oldest-first
+    # rotation (max age 3 rounds for the few entries that just missed a
+    # window, which then lead the next one).
     return {name: wrap(fn) for name, fn in {
         # --- r6-row holders returning to the window (39 after the two
         # --- squeezed out below) + cql2 / st_transform_merc inline ---
-        "tpch_q1": _q_tpch_q1,
         "dedup_groups": _q_dedup_groups,
         "token_counts": _q_token_counts,
         "st_symdifference_area": _q_st_symdifference_area,
@@ -1661,12 +1705,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": _q_audio_features,
         "mp4_meta": _q_mp4_meta,
         "knn_cosine_q8": _q_knn_cosine_q8,
+        "datastore_gjl": _q_datastore_gjl,
         # --- rotated out this round (geohash..property_paging hold r7
         # rows; dedup_exact and revenue_by_nation hold r6 rows — the
         # two entries the 11 new gates squeezed out, FIRST in line for
         # the r9 window) ---
         "dedup_exact": _q_dedup_exact,
         "revenue_by_nation": _q_revenue_by_nation,
+        "tpch_q1": _q_tpch_q1,
         "geohash": _q_geohash,
         "keep_max": _q_keep_max,
         "fingerprint": _q_fingerprint,
@@ -2665,6 +2711,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(4 AS DOUBLE) AS area,
                    CAST(5 AS BIGINT) AS n_nds
             FROM nation
+        """,
+        "datastore_gjl": """
+            SELECT n_nationkey,
+                   CAST(n_nationkey % 5 * 72 - 180 AS DOUBLE) AS xmin,
+                   CAST((n_nationkey // 5) * 34 - 85 AS DOUBLE) AS ymin,
+                   CAST(n_nationkey % 5 * 72 - 108 AS DOUBLE) AS xmax,
+                   CAST((n_nationkey // 5) * 34 - 51 AS DOUBLE) AS ymax
+            FROM nation
+            WHERE n_nationkey % 5 IN (2, 3, 4)
+            ORDER BY n_nationkey
         """,
         "shapefile_source": """
             SELECT n_nationkey,
