@@ -66,10 +66,11 @@ HEADLINE = [
 # newcomers (cql2, st_transform_merc, dedup_against_inc) are pinned at
 # 2.2x this round's local full-run measurements (0.82/0.97/1.15).
 # Drift check (ask #3): the r7 bench's uniform 1.28x multiplier
-# REVERTED — two full runs this round, >1h apart on IDENTICAL code,
-# measured the 47-query r6-common total at 41.7s (0.97x of r6) and
-# 47.7s (1.11x): the multiplier moves with the hour, not the code,
-# confirming ambient host noise; both runs had zero violations.
+# REVERTED — three full runs this round, spread over ~3h on IDENTICAL
+# code, measured the 47-query r6-common total at 41.7s (0.97x of r6),
+# 47.7s (1.11x) and 44.5s (1.04x): the multiplier moves with the hour,
+# not the code, confirming ambient host noise; all runs had zero
+# violations.
 BUDGET_SF01 = {
     "within_distance": 0.6, "knn": 0.4, "bbox_window": 0.3,
     "spatial_join": 1.1, "spatial_join_agg": 1.5, "distance_join": 1.5,
