@@ -71,6 +71,8 @@ PROBES = {
                              " CC itself is near-linear in edges"),
     "pipeline_e2e": ("linear", "chained gates; dup rates injected"
                      " proportionally by synthesis"),
+    "dedup_against_inc": ("linear", "map-only bloom pre-pass + banded"
+                          " minhash on survivors; dup rate proportional"),
 }
 
 
