@@ -688,6 +688,53 @@ def _q_datastore_gjl(spark, sf_dir) -> DataFrame:
         .orderBy("n_nationkey"))
 
 
+def _q_filter_equal(spark, sf_dir) -> DataFrame:
+    """FilterEqualExact / Norm / Topo on the hard gate (SURVEY §2.2
+    #12, previously pytest-only): per part rect, a second geometry that
+    is (key%3==0) the SAME ring rotated to a different start vertex,
+    (==1) a verbatim copy, (==2) a disjoint shifted rect — so exact
+    equality holds only for verbatim, while normalized and topological
+    equality also accept the rotation.  Parity: FilterEqualExact/
+    Norm/Topo pipes (GeoPipeline equality family)."""
+    base = spark.sql(f"""
+        SELECT p_partkey, {PART_X0} AS x0, {PART_Y0} AS y0,
+               {PART_W} AS w, {PART_H} AS h FROM part
+    """)
+    a = ("concat('POLYGON ((', x0, ' ', y0, ', ', x0+w, ' ', y0, ', ', "
+         "x0+w, ' ', y0+h, ', ', x0, ' ', y0+h, ', ', x0, ' ', y0, '))')")
+    rot = ("concat('POLYGON ((', x0+w, ' ', y0, ', ', x0+w, ' ', y0+h, "
+           "', ', x0, ' ', y0+h, ', ', x0, ' ', y0, ', ', x0+w, ' ', "
+           "y0, '))')")
+    shift = ("concat('POLYGON ((', x0+1000, ' ', y0, ', ', x0+1000+w, "
+             "' ', y0, ', ', x0+1000+w, ' ', y0+h, ', ', x0+1000, ' ', "
+             "y0+h, ', ', x0+1000, ' ', y0, '))')")
+    return (base
+            .withColumn("ga", F.expr(f"st_geomfromtext({a})"))
+            .withColumn("gb", F.expr(
+                f"st_geomfromtext(CASE CAST(p_partkey % 3 AS INT) "
+                f"WHEN 0 THEN {rot} WHEN 1 THEN {a} ELSE {shift} END)"))
+            .select("p_partkey",
+                    F.expr("st_equals_exact(ga, gb, 0.0D)").alias("eq_exact"),
+                    F.expr("st_equals_norm(ga, gb)").alias("eq_norm"),
+                    F.expr("st_equals(ga, gb)").alias("eq_topo")))
+
+
+def _q_covered_env(spark, sf_dir) -> DataFrame:
+    """SearchCoveredByEnvelope on the hard gate (SURVEY §2.2 #20):
+    part rects whose envelope lies ENTIRELY inside the query window —
+    the covered-by variant of the bbox search (intersects keeps partial
+    overlaps; this drops them)."""
+    from spatial_spark.functions.columns import bbox_covered_by_window
+    rects = spark.sql(f"""
+        SELECT p_partkey, {PART_X0} AS xmin, {PART_Y0} AS ymin,
+               {PART_X0} + {PART_W} AS xmax, {PART_Y0} + {PART_H} AS ymax
+        FROM part
+    """)
+    return (rects.filter(bbox_covered_by_window(
+                "xmin", "ymin", "xmax", "ymax", (50.0, 20.0, 200.0, 100.0)))
+            .select("p_partkey").orderBy("p_partkey"))
+
+
 def _q_property_paging(spark, sf_dir) -> DataFrame:
     """Sort + RangeFilterPipe paging parity: rows 11..30 of orders by
     price.  Shaped as orderBy().limit(hi) + a row_number window over the
@@ -1637,24 +1684,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DFT-orthogonality closed forms), mp4_meta (ISO-BMFF container box
     # walk), knn_cosine_q8 (int8 quantized-scan + exact-rescore ANN), and
     # datastore_gjl (the DataStore facade over external GeoJSONL, the
-    # first §2.1#6 oracle row).  The 12 new gates squeeze THREE r6-row
-    # promotions (dedup_exact, revenue_by_nation, tpch_q1) out of the
-    # 50-window; everything else outside holds a green r7 row (1 round
-    # old at r8), and every entry keeps its local-gate oracle
-    # (tools/check_correctness runs ALL entries).
-    # r9 rotation plan: demote this head; promote OLDEST-FIRST —
-    # dedup_exact, revenue_by_nation and tpch_q1 (r6 rows) lead, then
-    # 47 of the 50 r7-row holders in this file's order.  NOTE: at 103
+    # first §2.1#6 oracle row), filter_equal (the FilterEqual
+    # Exact/Norm/Topo family — §2.2#12), and covered_env
+    # (SearchCoveredByEnvelope — §2.2#20).  The 14 new gates squeeze
+    # FIVE r6-row promotions (dedup_exact, revenue_by_nation, tpch_q1,
+    # dedup_groups, token_counts) out of the 50-window; everything
+    # else outside holds a green r7 row (1 round old at r8), and every
+    # entry keeps its local-gate oracle (tools/check_correctness runs
+    # ALL entries).
+    # r9 rotation plan: demote this head; promote OLDEST-FIRST — the
+    # five r6-row holders above lead, then 45 of the 50 r7-row holders
+    # in this file's order.  NOTE: at 105
     # entries the registry now exceeds 2x the window, so the
     # every-row-<=2-rounds invariant is arithmetically out of reach for
-    # ~3 entries per round; the rule becomes strictly-oldest-first
+    # ~5 entries per round; the rule becomes strictly-oldest-first
     # rotation (max age 3 rounds for the few entries that just missed a
     # window, which then lead the next one).
     return {name: wrap(fn) for name, fn in {
         # --- r6-row holders returning to the window (39 after the two
         # --- squeezed out below) + cql2 / st_transform_merc inline ---
-        "dedup_groups": _q_dedup_groups,
-        "token_counts": _q_token_counts,
+
         "st_symdifference_area": _q_st_symdifference_area,
         "layer_within_distance": _q_layer_within_distance,
         "layer_knn": _q_layer_knn,
@@ -1706,6 +1755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp4_meta": _q_mp4_meta,
         "knn_cosine_q8": _q_knn_cosine_q8,
         "datastore_gjl": _q_datastore_gjl,
+        "filter_equal": _q_filter_equal,
+        "covered_env": _q_covered_env,
         # --- rotated out this round (geohash..property_paging hold r7
         # rows; dedup_exact and revenue_by_nation hold r6 rows — the
         # two entries the 11 new gates squeezed out, FIRST in line for
@@ -1713,6 +1764,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "revenue_by_nation": _q_revenue_by_nation,
         "tpch_q1": _q_tpch_q1,
+        "dedup_groups": _q_dedup_groups,
+        "token_counts": _q_token_counts,
         "geohash": _q_geohash,
         "keep_max": _q_keep_max,
         "fingerprint": _q_fingerprint,
@@ -2711,6 +2764,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(4 AS DOUBLE) AS area,
                    CAST(5 AS BIGINT) AS n_nds
             FROM nation
+        """,
+        "filter_equal": """
+            SELECT p_partkey,
+                   p_partkey % 3 = 1 AS eq_exact,
+                   p_partkey % 3 IN (0, 1) AS eq_norm,
+                   p_partkey % 3 IN (0, 1) AS eq_topo
+            FROM part
+        """,
+        "covered_env": f"""
+            SELECT p_partkey FROM part
+            WHERE {PART_X0} >= 50 AND {PART_X0} + {PART_W} <= 200
+              AND {PART_Y0} >= 20 AND {PART_Y0} + {PART_H} <= 100
+            ORDER BY p_partkey
         """,
         "datastore_gjl": """
             SELECT n_nationkey,
