@@ -539,11 +539,14 @@ class Layer:
             except Exception:
                 pass
             self._record_schema(out.schema)  # append-merge new attrs
+            # data-file moves route through the manifest IO so the
+            # hadoop mode covers the WHOLE operation, not just the
+            # lock/manifest half (ADVICE r8 medium)
             moved = []
-            for p in os.listdir(tmp):
+            for p in man.io.listdir(tmp):
                 if p.startswith("part-"):
-                    shutil.move(os.path.join(tmp, p),
-                                os.path.join(self.path, p))
+                    man.io.rename(os.path.join(tmp, p),
+                                  os.path.join(self.path, p))
                     moved.append(os.path.join(self.path, p))
             replaced = {os.path.basename(f) for f in files}
             live = set(man.current()[1])
@@ -552,8 +555,8 @@ class Layer:
                        lock_token=lk.token)
             # post-publish cleanup: failures here leave invisible orphans
             for f in files:
-                os.remove(f)
-        shutil.rmtree(tmp, ignore_errors=True)
+                man.io.remove(f)
+        man.io.remove_dir(tmp)
         self._patch_id_index(ids, moved)
         return True
 
@@ -566,7 +569,7 @@ class Layer:
         import shutil
         idx = self._id_index_path
         if not ((self.meta.get("config") or {}).get("id_index")
-                and os.path.exists(idx)):
+                and self._manifest.io.isdir(idx)):
             return
         spark = self.ctx.spark
         rows = (spark.read.parquet(idx).filter(F.col("id").isin(ids))
@@ -583,12 +586,13 @@ class Layer:
                  pairs is not None else (keep if pairs is None else pairs))
         tmp = idx + ".mutate.tmp"
         outdf.sortWithinPartitions("id").write.mode("overwrite").parquet(tmp)
-        for p in os.listdir(tmp):
+        io = self._manifest.io
+        for p in io.listdir(tmp):
             if p.startswith("part-"):
-                shutil.move(os.path.join(tmp, p), os.path.join(idx, p))
+                io.rename(os.path.join(tmp, p), os.path.join(idx, p))
         for f in files:
-            os.remove(f)
-        shutil.rmtree(tmp, ignore_errors=True)
+            io.remove(f)
+        io.remove_dir(tmp)
 
     def _rewrite(self, build_df, _retries: int = 2) -> None:
         """Copy-on-write rewrite: distributed write to a temp dir, then a
@@ -652,7 +656,9 @@ class Layer:
             except Exception:
                 pass
         self._record_schema(df.schema, replace=True)
-        os.makedirs(self.path, exist_ok=True)
+        # data-file moves/removes via the manifest IO: hadoop mode then
+        # covers the whole rewrite, not just the publish (ADVICE r8)
+        man.io.mkdirs(self.path)
         try:
             with man.lock() as lk:
                 cur = set(man.current()[1])
@@ -662,26 +668,23 @@ class Layer:
                         "concurrent mutation during rewrite")
                 appended = sorted(cur - base)
                 moved = []
-                for p in os.listdir(tmp):
+                for p in man.io.listdir(tmp):
                     if p.startswith("part-"):
-                        shutil.move(os.path.join(tmp, p),
-                                    os.path.join(self.path, p))
+                        man.io.rename(os.path.join(tmp, p),
+                                      os.path.join(self.path, p))
                         moved.append(p)
                 man.commit(sorted(moved) + appended, lock_token=lk.token)
                 for f in base:
-                    try:
-                        os.remove(os.path.join(self.path, f))
-                    except OSError:
-                        pass
+                    man.io.remove(os.path.join(self.path, f))
         except ManifestConflict:
-            shutil.rmtree(tmp, ignore_errors=True)
+            man.io.remove_dir(tmp)
             if _retries <= 0:
                 raise
             # re-derive the transform's input from the NEW snapshot and
             # try again (compact()'s re-clustering; update/delete fall
             # back here only without a sidecar, same re-derivation)
             return self._rewrite(build_df, _retries - 1)
-        shutil.rmtree(tmp, ignore_errors=True)
+        man.io.remove_dir(tmp)
         # mutations change the id set / zkeys: rebuild the sidecar from the
         # committed store so it can never serve stale lookups
         if (self.meta.get("config") or {}).get("id_index"):
@@ -702,11 +705,10 @@ class Layer:
         100 TB run it per zkey-range slice on whatever cadence the
         ingest rate demands.  Returns ``{"files_before", "files_after"}``.
         """
-        import os
+        io = self._manifest.io
 
         def _n_parts(p):
-            return (len([f for f in os.listdir(p) if f.startswith("part-")])
-                    if os.path.exists(p) else 0)
+            return len([f for f in io.listdir(p) if f.startswith("part-")])
 
         before = _n_parts(self.path)
         if before == 0:
@@ -739,7 +741,6 @@ class Layer:
         Returns ``{"files_before", "files_after", "files_compacted"}``
         (before/after = whole store)."""
         import os
-        import shutil
 
         man = self._manifest
         with man.lock() as lk:
@@ -764,21 +765,18 @@ class Layer:
              .sortWithinPartitions("zkey")
              .write.mode("overwrite").parquet(tmp))
             moved = []
-            for p in os.listdir(tmp):
+            for p in man.io.listdir(tmp):
                 if p.startswith("part-"):
-                    shutil.move(os.path.join(tmp, p),
-                                os.path.join(self.path, p))
+                    man.io.rename(os.path.join(tmp, p),
+                                  os.path.join(self.path, p))
                     moved.append(p)
             replaced = {os.path.basename(f) for f in targets}
             keep = [os.path.basename(f) for f in live
                     if os.path.basename(f) not in replaced]
             man.commit(sorted(keep + moved), lock_token=lk.token)
             for f in targets:   # post-publish cleanup
-                try:
-                    os.remove(f)
-                except OSError:
-                    pass
-            shutil.rmtree(tmp, ignore_errors=True)
+                man.io.remove(f)
+            man.io.remove_dir(tmp)
             return {"files_before": len(live),
                     "files_after": len(keep) + len(moved),
                     "files_compacted": len(targets)}

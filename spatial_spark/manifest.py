@@ -86,6 +86,12 @@ class LocalManifestIO:
         cas_rename(src, dst) -> bool   atomic move, FAILS if dst exists
         rename(src, dst) -> bool       atomic move to a fresh name
         remove(p) -> bool        idempotent delete
+        remove_dir(p)            recursive delete, ignore-missing
+
+    The layer's file-mutating entry points (mutate/_rewrite/compact/
+    streaming admit) route their data-file moves/removes through this
+    same interface (ADVICE r8 medium: they used local os/shutil calls,
+    so the hadoop mode was only safe for the lock/manifest half).
     """
 
     def mkdirs(self, d: str) -> None:
@@ -145,6 +151,10 @@ class LocalManifestIO:
             return True
         except OSError:
             return False
+
+    def remove_dir(self, p: str) -> None:
+        import shutil
+        shutil.rmtree(p, ignore_errors=True)
 
 
 class HadoopManifestIO:
@@ -229,6 +239,13 @@ class HadoopManifestIO:
             return bool(fs.delete(jp, False))
         except Exception:
             return False
+
+    def remove_dir(self, p: str) -> None:
+        fs, jp = self._fs_path(p)
+        try:
+            fs.delete(jp, True)
+        except Exception:
+            pass
 
 
 class _LockHandle:
@@ -345,24 +362,62 @@ class Manifest:
         return json.dumps(
             {"token": token, "pid": os.getpid(), "hb": time.time()}).encode()
 
+    def _hb_prefix(self, token: str) -> str:
+        return f"LOCK.hb.{token}."
+
+    def _sidecar_hb(self, token: str) -> float:
+        """Newest parseable heartbeat among the token's sidecar files
+        (0.0 when none).  Heartbeats live in per-token SIDECAR files —
+        never in the LOCK itself — so a paused writer's stale renewal
+        can only ever touch its OWN files, not a usurper's fresh lock
+        (ADVICE r8 low).  The beat thread writes seq N+1 before
+        removing seq N, so a reader always finds at least one file."""
+        best = 0.0
+        pref = self._hb_prefix(token)
+        for f in self.io.listdir(self.dir):
+            if f.startswith(pref):
+                try:
+                    doc = json.loads(self.io.read_text(self.dir + "/" + f))
+                    best = max(best, float(doc.get("hb", 0.0)))
+                except (ValueError, TypeError, OSError):
+                    continue  # torn write of one seq: the other survives
+        return best
+
+    def _drop_sidecars(self, token) -> None:
+        if not token:
+            return
+        pref = self._hb_prefix(token)
+        for f in self.io.listdir(self.dir):
+            if f.startswith(pref):
+                self.io.remove(self.dir + "/" + f)
+
     def _read_lock(self):
-        """(token, heartbeat_ts) of the current lock file, or None when
-        absent.  A lock that does not parse is re-read once after a
-        beat: heartbeat rewrites are not atomic, so a single torn read
-        must not be mistaken for a legacy/corrupt lock (which parses as
-        (None, 0.0) — immediately stale, claimed through the same
-        rename protocol)."""
-        for attempt in range(2):
+        """(token, effective_heartbeat_ts) of the current lock, or None
+        when absent.  The LOCK file is created ATOMICALLY with its full
+        payload (temp write + cas_rename) and never rewritten, so a
+        parse failure means legacy/corrupt, not a torn heartbeat — but
+        NFS-ish stores can still tear reads, so the failure is re-read
+        three times over ~0.3 s (ADVICE r8: grace beyond one 50 ms
+        retry) before being treated as (None, 0.0) — immediately stale,
+        claimed through the rename protocol.  The effective heartbeat
+        is the max of the embedded (acquire-time) stamp and the
+        token's sidecar renewals."""
+        for attempt in range(4):
             try:
                 raw = self.io.read_text(self._lock_path)
             except (FileNotFoundError, OSError):
                 return None
             try:
                 doc = json.loads(raw)
-                return doc.get("token"), float(doc.get("hb", 0.0))
             except (ValueError, TypeError):
-                if attempt == 0:
-                    time.sleep(0.05)   # mid-heartbeat torn read: retry
+                if attempt < 3:
+                    time.sleep(0.1)
+                continue
+            token = doc.get("token")
+            hb = float(doc.get("hb", 0.0))
+            if token:
+                hb = max(hb, self._sidecar_hb(token))
+            return token, hb
         return None, 0.0
 
     @contextmanager
@@ -386,9 +441,15 @@ class Manifest:
         token = uuid.uuid4().hex
         deadline = time.monotonic() + timeout
         while True:
-            if self.io.create_excl(self._lock_path,
-                                   self._lock_payload(token)):
+            # acquire = temp write + CAS rename: the full payload exists
+            # BEFORE the lock name does (ADVICE r8 — create_excl wrote
+            # the payload after creating the file, so a waiter could
+            # read a just-created lock as empty/corrupt and break it)
+            tmp = self.dir + f"/.lock.{token}.tmp"
+            self.io.write_file(tmp, self._lock_payload(token))
+            if self.io.cas_rename(tmp, self._lock_path):
                 break
+            self.io.remove(tmp)
             obs = self._read_lock()
             if obs is None:
                 continue  # released between exists and read: retry now
@@ -404,6 +465,7 @@ class Manifest:
                         pass
                     if got == obs_token or got is None:
                         self.io.remove(claim)      # confirmed-dead lock
+                        self._drop_sidecars(got)
                     elif not self.io.rename(claim, self._lock_path):
                         # we stole a FRESH lock and the slot was retaken
                         # before restore: drop the claim — the victim's
@@ -419,13 +481,22 @@ class Manifest:
         stop = threading.Event()
 
         def beat():
+            # renewals go to per-token sidecar files (write seq N+1,
+            # then drop seq N — a reader always finds one), so a stale
+            # renewal can never overwrite a usurper's fresh LOCK
+            seq = 0
             while not stop.wait(max(stale / 4.0, 0.5)):
                 cur = self._read_lock()
                 if cur is None or cur[0] != token:
                     return  # lock lost: stop beating, commit will fail
                 try:
-                    self.io.write_file(self._lock_path,
-                                       self._lock_payload(token))
+                    seq += 1
+                    self.io.write_file(
+                        self.dir + "/" + self._hb_prefix(token) + str(seq),
+                        json.dumps({"hb": time.time()}).encode())
+                    self.io.remove(
+                        self.dir + "/" + self._hb_prefix(token)
+                        + str(seq - 1))
                 except OSError:
                     pass
 
@@ -439,6 +510,7 @@ class Manifest:
             cur = self._read_lock()
             if cur is not None and cur[0] == token:
                 self.io.remove(self._lock_path)
+            self._drop_sidecars(token)
 
     def owns_lock(self, handle) -> bool:
         """True while ``handle`` (from ``lock()``) still holds the lock."""
@@ -473,8 +545,18 @@ class Manifest:
                     "refusing to commit over a concurrent writer")
         rel = sorted(os.path.basename(f) for f in files)
         doc = {"epoch": epoch, "files": rel}
-        if meta is not None:
-            doc["meta"] = meta
+        # meta CARRIES FORWARD by default (ADVICE r8 medium): streaming
+        # replay markers (stream_epochs) ride the manifest meta, so a
+        # meta-less commit from any OTHER writer (Layer.add/mutate/
+        # compact) must not erase them — that would reset last=-1 and
+        # reopen the duplicate-replay window.  Caller-supplied keys merge
+        # OVER the prior meta (set a key to overwrite it; there is no
+        # delete — markers are monotone).
+        merged = dict(self.current_meta())
+        if meta:
+            merged.update(meta)
+        if merged:
+            doc["meta"] = merged
         tmp = self.dir + f"/.manifest-{epoch}.{uuid.uuid4().hex[:8]}.tmp"
         self.io.write_file(tmp, json.dumps(doc).encode())
         if not self.io.cas_rename(tmp, self.dir + f"/manifest-{epoch}.json"):

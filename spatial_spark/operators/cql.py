@@ -41,20 +41,63 @@ _SPATIAL_FNS = {
 }
 
 
+def _mask_literals(s: str):
+    """Replace every single-quoted string literal (SQL '' escapes
+    honored) with an opaque ``\\x00<n>\\x00`` placeholder and return
+    ``(masked, literals)``.  ADVICE r8: the keyword rewrites
+    (INCLUDE/EXCLUDE, temporal BEFORE/AFTER/DURING, geometry-property
+    normalization) were running INSIDE quoted literals — ``name =
+    'PLEASE INCLUDE'`` became ``'PLEASE TRUE'``.  Masking first makes
+    every later regex pass literal-blind; ``_unmask`` restores them at
+    the end."""
+    out, lits, i = [], [], 0
+    while i < len(s):
+        ch = s[i]
+        if ch != "'":
+            out.append(ch)
+            i += 1
+            continue
+        j, buf = i + 1, []
+        while j < len(s):
+            if s[j] == "'":
+                if j + 1 < len(s) and s[j + 1] == "'":   # SQL-escaped ''
+                    buf.append("''")
+                    j += 2
+                    continue
+                break
+            buf.append(s[j])
+            j += 1
+        else:
+            raise ValueError(f"CQL: unterminated string literal in {s!r}")
+        lits.append("'" + "".join(buf) + "'")
+        out.append(f"\x00{len(lits) - 1}\x00")
+        i = j + 1
+    return "".join(out), lits
+
+
+def _unmask(s: str, lits: list) -> str:
+    return re.sub("\x00(\\d+)\x00", lambda m: lits[int(m.group(1))], s)
+
+
 def _split_top_level(argtext: str) -> list:
     """Split a call's argument text at top-level commas (commas inside
-    WKT parens or quotes don't split)."""
-    out, depth, quote, cur = [], 0, False, []
-    for ch in argtext:
-        if quote:
-            cur.append(ch)
-            if ch == "'":
-                quote = False
-            continue
+    WKT parens or quotes don't split; SQL '' escapes honored)."""
+    out, depth, cur, i = [], 0, [], 0
+    while i < len(argtext):
+        ch = argtext[i]
         if ch == "'":
-            quote = True
-            cur.append(ch)
-        elif ch == "(":
+            j = i + 1
+            while j < len(argtext):
+                if argtext[j] == "'":
+                    if j + 1 < len(argtext) and argtext[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            cur.append(argtext[i:j + 1])
+            i = j + 1
+            continue
+        if ch == "(":
             depth += 1
             cur.append(ch)
         elif ch == ")":
@@ -65,6 +108,7 @@ def _split_top_level(argtext: str) -> list:
             cur = []
         else:
             cur.append(ch)
+        i += 1
     if cur:
         out.append("".join(cur).strip())
     return out
@@ -105,7 +149,19 @@ def cql_to_sql(expr: str, strict: bool = True, has_geom: bool = True) -> str:
     fall through to a confusing Spark analysis error.  has_geom=False
     targets point layers (no WKB column): distance predicates compile to
     the pure-column spherical formula on (xmin, ymin)."""
-    s = expr
+    # quoted string literals are masked for the WHOLE translation and
+    # restored at the end — no keyword rewrite can touch literal text
+    # (ADVICE r8 low)
+    s, _lits = _mask_literals(expr)
+
+    def _protect(sql: str) -> str:
+        """Re-mask literals a repl function emitted (WKT, DE-9IM
+        patterns) so the later regex passes stay literal-blind."""
+        masked, new = _mask_literals(sql)
+        off = len(_lits)
+        _lits.extend(new)
+        return re.sub("\x00(\\d+)\x00",
+                      lambda m: f"\x00{int(m.group(1)) + off}\x00", masked)
 
     def bbox_repl(args):
         # BBOX(prop, x1, y1, x2, y2 [, 'EPSG:4326']) — the optional
@@ -171,13 +227,14 @@ def cql_to_sql(expr: str, strict: bool = True, has_geom: bool = True) -> str:
         return f"st_relate(geom, st_geomfromtext('{wkt}'), '{pat}')"
 
     def dispatch(name, args):
+        args = [_unmask(a, _lits) for a in args]
         if name == "bbox":
-            return bbox_repl(args)
+            return _protect(bbox_repl(args))
         if name == "dwithin":
-            return dwithin_repl(args)
+            return _protect(dwithin_repl(args))
         if name == "relate":
-            return relate_repl(args)
-        return spatial_repl(name, args)
+            return _protect(relate_repl(args))
+        return _protect(spatial_repl(name, args))
 
     s = _rewrite_calls(
         s, ["BBOX", "DWITHIN", "RELATE"] + [k.upper() for k in _SPATIAL_FNS],
@@ -244,7 +301,7 @@ def cql_to_sql(expr: str, strict: bool = True, has_geom: bool = True) -> str:
             raise ValueError(
                 f"CQL: could not translate {leftover.group(1).upper()}(...) — "
                 f"check argument count/WKT in: {expr!r}")
-    return s
+    return _unmask(s, _lits)
 
 
 def cql_filter(layer, expression: str) -> DataFrame:

@@ -51,8 +51,14 @@ def retention_stream(events: DataFrame, user_col: str = "user_id",
     r7); activity beyond the bitmap horizon is dropped with the same
     reconcile-via-batch contract as late events."""
     max_weeks = n_words * 63
+    # The cohort field is named per STATE-LAYOUT VERSION (ADVICE r8):
+    # v2 packs 63 weeks/word (v1 packed 64).  Restarting from a
+    # pre-change checkpoint must FAIL FAST with a schema-mismatch error
+    # instead of silently reinterpreting old bit positions (weeks would
+    # shift across words, duplicating/dropping emissions) — the field
+    # rename makes the old checkpoint's state schema incompatible.
     state_schema = T.StructType(
-        [T.StructField("cohort_days", T.LongType())]
+        [T.StructField("cohort_days_v2", T.LongType())]
         + [T.StructField(f"w{i}", T.LongType()) for i in range(n_words)])
     out_schema = T.StructType([
         T.StructField("user", T.LongType()),

@@ -143,15 +143,17 @@ def stream_dedup_with_bloom(stream_df: DataFrame, out_path: str,
             # then one manifest CAS carries files + stream_epochs
             tmp = out_path + f".epoch{epoch_id}.tmp"
             new.write.mode("overwrite").parquet(tmp)
-            os.makedirs(out_path, exist_ok=True)
+            # data moves via the manifest IO (ADVICE r8 medium: scheme'd
+            # stores broke after the publish when these were os/shutil)
+            man.io.mkdirs(out_path)
             moved = []
-            for p in os.listdir(tmp):
+            for p in man.io.listdir(tmp):
                 if p.startswith("part-"):
                     name = f"part-e{epoch_id}-{p[5:]}"
-                    shutil.move(os.path.join(tmp, p),
-                                os.path.join(out_path, name))
+                    man.io.rename(os.path.join(tmp, p),
+                                  os.path.join(out_path, name))
                     moved.append(name)
-            shutil.rmtree(tmp, ignore_errors=True)
+            man.io.remove_dir(tmp)
             with man.lock() as lk:
                 cur = man.current()
                 live = cur[1] if cur else []

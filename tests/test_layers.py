@@ -312,6 +312,38 @@ def test_cql_tier2_constructs(ctx, spark):
         cql_to_sql("INTERSECTS(the_geom, POLYGON((0 0, 1 1)")
 
 
+def test_cql_quoted_literals_untouched(spark):
+    """ADVICE r8: keyword rewrites must not run inside quoted string
+    literals — INCLUDE/EXCLUDE, temporal regexes, and geometry-property
+    normalization all used to rewrite literal text; SQL-escaped quotes
+    ('') must survive the argument splitter too."""
+    import pytest as _pt
+
+    from spatial_spark.operators.cql import cql_to_sql
+    # INCLUDE inside a literal stays verbatim (used to become 'PLEASE TRUE')
+    s = cql_to_sql("name = 'PLEASE INCLUDE'")
+    assert "'PLEASE INCLUDE'" in s and "TRUE" not in s
+    # a literal equal to a geometry-property name is NOT normalized
+    s = cql_to_sql("tag = 'the_geom'")
+    assert "'the_geom'" in s
+    # temporal keywords inside literals don't trip the temporal pass
+    s = cql_to_sql("note = 'shipped BEFORE 2024-03-04T00:00:00Z'")
+    assert "TIMESTAMP" not in s and "BEFORE 2024-03-04" in s
+    # SQL-escaped quote inside a literal; <> outside still rewrites
+    s = cql_to_sql("name <> 'it''s fine' AND INCLUDE")
+    assert "'it''s fine'" in s and "!=" in s and s.rstrip().endswith("TRUE")
+    # spatial keyword text inside a literal doesn't trigger strict-mode
+    s = cql_to_sql("desc = 'call BBOX(x) later'")
+    assert "'call BBOX(x) later'" in s
+    # behavior checks end-to-end on a DataFrame
+    df = spark.createDataFrame(
+        [(1, "PLEASE INCLUDE"), (2, "other")], "id long, name string")
+    got = df.filter(cql_to_sql("name = 'PLEASE INCLUDE'")).collect()
+    assert [r["id"] for r in got] == [1]
+    with _pt.raises(ValueError, match="unterminated"):
+        cql_to_sql("name = 'oops")
+
+
 def test_cql_temporal_predicates(spark):
     """ECQL tier 3: BEFORE / AFTER / DURING with ISO-8601 instants,
     composing with NOT and attribute predicates; durations and
@@ -805,6 +837,12 @@ class _FakeManifestIO:
     def remove(self, p):
         return self.files.pop(p, None) is not None
 
+    def remove_dir(self, p):
+        d = p.rstrip("/") + "/"
+        for k in [k for k in self.files if k.startswith(d)]:
+            del self.files[k]
+        self.dirs.discard(p.rstrip("/"))
+
 
 def test_manifest_fake_io_commit_protocol_and_kill_injection():
     """The commit protocol against the in-memory FS fake: normal
@@ -937,6 +975,54 @@ def test_manifest_hadoop_io_end_to_end(spark, tmp_path):
     for i in range(8):
         man.commit([f"part-{i}"])
     assert len(man.epochs()) == Manifest.KEEP_GENERATIONS
+
+
+def test_manifest_meta_carries_forward(tmp_path):
+    """ADVICE r8 (medium): a meta-less commit from another writer must
+    NOT erase streaming replay markers riding the manifest meta — meta
+    carries forward by default, caller keys merge over it."""
+    from spatial_spark.manifest import Manifest
+    man = Manifest(str(tmp_path / "store"))
+    man.commit(["part-a"], meta={"stream_epochs": {"ck1": 7}})
+    assert man.current_meta() == {"stream_epochs": {"ck1": 7}}
+    # a plain commit (Layer.add/mutate/compact shape) keeps the markers
+    man.commit(["part-a", "part-b"])
+    assert man.current_meta()["stream_epochs"] == {"ck1": 7}, \
+        "meta-less commit must carry replay markers forward"
+    # caller-supplied keys merge OVER the carried meta
+    man.commit(["part-a"], meta={"stream_epochs": {"ck1": 9, "ck2": 0}})
+    assert man.current_meta()["stream_epochs"] == {"ck1": 9, "ck2": 0}
+    man.commit(["part-a"], meta={"other": 1})
+    got = man.current_meta()
+    assert got["stream_epochs"] == {"ck1": 9, "ck2": 0} and got["other"] == 1
+
+
+def test_manifest_lock_heartbeat_sidecars(tmp_path):
+    """ADVICE r8 (low): heartbeat renewals never rewrite the LOCK file
+    itself — they go to per-token sidecar files (so a paused writer's
+    stale renewal cannot clobber a usurper's fresh lock), the LOCK is
+    created atomically WITH its payload, and release cleans both up."""
+    import json as _json
+    import time as _time
+
+    from spatial_spark.manifest import Manifest
+    man = Manifest(str(tmp_path / "store"))
+    with man.lock(stale=1.0) as lk:          # beat every ~0.5s
+        raw0 = man.io.read_text(man._lock_path)
+        doc0 = _json.loads(raw0)
+        assert doc0["token"] == lk.token, "payload present at create time"
+        _time.sleep(1.3)                     # let >=2 beats land
+        assert man.io.read_text(man._lock_path) == raw0, \
+            "LOCK bytes must never change while held"
+        sidecars = [f for f in man.io.listdir(man.dir)
+                    if f.startswith(f"LOCK.hb.{lk.token}.")]
+        assert sidecars, "renewals must land in sidecar files"
+        # effective heartbeat is fresher than the embedded acquire stamp
+        tok, hb = man._read_lock()
+        assert tok == lk.token and hb > doc0["hb"]
+    leftovers = [f for f in man.io.listdir(man.dir)
+                 if f.startswith("LOCK")]
+    assert leftovers == [], f"release must clean lock+sidecars: {leftovers}"
 
 
 def test_mutation_crash_with_hadoop_manifest_io(ctx, spark, monkeypatch):
