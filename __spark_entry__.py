@@ -735,6 +735,126 @@ def _q_covered_env(spark, sf_dir) -> DataFrame:
             .select("p_partkey").orderBy("p_partkey"))
 
 
+def _q_intersect_all(spark, sf_dir) -> DataFrame:
+    """IntersectAll geometric fold on the hard gate (SURVEY §2.4 #26,
+    previously pytest-only; IntersectAll.java:30-42): 30 part-keyed
+    rects built to share a common core — every x0 < 10 and every
+    x1 >= 15 (same in y) — so the fold's exact result is the rect
+    [max x0, min x1] × [max y0, min y1], closed-form in SQL."""
+    from spatial_spark.operators.agg import intersect_all
+    df = spark.sql("""
+        SELECT p_partkey,
+               CAST((p_partkey * 7919) % 100 AS DOUBLE) / 10.0 AS x0,
+               CAST((p_partkey * 104729) % 80 AS DOUBLE) / 10.0 AS y0
+        FROM part WHERE p_partkey <= 30
+    """).withColumn("geom", F.expr(
+        "st_make_box(x0, y0, x0 + 15.0D + CAST(p_partkey % 7 AS DOUBLE), "
+        "y0 + 12.0D + CAST(p_partkey % 5 AS DOUBLE))"))
+    r = intersect_all(df)
+    return r.select(F.round(F.expr("st_area(geom)"), 6).alias("inter_area"))
+
+
+def _q_isvalid_isempty(spark, sf_dir) -> DataFrame:
+    """FilterValid / FilterInvalid / FilterEmpty flags on the hard gate
+    (SURVEY §2.2 #14, previously pytest-only; FilterValid.java:30-37):
+    even part keys carry a self-intersecting bowtie ring (invalid), odd
+    keys the plain rect (valid); the emptiness flag exercises the
+    overlay kernel — even keys intersect DISJOINT unit boxes (empty
+    result), odd keys overlapping ones (non-empty)."""
+    base = spark.sql(f"""
+        SELECT p_partkey, {PART_X0} AS x0, {PART_Y0} AS y0,
+               {PART_W} AS w, {PART_H} AS h FROM part
+    """)
+    rect = "st_make_box(x0, y0, x0+w, y0+h)"
+    bow = ("st_geomfromtext(concat('POLYGON ((', x0, ' ', y0, ', ', "
+           "x0+w, ' ', y0+h, ', ', x0+w, ' ', y0, ', ', x0, ' ', y0+h, "
+           "', ', x0, ' ', y0, '))'))")
+    inter = ("st_intersection(st_make_box(0.0D, 0.0D, 1.0D, 1.0D), "
+             "CASE WHEN p_partkey % 2 = 0 "
+             "THEN st_make_box(5.0D, 5.0D, 6.0D, 6.0D) "
+             "ELSE st_make_box(0.5D, 0.5D, 2.0D, 2.0D) END)")
+    return base.select(
+        "p_partkey",
+        F.expr(f"st_isvalid(CASE WHEN p_partkey % 2 = 0 THEN {bow} "
+               f"ELSE {rect} END)").alias("valid"),
+        F.expr(f"st_isempty({inter})").alias("empty")).orderBy("p_partkey")
+
+
+def _q_equal_env(spark, sf_dir) -> DataFrame:
+    """SearchEqualEnvelopes on the hard gate (SURVEY §2.2 #20b,
+    previously pytest-only; filter/SearchEqualEnvelopes.java): the
+    probe window is part 7's own envelope, produced by the SAME column
+    formulas both engines evaluate, so exact float equality is
+    engine-portable.  x0 has period 3000 in p_partkey, so the match is
+    unique below sf where partkeys exceed 3000.  The 1-row probe
+    collect is bounded and mirrors how a caller passes a window."""
+    from spatial_spark.functions.columns import bbox_equals_window
+    probe = spark.sql(f"""
+        SELECT {PART_X0} AS x0, {PART_Y0} AS y0,
+               {PART_X0} + {PART_W} AS x1, {PART_Y0} + {PART_H} AS y1
+        FROM part WHERE p_partkey = 7
+    """).first()
+    rects = spark.sql(f"""
+        SELECT p_partkey, {PART_X0} AS xmin, {PART_Y0} AS ymin,
+               {PART_X0} + {PART_W} AS xmax, {PART_Y0} + {PART_H} AS ymax
+        FROM part
+    """)
+    return (rects.filter(bbox_equals_window(
+                "xmin", "ymin", "xmax", "ymax",
+                (probe.x0, probe.y0, probe.x1, probe.y1)))
+            .select("p_partkey", "xmin", "ymin", "xmax", "ymax")
+            .orderBy("p_partkey"))
+
+
+def _q_results_layer(spark, sf_dir) -> DataFrame:
+    """Results-layer sink round-trip on the hard gate (SURVEY §2.1 #7,
+    previously pytest-only; SpatialDatabaseService.java:440-447): part
+    rects ingest as a WKT layer, a bbox search's output materializes as
+    a NEW WKB layer via create_results_layer, and the fresh layer is
+    re-read through its own df() — ids + areas hash-compared against
+    the closed-form window predicate."""
+    import tempfile
+
+    from spatial_spark.layer import SpatialContext
+    ctx = SpatialContext(spark, tempfile.mkdtemp(prefix="spatial_wh_"))
+    src = ctx.create_wkt_layer("rl_src")
+    src.add(spark.sql(f"""
+        SELECT p_partkey AS id,
+               concat('POLYGON ((', {PART_X0}, ' ', {PART_Y0}, ', ',
+                      {PART_X0} + {PART_W}, ' ', {PART_Y0}, ', ',
+                      {PART_X0} + {PART_W}, ' ', {PART_Y0} + {PART_H}, ', ',
+                      {PART_X0}, ' ', {PART_Y0} + {PART_H}, ', ',
+                      {PART_X0}, ' ', {PART_Y0}, '))') AS wkt
+        FROM part WHERE p_partkey <= 500
+    """), wkt="wkt")
+    hits = src.bbox_search(50.0, 20.0, 200.0, 100.0)
+    res = ctx.create_results_layer("rl_res", hits.select("id", "geom"))
+    return (res.df()
+            .select(F.col("id").alias("p_partkey"),
+                    F.round(F.expr("st_area(geom)"), 6).alias("area"))
+            .orderBy("p_partkey"))
+
+
+def _q_datastore_write(spark, sf_dir) -> DataFrame:
+    """DataStore WRITE path on the hard gate (VERDICT r8 ask #7;
+    Neo4jSpatialFeatureWriter's append loop): create_schema makes a
+    point-typed feature store, get_feature_writer appends the customer
+    points, and get_feature_source re-reads them through the facade
+    with an eastern-hemisphere bbox filter."""
+    import tempfile
+
+    from spatial_spark.io.datastore import SpatialDataStore
+    from spatial_spark.layer import SpatialContext
+    ctx = SpatialContext(spark, tempfile.mkdtemp(prefix="spatial_wh_"))
+    store = SpatialDataStore(ctx)
+    store.create_schema("ds_pts", kind="point", x="lon", y="lat")
+    store.get_feature_writer("ds_pts").write(
+        _customer_points(spark).withColumnRenamed("c_custkey", "id"))
+    feats = store.get_feature_source("ds_pts").bbox(0.0, -90.0, 180.0, 90.0)
+    return (feats.select(F.col("id").alias("c_custkey"), "xmin", "ymin")
+            .orderBy("c_custkey"))
+
+
 def _q_property_paging(spark, sf_dir) -> DataFrame:
     """Sort + RangeFilterPipe paging parity: rows 11..30 of orders by
     price.  Shaped as orderBy().limit(hi) + a row_number window over the
@@ -1757,6 +1877,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datastore_gjl": _q_datastore_gjl,
         "filter_equal": _q_filter_equal,
         "covered_env": _q_covered_env,
+        # --- NEW r9 gates (VERDICT r8 asks #2 and #7): the last four
+        # --- pytest-only §2 components + the DataStore write path ---
+        "intersect_all": _q_intersect_all,
+        "isvalid_isempty": _q_isvalid_isempty,
+        "equal_env": _q_equal_env,
+        "results_layer": _q_results_layer,
+        "datastore_write": _q_datastore_write,
         # --- rotated out this round (geohash..property_paging hold r7
         # rows; dedup_exact and revenue_by_nation hold r6 rows — the
         # two entries the 11 new gates squeezed out, FIRST in line for
@@ -2777,6 +2904,51 @@ def oracle_sql() -> dict[str, str]:
             WHERE {PART_X0} >= 50 AND {PART_X0} + {PART_W} <= 200
               AND {PART_Y0} >= 20 AND {PART_Y0} + {PART_H} <= 100
             ORDER BY p_partkey
+        """,
+        "intersect_all": """
+            WITH rects AS (
+              SELECT CAST((p_partkey * 7919) % 100 AS DOUBLE) / 10.0 AS x0,
+                     CAST((p_partkey * 104729) % 80 AS DOUBLE) / 10.0 AS y0,
+                     CAST(p_partkey % 7 AS DOUBLE) AS dx,
+                     CAST(p_partkey % 5 AS DOUBLE) AS dy
+              FROM part WHERE p_partkey <= 30)
+            SELECT round((min(x0 + 15.0 + dx) - max(x0))
+                         * (min(y0 + 12.0 + dy) - max(y0)), 6) AS inter_area
+            FROM rects
+        """,
+        "isvalid_isempty": """
+            SELECT p_partkey,
+                   p_partkey % 2 = 1 AS valid,
+                   p_partkey % 2 = 0 AS empty
+            FROM part ORDER BY p_partkey
+        """,
+        "equal_env": f"""
+            WITH probe AS (
+              SELECT {PART_X0} AS x0, {PART_Y0} AS y0,
+                     {PART_X0} + {PART_W} AS x1, {PART_Y0} + {PART_H} AS y1
+              FROM part WHERE p_partkey = 7)
+            SELECT p_partkey, {PART_X0} AS xmin, {PART_Y0} AS ymin,
+                   {PART_X0} + {PART_W} AS xmax, {PART_Y0} + {PART_H} AS ymax
+            FROM part, probe
+            WHERE {PART_X0} = probe.x0 AND {PART_Y0} = probe.y0
+              AND {PART_X0} + {PART_W} = probe.x1
+              AND {PART_Y0} + {PART_H} = probe.y1
+            ORDER BY p_partkey
+        """,
+        "results_layer": f"""
+            SELECT p_partkey, round({PART_W} * {PART_H}, 6) AS area
+            FROM part
+            WHERE p_partkey <= 500
+              AND {PART_X0} <= 200 AND {PART_X0} + {PART_W} >= 50
+              AND {PART_Y0} <= 100 AND {PART_Y0} + {PART_H} >= 20
+            ORDER BY p_partkey
+        """,
+        "datastore_write": f"""
+            SELECT c_custkey, {CUST_LON} AS xmin, {CUST_LAT} AS ymin
+            FROM customer
+            WHERE {CUST_LON} >= 0 AND {CUST_LON} <= 180
+              AND {CUST_LAT} >= -90 AND {CUST_LAT} <= 90
+            ORDER BY c_custkey
         """,
         "datastore_gjl": """
             SELECT n_nationkey,
