@@ -441,6 +441,48 @@ def _q_st_transform_merc(spark, sf_dir) -> DataFrame:
         F.expr("CAST(round(st_y(m) * 100) AS BIGINT)").alias("my_cm"))
 
 
+def _q_st_transform_utm(spark, sf_dir) -> DataFrame:
+    """UTM reprojection gate (VERDICT r8 ask #6): customer points
+    4326 → each point's OWN UTM zone — the dst CRS is a per-row
+    EPSG:326xx/327xx string column through the st_transform UDF
+    (Krüger/Karney forward series, functions/crs.py) — cm integers
+    hash-compared against the dual-engine forward-series SQL
+    (utm_forward_ctes) in DuckDB.  Latitudes restricted to the UTM
+    validity band [-80, 84]."""
+    pts = (_customer_points(spark)
+           .filter("lat >= -80.0 AND lat <= 84.0")
+           .withColumn("zone", F.expr(
+               "CAST(floor((lon + 180.0) / 6.0) AS INT) + 1"))
+           .withColumn("crs", F.expr(
+               "concat('EPSG:', CASE WHEN lat < 0.0 THEN '327' ELSE '326' "
+               "END, lpad(CAST(zone AS STRING), 2, '0'))"))
+           .withColumn("u", F.expr(
+               "st_transform(st_point(lon, lat), 'EPSG:4326', crs)")))
+    return pts.select(
+        "c_custkey", "zone",
+        F.expr("CAST(round(st_x(u) * 100) AS BIGINT)").alias("e_cm"),
+        F.expr("CAST(round(st_y(u) * 100) AS BIGINT)").alias("n_cm"))
+
+
+def _utm_oracle_sql() -> str:
+    """The SAME Krüger forward series as SQL text (crs.utm_forward_ctes
+    — bit-identical between Spark SQL and DuckDB, pinned in tests); the
+    UDF's numpy kernel differs from the SQL text only in op order
+    (sub-nanometer), absorbed by the cm rounding."""
+    from spatial_spark.functions.crs import utm_forward_ctes
+    base = f"""SELECT c_custkey, {CUST_LON} AS lon, {CUST_LAT} AS lat,
+                      CAST(floor(({CUST_LON} + 180.0) / 6.0) AS INT) + 1
+                        AS zone,
+                      {CUST_LAT} < 0.0 AS south
+               FROM customer
+               WHERE {CUST_LAT} >= -80.0 AND {CUST_LAT} <= 84.0"""
+    return utm_forward_ctes(base) + """
+        SELECT c_custkey, zone,
+               CAST(round(easting * 100) AS BIGINT) AS e_cm,
+               CAST(round(northing * 100) AS BIGINT) AS n_cm
+        FROM _utm_out"""
+
+
 def _q_wkt_export(spark, sf_dir) -> DataFrame:
     """Text-sink writers on the hard gate (SURVEY §2.7 #48, previously
     pytest-only): WKT / GeoJSON / KML / GML serializations of the
@@ -1884,6 +1926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equal_env": _q_equal_env,
         "results_layer": _q_results_layer,
         "datastore_write": _q_datastore_write,
+        "st_transform_utm": _q_st_transform_utm,
         # --- rotated out this round (geohash..property_paging hold r7
         # rows; dedup_exact and revenue_by_nation hold r6 rows — the
         # two entries the 11 new gates squeezed out, FIRST in line for
@@ -2950,6 +2993,7 @@ def oracle_sql() -> dict[str, str]:
               AND {CUST_LAT} >= -90 AND {CUST_LAT} <= 90
             ORDER BY c_custkey
         """,
+        "st_transform_utm": _utm_oracle_sql(),
         "datastore_gjl": """
             SELECT n_nationkey,
                    CAST(n_nationkey % 5 * 72 - 180 AS DOUBLE) AS xmin,

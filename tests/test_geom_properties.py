@@ -354,6 +354,64 @@ def test_webmercator_roundtrip_property(lon, lat):
         assert eps[0, 1] > xy[0, 1]
 
 
+@given(st.floats(-3.0, 3.0), st.floats(-80.0, 84.0), st.integers(1, 60))
+@settings(max_examples=300, deadline=None)
+def test_utm_roundtrip_property(dlon, lat, zone):
+    """UTM forward then inverse lands back on the input within float
+    tolerance across every zone and the whole validity band (VERDICT
+    r8 ask #6), easting is monotone in lon, the central meridian maps
+    to exactly 500 km, and both hemispheres round-trip."""
+    import numpy as np
+    from spatial_spark.functions.crs import (UTM_E0, transform_points,
+                                             utm_forward, utm_inverse)
+    lon0 = 6.0 * zone - 183.0
+    lon = lon0 + dlon
+    south = lat < 0
+    en = utm_forward(np.array([[lon, lat]]), zone, south)
+    back = utm_inverse(en, zone, south)
+    assert abs(back[0, 0] - lon) < 1e-7
+    assert abs(back[0, 1] - lat) < 1e-7
+    if abs(dlon) < 1e-12 and abs(lat) < 84.0:
+        assert abs(en[0, 0] - UTM_E0) < 1e-6, "central meridian = 500 km"
+    if dlon + 1e-3 <= 3.0:
+        eps = utm_forward(np.array([[lon + 1e-3, lat]]), zone, south)
+        assert eps[0, 0] > en[0, 0]
+    # frame-token route (the st_transform UDF path) composes identically
+    hemi = "s" if south else "n"
+    via = transform_points(np.array([[lon, lat]]), "wgs84",
+                           f"utm:{zone}:{hemi}")
+    assert np.allclose(via, en, atol=0.0)
+
+
+def test_utm_sql_text_matches_kernel(spark):
+    """The dual-engine forward-series SQL (utm_forward_ctes) evaluated
+    by Spark agrees with the numpy kernel to sub-micrometer, and with
+    published test points (Snyder-series cross-check in-repo history):
+    Dresden z33N, Sydney z56S, New York z18N."""
+    import numpy as np
+    from spatial_spark.functions.crs import utm_forward, utm_forward_ctes
+    pts = [(13.7373, 51.0504, 33, False),
+           (151.2, -33.86, 56, True),
+           (-74.0, 40.7, 18, False)]
+    base = " UNION ALL ".join(
+        f"SELECT CAST({lo!r} AS DOUBLE) AS lon, CAST({la!r} AS DOUBLE) "
+        f"AS lat, {z} AS zone, {'TRUE' if s else 'FALSE'} AS south"
+        for lo, la, z, s in pts)
+    rows = spark.sql(utm_forward_ctes(base)
+                     + " SELECT * FROM _utm_out ORDER BY lon").collect()
+    # northings already carry the hemisphere's false northing
+    known = {33: (411494.368, 5656188.094), 56: (333491.230, 6251909.206),
+             18: (584482.352, 4505935.869)}
+    for r in rows:
+        k = utm_forward(np.array([[r["lon"], r["lat"]]]),
+                        r["zone"], r["south"])
+        assert abs(r["easting"] - k[0, 0]) < 1e-6
+        assert abs(r["northing"] - k[0, 1]) < 1e-6
+        ke, kn = known[r["zone"]]
+        assert abs(r["easting"] - ke) < 0.002
+        assert abs(r["northing"] - kn) < 0.002
+
+
 @given(st.integers(1, 60), st.integers(1, 60), st.integers(1, 256),
        st.integers(0, 2**31 - 1))
 @settings(max_examples=60, deadline=None)
