@@ -1393,6 +1393,39 @@ def _q_media_jpeg(spark, sf_dir) -> DataFrame:
                     F.round("mean_intensity", 6).alias("mean_intensity")))
 
 
+def _q_media_mjpeg(spark, sf_dir) -> DataFrame:
+    """REAL video-container frame decode on the hard gate (VERDICT r8
+    ask #5): per media i, 2 + i%3 uniform-color JPEG frames (value
+    v = (i*37 + 11*f) % 256, quality 90) packed into a real ISO-BMFF
+    container by build_mp4(samples=...), then sliced back out through
+    the sample table (stsz/stco/stsc) and decoded by the numpy JPEG
+    decoder via mp4_frames.  Mean intensity follows media_jpeg's exact
+    quantizer round-trip closed form (q0 = 3; no .5 boundary is
+    reachable).  avc1 containers in the same batch are skipped — the
+    seam filter is part of what's gated."""
+    import numpy as np
+    from spatial_spark.operators.codecs import build_mp4, encode_jpeg
+    from spatial_spark.operators.multimodal import MEDIA_SCHEMA, mp4_frames
+    rows = []
+    for i in range(24):
+        w, h = 8 + (i % 5) * 4, 8 + (i % 3) * 4
+        frames = [encode_jpeg(
+            np.full((h, w, 3), (i * 37 + 11 * f) % 256, dtype=np.uint8),
+            quality=90) for f in range(2 + i % 3)]
+        rows.append((i, bytearray(build_mp4(
+            w, h, 0, 1000, 40, codec="jpeg", samples=frames)),
+            "video", "mp4", w, h, None))
+        # an inter-frame-codec container that must be SKIPPED, not fail
+        rows.append((1000 + i, bytearray(build_mp4(
+            64, 48, 5, 1000, 40, codec="avc1")), "video", "mp4",
+            64, 48, None))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return (mp4_frames(df)
+            .select("media_id", "frame_no", "decoded_w", "decoded_h",
+                    F.round("mean_intensity", 6).alias("mean_intensity"))
+            .orderBy("media_id", "frame_no"))
+
+
 def _q_media_gif(spark, sf_dir) -> DataFrame:
     """REAL GIF decode on the hard gate (r8): deterministic two-tone
     payloads (left w//2 columns = v, rest = u) written by the numpy GIF
@@ -1927,6 +1960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "results_layer": _q_results_layer,
         "datastore_write": _q_datastore_write,
         "st_transform_utm": _q_st_transform_utm,
+        "media_mjpeg": _q_media_mjpeg,
         # --- rotated out this round (geohash..property_paging hold r7
         # rows; dedup_exact and revenue_by_nation hold r6 rows — the
         # two entries the 11 new gates squeezed out, FIRST in line for
@@ -2994,6 +3028,26 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY c_custkey
         """,
         "st_transform_utm": _utm_oracle_sql(),
+        "media_mjpeg": """
+            WITH items AS (SELECT unnest(generate_series(0, 23)) AS i),
+            frames AS (
+              SELECT i, unnest(generate_series(0, 1 + i % 3)) AS f
+              FROM items),
+            vals AS (
+              SELECT i, f, (i * 37 + 11 * f) % 256 AS v,
+                     8 + (i % 5) * 4 AS w, 8 + (i % 3) * 4 AS h
+              FROM frames),
+            dc AS (SELECT i, f, w, h,
+                          round(8.0 * (v - 128.0) / 3.0) AS dcq
+                   FROM vals)
+            SELECT CAST(i AS BIGINT) AS media_id,
+                   CAST(f AS INT) AS frame_no,
+                   CAST(w AS INT) AS decoded_w, CAST(h AS INT) AS decoded_h,
+                   round(least(greatest(
+                       round(dcq * 3.0 / 8.0 + 128.0), 0.0), 255.0), 6)
+                     AS mean_intensity
+            FROM dc ORDER BY media_id, frame_no
+        """,
         "datastore_gjl": """
             SELECT n_nationkey,
                    CAST(n_nationkey % 5 * 72 - 180 AS DOUBLE) AS xmin,

@@ -516,6 +516,59 @@ def test_mp4_container_metadata():
         C.parse_mp4_meta(buf[:24] + b"\x00\x00\x00\x02zzzz" + buf[32:])
 
 
+def test_mp4_mjpeg_frames_route(spark):
+    """VERDICT r8 ask #5: a real MP4 container with Motion-JPEG samples
+    yields REAL frames — sample table parses stsz/stco/stsc, each
+    sample decodes through the numpy JPEG decoder, frame order and
+    content survive; avc1 still raises (seam), and the mp4_frames
+    operator skips avc1/non-MP4 rows instead of failing."""
+    import numpy as np
+    import pytest as _pytest
+    from spatial_spark.operators import codecs as C
+    from spatial_spark.operators.multimodal import MEDIA_SCHEMA, mp4_frames
+
+    # two-tone frames (not uniform): content must round-trip through
+    # the container byte-exactly (same JPEG bytes in == decoded alike)
+    frames, direct = [], []
+    for f in range(5):
+        img = np.zeros((16, 24, 3), np.uint8)
+        img[:, :12] = (f * 40 + 20) % 256
+        img[:, 12:] = (f * 40 + 200) % 256
+        jb = C.encode_jpeg(img, quality=90)
+        frames.append(jb)
+        direct.append(C.decode_jpeg(jb))
+    buf = C.build_mp4(24, 16, 0, 1000, 40, codec="jpeg", samples=frames)
+    # container metadata reflects the real sample count
+    assert C.parse_mp4_meta(buf)["tracks"][0]["n_samples"] == 5
+    tab = C.mp4_sample_table(buf)
+    assert tab["codec"] == "jpeg" and len(tab["samples"]) == 5
+    # slicing the table reproduces the exact encoded bytes
+    for (off, size), jb in zip(tab["samples"], frames):
+        assert buf[off:off + size] == jb
+    got = C.decode_mp4_frames(buf)
+    assert [f for f, _ in got] == [0, 1, 2, 3, 4]
+    for (_, img), ref in zip(got, direct):
+        assert np.array_equal(img, ref)
+    # every_n frame sampling
+    assert [f for f, _ in C.decode_mp4_frames(buf, every_n=2)] == [0, 2, 4]
+    # decode_any routes mp4+mjpeg to ('video', frames)
+    kind, val = C.decode_any(buf)
+    assert kind == "video" and len(val) == 5
+    # avc1 keeps the documented seam
+    with _pytest.raises(NotImplementedError, match="ffmpeg"):
+        C.decode_mp4_frames(C.build_mp4(64, 48, 3, 1000, 40, codec="avc1"))
+    # the Spark operator: real rows for mjpeg, avc1/png rows skipped
+    df = spark.createDataFrame(
+        [(1, bytearray(buf), "video", "mp4", 24, 16, None),
+         (2, bytearray(C.build_mp4(64, 48, 3, 1000, 40, codec="avc1")),
+          "video", "mp4", 64, 48, None),
+         (3, bytearray(C.encode_png(np.zeros((4, 4, 3), np.uint8))),
+          "image", "png", 4, 4, None)], MEDIA_SCHEMA)
+    rows = mp4_frames(df).orderBy("frame_no").collect()
+    assert [r["media_id"] for r in rows] == [1] * 5
+    assert all(r["decoded_w"] == 24 and r["decoded_h"] == 16 for r in rows)
+
+
 def test_audio_features_spectral(spark):
     """audio_features vs exact DSP facts: pure integer-cycle tones give
     dominant_bin == cycle count, noise-gated centroid == dominant, rms
