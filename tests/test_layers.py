@@ -977,6 +977,143 @@ def test_manifest_hadoop_io_end_to_end(spark, tmp_path):
     assert len(man.epochs()) == Manifest.KEEP_GENERATIONS
 
 
+class _FakeS3Client:
+    """In-memory S3-semantics object store: per-key atomic PUT with an
+    If-None-Match mode, strongly-consistent GET/LIST, idempotent
+    DELETE, injectable failures — NO rename primitive exists at all
+    (the property S3ManifestIO must live without)."""
+
+    def __init__(self):
+        self.objects = {}
+        self.fail_next = {}     # op -> countdown to injected crash
+
+    def _maybe_fail(self, op):
+        n = self.fail_next.get(op)
+        if n is not None:
+            if n <= 0:
+                raise OSError(f"injected crash in {op}")
+            self.fail_next[op] = n - 1
+
+    def put(self, key, data, if_none_match):
+        self._maybe_fail("put")
+        if if_none_match and key in self.objects:
+            return False
+        self.objects[key] = bytes(data)
+        return True
+
+    def get(self, key):
+        if key not in self.objects:
+            raise KeyError(key)
+        return self.objects[key]
+
+    def list(self, prefix):
+        return sorted(k for k in self.objects if k.startswith(prefix))
+
+    def delete(self, key):
+        self._maybe_fail("delete")
+        return self.objects.pop(key, None) is not None
+
+
+def test_manifest_s3_io_commit_protocol_and_kill_injection():
+    """VERDICT r8 ask #3: the SAME crash scenarios the POSIX/fake-FS
+    suites cover, against S3 semantics (conditional PUT, no rename):
+    normal commits, crash between temp-write and publish (old snapshot
+    survives, retry heals), crash between the publish PUT and the temp
+    delete (orphan temp object, snapshot intact), lost CAS raising
+    ManifestConflict, and meta carry-forward."""
+    import pytest as _pytest
+    from spatial_spark.manifest import (Manifest, ManifestConflict,
+                                        S3ManifestIO)
+    s3 = _FakeS3Client()
+    man = Manifest("bucket/store", io=S3ManifestIO(s3))
+    assert man.current() is None
+    assert man.commit(["part-a"], meta={"stream_epochs": {"ck": 3}}) == 0
+    assert man.current() == (0, ["part-a"])
+    # crash INSIDE publish: temp written, conditional PUT never runs
+    s3.fail_next["put"] = 1      # temp PUT succeeds, publish PUT dies
+    with _pytest.raises(OSError, match="injected crash"):
+        man.commit(["part-a", "part-b"])
+    del s3.fail_next["put"]
+    assert man.current() == (0, ["part-a"]), \
+        "torn publish must leave the old snapshot current"
+    assert man.commit(["part-a", "part-b"]) == 1     # retry heals
+    # crash BETWEEN the publish PUT and the temp delete: the writer
+    # dies, but the PUT was the commit point — readers see the NEW
+    # snapshot; the orphan temp object is harmless garbage
+    s3.fail_next["delete"] = 0
+    with _pytest.raises(OSError, match="injected crash"):
+        man.commit(["part-c"])
+    del s3.fail_next["delete"]
+    assert man.current() == (2, ["part-c"]), \
+        "publish PUT is the commit point: crash after it keeps the " \
+        "new snapshot"
+    assert any(".tmp" in k for k in s3.objects), "orphan temp remains"
+    # meta carried forward through every commit above
+    assert man.current_meta()["stream_epochs"] == {"ck": 3}
+    # lost CAS: a concurrent writer published our epoch first
+    real_current = Manifest.current
+    try:
+        man2 = Manifest("bucket/store", io=S3ManifestIO(s3))
+        Manifest.current = lambda self: (2, ["part-c"])
+        man2.commit(["part-d"])                      # takes epoch 3
+        Manifest.current = lambda self: (2, ["part-c"])   # stale view
+        with _pytest.raises(ManifestConflict, match="concurrent writer"):
+            Manifest.commit(man, ["part-e"])
+    finally:
+        Manifest.current = real_current
+    assert man.current()[1] == ["part-d"]
+
+
+def test_manifest_s3_lock_break_and_concurrent_writers():
+    """The writer-lock protocol on S3 semantics: a live writer's lock
+    survives past ``stale`` via sidecar heartbeats; a dead lock is
+    broken and two concurrent waiters never overlap even though
+    'rename' is copy+delete (claim names are waiter-unique, double
+    break is idempotent, re-acquisition is elected by the conditional
+    PUT)."""
+    import json as _json
+    import threading
+    import time as _time
+
+    import pytest as _pytest
+    from spatial_spark.manifest import (Manifest, ManifestLockTimeout,
+                                        S3ManifestIO)
+    s3 = _FakeS3Client()
+    man = Manifest("bucket/store", io=S3ManifestIO(s3))
+    # (a) live writer held past stale: waiter times out, no steal
+    with man.lock(stale=1.0):
+        _time.sleep(1.3)
+        with _pytest.raises(ManifestLockTimeout):
+            with man.lock(timeout=0.6, stale=1.0):
+                pass
+    assert not [k for k in s3.objects if "LOCK" in k], "lock released"
+    # (b) dead lock (stale heartbeat) broken; two waiters serialize
+    s3.objects[man._lock_path] = _json.dumps(
+        {"token": "dead", "pid": 0, "hb": _time.time() - 1000}).encode()
+    inside, overlaps, errs = [], [], []
+
+    def waiter(name):
+        try:
+            with man.lock(timeout=10.0, stale=300.0) as lk:
+                if inside:
+                    overlaps.append(name)
+                inside.append(name)
+                _time.sleep(0.2)
+                man.commit([f"part-{name}"], lock_token=lk.token)
+                inside.remove(name)
+        except Exception as e:      # pragma: no cover - diagnostic
+            errs.append((name, e))
+
+    ts = [threading.Thread(target=waiter, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs and not overlaps
+    assert len(man.epochs()) == 2, "both writers committed, serialized"
+    assert not [k for k in s3.objects if "LOCK" in k], "locks cleaned"
+
+
 def test_manifest_meta_carries_forward(tmp_path):
     """ADVICE r8 (medium): a meta-less commit from another writer must
     NOT erase streaming replay markers riding the manifest meta — meta
