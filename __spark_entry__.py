@@ -1230,6 +1230,29 @@ def _q_density_islands(spark, sf_dir) -> DataFrame:
             .orderBy("n_members"))
 
 
+def _q_density_greedy(spark, sf_dir) -> DataFrame:
+    """Strict-compat greedy DensityIslands on the hard gate (VERDICT r8
+    ask #4; DensityIslands.java:26-55 first-match merge, driver-side
+    exact port): 24 tight synthetic clusters (diameter ≤ 0.45) spaced
+    10 apart, density 1.0 — no transitive chains, so the greedy result
+    equals CC equals the closed-form min-custkey-per-cluster labeling,
+    making the order-dependent operator SQL-checkable."""
+    from spatial_spark.operators.agg import density_islands
+    pts = spark.sql("""
+        SELECT c_custkey,
+               CAST(c_custkey % 24 AS DOUBLE) * 10.0
+                 + CAST(CAST(floor(c_custkey / 24.0) AS BIGINT) % 3
+                        AS DOUBLE) * 0.2 AS x,
+               CAST(CAST(floor(c_custkey / 72.0) AS BIGINT) % 2
+                    AS DOUBLE) * 0.2 AS y
+        FROM customer WHERE c_custkey <= 600
+    """).selectExpr("c_custkey AS id", "st_point(x, y) AS geom",
+                    "x AS xmin", "y AS ymin", "x AS xmax", "y AS ymax")
+    return (density_islands(pts, density=1.0, mode="greedy")
+            .select(F.col("id").alias("c_custkey"), "island")
+            .orderBy("c_custkey"))
+
+
 def _norm_documents(spark) -> DataFrame:
     """documents with whitespace-normalized text — pins tokenizer parity
     between Spark split('\\s+') and the DuckDB oracle's single-space split
@@ -1961,6 +1984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datastore_write": _q_datastore_write,
         "st_transform_utm": _q_st_transform_utm,
         "media_mjpeg": _q_media_mjpeg,
+        "density_greedy": _q_density_greedy,
         # --- rotated out this round (geohash..property_paging hold r7
         # rows; dedup_exact and revenue_by_nation hold r6 rows — the
         # two entries the 11 new gates squeezed out, FIRST in line for
@@ -3028,6 +3052,13 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY c_custkey
         """,
         "st_transform_utm": _utm_oracle_sql(),
+        "density_greedy": """
+            SELECT c_custkey,
+                   min(c_custkey) OVER (PARTITION BY c_custkey % 24)
+                     AS island
+            FROM customer WHERE c_custkey <= 600
+            ORDER BY c_custkey
+        """,
         "media_mjpeg": """
             WITH items AS (SELECT unnest(generate_series(0, 23)) AS i),
             frames AS (
