@@ -1886,42 +1886,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return run
 
     # Dict ORDER is part of the driver contract: the driver's correctness
-    # gate checks the first 50 registered entries.  r8 rotation (VERDICT
-    # r7 ask #1, executed as written, then extended): promote the
-    # entries that sat OUTSIDE the r7 window (newest driver row r6 —
-    # the oldest rows in the registry), plus the queries NEW in
-    # r8 (TWELVE after the late additions), all needing first driver
-    # rows: cql2 (ECQL tier 2, VERDICT r7
-    # ask #6), st_transform_merc (CRS reprojection, ask #7),
-    # dedup_against_inc (the Bloom incremental path, ask #8), media_gif
-    # (lossless GIF decode on the hard gate), wkt_export (text-sink
-    # writers — the first §2.7#48 oracle row), shapefile_source (ESRI
-    # codec round-trip — §2.1#3), osm_source (distributed
-    # chunk-recovery OSM parse — §2.1#4), render_sink (rasterizer/PNG
-    # image sink — §2.1#8), audio_features (WAV spectral features with
-    # DFT-orthogonality closed forms), mp4_meta (ISO-BMFF container box
-    # walk), knn_cosine_q8 (int8 quantized-scan + exact-rescore ANN), and
-    # datastore_gjl (the DataStore facade over external GeoJSONL, the
-    # first §2.1#6 oracle row), filter_equal (the FilterEqual
-    # Exact/Norm/Topo family — §2.2#12), and covered_env
-    # (SearchCoveredByEnvelope — §2.2#20).  The 14 new gates squeeze
-    # FIVE r6-row promotions (dedup_exact, revenue_by_nation, tpch_q1,
-    # dedup_groups, token_counts) out of the 50-window; everything
-    # else outside holds a green r7 row (1 round old at r8), and every
-    # entry keeps its local-gate oracle (tools/check_correctness runs
-    # ALL entries).
-    # r9 rotation plan: demote this head; promote OLDEST-FIRST — the
-    # five r6-row holders above lead, then 45 of the 50 r7-row holders
-    # in this file's order.  NOTE: at 105
-    # entries the registry now exceeds 2x the window, so the
-    # every-row-<=2-rounds invariant is arithmetically out of reach for
-    # ~5 entries per round; the rule becomes strictly-oldest-first
-    # rotation (max age 3 rounds for the few entries that just missed a
-    # window, which then lead the next one).
+    # gate checks the first 50 registered entries.  r9 rotation (VERDICT
+    # r8 ask #1, executed as written): the r8 head is DEMOTED to the
+    # back (it holds the freshest driver rows), and the window is
+    # filled strictly oldest-first —
+    #   * the EIGHT queries new in r9, all needing first driver rows:
+    #     intersect_all / isvalid_isempty / equal_env / results_layer
+    #     (VERDICT r8 ask #2 — the last four pytest-only §2 components),
+    #     datastore_write (ask #7), st_transform_utm (ask #6, UTM CRS),
+    #     media_mjpeg (ask #5, Motion-JPEG frames from real MP4
+    #     containers), density_greedy (ask #4, strict-compat
+    #     DensityIslands);
+    #   * the FIVE r6-row holders (oldest rows in the registry):
+    #     dedup_exact, revenue_by_nation, tpch_q1, dedup_groups,
+    #     token_counts;
+    #   * then 37 of the 50 r7-row holders in this file's order
+    #     (geohash .. bm25).
+    # The 13 r7-row holders that don't fit (path_length ..
+    # property_paging) stay just outside at age 2 and LEAD the r10
+    # window; every entry keeps its local-gate oracle
+    # (tools/check_correctness runs ALL 113).
     return {name: wrap(fn) for name, fn in {
-        # --- r6-row holders returning to the window (39 after the two
-        # --- squeezed out below) + cql2 / st_transform_merc inline ---
-
+        # --- NEW r9 gates (first driver rows) ---
+        "intersect_all": _q_intersect_all,
+        "isvalid_isempty": _q_isvalid_isempty,
+        "equal_env": _q_equal_env,
+        "results_layer": _q_results_layer,
+        "datastore_write": _q_datastore_write,
+        "st_transform_utm": _q_st_transform_utm,
+        "media_mjpeg": _q_media_mjpeg,
+        "density_greedy": _q_density_greedy,
+        # --- r6-row holders (oldest rows, squeezed out of r8) ---
+        "dedup_exact": _q_dedup_exact,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "tpch_q1": _q_tpch_q1,
+        "dedup_groups": _q_dedup_groups,
+        "token_counts": _q_token_counts,
+        # --- oldest 37 of the r7-row holders, in registry order ---
+        "geohash": _q_geohash,
+        "keep_max": _q_keep_max,
+        "fingerprint": _q_fingerprint,
+        "st_difference_area": _q_st_difference_area,
+        "st_buffer_lines": _q_st_buffer_lines,
+        "spatial_join_grid": _q_spatial_join_grid,
+        "st_centroid_rects": _q_st_centroid_rects,
+        "quality_scores": _q_quality,
+        "lang_id": _q_lang_id,
+        "knn_cosine": _q_knn_cosine,
+        "events_daily": _q_events_daily,
+        "st_intersection_area": _q_st_intersection_area,
+        "st_union_area": _q_st_union_area,
+        "relate_classes": _q_relate_classes,
+        "st_buffer_area": _q_st_buffer_area,
+        "sessionize": _q_sessionize,
+        "dynamic_view": _q_dynamic_view,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "density_islands": _q_density_islands,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
+        "tf_idf": _q_tf_idf,
+        "gopher_rules": _q_gopher_rules,
+        "mixture_weights": _q_mixture_weights,
+        "pack_sequences": _q_pack_sequences,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "semantic_dedup": _q_semantic_dedup,
+        "ivf_knn": _q_ivf_knn,
+        "media_features": _q_media_features,
+        "media_histogram": _q_media_histogram,
+        "event_transitions": _q_event_transitions,
+        "repetition": _q_repetition,
+        "knn_join": _q_knn_join,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
+        "bm25": _q_bm25,
+        # ================= end of the 50-entry driver window =========
+        # --- r7-row holders at age 2: FIRST in line for the r10 window
+        "path_length": _q_path_length,
+        "pii_scrub": _q_pii_scrub,
+        "stratified_sample": _q_stratified_sample,
+        "boilerplate": _q_boilerplate,
+        "contamination": _q_contamination,
+        "bpe_apply": _q_bpe_apply,
+        "pipeline_e2e": _q_pipeline_e2e,
+        "media_jpeg": _q_media_jpeg,
+        "bloom_dedup": _q_bloom_dedup,
+        "cms_hitters": _q_cms_hitters,
+        "hll_registers": _q_hll_registers,
+        "path_envelope": _q_path_envelope,
+        "property_paging": _q_property_paging,
+        # --- demoted r8 head (freshest driver rows, r8) ---
         "st_symdifference_area": _q_st_symdifference_area,
         "layer_within_distance": _q_layer_within_distance,
         "layer_knn": _q_layer_knn,
@@ -1960,9 +2014,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cql_filter": _q_cql_filter,
         "cql2": _q_cql2,
         "st_transform_merc": _q_st_transform_merc,
-        # --- NEW r8 gates: incremental dedup_against, real GIF decode,
-        # --- text-sink writers, source codecs, renderer, audio, MP4,
-        # --- quantized ANN ---
         "dedup_against_inc": _q_dedup_against_inc,
         "media_gif": _q_media_gif,
         "wkt_export": _q_wkt_export,
@@ -1975,75 +2026,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datastore_gjl": _q_datastore_gjl,
         "filter_equal": _q_filter_equal,
         "covered_env": _q_covered_env,
-        # --- NEW r9 gates (VERDICT r8 asks #2 and #7): the last four
-        # --- pytest-only §2 components + the DataStore write path ---
-        "intersect_all": _q_intersect_all,
-        "isvalid_isempty": _q_isvalid_isempty,
-        "equal_env": _q_equal_env,
-        "results_layer": _q_results_layer,
-        "datastore_write": _q_datastore_write,
-        "st_transform_utm": _q_st_transform_utm,
-        "media_mjpeg": _q_media_mjpeg,
-        "density_greedy": _q_density_greedy,
-        # --- rotated out this round (geohash..property_paging hold r7
-        # rows; dedup_exact and revenue_by_nation hold r6 rows — the
-        # two entries the 11 new gates squeezed out, FIRST in line for
-        # the r9 window) ---
-        "dedup_exact": _q_dedup_exact,
-        "revenue_by_nation": _q_revenue_by_nation,
-        "tpch_q1": _q_tpch_q1,
-        "dedup_groups": _q_dedup_groups,
-        "token_counts": _q_token_counts,
-        "geohash": _q_geohash,
-        "keep_max": _q_keep_max,
-        "fingerprint": _q_fingerprint,
-        "st_difference_area": _q_st_difference_area,
-        "st_buffer_lines": _q_st_buffer_lines,
-        "spatial_join_grid": _q_spatial_join_grid,
-        "st_centroid_rects": _q_st_centroid_rects,
-        "quality_scores": _q_quality,
-        "lang_id": _q_lang_id,
-        "knn_cosine": _q_knn_cosine,
-        "events_daily": _q_events_daily,
-        "st_intersection_area": _q_st_intersection_area,
-        "st_union_area": _q_st_union_area,
-        "relate_classes": _q_relate_classes,
-        "st_buffer_area": _q_st_buffer_area,
-        "sessionize": _q_sessionize,
-        "dynamic_view": _q_dynamic_view,
-        "minhash_pairs": _q_minhash_pairs,
-        "simhash_pairs": _q_simhash_pairs,
-        "density_islands": _q_density_islands,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "dedup_clusters": _q_dedup_clusters,
-        "tf_idf": _q_tf_idf,
-        "gopher_rules": _q_gopher_rules,
-        "mixture_weights": _q_mixture_weights,
-        "pack_sequences": _q_pack_sequences,
-        "paragraph_dedup": _q_paragraph_dedup,
-        "semantic_dedup": _q_semantic_dedup,
-        "ivf_knn": _q_ivf_knn,
-        "media_features": _q_media_features,
-        "media_histogram": _q_media_histogram,
-        "event_transitions": _q_event_transitions,
-        "repetition": _q_repetition,
-        "knn_join": _q_knn_join,
-        "asof_join": _q_asof_join,
-        "range_join": _q_range_join,
-        "bm25": _q_bm25,
-        "path_length": _q_path_length,
-        "pii_scrub": _q_pii_scrub,
-        "stratified_sample": _q_stratified_sample,
-        "boilerplate": _q_boilerplate,
-        "contamination": _q_contamination,
-        "bpe_apply": _q_bpe_apply,
-        "pipeline_e2e": _q_pipeline_e2e,
-        "media_jpeg": _q_media_jpeg,
-        "bloom_dedup": _q_bloom_dedup,
-        "cms_hitters": _q_cms_hitters,
-        "hll_registers": _q_hll_registers,
-        "path_envelope": _q_path_envelope,
-        "property_paging": _q_property_paging,
     }.items()}
 
 
