@@ -737,10 +737,13 @@ def _q_filter_equal(spark, sf_dir) -> DataFrame:
     (==1) a verbatim copy, (==2) a disjoint shifted rect — so exact
     equality holds only for verbatim, while normalized and topological
     equality also accept the rotation.  Parity: FilterEqualExact/
-    Norm/Topo pipes (GeoPipeline equality family)."""
+    Norm/Topo pipes (GeoPipeline equality family).  Input capped at
+    4000 rows (r9): per-row WKT-build semantics fixture, not a scan
+    benchmark — same honesty cap as isvalid_isempty."""
     base = spark.sql(f"""
         SELECT p_partkey, {PART_X0} AS x0, {PART_Y0} AS y0,
                {PART_W} AS w, {PART_H} AS h FROM part
+        WHERE p_partkey <= 4000
     """)
     a = ("concat('POLYGON ((', x0, ' ', y0, ', ', x0+w, ' ', y0, ', ', "
          "x0+w, ' ', y0+h, ', ', x0, ' ', y0+h, ', ', x0, ' ', y0, '))')")
@@ -802,10 +805,14 @@ def _q_isvalid_isempty(spark, sf_dir) -> DataFrame:
     even part keys carry a self-intersecting bowtie ring (invalid), odd
     keys the plain rect (valid); the emptiness flag exercises the
     overlay kernel — even keys intersect DISJOINT unit boxes (empty
-    result), odd keys overlapping ones (non-empty)."""
+    result), odd keys overlapping ones (non-empty).  Input capped at
+    4000 rows: this is a per-row semantics fixture (WKT build + two
+    kernel calls each), not a scan benchmark — the cap keeps the bench
+    honest about what it measures."""
     base = spark.sql(f"""
         SELECT p_partkey, {PART_X0} AS x0, {PART_Y0} AS y0,
                {PART_W} AS w, {PART_H} AS h FROM part
+        WHERE p_partkey <= 4000
     """)
     rect = "st_make_box(x0, y0, x0+w, y0+h)"
     bow = ("st_geomfromtext(concat('POLYGON ((', x0, ' ', y0, ', ', "
@@ -2980,7 +2987,7 @@ def oracle_sql() -> dict[str, str]:
                    p_partkey % 3 = 1 AS eq_exact,
                    p_partkey % 3 IN (0, 1) AS eq_norm,
                    p_partkey % 3 IN (0, 1) AS eq_topo
-            FROM part
+            FROM part WHERE p_partkey <= 4000
         """,
         "covered_env": f"""
             SELECT p_partkey FROM part
@@ -3003,7 +3010,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey,
                    p_partkey % 2 = 1 AS valid,
                    p_partkey % 2 = 0 AS empty
-            FROM part ORDER BY p_partkey
+            FROM part WHERE p_partkey <= 4000 ORDER BY p_partkey
         """,
         "equal_env": f"""
             WITH probe AS (

@@ -73,6 +73,11 @@ PROBES = {
                      " proportionally by synthesis"),
     "dedup_against_inc": ("linear", "map-only bloom pre-pass + banded"
                           " minhash on survivors; dup rate proportional"),
+    # --- ANN paths (VERDICT r8 ask #8) ---
+    "knn_cosine_q8": ("linear", "int8 quantized scan + exact rescore of"
+                      " the top candidates; fixed probe count"),
+    "ivf_knn": ("linear", "IVF write + cell-pruned search; probes read"
+                " a fixed cell fraction of a kx corpus"),
 }
 
 
@@ -257,24 +262,50 @@ def main():
 
     dirs = {k: build_scale_dir(args.out, k) for k in scales}
     times: dict = {}
+    def heap_pools(reset=False):
+        """Per-probe PEAK JVM heap via MemoryPoolMXBean (VERDICT r8 ask
+        #8): resetPeakUsage() before a probe, sum of heap pools'
+        getPeakUsage() after — in local mode this JVM IS the executor,
+        so it is the true per-probe executor peak."""
+        mf = spark._jvm.java.lang.management.ManagementFactory
+        it = mf.getMemoryPoolMXBeans().iterator()
+        total = 0
+        while it.hasNext():
+            b = it.next()
+            if b.getType().toString() != "Heap memory":
+                continue
+            if reset:
+                b.resetPeakUsage()
+            else:
+                u = b.getPeakUsage()
+                if u is not None:
+                    total += u.getUsed()
+        return total
+
+    peaks: dict = {}
     for k in scales:
         entry._setup(spark, dirs[k])
         spark.sql("SELECT count(*) FROM documents").collect()  # warm
         for name in names:
             fn = CUSTOM_PROBES.get(name) or qs[name]
             best = None
+            heap_pools(reset=True)
             for _ in range(2):
                 t0 = time.time()
                 (fn(spark, dirs[k])
                  .write.format("noop").mode("overwrite").save())
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
+            peak_mb = heap_pools() / (1 << 20)
             times.setdefault(name, {})[k] = best
-            print(f"# x{k} {name}: {best:.2f}s", file=sys.stderr)
+            peaks.setdefault(name, {})[k] = peak_mb
+            print(f"# x{k} {name}: {best:.2f}s peak={peak_mb:.0f}MB",
+                  file=sys.stderr)
 
     print("| query | class | " + " | ".join(f"x{k}" for k in scales)
-          + " | exponent | note |")
-    print("|---|---|" + "---|" * (len(scales) + 2))
+          + " | exponent | " + " | ".join(f"peak x{k}" for k in scales)
+          + " | note |")
+    print("|---|---|" + "---|" * (2 * len(scales) + 2))
     failed = []
     for name in names:
         cls, note = PROBES.get(name, ("linear", ""))
@@ -283,11 +314,13 @@ def main():
         exp = (float(np.polyfit(xs, ys, 1)[0]) if len(scales) > 1
                else float("nan"))
         cells = " | ".join(f"{times[name][k]:.2f}s" for k in scales)
+        pcells = " | ".join(f"{peaks[name][k]:.0f}M" for k in scales)
         flag = ""
         if cls == "linear" and exp > MAX_EXP:
             failed.append((name, exp))
             flag = " **EXCEEDS**"
-        print(f"| {name} | {cls} | {cells} | {exp:.2f}{flag} | {note} |")
+        print(f"| {name} | {cls} | {cells} | {exp:.2f}{flag} | {pcells} "
+              f"| {note} |")
     if failed:
         print(f"# FAILED: {failed}", file=sys.stderr)
         sys.exit(1)
