@@ -56,7 +56,7 @@ from ..geom import Geometry, GTYPE_POINT, GTYPE_LINESTRING, GTYPE_POLYGON, \
 __all__ = ["MERC_R", "merc_forward_sql", "merc_inverse_sql",
            "transform_points", "st_transform",
            "UTM_K0", "UTM_A", "UTM_ALPHA", "utm_forward", "utm_inverse",
-           "utm_forward_ctes"]
+           "utm_forward_ctes", "utm_inverse_ctes"]
 
 MERC_R = 6378137.0   # WGS84 semi-major axis, the EPSG:3857 sphere radius
 
@@ -225,6 +225,62 @@ def utm_forward_ctes(base: str, lon: str = "lon", lat: str = "lat",
               + {_c(a3)} * sin(6.0 * _xip) * {_cosh("(6.0 * _etap)")})
               AS northing
           FROM _utm_s3)
+    """
+
+
+def utm_inverse_ctes(base: str, easting: str = "easting",
+                     northing: str = "northing", zone: str = "zone",
+                     south: str = "south") -> str:
+    """Dual-engine SQL for the INVERSE series (UTM meters → lon/lat
+    degrees), the symmetric twin of ``utm_forward_ctes``: wraps
+    ``base`` — a query exposing ``easting``/``northing`` meters plus
+    ``zone`` and ``south`` columns — in a WITH chain that adds
+    ``lon``/``lat`` columns.  Same portability rules (constants cast to
+    DOUBLE, sinh/cosh via exp)."""
+    b1, b2, b3 = UTM_BETA
+    d1, d2, d3 = UTM_DELTA
+
+    def _c(v: float) -> str:
+        return f"CAST({v!r} AS DOUBLE)"
+
+    def _sinh(x):
+        return f"((exp({x}) - exp(-({x}))) / 2.0)"
+
+    def _cosh(x):
+        return f"((exp({x}) + exp(-({x}))) / 2.0)"
+
+    ka = f"({_c(UTM_K0)} * {_c(UTM_A)})"
+    return f"""
+        WITH _utmi_base AS ({base}),
+        _utmi_s1 AS (
+          SELECT *,
+                 (CAST({northing} AS DOUBLE)
+                  - (CASE WHEN {south} THEN {_c(UTM_FN_SOUTH)}
+                          ELSE CAST(0.0 AS DOUBLE) END)) / {ka} AS _ixi,
+                 (CAST({easting} AS DOUBLE) - {_c(UTM_E0)}) / {ka} AS _ieta
+          FROM _utmi_base),
+        _utmi_s2 AS (
+          SELECT *,
+            _ixi - {_c(b1)} * sin(2.0 * _ixi) * {_cosh("(2.0 * _ieta)")}
+                - {_c(b2)} * sin(4.0 * _ixi) * {_cosh("(4.0 * _ieta)")}
+                - {_c(b3)} * sin(6.0 * _ixi) * {_cosh("(6.0 * _ieta)")}
+              AS _ixip,
+            _ieta - {_c(b1)} * cos(2.0 * _ixi) * {_sinh("(2.0 * _ieta)")}
+                 - {_c(b2)} * cos(4.0 * _ixi) * {_sinh("(4.0 * _ieta)")}
+                 - {_c(b3)} * cos(6.0 * _ixi) * {_sinh("(6.0 * _ieta)")}
+              AS _ietap
+          FROM _utmi_s1),
+        _utmi_s3 AS (
+          SELECT *, asin(sin(_ixip) / {_cosh("_ietap")}) AS _ichi
+          FROM _utmi_s2),
+        _utmi_out AS (
+          SELECT *,
+            degrees(_ichi + {_c(d1)} * sin(2.0 * _ichi)
+                         + {_c(d2)} * sin(4.0 * _ichi)
+                         + {_c(d3)} * sin(6.0 * _ichi)) AS lat,
+            (6.0 * CAST({zone} AS DOUBLE) - 183.0)
+              + degrees(atan2({_sinh("_ietap")}, cos(_ixip))) AS lon
+          FROM _utmi_s3)
     """
 
 

@@ -21,6 +21,11 @@ Scope (still a strict subset — untranslatable spatial constructs raise):
   * tier 3: temporal BEFORE / AFTER / DURING with ISO-8601 instants
     (instant/instant periods; durations and non-Z offsets strictly
     rejected).
+
+Quoted string literals are MASKED for the whole translation and
+restored at the end (ADVICE r8): no keyword rewrite, temporal regex,
+or geometry-property normalization can touch literal text, and SQL ''
+escapes survive the argument splitter.
 """
 
 from __future__ import annotations

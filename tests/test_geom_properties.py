@@ -412,6 +412,39 @@ def test_utm_sql_text_matches_kernel(spark):
         assert abs(r["northing"] - kn) < 0.002
 
 
+def test_utm_inverse_sql_roundtrip(spark):
+    """utm_inverse_ctes is the exact SQL twin of the numpy inverse
+    kernel, and forward→inverse in PURE SQL round-trips to the input
+    coordinates (both engines' text; Spark evaluated here, DuckDB
+    parity rides the oracle discipline)."""
+    import numpy as np
+    from spatial_spark.functions.crs import (utm_forward_ctes,
+                                             utm_inverse, utm_inverse_ctes)
+    pts = [(9.0 + d, 48.0 + d * 3, 32, False) for d in (-2.5, 0.0, 2.5)] \
+        + [(151.2, -33.86, 56, True)]
+    base = " UNION ALL ".join(
+        f"SELECT CAST({lo!r} AS DOUBLE) AS lon0_in, CAST({la!r} AS DOUBLE)"
+        f" AS lat0_in, CAST({lo!r} AS DOUBLE) AS lon, CAST({la!r} AS "
+        f"DOUBLE) AS lat, {z} AS zone, {'TRUE' if s else 'FALSE'} AS south"
+        for lo, la, z, s in pts)
+    # drop the input lon/lat between the stages: the inverse chain adds
+    # its own lon/lat output columns
+    fwd = utm_forward_ctes(base) + \
+        " SELECT lon0_in, lat0_in, easting, northing, zone, south " \
+        "FROM _utm_out"
+    sql = utm_inverse_ctes(fwd) + \
+        " SELECT lon0_in, lat0_in, easting, northing, zone, south, " \
+        "lon, lat FROM _utmi_out ORDER BY lon0_in"
+    for r in spark.sql(sql).collect():
+        # round-trip limited by series truncation (~5e-9 deg ~ 0.5 mm)
+        assert abs(r["lon"] - r["lon0_in"]) < 1e-7
+        assert abs(r["lat"] - r["lat0_in"]) < 1e-7
+        k = utm_inverse(np.array([[r["easting"], r["northing"]]]),
+                        r["zone"], r["south"])
+        assert abs(k[0, 0] - r["lon"]) < 1e-9
+        assert abs(k[0, 1] - r["lat"]) < 1e-9
+
+
 @given(st.integers(1, 60), st.integers(1, 60), st.integers(1, 256),
        st.integers(0, 2**31 - 1))
 @settings(max_examples=60, deadline=None)
