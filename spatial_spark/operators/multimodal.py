@@ -162,10 +162,13 @@ def frame_sample_stub(df: DataFrame, every_n: int = 2,
     temporal path too (r8): every ``every_n``-th animation frame is
     composited per the disposal chain (decode_gif(frame=f)) and
     re-encoded as a standalone single-frame GIF — actual
-    bytes→frames→bytes video-shaped sampling, not a stub.  FAKE
-    payloads keep the r4 header-chunk semantics (frames = pixel rows).
-    Compressed video (MP4 …) would slot in at the same seam as the
-    other codecs."""
+    bytes→frames→bytes video-shaped sampling, not a stub.  Motion-JPEG
+    MP4 containers take a REAL path too (r9): every ``every_n``-th
+    video sample slices out of mdat via the sample table, decodes
+    through the numpy JPEG decoder, and re-encodes as a standalone
+    JPEG payload; inter-frame-codec containers (avc1/hevc) are skipped
+    — that bitstream stays the documented ffmpeg seam.  FAKE
+    payloads keep the r4 header-chunk semantics (frames = pixel rows)."""
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField("frame_no", T.IntegerType())])
 
@@ -198,6 +201,19 @@ def frame_sample_stub(df: DataFrame, every_n: int = 2,
                         r["frame_no"] = f
                         rows.append(r)
                     continue
+                if fmt == "mp4":
+                    from .codecs import decode_mp4_frames, encode_jpeg
+                    try:
+                        frames = decode_mp4_frames(bytes(buf),
+                                                   every_n=every_n)
+                    except (NotImplementedError, ValueError):
+                        continue   # inter-frame codec: the ffmpeg seam
+                    for f, img in frames:
+                        r = row.to_dict()
+                        r["payload"] = encode_jpeg(img, quality=90)
+                        r["frame_no"] = f
+                        rows.append(r)
+                    continue
                 _, w, h, _ = struct.unpack_from("<4sIII", bytes(buf), 0)
                 n_frames = max(int(h), 1)
                 for f in range(0, n_frames, every_n):
@@ -210,7 +226,8 @@ def frame_sample_stub(df: DataFrame, every_n: int = 2,
     return df.mapInPandas(run, out_schema)
 
 
-# real for WAV windows and animated-GIF frames; stub only for fake/MP4
+# real for WAV windows, animated-GIF frames and Motion-JPEG MP4 samples;
+# stub only for fake payloads (and inter-frame video codecs are skipped)
 frame_sample = frame_sample_stub
 
 

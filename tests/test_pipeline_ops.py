@@ -567,6 +567,20 @@ def test_mp4_mjpeg_frames_route(spark):
     rows = mp4_frames(df).orderBy("frame_no").collect()
     assert [r["media_id"] for r in rows] == [1] * 5
     assert all(r["decoded_w"] == 24 and r["decoded_h"] == 16 for r in rows)
+    # frame_sample routes MJPEG MP4s through the same real path,
+    # emitting standalone JPEG payloads per kept frame (avc1 skipped;
+    # the png row keeps its fake-chunk fallback and is irrelevant here)
+    from spatial_spark.operators.multimodal import frame_sample
+    fs = (frame_sample(df.filter("media_id <= 2"), every_n=2)
+          .orderBy("frame_no").collect())
+    assert [(r["media_id"], r["frame_no"]) for r in fs] == \
+        [(1, 0), (1, 2), (1, 4)]
+    for r, ref in zip(fs, direct[::2]):
+        assert C.sniff_format(bytes(r["payload"])) == "jpeg"
+        got = C.decode_jpeg(bytes(r["payload"]))
+        # re-encode at the same quality: uniform halves survive exactly
+        assert got.shape == ref.shape
+        assert int(np.abs(got.astype(int) - ref.astype(int)).max()) <= 1
 
 
 def test_audio_features_spectral(spark):
