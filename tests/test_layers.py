@@ -1114,6 +1114,40 @@ def test_manifest_s3_lock_break_and_concurrent_writers():
     assert not [k for k in s3.objects if "LOCK" in k], "locks cleaned"
 
 
+def test_manifest_s3_lock_acquire_orphan_and_sidecar_bound():
+    """Two S3-specific edges: (a) a crash between the lock-acquire PUT
+    and the temp delete leaves an orphan temp object that must not
+    block the NEXT acquisition; (b) heartbeat sidecars are bounded —
+    the beat writes seq N+1 then drops seq N, so at most two exist at
+    any instant and release removes them all."""
+    import time as _time
+
+    from spatial_spark.manifest import Manifest, S3ManifestIO
+    s3 = _FakeS3Client()
+    man = Manifest("bucket/store", io=S3ManifestIO(s3))
+    # (a) acquisition PUT lands, temp delete dies (rename is
+    # put-if-absent + delete on S3) — the lock IS held; release it,
+    # then a fresh acquisition must succeed despite the orphan temp
+    s3.fail_next["delete"] = 0
+    try:
+        with man.lock(timeout=2.0):
+            pass
+    except OSError:
+        pass                      # the injected crash surfaced mid-flow
+    del s3.fail_next["delete"]
+    s3.delete(man._lock_path)     # simulate operator cleanup of a dead lock
+    with man.lock(timeout=5.0) as lk:
+        assert man.owns_lock(lk)
+        man.commit(["part-a"], lock_token=lk.token)
+    assert man.current() == (0, ["part-a"])
+    # (b) sidecar count stays bounded across many beats
+    with man.lock(stale=0.8):     # beat every 0.2s
+        _time.sleep(1.5)
+        sidecars = [k for k in s3.objects if "LOCK.hb." in k]
+        assert 1 <= len(sidecars) <= 2, sidecars
+    assert not [k for k in s3.objects if "LOCK" in k], "all lock state gone"
+
+
 def test_manifest_meta_carries_forward(tmp_path):
     """ADVICE r8 (medium): a meta-less commit from another writer must
     NOT erase streaming replay markers riding the manifest meta — meta
