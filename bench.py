@@ -95,7 +95,7 @@ BUDGET_SF01 = {
     "scrub_spans": 4.3, "funnel": 0.5, "retention": 0.5,
     "azimuth_project": 0.2, "funnel_timings": 0.5, "bpe_apply": 1.1,
     "pipeline_e2e": 10.7, "bloom_dedup": 0.8, "cms_hitters": 2.4,
-    "hll_registers": 1.1, "cql2": 1.6, "st_transform_merc": 1.7,
+    "hll_registers": 1.1, "cql2": 1.6, "st_transform_merc": 1.0,
     "dedup_against_inc": 1.6,
     # 19 bench newcomers (r9): 2.2x this round's local best-of-two.
     # filter_equal / isvalid_isempty are capped 4000-row semantics
@@ -105,7 +105,7 @@ BUDGET_SF01 = {
     "mp4_meta": 1.1, "knn_cosine_q8": 1.2, "datastore_gjl": 1.7,
     "filter_equal": 4.2, "covered_env": 0.3, "intersect_all": 1.3,
     "isvalid_isempty": 15.2, "equal_env": 0.5, "results_layer": 8.6,
-    "datastore_write": 3.7, "st_transform_utm": 4.9, "media_mjpeg": 2.4,
+    "datastore_write": 3.7, "st_transform_utm": 1.5, "media_mjpeg": 2.4,
     "density_greedy": 4.2,
 }
 
