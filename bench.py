@@ -104,7 +104,7 @@ BUDGET_SF01 = {
     "osm_source": 2.8, "render_sink": 12.3, "audio_features": 1.3,
     "mp4_meta": 1.1, "knn_cosine_q8": 1.2, "datastore_gjl": 1.7,
     "filter_equal": 4.2, "covered_env": 0.3, "intersect_all": 1.3,
-    "isvalid_isempty": 15.2, "equal_env": 0.5, "results_layer": 8.6,
+    "isvalid_isempty": 3.4, "equal_env": 0.5, "results_layer": 8.6,
     "datastore_write": 3.7, "st_transform_utm": 1.5, "media_mjpeg": 2.4,
     "density_greedy": 4.2,
 }

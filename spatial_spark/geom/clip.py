@@ -717,10 +717,58 @@ def union(g1: Geometry, g2: Geometry) -> Geometry:
     return Geometry.multi(g1.parts() + g2.parts())
 
 
+def _as_rect(g: Geometry):
+    """(xmin, ymin, xmax, ymax) when ``g`` is a single-ring axis-aligned
+    rectangle polygon (closed 5-point ring whose vertex set is exactly
+    the four envelope corners), else None.  A few-microsecond check
+    that unlocks the rect∩rect fast path below — the dominant shape of
+    window/tile/envelope workloads, where the general snap-rounded
+    overlay costs ~1 ms per pair."""
+    if g.gtype != GTYPE_POLYGON or len(g.data) != 1:
+        return None
+    r = np.asarray(g.data[0], dtype=np.float64)
+    if r.shape[0] != 5 or not np.array_equal(r[0], r[4]):
+        return None
+    xs, ys = r[:4, 0], r[:4, 1]
+    x0, x1 = xs.min(), xs.max()
+    y0, y1 = ys.min(), ys.max()
+    if x0 == x1 or y0 == y1:
+        return None
+    if {(x, y) for x, y in r[:4]} != {(x0, y0), (x1, y0),
+                                      (x1, y1), (x0, y1)}:
+        return None
+    return float(x0), float(y0), float(x1), float(y1)
+
+
 def intersection(g1: Geometry, g2: Geometry) -> Geometry:
     if not envelopes_intersect(g1.envelope(), g2.envelope()):
         return Geometry(GTYPE_POLYGON, [])
     if _is_poly(g1) and _is_poly(g2):
+        # rect∩rect with PROPER area overlap: the closed form — a CCW
+        # ring of the EXACT max/min corners (no snap).  The general
+        # overlay's answer for the same pair differs only by its
+        # sub-resolution snap/merge noise (parametric corner arithmetic
+        # rounds within ~_SNAP); the closed form is the mathematically
+        # exact intersection and bit-identical to the closed-form SQL
+        # arithmetic the cross-engine oracles use (greatest/least
+        # products on the raw doubles).  Fuzz-pinned against the
+        # overlay at kernel resolution.  Declines — keeping the
+        # kernel's exact degenerate semantics — for edge/corner
+        # contacts and sub-resolution slivers (overlap margin below
+        # 4*_SNAP) and for extreme scales (the unit-frame transform
+        # owns those).
+        ra, rb = _as_rect(g1), _as_rect(g2)
+        if ra is not None and rb is not None \
+                and max(abs(v) for v in ra + rb) <= 1e6 \
+                and min(ra[2] - ra[0], ra[3] - ra[1],
+                        rb[2] - rb[0], rb[3] - rb[1]) >= 1e-2:
+            x0, y0 = max(ra[0], rb[0]), max(ra[1], rb[1])
+            x1, y1 = min(ra[2], rb[2]), min(ra[3], rb[3])
+            if x1 - x0 > 4.0 * _SNAP and y1 - y0 > 4.0 * _SNAP:
+                ring = np.array(
+                    [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]],
+                    dtype=np.float64)
+                return Geometry(GTYPE_POLYGON, [ring])
         return _overlay(g1, g2, "intersection")
     if _is_poly(g2) and g1.gtype in (GTYPE_LINESTRING, GTYPE_MULTILINESTRING):
         return clip_line(g1, g2)

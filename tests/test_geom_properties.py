@@ -412,6 +412,66 @@ def test_utm_sql_text_matches_kernel(spark):
         assert abs(r["northing"] - kn) < 0.002
 
 
+@given(st.integers(0, 2**31 - 1))
+@settings(max_examples=150, deadline=None)
+def test_rect_intersection_fast_path_matches_overlay(seed):
+    """The rect∩rect closed-form fast path (r9) returns the EXACT
+    max/min-corner box and must agree with the general overlay at
+    kernel resolution (the overlay's parametric corner arithmetic and
+    snap differ from exact by < _SNAP); empties must agree exactly
+    (touch/degenerate contacts fall through to the overlay).  Random
+    float AND quantized rect pairs with rotated/reversed rings."""
+    import random as _random
+
+    import numpy as np
+    from spatial_spark.geom import from_wkt, to_wkt
+    from spatial_spark.geom import clip as cl
+    from spatial_spark.geom.algorithms import area
+    rng = _random.Random(seed)
+
+    def box(x0, y0, x1, y1, start, ccw):
+        pts = [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+        if not ccw:
+            pts = pts[::-1]
+        pts = pts[start:] + pts[:start]
+        pts.append(pts[0])
+        return from_wkt("POLYGON ((" + ", ".join(
+            f"{x} {y}" for x, y in pts) + "))")
+
+    if rng.random() < 0.4:       # raw floats (off-grid)
+        ax0, ay0 = rng.uniform(-40, 40), rng.uniform(-40, 40)
+        bx0, by0 = rng.uniform(-40, 40), rng.uniform(-40, 40)
+        A = box(ax0, ay0, ax0 + rng.uniform(0.1, 60),
+                ay0 + rng.uniform(0.1, 60), rng.randrange(4),
+                rng.random() < 0.5)
+        B = box(bx0, by0, bx0 + rng.uniform(0.1, 60),
+                by0 + rng.uniform(0.1, 60), rng.randrange(4),
+                rng.random() < 0.5)
+    else:                        # quantized with float-sum artifacts
+        q = rng.choice([1, 10, 1000])
+        ax0, ay0 = rng.randint(-400, 400) / q, rng.randint(-400, 400) / q
+        bx0, by0 = rng.randint(-400, 400) / q, rng.randint(-400, 400) / q
+        A = box(ax0, ay0, ax0 + rng.randint(1, 500) / q,
+                ay0 + rng.randint(1, 500) / q, rng.randrange(4),
+                rng.random() < 0.5)
+        B = box(bx0, by0, bx0 + rng.randint(1, 500) / q,
+                by0 + rng.randint(1, 500) / q, rng.randrange(4),
+                rng.random() < 0.5)
+    fast = cl.intersection(A, B)
+    gen = cl._overlay(A, B, "intersection")
+    assert fast.is_empty() == gen.is_empty(), (to_wkt(fast), to_wkt(gen))
+    if not fast.is_empty():
+        assert fast.gtype == 3 and gen.gtype == 3
+
+        def corners(g):
+            r = np.asarray(g.data[0])[:4]
+            return r[np.lexsort((r[:, 1], r[:, 0]))]
+
+        assert np.abs(corners(fast) - corners(gen)).max() <= 2.5e-9, \
+            (to_wkt(fast), to_wkt(gen))
+        assert abs(area(fast) - area(gen)) <= 1e-6
+
+
 def test_utm_inverse_sql_roundtrip(spark):
     """utm_inverse_ctes is the exact SQL twin of the numpy inverse
     kernel, and forward→inverse in PURE SQL round-trips to the input
