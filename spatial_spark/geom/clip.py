@@ -712,6 +712,35 @@ def union(g1: Geometry, g2: Geometry) -> Geometry:
     if _is_poly(g1) and _is_poly(g2):
         if not envelopes_intersect(g1.envelope(), g2.envelope()):
             return Geometry.multi(g1.parts() + g2.parts())
+        # rect∪rect closed forms (same exact-answer contract as the
+        # intersection/difference fast paths): containment → the
+        # container; exactly-equal ranges on one axis with proper
+        # overlap (or exact touch) on the other → the merged rect.
+        # Every other shape (staircase, cross, sub-resolution gaps)
+        # declines to the overlay.
+        ra, rb = _as_rect(g1), _as_rect(g2)
+        if ra is not None and rb is not None \
+                and max(abs(v) for v in ra + rb) <= 1e6 \
+                and min(ra[2] - ra[0], ra[3] - ra[1],
+                        rb[2] - rb[0], rb[3] - rb[1]) >= 1e-2:
+            if rb[0] >= ra[0] and rb[1] >= ra[1] \
+                    and rb[2] <= ra[2] and rb[3] <= ra[3]:
+                return Geometry(GTYPE_POLYGON,
+                                [_ring_box(*ra)])
+            if ra[0] >= rb[0] and ra[1] >= rb[1] \
+                    and ra[2] <= rb[2] and ra[3] <= rb[3]:
+                return Geometry(GTYPE_POLYGON,
+                                [_ring_box(*rb)])
+            ov_y = min(ra[3], rb[3]) - max(ra[1], rb[1])
+            ov_x = min(ra[2], rb[2]) - max(ra[0], rb[0])
+            if ra[0] == rb[0] and ra[2] == rb[2] \
+                    and (ov_y == 0.0 or ov_y > 4.0 * _SNAP):
+                return Geometry(GTYPE_POLYGON, [_ring_box(
+                    ra[0], min(ra[1], rb[1]), ra[2], max(ra[3], rb[3]))])
+            if ra[1] == rb[1] and ra[3] == rb[3] \
+                    and (ov_x == 0.0 or ov_x > 4.0 * _SNAP):
+                return Geometry(GTYPE_POLYGON, [_ring_box(
+                    min(ra[0], rb[0]), ra[1], max(ra[2], rb[2]), ra[3])])
         return _overlay(g1, g2, "union")
     # mixed/lower dims: collect parts (JTS would node lines; we keep collection)
     return Geometry.multi(g1.parts() + g2.parts())
@@ -817,7 +846,113 @@ def difference(g1: Geometry, g2: Geometry) -> Geometry:
         b_lines = [p.data for p in g2.parts() if p.gtype == GTYPE_LINESTRING]
         return _select_line_parts(g1, b_lines,
                                   lambda c: c == 0, lines_b=b_lines)
+    fast = _rect_difference(g1, g2)
+    if fast is not None:
+        return fast
     return _overlay(g1, g2, "difference")
+
+
+def _ring_box(x0, y0, x1, y1, ccw: bool = True) -> np.ndarray:
+    pts = [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
+    if not ccw:
+        pts = pts[::-1]
+    return np.array(pts, dtype=np.float64)
+
+
+def _rect_difference(g1: Geometry, g2: Geometry):
+    """Closed-form A∖B for axis-aligned rectangle pairs (same contract
+    as the rect∩rect fast path: the EXACT answer, within kernel
+    resolution of the overlay; fuzz-pinned).  The overlap box contacts
+    A's boundary on 0-4 sides, classified by EXACT coordinate equality:
+    4 sides → EMPTY, 3 → the remaining strip, 2 opposite → two strips
+    (multipolygon), 2 adjacent → L-hexagon, 1 → U-octagon, 0 → A with
+    the overlap as a hole.  Declines (→ overlay) when any non-zero
+    boundary gap or the overlap itself is inside the kernel's
+    resolution band, or at extreme scales."""
+    ra, rb = _as_rect(g1), _as_rect(g2)
+    if ra is None or rb is None:
+        return None
+    if max(abs(v) for v in ra + rb) > 1e6 \
+            or min(ra[2] - ra[0], ra[3] - ra[1],
+                   rb[2] - rb[0], rb[3] - rb[1]) < 1e-2:
+        return None
+    ax0, ay0, ax1, ay1 = ra
+    ix0, iy0 = max(ax0, rb[0]), max(ay0, rb[1])
+    ix1, iy1 = min(ax1, rb[2]), min(ay1, rb[3])
+    if ix1 - ix0 <= 4.0 * _SNAP or iy1 - iy0 <= 4.0 * _SNAP:
+        return None   # touch/disjoint/sliver: the overlay owns degenerate
+    gaps = (ix0 - ax0, ax1 - ix1, iy0 - ay0, ay1 - iy1)  # L R B T
+    for gp in gaps:
+        if 0.0 < gp <= 4.0 * _SNAP:
+            return None
+    cl_, cr, cb, ct = (gp == 0.0 for gp in gaps)
+    n_contact = sum((cl_, cr, cb, ct))
+    if n_contact == 4:
+        return Geometry(GTYPE_POLYGON, [])
+    if n_contact == 3:
+        if not cl_:
+            return Geometry(GTYPE_POLYGON, [_ring_box(ax0, ay0, ix0, ay1)])
+        if not cr:
+            return Geometry(GTYPE_POLYGON, [_ring_box(ix1, ay0, ax1, ay1)])
+        if not cb:
+            return Geometry(GTYPE_POLYGON, [_ring_box(ax0, ay0, ax1, iy0)])
+        return Geometry(GTYPE_POLYGON, [_ring_box(ax0, iy1, ax1, ay1)])
+    if n_contact == 2 and cl_ and cr:      # horizontal band: two strips
+        parts = []
+        if not cb:
+            parts.append(Geometry(GTYPE_POLYGON,
+                                  [_ring_box(ax0, ay0, ax1, iy0)]))
+        if not ct:
+            parts.append(Geometry(GTYPE_POLYGON,
+                                  [_ring_box(ax0, iy1, ax1, ay1)]))
+        return Geometry(GTYPE_MULTIPOLYGON, parts)
+    if n_contact == 2 and cb and ct:       # vertical band
+        parts = []
+        if not cl_:
+            parts.append(Geometry(GTYPE_POLYGON,
+                                  [_ring_box(ax0, ay0, ix0, ay1)]))
+        if not cr:
+            parts.append(Geometry(GTYPE_POLYGON,
+                                  [_ring_box(ix1, ay0, ax1, ay1)]))
+        return Geometry(GTYPE_MULTIPOLYGON, parts)
+    if n_contact == 2:                     # corner bite: CCW L-hexagon
+        if cr and ct:
+            ring = [[ax0, ay0], [ax1, ay0], [ax1, iy0], [ix0, iy0],
+                    [ix0, ay1], [ax0, ay1], [ax0, ay0]]
+        elif cl_ and ct:
+            ring = [[ax0, ay0], [ax1, ay0], [ax1, ay1], [ix1, ay1],
+                    [ix1, iy0], [ax0, iy0], [ax0, ay0]]
+        elif cl_ and cb:
+            ring = [[ix1, ay0], [ax1, ay0], [ax1, ay1], [ax0, ay1],
+                    [ax0, iy1], [ix1, iy1], [ix1, ay0]]
+        else:                              # cr and cb
+            ring = [[ax0, ay0], [ix0, ay0], [ix0, iy1], [ax1, iy1],
+                    [ax1, ay1], [ax0, ay1], [ax0, ay0]]
+        return Geometry(GTYPE_POLYGON,
+                        [np.array(ring, dtype=np.float64)])
+    if n_contact == 1:                     # edge bite: CCW U-octagon
+        if ct:
+            ring = [[ax0, ay0], [ax1, ay0], [ax1, ay1], [ix1, ay1],
+                    [ix1, iy0], [ix0, iy0], [ix0, ay1], [ax0, ay1],
+                    [ax0, ay0]]
+        elif cb:
+            ring = [[ax0, ay0], [ix0, ay0], [ix0, iy1], [ix1, iy1],
+                    [ix1, ay0], [ax1, ay0], [ax1, ay1], [ax0, ay1],
+                    [ax0, ay0]]
+        elif cl_:
+            ring = [[ax0, ay0], [ax1, ay0], [ax1, ay1], [ax0, ay1],
+                    [ax0, iy1], [ix1, iy1], [ix1, iy0], [ax0, iy0],
+                    [ax0, ay0]]
+        else:                              # cr
+            ring = [[ax0, ay0], [ax1, ay0], [ax1, iy0], [ix0, iy0],
+                    [ix0, iy1], [ax1, iy1], [ax1, ay1], [ax0, ay1],
+                    [ax0, ay0]]
+        return Geometry(GTYPE_POLYGON,
+                        [np.array(ring, dtype=np.float64)])
+    # no contact: A with the overlap as a CW hole
+    return Geometry(GTYPE_POLYGON,
+                    [_ring_box(ax0, ay0, ax1, ay1, ccw=True),
+                     _ring_box(ix0, iy0, ix1, iy1, ccw=False)])
 
 
 def sym_difference(g1: Geometry, g2: Geometry) -> Geometry:
