@@ -712,35 +712,24 @@ def union(g1: Geometry, g2: Geometry) -> Geometry:
     if _is_poly(g1) and _is_poly(g2):
         if not envelopes_intersect(g1.envelope(), g2.envelope()):
             return Geometry.multi(g1.parts() + g2.parts())
-        # rect∪rect closed forms (same exact-answer contract as the
-        # intersection/difference fast paths): containment → the
-        # container; exactly-equal ranges on one axis with proper
-        # overlap (or exact touch) on the other → the merged rect.
-        # Every other shape (staircase, cross, sub-resolution gaps)
-        # declines to the overlay.
+        # rect∪rect closed form (same exact-answer contract as the
+        # intersection/difference fast paths): a coordinate-compressed
+        # 3×3 cell grid + outer-boundary walk produces the exact
+        # rectilinear outline for EVERY overlapping-rect shape —
+        # containment, axis merge, staircase, T, plus/cross.  Declines
+        # (→ overlay) for sub-resolution coordinate gaps, non-proper
+        # contact, and extreme scales.
         ra, rb = _as_rect(g1), _as_rect(g2)
         if ra is not None and rb is not None \
                 and max(abs(v) for v in ra + rb) <= 1e6 \
                 and min(ra[2] - ra[0], ra[3] - ra[1],
-                        rb[2] - rb[0], rb[3] - rb[1]) >= 1e-2:
-            if rb[0] >= ra[0] and rb[1] >= ra[1] \
-                    and rb[2] <= ra[2] and rb[3] <= ra[3]:
-                return Geometry(GTYPE_POLYGON,
-                                [_ring_box(*ra)])
-            if ra[0] >= rb[0] and ra[1] >= rb[1] \
-                    and ra[2] <= rb[2] and ra[3] <= rb[3]:
-                return Geometry(GTYPE_POLYGON,
-                                [_ring_box(*rb)])
-            ov_y = min(ra[3], rb[3]) - max(ra[1], rb[1])
-            ov_x = min(ra[2], rb[2]) - max(ra[0], rb[0])
-            if ra[0] == rb[0] and ra[2] == rb[2] \
-                    and (ov_y == 0.0 or ov_y > 4.0 * _SNAP):
-                return Geometry(GTYPE_POLYGON, [_ring_box(
-                    ra[0], min(ra[1], rb[1]), ra[2], max(ra[3], rb[3]))])
-            if ra[1] == rb[1] and ra[3] == rb[3] \
-                    and (ov_x == 0.0 or ov_x > 4.0 * _SNAP):
-                return Geometry(GTYPE_POLYGON, [_ring_box(
-                    min(ra[0], rb[0]), ra[1], max(ra[2], rb[2]), ra[3])])
+                        rb[2] - rb[0], rb[3] - rb[1]) >= 1e-2 \
+                and min(ra[2], rb[2]) - max(ra[0], rb[0]) > 4.0 * _SNAP \
+                and min(ra[3], rb[3]) - max(ra[1], rb[1]) > 4.0 * _SNAP \
+                and _axis_gaps_resolvable(ra, rb):
+            ring = _rect_union_outline(ra, rb)
+            if ring is not None:
+                return Geometry(GTYPE_POLYGON, [ring])
         return _overlay(g1, g2, "union")
     # mixed/lower dims: collect parts (JTS would node lines; we keep collection)
     return Geometry.multi(g1.parts() + g2.parts())
@@ -852,6 +841,80 @@ def difference(g1: Geometry, g2: Geometry) -> Geometry:
     return _overlay(g1, g2, "difference")
 
 
+def _axis_gaps_resolvable(ra, rb) -> bool:
+    """Distinct coordinate values per axis must differ by more than the
+    kernel's merge band (equal values are fine) — below that the
+    overlay's node unification owns the semantics."""
+    for i, j in ((0, 2), (1, 3)):
+        vals = sorted({ra[i], ra[j], rb[i], rb[j]})
+        for a, b in zip(vals, vals[1:]):
+            if b - a <= 4.0 * _SNAP:
+                return False
+    return True
+
+
+def _rect_union_outline(ra, rb):
+    """Exact CCW outline of the union of two PROPERLY overlapping
+    axis-aligned rects via coordinate compression: mark which of the
+    ≤3×3 grid cells are covered, walk the outer boundary keeping the
+    covered region on the left, and collapse collinear vertices.
+    Returns the closed (n,2) ring, or None if the walk fails (cannot
+    happen for proper overlaps — defensive)."""
+    xs = sorted({ra[0], ra[2], rb[0], rb[2]})
+    ys = sorted({ra[1], ra[3], rb[1], rb[3]})
+    nx, ny = len(xs) - 1, len(ys) - 1
+
+    def covered(i, j):
+        cx = (xs[i] + xs[i + 1]) / 2.0
+        cy = (ys[j] + ys[j + 1]) / 2.0
+        return (ra[0] < cx < ra[2] and ra[1] < cy < ra[3]) or \
+               (rb[0] < cx < rb[2] and rb[1] < cy < rb[3])
+
+    cov = [[covered(i, j) for j in range(ny)] for i in range(nx)]
+
+    def cell(i, j):
+        return cov[i][j] if 0 <= i < nx and 0 <= j < ny else False
+
+    # directed boundary edges in grid-index space, covered side on the
+    # LEFT of travel direction → outer ring comes out CCW
+    nxt = {}
+    for i in range(nx):
+        for j in range(ny + 1):      # horizontal edges (i,j)->(i+1,j)
+            below, above = cell(i, j - 1), cell(i, j)
+            if above and not below:
+                nxt[(i, j)] = (i + 1, j)       # rightward, region above
+            elif below and not above:
+                nxt[(i + 1, j)] = (i, j)       # leftward, region below
+    for i in range(nx + 1):
+        for j in range(ny):          # vertical edges (i,j)->(i,j+1)
+            left, right = cell(i - 1, j), cell(i, j)
+            if left and not right:
+                nxt[(i, j + 1)] = (i, j)       # downward, region left
+            elif right and not left:
+                nxt[(i, j)] = (i, j + 1)       # upward, region right
+    if not nxt:
+        return None
+    start = min(nxt)
+    path = [start]
+    cur = nxt.pop(start, None)
+    while cur is not None and cur != start:
+        path.append(cur)
+        cur = nxt.pop(cur, None)
+    if cur != start or nxt:
+        return None   # disconnected/pinched: not a proper overlap
+    pts = [(xs[i], ys[j]) for i, j in path]
+    # collapse collinear (grid lines insert interior vertices)
+    out = []
+    m = len(pts)
+    for k in range(m):
+        p0, p1, p2 = pts[k - 1], pts[k], pts[(k + 1) % m]
+        if (p0[0] == p1[0] == p2[0]) or (p0[1] == p1[1] == p2[1]):
+            continue
+        out.append(p1)
+    out.append(out[0])
+    return np.array(out, dtype=np.float64)
+
+
 def _ring_box(x0, y0, x1, y1, ccw: bool = True) -> np.ndarray:
     pts = [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
     if not ccw:
@@ -958,6 +1021,19 @@ def _rect_difference(g1: Geometry, g2: Geometry):
 def sym_difference(g1: Geometry, g2: Geometry) -> Geometry:
     """(A \\ B) ∪ (B \\ A), any dimension pair (SymDifference.java:30-51);
     mixed-dimension results collect parts, as JTS's GeometryCollection."""
+    if _is_poly(g1) and _is_poly(g2):
+        # rect pairs: A∖B and B∖A are closed forms (above) whose
+        # interiors are ALWAYS disjoint — their boundaries can only
+        # meet where ∂A crosses ∂B, finitely many points — so the
+        # final union is a part collection, no overlay at all
+        fa = _rect_difference(g1, g2)
+        fb = _rect_difference(g2, g1) if fa is not None else None
+        if fa is not None and fb is not None:
+            if fa.is_empty():
+                return fb
+            if fb.is_empty():
+                return fa
+            return Geometry.multi(fa.parts() + fb.parts())
     d1 = difference(g1, g2)
     d2 = difference(g2, g1)
     if d1.is_empty():
