@@ -464,6 +464,41 @@ def _q_st_transform_utm(spark, sf_dir) -> DataFrame:
         F.expr("CAST(round(st_y(u) * 100) AS BIGINT)").alias("n_cm"))
 
 
+def _q_st_transform_lcc(spark, sf_dir) -> DataFrame:
+    """Lambert Conformal Conic gate (r9 conic CRS tier): customer
+    points 4326 → EPSG:2154 (Lambert-93) through the st_transform UDF
+    (Snyder 15-1..15-11 / EPSG method 9802, functions/crs.py) — cm
+    integers hash-compared against the dual-engine closed-form SQL
+    (lcc_forward_ctes) in DuckDB.  Every longitude participates (the
+    kernel and the SQL share the same modular antimeridian wrap);
+    latitudes clear of the far pole where rho diverges."""
+    pts = (_customer_points(spark)
+           .filter("lat >= -80.0 AND lat <= 89.0")
+           .withColumn("l", F.expr(
+               "st_transform(st_point(lon, lat), 'EPSG:4326', "
+               "'EPSG:2154')")))
+    return pts.select(
+        "c_custkey",
+        F.expr("CAST(round(st_x(l) * 100) AS BIGINT)").alias("e_cm"),
+        F.expr("CAST(round(st_y(l) * 100) AS BIGINT)").alias("n_cm"))
+
+
+def _lcc_oracle_sql() -> str:
+    """The SAME LCC forward map as closed-form SQL (crs.lcc_forward_ctes
+    — bit-identical between Spark SQL and DuckDB, pinned in
+    test_lcc_sql_text_matches_kernel); kernel-vs-SQL drift is libm-ulp,
+    absorbed by the cm rounding."""
+    from spatial_spark.functions.crs import lcc_forward_ctes
+    base = f"""SELECT c_custkey, {CUST_LON} AS lon, {CUST_LAT} AS lat
+               FROM customer
+               WHERE {CUST_LAT} >= -80.0 AND {CUST_LAT} <= 89.0"""
+    return lcc_forward_ctes(base) + """
+        SELECT c_custkey,
+               CAST(round(easting * 100) AS BIGINT) AS e_cm,
+               CAST(round(northing * 100) AS BIGINT) AS n_cm
+        FROM _lcc_out"""
+
+
 def _utm_oracle_sql() -> str:
     """The SAME Krüger forward series as SQL text (crs.utm_forward_ctes
     — bit-identical between Spark SQL and DuckDB, pinned in tests); the
@@ -2033,6 +2068,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datastore_gjl": _q_datastore_gjl,
         "filter_equal": _q_filter_equal,
         "covered_env": _q_covered_env,
+        # --- NEW r9 late additions (no driver rows yet): these lead the
+        # r10 window ahead of the 13 age-2 holders above
+        "st_transform_lcc": _q_st_transform_lcc,
     }.items()}
 
 
@@ -3041,6 +3079,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY c_custkey
         """,
         "st_transform_utm": _utm_oracle_sql(),
+        "st_transform_lcc": _lcc_oracle_sql(),
         "density_greedy": """
             SELECT c_custkey,
                    min(c_custkey) OVER (PARTITION BY c_custkey % 24)

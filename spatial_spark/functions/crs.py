@@ -5,7 +5,12 @@ The reference delegates CRS work to GeoTools adapters
 engine scopes CRS to WGS84 + cartesian + the web-mercator frame its
 tile math already uses (operators/tiles.py holds the slippy-map
 FORWARD half).  This module closes the practical gap (VERDICT r7 ask
-#7, extended by the r8 ask #6 UTM tier): spherical-mercator meters ↔
+#7, extended by the r8 ask #6 UTM tier, and in r9 by the conic /
+azimuthal conformal tier — Lambert Conformal Conic 2SP (EPSG:2154
+Lambert-93, EPSG:3034 LCC-Europe, generic ``lcc:…`` frames) and polar
+stereographic in both EPSG variants (B: 3031/3413/3995 standard
+parallel; A: 5041/5042 UPS, central scale k0) — every projected frame
+composing with every other through wgs84): spherical-mercator meters ↔
 lon/lat degrees and WGS84 ↔ UTM (EPSG:326xx/327xx), both directions, as
 
   * dual-engine SQL TEXT (``merc_forward_sql`` / ``merc_inverse_sql`` /
@@ -56,7 +61,10 @@ from ..geom import Geometry, GTYPE_POINT, GTYPE_LINESTRING, GTYPE_POLYGON, \
 __all__ = ["MERC_R", "merc_forward_sql", "merc_inverse_sql",
            "transform_points", "st_transform",
            "UTM_K0", "UTM_A", "UTM_ALPHA", "utm_forward", "utm_inverse",
-           "utm_forward_ctes", "utm_inverse_ctes"]
+           "utm_forward_ctes", "utm_inverse_ctes",
+           "lcc_constants", "lcc_forward", "lcc_inverse",
+           "ps_forward", "ps_inverse", "psa_forward", "psa_inverse",
+           "lcc_forward_ctes"]
 
 MERC_R = 6378137.0   # WGS84 semi-major axis, the EPSG:3857 sphere radius
 
@@ -93,9 +101,33 @@ _UTM_C = 2.0 * math.sqrt(_N) / (1.0 + _N)   # coefficient in the conformal map
 
 _UTM_RE = re.compile(r"^(?:epsg:)?(326|327)(\d{2})$")
 
+# Named conic/azimuthal conformal frames (EPSG parameters; WGS84-family
+# ellipsoids — GRS80's flattening differs from WGS84's at 1e-10, far
+# below the series truncation, so ETRS89/RGF93 frames share the kernel):
+#   2154  RGF93 / Lambert-93 (France)        LCC 2SP
+#   3034  ETRS89 / LCC Europe               LCC 2SP
+#   3031  Antarctic Polar Stereographic     PS variant B (lat_ts=-71)
+#   3413  NSIDC Sea Ice Polar Stereo North  PS variant B (lat_ts=70)
+#   3995  Arctic Polar Stereographic        PS variant B (lat_ts=71)
+#   5041  UPS North                         PS variant A (k0=0.994)
+#   5042  UPS South                         PS variant A (k0=0.994)
+_EPSG_CONIC = {
+    "2154": "lcc:49.0:44.0:46.5:3.0:700000.0:6600000.0",
+    "3034": "lcc:35.0:65.0:52.0:10.0:4000000.0:2800000.0",
+    "3031": "psb:-71.0:0.0:0.0:0.0",
+    "3413": "psb:70.0:-45.0:0.0:0.0",
+    "3995": "psb:71.0:0.0:0.0:0.0",
+    "5041": "psa:0.994:0.0:2000000.0:2000000.0:n",
+    "5042": "psa:0.994:0.0:2000000.0:2000000.0:s",
+}
+
 
 def _frame(crs) -> str:
-    """Canonical frame token: 'wgs84' | 'merc' | 'cart' | 'utm:<zone>:<n|s>'."""
+    """Canonical frame token: 'wgs84' | 'merc' | 'cart' |
+    'utm:<zone>:<n|s>' | 'lcc:<lat1>:<lat2>:<lat0>:<lon0>:<fe>:<fn>' |
+    'psb:<lat_ts>:<lon0>:<fe>:<fn>' | 'psa:<k0>:<lon0>:<fe>:<fn>:<n|s>'.
+    Generic lcc:/psb:/psa: strings are accepted and re-canonicalized
+    (float repr) so parameter-equal frames compare equal."""
     s = str(crs).strip().lower()
     if s in _WGS84:
         return "wgs84"
@@ -109,9 +141,34 @@ def _frame(crs) -> str:
         if not 1 <= zone <= 60:
             raise ValueError(f"st_transform: UTM zone {zone} out of 1..60")
         return f"utm:{zone}:{'n' if m.group(1) == '326' else 's'}"
+    key = s[5:] if s.startswith("epsg:") else s
+    if key in _EPSG_CONIC:
+        return _EPSG_CONIC[key]
+    if s.startswith(("lcc:", "psb:", "psa:")):
+        kind, *parts = s.split(":")
+        n_num = {"lcc": 6, "psb": 4, "psa": 4}[kind]
+        hemi = ()
+        if kind == "psa":
+            if len(parts) != 5 or parts[4] not in ("n", "s"):
+                raise ValueError(f"st_transform: malformed frame {crs!r} "
+                                 "(psa:<k0>:<lon0>:<fe>:<fn>:<n|s>)")
+            hemi = (parts[4],)
+            parts = parts[:4]
+        if len(parts) != n_num:
+            raise ValueError(f"st_transform: malformed frame {crs!r}")
+        try:
+            nums = [float(p) for p in parts]
+        except ValueError:
+            raise ValueError(f"st_transform: malformed frame {crs!r}")
+        if kind == "psb" and nums[0] == 0.0:
+            raise ValueError("st_transform: psb lat_ts must be nonzero "
+                             "(sign selects the aspect)")
+        return ":".join((kind, *(repr(v) for v in nums), *hemi))
     raise ValueError(
         f"st_transform: unsupported CRS {crs!r} "
-        "(supported: EPSG:4326, EPSG:3857, EPSG:326xx/327xx UTM, cartesian)")
+        "(supported: EPSG:4326, EPSG:3857, EPSG:326xx/327xx UTM, "
+        "EPSG:2154/3034 LCC, EPSG:3031/3413/3995 polar stereographic, "
+        "EPSG:5041/5042 UPS, generic lcc:/psb:/psa: frames, cartesian)")
 
 
 def merc_forward_sql(lon_sql: str, lat_sql: str) -> tuple[str, str]:
@@ -284,11 +341,232 @@ def utm_inverse_ctes(base: str, easting: str = "easting",
     """
 
 
+# --- Conic / azimuthal conformal tier (LCC + polar stereographic) ----------
+# Snyder 1987 (USGS PP 1395): LCC 2SP eqs. 15-1..15-11, polar
+# stereographic eqs. 21-30..21-41; EPSG Guidance Note 7-2 methods 9802
+# (LCC 2SP), 9829 (PS variant B, standard parallel) and 9810 (PS
+# variant A, central scale k0 — the UPS frames).  All share the
+# conformal machinery: the isometric ratio t(phi), the parallel radius
+# m(phi), and the geographic latitude recovered from t by Snyder's
+# fixed-point iteration (eq. 7-9) — contraction ratio ~e^2 per step, so
+# 12 vectorized steps land at machine precision; unlike a truncated
+# delta series this is exact for EVERY ellipsoid the tests throw at it
+# (Clarke 1866 / International 1924 anchor points included).
+
+_WGS_E = math.sqrt(_F * (2.0 - _F))          # WGS84 first eccentricity
+
+
+def _t_of(phi: np.ndarray, e: float = _WGS_E) -> np.ndarray:
+    """Snyder's isometric ratio t (eq. 15-9): exp(-psi(phi))."""
+    s = np.sin(phi)
+    return (np.tan(np.pi / 4.0 - phi / 2.0)
+            / ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0))
+
+
+def _m_of(phi: np.ndarray, e: float = _WGS_E) -> np.ndarray:
+    """Parallel radius factor m = cos(phi)/sqrt(1 - e^2 sin^2 phi)."""
+    s = np.sin(phi)
+    return np.cos(phi) / np.sqrt(1.0 - (e * s) ** 2)
+
+
+def _phi_from_t(t: np.ndarray, e: float = _WGS_E,
+                iters: int = 12) -> np.ndarray:
+    """Geographic latitude from the isometric ratio t by fixed-point
+    iteration from the conformal latitude (Snyder eq. 7-9).  The map
+    contracts at ~e^2 (< 0.007 on WGS84) per step: 12 steps overshoot
+    double precision by orders of magnitude for every Earth
+    ellipsoid."""
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(iters):
+        s = e * np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - s) / (1.0 + s)) ** (e / 2.0))
+    return phi
+
+
+def _phi_from_t_iter(t: np.ndarray, e: float = _WGS_E,
+                     iters: int = 15) -> np.ndarray:
+    """Extra-iterations twin used by the property tests to pin
+    convergence (a 15-step run must agree with the 12-step one)."""
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(iters):
+        s = e * np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - s) / (1.0 + s)) ** (e / 2.0))
+    return phi
+
+
+def lcc_constants(lat1: float, lat2: float, lat0: float,
+                  a: float = MERC_R, f: float = _F) -> tuple:
+    """(n_cone, a*F, rho0, e) for an LCC 2SP frame.  When the
+    standard parallels coincide the cone constant degenerates to
+    sin(lat1) (the 1SP tangent case)."""
+    e = math.sqrt(f * (2.0 - f))
+    p1, p2, p0 = (math.radians(v) for v in (lat1, lat2, lat0))
+    m1 = float(_m_of(np.float64(p1), e))
+    m2 = float(_m_of(np.float64(p2), e))
+    t1 = float(_t_of(np.float64(p1), e))
+    t2 = float(_t_of(np.float64(p2), e))
+    t0 = float(_t_of(np.float64(p0), e))
+    if abs(lat1 - lat2) < 1e-12:
+        nc = math.sin(p1)
+    else:
+        nc = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    af = a * m1 / (nc * t1 ** nc)
+    return nc, af, af * t0 ** nc, e
+
+
+def lcc_forward(xy: np.ndarray, lat1: float, lat2: float, lat0: float,
+                lon0: float, fe: float, fn: float,
+                a: float = MERC_R, f: float = _F) -> np.ndarray:
+    """WGS84 lon/lat degrees → LCC 2SP easting/northing meters."""
+    nc, af, rho0, e = lcc_constants(lat1, lat2, lat0, a, f)
+    phi = np.radians(xy[:, 1])
+    # modular wrap to (-180, 180] in DEGREES — the identical op order
+    # the dual-engine SQL text uses, keeping kernel-vs-SQL drift at the
+    # libm-ulp level the cm-rounded gates absorb
+    lam = np.radians((xy[:, 0] - lon0 + 540.0) % 360.0 - 180.0)
+    rho = af * _t_of(phi, e) ** nc
+    th = nc * lam
+    out = np.empty_like(xy, dtype=np.float64)
+    out[:, 0] = fe + rho * np.sin(th)
+    out[:, 1] = fn + rho0 - rho * np.cos(th)
+    return out
+
+
+def lcc_inverse(xy: np.ndarray, lat1: float, lat2: float, lat0: float,
+                lon0: float, fe: float, fn: float,
+                a: float = MERC_R, f: float = _F) -> np.ndarray:
+    """LCC 2SP easting/northing meters → WGS84 lon/lat degrees."""
+    nc, af, rho0, e = lcc_constants(lat1, lat2, lat0, a, f)
+    x = xy[:, 0] - fe
+    y = rho0 - (xy[:, 1] - fn)
+    sgn = 1.0 if nc >= 0.0 else -1.0
+    rho = sgn * np.hypot(x, y)
+    t = (rho / af) ** (1.0 / nc)
+    out = np.empty_like(xy, dtype=np.float64)
+    lon = lon0 + np.degrees(np.arctan2(sgn * x, sgn * y) / nc)
+    out[:, 0] = (lon + 180.0) % 360.0 - 180.0    # theta/nc can exceed 180
+    out[:, 1] = np.degrees(_phi_from_t(t, e))
+    return out
+
+
+def ps_forward(xy: np.ndarray, lat_ts: float, lon0: float,
+               fe: float, fn: float,
+               a: float = MERC_R, f: float = _F) -> np.ndarray:
+    """WGS84 → polar stereographic VARIANT B meters (standard parallel
+    lat_ts; south aspect iff lat_ts < 0).  Scale is exactly 1 at the
+    standard parallel by construction (rho = a * m_c * t / t_c)."""
+    e = math.sqrt(f * (2.0 - f))
+    pts = math.radians(abs(lat_ts))
+    mc = float(_m_of(np.float64(pts), e))
+    tc = float(_t_of(np.float64(pts), e))
+    phi = np.radians(xy[:, 1])
+    lam = np.radians(xy[:, 0] - lon0)
+    lam = np.arctan2(np.sin(lam), np.cos(lam))
+    south = lat_ts < 0.0
+    rho = a * mc * _t_of(-phi if south else phi, e) / tc
+    out = np.empty_like(xy, dtype=np.float64)
+    out[:, 0] = fe + rho * np.sin(lam)
+    out[:, 1] = fn + (rho if south else -rho) * np.cos(lam)
+    return out
+
+
+def ps_inverse(xy: np.ndarray, lat_ts: float, lon0: float,
+               fe: float, fn: float,
+               a: float = MERC_R, f: float = _F) -> np.ndarray:
+    """Polar stereographic variant B meters → WGS84 degrees."""
+    e = math.sqrt(f * (2.0 - f))
+    pts = math.radians(abs(lat_ts))
+    mc = float(_m_of(np.float64(pts), e))
+    tc = float(_t_of(np.float64(pts), e))
+    south = lat_ts < 0.0
+    x = xy[:, 0] - fe
+    y = xy[:, 1] - fn
+    t = np.hypot(x, y) * tc / (a * mc)
+    phi = _phi_from_t(t, e)
+    out = np.empty_like(xy, dtype=np.float64)
+    lon = lon0 + np.degrees(np.arctan2(x, y if south else -y))
+    out[:, 0] = (lon + 180.0) % 360.0 - 180.0
+    out[:, 1] = np.degrees(-phi if south else phi)
+    return out
+
+
+# variant A: rho = 2 a k0 t / sqrt((1+e)^(1+e) (1-e)^(1-e))   (Snyder 21-33)
+def psa_forward(xy: np.ndarray, k0: float, lon0: float, fe: float,
+                fn: float, south: bool,
+                a: float = MERC_R, f: float = _F) -> np.ndarray:
+    """Polar stereographic VARIANT A (central scale k0 at the pole) —
+    the UPS frames EPSG:5041/5042 use k0 = 0.994, FE = FN = 2e6."""
+    e = math.sqrt(f * (2.0 - f))
+    den = math.sqrt((1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e))
+    phi = np.radians(xy[:, 1])
+    lam = np.radians(xy[:, 0] - lon0)
+    lam = np.arctan2(np.sin(lam), np.cos(lam))
+    rho = 2.0 * a * k0 * _t_of(-phi if south else phi, e) / den
+    out = np.empty_like(xy, dtype=np.float64)
+    out[:, 0] = fe + rho * np.sin(lam)
+    out[:, 1] = fn + (rho if south else -rho) * np.cos(lam)
+    return out
+
+
+def psa_inverse(xy: np.ndarray, k0: float, lon0: float, fe: float,
+                fn: float, south: bool,
+                a: float = MERC_R, f: float = _F) -> np.ndarray:
+    e = math.sqrt(f * (2.0 - f))
+    den = math.sqrt((1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e))
+    x = xy[:, 0] - fe
+    y = xy[:, 1] - fn
+    t = np.hypot(x, y) * den / (2.0 * a * k0)
+    phi = _phi_from_t(t, e)
+    out = np.empty_like(xy, dtype=np.float64)
+    lon = lon0 + np.degrees(np.arctan2(x, y if south else -y))
+    out[:, 0] = (lon + 180.0) % 360.0 - 180.0
+    out[:, 1] = np.degrees(-phi if south else phi)
+    return out
+
+
+def lcc_forward_ctes(base: str, lon: str = "lon", lat: str = "lat",
+                     lat1: float = 49.0, lat2: float = 44.0,
+                     lat0: float = 46.5, lon0: float = 3.0,
+                     fe: float = 700000.0, fn: float = 6600000.0) -> str:
+    """Dual-engine SQL (valid Spark SQL AND DuckDB) for the LCC 2SP
+    forward map (defaults = EPSG:2154 Lambert-93): wraps ``base`` — a
+    query exposing ``lon``/``lat`` degrees — in a WITH chain that adds
+    ``easting``/``northing``.  The frame constants (cone constant,
+    a*F, rho0) are precomputed in Python from the SAME lcc_constants
+    the numpy kernel uses and inlined as DOUBLE literals, so both
+    engines evaluate the identical expression tree."""
+    nc, af, rho0, e = lcc_constants(lat1, lat2, lat0)
+
+    def _c(v: float) -> str:
+        return f"CAST({v!r} AS DOUBLE)"
+
+    t = (f"(tan(pi() / 4.0 - radians(CAST({lat} AS DOUBLE)) / 2.0)"
+         f" / pow((1.0 - {_c(e)} * sin(radians(CAST({lat} AS DOUBLE))))"
+         f" / (1.0 + {_c(e)} * sin(radians(CAST({lat} AS DOUBLE)))),"
+         f" {_c(e / 2.0)}))")
+    return f"""
+        WITH _lcc_base AS ({base}),
+        _lcc_s1 AS (
+          SELECT *, {_c(af)} * pow({t}, {_c(nc)}) AS _rho,
+                 {_c(nc)} * radians(
+                   (CAST({lon} AS DOUBLE) - {_c(lon0)} + 540.0) % 360.0
+                   - 180.0) AS _th
+          FROM _lcc_base),
+        _lcc_out AS (
+          SELECT *, {_c(fe)} + _rho * sin(_th) AS easting,
+                 {_c(fn)} + {_c(rho0)} - _rho * cos(_th) AS northing
+          FROM _lcc_s1)
+    """
+
+
 def transform_points(xy: np.ndarray, src: str, dst: str) -> np.ndarray:
     """Vectorized (n, 2) coordinate transform between resolved frames
-    ('wgs84' | 'merc' | 'cart' | 'utm:<zone>:<n|s>').  cart composes
-    with nothing: it is an identity passthrough and only pairs with
-    itself.  merc ↔ utm and utm ↔ utm compose through wgs84."""
+    ('wgs84' | 'merc' | 'cart' | 'utm:<zone>:<n|s>' | 'lcc:…' |
+    'psb:…' | 'psa:…').  cart composes with nothing: it is an identity
+    passthrough and only pairs with itself.  Every projected frame
+    composes with every other through wgs84."""
     if src == dst:
         return xy
     if "cart" in (src, dst):
@@ -305,6 +583,13 @@ def transform_points(xy: np.ndarray, src: str, dst: str) -> np.ndarray:
     elif src.startswith("utm:"):
         _, z, hemi = src.split(":")
         ll = utm_inverse(xy, int(z), hemi == "s")
+    elif src.startswith("lcc:"):
+        ll = lcc_inverse(xy, *(float(v) for v in src.split(":")[1:]))
+    elif src.startswith("psb:"):
+        ll = ps_inverse(xy, *(float(v) for v in src.split(":")[1:]))
+    elif src.startswith("psa:"):
+        p = src.split(":")
+        ll = psa_inverse(xy, *(float(v) for v in p[1:5]), p[5] == "s")
     else:
         ll = xy
     if dst == "wgs84":
@@ -315,6 +600,13 @@ def transform_points(xy: np.ndarray, src: str, dst: str) -> np.ndarray:
         out[:, 1] = MERC_R * np.log(
             np.tan(np.pi / 4.0 + np.radians(ll[:, 1]) / 2.0))
         return out
+    if dst.startswith("lcc:"):
+        return lcc_forward(ll, *(float(v) for v in dst.split(":")[1:]))
+    if dst.startswith("psb:"):
+        return ps_forward(ll, *(float(v) for v in dst.split(":")[1:]))
+    if dst.startswith("psa:"):
+        p = dst.split(":")
+        return psa_forward(ll, *(float(v) for v in p[1:5]), p[5] == "s")
     _, z, hemi = dst.split(":")
     return utm_forward(ll, int(z), hemi == "s")
 

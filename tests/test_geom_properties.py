@@ -530,3 +530,170 @@ def test_gif_lzw_dictionary_reset():
     pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
     img = pal[rng.integers(0, 256, (150, 150))]   # 22500 px >> 4096 codes
     assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+
+# --- r9 conic/azimuthal conformal CRS tier (LCC + polar stereographic) -----
+
+def test_lcc_snyder_anchor():
+    """Snyder 1987 p.296 worked example (LCC 2SP, Clarke 1866,
+    lat1=33 lat2=45 lat0=23 lon0=-96): phi=35 lam=-75 maps to
+    (1894410.9, 1564649.5) — an ABSOLUTE anchor from the published
+    table, independent of this repo's derivation."""
+    import math
+
+    import numpy as np
+    from spatial_spark.functions.crs import lcc_forward, lcc_inverse
+    a_c = 6378206.4
+    f_c = 1.0 - math.sqrt(1.0 - 0.00676866)
+    xy = lcc_forward(np.array([[-75.0, 35.0]]), 33.0, 45.0, 23.0, -96.0,
+                     0.0, 0.0, a_c, f_c)
+    assert abs(xy[0, 0] - 1894410.9) < 0.5
+    assert abs(xy[0, 1] - 1564649.5) < 0.5
+    back = lcc_inverse(xy, 33.0, 45.0, 23.0, -96.0, 0.0, 0.0, a_c, f_c)
+    assert abs(back[0, 0] + 75.0) < 1e-9 and abs(back[0, 1] - 35.0) < 1e-9
+
+
+def test_ups_snyder_anchor():
+    """Snyder 1987 p.315 worked example (polar stereographic variant A,
+    International 1924, SOUTH aspect, k0=0.994, lon0=-100): phi=-75
+    lam=150 maps to (-1573645.4, -572760.1) — published-table anchor
+    for the UPS (EPSG:5041/5042) formula family."""
+    import math
+
+    import numpy as np
+    from spatial_spark.functions.crs import psa_forward, psa_inverse
+    a_i = 6378388.0
+    f_i = 1.0 - math.sqrt(1.0 - 0.00672267)
+    xy = psa_forward(np.array([[150.0, -75.0]]), 0.994, -100.0, 0.0, 0.0,
+                     True, a_i, f_i)
+    assert abs(xy[0, 0] + 1573645.4) < 0.5
+    assert abs(xy[0, 1] + 572760.1) < 0.5
+    back = psa_inverse(xy, 0.994, -100.0, 0.0, 0.0, True, a_i, f_i)
+    assert abs(back[0, 0] - 150.0) < 1e-9 and abs(back[0, 1] + 75.0) < 1e-9
+
+
+@given(st.floats(-180.0, 180.0), st.floats(-75.0, 89.5),
+       st.sampled_from(["EPSG:2154", "EPSG:3034", "EPSG:3031",
+                        "EPSG:3413", "EPSG:3995", "EPSG:5041",
+                        "EPSG:5042",
+                        "lcc:33.0:45.0:23.0:-96.0:0.0:0.0",
+                        "psb:60.0:25.0:1000.0:2000.0"]))
+@settings(max_examples=400, deadline=None)
+def test_conic_roundtrip_property(lon, lat, crs):
+    """Every conic/azimuthal conformal frame round-trips to machine
+    precision (the inverse is Snyder's fixed-point, not a truncated
+    series) — across named EPSG frames AND generic lcc:/psb: tokens;
+    south frames get the hemisphere flipped into their domain."""
+    import numpy as np
+    from spatial_spark.functions.crs import _frame, transform_points
+    if crs in ("EPSG:3031", "EPSG:5042") and lat > 30.0:
+        lat = -lat            # keep rho finite near the far pole
+    if crs in ("EPSG:3413", "EPSG:3995", "EPSG:5041") and lat < -30.0:
+        lat = -lat
+    fr = _frame(crs)
+    pts = np.array([[lon, lat]])
+    en = transform_points(pts, "wgs84", fr)
+    rt = transform_points(en, fr, "wgs84")
+    assert abs((rt[0, 0] - lon + 180.0) % 360.0 - 180.0) < 1e-10
+    assert abs(rt[0, 1] - lat) < 1e-10
+
+
+def test_conic_scale_at_standard_parallels():
+    """Conformal frames have scale EXACTLY 1 along their defining
+    parallels: plane distance between two nearby points on the
+    standard parallel equals the ellipsoid arc (nu cos(phi) dlam) —
+    checks the cone constant / m_c normalization, which a round-trip
+    alone cannot see."""
+    import math
+
+    import numpy as np
+    from spatial_spark.functions.crs import (MERC_R, _F, _frame,
+                                             transform_points)
+    e = math.sqrt(_F * (2.0 - _F))
+
+    def k_at(crs, latp, lon=10.0, d=1e-6):
+        fr = _frame(crs)
+        p = np.array([[lon, latp], [lon + d, latp]])
+        q = transform_points(p, "wgs84", fr)
+        plane = math.hypot(q[1, 0] - q[0, 0], q[1, 1] - q[0, 1])
+        nu = MERC_R / math.sqrt(
+            1.0 - (e * math.sin(math.radians(latp))) ** 2)
+        return plane / (nu * math.cos(math.radians(latp))
+                        * math.radians(d))
+
+    for latp in (49.0, 44.0):
+        assert abs(k_at("EPSG:2154", latp) - 1.0) < 1e-7
+    for latp in (35.0, 65.0):
+        assert abs(k_at("EPSG:3034", latp) - 1.0) < 1e-7
+    assert abs(k_at("EPSG:3031", -71.0) - 1.0) < 1e-7
+    assert abs(k_at("EPSG:3413", 70.0) - 1.0) < 1e-7
+    # variant A: the scale profile is rho/(a m); at 89.9 deg that is
+    # 0.9940007569… and tends to k0 = 0.994 at the pole.  Measured with
+    # fe = fn = 0 so the finite difference isn't quantized against a
+    # 2e6 m false origin.
+    import numpy as np
+    from spatial_spark.functions.crs import _m_of, _t_of, psa_forward
+    latp = 89.9
+    p = np.array([[0.0, latp], [1e-3, latp]])
+    q = psa_forward(p, 0.994, 0.0, 0.0, 0.0, False)
+    plane = math.hypot(q[1, 0] - q[0, 0], q[1, 1] - q[0, 1])
+    nu = MERC_R / math.sqrt(1.0 - (e * math.sin(math.radians(latp))) ** 2)
+    k = plane / (nu * math.cos(math.radians(latp)) * math.radians(1e-3))
+    den = math.sqrt((1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e))
+    phi = np.radians(np.array([latp]))
+    k_theory = (2.0 * 0.994 * _t_of(phi, e)[0] / den) / _m_of(phi, e)[0]
+    assert abs(k_theory - 0.994) < 1e-5        # profile → k0 at the pole
+    assert abs(k - k_theory) < 1e-7            # measured == analytic
+
+
+def test_lcc_sql_text_matches_kernel(spark):
+    """The dual-engine LCC forward SQL (lcc_forward_ctes, Lambert-93
+    defaults) evaluated by Spark AND DuckDB agrees with the numpy
+    kernel to sub-micrometer — including antimeridian-wrapped
+    longitudes (the SQL's modular wrap is the kernel's op order)."""
+    import duckdb
+    import numpy as np
+    from spatial_spark.functions.crs import lcc_forward, lcc_forward_ctes
+    pts = [(-75.3, 35.2), (3.0, 46.5), (179.9, 12.0), (-179.9, -44.0),
+           (8.05, 48.9)]
+    base = " UNION ALL ".join(
+        f"SELECT CAST({lo!r} AS DOUBLE) AS lon, CAST({la!r} AS DOUBLE) "
+        f"AS lat" for lo, la in pts)
+    q = (lcc_forward_ctes(base)
+         + " SELECT lon, lat, easting, northing FROM _lcc_out "
+           "ORDER BY lon")
+    k = lcc_forward(np.array(sorted(pts)), 49.0, 44.0, 46.5, 3.0,
+                    700000.0, 6600000.0)
+    duck = duckdb.sql(q).fetchall()
+    rows = spark.sql(q).collect()
+    for (dl, dt, de, dn), r, (ke, kn) in zip(duck, rows, k):
+        assert abs(r["easting"] - de) < 1e-6
+        assert abs(r["northing"] - dn) < 1e-6
+        assert abs(r["easting"] - ke) < 1e-6
+        assert abs(r["northing"] - kn) < 1e-6
+
+
+def test_st_transform_udf_conic_frames(spark):
+    """st_transform routes the new frames end-to-end through the UDF —
+    per-row dst strings mixing LCC, PS-B, UPS and UTM — and agrees
+    with the transform_points kernel for each row; merc→lcc composes
+    through wgs84 identically to the direct path."""
+    import numpy as np
+    from spatial_spark import register_all
+    from spatial_spark.functions.crs import _frame, transform_points
+    register_all(spark)
+    rows = [(1, 2.35, 48.85, "EPSG:2154"), (2, -45.0, 82.0, "EPSG:3413"),
+            (3, 10.0, -75.0, "EPSG:3031"), (4, 13.7, 51.05, "EPSG:32633"),
+            (5, 0.1, 89.0, "EPSG:5041"),
+            (6, 11.0, 47.0, "lcc:46.0:48.0:47.0:11.0:0.0:0.0")]
+    df = spark.createDataFrame(rows, "id INT, lon DOUBLE, lat DOUBLE, "
+                                     "crs STRING")
+    got = {r["id"]: r for r in df.selectExpr(
+        "id", "st_x(st_transform(st_point(lon, lat), 'EPSG:4326', crs)) "
+              "AS x",
+        "st_y(st_transform(st_point(lon, lat), 'EPSG:4326', crs)) AS y")
+        .collect()}
+    for i, lon, lat, crs in rows:
+        k = transform_points(np.array([[lon, lat]]), "wgs84", _frame(crs))
+        assert abs(got[i]["x"] - k[0, 0]) < 1e-6, crs
+        assert abs(got[i]["y"] - k[0, 1]) < 1e-6, crs
