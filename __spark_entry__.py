@@ -723,6 +723,86 @@ def _q_mp4_meta(spark, sf_dir) -> DataFrame:
     return mp4_metadata(df)
 
 
+def _q_mp4_codec_meta(spark, sf_dir) -> DataFrame:
+    """Codec-configuration metadata on the hard gate (r9: the
+    stream-metadata tier of the video/audio seam): deterministic MP4
+    fixtures whose avcC boxes carry REAL H.264 SPS bitstreams (encoded
+    by build_h264_sps — Exp-Golomb, emulation prevention, frame
+    cropping for non-macroblock dimensions) and whose esds boxes carry
+    real AAC AudioSpecificConfigs; mp4_codec_meta parses them back
+    bit-by-bit and every field is a closed-form function of the build
+    index recomputed by the oracle.  Only frame-payload decode remains
+    the documented ffmpeg seam."""
+    from spatial_spark.operators.codecs import (AAC_SAMPLE_RATES,
+                                                build_aac_asc, build_avcc,
+                                                build_esds, build_h264_sps,
+                                                build_mp4)
+    from spatial_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                    mp4_codec_meta)
+    rows = []
+    for i in range(36):
+        if i % 2 == 0:
+            w = 320 + 16 * (i % 8) - 2 * (i % 4)
+            h = 240 + 16 * (i % 5) - 2 * (i % 3)
+            profile = (66, 77, 100)[i % 3]
+            depth = 8 + 2 * ((i // 3) % 2) if profile == 100 else 8
+            level = (30, 31, 40, 41, 50, 51)[i % 6]
+            payload = build_mp4(
+                w, h, 30, 1000, 33, codec="avc1",
+                codec_config=build_avcc(
+                    build_h264_sps(w, h, profile, level, depth)))
+            rows.append((i, bytearray(payload), "video", "mp4",
+                         w, h, None))
+        else:
+            rate = AAC_SAMPLE_RATES[i % 13]
+            ch = 1 + i % 6
+            obj = (2, 4, 23)[i % 3]
+            payload = build_mp4(
+                ch, rate, 100, rate, 1024, codec="mp4a", handler="soun",
+                codec_config=build_esds(build_aac_asc(obj, rate, ch)))
+            rows.append((i, bytearray(payload), "audio", "mp4",
+                         None, None, None))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return mp4_codec_meta(df)
+
+
+_MP4_CODEC_ORACLE = """
+    WITH items AS (SELECT unnest(generate_series(0, 35)) AS i),
+    rates(ri, rate) AS (VALUES (0, 96000), (1, 88200), (2, 64000),
+        (3, 48000), (4, 44100), (5, 32000), (6, 24000), (7, 22050),
+        (8, 16000), (9, 12000), (10, 11025), (11, 8000), (12, 7350))
+    SELECT CAST(i AS BIGINT) AS media_id,
+           CAST(1 AS BIGINT) AS track_id,
+           CASE WHEN i % 2 = 0 THEN 'avc1' ELSE 'mp4a' END AS codec,
+           CAST(CASE WHEN i % 2 = 0 THEN
+                CASE i % 3 WHEN 0 THEN 66 WHEN 1 THEN 77 ELSE 100 END
+           END AS INT) AS profile_idc,
+           CAST(CASE WHEN i % 2 = 0 THEN
+                CASE i % 6 WHEN 0 THEN 30 WHEN 1 THEN 31 WHEN 2 THEN 40
+                           WHEN 3 THEN 41 WHEN 4 THEN 50 ELSE 51 END
+           END AS INT) AS level_idc,
+           CAST(CASE WHEN i % 2 = 0
+                THEN 320 + 16 * (i % 8) - 2 * (i % 4)
+           END AS INT) AS coded_width,
+           CAST(CASE WHEN i % 2 = 0
+                THEN 240 + 16 * (i % 5) - 2 * (i % 3)
+           END AS INT) AS coded_height,
+           CAST(CASE WHEN i % 2 = 0 THEN
+                CASE WHEN i % 3 = 2 AND (i // 3) % 2 = 1
+                     THEN 10 ELSE 8 END
+           END AS INT) AS bit_depth,
+           CAST(CASE WHEN i % 2 = 0 THEN 1 END AS INT) AS chroma_format,
+           CAST(CASE WHEN i % 2 = 1 THEN
+                CASE i % 3 WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 23 END
+           END AS INT) AS object_type,
+           CAST(CASE WHEN i % 2 = 1 THEN r.rate END AS INT)
+             AS sample_rate,
+           CAST(CASE WHEN i % 2 = 1 THEN 1 + i % 6 END AS INT)
+             AS channels
+    FROM items LEFT JOIN rates r ON r.ri = i % 13
+"""
+
+
 def _q_datastore_gjl(spark, sf_dir) -> DataFrame:
     """GeoTools-DataStore facade on the hard gate (SURVEY §2.1 #6,
     previously pytest-only): nation zones serialized as
@@ -2071,6 +2151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW r9 late additions (no driver rows yet): these lead the
         # r10 window ahead of the 13 age-2 holders above
         "st_transform_lcc": _q_st_transform_lcc,
+        "mp4_codec_meta": _q_mp4_codec_meta,
     }.items()}
 
 
@@ -3080,6 +3161,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "st_transform_utm": _utm_oracle_sql(),
         "st_transform_lcc": _lcc_oracle_sql(),
+        "mp4_codec_meta": _MP4_CODEC_ORACLE,
         "density_greedy": """
             SELECT c_custkey,
                    min(c_custkey) OVER (PARTITION BY c_custkey % 24)

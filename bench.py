@@ -52,8 +52,8 @@ HEADLINE = [
     "intersect_all", "isvalid_isempty", "equal_env", "results_layer",
     "datastore_write", "st_transform_utm", "media_mjpeg",
     "density_greedy",
-    # r9 late additions: the conic CRS tier
-    "st_transform_lcc",
+    # r9 late additions: the conic CRS tier + codec-config metadata
+    "st_transform_lcc", "mp4_codec_meta",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -109,7 +109,7 @@ BUDGET_SF01 = {
     "isvalid_isempty": 3.4, "equal_env": 0.5, "results_layer": 8.6,
     "datastore_write": 3.7, "st_transform_utm": 1.5, "media_mjpeg": 2.4,
     "density_greedy": 4.2,
-    "st_transform_lcc": 0.8,
+    "st_transform_lcc": 0.8, "mp4_codec_meta": 1.7,
 }
 
 

@@ -1200,7 +1200,12 @@ def parse_mp4_meta(buf: bytes) -> dict:
 
 def _parse_trak(buf: bytes, start: int, end: int) -> dict:
     tr = {"id": None, "type": None, "codec": None, "width": None,
-          "height": None, "n_samples": None, "duration_ms": None}
+          "height": None, "n_samples": None, "duration_ms": None,
+          # codec-configuration tier (avcC / esds), None when absent
+          "profile_idc": None, "level_idc": None, "bit_depth_luma": None,
+          "chroma_format_idc": None, "coded_width": None,
+          "coded_height": None, "object_type": None, "sample_rate": None,
+          "channels": None}
     for hb, he in _find_boxes(buf, start, end, b"tkhd"):
         ver = buf[hb]
         # FullBox(4) + ctime/mtime (2x4 at v0, 2x8 at v1) → track_ID
@@ -1223,16 +1228,52 @@ def _parse_trak(buf: bytes, start: int, end: int) -> dict:
                 for xb, xe in _find_boxes(buf, sb, se, b"stsd"):
                     if struct.unpack_from(">I", buf, xb + 4)[0] >= 1:
                         tr["codec"] = buf[xb + 12:xb + 16].decode("latin1")
+                        _parse_sample_entry_config(buf, xb + 8, xe, tr)
                 for xb, xe in _find_boxes(buf, sb, se, b"stsz"):
                     tr["n_samples"] = struct.unpack_from(
                         ">I", buf, xb + 8)[0]
     return tr
 
 
+def _parse_sample_entry_config(buf: bytes, eb: int, ee: int, tr: dict):
+    """Parse the FIRST stsd sample entry's codec-configuration child
+    boxes: avcC (H.264 SPS → profile/level/true coded dims/bit depth/
+    chroma) and esds (AAC ASC → object type/sample rate/channels).
+    VisualSampleEntry bodies are 78 bytes before children,
+    AudioSampleEntry bodies 28; a malformed/absent config leaves the
+    fields None (the container metadata stays valid)."""
+    entry_size = struct.unpack_from(">I", buf, eb)[0]
+    entry_end = min(eb + entry_size, ee)
+    for body_off in (86, 36):           # visual / audio entry layouts
+        start = eb + body_off
+        if start >= entry_end:
+            continue
+        try:
+            for tag, b, e in _walk_boxes(buf, start, entry_end):
+                if tag == b"avcC":
+                    cfg = parse_avcc(buf[b:e])
+                    tr["profile_idc"] = cfg.get("profile_idc")
+                    tr["level_idc"] = cfg.get("level_idc")
+                    tr["bit_depth_luma"] = cfg.get("bit_depth_luma")
+                    tr["chroma_format_idc"] = cfg.get("chroma_format_idc")
+                    tr["coded_width"] = cfg.get("width")
+                    tr["coded_height"] = cfg.get("height")
+                    return
+                if tag == b"esds":
+                    cfg = parse_esds(buf[b:e])
+                    tr["object_type"] = cfg.get("object_type")
+                    tr["sample_rate"] = cfg.get("sample_rate")
+                    tr["channels"] = cfg.get("channels")
+                    return
+        except (ValueError, IndexError, struct.error):
+            continue
+
+
 def build_mp4(width: int, height: int, n_samples: int, timescale: int,
               sample_delta: int, codec: str = "avc1",
               handler: str = "vide", brand: str = "isom",
-              samples: list | None = None) -> bytes:
+              samples: list | None = None,
+              codec_config: bytes | None = None) -> bytes:
     """Minimal valid single-track ISO-BMFF container — the
     deterministic test/gate fixture generator for parse_mp4_meta and
     (r9) the MJPEG frames route.  Writes ftyp + moov(mvhd, trak(tkhd,
@@ -1267,18 +1308,36 @@ def build_mp4(width: int, height: int, n_samples: int, timescale: int,
                + b"\x00" * 16
                + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
                              0x40000000)
-               + struct.pack(">II", width << 16, height << 16))
+               + struct.pack(">II",
+                             0 if handler == "soun" else width << 16,
+                             0 if handler == "soun" else height << 16))
     mdhd = box(b"mdhd", struct.pack(">B3x", 0) + struct.pack(">II", 0, 0)
                + struct.pack(">II", timescale, dur)
                + struct.pack(">HH", 0x55C4, 0))
     hdlr = box(b"hdlr", struct.pack(">B3x4x", 0) + handler.encode()
                + b"\x00" * 12 + b"spark_graft\x00")
-    entry = (struct.pack(">I", 86) + codec.encode() + b"\x00" * 6
-             + struct.pack(">H", 1) + b"\x00" * 16
-             + struct.pack(">HH", width, height)
-             + struct.pack(">II", 0x480000, 0x480000) + b"\x00" * 4
-             + struct.pack(">H", 1) + b"\x00" * 32
-             + struct.pack(">Hh", 0x18, -1))
+    # codec_config: raw avcC payload for visual tracks, a ready esds
+    # FullBox payload for audio tracks (build_avcc / build_esds)
+    child = b""
+    if codec_config is not None:
+        child = box(b"avcC" if handler == "vide" else b"esds",
+                    bytes(codec_config))
+    if handler == "soun":
+        # AudioSampleEntry: 8 reserved, channels/samplesize/pre/reserved,
+        # samplerate 16.16 — width carries channels, height sample rate
+        # (stored mod 65536 like real muxers; esds holds the true rate)
+        entry = (struct.pack(">I", 36 + len(child)) + codec.encode()
+                 + b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 8
+                 + struct.pack(">HH4x", width, 16)
+                 + struct.pack(">I", (height % 65536) << 16) + child)
+    else:
+        entry = (struct.pack(">I", 86 + len(child)) + codec.encode()
+                 + b"\x00" * 6
+                 + struct.pack(">H", 1) + b"\x00" * 16
+                 + struct.pack(">HH", width, height)
+                 + struct.pack(">II", 0x480000, 0x480000) + b"\x00" * 4
+                 + struct.pack(">H", 1) + b"\x00" * 32
+                 + struct.pack(">Hh", 0x18, -1) + child)
     stsd = box(b"stsd", struct.pack(">B3xI", 0, 1) + entry)
     stts = box(b"stts", struct.pack(">B3xIII", 0, 1, n_samples,
                                     sample_delta))
@@ -1368,6 +1427,350 @@ def _parse_stbl_samples(buf: bytes, sb: int, se: int) -> dict:
             off += sizes[si]
             si += 1
     return {"codec": codec, "samples": samples}
+
+
+# ----------------------------------------------------- codec configurations
+# H.264 SPS (ITU-T H.264 §7.3.2.1.1) and AAC AudioSpecificConfig
+# (ISO 14496-3 §1.6.2.1) PARSE FOR REAL out of the container's avcC /
+# esds boxes: profile/level/true coded dimensions/bit depth/chroma for
+# video, object type/sample rate/channels for audio — the stream
+# metadata a crawl pipeline filters on.  Only the frame PAYLOAD decode
+# (macroblock reconstruction) remains the documented ffmpeg seam.
+
+class _EgBitReader:
+    """MSB-first bit reader with H.264 Exp-Golomb (ue/se) support."""
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0          # bit position
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.d[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.read(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("H264: bad Exp-Golomb code")
+        return (1 << zeros) - 1 + (self.read(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+class _EgBitWriter:
+    """MSB-first bit writer with Exp-Golomb, for SPS fixtures."""
+
+    def __init__(self):
+        self.bits: list = []
+
+    def write(self, v: int, n: int):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def ue(self, v: int):
+        k = v + 1
+        n = k.bit_length()
+        self.write(0, n - 1)
+        self.write(k, n)
+
+    def se(self, v: int):
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def bytes_aligned(self) -> bytes:
+        bits = self.bits + [1] + [0] * ((-len(self.bits) - 1) % 8)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for bit in bits[i:i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+        return bytes(out)
+
+
+def _strip_emulation(b: bytes) -> bytes:
+    """Remove H.264 emulation-prevention bytes (00 00 03 -> 00 00)."""
+    out = bytearray()
+    zeros = 0
+    i = 0
+    while i < len(b):
+        c = b[i]
+        if zeros >= 2 and c == 3:
+            zeros = 0
+            i += 1
+            continue
+        zeros = zeros + 1 if c == 0 else 0
+        out.append(c)
+        i += 1
+    return bytes(out)
+
+
+def _insert_emulation(b: bytes) -> bytes:
+    """Insert emulation-prevention bytes so no 00 00 0x(<=3) survives."""
+    out = bytearray()
+    zeros = 0
+    for c in b:
+        if zeros >= 2 and c <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(c)
+        zeros = zeros + 1 if c == 0 else 0
+    return bytes(out)
+
+
+_H264_HIGH_PROFILES = (100, 110, 122, 244, 44, 83, 86, 118, 128, 138,
+                       139, 134, 135)
+
+
+def _skip_scaling_list(r: _EgBitReader, size: int):
+    last, nxt = 8, 8
+    for _ in range(size):
+        if nxt != 0:
+            nxt = (last + r.se() + 256) % 256
+        last = nxt if nxt != 0 else last
+
+
+def parse_h264_sps(sps: bytes) -> dict:
+    """Parse an H.264 sequence parameter set NAL (with or without its
+    1-byte NAL header) into ``{"profile_idc", "level_idc",
+    "chroma_format_idc", "bit_depth_luma", "width", "height",
+    "frame_mbs_only"}``.  Width/height apply the frame-cropping
+    rectangle with the chroma-format crop units — the TRUE coded
+    dimensions, not the macroblock-padded ones."""
+    data = _strip_emulation(bytes(sps))
+    if data and (data[0] & 0x1F) == 7:      # NAL header present
+        data = data[1:]
+    r = _EgBitReader(data)
+    profile = r.read(8)
+    r.read(8)                               # constraint flags + reserved
+    level = r.read(8)
+    r.ue()                                  # seq_parameter_set_id
+    chroma, bit_depth = 1, 8
+    if profile in _H264_HIGH_PROFILES:
+        chroma = r.ue()
+        separate = r.read(1) if chroma == 3 else 0
+        bit_depth = 8 + r.ue()
+        r.ue()                              # bit_depth_chroma_minus8
+        r.read(1)                           # qpprime_y_zero bypass
+        if r.read(1):                       # seq_scaling_matrix_present
+            for i in range(8 if chroma != 3 else 12):
+                if r.read(1):
+                    _skip_scaling_list(r, 16 if i < 6 else 64)
+    else:
+        separate = 0
+    r.ue()                                  # log2_max_frame_num_minus4
+    poc_type = r.ue()
+    if poc_type == 0:
+        r.ue()
+    elif poc_type == 1:
+        r.read(1)
+        r.se()
+        r.se()
+        for _ in range(r.ue()):
+            r.se()
+    r.ue()                                  # max_num_ref_frames
+    r.read(1)                               # gaps_in_frame_num allowed
+    w_mbs = r.ue() + 1
+    h_units = r.ue() + 1
+    frame_mbs_only = r.read(1)
+    if not frame_mbs_only:
+        r.read(1)                           # mb_adaptive_frame_field
+    r.read(1)                               # direct_8x8_inference
+    crop_l = crop_r = crop_t = crop_b = 0
+    if r.read(1):                           # frame_cropping_flag
+        crop_l, crop_r, crop_t, crop_b = r.ue(), r.ue(), r.ue(), r.ue()
+    sub_w = {0: 1, 1: 2, 2: 2, 3: 1}[chroma]
+    sub_h = {0: 1, 1: 2, 2: 1, 3: 1}[chroma]
+    unit_x = 1 if (chroma == 0 or separate) else sub_w
+    unit_y = (1 if (chroma == 0 or separate) else sub_h) \
+        * (2 - frame_mbs_only)
+    width = 16 * w_mbs - unit_x * (crop_l + crop_r)
+    height = 16 * (2 - frame_mbs_only) * h_units - unit_y * (crop_t + crop_b)
+    return {"profile_idc": profile, "level_idc": level,
+            "chroma_format_idc": chroma, "bit_depth_luma": bit_depth,
+            "width": width, "height": height,
+            "frame_mbs_only": bool(frame_mbs_only)}
+
+
+def build_h264_sps(width: int, height: int, profile_idc: int = 66,
+                   level_idc: int = 30, bit_depth: int = 8) -> bytes:
+    """Encode a minimal valid SPS NAL for the given EVEN dimensions
+    (4:2:0 crop units are 2 px) — the fixture generator parse_h264_sps
+    round-trips against.  High profiles (>=100 family) carry the
+    chroma/bit-depth fields; others imply 4:2:0/8-bit."""
+    if width % 2 or height % 2:
+        raise ValueError("SPS fixture: 4:2:0 dimensions must be even")
+    w = _EgBitWriter()
+    w.write(0x67, 8)                        # NAL: ref_idc=3, type=7 (SPS)
+    w.write(profile_idc, 8)
+    w.write(0, 8)
+    w.write(level_idc, 8)
+    w.ue(0)                                 # sps id
+    if profile_idc in _H264_HIGH_PROFILES:
+        w.ue(1)                             # chroma_format_idc 4:2:0
+        w.ue(bit_depth - 8)
+        w.ue(bit_depth - 8)
+        w.write(0, 2)                       # bypass + scaling matrix
+    elif bit_depth != 8:
+        raise ValueError("SPS fixture: bit depth needs a high profile")
+    w.ue(0)                                 # log2_max_frame_num_minus4
+    w.ue(2)                                 # poc_type 2 (no extra fields)
+    w.ue(1)                                 # max_num_ref_frames
+    w.write(0, 1)
+    w_mbs = (width + 15) // 16
+    h_mbs = (height + 15) // 16
+    w.ue(w_mbs - 1)
+    w.ue(h_mbs - 1)
+    w.write(1, 1)                           # frame_mbs_only
+    w.write(1, 1)                           # direct_8x8_inference
+    crop_r = (16 * w_mbs - width) // 2
+    crop_b = (16 * h_mbs - height) // 2
+    if crop_r or crop_b:
+        w.write(1, 1)
+        w.ue(0)
+        w.ue(crop_r)
+        w.ue(0)
+        w.ue(crop_b)
+    else:
+        w.write(0, 1)
+    w.write(0, 1)                           # vui_parameters_present
+    body = w.bytes_aligned()
+    return body[:1] + _insert_emulation(body[1:])
+
+
+def parse_avcc(b: bytes) -> dict:
+    """AVCDecoderConfigurationRecord (the avcC box payload): profile /
+    level bytes plus the embedded SPS NALs; the first SPS is parsed
+    for true dimensions."""
+    b = bytes(b)
+    if len(b) < 7 or b[0] != 1:
+        raise ValueError("avcC: bad configurationVersion")
+    n_sps = b[5] & 0x1F
+    pos, sps_list = 6, []
+    for _ in range(n_sps):
+        ln = struct.unpack_from(">H", b, pos)[0]
+        sps_list.append(b[pos + 2:pos + 2 + ln])
+        pos += 2 + ln
+    out = {"profile_idc": b[1], "level_idc": b[3],
+           "nal_length_size": (b[4] & 3) + 1, "sps": sps_list}
+    if sps_list:
+        out.update(parse_h264_sps(sps_list[0]))
+    return out
+
+
+def build_avcc(sps: bytes, pps: bytes = b"\x68\xce\x38\x80") -> bytes:
+    """Wrap an SPS (+ a minimal PPS) as an avcC payload."""
+    sps = bytes(sps)
+    return (bytes((1, sps[1], sps[2], sps[3], 0xFF, 0xE1))
+            + struct.pack(">H", len(sps)) + sps
+            + b"\x01" + struct.pack(">H", len(pps)) + pps)
+
+
+AAC_SAMPLE_RATES = (96000, 88200, 64000, 48000, 44100, 32000, 24000,
+                    22050, 16000, 12000, 11025, 8000, 7350)
+
+
+def parse_aac_asc(b: bytes) -> dict:
+    """AAC AudioSpecificConfig: ``{"object_type", "sample_rate",
+    "channels"}`` (explicit 24-bit sample rates and the escaped
+    object-type range both handled)."""
+    r = _EgBitReader(bytes(b))
+    obj = r.read(5)
+    if obj == 31:
+        obj = 32 + r.read(6)
+    idx = r.read(4)
+    rate = r.read(24) if idx == 15 else AAC_SAMPLE_RATES[idx]
+    ch = r.read(4)
+    return {"object_type": obj, "sample_rate": rate, "channels": ch}
+
+
+def build_aac_asc(object_type: int = 2, sample_rate: int = 44100,
+                  channels: int = 2) -> bytes:
+    w = _EgBitWriter()
+    if object_type >= 31:
+        w.write(31, 5)
+        w.write(object_type - 32, 6)
+    else:
+        w.write(object_type, 5)
+    if sample_rate in AAC_SAMPLE_RATES:
+        w.write(AAC_SAMPLE_RATES.index(sample_rate), 4)
+    else:
+        w.write(15, 4)
+        w.write(sample_rate, 24)
+    w.write(channels, 4)
+    w.write(0, 3)                           # frame length + dependsOnCore
+    # bytes_aligned appends a stop bit; AAC ASC readers ignore the tail
+    return w.bytes_aligned()
+
+
+def _read_desc(b: bytes, pos: int) -> tuple:
+    """(tag, size, body_start) of an MPEG-4 descriptor at pos
+    (variable-length size with high-bit continuation)."""
+    tag = b[pos]
+    pos += 1
+    size, n = 0, 0
+    while n < 4:
+        c = b[pos]
+        pos += 1
+        size = (size << 7) | (c & 0x7F)
+        n += 1
+        if not c & 0x80:
+            break
+    return tag, size, pos
+
+
+def parse_esds(b: bytes) -> dict:
+    """esds box payload (FullBox header already stripped or present —
+    both accepted): walks ES_Descriptor(0x03) →
+    DecoderConfigDescriptor(0x04) → DecoderSpecificInfo(0x05) and
+    parses the AudioSpecificConfig."""
+    b = bytes(b)
+    pos = 4 if b[:1] == b"\x00" else 0     # optional version/flags
+    tag, size, pos = _read_desc(b, pos)
+    if tag != 0x03:
+        raise ValueError("esds: missing ES_Descriptor")
+    pos += 2                                # ES_ID
+    flags = b[pos]
+    pos += 1
+    if flags & 0x80:
+        pos += 2
+    if flags & 0x40:
+        pos += 1 + b[pos]
+    if flags & 0x20:
+        pos += 2
+    tag, size, pos = _read_desc(b, pos)
+    if tag != 0x04:
+        raise ValueError("esds: missing DecoderConfigDescriptor")
+    oti = b[pos]
+    dc_end = pos + size
+    pos += 13                               # oti/stream/buffer/bitrates
+    out = {"object_type_indication": oti}
+    if pos < dc_end:
+        tag, size, pos = _read_desc(b, pos)
+        if tag == 0x05:
+            out.update(parse_aac_asc(b[pos:pos + size]))
+    return out
+
+
+def build_esds(asc: bytes, oti: int = 0x40) -> bytes:
+    """Wrap a DecoderSpecificInfo (e.g. an AAC ASC) in the esds
+    FullBox payload (ES → DecoderConfig → DecoderSpecificInfo +
+    SLConfig), single-byte descriptor sizes."""
+    asc = bytes(asc)
+    dsi = bytes((0x05, len(asc))) + asc
+    dcd = (bytes((0x04, 13 + len(dsi), oti, 0x15))
+           + b"\x00\x00\x00" + struct.pack(">II", 0, 0) + dsi)
+    slc = bytes((0x06, 1, 0x02))
+    es = bytes((0x03, 3 + len(dcd) + len(slc))) + b"\x00\x00\x00" \
+        + dcd + slc
+    return b"\x00\x00\x00\x00" + es
 
 
 def decode_mp4_frames(buf: bytes, every_n: int = 1) -> list:

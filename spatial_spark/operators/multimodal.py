@@ -275,6 +275,55 @@ def mp4_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.mapInPandas(run, out_schema)
 
 
+def mp4_codec_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Per-track CODEC-CONFIGURATION metadata out of MP4 payloads
+    (1→N over tracks): the H.264 SPS inside the avcC box (profile /
+    level / true coded dimensions after crop / bit depth / chroma
+    format) and the AAC AudioSpecificConfig inside esds (object type /
+    sample rate / channels) — parsed from the real bitstream bits
+    (Exp-Golomb, emulation-prevention aware; codecs.parse_h264_sps /
+    parse_aac_asc).  This is the stream-metadata tier a crawl pipeline
+    filters on; only frame-payload DECODE remains the ffmpeg seam.
+    Tracks without a config box yield NULL config columns; non-MP4
+    payloads are skipped."""
+    out_schema = T.StructType([
+        T.StructField("media_id", df.schema["media_id"].dataType),
+        T.StructField("track_id", T.LongType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("profile_idc", T.IntegerType()),
+        T.StructField("level_idc", T.IntegerType()),
+        T.StructField("coded_width", T.IntegerType()),
+        T.StructField("coded_height", T.IntegerType()),
+        T.StructField("bit_depth", T.IntegerType()),
+        T.StructField("chroma_format", T.IntegerType()),
+        T.StructField("object_type", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+    ])
+    cols = [f.name for f in out_schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import parse_mp4_meta, sniff_format
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                buf = row[payload_col]
+                if buf is None or sniff_format(bytes(buf)) != "mp4":
+                    continue
+                for tr in parse_mp4_meta(bytes(buf))["tracks"]:
+                    rows.append((row["media_id"], tr["id"], tr["codec"],
+                                 tr["profile_idc"], tr["level_idc"],
+                                 tr["coded_width"], tr["coded_height"],
+                                 tr["bit_depth_luma"],
+                                 tr["chroma_format_idc"],
+                                 tr["object_type"], tr["sample_rate"],
+                                 tr["channels"]))
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, out_schema)
+
+
 def mp4_frames(df: DataFrame, payload_col: str = "payload",
                every_n: int = 1) -> DataFrame:
     """REAL frames from Motion-JPEG MP4 payloads (VERDICT r8 ask #5 —

