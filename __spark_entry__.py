@@ -803,6 +803,127 @@ _MP4_CODEC_ORACLE = """
 """
 
 
+def _q_kmeans_embed(spark, sf_dir) -> DataFrame:
+    """Distributed Lloyd k-means over the embeddings table (the
+    SemDeDup-class cluster-then-curate recipe's first stage): k=8,
+    3 update iterations, deterministic init (k lowest vec_ids), ties
+    to the smallest cluster, empty clusters keeping their previous
+    centroid — the oracle replays the SAME run as three unrolled
+    relational Lloyd iterations.  Scale shape: assignment is map-only
+    under broadcast centroids; the update shuffles k x dim partial
+    sums (map-side combine), never vectors."""
+    from spatial_spark.operators.cluster import kmeans
+    return kmeans(spark.table("embeddings"), k=8, iters=3)
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
+    """The same Lloyd run in pure SQL: parallel-unnest the vectors to
+    (vec_id, j, val), then per iteration a distance GROUP BY, a
+    row_number argmin (ties -> smallest cid), and a coalesce'd
+    per-element mean (empty cluster keeps the previous centroid)."""
+    parts = [f"""
+        WITH elems AS (
+          SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS j,
+                 unnest(list_transform(embedding,
+                                       x -> CAST(x AS DOUBLE))) AS val
+          FROM embeddings),
+        seeds AS (
+          SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+          FROM embeddings ORDER BY vec_id LIMIT {k}),
+        cent0 AS (
+          SELECT s.cid, e.j, e.val FROM seeds s
+          JOIN elems e ON e.vec_id = s.vec_id)"""]
+    for i in range(iters):
+        parts.append(f""",
+        d{i} AS (
+          SELECT e.vec_id, c.cid,
+                 sum((e.val - c.val) * (e.val - c.val)) AS d
+          FROM elems e JOIN cent{i} c ON e.j = c.j
+          GROUP BY e.vec_id, c.cid),
+        a{i} AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d{i})
+          WHERE rn = 1),
+        cent{i + 1} AS (
+          SELECT p.cid, p.j, coalesce(m.val, p.val) AS val
+          FROM cent{i} p LEFT JOIN (
+            SELECT a.cid, e.j, avg(e.val) AS val
+            FROM a{i} a JOIN elems e USING (vec_id)
+            GROUP BY a.cid, e.j) m
+          ON p.cid = m.cid AND p.j = m.j)""")
+    parts.append(f""",
+        dF AS (
+          SELECT e.vec_id, c.cid,
+                 sum((e.val - c.val) * (e.val - c.val)) AS d
+          FROM elems e JOIN cent{iters} c ON e.j = c.j
+          GROUP BY e.vec_id, c.cid)
+        SELECT vec_id, CAST(cid AS INT) AS cluster FROM (
+          SELECT vec_id, cid, row_number() OVER (
+            PARTITION BY vec_id ORDER BY d, cid) AS rn FROM dF)
+        WHERE rn = 1""")
+    return "".join(parts)
+
+
+def _q_pagerank(spark, sf_dir) -> DataFrame:
+    """Fixed-iteration PageRank (3 power steps, d=0.85) over the
+    customer↔supplier purchase graph (both edge directions from
+    orders ⋈ lineitem; supplier ids offset by 10^7 to disjoin the key
+    spaces).  Ranks are returned scaled by N and rounded to 6 decimals
+    — the oracle unrolls the same three relational steps, and the
+    rounding absorbs the engines' sum-order ulp differences.  The
+    dangling convention (non-forwarding) is identical in both."""
+    from spatial_spark.operators.graph import pagerank
+    e1 = spark.sql("""
+        SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 10000000 AS dst
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    """)
+    edges = e1.union(e1.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+    pr = pagerank(edges, iters=3, damping=0.85)
+    # one row per node and the loop's checkpoints already materialized
+    # the pipeline, so N comes from the result, not a second scan
+    n = pr.count()
+    return pr.select("node",
+                     F.round(F.col("rank") * n, 6).alias("rank_scaled"))
+
+
+_PAGERANK_ORACLE = """
+    WITH e1 AS (
+      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 10000000 AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    e AS (SELECT src, dst FROM e1
+          UNION SELECT dst AS src, src AS dst FROM e1),
+    nodes AS (SELECT DISTINCT src AS node FROM e
+              UNION SELECT DISTINCT dst FROM e),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
+               FROM e GROUP BY src),
+    r0 AS (SELECT node, 1.0 / n.n AS rank FROM nodes CROSS JOIN n),
+    {iter_ctes}
+    SELECT r3.node,
+           round(r3.rank * n.n, 6) AS rank_scaled
+    FROM r3 CROSS JOIN n
+"""
+
+
+def _pagerank_iter_ctes(iters: int = 3, damping: float = 0.85) -> str:
+    out = []
+    for i in range(iters):
+        out.append(f"""
+    c{i} AS (
+      SELECT e.dst AS node, sum(r.rank / o.outdeg) AS contrib
+      FROM e JOIN r{i} r ON r.node = e.src
+             JOIN outdeg o ON o.src = e.src
+      GROUP BY e.dst),
+    r{i + 1} AS (
+      SELECT nd.node,
+             (1.0 - {damping!r}) / n.n
+               + {damping!r} * coalesce(c.contrib, 0.0) AS rank
+      FROM nodes nd CROSS JOIN n LEFT JOIN c{i} c ON c.node = nd.node)""")
+    return ",".join(out)
+
+
 def _q_datastore_gjl(spark, sf_dir) -> DataFrame:
     """GeoTools-DataStore facade on the hard gate (SURVEY §2.1 #6,
     previously pytest-only): nation zones serialized as
@@ -2152,6 +2273,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10 window ahead of the 13 age-2 holders above
         "st_transform_lcc": _q_st_transform_lcc,
         "mp4_codec_meta": _q_mp4_codec_meta,
+        "kmeans_embed": _q_kmeans_embed,
+        "pagerank": _q_pagerank,
     }.items()}
 
 
@@ -3162,6 +3285,9 @@ def oracle_sql() -> dict[str, str]:
         "st_transform_utm": _utm_oracle_sql(),
         "st_transform_lcc": _lcc_oracle_sql(),
         "mp4_codec_meta": _MP4_CODEC_ORACLE,
+        "kmeans_embed": _kmeans_oracle_sql(),
+        "pagerank": _PAGERANK_ORACLE.format(
+            iter_ctes=_pagerank_iter_ctes()),
         "density_greedy": """
             SELECT c_custkey,
                    min(c_custkey) OVER (PARTITION BY c_custkey % 24)

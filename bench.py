@@ -52,8 +52,9 @@ HEADLINE = [
     "intersect_all", "isvalid_isempty", "equal_env", "results_layer",
     "datastore_write", "st_transform_utm", "media_mjpeg",
     "density_greedy",
-    # r9 late additions: the conic CRS tier + codec-config metadata
-    "st_transform_lcc", "mp4_codec_meta",
+    # r9 late additions: the conic CRS tier, codec-config metadata,
+    # embedding k-means, PageRank
+    "st_transform_lcc", "mp4_codec_meta", "kmeans_embed", "pagerank",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -110,6 +111,7 @@ BUDGET_SF01 = {
     "datastore_write": 3.7, "st_transform_utm": 1.5, "media_mjpeg": 2.4,
     "density_greedy": 4.2,
     "st_transform_lcc": 0.8, "mp4_codec_meta": 1.7,
+    "kmeans_embed": 5.3, "pagerank": 14.5,
 }
 
 

@@ -1,0 +1,83 @@
+"""Embedding-space clustering: distributed Lloyd k-means.
+
+The SemDeDup-class curation recipe (cluster the corpus in embedding
+space, then dedup/select within clusters) needs a k-means whose every
+step survives 100 TB:
+
+  * init — the k lowest-id vectors (DETERMINISTIC, so the DuckDB oracle
+    can reproduce the whole run; k rows to the driver, bounded);
+  * assign — map-only: centroids broadcast in the task closure, one
+    Arrow batch GEMM per partition (|x|^2 - 2 x C^T + |c|^2), argmin
+    with first-index tie-break;
+  * update — ONE groupBy on k keys with per-element F.sum aggregates:
+    partial aggregation (map-side combine) means the shuffle carries
+    k x dim partial sums per partition, never vectors; empty clusters
+    keep their previous centroid (Lloyd convention, oracle-mirrored).
+
+Iterations are a driver loop over those two bounded steps — the
+centroid state is k x dim floats, not data-scale.  Reference scope:
+the reference engine has no clustering; this is part of the
+training-data-pipeline axis (SURVEY §6 extension), same family as
+operators/similarity.IVFIndex (whose build is a sampled one-shot
+assignment, not iterated Lloyd).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["kmeans"]
+
+
+def _assign(df: DataFrame, cent: np.ndarray, vec_col: str) -> DataFrame:
+    """Map-only cluster assignment under broadcast centroids."""
+    c = cent.astype(np.float64)
+    c_sq = (c * c).sum(1)
+
+    @F.pandas_udf(T.IntegerType())
+    def nearest(vecs: pd.Series) -> pd.Series:
+        x = np.array(list(vecs), dtype=np.float64)
+        if x.size == 0:
+            return pd.Series([], dtype="int32")
+        d = (x * x).sum(1)[:, None] - 2.0 * (x @ c.T) + c_sq[None, :]
+        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+    return df.withColumn("cluster", nearest(F.col(vec_col)))
+
+
+def kmeans(df: DataFrame, k: int = 8, iters: int = 3,
+           vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Lloyd k-means over an ``array<float>`` column; returns the input
+    ids with their cluster under the centroids after ``iters`` updates.
+
+    Deterministic end to end: init = the k lowest-``id_col`` vectors,
+    argmin ties break to the smallest cluster index, empty clusters
+    keep their previous centroid — a DuckDB oracle replays the exact
+    run.  Scale: per iteration one broadcast-assign (map-only) and one
+    k-key groupBy whose partial aggregation ships k x dim sums, so the
+    driver never holds more than the k x dim centroid state."""
+    dim = len(df.select(vec_col).first()[0])
+    init_rows = (df.orderBy(id_col).limit(k)
+                 .select(vec_col).collect())
+    cent = np.array([r[0] for r in init_rows], dtype=np.float64)
+    if cent.shape[0] < k:
+        raise ValueError(f"kmeans: need >= {k} rows, got {cent.shape[0]}")
+
+    sums = [F.sum(F.col(vec_col).getItem(j).cast("double")).alias(f"s{j}")
+            for j in range(dim)]
+    for _ in range(iters):
+        agg = (_assign(df, cent, vec_col)
+               .groupBy("cluster")
+               .agg(F.count(F.lit(1)).alias("n"), *sums)
+               .collect())                      # k rows x dim doubles
+        new = cent.copy()                       # empty cluster keeps old
+        for row in agg:
+            new[row["cluster"]] = np.array(
+                [row[f"s{j}"] for j in range(dim)]) / row["n"]
+        cent = new
+    return (_assign(df, cent, vec_col)
+            .select(id_col, "cluster"))

@@ -219,3 +219,54 @@ def min_label_components(nodes: DataFrame, edges: DataFrame,
     # recompute when the caller materializes the result.
     singles = nodes_l.join(labels.select("node"), "node", "left_anti")
     return labels.union(singles.withColumn("island", F.col("node")))
+
+
+def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
+             src: str = "src", dst: str = "dst") -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list; returns
+    (node, rank) for every endpoint after ``iters`` power steps.
+
+    The classic one-shuffle-per-iteration Spark shape: ranks join the
+    out-degree table (broadcast-sized per node id — both shuffles key
+    on the node id so AQE reuses the partitioning), contributions
+    groupBy(dst) with map-side partial sums, dangling nodes (no
+    out-edges) simply stop forwarding mass — the deterministic
+    convention a relational oracle replays exactly:
+
+        rank'(v) = (1 - d)/N + d * sum_{(u,v) in E} rank(u)/outdeg(u)
+
+    Per-round ``localCheckpoint`` truncates the iterative lineage the
+    same way min_label_components does, so iters=20 does not compile a
+    20-deep join tree."""
+    e = edges.select(F.col(src).alias("src"),
+                     F.col(dst).alias("dst")).distinct()
+    # the per-iteration loop touches three STATIC frames (edges with
+    # their out-degree attached, and the node set) — persist them once
+    # so every power step replays k x |E| cached rows, not the upstream
+    # scan+distinct lineage; out-degree is pre-joined outside the loop
+    # (it never changes), leaving ONE rank join per iteration
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e_deg = e.join(outdeg, "src").persist()
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct().persist())
+    n_nodes = nodes.count()
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(iters):
+        contrib = (e_deg.join(ranks.withColumnRenamed("node", "src"),
+                              "src")
+                   .select(F.col("dst").alias("node"),
+                           (F.col("rank") / F.col("outdeg"))
+                           .alias("share"))
+                   .groupBy("node")
+                   .agg(F.sum("share").alias("contrib")))
+        ranks = (nodes.join(contrib, "node", "left")
+                 .select("node",
+                         (F.lit(base) + F.lit(damping)
+                          * F.coalesce(F.col("contrib"), F.lit(0.0)))
+                         .alias("rank"))
+                 .localCheckpoint(eager=True))
+    e_deg.unpersist()
+    nodes.unpersist()
+    return ranks

@@ -2789,3 +2789,67 @@ def test_mp4_codec_config_tracks(spark):
     assert got[0]["profile_idc"] == 100
     assert got[1]["sample_rate"] == 96000 and got[1]["channels"] == 2
     assert got[2]["profile_idc"] is None and got[2]["sample_rate"] is None
+
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    """The distributed k-means replays EXACTLY a single-machine numpy
+    Lloyd reference on the same deterministic init (k lowest ids),
+    tie-break, and empty-cluster rule — and clusters a well-separated
+    fixture perfectly."""
+    import numpy as np
+    from spatial_spark.operators.cluster import kmeans
+    rng = np.random.default_rng(11)
+    centers = np.array([[10.0, 0.0, 0.0], [0.0, 10.0, 0.0],
+                        [0.0, 0.0, 10.0]])
+    # interleaved so the deterministic init (3 lowest ids) draws one
+    # seed from each blob — Lloyd then separates them perfectly
+    blobs = [c + rng.normal(0, 0.3, (40, 3)) for c in centers]
+    pts = np.stack(blobs, axis=1).reshape(-1, 3)   # b0[0],b1[0],b2[0],...
+    rows = [(int(i), [float(v) for v in p]) for i, p in enumerate(pts)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["cluster"]
+           for r in kmeans(df, k=3, iters=4).collect()}
+
+    # numpy reference with identical conventions (float32 load, f64 math)
+    x = pts.astype(np.float32).astype(np.float64)
+    cent = x[:3].copy()
+    for _ in range(4):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        for c in range(3):
+            if (a == c).any():
+                cent[c] = x[a == c].mean(0)
+    ref = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1).argmin(1)
+    assert got == {i: int(ref[i]) for i in range(len(x))}
+    # well-separated blobs end up cleanly partitioned (blob b = every
+    # 3rd id starting at b under the interleaved layout)
+    for blk in range(3):
+        assert len({got[i] for i in range(blk, 120, 3)}) == 1
+
+
+def test_pagerank_known_graph(spark):
+    """PageRank on a hand-solvable graph: a 2-cycle plus a dangling
+    feeder matches the closed-form power iteration, mass stays
+    bounded, and a symmetric pair gets equal ranks."""
+    import numpy as np
+    from spatial_spark.operators.graph import pagerank
+    # A -> B, B -> A (symmetric core), C -> A (dangling after forward)
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 1)], "src long, dst long")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, iters=3, damping=0.85).collect()}
+    # reference: same convention (dangling C forwards nothing)
+    n, d = 3, 0.85
+    r = {1: 1 / 3, 2: 1 / 3, 3: 1 / 3}
+    for _ in range(3):
+        r = {1: (1 - d) / n + d * (r[2] + r[3]),
+             2: (1 - d) / n + d * r[1],
+             3: (1 - d) / n}
+    for k in (1, 2, 3):
+        assert abs(got[k] - r[k]) < 1e-12, (k, got[k], r[k])
+    assert got[1] > got[2] > got[3]
+    # symmetric 4-cycle: all ranks equal 1/N exactly
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long")
+    ranks = [r["rank"] for r in pagerank(cyc, iters=5).collect()]
+    assert all(abs(v - 0.25) < 1e-12 for v in ranks)
