@@ -78,6 +78,11 @@ PROBES = {
                       " the top candidates; fixed probe count"),
     "ivf_knn": ("linear", "IVF write + cell-pruned search; probes read"
                 " a fixed cell fraction of a kx corpus"),
+    # --- iterative operators (r9 fourth wave) ---
+    "kmeans_embed": ("linear", "map-only GEMM assignment under broadcast"
+                     " centroids; update shuffles kxdim partial sums"),
+    "pagerank_scaled": ("linear", "per-step: one edges(join)ranks shuffle"
+                        " + one groupBy(dst); graph synthesized kx"),
 }
 
 
@@ -97,8 +102,34 @@ def _probe_density_islands_full(spark, sf_dir):
             .groupBy("n_members").agg(F.count(F.lit(1)).alias("n_islands")))
 
 
+def _probe_pagerank_scaled(spark, sf_dir):
+    """PageRank over a graph that actually SCALES with the dir (the
+    registered gate's orders/lineitem tables are symlinked, i.e.
+    constant): nodes = the scaled customer keys plus an equal-size dst
+    space, edges = 3 deterministic hash links per customer, both
+    directions — |V| and |E| grow kx while degrees stay ~6."""
+    from pyspark.sql import functions as F
+
+    from spatial_spark.operators.graph import pagerank
+    cust = spark.table("customer").select("c_custkey")
+    n = cust.count()
+    e1 = cust.select(
+        F.col("c_custkey").alias("src"),
+        (F.lit(10_000_000)
+         + (F.col("c_custkey") * 2654435761) % n).alias("dst"))
+    for mult in (40503, 2654435769):
+        e1 = e1.union(cust.select(
+            F.col("c_custkey").alias("src"),
+            (F.lit(10_000_000)
+             + (F.col("c_custkey") * mult) % n).alias("dst")))
+    edges = e1.union(e1.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+    return pagerank(edges, iters=3)
+
+
 CUSTOM_PROBES = {
     "density_islands_full": _probe_density_islands_full,
+    "pagerank_scaled": _probe_pagerank_scaled,
 }
 
 
