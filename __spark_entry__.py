@@ -816,7 +816,8 @@ def _q_kmeans_embed(spark, sf_dir) -> DataFrame:
     return kmeans(spark.table("embeddings"), k=8, iters=3)
 
 
-def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3,
+                       where: str = "TRUE") -> str:
     """The same Lloyd run in pure SQL: parallel-unnest the vectors to
     (vec_id, j, val), then per iteration a distance GROUP BY, a
     row_number argmin (ties -> smallest cid), and a coalesce'd
@@ -826,10 +827,10 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
           SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS j,
                  unnest(list_transform(embedding,
                                        x -> CAST(x AS DOUBLE))) AS val
-          FROM embeddings),
+          FROM embeddings WHERE {where}),
         seeds AS (
           SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
-          FROM embeddings ORDER BY vec_id LIMIT {k}),
+          FROM embeddings WHERE {where} ORDER BY vec_id LIMIT {k}),
         cent0 AS (
           SELECT s.cid, e.j, e.val FROM seeds s
           JOIN elems e ON e.vec_id = s.vec_id)"""]
@@ -857,12 +858,60 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
           SELECT e.vec_id, c.cid,
                  sum((e.val - c.val) * (e.val - c.val)) AS d
           FROM elems e JOIN cent{iters} c ON e.j = c.j
-          GROUP BY e.vec_id, c.cid)
-        SELECT vec_id, CAST(cid AS INT) AS cluster FROM (
-          SELECT vec_id, cid, row_number() OVER (
-            PARTITION BY vec_id ORDER BY d, cid) AS rn FROM dF)
-        WHERE rn = 1""")
+          GROUP BY e.vec_id, c.cid),
+        afinal AS (
+          SELECT vec_id, cid FROM (
+            SELECT vec_id, cid, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d, cid) AS rn FROM dF)
+          WHERE rn = 1)""")
     return "".join(parts)
+
+
+def _kmeans_final_select() -> str:
+    return """
+        SELECT vec_id, CAST(cid AS INT) AS cluster FROM afinal"""
+
+
+def _semdedup_oracle_sql(threshold: float = 0.44, where: str = "TRUE",
+                         k: int = 8, iters: int = 3) -> str:
+    """semdedup = the SAME Lloyd CTE chain (afinal) + within-cluster
+    cosine pairs (relational 64-element dot products) + the one-pass
+    smaller-id drop rule."""
+    return _kmeans_oracle_sql(k=k, iters=iters, where=where) + f""",
+        norms AS (
+          SELECT vec_id, sqrt(sum(val * val)) AS nrm
+          FROM elems GROUP BY vec_id),
+        pairs AS (
+          SELECT a.vec_id AS ia, b.vec_id AS ib,
+                 sum(ea.val * eb.val) AS dot
+          FROM afinal a JOIN afinal b
+            ON a.cid = b.cid AND a.vec_id < b.vec_id
+          JOIN elems ea ON ea.vec_id = a.vec_id
+          JOIN elems eb ON eb.vec_id = b.vec_id AND eb.j = ea.j
+          GROUP BY a.vec_id, b.vec_id),
+        dropped AS (
+          SELECT DISTINCT p.ib AS vec_id
+          FROM pairs p JOIN norms na ON na.vec_id = p.ia
+                       JOIN norms nb ON nb.vec_id = p.ib
+          WHERE p.dot / (na.nrm * nb.nrm) >= {threshold!r})
+        SELECT a.vec_id, CAST(a.cid AS INT) AS cluster,
+               d.vec_id IS NULL AS kept
+        FROM afinal a LEFT JOIN dropped d ON d.vec_id = a.vec_id"""
+
+
+def _q_semdedup(spark, sf_dir) -> DataFrame:
+    """SemDeDup composition gate (cluster → within-cluster near-dup
+    drop): kmeans_embed's exact Lloyd run feeds a per-cluster cosine
+    pair scan with the one-pass smaller-id drop rule; (vec_id, cluster,
+    kept) hash-compared against the composed relational oracle.  Input
+    capped at vec_id < 2500 so the oracle's within-cluster pair join
+    stays bounded at every SF (the operator itself is uncapped); the
+    0.44 threshold sits in the same >=1e-4-wide cosine-distribution gap
+    the semantic_dedup gate documents, so engine float-sum noise
+    cannot flip a pair."""
+    from spatial_spark.operators.cluster import semdedup
+    return semdedup(spark.table("embeddings").filter("vec_id < 2500"),
+                    k=8, iters=3, threshold=0.44)
 
 
 def _q_pagerank(spark, sf_dir) -> DataFrame:
@@ -2275,6 +2324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp4_codec_meta": _q_mp4_codec_meta,
         "kmeans_embed": _q_kmeans_embed,
         "pagerank": _q_pagerank,
+        "semdedup": _q_semdedup,
     }.items()}
 
 
@@ -3285,7 +3335,8 @@ def oracle_sql() -> dict[str, str]:
         "st_transform_utm": _utm_oracle_sql(),
         "st_transform_lcc": _lcc_oracle_sql(),
         "mp4_codec_meta": _MP4_CODEC_ORACLE,
-        "kmeans_embed": _kmeans_oracle_sql(),
+        "kmeans_embed": _kmeans_oracle_sql() + _kmeans_final_select(),
+        "semdedup": _semdedup_oracle_sql(where="vec_id < 2500"),
         "pagerank": _PAGERANK_ORACLE.format(
             iter_ctes=_pagerank_iter_ctes()),
         "density_greedy": """

@@ -55,6 +55,7 @@ HEADLINE = [
     # r9 late additions: the conic CRS tier, codec-config metadata,
     # embedding k-means, PageRank
     "st_transform_lcc", "mp4_codec_meta", "kmeans_embed", "pagerank",
+    "semdedup",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -111,7 +112,7 @@ BUDGET_SF01 = {
     "datastore_write": 3.7, "st_transform_utm": 1.5, "media_mjpeg": 2.4,
     "density_greedy": 4.2,
     "st_transform_lcc": 0.8, "mp4_codec_meta": 1.7,
-    "kmeans_embed": 5.3, "pagerank": 14.5,
+    "kmeans_embed": 5.3, "pagerank": 14.5, "semdedup": 8.0,
 }
 
 

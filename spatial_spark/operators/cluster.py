@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["kmeans"]
+__all__ = ["kmeans", "semdedup"]
 
 
 def _assign(df: DataFrame, cent: np.ndarray, vec_col: str) -> DataFrame:
@@ -81,3 +81,56 @@ def kmeans(df: DataFrame, k: int = 8, iters: int = 3,
         cent = new
     return (_assign(df, cent, vec_col)
             .select(id_col, "cluster"))
+
+
+def semdedup(df: DataFrame, k: int = 8, iters: int = 3,
+             threshold: float = 0.44, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023 shape): k-means the corpus, then
+    drop near-duplicates WITHIN each cluster — returns (id, cluster,
+    kept) for every input row.
+
+    The drop rule is the deterministic one-pass convention: a row is
+    dropped iff SOME smaller-id row in its cluster has cosine >=
+    ``threshold`` with it (independent of that row's own fate), so the
+    result needs no transitive closure and a relational oracle can
+    replay it.  Exact mode by construction: the within-cluster pair
+    scan is one applyInPandas per cluster (a GEMM on the cluster's
+    vectors).  That is the documented exact-oracle baseline, same
+    contract as operators/dedup.semantic_dedup's exact mode — at
+    production scale clusters bound the pair volume (n^2/k for
+    balanced clusters), and the scale path for oversized clusters is
+    recursing kmeans or hyperplane LSH within the cluster."""
+    assigned = kmeans(df, k=k, iters=iters, vec_col=vec_col,
+                      id_col=id_col)
+    data = df.select(id_col, vec_col).join(assigned, id_col)
+    out_schema = T.StructType([
+        T.StructField(id_col, df.schema[id_col].dataType),
+        T.StructField("cluster", T.IntegerType()),
+        T.StructField("kept", T.BooleanType()),
+    ])
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        v = np.array(list(pdf[vec_col].iloc[order]), dtype=np.float64)
+        vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+        kept = np.ones(len(ids), dtype=bool)
+        # row j drops iff max_{i<j} cos(i, j) >= threshold: chunk the
+        # GEMM so memory stays (chunk x n), never n x n
+        chunk = 2048
+        for lo in range(0, len(ids), chunk):
+            hi = min(lo + chunk, len(ids))
+            s = vn[lo:hi] @ vn.T            # (chunk, n)
+            for r in range(hi - lo):
+                j = lo + r
+                if j > 0 and s[r, :j].max() >= threshold:
+                    kept[j] = False
+        return pd.DataFrame({
+            id_col: ids,
+            "cluster": np.full(len(ids), int(pdf["cluster"].iloc[0]),
+                               dtype=np.int32),
+            "kept": kept})
+
+    return data.groupBy("cluster").applyInPandas(scan, out_schema)

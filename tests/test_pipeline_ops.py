@@ -2853,3 +2853,36 @@ def test_pagerank_known_graph(spark):
         [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long")
     ranks = [r["rank"] for r in pagerank(cyc, iters=5).collect()]
     assert all(abs(v - 0.25) < 1e-12 for v in ranks)
+
+
+def test_semdedup_drops_planted_neardups(spark):
+    """semdedup keeps one representative per planted near-dup group
+    (the SMALLEST id, per the one-pass rule), keeps singletons, and
+    never drops across clusters: two far-apart blobs each get a planted
+    twin pair; the twins drop, the originals and the noise survive."""
+    import numpy as np
+    from spatial_spark.operators.cluster import semdedup
+    rng = np.random.default_rng(5)
+    a = rng.normal(0, 1, 8)
+    b = rng.normal(50, 1, 8)
+    rows = []
+    # blob A: id 0 original, id 2 near-twin (tiny jitter), id 4 far noise
+    rows.append((0, [float(v) for v in a]))
+    rows.append((2, [float(v) for v in a + 1e-4]))
+    rows.append((4, [float(v) for v in rng.normal(0, 1, 8)]))
+    # blob B: id 1 original, id 3 near-twin, id 5 noise
+    rows.append((1, [float(v) for v in b]))
+    rows.append((3, [float(v) for v in b + 1e-4]))
+    # per-dim scaling changes the DIRECTION (cosine ~0.9), not just the
+    # magnitude — additive noise around a far-from-origin blob stays
+    # cosine~1 and would wrongly count as a near-dup
+    rows.append((5, [float(v) for v in b * rng.uniform(0.2, 1.8, 8)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in
+           semdedup(df, k=2, iters=3, threshold=0.99).collect()}
+    assert got[0]["kept"] and got[1]["kept"]          # originals stay
+    assert not got[2]["kept"] and not got[3]["kept"]  # twins drop
+    assert got[4]["kept"] and got[5]["kept"]          # noise stays
+    # twins share their original's cluster
+    assert got[2]["cluster"] == got[0]["cluster"]
+    assert got[3]["cluster"] == got[1]["cluster"]
