@@ -413,14 +413,19 @@ def test_st_transform_webmercator(spark):
     with _pt.raises(Exception):
         spark.sql("SELECT st_transform(st_point(0.0D, 0.0D), "
                   "'cartesian', 'EPSG:3857')").collect()
-    # UTM is supported since r9 (EPSG:326xx/327xx); a projected CRS
-    # outside the scoped set still raises
+    # UTM is supported since r9 (EPSG:326xx/327xx), and the r9 second
+    # wave added LCC (EPSG:2154) — both interpret meters, no passthrough
     utm = spark.sql("SELECT st_y(st_transform(st_point(15.0D, 50.0D), "
                     "'EPSG:32633', 'EPSG:4326')) AS lat").collect()[0]
     assert utm["lat"] != 50.0  # meters interpreted, not passthrough
+    lcc = spark.sql("SELECT st_y(st_transform(st_point(700000.0D, "
+                    "6600000.0D), 'EPSG:2154', 'EPSG:4326')) AS lat"
+                    ).collect()[0]
+    assert lcc["lat"] == pytest.approx(46.5, abs=1e-9)  # Lambert-93 origin
+    # a projected CRS outside the scoped set still raises
     with _pt.raises(Exception):
         spark.sql("SELECT st_transform(st_point(0.0D, 0.0D), "
-                  "'EPSG:2154', 'EPSG:4326')").collect()
+                  "'EPSG:27700', 'EPSG:4326')").collect()
 
 
 def test_st_dump_and_points_explode(spark):

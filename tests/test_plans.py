@@ -412,3 +412,41 @@ def test_knn_cosine_q8_plan_is_jvm_side(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_kmeans_update_partial_aggregation(spark):
+    """The k-means update shuffle carries k x dim PARTIAL sums, not
+    vectors: partial + final HashAggregate around one hash exchange,
+    and the assignment stage is a single Arrow eval directly over the
+    input (no shuffle before it)."""
+    from spatial_spark.operators.cluster import _assign
+    import numpy as np
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5)]) for i in range(200)],
+        "vec_id long, embedding array<float>")
+    cent = np.array([[0.0, 0.0], [5.0, 5.0]])
+    sums = [F.sum(F.col("embedding").getItem(j).cast("double"))
+            .alias(f"s{j}") for j in range(2)]
+    agg = (_assign(df, cent, "embedding")
+           .groupBy("cluster").agg(F.count(F.lit(1)).alias("n"), *sums))
+    plan = _plan(agg)
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning" in plan
+    # exactly one Python/Arrow eval (the assignment UDF), before the agg
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_pagerank_iteration_lineage_truncated(spark):
+    """Each PageRank power step cuts lineage (localCheckpoint): the
+    final plan must NOT contain the iteration-count-deep join tree —
+    after 5 iterations the executed plan references the checkpointed
+    RDD scan, not 5 nested joins of the edge table."""
+    from spatial_spark.operators.graph import pagerank
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 50) for i in range(200)],
+        "src long, dst long")
+    pr = pagerank(edges, iters=5)
+    plan = _plan(pr)
+    assert "Scan ExistingRDD" in plan        # checkpoint cut the lineage
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") \
+        <= 2  # at most the final iteration's own joins survive
