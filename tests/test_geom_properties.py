@@ -697,3 +697,25 @@ def test_st_transform_udf_conic_frames(spark):
         k = transform_points(np.array([[lon, lat]]), "wgs84", _frame(crs))
         assert abs(got[i]["x"] - k[0, 0]) < 1e-6, crs
         assert abs(got[i]["y"] - k[0, 1]) < 1e-6, crs
+
+
+@given(st.floats(-179.99, 179.99), st.floats(-75.0, 85.0),
+       st.integers(0, 2**31 - 1))
+@settings(max_examples=40, deadline=None)
+def test_lcc_sql_parity_randomized(lon, lat, seed):
+    """Randomized LCC SQL-vs-kernel parity in DUCKDB (no Spark session
+    per example — DuckDB evaluates the identical text, and
+    test_lcc_sql_text_matches_kernel pins the Spark half on fixed
+    points): any (lon, lat) in the validity band maps to the same
+    easting/northing to sub-micrometer in both implementations."""
+    import duckdb
+    import numpy as np
+    from spatial_spark.functions.crs import lcc_forward, lcc_forward_ctes
+    q = (lcc_forward_ctes(
+        f"SELECT CAST({lon!r} AS DOUBLE) AS lon, "
+        f"CAST({lat!r} AS DOUBLE) AS lat")
+        + " SELECT easting, northing FROM _lcc_out")
+    de, dn = duckdb.sql(q).fetchall()[0]
+    k = lcc_forward(np.array([[lon, lat]]), 49.0, 44.0, 46.5, 3.0,
+                    700000.0, 6600000.0)
+    assert abs(de - k[0, 0]) < 1e-6 and abs(dn - k[0, 1]) < 1e-6
