@@ -1555,6 +1555,9 @@ def parse_h264_sps(sps: bytes) -> dict:
     chroma, bit_depth = 1, 8
     if profile in _H264_HIGH_PROFILES:
         chroma = r.ue()
+        if chroma > 3:
+            raise ValueError(f"H264: chroma_format_idc {chroma} out of "
+                             "0..3")
         separate = r.read(1) if chroma == 3 else 0
         bit_depth = 8 + r.ue()
         r.ue()                              # bit_depth_chroma_minus8
@@ -1593,6 +1596,9 @@ def parse_h264_sps(sps: bytes) -> dict:
         * (2 - frame_mbs_only)
     width = 16 * w_mbs - unit_x * (crop_l + crop_r)
     height = 16 * (2 - frame_mbs_only) * h_units - unit_y * (crop_t + crop_b)
+    if width <= 0 or height <= 0:
+        raise ValueError("H264: SPS crop rectangle exceeds the frame "
+                         f"({width}x{height})")
     return {"profile_idc": profile, "level_idc": level,
             "chroma_format_idc": chroma, "bit_depth_luma": bit_depth,
             "width": width, "height": height,

@@ -2886,3 +2886,59 @@ def test_semdedup_drops_planted_neardups(spark):
     # twins share their original's cluster
     assert got[2]["cluster"] == got[0]["cluster"]
     assert got[3]["cluster"] == got[1]["cluster"]
+
+
+def test_h264_parser_rejects_garbage_cleanly():
+    """parse_h264_sps on arbitrary byte soup must terminate with a
+    clean ValueError/IndexError — never hang or return nonsense
+    silently (the Exp-Golomb reader caps zero runs at 31); and the
+    emulation-prevention pair round-trips ANY payload."""
+    import random
+
+    from spatial_spark.operators import codecs as C
+    rng = random.Random(99)
+    failures = 0
+    for _ in range(500):
+        buf = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 40)))
+        try:
+            got = C.parse_h264_sps(buf)
+            # if it parses, dimensions must at least be positive ints
+            assert got["width"] != 0 and got["height"] > 0
+        except (ValueError, IndexError):
+            failures += 1
+    assert failures > 0   # garbage mostly fails, and fails CLEANLY
+    for _ in range(300):
+        payload = bytes(rng.choice((0, 0, 0, 1, 2, 3, 255))
+                        for _ in range(rng.randrange(0, 60)))
+        wire = C._insert_emulation(payload)
+        # start-code emulations (00 00 00/01/02) never survive on the
+        # wire; 00 00 03 is the legal emulation-prevention byte itself
+        for i in range(len(wire) - 2):
+            assert not (wire[i] == 0 and wire[i + 1] == 0
+                        and wire[i + 2] <= 2)
+        assert C._strip_emulation(wire) == payload
+
+
+def test_st_transform_lcc_polygon_roundtrip(spark):
+    """The UDF's per-vertex (non-point) path handles the conic frames:
+    a holed polygon 4326→2154→4326 returns vertex-identical rings to
+    1e-9 degrees, and its projected area is plausible (France-sized
+    coordinates, meters^2)."""
+    from spatial_spark import register_all
+    register_all(spark)
+    wkt = ("POLYGON ((2 44, 6 44, 6 48, 2 48, 2 44), "
+           "(3 45, 4 45, 4 46, 3 46, 3 45))")
+    row = spark.sql(f"""
+        SELECT st_astext(st_transform(st_transform(st_geomfromtext('{wkt}'),
+                 'EPSG:4326', 'EPSG:2154'), 'EPSG:2154', 'EPSG:4326')) AS w,
+               st_area(st_transform(st_geomfromtext('{wkt}'),
+                 'EPSG:4326', 'EPSG:2154')) AS a
+    """).collect()[0]
+    import numpy as np
+
+    from spatial_spark.geom import from_wkt
+    got, exp = from_wkt(row["w"]), from_wkt(wkt)
+    for gr, er in zip(got.data, exp.data):
+        assert np.abs(np.asarray(gr) - np.asarray(er)).max() < 1e-9
+    # ~4 deg x 4 deg at 46N minus the hole: roughly 1.2e11 m^2
+    assert 0.8e11 < row["a"] < 2.0e11
