@@ -464,6 +464,44 @@ def _q_st_transform_utm(spark, sf_dir) -> DataFrame:
         F.expr("CAST(round(st_y(u) * 100) AS BIGINT)").alias("n_cm"))
 
 
+def _q_st_transform_laea(spark, sf_dir) -> DataFrame:
+    """Lambert Azimuthal EQUAL-AREA gate (EPSG:3035, the EU statistical
+    grid; Snyder oblique-aspect formulas / EPSG method 9820): customer
+    points through the st_transform UDF, cm integers hash-compared
+    against the dual-engine closed-form SQL (laea_forward_ctes).  Rows
+    within 900 km of the projection ANTIPODE (10E 52N → 170W 52S) are
+    excluded with the shared spherical-distance text — there the rim
+    blow-up amplifies kernel-vs-SQL ulp differences past cm scale
+    (documented conditioning, functions/crs.py)."""
+    d_anti = _sphere_sql("-170.0", "-52.0", "lon", "lat")
+    pts = (_customer_points(spark)
+           .filter(f"({d_anti}) >= 900.0")
+           .withColumn("l", F.expr(
+               "st_transform(st_point(lon, lat), 'EPSG:4326', "
+               "'EPSG:3035')")))
+    return pts.select(
+        "c_custkey",
+        F.expr("CAST(round(st_x(l) * 100) AS BIGINT)").alias("e_cm"),
+        F.expr("CAST(round(st_y(l) * 100) AS BIGINT)").alias("n_cm"))
+
+
+def _laea_oracle_sql() -> str:
+    """The SAME oblique-LAEA forward map as closed-form SQL
+    (crs.laea_forward_ctes — constants from the same laea_constants,
+    q(phi) and the antimeridian wrap in the kernel's op order), with
+    the identical antipodal-cap exclusion."""
+    from spatial_spark.functions.crs import laea_forward_ctes
+    d_anti = _sphere_sql("-170.0", "-52.0", CUST_LON, CUST_LAT)
+    base = f"""SELECT c_custkey, {CUST_LON} AS lon, {CUST_LAT} AS lat
+               FROM customer
+               WHERE ({d_anti}) >= 900.0"""
+    return laea_forward_ctes(base) + """
+        SELECT c_custkey,
+               CAST(round(easting * 100) AS BIGINT) AS e_cm,
+               CAST(round(northing * 100) AS BIGINT) AS n_cm
+        FROM _laea_out"""
+
+
 def _q_st_transform_lcc(spark, sf_dir) -> DataFrame:
     """Lambert Conformal Conic gate (r9 conic CRS tier): customer
     points 4326 → EPSG:2154 (Lambert-93) through the st_transform UDF
@@ -2328,6 +2366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embed": _q_kmeans_embed,
         "pagerank": _q_pagerank,
         "semdedup": _q_semdedup,
+        "st_transform_laea": _q_st_transform_laea,
     }.items()}
 
 
@@ -3337,6 +3376,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "st_transform_utm": _utm_oracle_sql(),
         "st_transform_lcc": _lcc_oracle_sql(),
+        "st_transform_laea": _laea_oracle_sql(),
         "mp4_codec_meta": _MP4_CODEC_ORACLE,
         "kmeans_embed": _kmeans_oracle_sql() + _kmeans_final_select(),
         "semdedup": _semdedup_oracle_sql(where="vec_id < 2500"),

