@@ -1816,6 +1816,67 @@ def _q_media_histogram(spark, sf_dir) -> DataFrame:
                          F.posexplode("histogram16").alias("bin", "n")))
 
 
+def _image_hash_fixture_df(spark):
+    """96 deterministic two-tone GIFs (48 base + 48 near-dup twins whose
+    split column moves by one): left `wa` columns = v, rest = u.  GIF is
+    lossless and the gray channels are equal, so the decoded luma is
+    exactly the two-tone pattern — and the exact-integer area resize
+    makes every aHash/dHash bit a closed-form integer comparison DuckDB
+    can replay (see the image_hashes oracle)."""
+    import numpy as np
+    from spatial_spark.operators.codecs import encode_gif
+    from pyspark.sql import types as T
+
+    def tone(i, w, wa, v, u):
+        h = 5 + (i % 3) * 4
+        img = np.zeros((h, w, 3), dtype=np.uint8)
+        img[:, :wa] = v
+        img[:, wa:] = u
+        return img
+
+    rows = []
+    for i in range(48):
+        w = 16 + 8 * (i % 4)
+        v, u = (i * 37) % 256, (i * 91 + 13) % 256
+        wa = 1 + (i * 5) % (w - 1)
+        wa2 = wa + 1 if wa + 1 <= w - 1 else wa - 1
+        rows.append((i, bytearray(encode_gif(tone(i, w, wa, v, u)))))
+        rows.append((1000 + i, bytearray(encode_gif(tone(i, w, wa2, v, u)))))
+    schema = T.StructType([T.StructField("media_id", T.LongType(), False),
+                           T.StructField("payload", T.BinaryType(), True)])
+    return spark.createDataFrame(rows, schema)
+
+
+def _q_image_hashes(spark, sf_dir) -> DataFrame:
+    """Perceptual image hashes on the hard gate: real GIF decode →
+    exact-integer area resize → aHash (8×8 vs global mean) and dHash
+    (8×9 horizontal gradient), both 64-bit signed.  The two-tone
+    fixtures make every bit a closed-form integer comparison (cell
+    numerator X_c = t_c·v + (w−t_c)·u with t_c the scaled overlap of
+    output cell c with the left tone), so DuckDB recomputes the packed
+    hashes bit-exactly."""
+    from spatial_spark.operators.imagehash import image_hashes
+    return (image_hashes(_image_hash_fixture_df(spark),
+                         methods=("ahash", "dhash"))
+            .select("media_id", "ahash", "dhash"))
+
+
+def _q_image_dedup(spark, sf_dir) -> DataFrame:
+    """Image near-dup pairs on the hard gate: dHash + pigeonhole-banded
+    Hamming self-join (t=16 → 17 blocks; any pair within distance t
+    shares a block, so candidates are exact).  The fixtures' row-uniform
+    structure makes every Hamming distance a multiple of 8 (8 identical
+    rows), and the oracle brute-forces the same pairs from the
+    closed-form bits."""
+    from spatial_spark.operators.imagehash import (hamming_near_dup_pairs,
+                                                   image_hashes)
+    hashes = image_hashes(_image_hash_fixture_df(spark), methods=("dhash",))
+    pairs = hamming_near_dup_pairs(hashes, hash_col="dhash",
+                                   max_distance=16)
+    return pairs.select("id_a", "id_b",
+                        F.col("hamming").cast("int").alias("hamming"))
+
+
 def _q_winnowing(spark, sf_dir) -> DataFrame:
     """Winnowing fingerprints (k=8, window=4) over documents — vectorized
     FNV-1a k-gram hashes + sliding-window minima, deduped per doc."""
@@ -2367,6 +2428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "semdedup": _q_semdedup,
         "st_transform_laea": _q_st_transform_laea,
+        "image_hashes": _q_image_hashes,
+        "image_dedup": _q_image_dedup,
     }.items()}
 
 
@@ -3154,6 +3217,60 @@ def _quality_oracle_sql() -> str:
     """
 
 
+# Closed-form perceptual-hash bits for the two-tone GIF fixtures
+# (_image_hash_fixture_df): output cell c of an exact area resize to
+# out_w cells has integer numerator X_c = t_c*v + (w - t_c)*u with
+# t_c = min((c+1)*w, out_w*wa) - min(c*w, out_w*wa) (the overlap of the
+# cell with the left tone, scaled by out_w).  Rows are uniform, so the
+# row factor h cancels from every comparison: aHash bit = 8*X8_c > ΣX8,
+# dHash bit = X9_c > X9_{c+1}, and the packed 64-bit hash is the 8-bit
+# row byte replicated (rb * 0x0101010101010101), signed two's complement.
+_IMAGE_HASH_CTES = """
+    WITH items AS (SELECT unnest(generate_series(0, 47)) AS i),
+    base AS (
+      SELECT i, 16 + 8*(i % 4) AS w, (i*37) % 256 AS v,
+             (i*91 + 13) % 256 AS u,
+             1 + (i*5) % (16 + 8*(i % 4) - 1) AS wa
+      FROM items),
+    imgs AS (
+      SELECT CAST(i AS BIGINT) AS media_id, w, v, u, wa FROM base
+      UNION ALL
+      SELECT CAST(i + 1000 AS BIGINT), w, v, u,
+             CASE WHEN wa + 1 <= w - 1 THEN wa + 1 ELSE wa - 1 END
+      FROM base),
+    cs AS (SELECT unnest(generate_series(0, 8)) AS c),
+    x8 AS (
+      SELECT media_id, c,
+             (least((c+1)*w, 8*wa) - least(c*w, 8*wa)) * v
+             + (w - (least((c+1)*w, 8*wa) - least(c*w, 8*wa))) * u AS x
+      FROM imgs, cs WHERE c < 8),
+    abits AS (
+      SELECT media_id, c,
+             CASE WHEN 8 * x > sum(x) OVER (PARTITION BY media_id)
+                  THEN 1 ELSE 0 END AS bit
+      FROM x8),
+    x9 AS (
+      SELECT media_id, c,
+             (least((c+1)*w, 9*wa) - least(c*w, 9*wa)) * v
+             + (w - (least((c+1)*w, 9*wa) - least(c*w, 9*wa))) * u AS x
+      FROM imgs, cs),
+    dbits AS (
+      SELECT a.media_id, a.c,
+             CASE WHEN a.x > b.x THEN 1 ELSE 0 END AS bit
+      FROM x9 a JOIN x9 b ON a.media_id = b.media_id AND b.c = a.c + 1
+      WHERE a.c < 8),
+    arow AS (SELECT media_id, sum(bit * (1 << (7 - c))) AS rb
+             FROM abits GROUP BY media_id),
+    drow AS (SELECT media_id, sum(bit * (1 << (7 - c))) AS rb
+             FROM dbits GROUP BY media_id),
+    packed AS (
+      SELECT a.media_id,
+             CAST(a.rb AS HUGEINT) * 72340172838076673 AS ua,
+             CAST(d.rb AS HUGEINT) * 72340172838076673 AS ud
+      FROM arow a JOIN drow d USING (media_id))
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     d = _sphere_sql(str(PROBE_LON), str(PROBE_LAT), CUST_LON, CUST_LAT)
     li_path_pts = f"""
@@ -3377,6 +3494,25 @@ def oracle_sql() -> dict[str, str]:
         "st_transform_utm": _utm_oracle_sql(),
         "st_transform_lcc": _lcc_oracle_sql(),
         "st_transform_laea": _laea_oracle_sql(),
+        "image_hashes": _IMAGE_HASH_CTES + """
+            SELECT media_id,
+                   CAST(CASE WHEN ua >= 9223372036854775808
+                             THEN ua - 18446744073709551616
+                             ELSE ua END AS BIGINT) AS ahash,
+                   CAST(CASE WHEN ud >= 9223372036854775808
+                             THEN ud - 18446744073709551616
+                             ELSE ud END AS BIGINT) AS dhash
+            FROM packed
+        """,
+        "image_dedup": _IMAGE_HASH_CTES + """
+            SELECT a.media_id AS id_a, b.media_id AS id_b,
+                   CAST(8 * sum(CASE WHEN a.bit != b.bit
+                                     THEN 1 ELSE 0 END) AS INT) AS hamming
+            FROM dbits a JOIN dbits b
+              ON a.c = b.c AND a.media_id < b.media_id
+            GROUP BY a.media_id, b.media_id
+            HAVING 8 * sum(CASE WHEN a.bit != b.bit THEN 1 ELSE 0 END) <= 16
+        """,
         "mp4_codec_meta": _MP4_CODEC_ORACLE,
         "kmeans_embed": _kmeans_oracle_sql() + _kmeans_final_select(),
         "semdedup": _semdedup_oracle_sql(where="vec_id < 2500"),

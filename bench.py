@@ -56,6 +56,8 @@ HEADLINE = [
     # embedding k-means, PageRank
     "st_transform_lcc", "mp4_codec_meta", "kmeans_embed", "pagerank",
     "semdedup", "st_transform_laea",
+    # r9 sixth wave: perceptual image hashing + banded Hamming near-dup
+    "image_hashes", "image_dedup",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -114,6 +116,8 @@ BUDGET_SF01 = {
     "st_transform_lcc": 0.8, "mp4_codec_meta": 1.7,
     "kmeans_embed": 5.3, "pagerank": 14.5, "semdedup": 8.0,
     "st_transform_laea": 0.7,
+    # r9 sixth wave: 2.2x local best-of-two (fixture-decode bound)
+    "image_hashes": 2.0, "image_dedup": 3.9,
 }
 
 

@@ -2942,3 +2942,110 @@ def test_st_transform_lcc_polygon_roundtrip(spark):
         assert np.abs(np.asarray(gr) - np.asarray(er)).max() < 1e-9
     # ~4 deg x 4 deg at 46N minus the hole: roughly 1.2e11 m^2
     assert 0.8e11 < row["a"] < 2.0e11
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing (operators/imagehash.py)
+# ---------------------------------------------------------------------------
+def test_imagehash_resize_exact_vs_brute_force():
+    """The integer-numerator area resize equals the float brute force."""
+    import numpy as np
+    from spatial_spark.operators.imagehash import _cell_numerators
+
+    def ref_resize(gray, oh, ow):
+        h, w = gray.shape
+        out = np.zeros((oh, ow))
+        for r in range(oh):
+            for c in range(ow):
+                y0, y1 = r * h / oh, (r + 1) * h / oh
+                x0, x1 = c * w / ow, (c + 1) * w / ow
+                s = 0.0
+                for y in range(h):
+                    for x in range(w):
+                        dy = max(0.0, min(y + 1, y1) - max(y, y0))
+                        dx = max(0.0, min(x + 1, x1) - max(x, x0))
+                        s += dy * dx * gray[y, x]
+                out[r, c] = s / ((y1 - y0) * (x1 - x0))
+        return out
+
+    rng = np.random.default_rng(11)
+    for _ in range(4):
+        h, w = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+        g = rng.integers(0, 256, size=(h, w)).astype(np.int64)
+        n = _cell_numerators(g, 8, 9)
+        assert np.allclose(n / (h * w), ref_resize(g, 8, 9), atol=1e-9)
+
+
+def test_imagehash_phash_properties():
+    """pHash is brightness-shift invariant (DC-only change) and flips
+    under strong structural edits; identical images hash identically."""
+    import numpy as np
+    from spatial_spark.operators.imagehash import dhash64, phash64
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(40, 200, size=(24, 32, 3)).astype(np.uint8)
+    assert phash64(img) == phash64(img.copy())
+    shifted = (img.astype(np.int16) + 30).astype(np.uint8)   # no clipping
+    assert phash64(shifted) == phash64(img)
+    flipped = img[:, ::-1]
+    assert phash64(flipped) != phash64(img)
+    # dhash: a single-pixel tweak in a 24x32 image moves at most a few bits
+    tweaked = img.copy()
+    tweaked[0, 0] = 255 - tweaked[0, 0]
+    d = bin((dhash64(img) ^ dhash64(tweaked)) & (2**64 - 1)).count("1")
+    assert d <= 4
+
+
+def test_imagehash_hamming_pairs_model(spark):
+    """Banded Hamming join == brute force on random 64-bit hashes."""
+    import numpy as np
+    from pyspark.sql import types as T
+    from spatial_spark.operators.imagehash import hamming_near_dup_pairs
+
+    rng = np.random.default_rng(5)
+    n, t = 60, 10
+    base = rng.integers(-2**63, 2**63, size=12, dtype=np.int64)
+    hashes = []
+    for i in range(n):
+        u = int(base[i % 12]) & (2**64 - 1)
+        for _ in range(int(rng.integers(0, 8))):       # flip 0..7 bits
+            u ^= 1 << int(rng.integers(0, 64))
+        hashes.append(u - 2**64 if u >= 2**63 else u)
+    df = spark.createDataFrame(
+        [(i, int(h)) for i, h in enumerate(hashes)],
+        T.StructType([T.StructField("media_id", T.LongType()),
+                      T.StructField("dhash", T.LongType())]))
+    got = {(r.id_a, r.id_b, r.hamming)
+           for r in hamming_near_dup_pairs(df, max_distance=t).collect()}
+    want = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = bin((hashes[i] ^ hashes[j]) & (2**64 - 1)).count("1")
+            if d <= t:
+                want.add((i, j, d))
+    assert got == want
+
+
+def test_imagehash_spark_real_decode_matches_kernel(spark):
+    """image_hashes over real GIF payloads == the local numpy kernels."""
+    import numpy as np
+    from pyspark.sql import types as T
+    from spatial_spark.operators.codecs import encode_gif
+    from spatial_spark.operators.imagehash import (ahash64, dhash64,
+                                                   image_hashes, phash64)
+
+    rng = np.random.default_rng(3)
+    rows, want = [], {}
+    for i in range(12):
+        h, w = int(rng.integers(8, 30)), int(rng.integers(8, 30))
+        img = np.zeros((h, w, 3), dtype=np.uint8)
+        img[:] = rng.integers(0, 256)
+        img[:, : w // 2] = rng.integers(0, 256)
+        rows.append((i, bytearray(encode_gif(img))))
+        want[i] = (ahash64(img), dhash64(img), phash64(img))
+    df = spark.createDataFrame(
+        rows, T.StructType([T.StructField("media_id", T.LongType()),
+                            T.StructField("payload", T.BinaryType())]))
+    got = {r.media_id: (r.ahash, r.dhash, r.phash)
+           for r in image_hashes(df).collect()}
+    assert got == want
