@@ -1877,6 +1877,42 @@ def _q_image_dedup(spark, sf_dir) -> DataFrame:
                         F.col("hamming").cast("int").alias("hamming"))
 
 
+def _q_geoparquet(spark, sf_dir) -> DataFrame:
+    """GeoParquet 1.0 sink/source round-trip on the hard gate: part
+    rects (WKB) → write_geoparquet (per-partition pyarrow files, spec
+    `geo` footers) → read_geoparquet (footer-union metadata + normal
+    distributed scan).  Re-read areas are hash-compared against the
+    closed-form rects, and the unioned footer metadata (encoding,
+    geometry_types, dataset bbox) rides along as columns so the
+    metadata itself is oracle-checked."""
+    import tempfile
+
+    from spatial_spark.io.geoparquet import (read_geoparquet,
+                                             write_geoparquet)
+    src = spark.sql(f"""
+        SELECT p_partkey, st_geomfromtext(
+                 concat('POLYGON ((', {PART_X0}, ' ', {PART_Y0}, ', ',
+                        {PART_X0} + {PART_W}, ' ', {PART_Y0}, ', ',
+                        {PART_X0} + {PART_W}, ' ', {PART_Y0} + {PART_H}, ', ',
+                        {PART_X0}, ' ', {PART_Y0} + {PART_H}, ', ',
+                        {PART_X0}, ' ', {PART_Y0}, '))')) AS geom
+        FROM part WHERE p_partkey <= 400
+    """)
+    path = tempfile.mkdtemp(prefix="gp_gate_") + "/data"
+    write_geoparquet(src, path)
+    df, meta = read_geoparquet(spark, path)
+    return (df.select(
+                "p_partkey",
+                F.round(F.expr("st_area(geom)"), 6).alias("area"),
+                F.lit(meta["encoding"]).alias("enc"),
+                F.lit(",".join(meta["geometry_types"])).alias("gtypes"),
+                F.round(F.lit(meta["bbox"][0]), 6).alias("bxmin"),
+                F.round(F.lit(meta["bbox"][1]), 6).alias("bymin"),
+                F.round(F.lit(meta["bbox"][2]), 6).alias("bxmax"),
+                F.round(F.lit(meta["bbox"][3]), 6).alias("bymax"))
+            .orderBy("p_partkey"))
+
+
 def _q_winnowing(spark, sf_dir) -> DataFrame:
     """Winnowing fingerprints (k=8, window=4) over documents — vectorized
     FNV-1a k-gram hashes + sliding-window minima, deduped per doc."""
@@ -2430,6 +2466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_transform_laea": _q_st_transform_laea,
         "image_hashes": _q_image_hashes,
         "image_dedup": _q_image_dedup,
+        "geoparquet_roundtrip": _q_geoparquet,
     }.items()}
 
 
@@ -3503,6 +3540,21 @@ def oracle_sql() -> dict[str, str]:
                              THEN ud - 18446744073709551616
                              ELSE ud END AS BIGINT) AS dhash
             FROM packed
+        """,
+        "geoparquet_roundtrip": f"""
+            WITH src AS (
+              SELECT p_partkey,
+                     {PART_X0} AS x0, {PART_Y0} AS y0,
+                     {PART_W} AS w, {PART_H} AS h
+              FROM part WHERE p_partkey <= 400),
+            bb AS (SELECT min(x0) AS bxmin, min(y0) AS bymin,
+                          max(x0 + w) AS bxmax, max(y0 + h) AS bymax
+                   FROM src)
+            SELECT p_partkey, round(w * h, 6) AS area,
+                   'WKB' AS enc, 'Polygon' AS gtypes,
+                   round(bxmin, 6) AS bxmin, round(bymin, 6) AS bymin,
+                   round(bxmax, 6) AS bxmax, round(bymax, 6) AS bymax
+            FROM src, bb ORDER BY p_partkey
         """,
         "image_dedup": _IMAGE_HASH_CTES + """
             SELECT a.media_id AS id_a, b.media_id AS id_b,

@@ -58,6 +58,8 @@ HEADLINE = [
     "semdedup", "st_transform_laea",
     # r9 sixth wave: perceptual image hashing + banded Hamming near-dup
     "image_hashes", "image_dedup",
+    # r9 seventh wave: GeoParquet 1.0 interop sink/source
+    "geoparquet_roundtrip",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -118,6 +120,8 @@ BUDGET_SF01 = {
     "st_transform_laea": 0.7,
     # r9 sixth wave: 2.2x local best-of-two (fixture-decode bound)
     "image_hashes": 2.0, "image_dedup": 3.9,
+    # r9 seventh wave: 2.2x local best-of-two (write+footer+scan bound)
+    "geoparquet_roundtrip": 2.1,
 }
 
 

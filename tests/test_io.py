@@ -462,3 +462,78 @@ def test_osm_user_activity(spark, tmp_path):
     assert str(a.last_ts).startswith("2020-01-02")
     # the anonymous node still parses as an element, just without a user
     assert tables["osm_nodes"].count() == 4
+
+
+# ---------------------------------------------------------------------------
+# GeoParquet 1.0 sink/source (io/geoparquet.py)
+# ---------------------------------------------------------------------------
+def test_geoparquet_roundtrip_and_metadata(spark, tmp_path):
+    """Write → footers carry spec-correct `geo` metadata (per-file bbox,
+    geometry_types, WKB encoding) → read back identical; DuckDB (an
+    external parquet reader) sees the `geo` key too."""
+    import json
+
+    import duckdb
+    from pyspark.sql import functions as F
+    from spatial_spark.functions.scalar import register_all
+    from spatial_spark.io.geoparquet import (geoparquet_dataset_meta,
+                                             read_geoparquet,
+                                             write_geoparquet)
+    register_all(spark)
+    df = spark.sql("""
+      SELECT id, st_geomfromtext(wkt) AS geom FROM VALUES
+        (1, 'POINT (1 2)'), (2, 'LINESTRING (0 0, 4 4)'),
+        (3, 'POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'),
+        (4, 'MULTIPOINT ((9 9), (-1 -3))') AS t(id, wkt)
+    """)
+    path = str(tmp_path / "gp")
+    manifest = write_geoparquet(df.repartition(2), path)
+    assert sum(m["n_rows"] for m in manifest) == 4
+
+    meta = geoparquet_dataset_meta(path)
+    assert meta["version"] == "1.0.0"
+    assert meta["encoding"] == "WKB"
+    assert meta["primary_column"] == "geom"
+    assert meta["bbox"] == [-1.0, -3.0, 9.0, 9.0]
+    assert set(meta["geometry_types"]) == {"Point", "LineString",
+                                           "Polygon", "MultiPoint"}
+
+    back, meta2 = read_geoparquet(spark, path)
+    got = {r.id: r.w for r in back.select(
+        "id", F.expr("st_astext(geom)").alias("w")).collect()}
+    assert got == {1: "POINT (1 2)", 2: "LINESTRING (0 0, 4 4)",
+                   3: "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+                   4: "MULTIPOINT ((9 9), (-1 -3))"}
+
+    # each FILE's bbox covers exactly its own rows (spec granularity)
+    con = duckdb.connect()
+    for m in manifest:
+        kv = dict(con.execute(
+            f"SELECT key, value FROM parquet_kv_metadata('{path}/{m['file']}')"
+        ).fetchall())
+        geo = json.loads(kv[b"geo"])
+        assert geo["columns"]["geom"]["bbox"] == [
+            m["xmin"], m["ymin"], m["xmax"], m["ymax"]]
+
+
+def test_geoparquet_layer_export_import(spark, ctx, tmp_path):
+    """Layer → export_geoparquet → import_geoparquet → same geometries;
+    crs dict passes through verbatim."""
+    from pyspark.sql import functions as F
+    from spatial_spark.io.geoparquet import (export_geoparquet,
+                                             geoparquet_dataset_meta,
+                                             import_geoparquet)
+    src = ctx.create_wkt_layer("gp_src")
+    src.add(spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0))"),
+         (2, "POINT (5 5)")], "id long, wkt string"), wkt="wkt")
+    path = str(tmp_path / "gp_layer")
+    crs = {"type": "GeographicCRS", "name": "WGS 84"}
+    export_geoparquet(src, path, crs=crs)
+    meta = geoparquet_dataset_meta(path)
+    assert meta["crs"] == crs
+
+    back = import_geoparquet(ctx, path, "gp_back")
+    rows = {r.id: r.a for r in back.df().select(
+        "id", F.expr("round(st_area(geom), 9)").alias("a")).collect()}
+    assert rows == {1: 9.0, 2: 0.0}
