@@ -1877,6 +1877,40 @@ def _q_image_dedup(spark, sf_dir) -> DataFrame:
                         F.col("hamming").cast("int").alias("hamming"))
 
 
+def _q_quantile_sketch(spark, sf_dir) -> DataFrame:
+    """Deterministic MRL quantile sketch on the hard gate, run through
+    the FULL distributed path (per-partition sketches → canonical merge
+    → window-cumsum estimates) in the lossless regime: k=4096 exceeds
+    the filtered row count at every test SF, so no compaction fires and
+    the estimates are the exact order statistics ceil(q·n) — which the
+    oracle computes with a plain row_number.  The compacted regime is
+    pinned separately in pytest (rank-error ≤ 2 %, weight conservation,
+    distributed == local model bit-exact)."""
+    from spatial_spark.operators.quantiles import quantiles
+    src = (spark.table("customer")
+           .where(F.col("c_custkey") % 7 == 0)
+           .select(F.col("c_acctbal").cast("double").alias("v")))
+    qs = [0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99]
+    return (quantiles(src.repartition(8), "v", qs, k=4096)
+            .select("q", F.round("value", 2).alias("value"))
+            .orderBy("q"))
+
+
+def _q_weighted_sample(spark, sf_dir) -> DataFrame:
+    """Deterministic weighted sampling without replacement on the hard
+    gate: Efraimidis–Spirakis A-Res with md5-derived uniforms (score =
+    ln(u)/w, u = (md5_48(doc_id)+1)/(2^48+1), w = length+1), top-200.
+    The oracle replays the identical arithmetic nibble-by-nibble in
+    SQL — same doubles, same ordering, same cut."""
+    from spatial_spark.operators.sample import weighted_sample_wor
+    docs = spark.table("documents").select(
+        "doc_id", (F.length("text") + 1).cast("double").alias("w"))
+    return (weighted_sample_wor(docs, 200, "w", key_col="doc_id",
+                                score_col="score")
+            .select("doc_id", F.round("score", 9).alias("score"))
+            .orderBy(F.col("score").desc()))
+
+
 def _q_geoparquet(spark, sf_dir) -> DataFrame:
     """GeoParquet 1.0 sink/source round-trip on the hard gate: part
     rects (WKB) → write_geoparquet (per-partition pyarrow files, spec
@@ -2467,6 +2501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_hashes": _q_image_hashes,
         "image_dedup": _q_image_dedup,
         "geoparquet_roundtrip": _q_geoparquet,
+        "quantile_sketch": _q_quantile_sketch,
+        "weighted_sample": _q_weighted_sample,
     }.items()}
 
 
@@ -3254,6 +3290,18 @@ def _quality_oracle_sql() -> str:
     """
 
 
+def _md5_u48_sql(arg: str) -> str:
+    """First 12 hex nibbles of md5(arg) as an exact BIGINT in
+    [0, 2^48) — the uniform source weighted_sample_wor derives its
+    A-Res priorities from (48 bits fit a double exactly, so the SQL
+    replay is bit-identical to Spark's conv(...,16,10) cast)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({arg}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (11 - i)}"
+        for i in range(12))
+    return f"({terms})"
+
+
 # Closed-form perceptual-hash bits for the two-tone GIF fixtures
 # (_image_hash_fixture_df): output cell c of an exact area resize to
 # out_w cells has integer numerator X_c = t_c*v + (w - t_c)*u with
@@ -3540,6 +3588,28 @@ def oracle_sql() -> dict[str, str]:
                              THEN ud - 18446744073709551616
                              ELSE ud END AS BIGINT) AS dhash
             FROM packed
+        """,
+        "quantile_sketch": """
+            WITH src AS (SELECT CAST(c_acctbal AS DOUBLE) AS v
+                         FROM customer WHERE c_custkey % 7 = 0),
+            r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+                         count(*) OVER () AS n FROM src),
+            qs AS (SELECT CAST(unnest([0.05, 0.1, 0.25, 0.5,
+                                       0.75, 0.9, 0.95, 0.99])
+                             AS DOUBLE) AS q)
+            SELECT q, round(min(v), 2) AS value
+            FROM r JOIN qs ON rn >= greatest(1, CAST(ceil(q * n) AS BIGINT))
+            GROUP BY q ORDER BY q
+        """,
+        "weighted_sample": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     ln(({_md5_u48_sql("CAST(doc_id AS VARCHAR)")} + 1)
+                        / 281474976710657.0)
+                     / CAST(length(text) + 1 AS DOUBLE) AS score
+              FROM documents)
+            SELECT doc_id, round(score, 9) AS score
+            FROM s ORDER BY score DESC LIMIT 200
         """,
         "geoparquet_roundtrip": f"""
             WITH src AS (

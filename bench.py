@@ -60,6 +60,8 @@ HEADLINE = [
     "image_hashes", "image_dedup",
     # r9 seventh wave: GeoParquet 1.0 interop sink/source
     "geoparquet_roundtrip",
+    # r9 eighth wave: deterministic quantile sketch + weighted sampling
+    "quantile_sketch", "weighted_sample",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -122,6 +124,8 @@ BUDGET_SF01 = {
     "image_hashes": 2.0, "image_dedup": 3.9,
     # r9 seventh wave: 2.2x local best-of-two (write+footer+scan bound)
     "geoparquet_roundtrip": 2.1,
+    # r9 eighth wave: 2.2x local best-of-two
+    "quantile_sketch": 3.2, "weighted_sample": 0.8,
 }
 
 

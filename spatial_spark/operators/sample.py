@@ -104,3 +104,31 @@ def deterministic_shuffle(df: DataFrame, key_col: str = "doc_id",
             .withColumn("shard", shard)
             .withColumn("pos", F.row_number().over(w) - 1)
             .drop("_sk"))
+
+
+def weighted_sample_wor(df: DataFrame, n: int, weight_col,
+                        key_col: str = "doc_id",
+                        score_col: str = "_ws_score") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (top-n):
+    the Efraimidis–Spirakis A-Res rule with the RNG replaced by the
+    content hash — priority u^(1/w) with u a uniform from md5(key),
+    equivalently score = ln(u)/w, keep the n largest scores.
+
+    One map pass + one distributed top-n (TakeOrderedAndProject) — no
+    shuffle of the corpus, no RNG, and any engine that computes md5
+    reproduces the exact sample (the oracle replays it in SQL).
+    Weights must be strictly positive.
+
+    The 48-bit hash prefix is exact in a double and (x+1)/(2^48+1)
+    never hits 0 or 1, so ln is always finite.
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    w = weight_col if isinstance(weight_col, Column) else F.col(weight_col)
+    u = ((F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 12),
+                 16, 10).cast("double") + F.lit(1.0))
+         / F.lit(281474976710657.0))                    # 2^48 + 1
+    score = F.log(u) / w.cast("double")
+    return (df.withColumn(score_col, score)
+            .orderBy(F.col(score_col).desc())
+            .limit(n))

@@ -3049,3 +3049,95 @@ def test_imagehash_spark_real_decode_matches_kernel(spark):
     got = {r.media_id: (r.ahash, r.dhash, r.phash)
            for r in image_hashes(df).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# deterministic quantile sketch (operators/quantiles.py)
+# ---------------------------------------------------------------------------
+def test_quantile_sketch_exact_when_uncompacted(spark):
+    """Capacity above n ⇒ the sketch is lossless ⇒ quantiles are the
+    exact order statistics, through the full distributed path."""
+    import numpy as np
+    from spatial_spark.operators.quantiles import quantiles
+
+    rng = np.random.default_rng(7)
+    vals = rng.normal(size=900)
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double") \
+              .repartition(8)
+    got = {r.q: r.value
+           for r in quantiles(df, "x", [0.1, 0.5, 0.9], k=1024).collect()}
+    sv = np.sort(vals)
+    for q in (0.1, 0.5, 0.9):
+        assert got[q] == sv[max(1, int(np.ceil(q * 900))) - 1]
+
+
+def test_quantile_sketch_rank_error_and_weight(spark):
+    """Compacted regime: total weight is conserved exactly and the
+    rank error stays well inside 2 % at k=128, n=40k, 16 partitions."""
+    import numpy as np
+    from spatial_spark.operators.quantiles import (merge_sketches,
+                                                   partition_sketches,
+                                                   quantiles)
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(3)
+    vals = rng.exponential(size=40000)
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double") \
+              .repartition(16)
+    sk = merge_sketches(partition_sketches(df, "x", k=128), k=128)
+    total = sk.select(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), level)"))).first()[0]
+    assert total == 40000
+    got = {r.q: r.value for r in
+           quantiles(df, "x", [0.05, 0.25, 0.5, 0.75, 0.95],
+                     k=128).collect()}
+    sv = np.sort(vals)
+    for q, est in got.items():
+        true_rank = np.searchsorted(sv, est, side="right") / 40000
+        assert abs(true_rank - q) < 0.02, (q, true_rank)
+
+
+def test_quantile_sketch_merge_matches_local_model(spark):
+    """The distributed build (partition sketches → canonical merge)
+    reproduces the LOCAL model fed the same partition sketch rows in
+    the same canonical order — bit-exact, possible only because the
+    compactor is deterministic."""
+    import numpy as np
+    from spatial_spark.operators.quantiles import (MRLSketch,
+                                                   merge_sketches,
+                                                   partition_sketches)
+
+    rng = np.random.default_rng(11)
+    vals = rng.uniform(size=9000)
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double") \
+              .repartition(5)
+    parts = partition_sketches(df, "x", k=64)
+    rows = [(r.level, r.value) for r in parts.collect()]
+    model = MRLSketch(64)
+    model.merge_rows(rows)
+    got = sorted((r.level, r.value)
+                 for r in merge_sketches(parts, k=64).collect())
+    assert got == sorted(model.rows())
+
+
+def test_weighted_sample_wor_model(spark):
+    """weighted_sample_wor == the local A-Res replay (md5-derived u,
+    score ln(u)/w, top-n); heavier keys dominate the sample."""
+    import hashlib
+    import math
+    from spatial_spark.operators.sample import weighted_sample_wor
+
+    rows = [(i, float(1 + (i * 13) % 97)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [r.doc_id for r in
+           weighted_sample_wor(df, 50, "w").collect()]
+
+    def score(i, w):
+        x = int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+        return math.log((x + 1) / 281474976710657.0) / w
+
+    want = [i for i, w in sorted(rows, key=lambda t: -score(*t))[:50]]
+    assert got == want
+    # weight-proportional pull: the top-weight half should dominate
+    heavy = sum(1 for i in got if (1 + (i * 13) % 97) > 48)
+    assert heavy > 30
