@@ -2363,13 +2363,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     token_counts;
     #   * then 37 of the 50 r7-row holders in this file's order
     #     (geohash .. bm25).
-    # r10 window plan: the FIVE r9-late gates with no driver rows at all
-    # (st_transform_lcc, mp4_codec_meta, kmeans_embed, pagerank,
-    # semdedup — at the registry tail — plus any r10 newcomers) lead,
-    # then the 13 r7-row holders that didn't fit this round
-    # (path_length .. property_paging, age 2), then oldest-first from
-    # the r8-row holders; every entry keeps its local-gate oracle
-    # (tools/check_correctness runs ALL 118).
+    # r10 window plan: the ELEVEN r9-late gates with no driver rows at
+    # all (st_transform_lcc, mp4_codec_meta, kmeans_embed, pagerank,
+    # semdedup, st_transform_laea, image_hashes, image_dedup,
+    # geoparquet_roundtrip, quantile_sketch, weighted_sample — at the
+    # registry tail — plus any r10 newcomers) lead, then the 13
+    # r7-row holders that didn't fit this round (path_length ..
+    # property_paging, age 2), then oldest-first from the r8-row
+    # holders; every entry keeps its local-gate oracle
+    # (tools/check_correctness runs ALL of them).
     return {name: wrap(fn) for name, fn in {
         # --- NEW r9 gates (first driver rows) ---
         "intersect_all": _q_intersect_all,

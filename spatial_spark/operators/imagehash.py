@@ -214,13 +214,30 @@ def hamming_near_dup_pairs(df: DataFrame, hash_col: str = "dhash",
     B = max_distance + 1 contiguous blocks; distance ≤ t flips at most
     t blocks, so at least one block matches verbatim.  Candidates come
     from one equi-join on (block_id, block_bits); verification is
-    bit_count(a ^ b) in the JVM.  Never materializes all pairs.
+    bit_count(a ^ b) in the JVM.
+
+    The banded join runs over DISTINCT hashes: exact duplicates (the
+    bulk of a real dup corpus) collapse to one representative before
+    the join and their id pairs expand afterwards with no join at all
+    (distance-0 within-group pairs) — so repeated hashes never multiply
+    the candidate volume.
+
+    Scale contract (the probe's honest class is pair-bound): block
+    width is 64/(t+1), so for UNIFORM hashes candidates ≈
+    Σ_blocks n_distinct²/2^width — the knob is t.  t ≤ 3 gives ≥16-bit
+    blocks (the Manku-et-al operating point, fine to ~10^8 distinct
+    hashes per band key-space); large t on a large corpus is
+    candidate-bound by construction, not by this implementation.
     """
     t = int(max_distance)
     if not 0 <= t <= 63:
         raise ValueError("max_distance must be in [0, 63]")
     nb = t + 1
     base, extra = divmod(64, nb)
+    ids = (df.select(F.col(id_col).alias("_id"),
+                     F.col(hash_col).alias("_h"))
+           .where(F.col(hash_col).isNotNull()))
+    hashes = ids.select("_h").distinct()
     # block b covers `base` bits (+1 for the first `extra` blocks)
     blocks = []
     shift = 0
@@ -232,22 +249,41 @@ def hamming_near_dup_pairs(df: DataFrame, hash_col: str = "dhash",
                      F.shiftrightunsigned(F.col("_h"), shift)
                      .bitwiseAND(F.lit(mask)).alias("block_bits")))
         shift += width
-    keyed = (df.select(F.col(id_col).alias("_id"),
-                       F.col(hash_col).alias("_h"))
-             .where(F.col(hash_col).isNotNull())
-             .select("_id", "_h",
-                     F.explode(F.array(*blocks)).alias("blk"))
-             .select("_id", "_h", "blk.block_id", "blk.block_bits"))
+    keyed = (hashes
+             .select("_h", F.explode(F.array(*blocks)).alias("blk"))
+             .select("_h", "blk.block_id", "blk.block_bits"))
     a = keyed.select(F.col("block_id").alias("bid"),
                      F.col("block_bits").alias("bbits"),
-                     F.col("_id").alias("id_a"), F.col("_h").alias("h_a"))
+                     F.col("_h").alias("h_a"))
     b = keyed.select(F.col("block_id").alias("bid"),
                      F.col("block_bits").alias("bbits"),
-                     F.col("_id").alias("id_b"), F.col("_h").alias("h_b"))
-    return (a.join(b, ["bid", "bbits"])
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b",
-                    F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-                    .alias("hamming"))
-            .where(F.col("hamming") <= t)
-            .distinct())
+                     F.col("_h").alias("h_b"))
+    hash_pairs = (a.join(b, ["bid", "bbits"])
+                  .where(F.col("h_a") < F.col("h_b"))
+                  .select("h_a", "h_b",
+                          F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+                          .alias("hamming"))
+                  .where(F.col("hamming") <= t)
+                  .distinct())
+    # expand distinct-hash pairs back to id pairs (cross of the two
+    # hash groups; group sizes are dup multiplicities)
+    ia = ids.select(F.col("_h").alias("h_a"), F.col("_id").alias("id_a"))
+    ib = ids.select(F.col("_h").alias("h_b"), F.col("_id").alias("id_b"))
+    cross = (hash_pairs.join(ia, "h_a").join(ib, "h_b")
+             .select(F.least("id_a", "id_b").alias("id_a"),
+                     F.greatest("id_a", "id_b").alias("id_b"), "hamming"))
+    # distance-0 pairs inside each identical-hash group — no join
+    within = (ids.groupBy("_h")
+              .agg(F.collect_list("_id").alias("_ids"))
+              .where(F.size("_ids") > 1)
+              .select(F.explode(F.expr(
+                  "filter(transform(flatten(transform(_ids, a -> "
+                  "transform(_ids, b -> struct(a, b)))), p -> "
+                  "struct(least(p.a, p.b) AS id_a, "
+                  "greatest(p.a, p.b) AS id_b)), p -> p.id_a < p.id_b)"))
+                  .alias("p"))
+              .select("p.id_a", "p.id_b", F.lit(0).alias("hamming"))
+              .distinct())
+    return cross.union(within.select(
+        "id_a", "id_b", F.col("hamming").cast(cross.schema["hamming"]
+                                              .dataType)))

@@ -180,3 +180,80 @@ def stream_dedup_with_bloom(stream_df: DataFrame, out_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_quantile_state(spark: SparkSession, state_path: str):
+    """Current accreted sketch rows (None before the first batch)."""
+    if not os.path.exists(state_path):
+        return None
+    return spark.read.parquet(state_path)
+
+
+def stream_quantile_sketch(stream_df: DataFrame, value_col: str,
+                           state_path: str, checkpoint: str,
+                           k: int = 256, available_now: bool = True):
+    """Streaming twin of operators/quantiles: an MRL sketch accreting
+    across micro-batches, so running quantiles of an unbounded stream
+    cost O(k·log n) state forever.
+
+    Per batch (foreachBatch): the batch's values build a sketch through
+    the normal DISTRIBUTED path (per-partition sketches → canonical
+    merge — the batch data is never collected), the tiny resulting rows
+    fold into the persisted sketch with the same deterministic
+    compactor, and the new state publishes via write-temp + atomic
+    rename, epoch-tagged: a replayed epoch is skipped, so crash/replay
+    never double-counts weight (exactly-once fold — pinned in tests
+    along with stream == local-model replay, bit-exact)."""
+    from ..operators.quantiles import (MRLSketch, merge_sketches,
+                                       partition_sketches)
+
+    spark = stream_df.sparkSession
+    tag_path = state_path + "_epoch.json"
+
+    def state_tag() -> int:
+        try:
+            with open(tag_path) as fh:
+                return int(json.load(fh)["epoch"])
+        except (OSError, ValueError, KeyError):
+            return -1
+
+    def publish(rows_df, epoch_id: int) -> None:
+        tmp = state_path + ".tmp"
+        rows_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        old = state_path + ".old"
+        if os.path.exists(state_path):
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(state_path, old)
+        os.rename(tmp, state_path)
+        shutil.rmtree(old, ignore_errors=True)
+        ttmp = tag_path + ".tmp"
+        with open(ttmp, "w") as fh:
+            json.dump({"epoch": int(epoch_id)}, fh)
+        os.rename(ttmp, tag_path)
+
+    def fold_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id <= state_tag():
+            return                       # replayed epoch: already folded
+        if batch_df.isEmpty():
+            return
+        batch_rows = [(int(r.level), float(r.value)) for r in
+                      merge_sketches(partition_sketches(
+                          batch_df, value_col, k), k).collect()]
+        if not batch_rows:
+            return
+        sk = MRLSketch(k)
+        prior = read_quantile_state(spark, state_path)
+        if prior is not None:
+            sk.merge_rows([(int(r.level), float(r.value))
+                           for r in prior.collect()])
+        sk.merge_rows(batch_rows)
+        out = sk.rows()
+        publish(spark.createDataFrame(
+            [(int(l), float(v)) for l, v in out], "level int, value double"),
+            epoch_id)
+
+    writer = stream_df.writeStream.foreachBatch(fold_batch) \
+        .option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

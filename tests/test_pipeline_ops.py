@@ -3141,3 +3141,69 @@ def test_weighted_sample_wor_model(spark):
     # weight-proportional pull: the top-weight half should dominate
     heavy = sum(1 for i in got if (1 + (i * 13) % 97) > 48)
     assert heavy > 30
+
+
+def test_stream_quantile_sketch_matches_model_and_replays(spark, tmp_path):
+    """The accreting stream sketch equals the LOCAL model replaying the
+    same per-batch folds bit-exactly; total weight == rows seen; and a
+    restarted (replayed) stream changes nothing (epoch-tagged
+    exactly-once fold)."""
+    import os as _os
+    import time as _time
+
+    import numpy as np
+    from spatial_spark.operators.quantiles import (MRLSketch,
+                                                   merge_sketches,
+                                                   partition_sketches)
+    from spatial_spark.streaming.sketches import (read_quantile_state,
+                                                  stream_quantile_sketch)
+
+    rng = np.random.default_rng(17)
+    batches = [rng.normal(size=n).tolist() for n in (700, 500, 900)]
+    src = tmp_path / "qsrc"
+    src.mkdir()
+    for b, vals in enumerate(batches):
+        (spark.createDataFrame([(float(v),) for v in vals], "x double")
+         .coalesce(1).write.parquet(str(src / f"b{b}")))
+    now = _time.time()
+    for b in range(3):
+        d = src / f"b{b}"
+        for f in _os.listdir(d):
+            _os.utime(_os.path.join(d, f), (now + 60 * b - 300,) * 2)
+    stream = (spark.readStream.schema("x double")
+              .option("maxFilesPerTrigger", 1).parquet(str(src) + "/b*"))
+    state = str(tmp_path / "qstate")
+    q = stream_quantile_sketch(stream, "x", state,
+                               str(tmp_path / "qckpt"), k=64)
+    q.awaitTermination(120)
+
+    got = sorted((r.level, r.value)
+                 for r in read_quantile_state(spark, state).collect())
+
+    # local replay mirroring the stream's exact fold procedure: each
+    # batch reconstructs a FRESH sketch from the prior state rows, then
+    # folds the batch's distributed partial
+    state_rows = []
+    for vals in batches:
+        bdf = (spark.createDataFrame([(float(v),) for v in vals],
+                                     "x double").coalesce(1))
+        rows = [(int(r.level), float(r.value)) for r in
+                merge_sketches(partition_sketches(bdf, "x", k=64),
+                               k=64).collect()]
+        fresh = MRLSketch(64)
+        fresh.merge_rows(state_rows)
+        fresh.merge_rows(rows)
+        state_rows = fresh.rows()
+    assert got == sorted(state_rows)
+    total = sum((1 << lvl) for lvl, _ in state_rows)
+    assert total == sum(len(b) for b in batches)
+
+    # replay: a fresh run over the same source+checkpoint is a no-op
+    stream2 = (spark.readStream.schema("x double")
+               .option("maxFilesPerTrigger", 1).parquet(str(src) + "/b*"))
+    q2 = stream_quantile_sketch(stream2, "x", state,
+                                str(tmp_path / "qckpt"), k=64)
+    q2.awaitTermination(120)
+    again = sorted((r.level, r.value)
+                   for r in read_quantile_state(spark, state).collect())
+    assert again == got

@@ -83,6 +83,17 @@ PROBES = {
                      " centroids; update shuffles kxdim partial sums"),
     "pagerank_scaled": ("linear", "per-step: one edges(join)ranks shuffle"
                         " + one groupBy(dst); graph synthesized kx"),
+    # --- r9 sixth/eighth waves ---
+    "quantile_sketch": ("linear", "map-only partition sketches (k rows"
+                        " out per partition) + one tiny merge task"),
+    "weighted_sample": ("linear", "map pass + distributed top-n"
+                        " (TakeOrderedAndProject)"),
+    "hamming_join_scaled": ("pair-bound", "t=8 -> 7-bit blocks: for"
+                            " uniform hashes candidates ~ 9*n_d^2/128"
+                            " by construction (n_d = distinct hashes;"
+                            " exact dups collapse before the join)."
+                            " The knob is t: t<=3 gives >=16-bit"
+                            " blocks, the Manku operating point"),
 }
 
 
@@ -127,9 +138,26 @@ def _probe_pagerank_scaled(spark, sf_dir):
     return pagerank(edges, iters=3)
 
 
+def _probe_hamming_join_scaled(spark, sf_dir):
+    """hamming_near_dup_pairs over a hash table that scales with the
+    corpus (the registered image gates run a fixed 96-image fixture):
+    one xxhash64 per document stands in for its perceptual hash —
+    random 64-bit values collide within t=8 bits only for the injected
+    exact-dup pairs, so the banded join's candidate volume tracks the
+    dup rate, the shape under probe."""
+    from pyspark.sql import functions as F
+
+    from spatial_spark.operators.imagehash import hamming_near_dup_pairs
+    hashes = spark.table("documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.xxhash64("text").alias("dhash"))
+    return hamming_near_dup_pairs(hashes, max_distance=8)
+
+
 CUSTOM_PROBES = {
     "density_islands_full": _probe_density_islands_full,
     "pagerank_scaled": _probe_pagerank_scaled,
+    "hamming_join_scaled": _probe_hamming_join_scaled,
 }
 
 
