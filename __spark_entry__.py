@@ -1779,6 +1779,48 @@ def _q_media_mjpeg(spark, sf_dir) -> DataFrame:
             .orderBy("media_id", "frame_no"))
 
 
+def _q_media_avc_ipcm(spark, sf_dir) -> DataFrame:
+    """REAL avc1 frame decode on the hard gate: per media i, 2 + i%3
+    uniform gray frames (v = (i*37 + 11*f) % 256) encoded as conformant
+    H.264 IDR slices of I_PCM macroblocks (ITU-T H.264 §7.3.5 — the
+    spec's lossless raw-sample mode, any player decodes them), muxed by
+    build_mp4 with a real avcC (SPS crop recovers the non-multiple-of-16
+    dims), then decoded back through mp4_frames' sample-table walk +
+    decode_h264_ipcm.  I_PCM is LOSSLESS and the JFIF matrix maps gray
+    to Y=v, Cb=Cr=128 exactly, so the decoded mean intensity is just v —
+    the closed-form complement of media_jpeg's quantizer round-trip.
+    Metadata-only avc1 containers in the batch must be SKIPPED (the
+    entropy-coded seam filter stays gated)."""
+    import struct as _struct
+
+    import numpy as np
+    from spatial_spark.operators.codecs import (build_avcc, build_h264_sps,
+                                                build_mp4,
+                                                encode_h264_ipcm)
+    from spatial_spark.operators.multimodal import MEDIA_SCHEMA, mp4_frames
+    rows = []
+    for i in range(24):
+        w, h = 18 + (i % 5) * 4, 10 + (i % 3) * 4
+        nals = []
+        for f in range(2 + i % 3):
+            v = (i * 37 + 11 * f) % 256
+            nal = encode_h264_ipcm(np.full((h, w, 3), v, dtype=np.uint8))
+            nals.append(_struct.pack(">I", len(nal)) + nal)
+        rows.append((i, bytearray(build_mp4(
+            w, h, 0, 1000, 40, codec="avc1", samples=nals,
+            codec_config=build_avcc(build_h264_sps(w, h)))),
+            "video", "mp4", w, h, None))
+        # an empty-mdat avc1 container that must be SKIPPED, not fail
+        rows.append((1000 + i, bytearray(build_mp4(
+            64, 48, 5, 1000, 40, codec="avc1")), "video", "mp4",
+            64, 48, None))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return (mp4_frames(df)
+            .select("media_id", "frame_no", "decoded_w", "decoded_h",
+                    F.round("mean_intensity", 6).alias("mean_intensity"))
+            .orderBy("media_id", "frame_no"))
+
+
 def _q_media_gif(spark, sf_dir) -> DataFrame:
     """REAL GIF decode on the hard gate (r8): deterministic two-tone
     payloads (left w//2 columns = v, rest = u) written by the numpy GIF
@@ -2363,11 +2405,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     token_counts;
     #   * then 37 of the 50 r7-row holders in this file's order
     #     (geohash .. bm25).
-    # r10 window plan: the ELEVEN r9-late gates with no driver rows at
+    # r10 window plan: the TWELVE r9-late gates with no driver rows at
     # all (st_transform_lcc, mp4_codec_meta, kmeans_embed, pagerank,
     # semdedup, st_transform_laea, image_hashes, image_dedup,
-    # geoparquet_roundtrip, quantile_sketch, weighted_sample — at the
-    # registry tail — plus any r10 newcomers) lead, then the 13
+    # geoparquet_roundtrip, quantile_sketch, weighted_sample,
+    # media_avc_ipcm — at the registry tail — plus any r10
+    # newcomers) lead, then the 13
     # r7-row holders that didn't fit this round (path_length ..
     # property_paging, age 2), then oldest-first from the r8-row
     # holders; every entry keeps its local-gate oracle
@@ -2505,6 +2548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoparquet_roundtrip": _q_geoparquet,
         "quantile_sketch": _q_quantile_sketch,
         "weighted_sample": _q_weighted_sample,
+        "media_avc_ipcm": _q_media_avc_ipcm,
     }.items()}
 
 
@@ -3590,6 +3634,17 @@ def oracle_sql() -> dict[str, str]:
                              THEN ud - 18446744073709551616
                              ELSE ud END AS BIGINT) AS dhash
             FROM packed
+        """,
+        "media_avc_ipcm": """
+            WITH items AS (SELECT unnest(generate_series(0, 23)) AS i),
+            fr AS (SELECT i, unnest(generate_series(0, 1 + i % 3)) AS f
+                   FROM items)
+            SELECT CAST(i AS BIGINT) AS media_id, CAST(f AS INT) AS frame_no,
+                   CAST(18 + (i % 5) * 4 AS INT) AS decoded_w,
+                   CAST(10 + (i % 3) * 4 AS INT) AS decoded_h,
+                   round(CAST((i * 37 + 11 * f) % 256 AS DOUBLE), 6)
+                     AS mean_intensity
+            FROM fr ORDER BY media_id, frame_no
         """,
         "quantile_sketch": """
             WITH src AS (SELECT CAST(c_acctbal AS DOUBLE) AS v

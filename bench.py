@@ -62,6 +62,8 @@ HEADLINE = [
     "geoparquet_roundtrip",
     # r9 eighth wave: deterministic quantile sketch + weighted sampling
     "quantile_sketch", "weighted_sample",
+    # r9 tenth wave: real avc1 decode via the H.264 I_PCM route
+    "media_avc_ipcm",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -126,6 +128,8 @@ BUDGET_SF01 = {
     "geoparquet_roundtrip": 2.1,
     # r9 eighth wave: 2.2x local best-of-two
     "quantile_sketch": 3.2, "weighted_sample": 0.8,
+    # r9 tenth wave: 2.2x local best-of-two (fixture encode+decode bound)
+    "media_avc_ipcm": 2.1,
 }
 
 

@@ -1732,6 +1732,152 @@ def _read_desc(b: bytes, pos: int) -> tuple:
     return tag, size, pos
 
 
+# ------------------------------------------------- H.264 I_PCM bitstream
+# The spec's lossless escape hatch (ITU-T H.264 §7.3.5 / §7.4.5 /
+# §8.3.5): an I_PCM macroblock carries raw 8-bit samples — no
+# prediction, transform or entropy coding — so a conformant IDR slice
+# of I_PCM macroblocks is a REAL avc1 bitstream (any player decodes
+# it) that this repo can both write and read exactly.  This narrows
+# the video seam from "avc1 payloads need ffmpeg" to "entropy-coded
+# (CAVLC/CABAC residual) macroblocks need ffmpeg".
+#
+# Frame geometry matches build_h264_sps / the default PPS in
+# build_avcc: 4:2:0, frame_mbs_only, poc_type 2, CAVLC flags (unused
+# by PCM), log2_max_frame_num 4.  Color is JFIF full-range YCbCr —
+# the same matrix as encode_jpeg/decode_jpeg, so gray frames
+# round-trip bit-exactly.
+
+
+def encode_h264_ipcm(img: np.ndarray) -> bytes:
+    """(h, w, 3) RGB / (h, w) gray uint8 → one IDR slice NAL (type 5)
+    of I_PCM macroblocks, emulation-prevention applied.  Pair with
+    build_h264_sps(w, h) + build_avcc + build_mp4(codec='avc1',
+    samples=[struct.pack('>I', len(nal)) + nal, ...])."""
+    img = np.asarray(img)
+    h, w = img.shape[:2]
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    rgb = img.astype(np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b),
+                0, 255).astype(np.uint8)
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    # pad to whole macroblocks by edge replication (SPS crop recovers)
+    mw, mh = 16 * ((w + 15) // 16), 16 * ((h + 15) // 16)
+    pad = ((0, mh - h), (0, mw - w))
+    yp = np.pad(y, pad, mode="edge")
+    cbp = np.pad(cb, pad, mode="edge")
+    crp = np.pad(cr, pad, mode="edge")
+    # 4:2:0 chroma: 2x2 mean then round (encode_jpeg's subsample rule)
+    def sub(c):
+        m = (c[0::2, 0::2] + c[0::2, 1::2]
+             + c[1::2, 0::2] + c[1::2, 1::2]) / 4.0
+        return np.clip(np.round(m), 0, 255).astype(np.uint8)
+    cbs, crs = sub(cbp), sub(crp)
+
+    wtr = _EgBitWriter()
+    wtr.write(0x65, 8)                  # NAL: ref_idc=3, type=5 (IDR)
+    wtr.ue(0)                           # first_mb_in_slice
+    wtr.ue(7)                           # slice_type: I (all-I picture)
+    wtr.ue(0)                           # pic_parameter_set_id
+    wtr.write(0, 4)                     # frame_num (log2_max = 4)
+    wtr.ue(0)                           # idr_pic_id
+    wtr.write(0, 2)                     # dec_ref_pic_marking (IDR): 0,0
+    wtr.se(0)                           # slice_qp_delta
+    for mby in range(mh // 16):
+        for mbx in range(mw // 16):
+            wtr.ue(25)                  # mb_type I_PCM (I slice)
+            while len(wtr.bits) % 8:    # pcm_alignment_zero_bit
+                wtr.write(0, 1)
+            blk = yp[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16]
+            for byte in blk.reshape(-1):
+                wtr.write(int(byte), 8)
+            for plane in (cbs, crs):
+                cblk = plane[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8]
+                for byte in cblk.reshape(-1):
+                    wtr.write(int(byte), 8)
+    body = wtr.bytes_aligned()          # appends rbsp stop bit + align
+    return body[:1] + _insert_emulation(body[1:])
+
+
+def decode_h264_ipcm(nal: bytes, width: int, height: int) -> np.ndarray:
+    """One IDR/non-IDR I-slice NAL of I_PCM macroblocks → (height,
+    width, 3) uint8 RGB.  Raises NotImplementedError at the first
+    entropy-coded macroblock — the exact remaining ffmpeg seam."""
+    data = _strip_emulation(bytes(nal))
+    if not data or (data[0] & 0x1F) not in (1, 5):
+        raise ValueError("H264: not a slice NAL")
+    idr = (data[0] & 0x1F) == 5
+    r = _EgBitReader(data[1:])
+    if r.ue() != 0:
+        raise ValueError("H264: multi-slice pictures unsupported")
+    stype = r.ue()
+    if stype % 5 != 2:                  # 2/7 = I slice
+        raise NotImplementedError(
+            "H264: only I slices decode natively (P/B prediction needs "
+            "ffmpeg)")
+    r.ue()                              # pic_parameter_set_id
+    r.read(4)                           # frame_num (log2_max = 4)
+    if idr:
+        r.ue()                          # idr_pic_id
+        r.read(2)                       # dec_ref_pic_marking
+    r.se()                              # slice_qp_delta
+    mw, mh = 16 * ((width + 15) // 16), 16 * ((height + 15) // 16)
+    yp = np.zeros((mh, mw), dtype=np.uint8)
+    cbs = np.zeros((mh // 2, mw // 2), dtype=np.uint8)
+    crs = np.zeros((mh // 2, mw // 2), dtype=np.uint8)
+    for mby in range(mh // 16):
+        for mbx in range(mw // 16):
+            mb_type = r.ue()
+            if mb_type != 25:
+                raise NotImplementedError(
+                    f"H264: mb_type {mb_type} is entropy-coded — only "
+                    "I_PCM macroblocks decode natively (the ffmpeg seam)")
+            while r.pos % 8:            # pcm_alignment_zero_bit
+                if r.read(1):
+                    raise ValueError("H264: nonzero PCM alignment bit")
+            at = 1 + (r.pos >> 3)       # byte offset into `data`
+            if at + 384 > len(data):
+                raise ValueError("H264: truncated I_PCM macroblock")
+            mb = np.frombuffer(data, dtype=np.uint8,
+                               offset=at, count=384)
+            yp[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16] = \
+                mb[:256].reshape(16, 16)
+            cbs[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8] = \
+                mb[256:320].reshape(8, 8)
+            crs[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8] = \
+                mb[320:384].reshape(8, 8)
+            r.pos += 384 * 8
+    y = yp[:height, :width].astype(np.float64)
+    cb = np.kron(cbs, np.ones((2, 2)))[:height, :width]
+    cr = np.kron(crs, np.ones((2, 2)))[:height, :width]
+    rr = y + 1.402 * (cr - 128.0)
+    gg = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bb = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([rr, gg, bb], axis=2)), 0,
+                   255).astype(np.uint8)
+
+
+def _find_avcc(buf: bytes) -> bytes | None:
+    """Raw avcC payload of the first video track's sample entry."""
+    for tag, b, e in _walk_boxes(buf, 0, len(buf)):
+        if tag != b"moov":
+            continue
+        for tb, te in _find_boxes(buf, b, e, b"trak"):
+            for mb, me in _find_boxes(buf, tb, te, b"mdia"):
+                for nb, ne in _find_boxes(buf, mb, me, b"minf"):
+                    for sb, se in _find_boxes(buf, nb, ne, b"stbl"):
+                        for xb, xe in _find_boxes(buf, sb, se, b"stsd"):
+                            # stsd payload: ver/flags + count, then the
+                            # entry (size+fourcc+78-byte visual body)
+                            for t2, b2, e2 in _walk_boxes(
+                                    buf, xb + 8 + 8 + 78, xe):
+                                if t2 == b"avcC":
+                                    return buf[b2:e2]
+    return None
+
+
 def parse_esds(b: bytes) -> dict:
     """esds box payload (FullBox header already stripped or present —
     both accepted): walks ES_Descriptor(0x03) →
@@ -1785,15 +1931,19 @@ def decode_mp4_frames(buf: bytes, every_n: int = 1) -> list:
     standalone baseline-JPEG image, sliced out of mdat via the sample
     table and decoded by the in-repo numpy JPEG decoder.  Returns
     [(frame_no, (h, w, 3) uint8), ...] for every ``every_n``-th frame.
-    avc1/hevc tracks still raise — inter-frame bitstream decode remains
-    the documented ffmpeg seam."""
+    avc1 tracks decode natively when their slices are I_PCM (the
+    repo's own lossless H.264 route, decode_h264_ipcm); entropy-coded
+    macroblocks and hevc remain the documented ffmpeg seam."""
     buf = bytes(buf)
     tab = mp4_sample_table(buf, handler="vide")
     codec = (tab["codec"] or "").lower()
+    if codec == "avc1":
+        return _decode_avc1_ipcm_frames(buf, tab, every_n)
     if codec not in _JPEG_FOURCC:
         raise NotImplementedError(
             f"MP4 frames: codec {tab['codec']!r} needs ffmpeg (only the "
-            f"Motion-JPEG family {_JPEG_FOURCC} decodes natively)")
+            f"Motion-JPEG family {_JPEG_FOURCC} and I_PCM avc1 decode "
+            "natively)")
     out = []
     for f, (off, size) in enumerate(tab["samples"]):
         if f % every_n:
@@ -1801,6 +1951,38 @@ def decode_mp4_frames(buf: bytes, every_n: int = 1) -> list:
         if size <= 0 or off + size > len(buf):
             raise ValueError(f"MP4: sample {f} outside mdat")
         out.append((f, decode_jpeg(buf[off:off + size])))
+    return out
+
+
+def _decode_avc1_ipcm_frames(buf: bytes, tab: dict, every_n: int) -> list:
+    """avc1 samples → frames via the I_PCM route: split each sample
+    into its length-prefixed NALs (avcC nal_length_size), decode the
+    slice NALs at the SPS's true cropped dimensions."""
+    avcc = _find_avcc(buf)
+    if avcc is None:
+        raise NotImplementedError(
+            "MP4 frames: avc1 track has no avcC configuration")
+    cfg = parse_avcc(avcc)
+    if "width" not in cfg or cfg.get("width") is None:
+        raise NotImplementedError("MP4 frames: avcC carries no SPS")
+    nls = cfg["nal_length_size"]
+    out = []
+    for f, (off, size) in enumerate(tab["samples"]):
+        if f % every_n:
+            continue
+        if size <= 0 or off + size > len(buf):
+            raise ValueError(f"MP4: sample {f} outside mdat")
+        pos, end = off, off + size
+        frame = None
+        while pos + nls <= end:
+            ln = int.from_bytes(buf[pos:pos + nls], "big")
+            nal = buf[pos + nls:pos + nls + ln]
+            pos += nls + ln
+            if nal and (nal[0] & 0x1F) in (1, 5):
+                frame = decode_h264_ipcm(nal, cfg["width"], cfg["height"])
+        if frame is None:
+            raise ValueError(f"MP4: avc1 sample {f} has no slice NAL")
+        out.append((f, frame))
     return out
 
 

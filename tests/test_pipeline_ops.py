@@ -3207,3 +3207,89 @@ def test_stream_quantile_sketch_matches_model_and_replays(spark, tmp_path):
     again = sorted((r.level, r.value)
                    for r in read_quantile_state(spark, state).collect())
     assert again == got
+
+
+# ---------------------------------------------------------------------------
+# H.264 I_PCM route (codecs.encode_h264_ipcm / decode_h264_ipcm)
+# ---------------------------------------------------------------------------
+def test_h264_ipcm_roundtrip():
+    """Gray frames round-trip bit-exactly through a REAL avc1 NAL
+    (I_PCM stores raw samples; JFIF matrix maps gray to Y=v, C=128);
+    all-0 / all-255 frames stress emulation-prevention (long 00 runs);
+    smooth RGB survives 4:2:0 within a small bound; SPS cropping
+    recovers non-multiple-of-16 dimensions."""
+    import numpy as np
+    from spatial_spark.operators.codecs import (decode_h264_ipcm,
+                                                encode_h264_ipcm)
+
+    rng = np.random.default_rng(5)
+    for h, w in [(16, 16), (18, 30), (34, 66)]:
+        gray = np.repeat(rng.integers(0, 256, size=(h, w, 1)),
+                         3, axis=2).astype(np.uint8)
+        assert np.array_equal(
+            decode_h264_ipcm(encode_h264_ipcm(gray), w, h), gray)
+    for v in (0, 255):
+        img = np.full((18, 30, 3), v, dtype=np.uint8)
+        assert np.array_equal(
+            decode_h264_ipcm(encode_h264_ipcm(img), 30, 18), img)
+    # smooth gradient: 4:2:0 chroma error stays tiny
+    yy, xx = np.mgrid[0:24, 0:40]
+    img = np.stack([(xx * 3) % 200 + 20, (yy * 2) % 180 + 30,
+                    ((xx + yy)) % 160 + 40], axis=2).astype(np.uint8)
+    back = decode_h264_ipcm(encode_h264_ipcm(img), 40, 24)
+    assert np.abs(back.astype(int) - img.astype(int)).max() <= 6
+
+
+def test_h264_ipcm_entropy_coded_raises():
+    """A conformant I slice whose first macroblock is NOT I_PCM hits
+    the documented ffmpeg seam (NotImplementedError), not garbage."""
+    import pytest
+    from spatial_spark.operators.codecs import (_EgBitWriter,
+                                                _insert_emulation,
+                                                decode_h264_ipcm)
+    w = _EgBitWriter()
+    w.write(0x65, 8)
+    w.ue(0); w.ue(7); w.ue(0)
+    w.write(0, 4)
+    w.ue(0); w.write(0, 2)
+    w.se(0)
+    w.ue(0)                              # mb_type I_4x4 (entropy-coded)
+    body = w.bytes_aligned()
+    nal = body[:1] + _insert_emulation(body[1:])
+    with pytest.raises(NotImplementedError):
+        decode_h264_ipcm(nal, 16, 16)
+
+
+def test_mp4_frames_avc1_ipcm_route(spark):
+    """mp4_frames decodes REAL avc1 containers whose slices are I_PCM,
+    still skips metadata-only avc1 and entropy-coded payloads."""
+    import struct
+
+    import numpy as np
+    from spatial_spark.operators.codecs import (build_avcc, build_h264_sps,
+                                                build_mp4,
+                                                encode_h264_ipcm)
+    from spatial_spark.operators.multimodal import MEDIA_SCHEMA, mp4_frames
+
+    rows = []
+    want = {}
+    for i in range(6):
+        w, h = 18 + (i % 3) * 4, 10 + (i % 2) * 8
+        nals = []
+        for f in range(2):
+            v = (i * 37 + 11 * f) % 256
+            nal = encode_h264_ipcm(np.full((h, w, 3), v, dtype=np.uint8))
+            nals.append(struct.pack(">I", len(nal)) + nal)
+            want[(i, f)] = (w, h, float(v))
+        mp4 = build_mp4(w, h, 0, 1000, 40, codec="avc1", samples=nals,
+                        codec_config=build_avcc(build_h264_sps(w, h)))
+        rows.append((i, bytearray(mp4), "video", "mp4", w, h, None))
+        # metadata-only avc1 (no mdat): must be skipped
+        rows.append((100 + i, bytearray(build_mp4(
+            64, 48, 5, 1000, 40, codec="avc1")), "video", "mp4",
+            64, 48, None))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {(r.media_id, r.frame_no): (r.decoded_w, r.decoded_h,
+                                      r.mean_intensity)
+           for r in mp4_frames(df).collect()}
+    assert got == want
