@@ -1953,6 +1953,29 @@ def _q_weighted_sample(spark, sf_dir) -> DataFrame:
             .orderBy(F.col("score").desc()))
 
 
+def _q_triangles(spark, sf_dir) -> DataFrame:
+    """Degree-oriented triangle counting on the hard gate: a
+    deterministic non-bipartite graph over the customer keys (three
+    hash links per key, undirected) — the oracle brute-forces the same
+    triangles with a canonical three-way edge self-join."""
+    from spatial_spark.operators.graph import triangle_counts
+    cust = spark.table("customer").select("c_custkey")
+    n = cust.count()
+    c = F.col("c_custkey")
+    # ring + skip-one (guarantees the n triangles (c, c+1, c+2)) + a
+    # hash chord layer for irregular extras
+    parts = [cust.select(c.alias("src"),
+                         (1 + c % F.lit(n)).alias("dst")),
+             cust.select(c.alias("src"),
+                         (1 + (c + 1) % F.lit(n)).alias("dst")),
+             cust.select(c.alias("src"),
+                         (1 + (c * 31) % F.lit(n)).alias("dst"))]
+    edges = parts[0].union(parts[1]).union(parts[2])
+    return (triangle_counts(edges)
+            .select("vertex", "n_triangles")
+            .orderBy("vertex"))
+
+
 def _q_geoparquet(spark, sf_dir) -> DataFrame:
     """GeoParquet 1.0 sink/source round-trip on the hard gate: part
     rects (WKB) → write_geoparquet (per-partition pyarrow files, spec
@@ -2405,12 +2428,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     token_counts;
     #   * then 37 of the 50 r7-row holders in this file's order
     #     (geohash .. bm25).
-    # r10 window plan: the TWELVE r9-late gates with no driver rows at
-    # all (st_transform_lcc, mp4_codec_meta, kmeans_embed, pagerank,
+    # r10 window plan: the THIRTEEN r9-late gates with no driver rows
+    # at all (st_transform_lcc, mp4_codec_meta, kmeans_embed, pagerank,
     # semdedup, st_transform_laea, image_hashes, image_dedup,
     # geoparquet_roundtrip, quantile_sketch, weighted_sample,
-    # media_avc_ipcm — at the registry tail — plus any r10
-    # newcomers) lead, then the 13
+    # media_avc_ipcm, triangle_counts — at the registry tail — plus any
+    # r10 newcomers) lead, then the 13
     # r7-row holders that didn't fit this round (path_length ..
     # property_paging, age 2), then oldest-first from the r8-row
     # holders; every entry keeps its local-gate oracle
@@ -2549,6 +2572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch": _q_quantile_sketch,
         "weighted_sample": _q_weighted_sample,
         "media_avc_ipcm": _q_media_avc_ipcm,
+        "triangle_counts": _q_triangles,
     }.items()}
 
 
@@ -3634,6 +3658,25 @@ def oracle_sql() -> dict[str, str]:
                              THEN ud - 18446744073709551616
                              ELSE ud END AS BIGINT) AS dhash
             FROM packed
+        """,
+        "triangle_counts": """
+            WITH c AS (SELECT c_custkey FROM customer),
+            nn AS (SELECT count(*) AS n FROM c),
+            raw AS (
+              SELECT c_custkey AS u, 1 + c_custkey % n AS v FROM c, nn
+              UNION ALL
+              SELECT c_custkey, 1 + (c_custkey + 1) % n FROM c, nn
+              UNION ALL
+              SELECT c_custkey, 1 + (c_custkey * 31) % n FROM c, nn),
+            e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+                  FROM raw WHERE u != v),
+            t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                  FROM e e1
+                  JOIN e e2 ON e2.a = e1.b
+                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+            SELECT vertex, count(*) AS n_triangles
+            FROM (SELECT unnest([x, y, z]) AS vertex FROM t)
+            GROUP BY vertex ORDER BY vertex
         """,
         "media_avc_ipcm": """
             WITH items AS (SELECT unnest(generate_series(0, 23)) AS i),

@@ -64,6 +64,8 @@ HEADLINE = [
     "quantile_sketch", "weighted_sample",
     # r9 tenth wave: real avc1 decode via the H.264 I_PCM route
     "media_avc_ipcm",
+    # r9 eleventh wave: degree-oriented triangle counting
+    "triangle_counts",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -130,6 +132,8 @@ BUDGET_SF01 = {
     "quantile_sketch": 3.2, "weighted_sample": 0.8,
     # r9 tenth wave: 2.2x local best-of-two (fixture encode+decode bound)
     "media_avc_ipcm": 2.1,
+    # r9 eleventh wave: 2.2x local best-of-two
+    "triangle_counts": 5.1,
 }
 
 

@@ -270,3 +270,52 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     e_deg.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def triangle_counts(edges: DataFrame, src: str = "src",
+                    dst: str = "dst") -> DataFrame:
+    """Per-vertex triangle participation counts over an undirected
+    graph → (vertex, n_triangles), vertices in ≥1 triangle.
+
+    The node-iterator shape with DEGREE ORIENTATION (the standard
+    at-scale trick): every edge orients from its (degree, id)-smaller
+    endpoint to the larger, which caps each vertex's out-degree at
+    O(sqrt(m)) — so the wedge self-join (the only quadratic-looking
+    step) generates at most O(m^1.5) candidates on ANY graph, hot
+    celebrity vertices included, instead of O(Σ deg²) for the naive
+    orientation.  Three shuffles total: degree agg, wedge self-join on
+    the pivot, closing-edge semi-join.
+
+    No reference counterpart (the reference has OSM graph hops only);
+    extension axis alongside min_label_components / pagerank.
+    """
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    e = (edges.select(a.alias("a"), b.alias("b"))
+         .where(F.col("a") != F.col("b")).distinct())
+    deg = (e.select(F.explode(F.array("a", "b")).alias("v"))
+           .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    keyed = e.join(da, "a").join(db, "b")
+    # orient u -> w by (degree, id); struct comparison is lexicographic
+    fwd = F.struct(F.col("da").alias("d"), F.col("a").alias("v")) \
+        < F.struct(F.col("db").alias("d"), F.col("b").alias("v"))
+    oriented = keyed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("w"),
+        F.when(fwd, F.col("da")).otherwise(F.col("db")).alias("du"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dw"))
+    l = oriented.select(F.col("u"), F.col("w").alias("x"),
+                        F.col("dw").alias("dx"))
+    r = oriented.select(F.col("u"), F.col("w").alias("y"),
+                        F.col("dw").alias("dy"))
+    wedges = (l.join(r, "u")
+              .where(F.struct(F.col("dx").alias("d"), F.col("x").alias("v"))
+                     < F.struct(F.col("dy").alias("d"),
+                                F.col("y").alias("v"))))
+    closing = oriented.select(F.col("u").alias("x"), F.col("w").alias("y"))
+    tris = wedges.join(closing, ["x", "y"], "left_semi") \
+        .select("u", "x", "y")
+    return (tris.select(F.explode(F.array("u", "x", "y")).alias("vertex"))
+            .groupBy("vertex")
+            .agg(F.count(F.lit(1)).alias("n_triangles")))

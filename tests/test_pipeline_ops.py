@@ -3293,3 +3293,30 @@ def test_mp4_frames_avc1_ipcm_route(spark):
                                       r.mean_intensity)
            for r in mp4_frames(df).collect()}
     assert got == want
+
+
+def test_triangle_counts_model(spark):
+    """Degree-oriented triangle counting == itertools brute force on a
+    random graph, including a hot celebrity vertex."""
+    import itertools
+
+    import numpy as np
+    from spatial_spark.operators.graph import triangle_counts
+
+    rng = np.random.default_rng(13)
+    n, m = 36, 140
+    edges = {(0, v) for v in range(1, 20)}          # celebrity hub
+    while len(edges) < m:
+        u, v = rng.integers(0, n, 2)
+        if u != v:
+            edges.add((int(min(u, v)), int(max(u, v))))
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {r.vertex: r.n_triangles
+           for r in triangle_counts(df).collect()}
+    es = set(edges)
+    want = {}
+    for x, y, z in itertools.combinations(range(n), 3):
+        if (x, y) in es and (y, z) in es and (x, z) in es:
+            for v in (x, y, z):
+                want[v] = want.get(v, 0) + 1
+    assert got == want

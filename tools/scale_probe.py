@@ -88,6 +88,9 @@ PROBES = {
                         " out per partition) + one tiny merge task"),
     "weighted_sample": ("linear", "map pass + distributed top-n"
                         " (TakeOrderedAndProject)"),
+    "triangle_counts": ("linear", "degree-oriented wedge join caps"
+                        " out-degree at O(sqrt(m)); the gate graph has"
+                        " constant degree ~6 so candidates ~ m"),
     "hamming_join_scaled": ("pair-bound", "t=8 -> 7-bit blocks: for"
                             " uniform hashes candidates ~ 9*n_d^2/128"
                             " by construction (n_d = distinct hashes;"
