@@ -1953,6 +1953,26 @@ def _q_weighted_sample(spark, sf_dir) -> DataFrame:
             .orderBy(F.col("score").desc()))
 
 
+def _q_pq_knn(spark, sf_dir) -> DataFrame:
+    """Product-quantization ANN on the hard gate: init-only codebooks
+    (the 16 lowest-vec_id vectors' sub-slices — deterministic, so the
+    oracle rebuilds them), pq_encode argmin codes, ADC lookup scan,
+    top-40 candidate cut, exact-L2² rescore to top-10.  The oracle
+    replays every stage relationally: per-(vector, subspace) codeword
+    distances → row_number argmin → table join → the same two ordered
+    cuts.  Lloyd-refined training (iters>0) is pytest-pinned
+    (quantization error strictly decreases)."""
+    from spatial_spark.operators.similarity import pq_topk, pq_train
+    emb = spark.table("embeddings")
+    books = pq_train(emb, m=4, k=16, iters=0)
+    probe = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return (pq_topk(emb, books, [float(v) for v in probe],
+                    topk=10, rescore=4)
+            .select("vec_id",
+                    F.round("adc_dist", 5).alias("adc_dist"),
+                    F.round("exact_dist", 5).alias("exact_dist")))
+
+
 def _q_triangles(spark, sf_dir) -> DataFrame:
     """Degree-oriented triangle counting on the hard gate: a
     deterministic non-bipartite graph over the customer keys (three
@@ -2428,11 +2448,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     token_counts;
     #   * then 37 of the 50 r7-row holders in this file's order
     #     (geohash .. bm25).
-    # r10 window plan: the THIRTEEN r9-late gates with no driver rows
+    # r10 window plan: the FIFTEEN r9-late gates with no driver rows
     # at all (st_transform_lcc, mp4_codec_meta, kmeans_embed, pagerank,
     # semdedup, st_transform_laea, image_hashes, image_dedup,
     # geoparquet_roundtrip, quantile_sketch, weighted_sample,
-    # media_avc_ipcm, triangle_counts — at the registry tail — plus any
+    # media_avc_ipcm, triangle_counts, pq_knn — at the registry tail — plus any
     # r10 newcomers) lead, then the 13
     # r7-row holders that didn't fit this round (path_length ..
     # property_paging, age 2), then oldest-first from the r8-row
@@ -2573,6 +2593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "media_avc_ipcm": _q_media_avc_ipcm,
         "triangle_counts": _q_triangles,
+        "pq_knn": _q_pq_knn,
     }.items()}
 
 
@@ -3658,6 +3679,48 @@ def oracle_sql() -> dict[str, str]:
                              THEN ud - 18446744073709551616
                              ELSE ud END AS BIGINT) AS dhash
             FROM packed
+        """,
+        "pq_knn": """
+            WITH cw AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+                            AS code, embedding AS cv
+                        FROM embeddings ORDER BY vec_id LIMIT 16),
+            subs AS (SELECT CAST(unnest(generate_series(0, 3)) AS INT) AS j),
+            dists AS (
+              SELECT e.vec_id, s.j, c.code,
+                     list_sum(list_transform(generate_series(1, 16),
+                       t -> pow(CAST(e.embedding[s.j*16 + t] AS DOUBLE)
+                                - CAST(c.cv[s.j*16 + t] AS DOUBLE), 2)))
+                       AS d
+              FROM embeddings e, subs s, cw c),
+            codes AS (
+              SELECT vec_id, j, code FROM (
+                SELECT vec_id, j, code,
+                       row_number() OVER (PARTITION BY vec_id, j
+                                          ORDER BY d, code) AS rn
+                FROM dists) WHERE rn = 1),
+            probe AS (SELECT embedding AS pv FROM embeddings
+                      WHERE vec_id = 0),
+            tbl AS (SELECT s.j, c.code,
+                     list_sum(list_transform(generate_series(1, 16),
+                       t -> pow(CAST(p.pv[s.j*16 + t] AS DOUBLE)
+                                - CAST(c.cv[s.j*16 + t] AS DOUBLE), 2)))
+                       AS td
+                    FROM probe p, subs s, cw c),
+            adc AS (SELECT codes.vec_id, sum(tbl.td) AS adc_dist
+                    FROM codes JOIN tbl ON tbl.j = codes.j
+                                       AND tbl.code = codes.code
+                    GROUP BY codes.vec_id),
+            cand AS (SELECT vec_id, adc_dist FROM adc
+                     ORDER BY adc_dist, vec_id LIMIT 40),
+            ex AS (SELECT c.vec_id, c.adc_dist,
+                     list_sum(list_transform(generate_series(1, 64),
+                       t -> pow(CAST(e.embedding[t] AS DOUBLE)
+                                - CAST(p.pv[t] AS DOUBLE), 2)))
+                       AS exact_dist
+                   FROM cand c JOIN embeddings e USING (vec_id), probe p)
+            SELECT vec_id, round(adc_dist, 5) AS adc_dist,
+                   round(exact_dist, 5) AS exact_dist
+            FROM ex ORDER BY exact_dist, vec_id LIMIT 10
         """,
         "triangle_counts": """
             WITH c AS (SELECT c_custkey FROM customer),

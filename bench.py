@@ -66,6 +66,8 @@ HEADLINE = [
     "media_avc_ipcm",
     # r9 eleventh wave: degree-oriented triangle counting
     "triangle_counts",
+    # r9 twelfth wave: product-quantization ANN (ADC scan + rescore)
+    "pq_knn",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -134,6 +136,8 @@ BUDGET_SF01 = {
     "media_avc_ipcm": 2.1,
     # r9 eleventh wave: 2.2x local best-of-two
     "triangle_counts": 5.1,
+    # r9 twelfth wave: 2.2x local best-of-two
+    "pq_knn": 2.9,
 }
 
 

@@ -193,3 +193,125 @@ def knn_cosine_q8(df: DataFrame, probe: list, k: int = 10,
             .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
             .limit(k)
             .select(id_col, "cosine"))
+
+
+# ------------------------------------------------- product quantization
+def pq_train(df: DataFrame, m: int = 4, k: int = 16, iters: int = 0,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> np.ndarray:
+    """Train PQ codebooks (m subspaces x k codewords): the memory lever
+    BELOW int8 — a dim-D float32 vector becomes m bytes (64-dim -> 4
+    bytes at m=4, a 64x compression), and the scan becomes table
+    lookups (ADC), never touching the vectors.
+
+    iters=0 (deterministic init-only: codewords = the k lowest-id
+    vectors' sub-slices) is the oracle-replayable mode the gate uses;
+    iters>0 refines each subspace with the same deterministic Lloyd
+    rule as operators/cluster.kmeans (init = k lowest ids, argmin ties
+    to the lowest code, empty codes keep their previous word).
+    Returns (m, k, dim//m) float64 — small, meant for broadcast."""
+    dim = len(df.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"PQ: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    init_rows = (df.orderBy(id_col).limit(k).select(vec_col).collect())
+    if len(init_rows) < k:
+        raise ValueError(f"PQ: need >= {k} rows, got {len(init_rows)}")
+    books = np.array([r[0] for r in init_rows],
+                     dtype=np.float64).reshape(k, m, sub) \
+        .transpose(1, 0, 2).copy()                  # (m, k, sub)
+    for _ in range(iters):
+        sums = np.zeros((m, k, sub))
+        counts = np.zeros((m, k), dtype=np.int64)
+        agg = _pq_assign_agg(df, books, vec_col)
+        for j, c, n, s in agg:
+            counts[j, c] = n
+            sums[j, c] = s
+        for j in range(m):
+            for c in range(k):
+                if counts[j, c]:
+                    books[j, c] = sums[j, c] / counts[j, c]
+    return books
+
+
+def _pq_assign_agg(df: DataFrame, books: np.ndarray, vec_col: str):
+    """One Lloyd step's sufficient statistics, computed distributed:
+    per (subspace, code): count + sub-vector sum.  The shuffle carries
+    m*k rows of `sub` doubles — never vectors."""
+    m, k, sub = books.shape
+    enc = pq_encode(df.select(vec_col), books, vec_col=vec_col,
+                    codes_col="_pq")
+    rows = []
+    for j in range(m):
+        sums = [F.sum(F.col(vec_col).getItem(j * sub + t).cast("double"))
+                .alias(f"s{t}") for t in range(sub)]
+        agg = (enc.groupBy(F.col("_pq").getItem(j).alias("c"))
+               .agg(F.count(F.lit(1)).alias("n"), *sums).collect())
+        for r in agg:
+            rows.append((j, r["c"], r["n"],
+                         np.array([r[f"s{t}"] for t in range(sub)])))
+    return rows
+
+
+def pq_encode(df: DataFrame, books: np.ndarray, vec_col: str = "embedding",
+              codes_col: str = "pq_codes") -> DataFrame:
+    """Add the m-byte PQ code array: per subspace, the L2-nearest
+    codeword's index (ties to the lowest index).  Map-only; the
+    codebooks broadcast inside the Arrow closure; distances are
+    elementwise float64 Σ(v−c)² in index order — the exact arithmetic
+    the SQL oracle replays."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from collections.abc import Iterator
+    m, k, sub = books.shape
+    bks = books.copy()
+    out_schema = T.StructType(list(df.schema.fields)
+                              + [T.StructField(codes_col,
+                                               T.ArrayType(T.IntegerType()))])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.zeros((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                xs = x[:, j * sub:(j + 1) * sub]
+                d = ((xs[:, None, :] - bks[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d.argmin(axis=1)
+            yield pdf.assign(**{codes_col: list(codes.tolist())})
+
+    return df.mapInPandas(run, out_schema)
+
+
+def pq_topk(df: DataFrame, books: np.ndarray, probe: list, topk: int = 10,
+            rescore: int = 4, vec_col: str = "embedding",
+            id_col: str = "vec_id") -> DataFrame:
+    """ADC top-k: the probe builds an (m x k) distance table once; each
+    row's approximate L2² is m table lookups over its PQ codes (the
+    corpus scan never touches vectors), candidates = top
+    ``topk*rescore`` by (adc, id), and the exact L2² re-ranks only the
+    candidates.  Output (id, adc_dist, exact_dist) — topk rows."""
+    m, k, sub = books.shape
+    p = np.asarray(probe, dtype=np.float64)
+    table = np.zeros((m, k))
+    for j in range(m):
+        ps = p[j * sub:(j + 1) * sub]
+        table[j] = ((ps[None, :] - books[j]) ** 2).sum(axis=1)
+    enc = pq_encode(df, books, vec_col=vec_col)
+    adc = None
+    for j in range(m):
+        term = F.element_at(
+            F.array(*[F.lit(float(table[j][c])) for c in range(k)]),
+            F.col("pq_codes").getItem(j) + 1)
+        adc = term if adc is None else adc + term
+    cand = (enc.withColumn("adc_dist", adc)
+            .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+            .limit(topk * rescore))
+    exact = F.aggregate(
+        F.zip_with(F.col(vec_col),
+                   F.array(*[F.lit(float(v)) for v in p]),
+                   lambda x, y: (x.cast("double") - y)
+                   * (x.cast("double") - y)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    return (cand.withColumn("exact_dist", exact)
+            .orderBy(F.col("exact_dist").asc(), F.col(id_col).asc())
+            .limit(topk)
+            .select(id_col, "adc_dist", "exact_dist"))

@@ -3320,3 +3320,61 @@ def test_triangle_counts_model(spark):
             for v in (x, y, z):
                 want[v] = want.get(v, 0) + 1
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# product quantization (operators/similarity.pq_*)
+# ---------------------------------------------------------------------------
+def test_pq_encode_and_adc_match_numpy_model(spark):
+    """pq_encode codes + pq_topk ADC/exact distances == a local numpy
+    replay; Lloyd-refined codebooks (iters>0) reduce mean quantization
+    error vs init-only."""
+    import numpy as np
+    from spatial_spark.operators.similarity import (pq_encode, pq_topk,
+                                                    pq_train)
+
+    rng = np.random.default_rng(21)
+    n, dim, m, k = 300, 32, 4, 8
+    x = rng.normal(size=(n, dim)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, x[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<float>")
+    books = pq_train(df, m=m, k=k, iters=0)
+    sub = dim // m
+    assert books.shape == (m, k, sub)
+    assert np.allclose(books,
+                       x[:k].astype(np.float64)
+                       .reshape(k, m, sub).transpose(1, 0, 2))
+
+    enc = {r.vec_id: r.pq_codes
+           for r in pq_encode(df, books).collect()}
+    xd = x.astype(np.float64)
+    for i in (0, 7, 113, 299):
+        for j in range(m):
+            d = ((xd[i, j * sub:(j + 1) * sub][None, :]
+                  - books[j]) ** 2).sum(axis=1)
+            assert enc[i][j] == int(d.argmin())
+
+    probe = xd[5]
+    got = [(r.vec_id, r.adc_dist, r.exact_dist)
+           for r in pq_topk(df, books, probe.tolist(), topk=5).collect()]
+    # exact top-1 must be the probe itself (exact_dist 0)
+    assert got[0][0] == 5 and abs(got[0][2]) < 1e-9
+    # ADC model replay for the returned rows
+    table = np.stack([(probe[j * sub:(j + 1) * sub][None, :]
+                       - books[j]) ** 2 for j in range(m)]).sum(axis=2)
+    for vid, adc, _ in got:
+        want = sum(table[j][enc[vid][j]] for j in range(m))
+        assert abs(adc - want) < 1e-6
+
+    # training reduces quantization error
+    books3 = pq_train(df, m=m, k=k, iters=3)
+
+    def qerr(bk):
+        e = 0.0
+        for j in range(m):
+            xs = xd[:, j * sub:(j + 1) * sub]
+            d = ((xs[:, None, :] - bk[j][None, :, :]) ** 2).sum(axis=2)
+            e += d.min(axis=1).sum()
+        return e
+    assert qerr(books3) < qerr(books)
