@@ -315,3 +315,91 @@ def pq_topk(df: DataFrame, books: np.ndarray, probe: list, topk: int = 10,
             .orderBy(F.col("exact_dist").asc(), F.col(id_col).asc())
             .limit(topk)
             .select(id_col, "adc_dist", "exact_dist"))
+
+
+def ivfpq_topk(df: DataFrame, probe: list, n_cells: int = 8,
+               nprobe: int = 4, m: int = 4, k_codes: int = 16,
+               topk: int = 10, rescore: int = 4,
+               vec_col: str = "embedding",
+               id_col: str = "vec_id") -> DataFrame:
+    """IVF-PQ: the canonical billion-scale ANN layout — coarse cells
+    prune the corpus to nprobe partitions, RESIDUALS (v − centroid)
+    PQ-encode to m bytes, and the in-cell scan is ADC over a per-cell
+    lookup table (the probe's residual differs per cell, so the table
+    is (nprobe × m × k) — still tiny, broadcast in the closure).
+    Exact-L2² rescore of the top ``topk*rescore`` candidates.
+
+    Scale: on a write_assigned store the cell filter prunes FILES;
+    everything after reads m-byte codes, not vectors, until rescore.
+    Deterministic given the index (IVFIndex.build's seeded sample
+    k-means + init-only PQ on residuals of the k_codes lowest ids)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from collections.abc import Iterator
+
+    idx = IVFIndex.build(df, n_cells=n_cells, vec_col=vec_col)
+    assigned = idx.assign(df, vec_col)
+    cent = idx.centroids
+    dim = cent.shape[1]
+    if dim % m:
+        raise ValueError(f"IVF-PQ: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    # PQ codebooks over RESIDUALS of the k_codes lowest-id vectors
+    seed_rows = (assigned.orderBy(id_col).limit(k_codes)
+                 .select(vec_col, "ivf_cell").collect())
+    if len(seed_rows) < k_codes:
+        raise ValueError("IVF-PQ: not enough rows for the codebook")
+    res = np.array([np.asarray(r[0], dtype=np.float64)
+                    - cent[r[1]] for r in seed_rows])
+    books = res.reshape(k_codes, m, sub).transpose(1, 0, 2).copy()
+
+    p = np.asarray(probe, dtype=np.float64)
+    dcell = ((cent - p[None, :]) ** 2).sum(1)
+    cells = [int(c) for c in np.argsort(dcell)[:nprobe]]
+    # per-cell ADC tables from the probe's per-cell residual
+    tables = {}
+    for c in cells:
+        pr = p - cent[c]
+        tables[c] = np.stack([
+            ((pr[j * sub:(j + 1) * sub][None, :] - books[j]) ** 2)
+            .sum(axis=1) for j in range(m)])
+
+    pruned = assigned.filter(F.col("ivf_cell").isin(cells))
+    out_schema = T.StructType([
+        T.StructField("_id", assigned.schema[id_col].dataType),
+        T.StructField("adc_dist", T.DoubleType()),
+    ])
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cellv = pdf["ivf_cell"].to_numpy()
+            resid = x - cent[cellv]
+            adc = np.zeros(len(pdf))
+            for j in range(m):
+                rs = resid[:, j * sub:(j + 1) * sub]
+                d = ((rs[:, None, :] - books[j][None, :, :]) ** 2) \
+                    .sum(axis=2)
+                codes = d.argmin(axis=1)
+                for c in cells:
+                    sel = cellv == c
+                    adc[sel] += tables[c][j][codes[sel]]
+            yield pd.DataFrame({"_id": pdf[id_col], "adc_dist": adc})
+
+    cand = (pruned.mapInPandas(scan, out_schema)
+            .orderBy(F.col("adc_dist").asc(), F.col("_id").asc())
+            .limit(topk * rescore)
+            .withColumnRenamed("_id", id_col))
+    exact = F.aggregate(
+        F.zip_with(F.col(vec_col),
+                   F.array(*[F.lit(float(v)) for v in p]),
+                   lambda x, y: (x.cast("double") - y)
+                   * (x.cast("double") - y)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    return (cand.join(df.select(id_col, vec_col), id_col)
+            .withColumn("exact_dist", exact)
+            .orderBy(F.col("exact_dist").asc(), F.col(id_col).asc())
+            .limit(topk)
+            .select(id_col, "adc_dist", "exact_dist"))
