@@ -651,6 +651,49 @@ def _q_osm_source(spark, sf_dir) -> DataFrame:
                     F.expr("st_area(geom)").alias("area"), "n_nds"))
 
 
+def _q_osm_pbf_source(spark, sf_dir) -> DataFrame:
+    """OSM PBF source on the hard gate: the same per-nation building
+    squares as osm_source, but written as a REAL .osm.pbf (zlib blobs,
+    delta-coded DenseNodes, string tables; elements_per_blob forced
+    tiny so the gate exercises the multi-blob DISTRIBUTED decode) and
+    parsed by io/osmpbf.parse_osm_pbf; way assembly, gtype/area and nd
+    counts hash-compared against the same closed-form SQL — plus the
+    contributor metadata (uid sums) riding through DenseInfo."""
+    import os
+    import tempfile
+
+    from spatial_spark.io.osm import assemble_way_geometries
+    from spatial_spark.io.osmpbf import build_osm_pbf, parse_osm_pbf
+    keys = sorted(r["n_nationkey"]
+                  for r in spark.table("nation")
+                  .select("n_nationkey").collect())
+    nodes, ways = [], []
+    for n in keys:
+        x0, y0 = n % 5 * 72 - 179, (n // 5) * 34 - 84
+        ids = [n * 10 + j + 1 for j in range(4)]
+        for i, (x, y) in zip(ids, [(x0, y0), (x0 + 2, y0),
+                                   (x0 + 2, y0 + 2), (x0, y0 + 2)]):
+            nodes.append(dict(id=i, lon=float(x), lat=float(y),
+                              user=f"u{n % 3}", uid=n % 3, version=1))
+        ways.append(dict(id=1000 + n, refs=ids + [ids[0]],
+                         tags={"building": "yes", "name": f"zone{n}"},
+                         user=f"u{n % 3}", uid=n % 3, version=1))
+    d = tempfile.mkdtemp(prefix="osmpbf_gate_")
+    path = os.path.join(d, "zones.osm.pbf")
+    build_osm_pbf(nodes, ways, [], path, elements_per_blob=7)
+    tables = parse_osm_pbf(spark, path)
+    geoms = assemble_way_geometries(tables)
+    nd_counts = (tables["osm_way_nds"].groupBy("way_id")
+                 .agg(F.count(F.lit(1)).alias("n_nds")))
+    uidsum = (tables["osm_nodes"]
+              .agg(F.sum("uid").alias("uid_sum")).first()["uid_sum"])
+    return (geoms.join(nd_counts, "way_id")
+            .select("way_id", "gtype",
+                    F.expr("st_area(geom)").alias("area"), "n_nds",
+                    F.lit(int(uidsum)).alias("uid_sum"))
+            .orderBy("way_id"))
+
+
 def _q_render_sink(spark, sf_dir) -> DataFrame:
     """Image sink on the hard gate (SURVEY §2.1 #8, previously reached
     only via tile gates): one distributed render of 25 half-pixel-
@@ -2448,11 +2491,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     token_counts;
     #   * then 37 of the 50 r7-row holders in this file's order
     #     (geohash .. bm25).
-    # r10 window plan: the FIFTEEN r9-late gates with no driver rows
+    # r10 window plan: the SIXTEEN r9-late gates with no driver rows
     # at all (st_transform_lcc, mp4_codec_meta, kmeans_embed, pagerank,
     # semdedup, st_transform_laea, image_hashes, image_dedup,
     # geoparquet_roundtrip, quantile_sketch, weighted_sample,
-    # media_avc_ipcm, triangle_counts, pq_knn — at the registry tail — plus any
+    # media_avc_ipcm, triangle_counts, pq_knn, osm_pbf_source — at the
+    # registry tail — plus any
     # r10 newcomers) lead, then the 13
     # r7-row holders that didn't fit this round (path_length ..
     # property_paging, age 2), then oldest-first from the r8-row
@@ -2594,6 +2638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_avc_ipcm": _q_media_avc_ipcm,
         "triangle_counts": _q_triangles,
         "pq_knn": _q_pq_knn,
+        "osm_pbf_source": _q_osm_pbf_source,
     }.items()}
 
 
@@ -3608,6 +3653,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(4 AS DOUBLE) AS area,
                    CAST(5 AS BIGINT) AS n_nds
             FROM nation
+        """,
+        "osm_pbf_source": """
+            WITH us AS (SELECT CAST(sum(4 * (n_nationkey % 3)) AS BIGINT)
+                            AS uid_sum FROM nation)
+            SELECT CAST(1000 + n_nationkey AS BIGINT) AS way_id,
+                   CAST(3 AS INT) AS gtype,
+                   CAST(4 AS DOUBLE) AS area,
+                   CAST(5 AS BIGINT) AS n_nds,
+                   us.uid_sum
+            FROM nation, us ORDER BY way_id
         """,
         "filter_equal": """
             SELECT p_partkey,

@@ -68,6 +68,8 @@ HEADLINE = [
     "triangle_counts",
     # r9 twelfth wave: product-quantization ANN (ADC scan + rescore)
     "pq_knn",
+    # r9 thirteenth wave: OSM PBF source (multi-blob distributed decode)
+    "osm_pbf_source",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -138,6 +140,8 @@ BUDGET_SF01 = {
     "triangle_counts": 5.1,
     # r9 twelfth wave: 2.2x local best-of-two
     "pq_knn": 2.9,
+    # r9 thirteenth wave: 2.2x local best-of-two
+    "osm_pbf_source": 4.9,
 }
 
 

@@ -222,7 +222,13 @@ def parse_osm_xml(spark: SparkSession, path: str,
                                    columns=cols)
 
     un = offsets.mapInPandas(run, _UNION_SCHEMA).cache()
+    return tables_from_union(un)
 
+
+def tables_from_union(un: DataFrame) -> dict:
+    """Split the cached 15-column union frame into the eight normalized
+    OSM tables (shared by the XML and PBF sources — the union row
+    format is the source-independent contract)."""
     def tbl(kind, *sel):
         return un.filter(F.col("kind") == kind).select(*sel)
 

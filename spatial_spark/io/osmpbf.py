@@ -1,0 +1,499 @@
+"""OSM PBF source — the binary format planet-scale OSM actually ships in.
+
+Parity: the reference imports .osm XML only (OSMImporter.java); real
+pipelines read .osm.pbf (the published fileformat.proto /
+osmformat.proto wire layout, openstreetmap.org/wiki/PBF_Format).  This
+module implements the wire format directly — varint/zigzag protobuf
+primitives, blob framing, zlib block compression, string tables,
+delta-coded DenseNodes — with both a reader and a writer (the writer
+generates deterministic fixtures and round-trip tests; it emits the
+same layout osmosis does: one OSMHeader blob, zlib OSMData blobs).
+
+Scale shape: a PBF file is a sequence of independently-decodable
+blobs (~8000 elements each), which is exactly a Spark split unit.  The
+driver scans ONLY the 4+~30-byte blob headers (seek-forward, no data
+read) to build the (offset, size) list; each executor task inflates
+and decodes its own blobs into the SAME 15-column union frame as the
+XML source, so the eight normalized tables, way/multipolygon assembly
+and layer import (io/osm.py) are shared verbatim.
+"""
+
+from __future__ import annotations
+
+import datetime
+import struct
+import zlib
+
+from pyspark.sql import SparkSession
+
+from .osm import _UNION_SCHEMA, _PAD, tables_from_union
+
+__all__ = ["parse_osm_pbf", "build_osm_pbf", "iter_blob_spans"]
+
+
+# --------------------------------------------------------- protobuf wire
+def _uvarint(buf: bytes, pos: int) -> tuple:
+    v = shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        v |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return v, pos
+        shift += 7
+
+
+def _unzig(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _fields(buf: bytes):
+    """Iterate (field_no, value) — varints yield ints, length-delimited
+    yield bytes, 64/32-bit fixed yield raw bytes."""
+    pos, n = 0, len(buf)
+    while pos < n:
+        key, pos = _uvarint(buf, pos)
+        field, wtype = key >> 3, key & 7
+        if wtype == 0:
+            v, pos = _uvarint(buf, pos)
+            yield field, v
+        elif wtype == 2:
+            ln, pos = _uvarint(buf, pos)
+            yield field, buf[pos:pos + ln]
+            pos += ln
+        elif wtype == 1:
+            yield field, buf[pos:pos + 8]
+            pos += 8
+        elif wtype == 5:
+            yield field, buf[pos:pos + 4]
+            pos += 4
+        else:
+            raise ValueError(f"PBF: unsupported wire type {wtype}")
+
+
+def _packed(buf: bytes, signed: bool = False) -> list:
+    out, pos = [], 0
+    while pos < len(buf):
+        v, pos = _uvarint(buf, pos)
+        out.append(_unzig(v) if signed else v)
+    return out
+
+
+def _delta(vals: list) -> list:
+    out, acc = [], 0
+    for v in vals:
+        acc += v
+        out.append(acc)
+    return out
+
+
+def _w_uvarint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zig(v: int) -> int:
+    return (v << 1) ^ (v >> 63) if v < 0 else v << 1
+
+
+def _w_field(field: int, v: int) -> bytes:
+    return _w_uvarint(field << 3) + _w_uvarint(v)
+
+
+def _w_bytes(field: int, payload: bytes) -> bytes:
+    return _w_uvarint((field << 3) | 2) + _w_uvarint(len(payload)) + payload
+
+
+def _w_packed(field: int, vals, signed: bool = False) -> bytes:
+    body = b"".join(_w_uvarint(_zig(v) if signed else v) for v in vals)
+    return _w_bytes(field, body)
+
+
+def _deltas(vals: list) -> list:
+    out, prev = [], 0
+    for v in vals:
+        out.append(v - prev)
+        prev = v
+    return out
+
+
+# ----------------------------------------------------------- blob framing
+def iter_blob_spans(path: str) -> list:
+    """[(blob_type, offset, size)] by reading ONLY the per-blob headers
+    (4-byte BE length + BlobHeader message), seeking past blob bodies."""
+    spans = []
+    with open(path, "rb") as fh:
+        while True:
+            head = fh.read(4)
+            if len(head) < 4:
+                break
+            hlen = struct.unpack(">I", head)[0]
+            hdr = fh.read(hlen)
+            btype, datasize = None, None
+            for field, val in _fields(hdr):
+                if field == 1:
+                    btype = val.decode()
+                elif field == 3:
+                    datasize = val
+            if datasize is None:
+                raise ValueError("PBF: BlobHeader without datasize")
+            spans.append((btype, fh.tell(), datasize))
+            fh.seek(datasize, 1)
+    return spans
+
+
+def _blob_payload(raw: bytes) -> bytes:
+    """Blob message → uncompressed payload (raw or zlib)."""
+    data = None
+    for field, val in _fields(raw):
+        if field == 1:                       # raw
+            data = val
+        elif field == 3:                     # zlib_data
+            data = zlib.decompress(val)
+    if data is None:
+        raise ValueError("PBF: blob with no raw/zlib payload")
+    return data
+
+
+# ----------------------------------------------- PrimitiveBlock → union rows
+def _iso(ts_ms) -> str | None:
+    if ts_ms is None:
+        return None
+    return datetime.datetime.fromtimestamp(
+        ts_ms / 1000.0, tz=datetime.timezone.utc
+    ).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def _info_meta(buf: bytes, st: list, date_gran: int) -> tuple:
+    user = uid = ts = cs = ver = None
+    for field, val in _fields(buf):
+        if field == 1:
+            ver = val
+        elif field == 2:
+            ts = _iso(val * date_gran)
+        elif field == 3:
+            cs = val
+        elif field == 4:
+            uid = val
+        elif field == 5:
+            user = st[val].decode() if val < len(st) else None
+    return (user, uid, ts, cs, ver)
+
+
+def decode_primitive_block(data: bytes) -> list:
+    """One PrimitiveBlock → union rows (io/osm.py's 15-column format)."""
+    st: list = []
+    groups: list = []
+    gran, lat_off, lon_off, date_gran = 100, 0, 0, 1000
+    for field, val in _fields(data):
+        if field == 1:
+            st = [v for f, v in _fields(val) if f == 1]
+        elif field == 2:
+            groups.append(val)
+        elif field == 17:
+            gran = val
+        elif field == 18:
+            date_gran = val
+        elif field == 19:
+            lat_off = val
+        elif field == 20:
+            lon_off = val
+    rows: list = []
+    s = lambda i: st[i].decode() if i < len(st) else None  # noqa: E731
+
+    def coord(off, g, v):
+        return 1e-9 * (off + g * v)
+
+    for grp in groups:
+        for field, val in _fields(grp):
+            if field == 2:                                 # DenseNodes
+                ids = lats = lons = kvs = None
+                dinfo = None
+                for f2, v2 in _fields(val):
+                    if f2 == 1:
+                        ids = _delta(_packed(v2, signed=True))
+                    elif f2 == 5:
+                        dinfo = v2
+                    elif f2 == 8:
+                        lats = _delta(_packed(v2, signed=True))
+                    elif f2 == 9:
+                        lons = _delta(_packed(v2, signed=True))
+                    elif f2 == 10:
+                        kvs = _packed(v2)
+                metas = _dense_meta(dinfo, st, date_gran, len(ids or []))
+                ki = 0
+                for i, nid in enumerate(ids or []):
+                    rows.append(("node", nid,
+                                 coord(lon_off, gran, lons[i]),
+                                 coord(lat_off, gran, lats[i]),
+                                 None, None, None, None, None, None)
+                                + metas[i])
+                    if kvs:
+                        while ki < len(kvs) and kvs[ki] != 0:
+                            rows.append(("node_tag", nid, None, None, None,
+                                         None, None, None,
+                                         s(kvs[ki]), s(kvs[ki + 1])) + _PAD)
+                            ki += 2
+                        ki += 1                            # the 0 delimiter
+            elif field == 1:                               # plain Node
+                nid = lat = lon = None
+                keys = vals = []
+                meta = _PAD
+                for f2, v2 in _fields(val):
+                    if f2 == 1:
+                        nid = _unzig(v2)
+                    elif f2 == 2:
+                        keys = _packed(v2)
+                    elif f2 == 3:
+                        vals = _packed(v2)
+                    elif f2 == 4:
+                        meta = _info_meta(v2, st, date_gran)
+                    elif f2 == 8:
+                        lat = _unzig(v2)
+                    elif f2 == 9:
+                        lon = _unzig(v2)
+                rows.append(("node", nid, coord(lon_off, gran, lon),
+                             coord(lat_off, gran, lat),
+                             None, None, None, None, None, None) + meta)
+                for k, v in zip(keys, vals):
+                    rows.append(("node_tag", nid, None, None, None, None,
+                                 None, None, s(k), s(v)) + _PAD)
+            elif field == 3:                               # Way
+                wid = None
+                keys = vals = refs = []
+                meta = _PAD
+                for f2, v2 in _fields(val):
+                    if f2 == 1:
+                        wid = v2
+                    elif f2 == 2:
+                        keys = _packed(v2)
+                    elif f2 == 3:
+                        vals = _packed(v2)
+                    elif f2 == 4:
+                        meta = _info_meta(v2, st, date_gran)
+                    elif f2 == 8:
+                        refs = _delta(_packed(v2, signed=True))
+                rows.append(("way", wid, None, None, None, None, None,
+                             None, None, None) + meta)
+                for seq, ref in enumerate(refs):
+                    rows.append(("way_nd", wid, None, None, seq, ref,
+                                 None, None, None, None) + _PAD)
+                for k, v in zip(keys, vals):
+                    rows.append(("way_tag", wid, None, None, None, None,
+                                 None, None, s(k), s(v)) + _PAD)
+            elif field == 4:                               # Relation
+                rid = None
+                keys = vals = roles = memids = types = []
+                meta = _PAD
+                for f2, v2 in _fields(val):
+                    if f2 == 1:
+                        rid = v2
+                    elif f2 == 2:
+                        keys = _packed(v2)
+                    elif f2 == 3:
+                        vals = _packed(v2)
+                    elif f2 == 4:
+                        meta = _info_meta(v2, st, date_gran)
+                    elif f2 == 8:
+                        roles = _packed(v2)
+                    elif f2 == 9:
+                        memids = _delta(_packed(v2, signed=True))
+                    elif f2 == 10:
+                        types = _packed(v2)
+                rows.append(("rel", rid, None, None, None, None, None,
+                             None, None, None) + meta)
+                tname = {0: "node", 1: "way", 2: "relation"}
+                for seq, (mid, mt, ro) in enumerate(
+                        zip(memids, types, roles)):
+                    rows.append(("member", rid, None, None, seq, mid,
+                                 tname.get(mt), s(ro) or "", None, None)
+                                + _PAD)
+                for k, v in zip(keys, vals):
+                    rows.append(("rel_tag", rid, None, None, None, None,
+                                 None, None, s(k), s(v)) + _PAD)
+    return rows
+
+
+def _dense_meta(dinfo, st, date_gran: int, n: int) -> list:
+    if dinfo is None:
+        return [_PAD] * n
+    vers = tss = css = uids = sids = None
+    for f, v in _fields(dinfo):
+        if f == 1:
+            vers = _packed(v)
+        elif f == 2:
+            tss = _delta(_packed(v, signed=True))
+        elif f == 3:
+            css = _delta(_packed(v, signed=True))
+        elif f == 4:
+            uids = _delta(_packed(v, signed=True))
+        elif f == 5:
+            sids = _delta(_packed(v, signed=True))
+    out = []
+    for i in range(n):
+        user = None
+        if sids and i < len(sids) and sids[i] < len(st):
+            user = st[sids[i]].decode()
+        out.append((user,
+                    uids[i] if uids and i < len(uids) else None,
+                    _iso(tss[i] * date_gran) if tss and i < len(tss)
+                    else None,
+                    css[i] if css and i < len(css) else None,
+                    vers[i] if vers and i < len(vers) else None))
+    return out
+
+
+# ------------------------------------------------------- distributed parse
+def parse_osm_pbf(spark: SparkSession, path: str) -> dict:
+    """Distributed .osm.pbf parse → the same eight normalized tables as
+    parse_osm_xml.  Driver reads only blob HEADERS; each task inflates
+    and decodes its own OSMData blobs."""
+    import pandas as pd
+
+    spans = [(off, size) for btype, off, size in iter_blob_spans(path)
+             if btype == "OSMData"]
+    if not spans:
+        raise ValueError(f"{path}: no OSMData blobs")
+    spans_df = spark.createDataFrame(spans, "off long, size long")
+    cols = ["kind", "id", "lon", "lat", "seq", "ref", "mtype", "role", "k",
+            "v", "user", "uid", "ts", "changeset", "version"]
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            with open(path, "rb") as fh:
+                for off, size in zip(pdf["off"], pdf["size"]):
+                    fh.seek(int(off))
+                    rows.extend(decode_primitive_block(
+                        _blob_payload(fh.read(int(size)))))
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    un = (spans_df.repartition(min(len(spans),
+                                   spark.sparkContext.defaultParallelism))
+          .mapInPandas(run, _UNION_SCHEMA).cache())
+    return tables_from_union(un)
+
+
+# --------------------------------------------------------------- writer
+def _blob(btype: str, payload: bytes, compress: bool = True) -> bytes:
+    body = (_w_bytes(3, zlib.compress(payload))
+            + _w_field(2, len(payload))) if compress \
+        else _w_bytes(1, payload)
+    hdr = _w_bytes(1, btype.encode()) + _w_field(3, len(body))
+    return struct.pack(">I", len(hdr)) + hdr + body
+
+
+def build_osm_pbf(nodes: list, ways: list, relations: list,
+                  path: str, granularity: int = 100,
+                  elements_per_blob: int = 8000,
+                  compress: bool = True) -> str:
+    """Write a valid .osm.pbf: one OSMHeader blob + zlib OSMData blobs
+    with delta-coded DenseNodes (osmosis layout).
+
+    nodes: [{id, lon, lat, tags?, user?, uid?, ts_ms?, changeset?,
+    version?}]; ways: [{id, refs, tags?, ...}]; relations: [{id,
+    members: [(type, ref, role)], tags?, ...}].  Coordinates must be
+    multiples of granularity nano-degrees (1e-7° at the default)."""
+    strings: list = [b""]                    # index 0 reserved ("" sid)
+    sidx: dict = {b"": 0}
+
+    def sid(txt: str | None) -> int:
+        b = (txt or "").encode()
+        if b not in sidx:
+            sidx[b] = len(strings)
+            strings.append(b)
+        return sidx[b]
+
+    def info(e) -> bytes:
+        out = b""
+        if e.get("version") is not None:
+            out += _w_field(1, e["version"])
+        if e.get("ts_ms") is not None:
+            out += _w_field(2, e["ts_ms"] // 1000)
+        if e.get("changeset") is not None:
+            out += _w_field(3, e["changeset"])
+        if e.get("uid") is not None:
+            out += _w_field(4, e["uid"])
+        if e.get("user") is not None:
+            out += _w_field(5, sid(e["user"]))
+        return out
+
+    def nano(deg: float) -> int:
+        v = round(deg * 1e9)
+        if v % granularity:
+            raise ValueError(f"coordinate {deg} not on the {granularity}"
+                             " nano-degree grid")
+        return v // granularity
+
+    blocks: list = []
+    # dense node groups
+    for at in range(0, len(nodes), elements_per_blob):
+        chunk = nodes[at:at + elements_per_blob]
+        ids = [n["id"] for n in chunk]
+        lats = [nano(n["lat"]) for n in chunk]
+        lons = [nano(n["lon"]) for n in chunk]
+        kvs: list = []
+        for n in chunk:
+            for k, v in (n.get("tags") or {}).items():
+                kvs += [sid(k), sid(v)]
+            kvs.append(0)
+        dinfo = (_w_bytes(1, b"".join(_w_uvarint(n.get("version") or 0)
+                                      for n in chunk))
+                 + _w_packed(2, _deltas([(n.get("ts_ms") or 0) // 1000
+                                         for n in chunk]), signed=True)
+                 + _w_packed(3, _deltas([n.get("changeset") or 0
+                                         for n in chunk]), signed=True)
+                 + _w_packed(4, _deltas([n.get("uid") or 0
+                                         for n in chunk]), signed=True)
+                 + _w_packed(5, _deltas([sid(n.get("user"))
+                                         for n in chunk]), signed=True))
+        dense = (_w_packed(1, _deltas(ids), signed=True)
+                 + _w_bytes(5, dinfo)
+                 + _w_packed(8, _deltas(lats), signed=True)
+                 + _w_packed(9, _deltas(lons), signed=True)
+                 + _w_packed(10, kvs))
+        blocks.append(_w_bytes(2, _w_bytes(2, dense)))
+    # ways / relations
+    grp = b""
+    for w in ways:
+        tags = w.get("tags") or {}
+        msg = (_w_field(1, w["id"])
+               + _w_packed(2, [sid(k) for k in tags])
+               + _w_packed(3, [sid(v) for v in tags.values()])
+               + _w_bytes(4, info(w))
+               + _w_packed(8, _deltas(w["refs"]), signed=True))
+        grp += _w_bytes(3, msg)
+    tcode = {"node": 0, "way": 1, "relation": 2}
+    for r in relations:
+        tags = r.get("tags") or {}
+        members = r.get("members") or []
+        msg = (_w_field(1, r["id"])
+               + _w_packed(2, [sid(k) for k in tags])
+               + _w_packed(3, [sid(v) for v in tags.values()])
+               + _w_bytes(4, info(r))
+               + _w_packed(8, [sid(ro) for _, _, ro in members])
+               + _w_packed(9, _deltas([m for _, m, _ in members]),
+                           signed=True)
+               + _w_packed(10, [tcode[t] for t, _, _ in members]))
+        grp += _w_bytes(4, msg)
+    if grp:
+        blocks.append(_w_bytes(2, grp))
+
+    stable = _w_bytes(1, b"".join(_w_bytes(1, b) for b in strings))
+    header = (_w_bytes(4, b"OsmSchema-V0.6")
+              + _w_bytes(16, b"spatial_spark"))
+    with open(path, "wb") as fh:
+        fh.write(_blob("OSMHeader", header, compress))
+        for blk in blocks:
+            payload = (stable + blk + _w_field(17, granularity)
+                       + _w_field(18, 1000))
+            fh.write(_blob("OSMData", payload, compress))
+    return path
