@@ -2016,6 +2016,36 @@ def _q_pq_knn(spark, sf_dir) -> DataFrame:
                     F.round("exact_dist", 5).alias("exact_dist")))
 
 
+def _q_st_subdivide(spark, sf_dir) -> DataFrame:
+    """ST_Subdivide on the hard gate: densified part rects split by
+    midpoint bisection until every piece is under the vertex cap; the
+    pieces must TILE the original exactly, so the oracle checks the
+    conserved quantities closed-form (piece-area sum = w·h, the union
+    of piece envelopes = the rect).  Piece structure (counts,
+    disjointness, per-piece vertex caps) is pinned in pytest against
+    the kernel model."""
+    sub = spark.sql(f"""
+        SELECT p_partkey,
+               explode(st_subdivide(st_densify(st_geomfromtext(
+                 concat('POLYGON ((', {PART_X0}, ' ', {PART_Y0}, ', ',
+                        {PART_X0} + {PART_W}, ' ', {PART_Y0}, ', ',
+                        {PART_X0} + {PART_W}, ' ', {PART_Y0} + {PART_H}, ', ',
+                        {PART_X0}, ' ', {PART_Y0} + {PART_H}, ', ',
+                        {PART_X0}, ' ', {PART_Y0}, '))')),
+                 ({PART_W} + {PART_H}) / 20.0), 16)) AS piece
+        FROM part WHERE p_partkey <= 300
+    """)
+    bb = sub.withColumn("_bb", F.expr("st_bbox(piece)"))
+    return (bb.groupBy("p_partkey")
+            .agg(F.round(F.sum(F.expr("st_area(piece)")), 6)
+                 .alias("total_area"),
+                 F.round(F.min("_bb.xmin"), 6).alias("xmin"),
+                 F.round(F.min("_bb.ymin"), 6).alias("ymin"),
+                 F.round(F.max("_bb.xmax"), 6).alias("xmax"),
+                 F.round(F.max("_bb.ymax"), 6).alias("ymax"))
+            .orderBy("p_partkey"))
+
+
 def _q_triangles(spark, sf_dir) -> DataFrame:
     """Degree-oriented triangle counting on the hard gate: a
     deterministic non-bipartite graph over the customer keys (three
@@ -2491,11 +2521,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     token_counts;
     #   * then 37 of the 50 r7-row holders in this file's order
     #     (geohash .. bm25).
-    # r10 window plan: the SIXTEEN r9-late gates with no driver rows
+    # r10 window plan: the SEVENTEEN r9-late gates with no driver rows
     # at all (st_transform_lcc, mp4_codec_meta, kmeans_embed, pagerank,
     # semdedup, st_transform_laea, image_hashes, image_dedup,
     # geoparquet_roundtrip, quantile_sketch, weighted_sample,
-    # media_avc_ipcm, triangle_counts, pq_knn, osm_pbf_source — at the
+    # media_avc_ipcm, triangle_counts, pq_knn, osm_pbf_source,
+    # st_subdivide — at the
     # registry tail — plus any
     # r10 newcomers) lead, then the 13
     # r7-row holders that didn't fit this round (path_length ..
@@ -2639,6 +2670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": _q_triangles,
         "pq_knn": _q_pq_knn,
         "osm_pbf_source": _q_osm_pbf_source,
+        "st_subdivide": _q_st_subdivide,
     }.items()}
 
 
@@ -3734,6 +3766,15 @@ def oracle_sql() -> dict[str, str]:
                              THEN ud - 18446744073709551616
                              ELSE ud END AS BIGINT) AS dhash
             FROM packed
+        """,
+        "st_subdivide": f"""
+            SELECT p_partkey,
+                   round({PART_W} * {PART_H}, 6) AS total_area,
+                   round({PART_X0}, 6) AS xmin,
+                   round({PART_Y0}, 6) AS ymin,
+                   round({PART_X0} + {PART_W}, 6) AS xmax,
+                   round({PART_Y0} + {PART_H}, 6) AS ymax
+            FROM part WHERE p_partkey <= 300 ORDER BY p_partkey
         """,
         "pq_knn": """
             WITH cw AS (SELECT row_number() OVER (ORDER BY vec_id) - 1

@@ -70,6 +70,8 @@ HEADLINE = [
     "pq_knn",
     # r9 thirteenth wave: OSM PBF source (multi-blob distributed decode)
     "osm_pbf_source",
+    # r9 fourteenth wave: ST_Subdivide (convex S-H fast path)
+    "st_subdivide",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -142,6 +144,8 @@ BUDGET_SF01 = {
     "pq_knn": 2.9,
     # r9 thirteenth wave: 2.2x local best-of-two
     "osm_pbf_source": 4.9,
+    # r9 fourteenth wave: 2.2x local best-of-two
+    "st_subdivide": 2.4,
 }
 
 

@@ -361,6 +361,21 @@ def st_dump(wkb: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(T.ArrayType(T.BinaryType()))
+def st_subdivide(wkb: pd.Series, max_vertices: pd.Series) -> pd.Series:
+    """PostGIS-class ST_Subdivide: midpoint-bisection parts, each under
+    max_vertices points, tiling the input exactly (geom/clip.subdivide)
+    — the pre-join treatment for continent-sized polygons."""
+    out = []
+    for b, mv in zip(wkb, max_vertices):
+        if b is None:
+            out.append(None)
+        else:
+            out.append([to_wkb(p) for p in
+                        cl.subdivide(from_wkb(b), int(mv))])
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.ArrayType(T.BinaryType()))
 def st_points(wkb: pd.Series) -> pd.Series:
     """Every vertex as a point (ExtractPoints.java:29-46).  Uniform
     batches decode in one numpy pass and assemble all point WKBs
@@ -501,6 +516,7 @@ REGISTRY = {
     "st_distance_sphere": st_distance_sphere, "st_bbox": st_bbox,
     "st_sphere_distance": st_sphere_distance,
     "st_gtype": st_gtype, "st_dump": st_dump, "st_points": st_points,
+    "st_subdivide": st_subdivide,
     "st_coords": st_coords, "st_affine": st_affine, "st_translate": st_translate,
     "st_transform": st_transform,
 }

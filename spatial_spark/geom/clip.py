@@ -1130,3 +1130,105 @@ def intersect_many(geoms: list) -> Geometry:
         if acc.is_empty():
             return acc
     return acc
+
+
+def _convex_ring(ring: np.ndarray) -> bool:
+    """Closed ring convex (collinear runs allowed)?  One vectorized
+    cross-product sign sweep."""
+    v = np.diff(ring[:-1], axis=0, append=ring[1:2])
+    cross = v[:-1, 0] * v[1:, 1] - v[:-1, 1] * v[1:, 0]
+    return bool((cross >= -1e-12).all() or (cross <= 1e-12).all())
+
+
+def _clip_ring_halfplane(ring: np.ndarray, axis: int, val: float,
+                         keep_low: bool):
+    """Sutherland–Hodgman of a CONVEX closed ring against the
+    axis-aligned half-plane — exact crossings (the cut coordinate is
+    set to `val` verbatim), O(n), no overlay machinery.  Convexity is
+    the caller's guarantee (a concave subject could need the output
+    split into components, which S-H cannot represent)."""
+    out: list = []
+    n = len(ring) - 1
+    for i in range(n):
+        p, q = ring[i], ring[i + 1]
+        pin = (p[axis] <= val) if keep_low else (p[axis] >= val)
+        qin = (q[axis] <= val) if keep_low else (q[axis] >= val)
+        if pin:
+            out.append(p)
+        if pin != qin:
+            t = (val - p[axis]) / (q[axis] - p[axis])
+            c = p + t * (q - p)
+            c[axis] = val
+            out.append(c)
+    if len(out) < 3:
+        return None
+    arr = np.vstack(out + [out[0]])
+    keep = np.ones(len(arr), dtype=bool)
+    keep[1:] = (np.abs(np.diff(arr, axis=0)).max(axis=1) > 0)
+    arr = arr[keep]
+    if not np.array_equal(arr[0], arr[-1]):
+        arr = np.vstack([arr, arr[:1]])
+    return arr if len(arr) >= 4 else None
+
+
+def subdivide(g: Geometry, max_vertices: int = 128,
+              max_depth: int = 24) -> list:
+    """PostGIS-class ST_Subdivide: recursively halve the envelope along
+    its longer axis (deterministic midpoint cuts) and clip, until every
+    part carries at most ``max_vertices`` points.  Parts tile the input
+    exactly (disjoint interiors, areas sum to the original) — the
+    standard pre-join treatment for continent-sized polygons, whose
+    bbox would otherwise put them in every grid cell of a PBSM join.
+
+    No reference counterpart (the reference delegates geometry ops to
+    JTS and has no subdivide pipe); extension axis next to the overlay
+    kernel it is built from."""
+    if max_vertices < 8:
+        raise ValueError("subdivide: max_vertices must be >= 8")
+    out: list = []
+    stack = [(g, 0)]
+    while stack:
+        cur, depth = stack.pop()
+        if cur is None or cur.is_empty():
+            continue
+        if cur.num_points() <= max_vertices or depth >= max_depth:
+            out.extend(p for p in cur.parts()
+                       if p.gtype in (GTYPE_POLYGON, GTYPE_MULTIPOLYGON)
+                       or cur.gtype not in (GTYPE_POLYGON,
+                                            GTYPE_MULTIPOLYGON))
+            continue
+        x0, y0, x1, y1 = cur.envelope()
+        if x1 - x0 >= y1 - y0:
+            xm = (x0 + x1) / 2.0
+            halves = [(x0, y0, xm, y1), (xm, y0, x1, y1)]
+        else:
+            ym = (y0 + y1) / 2.0
+            halves = [(x0, y0, x1, ym), (x0, ym, x1, y1)]
+        pieces = []
+        convex = (cur.gtype == GTYPE_POLYGON and len(cur.rings()) == 1
+                  and _convex_ring(cur.rings()[0]))
+        if convex:
+            # convex ∩ half-plane stays convex: S-H fast path, exact,
+            # no overlay machinery — the whole recursion of a convex
+            # input (e.g. densified rects) never leaves it
+            axis = 0 if x1 - x0 >= y1 - y0 else 1
+            cut = halves[0][2] if axis == 0 else halves[0][3]
+            for keep_low in (True, False):
+                r = _clip_ring_halfplane(cur.rings()[0], axis, cut,
+                                         keep_low)
+                pieces.append(Geometry(GTYPE_POLYGON, [r])
+                              if r is not None
+                              else Geometry(GTYPE_POLYGON, []))
+        else:
+            for hx0, hy0, hx1, hy1 in halves:
+                ring = np.array([[hx0, hy0], [hx1, hy0], [hx1, hy1],
+                                 [hx0, hy1], [hx0, hy0]], dtype=np.float64)
+                pieces.append(intersection(
+                    cur, Geometry(GTYPE_POLYGON, [ring])))
+        live = [p for p in pieces if p is not None and not p.is_empty()]
+        # degenerate cut (all points on one side): emit as-is
+        if sum(p.num_points() for p in live) >= 2 * cur.num_points():
+            out.append(cur)
+            continue
+        stack.extend((p, depth + 1) for p in live)
+    return out

@@ -1961,10 +1961,13 @@ def _decode_avc1_ipcm_frames(buf: bytes, tab: dict, every_n: int) -> list:
     avcc = _find_avcc(buf)
     if avcc is None:
         raise NotImplementedError(
-            "MP4 frames: avc1 track has no avcC configuration")
+            "MP4 frames: avc1 track has no avcC configuration — "
+            "entropy-coded payloads need ffmpeg; only I_PCM slices "
+            "decode natively")
     cfg = parse_avcc(avcc)
     if "width" not in cfg or cfg.get("width") is None:
-        raise NotImplementedError("MP4 frames: avcC carries no SPS")
+        raise NotImplementedError(
+            "MP4 frames: avcC carries no SPS — needs ffmpeg")
     nls = cfg["nal_length_size"]
     out = []
     for f, (off, size) in enumerate(tab["samples"]):

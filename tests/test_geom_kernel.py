@@ -379,3 +379,31 @@ def test_batched_centroid_bit_identical_to_kernel():
     batched = st_centroid.func(pd.Series(tris))
     for b, out in zip(tris, batched):
         assert out == to_wkb(centroid(from_wkb(b))), from_wkb(b)
+
+
+def test_subdivide_tiles_exactly():
+    """subdivide: every piece under the vertex cap, areas sum to the
+    original, pieces pairwise interior-disjoint — square, L-shape, and
+    a holed polygon."""
+    from spatial_spark.geom import from_wkt
+    from spatial_spark.geom import algorithms as alg
+    from spatial_spark.geom.algorithms import densify
+    from spatial_spark.geom.clip import intersection, subdivide
+
+    cases = [
+        ("POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0))", 0.5, 20, 64.0),
+        ("POLYGON ((0 0, 10 0, 10 4, 4 4, 4 10, 0 10, 0 0))",
+         0.25, 24, 64.0),
+        ("POLYGON ((0 0, 12 0, 12 12, 0 12, 0 0), "
+         "(4 4, 8 4, 8 8, 4 8, 4 4))", 0.5, 30, 144.0 - 16.0),
+    ]
+    for wkt, step, mv, want_area in cases:
+        g = densify(from_wkt(wkt), step)
+        parts = subdivide(g, max_vertices=mv)
+        assert len(parts) > 1
+        assert all(p.num_points() <= mv for p in parts)
+        assert abs(sum(alg.area(p) for p in parts) - want_area) < 1e-6
+        for i in range(len(parts)):
+            for j in range(i + 1, len(parts)):
+                inter = intersection(parts[i], parts[j])
+                assert alg.area(inter) < 1e-6, (wkt, i, j)
