@@ -2016,6 +2016,61 @@ def _q_pq_knn(spark, sf_dir) -> DataFrame:
                     F.round("exact_dist", 5).alias("exact_dist")))
 
 
+def _q_pca_project(spark, sf_dir) -> DataFrame:
+    """PCA projection on the hard gate: distributed covariance partials
+    (one mapInPandas pass, dim² doubles per partition) + the
+    DETERMINISTIC 8-step power iteration from e₀ — the same
+    unrolled-procedure trick as the pagerank gate, so the oracle
+    replays the ENTIRE computation (per-dim means, the 64×64
+    covariance as (i,j,c) rows, eight matvec+normalize CTEs, the final
+    centered dot product) in plain SQL."""
+    from spatial_spark.operators.pca import pca_project
+    emb = spark.table("embeddings")
+    return (pca_project(emb, iters=8)
+            .where(F.col("vec_id") < 300)
+            .select("vec_id", F.round("proj", 5).alias("proj"))
+            .orderBy("vec_id"))
+
+
+def _pca_oracle_sql(iters: int = 8, dim: int = 64) -> str:
+    steps = []
+    prev = "v0"
+    for t in range(1, iters + 1):
+        steps.append(f"""
+        w{t} AS MATERIALIZED (
+            SELECT cov.i AS i, sum(cov.c * {prev}.x) AS x
+            FROM cov JOIN {prev} ON {prev}.i = cov.j GROUP BY cov.i),
+        n{t} AS MATERIALIZED (SELECT sqrt(sum(x * x)) AS nrm FROM w{t}),
+        v{t} AS MATERIALIZED (SELECT i, x / nrm AS x FROM w{t}, n{t}),""")
+        prev = f"v{t}"
+    chain = "".join(steps).rstrip(",")
+    return f"""
+        WITH dims AS (SELECT CAST(unnest(generate_series(1, {dim})) AS INT)
+                          AS i),
+        el AS MATERIALIZED (
+            SELECT vec_id, d.i, CAST(embedding[d.i] AS DOUBLE) AS v
+            FROM embeddings, dims d),
+        nn AS MATERIALIZED (
+            SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+        mu AS MATERIALIZED (
+            SELECT i, sum(v) / max(nn.n) AS m FROM el, nn GROUP BY i),
+        cov AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+                       sum(a.v * b.v) / max(nn.n) - max(ma.m) * max(mb.m)
+                         AS c
+                FROM el a JOIN el b USING (vec_id), nn
+                JOIN mu ma ON ma.i = a.i JOIN mu mb ON mb.i = b.i
+                GROUP BY a.i, b.i),
+        v0 AS (SELECT i, CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END AS x
+               FROM dims),{chain}
+        SELECT el.vec_id,
+               round(sum((el.v - mu.m) * {prev}.x), 5) AS proj
+        FROM el JOIN mu ON mu.i = el.i
+                JOIN {prev} ON {prev}.i = el.i
+        WHERE el.vec_id < 300
+        GROUP BY el.vec_id ORDER BY el.vec_id
+    """
+
+
 def _q_st_subdivide(spark, sf_dir) -> DataFrame:
     """ST_Subdivide on the hard gate: densified part rects split by
     midpoint bisection until every piece is under the vertex cap; the
@@ -2521,12 +2576,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     token_counts;
     #   * then 37 of the 50 r7-row holders in this file's order
     #     (geohash .. bm25).
-    # r10 window plan: the SEVENTEEN r9-late gates with no driver rows
+    # r10 window plan: the EIGHTEEN r9-late gates with no driver rows
     # at all (st_transform_lcc, mp4_codec_meta, kmeans_embed, pagerank,
     # semdedup, st_transform_laea, image_hashes, image_dedup,
     # geoparquet_roundtrip, quantile_sketch, weighted_sample,
     # media_avc_ipcm, triangle_counts, pq_knn, osm_pbf_source,
-    # st_subdivide — at the
+    # st_subdivide, pca_project — at the
     # registry tail — plus any
     # r10 newcomers) lead, then the 13
     # r7-row holders that didn't fit this round (path_length ..
@@ -2671,6 +2726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_knn": _q_pq_knn,
         "osm_pbf_source": _q_osm_pbf_source,
         "st_subdivide": _q_st_subdivide,
+        "pca_project": _q_pca_project,
     }.items()}
 
 
@@ -3767,6 +3823,7 @@ def oracle_sql() -> dict[str, str]:
                              ELSE ud END AS BIGINT) AS dhash
             FROM packed
         """,
+        "pca_project": _pca_oracle_sql(),
         "st_subdivide": f"""
             SELECT p_partkey,
                    round({PART_W} * {PART_H}, 6) AS total_area,

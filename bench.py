@@ -72,6 +72,8 @@ HEADLINE = [
     "osm_pbf_source",
     # r9 fourteenth wave: ST_Subdivide (convex S-H fast path)
     "st_subdivide",
+    # r9 fifteenth wave: PCA projection (Gram partials + power iteration)
+    "pca_project",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -146,6 +148,8 @@ BUDGET_SF01 = {
     "osm_pbf_source": 4.9,
     # r9 fourteenth wave: 2.2x local best-of-two
     "st_subdivide": 2.4,
+    # r9 fifteenth wave: 2.2x local best-of-two
+    "pca_project": 1.5,
 }
 
 

@@ -3411,3 +3411,34 @@ def test_ivfpq_topk_recall_and_determinism(spark):
     truth = set(np.argsort(((x - p) ** 2).sum(1))[:10].tolist())
     recall = len(truth & {v for v, _ in got}) / 10.0
     assert recall >= 0.7, recall
+
+
+def test_pca_project_matches_numpy(spark):
+    """Distributed covariance partials == numpy exact; the 8-step power
+    direction approaches the true top eigenvector on a spiked
+    covariance; projections == the local replay."""
+    import numpy as np
+    from spatial_spark.operators.pca import (covariance_stats,
+                                             pca_project, power_component)
+
+    rng = np.random.default_rng(31)
+    base = rng.normal(size=(400, 16))
+    spike = rng.normal(size=16)
+    spike /= np.linalg.norm(spike)
+    x = (base + 4.0 * np.outer(rng.normal(size=400), spike)) \
+        .astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, x[i].tolist()) for i in range(400)],
+        "vec_id long, embedding array<float>").repartition(6)
+    n, mean, cov = covariance_stats(df)
+    xd = x.astype(np.float64)
+    assert n == 400
+    assert np.allclose(mean, xd.mean(axis=0), atol=1e-9)
+    want_cov = xd.T @ xd / 400 - np.outer(xd.mean(0), xd.mean(0))
+    assert np.allclose(cov, want_cov, atol=1e-9)
+    v = power_component(cov, iters=8)
+    assert abs(abs(v @ spike)) > 0.95          # spiked direction found
+    got = {r.vec_id: r.proj for r in pca_project(df, iters=8).collect()}
+    want = (xd - xd.mean(0)[None, :]) @ v
+    for i in (0, 13, 399):
+        assert abs(got[i] - want[i]) < 1e-9
