@@ -1864,6 +1864,39 @@ def _q_media_avc_ipcm(spark, sf_dir) -> DataFrame:
             .orderBy("media_id", "frame_no"))
 
 
+def _q_media_resize(spark, sf_dir) -> DataFrame:
+    """REAL image resize on the hard gate: two-tone GIFs decode,
+    resample through the exact-integer area kernel to 8×4, re-encode as
+    PNG, and decode_features reads the mean back.  Fixture design makes
+    every rounded cell value closed-form AND .5-free (v−u ≡ 0 mod 16
+    with w = 8m, m odd ⇒ the cell fraction is 2te/m, never ≡ .5), so
+    banker's-vs-half-away rounding cannot diverge and DuckDB recomputes
+    the resized means exactly."""
+    import numpy as np
+    from spatial_spark.operators.codecs import encode_gif
+    from spatial_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                    decode_features,
+                                                    resize_images)
+    rows = []
+    for i in range(32):
+        m = 3 + 2 * (i % 3)
+        w = 8 * m
+        h = 5 + i % 4
+        wa = 1 + (i * 5) % (w - 1)
+        u = (i * 23) % 96
+        v = u + 16 * (1 + (i * 7) % 9)
+        img = np.zeros((h, w, 3), dtype=np.uint8)
+        img[:, :wa] = v
+        img[:, wa:] = u
+        rows.append((i, bytearray(encode_gif(img)), "image", "gif",
+                     w, h, None))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return (decode_features(resize_images(df, 8, 4), decoder="real")
+            .select("media_id", "decoded_w", "decoded_h",
+                    F.round("mean_intensity", 6).alias("mean_intensity"))
+            .orderBy("media_id"))
+
+
 def _q_media_gif(spark, sf_dir) -> DataFrame:
     """REAL GIF decode on the hard gate (r8): deterministic two-tone
     payloads (left w//2 columns = v, rest = u) written by the numpy GIF
@@ -2576,12 +2609,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     token_counts;
     #   * then 37 of the 50 r7-row holders in this file's order
     #     (geohash .. bm25).
-    # r10 window plan: the EIGHTEEN r9-late gates with no driver rows
+    # r10 window plan: the NINETEEN r9-late gates with no driver rows
     # at all (st_transform_lcc, mp4_codec_meta, kmeans_embed, pagerank,
     # semdedup, st_transform_laea, image_hashes, image_dedup,
     # geoparquet_roundtrip, quantile_sketch, weighted_sample,
     # media_avc_ipcm, triangle_counts, pq_knn, osm_pbf_source,
-    # st_subdivide, pca_project — at the
+    # st_subdivide, pca_project, media_resize — at the
     # registry tail — plus any
     # r10 newcomers) lead, then the 13
     # r7-row holders that didn't fit this round (path_length ..
@@ -2727,6 +2760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osm_pbf_source": _q_osm_pbf_source,
         "st_subdivide": _q_st_subdivide,
         "pca_project": _q_pca_project,
+        "media_resize": _q_media_resize,
     }.items()}
 
 
@@ -3824,6 +3858,25 @@ def oracle_sql() -> dict[str, str]:
             FROM packed
         """,
         "pca_project": _pca_oracle_sql(),
+        "media_resize": """
+            WITH items AS (SELECT unnest(generate_series(0, 31)) AS i),
+            p AS (SELECT i, 8 * (3 + 2 * (i % 3)) AS w,
+                         1 + (i * 5) % (8 * (3 + 2 * (i % 3)) - 1) AS wa,
+                         (i * 23) % 96 AS u,
+                         (i * 23) % 96 + 16 * (1 + (i * 7) % 9) AS v
+                  FROM items),
+            cs AS (SELECT unnest(generate_series(0, 7)) AS c),
+            cell AS (
+              SELECT i, c,
+                     round(u + (least((c + 1) * w, 8 * wa)
+                                - least(c * w, 8 * wa))
+                           * CAST(v - u AS DOUBLE) / w) AS val
+              FROM p, cs)
+            SELECT CAST(i AS BIGINT) AS media_id,
+                   CAST(8 AS INT) AS decoded_w, CAST(4 AS INT) AS decoded_h,
+                   round(sum(val) / 8.0, 6) AS mean_intensity
+            FROM cell GROUP BY i ORDER BY media_id
+        """,
         "st_subdivide": f"""
             SELECT p_partkey,
                    round({PART_W} * {PART_H}, 6) AS total_area,

@@ -74,6 +74,8 @@ HEADLINE = [
     "st_subdivide",
     # r9 fifteenth wave: PCA projection (Gram partials + power iteration)
     "pca_project",
+    # r9 sixteenth wave: real area-average image resize
+    "media_resize",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -150,6 +152,8 @@ BUDGET_SF01 = {
     "st_subdivide": 2.4,
     # r9 fifteenth wave: 2.2x local best-of-two
     "pca_project": 1.5,
+    # r9 sixteenth wave: 2.2x local best-of-two
+    "media_resize": 2.2,
 }
 
 

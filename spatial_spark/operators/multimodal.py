@@ -431,3 +431,57 @@ def audio_features(df: DataFrame, nfft: int = 1024,
                     "zero_crossings", "spectral_centroid_bin"])
 
     return df.mapInPandas(run, out_schema)
+
+
+def resize_images(df: DataFrame, target_w: int, target_h: int,
+                  payload_col: str = "payload") -> DataFrame:
+    """REAL area-average resize over the decoded-pixel path: any
+    decodable image payload (PNG/JPEG/GIF/BMP/PPM) decodes, resamples
+    through the EXACT-INTEGER area kernel (operators/imagehash
+    _cell_numerators — per-cell numerators over a common denominator,
+    so the resample itself is platform-exact; only the final
+    round-to-uint8 touches floats, and .5 is analytically avoidable by
+    fixture design), and re-encodes as lossless PNG so a downstream
+    decode_features(decoder='real') keeps working.  The nearest-
+    neighbor resize_stub remains for the FAKE-payload oracle path.
+    mapInPandas: one decode+resample+encode per payload, no shuffle."""
+    out_schema = df.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import decode_any, encode_png
+        from .imagehash import _cell_numerators
+
+        for pdf in batches:
+            out, fmts = [], []
+            for buf in pdf[payload_col]:
+                if buf is None:
+                    out.append(None)
+                    fmts.append(None)
+                    continue
+                kind, val = decode_any(bytes(buf))
+                if kind != "image":
+                    out.append(None)
+                    fmts.append(None)
+                    continue
+                img = np.asarray(val)[..., :3].astype(np.int64)
+                h, w = img.shape[:2]
+                chans = []
+                for c in range(3):
+                    n = _cell_numerators(img[..., c], target_h, target_w)
+                    chans.append(np.round(n / float(h * w)))
+                resized = np.clip(np.stack(chans, axis=2), 0,
+                                  255).astype(np.uint8)
+                out.append(bytearray(encode_png(resized)))
+                fmts.append("png")
+            pdf = pdf.copy()
+            pdf[payload_col] = out
+            if "format" in pdf.columns:
+                pdf["format"] = [f if f else o for f, o in
+                                 zip(fmts, pdf["format"])]
+            if "width" in pdf.columns:
+                pdf["width"] = target_w
+            if "height" in pdf.columns:
+                pdf["height"] = target_h
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)

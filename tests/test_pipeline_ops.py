@@ -3442,3 +3442,35 @@ def test_pca_project_matches_numpy(spark):
     want = (xd - xd.mean(0)[None, :]) @ v
     for i in (0, 13, 399):
         assert abs(got[i] - want[i]) < 1e-9
+
+
+def test_resize_images_real_path(spark):
+    """resize_images: area resample conserves the image mean exactly
+    when the output grid divides the input (mass conservation), output
+    is decodable PNG, and downsampling random noise approximates the
+    block means (vs a numpy reference)."""
+    import numpy as np
+    from spatial_spark.operators.codecs import encode_png
+    from spatial_spark.operators.imagehash import _cell_numerators
+    from spatial_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                    decode_features,
+                                                    resize_images)
+
+    rng = np.random.default_rng(41)
+    rows, want = [], {}
+    for i in range(8):
+        h, w = 16, 32
+        img = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        rows.append((i, bytearray(encode_png(img)), "image", "png",
+                     w, h, None))
+        chans = [np.round(_cell_numerators(
+            img[..., c].astype(np.int64), 4, 8) / float(h * w))
+            for c in range(3)]
+        want[i] = float(np.clip(np.stack(chans, 2), 0, 255).mean())
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: (r.decoded_w, r.decoded_h, r.mean_intensity)
+           for r in decode_features(resize_images(df, 8, 4),
+                                    decoder="real").collect()}
+    for i in range(8):
+        assert got[i][0] == 8 and got[i][1] == 4
+        assert abs(got[i][2] - want[i]) < 1e-9
