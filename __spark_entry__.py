@@ -464,6 +464,28 @@ def _q_st_transform_utm(spark, sf_dir) -> DataFrame:
         F.expr("CAST(round(st_y(u) * 100) AS BIGINT)").alias("n_cm"))
 
 
+def _q_st_transform_tm(spark, sf_dir) -> DataFrame:
+    """Generic transverse-Mercator gate (EPSG:3414 SVY21 — a NONZERO
+    origin latitude, so the ξ₀ meridian-arc shift is on the hard gate;
+    the national-grid class NZTM2000/CS92/SVY21): customer points
+    wrapped into ±25° of the central meridian through the st_transform
+    kernel, cm integers hash-compared against the dual-engine
+    tm_forward_ctes SQL."""
+    pts = (spark.table("customer")
+           .select("c_custkey",
+                   F.expr("103.83333333333333 + CAST((c_custkey * 7919) "
+                          "% 500 AS DOUBLE) / 10.0 - 25.0").alias("lon"),
+                   F.expr("CAST((c_custkey * 104729) % 1600 AS DOUBLE) "
+                          "/ 10.0 - 80.0").alias("lat"))
+           .withColumn("u", F.expr(
+               "st_transform(st_point(lon, lat), 'EPSG:4326', "
+               "'EPSG:3414')")))
+    return pts.select(
+        "c_custkey",
+        F.expr("CAST(round(st_x(u) * 100) AS BIGINT)").alias("e_cm"),
+        F.expr("CAST(round(st_y(u) * 100) AS BIGINT)").alias("n_cm"))
+
+
 def _q_st_transform_laea(spark, sf_dir) -> DataFrame:
     """Lambert Azimuthal EQUAL-AREA gate (EPSG:3035, the EU statistical
     grid; Snyder oblique-aspect formulas / EPSG method 9820): customer
@@ -2626,12 +2648,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     token_counts;
     #   * then 37 of the 50 r7-row holders in this file's order
     #     (geohash .. bm25).
-    # r10 window plan: the TWENTY r9-late gates with no driver rows
+    # r10 window plan: the TWENTY-ONE r9-late gates with no driver rows
     # at all (st_transform_lcc, mp4_codec_meta, kmeans_embed, pagerank,
     # semdedup, st_transform_laea, image_hashes, image_dedup,
     # geoparquet_roundtrip, quantile_sketch, weighted_sample,
     # media_avc_ipcm, triangle_counts, pq_knn, osm_pbf_source,
-    # st_subdivide, pca_project, media_resize, hll_by_group — at the
+    # st_subdivide, pca_project, media_resize, hll_by_group,
+    # st_transform_tm — at the
     # registry tail — plus any
     # r10 newcomers) lead, then the 13
     # r7-row holders that didn't fit this round (path_length ..
@@ -2779,6 +2802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_project": _q_pca_project,
         "media_resize": _q_media_resize,
         "hll_by_group": _q_hll_by_group,
+        "st_transform_tm": _q_st_transform_tm,
     }.items()}
 
 
@@ -3886,6 +3910,22 @@ def oracle_sql() -> dict[str, str]:
             FROM packed
         """,
         "pca_project": _pca_oracle_sql(),
+        "st_transform_tm": __import__("spatial_spark.functions.crs",
+                                      fromlist=["tm_forward_ctes"])
+        .tm_forward_ctes(
+            """SELECT c_custkey,
+                      103.83333333333333 + CAST((c_custkey * 7919)
+                        % 500 AS DOUBLE) / 10.0 - 25.0 AS lon,
+                      CAST((c_custkey * 104729) % 1600 AS DOUBLE)
+                        / 10.0 - 80.0 AS lat
+               FROM customer""",
+            1.3697222222222222, 103.83333333333333, 1.0,
+            28001.642, 38744.572) + """
+            SELECT c_custkey,
+                   CAST(round(easting * 100) AS BIGINT) AS e_cm,
+                   CAST(round(northing * 100) AS BIGINT) AS n_cm
+            FROM _tm_out
+        """,
         "hll_by_group": f"""
             WITH toks AS (
               SELECT lang, unnest(

@@ -78,6 +78,8 @@ HEADLINE = [
     "media_resize",
     # r9 seventeenth wave: per-group HLL registers
     "hll_by_group",
+    # r9 eighteenth wave: generic transverse-Mercator frames
+    "st_transform_tm",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -158,6 +160,8 @@ BUDGET_SF01 = {
     "media_resize": 2.2,
     # r9 seventeenth wave: 2.2x local best-of-two
     "hll_by_group": 2.0,
+    # r9 eighteenth wave: 2.2x local best-of-two
+    "st_transform_tm": 0.6,
 }
 
 

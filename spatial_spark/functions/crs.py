@@ -62,6 +62,7 @@ __all__ = ["MERC_R", "merc_forward_sql", "merc_inverse_sql",
            "transform_points", "st_transform",
            "UTM_K0", "UTM_A", "UTM_ALPHA", "utm_forward", "utm_inverse",
            "utm_forward_ctes", "utm_inverse_ctes",
+           "tm_forward", "tm_inverse", "tm_forward_ctes", "tm_xi0",
            "lcc_constants", "lcc_forward", "lcc_inverse",
            "ps_forward", "ps_inverse", "psa_forward", "psa_inverse",
            "lcc_forward_ctes",
@@ -122,6 +123,14 @@ _EPSG_CONIC = {
     "5041": "psa:0.994:0.0:2000000.0:2000000.0:n",
     "5042": "psa:0.994:0.0:2000000.0:2000000.0:s",
     "3035": "laea:52.0:10.0:4321000.0:3210000.0",
+    # generic transverse Mercator (the national-grid class; WGS84-family
+    # datums only — NZGD2000 / ETRS89 / SVY21):
+    #   2193  NZGD2000 / New Zealand Transverse Mercator 2000
+    #   2180  ETRS89 / Poland CS92
+    #   3414  SVY21 / Singapore TM
+    "2193": "tm:0.0:173.0:0.9996:1600000.0:10000000.0",
+    "2180": "tm:0.0:19.0:0.9993:500000.0:-5300000.0",
+    "3414": "tm:1.3697222222222222:103.83333333333333:1.0:28001.642:38744.572",
 }
 
 
@@ -147,9 +156,9 @@ def _frame(crs) -> str:
     key = s[5:] if s.startswith("epsg:") else s
     if key in _EPSG_CONIC:
         return _EPSG_CONIC[key]
-    if s.startswith(("lcc:", "psb:", "psa:", "laea:")):
+    if s.startswith(("lcc:", "psb:", "psa:", "laea:", "tm:")):
         kind, *parts = s.split(":")
-        n_num = {"lcc": 6, "psb": 4, "psa": 4, "laea": 4}[kind]
+        n_num = {"lcc": 6, "psb": 4, "psa": 4, "laea": 4, "tm": 5}[kind]
         hemi = ()
         if kind == "psa":
             if len(parts) != 5 or parts[4] not in ("n", "s"):
@@ -166,6 +175,9 @@ def _frame(crs) -> str:
         if kind == "psb" and nums[0] == 0.0:
             raise ValueError("st_transform: psb lat_ts must be nonzero "
                              "(sign selects the aspect)")
+        if kind == "tm" and abs(nums[0]) >= 89.999999:
+            raise ValueError("st_transform: TM origin latitude must be "
+                             "below the pole")
         if kind == "laea" and abs(nums[0]) >= 89.999999:
             raise ValueError("st_transform: LAEA polar aspect is out of "
                              "scope (oblique |lat0| < 90 only)")
@@ -175,7 +187,8 @@ def _frame(crs) -> str:
         "(supported: EPSG:4326, EPSG:3857, EPSG:326xx/327xx UTM, "
         "EPSG:2154/3034 LCC, EPSG:3031/3413/3995 polar stereographic, "
         "EPSG:5041/5042 UPS, EPSG:3035 LAEA, "
-        "generic lcc:/psb:/psa:/laea: frames, cartesian)")
+        "EPSG:2193/2180/3414 TM, "
+        "generic lcc:/psb:/psa:/laea:/tm: frames, cartesian)")
 
 
 def merc_forward_sql(lon_sql: str, lat_sql: str) -> tuple[str, str]:
@@ -421,6 +434,114 @@ def lcc_constants(lat1: float, lat2: float, lat0: float,
         nc = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
     af = a * m1 / (nc * t1 ** nc)
     return nc, af, af * t0 ** nc, e
+
+
+def tm_xi0(lat0: float) -> float:
+    """ξ of (lat0, central meridian) in the Krüger series — the
+    meridian-arc origin shift a generic TM frame subtracts (UTM is the
+    lat0=0 special case, where this is exactly 0)."""
+    sphi = math.sin(math.radians(lat0))
+    t = math.sinh(math.atanh(sphi) - _UTM_C * math.atanh(_UTM_C * sphi))
+    xip = math.atan(t)
+    xi = xip
+    for j, a in enumerate(UTM_ALPHA, start=1):
+        xi += a * math.sin(2.0 * j * xip)
+    return xi
+
+
+def tm_forward(xy: np.ndarray, lat0: float, lon0: float, k0: float,
+               fe: float, fn: float) -> np.ndarray:
+    """WGS84 lon/lat degrees → generic transverse-Mercator meters
+    (Krüger/Karney series, the UTM kernel with configurable natural
+    origin/scale/offsets — the national-grid class: NZTM2000, Poland
+    CS92, SVY21, …)."""
+    phi = np.radians(xy[:, 1])
+    lam = np.radians(xy[:, 0] - lon0)
+    sphi = np.sin(phi)
+    t = np.sinh(np.arctanh(sphi) - _UTM_C * np.arctanh(_UTM_C * sphi))
+    xip = np.arctan2(t, np.cos(lam))
+    etap = np.arctanh(np.sin(lam) / np.sqrt(1.0 + t * t))
+    xi, eta = xip.copy(), etap.copy()
+    for j, a in enumerate(UTM_ALPHA, start=1):
+        xi += a * np.sin(2.0 * j * xip) * np.cosh(2.0 * j * etap)
+        eta += a * np.cos(2.0 * j * xip) * np.sinh(2.0 * j * etap)
+    out = np.empty_like(xy, dtype=np.float64)
+    out[:, 0] = fe + k0 * UTM_A * eta
+    out[:, 1] = fn + k0 * UTM_A * (xi - tm_xi0(lat0))
+    return out
+
+
+def tm_inverse(xy: np.ndarray, lat0: float, lon0: float, k0: float,
+               fe: float, fn: float) -> np.ndarray:
+    """Generic transverse-Mercator meters → WGS84 lon/lat degrees."""
+    xi = (xy[:, 1] - fn) / (k0 * UTM_A) + tm_xi0(lat0)
+    eta = (xy[:, 0] - fe) / (k0 * UTM_A)
+    xip, etap = xi.copy(), eta.copy()
+    for j, b in enumerate(UTM_BETA, start=1):
+        xip -= b * np.sin(2.0 * j * xi) * np.cosh(2.0 * j * eta)
+        etap -= b * np.cos(2.0 * j * xi) * np.sinh(2.0 * j * eta)
+    chi = np.arcsin(np.sin(xip) / np.cosh(etap))
+    phi = chi.copy()
+    for j, d in enumerate(UTM_DELTA, start=1):
+        phi += d * np.sin(2.0 * j * chi)
+    lam = np.arctan2(np.sinh(etap), np.cos(xip))
+    out = np.empty_like(xy, dtype=np.float64)
+    out[:, 0] = lon0 + np.degrees(lam)
+    out[:, 1] = np.degrees(phi)
+    return out
+
+
+def tm_forward_ctes(base: str, lat0: float, lon0: float, k0: float,
+                    fe: float, fn: float, lon: str = "lon",
+                    lat: str = "lat") -> str:
+    """Dual-engine SQL for the generic TM forward (same portability
+    rules as utm_forward_ctes; the frame constants — including the
+    ξ₀ origin shift, repr'd from the exact value the numpy kernel
+    subtracts — fold in as DOUBLE literals)."""
+    a1, a2, a3 = UTM_ALPHA
+
+    def _c(v: float) -> str:
+        return f"CAST({v!r} AS DOUBLE)"
+
+    def _atanh(x):
+        return f"(0.5 * ln((1.0 + {x}) / (1.0 - {x})))"
+
+    def _sinh(x):
+        return f"((exp({x}) - exp(-({x}))) / 2.0)"
+
+    def _cosh(x):
+        return f"((exp({x}) + exp(-({x}))) / 2.0)"
+
+    ka = f"({_c(k0)} * {_c(UTM_A)})"
+    return f"""
+        WITH _tm_base AS ({base}),
+        _tm_s1 AS (
+          SELECT *, radians(CAST({lat} AS DOUBLE)) AS _phi,
+                 radians(CAST({lon} AS DOUBLE) - {_c(lon0)}) AS _lam
+          FROM _tm_base),
+        _tm_s2 AS (
+          SELECT *, {_sinh(f"({_atanh('sin(_phi)')} - {_c(_UTM_C)} * "
+                           f"{_atanh(f'({_c(_UTM_C)} * sin(_phi))')})")} AS _t
+          FROM _tm_s1),
+        _tm_s3 AS (
+          SELECT *, atan2(_t, cos(_lam)) AS _xip,
+                 {_atanh("(sin(_lam) / sqrt(1.0 + _t * _t))")} AS _etap
+          FROM _tm_s2),
+        _tm_out AS (
+          SELECT *,
+            {_c(fe)} + {ka} * (_etap
+              + {_c(a1)} * cos(2.0 * _xip) * {_sinh("(2.0 * _etap)")}
+              + {_c(a2)} * cos(4.0 * _xip) * {_sinh("(4.0 * _etap)")}
+              + {_c(a3)} * cos(6.0 * _xip) * {_sinh("(6.0 * _etap)")})
+              AS easting,
+            {_c(fn)} + {ka} * ((_xip
+              + {_c(a1)} * sin(2.0 * _xip) * {_cosh("(2.0 * _etap)")}
+              + {_c(a2)} * sin(4.0 * _xip) * {_cosh("(4.0 * _etap)")}
+              + {_c(a3)} * sin(6.0 * _xip) * {_cosh("(6.0 * _etap)")})
+              - {_c(tm_xi0(lat0))})
+              AS northing
+          FROM _tm_s3)
+    """
 
 
 def lcc_forward(xy: np.ndarray, lat1: float, lat2: float, lat0: float,
@@ -732,6 +853,8 @@ def transform_points(xy: np.ndarray, src: str, dst: str) -> np.ndarray:
         ll = psa_inverse(xy, *(float(v) for v in p[1:5]), p[5] == "s")
     elif src.startswith("laea:"):
         ll = laea_inverse(xy, *(float(v) for v in src.split(":")[1:]))
+    elif src.startswith("tm:"):
+        ll = tm_inverse(xy, *(float(v) for v in src.split(":")[1:]))
     else:
         ll = xy
     if dst == "wgs84":
@@ -751,6 +874,8 @@ def transform_points(xy: np.ndarray, src: str, dst: str) -> np.ndarray:
         return psa_forward(ll, *(float(v) for v in p[1:5]), p[5] == "s")
     if dst.startswith("laea:"):
         return laea_forward(ll, *(float(v) for v in dst.split(":")[1:]))
+    if dst.startswith("tm:"):
+        return tm_forward(ll, *(float(v) for v in dst.split(":")[1:]))
     _, z, hemi = dst.split(":")
     return utm_forward(ll, int(z), hemi == "s")
 

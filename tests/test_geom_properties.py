@@ -844,3 +844,45 @@ def test_subdivide_fastpath_vs_overlay_fuzz():
             cl._convex_ring = orig
         got2 = sum(alg.area(p) for p in parts2)
         assert abs(got2 - want_area) < 1e-4 * max(want_area, 1.0), trial
+
+
+def test_tm_frames_kernel_and_roundtrip():
+    """Generic TM: with UTM-32N parameters it is BIT-IDENTICAL to the
+    UTM kernel (ξ₀(0)=0 exactly); the natural origin maps to (fe, fn);
+    round-trip fuzz within ±25° of the central meridian is machine
+    precision; the SQL text equals the kernel through DuckDB."""
+    import duckdb
+    import numpy as np
+
+    from spatial_spark.functions import crs
+
+    rng = np.random.default_rng(53)
+    xy = np.stack([rng.uniform(3, 15, 400), rng.uniform(-80, 84, 400)],
+                  axis=1)
+    assert np.array_equal(
+        crs.utm_forward(xy, 32, False),
+        crs.tm_forward(xy, 0.0, 9.0, crs.UTM_K0, crs.UTM_E0, 0.0))
+
+    svy = (1.3697222222222222, 103.83333333333333, 1.0,
+           28001.642, 38744.572)
+    o = crs.tm_forward(np.array([[svy[1], svy[0]]]), *svy)
+    assert abs(o[0, 0] - svy[3]) < 1e-6 and abs(o[0, 1] - svy[4]) < 1e-6
+
+    for frame in [svy, (0.0, 173.0, 0.9996, 1600000.0, 10000000.0)]:
+        ll = np.stack([frame[1] + rng.uniform(-25, 25, 1500),
+                       rng.uniform(-80, 80, 1500)], axis=1)
+        back = crs.tm_inverse(crs.tm_forward(ll, *frame), *frame)
+        assert np.abs(back - ll).max() < 1e-7
+
+    # dual-engine SQL == kernel (cm agreement through DuckDB's libm)
+    ll = np.stack([svy[1] + rng.uniform(-20, 20, 200),
+                   rng.uniform(-60, 60, 200)], axis=1)
+    want = crs.tm_forward(ll, *svy)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts (lon DOUBLE, lat DOUBLE)")
+    con.executemany("INSERT INTO pts VALUES (?, ?)",
+                    [(float(a), float(b)) for a, b in ll])
+    sql = crs.tm_forward_ctes("SELECT * FROM pts", *svy) \
+        + " SELECT easting, northing FROM _tm_out"
+    got = np.array(con.execute(sql).fetchall())
+    assert np.abs(got - want).max() < 1e-4          # sub-0.1 mm
