@@ -2080,7 +2080,7 @@ def _q_pq_knn(spark, sf_dir) -> DataFrame:
     from spatial_spark.operators.similarity import pq_topk, pq_train
     emb = spark.table("embeddings")
     books = pq_train(emb, m=4, k=16, iters=0)
-    probe = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    probe = (emb.orderBy("vec_id").select("embedding").first()[0])
     return (pq_topk(emb, books, [float(v) for v in probe],
                     topk=10, rescore=4)
             .select("vec_id",
@@ -3988,7 +3988,7 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY d, code) AS rn
                 FROM dists) WHERE rn = 1),
             probe AS (SELECT embedding AS pv FROM embeddings
-                      WHERE vec_id = 0),
+                      ORDER BY vec_id LIMIT 1),
             tbl AS (SELECT s.j, c.code,
                      list_sum(list_transform(generate_series(1, 16),
                        t -> pow(CAST(p.pv[s.j*16 + t] AS DOUBLE)

@@ -99,3 +99,36 @@ def zone_transitions(events: DataFrame, zone, entity_col: str = "user_id",
             .select(entity_col, *(order_cols or []),
                     F.col("_prev").alias("from_zone"),
                     F.col("_zone").alias("to_zone")))
+
+
+def stream_interval_join(left: DataFrame, right: DataFrame,
+                         key_col: str = "user_id", ts_col: str = "ts",
+                         lower: str = "0 seconds",
+                         upper: str = "10 minutes",
+                         watermark: str = "30 minutes") -> DataFrame:
+    """Stream-STREAM interval join: pair each left event with the right
+    events of the same key whose timestamp lands in
+    [left.ts + lower, left.ts + upper] — the enrichment shape
+    (impression ⋈ click, ping ⋈ zone-event) that needs BOTH sides
+    streaming.  Watermarks on both inputs + the time-range condition
+    are exactly what lets Spark bound the join state store: rows older
+    than watermark+range are evicted, so state is finite forever.
+    Batch-vs-stream equivalence is pinned in tests (availableNow over a
+    finite source reproduces the batch interval join row-for-row)."""
+    l = (left.withWatermark(ts_col, watermark)
+         .select(F.col(key_col).alias("l_key"),
+                 F.col(ts_col).alias("l_ts"),
+                 *[F.col(c).alias(f"l_{c}") for c in left.columns
+                   if c not in (key_col, ts_col)]))
+    r = (right.withWatermark(ts_col, watermark)
+         .select(F.col(key_col).alias("r_key"),
+                 F.col(ts_col).alias("r_ts"),
+                 *[F.col(c).alias(f"r_{c}") for c in right.columns
+                   if c not in (key_col, ts_col)]))
+    cond = ((F.col("l_key") == F.col("r_key"))
+            & (F.col("r_ts") >= F.col("l_ts") + F.expr(
+                f"INTERVAL {lower}"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr(
+                f"INTERVAL {upper}")))
+    return l.join(r, cond, "inner").drop("r_key") \
+        .withColumnRenamed("l_key", key_col)

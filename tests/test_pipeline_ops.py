@@ -3501,3 +3501,76 @@ def test_hll_by_group_accuracy_and_merge(spark):
                    regs.where(F.col("grp") == g).collect())
         b = sorted((r.bucket, r.max_rank) for r in solo.collect())
         assert a == b
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (watermarked both sides) over finite
+    file sources == the batch interval join row-for-row."""
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from spatial_spark.streaming.events import stream_interval_join
+
+    base = 1_700_000_000
+    lrows = [(u, base + 60 * i, f"imp-{u}-{i}")
+             for u in range(6) for i in range(10)]
+    rrows = [(u, base + 60 * i + d, f"clk-{u}-{i}-{d}")
+             for u in range(6) for i in range(10)
+             for d in (30, 200, 700)]
+    schema = "user_id long, epoch long, tag string"
+    for name, rows in (("l", lrows), ("r", rrows)):
+        d = tmp_path / name
+        d.mkdir()
+        half = len(rows) // 2
+        for b, chunk in enumerate((rows[:half], rows[half:])):
+            (spark.createDataFrame(chunk, schema).coalesce(1)
+             .write.parquet(str(d / f"b{b}")))
+        now = _time.time()
+        for b in range(2):
+            dd = d / f"b{b}"
+            for f in _os.listdir(dd):
+                _os.utime(_os.path.join(dd, f), (now + 60 * b - 300,) * 2)
+
+    def as_stream(name):
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(tmp_path / name) + "/b*")
+                .withColumn("ts", F.timestamp_seconds("epoch"))
+                .drop("epoch"))
+
+    joined = stream_interval_join(as_stream("l"), as_stream("r"),
+                                  lower="0 seconds", upper="5 minutes",
+                                  watermark="1 hour")
+    out = str(tmp_path / "out")
+    q = (joined.writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.user_id, r.l_tag, r.r_tag)
+           for r in spark.read.parquet(out).collect()}
+
+    lb = spark.createDataFrame(lrows, schema) \
+        .withColumn("ts", F.timestamp_seconds("epoch"))
+    rb = spark.createDataFrame(rrows, schema) \
+        .withColumn("ts", F.timestamp_seconds("epoch"))
+    want = {(r.user_id, r.l_tag, r.r_tag) for r in
+            lb.alias("a").join(
+                rb.alias("b"),
+                (F.col("a.user_id") == F.col("b.user_id"))
+                & (F.col("b.ts") >= F.col("a.ts"))
+                & (F.col("b.ts") <= F.col("a.ts")
+                   + F.expr("INTERVAL 5 minutes")))
+            .select(F.col("a.user_id").alias("user_id"),
+                    F.col("a.tag").alias("l_tag"),
+                    F.col("b.tag").alias("r_tag")).collect()}
+    assert got == want
+    # the interval actually cut: same-index clicks at +30s/+200s join
+    # their impression, the +700s ones never do (they only reach later
+    # impressions within the window)
+    assert ("0", "imp-0-3", "clk-0-3-30") not in got  # schema sanity
+    for u, i in ((0, 3), (5, 9)):
+        assert (u, f"imp-{u}-{i}", f"clk-{u}-{i}-30") in got
+        assert (u, f"imp-{u}-{i}", f"clk-{u}-{i}-200") in got
+        assert (u, f"imp-{u}-{i}", f"clk-{u}-{i}-700") not in got

@@ -91,6 +91,15 @@ PROBES = {
     "triangle_counts": ("linear", "degree-oriented wedge join caps"
                         " out-degree at O(sqrt(m)); the gate graph has"
                         " constant degree ~6 so candidates ~ m"),
+    "pq_knn": ("linear", "ADC scan reads m code bytes per row; fixed"
+               " candidate cut + rescore"),
+    "pca_project": ("linear", "one Gram-partial pass + map-only"
+                    " projection; shuffle carries dim^2 per partition"),
+    "st_transform_tm": ("linear", "pure per-point map through the"
+                        " Krueger series kernel"),
+    "subdivide_scaled": ("linear", "per-polygon recursion depth fixed by"
+                         " the vertex cap; convex fast path is O(n) per"
+                         " cut"),
     "hamming_join_scaled": ("pair-bound", "t=8 -> 7-bit blocks: for"
                             " uniform hashes candidates ~ 9*n_d^2/128"
                             " by construction (n_d = distinct hashes;"
@@ -157,10 +166,32 @@ def _probe_hamming_join_scaled(spark, sf_dir):
     return hamming_near_dup_pairs(hashes, max_distance=8)
 
 
+def _probe_subdivide_scaled(spark, sf_dir):
+    """st_subdivide over the FULL scaled customer point set turned into
+    densified squares (the registered gate caps at 300 part rects, a
+    constant)."""
+    from pyspark.sql import functions as F
+
+    sub = spark.sql("""
+        SELECT c_custkey,
+               explode(st_subdivide(st_densify(st_geomfromtext(
+                 concat('POLYGON ((', x0, ' ', y0, ', ', x0 + 4, ' ', y0,
+                        ', ', x0 + 4, ' ', y0 + 4, ', ', x0, ' ', y0 + 4,
+                        ', ', x0, ' ', y0, '))')), 0.4), 16)) AS piece
+        FROM (SELECT c_custkey,
+                     CAST((c_custkey * 7919) % 3000 AS DOUBLE) / 10.0 AS x0,
+                     CAST((c_custkey * 104729) % 1500 AS DOUBLE) / 10.0 AS y0
+              FROM customer)
+    """)
+    return sub.groupBy("c_custkey").agg(
+        F.count(F.lit(1)).alias("n_pieces"))
+
+
 CUSTOM_PROBES = {
     "density_islands_full": _probe_density_islands_full,
     "pagerank_scaled": _probe_pagerank_scaled,
     "hamming_join_scaled": _probe_hamming_join_scaled,
+    "subdivide_scaled": _probe_subdivide_scaled,
 }
 
 
