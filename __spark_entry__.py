@@ -2232,6 +2232,27 @@ def _q_geoparquet(spark, sf_dir) -> DataFrame:
             .orderBy("p_partkey"))
 
 
+def _q_image_dedup_groups(spark, sf_dir) -> DataFrame:
+    """End-to-end image near-dup GROUPS on the hard gate: the banded
+    Hamming pairs (t=16) feed the pointer-doubled connected components
+    — the image twin of dedup_clusters.  The oracle brute-forces the
+    same pairs from the closed-form hash bits and resolves components
+    with a recursive min-label reachability CTE."""
+    from spatial_spark.operators.graph import min_label_components
+    from spatial_spark.operators.imagehash import (hamming_near_dup_pairs,
+                                                   image_hashes)
+    hashes = image_hashes(_image_hash_fixture_df(spark), methods=("dhash",))
+    pairs = hamming_near_dup_pairs(hashes, hash_col="dhash",
+                                   max_distance=16)
+    comp = min_label_components(
+        hashes.select(F.col("media_id").alias("node")),
+        pairs.select(F.col("id_a").alias("a_id"),
+                     F.col("id_b").alias("b_id")))
+    return (comp.select(F.col("node").alias("media_id"),
+                        F.col("island").alias("group_id"))
+            .orderBy("media_id"))
+
+
 def _q_winnowing(spark, sf_dir) -> DataFrame:
     """Winnowing fingerprints (k=8, window=4) over documents — vectorized
     FNV-1a k-gram hashes + sliding-window minima, deduped per doc."""
@@ -2648,13 +2669,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     token_counts;
     #   * then 37 of the 50 r7-row holders in this file's order
     #     (geohash .. bm25).
-    # r10 window plan: the TWENTY-ONE r9-late gates with no driver rows
+    # r10 window plan: the TWENTY-TWO r9-late gates with no driver rows
     # at all (st_transform_lcc, mp4_codec_meta, kmeans_embed, pagerank,
     # semdedup, st_transform_laea, image_hashes, image_dedup,
     # geoparquet_roundtrip, quantile_sketch, weighted_sample,
     # media_avc_ipcm, triangle_counts, pq_knn, osm_pbf_source,
     # st_subdivide, pca_project, media_resize, hll_by_group,
-    # st_transform_tm — at the
+    # st_transform_tm, image_dedup_groups — at the
     # registry tail — plus any
     # r10 newcomers) lead, then the 13
     # r7-row holders that didn't fit this round (path_length ..
@@ -2803,6 +2824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": _q_media_resize,
         "hll_by_group": _q_hll_by_group,
         "st_transform_tm": _q_st_transform_tm,
+        "image_dedup_groups": _q_image_dedup_groups,
     }.items()}
 
 
@@ -3910,6 +3932,25 @@ def oracle_sql() -> dict[str, str]:
             FROM packed
         """,
         "pca_project": _pca_oracle_sql(),
+        "image_dedup_groups": "WITH RECURSIVE "
+        + _IMAGE_HASH_CTES.strip().removeprefix("WITH") + """,
+            ipairs AS (
+              SELECT a.media_id AS id_a, b.media_id AS id_b
+              FROM dbits a JOIN dbits b
+                ON a.c = b.c AND a.media_id < b.media_id
+              GROUP BY a.media_id, b.media_id
+              HAVING 8 * sum(CASE WHEN a.bit != b.bit
+                             THEN 1 ELSE 0 END) <= 16),
+            dedges AS (SELECT id_a AS src, id_b AS dst FROM ipairs
+                       UNION ALL SELECT id_b, id_a FROM ipairs),
+            reach(id, label) AS (
+              SELECT media_id, media_id FROM imgs
+              UNION
+              SELECT e.dst, r.label FROM reach r
+              JOIN dedges e ON e.src = r.id)
+            SELECT id AS media_id, min(label) AS group_id
+            FROM reach GROUP BY id ORDER BY media_id
+        """,
         "st_transform_tm": __import__("spatial_spark.functions.crs",
                                       fromlist=["tm_forward_ctes"])
         .tm_forward_ctes(

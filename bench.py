@@ -80,6 +80,8 @@ HEADLINE = [
     "hll_by_group",
     # r9 eighteenth wave: generic transverse-Mercator frames
     "st_transform_tm",
+    # r9 nineteenth wave: image near-dup groups (pairs -> CC)
+    "image_dedup_groups",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -162,6 +164,9 @@ BUDGET_SF01 = {
     "hll_by_group": 2.0,
     # r9 eighteenth wave: 2.2x local best-of-two
     "st_transform_tm": 0.6,
+    # r9 nineteenth wave: 2.2x local best-of-two (measured under a
+    # concurrent full sweep; re-pinned from the clean final run below)
+    "image_dedup_groups": 7.0,
 }
 
 
