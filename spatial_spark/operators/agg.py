@@ -259,3 +259,70 @@ def density_edges(df: DataFrame, density: float, id_col: str = "id",
 
     return (pairs.filter(close_enough(F.col("a_geom"), F.col("b_geom")))
             .select("a_id", "b_id"))
+
+
+def dbscan(df: DataFrame, eps: float, min_pts: int = 4,
+           id_col: str = "id", max_rounds: int = 50) -> DataFrame:
+    """DBSCAN with real core/border/noise semantics (the PostGIS
+    ST_ClusterDBSCAN surface; generalizes density_islands, which is the
+    min_pts≤2 special case).
+
+    * core: ≥ ``min_pts`` points within ``eps`` COUNTING ITSELF
+      (sklearn's convention, documented);
+    * border: non-core with ≥1 core neighbor — assigned the SMALLEST
+      cluster label among its core neighbors.  Textbook DBSCAN leaves
+      border assignment scan-order-dependent when two clusters reach the
+      same border point; min-label is the deterministic resolution, so
+      the distributed run and the SQL oracle agree exactly;
+    * noise: everything else — cluster NULL.
+
+    Distributed shape: ONE eps-pair generation (the PBSM grid join from
+    density_edges — no theta join), one degree aggregation, connected
+    components over core-core edges only (pointer-doubled min-label,
+    O(log diameter) rounds), then a border attach that is one more
+    keyed join.  Nothing driver-side; every shuffle is keyed on ids.
+
+    Returns (id_col, role, cluster) — cluster = min member id of the
+    core component, NULL for noise."""
+    from .graph import min_label_components
+
+    edges = density_edges(df, eps, id_col)
+    # undirected degree: each (a<b) pair contributes to both endpoints
+    deg = (edges.select(F.col("a_id").alias("node"))
+           .unionAll(edges.select(F.col("b_id").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("n_nbrs")))
+    nodes = df.select(F.col(id_col).alias("node"))
+    flagged = (nodes.join(deg, "node", "left")
+               .withColumn("is_core",
+                           F.coalesce(F.col("n_nbrs"), F.lit(0)) + 1
+                           >= F.lit(int(min_pts))))
+    cores = flagged.filter("is_core").select("node")
+    core_edges = (edges
+                  .join(cores.withColumnRenamed("node", "a_id"), "a_id")
+                  .join(cores.withColumnRenamed("node", "b_id"), "b_id"))
+    core_labels = min_label_components(cores, core_edges,
+                                       max_rounds=max_rounds)
+    # border attach: min core-neighbor label per non-core point
+    sym = (edges.select(F.col("a_id").alias("node"),
+                        F.col("b_id").alias("nbr"))
+           .unionAll(edges.select(F.col("b_id").alias("node"),
+                                  F.col("a_id").alias("nbr"))))
+    border = (flagged.filter(~F.col("is_core"))
+              .select("node")
+              .join(sym, "node")
+              .join(core_labels.select(F.col("node").alias("nbr"),
+                                       F.col("island").alias("cluster")),
+                    "nbr")
+              .groupBy("node").agg(F.min("cluster").alias("cluster")))
+    out = (flagged.select("node", "is_core")
+           .join(core_labels.withColumnRenamed("island", "core_cluster"),
+                 "node", "left")
+           .join(border.withColumnRenamed("cluster", "border_cluster"),
+                 "node", "left")
+           .select(
+               F.col("node").alias(id_col),
+               F.when(F.col("is_core"), F.lit("core"))
+               .when(F.col("border_cluster").isNotNull(), F.lit("border"))
+               .otherwise(F.lit("noise")).alias("role"),
+               F.coalesce("core_cluster", "border_cluster").alias("cluster")))
+    return out

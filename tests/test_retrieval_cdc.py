@@ -1,0 +1,282 @@
+"""Round-9 late-wave operators: inverted-index retrieval, content-defined
+chunking, and DBSCAN — each pinned against an exact in-test Python model."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "pack my box with five dozen liquor jugs"),
+    (2, "the brown dog sleeps while the quick fox runs"),
+    (3, "sphinx of black quartz judge my vow"),
+    (4, "five quick brown foxes and one lazy dog"),
+]
+QUERIES = [(1, "quick brown fox"), (2, "liquor jugs"), (3, "purple zebra")]
+
+
+def _bm25_model(docs, queries, k1=1.2, b=0.75):
+    """Exact BM25 reference: dict-of-dicts, float math identical in shape."""
+    toks = {d: t.lower().split() for d, t in docs}
+    dl = {d: len(t) for d, t in toks.items()}
+    n = len(docs)
+    avgdl = sum(dl.values()) / n
+    df = {}
+    for d, t in toks.items():
+        for term in set(t):
+            df[term] = df.get(term, 0) + 1
+    out = {}
+    for qid, qtext in queries:
+        scores = {}
+        for term in qtext.lower().split():
+            if term not in df:
+                continue
+            idf = math.log(1 + (n - df[term] + 0.5) / (df[term] + 0.5))
+            for d, t in toks.items():
+                tf = t.count(term)
+                if tf:
+                    c = idf * tf * (k1 + 1) / (
+                        tf + k1 * (1 - b + b * dl[d] / avgdl))
+                    scores[d] = scores.get(d, 0.0) + c
+        out[qid] = scores
+    return out
+
+
+def test_bm25_retrieve_matches_model(spark):
+    from spatial_spark.operators.retrieval import bm25_retrieve
+    docs = spark.createDataFrame(DOCS, "doc_id int, text string")
+    queries = spark.createDataFrame(QUERIES, "query_id int, query_text string")
+    got = {(r["query_id"], r["doc_id"]): (r["bm25"], r["rank"])
+           for r in bm25_retrieve(docs, queries, k=3).collect()}
+    model = _bm25_model(DOCS, QUERIES)
+    for qid, scores in model.items():
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        for rank, (d, s) in enumerate(top, 1):
+            assert (qid, d) in got, (qid, d)
+            bs, br = got[(qid, d)]
+            assert br == rank
+            assert abs(bs - s) < 1e-9
+    # query 3 has no matching term -> no rows at all
+    assert not [k for k in got if k[0] == 3]
+
+
+def test_bm25_retrieve_prebuilt_index_identical(spark):
+    from spatial_spark.operators.retrieval import (bm25_retrieve,
+                                                   build_inverted_index)
+    docs = spark.createDataFrame(DOCS, "doc_id int, text string")
+    queries = spark.createDataFrame(QUERIES, "query_id int, query_text string")
+    inline = bm25_retrieve(docs, queries, k=5).collect()
+    idx = build_inverted_index(docs)
+    reused = bm25_retrieve(idx, queries, k=5).collect()
+    assert sorted(map(tuple, inline)) == sorted(map(tuple, reused))
+
+
+def test_bm25_min_idf_drops_flood_terms(spark):
+    """'the' appears in 2/5 docs here; with a min_idf above its idf the
+    candidate set for a the-only query becomes empty."""
+    from spatial_spark.operators.retrieval import bm25_retrieve
+    docs = spark.createDataFrame(DOCS, "doc_id int, text string")
+    q = spark.createDataFrame([(9, "the")], "query_id int, query_text string")
+    assert bm25_retrieve(docs, q, k=5).count() > 0
+    assert bm25_retrieve(docs, q, k=5, min_idf=2.0).count() == 0
+
+
+def test_boolean_retrieve_and_semantics(spark):
+    from spatial_spark.operators.retrieval import boolean_retrieve
+    docs = spark.createDataFrame(DOCS, "doc_id int, text string")
+    queries = spark.createDataFrame(
+        [(1, "quick brown"), (2, "dog the"), (3, "quartz fox")],
+        "query_id int, query_text string")
+    got = {}
+    for r in boolean_retrieve(docs, queries).collect():
+        got.setdefault(r["query_id"], set()).add(r["doc_id"])
+    model = {}
+    for qid, qtext in [(1, "quick brown"), (2, "dog the"), (3, "quartz fox")]:
+        want = {d for d, t in DOCS
+                if all(term in t.lower().split()
+                       for term in set(qtext.split()))}
+        if want:
+            model[qid] = want
+    assert got == model
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking
+# ---------------------------------------------------------------------------
+def _cdc_model(text, k=8, divisor=64):
+    """Exact chunker: md5-u32 of every k-gram, cut where % divisor == 0."""
+    import hashlib
+    t = text.strip()
+    n = len(t)
+    cuts = []
+    for i in range(k, n + 1):
+        gram = t[i - k:i]
+        h = int(hashlib.md5(gram.encode()).hexdigest()[:8], 16)
+        if h % divisor == 0:
+            cuts.append(i)
+    if not cuts or cuts[-1] != n:
+        cuts.append(n)
+    chunks, prev = [], 0
+    for c in cuts:
+        chunks.append(t[prev:c])
+        prev = c
+    return chunks
+
+
+def test_cdc_chunks_match_model_and_reconstruct(spark):
+    from spatial_spark.operators.cdc import cdc_chunks
+    import hashlib
+    docs = spark.createDataFrame(DOCS, "doc_id int, text string")
+    rows = cdc_chunks(docs, k=4, divisor=8).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in DOCS:
+        model = _cdc_model(text, k=4, divisor=8)
+        got = sorted(by_doc[doc_id], key=lambda r: r["chunk_no"])
+        assert [r["chunk_len"] for r in got] == [len(c) for c in model]
+        assert [r["chunk_md5"] for r in got] == \
+            [hashlib.md5(c.encode()).hexdigest() for c in model]
+        # chunks tile the document exactly
+        assert got[0]["start"] == 1
+        for a, b in zip(got, got[1:]):
+            assert b["start"] == a["start"] + a["chunk_len"]
+        assert (got[-1]["start"] + got[-1]["chunk_len"] - 1
+                == len(text.strip()))
+
+
+def test_cdc_shift_resistance(spark):
+    """The CDC property fixed-size chunking lacks: a prefix edit leaves
+    every chunk fully inside the unchanged suffix identical."""
+    from spatial_spark.operators.cdc import cdc_chunks
+    base = "".join(f"word{i:04d} " for i in range(200)).strip()
+    edited = "INSERTED PREFIX!! " + base
+    docs = spark.createDataFrame([(0, base), (1, edited)],
+                                 "doc_id int, text string")
+    rows = cdc_chunks(docs, k=8, divisor=32).collect()
+    hashes = {0: set(), 1: set()}
+    for r in rows:
+        hashes[r["doc_id"]].add(r["chunk_md5"])
+    shared = hashes[0] & hashes[1]
+    # all but the first chunk (the one overlapping the edit) survive
+    n_base = len(hashes[0])
+    assert len(shared) >= n_base - 2, (n_base, len(shared))
+
+
+def test_cdc_short_doc_single_chunk(spark):
+    from spatial_spark.operators.cdc import cdc_chunks
+    import hashlib
+    docs = spark.createDataFrame([(0, "tiny")], "doc_id int, text string")
+    rows = cdc_chunks(docs, k=8, divisor=8).collect()
+    assert len(rows) == 1
+    assert rows[0]["chunk_len"] == 4
+    assert rows[0]["chunk_md5"] == hashlib.md5(b"tiny").hexdigest()
+
+
+def test_cdc_dedup_ratio_duplicated_corpus(spark):
+    """A corpus of one doc repeated 3x dedups to ~3.0 by chunk store."""
+    from spatial_spark.operators.cdc import cdc_dedup_ratio, cdc_shared_chunks
+    text = "".join(f"token{i:05d} " for i in range(300)).strip()
+    docs = spark.createDataFrame([(i, text) for i in range(3)],
+                                 "doc_id int, text string")
+    row = cdc_dedup_ratio(docs, k=8, divisor=32).first()
+    # identical docs chunk identically, so the store dedups at LEAST 3x
+    # (more when a short chunk also repeats within one document)
+    assert row["total_chars"] == 3 * len(text)
+    assert row["dedup_ratio"] >= 3.0 - 1e-9
+    shared = cdc_shared_chunks(docs, k=8, divisor=32).collect()
+    assert shared and all(r["n_docs"] == 3 for r in shared)
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN
+# ---------------------------------------------------------------------------
+def _dbscan_model(pts, eps, min_pts):
+    """Exact model with the operator's deterministic conventions:
+    core = |N_eps incl. self| >= min_pts; clusters = CC over core-core
+    edges labeled by min member id; border -> min core-neighbor label."""
+    ids = [p[0] for p in pts]
+    xy = {p[0]: (p[1], p[2]) for p in pts}
+
+    def near(a, b):
+        (x1, y1), (x2, y2) = xy[a], xy[b]
+        return math.hypot(x1 - x2, y1 - y2) <= eps
+
+    nbrs = {i: {j for j in ids if j != i and near(i, j)} for i in ids}
+    core = {i for i in ids if len(nbrs[i]) + 1 >= min_pts}
+    parent = {i: i for i in core}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in core:
+        for j in nbrs[i] & core:
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
+    label = {}
+    for i in core:
+        root = find(i)
+        comp_min = min(j for j in core if find(j) == root)
+        label[i] = comp_min
+    out = {}
+    for i in ids:
+        if i in core:
+            out[i] = ("core", label[i])
+        else:
+            cn = sorted(label[j] for j in nbrs[i] & core)
+            out[i] = ("border", cn[0]) if cn else ("noise", None)
+    return out
+
+
+def _pts_df(spark, pts):
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    from spatial_spark.functions import register_all
+    register_all(spark)
+    return df.selectExpr("id", "st_point(x, y) AS geom",
+                         "x AS xmin", "y AS ymin", "x AS xmax", "y AS ymax")
+
+
+def test_dbscan_core_border_noise(spark):
+    from spatial_spark.operators.agg import dbscan
+    # tight triangle (all core at min_pts=3), a satellite 0.9 from ONE
+    # vertex (border), and a far singleton (noise)
+    pts = [(0, 0.0, 0.0), (1, 0.5, 0.0), (2, 0.0, 0.5),
+           (3, 0.9, 0.0),     # within 1.0 of ids 0,1 -> 2 nbrs + self = 3: core
+           (4, 1.85, 0.0),    # within 1.0 of id 3 only -> border
+           (9, 50.0, 50.0)]   # noise
+    got = {r["id"]: (r["role"], r["cluster"])
+           for r in dbscan(_pts_df(spark, pts), eps=1.0, min_pts=3).collect()}
+    assert got == _dbscan_model(pts, 1.0, 3)
+    assert got[4] == ("border", 0)
+    assert got[9] == ("noise", None)
+
+
+def test_dbscan_matches_bruteforce_random(spark):
+    import random
+    from spatial_spark.operators.agg import dbscan
+    rng = random.Random(17)
+    pts = [(i, round(rng.uniform(0, 30), 3), round(rng.uniform(0, 30), 3))
+           for i in range(120)]
+    for eps, mp in [(2.0, 4), (3.0, 6), (1.0, 2)]:
+        got = {r["id"]: (r["role"], r["cluster"])
+               for r in dbscan(_pts_df(spark, pts),
+                               eps=eps, min_pts=mp).collect()}
+        assert got == _dbscan_model(pts, eps, mp), (eps, mp)
+
+
+def test_dbscan_min_pts_monotone(spark):
+    import random
+    from spatial_spark.operators.agg import dbscan
+    rng = random.Random(3)
+    pts = [(i, rng.uniform(0, 10), rng.uniform(0, 10)) for i in range(80)]
+    df = _pts_df(spark, pts)
+    cores = []
+    for mp in (2, 4, 8):
+        out = dbscan(df, eps=1.5, min_pts=mp)
+        cores.append(out.filter("role = 'core'").count())
+    assert cores[0] >= cores[1] >= cores[2]
