@@ -2645,6 +2645,51 @@ def _q_hll_registers(spark, sf_dir) -> DataFrame:
     return build_hll(toks, key_col="tok", p=12)
 
 
+RETRIEVAL_QUERIES_VALUES = ("(1, 'data query table'), "
+                            "(2, 'stream batch window'), "
+                            "(3, 'join merge sort'), "
+                            "(4, 'zebra nomatch')")
+
+
+def _q_bm25_retrieval(spark, sf_dir) -> DataFrame:
+    """Multi-query BM25 top-10 through the inverted index
+    (operators/retrieval.py): four fixed queries against the documents
+    corpus; query 4 shares no vocabulary and returns nothing.  The
+    oracle replays the identical posting-list algebra in SQL."""
+    from spatial_spark.operators.retrieval import bm25_retrieve
+    queries_df = spark.sql(
+        f"SELECT * FROM VALUES {RETRIEVAL_QUERIES_VALUES} "
+        f"AS q(query_id, query_text)")
+    out = bm25_retrieve(_norm_documents(spark), queries_df, k=10)
+    return out.select("query_id", "doc_id",
+                      F.round("bm25", 6).alias("bm25"), "rank")
+
+
+def _q_cdc_chunks(spark, sf_dir) -> DataFrame:
+    """Content-defined chunking (operators/cdc.py, LBFS/Rabin rule:
+    cut where u32(md5(8-gram)) % 64 == 0) over doc_id <= 200 — every
+    chunk row (offset, length, content md5); the oracle recomputes the
+    boundary set position by position with the same nibble-exact
+    hash."""
+    from spatial_spark.operators.cdc import cdc_chunks
+    docs = _norm_documents(spark).filter(F.col("doc_id") <= 200)
+    return cdc_chunks(docs, k=8, divisor=64)
+
+
+def _q_dbscan_cluster(spark, sf_dir) -> DataFrame:
+    """DBSCAN (eps=2.0, min_pts=4) over the c_custkey <= 300 customer
+    points — per-point role (core/border/noise) and min-id cluster
+    label; the oracle runs degree counting + recursive min-label
+    reachability over core-core edges + the min-label border attach.
+    Exercises real border/noise semantics beyond density_islands
+    (its min_pts≤2 special case)."""
+    from spatial_spark.operators.agg import dbscan
+    pts = (_cust_point_geoms(spark)
+           .filter(F.col("c_custkey") <= 300)
+           .withColumnRenamed("c_custkey", "id"))
+    return dbscan(pts, eps=2.0, min_pts=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2669,14 +2714,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     token_counts;
     #   * then 37 of the 50 r7-row holders in this file's order
     #     (geohash .. bm25).
-    # r10 window plan: the TWENTY-TWO r9-late gates with no driver rows
+    # r10 window plan: the TWENTY-FIVE r9-late gates with no driver rows
     # at all (st_transform_lcc, mp4_codec_meta, kmeans_embed, pagerank,
     # semdedup, st_transform_laea, image_hashes, image_dedup,
     # geoparquet_roundtrip, quantile_sketch, weighted_sample,
     # media_avc_ipcm, triangle_counts, pq_knn, osm_pbf_source,
     # st_subdivide, pca_project, media_resize, hll_by_group,
-    # st_transform_tm, image_dedup_groups — at the
-    # registry tail — plus any
+    # st_transform_tm, image_dedup_groups, bm25_retrieval, cdc_chunks,
+    # dbscan_cluster — at the registry tail — plus any
     # r10 newcomers) lead, then the 13
     # r7-row holders that didn't fit this round (path_length ..
     # property_paging, age 2), then oldest-first from the r8-row
@@ -2825,6 +2870,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_by_group": _q_hll_by_group,
         "st_transform_tm": _q_st_transform_tm,
         "image_dedup_groups": _q_image_dedup_groups,
+        "bm25_retrieval": _q_bm25_retrieval,
+        "cdc_chunks": _q_cdc_chunks,
+        "dbscan_cluster": _q_dbscan_cluster,
     }.items()}
 
 
@@ -3619,6 +3667,16 @@ def _md5_u60_sql(arg: str) -> str:
         f"(strpos('0123456789abcdef', substr(md5({arg}), {i + 1}, 1)) - 1)"
         f" * {16 ** (14 - i)}"
         for i in range(15))
+    return f"({terms})"
+
+
+def _md5_u32_sql(arg: str) -> str:
+    """First 8 hex nibbles of md5(arg) as an exact BIGINT in [0, 2^32)
+    — the CDC gram hash (matches Spark's conv(substring(md5,1,8),16,10))."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({arg}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8))
     return f"({terms})"
 
 
@@ -5126,5 +5184,117 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(c.n, 0) AS n
             FROM items it CROSS JOIN bins b
             LEFT JOIN counts c ON c.i = it.i AND c.bin = b.bin
+        """,
+        "bm25_retrieval": f"""
+            WITH q AS (
+              SELECT * FROM (VALUES {RETRIEVAL_QUERIES_VALUES})
+                AS t(query_id, query_text)),
+            qt AS (
+              SELECT query_id, term, count(*) AS qtf
+              FROM (SELECT query_id,
+                           unnest(list_filter(
+                               string_split_regex(trim(lower(query_text)),
+                                                  '\\s+'),
+                               x -> length(x) > 0)) AS term
+                    FROM q)
+              GROUP BY query_id, term),
+            toks AS (
+              SELECT doc_id,
+                     unnest(string_split(trim(regexp_replace(lower(text),
+                         '\\s+', ' ', 'g')), ' ')) AS term
+              FROM documents),
+            postings AS (SELECT term, doc_id, count(*) AS tf FROM toks
+                         WHERE length(term) > 0 GROUP BY term, doc_id),
+            doclen AS (SELECT doc_id, count(*) AS dl FROM toks
+                       WHERE length(term) > 0 GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl
+                      FROM doclen),
+            dfreq AS (SELECT term, count(*) AS df FROM postings
+                      GROUP BY term),
+            contrib AS (
+              SELECT qt.query_id, p.doc_id,
+                     qt.qtf * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                       * p.tf * (1.2 + 1)
+                       / (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS c
+              FROM qt JOIN postings p ON p.term = qt.term
+              JOIN dfreq f ON f.term = qt.term
+              JOIN doclen l ON l.doc_id = p.doc_id CROSS JOIN stats),
+            scored AS (SELECT query_id, doc_id, sum(c) AS bm25
+                       FROM contrib GROUP BY query_id, doc_id),
+            ranked AS (
+              SELECT query_id, doc_id, bm25,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY bm25 DESC, doc_id) AS rank
+              FROM scored)
+            SELECT query_id, doc_id, round(bm25, 6) AS bm25, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 10
+        """,
+        "cdc_chunks": f"""
+            WITH docs AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+              FROM documents WHERE doc_id <= 200),
+            sized AS (SELECT doc_id, t, length(t) AS len FROM docs),
+            pos AS (
+              SELECT doc_id, t, len,
+                     unnest(generate_series(8, greatest(len, 8))) AS i
+              FROM sized),
+            hits AS (
+              SELECT doc_id, i AS cut FROM pos
+              WHERE i <= len
+                AND ({_md5_u32_sql("substr(t, i - 7, 8)")}) % 64 = 0),
+            cuts AS (
+              SELECT doc_id, cut FROM hits
+              UNION
+              SELECT doc_id, len AS cut FROM sized),
+            ordered AS (
+              SELECT s.doc_id, c.cut, s.t,
+                     row_number() OVER w AS chunk_no,
+                     COALESCE(lag(c.cut) OVER w, 0) AS prev
+              FROM cuts c JOIN sized s ON s.doc_id = c.doc_id
+              WINDOW w AS (PARTITION BY s.doc_id ORDER BY c.cut))
+            SELECT doc_id, CAST(chunk_no AS INT) AS chunk_no,
+                   CAST(prev + 1 AS INT) AS start,
+                   CAST(cut - prev AS INT) AS chunk_len,
+                   md5(substr(t, CAST(prev + 1 AS INT),
+                              CAST(cut - prev AS INT))) AS chunk_md5
+            FROM ordered
+        """,
+        "dbscan_cluster": f"""
+            WITH RECURSIVE pts AS (
+              SELECT c_custkey AS id, {CUST_LON} AS x, {CUST_LAT} AS y
+              FROM customer WHERE c_custkey <= 300),
+            edges AS (
+              SELECT a.id AS src, b.id AS dst
+              FROM pts a JOIN pts b
+                ON a.id <> b.id
+               AND sqrt((a.x - b.x) * (a.x - b.x)
+                        + (a.y - b.y) * (a.y - b.y)) <= 2.0),
+            deg AS (SELECT src AS id, count(*) AS n FROM edges GROUP BY src),
+            core AS (
+              SELECT p.id FROM pts p JOIN deg d ON d.id = p.id
+              WHERE d.n + 1 >= 4),
+            cedges AS (
+              SELECT e.src, e.dst FROM edges e
+              JOIN core a ON a.id = e.src JOIN core b ON b.id = e.dst),
+            reach(id, label) AS (
+              SELECT id, id FROM core
+              UNION
+              SELECT e.dst, r.label FROM reach r
+              JOIN cedges e ON e.src = r.id),
+            comp AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id),
+            border AS (
+              SELECT e.src AS id, min(c.cluster) AS cluster
+              FROM edges e JOIN comp c ON c.id = e.dst
+              WHERE e.src NOT IN (SELECT id FROM core)
+              GROUP BY e.src)
+            SELECT p.id,
+                   CASE WHEN cm.id IS NOT NULL THEN 'core'
+                        WHEN b.id IS NOT NULL THEN 'border'
+                        ELSE 'noise' END AS role,
+                   COALESCE(cm.cluster, b.cluster) AS cluster
+            FROM pts p
+            LEFT JOIN comp cm ON cm.id = p.id
+            LEFT JOIN border b ON b.id = p.id
         """,
     }

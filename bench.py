@@ -82,6 +82,9 @@ HEADLINE = [
     "st_transform_tm",
     # r9 nineteenth wave: image near-dup groups (pairs -> CC)
     "image_dedup_groups",
+    # r9 twentieth wave: inverted-index retrieval, content-defined
+    # chunking, DBSCAN
+    "bm25_retrieval", "cdc_chunks", "dbscan_cluster",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -167,6 +170,10 @@ BUDGET_SF01 = {
     # r9 nineteenth wave: 2.2x local best-of-two (measured under a
     # concurrent full sweep; re-pinned from the clean final run below)
     "image_dedup_groups": 7.0,
+    # r9 twentieth wave: 2.2x local best-of-two (dbscan_cluster is the
+    # constant 300-point semantics fixture — stage-latency bound, like
+    # density_greedy)
+    "bm25_retrieval": 3.4, "cdc_chunks": 1.5, "dbscan_cluster": 5.8,
 }
 
 

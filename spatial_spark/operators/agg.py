@@ -286,7 +286,11 @@ def dbscan(df: DataFrame, eps: float, min_pts: int = 4,
     core component, NULL for noise."""
     from .graph import min_label_components
 
-    edges = density_edges(df, eps, id_col)
+    # the eps-pair list feeds THREE consumers (degree counts, core-core
+    # CC, border attach) — materialize it once so the grid join + exact
+    # refine doesn't run three times (same lineage-cut pattern as the
+    # CC loop in operators/graph.py)
+    edges = density_edges(df, eps, id_col).localCheckpoint(eager=True)
     # undirected degree: each (a<b) pair contributes to both endpoints
     deg = (edges.select(F.col("a_id").alias("node"))
            .unionAll(edges.select(F.col("b_id").alias("node")))
