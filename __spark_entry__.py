@@ -2690,6 +2690,16 @@ def _q_dbscan_cluster(spark, sf_dir) -> DataFrame:
     return dbscan(pts, eps=2.0, min_pts=4)
 
 
+def _q_hex_density(spark, sf_dir) -> DataFrame:
+    """Hexagonal density binning (operators/tiles.with_hex — fractional
+    axial + cube rounding, round spelled floor(v+0.5) in BOTH engines)
+    over the customer points at circumradius 2.5°: counts per (hex_q,
+    hex_r).  The oracle replays the identical expression chain via
+    hex_qr_ctes — same IEEE arithmetic text, then the same keyed agg."""
+    from spatial_spark.operators.tiles import hex_counts
+    return hex_counts(_customer_points(spark), size=2.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2873,6 +2883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_retrieval": _q_bm25_retrieval,
         "cdc_chunks": _q_cdc_chunks,
         "dbscan_cluster": _q_dbscan_cluster,
+        "hex_density": _q_hex_density,
     }.items()}
 
 
@@ -3668,6 +3679,18 @@ def _md5_u60_sql(arg: str) -> str:
         f" * {16 ** (14 - i)}"
         for i in range(15))
     return f"({terms})"
+
+
+def _hex_density_oracle_sql() -> str:
+    """hex_counts replay: the SAME expression chain (hex_qr_ctes emits
+    the texts with_hex applies) over the customer points, then the
+    identical keyed count."""
+    from spatial_spark.operators.tiles import hex_qr_ctes
+    base = (f"SELECT c_custkey, {CUST_LON} AS lon, {CUST_LAT} AS lat "
+            f"FROM customer")
+    return ("SELECT hex_q, hex_r, count(*) AS n FROM ("
+            + hex_qr_ctes(base, 2.5, "lon", "lat")
+            + ") GROUP BY hex_q, hex_r")
 
 
 def _md5_u32_sql(arg: str) -> str:
@@ -5297,4 +5320,5 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN comp cm ON cm.id = p.id
             LEFT JOIN border b ON b.id = p.id
         """,
+        "hex_density": _hex_density_oracle_sql(),
     }

@@ -85,6 +85,8 @@ HEADLINE = [
     # r9 twentieth wave: inverted-index retrieval, content-defined
     # chunking, DBSCAN
     "bm25_retrieval", "cdc_chunks", "dbscan_cluster",
+    # r9 twenty-first wave: hexagonal density binning
+    "hex_density",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -174,6 +176,8 @@ BUDGET_SF01 = {
     # constant 300-point semantics fixture — stage-latency bound, like
     # density_greedy)
     "bm25_retrieval": 3.4, "cdc_chunks": 1.5, "dbscan_cluster": 5.8,
+    # r9 twenty-first wave: 2.2x local best-of-two
+    "hex_density": 0.9,
 }
 
 

@@ -29,7 +29,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["tile_xy_sql", "with_tiles", "tile_counts", "tile_rollup"]
+__all__ = ["tile_xy_sql", "with_tiles", "tile_counts", "tile_rollup",
+           "hex_qr_exprs", "hex_qr_ctes", "with_hex", "hex_counts",
+           "hex_center"]
 
 MAX_MERC_LAT = 85.05112878
 
@@ -100,6 +102,98 @@ def quadkey(tile_z, tile_x, tile_y):
         for i in range(30, -1, -1)]
     full = F.concat(*digits)               # 31 digits, msb first
     return F.substring(full, F.lit(31) - zc + 1, zc)
+
+
+def hex_qr_exprs(size: float, x_sql: str = "x",
+                 y_sql: str = "y") -> list[tuple[str, str]]:
+    """Ordered (name, SQL-text) intermediate definitions assigning a
+    planar point to a pointy-top hexagon of circumradius ``size`` in
+    axial (q, r) coordinates — the H3-style equal-area-ish binning the
+    tile grid can't give (hexes have uniform neighbor distance; squares
+    don't).
+
+    Pixel→hex is the classic fractional-axial + cube-rounding
+    algorithm (Redblobgames formulation): q_f = (√3/3·x − 1/3·y)/s,
+    r_f = (2/3·y)/s, s_f = −q_f−r_f, round each, then fix the
+    coordinate with the largest rounding error so q+r+s stays 0.
+    round(v) is spelled floor(v + 0.5) — one definition, no
+    library-rounding-mode skew between engines.
+
+    The texts are valid in BOTH Spark SQL and DuckDB and reference
+    earlier names, so the Spark path applies them as chained
+    withColumns and an oracle as a CTE chain — identical IEEE
+    arithmetic by construction (the repo's cross-engine discipline).
+    Every constant is CAST to DOUBLE (bare literals parse as DECIMAL
+    in DuckDB and poison products)."""
+    if size <= 0:
+        raise ValueError(f"hex size must be positive, got {size}")
+
+    def _c(v: float) -> str:
+        return f"CAST({v!r} AS DOUBLE)"
+
+    s = _c(float(size))
+    return [
+        ("_hqf", f"(({_c(3 ** 0.5 / 3.0)} * ({x_sql}) "
+                 f"- {_c(1.0 / 3.0)} * ({y_sql})) / {s})"),
+        ("_hrf", f"(({_c(2.0 / 3.0)} * ({y_sql})) / {s})"),
+        ("_hsf", "(-_hqf - _hrf)"),
+        ("_hrq", "floor(_hqf + 0.5)"),
+        ("_hrr", "floor(_hrf + 0.5)"),
+        ("_hrs", "floor(_hsf + 0.5)"),
+        ("_hdq", "abs(_hrq - _hqf)"),
+        ("_hdr", "abs(_hrr - _hrf)"),
+        ("_hds", "abs(_hrs - _hsf)"),
+        ("hex_q", "CAST(CASE WHEN _hdq > _hdr AND _hdq > _hds "
+                  "THEN -_hrr - _hrs ELSE _hrq END AS BIGINT)"),
+        ("hex_r", "CAST(CASE WHEN NOT (_hdq > _hdr AND _hdq > _hds) "
+                  "AND _hdr > _hds THEN -_hrq - _hrs ELSE _hrr END "
+                  "AS BIGINT)"),
+    ]
+
+
+def hex_qr_ctes(base: str, size: float, x_sql: str = "x",
+                y_sql: str = "y") -> str:
+    """Wrap ``base`` (a query exposing the point columns) in a WITH
+    chain adding ``hex_q``/``hex_r`` — the DuckDB-oracle twin of
+    with_hex (identical expression texts)."""
+    sql = f"WITH _hex0 AS ({base})"
+    prev = "_hex0"
+    for i, (name, expr) in enumerate(hex_qr_exprs(size, x_sql, y_sql), 1):
+        sql += f", _hex{i} AS (SELECT *, {expr} AS {name} FROM {prev})"
+        prev = f"_hex{i}"
+    return sql + (f" SELECT * EXCLUDE (_hqf, _hrf, _hsf, _hrq, _hrr, "
+                  f"_hrs, _hdq, _hdr, _hds) FROM {prev}")
+
+
+def with_hex(df: DataFrame, size: float, x_col: str = "lon",
+             y_col: str = "lat") -> DataFrame:
+    """Append ``hex_q``/``hex_r`` axial hex columns (map-only, pure
+    codegen — the same expression texts as the hex_qr_ctes oracle)."""
+    out = df
+    for name, expr in hex_qr_exprs(size, x_col, y_col):
+        out = out.withColumn(name, F.expr(expr))
+    return out.drop("_hqf", "_hrf", "_hsf", "_hrq", "_hrr", "_hrs",
+                    "_hdq", "_hdr", "_hds")
+
+
+def hex_counts(df: DataFrame, size: float, x_col: str = "lon",
+               y_col: str = "lat") -> DataFrame:
+    """Feature counts per hex cell: ONE keyed aggregation with map-side
+    combine after the map-only assignment — the density-surface shape
+    that replaces a slow ST_Within polygon join against a hex layer."""
+    return (with_hex(df, size, x_col, y_col)
+            .groupBy("hex_q", "hex_r")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def hex_center(size: float, q="hex_q", r="hex_r"):
+    """(x, y) center Columns of an axial hex cell — the inverse map for
+    rendering/joining hex aggregates back to geometry."""
+    qc = F.col(q) if isinstance(q, str) else q
+    rc = F.col(r) if isinstance(r, str) else r
+    s = float(size)
+    return (F.lit(s * 3 ** 0.5) * (qc + rc / F.lit(2.0)),
+            F.lit(s * 1.5) * rc)
 
 
 def windowed_tile_counts(events: DataFrame, z: int,
