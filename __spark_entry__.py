@@ -2690,6 +2690,16 @@ def _q_dbscan_cluster(spark, sf_dir) -> DataFrame:
     return dbscan(pts, eps=2.0, min_pts=4)
 
 
+def _q_kn_perplexity(spark, sf_dir) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Chen & Goodman 1999
+    formulation, fixed D=0.75, add-one continuation floor) in
+    self-perplexity mode — the stronger sibling of lm_perplexity's
+    additive smoothing; the oracle replays counts, continuation
+    distributions and the interpolation closed-form."""
+    from spatial_spark.operators.lm import kn_score
+    return kn_score(spark.table("documents"))
+
+
 def _q_hex_density(spark, sf_dir) -> DataFrame:
     """Hexagonal density binning (operators/tiles.with_hex — fractional
     axial + cube rounding, round spelled floor(v+0.5) in BOTH engines)
@@ -2884,6 +2894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": _q_cdc_chunks,
         "dbscan_cluster": _q_dbscan_cluster,
         "hex_density": _q_hex_density,
+        "kn_perplexity": _q_kn_perplexity,
     }.items()}
 
 
@@ -5321,4 +5332,50 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN border b ON b.id = p.id
         """,
         "hex_density": _hex_density_oracle_sql(),
+        "kn_perplexity": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> length(x) > 0) AS t
+              FROM documents),
+            big AS (
+              SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(1, len(t) - 1)) AS i
+                    FROM toks WHERE len(t) >= 2)),
+            c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+            ctx AS (SELECT w1, sum(c2) AS c1, count(*) AS n1p
+                    FROM c2 GROUP BY w1),
+            cont AS (SELECT w2, count(*) AS n1p_r FROM c2 GROUP BY w2),
+            sc AS (SELECT (SELECT count(*) FROM c2) AS B,
+                          (SELECT count(DISTINCT tok)
+                           FROM (SELECT unnest(t) AS tok FROM toks)) AS V),
+            lp AS (
+              SELECT b.doc_id,
+                     ln(CASE WHEN ctx.c1 IS NULL THEN
+                          (CAST(coalesce(cont.n1p_r, 0) AS DOUBLE) + 1)
+                            / (CAST(sc.B AS DOUBLE) + sc.V + 1)
+                        ELSE
+                          greatest(CAST(coalesce(c2.c2, 0) AS DOUBLE)
+                                   - CAST(0.75 AS DOUBLE), 0.0)
+                            / CAST(ctx.c1 AS DOUBLE)
+                          + CAST(0.75 AS DOUBLE) * ctx.n1p
+                            / CAST(ctx.c1 AS DOUBLE)
+                            * ((CAST(coalesce(cont.n1p_r, 0) AS DOUBLE) + 1)
+                               / (CAST(sc.B AS DOUBLE) + sc.V + 1))
+                        END) AS lp
+              FROM big b
+              LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+              LEFT JOIN ctx ON b.w1 = ctx.w1
+              LEFT JOIN cont ON b.w2 = cont.w2
+              CROSS JOIN sc),
+            per_doc AS (
+              SELECT doc_id, count(*) AS n_bigrams,
+                     round(-avg(lp), 6) AS nll
+              FROM lp GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   p.nll AS nll
+            FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+        """,
     }

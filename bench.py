@@ -87,6 +87,8 @@ HEADLINE = [
     "bm25_retrieval", "cdc_chunks", "dbscan_cluster",
     # r9 twenty-first wave: hexagonal density binning
     "hex_density",
+    # r9 twenty-second wave: interpolated Kneser-Ney LM scoring
+    "kn_perplexity",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -178,6 +180,8 @@ BUDGET_SF01 = {
     "bm25_retrieval": 3.4, "cdc_chunks": 1.5, "dbscan_cluster": 5.8,
     # r9 twenty-first wave: 2.2x local best-of-two
     "hex_density": 0.9,
+    # r9 twenty-second wave: 2.2x local best-of-two
+    "kn_perplexity": 4.4,
 }
 
 

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["train_bigram_lm", "lm_score"]
+__all__ = ["train_bigram_lm", "lm_score", "train_kn_lm", "kn_score"]
 
 #: Additive smoothing mass for unseen bigrams.
 DEFAULT_ALPHA = 0.5
@@ -102,6 +102,85 @@ def lm_score(df: DataFrame, ref_df: DataFrame | None = None,
                   F.log((F.coalesce(F.col("c2"), F.lit(0)) + F.lit(alpha))
                         / (F.coalesce(F.col("c1"), F.lit(0))
                            + F.lit(alpha) * F.col("V")))).alias("lp")))
+    per_doc = (scored.groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                    F.round(-F.avg("lp"), 6).alias("nll")))
+    return (df.select(id_col).join(per_doc, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    F.col("nll")))
+
+
+def train_kn_lm(ref_df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id"):
+    """Count tables for an interpolated Kneser-Ney bigram LM — the
+    smoothing that actually wins perplexity evaluations (Chen & Goodman
+    1999): instead of adding uniform mass, unseen-bigram probability is
+    carried by the CONTINUATION distribution (in how many distinct
+    contexts does w2 appear), so "Francisco" (frequent but only after
+    "San") stops stealing mass from genuinely versatile words.
+
+    Returns ``(c2, ctx, cont, scalars)``:
+
+      * ``c2``:      (w1, w2, c2) bigram counts
+      * ``ctx``:     (w1, c1, n1p) — prefix count and distinct-successor
+                     count N1+(w1, ·)
+      * ``cont``:    (w2, n1p_r) — distinct-predecessor count N1+(·, w2)
+      * ``scalars``: 1 row (B, V) — distinct bigram types and vocabulary
+
+    Everything is two gram-keyed aggregations plus a 1-row global —
+    the same broadcast-size model shape as train_bigram_lm."""
+    bi = _bigrams(ref_df, text_col, id_col)
+    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = c2.groupBy("w1").agg(F.sum("c2").alias("c1"),
+                               F.count(F.lit(1)).alias("n1p"))
+    cont = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_r"))
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda t: F.length(t) > 0)
+    vocab = ref_df.select(F.explode(toks).alias("tok"))
+    scalars = (c2.agg(F.count(F.lit(1)).alias("B"))
+               .crossJoin(vocab.agg(F.countDistinct("tok").alias("V"))))
+    return c2, ctx, cont, scalars
+
+
+def kn_score(df: DataFrame, ref_df: DataFrame | None = None,
+             text_col: str = "text", id_col: str = "doc_id",
+             discount: float = 0.75) -> DataFrame:
+    """Per-document perplexity under interpolated Kneser-Ney
+    (bigram, fixed discount D):
+
+        P(w2|w1) = max(c2 - D, 0)/c1 + D * N1+(w1,·)/c1 * P_cont(w2)
+        P_cont(w2) = (N1+(·,w2) + 1) / (B + V + 1)
+
+    P_cont is add-one smoothed over distinct-bigram types so an OOV
+    ``w2`` keeps nonzero mass (deterministic, oracle-replayable floor —
+    no tuning knob beyond D); an unseen ``w1`` backs off to P_cont
+    alone.  Returns ``(id_col, n_bigrams, nll)``, nll = average
+    negative log-likelihood rounded to 6 (exp(nll) = perplexity).
+
+    Scale: model joins are keyed on w1 / w2 and broadcast-size in the
+    CCNet regime; the corpus side is one map-only bigram explode and a
+    map-side-combined per-doc aggregation."""
+    if ref_df is None:
+        ref_df = df
+    c2, ctx, cont, scalars = train_kn_lm(ref_df, text_col, id_col)
+    bi = _bigrams(df, text_col, id_col)
+    d = F.lit(float(discount))
+    p_cont = ((F.coalesce(F.col("n1p_r"), F.lit(0)) + F.lit(1))
+              / (F.col("B") + F.col("V") + F.lit(1)))
+    seen = F.col("c1").isNotNull()
+    p = F.when(
+        seen,
+        F.greatest(F.coalesce(F.col("c2"), F.lit(0)) - d, F.lit(0.0))
+        / F.col("c1")
+        + d * F.col("n1p") / F.col("c1") * p_cont
+    ).otherwise(p_cont)
+    scored = (bi
+              .join(c2, ["w1", "w2"], "left")
+              .join(ctx, ["w1"], "left")
+              .join(cont, ["w2"], "left")
+              .crossJoin(F.broadcast(scalars))
+              .select(F.col(id_col), F.log(p).alias("lp")))
     per_doc = (scored.groupBy(id_col)
                .agg(F.count(F.lit(1)).alias("n_bigrams"),
                     F.round(-F.avg("lp"), 6).alias("nll")))

@@ -280,3 +280,86 @@ def test_dbscan_min_pts_monotone(spark):
         out = dbscan(df, eps=1.5, min_pts=mp)
         cores.append(out.filter("role = 'core'").count())
     assert cores[0] >= cores[1] >= cores[2]
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney LM
+# ---------------------------------------------------------------------------
+def _kn_model(ref_docs, score_docs, D=0.75):
+    toks = {d: t.lower().split() for d, t in ref_docs}
+    c2, c1, n1p, n1p_r = {}, {}, {}, {}
+    vocab = set()
+    for t in toks.values():
+        vocab.update(t)
+        for a, b in zip(t, t[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+    for (a, b), c in c2.items():
+        c1[a] = c1.get(a, 0) + c
+        n1p[a] = n1p.get(a, 0) + 1
+        n1p_r[b] = n1p_r.get(b, 0) + 1
+    B, V = len(c2), len(vocab)
+
+    def p(a, b):
+        pc = (n1p_r.get(b, 0) + 1) / (B + V + 1)
+        if a not in c1:
+            return pc
+        return (max(c2.get((a, b), 0) - D, 0.0) / c1[a]
+                + D * n1p[a] / c1[a] * pc)
+
+    out = {}
+    for d, t in score_docs:
+        ws = t.lower().split()
+        lps = [math.log(p(a, b)) for a, b in zip(ws, ws[1:])]
+        out[d] = (len(lps), -sum(lps) / len(lps) if lps else None)
+    return out
+
+
+def test_kn_score_matches_model(spark):
+    from spatial_spark.operators.lm import kn_score
+    ref = DOCS
+    score = DOCS + [(9, "purple Francisco zebra dog"), (10, "single")]
+    ref_df = spark.createDataFrame(ref, "doc_id int, text string")
+    df = spark.createDataFrame(score, "doc_id int, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["nll"])
+           for r in kn_score(df, ref_df).collect()}
+    model = _kn_model(ref, score)
+    assert set(got) == set(model)
+    for d, (n, nll) in model.items():
+        assert got[d][0] == n
+        if nll is None:
+            assert got[d][1] is None
+        else:
+            assert abs(got[d][1] - nll) < 1e-5, d
+    # one-token doc: zero bigrams, NULL nll
+    assert got[10] == (0, None)
+
+
+def test_kn_probabilities_sum_to_one(spark):
+    """For a seen context w1, sum over the whole vocab of P(w2|w1) plus
+    OOV mass must be <= 1 + eps (the add-one P_cont floor gives every
+    unseen continuation positive mass, so the seen-vocab sum alone is
+    < 1): the discount bookkeeping is conservative."""
+    ref = DOCS
+    model = _kn_model(ref, [])
+    toks = [t.lower().split() for _, t in ref]
+    vocab = sorted({w for t in toks for w in t})
+    c2, c1 = {}, {}
+    for t in toks:
+        for a, b in zip(t, t[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+    n1p_r = {}
+    for (a, b) in c2:
+        n1p_r[b] = n1p_r.get(b, 0) + 1
+    B, V, D = len(c2), len(vocab), 0.75
+    n1p = {}
+    for (a, b) in c2:
+        n1p[a] = n1p.get(a, 0) + 1
+    for w1 in ("the", "quick", "dog"):
+        total = 0.0
+        for w2 in vocab:
+            pc = (n1p_r.get(w2, 0) + 1) / (B + V + 1)
+            total += (max(c2.get((w1, w2), 0) - D, 0.0) / c1[w1]
+                      + D * n1p[w1] / c1[w1] * pc)
+        assert total < 1.0 + 1e-9
+        assert total > 0.5  # sanity: most mass on the seen vocabulary
