@@ -2690,6 +2690,25 @@ def _q_dbscan_cluster(spark, sf_dir) -> DataFrame:
     return dbscan(pts, eps=2.0, min_pts=4)
 
 
+def _q_kmv_distinct(spark, sf_dir) -> DataFrame:
+    """KMV (theta/bottom-k) distinct-count sketch per source over the
+    corpus tokens: the sketch state (size, k-th hash) AND the
+    closed-form estimate — engine-exact because the hash is the md5-u60
+    integer and the estimator is integer-anchored; the oracle replays
+    the distinct → bottom-k window → (k-1)·2^60/h_k pipeline."""
+    from spatial_spark.operators.sketch import build_kmv, kmv_estimate
+    toks = (spark.table("documents")
+            .select(F.col("source").alias("src"),
+                    F.explode(F.filter(
+                        F.split(F.lower(F.col("text")), r"\s+"),
+                        lambda t: F.length(t) > 0)).alias("tok")))
+    sk = build_kmv(toks, key_col="tok", k=256, group_col="src")
+    stats = sk.groupBy("grp").agg(F.count(F.lit(1)).alias("n"),
+                                  F.max("h").alias("h_max"))
+    return (stats.join(kmv_estimate(sk, k=256), "grp")
+            .select("grp", "n", "h_max", "est_distinct"))
+
+
 def _q_kn_perplexity(spark, sf_dir) -> DataFrame:
     """Interpolated Kneser-Ney bigram scoring (Chen & Goodman 1999
     formulation, fixed D=0.75, add-one continuation floor) in
@@ -2895,6 +2914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_cluster": _q_dbscan_cluster,
         "hex_density": _q_hex_density,
         "kn_perplexity": _q_kn_perplexity,
+        "kmv_distinct": _q_kmv_distinct,
     }.items()}
 
 
@@ -5332,6 +5352,33 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN border b ON b.id = p.id
         """,
         "hex_density": _hex_density_oracle_sql(),
+        "kmv_distinct": f"""
+            WITH toks AS (
+              SELECT source AS src,
+                     unnest(list_filter(
+                         string_split_regex(lower(text), '\\s+'),
+                         x -> length(x) > 0)) AS tok
+              FROM documents),
+            hashes AS (
+              SELECT DISTINCT src,
+                     CAST({_md5_u60_sql("tok")} AS BIGINT) AS h
+              FROM toks),
+            ranked AS (
+              SELECT src, h,
+                     row_number() OVER (PARTITION BY src ORDER BY h) AS pos
+              FROM hashes),
+            sk AS (SELECT src, h FROM ranked WHERE pos <= 256),
+            stats AS (
+              SELECT src AS grp, count(*) AS n, max(h) AS h_max
+              FROM sk GROUP BY src)
+            SELECT grp, n, h_max,
+                   round(CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+                         ELSE CAST(255.0 AS DOUBLE)
+                              * CAST(1152921504606846976 AS DOUBLE)
+                              / CAST(h_max AS DOUBLE) END, 4)
+                     AS est_distinct
+            FROM stats
+        """,
         "kn_perplexity": """
             WITH toks AS (
               SELECT doc_id,

@@ -89,6 +89,8 @@ HEADLINE = [
     "hex_density",
     # r9 twenty-second wave: interpolated Kneser-Ney LM scoring
     "kn_perplexity",
+    # r9 twenty-third wave: KMV (theta) distinct sketch + set ops
+    "kmv_distinct",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -182,6 +184,8 @@ BUDGET_SF01 = {
     "hex_density": 0.9,
     # r9 twenty-second wave: 2.2x local best-of-two
     "kn_perplexity": 4.4,
+    # r9 twenty-third wave: 2.2x local best-of-two
+    "kmv_distinct": 3.0,
 }
 
 

@@ -252,3 +252,110 @@ def hll_group_cardinalities(regs: DataFrame, p: int = 12) -> DataFrame:
     small = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
     est = F.when((raw <= 2.5 * m) & (zeros > 0), small).otherwise(raw)
     return agg.select(F.col("grp"), est.alias("estimate"))
+
+
+# ---------------------------------------------------------------------------
+# KMV ("theta") sketch: bottom-k distinct hashes — the sketch that gives
+# SET OPERATIONS (union / intersection / difference estimates), which
+# HLL registers cannot (HLL unions but never intersects).
+# ---------------------------------------------------------------------------
+_KMV_DOMAIN = 1 << 60  # md5-u60 hash domain, shared with the HLL family
+
+
+def build_kmv(df: DataFrame, key_col: str = "text", k: int = 256,
+              group_col: str | None = None) -> DataFrame:
+    """Bottom-``k`` KMV sketch per group: the k SMALLEST distinct
+    md5-u60 hash values of ``key_col`` as ``(grp?, pos, h)`` rows
+    (pos = 1..k ascending).
+
+    Deterministic end to end — the sketch of a dataset is a pure
+    function of its distinct keys, so merge == rebuild holds exactly
+    and a DuckDB oracle replays it row for row.  Distributed shape:
+    one distinct on (grp, h) — keyed shuffle with map-side partial —
+    then a per-group bottom-k window (per-key cardinality is the
+    group's distinct count; the window sorts hashes, not rows of the
+    corpus).  At most k rows per group survive."""
+    from pyspark.sql import Window
+
+    v = F.conv(F.substring(
+        F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10).cast("long")
+    if group_col is None:
+        hashes = df.select(v.alias("h")).distinct()
+        w = Window.orderBy("h")
+        out = (hashes.withColumn("pos", F.row_number().over(w))
+               .filter(F.col("pos") <= k).select("pos", "h"))
+        return out
+    hashes = (df.select(F.col(group_col).alias("grp"), v.alias("h"))
+              .distinct())
+    w = Window.partitionBy("grp").orderBy("h")
+    return (hashes.withColumn("pos", F.row_number().over(w))
+            .filter(F.col("pos") <= k).select("grp", "pos", "h"))
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 256,
+                 by_group: bool | None = None) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: exact count when the
+    group holds fewer than k hashes (the sketch IS the distinct set),
+    else the classic (k-1) * domain / h_k estimator.  Integer h_k keeps
+    the arithmetic engine-exact; the estimate is rounded to 4."""
+    if by_group is None:           # auto: grouped sketches carry 'grp'
+        by_group = "grp" in sketch.columns
+    keys = ["grp"] if by_group else []
+    agg = sketch.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"), F.max("h").alias("h_max"))
+    est = F.when(
+        F.col("n") < k, F.col("n").cast("double")).otherwise(
+        (F.lit(float(k - 1)) * F.lit(float(_KMV_DOMAIN)))
+        / F.col("h_max").cast("double"))
+    return agg.select(*keys, F.round(est, 4).alias("est_distinct"))
+
+
+def kmv_union(a: DataFrame, b: DataFrame, k: int = 256,
+              by_group: bool | None = None) -> DataFrame:
+    """Union of two KMV sketches (same k): merged distinct hashes,
+    re-cut to bottom-k — IDENTICAL to the sketch of the concatenated
+    inputs (merge == rebuild, the property that makes sketches
+    mergeable across partitions/days/sources)."""
+    from pyspark.sql import Window
+
+    if by_group is None:
+        by_group = "grp" in a.columns
+    keys = ["grp"] if by_group else []
+    merged = (a.select(*keys, "h").unionByName(b.select(*keys, "h"))
+              .distinct())
+    w = (Window.partitionBy(*keys).orderBy("h") if keys
+         else Window.orderBy("h"))
+    return (merged.withColumn("pos", F.row_number().over(w))
+            .filter(F.col("pos") <= k).select(*keys, "pos", "h"))
+
+
+def kmv_intersect_estimate(a: DataFrame, b: DataFrame,
+                           k: int = 256) -> DataFrame:
+    """Intersection-cardinality estimate of two (ungrouped) KMV
+    sketches: theta = min(theta_a, theta_b) (the stricter survival
+    threshold), count hashes present in BOTH sketches below theta,
+    scale by domain/theta.  1 row: (n_common, est_intersection).
+
+    est = n_common * domain / theta; exact when both sides held
+    their full distinct sets (n < k: theta capped at domain)."""
+    a_stats = a.agg(F.count(F.lit(1)).alias("na"),
+                    F.max("h").alias("ha"))
+    b_stats = b.agg(F.count(F.lit(1)).alias("nb"),
+                    F.max("h").alias("hb"))
+    theta = (a_stats.crossJoin(b_stats)
+             .select(F.least(
+                 F.when(F.col("na") < k, F.lit(_KMV_DOMAIN))
+                 .otherwise(F.col("ha")),
+                 F.when(F.col("nb") < k, F.lit(_KMV_DOMAIN))
+                 .otherwise(F.col("hb"))).alias("theta")))
+    common = a.select("h").join(b.select("h"), "h")
+    return (common.crossJoin(F.broadcast(theta))
+            .filter(F.col("h") <= F.col("theta"))
+            .agg(F.count(F.lit(1)).alias("n_common"),
+                 F.max("theta").alias("theta"))
+            .select("n_common",
+                    F.round(F.when(F.col("n_common") == 0, F.lit(0.0))
+                            .otherwise(F.col("n_common").cast("double")
+                                       * F.lit(float(_KMV_DOMAIN))
+                                       / F.col("theta").cast("double")),
+                            4).alias("est_intersection")))

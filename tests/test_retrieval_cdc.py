@@ -363,3 +363,67 @@ def test_kn_probabilities_sum_to_one(spark):
                       + D * n1p[w1] / c1[w1] * pc)
         assert total < 1.0 + 1e-9
         assert total > 0.5  # sanity: most mass on the seen vocabulary
+
+
+# ---------------------------------------------------------------------------
+# KMV (theta) sketch
+# ---------------------------------------------------------------------------
+def test_kmv_exact_below_k_and_merge_equals_rebuild(spark):
+    from spatial_spark.operators.sketch import build_kmv, kmv_union
+    a = spark.range(0, 120).selectExpr("concat('a', id) AS key")
+    b = spark.range(0, 150).selectExpr("concat('b', id) AS key")
+    sa = build_kmv(a, "key", k=256)
+    sb = build_kmv(b, "key", k=256)
+    merged = kmv_union(sa, sb, k=256)
+    rebuilt = build_kmv(a.unionByName(b), "key", k=256)
+    assert sorted(r["h"] for r in merged.collect()) == \
+        sorted(r["h"] for r in rebuilt.collect())
+
+
+def test_kmv_estimate_accuracy(spark):
+    from spatial_spark.operators.sketch import build_kmv, kmv_estimate
+    n = 20000
+    df = spark.range(0, n).selectExpr("concat('key', id) AS key")
+    sk = build_kmv(df, "key", k=256)
+    est = kmv_estimate(sk, k=256, by_group=False).first()["est_distinct"]
+    # KMV rel. error ~ 1/sqrt(k-1) ≈ 6.3%; allow 4 sigma
+    assert abs(est - n) / n < 0.25, est
+    # below-k regime is EXACT
+    small = spark.range(0, 77).selectExpr("concat('s', id) AS key")
+    est2 = kmv_estimate(build_kmv(small, "key", k=256), k=256,
+                        by_group=False).first()["est_distinct"]
+    assert est2 == 77.0
+
+
+def test_kmv_intersection_estimate(spark):
+    from spatial_spark.operators.sketch import (build_kmv,
+                                                kmv_intersect_estimate)
+    # |A|=6000, |B|=6000, |A∩B|=2000  (ids 4000..5999 shared)
+    a = spark.range(0, 6000).selectExpr("concat('k', id) AS key")
+    b = spark.range(4000, 10000).selectExpr("concat('k', id) AS key")
+    sa, sb = build_kmv(a, "key", k=512), build_kmv(b, "key", k=512)
+    row = kmv_intersect_estimate(sa, sb, k=512).first()
+    est = row["est_intersection"]
+    assert abs(est - 2000) / 2000 < 0.35, est
+    # disjoint sets estimate ~0 (few/no common hashes)
+    c = spark.range(0, 6000).selectExpr("concat('z', id) AS key")
+    row2 = kmv_intersect_estimate(sa, build_kmv(c, "key", k=512),
+                                  k=512).first()
+    assert row2["n_common"] == 0 and row2["est_intersection"] == 0.0
+
+
+def test_kmv_grouped_sketch_deterministic(spark):
+    from spatial_spark.operators.sketch import build_kmv, kmv_estimate
+    df = spark.range(0, 5000).selectExpr(
+        "concat('t', id % 700) AS key", "CAST(id % 3 AS INT) AS src")
+    sk = build_kmv(df, "key", k=64, group_col="src")
+    # per-group sketch is ≤ k rows, positions contiguous from 1
+    rows = sk.collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["grp"], []).append(r["pos"])
+    for g, ps in by.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+        assert len(ps) <= 64
+    # two runs identical (no RNG anywhere)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, sk.collect()))
