@@ -106,6 +106,19 @@ PROBES = {
                             " exact dups collapse before the join)."
                             " The knob is t: t<=3 gives >=16-bit"
                             " blocks, the Manku operating point"),
+    # --- r9 twentieth-twenty-third waves ---
+    "bm25_retrieval": ("linear", "postings = one keyed agg; fixed query"
+                       " set broadcast against them; per-query top-k"),
+    "cdc_chunks_full": ("linear", "map-only position explode + per-doc"
+                        " boundary window"),
+    "kn_perplexity": ("linear", "broadcast KN count tables; map-side"
+                      " per-doc aggs"),
+    "kmv_distinct": ("linear", "one (src, hash) distinct + bottom-k"
+                     " window over <=k survivors per group"),
+    "dbscan_scaled": ("pair-bound", "fixed world, kx points: eps-graph"
+                      " edges grow ~k^2 (same class as"
+                      " density_islands_full); CC + degree agg are"
+                      " near-linear in edges"),
 }
 
 
@@ -187,8 +200,33 @@ def _probe_subdivide_scaled(spark, sf_dir):
         F.count(F.lit(1)).alias("n_pieces"))
 
 
+def _probe_dbscan_scaled(spark, sf_dir):
+    """DBSCAN over the FULL scaled customer point set (the registered
+    gate caps at 300 rows for its recursive-CTE oracle)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from spatial_spark.operators.agg import dbscan
+    pts = (entry._cust_point_geoms(spark)
+           .withColumnRenamed("c_custkey", "id"))
+    out = dbscan(pts, eps=2.0, min_pts=4)
+    return (out.groupBy("role")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("cluster").alias("n_clusters")))
+
+
+def _probe_cdc_chunks_full(spark, sf_dir):
+    """cdc_chunks over the WHOLE scaled corpus (the gate caps doc_id
+    <= 200 for oracle tractability)."""
+    import __spark_entry__ as entry
+    from spatial_spark.operators.cdc import cdc_chunks
+    return cdc_chunks(entry._norm_documents(spark), k=8, divisor=64)
+
+
 CUSTOM_PROBES = {
     "density_islands_full": _probe_density_islands_full,
+    "dbscan_scaled": _probe_dbscan_scaled,
+    "cdc_chunks_full": _probe_cdc_chunks_full,
     "pagerank_scaled": _probe_pagerank_scaled,
     "hamming_join_scaled": _probe_hamming_join_scaled,
     "subdivide_scaled": _probe_subdivide_scaled,
