@@ -2690,6 +2690,20 @@ def _q_dbscan_cluster(spark, sf_dir) -> DataFrame:
     return dbscan(pts, eps=2.0, min_pts=4)
 
 
+MIXTURE_EPOCH_WEIGHTS = {"en": 0.5, "de": 2.0, "zh": 2.3}
+
+
+def _q_mixture_epoch(spark, sf_dir) -> DataFrame:
+    """Materialized mixture epoch (operators/sample.apply_mixture):
+    en halved, de doubled, zh ×2.3 — floor(w) copies plus an md5-coin
+    fractional copy on the 16-bit hex-threshold grid; the oracle
+    replays the per-row copy count and the generate_series expansion."""
+    from spatial_spark.operators.sample import apply_mixture
+    return apply_mixture(spark.table("documents")
+                         .select("doc_id", "lang"),
+                         MIXTURE_EPOCH_WEIGHTS)
+
+
 def _q_kmv_distinct(spark, sf_dir) -> DataFrame:
     """KMV (theta/bottom-k) distinct-count sketch per source over the
     corpus tokens: the sketch state (size, k-th hash) AND the
@@ -2915,6 +2929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_density": _q_hex_density,
         "kn_perplexity": _q_kn_perplexity,
         "kmv_distinct": _q_kmv_distinct,
+        "mixture_epoch": _q_mixture_epoch,
     }.items()}
 
 
@@ -3710,6 +3725,34 @@ def _md5_u60_sql(arg: str) -> str:
         f" * {16 ** (14 - i)}"
         for i in range(15))
     return f"({terms})"
+
+
+def _mixture_epoch_oracle_sql() -> str:
+    """apply_mixture replay: per-lang base copies + the md5 ':mix' coin
+    on the identical 16-bit hex grid, expanded by generate_series."""
+    from spatial_spark.operators.sample import _hex_threshold
+    base_case, thr_case = "CASE lang", "CASE lang"
+    for lang, w in MIXTURE_EPOCH_WEIGHTS.items():
+        base = int(float(w))
+        base_case += f" WHEN '{lang}' THEN {base}"
+        thr_case += f" WHEN '{lang}' THEN '{_hex_threshold(float(w) - base)}'"
+    base_case += " ELSE 1 END"
+    thr_case += f" ELSE '{_hex_threshold(0.0)}' END"
+    return f"""
+        WITH d AS (
+          SELECT doc_id, lang,
+                 {base_case} AS base,
+                 {thr_case} AS thr,
+                 substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 4) AS coin
+          FROM documents),
+        n AS (
+          SELECT doc_id, lang,
+                 base + (CASE WHEN coin < thr THEN 1 ELSE 0 END) AS nc
+          FROM d)
+        SELECT doc_id, lang,
+               CAST(unnest(generate_series(1, nc)) AS INT) AS copy_no
+        FROM n WHERE nc >= 1
+    """
 
 
 def _hex_density_oracle_sql() -> str:
@@ -5352,6 +5395,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN border b ON b.id = p.id
         """,
         "hex_density": _hex_density_oracle_sql(),
+        "mixture_epoch": _mixture_epoch_oracle_sql(),
         "kmv_distinct": f"""
             WITH toks AS (
               SELECT source AS src,

@@ -91,6 +91,8 @@ HEADLINE = [
     "kn_perplexity",
     # r9 twenty-third wave: KMV (theta) distinct sketch + set ops
     "kmv_distinct",
+    # r9 twenty-fourth wave: materialized mixture epoch
+    "mixture_epoch",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -186,6 +188,8 @@ BUDGET_SF01 = {
     "kn_perplexity": 4.4,
     # r9 twenty-third wave: 2.2x local best-of-two
     "kmv_distinct": 3.0,
+    # r9 twenty-fourth wave: 2.2x local best-of-two
+    "mixture_epoch": 0.8,
 }
 
 

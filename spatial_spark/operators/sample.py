@@ -132,3 +132,46 @@ def weighted_sample_wor(df: DataFrame, n: int, weight_col,
     return (df.withColumn(score_col, score)
             .orderBy(F.col(score_col).desc())
             .limit(n))
+
+
+def apply_mixture(df: DataFrame, weights: dict, by: str = "lang",
+                  key_col: str = "doc_id",
+                  out_col: str = "copy_no") -> DataFrame:
+    """Materialize a mixture-reweighted epoch: each row appears
+    ``floor(w)`` times plus one more with probability ``frac(w)`` —
+    where ``w`` is its group's weight (text.mixture_weights' output,
+    passed as a plain dict so the plan is literal-folded and the
+    decision grid stays the engine-exact 16-bit md5 bucket).
+
+    Deterministic: the fractional coin is the content hash of
+    ``key_col || ':mix'`` on the same hex-threshold grid as
+    deterministic_sample, so re-runs (and the DuckDB oracle) reproduce
+    the epoch row-for-row.  Groups absent from ``weights`` get 1.0
+    (pass-through).  Downsampling (w < 1) and upsampling (w > 1)
+    fall out of the same formula.
+
+    Scale shape: map-only — one CASE for the weight, one md5 compare,
+    one explode(sequence(1, n_copies)); no shuffle, no RNG.  Output
+    adds ``out_col`` (1..n_copies) so downstream shuffles can spread
+    the copies."""
+    w_expr = F.lit(1.0)
+    base_expr = F.lit(1)
+    frac_thresh = F.lit(_hex_threshold(0.0))
+    for value, w in weights.items():
+        wf = float(w)
+        if wf < 0:
+            raise ValueError(f"mixture weight must be >= 0, got {w!r}")
+        base = int(wf)
+        cond = F.col(by) == F.lit(value)
+        w_expr = F.when(cond, F.lit(wf)).otherwise(w_expr)
+        base_expr = F.when(cond, F.lit(base)).otherwise(base_expr)
+        frac_thresh = F.when(cond, F.lit(_hex_threshold(wf - base))) \
+            .otherwise(frac_thresh)
+    coin = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(":mix"))), 1, 4)
+    n_copies = base_expr + (coin < frac_thresh).cast("int")
+    return (df.withColumn("_nc", n_copies)
+            .filter(F.col("_nc") >= 1)
+            .withColumn(out_col,
+                        F.explode(F.expr("sequence(1, _nc)")))
+            .drop("_nc"))

@@ -427,3 +427,48 @@ def test_kmv_grouped_sketch_deterministic(spark):
         assert len(ps) <= 64
     # two runs identical (no RNG anywhere)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, sk.collect()))
+
+
+# ---------------------------------------------------------------------------
+# apply_mixture
+# ---------------------------------------------------------------------------
+def test_apply_mixture_matches_model(spark):
+    import hashlib
+    from spatial_spark.operators.sample import apply_mixture
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id int, lang string")
+    weights = {"en": 0.5, "de": 2.0, "fr": 2.3}
+
+    def model_copies(doc_id, lang):
+        w = weights.get(lang, 1.0)
+        base = int(w)
+        frac = w - base
+        n = max(0, min(65536, int(round(frac * 65536))))
+        thresh = "g" if n >= 65536 else format(n, "04x")
+        coin = hashlib.md5(f"{doc_id}:mix".encode()).hexdigest()[:4]
+        return base + (1 if coin < thresh else 0)
+
+    got = {}
+    for r in apply_mixture(df, weights).collect():
+        got[r["doc_id"]] = max(got.get(r["doc_id"], 0), r["copy_no"])
+    for i, lang in rows:
+        want = model_copies(i, lang)
+        assert got.get(i, 0) == want, (i, lang, want, got.get(i))
+    # aggregate effect: de doubled exactly, en halved-ish, fr in [2,3]
+    from collections import Counter
+    langs = Counter()
+    for r in apply_mixture(df, weights).collect():
+        langs[r["lang"]] += 1
+    assert langs["de"] == 2 * 200
+    assert 60 <= langs["en"] <= 140
+    assert 2 * 200 <= langs["fr"] <= 3 * 200
+
+
+def test_apply_mixture_identity_and_zero(spark):
+    from spatial_spark.operators.sample import apply_mixture
+    df = spark.createDataFrame([(i, "en") for i in range(50)],
+                               "doc_id int, lang string")
+    # missing group -> weight 1.0 pass-through
+    assert apply_mixture(df, {"de": 3.0}).count() == 50
+    # weight 0 drops the group entirely
+    assert apply_mixture(df, {"en": 0.0}).count() == 0
