@@ -2690,6 +2690,35 @@ def _q_dbscan_cluster(spark, sf_dir) -> DataFrame:
     return dbscan(pts, eps=2.0, min_pts=4)
 
 
+def _stay_xy_sql(epoch_expr: str) -> tuple[str, str]:
+    """Deterministic per-event location derivation (events carry no
+    lon/lat): each user dwells at one grid spot per 6-hour block with
+    centimeter event jitter, so real stay runs emerge.  Identical
+    integer/double arithmetic in both engines; only ``epoch_expr``
+    (epoch seconds of ts) is engine-specific."""
+    blk = f"CAST(floor(({epoch_expr}) / 21600) AS BIGINT)"
+    seed = f"((user_id * 31 + {blk} * 7) % 100)"
+    lon = (f"(CAST(({seed} % 10) AS DOUBLE) * CAST(5.0 AS DOUBLE)"
+           f" + CAST((event_id % 7) AS DOUBLE) * CAST(0.01 AS DOUBLE))")
+    lat = (f"(CAST(floor({seed} / 10) AS DOUBLE) * CAST(5.0 AS DOUBLE)"
+           f" + CAST((event_id % 5) AS DOUBLE) * CAST(0.01 AS DOUBLE))")
+    return lon, lat
+
+
+def _q_stay_points(spark, sf_dir) -> DataFrame:
+    """Trajectory stay-point detection (operators/trajectory.py,
+    grid-stay variant: maximal same-hex gap-bounded runs, dwell >=
+    min_stay) over a deterministic synthesized ping stream on the
+    events axis; the oracle replays the hex chain + run windows + the
+    keyed dwell aggregation."""
+    from spatial_spark.operators.trajectory import stay_points
+    lon, lat = _stay_xy_sql("unix_timestamp(ts)")
+    ev = (spark.table("events")
+          .selectExpr("user_id", "ts", f"{lon} AS lon", f"{lat} AS lat"))
+    return stay_points(ev, cell_size=1.0, min_stay_s=600,
+                       max_gap_s=21600)
+
+
 MIXTURE_EPOCH_WEIGHTS = {"en": 0.5, "de": 2.0, "zh": 2.3}
 
 
@@ -2930,6 +2959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_perplexity": _q_kn_perplexity,
         "kmv_distinct": _q_kmv_distinct,
         "mixture_epoch": _q_mixture_epoch,
+        "stay_points": _q_stay_points,
     }.items()}
 
 
@@ -3725,6 +3755,44 @@ def _md5_u60_sql(arg: str) -> str:
         f" * {16 ** (14 - i)}"
         for i in range(15))
     return f"({terms})"
+
+
+def _stay_points_oracle_sql() -> str:
+    """stay_points replay: the synthesized ping stream, the identical
+    hex expression chain, the lag/cumsum run windows and the dwell
+    aggregation ("user" quoted — unquoted it is DuckDB's current_user)."""
+    from spatial_spark.operators.tiles import hex_qr_ctes
+    lon, lat = _stay_xy_sql("CAST(floor(epoch(ts)) AS BIGINT)")
+    base = (f'SELECT user_id AS "user", '
+            f"CAST(floor(epoch(ts)) AS BIGINT) AS s, "
+            f"{lon} AS lon, {lat} AS lat FROM events")
+    hex_sql = hex_qr_ctes(base, 1.0, "lon", "lat")
+    return f"""
+        WITH hexed AS (SELECT * FROM ({hex_sql})),
+        flagged AS (
+          SELECT *,
+                 CASE WHEN lag(hex_q) OVER w IS NULL
+                       OR lag(hex_q) OVER w <> hex_q
+                       OR lag(hex_r) OVER w <> hex_r
+                       OR s - lag(s) OVER w > 21600
+                      THEN 1 ELSE 0 END AS new_run
+          FROM hexed
+          WINDOW w AS (PARTITION BY "user" ORDER BY s, lon, lat)),
+        runs AS (
+          SELECT *, sum(new_run) OVER (
+                   PARTITION BY "user" ORDER BY s, lon, lat
+                   ROWS UNBOUNDED PRECEDING) AS run
+          FROM flagged),
+        stays AS (
+          SELECT "user", run, hex_q, hex_r,
+                 count(*) AS n_pings,
+                 round(avg(lon), 6) AS cx, round(avg(lat), 6) AS cy,
+                 min(s) AS arrive_s, max(s) AS depart_s
+          FROM runs GROUP BY "user", run, hex_q, hex_r)
+        SELECT "user", hex_q, hex_r, n_pings, cx, cy,
+               arrive_s, depart_s, depart_s - arrive_s AS dwell_s
+        FROM stays WHERE depart_s - arrive_s >= 600
+    """
 
 
 def _mixture_epoch_oracle_sql() -> str:
@@ -5396,6 +5464,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hex_density": _hex_density_oracle_sql(),
         "mixture_epoch": _mixture_epoch_oracle_sql(),
+        "stay_points": _stay_points_oracle_sql(),
         "kmv_distinct": f"""
             WITH toks AS (
               SELECT source AS src,

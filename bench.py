@@ -93,6 +93,8 @@ HEADLINE = [
     "kmv_distinct",
     # r9 twenty-fourth wave: materialized mixture epoch
     "mixture_epoch",
+    # r9 twenty-fifth wave: trajectory stay-point detection
+    "stay_points",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -190,6 +192,8 @@ BUDGET_SF01 = {
     "kmv_distinct": 3.0,
     # r9 twenty-fourth wave: 2.2x local best-of-two
     "mixture_epoch": 0.8,
+    # r9 twenty-fifth wave: 2.2x local best-of-two
+    "stay_points": 2.5,
 }
 
 

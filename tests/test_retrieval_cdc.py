@@ -472,3 +472,50 @@ def test_apply_mixture_identity_and_zero(spark):
     assert apply_mixture(df, {"de": 3.0}).count() == 50
     # weight 0 drops the group entirely
     assert apply_mixture(df, {"en": 0.0}).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# stay points
+# ---------------------------------------------------------------------------
+def test_stay_points_basic_and_gap_split(spark):
+    from datetime import datetime, timedelta
+    from spatial_spark.operators.trajectory import stay_points
+    t0 = datetime(2024, 1, 1, 8, 0, 0)
+    rows = []
+    # user 1: 10 pings dwelling near (0.1, 0.1) -> 540s stay
+    for i in range(10):
+        rows.append((1, t0 + timedelta(minutes=i), 0.1 + 0.001 * i, 0.1))
+    # then 5 pings at (20, 20) -> 240s, below min_stay
+    for i in range(5):
+        rows.append((1, t0 + timedelta(minutes=30 + i), 20.0, 20.0))
+    # user 2: same cell twice with a 2h gap -> two runs, each 300s
+    for i in range(6):
+        rows.append((2, t0 + timedelta(minutes=i), 5.0, 5.0))
+    for i in range(6):
+        rows.append((2, t0 + timedelta(minutes=180 + i), 5.0, 5.0))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, "
+                                     "lon double, lat double")
+    out = stay_points(df, cell_size=1.0, min_stay_s=300, max_gap_s=3600)
+    got = [(r["user"], r["n_pings"], r["dwell_s"]) for r in
+           out.orderBy("user", "arrive_s").collect()]
+    assert got == [(1, 10, 540), (2, 6, 300), (2, 6, 300)]
+    # centroid of user 1's stay is the mean of its pings
+    r1 = out.filter("user = 1").first()
+    assert abs(r1["cx"] - (0.1 + sum(0.001 * i for i in range(10)) / 10)) < 1e-6
+    # min_stay above every dwell -> nothing
+    assert stay_points(df, 1.0, 601, 3600).count() == 0
+
+
+def test_stay_points_cell_boundary_split(spark):
+    """Pings on either side of a hex boundary split into two runs even
+    with no time gap (the documented grid-stay artifact)."""
+    from datetime import datetime, timedelta
+    from spatial_spark.operators.trajectory import stay_points
+    t0 = datetime(2024, 1, 1)
+    rows = ([(1, t0 + timedelta(minutes=i), 0.0, 0.0) for i in range(6)]
+            + [(1, t0 + timedelta(minutes=6 + i), 50.0, 0.0)
+               for i in range(6)])
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, "
+                                     "lon double, lat double")
+    out = stay_points(df, cell_size=1.0, min_stay_s=200, max_gap_s=3600)
+    assert out.count() == 2
