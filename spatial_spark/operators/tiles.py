@@ -213,3 +213,21 @@ def windowed_tile_counts(events: DataFrame, z: int,
             .agg(F.count(F.lit(1)).alias("n"))
             .select(F.col("w.start").alias("window_start"),
                     "tile_z", "tile_x", "tile_y", "n"))
+
+
+def windowed_hex_counts(events: DataFrame, size: float,
+                        lon_col: str = "lon", lat_col: str = "lat",
+                        window: str = "1 hour",
+                        watermark: str = "2 hours") -> DataFrame:
+    """STREAMING hex-density twin of hex_counts: counts per (time
+    window, hex cell) with a watermark bounding state — same codegen
+    assignment Columns as the batch path, so batch and stream agree
+    cell-for-cell; works on batch DataFrames too."""
+    out = with_hex(events, size, lon_col, lat_col)
+    if events.isStreaming:
+        out = out.withWatermark("ts", watermark)
+    return (out.groupBy(F.window("ts", window).alias("w"),
+                        "hex_q", "hex_r")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"),
+                    "hex_q", "hex_r", "n"))

@@ -84,3 +84,29 @@ def test_hex_counts_conserve_and_center_roundtrip(spark):
     # every occupied hex center lies inside the data extent padded by s
     for r in centered:
         assert -5.0 <= r["cx"] <= 45.0 and -5.0 <= r["cy"] <= 45.0
+
+
+def test_windowed_hex_counts_stream_matches_batch(spark, tmp_path):
+    """Streaming per-window hex counts equal the batch formulation over
+    the same events (same Column math on both paths)."""
+    import datetime as dt
+    from spatial_spark.operators.tiles import windowed_hex_counts
+    from spatial_spark.streaming.events import run_batchlike
+    t0 = dt.datetime(2024, 3, 1, 10, 30)
+    rows = [(i, t0 + dt.timedelta(minutes=20 * i),
+             float((i * 37) % 360 - 180), float((i * 23) % 160 - 80))
+            for i in range(60)]
+    schema = "event_id long, ts timestamp, lon double, lat double"
+    src = tmp_path / "hexev"
+    src.mkdir()
+    spark.createDataFrame(rows[:30], schema).write.parquet(str(src / "p1"))
+    spark.createDataFrame(rows[30:], schema).write.parquet(str(src / "p2"))
+    batch = {(r.window_start, r.hex_q, r.hex_r): r.n
+             for r in windowed_hex_counts(
+                 spark.read.parquet(str(src) + "/p*"), 10.0).collect()}
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src) + "/p*"))
+    got = {(r.window_start, r.hex_q, r.hex_r): r.n
+           for r in run_batchlike(windowed_hex_counts(stream, 10.0),
+                                  out_mode="complete").collect()}
+    assert got == batch and sum(got.values()) == 60

@@ -450,3 +450,52 @@ def test_pagerank_iteration_lineage_truncated(spark):
     assert "Scan ExistingRDD" in plan        # checkpoint cut the lineage
     assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") \
         <= 2  # at most the final iteration's own joins survive
+
+
+def test_bm25_retrieve_queries_broadcast_postings_never_shuffle_to_queries(spark):
+    """The query⋈postings join must be a broadcast hash join with the
+    QUERY side broadcast — the corpus-side posting lists must never
+    shuffle toward a tiny query set."""
+    from spatial_spark.operators.retrieval import bm25_retrieve
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 11} tok{i % 5} tok{i % 3}") for i in range(300)],
+        "doc_id long, text string")
+    qs = spark.createDataFrame([(1, "tok1 tok2")],
+                               "query_id int, query_text string")
+    plan = _plan(bm25_retrieve(docs, qs, k=5), execute=True)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cdc_chunks_single_doc_shuffle(spark):
+    """cdc_chunks: the position explode is narrow; the ONLY exchange is
+    the per-document boundary window (hashpartitioning on the doc key).
+    A second exchange would mean the gram hashing shuffled the corpus."""
+    from spatial_spark.operators.cdc import cdc_chunks
+    df = spark.createDataFrame([(1, "abcdefghijklmno pqrstuvwxyz 123")],
+                               "doc_id long, text string")
+    plan = _plan(cdc_chunks(df, k=4, divisor=8))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_hex_counts_is_one_partial_agg(spark):
+    """Hex assignment is pure codegen; hex_counts = map-side partial +
+    one exchange on the hex key."""
+    from spatial_spark.operators.tiles import hex_counts
+    df = spark.createDataFrame([(1, 2.0, 3.0)], "id long, x double, y double")
+    plan = _plan(hex_counts(df, 2.5, "x", "y"))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_kn_score_model_joins_broadcastable(spark):
+    """kn_score's three model joins key on w1/w2; with a small reference
+    corpus AQE must turn them into broadcast joins (the CCNet regime —
+    the corpus side must not sort-merge against a tiny model)."""
+    from spatial_spark.operators.lm import kn_score
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 13} w{i % 7} w{i % 5} w{i % 3}") for i in range(400)],
+        "doc_id long, text string")
+    ref = docs.limit(40)
+    plan = _plan(kn_score(docs, ref), execute=True)
+    assert "BroadcastHashJoin" in plan, plan[:3000]
