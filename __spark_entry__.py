@@ -2690,6 +2690,28 @@ def _q_dbscan_cluster(spark, sf_dir) -> DataFrame:
     return dbscan(pts, eps=2.0, min_pts=4)
 
 
+SCC_EDGES_SQL = """
+    SELECT CAST(c_custkey AS BIGINT) AS src,
+           CAST((c_custkey * 31 + 7) % 201 AS BIGINT) AS dst
+    FROM customer WHERE c_custkey <= 200
+    UNION ALL
+    SELECT CAST(c_custkey AS BIGINT),
+           CAST((c_custkey * 17 + 3) % 201 AS BIGINT)
+    FROM customer WHERE c_custkey <= 200 AND c_custkey % 3 = 0
+"""
+
+
+def _q_scc_components(spark, sf_dir) -> DataFrame:
+    """Strongly connected components (operators/graph.py FW-BW min-label
+    peeling with the bounded driver-Tarjan short-circuit) over a
+    deterministic two-hash functional digraph on the customer keys —
+    directed cycles fall out naturally; the oracle computes mutual
+    reachability via a recursive transitive-closure CTE."""
+    from spatial_spark.operators.graph import strongly_connected_components
+    edges = spark.sql(SCC_EDGES_SQL)
+    return strongly_connected_components(edges)
+
+
 def _stay_xy_sql(epoch_expr: str) -> tuple[str, str]:
     """Deterministic per-event location derivation (events carry no
     lon/lat): each user dwells at one grid spot per 6-hour block with
@@ -2960,6 +2982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": _q_kmv_distinct,
         "mixture_epoch": _q_mixture_epoch,
         "stay_points": _q_stay_points,
+        "scc_components": _q_scc_components,
     }.items()}
 
 
@@ -5465,6 +5488,21 @@ def oracle_sql() -> dict[str, str]:
         "hex_density": _hex_density_oracle_sql(),
         "mixture_epoch": _mixture_epoch_oracle_sql(),
         "stay_points": _stay_points_oracle_sql(),
+        "scc_components": f"""
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT src, dst FROM ({SCC_EDGES_SQL})),
+            nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+            reach(a, b) AS (
+              SELECT v, v FROM nodes
+              UNION
+              SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
+            comp AS (
+              SELECT r1.a AS node, min(r1.b) AS scc
+              FROM reach r1 JOIN reach r2
+                ON r1.a = r2.b AND r1.b = r2.a
+              GROUP BY r1.a)
+            SELECT node, scc FROM comp
+        """,
         "kmv_distinct": f"""
             WITH toks AS (
               SELECT source AS src,

@@ -95,6 +95,8 @@ HEADLINE = [
     "mixture_epoch",
     # r9 twenty-fifth wave: trajectory stay-point detection
     "stay_points",
+    # r9 twenty-sixth wave: strongly connected components
+    "scc_components",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -194,6 +196,8 @@ BUDGET_SF01 = {
     "mixture_epoch": 0.8,
     # r9 twenty-fifth wave: 2.2x local best-of-two
     "stay_points": 2.5,
+    # r9 twenty-sixth wave: 2.2x local best-of-two
+    "scc_components": 4.0,
 }
 
 

@@ -319,3 +319,183 @@ def triangle_counts(edges: DataFrame, src: str = "src",
     return (tris.select(F.explode(F.array("u", "x", "y")).alias("vertex"))
             .groupBy("vertex")
             .agg(F.count(F.lit(1)).alias("n_triangles")))
+
+
+# ---------------------------------------------------------------------------
+# Strongly connected components (directed)
+# ---------------------------------------------------------------------------
+def _driver_tarjan(nodes: list, edge_pairs: list) -> dict:
+    """Iterative Tarjan SCC over a driver-side edge list (the bounded
+    short-circuit twin of _driver_union_find).  Returns node -> min
+    member id of its SCC."""
+    adj: dict = {}
+    for a, b in edge_pairs:
+        adj.setdefault(a, []).append(b)
+    index: dict = {}
+    low: dict = {}
+    on_stack: set = set()
+    stack: list = []
+    label: dict = {}
+    counter = [0]
+
+    for root in nodes:
+        if root in index:
+            continue
+        # explicit call stack: (node, iterator position)
+        work = [(root, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            succs = adj.get(v, [])
+            for i in range(pi, len(succs)):
+                w = succs[i]
+                if w not in index:
+                    work.append((v, i + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    label[w] = m
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[v])
+    return label
+
+
+def _min_reach_labels(nodes: DataFrame, edges: DataFrame,
+                      max_rounds: int) -> DataFrame:
+    """min-label DIRECTED reachability fixpoint: label(v) = min node id
+    with a path to v along ``edges`` (including v itself).  Plain
+    propagation — one edges⋈labels + groupBy(dst) per round, O(longest
+    shortest-path) rounds (pointer jumping does not apply to directed
+    reachability; the peel loop bounds how much of the graph is live).
+    Lineage-truncated per round."""
+    labels = (nodes.withColumn("lab", F.col("node"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_rounds):
+        upd = (edges.join(labels,
+                          edges["src"] == labels["node"])
+               .groupBy(F.col("dst").alias("node"))
+               .agg(F.min("lab").alias("in_lab")))
+        from pyspark.sql import Observation
+        obs = Observation()
+        new_lab = F.least(F.col("lab"),
+                          F.coalesce(F.col("in_lab"), F.col("lab")))
+        new_labels = (labels.join(upd, "node", "left")
+                      .select("node", new_lab.alias("lab"),
+                              (new_lab != F.col("lab"))
+                              .cast("long").alias("_chg"))
+                      .observe(obs, F.sum("_chg").alias("changed"))
+                      .drop("_chg")
+                      .localCheckpoint(eager=True))
+        old = labels
+
+        def _count():
+            return (new_labels.alias("n")
+                    .join(old.alias("o"), F.col("n.node") == F.col("o.node"))
+                    .filter(F.col("n.lab") != F.col("o.lab")).count())
+
+        changed = _observation_changed(obs, _count)
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def strongly_connected_components(edges: DataFrame, src: str = "src",
+                                  dst: str = "dst", max_peels: int = 20,
+                                  max_rounds: int = 50,
+                                  driver_threshold: int =
+                                  _DRIVER_UNION_FIND_EDGES) -> DataFrame:
+    """SCCs of a directed graph: (node, scc) with scc = min member id.
+
+    Distributed algorithm: FW-BW min-label peeling.  Per peel, compute
+    F(v) = min id reaching v (forward min-label fixpoint) and B(v) =
+    min id v reaches (same on reversed edges); nodes with F(v) == B(v)
+    = m are mutually reachable with m → settled with label m.  Every
+    peel settles at least the SCC of the smallest live id (its id
+    reaches its whole SCC both ways), so the loop terminates; chains of
+    many SCCs need many peels — ``max_peels`` is the safety rail and an
+    unconverged exit warns, never silently.  Between peels the live
+    subgraph shrinks by settled nodes (semi-join on both endpoints).
+
+    Graphs whose edge list fits on the driver (≤ ``driver_threshold``
+    rows) short-circuit to iterative Tarjan — one pass, exact — the
+    same bounded-driver pattern as connected components.  Completes the
+    graph-operator suite: CC (undirected), PageRank (influence),
+    triangles (cohesion), SCC (directed cycles: dependency knots,
+    link-farm detection)."""
+    e = (edges.select(F.col(src).cast("long").alias("src"),
+                      F.col(dst).cast("long").alias("dst"))
+         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+         .distinct()
+         .localCheckpoint(eager=True))
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select(F.col("dst").alias("node")))
+             .distinct())
+    spark = edges.sparkSession
+    n_edges = e.count()
+    if n_edges <= driver_threshold:
+        pairs = [(r["src"], r["dst"]) for r in e.collect()]
+        node_list = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+        lab = _driver_tarjan(node_list, pairs)
+        return spark.createDataFrame(
+            sorted(lab.items()), "node long, scc long")
+
+    active_nodes = nodes.localCheckpoint(eager=True)
+    active_edges = e
+    settled_parts = []
+    for _ in range(max_peels):
+        if active_nodes.limit(1).count() == 0:
+            break
+        fwd = _min_reach_labels(active_nodes, active_edges, max_rounds)
+        bwd = _min_reach_labels(
+            active_nodes,
+            active_edges.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")),
+            max_rounds)
+        joined = (fwd.withColumnRenamed("lab", "f")
+                  .join(bwd.withColumnRenamed("lab", "b"), "node"))
+        settled = (joined.filter(F.col("f") == F.col("b"))
+                   .select("node", F.col("f").alias("scc"))
+                   .localCheckpoint(eager=True))
+        settled_parts.append(settled)
+        active_nodes = (active_nodes
+                        .join(settled.select("node"), "node", "left_anti")
+                        .localCheckpoint(eager=True))
+        live = active_nodes.select(F.col("node"))
+        active_edges = (active_edges
+                        .join(live.withColumnRenamed("node", "src"), "src")
+                        .join(live.withColumnRenamed("node", "dst"), "dst")
+                        .localCheckpoint(eager=True))
+    else:
+        import warnings as _w
+        remaining = active_nodes.count()
+        if remaining:
+            _w.warn(f"strongly_connected_components: {remaining} nodes "
+                    f"unsettled after {max_peels} peels — raise max_peels "
+                    f"for SCC-chain-deep graphs", RuntimeWarning)
+    if not settled_parts:
+        return spark.createDataFrame([], "node long, scc long")
+    out = settled_parts[0]
+    for p in settled_parts[1:]:
+        out = out.union(p)
+    return out

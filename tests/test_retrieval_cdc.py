@@ -519,3 +519,64 @@ def test_stay_points_cell_boundary_split(spark):
                                      "lon double, lat double")
     out = stay_points(df, cell_size=1.0, min_stay_s=200, max_gap_s=3600)
     assert out.count() == 2
+
+
+# ---------------------------------------------------------------------------
+# strongly connected components
+# ---------------------------------------------------------------------------
+def _scc_model(edges):
+    """Exact model: transitive closure + mutual reachability."""
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    reach = {v: {v} for v in nodes}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in edges:
+            new = reach[b] - reach[a]
+            if new:
+                reach[a] |= new
+                changed = True
+    out = {}
+    for v in nodes:
+        comp = {u for u in reach[v] if v in reach[u]}
+        out[v] = min(comp)
+    return out
+
+
+SCC_EDGES = [(1, 2), (2, 3), (3, 1),          # cycle {1,2,3}
+             (3, 4), (4, 5), (5, 4),          # cycle {4,5} downstream
+             (6, 7), (7, 8),                  # DAG tail: singletons
+             (9, 9),                          # self loop
+             (10, 11), (11, 12), (12, 10), (12, 13), (13, 10)]  # {10..13}
+
+
+def test_scc_driver_tarjan(spark):
+    from spatial_spark.operators.graph import strongly_connected_components
+    e = spark.createDataFrame(SCC_EDGES, "src long, dst long")
+    got = {r["node"]: r["scc"]
+           for r in strongly_connected_components(e).collect()}
+    assert got == _scc_model(SCC_EDGES)
+    assert got[1] == got[2] == got[3] == 1
+    assert got[4] == got[5] == 4
+    assert got[6] == 6 and got[7] == 7 and got[8] == 8
+    assert got[10] == got[11] == got[12] == got[13] == 10
+
+
+def test_scc_distributed_matches_tarjan(spark):
+    """Force the FW-BW peel path (driver_threshold=0) and pin it to the
+    Tarjan result on a random functional-graph mixture."""
+    import random
+    from spatial_spark.operators.graph import strongly_connected_components
+    rng = random.Random(11)
+    n = 120
+    edges = sorted({(i, (i * 31 + 7) % n) for i in range(n)}
+                   | {(i, (i * 17 + 3) % n) for i in range(0, n, 3)}
+                   | {(rng.randrange(n), rng.randrange(n))
+                      for _ in range(40)})
+    e = spark.createDataFrame(edges, "src long, dst long")
+    want = {r["node"]: r["scc"]
+            for r in strongly_connected_components(e).collect()}
+    got = {r["node"]: r["scc"]
+           for r in strongly_connected_components(
+               e, driver_threshold=0, max_peels=40).collect()}
+    assert got == want
