@@ -2690,6 +2690,24 @@ def _q_dbscan_cluster(spark, sf_dir) -> DataFrame:
     return dbscan(pts, eps=2.0, min_pts=4)
 
 
+def _q_card_scrub(spark, sf_dir) -> DataFrame:
+    """Luhn-validated credit-card scrub (text.credit_card_scrub): every
+    doc gets a synthesized card-shaped digit run — Luhn-VALID on even
+    doc_ids, the same run off-by-one (invalid) on odd — so the checksum,
+    not the regex, decides; the oracle replays the integer Luhn fold
+    with indexed list lambdas."""
+    from spatial_spark.operators.text import credit_card_scrub
+    docs = spark.table("documents").withColumn(
+        "text", F.concat(
+            "text", F.lit(" card "),
+            F.when(F.pmod("doc_id", F.lit(2)) == 0,
+                   F.lit("4111 1111 1111 1111"))
+            .otherwise(F.lit("4111 1111 1111 1112"))))
+    out = credit_card_scrub(docs)
+    return out.select("doc_id", "card_count",
+                      F.md5("text").alias("scrubbed_md5"))
+
+
 SCC_EDGES_SQL = """
     SELECT CAST(c_custkey AS BIGINT) AS src,
            CAST((c_custkey * 31 + 7) % 201 AS BIGINT) AS dst
@@ -2983,6 +3001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_epoch": _q_mixture_epoch,
         "stay_points": _q_stay_points,
         "scc_components": _q_scc_components,
+        "card_scrub": _q_card_scrub,
     }.items()}
 
 
@@ -3815,6 +3834,43 @@ def _stay_points_oracle_sql() -> str:
         SELECT "user", hex_q, hex_r, n_pings, cx, cy,
                arrive_s, depart_s, depart_s - arrive_s AS dwell_s
         FROM stays WHERE depart_s - arrive_s >= 600
+    """
+
+
+def _card_scrub_oracle_sql() -> str:
+    """credit_card_scrub replay: the same candidate regex, the Luhn fold
+    as an indexed list_transform + list_sum, the replace chain as
+    list_reduce seeded with the text."""
+    d = "regexp_replace(c, '[ -]', '', 'g')"
+    n = f"length({d})"
+    dig = f"CAST(substr({d}, CAST(i AS INT), 1) AS INT)"
+    term = (f"CASE WHEN ({n} - i) % 2 = 1 THEN "
+            f"CASE WHEN {dig} * 2 > 9 THEN {dig} * 2 - 9 "
+            f"ELSE {dig} * 2 END ELSE {dig} END")
+    luhn = (f"({n} >= 13 AND {n} <= 19 AND "
+            f"list_sum(list_transform(generate_series(1, {n}), "
+            f"i -> {term})) % 10 = 0)")
+    from spatial_spark.operators.text import CARD_CANDIDATE_PATTERN
+    return f"""
+        WITH aug AS (
+          SELECT doc_id,
+                 text || ' card ' ||
+                 CASE WHEN doc_id % 2 = 0 THEN '4111 1111 1111 1111'
+                      ELSE '4111 1111 1111 1112' END AS text
+          FROM documents),
+        cand AS (
+          SELECT doc_id, text,
+                 list_filter(
+                     regexp_extract_all(text,
+                         '{CARD_CANDIDATE_PATTERN}'),
+                     c -> {luhn}) AS valid
+          FROM aug)
+        SELECT doc_id,
+               CAST(len(valid) AS INT) AS card_count,
+               md5(list_reduce(list_concat([text], valid),
+                   (acc, x) -> replace(acc, x, '[CARD]')))
+                 AS scrubbed_md5
+        FROM cand
     """
 
 
@@ -5488,6 +5544,7 @@ def oracle_sql() -> dict[str, str]:
         "hex_density": _hex_density_oracle_sql(),
         "mixture_epoch": _mixture_epoch_oracle_sql(),
         "stay_points": _stay_points_oracle_sql(),
+        "card_scrub": _card_scrub_oracle_sql(),
         "scc_components": f"""
             WITH RECURSIVE e AS (
               SELECT DISTINCT src, dst FROM ({SCC_EDGES_SQL})),

@@ -97,6 +97,8 @@ HEADLINE = [
     "stay_points",
     # r9 twenty-sixth wave: strongly connected components
     "scc_components",
+    # r9 twenty-seventh wave: Luhn-validated credit-card scrub
+    "card_scrub",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -198,6 +200,9 @@ BUDGET_SF01 = {
     "stay_points": 2.5,
     # r9 twenty-sixth wave: 2.2x local best-of-two
     "scc_components": 4.0,
+    # r9 twenty-seventh wave: 2.2x local best-of-two (measured under a
+    # concurrent full bench; re-check on the clean final run)
+    "card_scrub": 5.5,
 }
 
 

@@ -432,3 +432,48 @@ def vocab_top_k(df: DataFrame, k: int = 1000, text_col: str = "text",
                             w.rowsBetween(Window.unboundedPreceding, 0))
                             / F.col("_total"), 6))
             .select("rank", "token", "n", "cum_share"))
+
+
+CARD_CANDIDATE_PATTERN = r"[0-9](?:[ -]?[0-9]){12,18}"
+
+
+def _luhn_valid(cand):
+    """Boolean Column: candidate (digits with optional space/dash
+    separators) passes the Luhn checksum and has 13-19 digits.  Pure
+    integer Column math — aggregate over a position sequence, doubling
+    every second digit from the RIGHT (2d > 9 folds to 2d - 9)."""
+    digits = F.regexp_replace(cand, "[ -]", "")
+    n = F.length(digits)
+    contrib = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.when(
+            F.pmod(n - i, F.lit(2)) == 1,
+            F.when(F.substring(digits, i.cast("int"), 1).cast("int") * 2 > 9,
+                   F.substring(digits, i.cast("int"), 1).cast("int") * 2 - 9)
+            .otherwise(F.substring(digits, i.cast("int"), 1).cast("int") * 2)
+        ).otherwise(F.substring(digits, i.cast("int"), 1).cast("int")))
+    total = F.aggregate(contrib, F.lit(0), lambda acc, x: acc + x)
+    return (n >= 13) & (n <= 19) & (F.pmod(total, F.lit(10)) == 0)
+
+
+def credit_card_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact credit-card numbers VALIDATED by the Luhn checksum — the
+    upgrade over a bare digit-run regex, which would shred order ids,
+    timestamps and phone numbers (a 13-19 digit run has a 10% Luhn
+    false-positive rate; a regex alone has 100%).
+
+    Candidates are digit runs with optional single space/dash
+    separators; each is checked with pure integer Column math (no UDF),
+    valid ones are replaced with ``[CARD]`` and counted.  Map-only —
+    the same scale shape as pii_scrub; the DuckDB oracle replays the
+    checksum with the identical arithmetic (indexed list lambdas).
+
+    Adds ``card_count``; rewrites ``text_col``."""
+    cands = F.regexp_extract_all(F.col(text_col),
+                                 F.lit(CARD_CANDIDATE_PATTERN), 0)
+    valid = F.filter(cands, _luhn_valid)
+    scrubbed = F.aggregate(
+        valid, F.col(text_col),
+        lambda acc, c: F.replace(acc, c, F.lit("[CARD]")))
+    return (df.withColumn("card_count", F.size(valid))
+            .withColumn(text_col, scrubbed))

@@ -580,3 +580,40 @@ def test_scc_distributed_matches_tarjan(spark):
            for r in strongly_connected_components(
                e, driver_threshold=0, max_peels=40).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Luhn credit-card scrub
+# ---------------------------------------------------------------------------
+def _luhn_ok(s):
+    ds = [int(c) for c in s if c.isdigit()]
+    total = 0
+    for i, d in enumerate(reversed(ds)):
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return 13 <= len(ds) <= 19 and total % 10 == 0
+
+
+def test_credit_card_scrub_luhn_validation(spark):
+    from spatial_spark.operators.text import credit_card_scrub
+    valid1 = "4111 1111 1111 1111"
+    valid2 = "5500-0000-0000-0004"
+    invalid = "4111 1111 1111 1112"
+    assert _luhn_ok(valid1) and _luhn_ok(valid2) and not _luhn_ok(invalid)
+    rows = [
+        (0, f"pay with {valid1} today"),
+        (1, f"cards {valid2} and {valid1}!"),
+        (2, f"order {invalid} is not a card"),
+        (3, "short 1234 5678 run and a phone 555-123-4567"),
+    ]
+    out = {r["doc_id"]: (r["card_count"], r["text"])
+           for r in credit_card_scrub(
+               spark.createDataFrame(rows, "doc_id int, text string"))
+           .collect()}
+    assert out[0] == (1, "pay with [CARD] today")
+    assert out[1] == (2, "cards [CARD] and [CARD]!")
+    assert out[2][0] == 0 and invalid in out[2][1]
+    assert out[3][0] == 0 and "555-123-4567" in out[3][1]
