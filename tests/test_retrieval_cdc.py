@@ -617,3 +617,67 @@ def test_credit_card_scrub_luhn_validation(spark):
     assert out[1] == (2, "cards [CARD] and [CARD]!")
     assert out[2][0] == 0 and invalid in out[2][1]
     assert out[3][0] == 0 and "555-123-4567" in out[3][1]
+
+
+# ---------------------------------------------------------------------------
+# streaming stay points
+# ---------------------------------------------------------------------------
+def test_stay_points_stream_matches_batch_closed_runs(spark, tmp_path):
+    """Streaming emissions equal the batch stay set MINUS each user's
+    final (still-open) run, when batches arrive in time order."""
+    import datetime as dt
+    import os as _os
+    import time as _time
+    from spatial_spark.operators.trajectory import stay_points
+    from spatial_spark.streaming.trajectory import stay_points_stream
+    t0 = dt.datetime(2024, 4, 1, 7, 0)
+    rows = []
+    for u in (1, 2):
+        # stay A: 8 pings, closes when the user moves
+        for i in range(8):
+            rows.append((u, t0 + dt.timedelta(minutes=i),
+                         10.0 * u, 10.0 * u))
+        # transit: 3 pings in another cell (short, filtered by min_stay)
+        for i in range(3):
+            rows.append((u, t0 + dt.timedelta(minutes=10 + i),
+                         10.0 * u + 30.0, 10.0 * u))
+        # stay C: 7 pings, never closes (stream ends)
+        for i in range(7):
+            rows.append((u, t0 + dt.timedelta(minutes=20 + i),
+                         10.0 * u, 10.0 * u + 30.0))
+    schema = "user_id long, ts timestamp, lon double, lat double"
+    src = tmp_path / "pings"
+    src.mkdir()
+    half = len(rows) // 2
+    rows.sort(key=lambda r: r[1])
+    (spark.createDataFrame(rows[:half], schema).coalesce(1)
+     .write.parquet(str(src / "b1")))
+    (spark.createDataFrame(rows[half:], schema).coalesce(1)
+     .write.parquet(str(src / "b2")))
+    now = _time.time()
+    for d, off in ((src / "b1", -60), (src / "b2", 0)):
+        for f in _os.listdir(d):
+            _os.utime(_os.path.join(d, f), (now + off, now + off))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src) + "/b*"))
+    q = (stay_points_stream(stream, cell_size=1.0, min_stay_s=300,
+                            max_gap_s=3600)
+         .writeStream.format("memory").queryName("stay_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.user, r.hex_q, r.hex_r, r.n_pings, r.cx, r.cy,
+            r.arrive_s, r.depart_s, r.dwell_s)
+           for r in spark.sql("select * from stay_sink").collect()}
+    batch_all = stay_points(spark.read.parquet(str(src) + "/b*"),
+                            cell_size=1.0, min_stay_s=300, max_gap_s=3600)
+    rows_b = batch_all.collect()
+    # drop each user's final run (still open in the stream)
+    last_arrive = {}
+    for r in rows_b:
+        last_arrive[r["user"]] = max(last_arrive.get(r["user"], -1),
+                                     r["arrive_s"])
+    want = {(r["user"], r["hex_q"], r["hex_r"], r["n_pings"], r["cx"],
+             r["cy"], r["arrive_s"], r["depart_s"], r["dwell_s"])
+            for r in rows_b if r["arrive_s"] != last_arrive[r["user"]]}
+    assert got == want
+    assert len(got) == 2  # one closed qualifying stay per user
