@@ -2690,6 +2690,15 @@ def _q_dbscan_cluster(spark, sf_dir) -> DataFrame:
     return dbscan(pts, eps=2.0, min_pts=4)
 
 
+def _q_ppl_buckets(spark, sf_dir) -> DataFrame:
+    """CCNet head/middle/tail split (lm.perplexity_buckets): per-lang
+    KN-perplexity RANK terciles — bucket 1 = head.  Rank-based (ntile
+    over rounded nll with doc_id tiebreak, NULL-score rows excluded
+    from the slots), so the oracle replays it exactly."""
+    from spatial_spark.operators.lm import perplexity_buckets
+    return perplexity_buckets(spark.table("documents"), n_buckets=3)
+
+
 def _q_card_scrub(spark, sf_dir) -> DataFrame:
     """Luhn-validated credit-card scrub (text.credit_card_scrub): every
     doc gets a synthesized card-shaped digit run — Luhn-VALID on even
@@ -3002,6 +3011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stay_points": _q_stay_points,
         "scc_components": _q_scc_components,
         "card_scrub": _q_card_scrub,
+        "ppl_buckets": _q_ppl_buckets,
     }.items()}
 
 
@@ -3835,6 +3845,54 @@ def _stay_points_oracle_sql() -> str:
                arrive_s, depart_s, depart_s - arrive_s AS dwell_s
         FROM stays WHERE depart_s - arrive_s >= 600
     """
+
+
+_KN_PER_DOC_SQL = """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> length(x) > 0) AS t
+              FROM documents),
+            big AS (
+              SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(1, len(t) - 1)) AS i
+                    FROM toks WHERE len(t) >= 2)),
+            c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+            ctx AS (SELECT w1, sum(c2) AS c1, count(*) AS n1p
+                    FROM c2 GROUP BY w1),
+            cont AS (SELECT w2, count(*) AS n1p_r FROM c2 GROUP BY w2),
+            sc AS (SELECT (SELECT count(*) FROM c2) AS B,
+                          (SELECT count(DISTINCT tok)
+                           FROM (SELECT unnest(t) AS tok FROM toks)) AS V),
+            lp AS (
+              SELECT b.doc_id,
+                     ln(CASE WHEN ctx.c1 IS NULL THEN
+                          (CAST(coalesce(cont.n1p_r, 0) AS DOUBLE) + 1)
+                            / (CAST(sc.B AS DOUBLE) + sc.V + 1)
+                        ELSE
+                          greatest(CAST(coalesce(c2.c2, 0) AS DOUBLE)
+                                   - CAST(0.75 AS DOUBLE), 0.0)
+                            / CAST(ctx.c1 AS DOUBLE)
+                          + CAST(0.75 AS DOUBLE) * ctx.n1p
+                            / CAST(ctx.c1 AS DOUBLE)
+                            * ((CAST(coalesce(cont.n1p_r, 0) AS DOUBLE) + 1)
+                               / (CAST(sc.B AS DOUBLE) + sc.V + 1))
+                        END) AS lp
+              FROM big b
+              LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+              LEFT JOIN ctx ON b.w1 = ctx.w1
+              LEFT JOIN cont ON b.w2 = cont.w2
+              CROSS JOIN sc),
+            per_doc AS (
+              SELECT doc_id, count(*) AS n_bigrams,
+                     round(-avg(lp), 6) AS nll
+              FROM lp GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   p.nll AS nll
+            FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+        """
 
 
 def _card_scrub_oracle_sql() -> str:
@@ -5587,50 +5645,19 @@ def oracle_sql() -> dict[str, str]:
                      AS est_distinct
             FROM stats
         """,
-        "kn_perplexity": """
-            WITH toks AS (
+        "kn_perplexity": _KN_PER_DOC_SQL,
+        "ppl_buckets": f"""
+            WITH base AS ({_KN_PER_DOC_SQL}),
+            j AS (
+              SELECT d.doc_id, d.lang, b.n_bigrams, b.nll
+              FROM documents d JOIN base b ON b.doc_id = d.doc_id),
+            r AS (
               SELECT doc_id,
-                     list_filter(string_split_regex(lower(text), '\\s+'),
-                                 x -> length(x) > 0) AS t
-              FROM documents),
-            big AS (
-              SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
-              FROM (SELECT doc_id, t,
-                           unnest(generate_series(1, len(t) - 1)) AS i
-                    FROM toks WHERE len(t) >= 2)),
-            c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
-            ctx AS (SELECT w1, sum(c2) AS c1, count(*) AS n1p
-                    FROM c2 GROUP BY w1),
-            cont AS (SELECT w2, count(*) AS n1p_r FROM c2 GROUP BY w2),
-            sc AS (SELECT (SELECT count(*) FROM c2) AS B,
-                          (SELECT count(DISTINCT tok)
-                           FROM (SELECT unnest(t) AS tok FROM toks)) AS V),
-            lp AS (
-              SELECT b.doc_id,
-                     ln(CASE WHEN ctx.c1 IS NULL THEN
-                          (CAST(coalesce(cont.n1p_r, 0) AS DOUBLE) + 1)
-                            / (CAST(sc.B AS DOUBLE) + sc.V + 1)
-                        ELSE
-                          greatest(CAST(coalesce(c2.c2, 0) AS DOUBLE)
-                                   - CAST(0.75 AS DOUBLE), 0.0)
-                            / CAST(ctx.c1 AS DOUBLE)
-                          + CAST(0.75 AS DOUBLE) * ctx.n1p
-                            / CAST(ctx.c1 AS DOUBLE)
-                            * ((CAST(coalesce(cont.n1p_r, 0) AS DOUBLE) + 1)
-                               / (CAST(sc.B AS DOUBLE) + sc.V + 1))
-                        END) AS lp
-              FROM big b
-              LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
-              LEFT JOIN ctx ON b.w1 = ctx.w1
-              LEFT JOIN cont ON b.w2 = cont.w2
-              CROSS JOIN sc),
-            per_doc AS (
-              SELECT doc_id, count(*) AS n_bigrams,
-                     round(-avg(lp), 6) AS nll
-              FROM lp GROUP BY doc_id)
-            SELECT d.doc_id,
-                   CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-                   p.nll AS nll
-            FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+                     CAST(ntile(3) OVER (
+                         PARTITION BY lang
+                         ORDER BY nll ASC, doc_id ASC) AS INT) AS bucket
+              FROM j WHERE nll IS NOT NULL)
+            SELECT j.doc_id, j.lang, j.n_bigrams, j.nll, r.bucket
+            FROM j LEFT JOIN r ON r.doc_id = j.doc_id
         """,
     }

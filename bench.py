@@ -99,6 +99,8 @@ HEADLINE = [
     "scc_components",
     # r9 twenty-seventh wave: Luhn-validated credit-card scrub
     "card_scrub",
+    # r9 twenty-eighth wave: CCNet head/middle/tail perplexity split
+    "ppl_buckets",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -203,6 +205,8 @@ BUDGET_SF01 = {
     # r9 twenty-seventh wave: 2.2x local best-of-two (measured under a
     # concurrent full bench; re-check on the clean final run)
     "card_scrub": 5.5,
+    # r9 twenty-eighth wave: 2.2x local best-of-two
+    "ppl_buckets": 4.7,
 }
 
 

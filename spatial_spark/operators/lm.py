@@ -36,7 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["train_bigram_lm", "lm_score", "train_kn_lm", "kn_score"]
+__all__ = ["train_bigram_lm", "lm_score", "train_kn_lm", "kn_score",
+           "perplexity_buckets"]
 
 #: Additive smoothing mass for unseen bigrams.
 DEFAULT_ALPHA = 0.5
@@ -188,3 +189,39 @@ def kn_score(df: DataFrame, ref_df: DataFrame | None = None,
             .select(F.col(id_col),
                     F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
                     F.col("nll")))
+
+
+def perplexity_buckets(df: DataFrame, ref_df: DataFrame | None = None,
+                       n_buckets: int = 3, by: str = "lang",
+                       text_col: str = "text", id_col: str = "doc_id",
+                       smoothing: str = "kn") -> DataFrame:
+    """CCNet's head/middle/tail split: bucket documents by LM
+    perplexity RANK within their language — bucket 1 = most fluent
+    (head), ``n_buckets`` = tail.  CCNet keeps head+middle for
+    pretraining and drops or down-weights the tail.
+
+    Rank-based (ntile over (nll, id) per group), NOT threshold-based:
+    equal-population buckets are what the paper does, and rank math is
+    engine-exact where float percentile cuts are not.  Documents with
+    no bigrams (n_bigrams = 0) carry a NULL bucket — callers decide.
+
+    Scale: the scoring pass is the kn_score/lm_score shape; the ntile
+    window partitions by language (per-key cardinality = one
+    language's docs; shard further by hash prefix if one language is
+    the whole corpus).  Returns (id, by, n_bigrams, nll, bucket)."""
+    from pyspark.sql import Window
+
+    scorer = kn_score if smoothing == "kn" else lm_score
+    if smoothing not in ("kn", "additive"):
+        raise ValueError(f"unknown smoothing {smoothing!r}")
+    scored = scorer(df, ref_df, text_col=text_col, id_col=id_col)
+    joined = df.select(id_col, by).join(scored, id_col)
+    # rank ONLY scored rows: a NULL-nll row must not occupy an ntile
+    # slot and shift every real document's bucket
+    w = Window.partitionBy(by).orderBy(F.col("nll").asc(),
+                                       F.col(id_col).asc())
+    ranked = (joined.filter(F.col("nll").isNotNull())
+              .withColumn("bucket", F.ntile(n_buckets).over(w))
+              .select(id_col, "bucket"))
+    return (joined.join(ranked, id_col, "left")
+            .select(id_col, by, "n_bigrams", "nll", "bucket"))

@@ -681,3 +681,34 @@ def test_stay_points_stream_matches_batch_closed_runs(spark, tmp_path):
             for r in rows_b if r["arrive_s"] != last_arrive[r["user"]]}
     assert got == want
     assert len(got) == 2  # one closed qualifying stay per user
+
+
+def test_perplexity_buckets_rank_semantics(spark):
+    from spatial_spark.operators.lm import kn_score, perplexity_buckets
+    docs = DOCS + [(9, "one"), (10, "the quick brown fox"),
+                   (11, "zz yy xx ww vv"), (13, "single2"), (15, "x")]
+    rows = [(d, t, "en" if d % 2 == 0 else "xx") for d, t in docs]
+    df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    out = {r["doc_id"]: (r["lang"], r["nll"], r["bucket"])
+           for r in perplexity_buckets(df, n_buckets=3).collect()}
+    nll = {r["doc_id"]: r["nll"] for r in kn_score(df).collect()}
+
+    def model_buckets(group_ids):
+        scored = sorted((nll[d], d) for d in group_ids if nll[d] is not None)
+        g, n = len(scored), 3
+        sizes = [g // n + (1 if i < g % n else 0) for i in range(n)]
+        want, pos = {}, 0
+        for b, sz in enumerate(sizes, 1):
+            for _, d in scored[pos:pos + sz]:
+                want[d] = b
+            pos += sz
+        return want
+
+    for lang in ("en", "xx"):
+        ids = [d for d, _, l in rows if l == lang]
+        want = model_buckets(ids)
+        for d in ids:
+            if nll[d] is None:
+                assert out[d][2] is None
+            else:
+                assert out[d][2] == want[d], (d, lang)
