@@ -2801,6 +2801,55 @@ def _q_kmv_distinct(spark, sf_dir) -> DataFrame:
             .select("grp", "n", "h_max", "est_distinct"))
 
 
+def _q_boolean_retrieval(spark, sf_dir) -> DataFrame:
+    """Conjunctive boolean retrieval (retrieval.boolean_retrieve):
+    posting-list intersection as relational algebra — docs containing
+    EVERY distinct query term; summarized as per-query hit counts plus
+    the min/max matching doc ids (hash-pins membership, not just
+    cardinality)."""
+    from spatial_spark.operators.retrieval import boolean_retrieve
+    queries_df = spark.sql(
+        f"SELECT * FROM VALUES {RETRIEVAL_QUERIES_VALUES} "
+        f"AS q(query_id, query_text)")
+    hits = boolean_retrieve(_norm_documents(spark), queries_df)
+    return (hits.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("min_doc"),
+                 F.max("doc_id").alias("max_doc")))
+
+
+def _q_kmv_intersect(spark, sf_dir) -> DataFrame:
+    """KMV set-operation estimate (sketch.kmv_intersect_estimate): the
+    token-vocabulary overlap of two document sources from their
+    bottom-k sketches alone — theta = min threshold, common survivors
+    scaled by domain/theta; the oracle replays sketches and estimator."""
+    from spatial_spark.operators.sketch import (build_kmv,
+                                                kmv_intersect_estimate)
+
+    def toks_of(src):
+        return (spark.table("documents")
+                .filter(F.col("source") == src)
+                .select(F.explode(F.filter(
+                    F.split(F.lower(F.col("text")), r"\s+"),
+                    lambda t: F.length(t) > 0)).alias("tok")))
+
+    srcs = [r[0] for r in spark.table("documents")
+            .select("source").distinct().orderBy("source").limit(2)
+            .collect()]
+    a = build_kmv(toks_of(srcs[0]), "tok", k=256)
+    b = build_kmv(toks_of(srcs[1]), "tok", k=256)
+    return kmv_intersect_estimate(a, b, k=256)
+
+
+def _q_cdc_shared(spark, sf_dir) -> DataFrame:
+    """Cross-document shared CDC chunks (cdc.cdc_shared_chunks): the
+    template/boilerplate detector — chunks appearing in ≥2 documents
+    with occurrence counts."""
+    from spatial_spark.operators.cdc import cdc_shared_chunks
+    docs = _norm_documents(spark).filter(F.col("doc_id") <= 200)
+    return cdc_shared_chunks(docs, k=8, divisor=16, min_docs=2)
+
+
 def _q_kn_perplexity(spark, sf_dir) -> DataFrame:
     """Interpolated Kneser-Ney bigram scoring (Chen & Goodman 1999
     formulation, fixed D=0.75, add-one continuation floor) in
@@ -3012,6 +3061,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_components": _q_scc_components,
         "card_scrub": _q_card_scrub,
         "ppl_buckets": _q_ppl_buckets,
+        "boolean_retrieval": _q_boolean_retrieval,
+        "kmv_intersect": _q_kmv_intersect,
+        "cdc_shared": _q_cdc_shared,
     }.items()}
 
 
@@ -5644,6 +5696,114 @@ def oracle_sql() -> dict[str, str]:
                               / CAST(h_max AS DOUBLE) END, 4)
                      AS est_distinct
             FROM stats
+        """,
+        "boolean_retrieval": f"""
+            WITH q AS (
+              SELECT * FROM (VALUES {RETRIEVAL_QUERIES_VALUES})
+                AS t(query_id, query_text)),
+            qt AS (
+              SELECT DISTINCT query_id, term
+              FROM (SELECT query_id,
+                           unnest(list_filter(
+                               string_split_regex(trim(lower(query_text)),
+                                                  '\\s+'),
+                               x -> length(x) > 0)) AS term
+                    FROM q)),
+            qsize AS (SELECT query_id, count(*) AS n_terms FROM qt
+                      GROUP BY query_id),
+            toks AS (
+              SELECT DISTINCT doc_id,
+                     unnest(string_split(trim(regexp_replace(lower(text),
+                         '\\s+', ' ', 'g')), ' ')) AS term
+              FROM documents),
+            hits AS (
+              SELECT qt.query_id, t.doc_id, count(*) AS n_hit
+              FROM qt JOIN toks t ON t.term = qt.term
+              WHERE length(qt.term) > 0
+              GROUP BY qt.query_id, t.doc_id),
+            matched AS (
+              SELECT h.query_id, h.doc_id
+              FROM hits h JOIN qsize s ON s.query_id = h.query_id
+              WHERE h.n_hit = s.n_terms)
+            SELECT query_id, count(*) AS n_docs,
+                   min(doc_id) AS min_doc, max(doc_id) AS max_doc
+            FROM matched GROUP BY query_id
+        """,
+        "kmv_intersect": f"""
+            WITH s1 AS (SELECT min(source) AS s FROM documents),
+            s2 AS (SELECT min(source) AS s FROM documents
+                   WHERE source > (SELECT s FROM s1)),
+            ta AS (
+              SELECT DISTINCT
+                     CAST({_md5_u60_sql("tok")} AS BIGINT) AS h
+              FROM (SELECT unnest(list_filter(
+                         string_split_regex(lower(text), '\\s+'),
+                         x -> length(x) > 0)) AS tok
+                    FROM documents
+                    WHERE source = (SELECT s FROM s1))),
+            tb AS (
+              SELECT DISTINCT
+                     CAST({_md5_u60_sql("tok")} AS BIGINT) AS h
+              FROM (SELECT unnest(list_filter(
+                         string_split_regex(lower(text), '\\s+'),
+                         x -> length(x) > 0)) AS tok
+                    FROM documents
+                    WHERE source = (SELECT s FROM s2))),
+            ska AS (SELECT h FROM ta ORDER BY h LIMIT 256),
+            skb AS (SELECT h FROM tb ORDER BY h LIMIT 256),
+            sa AS (SELECT count(*) AS na, max(h) AS ha FROM ska),
+            sb AS (SELECT count(*) AS nb, max(h) AS hb FROM skb),
+            th AS (
+              SELECT least(
+                  CASE WHEN na < 256 THEN 1152921504606846976 ELSE ha END,
+                  CASE WHEN nb < 256 THEN 1152921504606846976 ELSE hb END)
+                AS theta
+              FROM sa CROSS JOIN sb),
+            common AS (
+              SELECT a.h FROM ska a JOIN skb b ON b.h = a.h
+              CROSS JOIN th WHERE a.h <= th.theta)
+            SELECT count(*) AS n_common,
+                   round(CASE WHEN count(*) = 0 THEN 0.0
+                         ELSE CAST(count(*) AS DOUBLE)
+                              * CAST(1152921504606846976 AS DOUBLE)
+                              / CAST(max(th2.theta) AS DOUBLE) END, 4)
+                     AS est_intersection
+            FROM common CROSS JOIN th AS th2
+        """,
+        "cdc_shared": f"""
+            WITH docs AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+              FROM documents WHERE doc_id <= 200),
+            sized AS (SELECT doc_id, t, length(t) AS len FROM docs),
+            pos AS (
+              SELECT doc_id, t, len,
+                     unnest(generate_series(8, greatest(len, 8))) AS i
+              FROM sized),
+            hits AS (
+              SELECT doc_id, i AS cut FROM pos
+              WHERE i <= len
+                AND ({_md5_u32_sql("substr(t, i - 7, 8)")}) % 16 = 0),
+            cuts AS (
+              SELECT doc_id, cut FROM hits
+              UNION
+              SELECT doc_id, len AS cut FROM sized),
+            ordered AS (
+              SELECT s.doc_id, c.cut, s.t,
+                     COALESCE(lag(c.cut) OVER w, 0) AS prev
+              FROM cuts c JOIN sized s ON s.doc_id = c.doc_id
+              WINDOW w AS (PARTITION BY s.doc_id ORDER BY c.cut)),
+            chunks AS (
+              SELECT doc_id,
+                     CAST(cut - prev AS INT) AS chunk_len,
+                     md5(substr(t, CAST(prev + 1 AS INT),
+                                CAST(cut - prev AS INT))) AS chunk_md5
+              FROM ordered)
+            SELECT chunk_md5, max(chunk_len) AS chunk_len,
+                   count(DISTINCT doc_id) AS n_docs,
+                   count(*) AS n_occurrences
+            FROM chunks GROUP BY chunk_md5
+            HAVING count(DISTINCT doc_id) >= 2
         """,
         "kn_perplexity": _KN_PER_DOC_SQL,
         "ppl_buckets": f"""

@@ -101,6 +101,9 @@ HEADLINE = [
     "card_scrub",
     # r9 twenty-eighth wave: CCNet head/middle/tail perplexity split
     "ppl_buckets",
+    # r9 twenty-ninth wave: boolean retrieval, KMV intersection,
+    # shared-CDC-chunk detection
+    "boolean_retrieval", "kmv_intersect", "cdc_shared",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -207,6 +210,8 @@ BUDGET_SF01 = {
     "card_scrub": 5.5,
     # r9 twenty-eighth wave: 2.2x local best-of-two
     "ppl_buckets": 4.7,
+    # r9 twenty-ninth wave: 2.2x local best-of-two
+    "boolean_retrieval": 2.4, "kmv_intersect": 2.0, "cdc_shared": 1.2,
 }
 
 
