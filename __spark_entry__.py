@@ -2801,6 +2801,48 @@ def _q_kmv_distinct(spark, sf_dir) -> DataFrame:
             .select("grp", "n", "h_max", "est_distinct"))
 
 
+def _q_media_avc_cavlc(spark, sf_dir) -> DataFrame:
+    """ENTROPY-CODED avc1 decode on the hard gate (the step past
+    media_avc_ipcm): per media i, frames of per-MB-uniform gray
+    v = (i*37 + 11f + 13*mbx + 29*mby) % 256 encoded as CAVLC I_16x16
+    DC slices (encode_h264_i16_dc — qp=28 identity quantizer makes the
+    route LOSSLESS on MB-uniform images), muxed with a real avcC and
+    decoded back through the sample table + decode_h264_islice.  The
+    decoded pixel mean equals the MB-grid mean — closed form; empty-
+    mdat avc1 rows must be SKIPPED."""
+    import struct as _struct
+
+    import numpy as np
+    from spatial_spark.operators.codecs import (build_avcc, build_h264_sps,
+                                                build_mp4,
+                                                encode_h264_i16_dc)
+    from spatial_spark.operators.multimodal import MEDIA_SCHEMA, mp4_frames
+    rows = []
+    for i in range(18):
+        w, h = 32 + (i % 3) * 16, 16 + (i % 2) * 16
+        nals = []
+        for f in range(2 + i % 2):
+            img = np.zeros((h, w), dtype=np.uint8)
+            for mby in range(h // 16):
+                for mbx in range(w // 16):
+                    img[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16] = \
+                        (i * 37 + 11 * f + 13 * mbx + 29 * mby) % 256
+            nal = encode_h264_i16_dc(img)
+            nals.append(_struct.pack(">I", len(nal)) + nal)
+        rows.append((i, bytearray(build_mp4(
+            w, h, 0, 1000, 40, codec="avc1", samples=nals,
+            codec_config=build_avcc(build_h264_sps(w, h)))),
+            "video", "mp4", w, h, None))
+        rows.append((1000 + i, bytearray(build_mp4(
+            64, 48, 5, 1000, 40, codec="avc1")), "video", "mp4",
+            64, 48, None))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return (mp4_frames(df)
+            .select("media_id", "frame_no", "decoded_w", "decoded_h",
+                    F.round("mean_intensity", 6).alias("mean_intensity"))
+            .orderBy("media_id", "frame_no"))
+
+
 def _q_boolean_retrieval(spark, sf_dir) -> DataFrame:
     """Conjunctive boolean retrieval (retrieval.boolean_retrieve):
     posting-list intersection as relational algebra — docs containing
@@ -3064,6 +3106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_retrieval": _q_boolean_retrieval,
         "kmv_intersect": _q_kmv_intersect,
         "cdc_shared": _q_cdc_shared,
+        "media_avc_cavlc": _q_media_avc_cavlc,
     }.items()}
 
 
@@ -4493,6 +4536,29 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST((i * 37 + 11 * f) % 256 AS DOUBLE), 6)
                      AS mean_intensity
             FROM fr ORDER BY media_id, frame_no
+        """,
+        "media_avc_cavlc": """
+            WITH items AS (SELECT unnest(generate_series(0, 17)) AS i),
+            fr AS (SELECT i, unnest(generate_series(0, 1 + i % 2)) AS f
+                   FROM items),
+            mbs AS (
+              SELECT i, f,
+                     unnest(generate_series(0, (32 + (i % 3) * 16) // 16
+                                               - 1)) AS mbx
+              FROM fr),
+            grid AS (
+              SELECT i, f, mbx,
+                     unnest(generate_series(0, (16 + (i % 2) * 16) // 16
+                                               - 1)) AS mby
+              FROM mbs)
+            SELECT CAST(i AS BIGINT) AS media_id,
+                   CAST(f AS INT) AS frame_no,
+                   CAST(32 + (i % 3) * 16 AS INT) AS decoded_w,
+                   CAST(16 + (i % 2) * 16 AS INT) AS decoded_h,
+                   round(avg(CAST((i * 37 + 11 * f + 13 * mbx
+                                   + 29 * mby) % 256 AS DOUBLE)), 6)
+                     AS mean_intensity
+            FROM grid GROUP BY i, f ORDER BY media_id, frame_no
         """,
         "quantile_sketch": """
             WITH src AS (SELECT CAST(c_acctbal AS DOUBLE) AS v

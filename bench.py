@@ -104,6 +104,8 @@ HEADLINE = [
     # r9 twenty-ninth wave: boolean retrieval, KMV intersection,
     # shared-CDC-chunk detection
     "boolean_retrieval", "kmv_intersect", "cdc_shared",
+    # r9 thirtieth wave: CAVLC-entropy-coded avc1 decode
+    "media_avc_cavlc",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -212,6 +214,8 @@ BUDGET_SF01 = {
     "ppl_buckets": 4.7,
     # r9 twenty-ninth wave: 2.2x local best-of-two
     "boolean_retrieval": 2.4, "kmv_intersect": 2.0, "cdc_shared": 1.2,
+    # r9 thirtieth wave: 2.2x local best-of-two
+    "media_avc_cavlc": 2.8,
 }
 
 

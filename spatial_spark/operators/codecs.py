@@ -1931,9 +1931,10 @@ def decode_mp4_frames(buf: bytes, every_n: int = 1) -> list:
     standalone baseline-JPEG image, sliced out of mdat via the sample
     table and decoded by the in-repo numpy JPEG decoder.  Returns
     [(frame_no, (h, w, 3) uint8), ...] for every ``every_n``-th frame.
-    avc1 tracks decode natively when their slices are I_PCM (the
-    repo's own lossless H.264 route, decode_h264_ipcm); entropy-coded
-    macroblocks and hevc remain the documented ffmpeg seam."""
+    avc1 tracks decode natively when their slices are I_PCM or
+    ENTROPY-CODED I_16x16 DC (decode_h264_islice — the CAVLC route);
+    AC residuals, non-DC prediction, P/B frames and hevc remain the
+    documented ffmpeg seam."""
     buf = bytes(buf)
     tab = mp4_sample_table(buf, handler="vide")
     codec = (tab["codec"] or "").lower()
@@ -1955,7 +1956,8 @@ def decode_mp4_frames(buf: bytes, every_n: int = 1) -> list:
 
 
 def _decode_avc1_ipcm_frames(buf: bytes, tab: dict, every_n: int) -> list:
-    """avc1 samples → frames via the I_PCM route: split each sample
+    """avc1 samples → frames via the native I-slice routes (I_PCM and
+    CAVLC I_16x16 DC): split each sample
     into its length-prefixed NALs (avcC nal_length_size), decode the
     slice NALs at the SPS's true cropped dimensions."""
     avcc = _find_avcc(buf)
@@ -1982,7 +1984,8 @@ def _decode_avc1_ipcm_frames(buf: bytes, tab: dict, every_n: int) -> list:
             nal = buf[pos + nls:pos + nls + ln]
             pos += nls + ln
             if nal and (nal[0] & 0x1F) in (1, 5):
-                frame = decode_h264_ipcm(nal, cfg["width"], cfg["height"])
+                frame = decode_h264_islice(nal, cfg["width"],
+                                           cfg["height"])
         if frame is None:
             raise ValueError(f"MP4: avc1 sample {f} has no slice NAL")
         out.append((f, frame))
@@ -2043,3 +2046,429 @@ def decode_any(buf: bytes):
         "(numpy Huffman + IDCT), GIF (incl. animation) and uncompressed "
         "BMP/PPM/WAV natively; compressed video bitstreams need ffmpeg — "
         "plug the codec in here")
+
+
+# ---------------------------------------------------------------------------
+# H.264 CAVLC (entropy-coded) I_16x16 route — narrows the I_PCM-only seam
+# ---------------------------------------------------------------------------
+# coeff_token VLC, 0 <= nC < 2 column (T-REC-H.264 Table 9-5): the context
+# every block in this module's streams parses under (one MB per picture
+# region with cbp_luma = 0 keeps all neighbouring AC TotalCoeff at 0, so
+# nC = 0 throughout).  Keys: (trailing_ones, total_coeff) -> bitstring.
+# Prefix-freeness is asserted at import; conformance beyond that is pinned
+# against this module's own encoder (documented scope: no external
+# bitstreams with nC >= 2 contexts).
+_CAVLC_COEFF_TOKEN_NC02 = {
+    (0, 0): "1",
+    (0, 1): "000101", (1, 1): "01",
+    (0, 2): "00000111", (1, 2): "000100", (2, 2): "001",
+    (0, 3): "000000111", (1, 3): "00000110", (2, 3): "0000101",
+    (3, 3): "00011",
+    (0, 4): "0000000111", (1, 4): "000000110", (2, 4): "00000101",
+    (3, 4): "000011",
+    (0, 5): "00000000111", (1, 5): "0000000110", (2, 5): "000000101",
+    (3, 5): "0000100",
+    (0, 6): "0000000001111", (1, 6): "00000000110", (2, 6): "0000000101",
+    (3, 6): "00000100",
+    (0, 7): "0000000001011", (1, 7): "0000000001110", (2, 7): "00000000101",
+    (3, 7): "000000100",
+    (0, 8): "0000000001000", (1, 8): "0000000001010",
+    (2, 8): "0000000001101", (3, 8): "0000000100",
+    (0, 9): "00000000001111", (1, 9): "00000000001110",
+    (2, 9): "0000000001001", (3, 9): "00000000100",
+    (0, 10): "00000000001011", (1, 10): "00000000001010",
+    (2, 10): "00000000001101", (3, 10): "0000000001100",
+    (0, 11): "000000000001111", (1, 11): "000000000001110",
+    (2, 11): "00000000001001", (3, 11): "00000000001100",
+    (0, 12): "000000000001011", (1, 12): "000000000001010",
+    (2, 12): "000000000001101", (3, 12): "00000000001000",
+    (0, 13): "0000000000001111", (1, 13): "000000000000001",
+    (2, 13): "000000000001001", (3, 13): "000000000001100",
+    (0, 14): "0000000000001011", (1, 14): "0000000000001110",
+    (2, 14): "0000000000001101", (3, 14): "000000000001000",
+    (0, 15): "0000000000000111", (1, 15): "0000000000001010",
+    (2, 15): "0000000000001001", (3, 15): "0000000000001100",
+    (0, 16): "0000000000000100", (1, 16): "0000000000000110",
+    (2, 16): "0000000000000101", (3, 16): "0000000000001000",
+}
+
+# total_zeros VLC for 4x4 blocks (Table 9-7/9-8), indexed
+# [total_coeff][total_zeros] -> bitstring (total_coeff 1..15).
+_CAVLC_TOTAL_ZEROS = {
+    1: ["1", "011", "010", "0011", "0010", "00011", "00010", "000011",
+        "000010", "0000011", "0000010", "00000011", "00000010",
+        "000000011", "000000010", "000000001"],
+    2: ["111", "110", "101", "100", "011", "0101", "0100", "0011", "0010",
+        "00011", "00010", "000011", "000010", "000001", "000000"],
+    3: ["0101", "111", "110", "101", "0100", "0011", "100", "011",
+        "0010", "00011", "00010", "000001", "00001", "000000"],
+    4: ["00011", "111", "0101", "0100", "110", "101", "100", "0011",
+        "011", "0010", "00010", "00001", "00000"],
+    5: ["0101", "0100", "0011", "111", "110", "101", "100", "011",
+        "0010", "00001", "0001", "00000"],
+    6: ["000001", "00001", "111", "110", "101", "100", "011", "010",
+        "0001", "001", "000000"],
+    7: ["000001", "00001", "101", "100", "011", "11", "010", "0001",
+        "001", "000000"],
+    8: ["000001", "0001", "00001", "011", "11", "10", "010", "001",
+        "000000"],
+    9: ["000001", "000000", "0001", "11", "10", "001", "01", "00001"],
+    10: ["00001", "00000", "001", "11", "10", "01", "0001"],
+    11: ["0000", "0001", "001", "010", "1", "011"],
+    12: ["0000", "0001", "01", "1", "001"],
+    13: ["000", "001", "1", "01"],
+    14: ["00", "01", "1"],
+    15: ["0", "1"],
+}
+
+# run_before VLC (Table 9-10), indexed [min(zeros_left, 7)][run] ->
+# bitstring; zeros_left >= 1.
+_CAVLC_RUN_BEFORE = {
+    1: ["1", "0"],
+    2: ["1", "01", "00"],
+    3: ["11", "10", "01", "00"],
+    4: ["11", "10", "01", "001", "000"],
+    5: ["11", "10", "011", "010", "001", "000"],
+    6: ["11", "000", "001", "011", "010", "101", "100"],
+    7: ["111", "110", "101", "100", "011", "010", "001", "0001",
+        "00001", "000001", "0000001", "00000001", "000000001",
+        "0000000001", "00000000001"],
+}
+
+
+def _assert_prefix_free(codes):
+    seen = sorted(codes)
+    for a, b in zip(seen, seen[1:]):
+        if b.startswith(a):
+            raise AssertionError(f"CAVLC table not prefix-free: {a} / {b}")
+
+
+_assert_prefix_free(list(_CAVLC_COEFF_TOKEN_NC02.values()))
+for _tc, _codes in _CAVLC_TOTAL_ZEROS.items():
+    _assert_prefix_free(_codes)
+for _zl, _codes in _CAVLC_RUN_BEFORE.items():
+    _assert_prefix_free(_codes)
+
+_CAVLC_COEFF_TOKEN_DEC = {v: k for k, v in _CAVLC_COEFF_TOKEN_NC02.items()}
+
+
+def _bits_write(wtr, bitstring: str):
+    for ch in bitstring:
+        wtr.write(1 if ch == "1" else 0, 1)
+
+
+def _vlc_read(r, table: dict):
+    code = ""
+    for _ in range(32):
+        code += "1" if r.read(1) else "0"
+        if code in table:
+            return table[code]
+    raise ValueError("H264 CAVLC: no VLC match within 32 bits")
+
+
+def cavlc_encode_block(wtr, levels) -> None:
+    """CAVLC-encode one 4x4 coefficient list (scan order, len <= 16)
+    under the nC < 2 context.  ``levels`` is the zigzag-scanned list
+    INCLUDING zeros (length = maxNumCoeff)."""
+    n = len(levels)
+    nz = [(i, v) for i, v in enumerate(levels) if v != 0]
+    total_coeff = len(nz)
+    # trailing ones: up to 3 |1| coefficients at the high-frequency end
+    t1 = 0
+    for i in range(total_coeff - 1, -1, -1):
+        if abs(nz[i][1]) == 1 and t1 < 3:
+            t1 += 1
+        else:
+            break
+    _bits_write(wtr, _CAVLC_COEFF_TOKEN_NC02[(t1, total_coeff)])
+    if total_coeff == 0:
+        return
+    # trailing-one signs, high frequency first
+    for i in range(total_coeff - 1, total_coeff - 1 - t1, -1):
+        wtr.write(1 if nz[i][1] < 0 else 0, 1)
+    # remaining levels, high frequency first
+    suffix_len = 1 if total_coeff > 10 and t1 < 3 else 0
+    first = True
+    for i in range(total_coeff - 1 - t1, -1, -1):
+        level = nz[i][1]
+        code = 2 * abs(level) - 2 if level > 0 else 2 * abs(level) - 1
+        if first and t1 < 3:
+            code -= 2
+        first = False
+        if suffix_len == 0:
+            if code < 14:
+                _bits_write(wtr, "0" * code + "1")
+            elif code < 30:
+                _bits_write(wtr, "0" * 14 + "1")
+                wtr.write(code - 14, 4)
+            else:
+                _bits_write(wtr, "0" * 15 + "1")
+                wtr.write(code - 30, 12)
+        else:
+            prefix = code >> suffix_len
+            if prefix < 15:
+                _bits_write(wtr, "0" * prefix + "1")
+                wtr.write(code & ((1 << suffix_len) - 1), suffix_len)
+            else:
+                _bits_write(wtr, "0" * 15 + "1")
+                wtr.write(code - (15 << suffix_len), 12)
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(level) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+    # total_zeros
+    highest = nz[-1][0]
+    total_zeros = highest + 1 - total_coeff
+    if total_coeff < n:
+        _bits_write(wtr, _CAVLC_TOTAL_ZEROS[total_coeff][total_zeros])
+    # run_before, high frequency first
+    zeros_left = total_zeros
+    for i in range(total_coeff - 1, 0, -1):
+        if zeros_left == 0:
+            break
+        run = nz[i][0] - nz[i - 1][0] - 1
+        _bits_write(wtr, _CAVLC_RUN_BEFORE[min(zeros_left, 7)][run])
+        zeros_left -= run
+
+
+def cavlc_decode_block(r, max_coeff: int = 16):
+    """Decode one CAVLC 4x4 block (nC < 2 context) -> list of
+    ``max_coeff`` levels in scan order."""
+    t1, total_coeff = _vlc_read(r, _CAVLC_COEFF_TOKEN_DEC)
+    out = [0] * max_coeff
+    if total_coeff == 0:
+        return out
+    levels = []
+    for _ in range(t1):
+        levels.append(-1 if r.read(1) else 1)
+    suffix_len = 1 if total_coeff > 10 and t1 < 3 else 0
+    first = True
+    for _ in range(total_coeff - t1):
+        prefix = 0
+        while r.read(1) == 0:
+            prefix += 1
+            if prefix > 15:
+                raise ValueError("H264 CAVLC: bad level prefix")
+        if suffix_len == 0:
+            if prefix < 14:
+                code = prefix
+            elif prefix == 14:
+                code = 14 + r.read(4)
+            else:
+                code = 30 + r.read(12)
+        else:
+            if prefix < 15:
+                code = (prefix << suffix_len) + r.read(suffix_len)
+            else:
+                code = (15 << suffix_len) + r.read(12)
+        if first and t1 < 3:
+            code += 2
+        first = False
+        level = (code + 2) >> 1 if code % 2 == 0 else -((code + 1) >> 1)
+        levels.append(level)
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(level) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+    # levels[] is high-frequency-first; positions via total_zeros/runs
+    if total_coeff < max_coeff:
+        tz_codes = {c: i for i, c in
+                    enumerate(_CAVLC_TOTAL_ZEROS[total_coeff])}
+        total_zeros = _vlc_read(r, tz_codes)
+    else:
+        total_zeros = 0
+    zeros_left = total_zeros
+    pos = total_coeff - 1 + total_zeros   # index of the highest coeff
+    for i in range(total_coeff - 1):
+        out[pos] = levels[i]
+        if zeros_left > 0:
+            rb = {c: j for j, c in
+                  enumerate(_CAVLC_RUN_BEFORE[min(zeros_left, 7)])}
+            run = _vlc_read(r, rb)
+        else:
+            run = 0
+        zeros_left -= run
+        pos -= run + 1
+    out[pos] = levels[total_coeff - 1]
+    return out
+
+
+_H264_ZIGZAG_4x4 = [(0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2),
+                    (0, 3), (1, 2), (2, 1), (3, 0), (3, 1), (2, 2),
+                    (1, 3), (2, 3), (3, 2), (3, 3)]
+_H264_DC_V0 = [10, 11, 13, 14, 16, 18]   # normAdjust4x4(m, (0,0))
+_HADAMARD_4 = np.array([[1, 1, 1, 1], [1, 1, -1, -1],
+                        [1, -1, -1, 1], [1, -1, 1, -1]], dtype=np.int64)
+
+
+def _h264_dc_scale(f: np.ndarray, qp: int) -> np.ndarray:
+    """Luma DC dequant (spec 8.5.10): f = inverse-Hadamard output."""
+    ls = 16 * _H264_DC_V0[qp % 6]
+    if qp >= 36:
+        return (f * ls) << (qp // 6 - 6)
+    shift = 6 - qp // 6
+    return (f * ls + (1 << (shift - 1))) >> shift
+
+
+def encode_h264_i16_dc(img: np.ndarray, qp: int = 28) -> bytes:
+    """(h, w) grayscale uint8 → one IDR I-slice NAL of ENTROPY-CODED
+    I_16x16 macroblocks (mb_type 3: Intra_16x16 DC prediction,
+    cbp = 0) whose luma residual rides the CAVLC-coded
+    Intra16x16DCLevel block — the route past the I_PCM-only seam.
+
+    Per MB the encoder emits a single quantized DC level t = target
+    residual (exact at qp = 28, where the dequant chain is the
+    identity: scale(t) = 64t and (64t + 32) >> 6 = t), with the
+    prediction loop replayed exactly as the decoder runs it — so for
+    images UNIFORM within each 16x16 macroblock the reconstruction is
+    LOSSLESS; non-uniform macroblocks encode their rounded mean (the
+    DC-only approximation, returned faithfully by the decoder).
+    Chroma carries no residual (prediction-only, neutral 128 via the
+    DC chain) — pair with grayscale sources.  Scope and conformance:
+    nC = 0 context throughout (cbp_luma = 0 keeps every neighbouring
+    AC TotalCoeff at zero); tables self-checked prefix-free and
+    round-trip-fuzzed; decode parity pinned against decode_h264_islice."""
+    if qp != 28:
+        raise NotImplementedError(
+            "H264 I16 encoder: qp=28 is the exact-identity quantizer "
+            "(scale(t)=64t); other qp values need non-integer targets")
+    img = np.asarray(img)
+    if img.ndim == 3:
+        raise ValueError("encode_h264_i16_dc takes grayscale (h, w)")
+    h, w = img.shape
+    mw, mh = 16 * ((w + 15) // 16), 16 * ((h + 15) // 16)
+    yp = np.pad(img, ((0, mh - h), (0, mw - w)), mode="edge") \
+        .astype(np.int64)
+    recon = np.zeros((mh, mw), dtype=np.int64)
+    wtr = _EgBitWriter()
+    wtr.write(0x65, 8)                  # NAL: ref_idc=3, type=5 (IDR)
+    wtr.ue(0)                           # first_mb_in_slice
+    wtr.ue(7)                           # slice_type: I
+    wtr.ue(0)                           # pic_parameter_set_id
+    wtr.write(0, 4)                     # frame_num
+    wtr.ue(0)                           # idr_pic_id
+    wtr.write(0, 2)                     # dec_ref_pic_marking
+    wtr.se(int(qp) - 26)                # slice_qp_delta (pps init 26)
+    for mby in range(mh // 16):
+        for mbx in range(mw // 16):
+            y0, x0 = 16 * mby, 16 * mbx
+            left_ok, top_ok = mbx > 0, mby > 0
+            if left_ok and top_ok:
+                pred = (int(recon[y0:y0 + 16, x0 - 1].sum()
+                            + recon[y0 - 1, x0:x0 + 16].sum()) + 16) >> 5
+            elif left_ok:
+                pred = (int(recon[y0:y0 + 16, x0 - 1].sum()) + 8) >> 4
+            elif top_ok:
+                pred = (int(recon[y0 - 1, x0:x0 + 16].sum()) + 8) >> 4
+            else:
+                pred = 128
+            target = int(np.round(yp[y0:y0 + 16, x0:x0 + 16].mean()))
+            t = int(np.clip(target - pred, -255, 255))
+            wtr.ue(3)                   # mb_type: I_16x16_2_0_0
+            wtr.ue(0)                   # intra_chroma_pred_mode: DC
+            wtr.se(0)                   # mb_qp_delta
+            levels = [0] * 16
+            levels[0] = t               # c00-only DC block
+            cavlc_encode_block(wtr, levels)
+            recon[y0:y0 + 16, x0:x0 + 16] = \
+                np.clip(pred + t, 0, 255)
+    body = wtr.bytes_aligned()
+    return body[:1] + _insert_emulation(body[1:])
+
+
+def decode_h264_islice(nal: bytes, width: int, height: int) -> np.ndarray:
+    """One IDR/non-IDR I-slice NAL → (height, width, 3) uint8 RGB.
+    Decodes BOTH macroblock routes this library emits: I_PCM (raw
+    samples) and ENTROPY-CODED I_16x16 with DC prediction and
+    CAVLC-coded DC residual (mb_type 1-4 with cbp = 0; mb_type 3's DC
+    prediction implemented, V/H/plane and any cbp != 0 or I_4x4 type
+    raise NotImplementedError — the documented remaining seam is now
+    AC residuals + non-DC prediction, no longer entropy coding
+    itself)."""
+    data = _strip_emulation(bytes(nal))
+    if not data or (data[0] & 0x1F) not in (1, 5):
+        raise ValueError("H264: not a slice NAL")
+    idr = (data[0] & 0x1F) == 5
+    r = _EgBitReader(data[1:])
+    if r.ue() != 0:
+        raise ValueError("H264: multi-slice pictures unsupported")
+    stype = r.ue()
+    if stype % 5 != 2:
+        raise NotImplementedError(
+            "H264: only I slices decode natively (P/B prediction needs "
+            "ffmpeg)")
+    r.ue()                              # pic_parameter_set_id
+    r.read(4)                           # frame_num
+    if idr:
+        r.ue()
+        r.read(2)
+    qp = 26 + r.se()                    # slice_qp_delta over pps init
+    mw, mh = 16 * ((width + 15) // 16), 16 * ((height + 15) // 16)
+    yp = np.zeros((mh, mw), dtype=np.int64)
+    cbs = np.full((mh // 2, mw // 2), 128, dtype=np.uint8)
+    crs = np.full((mh // 2, mw // 2), 128, dtype=np.uint8)
+    pcm_any = False
+    for mby in range(mh // 16):
+        for mbx in range(mw // 16):
+            y0, x0 = 16 * mby, 16 * mbx
+            mb_type = r.ue()
+            if mb_type == 25:           # I_PCM
+                pcm_any = True
+                while r.pos % 8:
+                    if r.read(1):
+                        raise ValueError("H264: nonzero PCM alignment")
+                at = 1 + (r.pos >> 3)
+                if at + 384 > len(data):
+                    raise ValueError("H264: truncated I_PCM macroblock")
+                mb = np.frombuffer(data, dtype=np.uint8,
+                                   offset=at, count=384)
+                yp[y0:y0 + 16, x0:x0 + 16] = mb[:256].reshape(16, 16)
+                cbs[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8] = \
+                    mb[256:320].reshape(8, 8)
+                crs[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8] = \
+                    mb[320:384].reshape(8, 8)
+                r.pos += 384 * 8
+                continue
+            if not 1 <= mb_type <= 4:
+                raise NotImplementedError(
+                    f"H264: mb_type {mb_type} — only I_16x16 with "
+                    "cbp=0 (types 1-4) and I_PCM decode natively (AC "
+                    "residuals / I_4x4 are the remaining seam)")
+            pred_mode = mb_type - 1     # 0=V 1=H 2=DC 3=Plane
+            r.ue()                      # intra_chroma_pred_mode
+            qp += r.se()                # mb_qp_delta
+            levels = cavlc_decode_block(r, 16)
+            c = np.zeros((4, 4), dtype=np.int64)
+            for lv, (zi, zj) in zip(levels, _H264_ZIGZAG_4x4):
+                c[zi, zj] = lv
+            f = _HADAMARD_4 @ c @ _HADAMARD_4
+            dc = _h264_dc_scale(f, qp)
+            if pred_mode != 2:
+                raise NotImplementedError(
+                    "H264: only Intra_16x16 DC prediction implemented "
+                    "(V/H/plane are the remaining seam)")
+            left_ok, top_ok = mbx > 0, mby > 0
+            if left_ok and top_ok:
+                pred = (int(yp[y0:y0 + 16, x0 - 1].sum()
+                            + yp[y0 - 1, x0:x0 + 16].sum()) + 16) >> 5
+            elif left_ok:
+                pred = (int(yp[y0:y0 + 16, x0 - 1].sum()) + 8) >> 4
+            elif top_ok:
+                pred = (int(yp[y0 - 1, x0:x0 + 16].sum()) + 8) >> 4
+            else:
+                pred = 128
+            for bi in range(4):
+                for bj in range(4):
+                    res = (int(dc[bi, bj]) + 32) >> 6
+                    blk = np.clip(pred + res, 0, 255)
+                    yp[y0 + 4 * bi:y0 + 4 * bi + 4,
+                       x0 + 4 * bj:x0 + 4 * bj + 4] = blk
+    y = yp[:height, :width].astype(np.float64)
+    cb = np.kron(cbs.astype(np.float64), np.ones((2, 2)))[:height, :width]
+    cr = np.kron(crs.astype(np.float64), np.ones((2, 2)))[:height, :width]
+    rr = y + 1.402 * (cr - 128.0)
+    gg = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bb = y + 1.772 * (cb - 128.0)
+    _ = pcm_any
+    return np.clip(np.round(np.stack([rr, gg, bb], axis=2)), 0,
+                   255).astype(np.uint8)

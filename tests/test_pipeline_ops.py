@@ -3574,3 +3574,97 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
         assert (u, f"imp-{u}-{i}", f"clk-{u}-{i}-30") in got
         assert (u, f"imp-{u}-{i}", f"clk-{u}-{i}-200") in got
         assert (u, f"imp-{u}-{i}", f"clk-{u}-{i}-700") not in got
+
+
+def test_h264_cavlc_block_roundtrip_fuzz():
+    """CAVLC 4x4 residual block codec (nC<2): 2000 random coefficient
+    patterns — levels up to the 12-bit escape — survive encode→decode
+    bit-exactly."""
+    import random
+    from spatial_spark.operators.codecs import (_EgBitReader, _EgBitWriter,
+                                                cavlc_decode_block,
+                                                cavlc_encode_block)
+    rng = random.Random(5)
+    for _ in range(2000):
+        levels = [0] * 16
+        for pos in rng.sample(range(16), rng.randint(0, 16)):
+            mag = rng.randint(1, 200 if rng.random() < 0.2 else 6)
+            levels[pos] = rng.choice([-1, 1]) * mag
+        w = _EgBitWriter()
+        cavlc_encode_block(w, levels)
+        w.write(1, 1)
+        got = cavlc_decode_block(_EgBitReader(bytes(w.bytes_aligned())), 16)
+        assert got == levels, levels
+
+
+def test_h264_i16_dc_lossless_on_uniform_mbs():
+    """The entropy-coded I_16x16 route reconstructs EXACTLY any
+    grayscale image uniform within each macroblock (qp=28 identity
+    quantizer; DC prediction chain replayed encoder-side)."""
+    import numpy as np
+    from spatial_spark.operators.codecs import (decode_h264_islice,
+                                                encode_h264_i16_dc)
+    rng = np.random.RandomState(9)
+    img = np.zeros((48, 64), dtype=np.uint8)
+    for i in range(3):
+        for j in range(4):
+            img[16 * i:16 * i + 16, 16 * j:16 * j + 16] = rng.randint(256)
+    nal = encode_h264_i16_dc(img)
+    out = decode_h264_islice(nal, 64, 48)
+    assert np.array_equal(out[:, :, 0], img)
+    assert np.array_equal(out[:, :, 0], out[:, :, 1])
+    # the stream is genuinely entropy-coded: far smaller than I_PCM
+    assert len(nal) < 48 * 64 // 4
+
+
+def test_h264_i16_dc_mean_approximation_and_seams():
+    """Non-uniform MBs land on the DC mean; I_4x4 and cbp!=0 types
+    still raise the documented seam."""
+    import numpy as np
+    import pytest
+    from spatial_spark.operators.codecs import (_EgBitWriter,
+                                                _insert_emulation,
+                                                decode_h264_islice,
+                                                encode_h264_i16_dc)
+    img = np.tile(np.arange(32, dtype=np.uint8) * 8, (32, 1))
+    out = decode_h264_islice(encode_h264_i16_dc(img), 32, 32)
+    for j in (0, 1):
+        mb = img[:16, 16 * j:16 * j + 16]
+        got = out[:16, 16 * j:16 * j + 16, 0]
+        assert np.all(np.abs(got.astype(int) - round(mb.mean())) <= 1)
+    w = _EgBitWriter()
+    w.write(0x65, 8)
+    w.ue(0); w.ue(7); w.ue(0); w.write(0, 4); w.ue(0); w.write(0, 2)
+    w.se(0)
+    w.ue(13)                          # I_16x16 with cbp_luma=15: AC seam
+    body = w.bytes_aligned()
+    with pytest.raises(NotImplementedError):
+        decode_h264_islice(body[:1] + _insert_emulation(body[1:]), 16, 16)
+
+
+def test_mp4_frames_avc1_cavlc_route(spark):
+    """A real MP4 whose avc1 samples are CAVLC I_16x16 slices yields
+    real frames through the sample-table + native H.264 route."""
+    import numpy as np
+    import struct
+    from spatial_spark.operators.codecs import (build_avcc, build_h264_sps,
+                                                build_mp4,
+                                                decode_mp4_frames,
+                                                encode_h264_i16_dc)
+    frames = []
+    for k in range(4):
+        img = np.zeros((32, 32), dtype=np.uint8)
+        for i in range(2):
+            for j in range(2):
+                img[16 * i:16 * i + 16, 16 * j:16 * j + 16] = \
+                    (40 * k + 60 * i + 25 * j) % 256
+        frames.append(img)
+    sps = build_h264_sps(32, 32)
+    samples = [struct.pack(">I", len(n)) + n
+               for n in (encode_h264_i16_dc(f) for f in frames)]
+    mp4 = build_mp4(32, 32, 0, 1000, 40, codec="avc1", samples=samples,
+                    codec_config=build_avcc(sps))
+    got = decode_mp4_frames(mp4, every_n=2)
+    assert [f for f, _ in got] == [0, 2]
+    for fno, arr in got:
+        assert np.array_equal(arr[:, :, 0], frames[fno])
