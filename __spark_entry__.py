@@ -2936,15 +2936,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     token_counts;
     #   * then 37 of the 50 r7-row holders in this file's order
     #     (geohash .. bm25).
-    # r10 window plan: the TWENTY-FIVE r9-late gates with no driver rows
-    # at all (st_transform_lcc, mp4_codec_meta, kmeans_embed, pagerank,
-    # semdedup, st_transform_laea, image_hashes, image_dedup,
+    # r10 window plan: the THIRTY-EIGHT r9-late gates with no driver
+    # rows at all (st_transform_lcc, mp4_codec_meta, kmeans_embed,
+    # pagerank, semdedup, st_transform_laea, image_hashes, image_dedup,
     # geoparquet_roundtrip, quantile_sketch, weighted_sample,
     # media_avc_ipcm, triangle_counts, pq_knn, osm_pbf_source,
     # st_subdivide, pca_project, media_resize, hll_by_group,
     # st_transform_tm, image_dedup_groups, bm25_retrieval, cdc_chunks,
-    # dbscan_cluster — at the registry tail — plus any
-    # r10 newcomers) lead, then the 13
+    # dbscan_cluster, hex_density, kn_perplexity, kmv_distinct,
+    # mixture_epoch, stay_points, scc_components, card_scrub,
+    # ppl_buckets, boolean_retrieval, kmv_intersect, cdc_shared,
+    # media_avc_cavlc — at the registry tail — plus any
+    # r10 newcomers; 38 > 50-window space minus veterans, so the 50
+    # slots go to these newcomers first, oldest-registered first,
+    # remaining slots to the 13
     # r7-row holders that didn't fit this round (path_length ..
     # property_paging, age 2), then oldest-first from the r8-row
     # holders; every entry keeps its local-gate oracle
