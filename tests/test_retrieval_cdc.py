@@ -66,10 +66,17 @@ def test_bm25_retrieve_prebuilt_index_identical(spark):
                                                    build_inverted_index)
     docs = spark.createDataFrame(DOCS, "doc_id int, text string")
     queries = spark.createDataFrame(QUERIES, "query_id int, query_text string")
-    inline = bm25_retrieve(docs, queries, k=5).collect()
+    inline = sorted(map(tuple, bm25_retrieve(docs, queries, k=5).collect()))
     idx = build_inverted_index(docs)
-    reused = bm25_retrieve(idx, queries, k=5).collect()
-    assert sorted(map(tuple, inline)) == sorted(map(tuple, reused))
+    reused = sorted(map(tuple,
+                        bm25_retrieve(idx, queries, k=5).collect()))
+    # identical (query, doc, rank) sets; scores equal up to float
+    # summation order (partition scheduling can reorder the per-pair
+    # contribution sum by an ulp — the 6-decimal gate rounding absorbs it)
+    assert [(q, d, r) for q, d, _, r in inline] == \
+        [(q, d, r) for q, d, _, r in reused]
+    for (_, _, a, _), (_, _, b, _) in zip(inline, reused):
+        assert abs(a - b) < 1e-9
 
 
 def test_bm25_min_idf_drops_flood_terms(spark):
