@@ -2801,6 +2801,29 @@ def _q_kmv_distinct(spark, sf_dir) -> DataFrame:
             .select("grp", "n", "h_max", "est_distinct"))
 
 
+def _q_decontam_retrieval(spark, sf_dir) -> DataFrame:
+    """Retrieval-based decontamination triage — the composition a real
+    eval-hygiene pass runs: BM25-retrieve the top-10 corpus candidates
+    per eval item (the cheap index probe), then score each candidate
+    by exact token CONTAINMENT |eval ∩ doc| / |eval| (the verifier).
+    Columns: query_id, doc_id, rank, containment (round 6)."""
+    from spatial_spark.operators.retrieval import bm25_retrieve
+    queries_df = spark.sql(
+        f"SELECT * FROM VALUES {RETRIEVAL_QUERIES_VALUES} "
+        f"AS q(query_id, query_text)")
+    docs = _norm_documents(spark)
+    top = bm25_retrieve(docs, queries_df, k=10)
+    toks = lambda c: F.array_distinct(F.filter(  # noqa: E731
+        F.split(F.trim(F.lower(F.col(c))), r"\s+"),
+        lambda t: F.length(t) > 0))
+    qt = queries_df.select("query_id", toks("query_text").alias("qtok"))
+    dt = docs.select("doc_id", toks("text").alias("dtok"))
+    return (top.join(F.broadcast(qt), "query_id").join(dt, "doc_id")
+            .select("query_id", "doc_id", "rank",
+                    F.round(F.size(F.array_intersect("qtok", "dtok"))
+                            / F.size("qtok"), 6).alias("containment")))
+
+
 def _q_media_avc_cavlc(spark, sf_dir) -> DataFrame:
     """ENTROPY-CODED avc1 decode on the hard gate (the step past
     media_avc_ipcm): per media i, frames of per-MB-uniform gray
@@ -3112,6 +3135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_intersect": _q_kmv_intersect,
         "cdc_shared": _q_cdc_shared,
         "media_avc_cavlc": _q_media_avc_cavlc,
+        "decontam_retrieval": _q_decontam_retrieval,
     }.items()}
 
 
@@ -4541,6 +4565,69 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST((i * 37 + 11 * f) % 256 AS DOUBLE), 6)
                      AS mean_intensity
             FROM fr ORDER BY media_id, frame_no
+        """,
+        "decontam_retrieval": f"""
+            WITH q AS (
+              SELECT * FROM (VALUES {RETRIEVAL_QUERIES_VALUES})
+                AS t(query_id, query_text)),
+            qt AS (
+              SELECT query_id, term, count(*) AS qtf
+              FROM (SELECT query_id,
+                           unnest(list_filter(
+                               string_split_regex(trim(lower(query_text)),
+                                                  '\\s+'),
+                               x -> length(x) > 0)) AS term
+                    FROM q)
+              GROUP BY query_id, term),
+            toks AS (
+              SELECT doc_id,
+                     unnest(string_split(trim(regexp_replace(lower(text),
+                         '\\s+', ' ', 'g')), ' ')) AS term
+              FROM documents),
+            postings AS (SELECT term, doc_id, count(*) AS tf FROM toks
+                         WHERE length(term) > 0 GROUP BY term, doc_id),
+            doclen AS (SELECT doc_id, count(*) AS dl FROM toks
+                       WHERE length(term) > 0 GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl
+                      FROM doclen),
+            dfreq AS (SELECT term, count(*) AS df FROM postings
+                      GROUP BY term),
+            contrib AS (
+              SELECT qt.query_id, p.doc_id,
+                     qt.qtf * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                       * p.tf * (1.2 + 1)
+                       / (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS c
+              FROM qt JOIN postings p ON p.term = qt.term
+              JOIN dfreq f ON f.term = qt.term
+              JOIN doclen l ON l.doc_id = p.doc_id CROSS JOIN stats),
+            scored AS (SELECT query_id, doc_id, sum(c) AS bm25
+                       FROM contrib GROUP BY query_id, doc_id),
+            ranked AS (
+              SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY bm25 DESC, doc_id) AS rank
+              FROM scored),
+            qtok AS (
+              SELECT query_id,
+                     list_distinct(list_filter(
+                         string_split_regex(trim(lower(query_text)),
+                                            '\\s+'),
+                         x -> length(x) > 0)) AS qtok
+              FROM q),
+            dtok AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(
+                         string_split(trim(regexp_replace(lower(text),
+                             '\\s+', ' ', 'g')), ' '),
+                         x -> length(x) > 0)) AS dtok
+              FROM documents)
+            SELECT r.query_id, r.doc_id, CAST(r.rank AS INT) AS rank,
+                   round(CAST(len(list_intersect(qtok, dtok)) AS DOUBLE)
+                         / len(qtok), 6) AS containment
+            FROM ranked r
+            JOIN qtok ON qtok.query_id = r.query_id
+            JOIN dtok ON dtok.doc_id = r.doc_id
+            WHERE r.rank <= 10
         """,
         "media_avc_cavlc": """
             WITH items AS (SELECT unnest(generate_series(0, 17)) AS i),

@@ -106,6 +106,8 @@ HEADLINE = [
     "boolean_retrieval", "kmv_intersect", "cdc_shared",
     # r9 thirtieth wave: CAVLC-entropy-coded avc1 decode
     "media_avc_cavlc",
+    # r9 thirty-first wave: retrieval-based decontamination triage
+    "decontam_retrieval",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -216,6 +218,8 @@ BUDGET_SF01 = {
     "boolean_retrieval": 2.4, "kmv_intersect": 2.0, "cdc_shared": 1.2,
     # r9 thirtieth wave: 2.2x local best-of-two
     "media_avc_cavlc": 2.8,
+    # r9 thirty-first wave: 2.2x local best-of-two
+    "decontam_retrieval": 3.9,
 }
 
 
