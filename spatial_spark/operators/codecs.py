@@ -2440,6 +2440,10 @@ def decode_h264_islice(nal: bytes, width: int, height: int) -> np.ndarray:
             if cbp_chroma != 0:
                 raise NotImplementedError(
                     "H264: chroma residuals are the remaining seam")
+            if pred_mode != 2:
+                raise NotImplementedError(
+                    "H264: only Intra_16x16 DC prediction implemented "
+                    "(V/H/plane are the remaining seam)")
             r.ue()                      # intra_chroma_pred_mode
             qp += r.se()                # mb_qp_delta
             levels = cavlc_decode_block(r, 16)
@@ -2457,10 +2461,6 @@ def decode_h264_islice(nal: bytes, width: int, height: int) -> np.ndarray:
                     for lv, (zi, zj) in zip(ac, _H264_ZIGZAG_4x4[1:]):
                         cb4[zi, zj] = lv
                     ac_blocks.append(cb4)
-            if pred_mode != 2:
-                raise NotImplementedError(
-                    "H264: only Intra_16x16 DC prediction implemented "
-                    "(V/H/plane are the remaining seam)")
             left_ok, top_ok = mbx > 0, mby > 0
             if left_ok and top_ok:
                 pred = (int(yp[y0:y0 + 16, x0 - 1].sum()
