@@ -136,9 +136,9 @@ HEADLINE = [
 BUDGET_SF01 = {
     "within_distance": 0.4, "knn": 0.4, "bbox_window": 0.3,
     "spatial_join": 1.0, "spatial_join_agg": 1.5, "distance_join": 1.5,
-    "st_area_rects": 1.6, "extract_points": 1.0, "orthodromic_length": 0.8,
-    "zorder_keys": 0.5, "tpch_q1": 0.7, "revenue_by_nation": 1.7,
-    "dedup_exact": 0.4, "minhash_pairs": 2.8, "simhash_pairs": 3.4,
+    "st_area_rects": 1.6, "extract_points": 0.9, "orthodromic_length": 0.8,
+    "zorder_keys": 0.5, "tpch_q1": 0.6, "revenue_by_nation": 1.7,
+    "dedup_exact": 0.4, "minhash_pairs": 2.7, "simhash_pairs": 3.4,
     "quality_scores": 0.8, "lang_id": 0.6, "knn_cosine": 0.3,
     "events_daily": 0.4, "ngram_jaccard": 5.5, "dedup_clusters": 6.6,
     "contamination": 3.5, "winnowing": 1.4, "tf_idf": 1.6,
@@ -156,38 +156,38 @@ BUDGET_SF01 = {
     # 19 bench newcomers (r9): 2.2x this round's local best-of-two.
     # filter_equal / isvalid_isempty are capped 4000-row semantics
     # fixtures (per-row WKT build + kernel calls), measured post-cap.
-    "media_gif": 1.5, "wkt_export": 0.6, "shapefile_source": 0.8,
-    "osm_source": 2.8, "render_sink": 12.3, "audio_features": 1.3,
-    "mp4_meta": 1.1, "knn_cosine_q8": 1.2, "datastore_gjl": 1.7,
+    "media_gif": 1.2, "wkt_export": 0.5, "shapefile_source": 0.7,
+    "osm_source": 2.6, "render_sink": 12.3, "audio_features": 1.2,
+    "mp4_meta": 1.1, "knn_cosine_q8": 1.0, "datastore_gjl": 1.6,
     "filter_equal": 4.2, "covered_env": 0.3, "intersect_all": 1.3,
-    "isvalid_isempty": 3.4, "equal_env": 0.5, "results_layer": 8.6,
-    "datastore_write": 3.7, "st_transform_utm": 1.5, "media_mjpeg": 2.4,
-    "density_greedy": 4.2,
-    "st_transform_lcc": 0.8, "mp4_codec_meta": 1.7,
-    "kmeans_embed": 5.3, "pagerank": 14.5, "semdedup": 8.0,
+    "isvalid_isempty": 2.8, "equal_env": 0.4, "results_layer": 6.9,
+    "datastore_write": 2.8, "st_transform_utm": 1.2, "media_mjpeg": 2.4,
+    "density_greedy": 3.7,
+    "st_transform_lcc": 0.8, "mp4_codec_meta": 1.1,
+    "kmeans_embed": 3.3, "pagerank": 10.3, "semdedup": 4.1,
     "st_transform_laea": 0.7,
     # r9 sixth wave: 2.2x local best-of-two (fixture-decode bound)
-    "image_hashes": 2.0, "image_dedup": 3.9,
+    "image_hashes": 1.2, "image_dedup": 3.9,
     # r9 seventh wave: 2.2x local best-of-two (write+footer+scan bound)
-    "geoparquet_roundtrip": 2.1,
+    "geoparquet_roundtrip": 1.5,
     # r9 eighth wave: 2.2x local best-of-two
-    "quantile_sketch": 3.2, "weighted_sample": 0.8,
+    "quantile_sketch": 1.8, "weighted_sample": 0.3,
     # r9 tenth wave: 2.2x local best-of-two (fixture encode+decode bound)
     "media_avc_ipcm": 2.1,
     # r9 eleventh wave: 2.2x local best-of-two
-    "triangle_counts": 5.1,
+    "triangle_counts": 2.8,
     # r9 twelfth wave: 2.2x local best-of-two
-    "pq_knn": 2.9,
+    "pq_knn": 1.1,
     # r9 thirteenth wave: 2.2x local best-of-two
-    "osm_pbf_source": 4.9,
+    "osm_pbf_source": 2.5,
     # r9 fourteenth wave: 2.2x local best-of-two
-    "st_subdivide": 2.4,
+    "st_subdivide": 1.5,
     # r9 fifteenth wave: 2.2x local best-of-two
     "pca_project": 1.5,
     # r9 sixteenth wave: 2.2x local best-of-two
     "media_resize": 2.2,
     # r9 seventeenth wave: 2.2x local best-of-two
-    "hll_by_group": 2.0,
+    "hll_by_group": 1.5,
     # r9 eighteenth wave: 2.2x local best-of-two
     "st_transform_tm": 0.6,
     # r9 nineteenth wave: 2.2x local best-of-two (measured under a
@@ -196,30 +196,34 @@ BUDGET_SF01 = {
     # r9 twentieth wave: 2.2x local best-of-two (dbscan_cluster is the
     # constant 300-point semantics fixture — stage-latency bound, like
     # density_greedy)
-    "bm25_retrieval": 3.4, "cdc_chunks": 1.5, "dbscan_cluster": 5.8,
+    "bm25_retrieval": 2.1, "cdc_chunks": 0.8, "dbscan_cluster": 3.6,
     # r9 twenty-first wave: 2.2x local best-of-two
-    "hex_density": 0.9,
+    "hex_density": 0.4,
     # r9 twenty-second wave: 2.2x local best-of-two
-    "kn_perplexity": 4.4,
+    "kn_perplexity": 3.6,
     # r9 twenty-third wave: 2.2x local best-of-two
-    "kmv_distinct": 3.0,
+    "kmv_distinct": 1.3,
     # r9 twenty-fourth wave: 2.2x local best-of-two
-    "mixture_epoch": 0.8,
+    "mixture_epoch": 0.2,
     # r9 twenty-fifth wave: 2.2x local best-of-two
-    "stay_points": 2.5,
+    "stay_points": 1.3,
     # r9 twenty-sixth wave: 2.2x local best-of-two
-    "scc_components": 4.0,
+    "scc_components": 1.3,
     # r9 twenty-seventh wave: 2.2x local best-of-two (measured under a
     # concurrent full bench; re-check on the clean final run)
-    "card_scrub": 5.5,
+    "card_scrub": 1.3,
     # r9 twenty-eighth wave: 2.2x local best-of-two
     "ppl_buckets": 4.7,
     # r9 twenty-ninth wave: 2.2x local best-of-two
-    "boolean_retrieval": 2.4, "kmv_intersect": 2.0, "cdc_shared": 1.2,
+    "boolean_retrieval": 1.4, "kmv_intersect": 1.3, "cdc_shared": 1.1,
     # r9 thirtieth wave: 2.2x local best-of-two
-    "media_avc_cavlc": 2.8,
+    "media_avc_cavlc": 2.7,
     # r9 thirty-first wave: 2.2x local best-of-two
-    "decontam_retrieval": 3.9,
+    "decontam_retrieval": 2.2,
+    # (EVERY pin re-ratcheted as min(old, 2.2x the clean final full
+    # run's min-of-2) — landing-time measurements taken under
+    # concurrent sweeps carried up to 9x slack; the ratchet never
+    # loosens, 0.2s floor for sub-100ms queries)
 }
 
 
