@@ -257,3 +257,77 @@ def stream_quantile_sketch(stream_df: DataFrame, value_col: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_kmv_state(spark: SparkSession, state_path: str):
+    """Current accreted KMV sketch rows (None before the first batch)."""
+    if not os.path.exists(state_path):
+        return None
+    return spark.read.parquet(state_path)
+
+
+def stream_kmv_sketch(stream_df: DataFrame, key_col: str,
+                      state_path: str, checkpoint: str,
+                      k: int = 256, available_now: bool = True):
+    """Streaming twin of operators/sketch.build_kmv: a bottom-k distinct
+    sketch accreting across micro-batches — running distinct-count
+    (and, against another sketch, set-overlap) estimates of an
+    unbounded stream in O(k) state forever.
+
+    Per batch (foreachBatch): the batch's keys build a bottom-k through
+    the normal DISTRIBUTED path (distinct + window — the batch is never
+    collected raw; at most k hash rows come back), those rows fold into
+    the persisted sketch by keeping the k smallest of the union
+    (merge == rebuild is KMV's defining property, so the stream state
+    equals the batch sketch of everything ever seen — pinned in tests),
+    and the state publishes via write-temp + atomic rename,
+    epoch-tagged so a crash/replay never re-folds a batch."""
+    from ..operators.sketch import build_kmv
+
+    spark = stream_df.sparkSession
+    tag_path = state_path + "_epoch.json"
+
+    def state_tag() -> int:
+        try:
+            with open(tag_path) as fh:
+                return int(json.load(fh)["epoch"])
+        except (OSError, ValueError, KeyError):
+            return -1
+
+    def publish(rows_df, epoch_id: int) -> None:
+        tmp = state_path + ".tmp"
+        rows_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        old = state_path + ".old"
+        if os.path.exists(state_path):
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(state_path, old)
+        os.rename(tmp, state_path)
+        shutil.rmtree(old, ignore_errors=True)
+        ttmp = tag_path + ".tmp"
+        with open(ttmp, "w") as fh:
+            json.dump({"epoch": int(epoch_id)}, fh)
+        os.rename(ttmp, tag_path)
+
+    def fold_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id <= state_tag():
+            return
+        if batch_df.isEmpty():
+            return
+        batch_hashes = [int(r.h) for r in
+                        build_kmv(batch_df, key_col, k=k).collect()]
+        if not batch_hashes:
+            return
+        merged = set(batch_hashes)
+        prior = read_kmv_state(spark, state_path)
+        if prior is not None:
+            merged |= {int(r.h) for r in prior.collect()}
+        keep = sorted(merged)[:k]
+        publish(spark.createDataFrame(
+            [(i + 1, h) for i, h in enumerate(keep)], "pos int, h long"),
+            epoch_id)
+
+    writer = stream_df.writeStream.foreachBatch(fold_batch) \
+        .option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -719,3 +719,39 @@ def test_perplexity_buckets_rank_semantics(spark):
                 assert out[d][2] is None
             else:
                 assert out[d][2] == want[d], (d, lang)
+
+
+def test_stream_kmv_matches_batch_and_replays(spark, tmp_path):
+    """Streaming bottom-k state == the batch sketch of everything seen
+    (merge == rebuild); a restarted stream re-processing the same files
+    does not re-fold (epoch tags)."""
+    from spatial_spark.operators.sketch import build_kmv, kmv_estimate
+    from spatial_spark.streaming.sketches import (read_kmv_state,
+                                                  stream_kmv_sketch)
+    src = tmp_path / "keys"
+    src.mkdir()
+    schema = "key string"
+    spark.createDataFrame([(f"k{i}",) for i in range(400)], schema) \
+        .coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame([(f"k{i}",) for i in range(200, 700)], schema) \
+        .coalesce(1).write.parquet(str(src / "b2"))
+    state = str(tmp_path / "kmv_state")
+    ck = str(tmp_path / "ck")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src) + "/b*"))
+    q = stream_kmv_sketch(stream, "key", state, ck, k=128)
+    q.awaitTermination(120)
+    got = sorted(int(r.h) for r in read_kmv_state(spark, state).collect())
+    want = sorted(int(r.h) for r in build_kmv(
+        spark.read.parquet(str(src) + "/b*"), "key", k=128).collect())
+    assert got == want
+    est = kmv_estimate(read_kmv_state(spark, state).select("pos", "h"),
+                       k=128, by_group=False).first()["est_distinct"]
+    assert abs(est - 700) / 700 < 0.35
+    # restart over the same files with a FRESH checkpoint: epoch tags
+    # must skip the replayed folds, leaving the state identical
+    q2 = stream_kmv_sketch(stream, "key", state, str(tmp_path / "ck2"),
+                           k=128)
+    q2.awaitTermination(120)
+    got2 = sorted(int(r.h) for r in read_kmv_state(spark, state).collect())
+    assert got2 == want
