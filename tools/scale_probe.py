@@ -119,6 +119,18 @@ PROBES = {
                       " edges grow ~k^2 (same class as"
                       " density_islands_full); CC + degree agg are"
                       " near-linear in edges"),
+    # --- r9 twenty-sixth..thirty-first waves ---
+    "card_scrub": ("linear", "map-only regex candidates + integer Luhn"
+                   " fold per candidate"),
+    "ppl_buckets": ("linear", "KN scoring pass + per-lang ntile over"
+                    " the scored rows"),
+    "decontam_retrieval": ("linear", "BM25 probe (postings keyed agg)"
+                           " + top-10 join + token-set intersect"),
+    "scc_scaled": ("linear", "2-hash digraph over ALL scaled customers"
+                   " (~2 edges/node); at probe sizes the edge list is"
+                   " under the driver-Tarjan short-circuit — one"
+                   " collect of E + linear Tarjan (the distributed"
+                   " FW-BW path is pinned separately by test)"),
 }
 
 
@@ -223,9 +235,29 @@ def _probe_cdc_chunks_full(spark, sf_dir):
     return cdc_chunks(entry._norm_documents(spark), k=8, divisor=64)
 
 
+def _probe_scc_scaled(spark, sf_dir):
+    """SCC over a digraph that scales with the dir: 2 deterministic
+    hash edges per scaled customer key (same construction as the
+    scc_components gate without its 200-node oracle cap)."""
+    from pyspark.sql import functions as F
+
+    from spatial_spark.operators.graph import strongly_connected_components
+    cust = spark.table("customer").select("c_custkey")
+    n = cust.count()
+    e = cust.select(F.col("c_custkey").alias("src"),
+                    ((F.col("c_custkey") * 31 + 7) % n).alias("dst"))
+    e = e.union(cust.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("src"),
+        ((F.col("c_custkey") * 17 + 3) % n).alias("dst")))
+    labels = strongly_connected_components(e)
+    return (labels.groupBy("scc").agg(F.count(F.lit(1)).alias("sz"))
+            .groupBy("sz").agg(F.count(F.lit(1)).alias("n_sccs")))
+
+
 CUSTOM_PROBES = {
     "density_islands_full": _probe_density_islands_full,
     "dbscan_scaled": _probe_dbscan_scaled,
+    "scc_scaled": _probe_scc_scaled,
     "cdc_chunks_full": _probe_cdc_chunks_full,
     "pagerank_scaled": _probe_pagerank_scaled,
     "hamming_join_scaled": _probe_hamming_join_scaled,
