@@ -26,11 +26,14 @@ H = the first 8 hex nibbles of md5 as an integer (u32): md5 exists
 byte-identically in Spark and DuckDB, so the oracle replays the exact
 boundary set (same pattern as the sampling/HLL operators' md5 buckets).
 
-Scale shape: the position explode is map-only (O(chars) rows carrying
-k-char grams); the only shuffle is the per-document window that orders
-boundary positions — keyed by doc_id, per-key cardinality bounded by
-doc_length / divisor.  Chunk-hash aggregation is one keyed agg over
-(chunk_md5).  Nothing driver-side.
+Scale shape: the position explode is map-only and STREAMING — offsets
+explode first and the gram hash is computed post-explode in the same
+codegen stage as the boundary filter, so no per-document array of
+positions or grams is ever materialized (safe for multi-MB documents).
+The window shuffle carries only (doc_id, cut) rows — per-key
+cardinality bounded by doc_length / divisor — and the document text
+rejoins once per chunk for the chunk_md5 projection.  Chunk-hash
+aggregation is one keyed agg over (chunk_md5).  Nothing driver-side.
 """
 
 from __future__ import annotations
@@ -58,31 +61,39 @@ def cdc_chunks(df: DataFrame, k: int = 8, divisor: int = 64,
     base = df.select(F.col(id_col), text.alias("_t"),
                      F.length(text).alias("_len"))
 
-    # candidate cut positions: end offsets i = k .. len whose k-gram hash
-    # hits the pattern, plus the sentinel cut at len (closes the last
-    # chunk; array_distinct collapses it when i=len already cut)
-    pos = base.select(
-        id_col, "_t", "_len",
-        F.explode(F.array_distinct(F.concat(
-            F.filter(
-                F.transform(
-                    F.sequence(F.lit(k), F.greatest("_len", F.lit(k))),
-                    lambda i: F.when(
-                        (i <= F.col("_len"))
-                        & (_gram_hash_u32(F.substring(F.col("_t"),
-                                                      (i - k + 1).cast("int"),
-                                                      k)) % divisor == 0),
-                        i).otherwise(F.lit(None))),
-                lambda x: x.isNotNull()),
-            F.array(F.col("_len"))))).alias("cut"))
+    # Candidate cut positions: explode offsets FIRST and compute the
+    # gram hash post-explode, inside the same codegen stage as the
+    # filter — no per-row array of positions or grams is ever
+    # materialized (a transform-then-explode would hold an O(len) array
+    # per document row, an executor-OOM / 2^31-element risk on multi-MB
+    # documents).  Only the tiny (id, cut) rows survive into the window
+    # shuffle; the document text rejoins ONCE PER CHUNK afterwards —
+    # the old shape carried the full text on every boundary row, i.e.
+    # O(len²/divisor) bytes per document through the shuffle.
+    interior = (base
+                .select(id_col, "_t", "_len",
+                        F.explode(F.sequence(
+                            F.lit(k), F.greatest("_len", F.lit(k))))
+                        .alias("i"))
+                .filter((F.col("i") < F.col("_len"))
+                        & (_gram_hash_u32(
+                            F.expr(f"substring(_t, i - {k} + 1, {k})"))
+                           % divisor == 0))
+                .select(id_col, F.col("i").alias("cut")))
+    # sentinel cut at len closes the last chunk (interior excludes
+    # i == len, so the union is exactly the distinct cut set)
+    sentinel = base.select(id_col, F.col("_len").alias("cut"))
+    cuts = interior.unionByName(sentinel)
 
     w = Window.partitionBy(id_col).orderBy("cut")
-    chunks = (pos
+    bounds = (cuts
               .withColumn("chunk_no",
                           F.row_number().over(w))
               .withColumn("start",
                           F.coalesce(F.lag("cut").over(w) + 1, F.lit(1)))
-              .withColumn("chunk_len", F.col("cut") - F.col("start") + 1)
+              .withColumn("chunk_len", F.col("cut") - F.col("start") + 1))
+    chunks = (bounds
+              .join(base.select(id_col, "_t"), id_col)
               .withColumn("chunk_md5",
                           F.md5(F.expr("substring(_t, start, chunk_len)"))))
     return chunks.select(id_col, "chunk_no", "start", "chunk_len",

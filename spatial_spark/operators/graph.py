@@ -381,15 +381,24 @@ def _driver_tarjan(nodes: list, edge_pairs: list) -> dict:
 
 
 def _min_reach_labels(nodes: DataFrame, edges: DataFrame,
-                      max_rounds: int) -> DataFrame:
+                      max_rounds: int) -> tuple[DataFrame, bool]:
     """min-label DIRECTED reachability fixpoint: label(v) = min node id
     with a path to v along ``edges`` (including v itself).  Plain
     propagation — one edges⋈labels + groupBy(dst) per round, O(longest
     shortest-path) rounds (pointer jumping does not apply to directed
     reachability; the peel loop bounds how much of the graph is live).
-    Lineage-truncated per round."""
+    Lineage-truncated per round.
+
+    Returns ``(labels, converged)``.  ``converged`` is False when the
+    round budget ran out while labels were still changing — the labels
+    are then window-local minima, NOT the fixpoint, and MUST NOT be
+    used to settle SCCs (a directed ring longer than ``max_rounds``
+    would make every node see only itself both ways and settle as a
+    wrong singleton).  The caller mirrors the max_peels rail: warn and
+    leave the peel unsettled instead of returning wrong labels."""
     labels = (nodes.withColumn("lab", F.col("node"))
               .localCheckpoint(eager=True))
+    changed = 0
     for _ in range(max_rounds):
         upd = (edges.join(labels,
                           edges["src"] == labels["node"])
@@ -417,7 +426,7 @@ def _min_reach_labels(nodes: DataFrame, edges: DataFrame,
         labels = new_labels
         if changed == 0:
             break
-    return labels
+    return labels, changed == 0
 
 
 def strongly_connected_components(edges: DataFrame, src: str = "src",
@@ -466,12 +475,28 @@ def strongly_connected_components(edges: DataFrame, src: str = "src",
     for _ in range(max_peels):
         if active_nodes.limit(1).count() == 0:
             break
-        fwd = _min_reach_labels(active_nodes, active_edges, max_rounds)
-        bwd = _min_reach_labels(
+        fwd, fwd_ok = _min_reach_labels(active_nodes, active_edges,
+                                        max_rounds)
+        bwd, bwd_ok = _min_reach_labels(
             active_nodes,
             active_edges.select(F.col("dst").alias("src"),
                                 F.col("src").alias("dst")),
             max_rounds)
+        if not (fwd_ok and bwd_ok):
+            # Truncated reachability minima can WRONGLY satisfy F==B
+            # (window-local minimum on paths longer than max_rounds) —
+            # settling from them would return silently split SCCs.
+            # Mirror the max_peels rail: warn + leave the live subgraph
+            # unsettled (warn-not-wrong).
+            import warnings as _w
+            remaining = active_nodes.count()
+            _w.warn(
+                f"strongly_connected_components: min-label fixpoint did "
+                f"not converge within max_rounds={max_rounds}; leaving "
+                f"{remaining} nodes unsettled — raise max_rounds for "
+                f"graphs with directed paths longer than the budget",
+                RuntimeWarning)
+            break
         joined = (fwd.withColumnRenamed("lab", "f")
                   .join(bwd.withColumnRenamed("lab", "b"), "node"))
         settled = (joined.filter(F.col("f") == F.col("b"))

@@ -281,14 +281,30 @@ def build_kmv(df: DataFrame, key_col: str = "text", k: int = 256,
         F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10).cast("long")
     if group_col is None:
         hashes = df.select(v.alias("h")).distinct()
+        # Per-partition bottom-k FIRST (window keyed by the physical
+        # partition id — P parallel groups), so the final global window
+        # orders at most k·P survivor rows instead of funneling every
+        # distinct hash of the corpus through one task.  The result is
+        # identical by merge == rebuild: the global bottom-k of the
+        # union of per-partition bottom-k's is the bottom-k of the set.
+        pre_w = Window.partitionBy("_pid").orderBy("h")
+        pre = (hashes.withColumn("_pid", F.spark_partition_id())
+               .withColumn("_ppos", F.row_number().over(pre_w))
+               .filter(F.col("_ppos") <= k).select("h"))
         w = Window.orderBy("h")
-        out = (hashes.withColumn("pos", F.row_number().over(w))
+        out = (pre.withColumn("pos", F.row_number().over(w))
                .filter(F.col("pos") <= k).select("pos", "h"))
         return out
     hashes = (df.select(F.col(group_col).alias("grp"), v.alias("h"))
               .distinct())
+    # same pre-cut per (group, physical partition): bounds the per-group
+    # window input at k·P rows even for groups with huge key sets
+    pre_w = Window.partitionBy("grp", "_pid").orderBy("h")
+    pre = (hashes.withColumn("_pid", F.spark_partition_id())
+           .withColumn("_ppos", F.row_number().over(pre_w))
+           .filter(F.col("_ppos") <= k).select("grp", "h"))
     w = Window.partitionBy("grp").orderBy("h")
-    return (hashes.withColumn("pos", F.row_number().over(w))
+    return (pre.withColumn("pos", F.row_number().over(w))
             .filter(F.col("pos") <= k).select("grp", "pos", "h"))
 
 

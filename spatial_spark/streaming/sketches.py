@@ -209,11 +209,20 @@ def stream_quantile_sketch(stream_df: DataFrame, value_col: str,
 
     spark = stream_df.sparkSession
     tag_path = state_path + "_epoch.json"
+    ckpt_key = os.path.abspath(checkpoint)
 
     def state_tag() -> int:
+        # Epoch ids are only meaningful WITHIN one checkpoint: a fresh
+        # checkpoint restarts them at 0, so the replay guard must match
+        # on (checkpoint, epoch), not the bare number — otherwise a new
+        # stream over NEW data reusing state_path silently drops every
+        # batch whose restarted epoch id <= the recorded tag.
         try:
             with open(tag_path) as fh:
-                return int(json.load(fh)["epoch"])
+                tag = json.load(fh)
+            if tag.get("checkpoint") != ckpt_key:
+                return -1                # new checkpoint: tag reset
+            return int(tag["epoch"])
         except (OSError, ValueError, KeyError):
             return -1
 
@@ -228,7 +237,7 @@ def stream_quantile_sketch(stream_df: DataFrame, value_col: str,
         shutil.rmtree(old, ignore_errors=True)
         ttmp = tag_path + ".tmp"
         with open(ttmp, "w") as fh:
-            json.dump({"epoch": int(epoch_id)}, fh)
+            json.dump({"epoch": int(epoch_id), "checkpoint": ckpt_key}, fh)
         os.rename(ttmp, tag_path)
 
     def fold_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -286,11 +295,18 @@ def stream_kmv_sketch(stream_df: DataFrame, key_col: str,
 
     spark = stream_df.sparkSession
     tag_path = state_path + "_epoch.json"
+    ckpt_key = os.path.abspath(checkpoint)
 
     def state_tag() -> int:
+        # match on (checkpoint, epoch) — epoch ids restart at 0 under a
+        # fresh checkpoint, so a bare-number guard would silently drop
+        # new batches (see stream_quantile_sketch for the full note)
         try:
             with open(tag_path) as fh:
-                return int(json.load(fh)["epoch"])
+                tag = json.load(fh)
+            if tag.get("checkpoint") != ckpt_key:
+                return -1                # new checkpoint: tag reset
+            return int(tag["epoch"])
         except (OSError, ValueError, KeyError):
             return -1
 
@@ -305,7 +321,7 @@ def stream_kmv_sketch(stream_df: DataFrame, key_col: str,
         shutil.rmtree(old, ignore_errors=True)
         ttmp = tag_path + ".tmp"
         with open(ttmp, "w") as fh:
-            json.dump({"epoch": int(epoch_id)}, fh)
+            json.dump({"epoch": int(epoch_id), "checkpoint": ckpt_key}, fh)
         os.rename(ttmp, tag_path)
 
     def fold_batch(batch_df: DataFrame, epoch_id: int) -> None:

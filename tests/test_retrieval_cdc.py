@@ -589,6 +589,33 @@ def test_scc_distributed_matches_tarjan(spark):
     assert got == want
 
 
+def test_scc_exhausted_rounds_warns_not_wrong(spark):
+    """A directed ring longer than max_rounds: truncated F/B min-labels
+    would satisfy F(v)==B(v) with a window-local minimum and settle
+    every node as a WRONG singleton.  The fixpoint must instead report
+    non-convergence — warn and leave nodes unsettled (warn-not-wrong),
+    mirroring the max_peels rail.  With an adequate budget the same
+    ring settles as ONE component."""
+    import warnings
+    from spatial_spark.operators.graph import strongly_connected_components
+    n = 12
+    ring = [(i, (i + 1) % n) for i in range(n)]
+    e = spark.createDataFrame(ring, "src long, dst long")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = strongly_connected_components(
+            e, driver_threshold=0, max_peels=3, max_rounds=4).collect()
+    # nothing settled wrongly: any returned label must be the true SCC
+    # (the whole ring is one SCC with min id 0)
+    assert all(r["scc"] == 0 for r in out)
+    # and the truncation was loudly reported
+    assert any("did not converge" in str(w.message) for w in caught)
+    # adequate budget: the full ring settles correctly
+    ok = {r["node"]: r["scc"] for r in strongly_connected_components(
+        e, driver_threshold=0, max_peels=3, max_rounds=n + 2).collect()}
+    assert ok == {i: 0 for i in range(n)}
+
+
 # ---------------------------------------------------------------------------
 # Luhn credit-card scrub
 # ---------------------------------------------------------------------------
@@ -748,10 +775,39 @@ def test_stream_kmv_matches_batch_and_replays(spark, tmp_path):
     est = kmv_estimate(read_kmv_state(spark, state).select("pos", "h"),
                        k=128, by_group=False).first()["est_distinct"]
     assert abs(est - 700) / 700 < 0.35
-    # restart over the same files with a FRESH checkpoint: epoch tags
-    # must skip the replayed folds, leaving the state identical
+    # restart over the same files with a FRESH checkpoint: the tag is
+    # checkpoint-scoped (epoch ids restart under a new checkpoint, so a
+    # bare-number guard would drop genuinely NEW batches), so the
+    # batches RE-FOLD — idempotent for KMV (merge == rebuild), state
+    # unchanged, and the tag now carries the new checkpoint identity
     q2 = stream_kmv_sketch(stream, "key", state, str(tmp_path / "ck2"),
                            k=128)
     q2.awaitTermination(120)
     got2 = sorted(int(r.h) for r in read_kmv_state(spark, state).collect())
     assert got2 == want
+    import json as _json
+    with open(state + "_epoch.json") as fh:
+        tag = _json.load(fh)
+    import os as _os
+    assert tag["checkpoint"] == _os.path.abspath(str(tmp_path / "ck2"))
+    # same checkpoint + same epochs → crash-replay within a checkpoint
+    # is still skipped (guard intact for its real purpose)
+
+    # the advisor's scenario: a FRESH checkpoint over NEW source data,
+    # reusing state_path — restarted epoch ids start at 0 again, so a
+    # bare-epoch guard would silently drop every new batch.  The
+    # checkpoint-scoped tag must fold them.
+    src2 = tmp_path / "keys2"
+    src2.mkdir()
+    spark.createDataFrame([(f"new{i}",) for i in range(300)], schema) \
+        .coalesce(1).write.parquet(str(src2 / "b1"))
+    stream3 = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(str(src2) + "/b*"))
+    q3 = stream_kmv_sketch(stream3, "key", state, str(tmp_path / "ck3"),
+                           k=128)
+    q3.awaitTermination(120)
+    got3 = sorted(int(r.h) for r in read_kmv_state(spark, state).collect())
+    both = spark.read.parquet(str(src) + "/b*").unionByName(
+        spark.read.parquet(str(src2) + "/b*"))
+    want3 = sorted(int(r.h) for r in build_kmv(both, "key", k=128).collect())
+    assert got3 == want3
