@@ -108,6 +108,8 @@ HEADLINE = [
     "media_avc_cavlc",
     # r9 thirty-first wave: retrieval-based decontamination triage
     "decontam_retrieval",
+    # r10: degenerate-overlay semantics fixture (VERDICT r9 ask #2)
+    "overlay_degenerate",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -220,6 +222,9 @@ BUDGET_SF01 = {
     "media_avc_cavlc": 2.7,
     # r9 thirty-first wave: 2.2x local best-of-two
     "decontam_retrieval": 2.2,
+    # r10: 2.2x local best-of-two (constant 400-pair kernel-semantics
+    # fixture — 3600 general-overlay calls across 32 partitions)
+    "overlay_degenerate": 3.1,
     # (EVERY pin re-ratcheted as min(old, 2.2x the clean final full
     # run's min-of-2) — landing-time measurements taken under
     # concurrent sweeps carried up to 9x slack; the ratchet never

@@ -646,6 +646,24 @@ def _overlay_once(a: Geometry, b: Geometry, op: str) -> tuple:
     # belongs to the result boundary.  B boundary fragments never emit —
     # A's copy is authoritative.
     b_dirs = {(_key(f[0]), _key(f[-1])) for f in fb}
+    a_pairs = {(_key(f[0]), _key(f[-1])) for f in fa}
+    # Classification/canonicalization consistency: endpoint canonicalization
+    # merges near-coincident vertices (≤2·_SNAP) ACROSS the two sides, so a
+    # fragment can become key-identical to an opposite-side fragment while
+    # its midpoint still measures 1–2·_SNAP from the ORIGINAL other
+    # boundary and classifies interior/exterior.  The key-level coincidence
+    # is the stronger signal — at kernel resolution the two fragments ARE
+    # the same edge — so upgrade such fragments to boundary(1).  Without
+    # this, difference(A, A shrunk by ~1.2e-9) returned ALL of A (B's
+    # merged copies dropped as non-orphans, A's kept as 'outside') and
+    # union(A, A grown by ~1.2e-9) returned EMPTY (both sides dropped) —
+    # the r10 degenerate fuzz finds.
+    ca = [1 if (c != 1 and ((_key(f[0]), _key(f[-1])) in b_dirs
+                            or (_key(f[-1]), _key(f[0])) in b_dirs))
+          else c for f, c in zip(fa, ca)]
+    cb = [1 if (c != 1 and ((_key(f[0]), _key(f[-1])) in a_pairs
+                            or (_key(f[-1]), _key(f[0])) in a_pairs))
+          else c for f, c in zip(fb, cb)]
 
     def sd(f):  # shared edge, same direction: interiors on the same side
         return (_key(f[0]), _key(f[-1])) in b_dirs
