@@ -110,6 +110,9 @@ HEADLINE = [
     "decontam_retrieval",
     # r10: degenerate-overlay semantics fixture (VERDICT r9 ask #2)
     "overlay_degenerate",
+    # r10: streaming KMV twin under the hard gate (VERDICT r9 ask #4) —
+    # a real 5-micro-batch Structured Streaming run per invocation
+    "kmv_stream",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -225,6 +228,9 @@ BUDGET_SF01 = {
     # r10: 2.2x local best-of-two (constant 400-pair kernel-semantics
     # fixture — 3600 general-overlay calls across 32 partitions)
     "overlay_degenerate": 3.1,
+    # r10: 2.2x local best-of-two (capped 200-doc fixture; cost = the 5
+    # micro-batch folds + slice writes, not scan throughput)
+    "kmv_stream": 8.8,
     # (EVERY pin re-ratcheted as min(old, 2.2x the clean final full
     # run's min-of-2) — landing-time measurements taken under
     # concurrent sweeps carried up to 9x slack; the ratchet never

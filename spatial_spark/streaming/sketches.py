@@ -289,13 +289,25 @@ def stream_kmv_sketch(stream_df: DataFrame, key_col: str,
     the persisted sketch by keeping the k smallest of the union
     (merge == rebuild is KMV's defining property, so the stream state
     equals the batch sketch of everything ever seen — pinned in tests),
-    and the state publishes via write-temp + atomic rename,
-    epoch-tagged so a crash/replay never re-folds a batch."""
+    and the state publishes via write-temp + atomic swap, epoch-tagged
+    so a crash/replay never re-folds a batch.
+
+    Driver-side economy: the state is at most k integers, so the fold
+    keeps a driver cache of it (disk is read only on the first batch /
+    after a restart) and publishes with a direct pyarrow parquet FILE
+    write + os.replace — the per-batch cost is ONE Spark job (the
+    distributed bottom-k), not four.  A legacy directory-layout state
+    (pre-r10 Spark-written) is read fine and swapped to the file layout
+    on the next publish."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     from ..operators.sketch import build_kmv
 
     spark = stream_df.sparkSession
     tag_path = state_path + "_epoch.json"
     ckpt_key = os.path.abspath(checkpoint)
+    cache: dict = {"hashes": None}   # driver twin of the <=k-row state
 
     def state_tag() -> int:
         # match on (checkpoint, epoch) — epoch ids restart at 0 under a
@@ -310,37 +322,43 @@ def stream_kmv_sketch(stream_df: DataFrame, key_col: str,
         except (OSError, ValueError, KeyError):
             return -1
 
-    def publish(rows_df, epoch_id: int) -> None:
+    def load_prior() -> list:
+        if cache["hashes"] is None:
+            prior = read_kmv_state(spark, state_path)
+            cache["hashes"] = ([] if prior is None
+                               else sorted(int(r.h) for r in prior.collect()))
+        return cache["hashes"]
+
+    def publish(keep: list, epoch_id: int) -> None:
+        tbl = pa.table({
+            "pos": pa.array(range(1, len(keep) + 1), pa.int32()),
+            "h": pa.array(keep, pa.int64())})
         tmp = state_path + ".tmp"
-        rows_df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        old = state_path + ".old"
-        if os.path.exists(state_path):
+        pq.write_table(tbl, tmp)
+        if os.path.isdir(state_path):    # legacy dir layout: swap out
+            old = state_path + ".old"
             shutil.rmtree(old, ignore_errors=True)
             os.rename(state_path, old)
-        os.rename(tmp, state_path)
-        shutil.rmtree(old, ignore_errors=True)
+            os.rename(tmp, state_path)
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.replace(tmp, state_path)  # atomic file swap
         ttmp = tag_path + ".tmp"
         with open(ttmp, "w") as fh:
             json.dump({"epoch": int(epoch_id), "checkpoint": ckpt_key}, fh)
         os.rename(ttmp, tag_path)
+        cache["hashes"] = keep
 
     def fold_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if epoch_id <= state_tag():
-            return
-        if batch_df.isEmpty():
             return
         batch_hashes = [int(r.h) for r in
                         build_kmv(batch_df, key_col, k=k).collect()]
         if not batch_hashes:
             return
-        merged = set(batch_hashes)
-        prior = read_kmv_state(spark, state_path)
-        if prior is not None:
-            merged |= {int(r.h) for r in prior.collect()}
+        merged = set(batch_hashes) | set(load_prior())
         keep = sorted(merged)[:k]
-        publish(spark.createDataFrame(
-            [(i + 1, h) for i, h in enumerate(keep)], "pos int, h long"),
-            epoch_id)
+        publish(keep, epoch_id)
 
     writer = stream_df.writeStream.foreachBatch(fold_batch) \
         .option("checkpointLocation", checkpoint)
