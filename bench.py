@@ -113,6 +113,8 @@ HEADLINE = [
     # r10: streaming KMV twin under the hard gate (VERDICT r9 ask #4) —
     # a real 5-micro-batch Structured Streaming run per invocation
     "kmv_stream",
+    # r10: IVF recall contract on clustered embeddings (VERDICT r9 #5)
+    "ivf_recall",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -231,6 +233,9 @@ BUDGET_SF01 = {
     # r10: 2.2x local best-of-two (capped 200-doc fixture; cost = the 5
     # micro-batch folds + slice writes, not scan throughput)
     "kmv_stream": 8.8,
+    # r10: 2.2x local best-of-two (2000-vector recall fixture: one
+    # assign + 4 top-k scans)
+    "ivf_recall": 3.9,
     # (EVERY pin re-ratcheted as min(old, 2.2x the clean final full
     # run's min-of-2) — landing-time measurements taken under
     # concurrent sweeps carried up to 9x slack; the ratchet never
