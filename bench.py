@@ -115,6 +115,8 @@ HEADLINE = [
     "kmv_stream",
     # r10: IVF recall contract on clustered embeddings (VERDICT r9 #5)
     "ivf_recall",
+    # r10: AAC-LC mp4a decode through the real IMDCT filterbank (#6)
+    "media_aac",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -236,6 +238,9 @@ BUDGET_SF01 = {
     # r10: 2.2x local best-of-two (2000-vector recall fixture: one
     # assign + 4 top-k scans)
     "ivf_recall": 3.9,
+    # r10: 2.2x local best-of-two (48-container fixture: mux + sample
+    # table + AAC syntax + 1024x2048 IMDCT per frame)
+    "media_aac": 3.2,
     # (EVERY pin re-ratcheted as min(old, 2.2x the clean final full
     # run's min-of-2) — landing-time measurements taken under
     # concurrent sweeps carried up to 9x slack; the ratchet never

@@ -2643,3 +2643,257 @@ def encode_h264_i16_ac(img: np.ndarray, qp: int = 28) -> bytes:
                     np.clip(pred + r, 0, 255)
     body = wtr.bytes_aligned()
     return body[:1] + _insert_emulation(body[1:])
+
+
+# ---------------------------------------------------------------------------
+# AAC-LC (ISO/IEC 14496-3 §4) — the mp4a payload route (r10, VERDICT r9
+# ask #6).  Implemented from the public spec math, first principles:
+#
+#   * raw_data_block / SCE / ics_info / section_data SYNTAX walk
+#     (§4.4.1-4.4.2), FIL skipping, END + byte alignment;
+#   * the complete sub-entropy DECODE pipELINE: inverse quantization
+#     sign(q)·|q|^(4/3) (§4.6.2), scalefactor gains 2^{0.25·(sf−100)}
+#     (§4.6.3), the N=2048 long-window IMDCT with sine and
+#     Kaiser-Bessel-derived windows and 50% overlap-add (§4.6.11) —
+#     all pinned by closed forms (TDAC perfect reconstruction,
+#     single-bin cosine) in tests;
+#   * Huffman-FREE frames decode end to end: all-ZERO_HCB sections (or
+#     max_sfb = 0) carry no scalefactor/spectral Huffman codes, so a
+#     conformant digital-silence frame with a real per-frame
+#     global_gain parses and synthesizes natively.
+#
+# THE REMAINING SEAM, precisely: the spectral Huffman codebooks 1-11
+# and the scalefactor codebook are NORMATIVE CONSTANT TABLES
+# (14496-3 Table 4.A.x) — hundreds of explicit (length, codeword)
+# pairs that cannot be re-derived from first principles (they are not
+# canonical codes).  Reproducing them from memory risks a silently
+# NONCONFORMANT codec that only round-trips against itself, which is
+# worse than an honest seam — so the first entropy-coded section
+# raises NotImplementedError here, exactly as CABAC does on the video
+# side.  Everything below the entropy layer is real and tested.
+# ---------------------------------------------------------------------------
+AAC_FRAME_LEN = 1024
+_AAC_SF_OFFSET = 100
+_AAC_IMDCT_CACHE: dict = {}
+
+
+def aac_dequantize(q: np.ndarray, sf: int | np.ndarray) -> np.ndarray:
+    """§4.6.2/4.6.3: sign(q)·|q|^(4/3) · 2^{0.25·(sf − 100)}."""
+    q = np.asarray(q, dtype=np.float64)
+    gain = 2.0 ** (0.25 * (np.asarray(sf, dtype=np.float64)
+                           - _AAC_SF_OFFSET))
+    return np.sign(q) * np.abs(q) ** (4.0 / 3.0) * gain
+
+
+def _aac_imdct_matrix(n: int) -> np.ndarray:
+    m = _AAC_IMDCT_CACHE.get(n)
+    if m is None:
+        n0 = (n / 2.0 + 1.0) / 2.0
+        ns = np.arange(n)[:, None] + n0
+        ks = np.arange(n // 2)[None, :] + 0.5
+        m = np.cos(2.0 * np.pi / n * ns * ks)   # (n, n/2)
+        _AAC_IMDCT_CACHE[n] = m
+    return m
+
+
+def aac_imdct(spec: np.ndarray, n: int = 2048) -> np.ndarray:
+    """§4.6.11.1: x[i] = (2/N) Σ_k spec[k] cos(2π/N (i + n0)(k + ½)),
+    n0 = (N/2 + 1)/2 — the long-window inverse MDCT (N=2048)."""
+    spec = np.asarray(spec, dtype=np.float64)
+    if spec.shape != (n // 2,):
+        raise ValueError(f"AAC IMDCT expects {n // 2} coefficients")
+    return (2.0 / n) * (_aac_imdct_matrix(n) @ spec)
+
+
+def aac_mdct(x: np.ndarray, n: int = 2048) -> np.ndarray:
+    """Forward MDCT twin (analysis; test/encoder helper): X[k] =
+    2 Σ_i x[i] cos(2π/N (i + n0)(k + ½)).  With a Princen-Bradley
+    window (sine/KBD: w[i]² + w[i+N/2]² = 1) applied on both sides,
+    IMDCT + 50% overlap-add reconstructs the input exactly (TDAC) —
+    pinned in tests."""
+    x = np.asarray(x, dtype=np.float64)
+    if x.shape != (n,):
+        raise ValueError(f"AAC MDCT expects {n} samples")
+    return 2.0 * (_aac_imdct_matrix(n).T @ x)
+
+
+def aac_window(shape: int = 0, n: int = 2048) -> np.ndarray:
+    """§4.6.11.2 long windows: shape 0 = sine  sin(π/N (i + ½));
+    shape 1 = Kaiser-Bessel-derived, α = 4 for the long transform
+    (w[i] = sqrt(cumsum(kernel)/sum(kernel)), kernel = I0-Kaiser)."""
+    if shape == 0:
+        return np.sin(np.pi / n * (np.arange(n) + 0.5))
+    alpha = 4.0
+    half = n // 2
+    j = np.arange(half + 1)
+    kern = np.i0(np.pi * alpha
+                 * np.sqrt(1.0 - ((j - half / 2.0) / (half / 2.0)) ** 2))
+    cum = np.cumsum(kern)
+    left = np.sqrt(cum[:half] / cum[half])
+    return np.concatenate([left, left[::-1]])
+
+
+def aac_overlap_add(frames: list, shapes: list | None = None) -> np.ndarray:
+    """Windowed IMDCT outputs → PCM via 50% overlap-add (§4.6.11): the
+    i-th 1024-sample output block is the saved second half of frame
+    i−1 plus the first half of frame i (standard one-frame priming:
+    the very first block overlaps with zeros)."""
+    n = 2 * AAC_FRAME_LEN
+    out = np.zeros(len(frames) * AAC_FRAME_LEN, dtype=np.float64)
+    prev = np.zeros(AAC_FRAME_LEN)
+    for i, spec in enumerate(frames):
+        shape = 0 if shapes is None else shapes[i]
+        z = aac_imdct(np.asarray(spec, dtype=np.float64), n) \
+            * aac_window(shape, n)
+        out[i * AAC_FRAME_LEN:(i + 1) * AAC_FRAME_LEN] = \
+            prev + z[:AAC_FRAME_LEN]
+        prev = z[AAC_FRAME_LEN:]
+    return out
+
+
+def encode_aac_lc_frame(global_gain: int, window_shape: int = 0,
+                        max_sfb: int = 0, tag: int = 0) -> bytes:
+    """One conformant AAC-LC raw_data_block (mono SCE + END, §4.4.1):
+    a digital-silence frame — ``max_sfb`` bands all sectioned as
+    ZERO_HCB (no scalefactor/spectral Huffman data exists for zero
+    sections, so the frame is entropy-free yet fully conformant; any
+    player decodes it to silence).  global_gain is REAL per-frame
+    bitstream state the decoder must recover."""
+    if not (0 <= global_gain <= 255):
+        raise ValueError("global_gain out of range")
+    if not (0 <= max_sfb <= 30):
+        raise ValueError("max_sfb: this silence encoder emits one "
+                         "non-escaped section (len < 31)")
+    w = _EgBitWriter()
+    w.write(0, 3)                   # id_syn_ele = SCE
+    w.write(tag, 4)                 # element_instance_tag
+    w.write(global_gain, 8)
+    w.write(0, 1)                   # ics_reserved_bit
+    w.write(0, 2)                   # window_sequence = ONLY_LONG
+    w.write(window_shape, 1)
+    w.write(max_sfb, 6)
+    w.write(0, 1)                   # predictor_data_present (LC: none)
+    if max_sfb:                     # one ZERO_HCB section covers all sfb
+        w.write(0, 4)               # sect_cb = ZERO_HCB
+        w.write(max_sfb, 5)         # sect_len_incr (long windows: 5 bits)
+    w.write(0, 1)                   # pulse_data_present
+    w.write(0, 1)                   # tns_data_present
+    w.write(0, 1)                   # gain_control_data_present
+    w.write(7, 3)                   # id_syn_ele = END
+    bits = w.bits + [0] * ((-len(w.bits)) % 8)   # §4.4.1 byte_alignment
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        b = 0
+        for bit in bits[i:i + 8]:
+            b = (b << 1) | bit
+        out.append(b)
+    return bytes(out)
+
+
+def decode_aac_lc_frame(data: bytes) -> dict:
+    """Parse one raw_data_block (mono-SCE class).  Returns
+    ``{"global_gain", "window_shape", "window_sequence", "max_sfb",
+    "spec"}`` with ``spec`` the 1024 dequantized coefficients (zeros
+    for the entropy-free class).  Raises NotImplementedError AT the
+    entropy seam: the first non-ZERO_HCB section, EIGHT_SHORT windows,
+    pulse/TNS/gain-control tools, or CPE stereo elements."""
+    r = _EgBitReader(bytes(data))
+    info = None
+    while True:
+        ele = r.read(3)
+        if ele == 7:                # END
+            break
+        if ele == 6:                # FIL: skip
+            cnt = r.read(4)
+            if cnt == 15:
+                cnt += r.read(8) - 1
+            r.read(8 * cnt)
+            continue
+        if ele != 0:
+            raise NotImplementedError(
+                f"AAC: element {ele} (only mono SCE decodes natively; "
+                "CPE stereo tools need ffmpeg)")
+        if info is not None:
+            raise NotImplementedError("AAC: multiple SCEs per block")
+        tag = r.read(4)
+        global_gain = r.read(8)
+        r.read(1)                   # ics_reserved_bit
+        window_sequence = r.read(2)
+        window_shape = r.read(1)
+        if window_sequence == 2:    # EIGHT_SHORT_SEQUENCE
+            raise NotImplementedError(
+                "AAC: EIGHT_SHORT windows need the short-block tables")
+        max_sfb = r.read(6)
+        if r.read(1):
+            raise NotImplementedError("AAC: predictor data (not LC)")
+        k = 0
+        while k < max_sfb:          # section_data, long windows
+            sect_cb = r.read(4)
+            ln = r.read(5)
+            if ln == 31:            # sect_len escape chain
+                raise NotImplementedError(
+                    "AAC: escaped section lengths")
+            if sect_cb != 0:
+                raise NotImplementedError(
+                    "AAC: entropy-coded spectra (Huffman codebook "
+                    f"{sect_cb}) need ffmpeg — the normative codebook "
+                    "constants are not re-derivable from first "
+                    "principles (see module note)")
+            if ln == 0:
+                raise ValueError("AAC: zero-length section")
+            k += ln
+        if k > max_sfb:
+            raise ValueError("AAC: sections overrun max_sfb")
+        # all sections ZERO_HCB → no scale_factor_data, no spectra
+        if r.read(1):
+            raise NotImplementedError("AAC: pulse data")
+        if r.read(1):
+            raise NotImplementedError("AAC: TNS")
+        if r.read(1):
+            raise NotImplementedError("AAC: gain control (SSR)")
+        info = {"tag": tag, "global_gain": global_gain,
+                "window_shape": window_shape,
+                "window_sequence": window_sequence, "max_sfb": max_sfb,
+                "spec": np.zeros(AAC_FRAME_LEN, dtype=np.float64)}
+    if info is None:
+        raise ValueError("AAC: raw_data_block carries no SCE")
+    return info
+
+
+def decode_mp4_audio(buf: bytes) -> dict:
+    """REAL PCM out of an mp4a (AAC-LC) MP4 track: walk the sound
+    track's sample table, decode every raw_data_block
+    (decode_aac_lc_frame) and synthesize through the true
+    IMDCT/window/overlap-add filterbank.  Returns ``{"sample_rate",
+    "channels", "pcm", "frames"}`` where ``frames`` is
+    [(frame_no, global_gain, window_shape, max_sfb), ...].  Tracks
+    whose frames carry entropy-coded spectra raise at the documented
+    codebook seam."""
+    buf = bytes(buf)
+    tab = mp4_sample_table(buf, handler="soun")
+    codec = (tab["codec"] or "").lower()
+    if codec != "mp4a":
+        raise NotImplementedError(
+            f"MP4 audio: codec {tab['codec']!r} (only AAC-LC mp4a "
+            "decodes natively)")
+    meta = parse_mp4_meta(buf)
+    rate, channels = None, None
+    for t in meta.get("tracks", []):
+        if t.get("type") == "soun":
+            rate = t.get("sample_rate")
+            channels = t.get("channels")
+    infos = []
+    specs = []
+    shapes = []
+    for f, (off, size) in enumerate(tab["samples"]):
+        if size <= 0 or off + size > len(buf):
+            raise ValueError(f"MP4: audio sample {f} outside mdat")
+        d = decode_aac_lc_frame(buf[off:off + size])
+        infos.append((f, d["global_gain"], d["window_shape"],
+                      d["max_sfb"]))
+        gain = 2.0 ** (0.25 * (d["global_gain"] - _AAC_SF_OFFSET))
+        specs.append(d["spec"] * gain)
+        shapes.append(d["window_shape"])
+    pcm = aac_overlap_add(specs, shapes) if specs else np.zeros(0)
+    return {"sample_rate": rate, "channels": channels, "pcm": pcm,
+            "frames": infos}

@@ -3212,6 +3212,137 @@ def test_stream_quantile_sketch_matches_model_and_replays(spark, tmp_path):
 # ---------------------------------------------------------------------------
 # H.264 I_PCM route (codecs.encode_h264_ipcm / decode_h264_ipcm)
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# AAC-LC route (codecs.aac_* / decode_mp4_audio) — r10, VERDICT r9 ask #6
+# ---------------------------------------------------------------------------
+def test_aac_windows_and_tdac():
+    """Both long windows satisfy the Princen-Bradley condition
+    w[i]² + w[i+N/2]² = 1 exactly, and MDCT → IMDCT → 50% overlap-add
+    reconstructs random audio to machine precision (TDAC) — the
+    closed-form contract of the §4.6.11 filterbank."""
+    import numpy as np
+    from spatial_spark.operators.codecs import (aac_mdct, aac_overlap_add,
+                                                aac_window)
+    rng = np.random.default_rng(3)
+    L = 1024
+    x = rng.normal(size=5 * L)
+    xs = np.concatenate([np.zeros(L), x, np.zeros(L)])
+    for shape in (0, 1):
+        w = aac_window(shape)
+        assert np.abs(w[:L] ** 2 + w[L:] ** 2 - 1).max() < 1e-12
+        specs = [aac_mdct(xs[i * L:i * L + 2 * L] * w)
+                 for i in range((len(xs) - L) // L)]
+        y = aac_overlap_add(specs, [shape] * len(specs))
+        assert np.abs(y[L:L + 3 * L] - x[:3 * L]).max() < 1e-9, shape
+
+
+def test_aac_imdct_single_bin_closed_form():
+    """One nonzero spectral bin k produces exactly the §4.6.11.1 basis
+    cosine (2/N)·cos(2π/N (i + n0)(k + ½)), n0 = (N/2 + 1)/2."""
+    import numpy as np
+    from spatial_spark.operators.codecs import aac_imdct
+    N = 2048
+    n0 = (N / 2 + 1) / 2
+    for k in (0, 7, 511, 1023):
+        spec = np.zeros(N // 2)
+        spec[k] = 1.0
+        want = (2.0 / N) * np.cos(
+            2 * np.pi / N * (np.arange(N) + n0) * (k + 0.5))
+        assert np.abs(aac_imdct(spec) - want).max() < 1e-15
+
+
+def test_aac_dequantize():
+    """§4.6.2/4.6.3 closed forms: |q|^(4/3) with sign, gain
+    2^{0.25(sf−100)} (so sf=104 doubles, sf=96 halves)."""
+    import numpy as np
+    from spatial_spark.operators.codecs import aac_dequantize
+    assert np.allclose(aac_dequantize(np.array([8, -8, 0, 1]), 100),
+                       [16.0, -16.0, 0.0, 1.0])
+    assert np.allclose(aac_dequantize(np.array([8]), 104), [32.0])
+    assert np.allclose(aac_dequantize(np.array([8]), 96), [8.0])
+    assert np.allclose(aac_dequantize(np.array([27]), 100),
+                       [27.0 ** (4.0 / 3.0)])
+
+
+def test_aac_frame_roundtrip_and_seams():
+    """Huffman-free raw_data_blocks (SCE + ZERO_HCB sections + END)
+    round-trip every field; the documented seams RAISE exactly:
+    entropy-coded sections, EIGHT_SHORT windows, CPE elements.  FIL
+    elements are skipped."""
+    import numpy as np
+    import pytest
+    from spatial_spark.operators.codecs import (_EgBitWriter,
+                                                decode_aac_lc_frame,
+                                                encode_aac_lc_frame)
+    for gg, msfb, shp in [(0, 0, 0), (100, 1, 1), (255, 30, 0),
+                          (57, 12, 1)]:
+        d = decode_aac_lc_frame(encode_aac_lc_frame(gg, shp, msfb))
+        assert (d["global_gain"], d["window_shape"], d["max_sfb"]) == \
+            (gg, shp, msfb)
+        assert d["window_sequence"] == 0
+        assert not np.any(d["spec"])
+
+    def frame(sect_cb=0, wseq=0, ele=0, fil_first=False):
+        w = _EgBitWriter()
+        if fil_first:               # FIL element before the SCE
+            w.write(6, 3)
+            w.write(2, 4)
+            w.write(0xABCD, 16)
+        w.write(ele, 3)
+        w.write(0, 4)
+        w.write(90, 8)
+        w.write(0, 1)
+        w.write(wseq, 2)
+        w.write(0, 1)
+        w.write(2 if wseq != 2 else 0, 6)
+        if wseq != 2:
+            w.write(0, 1)
+            w.write(sect_cb, 4)
+            w.write(2, 5)
+            w.write(0, 3)           # pulse/tns/gain absent
+        w.write(7, 3)
+        bits = w.bits + [0] * ((-len(w.bits)) % 8)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for bit in bits[i:i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+        return bytes(out)
+
+    assert decode_aac_lc_frame(frame(fil_first=True))["global_gain"] == 90
+    with pytest.raises(NotImplementedError, match="codebook 5"):
+        decode_aac_lc_frame(frame(sect_cb=5))
+    with pytest.raises(NotImplementedError, match="EIGHT_SHORT"):
+        decode_aac_lc_frame(frame(wseq=2))
+    with pytest.raises(NotImplementedError, match="element 1"):
+        decode_aac_lc_frame(frame(ele=1))
+
+
+def test_aac_mp4_route():
+    """mp4a MP4 → PCM end to end: build_mp4 muxes real raw_data_blocks
+    with an esds ASC, decode_mp4_audio walks the sound sample table,
+    recovers every frame's bitstream state (per-frame global_gain /
+    window_shape / max_sfb) and synthesizes n_frames×1024 samples of
+    exact digital silence through the real filterbank."""
+    import numpy as np
+    from spatial_spark.operators.codecs import (build_aac_asc, build_esds,
+                                                build_mp4,
+                                                decode_mp4_audio,
+                                                encode_aac_lc_frame)
+    frames = [encode_aac_lc_frame(90 + 7 * i, i % 2, (i * 5) % 31)
+              for i in range(8)]
+    mp4 = build_mp4(1, 48000, 8, 48000, 1024, codec="mp4a",
+                    handler="soun", samples=frames,
+                    codec_config=build_esds(build_aac_asc(2, 48000, 1)))
+    out = decode_mp4_audio(mp4)
+    assert out["sample_rate"] == 48000 and out["channels"] == 1
+    assert out["pcm"].shape == (8 * 1024,)
+    assert not np.any(out["pcm"])
+    assert out["frames"] == [(i, 90 + 7 * i, i % 2, (i * 5) % 31)
+                             for i in range(8)]
+
+
 def test_h264_ipcm_roundtrip():
     """Gray frames round-trip bit-exactly through a REAL avc1 NAL
     (I_PCM stores raw samples; JFIF matrix maps gray to Y=v, C=128);
