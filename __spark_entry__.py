@@ -3253,6 +3253,42 @@ def _q_media_aac(spark, sf_dir) -> DataFrame:
     return mp4_audio(df).orderBy("media_id", "frame_no")
 
 
+def _q_st_length_geodesic(spark, sf_dir) -> DataFrame:
+    """Ellipsoidal (WGS84 Vincenty) path length on the hard gate
+    (VERDICT r9 ask #7; reference precedent: GeoTools'
+    GeodeticCalculator behind OrthodromicLength.java:34-75).  The Spark
+    side runs the registered st_length_geodesic UDF (the numpy kernel,
+    functions/geodesic.py) over the order paths; the oracle replays the
+    SAME fixed-8-step Vincenty procedure through the dual-engine SQL
+    (vincenty_ctes) per segment and sums per order.  Kernel-vs-SQL
+    drift is libm-ulp (pinned sub-µm in tests), absorbed by the cm
+    rounding — the st_transform_lcc contract."""
+    paths = _order_paths(spark).filter(F.col("l_orderkey") <= 1000)
+    return paths.select(
+        "l_orderkey",
+        F.expr("CAST(round(st_length_geodesic(geom) * 100) AS BIGINT)")
+        .alias("len_cm"))
+
+
+def _st_length_geodesic_oracle_sql() -> str:
+    from spatial_spark.functions.geodesic import vincenty_ctes
+    base = f"""
+        SELECT l_orderkey, px AS lon2, py AS lat2,
+               lag(px) OVER w AS lon1, lag(py) OVER w AS lat1
+        FROM (SELECT l_orderkey, l_linenumber, {LI_X} AS px, {LI_Y} AS py
+              FROM lineitem WHERE l_orderkey <= 1000)
+        WINDOW w AS (PARTITION BY l_orderkey
+                     ORDER BY l_linenumber, px, py)
+    """
+    return vincenty_ctes(base) + """
+        SELECT l_orderkey,
+               CAST(round(coalesce(sum(CASE WHEN lat1 IS NULL THEN 0.0
+                                            ELSE geodesic_m END), 0.0)
+                          * 100) AS BIGINT) AS len_cm
+        FROM _vin_out GROUP BY l_orderkey
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3287,6 +3323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_stream": _q_kmv_stream,
         "ivf_recall": _q_ivf_recall,
         "media_aac": _q_media_aac,
+        "st_length_geodesic": _q_st_length_geodesic,
         # --- r9-late gates, never driver-rowed (oldest-registered first)
         "st_transform_lcc": _q_st_transform_lcc,
         "mp4_codec_meta": _q_mp4_codec_meta,
@@ -3320,12 +3357,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_components": _q_scc_components,
         "card_scrub": _q_card_scrub,
         "ppl_buckets": _q_ppl_buckets,
-        "boolean_retrieval": _q_boolean_retrieval,
-        # (kmv_intersect, cdc_shared, media_avc_cavlc and
-        #  decontam_retrieval — the youngest-registered r9-late gates —
-        #  deferred past the window to make room for the r10 gates;
-        #  they lead the r11 window and stay judge-verified via the
-        #  full local sweep)
+        # (boolean_retrieval, kmv_intersect, cdc_shared,
+        #  media_avc_cavlc and decontam_retrieval — the youngest-
+        #  registered r9-late gates — deferred past the window to make
+        #  room for the r10 gates; they lead the r11 window and stay
+        #  judge-verified via the full local sweep)
         # --- the 13 r7-row holders at age 2 (VERDICT r9 ask #1)
         "path_length": _q_path_length,
         "pii_scrub": _q_pii_scrub,
@@ -3342,6 +3378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "property_paging": _q_property_paging,
         # ================= end of the 50-entry driver window =========
         # --- deferred r9-late gates (no rows yet): FIRST in the r11 window
+        "boolean_retrieval": _q_boolean_retrieval,
         "kmv_intersect": _q_kmv_intersect,
         "cdc_shared": _q_cdc_shared,
         "media_avc_cavlc": _q_media_avc_cavlc,
@@ -6192,6 +6229,7 @@ def oracle_sql() -> dict[str, str]:
             FROM stats
         """,
         "ivf_recall": _ivf_recall_oracle_sql(),
+        "st_length_geodesic": _st_length_geodesic_oracle_sql(),
         # mp4a AAC-LC: every output field is bit-level decoder state
         # with a closed form in the fixture index; rms of a zero
         # spectrum through the filterbank is exactly 0

@@ -117,6 +117,8 @@ HEADLINE = [
     "ivf_recall",
     # r10: AAC-LC mp4a decode through the real IMDCT filterbank (#6)
     "media_aac",
+    # r10: ellipsoidal geodesic path length, WGS84 Vincenty (#7)
+    "st_length_geodesic",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -241,6 +243,9 @@ BUDGET_SF01 = {
     # r10: 2.2x local best-of-two (48-container fixture: mux + sample
     # table + AAC syntax + 1024x2048 IMDCT per frame)
     "media_aac": 3.2,
+    # r10: 2.2x local best-of-two (1000 order paths, vectorized
+    # 8-step Vincenty per segment)
+    "st_length_geodesic": 2.6,
     # (EVERY pin re-ratcheted as min(old, 2.2x the clean final full
     # run's min-of-2) — landing-time measurements taken under
     # concurrent sweeps carried up to 9x slack; the ratchet never

@@ -168,6 +168,16 @@ def st_area(wkb: pd.Series) -> pd.Series:
     return wkb.map(lambda b: None if b is None else alg.area(from_wkb(b)))
 st_length = _u_scalar(alg.length, T.DoubleType())
 st_length_sphere = _u_scalar(alg.orthodromic_length_km, T.DoubleType())
+
+
+def _geodesic_length_m(g):
+    from .geodesic import geodesic_length_m
+    return geodesic_length_m(g)
+
+
+# ellipsoidal (WGS84 Vincenty) tier of OrthodromicLength — meters;
+# st_length_sphere stays the reference-parity default (R=6371 spherical)
+st_length_geodesic = _u_scalar(_geodesic_length_m, T.DoubleType())
 st_dimension = _u_scalar(lambda g: g.dimension(), T.IntegerType())
 st_numpoints = _u_scalar(lambda g: g.num_points(), T.IntegerType())
 st_numgeometries = _u_scalar(lambda g: g.num_geometries(), T.IntegerType())
@@ -492,6 +502,7 @@ REGISTRY = {
     "st_line_locate_point": st_line_locate_point,
     "st_line_interpolate_point": st_line_interpolate_point,
     "st_area": st_area, "st_length": st_length, "st_length_sphere": st_length_sphere,
+    "st_length_geodesic": st_length_geodesic,
     "st_dimension": st_dimension, "st_numpoints": st_numpoints,
     "st_numgeometries": st_numgeometries, "st_geometrytype": st_geometrytype,
     "st_isempty": st_isempty, "st_isvalid": st_isvalid, "st_x": st_x, "st_y": st_y,
