@@ -252,6 +252,14 @@ BUDGET_SF01 = {
     # loosens, 0.2s floor for sub-100ms queries)
 }
 
+# r10 (VERDICT r9 ask #9): the first-run sum is now BUDGETED, not just
+# reported — cold time is dominated by whole-stage-codegen compilation
+# and session warm-up, so it drifts with the QUERY COUNT, not engine
+# throughput; the pin keeps driver-harness drift visible (the r8→r9
+# 62.9→163.9 s rise was 27 new benched queries).  Same 1.4x headroom
+# model as the per-query gate.
+COLD_BUDGET_SF01 = 230.0
+
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -322,6 +330,9 @@ def main():
         violations.update({q: {"sec": t, "budget": _eff(BUDGET_SF01[q])}
                            for q, t in timings.items()
                            if q in BUDGET_SF01 and t > _eff(BUDGET_SF01[q])})
+        if cold > COLD_BUDGET_SF01 * 1.4:
+            violations["cold_sec"] = {"sec": round(cold, 3),
+                                      "budget": COLD_BUDGET_SF01 * 1.4}
         for q, v in violations.items():
             print(f"# BUDGET EXCEEDED: {q} {v['sec']}s > {v['budget']}s",
                   file=sys.stderr)

@@ -1148,6 +1148,102 @@ def test_manifest_s3_lock_acquire_orphan_and_sidecar_bound():
     assert not [k for k in s3.objects if "LOCK" in k], "all lock state gone"
 
 
+def test_manifest_s3_multi_writer_soak():
+    """VERDICT r9 ask #8: a concurrent-writers SOAK against the S3 fake
+    — three writers interleaving ADD / COMPACT / STREAM-ADMIT commits
+    under the lock protocol for a wall-clock budget (default ~8 s;
+    SPARK_GRAFT_SOAK_SECS raises it to minutes).  Invariants checked
+    over the FULL recorded history:
+
+      * no duplicate epochs — every successful commit got a unique,
+        contiguous epoch number (0..K, exactly one writer per epoch);
+      * no lost commits — each commit's file list derives EXACTLY from
+        the previous epoch's list by its own recorded op (a lost update
+        would rebase on a stale snapshot and break the chain), and the
+        final manifest equals the last recorded list;
+      * stream-admit markers survive interleaved meta-less commits
+        (meta carry-forward under concurrency): the final meta carries
+        every writer's LAST admitted epoch;
+      * all lock state is gone at the end."""
+    import os as _os
+    import threading
+    import time as _time
+
+    from spatial_spark.manifest import Manifest, S3ManifestIO
+
+    s3 = _FakeS3Client()
+    budget = float(_os.environ.get("SPARK_GRAFT_SOAK_SECS", "8"))
+    deadline = _time.monotonic() + budget
+    history = {}                  # epoch -> (writer, op, removed, added, files)
+    hist_lock = threading.Lock()
+    errs = []
+
+    def writer(wid: int):
+        man = Manifest("bucket/store", io=S3ManifestIO(s3))
+        n = 0
+        admits = 0
+        try:
+            while _time.monotonic() < deadline:
+                op = ("add", "add", "compact", "admit")[n % 4]
+                with man.lock(timeout=60.0) as lk:
+                    cur = man.current()
+                    base = list(cur[1]) if cur else []
+                    meta = None
+                    if op == "add":
+                        removed, added = [], [f"part-w{wid}-{n}"]
+                    elif op == "compact" and len(base) >= 2:
+                        removed = sorted(base)[:2]
+                        added = [f"merged-w{wid}-{n}"]
+                    elif op == "admit":
+                        removed, added = [], [f"stream-w{wid}-{n}"]
+                        eps = dict(man.current_meta().get(
+                            "stream_epochs", {}))
+                        admits += 1
+                        eps[f"ck-w{wid}"] = admits
+                        meta = {"stream_epochs": eps}
+                    else:
+                        removed, added = [], [f"part-w{wid}-{n}"]
+                    files = sorted((set(base) - set(removed))
+                                   | set(added))
+                    e = man.commit(files, lock_token=lk.token, meta=meta)
+                    with hist_lock:
+                        history[e] = (wid, op, removed, added, files)
+                n += 1
+        except Exception as exc:   # pragma: no cover - diagnostic
+            errs.append((wid, exc))
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    assert len(history) >= 9, "soak made too little progress"
+    # contiguous unique epochs, exactly one commit per epoch
+    epochs = sorted(history)
+    assert epochs == list(range(len(epochs))), "duplicate or missing epoch"
+    # every commit derives from its predecessor's exact list
+    prev = []
+    for e in epochs:
+        wid, op, removed, added, files = history[e]
+        want = sorted((set(prev) - set(removed)) | set(added))
+        assert files == want, f"epoch {e} rebased on a stale snapshot"
+        assert set(removed) <= set(prev), f"epoch {e} removed ghost files"
+        prev = files
+    man = Manifest("bucket/store", io=S3ManifestIO(s3))
+    assert man.current() == (epochs[-1], history[epochs[-1]][4])
+    # meta carry-forward: the final snapshot holds every writer's last
+    # admitted marker despite interleaved meta-less adds/compacts
+    final_eps = man.current_meta().get("stream_epochs", {})
+    for wid in range(3):
+        admits = [e for e in epochs
+                  if history[e][0] == wid and history[e][1] == "admit"]
+        if admits:
+            assert f"ck-w{wid}" in final_eps, (wid, final_eps)
+            assert final_eps[f"ck-w{wid}"] == len(admits)
+    assert not [k for k in s3.objects if "LOCK" in k], "lock state leaked"
+
+
 def test_manifest_meta_carries_forward(tmp_path):
     """ADVICE r8 (medium): a meta-less commit from another writer must
     NOT erase streaming replay markers riding the manifest meta — meta
