@@ -201,15 +201,27 @@ def stream_quantile_sketch(stream_df: DataFrame, value_col: str,
     merge — the batch data is never collected), the tiny resulting rows
     fold into the persisted sketch with the same deterministic
     compactor, and the new state publishes via write-temp + atomic
-    rename, epoch-tagged: a replayed epoch is skipped, so crash/replay
+    swap, epoch-tagged: a replayed epoch is skipped, so crash/replay
     never double-counts weight (exactly-once fold — pinned in tests
-    along with stream == local-model replay, bit-exact)."""
+    along with stream == local-model replay, bit-exact).
+
+    Driver-side economy (r10, same as stream_kmv_sketch): the state is
+    O(k·log n) tiny rows, so the fold keeps a driver cache of them
+    (disk read only on the first batch / after a restart) and
+    publishes with a direct pyarrow parquet FILE write + os.replace —
+    per-batch cost is ONE Spark job (the distributed partial build).
+    A legacy directory-layout state is read fine and swapped to the
+    file layout on the next publish."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     from ..operators.quantiles import (MRLSketch, merge_sketches,
                                        partition_sketches)
 
     spark = stream_df.sparkSession
     tag_path = state_path + "_epoch.json"
     ckpt_key = os.path.abspath(checkpoint)
+    cache: dict = {"rows": None}     # driver twin of the tiny state
 
     def state_tag() -> int:
         # Epoch ids are only meaningful WITHIN one checkpoint: a fresh
@@ -226,40 +238,46 @@ def stream_quantile_sketch(stream_df: DataFrame, value_col: str,
         except (OSError, ValueError, KeyError):
             return -1
 
-    def publish(rows_df, epoch_id: int) -> None:
+    def load_prior() -> list:
+        if cache["rows"] is None:
+            prior = read_quantile_state(spark, state_path)
+            cache["rows"] = ([] if prior is None
+                             else [(int(r.level), float(r.value))
+                                   for r in prior.collect()])
+        return cache["rows"]
+
+    def publish(rows: list, epoch_id: int) -> None:
+        tbl = pa.table({
+            "level": pa.array([int(lv) for lv, _ in rows], pa.int32()),
+            "value": pa.array([float(v) for _, v in rows], pa.float64())})
         tmp = state_path + ".tmp"
-        rows_df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        old = state_path + ".old"
-        if os.path.exists(state_path):
+        pq.write_table(tbl, tmp)
+        if os.path.isdir(state_path):    # legacy dir layout: swap out
+            old = state_path + ".old"
             shutil.rmtree(old, ignore_errors=True)
             os.rename(state_path, old)
-        os.rename(tmp, state_path)
-        shutil.rmtree(old, ignore_errors=True)
+            os.rename(tmp, state_path)
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.replace(tmp, state_path)  # atomic file swap
         ttmp = tag_path + ".tmp"
         with open(ttmp, "w") as fh:
             json.dump({"epoch": int(epoch_id), "checkpoint": ckpt_key}, fh)
         os.rename(ttmp, tag_path)
+        cache["rows"] = rows
 
     def fold_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if epoch_id <= state_tag():
             return                       # replayed epoch: already folded
-        if batch_df.isEmpty():
-            return
         batch_rows = [(int(r.level), float(r.value)) for r in
                       merge_sketches(partition_sketches(
                           batch_df, value_col, k), k).collect()]
         if not batch_rows:
             return
         sk = MRLSketch(k)
-        prior = read_quantile_state(spark, state_path)
-        if prior is not None:
-            sk.merge_rows([(int(r.level), float(r.value))
-                           for r in prior.collect()])
+        sk.merge_rows(load_prior())
         sk.merge_rows(batch_rows)
-        out = sk.rows()
-        publish(spark.createDataFrame(
-            [(int(l), float(v)) for l, v in out], "level int, value double"),
-            epoch_id)
+        publish([(int(lv), float(v)) for lv, v in sk.rows()], epoch_id)
 
     writer = stream_df.writeStream.foreachBatch(fold_batch) \
         .option("checkpointLocation", checkpoint)
