@@ -3289,6 +3289,25 @@ def _st_length_geodesic_oracle_sql() -> str:
     """
 
 
+def _q_json_props(spark, sf_dir) -> DataFrame:
+    """Semi-structured JSON extraction over the events props column
+    (r10 — the one driver column no operator touched): Catalyst-native
+    get_json_object path extraction (JVM-side, codegen — no UDF) into
+    typed aggregates per (event_type, k-decile bucket).  The metadata-
+    filtering shape of a training pipeline: parse → type → bucket →
+    aggregate, all pushdown-friendly."""
+    ev = (spark.table("events")
+          .withColumn("k", F.get_json_object("props", "$.k")
+                      .cast("long"))
+          .filter(F.col("k").isNotNull()))
+    return (ev.groupBy("event_type",
+                       F.floor(F.col("k") / 10).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("k").alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3378,6 +3397,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "property_paging": _q_property_paging,
         # ================= end of the 50-entry driver window =========
         # --- deferred r9-late gates (no rows yet): FIRST in the r11 window
+        # (plus r10-late extras registered below the window — they join
+        #  the same r11 cohort)
+        "json_props": _q_json_props,
         "boolean_retrieval": _q_boolean_retrieval,
         "kmv_intersect": _q_kmv_intersect,
         "cdc_shared": _q_cdc_shared,
@@ -6230,6 +6252,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ivf_recall": _ivf_recall_oracle_sql(),
         "st_length_geodesic": _st_length_geodesic_oracle_sql(),
+        "json_props": """
+            SELECT event_type,
+                   CAST(floor(CAST(k AS DOUBLE) / 10) AS BIGINT) AS bucket,
+                   count(*) AS n,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   min(k) AS min_k, max(k) AS max_k
+            FROM (SELECT event_type,
+                         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                  FROM events)
+            WHERE k IS NOT NULL
+            GROUP BY event_type, bucket
+        """,
         # mp4a AAC-LC: every output field is bit-level decoder state
         # with a closed form in the fixture index; rms of a zero
         # spectrum through the filterbank is exactly 0

@@ -119,6 +119,8 @@ HEADLINE = [
     "media_aac",
     # r10: ellipsoidal geodesic path length, WGS84 Vincenty (#7)
     "st_length_geodesic",
+    # r10: semi-structured JSON props extraction + typed aggregates
+    "json_props",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -246,6 +248,8 @@ BUDGET_SF01 = {
     # r10: 2.2x local best-of-two (1000 order paths, vectorized
     # 8-step Vincenty per segment)
     "st_length_geodesic": 2.6,
+    # r10: 2.2x local best-of-two (codegen JSON path + one keyed agg)
+    "json_props": 0.8,
     # (EVERY pin re-ratcheted as min(old, 2.2x the clean final full
     # run's min-of-2) — landing-time measurements taken under
     # concurrent sweeps carried up to 9x slack; the ratchet never

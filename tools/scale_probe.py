@@ -131,6 +131,10 @@ PROBES = {
                    " under the driver-Tarjan short-circuit — one"
                    " collect of E + linear Tarjan (the distributed"
                    " FW-BW path is pinned separately by test)"),
+    # --- r10 ---
+    "geodesic_full": ("linear", "per-segment vectorized 8-step Vincenty"
+                      " kernel over ALL scaled order paths (the gate"
+                      " caps at 1000 orders); pure map work"),
 }
 
 
@@ -235,6 +239,16 @@ def _probe_cdc_chunks_full(spark, sf_dir):
     return cdc_chunks(entry._norm_documents(spark), k=8, divisor=64)
 
 
+def _probe_geodesic_full(spark, sf_dir):
+    """st_length_geodesic over EVERY scaled order path (the gate caps
+    at l_orderkey <= 1000; the probe rides the full corpus)."""
+    from pyspark.sql import functions as F
+    return entry._order_paths(spark).select(
+        "l_orderkey",
+        F.expr("CAST(round(st_length_geodesic(geom) * 100) AS BIGINT)")
+        .alias("len_cm"))
+
+
 def _probe_scc_scaled(spark, sf_dir):
     """SCC over a digraph that scales with the dir: 2 deterministic
     hash edges per scaled customer key (same construction as the
@@ -262,6 +276,7 @@ CUSTOM_PROBES = {
     "pagerank_scaled": _probe_pagerank_scaled,
     "hamming_join_scaled": _probe_hamming_join_scaled,
     "subdivide_scaled": _probe_subdivide_scaled,
+    "geodesic_full": _probe_geodesic_full,
 }
 
 
