@@ -467,15 +467,33 @@ def test_bm25_retrieve_queries_broadcast_postings_never_shuffle_to_queries(spark
     assert "CartesianProduct" not in plan
 
 
-def test_cdc_chunks_single_doc_shuffle(spark):
-    """cdc_chunks: the position explode is narrow; the ONLY exchange is
-    the per-document boundary window (hashpartitioning on the doc key).
-    A second exchange would mean the gram hashing shuffled the corpus."""
+def test_cdc_chunks_boundary_window_carries_no_text(spark):
+    """cdc_chunks after the r10 restructure (ADVICE r9): the position
+    explode is STREAMING (offsets explode, gram hash computed
+    post-explode in the same codegen stage — no per-document gram
+    array), and the boundary-window exchange carries only (doc_id, cut)
+    rows — the document TEXT must not ride every boundary row through
+    that shuffle (the old shape moved O(len²/divisor) bytes per doc).
+    Exactly two exchanges: the tiny window keyed by doc, and the
+    join that rejoins the text ONCE per document for chunk_md5."""
     from spatial_spark.operators.cdc import cdc_chunks
     df = spark.createDataFrame([(1, "abcdefghijklmno pqrstuvwxyz 123")],
                                "doc_id long, text string")
     plan = _plan(cdc_chunks(df, k=4, divisor=8))
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    # the window-side exchange input is the (doc_id, cut) union — the
+    # text column must be projected away before it
+    window_side = plan.split("Window [row_number()")[1]
+    first_exchange = window_side.split("Exchange hashpartitioning")[1]
+    # between the window exchange and its child scans, only the
+    # sentinel projection may reference the raw text (to compute len);
+    # no boundary row carries _t through the exchange
+    union_rows = first_exchange.split("Union")[0]
+    assert "_t#" not in union_rows.split("+-")[0], plan
+    # no per-row array of positions/grams: the explode generates from
+    # sequence() directly (transform(...) would materialize the array)
+    assert "Generate explode(sequence(" in plan, plan
+    assert "transform(sequence(" not in plan, plan
 
 
 def test_hex_counts_is_one_partial_agg(spark):
