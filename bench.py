@@ -146,6 +146,10 @@ HEADLINE = [
 # queries new to the bench this round (the 11 remaining r8 gates + the
 # 8 r9 newcomers) are pinned at 2.2x this round's local best-of-two at
 # sf0.1, to be re-ratcheted off BENCH_r09's driver numbers next round.
+# r10: re-ratcheted again off this round's clean final full run
+# (25 pins tightened, max pin/measured 2.41; zero violations); the six
+# r10 gates (overlay_degenerate, kmv_stream, ivf_recall, media_aac,
+# st_length_geodesic, json_props) pinned at 2.2x the same run.
 BUDGET_SF01 = {
     "within_distance": 0.4, "knn": 0.4, "bbox_window": 0.3,
     "spatial_join": 1.0, "spatial_join_agg": 1.5, "distance_join": 1.5,
@@ -164,17 +168,17 @@ BUDGET_SF01 = {
     "scrub_spans": 4.3, "funnel": 0.5, "retention": 0.5,
     "azimuth_project": 0.2, "funnel_timings": 0.5, "bpe_apply": 1.1,
     "pipeline_e2e": 10.7, "bloom_dedup": 0.8, "cms_hitters": 2.4,
-    "hll_registers": 1.1, "cql2": 1.6, "st_transform_merc": 1.0,
+    "hll_registers": 1.1, "cql2": 1.6, "st_transform_merc": 0.9,
     "dedup_against_inc": 1.6,
     # 19 bench newcomers (r9): 2.2x this round's local best-of-two.
     # filter_equal / isvalid_isempty are capped 4000-row semantics
     # fixtures (per-row WKT build + kernel calls), measured post-cap.
     "media_gif": 1.2, "wkt_export": 0.5, "shapefile_source": 0.7,
-    "osm_source": 2.6, "render_sink": 12.3, "audio_features": 1.2,
+    "osm_source": 2.1, "render_sink": 12.3, "audio_features": 1.2,
     "mp4_meta": 1.1, "knn_cosine_q8": 1.0, "datastore_gjl": 1.6,
     "filter_equal": 4.2, "covered_env": 0.3, "intersect_all": 1.3,
     "isvalid_isempty": 2.8, "equal_env": 0.4, "results_layer": 6.9,
-    "datastore_write": 2.8, "st_transform_utm": 1.2, "media_mjpeg": 2.4,
+    "datastore_write": 2.8, "st_transform_utm": 1.0, "media_mjpeg": 2.4,
     "density_greedy": 3.7,
     "st_transform_lcc": 0.8, "mp4_codec_meta": 1.1,
     "kmeans_embed": 3.3, "pagerank": 10.3, "semdedup": 4.1,
@@ -184,7 +188,7 @@ BUDGET_SF01 = {
     # r9 seventh wave: 2.2x local best-of-two (write+footer+scan bound)
     "geoparquet_roundtrip": 1.5,
     # r9 eighth wave: 2.2x local best-of-two
-    "quantile_sketch": 1.8, "weighted_sample": 0.3,
+    "quantile_sketch": 1.6, "weighted_sample": 0.2,
     # r9 tenth wave: 2.2x local best-of-two (fixture encode+decode bound)
     "media_avc_ipcm": 2.1,
     # r9 eleventh wave: 2.2x local best-of-two
@@ -196,11 +200,11 @@ BUDGET_SF01 = {
     # r9 fourteenth wave: 2.2x local best-of-two
     "st_subdivide": 1.5,
     # r9 fifteenth wave: 2.2x local best-of-two
-    "pca_project": 1.5,
+    "pca_project": 1.3,
     # r9 sixteenth wave: 2.2x local best-of-two
     "media_resize": 2.2,
     # r9 seventeenth wave: 2.2x local best-of-two
-    "hll_by_group": 1.5,
+    "hll_by_group": 1.3,
     # r9 eighteenth wave: 2.2x local best-of-two
     "st_transform_tm": 0.6,
     # r9 nineteenth wave: 2.2x local best-of-two (measured under a
@@ -209,45 +213,45 @@ BUDGET_SF01 = {
     # r9 twentieth wave: 2.2x local best-of-two (dbscan_cluster is the
     # constant 300-point semantics fixture — stage-latency bound, like
     # density_greedy)
-    "bm25_retrieval": 2.1, "cdc_chunks": 0.8, "dbscan_cluster": 3.6,
+    "bm25_retrieval": 2.0, "cdc_chunks": 0.8, "dbscan_cluster": 2.9,
     # r9 twenty-first wave: 2.2x local best-of-two
-    "hex_density": 0.4,
+    "hex_density": 0.3,
     # r9 twenty-second wave: 2.2x local best-of-two
-    "kn_perplexity": 3.6,
+    "kn_perplexity": 2.5,
     # r9 twenty-third wave: 2.2x local best-of-two
     "kmv_distinct": 1.3,
     # r9 twenty-fourth wave: 2.2x local best-of-two
     "mixture_epoch": 0.2,
     # r9 twenty-fifth wave: 2.2x local best-of-two
-    "stay_points": 1.3,
+    "stay_points": 0.9,
     # r9 twenty-sixth wave: 2.2x local best-of-two
-    "scc_components": 1.3,
+    "scc_components": 1.2,
     # r9 twenty-seventh wave: 2.2x local best-of-two (measured under a
     # concurrent full bench; re-check on the clean final run)
-    "card_scrub": 1.3,
+    "card_scrub": 1.1,
     # r9 twenty-eighth wave: 2.2x local best-of-two
-    "ppl_buckets": 4.7,
+    "ppl_buckets": 3.8,
     # r9 twenty-ninth wave: 2.2x local best-of-two
-    "boolean_retrieval": 1.4, "kmv_intersect": 1.3, "cdc_shared": 1.1,
+    "boolean_retrieval": 1.2, "kmv_intersect": 1.2, "cdc_shared": 0.8,
     # r9 thirtieth wave: 2.2x local best-of-two
-    "media_avc_cavlc": 2.7,
+    "media_avc_cavlc": 2.2,
     # r9 thirty-first wave: 2.2x local best-of-two
-    "decontam_retrieval": 2.2,
+    "decontam_retrieval": 1.8,
     # r10: 2.2x local best-of-two (constant 400-pair kernel-semantics
     # fixture — 3600 general-overlay calls across 32 partitions)
-    "overlay_degenerate": 3.1,
+    "overlay_degenerate": 2.0,
     # r10: 2.2x local best-of-two (capped 200-doc fixture; cost = the 5
     # micro-batch folds + slice writes, not scan throughput)
-    "kmv_stream": 8.8,
+    "kmv_stream": 6.1,
     # r10: 2.2x local best-of-two (2000-vector recall fixture: one
     # assign + 4 top-k scans)
-    "ivf_recall": 3.9,
+    "ivf_recall": 1.9,
     # r10: 2.2x local best-of-two (48-container fixture: mux + sample
     # table + AAC syntax + 1024x2048 IMDCT per frame)
-    "media_aac": 3.2,
+    "media_aac": 2.7,
     # r10: 2.2x local best-of-two (1000 order paths, vectorized
     # 8-step Vincenty per segment)
-    "st_length_geodesic": 2.6,
+    "st_length_geodesic": 1.4,
     # r10: 2.2x local best-of-two (codegen JSON path + one keyed agg)
     "json_props": 0.8,
     # (EVERY pin re-ratcheted as min(old, 2.2x the clean final full
