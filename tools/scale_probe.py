@@ -242,6 +242,7 @@ def _probe_cdc_chunks_full(spark, sf_dir):
 def _probe_geodesic_full(spark, sf_dir):
     """st_length_geodesic over EVERY scaled order path (the gate caps
     at l_orderkey <= 1000; the probe rides the full corpus)."""
+    import __spark_entry__ as entry
     from pyspark.sql import functions as F
     return entry._order_paths(spark).select(
         "l_orderkey",
@@ -404,6 +405,24 @@ def synth_events(out, k, rng):
     pq.write_table(pa.concat_tables(parts), out)
 
 
+def synth_lineitem(out, k):
+    """k× lineitem: replicas shift l_orderkey past the base max (k× more
+    ORDER PATHS for the geodesic/path probes) while keeping
+    l_partkey/l_suppkey/l_linenumber — path shapes stay representative,
+    path COUNT scales."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    base = pq.read_table(f"{BASE}/lineitem.parquet")
+    ok = np.asarray(base.column("l_orderkey"))
+    max_ok = int(ok.max()) + 1
+    parts = []
+    for rep in range(k):
+        cols = {n: base.column(n) for n in base.column_names}
+        cols["l_orderkey"] = pa.array(ok + rep * max_ok, pa.int64())
+        parts.append(pa.table(cols))
+    pq.write_table(pa.concat_tables(parts), out)
+
+
 def build_scale_dir(root, k, seed=42):
     d = os.path.join(root, f"x{k}")
     if os.path.exists(os.path.join(d, ".done")):
@@ -411,7 +430,8 @@ def build_scale_dir(root, k, seed=42):
     os.makedirs(d, exist_ok=True)
     for f in os.listdir(BASE):
         if f.endswith(".parquet") and f.split(".")[0] not in (
-                "documents", "embeddings", "customer", "events"):
+                "documents", "embeddings", "customer", "events",
+                "lineitem"):
             dst = os.path.join(d, f)
             if not os.path.exists(dst):
                 os.symlink(os.path.join(BASE, f), dst)
@@ -420,6 +440,7 @@ def build_scale_dir(root, k, seed=42):
     synth_embeddings(os.path.join(d, "embeddings.parquet"), k, rng)
     synth_customer(os.path.join(d, "customer.parquet"), k, rng)
     synth_events(os.path.join(d, "events.parquet"), k, rng)
+    synth_lineitem(os.path.join(d, "lineitem.parquet"), k)
     open(os.path.join(d, ".done"), "w").write("ok")
     return d
 
