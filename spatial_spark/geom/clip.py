@@ -309,8 +309,23 @@ def _stitch_ex(frags) -> tuple:
 
 def _assemble(rings) -> Geometry:
     """Nest rings into polygons-with-holes by containment + orientation."""
+    return _assemble_checked(rings)[0]
+
+
+def _assemble_checked(rings) -> tuple:
+    """``(geometry, sound)``: nest rings into polygons-with-holes.
+
+    ``sound`` is False when the ring set is GEOMETRICALLY IMPOSSIBLE
+    for a valid overlay result — a CW (hole) ring contained in no
+    shell, or a shell nested inside another shell (a double-covered
+    region).  Both arise from phantom rings closed across the zigzag
+    noding of near-coincident operands (the r10 degenerate campaign:
+    intersection came back larger than its inputs, union held a
+    detached 'hole' hugging the boundary from outside).  The overlay
+    driver escalates the snap ladder on ``not sound`` exactly like an
+    unclosed stitch."""
     if not rings:
-        return Geometry(GTYPE_POLYGON, [])
+        return Geometry(GTYPE_POLYGON, []), True
     shells = []
     holes = []
     for r in rings:
@@ -318,9 +333,13 @@ def _assemble(rings) -> Geometry:
     if not shells:  # all got reversed (e.g. difference output) — flip
         shells = [r[::-1].copy() for r in holes]
         holes = []
+    sound = True
     polys = [[s] for s in shells]
     for h in holes:
-        mid = h[0]
+        # placement point: a TRUE interior point of the hole ring, not
+        # its first vertex — a noding-artifact hole hugs the shell
+        # boundary, so its vertices classify on-boundary/outside
+        mid = _ring_interior_pt(h)
         placed = False
         for p in polys:
             if point_in_ring_np(mid, p[0]):
@@ -328,15 +347,45 @@ def _assemble(rings) -> Geometry:
                 placed = True
                 break
         if not placed:
+            sound = False
             polys.append([h[::-1].copy()])
+    if sound and len(polys) > 1:
+        # nested shells = double-covered area: impossible in valid output
+        for i, p in enumerate(polys):
+            ip = _ring_interior_pt(p[0])
+            for j, q in enumerate(polys):
+                if i != j and point_in_ring_np(ip, q[0]):
+                    sound = False
+                    break
+            if not sound:
+                break
     if len(polys) == 1:
-        return Geometry(GTYPE_POLYGON, polys[0])
-    return Geometry(GTYPE_MULTIPOLYGON, [Geometry(GTYPE_POLYGON, p) for p in polys])
+        return Geometry(GTYPE_POLYGON, polys[0]), sound
+    return (Geometry(GTYPE_MULTIPOLYGON,
+                     [Geometry(GTYPE_POLYGON, p) for p in polys]), sound)
 
 
 def point_in_ring_np(pt, ring) -> bool:
     from .algorithms import point_in_ring
     return point_in_ring(float(pt[0]), float(pt[1]), ring) > 0
+
+
+def _ring_interior_pt(ring):
+    """A point strictly inside ``ring`` (scanline at the bbox
+    y-midpoint, midpoint of the first crossing span); falls back to the
+    first vertex for degenerate rings."""
+    arr = np.asarray(ring, dtype=np.float64)
+    y = (arr[:, 1].min() + arr[:, 1].max()) / 2.0
+    ax, ay = arr[:-1, 0], arr[:-1, 1]
+    bx, by = arr[1:, 0], arr[1:, 1]
+    cross = (ay > y) != (by > y)
+    if not np.any(cross):
+        return ring[0]
+    xs = np.sort((bx[cross] - ax[cross]) * (y - ay[cross])
+                 / (by[cross] - ay[cross]) + ax[cross])
+    if len(xs) >= 2:
+        return np.array([(xs[0] + xs[1]) / 2.0, y])
+    return ring[0]
 
 
 def _all_rings(g: Geometry):
@@ -574,16 +623,56 @@ def _overlay_impl(g1: Geometry, g2: Geometry, op: str) -> Geometry:
     If every rung still fails to close some ring chain, assemble the
     best-effort attempt (most closed-ring area) instead of silently
     returning EMPTY — a partial boundary loses a sliver; EMPTY loses the
-    whole result (ADVICE r4, high)."""
+    whole result (ADVICE r4, high).
+
+    r10 hardening (found by the 6000-trial degenerate campaign): a
+    COMPLETE stitch can still be WRONG — near-coincident operands whose
+    edges zigzag across each other (per-vertex noise a few times the
+    snap grid) close phantom rings that double-count whole regions
+    (intersection came back LARGER than either input; union came back
+    under max(A,B) or over A+B).  Every completed result is therefore
+    validated against the op's area bounds — I ≤ min(A,B), max(A,B) ≤
+    U ≤ A+B, D ≤ A, A−B ≤ D — with slack tol·(perim(a)+perim(b)) (the
+    legitimate area movement of snapping at tol).  A bound violation
+    escalates the snap ladder exactly like an unclosed stitch; snapping
+    at ≥ the noise amplitude collapses the zigzag and the retry
+    validates."""
+    from .algorithms import area as _area_of
+    from .algorithms import length as _perim_of
+
     a = _normalize(g1)
     b = _normalize(g2)
+    A, B = _area_of(a), _area_of(b)
+    perim = _perim_of(a) + _perim_of(b)
+
+    def area_ok(res: Geometry, tol: float) -> bool:
+        # validate the ASSEMBLED area — a phantom sliver ring that fails
+        # hole placement flips into an extra shell, so the signed ring
+        # sum can look fine while the assembled geometry double-counts
+        r = _area_of(res)
+        slack = max(tol, _SNAP) * max(perim, 1.0) * 4.0 \
+            + 1e-9 * max(A + B, 1.0)
+        if op == "intersection":
+            return r <= min(A, B) + slack
+        if op == "union":
+            return max(A, B) - slack <= r <= A + B + slack
+        if op == "difference":
+            return A - B - slack <= r <= A + slack
+        return True
+
     rings, complete = _overlay_once(a, b, op)
     if complete:
-        return _assemble(rings)
+        res, sound = _assemble_checked(rings)
+        if sound and area_ok(res, 0.0):
+            return res
     best = rings
     best_area = sum(abs(ring_signed_area(r)) for r in rings)
+    best_violating = None      # last COMPLETE-but-invalid result
     mag = _max_coord_magnitude(a, b)
-    ladder = [_snap_tolerance(a, b), 1e-9 * mag, 1e-7 * mag]
+    # the 1e-5 rung only ever runs when every finer rung produced an
+    # unclosed or invalid (phantom-ring / bound-violating) result — it
+    # cannot over-snap a pair any finer rung handled
+    ladder = [_snap_tolerance(a, b), 1e-9 * mag, 1e-7 * mag, 1e-5 * mag]
     prev = 0.0
     for tol in ladder:
         if not (tol > prev * 4):  # must be meaningfully coarser than last try
@@ -598,10 +687,16 @@ def _overlay_impl(g1: Geometry, g2: Geometry, op: str) -> Geometry:
             return b2 if op == "union" else Geometry(GTYPE_POLYGON, [])
         rings, complete = _overlay_once(_normalize(a2), _normalize(b2), op)
         if complete:
-            return _assemble(rings)
+            res, sound = _assemble_checked(rings)
+            if sound and area_ok(res, tol):
+                return res
+            best_violating = res   # complete but invalid: keep last
+            continue
         area = sum(abs(ring_signed_area(r)) for r in rings)
         if area > best_area:
             best, best_area = rings, area
+    if best_violating is not None:
+        return _bounded_best_effort(a, b, op, best_violating)
     return _bounded_best_effort(a, b, op, _assemble(best))
 
 

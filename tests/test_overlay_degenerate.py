@@ -293,6 +293,64 @@ def test_bowtie_multipolygon_vertex_touch():
         assert_conserved(m, b, f"bowtie-{t}", tol=1e-4)
 
 
+def test_fan_shared_edge_multi_vertex_fuzz():
+    """Two SIMPLE fans sharing an edge (1-3 extra vertices per side,
+    random angle, scales 1e-2..1e3): union = A+B exactly, intersection
+    measure-zero — the multi-vertex generalization of the slanted
+    shared-edge class across 5 decades of coordinate scale."""
+    rng = random.Random(77001)
+    for t in range(250):
+        sc = 10 ** rng.uniform(-2, 3)
+        ang = rng.uniform(0, 2 * math.pi)
+        x0, y0 = rng.uniform(-9, 9) * sc, rng.uniform(-9, 9) * sc
+        ln = rng.uniform(0.1, 2) * sc
+        p = (x0, y0)
+        q = (x0 + ln * math.cos(ang), y0 + ln * math.sin(ang))
+        nx, ny = -math.sin(ang), math.cos(ang)
+
+        def fan(side, m):
+            pts = [p, q] if side > 0 else [q, p]
+            for j in range(m):
+                f = (j + 1) / (m + 1)
+                h = rng.uniform(0.1, 1.5) * sc * side
+                pos = (1 - f) if side > 0 else f   # keep the ring simple
+                pts.append((p[0] + (q[0] - p[0]) * pos + nx * h,
+                            p[1] + (q[1] - p[1]) * pos + ny * h))
+            return poly(pts)
+
+        a = fan(1, rng.randint(1, 3))
+        b = fan(-1, rng.randint(1, 3))
+        u, i, d, s = assert_conserved(a, b, f"fan-{t}", tol=1e-4)
+        A, B = area(a), area(b)
+        assert abs(u - (A + B)) <= 1e-4 * max(1.0, A + B), f"fan-{t}"
+        assert i <= 1e-4 * max(1.0, A + B), f"fan-{t}"
+
+
+def test_general_near_coincident_fuzz():
+    """General (non-axis) convex-ish polygons vs per-vertex-perturbed
+    copies, noise 1e-12..1e-6 relative across scales 1e-1..1e2 — the
+    zigzag-noding class where the r10 campaign caught phantom rings
+    (intersection LARGER than its inputs; union holding a detached
+    'hole').  The assembled-soundness check + area-bound snap
+    escalation must keep every op within the algebra identities."""
+    rng = random.Random(77002)
+    for t in range(250):
+        sc = 10 ** rng.uniform(-1, 2)
+        m = rng.randint(3, 7)
+        cx, cy = rng.uniform(-5, 5) * sc, rng.uniform(-5, 5) * sc
+        angs = sorted(rng.uniform(0, 2 * math.pi) for _ in range(m))
+        if min(b2 - a2 for a2, b2 in zip(angs, angs[1:])) < 0.15:
+            continue
+        rads = [rng.uniform(0.5, 1.5) * sc for _ in range(m)]
+        base = [(cx + r * math.cos(a2), cy + r * math.sin(a2))
+                for a2, r in zip(angs, rads)]
+        eps = 10 ** rng.uniform(-12, -6) * sc
+        pert = [(x + rng.uniform(-eps, eps), y + rng.uniform(-eps, eps))
+                for x, y in base]
+        assert_conserved(poly(base), poly(pert),
+                         f"nearco-{t} eps={eps:.1e}", tol=1e-3)
+
+
 def test_point_membership_oracle():
     """Independent semantics oracle: sample points off every boundary and
     require membership in the overlay result to equal the boolean of the
