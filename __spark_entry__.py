@@ -3308,6 +3308,39 @@ def _q_json_props(spark, sf_dir) -> DataFrame:
                  F.max("k").alias("max_k")))
 
 
+def _q_st_transform_aea(spark, sf_dir) -> DataFrame:
+    """Albers Equal-Area Conic gate (r10 — the equal-area CONIC member
+    of the CRS tier, EPSG method 9822): customer points 4326 →
+    EPSG:5070 (NAD83 / Conus Albers) through the st_transform UDF
+    (functions/crs.py aea_forward, Snyder 14-1..14-4) — cm integers
+    hash-compared against the dual-engine closed-form SQL
+    (aea_forward_ctes) in DuckDB.  The frame is validated by its
+    DEFINING properties in tests (projected quad area == exact
+    ellipsoid area; k == 1 at both standard parallels).  Latitudes
+    clear of the poles where the authalic series flattens."""
+    pts = (_customer_points(spark)
+           .filter("lat >= -84.0 AND lat <= 84.0")
+           .withColumn("p", F.expr(
+               "st_transform(st_point(lon, lat), 'EPSG:4326', "
+               "'EPSG:5070')")))
+    return pts.select(
+        "c_custkey",
+        F.expr("CAST(round(st_x(p) * 100) AS BIGINT)").alias("e_cm"),
+        F.expr("CAST(round(st_y(p) * 100) AS BIGINT)").alias("n_cm"))
+
+
+def _aea_oracle_sql() -> str:
+    from spatial_spark.functions.crs import aea_forward_ctes
+    base = f"""SELECT c_custkey, {CUST_LON} AS lon, {CUST_LAT} AS lat
+               FROM customer
+               WHERE {CUST_LAT} >= -84.0 AND {CUST_LAT} <= 84.0"""
+    return aea_forward_ctes(base) + """
+        SELECT c_custkey,
+               CAST(round(easting * 100) AS BIGINT) AS e_cm,
+               CAST(round(northing * 100) AS BIGINT) AS n_cm
+        FROM _aea_out"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3400,6 +3433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (plus r10-late extras registered below the window — they join
         #  the same r11 cohort)
         "json_props": _q_json_props,
+        "st_transform_aea": _q_st_transform_aea,
         "boolean_retrieval": _q_boolean_retrieval,
         "kmv_intersect": _q_kmv_intersect,
         "cdc_shared": _q_cdc_shared,
@@ -6252,6 +6286,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ivf_recall": _ivf_recall_oracle_sql(),
         "st_length_geodesic": _st_length_geodesic_oracle_sql(),
+        "st_transform_aea": _aea_oracle_sql(),
         "json_props": """
             SELECT event_type,
                    CAST(floor(CAST(k AS DOUBLE) / 10) AS BIGINT) AS bucket,

@@ -121,6 +121,8 @@ HEADLINE = [
     "st_length_geodesic",
     # r10: semi-structured JSON props extraction + typed aggregates
     "json_props",
+    # r10: Albers Equal-Area Conic (EPSG:5070 + generic aea: frames)
+    "st_transform_aea",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -254,6 +256,9 @@ BUDGET_SF01 = {
     "st_length_geodesic": 1.4,
     # r10: 2.2x local best-of-two (codegen JSON path + one keyed agg)
     "json_props": 0.8,
+    # r10: 2.2x local best-of-two (per-point numpy kernel, the
+    # st_transform_lcc plan class)
+    "st_transform_aea": 0.8,
     # (EVERY pin re-ratcheted as min(old, 2.2x the clean final full
     # run's min-of-2) — landing-time measurements taken under
     # concurrent sweeps carried up to 9x slack; the ratchet never

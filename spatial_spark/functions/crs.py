@@ -67,7 +67,9 @@ __all__ = ["MERC_R", "merc_forward_sql", "merc_inverse_sql",
            "ps_forward", "ps_inverse", "psa_forward", "psa_inverse",
            "lcc_forward_ctes",
            "laea_constants", "laea_forward", "laea_inverse",
-           "laea_forward_ctes"]
+           "laea_forward_ctes",
+           "aea_constants", "aea_forward", "aea_inverse",
+           "aea_forward_ctes"]
 
 MERC_R = 6378137.0   # WGS84 semi-major axis, the EPSG:3857 sphere radius
 
@@ -123,6 +125,9 @@ _EPSG_CONIC = {
     "5041": "psa:0.994:0.0:2000000.0:2000000.0:n",
     "5042": "psa:0.994:0.0:2000000.0:2000000.0:s",
     "3035": "laea:52.0:10.0:4321000.0:3210000.0",
+    # Albers Equal-Area Conic (EPSG method 9822): NAD83 / Conus Albers
+    # (GRS80 == WGS84-family to sub-mm in 1/f — engine contract)
+    "5070": "aea:29.5:45.5:23.0:-96.0:0.0:0.0",
     # generic transverse Mercator (the national-grid class; WGS84-family
     # datums only — NZGD2000 / ETRS89 / SVY21):
     #   2193  NZGD2000 / New Zealand Transverse Mercator 2000
@@ -156,9 +161,10 @@ def _frame(crs) -> str:
     key = s[5:] if s.startswith("epsg:") else s
     if key in _EPSG_CONIC:
         return _EPSG_CONIC[key]
-    if s.startswith(("lcc:", "psb:", "psa:", "laea:", "tm:")):
+    if s.startswith(("lcc:", "psb:", "psa:", "laea:", "tm:", "aea:")):
         kind, *parts = s.split(":")
-        n_num = {"lcc": 6, "psb": 4, "psa": 4, "laea": 4, "tm": 5}[kind]
+        n_num = {"lcc": 6, "psb": 4, "psa": 4, "laea": 4, "tm": 5,
+                 "aea": 6}[kind]
         hemi = ()
         if kind == "psa":
             if len(parts) != 5 or parts[4] not in ("n", "s"):
@@ -181,14 +187,18 @@ def _frame(crs) -> str:
         if kind == "laea" and abs(nums[0]) >= 89.999999:
             raise ValueError("st_transform: LAEA polar aspect is out of "
                              "scope (oblique |lat0| < 90 only)")
+        if kind == "aea" and abs(nums[0] + nums[1]) < 1e-9:
+            raise ValueError("st_transform: Albers standard parallels "
+                             "symmetric about the equator give n=0 "
+                             "(cylindrical limit) — out of scope")
         return ":".join((kind, *(repr(v) for v in nums), *hemi))
     raise ValueError(
         f"st_transform: unsupported CRS {crs!r} "
         "(supported: EPSG:4326, EPSG:3857, EPSG:326xx/327xx UTM, "
         "EPSG:2154/3034 LCC, EPSG:3031/3413/3995 polar stereographic, "
-        "EPSG:5041/5042 UPS, EPSG:3035 LAEA, "
+        "EPSG:5041/5042 UPS, EPSG:3035 LAEA, EPSG:5070 Albers, "
         "EPSG:2193/2180/3414 TM, "
-        "generic lcc:/psb:/psa:/laea:/tm: frames, cartesian)")
+        "generic lcc:/psb:/psa:/laea:/tm:/aea: frames, cartesian)")
 
 
 def merc_forward_sql(lon_sql: str, lat_sql: str) -> tuple[str, str]:
@@ -787,6 +797,121 @@ def laea_forward_ctes(base: str, lon: str = "lon", lat: str = "lat",
     """
 
 
+# ---------------------------------------------------------------------------
+# Albers Equal-Area Conic (Snyder 14-1..14-21 ellipsoidal / EPSG method
+# 9822) — r10: the EQUAL-AREA CONIC member next to LCC (conformal
+# conic) and LAEA (equal-area azimuthal).  The continental-statistics
+# workhorse: EPSG:5070 (NAD83 / Conus Albers; NAD83's GRS80 ellipsoid
+# differs from WGS84 only in the 9th digit of 1/f — sub-mm here, the
+# engine's WGS84-family contract) plus generic
+# ``aea:lat1:lat2:lat0:lon0:fe:fn`` frames.  Validated by the defining
+# property (projected quad area == the exact ellipsoid area
+# a²/2·Δλ·Δq — a conformal projection fails this by construction) and
+# by the closed-form along-parallel scale k = ρn/(a·m) == 1 at BOTH
+# standard parallels; inverse recovers latitude via the same Snyder
+# 3-16 authalic fixed point the LAEA inverse uses.
+# ---------------------------------------------------------------------------
+def aea_constants(lat1: float, lat2: float, lat0: float,
+                  a: float = MERC_R, f: float = _F) -> tuple:
+    """(n, C, rho0, e) for an Albers frame (Snyder 14-3, 14-5, 14-6,
+    15-0... computed once per frame)."""
+    e = math.sqrt(f * (2.0 - f))
+    p1, p2, p0 = (math.radians(v) for v in (lat1, lat2, lat0))
+    m1 = float(_m_of(np.float64(p1), e))
+    q1 = float(_q_of(np.float64(p1), e))
+    q0 = float(_q_of(np.float64(p0), e))
+    if abs(lat1 - lat2) < 1e-12:
+        n = math.sin(p1)               # one-standard-parallel degenerate
+    else:
+        m2 = float(_m_of(np.float64(p2), e))
+        q2 = float(_q_of(np.float64(p2), e))
+        n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    if n == 0.0:
+        raise ValueError("st_transform: Albers standard parallels "
+                         "symmetric about the equator give n=0 "
+                         "(cylindrical limit) — out of scope")
+    big_c = m1 * m1 + n * q1
+    rho0 = a * math.sqrt(max(big_c - n * q0, 0.0)) / n
+    return n, big_c, rho0, e
+
+
+def aea_forward(xy: np.ndarray, lat1: float, lat2: float, lat0: float,
+                lon0: float, fe: float, fn: float, a: float = MERC_R,
+                f: float = _F) -> np.ndarray:
+    """WGS84 degrees → Albers meters (Snyder 14-1..14-4)."""
+    n, big_c, rho0, e = aea_constants(lat1, lat2, lat0, a, f)
+    phi = np.radians(xy[:, 1])
+    lam = np.radians((xy[:, 0] - lon0 + 540.0) % 360.0 - 180.0)
+    q = _q_of(phi, e)
+    rho = a * np.sqrt(np.maximum(big_c - n * q, 0.0)) / n
+    theta = n * lam
+    out = np.empty_like(xy, dtype=np.float64)
+    out[:, 0] = fe + rho * np.sin(theta)
+    out[:, 1] = fn + rho0 - rho * np.cos(theta)
+    return out
+
+
+def aea_inverse(xy: np.ndarray, lat1: float, lat2: float, lat0: float,
+                lon0: float, fe: float, fn: float, a: float = MERC_R,
+                f: float = _F, iters: int = 12) -> np.ndarray:
+    """Albers meters → WGS84 degrees (Snyder 14-8..14-11 + the 3-16
+    authalic-to-geographic fixed point)."""
+    n, big_c, rho0, e = aea_constants(lat1, lat2, lat0, a, f)
+    sgn = 1.0 if n > 0 else -1.0
+    x = xy[:, 0] - fe
+    y = rho0 - (xy[:, 1] - fn)
+    rho = sgn * np.hypot(x, y)
+    theta = np.arctan2(sgn * x, sgn * y)
+    q = (big_c - (rho * n / a) ** 2) / n
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    for _ in range(iters):
+        s = np.sin(phi)
+        phi = phi + (1.0 - (e * s) ** 2) ** 2 / (2.0 * np.cos(phi)) * (
+            q / (1.0 - e * e) - s / (1.0 - (e * s) ** 2)
+            + 1.0 / (2.0 * e) * np.log((1.0 - e * s) / (1.0 + e * s)))
+    out = np.empty_like(xy, dtype=np.float64)
+    out[:, 0] = (lon0 + np.degrees(theta / n) + 180.0) % 360.0 - 180.0
+    out[:, 1] = np.degrees(phi)
+    return out
+
+
+def aea_forward_ctes(base: str, lon: str = "lon", lat: str = "lat",
+                     lat1: float = 29.5, lat2: float = 45.5,
+                     lat0: float = 23.0, lon0: float = -96.0,
+                     fe: float = 0.0, fn: float = 0.0) -> str:
+    """Dual-engine SQL (Spark SQL AND DuckDB) for the Albers forward
+    map (defaults = EPSG:5070 Conus Albers): wraps ``base`` — exposing
+    ``lon``/``lat`` degrees — adding ``easting``/``northing``.  Frame
+    constants precomputed from the SAME aea_constants the numpy kernel
+    uses; the q(phi) expression and the antimeridian wrap share the
+    kernel's op order."""
+    n, big_c, rho0, e = aea_constants(lat1, lat2, lat0)
+
+    def _c(v: float) -> str:
+        return f"CAST({v!r} AS DOUBLE)"
+
+    sphi = f"sin(radians(CAST({lat} AS DOUBLE)))"
+    qexpr = (f"({_c(1.0 - e * e)} * ({sphi} / (1.0 - {_c(e * e)}"
+             f" * {sphi} * {sphi}) - {_c(1.0 / (2.0 * e))}"
+             f" * ln((1.0 - {_c(e)} * {sphi})"
+             f" / (1.0 + {_c(e)} * {sphi}))))")
+    return f"""
+        WITH _aea_base AS ({base}),
+        _aea_s1 AS (
+          SELECT *,
+                 {_c(MERC_R)} * sqrt(greatest({_c(big_c)}
+                   - {_c(n)} * {qexpr}, 0.0)) / {_c(n)} AS _rho,
+                 {_c(n)} * radians((CAST({lon} AS DOUBLE) - {_c(lon0)}
+                   + 540.0) % 360.0 - 180.0) AS _theta
+          FROM _aea_base),
+        _aea_out AS (
+          SELECT *,
+            {_c(fe)} + _rho * sin(_theta) AS easting,
+            {_c(fn)} + {_c(rho0)} - _rho * cos(_theta) AS northing
+          FROM _aea_s1)
+    """
+
+
 def lcc_forward_ctes(base: str, lon: str = "lon", lat: str = "lat",
                      lat1: float = 49.0, lat2: float = 44.0,
                      lat0: float = 46.5, lon0: float = 3.0,
@@ -853,6 +978,8 @@ def transform_points(xy: np.ndarray, src: str, dst: str) -> np.ndarray:
         ll = psa_inverse(xy, *(float(v) for v in p[1:5]), p[5] == "s")
     elif src.startswith("laea:"):
         ll = laea_inverse(xy, *(float(v) for v in src.split(":")[1:]))
+    elif src.startswith("aea:"):
+        ll = aea_inverse(xy, *(float(v) for v in src.split(":")[1:]))
     elif src.startswith("tm:"):
         ll = tm_inverse(xy, *(float(v) for v in src.split(":")[1:]))
     else:
@@ -874,6 +1001,8 @@ def transform_points(xy: np.ndarray, src: str, dst: str) -> np.ndarray:
         return psa_forward(ll, *(float(v) for v in p[1:5]), p[5] == "s")
     if dst.startswith("laea:"):
         return laea_forward(ll, *(float(v) for v in dst.split(":")[1:]))
+    if dst.startswith("aea:"):
+        return aea_forward(ll, *(float(v) for v in dst.split(":")[1:]))
     if dst.startswith("tm:"):
         return tm_forward(ll, *(float(v) for v in dst.split(":")[1:]))
     _, z, hemi = dst.split(":")

@@ -721,6 +721,104 @@ def test_lcc_sql_parity_randomized(lon, lat, seed):
     assert abs(de - k[0, 0]) < 1e-6 and abs(dn - k[0, 1]) < 1e-6
 
 
+def test_aea_equal_area_and_standard_parallel_scale():
+    """Albers (EPSG:5070 Conus frame): the two DEFINING closed forms —
+    (a) projected meridian/parallel quads reproduce the exact ellipsoid
+    area a²/2·Δλ·Δq (the equal-area property; a conformal conic fails
+    by construction), and (b) the along-parallel scale k = ρn/(a·m)
+    equals 1 EXACTLY at both standard parallels.  Plus: the natural
+    origin maps to (fe, fn)."""
+    import math
+
+    import numpy as np
+    from spatial_spark.functions.crs import (MERC_R, _m_of, _q_of,
+                                             aea_constants, aea_forward)
+    P = (29.5, 45.5, 23.0, -96.0, 0.0, 0.0)
+    for (lo1, lo2, la1, la2) in [(-100, -99, 35, 36), (-80, -79, 28, 29),
+                                 (-120, -118, 40, 47), (-96, -95, 23, 24)]:
+        n = 200
+        ring = ([(t, la1) for t in np.linspace(lo1, lo2, n)]
+                + [(lo2, t) for t in np.linspace(la1, la2, n)]
+                + [(t, la2) for t in np.linspace(lo2, lo1, n)]
+                + [(lo1, t) for t in np.linspace(la2, la1, n)])
+        r = aea_forward(np.array(ring), *P)
+        x, y = r[:, 0], r[:, 1]
+        plane = 0.5 * abs(np.dot(x, np.roll(y, -1))
+                          - np.dot(y, np.roll(x, -1)))
+        qq = _q_of(np.radians(np.array([float(la1), float(la2)])))
+        exact = MERC_R ** 2 / 2.0 * math.radians(lo2 - lo1) \
+            * (qq[1] - qq[0])
+        assert abs(plane - exact) / exact < 1e-5   # rim discretization
+    n_, c_, rho0, e = aea_constants(29.5, 45.5, 23.0)
+    for lat in (29.5, 45.5):
+        p = np.float64(math.radians(lat))
+        rho = MERC_R * math.sqrt(c_ - n_ * float(_q_of(p, e))) / n_
+        k = rho * n_ / (MERC_R * float(_m_of(p, e)))
+        assert abs(k - 1.0) < 1e-12, lat
+    o = aea_forward(np.array([[-96.0, 23.0]]), *P)
+    assert abs(o[0, 0]) < 1e-6 and abs(o[0, 1]) < 1e-6
+
+
+@given(st.floats(-180.0, 180.0), st.floats(-85.0, 85.0))
+@settings(max_examples=300, deadline=None)
+def test_aea_roundtrip_property(lon, lat):
+    """Albers forward-then-inverse returns the input to 1e-8 degrees
+    everywhere off the poles (the authalic fixed point converges
+    globally for an oblique frame)."""
+    import numpy as np
+    from spatial_spark.functions.crs import _frame, transform_points
+    fr = _frame("EPSG:5070")
+    en = transform_points(np.array([[lon, lat]]), "wgs84", fr)
+    rt = transform_points(en, fr, "wgs84")
+    dlon = abs((rt[0, 0] - lon + 180.0) % 360.0 - 180.0)
+    assert dlon < 1e-8 and abs(rt[0, 1] - lat) < 1e-8
+
+
+def test_aea_sql_text_matches_kernel(spark):
+    """aea_forward_ctes evaluated by Spark AND DuckDB agrees with the
+    numpy kernel to sub-micrometer in the frame's service area."""
+    import duckdb
+    import numpy as np
+    from spatial_spark.functions.crs import aea_forward, aea_forward_ctes
+    pts = [(-96.0, 23.0), (-75.0, 35.2), (-122.4, 37.8), (-67.0, 45.0),
+           (-155.0, 19.5)]
+    base = " UNION ALL ".join(
+        f"SELECT CAST({lo!r} AS DOUBLE) AS lon, CAST({la!r} AS DOUBLE) "
+        f"AS lat" for lo, la in pts)
+    q = (aea_forward_ctes(base)
+         + " SELECT lon, lat, easting, northing FROM _aea_out "
+           "ORDER BY lon")
+    k = aea_forward(np.array(sorted(pts)), 29.5, 45.5, 23.0, -96.0,
+                    0.0, 0.0)
+    duck = duckdb.sql(q).fetchall()
+    rows = spark.sql(q).collect()
+    for (dl, dt, de, dn), r, (ke, kn) in zip(duck, rows, k):
+        assert abs(r["easting"] - de) < 5e-8 * max(abs(de), 1e6)
+        assert abs(r["northing"] - dn) < 5e-8 * max(abs(dn), 1e6)
+        assert abs(r["easting"] - ke) < 5e-8 * max(abs(ke), 1e6)
+        assert abs(r["northing"] - kn) < 5e-8 * max(abs(kn), 1e6)
+
+
+def test_aea_composition_and_errors():
+    """Albers composes with every other frame through wgs84; the n=0
+    cylindrical limit raises; southern-parallel frames work (n < 0)."""
+    import numpy as np
+    import pytest
+    from spatial_spark.functions.crs import _frame, transform_points
+    pts = np.array([[-100.0, 40.0], [-80.0, 30.0]])
+    en = transform_points(pts, "wgs84", _frame("EPSG:5070"))
+    utm = transform_points(en, _frame("EPSG:5070"), _frame("EPSG:32614"))
+    back = transform_points(utm, _frame("EPSG:32614"), "wgs84")
+    assert np.abs(back - pts).max() < 1e-7
+    with pytest.raises(ValueError, match="cylindrical limit"):
+        _frame("aea:-30.0:30.0:0.0:0.0:0.0:0.0")
+    # southern frame (Australian Albers shape, EPSG:3577 parameters)
+    fr = _frame("aea:-18.0:-36.0:0.0:132.0:0.0:0.0")
+    s = transform_points(np.array([[145.0, -37.8]]), "wgs84", fr)
+    rt = transform_points(s, fr, "wgs84")
+    assert np.abs(rt - np.array([[145.0, -37.8]])).max() < 1e-8
+
+
 def test_laea_equal_area_anchor():
     """LAEA's defining property, verified EXACTLY: the plane area of a
     projected meridian/parallel quad equals the closed-form ellipsoid
