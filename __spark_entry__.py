@@ -3341,6 +3341,82 @@ def _aea_oracle_sql() -> str:
         FROM _aea_out"""
 
 
+def _q_interval_join_stream(spark, sf_dir) -> DataFrame:
+    """STREAM-STREAM interval join under the hard gate (the r9
+    nineteenth-wave operator's first driver row): view events ⋈
+    same-user purchases within [0s, 1h], BOTH sides streaming.  Each
+    side is split into two TIME-ORDERED parquet files (early/late
+    halves, mtimes ascending) and replayed with maxFilesPerTrigger=1 —
+    two real micro-batches whose cross-batch matches must survive in
+    the join STATE STORE (a view from batch 1 pairs with a purchase
+    arriving in batch 2; the 30-minute watermark + the range condition
+    bound state without dropping them, because time-ordered replay has
+    no late data — the documented equivalence precondition).  The
+    oracle is the plain batch interval join in SQL.  Users capped at
+    5% (user_id % 20 == 0): the gate measures streaming-join
+    machinery, not scan throughput."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from spatial_spark.streaming.events import stream_interval_join
+
+    work = tempfile.mkdtemp(prefix="ivj_gate_")
+    # the stream-stream join's state store is partitioned at
+    # spark.sql.shuffle.partitions per stateful operator per batch;
+    # 8 partitions ample for the capped fixture (restored in finally)
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        ev = (spark.table("events")
+              .filter(F.col("user_id") % 20 == 0)
+              .select("event_id", "user_id", "event_type", "ts"))
+        mid = ev.agg(F.expr(
+            "timestamp_millis(CAST(avg(unix_millis(ts)) AS BIGINT))")
+        ).first()[0]
+        srcs = {}
+        now = _time.time()
+        for side, typ in (("views", "view"), ("purch", "purchase")):
+            d = os.path.join(work, side)
+            srcs[side] = d
+            part = ev.filter(F.col("event_type") == typ) \
+                .select("event_id", "user_id", "ts")
+            for i, pred in enumerate((F.col("ts") <= F.lit(mid),
+                                      F.col("ts") > F.lit(mid))):
+                sub = os.path.join(d, f"b{i}")
+                part.filter(pred).coalesce(1).write.mode(
+                    "overwrite").parquet(sub)
+                for f in os.listdir(sub):   # time-ordered replay
+                    os.utime(os.path.join(sub, f),
+                             (now - 600 + 300 * i,) * 2)
+        schema = "event_id bigint, user_id bigint, ts timestamp"
+        left = (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(srcs["views"] + "/b*"))
+        right = (spark.readStream.schema(schema)
+                 .option("maxFilesPerTrigger", 1)
+                 .parquet(srcs["purch"] + "/b*"))
+        joined = stream_interval_join(left, right, key_col="user_id",
+                                      ts_col="ts", lower="0 seconds",
+                                      upper="1 hour",
+                                      watermark="30 minutes")
+        out_dir = os.path.join(work, "out")
+        q = (joined.select(F.col("l_event_id").alias("view_id"),
+                           F.col("r_event_id").alias("purchase_id"),
+                           "user_id")
+             .writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", os.path.join(work, "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(600)
+        rows = spark.read.parquet(out_dir).collect()
+        return spark.createDataFrame(
+            rows, "view_id bigint, purchase_id bigint, user_id bigint")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3434,6 +3510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #  the same r11 cohort)
         "json_props": _q_json_props,
         "st_transform_aea": _q_st_transform_aea,
+        "interval_join_stream": _q_interval_join_stream,
         "boolean_retrieval": _q_boolean_retrieval,
         "kmv_intersect": _q_kmv_intersect,
         "cdc_shared": _q_cdc_shared,
@@ -6287,6 +6364,19 @@ def oracle_sql() -> dict[str, str]:
         "ivf_recall": _ivf_recall_oracle_sql(),
         "st_length_geodesic": _st_length_geodesic_oracle_sql(),
         "st_transform_aea": _aea_oracle_sql(),
+        # stream-stream interval join == the batch interval join (the
+        # time-ordered replay has no late data, so the watermark drops
+        # nothing — the documented equivalence precondition)
+        "interval_join_stream": """
+            SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+                   v.user_id
+            FROM events v JOIN events p
+              ON v.user_id = p.user_id
+             AND v.event_type = 'view' AND p.event_type = 'purchase'
+             AND p.ts >= v.ts
+             AND p.ts <= v.ts + INTERVAL 1 HOUR
+            WHERE v.user_id % 20 = 0
+        """,
         "json_props": """
             SELECT event_type,
                    CAST(floor(CAST(k AS DOUBLE) / 10) AS BIGINT) AS bucket,

@@ -123,6 +123,8 @@ HEADLINE = [
     "json_props",
     # r10: Albers Equal-Area Conic (EPSG:5070 + generic aea: frames)
     "st_transform_aea",
+    # r10: stream-stream interval join (two real stateful micro-batches)
+    "interval_join_stream",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -259,6 +261,9 @@ BUDGET_SF01 = {
     # r10: 2.2x local best-of-two (per-point numpy kernel, the
     # st_transform_lcc plan class)
     "st_transform_aea": 0.8,
+    # r10: 2.2x local best-of-two (capped fixture; cost = the stateful
+    # stream-stream join machinery across two micro-batches)
+    "interval_join_stream": 9.3,
     # (EVERY pin re-ratcheted as min(old, 2.2x the clean final full
     # run's min-of-2) — landing-time measurements taken under
     # concurrent sweeps carried up to 9x slack; the ratchet never
