@@ -3417,6 +3417,46 @@ def _q_interval_join_stream(spark, sf_dir) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _q_media_avc_pskip(spark, sf_dir) -> DataFrame:
+    """INTER-frame avc1 decode on the hard gate (r10 — the first
+    P-frame tier): per media i, ONE I_PCM IDR (uniform gray
+    v = (i*41) % 256) followed by 2 + i%4 all-skip P frames (ITU-T
+    H.264 §7.3.4: mb_skip_run covers the whole picture, motion-vector
+    prediction (0,0) → each P frame is an exact repeat of the
+    reference; any conformant player decodes the stream).  The decoded
+    mean of EVERY frame is exactly v; frame COUNT proves the skip
+    frames really decode (the old I-only route raised on P slices).
+    Motion-compensated P macroblocks remain the documented ffmpeg
+    seam — decode_h264_slice raises at a skip run shorter than the
+    picture."""
+    import struct as _struct
+
+    import numpy as np
+    from spatial_spark.operators.codecs import (build_avcc, build_h264_sps,
+                                                build_mp4,
+                                                encode_h264_ipcm,
+                                                encode_h264_pskip)
+    from spatial_spark.operators.multimodal import MEDIA_SCHEMA, mp4_frames
+    rows = []
+    for i in range(24):
+        w, h = 18 + (i % 5) * 4, 10 + (i % 3) * 4
+        v = (i * 41) % 256
+        idr = encode_h264_ipcm(np.full((h, w, 3), v, dtype=np.uint8))
+        nals = [_struct.pack(">I", len(idr)) + idr]
+        for f in range(1, 3 + i % 4):
+            p = encode_h264_pskip(w, h, f)
+            nals.append(_struct.pack(">I", len(p)) + p)
+        rows.append((i, bytearray(build_mp4(
+            w, h, 0, 1000, 40, codec="avc1", samples=nals,
+            codec_config=build_avcc(build_h264_sps(w, h)))),
+            "video", "mp4", w, h, None))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(8)
+    return (mp4_frames(df)
+            .select("media_id", "frame_no", "decoded_w", "decoded_h",
+                    F.round("mean_intensity", 6).alias("mean_intensity"))
+            .orderBy("media_id", "frame_no"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3511,6 +3551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": _q_json_props,
         "st_transform_aea": _q_st_transform_aea,
         "interval_join_stream": _q_interval_join_stream,
+        "media_avc_pskip": _q_media_avc_pskip,
         "boolean_retrieval": _q_boolean_retrieval,
         "kmv_intersect": _q_kmv_intersect,
         "cdc_shared": _q_cdc_shared,
@@ -5069,6 +5110,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(18 + (i % 5) * 4 AS INT) AS decoded_w,
                    CAST(10 + (i % 3) * 4 AS INT) AS decoded_h,
                    round(CAST((i * 37 + 11 * f) % 256 AS DOUBLE), 6)
+                     AS mean_intensity
+            FROM fr ORDER BY media_id, frame_no
+        """,
+        # IDR + all-skip P chain: every frame's mean is the IDR's v
+        "media_avc_pskip": """
+            WITH items AS (SELECT unnest(generate_series(0, 23)) AS i),
+            fr AS (SELECT i, unnest(generate_series(0, 2 + i % 4)) AS f
+                   FROM items)
+            SELECT CAST(i AS BIGINT) AS media_id, CAST(f AS INT) AS frame_no,
+                   CAST(18 + (i % 5) * 4 AS INT) AS decoded_w,
+                   CAST(10 + (i % 3) * 4 AS INT) AS decoded_h,
+                   round(CAST((i * 41) % 256 AS DOUBLE), 6)
                      AS mean_intensity
             FROM fr ORDER BY media_id, frame_no
         """,

@@ -125,6 +125,8 @@ HEADLINE = [
     "st_transform_aea",
     # r10: stream-stream interval join (two real stateful micro-batches)
     "interval_join_stream",
+    # r10: H.264 all-skip P-frame inter tier (static-repeat decode)
+    "media_avc_pskip",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -264,6 +266,9 @@ BUDGET_SF01 = {
     # r10: 2.2x local best-of-two (capped fixture; cost = the stateful
     # stream-stream join machinery across two micro-batches)
     "interval_join_stream": 9.3,
+    # r10: 2.2x local best-of-two (24-container fixture: I_PCM IDR +
+    # skip-chain decode)
+    "media_avc_pskip": 2.4,
     # (EVERY pin re-ratcheted as min(old, 2.2x the clean final full
     # run's min-of-2) — landing-time measurements taken under
     # concurrent sweeps carried up to 9x slack; the ratchet never

@@ -1931,10 +1931,14 @@ def decode_mp4_frames(buf: bytes, every_n: int = 1) -> list:
     standalone baseline-JPEG image, sliced out of mdat via the sample
     table and decoded by the in-repo numpy JPEG decoder.  Returns
     [(frame_no, (h, w, 3) uint8), ...] for every ``every_n``-th frame.
-    avc1 tracks decode natively when their slices are I_PCM or
-    ENTROPY-CODED I_16x16 DC (decode_h264_islice — the CAVLC route);
-    AC residuals, non-DC prediction, P/B frames and hevc remain the
-    documented ffmpeg seam."""
+    avc1 tracks decode natively when their slices are I_PCM,
+    ENTROPY-CODED I_16x16 DC (decode_h264_islice — the CAVLC route),
+    or ALL-SKIP P frames (r10: the static-repeat inter tier —
+    decode_h264_slice tracks the reference picture across samples, so
+    every sample is decoded in order even under ``every_n``
+    subsampling); dense AC residuals, non-DC prediction,
+    MOTION-COMPENSATED P/B macroblocks and hevc remain the documented
+    ffmpeg seam."""
     buf = bytes(buf)
     tab = mp4_sample_table(buf, handler="vide")
     codec = (tab["codec"] or "").lower()
@@ -1972,9 +1976,8 @@ def _decode_avc1_ipcm_frames(buf: bytes, tab: dict, every_n: int) -> list:
             "MP4 frames: avcC carries no SPS — needs ffmpeg")
     nls = cfg["nal_length_size"]
     out = []
-    for f, (off, size) in enumerate(tab["samples"]):
-        if f % every_n:
-            continue
+    ref = None                          # previous decoded picture: the
+    for f, (off, size) in enumerate(tab["samples"]):   # P_Skip reference
         if size <= 0 or off + size > len(buf):
             raise ValueError(f"MP4: sample {f} outside mdat")
         pos, end = off, off + size
@@ -1984,10 +1987,13 @@ def _decode_avc1_ipcm_frames(buf: bytes, tab: dict, every_n: int) -> list:
             nal = buf[pos + nls:pos + nls + ln]
             pos += nls + ln
             if nal and (nal[0] & 0x1F) in (1, 5):
-                frame = decode_h264_islice(nal, cfg["width"],
-                                           cfg["height"])
+                frame = decode_h264_slice(nal, cfg["width"],
+                                          cfg["height"], ref=ref)
         if frame is None:
             raise ValueError(f"MP4: avc1 sample {f} has no slice NAL")
+        ref = frame                     # every decoded sample is decoded
+        if f % every_n:                 # in order so the skip chain holds
+            continue
         out.append((f, frame))
     return out
 
@@ -2897,3 +2903,85 @@ def decode_mp4_audio(buf: bytes) -> dict:
     pcm = aac_overlap_add(specs, shapes) if specs else np.zeros(0)
     return {"sample_rate": rate, "channels": channels, "pcm": pcm,
             "frames": infos}
+
+
+# ---------------------------------------------------------------------------
+# H.264 P_Skip route (r10) — the first INTER-frame tier.  ITU-T H.264
+# §7.3.4/§8.4.1: a P slice whose macroblocks are ALL skipped
+# (mb_skip_run == PicSizeInMbs, no macroblock layers) reconstructs each
+# macroblock from the reference picture at the motion-vector
+# prediction, which is (0, 0) for a whole-frame skip chain (the first
+# MB has no neighbors → mvp = (0,0); every later MB takes the median of
+# all-(0,0) neighbors).  So an all-skip P frame is an EXACT repeat of
+# its reference — the static-scene inter frame every conformant player
+# decodes, expressible with zero entropy-coded residuals (mb_skip_run
+# is plain Exp-Golomb).  The seam statement narrows from "P/B frames
+# need ffmpeg" to "MOTION-COMPENSATED (nonzero-MV / residual-carrying)
+# inter prediction needs ffmpeg".
+# ---------------------------------------------------------------------------
+def encode_h264_pskip(width: int, height: int, frame_num: int) -> bytes:
+    """One NON-REFERENCE P slice NAL (nal_ref_idc=0, type=1) of all
+    skipped macroblocks: an exact repeat of the current reference
+    frame (the preceding IDR in this library's output).  frame_num
+    counts mod 16 (the SPS's log2_max_frame_num = 4)."""
+    n_mbs = ((width + 15) // 16) * ((height + 15) // 16)
+    w = _EgBitWriter()
+    w.write(0x01, 8)                    # NAL: ref_idc=0, type=1
+    w.ue(0)                             # first_mb_in_slice
+    w.ue(0)                             # slice_type: P
+    w.ue(0)                             # pic_parameter_set_id
+    w.write(frame_num % 16, 4)          # frame_num
+    w.write(0, 1)                       # num_ref_idx_active_override
+    w.write(0, 1)                       # ref_pic_list_modification_l0
+    # nal_ref_idc == 0 → no dec_ref_pic_marking
+    w.se(0)                             # slice_qp_delta
+    w.ue(n_mbs)                         # mb_skip_run = every macroblock
+    body = w.bytes_aligned()
+    return body[:1] + _insert_emulation(body[1:])
+
+
+def decode_h264_slice(nal: bytes, width: int, height: int,
+                      ref: np.ndarray | None = None) -> np.ndarray:
+    """One slice NAL → (height, width, 3) uint8 RGB.  I slices route to
+    decode_h264_islice (I_PCM + CAVLC I_16x16); P slices decode the
+    ALL-SKIP case (an exact copy of ``ref``, which the caller tracks —
+    the previous decoded picture).  Motion-compensated P/B (nonzero
+    skip-interrupting macroblocks, MVs, residuals) raises at the exact
+    remaining ffmpeg seam."""
+    data = _strip_emulation(bytes(nal))
+    if not data or (data[0] & 0x1F) not in (1, 5):
+        raise ValueError("H264: not a slice NAL")
+    nal_ref_idc = (data[0] >> 5) & 3
+    r = _EgBitReader(data[1:])
+    if r.ue() != 0:
+        raise ValueError("H264: multi-slice pictures unsupported")
+    stype = r.ue()
+    if stype % 5 == 2:                  # I slice: the intra routes
+        return decode_h264_islice(nal, width, height)
+    if stype % 5 != 0:
+        raise NotImplementedError(
+            "H264: only I and all-skip P slices decode natively "
+            "(B prediction needs ffmpeg)")
+    r.ue()                              # pic_parameter_set_id
+    r.read(4)                           # frame_num
+    r.read(1)                           # num_ref_idx_active_override
+    r.read(1)                           # ref_pic_list_modification_l0
+    if nal_ref_idc:
+        if r.read(1):                   # adaptive_ref_pic_marking
+            raise NotImplementedError(
+                "H264: adaptive reference marking needs ffmpeg")
+    r.se()                              # slice_qp_delta
+    n_mbs = ((width + 15) // 16) * ((height + 15) // 16)
+    skip_run = r.ue()
+    if skip_run != n_mbs:
+        raise NotImplementedError(
+            "H264: motion-compensated P macroblocks need ffmpeg (only "
+            "the all-skip static repeat decodes natively)")
+    # rbsp trailing: a stop bit then zeros
+    if r.read(1) != 1:
+        raise ValueError("H264: missing rbsp stop bit after skip run")
+    if ref is None:
+        raise ValueError(
+            "H264: P_Skip slice with no reference picture (the caller "
+            "must pass the previous decoded frame)")
+    return ref.copy()

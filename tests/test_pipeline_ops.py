@@ -3343,6 +3343,66 @@ def test_aac_mp4_route():
                              for i in range(8)]
 
 
+def test_h264_pskip_inter_route():
+    """The r10 inter tier: an IDR followed by all-skip P frames decodes
+    to exact repeats of the reference through both decode_h264_slice
+    and the MP4 sample-table route (reference tracked across samples,
+    including under every_n subsampling); a skip run SHORTER than the
+    picture raises at the motion-compensation seam; a P slice with no
+    reference raises."""
+    import struct
+
+    import numpy as np
+    import pytest
+    from spatial_spark.operators.codecs import (_EgBitWriter,
+                                                _insert_emulation,
+                                                build_avcc,
+                                                build_h264_sps, build_mp4,
+                                                decode_h264_slice,
+                                                decode_mp4_frames,
+                                                encode_h264_ipcm,
+                                                encode_h264_pskip)
+    rng = np.random.default_rng(9)
+    h, w = 18, 30
+    img = np.repeat(rng.integers(0, 256, size=(h, w, 1)), 3,
+                    axis=2).astype(np.uint8)
+    idr = encode_h264_ipcm(img)
+    ref = decode_h264_slice(idr, w, h)
+    assert np.array_equal(ref, img)
+    p1 = encode_h264_pskip(w, h, 1)
+    assert np.array_equal(decode_h264_slice(p1, w, h, ref=ref), img)
+    with pytest.raises(ValueError, match="no reference"):
+        decode_h264_slice(p1, w, h)
+    samples = [struct.pack(">I", len(idr)) + idr]
+    for f in range(1, 4):
+        p = encode_h264_pskip(w, h, f)
+        samples.append(struct.pack(">I", len(p)) + p)
+    mp4 = build_mp4(w, h, 4, 1000, 40, codec="avc1", samples=samples,
+                    codec_config=build_avcc(build_h264_sps(w, h)))
+    frames = decode_mp4_frames(mp4)
+    assert [f for f, _ in frames] == [0, 1, 2, 3]
+    assert all(np.array_equal(im, img) for _, im in frames)
+    # every_n subsampling still decodes the skip chain in order
+    frames2 = decode_mp4_frames(mp4, every_n=2)
+    assert [f for f, _ in frames2] == [0, 2]
+    assert all(np.array_equal(im, img) for _, im in frames2)
+    # the seam: a P slice whose skip run stops short implies a
+    # motion-compensated macroblock follows
+    wtr = _EgBitWriter()
+    wtr.write(0x01, 8)
+    wtr.ue(0)
+    wtr.ue(0)
+    wtr.ue(0)
+    wtr.write(1, 4)
+    wtr.write(0, 2)
+    wtr.se(0)
+    wtr.ue(1)                           # skip 1 of the 4 macroblocks
+    body = wtr.bytes_aligned()
+    nal = body[:1] + _insert_emulation(body[1:])
+    with pytest.raises(NotImplementedError, match="motion-compensated"):
+        decode_h264_slice(nal, w, h, ref=ref)
+
+
 def test_h264_ipcm_roundtrip():
     """Gray frames round-trip bit-exactly through a REAL avc1 NAL
     (I_PCM stores raw samples; JFIF matrix maps gray to Y=v, C=128);
