@@ -3344,7 +3344,7 @@ def _aea_oracle_sql() -> str:
 def _q_interval_join_stream(spark, sf_dir) -> DataFrame:
     """STREAM-STREAM interval join under the hard gate (the r9
     nineteenth-wave operator's first driver row): view events ⋈
-    same-user purchases within [0s, 1h], BOTH sides streaming.  Each
+    same-user purchases within [0s, 4h], BOTH sides streaming.  Each
     side is split into two TIME-ORDERED parquet files (early/late
     halves, mtimes ascending) and replayed with maxFilesPerTrigger=1 —
     two real micro-batches whose cross-batch matches must survive in
@@ -3353,8 +3353,8 @@ def _q_interval_join_stream(spark, sf_dir) -> DataFrame:
     bound state without dropping them, because time-ordered replay has
     no late data — the documented equivalence precondition).  The
     oracle is the plain batch interval join in SQL.  Users capped at
-    5% (user_id % 20 == 0): the gate measures streaming-join
-    machinery, not scan throughput."""
+    20% (user_id % 5 == 0; nonzero matches at every SF): the gate
+    measures streaming-join machinery, not scan throughput."""
     import shutil
     import tempfile
     import time as _time
@@ -3369,7 +3369,7 @@ def _q_interval_join_stream(spark, sf_dir) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         ev = (spark.table("events")
-              .filter(F.col("user_id") % 20 == 0)
+              .filter(F.col("user_id") % 5 == 0)
               .select("event_id", "user_id", "event_type", "ts"))
         mid = ev.agg(F.expr(
             "timestamp_millis(CAST(avg(unix_millis(ts)) AS BIGINT))")
@@ -3398,7 +3398,7 @@ def _q_interval_join_stream(spark, sf_dir) -> DataFrame:
                  .parquet(srcs["purch"] + "/b*"))
         joined = stream_interval_join(left, right, key_col="user_id",
                                       ts_col="ts", lower="0 seconds",
-                                      upper="1 hour",
+                                      upper="4 hours",
                                       watermark="30 minutes")
         out_dir = os.path.join(work, "out")
         q = (joined.select(F.col("l_event_id").alias("view_id"),
@@ -6427,8 +6427,8 @@ def oracle_sql() -> dict[str, str]:
               ON v.user_id = p.user_id
              AND v.event_type = 'view' AND p.event_type = 'purchase'
              AND p.ts >= v.ts
-             AND p.ts <= v.ts + INTERVAL 1 HOUR
-            WHERE v.user_id % 20 = 0
+             AND p.ts <= v.ts + INTERVAL 4 HOUR
+            WHERE v.user_id % 5 = 0
         """,
         "json_props": """
             SELECT event_type,
