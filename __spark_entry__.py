@@ -3467,12 +3467,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is part of the driver contract: the driver's correctness
     # gate checks the first 50 registered entries.  The r10 rotation is
     # documented inline at the top of the dict below; r11 window plan:
-    # any r10-late gates without driver rows first, then the r9-late
-    # gates deferred from the r10 window (if any), then oldest-first
-    # from the r8-row holders (age-3 at r11 — they MUST rotate in),
-    # remaining slots oldest-first from the r9-row holders.  Every entry
-    # keeps its local-gate oracle (tools/check_correctness runs ALL of
-    # them, every round, at sf0.001/0.01/0.1).
+    # the never-rowed gates first — the 5 r9-late gates deferred from
+    # the r10 window (boolean_retrieval, kmv_intersect, cdc_shared,
+    # media_avc_cavlc, decontam_retrieval) and the 5 r10-late gates
+    # registered below the window (json_props, st_transform_aea,
+    # interval_join_stream, media_avc_pskip, plus any r11 newcomers) —
+    # then oldest-first from the r8-row holders (age-3 at r11 — they
+    # MUST rotate in), remaining slots oldest-first from the r9-row
+    # holders.  Every entry keeps its local-gate oracle
+    # (tools/check_correctness runs ALL of them, every round, at
+    # sf0.001/0.01/0.1).
     return {name: wrap(fn) for name, fn in {
         # r10 WINDOW (first 50 — the driver's correctness gate): executed
         # as queued in r9 and as VERDICT r9 ask #1 directs.  Slots go to
