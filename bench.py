@@ -158,7 +158,7 @@ HEADLINE = [
 # st_length_geodesic, json_props) pinned at 2.2x the same run.
 BUDGET_SF01 = {
     "within_distance": 0.4, "knn": 0.4, "bbox_window": 0.3,
-    "spatial_join": 1.0, "spatial_join_agg": 1.5, "distance_join": 1.5,
+    "spatial_join": 1.0, "spatial_join_agg": 1.4, "distance_join": 1.4,
     "st_area_rects": 1.6, "extract_points": 0.9, "orthodromic_length": 0.8,
     "zorder_keys": 0.5, "tpch_q1": 0.6, "revenue_by_nation": 1.7,
     "dedup_exact": 0.4, "minhash_pairs": 2.7, "simhash_pairs": 3.4,
@@ -210,7 +210,7 @@ BUDGET_SF01 = {
     # r9 sixteenth wave: 2.2x local best-of-two
     "media_resize": 2.2,
     # r9 seventeenth wave: 2.2x local best-of-two
-    "hll_by_group": 1.3,
+    "hll_by_group": 1.2,
     # r9 eighteenth wave: 2.2x local best-of-two
     "st_transform_tm": 0.6,
     # r9 nineteenth wave: 2.2x local best-of-two (measured under a
@@ -219,7 +219,7 @@ BUDGET_SF01 = {
     # r9 twentieth wave: 2.2x local best-of-two (dbscan_cluster is the
     # constant 300-point semantics fixture — stage-latency bound, like
     # density_greedy)
-    "bm25_retrieval": 2.0, "cdc_chunks": 0.8, "dbscan_cluster": 2.9,
+    "bm25_retrieval": 2.0, "cdc_chunks": 0.8, "dbscan_cluster": 2.7,
     # r9 twenty-first wave: 2.2x local best-of-two
     "hex_density": 0.3,
     # r9 twenty-second wave: 2.2x local best-of-two
@@ -231,14 +231,14 @@ BUDGET_SF01 = {
     # r9 twenty-fifth wave: 2.2x local best-of-two
     "stay_points": 0.9,
     # r9 twenty-sixth wave: 2.2x local best-of-two
-    "scc_components": 1.2,
+    "scc_components": 1.0,
     # r9 twenty-seventh wave: 2.2x local best-of-two (measured under a
     # concurrent full bench; re-check on the clean final run)
-    "card_scrub": 1.1,
+    "card_scrub": 1.0,
     # r9 twenty-eighth wave: 2.2x local best-of-two
     "ppl_buckets": 3.8,
     # r9 twenty-ninth wave: 2.2x local best-of-two
-    "boolean_retrieval": 1.2, "kmv_intersect": 1.2, "cdc_shared": 0.8,
+    "boolean_retrieval": 1.0, "kmv_intersect": 1.2, "cdc_shared": 0.8,
     # r9 thirtieth wave: 2.2x local best-of-two
     "media_avc_cavlc": 2.2,
     # r9 thirty-first wave: 2.2x local best-of-two
@@ -248,7 +248,7 @@ BUDGET_SF01 = {
     "overlay_degenerate": 2.0,
     # r10: 2.2x local best-of-two (capped 200-doc fixture; cost = the 5
     # micro-batch folds + slice writes, not scan throughput)
-    "kmv_stream": 6.1,
+    "kmv_stream": 5.7,
     # r10: 2.2x local best-of-two (2000-vector recall fixture: one
     # assign + 4 top-k scans)
     "ivf_recall": 1.9,
@@ -265,10 +265,10 @@ BUDGET_SF01 = {
     "st_transform_aea": 0.8,
     # r10: 2.2x local best-of-two (capped fixture; cost = the stateful
     # stream-stream join machinery across two micro-batches)
-    "interval_join_stream": 9.3,
+    "interval_join_stream": 8.7,
     # r10: 2.2x local best-of-two (24-container fixture: I_PCM IDR +
     # skip-chain decode)
-    "media_avc_pskip": 2.4,
+    "media_avc_pskip": 1.8,
     # (EVERY pin re-ratcheted as min(old, 2.2x the clean final full
     # run's min-of-2) — landing-time measurements taken under
     # concurrent sweeps carried up to 9x slack; the ratchet never
