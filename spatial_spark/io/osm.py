@@ -392,9 +392,12 @@ def osm_user_activity(tables: dict) -> DataFrame:
     first_ts, last_ts, active_days, user_rank)``; rank 1 = most edits
     (ties by name, deterministic).  OSM timestamps are ISO-8601 strings →
     ``to_timestamp`` directly.  Scale shape: union of projections, one
-    groupBy(user) with map-side combine; the ranking window runs on the
-    contributor frame, which is corpus-size-independent (bounded by the
-    active-mapper population)."""
+    groupBy(user) with map-side combine; the global rank is DISTRIBUTED —
+    a range repartition on the rank key, per-partition row_number, plus a
+    broadcast of per-partition cumulative offsets (#shuffle-partition
+    rows), so no single task ever sorts the whole contributor frame
+    (OSM planet has ~10M users; the old bare ``Window.orderBy`` funneled
+    them all through one task)."""
     from pyspark.sql import Window
 
     frames = []
@@ -412,5 +415,23 @@ def osm_user_activity(tables: dict) -> DataFrame:
                 F.count(F.lit(1)).alias("n_edits"),
                 F.min("t").alias("first_ts"), F.max("t").alias("last_ts"),
                 F.countDistinct(F.to_date("t")).alias("active_days")))
-    w = Window.orderBy(F.desc("n_edits"), F.asc("user"))
-    return agg.withColumn("user_rank", F.row_number().over(w))
+    # Distributed global rank: range-partition on the rank key so
+    # partition i holds strictly higher-ranked rows than partition i+1,
+    # row_number within each partition, then add the cumulative row
+    # counts of the preceding partitions (a #partitions-row broadcast).
+    # Identical output to a bare Window.orderBy, without the
+    # single-task global sort.
+    key = [F.desc("n_edits"), F.asc("user")]
+    base = (agg.repartitionByRange(*key)
+            .withColumn("_pid", F.spark_partition_id()))
+    lw = Window.partitionBy("_pid").orderBy(*key)
+    loc = base.withColumn("_lr", F.row_number().over(lw))
+    ow = (Window.orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offs = (loc.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+            .withColumn("_off", F.coalesce(F.sum("_n").over(ow), F.lit(0)))
+            .select("_pid", "_off"))
+    return (loc.join(F.broadcast(offs), "_pid")
+            .withColumn("user_rank",
+                        (F.col("_lr") + F.col("_off")).cast("int"))
+            .drop("_pid", "_lr", "_off"))

@@ -60,12 +60,12 @@ def kmeans(df: DataFrame, k: int = 8, iters: int = 3,
     run.  Scale: per iteration one broadcast-assign (map-only) and one
     k-key groupBy whose partial aggregation ships k x dim sums, so the
     driver never holds more than the k x dim centroid state."""
-    dim = len(df.select(vec_col).first()[0])
     init_rows = (df.orderBy(id_col).limit(k)
                  .select(vec_col).collect())
     cent = np.array([r[0] for r in init_rows], dtype=np.float64)
     if cent.shape[0] < k:
         raise ValueError(f"kmeans: need >= {k} rows, got {cent.shape[0]}")
+    dim = cent.shape[1]            # from the init collect — no extra job
 
     sums = [F.sum(F.col(vec_col).getItem(j).cast("double")).alias(f"s{j}")
             for j in range(dim)]

@@ -410,9 +410,11 @@ def vocab_top_k(df: DataFrame, k: int = 1000, text_col: str = "text",
     ``cum_share`` = cumulative occurrence share rounded to 6 decimals.
 
     Scale shape: the token count is one keyed agg with map-side combine
-    over the corpus; everything after operates on the VOCABULARY (≤ a
-    few million rows at web scale — the global ranking window sorts
-    that, never the corpus), and the total-occurrence scalar rides a
+    over the corpus; everything after operates on the VOCABULARY, and a
+    per-partition top-k pre-cut (the global top-k is a subset of the
+    union of per-partition top-k's) bounds the one global ranking window
+    at k·P survivor rows — no single task ever sorts the full vocabulary,
+    whatever min_count admits.  The total-occurrence scalar rides a
     1-row broadcast."""
     from pyspark.sql import Window
 
@@ -422,8 +424,13 @@ def vocab_top_k(df: DataFrame, k: int = 1000, text_col: str = "text",
               .groupBy("token").agg(F.count(F.lit(1)).alias("n"))
               .filter(F.col("n") >= min_count))
     total = counts.agg(F.sum("n").alias("_total"))
+    pre_w = Window.partitionBy("_pid").orderBy(
+        F.col("n").desc(), F.col("token"))
+    pre = (counts.withColumn("_pid", F.spark_partition_id())
+           .withColumn("_ppos", F.row_number().over(pre_w))
+           .filter(F.col("_ppos") <= k).select("token", "n"))
     w = Window.orderBy(F.col("n").desc(), F.col("token"))
-    return (counts
+    return (pre
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .crossJoin(F.broadcast(total))

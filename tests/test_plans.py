@@ -517,3 +517,63 @@ def test_kn_score_model_joins_broadcastable(spark):
     ref = docs.limit(40)
     plan = _plan(kn_score(docs, ref), execute=True)
     assert "BroadcastHashJoin" in plan, plan[:3000]
+
+
+def test_vocab_top_k_precut_bounds_global_window(spark):
+    """VERDICT r10 nit: vocab_top_k's global ranking window used to sort
+    the full vocabulary in one task.  The per-partition top-k pre-cut
+    (the KMV pattern, sketch.py) must survive optimization: the global
+    rank window's input is the Filter(_ppos <= k) over the
+    _pid-partitioned pre-window, so the single-partition stage sees at
+    most k*P rows whatever min_count admits."""
+    from spatial_spark.operators.text import vocab_top_k
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 37} tok{i % 11} tok{i % 5}") for i in range(300)],
+        "doc_id long, text string")
+    out = vocab_top_k(docs, k=7)
+    plan = _plan(out)
+    # pre-cut window partitioned by the physical partition id is present…
+    assert "_ppos" in plan and "_pid" in plan, plan[:3000]
+    # …and sits BELOW the global rank window (tree prints root-first:
+    # the rank window, then the filter on _ppos, then the pre-window)
+    assert plan.index("AS rank") < plan.index("_ppos"), plan[:3000]
+    # behavior unchanged vs the unbounded-window model
+    rows = out.collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    counts = {}
+    for i in range(300):
+        for t in (f"tok{i % 37}", f"tok{i % 11}", f"tok{i % 5}"):
+            counts[t] = counts.get(t, 0) + 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:7]
+    assert [(r.token, r.n) for r in rows] == want
+
+
+def test_osm_user_activity_rank_is_distributed(spark, tmp_path):
+    """VERDICT r10 nit: the contributor rank used a bare Window.orderBy
+    (single-task sort of the whole user frame).  Now it must plan as a
+    RANGE repartition + per-partition row_number + broadcast offsets:
+    no Window in the plan may order by n_edits without a partition
+    spec."""
+    import re
+
+    from spatial_spark.io.osm import osm_user_activity, parse_osm_xml
+    nodes = "".join(
+        f'<node id="{i}" lon="{i % 30}" lat="{i % 15}" user="u{i % 23}" '
+        f'uid="{i % 23}" timestamp="2020-01-{1 + i % 27:02d}T10:00:00Z" '
+        f'changeset="{i}" version="1"/>\n' for i in range(200))
+    p = tmp_path / "many_users.osm"
+    p.write_text(f'<?xml version="1.0"?>\n<osm version="0.6">\n{nodes}</osm>\n')
+    tables = parse_osm_xml(spark, str(p))
+    out = osm_user_activity(tables)
+    plan = _plan(out)
+    assert "rangepartitioning" in plan.lower(), plan[:3000]
+    for line in plan.splitlines():
+        if "Window" in line and "n_edits" in line and "row_number" in line:
+            assert "_pid" in line, line   # the rank window is partitioned
+    # ranks are the bare-window model's ranks
+    rows = sorted(out.collect(), key=lambda r: r.user_rank)
+    assert [r.user_rank for r in rows] == list(range(1, 24))
+    edits = [r.n_edits for r in rows]
+    assert edits == sorted(edits, reverse=True)
+    for a, b in zip(rows, rows[1:]):
+        assert (-a.n_edits, a.user) < (-b.n_edits, b.user)
