@@ -3289,6 +3289,50 @@ def _st_length_geodesic_oracle_sql() -> str:
     """
 
 
+def _pair_points_sql(limit: int = 1501, cap_km: float = 19000.0) -> str:
+    """Consecutive-customer point pairs with the near-antipodal zone
+    excluded via the SHARED spherical-distance text (the laea-gate
+    pattern) — one SQL text valid in both engines."""
+    cap = _sphere_sql("a.lon", "a.lat", "b.lon", "b.lat")
+    return f"""
+        SELECT a.c_custkey AS k, a.lon AS lon1, a.lat AS lat1,
+               b.lon AS lon2, b.lat AS lat2
+        FROM (SELECT c_custkey, {CUST_LON} AS lon, {CUST_LAT} AS lat
+              FROM customer WHERE c_custkey <= {limit}) a
+        JOIN (SELECT c_custkey, {CUST_LON} AS lon, {CUST_LAT} AS lat
+              FROM customer WHERE c_custkey <= {limit}) b
+          ON b.c_custkey = a.c_custkey + 1
+        WHERE ({cap}) <= {cap_km!r}
+    """
+
+
+def _q_st_distance_geodesic(spark, sf_dir) -> DataFrame:
+    """Point-pair ellipsoidal distance on the hard gate (r11, VERDICT
+    r10 ask #8; reference precedent: GeoTools GeodeticCalculator behind
+    OrthodromicDistance.java) — consecutive-customer pairs through the
+    registered st_distance_geodesic UDF (guarded Vincenty inverse,
+    functions/geodesic.py: RAISES in the near-antipodal non-convergence
+    zone rather than returning a non-survey-grade number; the fixture
+    excludes that zone with the shared spherical-distance text, so both
+    engines see the identical pair set).  The oracle replays the same
+    fixed-8-step Vincenty through the dual-engine SQL (vincenty_ctes);
+    libm-ulp drift is absorbed by the cm rounding."""
+    pairs = spark.sql(_pair_points_sql())
+    return pairs.select(
+        "k",
+        F.expr("CAST(round(st_distance_geodesic("
+               "st_point(lon1, lat1), st_point(lon2, lat2)) * 100) "
+               "AS BIGINT)").alias("dist_cm"))
+
+
+def _st_distance_geodesic_oracle_sql() -> str:
+    from spatial_spark.functions.geodesic import vincenty_ctes
+    return vincenty_ctes(_pair_points_sql()) + """
+        SELECT k, CAST(round(geodesic_m * 100) AS BIGINT) AS dist_cm
+        FROM _vin_out
+    """
+
+
 def _q_json_props(spark, sf_dir) -> DataFrame:
     """Semi-structured JSON extraction over the events props column
     (r10 — the one driver column no operator touched): Catalyst-native
@@ -3552,6 +3596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- deferred r9-late gates (no rows yet): FIRST in the r11 window
         # (plus r10-late extras registered below the window — they join
         #  the same r11 cohort)
+        "st_distance_geodesic": _q_st_distance_geodesic,
         "json_props": _q_json_props,
         "st_transform_aea": _q_st_transform_aea,
         "interval_join_stream": _q_interval_join_stream,
@@ -6420,6 +6465,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ivf_recall": _ivf_recall_oracle_sql(),
         "st_length_geodesic": _st_length_geodesic_oracle_sql(),
+        "st_distance_geodesic": _st_distance_geodesic_oracle_sql(),
         "st_transform_aea": _aea_oracle_sql(),
         # stream-stream interval join == the batch interval join (the
         # time-ordered replay has no late data, so the watermark drops

@@ -45,6 +45,30 @@ VINCENTY_ITERS = 8
 def vincenty_m(lat1, lon1, lat2, lon2, iters: int = VINCENTY_ITERS):
     """WGS84 geodesic distance in meters, vectorized (degrees in).
     Fixed ``iters`` lambda iterations (see module contract)."""
+    return _vincenty_core(lat1, lon1, lat2, lon2, iters)[0]
+
+
+def vincenty_inverse_m(lat1, lon1, lat2, lon2,
+                       iters: int = VINCENTY_ITERS,
+                       tol: float = 1e-12):
+    """WGS84 geodesic distance WITH a convergence verdict, vectorized.
+
+    Returns ``(dist_m, converged)``; ``converged`` is False exactly in
+    Vincenty's classical non-convergence zone (near-antipodal pairs,
+    where the fixed-step lambda iteration is still moving more than
+    ``tol`` radians on its last step).  Distances for non-converged
+    pairs are NOT survey-grade (only ~spherical-accurate) — callers
+    must guard (st_distance_geodesic raises; never a silent wrong
+    distance).  Coincident points converge trivially (distance 0)."""
+    dist, delta = _vincenty_core(lat1, lon1, lat2, lon2, iters)
+    return dist, np.abs(delta) <= tol
+
+
+def _vincenty_core(lat1, lon1, lat2, lon2, iters: int):
+    """Shared fixed-step Vincenty inverse: returns (distance_m,
+    last-step lambda delta).  The delta is RECORDED, never fed back —
+    arithmetic is op-for-op identical to the original kernel (the
+    st_length_geodesic gate and the dual-engine SQL stay bit-stable)."""
     lat1 = np.radians(np.asarray(lat1, dtype=np.float64))
     lat2 = np.radians(np.asarray(lat2, dtype=np.float64))
     dl = np.radians(np.asarray(lon2, dtype=np.float64)
@@ -54,7 +78,9 @@ def vincenty_m(lat1, lon1, lat2, lon2, iters: int = VINCENTY_ITERS):
     su1, cu1 = np.sin(u1), np.cos(u1)
     su2, cu2 = np.sin(u2), np.cos(u2)
     lam = dl
+    last_delta = np.zeros_like(np.asarray(dl, dtype=np.float64))
     for _ in range(iters):
+        lam_prev = lam
         sl, cl = np.sin(lam), np.cos(lam)
         sin_sigma = np.sqrt((cu2 * sl) ** 2
                             + (cu1 * su2 - su1 * cu2 * cl) ** 2)
@@ -74,6 +100,7 @@ def vincenty_m(lat1, lon1, lat2, lon2, iters: int = VINCENTY_ITERS):
         lam = dl + (1.0 - c) * GEO_F * sin_alpha * (
             sigma + c * sin_sigma * (cos_2sm + c * cos_sigma
                                      * (-1.0 + 2.0 * cos_2sm * cos_2sm)))
+        last_delta = lam - lam_prev
     sl, cl = np.sin(lam), np.cos(lam)
     sin_sigma = np.sqrt((cu2 * sl) ** 2 + (cu1 * su2 - su1 * cu2 * cl) ** 2)
     cos_sigma = su1 * su2 + cu1 * cu2 * cl
@@ -95,7 +122,33 @@ def vincenty_m(lat1, lon1, lat2, lon2, iters: int = VINCENTY_ITERS):
                               - bb / 6.0 * cos_2sm
                               * (-3.0 + 4.0 * sin_sigma * sin_sigma)
                               * (-3.0 + 4.0 * cos_2sm * cos_2sm)))
-    return GEO_B * aa * (sigma - d_sigma)
+    return GEO_B * aa * (sigma - d_sigma), last_delta
+
+
+def geodesic_distance_m(g1, g2) -> float:
+    """Point-pair WGS84 geodesic distance in meters — the ellipsoidal
+    tier of the reference's OrthodromicDistance (GeoTools
+    GeodeticCalculator; pipes/processing/OrthodromicDistance.java).
+    Both arguments must be POINTS (lon/lat degrees); raises TypeError
+    otherwise and ValueError in Vincenty's near-antipodal
+    non-convergence zone — NEVER a silent wrong distance (use
+    st_distance_sphere for an always-defined spherical answer)."""
+    from ..geom.core import GTYPE_POINT
+
+    for g in (g1, g2):
+        if g.gtype != GTYPE_POINT:
+            raise TypeError("st_distance_geodesic expects two points, "
+                            f"got gtype={g.gtype}")
+    lon1, lat1 = float(g1.data[0]), float(g1.data[1])
+    lon2, lat2 = float(g2.data[0]), float(g2.data[1])
+    dist, ok = vincenty_inverse_m(lat1, lon1, lat2, lon2)
+    if not bool(ok):
+        raise ValueError(
+            "st_distance_geodesic: Vincenty's inverse does not converge "
+            f"for the near-antipodal pair ({lon1}, {lat1})–({lon2}, {lat2}); "
+            "refusing to return a non-survey-grade distance "
+            "(st_distance_sphere gives the spherical answer)")
+    return float(dist)
 
 
 def geodesic_length_m(g) -> float:

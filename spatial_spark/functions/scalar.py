@@ -178,6 +178,16 @@ def _geodesic_length_m(g):
 # ellipsoidal (WGS84 Vincenty) tier of OrthodromicLength — meters;
 # st_length_sphere stays the reference-parity default (R=6371 spherical)
 st_length_geodesic = _u_scalar(_geodesic_length_m, T.DoubleType())
+
+
+def _geodesic_distance_m(g1, g2):
+    from .geodesic import geodesic_distance_m
+    return geodesic_distance_m(g1, g2)
+
+
+# point-pair ellipsoidal tier of OrthodromicDistance — meters; raises in
+# Vincenty's near-antipodal non-convergence zone (never silently wrong)
+st_distance_geodesic = _b_scalar(_geodesic_distance_m, T.DoubleType())
 st_dimension = _u_scalar(lambda g: g.dimension(), T.IntegerType())
 st_numpoints = _u_scalar(lambda g: g.num_points(), T.IntegerType())
 st_numgeometries = _u_scalar(lambda g: g.num_geometries(), T.IntegerType())
@@ -503,6 +513,7 @@ REGISTRY = {
     "st_line_interpolate_point": st_line_interpolate_point,
     "st_area": st_area, "st_length": st_length, "st_length_sphere": st_length_sphere,
     "st_length_geodesic": st_length_geodesic,
+    "st_distance_geodesic": st_distance_geodesic,
     "st_dimension": st_dimension, "st_numpoints": st_numpoints,
     "st_numgeometries": st_numgeometries, "st_geometrytype": st_geometrytype,
     "st_isempty": st_isempty, "st_isvalid": st_isvalid, "st_x": st_x, "st_y": st_y,

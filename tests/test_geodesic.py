@@ -135,3 +135,52 @@ def test_near_antipodal_documented_envelope():
     assert abs(d - math.pi * GEO_A) / (math.pi * GEO_A) < 0.01
     d2 = float(vincenty_m(10.0, 0.0, -10.0, 179.995))
     assert np.isfinite(d2) and d2 > 1.9e7
+
+
+def test_inverse_convergence_flag_and_antipodal_guard():
+    """VERDICT r10 ask #8: vincenty_inverse_m flags the classical
+    non-convergence zone; st_distance_geodesic raises there instead of
+    returning a non-survey-grade number, and returns the exact kernel
+    distance everywhere else."""
+    from spatial_spark.functions.geodesic import (geodesic_distance_m,
+                                                  vincenty_inverse_m)
+    from spatial_spark.geom.wkt import from_wkt
+
+    # ordinary pairs: converged, distance == the length-kernel's number
+    rng = random.Random(11)
+    for _ in range(200):
+        lat1, lon1 = rng.uniform(-80, 80), rng.uniform(-180, 180)
+        # keep the second point well away from the antipode
+        lat2 = max(-80.0, min(80.0, lat1 + rng.uniform(-40, 40)))
+        lon2 = lon1 + rng.uniform(-90, 90)
+        d, ok = vincenty_inverse_m(lat1, lon1, lat2, lon2)
+        assert bool(ok)
+        assert float(d) == float(vincenty_m(lat1, lon1, lat2, lon2))
+    # the near-antipodal zone is flagged, not silently wrong
+    _, ok = vincenty_inverse_m(0.0, 0.0, 0.0, 179.999)
+    assert not bool(ok)
+    _, ok = vincenty_inverse_m(10.0, 0.0, -10.0, 179.995)
+    assert not bool(ok)
+    # …and the guarded point-pair function raises there
+    p = from_wkt("POINT (0 0)")
+    q = from_wkt("POINT (179.999 0)")
+    with pytest.raises(ValueError, match="antipodal"):
+        geodesic_distance_m(p, q)
+    # Flinders Peak → Buninyong through the guarded function
+    fp = from_wkt("POINT (144.42486788888888 -37.95103341666667)")
+    bu = from_wkt("POINT (143.92649552777777 -37.65282113888889)")
+    assert abs(geodesic_distance_m(fp, bu) - 54_972.271) < 5e-2
+    # non-points refuse
+    with pytest.raises(TypeError):
+        geodesic_distance_m(from_wkt("LINESTRING (0 0, 1 1)"), p)
+
+
+def test_st_distance_geodesic_udf(spark):
+    """The registered SQL function runs the guarded kernel."""
+    from spatial_spark.functions import register_all
+    register_all(spark)
+    row = spark.sql(
+        "SELECT st_distance_geodesic(st_point(0.0D, 0.0D), "
+        "st_point(1.0D, 0.0D)) AS d").collect()[0]
+    # one degree of longitude along the equator: a * pi/180 exactly
+    assert abs(row.d - GEO_A * math.pi / 180.0) < 1e-6
