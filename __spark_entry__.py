@@ -486,6 +486,48 @@ def _q_st_transform_tm(spark, sf_dir) -> DataFrame:
         F.expr("CAST(round(st_y(u) * 100) AS BIGINT)").alias("n_cm"))
 
 
+def _q_st_transform_osgb(spark, sf_dir) -> DataFrame:
+    """Datum-SHIFTED national grid on the hard gate (r11, VERDICT r10
+    ask #4; reference envelope: GeoTools CRS decode behind
+    DefaultLayer.java:135-141): customer points wrapped into the UK box
+    4326 → EPSG:27700 (OSGB36 / British National Grid — Airy 1830
+    ellipsoid + the EPSG:1314 position-vector Helmert, the first frame
+    whose DATUM differs from WGS84) through the st_transform kernel, cm
+    integers hash-compared against the dual-engine tmd_forward_ctes SQL
+    (WGS84 ECEF → negated Helmert → Bowring on Airy → Krüger forward,
+    closed form end to end)."""
+    pts = (spark.table("customer")
+           .select("c_custkey",
+                   F.expr("CAST((c_custkey * 7919) % 950 AS DOUBLE) "
+                          "/ 100.0 - 7.5").alias("lon"),
+                   F.expr("49.5 + CAST((c_custkey * 104729) % 1150 "
+                          "AS DOUBLE) / 100.0").alias("lat"))
+           .withColumn("u", F.expr(
+               "st_transform(st_point(lon, lat), 'EPSG:4326', "
+               "'EPSG:27700')")))
+    return pts.select(
+        "c_custkey",
+        F.expr("CAST(round(st_x(u) * 100) AS BIGINT)").alias("e_cm"),
+        F.expr("CAST(round(st_y(u) * 100) AS BIGINT)").alias("n_cm"))
+
+
+def _st_transform_osgb_oracle_sql() -> str:
+    from spatial_spark.functions.crs import (AIRY_A, AIRY_F, OSGB_HELMERT,
+                                             tmd_forward_ctes)
+    base = """SELECT c_custkey,
+                     CAST((c_custkey * 7919) % 950 AS DOUBLE) / 100.0
+                       - 7.5 AS lon,
+                     49.5 + CAST((c_custkey * 104729) % 1150 AS DOUBLE)
+                       / 100.0 AS lat
+              FROM customer"""
+    return tmd_forward_ctes(base, 49.0, -2.0, 0.9996012717, 400000.0,
+                            -100000.0, AIRY_A, AIRY_F, *OSGB_HELMERT) + """
+        SELECT c_custkey,
+               CAST(round(easting * 100) AS BIGINT) AS e_cm,
+               CAST(round(northing * 100) AS BIGINT) AS n_cm
+        FROM _tmd_out"""
+
+
 def _q_st_transform_laea(spark, sf_dir) -> DataFrame:
     """Lambert Azimuthal EQUAL-AREA gate (EPSG:3035, the EU statistical
     grid; Snyder oblique-aspect formulas / EPSG method 9820): customer
@@ -3597,6 +3639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (plus r10-late extras registered below the window — they join
         #  the same r11 cohort)
         "st_distance_geodesic": _q_st_distance_geodesic,
+        "st_transform_osgb": _q_st_transform_osgb,
         "json_props": _q_json_props,
         "st_transform_aea": _q_st_transform_aea,
         "interval_join_stream": _q_interval_join_stream,
@@ -6466,6 +6509,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_recall": _ivf_recall_oracle_sql(),
         "st_length_geodesic": _st_length_geodesic_oracle_sql(),
         "st_distance_geodesic": _st_distance_geodesic_oracle_sql(),
+        "st_transform_osgb": _st_transform_osgb_oracle_sql(),
         "st_transform_aea": _aea_oracle_sql(),
         # stream-stream interval join == the batch interval join (the
         # time-ordered replay has no late data, so the watermark drops

@@ -138,6 +138,16 @@ _EPSG_CONIC = {
     "3414": "tm:1.3697222222222222:103.83333333333333:1.0:28001.642:38744.572",
 }
 
+# Datum-SHIFTED TM grids (r11): tmd:<lat0>:<lon0>:<k0>:<fe>:<fn>:<a>:<f>
+# :<tx>:<ty>:<tz>:<rx>:<ry>:<rz>:<ds> — grid ellipsoid (a, f) plus the
+# position-vector Helmert (datum → WGS84; meters / arc-seconds / ppm).
+#   27700  OSGB36 / British National Grid (Airy 1830, EPSG tfm 1314)
+_EPSG_TMD = {
+    "27700": ("tmd:49.0:-2.0:0.9996012717:400000.0:-100000.0:"
+              "6377563.396:" + repr(1.0 / 299.3249646) + ":"
+              "446.448:-125.157:542.06:0.1502:0.247:0.8421:-20.4894"),
+}
+
 
 def _frame(crs) -> str:
     """Canonical frame token: 'wgs84' | 'merc' | 'cart' |
@@ -161,10 +171,13 @@ def _frame(crs) -> str:
     key = s[5:] if s.startswith("epsg:") else s
     if key in _EPSG_CONIC:
         return _EPSG_CONIC[key]
-    if s.startswith(("lcc:", "psb:", "psa:", "laea:", "tm:", "aea:")):
+    if key in _EPSG_TMD:
+        return _EPSG_TMD[key]
+    if s.startswith(("lcc:", "psb:", "psa:", "laea:", "tm:", "aea:",
+                     "tmd:")):
         kind, *parts = s.split(":")
         n_num = {"lcc": 6, "psb": 4, "psa": 4, "laea": 4, "tm": 5,
-                 "aea": 6}[kind]
+                 "aea": 6, "tmd": 14}[kind]
         hemi = ()
         if kind == "psa":
             if len(parts) != 5 or parts[4] not in ("n", "s"):
@@ -184,6 +197,13 @@ def _frame(crs) -> str:
         if kind == "tm" and abs(nums[0]) >= 89.999999:
             raise ValueError("st_transform: TM origin latitude must be "
                              "below the pole")
+        if kind == "tmd":
+            if abs(nums[0]) >= 89.999999:
+                raise ValueError("st_transform: TM origin latitude must "
+                                 "be below the pole")
+            if not (nums[5] > 0.0 and 0.0 < nums[6] < 0.01):
+                raise ValueError("st_transform: tmd ellipsoid must have "
+                                 "a > 0 and 0 < f < 0.01")
         if kind == "laea" and abs(nums[0]) >= 89.999999:
             raise ValueError("st_transform: LAEA polar aspect is out of "
                              "scope (oblique |lat0| < 90 only)")
@@ -197,8 +217,8 @@ def _frame(crs) -> str:
         "(supported: EPSG:4326, EPSG:3857, EPSG:326xx/327xx UTM, "
         "EPSG:2154/3034 LCC, EPSG:3031/3413/3995 polar stereographic, "
         "EPSG:5041/5042 UPS, EPSG:3035 LAEA, EPSG:5070 Albers, "
-        "EPSG:2193/2180/3414 TM, "
-        "generic lcc:/psb:/psa:/laea:/tm:/aea: frames, cartesian)")
+        "EPSG:2193/2180/3414 TM, EPSG:27700 OSGB36 National Grid, "
+        "generic lcc:/psb:/psa:/laea:/tm:/aea:/tmd: frames, cartesian)")
 
 
 def merc_forward_sql(lon_sql: str, lat_sql: str) -> tuple[str, str]:
@@ -947,6 +967,342 @@ def lcc_forward_ctes(base: str, lon: str = "lon", lat: str = "lat",
     """
 
 
+# ===================== datum-shifted national grids (r11) ==================
+# Helmert 7-parameter datum shift (EPSG method 9606, position-vector
+# rotation convention) + transverse Mercator on a CONFIGURABLE ellipsoid —
+# the class every previous frame excluded (all of crs.py above assumes the
+# WGS84/GRS80 ellipsoid AND datum).  Reference envelope: GeoTools CRS
+# decode behind DefaultLayer.java:135-141 resolves datum-shifted systems
+# like EPSG:27700 (OSGB36 / British National Grid, Airy 1830 ellipsoid).
+#
+# Frame token:  tmd:<lat0>:<lon0>:<k0>:<fe>:<fn>:<a>:<f>
+#                  :<tx>:<ty>:<tz>:<rx>:<ry>:<rz>:<ds>
+# — a transverse-Mercator grid on ellipsoid (a, f) whose datum maps to
+# WGS84 by the position-vector Helmert (tx/ty/tz meters, rx/ry/rz
+# ARC-SECONDS, ds PPM), parameters in the DATUM→WGS84 direction.  The
+# reverse direction negates the parameters (the EPSG reversal convention
+# for 9606; second-order error ≪ 0.1 mm at real datum magnitudes).
+#
+# ENGINE CONTRACT (documented): coordinates are 2-D, so the geodetic ↔
+# geocentric legs run at ellipsoidal height h = 0 (the standard 2-D
+# application of a 3-D similarity transform), and the Helmert parameters
+# are the single national set (EPSG:1314 for OSGB36) — survey-grade
+# grid-shift files (OSTN15) are out of scope; the national Helmert is
+# the documented ~3.5 m envelope vs the grid, while the ENGINE itself is
+# deterministic and cross-engine cm-exact (the gate's contract).
+
+AIRY_A = 6377563.396                 # Airy 1830 semi-major axis (m)
+AIRY_F = 1.0 / 299.3249646           # Airy 1830 flattening
+# OSGB36 → WGS84 position-vector parameters (EPSG transformation 1314 /
+# OS "A guide to coordinate systems in Great Britain", reversed):
+OSGB_HELMERT = (446.448, -125.157, 542.060,
+                0.1502, 0.2470, 0.8421, -20.4894)
+_AS2R = math.pi / (180.0 * 3600.0)   # arc-seconds → radians
+
+
+def krueger_constants(a: float, f: float):
+    """(A, alpha, beta, delta, c) — the Krüger/Karney series constants
+    for an arbitrary ellipsoid; with WGS84 parameters these equal the
+    module-level UTM_* constants BIT-EXACTLY (same formulas, pinned by
+    test), so the WGS84 frames keep their existing kernels."""
+    n = f / (2.0 - f)
+    A = a / (1.0 + n) * (1.0 + n * n / 4.0 + n ** 4 / 64.0)
+    alpha = (
+        n / 2.0 - 2.0 * n ** 2 / 3.0 + 5.0 * n ** 3 / 16.0,
+        13.0 * n ** 2 / 48.0 - 3.0 * n ** 3 / 5.0,
+        61.0 * n ** 3 / 240.0,
+    )
+    beta = (
+        n / 2.0 - 2.0 * n ** 2 / 3.0 + 37.0 * n ** 3 / 96.0,
+        n ** 2 / 48.0 + n ** 3 / 15.0,
+        17.0 * n ** 3 / 480.0,
+    )
+    delta = (
+        2.0 * n - 2.0 * n ** 2 / 3.0 - 2.0 * n ** 3,
+        7.0 * n ** 2 / 3.0 - 8.0 * n ** 3 / 5.0,
+        56.0 * n ** 3 / 15.0,
+    )
+    c = 2.0 * math.sqrt(n) / (1.0 + n)
+    return A, alpha, beta, delta, c
+
+
+def tm_xi0_ell(lat0: float, alpha, c: float) -> float:
+    """ξ₀ (meridian-arc origin shift) on an arbitrary ellipsoid —
+    tm_xi0 parametrized by the frame's series constants."""
+    sphi = math.sin(math.radians(lat0))
+    t = math.sinh(math.atanh(sphi) - c * math.atanh(c * sphi))
+    xip = math.atan(t)
+    xi = xip
+    for j, a_j in enumerate(alpha, start=1):
+        xi += a_j * math.sin(2.0 * j * xip)
+    return xi
+
+
+def tm_forward_ell(xy: np.ndarray, lat0: float, lon0: float, k0: float,
+                   fe: float, fn: float, a: float, f: float) -> np.ndarray:
+    """tm_forward on ellipsoid (a, f) — geodetic coordinates are in the
+    GRID's own datum (callers datum-shift first)."""
+    A, alpha, _, _, c = krueger_constants(a, f)
+    phi = np.radians(xy[:, 1])
+    lam = np.radians(xy[:, 0] - lon0)
+    sphi = np.sin(phi)
+    t = np.sinh(np.arctanh(sphi) - c * np.arctanh(c * sphi))
+    xip = np.arctan2(t, np.cos(lam))
+    etap = np.arctanh(np.sin(lam) / np.sqrt(1.0 + t * t))
+    xi, eta = xip.copy(), etap.copy()
+    for j, a_j in enumerate(alpha, start=1):
+        xi += a_j * np.sin(2.0 * j * xip) * np.cosh(2.0 * j * etap)
+        eta += a_j * np.cos(2.0 * j * xip) * np.sinh(2.0 * j * etap)
+    out = np.empty_like(xy, dtype=np.float64)
+    out[:, 0] = fe + k0 * A * eta
+    out[:, 1] = fn + k0 * A * (xi - tm_xi0_ell(lat0, alpha, c))
+    return out
+
+
+def tm_inverse_ell(xy: np.ndarray, lat0: float, lon0: float, k0: float,
+                   fe: float, fn: float, a: float, f: float) -> np.ndarray:
+    """tm_inverse on ellipsoid (a, f) — returns geodetic coordinates in
+    the GRID's own datum."""
+    A, alpha, beta, delta, c = krueger_constants(a, f)
+    xi = (xy[:, 1] - fn) / (k0 * A) + tm_xi0_ell(lat0, alpha, c)
+    eta = (xy[:, 0] - fe) / (k0 * A)
+    xip, etap = xi.copy(), eta.copy()
+    for j, b_j in enumerate(beta, start=1):
+        xip -= b_j * np.sin(2.0 * j * xi) * np.cosh(2.0 * j * eta)
+        etap -= b_j * np.cos(2.0 * j * xi) * np.sinh(2.0 * j * eta)
+    chi = np.arcsin(np.sin(xip) / np.cosh(etap))
+    phi = chi.copy()
+    for j, d_j in enumerate(delta, start=1):
+        phi += d_j * np.sin(2.0 * j * chi)
+    lam = np.arctan2(np.sinh(etap), np.cos(xip))
+    out = np.empty_like(xy, dtype=np.float64)
+    out[:, 0] = lon0 + np.degrees(lam)
+    out[:, 1] = np.degrees(phi)
+    return out
+
+
+def geodetic_to_ecef(lon_deg, lat_deg, a: float, f: float):
+    """Geodetic (degrees, h = 0) → geocentric XYZ meters on (a, f)."""
+    e2 = f * (2.0 - f)
+    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    sphi = np.sin(phi)
+    nu = a / np.sqrt(1.0 - e2 * sphi * sphi)
+    x = nu * np.cos(phi) * np.cos(lam)
+    y = nu * np.cos(phi) * np.sin(lam)
+    z = nu * (1.0 - e2) * sphi
+    return x, y, z
+
+
+def ecef_to_geodetic(x, y, z, a: float, f: float):
+    """Geocentric XYZ → geodetic lon/lat degrees on (a, f) — Bowring's
+    single-step closed form (sub-µrad for near-surface points; CLOSED
+    FORM, so the dual-engine SQL replays it op for op)."""
+    b = a * (1.0 - f)
+    e2 = f * (2.0 - f)
+    ep2 = e2 / (1.0 - e2)
+    p = np.sqrt(x * x + y * y)
+    th = np.arctan2(z * a, p * b)
+    sth, cth = np.sin(th), np.cos(th)
+    phi = np.arctan2(z + ep2 * b * sth * sth * sth,
+                     p - e2 * a * cth * cth * cth)
+    lam = np.arctan2(y, x)
+    return np.degrees(lam), np.degrees(phi)
+
+
+def helmert_xyz(x, y, z, tx: float, ty: float, tz: float,
+                rx_as: float, ry_as: float, rz_as: float, ds_ppm: float):
+    """EPSG 9606 position-vector 7-parameter similarity transform:
+    X' = T + (1 + ds)·R·X with the small-angle rotation matrix
+    [[1, −rz, ry], [rz, 1, −rx], [−ry, rx, 1]] (rotations arc-seconds,
+    scale ppm)."""
+    rx, ry, rz = rx_as * _AS2R, ry_as * _AS2R, rz_as * _AS2R
+    s = 1.0 + ds_ppm * 1e-6
+    x2 = tx + s * (x - rz * y + ry * z)
+    y2 = ty + s * (rz * x + y - rx * z)
+    z2 = tz + s * (-ry * x + rx * y + z)
+    return x2, y2, z2
+
+
+def tmd_to_wgs84(xy: np.ndarray, lat0, lon0, k0, fe, fn, a, f,
+                 tx, ty, tz, rx, ry, rz, ds) -> np.ndarray:
+    """Datum'd grid meters → WGS84 lon/lat degrees: TM inverse on the
+    grid ellipsoid, geodetic→XYZ on that ellipsoid, Helmert (datum →
+    WGS84 as tokenized), XYZ→geodetic on WGS84."""
+    ll = tm_inverse_ell(xy, lat0, lon0, k0, fe, fn, a, f)
+    x, y, z = geodetic_to_ecef(ll[:, 0], ll[:, 1], a, f)
+    x, y, z = helmert_xyz(x, y, z, tx, ty, tz, rx, ry, rz, ds)
+    lon, lat = ecef_to_geodetic(x, y, z, MERC_R, _F)
+    out = np.empty_like(xy, dtype=np.float64)
+    out[:, 0] = lon
+    out[:, 1] = lat
+    return out
+
+
+def wgs84_to_tmd(ll: np.ndarray, lat0, lon0, k0, fe, fn, a, f,
+                 tx, ty, tz, rx, ry, rz, ds) -> np.ndarray:
+    """WGS84 lon/lat degrees → datum'd grid meters (reverse Helmert =
+    negated parameters, the EPSG 9606 reversal convention)."""
+    x, y, z = geodetic_to_ecef(ll[:, 0], ll[:, 1], MERC_R, _F)
+    x, y, z = helmert_xyz(x, y, z, -tx, -ty, -tz, -rx, -ry, -rz, -ds)
+    lon, lat = ecef_to_geodetic(x, y, z, a, f)
+    out = np.empty_like(ll, dtype=np.float64)
+    out[:, 0] = lon
+    out[:, 1] = lat
+    return tm_forward_ell(out, lat0, lon0, k0, fe, fn, a, f)
+
+
+def tmd_forward_ctes(base: str, lat0, lon0, k0, fe, fn, a, f,
+                     tx, ty, tz, rx, ry, rz, ds,
+                     lon: str = "lon", lat: str = "lat") -> str:
+    """Dual-engine SQL (Spark SQL AND DuckDB) for WGS84 → datum'd TM
+    grid: the SAME closed-form chain as wgs84_to_tmd op for op — WGS84
+    ECEF, negated-parameter Helmert, Bowring inverse on the grid
+    ellipsoid, Krüger forward series with the grid ellipsoid's
+    constants (all frame constants computed by the same Python the
+    kernel runs, repr'd as DOUBLE literals)."""
+    def _c(v: float) -> str:
+        return f"CAST({v!r} AS DOUBLE)"
+
+    def _atanh(x):
+        return f"(0.5 * ln((1.0 + {x}) / (1.0 - {x})))"
+
+    def _sinh(x):
+        return f"((exp({x}) - exp(-({x}))) / 2.0)"
+
+    def _cosh(x):
+        return f"((exp({x}) + exp(-({x}))) / 2.0)"
+
+    e2w = _F * (2.0 - _F)                 # WGS84 e²
+    rxr, ryr, rzr = -rx * _AS2R, -ry * _AS2R, -rz * _AS2R
+    s = 1.0 - ds * 1e-6
+    bg = a * (1.0 - f)                    # grid ellipsoid b
+    e2g = f * (2.0 - f)
+    ep2g = e2g / (1.0 - e2g)
+    A, alpha, _, _, c = krueger_constants(a, f)
+    a1, a2, a3 = alpha
+    ka = f"({_c(k0)} * {_c(A)})"
+    return f"""
+        WITH _tmd_base AS ({base}),
+        _tmd_s1 AS (
+          SELECT *, radians(CAST({lat} AS DOUBLE)) AS _gphi,
+                 radians(CAST({lon} AS DOUBLE)) AS _glam
+          FROM _tmd_base),
+        _tmd_s2 AS (
+          SELECT *, {_c(MERC_R)} / sqrt(1.0 - {_c(e2w)} * sin(_gphi)
+                   * sin(_gphi)) AS _nu
+          FROM _tmd_s1),
+        _tmd_s3 AS (
+          SELECT *, _nu * cos(_gphi) * cos(_glam) AS _wx,
+                 _nu * cos(_gphi) * sin(_glam) AS _wy,
+                 _nu * (1.0 - {_c(e2w)}) * sin(_gphi) AS _wz
+          FROM _tmd_s2),
+        _tmd_s4 AS (
+          SELECT *,
+            {_c(-tx)} + {_c(s)} * (_wx - {_c(rzr)} * _wy + {_c(ryr)} * _wz)
+              AS _hx,
+            {_c(-ty)} + {_c(s)} * ({_c(rzr)} * _wx + _wy - {_c(rxr)} * _wz)
+              AS _hy,
+            {_c(-tz)} + {_c(s)} * (-({_c(ryr)}) * _wx + {_c(rxr)} * _wy + _wz)
+              AS _hz
+          FROM _tmd_s3),
+        _tmd_s5 AS (
+          SELECT *, sqrt(_hx * _hx + _hy * _hy) AS _p,
+                 atan2(_hz * {_c(a)}, sqrt(_hx * _hx + _hy * _hy)
+                       * {_c(bg)}) AS _th
+          FROM _tmd_s4),
+        _tmd_s6 AS (
+          SELECT *,
+            atan2(_hz + {_c(ep2g)} * {_c(bg)} * sin(_th) * sin(_th)
+                    * sin(_th),
+                  _p - {_c(e2g)} * {_c(a)} * cos(_th) * cos(_th)
+                    * cos(_th)) AS _phi,
+            atan2(_hy, _hx) AS _lamabs
+          FROM _tmd_s5),
+        _tmd_s7 AS (
+          SELECT *, _lamabs - radians({_c(lon0)}) AS _lam
+          FROM _tmd_s6),
+        _tmd_s8 AS (
+          SELECT *, {_sinh(f"({_atanh('sin(_phi)')} - {_c(c)} * "
+                           f"{_atanh(f'({_c(c)} * sin(_phi))')})")} AS _t
+          FROM _tmd_s7),
+        _tmd_s9 AS (
+          SELECT *, atan2(_t, cos(_lam)) AS _xip,
+                 {_atanh("(sin(_lam) / sqrt(1.0 + _t * _t))")} AS _etap
+          FROM _tmd_s8),
+        _tmd_out AS (
+          SELECT *,
+            {_c(fe)} + {ka} * (_etap
+              + {_c(a1)} * cos(2.0 * _xip) * {_sinh("(2.0 * _etap)")}
+              + {_c(a2)} * cos(4.0 * _xip) * {_sinh("(4.0 * _etap)")}
+              + {_c(a3)} * cos(6.0 * _xip) * {_sinh("(6.0 * _etap)")})
+              AS easting,
+            {_c(fn)} + {ka} * ((_xip
+              + {_c(a1)} * sin(2.0 * _xip) * {_cosh("(2.0 * _etap)")}
+              + {_c(a2)} * sin(4.0 * _xip) * {_cosh("(4.0 * _etap)")}
+              + {_c(a3)} * sin(6.0 * _xip) * {_cosh("(6.0 * _etap)")})
+              - {_c(tm_xi0_ell(lat0, alpha, c))})
+              AS northing
+          FROM _tmd_s9)
+    """
+
+
+_PRJ_PARAM_RE = re.compile(
+    r'PARAMETER\s*\[\s*"([^"]+)"\s*,\s*([-+0-9.Ee]+)', re.I)
+_PRJ_SPHEROID_RE = re.compile(
+    r'SPHEROID\s*\[\s*"([^"]+)"\s*,\s*([-+0-9.Ee]+)\s*,\s*([-+0-9.Ee]+)',
+    re.I)
+_PRJ_DATUM_RE = re.compile(r'DATUM\s*\[\s*"([^"]+)"', re.I)
+_PRJ_WGS84_DATUMS = ("WGS_1984", "WGS 84", "WGS84", "ETRS_1989", "ETRS89",
+                     "ETRS 1989", "NAD_1983", "NAD83", "NAD 1983",
+                     "NZGD_2000", "NZGD2000")
+
+
+def prj_to_frame(wkt: str) -> str | None:
+    """Resolve a shapefile ``.prj`` (WKT1, ESRI or OGC spelling) to an
+    engine frame token; ``None`` when unrecognized (callers must treat
+    None as 'do NOT silently interpret as WGS84' — the r10 verdict's
+    datum gap).  Recognized: geographic WGS84-family, Web Mercator,
+    WGS84-family Transverse_Mercator (incl. UTM parameter sets), and
+    OSGB36 / British National Grid (Airy 1830 + the EPSG:1314 Helmert
+    — the GeoTools-CRS-decode envelope, DefaultLayer.java:135-141)."""
+    if not wkt or not wkt.strip():
+        return None
+    s = wkt.strip()
+    up = s.upper()
+    datum_m = _PRJ_DATUM_RE.search(s)
+    datum = (datum_m.group(1).upper() if datum_m else "")
+    wgs84_family = any(d.upper() in datum for d in _PRJ_WGS84_DATUMS)
+    if up.startswith("GEOGCS"):
+        return "wgs84" if wgs84_family else None
+    if not up.startswith("PROJCS"):
+        return None
+    if "MERCATOR_AUXILIARY_SPHERE" in up or "WEB_MERCATOR" in up \
+            or "PSEUDO-MERCATOR" in up:
+        return "merc"
+    if "TRANSVERSE_MERCATOR" not in up:
+        return None
+    params = {k.lower(): float(v) for k, v in _PRJ_PARAM_RE.findall(s)}
+    try:
+        lat0 = params.get("latitude_of_origin", 0.0)
+        lon0 = params["central_meridian"]
+        k0 = params.get("scale_factor", 1.0)
+        fe = params.get("false_easting", 0.0)
+        fn = params.get("false_northing", 0.0)
+    except KeyError:
+        return None
+    osgb = "OSGB" in datum or "OSGB" in up
+    if osgb:
+        sph = _PRJ_SPHEROID_RE.search(s)
+        a = float(sph.group(2)) if sph else AIRY_A
+        invf = float(sph.group(3)) if sph else 1.0 / AIRY_F
+        return _frame("tmd:" + ":".join(repr(v) for v in (
+            lat0, lon0, k0, fe, fn, a, 1.0 / invf, *OSGB_HELMERT)))
+    if not wgs84_family:
+        return None                 # unknown datum: refuse, never guess
+    return _frame(f"tm:{lat0!r}:{lon0!r}:{k0!r}:{fe!r}:{fn!r}")
+
+
 def transform_points(xy: np.ndarray, src: str, dst: str) -> np.ndarray:
     """Vectorized (n, 2) coordinate transform between resolved frames
     ('wgs84' | 'merc' | 'cart' | 'utm:<zone>:<n|s>' | 'lcc:…' |
@@ -980,6 +1336,8 @@ def transform_points(xy: np.ndarray, src: str, dst: str) -> np.ndarray:
         ll = laea_inverse(xy, *(float(v) for v in src.split(":")[1:]))
     elif src.startswith("aea:"):
         ll = aea_inverse(xy, *(float(v) for v in src.split(":")[1:]))
+    elif src.startswith("tmd:"):
+        ll = tmd_to_wgs84(xy, *(float(v) for v in src.split(":")[1:]))
     elif src.startswith("tm:"):
         ll = tm_inverse(xy, *(float(v) for v in src.split(":")[1:]))
     else:
@@ -1003,6 +1361,8 @@ def transform_points(xy: np.ndarray, src: str, dst: str) -> np.ndarray:
         return laea_forward(ll, *(float(v) for v in dst.split(":")[1:]))
     if dst.startswith("aea:"):
         return aea_forward(ll, *(float(v) for v in dst.split(":")[1:]))
+    if dst.startswith("tmd:"):
+        return wgs84_to_tmd(ll, *(float(v) for v in dst.split(":")[1:]))
     if dst.startswith("tm:"):
         return tm_forward(ll, *(float(v) for v in dst.split(":")[1:]))
     _, z, hemi = dst.split(":")

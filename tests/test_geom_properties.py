@@ -984,3 +984,179 @@ def test_tm_frames_kernel_and_roundtrip():
         + " SELECT easting, northing FROM _tm_out"
     got = np.array(con.execute(sql).fetchall())
     assert np.abs(got - want).max() < 1e-4          # sub-0.1 mm
+
+
+def test_tmd_osgb_projection_anchor_and_constants():
+    """r11 datum tier: (a) krueger_constants(WGS84) == the module UTM_*
+    constants BIT-exactly (the WGS84 frames keep their kernels); (b) the
+    TM-on-Airy forward reproduces the OS 'A guide to coordinate systems
+    in Great Britain' worked projection example (OSGB36 geodetic
+    52°39'27.2531"N 1°43'4.5177"E → E 651409.903 N 313177.270) to mm."""
+    import numpy as np
+    from spatial_spark.functions import crs
+
+    A, al, be, de, c = crs.krueger_constants(crs.MERC_R, crs._F)
+    assert (A, al, be, de, c) == (crs.UTM_A, crs.UTM_ALPHA, crs.UTM_BETA,
+                                  crs.UTM_DELTA, crs._UTM_C)
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    en = crs.tm_forward_ell(np.array([[lon, lat]]), 49.0, -2.0,
+                            0.9996012717, 400000.0, -100000.0,
+                            crs.AIRY_A, crs.AIRY_F)
+    assert abs(en[0, 0] - 651409.903) < 2e-3
+    assert abs(en[0, 1] - 313177.270) < 2e-3
+    # and the inverse recovers the geodetic input
+    back = crs.tm_inverse_ell(en, 49.0, -2.0, 0.9996012717, 400000.0,
+                              -100000.0, crs.AIRY_A, crs.AIRY_F)
+    # 3rd-order-in-n series truncation (Airy's n > WGS84's): sub-mm
+    assert abs(back[0, 0] - lon) < 1e-8 and abs(back[0, 1] - lat) < 1e-8
+
+
+def test_helmert_properties_and_tmd_roundtrip():
+    """Helmert 9606: zero params = identity; translation-only shifts XYZ
+    exactly; the EPSG negated-parameter reversal round-trips the full
+    OSGB36 transform to ≤ 1e-7° (~1 cm — the second-order reversal term
+    plus the documented h=0 projection, both sub-survey noise)."""
+    import numpy as np
+    from spatial_spark.functions import crs
+
+    x, y, z = crs.geodetic_to_ecef(np.array([1.0, -5.0]),
+                                   np.array([52.0, 58.0]),
+                                   crs.AIRY_A, crs.AIRY_F)
+    i = crs.helmert_xyz(x, y, z, 0, 0, 0, 0, 0, 0, 0)
+    assert np.array_equal(np.stack(i), np.stack((x, y, z)))
+    t = crs.helmert_xyz(x, y, z, 100.0, -50.0, 25.0, 0, 0, 0, 0)
+    assert np.allclose(t[0] - x, 100.0) and np.allclose(t[1] - y, -50.0) \
+        and np.allclose(t[2] - z, 25.0)
+    # ECEF ↔ geodetic is exact round-trip on both ellipsoids
+    lon, lat = crs.ecef_to_geodetic(x, y, z, crs.AIRY_A, crs.AIRY_F)
+    assert np.abs(lon - [1.0, -5.0]).max() < 1e-12
+    assert np.abs(lat - [52.0, 58.0]).max() < 1e-12
+    # full datum'd frame round-trip over the UK box
+    rng = np.random.default_rng(27700)
+    ll = np.stack([rng.uniform(-7.5, 2.0, 2000),
+                   rng.uniform(49.5, 61.0, 2000)], axis=1)
+    tok = crs._frame("EPSG:27700")
+    assert tok.startswith("tmd:")
+    back = crs.transform_points(crs.transform_points(ll, "wgs84", tok),
+                                tok, "wgs84")
+    assert np.abs(back - ll).max() < 1e-7
+    # OSGB36 grid origin sanity: the true origin (49N 2W in OSGB36)
+    # maps to (FE, FN) = (400000, -100000) via the projection alone
+    en = crs.tm_forward_ell(np.array([[-2.0, 49.0]]), 49.0, -2.0,
+                            0.9996012717, 400000.0, -100000.0,
+                            crs.AIRY_A, crs.AIRY_F)
+    assert abs(en[0, 0] - 400000.0) < 1e-6
+    assert abs(en[0, 1] + 100000.0) < 1e-6
+    # datum-shift magnitude in London: the OSGB36↔WGS84 offset is the
+    # published ~50–125 m class, NOT zero and NOT kilometers
+    naive = crs.tm_forward_ell(np.array([[-0.1276, 51.5072]]), 49.0,
+                               -2.0, 0.9996012717, 400000.0, -100000.0,
+                               crs.AIRY_A, crs.AIRY_F)
+    shifted = crs.transform_points(np.array([[-0.1276, 51.5072]]),
+                                   "wgs84", tok)
+    d = float(np.hypot(*(shifted - naive)[0]))
+    assert 50.0 < d < 200.0
+
+
+def test_tmd_sql_text_matches_kernel(spark):
+    """tmd_forward_ctes (WGS84 ECEF → negated Helmert → Bowring on Airy
+    → Krüger forward) agrees with the wgs84_to_tmd kernel to sub-0.1 mm
+    in BOTH engines."""
+    import duckdb
+    import numpy as np
+    from spatial_spark.functions import crs
+
+    params = (49.0, -2.0, 0.9996012717, 400000.0, -100000.0,
+              crs.AIRY_A, crs.AIRY_F, *crs.OSGB_HELMERT)
+    rng = np.random.default_rng(1314)
+    ll = np.stack([rng.uniform(-7.5, 2.0, 300),
+                   rng.uniform(49.5, 61.0, 300)], axis=1)
+    want = crs.wgs84_to_tmd(ll, *params)
+    base = " UNION ALL ".join(
+        f"SELECT CAST({lo!r} AS DOUBLE) AS lon, CAST({la!r} AS DOUBLE) AS lat"
+        for lo, la in ll[:80])
+    sql = crs.tmd_forward_ctes(base, *params) \
+        + " SELECT easting, northing FROM _tmd_out"
+    got_duck = np.array(duckdb.connect().execute(sql).fetchall())
+    got_spark = np.array([(r.easting, r.northing)
+                          for r in spark.sql(sql).collect()])
+    # UNION ALL order is preserved by both engines for literal selects
+    assert np.abs(got_duck - want[:80]).max() < 1e-4
+    assert np.abs(got_spark - want[:80]).max() < 1e-4
+
+
+def test_prj_to_frame_and_shapefile_datum_path(spark, tmp_path, ctx):
+    """The .prj path (the r10 verdict's 'where this bites first'):
+    ESRI British National Grid WKT resolves to the EPSG:27700 tmd
+    frame; WGS84 GEOGCS resolves to wgs84; an unknown datum (NAD27)
+    resolves to None and import_shapefile REFUSES it instead of
+    silently reading meters as degrees; a BNG shapefile imports with
+    geometries reprojected to WGS84."""
+    import numpy as np
+    from spatial_spark.functions import crs
+    from spatial_spark.geom.core import Geometry, GTYPE_POINT
+    from spatial_spark.geom.wkb import from_wkb
+    from spatial_spark.io.shapefile import import_shapefile, write_shapefile
+
+    BNG = ('PROJCS["British_National_Grid",GEOGCS["GCS_OSGB_1936",'
+           'DATUM["D_OSGB_1936",SPHEROID["Airy_1830",6377563.396,'
+           '299.3249646]],PRIMEM["Greenwich",0.0],'
+           'UNIT["Degree",0.0174532925199433]],'
+           'PROJECTION["Transverse_Mercator"],'
+           'PARAMETER["False_Easting",400000.0],'
+           'PARAMETER["False_Northing",-100000.0],'
+           'PARAMETER["Central_Meridian",-2.0],'
+           'PARAMETER["Scale_Factor",0.9996012717],'
+           'PARAMETER["Latitude_Of_Origin",49.0],UNIT["Meter",1.0]]')
+    WGS = ('GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
+           'SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+           'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]]')
+    NAD27 = ('PROJCS["NAD_1927_UTM_Zone_15N",GEOGCS["GCS_North_American'
+             '_1927",DATUM["D_North_American_1927",SPHEROID['
+             '"Clarke_1866",6378206.4,294.9786982]],PRIMEM["Greenwich",'
+             '0.0],UNIT["Degree",0.0174532925199433]],'
+             'PROJECTION["Transverse_Mercator"],'
+             'PARAMETER["False_Easting",500000.0],'
+             'PARAMETER["False_Northing",0.0],'
+             'PARAMETER["Central_Meridian",-93.0],'
+             'PARAMETER["Scale_Factor",0.9996],'
+             'PARAMETER["Latitude_Of_Origin",0.0],UNIT["Meter",1.0]]')
+    assert crs.prj_to_frame(BNG) == crs._frame("EPSG:27700")
+    assert crs.prj_to_frame(WGS) == "wgs84"
+    assert crs.prj_to_frame(NAD27) is None
+    assert crs.prj_to_frame("") is None
+    # a WGS84-datum UTM .prj resolves to the equivalent tm: frame
+    utm_prj = NAD27.replace("D_North_American_1927", "D_WGS_1984") \
+                   .replace("GCS_North_American_1927", "GCS_WGS_1984") \
+                   .replace("Clarke_1866\",6378206.4,294.9786982",
+                            "WGS_1984\",6378137.0,298.257223563")
+    f15 = crs.prj_to_frame(utm_prj)
+    assert f15 is not None and f15.startswith("tm:")
+    pt = np.array([[-93.2, 41.6]])
+    assert np.abs(crs.transform_points(pt, "wgs84", f15)
+                  - crs.utm_forward(pt, 15, False)).max() < 1e-9
+
+    # end-to-end shapefile: a point at BNG (530000, 180000) imports as
+    # the WGS84 position OSGB's datum shift implies (near London)
+    wgs_ll = crs.transform_points(np.array([[530000.0, 180000.0]]),
+                                  crs._frame("EPSG:27700"), "wgs84")
+    g = Geometry(GTYPE_POINT, np.array([530000.0, 180000.0]))
+    shp = str(tmp_path / "bng.shp")
+    write_shapefile([(g, {})], shp)
+    (tmp_path / "bng.prj").write_text(BNG)
+    layer = import_shapefile(ctx, shp, "bng_pts")
+    row = layer.df().select("geom").collect()[0]
+    got = from_wkb(bytes(row.geom))
+    assert abs(float(got.data[0]) - wgs_ll[0, 0]) < 1e-9
+    assert abs(float(got.data[1]) - wgs_ll[0, 1]) < 1e-9
+    # unknown datum refuses
+    (tmp_path / "bng.prj").write_text(NAD27)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unrecognized .prj"):
+        import_shapefile(ctx, shp, "bng_pts2")
+    # …but verbatim opt-out still works
+    layer3 = import_shapefile(ctx, shp, "bng_pts3", to_wgs84=False)
+    row3 = layer3.df().select("geom").collect()[0]
+    got3 = from_wkb(bytes(row3.geom))
+    assert float(got3.data[0]) == 530000.0
