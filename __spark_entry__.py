@@ -3503,6 +3503,87 @@ def _q_interval_join_stream(spark, sf_dir) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _q_funnel_stream(spark, sf_dir) -> DataFrame:
+    """Streaming funnel twin under the HARD gate (r11, VERDICT r10 ask
+    #7 — kmv_stream proved the replay pattern).  The capped events
+    corpus is sliced into 4 TIME-ORDERED parquet files (ntile over (ts,
+    event_id) — later slices hold later timestamps, so the streaming
+    monotonicity contract matches batch semantics exactly), replayed
+    with maxFilesPerTrigger=1 → 4 real micro-batches through
+    streaming/funnel.funnel_stream (applyInPandasWithState per-user
+    chain state, each stage advance EMITTED as it happens).  Every user
+    emits at most one advance per stage, so the per-stage count of
+    emitted rows equals the batch funnel's n_users — which is exactly
+    the greedy-earliest strictly-later chain the oracle replays in SQL.
+    Fixture capped at event_id <= 2000 (the kmv_stream contract: the
+    gate measures the streaming machinery, not scan throughput)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from spatial_spark.streaming.funnel import funnel_stream
+
+    steps = ["view", "click", "purchase"]
+    work = tempfile.mkdtemp(prefix="funnel_stream_gate_")
+    try:
+        src = os.path.join(work, "src")
+        ev = (spark.table("events")
+              .filter(F.col("event_id") <= 2000)
+              .select("event_id", "ts", "user_id", "event_type")
+              .withColumn("_slice", F.ntile(4).over(
+                  Window.orderBy("ts", "event_id"))))
+        for b in range(1, 5):
+            (ev.filter(F.col("_slice") == b).drop("_slice")
+             .coalesce(1)
+             .write.mode("overwrite").parquet(os.path.join(src, f"b{b}")))
+        stream = (spark.readStream
+                  .schema("event_id bigint, ts timestamp, "
+                          "user_id bigint, event_type string")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(src + "/b*"))
+        out_dir = os.path.join(work, "out")
+        q = (funnel_stream(stream, steps)
+             .writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", os.path.join(work, "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(600)
+        adv = spark.read.parquet(out_dir)
+        rows = (adv.groupBy("step_idx", "step")
+                .agg(F.count(F.lit(1)).alias("n_users"))
+                .orderBy("step_idx").collect())
+        return spark.createDataFrame(
+            rows, "step_idx int, step string, n_users bigint")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _funnel_stream_oracle_sql() -> str:
+    # the batch funnel's greedy-earliest strictly-later chain, capped to
+    # the gate fixture; stages with zero completions emit no advance
+    # rows, so the oracle drops empty stages the same way
+    return """
+        WITH ev AS (SELECT * FROM events WHERE event_id <= 2000),
+        u0 AS (
+          SELECT user_id, min(ts) AS t FROM ev
+          WHERE event_type = 'view' GROUP BY user_id),
+        u1 AS (
+          SELECT e.user_id, min(e.ts) AS t FROM ev e
+          JOIN u0 ON e.user_id = u0.user_id AND e.ts > u0.t
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+        u2 AS (
+          SELECT e.user_id, min(e.ts) AS t FROM ev e
+          JOIN u1 ON e.user_id = u1.user_id AND e.ts > u1.t
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+        allc AS (
+          SELECT 0 AS step_idx, 'view' AS step, count(*) AS n_users
+          FROM u0
+          UNION ALL SELECT 1, 'click', count(*) FROM u1
+          UNION ALL SELECT 2, 'purchase', count(*) FROM u2)
+        SELECT step_idx, step, n_users FROM allc WHERE n_users > 0
+    """
+
+
 def _q_media_avc_pskip(spark, sf_dir) -> DataFrame:
     """INTER-frame avc1 decode on the hard gate (r10 — the first
     P-frame tier): per media i, ONE I_PCM IDR (uniform gray
@@ -3640,6 +3721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #  the same r11 cohort)
         "st_distance_geodesic": _q_st_distance_geodesic,
         "st_transform_osgb": _q_st_transform_osgb,
+        "funnel_stream": _q_funnel_stream,
         "json_props": _q_json_props,
         "st_transform_aea": _q_st_transform_aea,
         "interval_join_stream": _q_interval_join_stream,
@@ -6510,6 +6592,7 @@ def oracle_sql() -> dict[str, str]:
         "st_length_geodesic": _st_length_geodesic_oracle_sql(),
         "st_distance_geodesic": _st_distance_geodesic_oracle_sql(),
         "st_transform_osgb": _st_transform_osgb_oracle_sql(),
+        "funnel_stream": _funnel_stream_oracle_sql(),
         "st_transform_aea": _aea_oracle_sql(),
         # stream-stream interval join == the batch interval join (the
         # time-ordered replay has no late data, so the watermark drops
