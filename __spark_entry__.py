@@ -3624,6 +3624,71 @@ def _q_media_avc_pskip(spark, sf_dir) -> DataFrame:
             .orderBy("media_id", "frame_no"))
 
 
+def _q_media_avc_mc(spark, sf_dir) -> DataFrame:
+    """MOTION-COMPENSATED avc1 decode on the hard gate (r11, VERDICT
+    r10 ask #3 — the first moving-picture inter tier): per media i, an
+    I_PCM IDR carrying the gray ramp v(x, y) = x + 2y, then a P frame
+    of P_L0_16x16 macroblocks with a real nonzero motion vector (the
+    encoder writes mvd against the §8.4.1.3 median prediction; the
+    decoder reconstructs the §8.4.2.2 clamped translational shift
+    exactly), then a second zero-MV P frame proving reference chains.
+    The decoded pixel SUM of every frame is a closed form the oracle
+    recomputes: a shifted-with-edge-clamp ramp sums to
+    S(n, d) = Σ clip(k + d, 0, n−1).  Fractional-sample motion,
+    residuals and B slices remain the documented seam
+    (codecs.decode_h264_slice)."""
+    import struct as _struct
+
+    import numpy as np
+    from spatial_spark.operators.codecs import (build_avcc, build_h264_sps,
+                                                build_mp4,
+                                                encode_h264_ipcm,
+                                                encode_h264_pmv)
+    from spatial_spark.operators.multimodal import MEDIA_SCHEMA, mp4_frames
+    rows = []
+    for i in range(24):
+        w, h = 48 + 16 * (i % 3), 32 + 16 * (i % 2)
+        dx, dy = 2 * ((i % 5) - 2), 2 * ((i % 3) - 1)
+        v = (np.arange(w)[None, :] + 2 * np.arange(h)[:, None])
+        img = np.repeat(v.astype(np.uint8)[:, :, None], 3, axis=2)
+        idr = encode_h264_ipcm(img)
+        p1 = encode_h264_pmv(w, h, 1, mv=(4 * dx, 4 * dy))
+        p2 = encode_h264_pmv(w, h, 2, mv=(0, 0))
+        nals = [_struct.pack(">I", len(n)) + n for n in (idr, p1, p2)]
+        rows.append((i, bytearray(build_mp4(
+            w, h, 0, 1000, 40, codec="avc1", samples=nals,
+            codec_config=build_avcc(build_h264_sps(w, h)))),
+            "video", "mp4", w, h, None))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(8)
+    return (mp4_frames(df)
+            .select("media_id", "frame_no", "decoded_w", "decoded_h",
+                    F.expr("CAST(round(mean_intensity * decoded_w * "
+                           "decoded_h * 3) AS BIGINT)").alias("sum_rgb"))
+            .orderBy("media_id", "frame_no"))
+
+
+def _media_avc_mc_oracle_sql() -> str:
+    s = ("(CASE WHEN {d} >= 0 THEN ({n}-1+{d})*({n}-{d})/2 + {d}*({n}-1) "
+         "ELSE ({n}-1+{d})*({n}+{d})/2 END)")
+    sx = s.format(n="w", d="ex")
+    sy = s.format(n="h", d="ey")
+    return f"""
+        WITH items AS (SELECT unnest(generate_series(0, 23)) AS i),
+        dims AS (SELECT i, 48 + 16 * (i % 3) AS w, 32 + 16 * (i % 2) AS h,
+                        2 * ((i % 5) - 2) AS dx, 2 * ((i % 3) - 1) AS dy
+                 FROM items),
+        fr AS (SELECT *, unnest(generate_series(0, 2)) AS f FROM dims),
+        sh AS (SELECT i, f, w, h,
+                      CASE WHEN f = 0 THEN 0 ELSE dx END AS ex,
+                      CASE WHEN f = 0 THEN 0 ELSE dy END AS ey
+               FROM fr)
+        SELECT CAST(i AS BIGINT) AS media_id, CAST(f AS INT) AS frame_no,
+               CAST(w AS INT) AS decoded_w, CAST(h AS INT) AS decoded_h,
+               CAST(3 * (h * {sx} + 2 * w * {sy}) AS BIGINT) AS sum_rgb
+        FROM sh ORDER BY media_id, frame_no
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3722,6 +3787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_distance_geodesic": _q_st_distance_geodesic,
         "st_transform_osgb": _q_st_transform_osgb,
         "funnel_stream": _q_funnel_stream,
+        "media_avc_mc": _q_media_avc_mc,
         "json_props": _q_json_props,
         "st_transform_aea": _q_st_transform_aea,
         "interval_join_stream": _q_interval_join_stream,
@@ -6593,6 +6659,7 @@ def oracle_sql() -> dict[str, str]:
         "st_distance_geodesic": _st_distance_geodesic_oracle_sql(),
         "st_transform_osgb": _st_transform_osgb_oracle_sql(),
         "funnel_stream": _funnel_stream_oracle_sql(),
+        "media_avc_mc": _media_avc_mc_oracle_sql(),
         "st_transform_aea": _aea_oracle_sql(),
         # stream-stream interval join == the batch interval join (the
         # time-ordered replay has no late data, so the watermark drops
