@@ -2668,15 +2668,20 @@ def encode_h264_i16_ac(img: np.ndarray, qp: int = 28) -> bytes:
 #     conformant digital-silence frame with a real per-frame
 #     global_gain parses and synthesizes natively.
 #
-# THE REMAINING SEAM, precisely: the spectral Huffman codebooks 1-11
-# and the scalefactor codebook are NORMATIVE CONSTANT TABLES
-# (14496-3 Table 4.A.x) — hundreds of explicit (length, codeword)
-# pairs that cannot be re-derived from first principles (they are not
-# canonical codes).  Reproducing them from memory risks a silently
-# NONCONFORMANT codec that only round-trips against itself, which is
-# worse than an honest seam — so the first entropy-coded section
-# raises NotImplementedError here, exactly as CABAC does on the video
-# side.  Everything below the entropy layer is real and tested.
+# THE REMAINING SEAM, narrowed again in r11: the ENTIRE Huffman-layer
+# decode pipeline now exists (see the registry note further down —
+# section walk over arbitrary codebooks, DPCM scalefactors, n-tuple
+# spectral codewords with sign bits and §4.6.3 escapes, per-band
+# dequantization, all gated under media_aac_huff with the
+# engine-defined codebook profile).  What remains is pure DATA: the
+# normative codeword tables (14496-3 Tables 4.A.2-4.A.12) and
+# per-rate swb_offset band tables are hundreds of explicit constants
+# that cannot be re-derived from first principles (they are not
+# canonical codes) and have no source in this container.  Reproducing
+# them from memory risks a silently NONCONFORMANT codec that only
+# round-trips against itself — worse than an honest seam — so real
+# streams still raise until the tables are dropped in as
+# AacCodebook/swb_offsets data, and the raise says exactly that.
 # ---------------------------------------------------------------------------
 AAC_FRAME_LEN = 1024
 _AAC_SF_OFFSET = 100
@@ -2757,6 +2762,271 @@ def aac_overlap_add(frames: list, shapes: list | None = None) -> np.ndarray:
     return out
 
 
+# --- AAC Huffman-layer machinery (r11, VERDICT r10 ask #2) ----------------
+# The COMPLETE sub-bitstream decode pipeline for entropy-coded AAC-LC
+# frames — section data over arbitrary codebooks, DPCM scalefactor
+# decode, n-tuple spectral Huffman walk with sign bits and the §4.6.3
+# escape sequence, per-band dequantization — parameterized by a
+# CODEBOOK REGISTRY, because the normative codeword tables themselves
+# (ISO/IEC 14496-3 Tables 4.A.2-4.A.12 and the swb_offset tables) are
+# hundreds of explicit constants this container has no source for:
+# they are NOT canonical codes and cannot be re-derived from first
+# principles.  Reproducing them from memory would risk a silently
+# NONCONFORMANT decoder (worse than an honest raise — the module
+# contract), so:
+#
+#   * decode with codebooks=None (the default — every production path)
+#     still RAISES at the first entropy-coded section: real mp4a
+#     streams keep the honest seam;
+#   * `engine_codebooks()` builds a deterministic, prefix-free,
+#     variable-length codebook set with the SAME STRUCTURAL ROLES as
+#     the normative set (quad signed lav1 ×2, quad unsigned lav2 ×2,
+#     pair signed lav4 ×2, pair unsigned lav7 ×2 and lav12 ×2, the
+#     lav16 ESC pair book, and the ±60 scalefactor book) — explicitly
+#     documented as ENGINE-DEFINED, exercising every branch of the
+#     machinery under the media_aac_huff gate;
+#   * a user holding the spec drops the normative tables in as data
+#     (`AacCodebook(index, dims, lav, signed, entries=[(values, length,
+#     code), ...])` per book) and the same pipeline decodes real
+#     streams — the seam is now a constant TABLE, not code.
+
+AAC_ESC_FLAG = 16                      # pair-ESC books escape |v| == 16
+AAC_ENGINE_SWB_OFFSETS = tuple(range(0, 1025, 32))   # engine profile:
+# 32 uniform 32-coefficient long-window bands (normative per-rate
+# swb_offset tables drop in through the swb_offsets parameter)
+
+
+class AacCodebook:
+    """One AAC Huffman codebook: ``dims``-tuples of magnitudes
+    (``signed`` books carry the sign inside the codeword; unsigned
+    books append one sign bit per nonzero value; ``esc`` pair books
+    escape magnitude 16 via the §4.6.3 N×'1',0,(N+4)-bit sequence).
+    ``entries`` = [(values_tuple, bit_length, codeword_int), ...] —
+    must be prefix-free (validated)."""
+
+    def __init__(self, index: int, dims: int, lav: int, signed: bool,
+                 entries: list, esc: bool = False):
+        self.index, self.dims, self.lav = index, dims, lav
+        self.signed, self.esc = signed, esc
+        self.dec: dict = {}
+        self.enc: dict = {}
+        self.max_len = 0
+        for vals, length, code in entries:
+            vals = tuple(int(v) for v in vals)
+            if (length, code) in self.dec:
+                raise ValueError(f"codebook {index}: duplicate codeword")
+            self.dec[(length, code)] = vals
+            self.enc[vals] = (length, code)
+            self.max_len = max(self.max_len, length)
+        # prefix-freeness: no codeword may be a prefix of another
+        seen = set()
+        for (length, code) in sorted(self.dec):
+            for (l2, c2) in self.dec:
+                if l2 > length and (c2 >> (l2 - length)) == code:
+                    raise ValueError(
+                        f"codebook {index}: codeword is a prefix of "
+                        "another")
+            seen.add((length, code))
+
+    def read(self, r: "_EgBitReader") -> tuple:
+        length, code = 0, 0
+        while length < self.max_len:
+            code = (code << 1) | r.read(1)
+            length += 1
+            v = self.dec.get((length, code))
+            if v is not None:
+                return v
+        raise ValueError(f"AAC: invalid codeword for codebook "
+                         f"{self.index}")
+
+    def write(self, w: "_EgBitWriter", vals: tuple) -> None:
+        length, code = self.enc[tuple(int(v) for v in vals)]
+        w.write(code, length)
+
+
+def _huffman_lengths(weights: list) -> dict:
+    """Deterministic Huffman code lengths for [(symbol, int_weight)]:
+    heapq merge with an insertion-order tiebreak."""
+    import heapq
+    if len(weights) == 1:
+        return {weights[0][0]: 1}
+    heap = [(wt, i, {sym: 0}) for i, (sym, wt) in enumerate(weights)]
+    heapq.heapify(heap)
+    nxt = len(heap)
+    while len(heap) > 1:
+        w1, _, d1 = heapq.heappop(heap)
+        w2, _, d2 = heapq.heappop(heap)
+        merged = {s: l + 1 for s, l in d1.items()}
+        merged.update({s: l + 1 for s, l in d2.items()})
+        heapq.heappush(heap, (w1 + w2, nxt, merged))
+        nxt += 1
+    return heap[0][2]
+
+
+def _canonical_entries(lengths: dict) -> list:
+    """Canonical codeword assignment from a length map (sorted by
+    (length, symbol) — fully deterministic)."""
+    out = []
+    code, prev = 0, 0
+    for sym in sorted(lengths, key=lambda s: (lengths[s], s)):
+        length = lengths[sym]
+        code <<= (length - prev)
+        out.append((sym, length, code))
+        code += 1
+        prev = length
+    return out
+
+
+def make_aac_codebook(index: int, dims: int, lav: int, signed: bool,
+                      esc: bool = False, skew: int = 3) -> AacCodebook:
+    """An ENGINE-DEFINED (non-normative) codebook with the structural
+    role (dims/lav/signed/esc) of its normative counterpart: alphabet =
+    all dims-tuples over [-lav, lav] (signed) or [0, lav] (unsigned),
+    Huffman lengths from the deterministic weight (Smax+1-s)^skew with
+    s = Σ|v| — small magnitudes get short codes, like the real set."""
+    from itertools import product
+    rng = range(-lav, lav + 1) if signed else range(0, lav + 1)
+    tuples = list(product(rng, repeat=dims))
+    smax = max(sum(abs(v) for v in t) for t in tuples)
+    weights = [(t, (smax + 1 - sum(abs(v) for v in t)) ** skew)
+               for t in sorted(tuples)]
+    return AacCodebook(index, dims, lav, signed,
+                       [(s, l, c) for s, l, c in
+                        _canonical_entries(_huffman_lengths(weights))],
+                       esc=esc)
+
+
+_AAC_ENGINE_BOOKS: dict = {}
+
+
+def engine_codebooks() -> dict:
+    """The engine-defined codebook set (cached): spectral books 1-11
+    with the normative set's structural roles plus the 'sf'
+    scalefactor book (±60 deltas).  NON-NORMATIVE — see the module
+    note; production decode paths never use these implicitly."""
+    if not _AAC_ENGINE_BOOKS:
+        spec = {1: (4, 1, True, False), 2: (4, 1, True, False),
+                3: (4, 2, False, False), 4: (4, 2, False, False),
+                5: (2, 4, True, False), 6: (2, 4, True, False),
+                7: (2, 7, False, False), 8: (2, 7, False, False),
+                9: (2, 12, False, False), 10: (2, 12, False, False),
+                11: (2, AAC_ESC_FLAG, False, True)}
+        for i, (dims, lav, signed, esc) in spec.items():
+            _AAC_ENGINE_BOOKS[i] = make_aac_codebook(
+                i, dims, lav, signed, esc=esc, skew=2 + i % 2)
+        _AAC_ENGINE_BOOKS["sf"] = make_aac_codebook(
+            0, 1, 60, True, skew=1)
+    return _AAC_ENGINE_BOOKS
+
+
+def encode_aac_lc_spectral(quant: np.ndarray, band_cbs: list,
+                           band_sfs: list, global_gain: int,
+                           codebooks: dict, window_shape: int = 0,
+                           swb_offsets=AAC_ENGINE_SWB_OFFSETS,
+                           tag: int = 0) -> bytes:
+    """One AAC-LC raw_data_block (mono SCE + END) carrying REAL
+    Huffman-coded spectra: ``quant`` is the 1024 quantized integer
+    coefficients, ``band_cbs[b]``/``band_sfs[b]`` the per-band codebook
+    index (0 = ZERO_HCB) and scalefactor for the first len(band_cbs)
+    bands of ``swb_offsets`` (max_sfb = len(band_cbs)); scalefactors
+    DPCM against ``global_gain`` through the 'sf' book."""
+    quant = np.asarray(quant, dtype=np.int64)
+    max_sfb = len(band_cbs)
+    if len(band_sfs) != max_sfb:
+        raise ValueError("band_cbs and band_sfs must align")
+    if max_sfb > len(swb_offsets) - 1 or max_sfb > 30:
+        raise ValueError("max_sfb exceeds the band layout")
+    w = _EgBitWriter()
+    w.write(0, 3)                   # SCE
+    w.write(tag, 4)
+    w.write(global_gain, 8)
+    w.write(0, 1)                   # ics_reserved
+    w.write(0, 2)                   # ONLY_LONG
+    w.write(window_shape, 1)
+    w.write(max_sfb, 6)
+    w.write(0, 1)                   # predictor_data_present
+    # section_data: one section per run of equal codebook
+    b = 0
+    while b < max_sfb:
+        e = b
+        while e < max_sfb and band_cbs[e] == band_cbs[b]:
+            e += 1
+        if e - b >= 31:
+            raise ValueError("section longer than the non-escaped max")
+        w.write(band_cbs[b], 4)
+        w.write(e - b, 5)
+        b = e
+    # scale_factor_data: DPCM for every non-ZERO_HCB band
+    sf_book = codebooks["sf"]
+    last = global_gain
+    for b in range(max_sfb):
+        if band_cbs[b] == 0:
+            continue
+        sf_book.write(w, (band_sfs[b] - last,))
+        last = band_sfs[b]
+    w.write(0, 1)                   # pulse
+    w.write(0, 1)                   # tns
+    w.write(0, 1)                   # gain control
+    # spectral_data
+    for b in range(max_sfb):
+        cb = band_cbs[b]
+        lo, hi = swb_offsets[b], swb_offsets[b + 1]
+        if cb == 0:
+            if np.any(quant[lo:hi]):
+                raise ValueError(f"band {b}: ZERO_HCB with nonzero "
+                                 "coefficients")
+            continue
+        book = codebooks[cb]
+        for i in range(lo, hi, book.dims):
+            vals = quant[i:i + book.dims]
+            if book.signed:
+                if np.any(np.abs(vals) > book.lav):
+                    raise ValueError(f"band {b}: |q| exceeds lav")
+                book.write(w, tuple(int(v) for v in vals))
+            else:
+                mags = np.abs(vals)
+                esc_idx = []
+                wrote = []
+                for j, m in enumerate(mags):
+                    m = int(m)
+                    if book.esc and m >= AAC_ESC_FLAG:
+                        wrote.append(AAC_ESC_FLAG)
+                        esc_idx.append(j)
+                    elif m > book.lav:
+                        raise ValueError(f"band {b}: |q| exceeds lav")
+                    else:
+                        wrote.append(m)
+                book.write(w, tuple(wrote))
+                for j, m in enumerate(wrote):
+                    if m:           # sign bit per nonzero magnitude
+                        w.write(1 if vals[j] < 0 else 0, 1)
+                for j in sorted(esc_idx):
+                    m = int(abs(int(vals[j])))
+                    n = m.bit_length() - 1
+                    if n < 4:
+                        raise ValueError("escaped magnitude below 16")
+                    for _ in range(n - 4):
+                        w.write(1, 1)
+                    w.write(0, 1)
+                    w.write(m - (1 << n), n)
+    w.write(7, 3)                   # END
+    bits = w.bits + [0] * ((-len(w.bits)) % 8)
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        v = 0
+        for bit in bits[i:i + 8]:
+            v = (v << 1) | bit
+        out.append(v)
+    return bytes(out)
+
+
+def _aac_read_escape(r: "_EgBitReader") -> int:
+    n = 4
+    while r.read(1):
+        n += 1
+    return (1 << n) + r.read(n)
+
+
 def encode_aac_lc_frame(global_gain: int, window_shape: int = 0,
                         max_sfb: int = 0, tag: int = 0) -> bytes:
     """One conformant AAC-LC raw_data_block (mono SCE + END, §4.4.1):
@@ -2796,13 +3066,21 @@ def encode_aac_lc_frame(global_gain: int, window_shape: int = 0,
     return bytes(out)
 
 
-def decode_aac_lc_frame(data: bytes) -> dict:
+def decode_aac_lc_frame(data: bytes, codebooks: dict | None = None,
+                        swb_offsets=AAC_ENGINE_SWB_OFFSETS) -> dict:
     """Parse one raw_data_block (mono-SCE class).  Returns
     ``{"global_gain", "window_shape", "window_sequence", "max_sfb",
-    "spec"}`` with ``spec`` the 1024 dequantized coefficients (zeros
-    for the entropy-free class).  Raises NotImplementedError AT the
-    entropy seam: the first non-ZERO_HCB section, EIGHT_SHORT windows,
-    pulse/TNS/gain-control tools, or CPE stereo elements."""
+    "spec", "n_nonzero"}`` with ``spec`` the 1024 FULLY dequantized
+    coefficients — sign(q)·|q|^(4/3)·2^{0.25·(sf−100)} with each band's
+    decoded scalefactor (for ZERO_HCB bands everything is 0 and the
+    global gain is moot).  With ``codebooks`` (see engine_codebooks /
+    the registry note) entropy-coded sections DECODE: section walk over
+    arbitrary books, DPCM scalefactors, n-tuple spectral codewords with
+    sign bits and §4.6.3 escapes.  With the default ``codebooks=None``
+    the first entropy-coded section still raises — the honest seam for
+    real streams, whose NORMATIVE tables are data this container
+    lacks.  EIGHT_SHORT windows, pulse/TNS/gain-control tools and CPE
+    stereo remain NotImplementedError."""
     r = _EgBitReader(bytes(data))
     info = None
     while True:
@@ -2832,41 +3110,85 @@ def decode_aac_lc_frame(data: bytes) -> dict:
         max_sfb = r.read(6)
         if r.read(1):
             raise NotImplementedError("AAC: predictor data (not LC)")
-        k = 0
-        while k < max_sfb:          # section_data, long windows
+        if max_sfb > len(swb_offsets) - 1:
+            raise NotImplementedError(
+                "AAC: max_sfb exceeds the band layout (the normative "
+                "per-rate swb_offset tables are registry data)")
+        band_cbs = []
+        while len(band_cbs) < max_sfb:  # section_data, long windows
             sect_cb = r.read(4)
             ln = r.read(5)
             if ln == 31:            # sect_len escape chain
                 raise NotImplementedError(
                     "AAC: escaped section lengths")
-            if sect_cb != 0:
+            if sect_cb != 0 and codebooks is None:
                 raise NotImplementedError(
                     "AAC: entropy-coded spectra (Huffman codebook "
-                    f"{sect_cb}) need ffmpeg — the normative codebook "
-                    "constants are not re-derivable from first "
-                    "principles (see module note)")
+                    f"{sect_cb}) — the NORMATIVE codeword tables are "
+                    "data this build lacks; install them (or "
+                    "engine_codebooks() for the engine profile) via "
+                    "the codebooks parameter (see module note)")
+            if sect_cb != 0 and sect_cb not in codebooks:
+                raise NotImplementedError(
+                    f"AAC: codebook {sect_cb} not in the registry "
+                    "(intensity/noise tools stay out of scope)")
             if ln == 0:
                 raise ValueError("AAC: zero-length section")
-            k += ln
-        if k > max_sfb:
+            band_cbs.extend([sect_cb] * ln)
+        if len(band_cbs) > max_sfb:
             raise ValueError("AAC: sections overrun max_sfb")
-        # all sections ZERO_HCB → no scale_factor_data, no spectra
+        # scale_factor_data: DPCM against global_gain for live bands
+        sfs = [None] * max_sfb
+        last = global_gain
+        for b in range(max_sfb):
+            if band_cbs[b] == 0:
+                continue
+            (d,) = codebooks["sf"].read(r)
+            last += d
+            sfs[b] = last
         if r.read(1):
             raise NotImplementedError("AAC: pulse data")
         if r.read(1):
             raise NotImplementedError("AAC: TNS")
         if r.read(1):
             raise NotImplementedError("AAC: gain control (SSR)")
+        # spectral_data → quantized ints → per-band dequantization
+        quant = np.zeros(AAC_FRAME_LEN, dtype=np.int64)
+        for b in range(max_sfb):
+            cb = band_cbs[b]
+            if cb == 0:
+                continue
+            book = codebooks[cb]
+            lo, hi = swb_offsets[b], swb_offsets[b + 1]
+            for i in range(lo, hi, book.dims):
+                vals = list(book.read(r))
+                if not book.signed:
+                    signs = [(-1 if v and r.read(1) else 1)
+                             for v in vals]
+                    if book.esc:
+                        vals = [(_aac_read_escape(r)
+                                 if v == AAC_ESC_FLAG else v)
+                                for v in vals]
+                    vals = [s * v for s, v in zip(signs, vals)]
+                quant[i:i + book.dims] = vals
+        spec = np.zeros(AAC_FRAME_LEN, dtype=np.float64)
+        for b in range(max_sfb):
+            if band_cbs[b] == 0:
+                continue
+            lo, hi = swb_offsets[b], swb_offsets[b + 1]
+            spec[lo:hi] = aac_dequantize(quant[lo:hi], sfs[b])
         info = {"tag": tag, "global_gain": global_gain,
                 "window_shape": window_shape,
                 "window_sequence": window_sequence, "max_sfb": max_sfb,
-                "spec": np.zeros(AAC_FRAME_LEN, dtype=np.float64)}
+                "spec": spec,
+                "n_nonzero": int(np.count_nonzero(quant))}
     if info is None:
         raise ValueError("AAC: raw_data_block carries no SCE")
     return info
 
 
-def decode_mp4_audio(buf: bytes) -> dict:
+def decode_mp4_audio(buf: bytes, codebooks: dict | None = None,
+                     swb_offsets=AAC_ENGINE_SWB_OFFSETS) -> dict:
     """REAL PCM out of an mp4a (AAC-LC) MP4 track: walk the sound
     track's sample table, decode every raw_data_block
     (decode_aac_lc_frame) and synthesize through the true
@@ -2894,15 +3216,18 @@ def decode_mp4_audio(buf: bytes) -> dict:
     for f, (off, size) in enumerate(tab["samples"]):
         if size <= 0 or off + size > len(buf):
             raise ValueError(f"MP4: audio sample {f} outside mdat")
-        d = decode_aac_lc_frame(buf[off:off + size])
+        d = decode_aac_lc_frame(buf[off:off + size], codebooks=codebooks,
+                                swb_offsets=swb_offsets)
         infos.append((f, d["global_gain"], d["window_shape"],
                       d["max_sfb"]))
-        gain = 2.0 ** (0.25 * (d["global_gain"] - _AAC_SF_OFFSET))
-        specs.append(d["spec"] * gain)
+        # spec is FULLY dequantized (per-band scalefactor gains include
+        # the global_gain DPCM start; the silence class is zeros either
+        # way)
+        specs.append(d["spec"])
         shapes.append(d["window_shape"])
     pcm = aac_overlap_add(specs, shapes) if specs else np.zeros(0)
     return {"sample_rate": rate, "channels": channels, "pcm": pcm,
-            "frames": infos}
+            "frames": infos, "specs": specs}
 
 
 # ---------------------------------------------------------------------------

@@ -370,7 +370,9 @@ def mp4_frames(df: DataFrame, payload_col: str = "payload",
     return df.mapInPandas(run, out_schema)
 
 
-def mp4_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def mp4_audio(df: DataFrame, payload_col: str = "payload",
+              codebooks: dict | None = None,
+              spectral_stats: bool = False) -> DataFrame:
     """REAL AAC-LC audio decode from mp4a MP4 payloads (r10, VERDICT r9
     ask #6 — the audio twin of mp4_frames): each sound sample slices
     out of mdat via the sample table and parses as a raw_data_block
@@ -382,7 +384,7 @@ def mp4_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     whose frames carry entropy-coded spectra are SKIPPED — the
     documented normative-codebook seam (decode_aac_lc_frame raises,
     this operator filters), exactly like mp4_frames and avc1."""
-    out_schema = T.StructType([
+    fields = [
         T.StructField("media_id", df.schema["media_id"].dataType),
         T.StructField("frame_no", T.IntegerType()),
         T.StructField("sample_rate", T.IntegerType()),
@@ -390,7 +392,14 @@ def mp4_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         T.StructField("window_shape", T.IntegerType()),
         T.StructField("max_sfb", T.IntegerType()),
         T.StructField("rms_q", T.DoubleType()),
-    ])
+    ]
+    if spectral_stats:      # the Huffman-tier columns (r11): quantized
+        fields += [         # support count + dequantized L1 per frame
+            T.StructField("n_nonzero", T.IntegerType()),
+            T.StructField("deq_l1", T.DoubleType()),
+        ]
+    out_schema = T.StructType(fields)
+    cols = [f.name for f in fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -403,7 +412,7 @@ def mp4_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                 if buf is None or sniff_format(bytes(buf)) != "mp4":
                     continue
                 try:
-                    out = decode_mp4_audio(bytes(buf))
+                    out = decode_mp4_audio(bytes(buf), codebooks=codebooks)
                 except (NotImplementedError, ValueError):
                     continue   # entropy-coded spectra / no sound track
                 pcm = out["pcm"]
@@ -411,13 +420,15 @@ def mp4_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                     blk = pcm[f * AAC_FRAME_LEN:(f + 1) * AAC_FRAME_LEN]
                     rms = float(np.sqrt(np.mean(blk ** 2))) if len(blk) \
                         else 0.0
-                    rows.append((row["media_id"], f,
-                                 out["sample_rate"], gg, shape, msfb,
-                                 round(rms, 6)))
+                    rec = (row["media_id"], f, out["sample_rate"], gg,
+                           shape, msfb, round(rms, 6))
+                    if spectral_stats:
+                        spec = out["specs"][f]
+                        rec += (int(np.count_nonzero(spec)),
+                                round(float(np.abs(spec).sum()), 6))
+                    rows.append(rec)
             if rows:
-                yield pd.DataFrame(rows, columns=[
-                    "media_id", "frame_no", "sample_rate", "global_gain",
-                    "window_shape", "max_sfb", "rms_q"])
+                yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(run, out_schema)
 
