@@ -127,6 +127,16 @@ HEADLINE = [
     "interval_join_stream",
     # r10: H.264 all-skip P-frame inter tier (static-repeat decode)
     "media_avc_pskip",
+    # r11: guarded point-pair Vincenty distance (VERDICT r10 ask #8)
+    "st_distance_geodesic",
+    # r11: OSGB36 datum-shifted national grid — Helmert + TM-on-Airy (#4)
+    "st_transform_osgb",
+    # r11: streaming funnel twin — 4 real micro-batches per run (#7)
+    "funnel_stream",
+    # r11: AAC Huffman-layer decode, engine codebook profile (#2)
+    "media_aac_huff",
+    # r11: motion-compensated H.264 P slices, integer-pel MC (#3)
+    "media_avc_mc",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —

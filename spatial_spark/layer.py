@@ -498,13 +498,14 @@ class Layer:
         commit (VERDICT r6 ask #5, EditableLayerImpl.java:102-238's
         transactional envelope re-expressed): new part files move in,
         the manifest publishes atomically (replaced files out, new files
-        in), and only then are the replaced files unlinked.  A crash
-        BEFORE the publish leaves the old snapshot intact (the moved-in
-        files are invisible orphans — re-run the mutation, gc() reclaims
-        them); a crash AFTER it leaves the new snapshot intact (the
-        replaced files are orphans).  No interleaving shows duplicate
-        rows.  Writers serialize on the manifest lock, so mutation,
-        compact() and streaming ingest cannot interleave either."""
+        in); the replaced files stay on disk until vacuum (r11).  A
+        crash BEFORE the publish leaves the old snapshot intact (the
+        moved-in files are invisible orphans — re-run the mutation,
+        gc()/vacuum() reclaims them); a crash AFTER it leaves the new
+        snapshot intact (the replaced files back its retained
+        predecessor).  No interleaving shows duplicate rows.  Writers
+        serialize on the manifest lock, so mutation, compact() and
+        streaming ingest cannot interleave either."""
         import os
         import shutil
         from pyspark.sql import Observation
@@ -558,9 +559,12 @@ class Layer:
             man.commit(sorted((live - replaced)
                               | {os.path.basename(m) for m in moved}),
                        lock_token=lk.token)
-            # post-publish cleanup: failures here leave invisible orphans
-            for f in files:
-                man.io.remove(f)
+            # replaced files stay ON DISK (r11, VERDICT r10 ask #6): a
+            # concurrent reader pinned to the pre-mutation snapshot
+            # finishes its scan untouched, and time travel to that
+            # epoch stays complete.  Space comes back through
+            # vacuum()/gc() on the operator's retention cadence, never
+            # at publish — the Iceberg/Delta contract (SCALE.md §7).
         man.io.remove_dir(tmp)
         self._patch_id_index(ids, moved)
         return True
@@ -603,10 +607,11 @@ class Layer:
         """Copy-on-write rewrite: distributed write to a temp dir, then a
         MANIFEST commit — new part files move into the store, the
         manifest publishes atomically (new snapshot = new files only
-        plus any files APPENDED since the base snapshot), then the base
-        files unlink; readers see the old snapshot or the new one,
-        never an empty/partial store (the pre-manifest version swapped
-        directories, which had a brief store-missing window).
+        plus any files APPENDED since the base snapshot); the base
+        files STAY on disk until vacuum (r11) — readers see the old
+        snapshot or the new one, never an empty/partial store, and a
+        reader mid-scan on the old snapshot cannot lose files under
+        its job.
 
         The expensive distributed write runs OUTSIDE the writer lock:
         at 100 TB a compaction would otherwise block streaming ingest
@@ -679,8 +684,9 @@ class Layer:
                                       os.path.join(self.path, p))
                         moved.append(p)
                 man.commit(sorted(moved) + appended, lock_token=lk.token)
-                for f in base:
-                    man.io.remove(os.path.join(self.path, f))
+                # base files stay on disk (r11): pinned readers and
+                # time travel keep the pre-rewrite snapshot readable;
+                # vacuum()/gc() reclaims them on the retention cadence
         except ManifestConflict:
             man.io.remove_dir(tmp)
             if _retries <= 0:
@@ -723,10 +729,25 @@ class Layer:
         self._rewrite(lambda: self.df()
                       .repartitionByRange(n, "zkey")
                       .sortWithinPartitions("zkey"))
-        # reclaim crash orphans (files on disk but outside the committed
-        # snapshot) — compaction doubles as the maintenance/vacuum pass
-        self._manifest.gc()
-        return {"files_before": before, "files_after": _n_parts(self.path)}
+        # r11 (VERDICT r10 ask #6): compaction no longer deletes the
+        # replaced files at publish — a reader pinned to the
+        # pre-compaction snapshot finishes untouched.  Run vacuum() on
+        # a cadence longer than the longest query to reclaim space
+        # (the table-format OPTIMIZE/VACUUM split).  files_after counts
+        # the COMMITTED snapshot, not the directory.
+        man_files = self._manifest.files()
+        after = (len(man_files) if man_files is not None
+                 else _n_parts(self.path))
+        return {"files_before": before, "files_after": after}
+
+    def vacuum(self, retain_epochs: int | None = 1) -> list:
+        """Reclaim store files referenced by none of the newest
+        ``retain_epochs`` snapshots (default 1 = current only — crash
+        orphans plus every replaced file; ``None`` protects all
+        retained epochs and reclaims only orphans).  The operator's
+        retention contract: never vacuum past a snapshot a live reader
+        may still hold (SCALE.md §7)."""
+        return self._manifest.vacuum(retain_epochs=retain_epochs)
 
     def compact_range(self, zmin: int, zmax: int,
                       target_files: int = 1) -> dict:

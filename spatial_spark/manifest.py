@@ -658,17 +658,36 @@ class Manifest:
 
     # ---- maintenance --------------------------------------------------
     def gc(self) -> list:
-        """Remove store data files not referenced by the CURRENT
-        manifest — the orphans a crash between data-write and
-        manifest-publish (or between publish and old-file removal)
-        leaves behind.  Runs under the writer lock so it cannot race a
-        commit.  Returns the removed names."""
+        """AGGRESSIVE reclaim: remove store data files not referenced by
+        the CURRENT manifest — crash orphans AND every older snapshot's
+        replaced files.  Collapses time travel to the current epoch and
+        must not run while a reader may still hold an older pinned
+        snapshot (r11: commits no longer unlink what they replace —
+        space comes back through gc()/vacuum(), never at publish).
+        Runs under the writer lock so it cannot race a commit.  Returns
+        the removed names."""
+        return self.vacuum(retain_epochs=1)
+
+    def vacuum(self, retain_epochs: int | None = None) -> list:
+        """Retention-aware space reclaim (the Iceberg/Delta VACUUM
+        shape): remove store data files referenced by NONE of the
+        newest ``retain_epochs`` retained manifests (``None`` = protect
+        every retained epoch — reclaims only true crash orphans, keeps
+        time travel complete).  A pinned reader stays safe as long as
+        the operator's vacuum retention exceeds the longest query — the
+        SAME contract the table formats document (SCALE.md §7).  Runs
+        under the writer lock.  Returns the removed names."""
         cur = self.current()
         if cur is None or not self.io.isdir(self.store):
             return []
         removed = []
         with self.lock():
-            live = set(self.current()[1])
+            eps = self.epochs()
+            if retain_epochs is not None:
+                eps = eps[-max(1, retain_epochs):]
+            live: set = set()
+            for e in eps:
+                live.update(os.path.basename(p) for p in self.files_at(e))
             for f in self.io.listdir(self.store):
                 if f.startswith("part-") and f not in live:
                     if self.io.remove(os.path.join(self.store, f)):

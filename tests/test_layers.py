@@ -539,6 +539,8 @@ def test_compact_recluster(ctx, spark):
     hits_before = layer.within_distance(5.0, 7.0, 2500.0).count()
     res = layer.compact(target_files=2)
     assert res["files_before"] > res["files_after"] == 2
+    # r11: the replaced files persist for pinned readers until vacuum
+    layer.vacuum(retain_epochs=1)
     n_files = len([f for f in os.listdir(layer.path)
                    if f.startswith("part-")])
     assert n_files == 2
@@ -603,32 +605,19 @@ def test_mutation_crash_before_publish_keeps_old_snapshot(ctx, spark,
     assert sorted(ids) == list(range(1, 400))
 
 
-def test_mutation_crash_after_publish_exactly_once(ctx, spark, monkeypatch):
-    """Kill the writer AFTER the manifest publish but BEFORE the replaced
-    files are unlinked: readers must see the POST-mutation snapshot
-    exactly once (the replaced files are invisible orphans), and gc()
-    reclaims them."""
+def test_mutation_crash_after_publish_exactly_once(ctx, spark):
+    """r11: there is NO post-publish unlink window anymore — a mutation
+    commits and the replaced files stay on disk BY DESIGN (the crash
+    this test used to inject is now the normal publish path).  Readers
+    must see the POST-mutation snapshot exactly once (the replaced
+    files are invisible to the current snapshot), and gc() reclaims
+    them on the vacuum cadence."""
     import os as _os
     layer = ctx.create_point_layer("crash_post", x="lon", y="lat",
                                    id_index=True)
     layer.add(_grid_points(spark))
     store = layer.path
-    real_remove = _os.remove
-    state = {"arm": False}
-
-    def dying_remove(path):
-        p = str(path)
-        if (state["arm"] and _os.path.dirname(p) == store
-                and _os.path.basename(p).startswith("part-")):
-            raise RuntimeError("simulated crash before old-file unlink")
-        return real_remove(path)
-
-    monkeypatch.setattr(_os, "remove", dying_remove)
-    state["arm"] = True
-    import pytest as _pytest
-    with _pytest.raises(RuntimeError, match="simulated crash"):
-        layer.delete([0])
-    state["arm"] = False
+    layer.delete([0])
     # post-mutation snapshot, exactly once per surviving row — the
     # replaced (still-on-disk) files must NOT be read
     ids = [r["id"] for r in layer.df().select("id").collect()]
@@ -744,12 +733,20 @@ def test_snapshot_time_travel(ctx, spark):
     assert layer.df(epoch=e1).count() == 25
     assert layer.df(epoch=e2).count() == 30
     assert layer.df().count() == 30
-    # a mutation unlinks replaced files: the pre-mutation snapshot that
-    # referenced them now raises instead of returning wrong rows
+    # r11: a mutation DEFERS deletion of replaced files, so the
+    # pre-mutation snapshot stays fully readable (pinned readers and
+    # time travel both) until an explicit vacuum…
     layer.delete([0])
     assert layer.df().count() == 29
+    assert layer.df(epoch=e1).count() == 25
+    assert layer.df(epoch=e2).count() == 30
+    # …after which the retained-but-vacuumed epoch raises the clear
+    # error instead of returning wrong rows
+    removed = layer.vacuum(retain_epochs=1)
+    assert removed, "vacuum reclaimed the replaced files"
     with _pytest.raises(FileNotFoundError, match="later commit removed"):
         layer.df(epoch=e1).count()
+    assert layer.df().count() == 29
 
 
 def test_manifest_cas_and_generation_pruning(tmp_path):
@@ -1421,3 +1418,79 @@ def test_compact_range_incremental(ctx, spark):
     # a slice with no multi-file overlap is a no-op
     res2 = layer.compact_range(-10, -5)
     assert res2["files_compacted"] == 0
+
+
+def test_concurrent_reader_never_sees_half_rewrite(ctx, spark):
+    """r11 soak (VERDICT r10 ask #6): a reader that pins a manifest
+    snapshot (df() resolves the file list at call time) and collects
+    WHILE a writer loops update/delete/compact commits must never
+    error on a vanished file and never observe a torn state — every
+    observed id-set is exactly the layer state after some prefix of
+    the writer's committed mutations (commits defer deletion, so a
+    pinned snapshot stays readable end to end)."""
+    import threading
+
+    layer = ctx.create_point_layer("soak", x="lon", y="lat")
+    layer.add(spark.createDataFrame(
+        [(i, float(i % 36) * 10 - 175, float(i % 17) * 10 - 83)
+         for i in range(200)],
+        "id long, lon double, lat double"))
+
+    # writer: each round deletes one id and appends one id; valid
+    # observable states are therefore indexed by how many rounds have
+    # committed (deletes 0..k-1, adds 200..199+k), plus a compact mid-way
+    ROUNDS = 6
+    errors: list = []
+    done = threading.Event()
+
+    def writer():
+        try:
+            for k in range(ROUNDS):
+                layer.delete([k])
+                layer.add(spark.createDataFrame(
+                    [(200 + k, 1.0 * k, -1.0 * k)],
+                    "id long, lon double, lat double"))
+                if k == ROUNDS // 2:
+                    layer.compact(target_files=2)
+        except Exception as e:          # pragma: no cover - fail loud
+            errors.append(e)
+        finally:
+            done.set()
+
+    # every commit is individually observable: after round k's delete
+    # (but before its add), and after its add
+    valid_states = [frozenset(range(200))]
+    for k in range(ROUNDS):
+        valid_states.append(frozenset(range(k + 1, 200))
+                            | frozenset(range(200, 200 + k)))
+        valid_states.append(frozenset(range(k + 1, 200))
+                            | frozenset(range(200, 201 + k)))
+
+    observed: list = []
+
+    def reader():
+        try:
+            while not done.is_set():
+                ids = frozenset(
+                    r["id"] for r in layer.df().select("id").collect())
+                observed.append(ids)
+        except Exception as e:          # pragma: no cover - fail loud
+            errors.append(e)
+
+    t_w = threading.Thread(target=writer)
+    readers = [threading.Thread(target=reader) for _ in range(2)]
+    t_w.start()
+    for t in readers:
+        t.start()
+    t_w.join(600)
+    for t in readers:
+        t.join(600)
+    assert not errors, errors
+    assert observed, "reader never completed a scan"
+    for ids in observed:
+        assert ids in valid_states, (
+            f"torn state: {len(ids)} ids, unexpected membership "
+            f"{sorted(set(ids) ^ max(valid_states, key=lambda s: len(s & ids)))[:6]}")
+    # final state is the full mutation history applied exactly once
+    final = frozenset(r["id"] for r in layer.df().select("id").collect())
+    assert final == valid_states[-1]
