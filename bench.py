@@ -279,6 +279,21 @@ BUDGET_SF01 = {
     # r10: 2.2x local best-of-two (24-container fixture: I_PCM IDR +
     # skip-chain decode)
     "media_avc_pskip": 1.8,
+    # r11: 2.2x local best-of-two (1500-pair fixture; vectorized
+    # 8-step Vincenty through the guarded point-pair UDF)
+    "st_distance_geodesic": 1.8,
+    # r11: 2.2x local best-of-two (UK-box customers through the full
+    # ECEF→Helmert→Bowring→Krüger chain, uniform-batch fast path)
+    "st_transform_osgb": 1.3,
+    # r11: 2.2x local best-of-two (capped 2000-event fixture; cost =
+    # 4 stateful micro-batch folds, not scan throughput)
+    "funnel_stream": 14.0,
+    # r11: 2.2x local best-of-two (16-container fixture: Huffman
+    # decode of 4 live bands/frame incl. escapes + IMDCT synthesis)
+    "media_aac_huff": 3.5,
+    # r11: 2.2x local best-of-two (24-container fixture: I_PCM IDR +
+    # two MC P frames per media)
+    "media_avc_mc": 2.2,
     # (EVERY pin re-ratcheted as min(old, 2.2x the clean final full
     # run's min-of-2) — landing-time measurements taken under
     # concurrent sweeps carried up to 9x slack; the ratchet never
