@@ -148,6 +148,24 @@ _EPSG_TMD = {
               "446.448:-125.157:542.06:0.1502:0.247:0.8421:-20.4894"),
 }
 
+# Legacy NAD27 UTM zones (EPSG 26701-26722 = NAD27 / UTM 1N..22N):
+# Clarke 1866 ellipsoid + the published CONUS 3-parameter shift
+# NAD27→WGS84 (EPSG tfm 1173: dX −8, dY 160, dZ 176 m) — the ~10 m
+# accuracy class EPSG documents for a continent-wide 3-param shift,
+# which is what 'legacy NAD27 shapefile' workflows expect absent a
+# NADCON grid.  Same tmd machinery; the zone folds into the TM
+# parameters.
+CLARKE66_A = 6378206.4
+CLARKE66_F = 1.0 / 294.9786982
+NAD27_HELMERT = (-8.0, 160.0, 176.0, 0.0, 0.0, 0.0, 0.0)
+_NAD27_UTM_RE = re.compile(r"^(?:epsg:)?267(0[1-9]|1[0-9]|2[0-2])$")
+
+
+def _nad27_utm_frame(zone: int) -> str:
+    return _frame("tmd:" + ":".join(repr(v) for v in (
+        0.0, 6.0 * zone - 183.0, 0.9996, 500000.0, 0.0,
+        CLARKE66_A, CLARKE66_F, *NAD27_HELMERT)))
+
 
 def _frame(crs) -> str:
     """Canonical frame token: 'wgs84' | 'merc' | 'cart' |
@@ -168,6 +186,9 @@ def _frame(crs) -> str:
         if not 1 <= zone <= 60:
             raise ValueError(f"st_transform: UTM zone {zone} out of 1..60")
         return f"utm:{zone}:{'n' if m.group(1) == '326' else 's'}"
+    m = _NAD27_UTM_RE.match(s)
+    if m:                       # EPSG:26701-26722 — NAD27 / UTM zones
+        return _nad27_utm_frame(int(m.group(1)))
     key = s[5:] if s.startswith("epsg:") else s
     if key in _EPSG_CONIC:
         return _EPSG_CONIC[key]
@@ -218,6 +239,7 @@ def _frame(crs) -> str:
         "EPSG:2154/3034 LCC, EPSG:3031/3413/3995 polar stereographic, "
         "EPSG:5041/5042 UPS, EPSG:3035 LAEA, EPSG:5070 Albers, "
         "EPSG:2193/2180/3414 TM, EPSG:27700 OSGB36 National Grid, "
+        "EPSG:26701-26722 NAD27 UTM, "
         "generic lcc:/psb:/psa:/laea:/tm:/aea:/tmd: frames, cartesian)")
 
 
@@ -1291,13 +1313,21 @@ def prj_to_frame(wkt: str) -> str | None:
         fn = params.get("false_northing", 0.0)
     except KeyError:
         return None
+    sph = _PRJ_SPHEROID_RE.search(s)
     osgb = "OSGB" in datum or "OSGB" in up
     if osgb:
-        sph = _PRJ_SPHEROID_RE.search(s)
         a = float(sph.group(2)) if sph else AIRY_A
         invf = float(sph.group(3)) if sph else 1.0 / AIRY_F
         return _frame("tmd:" + ":".join(repr(v) for v in (
             lat0, lon0, k0, fe, fn, a, 1.0 / invf, *OSGB_HELMERT)))
+    if "NORTH_AMERICAN_1927" in datum or "NAD_1927" in datum \
+            or "NAD27" in datum:
+        # legacy NAD27 TM/UTM: Clarke 1866 + the CONUS 3-param shift
+        # (the documented ~10 m class — see _EPSG_TMD note)
+        a = float(sph.group(2)) if sph else CLARKE66_A
+        invf = float(sph.group(3)) if sph else 1.0 / CLARKE66_F
+        return _frame("tmd:" + ":".join(repr(v) for v in (
+            lat0, lon0, k0, fe, fn, a, 1.0 / invf, *NAD27_HELMERT)))
     if not wgs84_family:
         return None                 # unknown datum: refuse, never guess
     return _frame(f"tm:{lat0!r}:{lon0!r}:{k0!r}:{fe!r}:{fn!r}")

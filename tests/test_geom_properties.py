@@ -1124,7 +1124,14 @@ def test_prj_to_frame_and_shapefile_datum_path(spark, tmp_path, ctx):
              'PARAMETER["Latitude_Of_Origin",0.0],UNIT["Meter",1.0]]')
     assert crs.prj_to_frame(BNG) == crs._frame("EPSG:27700")
     assert crs.prj_to_frame(WGS) == "wgs84"
-    assert crs.prj_to_frame(NAD27) is None
+    # legacy NAD27 UTM resolves to the Clarke-1866 tmd frame (r11)
+    assert crs.prj_to_frame(NAD27) == crs._frame("EPSG:26715")
+    # a datum with no registered transformation stays None
+    TOKYO = NAD27.replace("D_North_American_1927", "D_Tokyo") \
+                 .replace("GCS_North_American_1927", "GCS_Tokyo") \
+                 .replace("Clarke_1866\",6378206.4,294.9786982",
+                          "Bessel_1841\",6377397.155,299.1528128")
+    assert crs.prj_to_frame(TOKYO) is None
     assert crs.prj_to_frame("") is None
     # a WGS84-datum UTM .prj resolves to the equivalent tm: frame
     utm_prj = NAD27.replace("D_North_American_1927", "D_WGS_1984") \
@@ -1151,7 +1158,7 @@ def test_prj_to_frame_and_shapefile_datum_path(spark, tmp_path, ctx):
     assert abs(float(got.data[0]) - wgs_ll[0, 0]) < 1e-9
     assert abs(float(got.data[1]) - wgs_ll[0, 1]) < 1e-9
     # unknown datum refuses
-    (tmp_path / "bng.prj").write_text(NAD27)
+    (tmp_path / "bng.prj").write_text(TOKYO)
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unrecognized .prj"):
         import_shapefile(ctx, shp, "bng_pts2")
@@ -1160,3 +1167,26 @@ def test_prj_to_frame_and_shapefile_datum_path(spark, tmp_path, ctx):
     row3 = layer3.df().select("geom").collect()[0]
     got3 = from_wkb(bytes(row3.geom))
     assert float(got3.data[0]) == 530000.0
+
+
+def test_nad27_utm_frames():
+    """r11: EPSG:26701-26722 (NAD27 / UTM) resolve to tmd frames on
+    Clarke 1866 with the published CONUS 3-parameter shift; round-trip
+    is exact to the reversal convention, and the NAD27-vs-WGS84 grid
+    offset in Kansas lands in the published tens-of-meters class."""
+    import numpy as np
+    from spatial_spark.functions import crs
+
+    tok = crs._frame("EPSG:26715")          # zone 15N
+    assert tok.startswith("tmd:") and "6378206.4" in tok
+    ll = np.array([[-93.5, 38.7], [-90.1, 47.0], [-95.9, 29.8]])
+    grid = crs.transform_points(ll, "wgs84", tok)
+    back = crs.transform_points(grid, tok, "wgs84")
+    assert np.abs(back - ll).max() < 1e-7
+    wgs_utm = crs.utm_forward(ll, 15, False)
+    d = np.hypot(*(grid - wgs_utm).T)
+    assert np.all(d > 5.0) and np.all(d < 300.0)
+    # zone bounds honored
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        crs._frame("EPSG:26700")
