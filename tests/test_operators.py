@@ -422,10 +422,16 @@ def test_st_transform_webmercator(spark):
                     "6600000.0D), 'EPSG:2154', 'EPSG:4326')) AS lat"
                     ).collect()[0]
     assert lcc["lat"] == pytest.approx(46.5, abs=1e-9)  # Lambert-93 origin
-    # a projected CRS outside the scoped set still raises
+    # a projected CRS outside the scoped set still raises (27700 moved
+    # into scope in r11 — the Swiss oblique-Mercator grid has not)
     with _pt.raises(Exception):
         spark.sql("SELECT st_transform(st_point(0.0D, 0.0D), "
-                  "'EPSG:27700', 'EPSG:4326')").collect()
+                  "'EPSG:2056', 'EPSG:4326')").collect()
+    # …and EPSG:27700 (OSGB36, r11 datum tier) now interprets meters
+    osgb = spark.sql("SELECT st_y(st_transform(st_point(400000.0D, "
+                     "-100000.0D), 'EPSG:27700', 'EPSG:4326')) AS lat"
+                     ).collect()[0]
+    assert abs(osgb["lat"] - 49.0) < 0.01  # true origin ± datum shift
 
 
 def test_st_dump_and_points_explode(spark):
