@@ -137,6 +137,9 @@ HEADLINE = [
     "media_aac_huff",
     # r11: motion-compensated H.264 P slices, integer-pel MC (#3)
     "media_avc_mc",
+    # r11: fractional-sample MC — all 16 Table 8-12 quarter-pel
+    # positions, tap-math-verifying oracle
+    "media_avc_qpel",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -294,6 +297,9 @@ BUDGET_SF01 = {
     # r11: 2.2x local best-of-two (24-container fixture: I_PCM IDR +
     # two MC P frames per media)
     "media_avc_mc": 2.2,
+    # r11: 2.2x local best-of-two (16-container fixture: one
+    # quarter-pel-interpolated P frame per media, all 16 positions)
+    "media_avc_qpel": 2.5,
     # (EVERY pin re-ratcheted as min(old, 2.2x the clean final full
     # run's min-of-2) — landing-time measurements taken under
     # concurrent sweeps carried up to 9x slack; the ratchet never

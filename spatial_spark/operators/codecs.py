@@ -1849,9 +1849,18 @@ def decode_h264_ipcm(nal: bytes, width: int, height: int) -> np.ndarray:
             crs[8 * mby:8 * mby + 8, 8 * mbx:8 * mbx + 8] = \
                 mb[320:384].reshape(8, 8)
             r.pos += 384 * 8
-    y = yp[:height, :width].astype(np.float64)
-    cb = np.kron(cbs, np.ones((2, 2)))[:height, :width]
-    cr = np.kron(crs, np.ones((2, 2)))[:height, :width]
+    return _h264_planes_to_rgb(yp, cbs, crs, width, height)
+
+
+def _h264_planes_to_rgb(yp, cbs, crs, width: int, height: int) -> np.ndarray:
+    """Padded (mh, mw) luma + (mh/2, mw/2) chroma planes → cropped
+    (height, width, 3) uint8 RGB (JFIF matrix, replication chroma
+    upsample) — the shared display tail of every H.264 route."""
+    y = np.asarray(yp, dtype=np.float64)[:height, :width]
+    cb = np.kron(np.asarray(cbs, dtype=np.float64),
+                 np.ones((2, 2)))[:height, :width]
+    cr = np.kron(np.asarray(crs, dtype=np.float64),
+                 np.ones((2, 2)))[:height, :width]
     rr = y + 1.402 * (cr - 128.0)
     gg = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     bb = y + 1.772 * (cb - 128.0)
@@ -1976,9 +1985,9 @@ def _decode_avc1_ipcm_frames(buf: bytes, tab: dict, every_n: int) -> list:
             "MP4 frames: avcC carries no SPS — needs ffmpeg")
     nls = cfg["nal_length_size"]
     out = []
-    ref = None                          # previous decoded picture: the
-    for f, (off, size) in enumerate(tab["samples"]):   # P_Skip reference
-        if size <= 0 or off + size > len(buf):
+    ref_planes = None                   # previous decoded PLANES (r11:
+    for f, (off, size) in enumerate(tab["samples"]):   # the inter chain
+        if size <= 0 or off + size > len(buf):         # is plane-domain
             raise ValueError(f"MP4: sample {f} outside mdat")
         pos, end = off, off + size
         frame = None
@@ -1987,13 +1996,13 @@ def _decode_avc1_ipcm_frames(buf: bytes, tab: dict, every_n: int) -> list:
             nal = buf[pos + nls:pos + nls + ln]
             pos += nls + ln
             if nal and (nal[0] & 0x1F) in (1, 5):
-                frame = decode_h264_slice(nal, cfg["width"],
-                                          cfg["height"], ref=ref)
+                ref_planes, frame = decode_h264_picture(
+                    nal, cfg["width"], cfg["height"],
+                    ref_planes=ref_planes)
         if frame is None:
             raise ValueError(f"MP4: avc1 sample {f} has no slice NAL")
-        ref = frame                     # every decoded sample is decoded
-        if f % every_n:                 # in order so the skip chain holds
-            continue
+        if f % every_n:                 # every sample decodes in order
+            continue                    # so the inter chain holds
         out.append((f, frame))
     return out
 
@@ -2391,6 +2400,15 @@ def decode_h264_islice(nal: bytes, width: int, height: int) -> np.ndarray:
     raise NotImplementedError — the documented remaining seam is now
     AC residuals + non-DC prediction, no longer entropy coding
     itself)."""
+    return _h264_planes_to_rgb(
+        *decode_h264_islice_planes(nal, width, height), width, height)
+
+
+def decode_h264_islice_planes(nal: bytes, width: int, height: int):
+    """decode_h264_islice's PLANE-domain form: returns the padded
+    ``(Y (mh, mw), Cb, Cr (mh/2, mw/2))`` uint8 planes — the decoded
+    picture the INTER prediction chain references (r11: fractional
+    motion interpolates these planes, never the RGB render)."""
     data = _strip_emulation(bytes(nal))
     if not data or (data[0] & 0x1F) not in (1, 5):
         raise ValueError("H264: not a slice NAL")
@@ -2492,15 +2510,8 @@ def decode_h264_islice(nal: bytes, width: int, height: int) -> np.ndarray:
                     yp[y0 + 4 * by:y0 + 4 * by + 4,
                        x0 + 4 * bx:x0 + 4 * bx + 4] = \
                         np.clip(pred + rblk, 0, 255)
-    y = yp[:height, :width].astype(np.float64)
-    cb = np.kron(cbs.astype(np.float64), np.ones((2, 2)))[:height, :width]
-    cr = np.kron(crs.astype(np.float64), np.ones((2, 2)))[:height, :width]
-    rr = y + 1.402 * (cr - 128.0)
-    gg = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    bb = y + 1.772 * (cb - 128.0)
     _ = pcm_any
-    return np.clip(np.round(np.stack([rr, gg, bb], axis=2)), 0,
-                   255).astype(np.uint8)
+    return (np.clip(yp, 0, 255).astype(np.uint8), cbs, crs)
 
 
 # --- I_16x16 with sparse AC residuals (cbp_luma = 15, nC < 2 kept) --------
@@ -3348,29 +3359,15 @@ def encode_h264_pmv(width: int, height: int, frame_num: int,
     return body[:1] + _insert_emulation(body[1:])
 
 
-def decode_h264_slice(nal: bytes, width: int, height: int,
-                      ref: np.ndarray | None = None) -> np.ndarray:
-    """One slice NAL → (height, width, 3) uint8 RGB.  I slices route to
-    decode_h264_islice (I_PCM + CAVLC I_16x16); P slices decode
-    P_Skip runs AND MOTION-COMPENSATED P_L0_16x16 macroblocks (r11:
-    §8.4.1.3 median MV prediction + §8.4.2.2 clamped translational
-    prediction at even-pixel precision) against ``ref``, the previous
-    decoded picture the caller tracks.  Fractional-sample motion,
-    inter residuals, sub-partitions and B prediction raise at the
-    exact remaining ffmpeg seam."""
-    data = _strip_emulation(bytes(nal))
-    if not data or (data[0] & 0x1F) not in (1, 5):
-        raise ValueError("H264: not a slice NAL")
-    nal_ref_idc = (data[0] >> 5) & 3
-    r = _EgBitReader(data[1:])
-    if r.ue() != 0:
-        raise ValueError("H264: multi-slice pictures unsupported")
-    stype = r.ue()
-    if stype % 5 == 2:                  # I slice: the intra routes
-        return decode_h264_islice(nal, width, height)
+def _parse_p_slice_tail(r: "_EgBitReader", nal_ref_idc: int, stype: int,
+                        width: int, height: int) -> dict:
+    """Slice-header tail + slice data of a P slice (reader positioned
+    after slice_type): returns the (mbx, mby) → (mvx, mvy) quarter-pel
+    motion field.  Shared by the RGB route (decode_h264_slice) and the
+    plane route (decode_h264_picture)."""
     if stype % 5 != 0:
         raise NotImplementedError(
-            "H264: only I and all-skip P slices decode natively "
+            "H264: only I and P slices decode natively "
             "(B prediction needs ffmpeg)")
     r.ue()                              # pic_parameter_set_id
     r.read(4)                           # frame_num
@@ -3412,6 +3409,181 @@ def decode_h264_slice(nal: bytes, width: int, height: int,
         i += 1
     if r.read(1) != 1:
         raise ValueError("H264: missing rbsp stop bit after slice data")
+    return mvs
+
+
+H264_QPEL_TAPS = (1, -5, 20, 20, -5, 1)   # §8.4.2.2.1 6-tap filter
+
+
+def _h264_luma_block(refY: np.ndarray, y0: int, x0: int,
+                     mvx: int, mvy: int, bh: int = 16,
+                     bw: int = 16) -> np.ndarray:
+    """§8.4.2.2.1 quarter-sample luma prediction for one block:
+    half-pel via the (1,−5,20,20,−5,1)/32 filter (the 2-D center
+    position keeps unclipped intermediates and divides by 1024),
+    quarter-pel as the rounded average of the two nearest integer/half
+    positions (Table 8-12), reference coordinates clamped to the
+    padded picture."""
+    H, W = refY.shape
+    ix, iy = mvx >> 2, mvy >> 2         # floor for negatives
+    fx, fy = mvx & 3, mvy & 3
+    # (bh+6, bw+6) window: 2 taps above/left, 3 below/right, +1 for
+    # the next-integer / next-half neighbors Table 8-12 averages with
+    rows = np.clip(np.arange(y0 + iy - 2, y0 + iy + bh + 4), 0, H - 1)
+    cols = np.clip(np.arange(x0 + ix - 2, x0 + ix + bw + 4), 0, W - 1)
+    win = refY[np.ix_(rows, cols)].astype(np.int64)
+    t = H264_QPEL_TAPS
+
+    def conv_x(a):                      # unclipped horizontal taps
+        return sum(c * a[:, i:i + a.shape[1] - 5]
+                   for i, c in enumerate(t))
+
+    def conv_y(a):                      # unclipped vertical taps
+        return sum(c * a[i:i + a.shape[0] - 5, :]
+                   for i, c in enumerate(t))
+
+    def clip8(a):
+        return np.clip(a, 0, 255)
+
+    G = win[2:2 + bh + 1, 2:2 + bw + 1]           # (bh+1, bw+1)
+    b_raw = conv_x(win)                           # (bh+6, bw+1)
+    h_raw = conv_y(win)                           # (bh+1, bw+6)
+    b = clip8((b_raw[2:2 + bh + 1, :] + 16) >> 5)  # (bh+1, bw+1)
+    hh = clip8((h_raw[:, 2:2 + bw + 1] + 16) >> 5)  # (bh+1, bw+1)
+    if fx != 0 and fy != 0:
+        j = clip8((conv_y(b_raw) + 512) >> 10)    # (bh+1, bw+1)
+    # region views at the output block (top-left) and the +1 shifts
+    Gb = G[:bh, :bw]
+    Hn = G[:bh, 1:bw + 1]                         # integer right
+    Mn = G[1:bh + 1, :bw]                         # integer below
+    b0 = b[:bh, :bw]
+    s0 = b[1:bh + 1, :bw]                         # half-horiz, next row
+    h0 = hh[:bh, :bw]
+    m0 = hh[:bh, 1:bw + 1]                        # half-vert, next col
+    if fx != 0 and fy != 0:
+        j0 = j[:bh, :bw]
+    pos = (fx, fy)
+    if pos == (0, 0):
+        out = Gb
+    elif pos == (1, 0):
+        out = (Gb + b0 + 1) >> 1
+    elif pos == (2, 0):
+        out = b0
+    elif pos == (3, 0):
+        out = (b0 + Hn + 1) >> 1
+    elif pos == (0, 1):
+        out = (Gb + h0 + 1) >> 1
+    elif pos == (0, 2):
+        out = h0
+    elif pos == (0, 3):
+        out = (h0 + Mn + 1) >> 1
+    elif pos == (1, 1):
+        out = (b0 + h0 + 1) >> 1
+    elif pos == (3, 1):
+        out = (b0 + m0 + 1) >> 1
+    elif pos == (1, 3):
+        out = (h0 + s0 + 1) >> 1
+    elif pos == (3, 3):
+        out = (m0 + s0 + 1) >> 1
+    elif pos == (2, 1):
+        out = (b0 + j0 + 1) >> 1
+    elif pos == (1, 2):
+        out = (h0 + j0 + 1) >> 1
+    elif pos == (2, 2):
+        out = j0
+    elif pos == (3, 2):
+        out = (j0 + m0 + 1) >> 1
+    else:                               # (2, 3)
+        out = (j0 + s0 + 1) >> 1
+    return out.astype(np.uint8)
+
+
+def _h264_chroma_block(refC: np.ndarray, cy0: int, cx0: int,
+                       mvx: int, mvy: int, bs: int = 8) -> np.ndarray:
+    """§8.4.2.2.2 eighth-sample chroma prediction (4:2:0): bilinear
+    weights ((8−dx)(8−dy), dx(8−dy), (8−dx)dy, dx·dy)/64 over the four
+    surrounding chroma samples; the luma quarter-pel MV value IS the
+    chroma eighth-pel value."""
+    H, W = refC.shape
+    ix, iy = mvx >> 3, mvy >> 3
+    dx, dy = mvx & 7, mvy & 7
+    rows = np.clip(np.arange(cy0 + iy, cy0 + iy + bs + 1), 0, H - 1)
+    cols = np.clip(np.arange(cx0 + ix, cx0 + ix + bs + 1), 0, W - 1)
+    win = refC[np.ix_(rows, cols)].astype(np.int64)
+    a = win[:bs, :bs]
+    bb = win[:bs, 1:bs + 1]
+    c = win[1:bs + 1, :bs]
+    d = win[1:bs + 1, 1:bs + 1]
+    out = ((8 - dx) * (8 - dy) * a + dx * (8 - dy) * bb
+           + (8 - dx) * dy * c + dx * dy * d + 32) >> 6
+    return out.astype(np.uint8)
+
+
+def decode_h264_picture(nal: bytes, width: int, height: int,
+                        ref_planes=None):
+    """Plane-domain picture decode (r11 — the fractional-motion tier):
+    one slice NAL → ``((Y, Cb, Cr) padded planes, cropped RGB)``.  I
+    slices route to decode_h264_islice_planes; P slices reconstruct
+    per-macroblock translational prediction at FULL quarter-pel luma /
+    eighth-pel chroma precision (§8.4.2.2: 6-tap half-pel + averaged
+    quarter positions on Y, bilinear on Cb/Cr) against ``ref_planes``
+    — the previous decoded picture's planes, which the caller chains.
+    Inter residuals, sub-partitions and B prediction remain the
+    documented seam (_parse_p_slice_tail raises)."""
+    data = _strip_emulation(bytes(nal))
+    if not data or (data[0] & 0x1F) not in (1, 5):
+        raise ValueError("H264: not a slice NAL")
+    nal_ref_idc = (data[0] >> 5) & 3
+    r = _EgBitReader(data[1:])
+    if r.ue() != 0:
+        raise ValueError("H264: multi-slice pictures unsupported")
+    stype = r.ue()
+    if stype % 5 == 2:
+        planes = decode_h264_islice_planes(nal, width, height)
+        return planes, _h264_planes_to_rgb(*planes, width, height)
+    mvs = _parse_p_slice_tail(r, nal_ref_idc, stype, width, height)
+    if ref_planes is None:
+        raise ValueError(
+            "H264: P slice with no reference picture (the caller "
+            "must pass the previous decoded planes)")
+    refY, refCb, refCr = ref_planes
+    outY = np.empty_like(refY)
+    outCb = np.empty_like(refCb)
+    outCr = np.empty_like(refCr)
+    for (mbx, mby), (mvx, mvy) in mvs.items():
+        y0, x0 = 16 * mby, 16 * mbx
+        outY[y0:y0 + 16, x0:x0 + 16] = _h264_luma_block(
+            refY, y0, x0, mvx, mvy)
+        cy0, cx0 = 8 * mby, 8 * mbx
+        outCb[cy0:cy0 + 8, cx0:cx0 + 8] = _h264_chroma_block(
+            refCb, cy0, cx0, mvx, mvy)
+        outCr[cy0:cy0 + 8, cx0:cx0 + 8] = _h264_chroma_block(
+            refCr, cy0, cx0, mvx, mvy)
+    return (outY, outCb, outCr), _h264_planes_to_rgb(
+        outY, outCb, outCr, width, height)
+
+
+def decode_h264_slice(nal: bytes, width: int, height: int,
+                      ref: np.ndarray | None = None) -> np.ndarray:
+    """One slice NAL → (height, width, 3) uint8 RGB.  I slices route to
+    decode_h264_islice (I_PCM + CAVLC I_16x16); P slices decode
+    P_Skip runs AND MOTION-COMPENSATED P_L0_16x16 macroblocks (r11:
+    §8.4.1.3 median MV prediction + §8.4.2.2 clamped translational
+    prediction at even-pixel precision) against ``ref``, the previous
+    decoded picture the caller tracks.  Fractional-sample motion,
+    inter residuals, sub-partitions and B prediction raise at the
+    exact remaining ffmpeg seam."""
+    data = _strip_emulation(bytes(nal))
+    if not data or (data[0] & 0x1F) not in (1, 5):
+        raise ValueError("H264: not a slice NAL")
+    nal_ref_idc = (data[0] >> 5) & 3
+    r = _EgBitReader(data[1:])
+    if r.ue() != 0:
+        raise ValueError("H264: multi-slice pictures unsupported")
+    stype = r.ue()
+    if stype % 5 == 2:                  # I slice: the intra routes
+        return decode_h264_islice(nal, width, height)
+    mvs = _parse_p_slice_tail(r, nal_ref_idc, stype, width, height)
     if ref is None:
         raise ValueError(
             "H264: P slice with no reference picture (the caller "

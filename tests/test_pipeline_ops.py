@@ -4146,3 +4146,114 @@ def test_aac_huffman_machinery():
     d = decode_aac_lc_frame(frame, codebooks=cb)
     assert np.array_equal(np.sign(d["spec"][:8]), np.sign(q[:8]))
     assert np.array_equal(d["spec"][:8], aac_dequantize(q[:8], 100))
+
+
+def _qpel_luma_ref(refY, y0, x0, mvx, mvy, bh=16, bw=16):
+    """Scalar spec-spelled reference for §8.4.2.2.1 (independent loop
+    implementation the vectorized kernel is pinned against)."""
+    import numpy as np
+    H, W = refY.shape
+    t = (1, -5, 20, 20, -5, 1)
+
+    def I(yy, xx):                      # clamped integer sample
+        return int(refY[min(max(yy, 0), H - 1), min(max(xx, 0), W - 1)])
+
+    def braw(yy, xx):                   # unclipped half-horiz at (yy, xx)
+        return sum(c * I(yy, xx + k - 2) for k, c in enumerate(t))
+
+    def hraw(yy, xx):
+        return sum(c * I(yy + k - 2, xx) for k, c in enumerate(t))
+
+    def clip8(v):
+        return min(max(v, 0), 255)
+
+    ix, iy = mvx >> 2, mvy >> 2
+    fx, fy = mvx & 3, mvy & 3
+    out = np.zeros((bh, bw), dtype=np.int64)
+    for ry in range(bh):
+        for rx in range(bw):
+            yy, xx = y0 + iy + ry, x0 + ix + rx
+            G = I(yy, xx)
+            Hn = I(yy, xx + 1)
+            Mn = I(yy + 1, xx)
+            b = clip8((braw(yy, xx) + 16) >> 5)
+            s = clip8((braw(yy + 1, xx) + 16) >> 5)
+            hh = clip8((hraw(yy, xx) + 16) >> 5)
+            m = clip8((hraw(yy, xx + 1) + 16) >> 5)
+            jraw = sum(c * braw(yy + k - 2, xx) for k, c in enumerate(t))
+            j = clip8((jraw + 512) >> 10)
+            tab = {(0, 0): G, (1, 0): (G + b + 1) >> 1, (2, 0): b,
+                   (3, 0): (b + Hn + 1) >> 1, (0, 1): (G + hh + 1) >> 1,
+                   (1, 1): (b + hh + 1) >> 1, (2, 1): (b + j + 1) >> 1,
+                   (3, 1): (b + m + 1) >> 1, (0, 2): hh,
+                   (1, 2): (hh + j + 1) >> 1, (2, 2): j,
+                   (3, 2): (j + m + 1) >> 1, (0, 3): (hh + Mn + 1) >> 1,
+                   (1, 3): (hh + s + 1) >> 1, (2, 3): (j + s + 1) >> 1,
+                   (3, 3): (m + s + 1) >> 1}
+            out[ry, rx] = tab[(fx, fy)]
+    return out.astype(np.uint8)
+
+
+def test_h264_fractional_motion_compensation():
+    """r11 fractional-MC tier: the vectorized quarter-pel luma kernel
+    equals an independent scalar spec spelling on random data for all
+    16 positions with positive/negative integer offsets and edge
+    clamps; chroma bilinear equals its loop reference; the plane-domain
+    container route chains fractional P frames; decode_h264_slice's
+    RGB route and the plane route agree on even-integer MVs."""
+    import struct
+
+    import numpy as np
+    from spatial_spark.operators.codecs import (_h264_chroma_block,
+                                                _h264_luma_block,
+                                                build_avcc,
+                                                build_h264_sps, build_mp4,
+                                                decode_h264_picture,
+                                                decode_h264_slice,
+                                                decode_mp4_frames,
+                                                encode_h264_ipcm,
+                                                encode_h264_pmv)
+
+    rng = np.random.default_rng(84)
+    Y = rng.integers(0, 256, (32, 48), dtype=np.uint8)
+    for fx in range(4):
+        for fy in range(4):
+            for (ix, iy) in [(0, 0), (1, -2), (-11, 7), (40, -30)]:
+                mv = (4 * ix + fx, 4 * iy + fy)
+                got = _h264_luma_block(Y, 16, 16, *mv)
+                want = _qpel_luma_ref(Y, 16, 16, *mv)
+                assert np.array_equal(got, want), (fx, fy, ix, iy)
+    # chroma bilinear vs loop reference
+    C = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    for mv in [(0, 0), (3, 5), (-9, 13), (17, -6), (8, 8)]:
+        got = _h264_chroma_block(C, 8, 8, *mv)
+        dx, dy = mv[0] & 7, mv[1] & 7
+        ix, iy = mv[0] >> 3, mv[1] >> 3
+        want = np.zeros((8, 8), dtype=np.int64)
+        for r in range(8):
+            for c in range(8):
+                def s(yy, xx):
+                    return int(C[min(max(yy, 0), 15), min(max(xx, 0), 23)])
+                yy, xx = 8 + iy + r, 8 + ix + c
+                want[r, c] = ((8 - dx) * (8 - dy) * s(yy, xx)
+                              + dx * (8 - dy) * s(yy, xx + 1)
+                              + (8 - dx) * dy * s(yy + 1, xx)
+                              + dx * dy * s(yy + 1, xx + 1) + 32) >> 6
+        assert np.array_equal(got, want.astype(np.uint8)), mv
+    # plane-domain container chain with fractional MVs decodes; RGB and
+    # plane routes agree on even-integer MVs
+    img = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    idr = encode_h264_ipcm(img)
+    planes, f0 = decode_h264_picture(idr, 48, 32)
+    p_even = encode_h264_pmv(48, 32, 1, mv=(8, -16))
+    _, via_planes = decode_h264_picture(p_even, 48, 32, ref_planes=planes)
+    via_rgb = decode_h264_slice(p_even, 48, 32, ref=f0)
+    assert np.array_equal(via_planes, via_rgb)
+    nals = [idr, encode_h264_pmv(48, 32, 1, mv=(5, 3)),
+            encode_h264_pmv(48, 32, 2, mv=(-7, 10))]
+    mp4 = build_mp4(48, 32, 0, 1000, 40, codec="avc1",
+                    samples=[struct.pack(">I", len(n)) + n for n in nals],
+                    codec_config=build_avcc(build_h264_sps(48, 32)))
+    frames = decode_mp4_frames(bytes(mp4))
+    assert len(frames) == 3 and all(im.shape == (32, 48, 3)
+                                    for _, im in frames)
