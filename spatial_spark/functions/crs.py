@@ -105,6 +105,11 @@ UTM_DELTA = (
 _UTM_C = 2.0 * math.sqrt(_N) / (1.0 + _N)   # coefficient in the conformal map
 
 _UTM_RE = re.compile(r"^(?:epsg:)?(326|327)(\d{2})$")
+# ETRS89 / UTM zones (EPSG 25828-25838) and ETRS89 / TM35FIN (EPSG
+# 3067): ETRS89 is WGS84-family (sub-mm 1/f difference — the engine
+# contract), and the projection parameters are exactly the northern
+# UTM zone's, so these resolve as plain utm: frames.
+_ETRS_UTM_RE = re.compile(r"^(?:epsg:)?258(2[8-9]|3[0-8])$")
 
 # Named conic/azimuthal conformal frames (EPSG parameters; WGS84-family
 # ellipsoids — GRS80's flattening differs from WGS84's at 1e-10, far
@@ -189,6 +194,11 @@ def _frame(crs) -> str:
     m = _NAD27_UTM_RE.match(s)
     if m:                       # EPSG:26701-26722 — NAD27 / UTM zones
         return _nad27_utm_frame(int(m.group(1)))
+    m = _ETRS_UTM_RE.match(s)
+    if m:                       # EPSG:25828-25838 — ETRS89 / UTM
+        return f"utm:{int(m.group(1))}:n"
+    if s in ("epsg:3067", "3067"):      # ETRS89 / TM35FIN == UTM 35N
+        return "utm:35:n"
     key = s[5:] if s.startswith("epsg:") else s
     if key in _EPSG_CONIC:
         return _EPSG_CONIC[key]

@@ -1190,3 +1190,20 @@ def test_nad27_utm_frames():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         crs._frame("EPSG:26700")
+
+
+def test_etrs89_utm_aliases():
+    """EPSG:25828-25838 (ETRS89/UTM) and EPSG:3067 (TM35FIN) alias the
+    plain UTM frames (ETRS89 is WGS84-family; identical parameters)."""
+    import numpy as np
+    from spatial_spark.functions import crs
+    assert crs._frame("EPSG:25832") == "utm:32:n"
+    assert crs._frame("epsg:25828") == "utm:28:n"
+    assert crs._frame("EPSG:3067") == "utm:35:n"
+    ll = np.array([[9.0, 51.0]])
+    assert np.array_equal(
+        crs.transform_points(ll, "wgs84", crs._frame("EPSG:25832")),
+        crs.utm_forward(ll, 32, False))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        crs._frame("EPSG:25839")      # outside the defined zone band

@@ -1494,3 +1494,43 @@ def test_concurrent_reader_never_sees_half_rewrite(ctx, spark):
     # final state is the full mutation history applied exactly once
     final = frozenset(r["id"] for r in layer.df().select("id").collect())
     assert final == valid_states[-1]
+
+
+def test_vacuum_crash_leaves_consistent_store(ctx, spark, monkeypatch):
+    """A crash mid-vacuum must only leave SOME reclaimable files still
+    on disk — never touch the manifest, never remove a current-snapshot
+    file; a re-run finishes the job."""
+    import os as _os
+    layer = ctx.create_point_layer("vac_crash", x="lon", y="lat")
+    layer.add(_grid_points(spark))
+    layer.delete([0])                   # replaced files now await vacuum
+    man = layer._manifest
+    live = set(man.current()[1])
+    on_disk = {f for f in _os.listdir(layer.path) if f.startswith("part-")}
+    doomed = sorted(on_disk - live)
+    assert doomed, "expected deferred-deletion leftovers"
+    io = man.io
+    real_remove = io.remove
+    state = {"left": 1}                 # die after the first removal
+
+    def dying_remove(p):
+        if _os.path.basename(str(p)).startswith("part-"):
+            if state["left"] == 0:
+                raise RuntimeError("simulated crash mid-vacuum")
+            state["left"] -= 1
+        return real_remove(p)
+
+    monkeypatch.setattr(io, "remove", dying_remove)
+    if len(doomed) > 1:
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError, match="mid-vacuum"):
+            man.vacuum(retain_epochs=1)   # the patched IO instance
+    monkeypatch.setattr(io, "remove", real_remove)
+    # manifest intact, current snapshot complete, rows exactly-once
+    assert set(man.current()[1]) == live
+    ids = sorted(r["id"] for r in layer.df().select("id").collect())
+    assert ids == list(range(1, 400))
+    # re-run completes the reclaim
+    man.vacuum(retain_epochs=1)
+    left = {f for f in _os.listdir(layer.path) if f.startswith("part-")}
+    assert left == live
