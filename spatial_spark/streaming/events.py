@@ -132,3 +132,36 @@ def stream_interval_join(left: DataFrame, right: DataFrame,
                 f"INTERVAL {upper}")))
     return l.join(r, cond, "inner").drop("r_key") \
         .withColumnRenamed("l_key", key_col)
+
+
+def stream_interval_join_outer(left: DataFrame, right: DataFrame,
+                               key_col: str = "user_id",
+                               ts_col: str = "ts",
+                               lower: str = "0 seconds",
+                               upper: str = "10 minutes",
+                               watermark: str = "30 minutes") -> DataFrame:
+    """LEFT-OUTER stream-stream interval join (r11): the
+    enrichment-with-misses shape — every left event emits, matched
+    right events attached, NULL right columns when no right event
+    lands in [left.ts + lower, left.ts + upper].  The outer row for an
+    unmatched left event can only be emitted once the watermark proves
+    no future match exists, so outer results trail the watermark by
+    construction (Structured Streaming's documented outer-join
+    latency); state stays bounded exactly as in the inner form."""
+    l = (left.withWatermark(ts_col, watermark)
+         .select(F.col(key_col).alias("l_key"),
+                 F.col(ts_col).alias("l_ts"),
+                 *[F.col(c).alias(f"l_{c}") for c in left.columns
+                   if c not in (key_col, ts_col)]))
+    r = (right.withWatermark(ts_col, watermark)
+         .select(F.col(key_col).alias("r_key"),
+                 F.col(ts_col).alias("r_ts"),
+                 *[F.col(c).alias(f"r_{c}") for c in right.columns
+                   if c not in (key_col, ts_col)]))
+    cond = ((F.col("l_key") == F.col("r_key"))
+            & (F.col("r_ts") >= F.col("l_ts") + F.expr(
+                f"INTERVAL {lower}"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr(
+                f"INTERVAL {upper}")))
+    return l.join(r, cond, "leftOuter").drop("r_key") \
+        .withColumnRenamed("l_key", key_col)

@@ -4257,3 +4257,73 @@ def test_h264_fractional_motion_compensation():
     frames = decode_mp4_frames(bytes(mp4))
     assert len(frames) == 3 and all(im.shape == (32, 48, 3)
                                     for _, im in frames)
+
+
+def test_stream_interval_join_outer_matches_batch(spark, tmp_path):
+    """r11: LEFT-OUTER stream-stream interval join — matched rows equal
+    the inner join; unmatched left events emit exactly once with NULL
+    right columns once the watermark passes (finite availableNow run
+    drains the watermark to the end, so ALL outer rows land)."""
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+    from spatial_spark.streaming.events import stream_interval_join_outer
+
+    base = 1_700_000_000
+    # users 0-3 have matching clicks for even impressions only; user 4
+    # never clicks (pure outer rows)
+    lrows = [(u, base + 300 * i, f"imp-{u}-{i}")
+             for u in range(5) for i in range(6)]
+    rrows = [(u, base + 300 * i + 60, f"clk-{u}-{i}")
+             for u in range(4) for i in range(0, 6, 2)]
+    schema = "user_id long, epoch long, tag string"
+    # a far-future SENTINEL batch on both sides pushes the watermark
+    # past every real event so the trailing unmatched lefts finalize
+    # (outer rows emit only once the watermark proves no match can
+    # arrive — the documented outer-join latency)
+    sentinels = {"lo": [(999, base + 100_000, "sentinel")],
+                 "ro": [(998, base + 100_000, "sentinel")]}
+    for name, rows in (("lo", lrows), ("ro", rrows)):
+        sentinel = sentinels[name]
+        d = tmp_path / name
+        d.mkdir()
+        half = max(len(rows) // 2, 1)
+        for b, chunk in enumerate((rows[:half], rows[half:], sentinel)):
+            (spark.createDataFrame(chunk, schema).coalesce(1)
+             .write.parquet(str(d / f"b{b}")))
+        now = _time.time()
+        for b in range(3):
+            dd = d / f"b{b}"
+            for f in _os.listdir(dd):
+                _os.utime(_os.path.join(dd, f), (now + 60 * b - 300,) * 2)
+
+    def as_stream(name):
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(tmp_path / name) + "/b*")
+                .withColumn("ts", F.timestamp_seconds("epoch"))
+                .drop("epoch"))
+
+    joined = stream_interval_join_outer(
+        as_stream("lo"), as_stream("ro"),
+        lower="0 seconds", upper="2 minutes", watermark="10 minutes")
+    out = str(tmp_path / "out_outer")
+    q = (joined.writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck_outer"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    # the left sentinel itself can never finalize (nothing later moves
+    # the watermark past it) — it exists only to flush the real events
+    got = {(r.user_id, r.l_tag, r.r_tag)
+           for r in spark.read.parquet(out).collect()
+           if r.user_id != 999}
+    want = set()
+    for u in range(5):
+        for i in range(6):
+            if u < 4 and i % 2 == 0:
+                want.add((u, f"imp-{u}-{i}", f"clk-{u}-{i}"))
+            else:
+                want.add((u, f"imp-{u}-{i}", None))
+    assert got == want
