@@ -3503,6 +3503,104 @@ def _q_interval_join_stream(spark, sf_dir) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _q_interval_join_outer(spark, sf_dir) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join under the hard gate (r11
+    — the enrichment-with-misses twin of interval_join_stream): every
+    capped view emits, purchase attached when one lands within [0s,
+    4h], NULL (coalesced to -1 in BOTH engines) otherwise.  Outer rows
+    finalize only when the watermark proves no match can arrive, so
+    each side replays its two time-ordered halves PLUS a far-future
+    sentinel batch that pushes the watermark past every real event
+    (the documented outer-join latency, pinned in pytest); sentinels
+    carry user_id -1 and are excluded AFTER the collect — a pre-sink
+    ``filter(user_id >= 0)`` would be PUSHED DOWN to the file scans,
+    prune the sentinel files via parquet stats, and silently keep the
+    watermark from ever seeing them (found the hard way: the trailing
+    view's outer row never finalized).  Oracle: the batch LEFT
+    interval join in SQL."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from spatial_spark.streaming.events import stream_interval_join_outer
+
+    work = tempfile.mkdtemp(prefix="ivjo_gate_")
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        ev = (spark.table("events")
+              .filter(F.col("user_id") % 5 == 0)
+              .select("event_id", "user_id", "event_type", "ts"))
+        mid, hi = ev.agg(
+            F.expr("timestamp_millis(CAST(avg(unix_millis(ts)) "
+                   "AS BIGINT))"),
+            F.expr("timestamp_millis(max(unix_millis(ts)) "
+                   "+ 864000000)")).first()
+        srcs = {}
+        now = _time.time()
+        for side, typ in (("views", "view"), ("purch", "purchase")):
+            d = os.path.join(work, side)
+            srcs[side] = d
+            part = ev.filter(F.col("event_type") == typ) \
+                .select("event_id", "user_id", "ts")
+            slices = [part.filter(F.col("ts") <= F.lit(mid)),
+                      part.filter(F.col("ts") > F.lit(mid)),
+                      spark.createDataFrame(
+                          [(-1, -1, hi)],
+                          "event_id bigint, user_id bigint, "
+                          "ts timestamp")]
+            for i, sl in enumerate(slices):
+                sub = os.path.join(d, f"b{i}")
+                sl.coalesce(1).write.mode("overwrite").parquet(sub)
+                for f in os.listdir(sub):   # time-ordered replay
+                    os.utime(os.path.join(sub, f),
+                             (now - 600 + 200 * i,) * 2)
+        schema = "event_id bigint, user_id bigint, ts timestamp"
+        left = (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(srcs["views"] + "/b*"))
+        right = (spark.readStream.schema(schema)
+                 .option("maxFilesPerTrigger", 1)
+                 .parquet(srcs["purch"] + "/b*"))
+        joined = stream_interval_join_outer(left, right,
+                                            key_col="user_id",
+                                            ts_col="ts",
+                                            lower="0 seconds",
+                                            upper="4 hours",
+                                            watermark="30 minutes")
+        out_dir = os.path.join(work, "out")
+        q = (joined.select(F.col("l_event_id").alias("view_id"),
+                           F.coalesce(F.col("r_event_id"),
+                                      F.lit(-1)).alias("purchase_id"),
+                           "user_id")
+             .writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", os.path.join(work, "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(600)
+        rows = [r for r in spark.read.parquet(out_dir).collect()
+                if r.user_id >= 0]
+        return spark.createDataFrame(
+            rows, "view_id bigint, purchase_id bigint, user_id bigint")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_INTERVAL_JOIN_OUTER_ORACLE = """
+    SELECT v.event_id AS view_id,
+           COALESCE(p.event_id, -1) AS purchase_id,
+           v.user_id
+    FROM (SELECT * FROM events
+          WHERE user_id % 5 = 0 AND event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events
+               WHERE user_id % 5 = 0 AND event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 4 HOUR
+"""
+
+
 def _q_funnel_stream(spark, sf_dir) -> DataFrame:
     """Streaming funnel twin under the HARD gate (r11, VERDICT r10 ask
     #7 — kmv_stream proved the replay pattern).  The capped events
@@ -3982,6 +4080,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cql_filter": _q_cql_filter,
         # ================= end of the 50-entry driver window =========
         # (the boundary falls between zorder_keys and cql_filter)
+        # --- r11-late gate (registered after the window froze): joins
+        #     the r12 cohort behind the r8 debt
+        "interval_join_outer": _q_interval_join_outer,
         # --- the 15 r8-row holders that did not fit: FIRST in r12
         "cql2": _q_cql2,
         "st_transform_merc": _q_st_transform_merc,
@@ -6860,6 +6961,7 @@ def oracle_sql() -> dict[str, str]:
         "media_avc_mc": _media_avc_mc_oracle_sql(),
         "media_aac_huff": _media_aac_huff_oracle_sql(),
         "media_avc_qpel": _media_avc_qpel_oracle_sql(),
+        "interval_join_outer": _INTERVAL_JOIN_OUTER_ORACLE,
         "st_transform_aea": _aea_oracle_sql(),
         # stream-stream interval join == the batch interval join (the
         # time-ordered replay has no late data, so the watermark drops

@@ -140,6 +140,9 @@ HEADLINE = [
     # r11: fractional-sample MC — all 16 Table 8-12 quarter-pel
     # positions, tap-math-verifying oracle
     "media_avc_qpel",
+    # r11: LEFT-OUTER stream-stream interval join (3 stateful
+    # micro-batches incl. the sentinel flush per invocation)
+    "interval_join_outer",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -300,6 +303,9 @@ BUDGET_SF01 = {
     # r11: 2.2x local best-of-two (16-container fixture: one
     # quarter-pel-interpolated P frame per media, all 16 positions)
     "media_avc_qpel": 2.5,
+    # r11: 2.2x local best-of-two (capped fixture; cost = 3 stateful
+    # outer-join micro-batches + the no-data watermark flush)
+    "interval_join_outer": 30.8,
     # (EVERY pin re-ratcheted as min(old, 2.2x the clean final full
     # run's min-of-2) — landing-time measurements taken under
     # concurrent sweeps carried up to 9x slack; the ratchet never
