@@ -566,6 +566,49 @@ def _laea_oracle_sql() -> str:
         FROM _laea_out"""
 
 
+def _q_st_transform_rd(spark, sf_dir) -> DataFrame:
+    """Datum-SHIFTED oblique stereographic on the hard gate (r11,
+    second wave; the second datum family after OSGB36): customer points
+    wrapped into the Netherlands box 4326 → EPSG:28992 (Amersfoort /
+    RD New — EPSG method 9809, the double projection via the Gauss
+    conformal sphere, on Bessel 1841 + the EPSG:15934 position-vector
+    Helmert) through the st_transform kernel, cm integers hash-compared
+    against the dual-engine sod_forward_ctes SQL (WGS84 ECEF → negated
+    Helmert → Bowring on Bessel → conformal-sphere stereographic,
+    closed form end to end; kernel anchored to the EPSG GN7-2 worked
+    example and the published RDNAPTRANS tower point)."""
+    pts = (spark.table("customer")
+           .select("c_custkey",
+                   F.expr("3.3 + CAST((c_custkey * 7919) % 390 "
+                          "AS DOUBLE) / 100.0").alias("lon"),
+                   F.expr("50.75 + CAST((c_custkey * 104729) % 275 "
+                          "AS DOUBLE) / 100.0").alias("lat"))
+           .withColumn("u", F.expr(
+               "st_transform(st_point(lon, lat), 'EPSG:4326', "
+               "'EPSG:28992')")))
+    return pts.select(
+        "c_custkey",
+        F.expr("CAST(round(st_x(u) * 100) AS BIGINT)").alias("e_cm"),
+        F.expr("CAST(round(st_y(u) * 100) AS BIGINT)").alias("n_cm"))
+
+
+def _st_transform_rd_oracle_sql() -> str:
+    from spatial_spark.functions.crs import _frame, sod_forward_ctes
+    params = tuple(float(v)
+                   for v in _frame("EPSG:28992").split(":")[1:])
+    base = """SELECT c_custkey,
+                     3.3 + CAST((c_custkey * 7919) % 390 AS DOUBLE)
+                       / 100.0 AS lon,
+                     50.75 + CAST((c_custkey * 104729) % 275 AS DOUBLE)
+                       / 100.0 AS lat
+              FROM customer"""
+    return sod_forward_ctes(base, *params) + """
+        SELECT c_custkey,
+               CAST(round(easting * 100) AS BIGINT) AS e_cm,
+               CAST(round(northing * 100) AS BIGINT) AS n_cm
+        FROM _sod_out"""
+
+
 def _q_st_transform_lcc(spark, sf_dir) -> DataFrame:
     """Lambert Conformal Conic gate (r9 conic CRS tier): customer
     points 4326 → EPSG:2154 (Lambert-93) through the st_transform UDF
@@ -4080,9 +4123,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cql_filter": _q_cql_filter,
         # ================= end of the 50-entry driver window =========
         # (the boundary falls between zorder_keys and cql_filter)
-        # --- r11-late gate (registered after the window froze): joins
+        # --- r11-late gates (registered after the window froze): join
         #     the r12 cohort behind the r8 debt
         "interval_join_outer": _q_interval_join_outer,
+        "st_transform_rd": _q_st_transform_rd,
         # --- the 15 r8-row holders that did not fit: FIRST in r12
         "cql2": _q_cql2,
         "st_transform_merc": _q_st_transform_merc,
@@ -6962,6 +7006,7 @@ def oracle_sql() -> dict[str, str]:
         "media_aac_huff": _media_aac_huff_oracle_sql(),
         "media_avc_qpel": _media_avc_qpel_oracle_sql(),
         "interval_join_outer": _INTERVAL_JOIN_OUTER_ORACLE,
+        "st_transform_rd": _st_transform_rd_oracle_sql(),
         "st_transform_aea": _aea_oracle_sql(),
         # stream-stream interval join == the batch interval join (the
         # time-ordered replay has no late data, so the watermark drops

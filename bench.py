@@ -143,6 +143,9 @@ HEADLINE = [
     # r11: LEFT-OUTER stream-stream interval join (3 stateful
     # micro-batches incl. the sentinel flush per invocation)
     "interval_join_outer",
+    # r11: RD New datum-shifted oblique stereographic (EPSG 9809
+    # double projection — Helmert + conformal sphere on Bessel)
+    "st_transform_rd",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -306,6 +309,10 @@ BUDGET_SF01 = {
     # r11: 2.2x local best-of-two (capped fixture; cost = 3 stateful
     # outer-join micro-batches + the no-data watermark flush)
     "interval_join_outer": 30.8,
+    # r11: 2.2x local best-of-two (NL-box customers through the full
+    # ECEF→Helmert→Bowring→conformal-sphere-stereographic chain,
+    # uniform-batch fast path; measured under a concurrent sweep)
+    "st_transform_rd": 2.7,
     # (EVERY pin re-ratcheted as min(old, 2.2x the clean final full
     # run's min-of-2) — landing-time measurements taken under
     # concurrent sweeps carried up to 9x slack; the ratchet never

@@ -153,6 +153,28 @@ _EPSG_TMD = {
               "446.448:-125.157:542.06:0.1502:0.247:0.8421:-20.4894"),
 }
 
+# Datum-SHIFTED OBLIQUE STEREOGRAPHIC grids (r11, second wave):
+# sod:<lat0>:<lon0>:<k0>:<fe>:<fn>:<a>:<f>
+#    :<tx>:<ty>:<tz>:<rx>:<ry>:<rz>:<ds>
+# — EPSG method 9809 ("Oblique Stereographic", the double projection
+# via Gauss conformal sphere) on ellipsoid (a, f), datum → WGS84 by
+# the same position-vector Helmert convention as tmd.
+#   28992  Amersfoort / RD New (Bessel 1841 + the RDNAPTRANS-class
+#          national Helmert — EPSG tfm 15934 parameter values)
+BESSEL_A = 6377397.155               # Bessel 1841 semi-major axis (m)
+BESSEL_F = 1.0 / 299.1528128         # Bessel 1841 flattening
+# Amersfoort → WGS84 position-vector parameters (EPSG transformation
+# 15934, µrad rotations converted to arc-seconds):
+AMERSFOORT_HELMERT = (565.2369, 50.0087, 465.658,
+                      -0.406857, 0.350733, -1.870347, 4.0812)
+_EPSG_SOD = {
+    "28992": ("sod:" + ":".join(repr(v) for v in (
+        52.0 + 9.0 / 60.0 + 22.178 / 3600.0,
+        5.0 + 23.0 / 60.0 + 15.5 / 3600.0,
+        0.9999079, 155000.0, 463000.0,
+        BESSEL_A, BESSEL_F, *AMERSFOORT_HELMERT))),
+}
+
 # Legacy NAD27 UTM zones (EPSG 26701-26722 = NAD27 / UTM 1N..22N):
 # Clarke 1866 ellipsoid + the published CONUS 3-parameter shift
 # NAD27→WGS84 (EPSG tfm 1173: dX −8, dY 160, dZ 176 m) — the ~10 m
@@ -204,11 +226,13 @@ def _frame(crs) -> str:
         return _EPSG_CONIC[key]
     if key in _EPSG_TMD:
         return _EPSG_TMD[key]
+    if key in _EPSG_SOD:
+        return _EPSG_SOD[key]
     if s.startswith(("lcc:", "psb:", "psa:", "laea:", "tm:", "aea:",
-                     "tmd:")):
+                     "tmd:", "sod:")):
         kind, *parts = s.split(":")
         n_num = {"lcc": 6, "psb": 4, "psa": 4, "laea": 4, "tm": 5,
-                 "aea": 6, "tmd": 14}[kind]
+                 "aea": 6, "tmd": 14, "sod": 14}[kind]
         hemi = ()
         if kind == "psa":
             if len(parts) != 5 or parts[4] not in ("n", "s"):
@@ -235,6 +259,14 @@ def _frame(crs) -> str:
             if not (nums[5] > 0.0 and 0.0 < nums[6] < 0.01):
                 raise ValueError("st_transform: tmd ellipsoid must have "
                                  "a > 0 and 0 < f < 0.01")
+        if kind == "sod":
+            if abs(nums[0]) >= 89.999999:
+                raise ValueError("st_transform: oblique-stereographic "
+                                 "origin latitude must be below the pole "
+                                 "(use psb:/psa: for the polar aspect)")
+            if not (nums[5] > 0.0 and 0.0 < nums[6] < 0.01):
+                raise ValueError("st_transform: sod ellipsoid must have "
+                                 "a > 0 and 0 < f < 0.01")
         if kind == "laea" and abs(nums[0]) >= 89.999999:
             raise ValueError("st_transform: LAEA polar aspect is out of "
                              "scope (oblique |lat0| < 90 only)")
@@ -249,8 +281,9 @@ def _frame(crs) -> str:
         "EPSG:2154/3034 LCC, EPSG:3031/3413/3995 polar stereographic, "
         "EPSG:5041/5042 UPS, EPSG:3035 LAEA, EPSG:5070 Albers, "
         "EPSG:2193/2180/3414 TM, EPSG:27700 OSGB36 National Grid, "
-        "EPSG:26701-26722 NAD27 UTM, "
-        "generic lcc:/psb:/psa:/laea:/tm:/aea:/tmd: frames, cartesian)")
+        "EPSG:28992 Amersfoort / RD New, EPSG:26701-26722 NAD27 UTM, "
+        "generic lcc:/psb:/psa:/laea:/tm:/aea:/tmd:/sod: frames, "
+        "cartesian)")
 
 
 def merc_forward_sql(lon_sql: str, lat_sql: str) -> tuple[str, str]:
@@ -1279,6 +1312,205 @@ def tmd_forward_ctes(base: str, lat0, lon0, k0, fe, fn, a, f,
     """
 
 
+# ---------------------------------------------------------------------------
+# Oblique stereographic on a datum-shifted ellipsoid (EPSG method 9809,
+# the "double projection": ellipsoid → Gauss conformal sphere →
+# spherical stereographic).  RD New (EPSG:28992) is the canonical user:
+# Bessel 1841 + the Amersfoort national Helmert.  Kernel anchored to
+# the EPSG Guidance Note 7-2 worked example (53°N 6°E on Amersfoort →
+# E 196105.283, N 557057.739) and the published conformal-sphere
+# constants (R 6382644.571, n 1.000475857, c 1.007576465).
+
+
+def sod_constants(lat0: float, a: float, f: float):
+    """(R, n, c, chi0, e) — the Gauss conformal-sphere constants for an
+    oblique stereographic frame: sphere radius R = sqrt(rho0*nu0),
+    sphere/ellipsoid longitude ratio n, integration constant c, and the
+    conformal latitude of the origin chi0 (radians)."""
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    p0 = math.radians(lat0)
+    s0 = math.sin(p0)
+    rho0 = a * (1.0 - e2) / (1.0 - e2 * s0 * s0) ** 1.5
+    nu0 = a / math.sqrt(1.0 - e2 * s0 * s0)
+    R = math.sqrt(rho0 * nu0)
+    n = math.sqrt(1.0 + e2 * math.cos(p0) ** 4 / (1.0 - e2))
+    S1 = (1.0 + s0) / (1.0 - s0)
+    S2 = (1.0 - e * s0) / (1.0 + e * s0)
+    w1 = (S1 * S2 ** e) ** n
+    schi0 = (w1 - 1.0) / (w1 + 1.0)
+    c = (n + s0) * (1.0 - schi0) / ((n - s0) * (1.0 + schi0))
+    w2 = c * w1
+    chi0 = math.asin((w2 - 1.0) / (w2 + 1.0))
+    return R, n, c, chi0, e
+
+
+def sod_forward(xy: np.ndarray, lat0: float, lon0: float, k0: float,
+                fe: float, fn: float, a: float, f: float) -> np.ndarray:
+    """Oblique stereographic forward — geodetic coordinates are in the
+    GRID's own datum (callers datum-shift first, as with tm_forward_ell)."""
+    R, n, c, chi0, e = sod_constants(lat0, a, f)
+    phi = np.radians(xy[:, 1])
+    L = n * np.radians(xy[:, 0] - lon0)          # Λ − Λ0 on the sphere
+    sphi = np.sin(phi)
+    Sa = (1.0 + sphi) / (1.0 - sphi)
+    Sb = (1.0 - e * sphi) / (1.0 + e * sphi)
+    w = c * (Sa * Sb ** e) ** n
+    chi = np.arcsin((w - 1.0) / (w + 1.0))
+    B = (1.0 + np.sin(chi) * math.sin(chi0)
+         + np.cos(chi) * math.cos(chi0) * np.cos(L))
+    out = np.empty_like(xy, dtype=np.float64)
+    out[:, 0] = fe + 2.0 * R * k0 * np.cos(chi) * np.sin(L) / B
+    out[:, 1] = fn + 2.0 * R * k0 * (np.sin(chi) * math.cos(chi0)
+                                     - np.cos(chi) * math.sin(chi0)
+                                     * np.cos(L)) / B
+    return out
+
+
+def sod_inverse(xy: np.ndarray, lat0: float, lon0: float, k0: float,
+                fe: float, fn: float, a: float, f: float) -> np.ndarray:
+    """Oblique stereographic inverse (EPSG GN7-2 method 9809 reverse) —
+    returns geodetic coordinates in the GRID's own datum.  The
+    conformal→geodetic latitude step is the standard isometric-latitude
+    iteration at a FIXED 4 steps (deterministic; <1e-12 deg residual in
+    any national-grid extent; round-trip pinned by test)."""
+    R, n, c, chi0, e = sod_constants(lat0, a, f)
+    E = xy[:, 0] - fe
+    N = xy[:, 1] - fn
+    g = 2.0 * R * k0 * math.tan(math.pi / 4.0 - chi0 / 2.0)
+    h = 4.0 * R * k0 * math.tan(chi0) + g
+    i = np.arctan2(E, h + N)
+    j = np.arctan2(E, g - N) - i
+    chi = chi0 + 2.0 * np.arctan((N - E * np.tan(j / 2.0))
+                                 / (2.0 * R * k0))
+    lam = (j + 2.0 * i) / n + math.radians(lon0)
+    psi = 0.5 * np.log((1.0 + np.sin(chi)) / (c * (1.0 - np.sin(chi)))) / n
+    phi = 2.0 * np.arctan(np.exp(psi)) - math.pi / 2.0
+    for _ in range(4):
+        psi_i = np.log(np.tan(phi / 2.0 + math.pi / 4.0)
+                       * ((1.0 - e * np.sin(phi))
+                          / (1.0 + e * np.sin(phi))) ** (e / 2.0))
+        phi = phi - (psi_i - psi) * np.cos(phi) \
+            * (1.0 - e * e * np.sin(phi) ** 2) / (1.0 - e * e)
+    out = np.empty_like(xy, dtype=np.float64)
+    out[:, 0] = np.degrees(lam)
+    out[:, 1] = np.degrees(phi)
+    return out
+
+
+def sod_to_wgs84(xy: np.ndarray, lat0, lon0, k0, fe, fn, a, f,
+                 tx, ty, tz, rx, ry, rz, ds) -> np.ndarray:
+    """Datum'd stereographic grid meters → WGS84 lon/lat degrees (the
+    tmd_to_wgs84 chain with the stereographic kernel)."""
+    ll = sod_inverse(xy, lat0, lon0, k0, fe, fn, a, f)
+    x, y, z = geodetic_to_ecef(ll[:, 0], ll[:, 1], a, f)
+    x, y, z = helmert_xyz(x, y, z, tx, ty, tz, rx, ry, rz, ds)
+    lon, lat = ecef_to_geodetic(x, y, z, MERC_R, _F)
+    out = np.empty_like(xy, dtype=np.float64)
+    out[:, 0] = lon
+    out[:, 1] = lat
+    return out
+
+
+def wgs84_to_sod(ll: np.ndarray, lat0, lon0, k0, fe, fn, a, f,
+                 tx, ty, tz, rx, ry, rz, ds) -> np.ndarray:
+    """WGS84 lon/lat degrees → datum'd stereographic grid meters
+    (reverse Helmert = negated parameters, EPSG 9606 convention)."""
+    x, y, z = geodetic_to_ecef(ll[:, 0], ll[:, 1], MERC_R, _F)
+    x, y, z = helmert_xyz(x, y, z, -tx, -ty, -tz, -rx, -ry, -rz, -ds)
+    lon, lat = ecef_to_geodetic(x, y, z, a, f)
+    out = np.empty_like(ll, dtype=np.float64)
+    out[:, 0] = lon
+    out[:, 1] = lat
+    return sod_forward(out, lat0, lon0, k0, fe, fn, a, f)
+
+
+def sod_forward_ctes(base: str, lat0, lon0, k0, fe, fn, a, f,
+                     tx, ty, tz, rx, ry, rz, ds,
+                     lon: str = "lon", lat: str = "lat") -> str:
+    """Dual-engine SQL (Spark SQL AND DuckDB) for WGS84 → datum'd
+    oblique stereographic grid: the SAME closed-form chain as
+    wgs84_to_sod op for op — WGS84 ECEF, negated-parameter Helmert,
+    Bowring inverse on the grid ellipsoid, conformal-sphere
+    stereographic forward (all frame constants computed by the same
+    Python the kernel runs, repr'd as DOUBLE literals)."""
+    def _c(v: float) -> str:
+        return f"CAST({v!r} AS DOUBLE)"
+
+    e2w = _F * (2.0 - _F)                 # WGS84 e²
+    rxr, ryr, rzr = -rx * _AS2R, -ry * _AS2R, -rz * _AS2R
+    s = 1.0 - ds * 1e-6
+    bg = a * (1.0 - f)                    # grid ellipsoid b
+    e2g = f * (2.0 - f)
+    ep2g = e2g / (1.0 - e2g)
+    R, n, c, chi0, e = sod_constants(lat0, a, f)
+    rk2 = 2.0 * R * k0
+    return f"""
+        WITH _sod_base AS ({base}),
+        _sod_s1 AS (
+          SELECT *, radians(CAST({lat} AS DOUBLE)) AS _gphi,
+                 radians(CAST({lon} AS DOUBLE)) AS _glam
+          FROM _sod_base),
+        _sod_s2 AS (
+          SELECT *, {_c(MERC_R)} / sqrt(1.0 - {_c(e2w)} * sin(_gphi)
+                   * sin(_gphi)) AS _nu
+          FROM _sod_s1),
+        _sod_s3 AS (
+          SELECT *, _nu * cos(_gphi) * cos(_glam) AS _wx,
+                 _nu * cos(_gphi) * sin(_glam) AS _wy,
+                 _nu * (1.0 - {_c(e2w)}) * sin(_gphi) AS _wz
+          FROM _sod_s2),
+        _sod_s4 AS (
+          SELECT *,
+            {_c(-tx)} + {_c(s)} * (_wx - {_c(rzr)} * _wy + {_c(ryr)} * _wz)
+              AS _hx,
+            {_c(-ty)} + {_c(s)} * ({_c(rzr)} * _wx + _wy - {_c(rxr)} * _wz)
+              AS _hy,
+            {_c(-tz)} + {_c(s)} * (-({_c(ryr)}) * _wx + {_c(rxr)} * _wy + _wz)
+              AS _hz
+          FROM _sod_s3),
+        _sod_s5 AS (
+          SELECT *, sqrt(_hx * _hx + _hy * _hy) AS _p,
+                 atan2(_hz * {_c(a)}, sqrt(_hx * _hx + _hy * _hy)
+                       * {_c(bg)}) AS _th
+          FROM _sod_s4),
+        _sod_s6 AS (
+          SELECT *,
+            atan2(_hz + {_c(ep2g)} * {_c(bg)} * sin(_th) * sin(_th)
+                    * sin(_th),
+                  _p - {_c(e2g)} * {_c(a)} * cos(_th) * cos(_th)
+                    * cos(_th)) AS _phi,
+            atan2(_hy, _hx) AS _lamabs
+          FROM _sod_s5),
+        _sod_s7 AS (
+          SELECT *, {_c(n)} * (_lamabs - radians({_c(lon0)})) AS _slam,
+                 sin(_phi) AS _sphi
+          FROM _sod_s6),
+        _sod_s8 AS (
+          SELECT *, {_c(c)} * power(
+                   ((1.0 + _sphi) / (1.0 - _sphi))
+                   * power((1.0 - {_c(e)} * _sphi)
+                           / (1.0 + {_c(e)} * _sphi), {_c(e)}),
+                   {_c(n)}) AS _w
+          FROM _sod_s7),
+        _sod_s9 AS (
+          SELECT *, asin((_w - 1.0) / (_w + 1.0)) AS _chi
+          FROM _sod_s8),
+        _sod_s10 AS (
+          SELECT *, 1.0 + sin(_chi) * {_c(math.sin(chi0))}
+                 + cos(_chi) * {_c(math.cos(chi0))} * cos(_slam) AS _bb
+          FROM _sod_s9),
+        _sod_out AS (
+          SELECT *,
+            {_c(fe)} + {_c(rk2)} * cos(_chi) * sin(_slam) / _bb
+              AS easting,
+            {_c(fn)} + {_c(rk2)} * (sin(_chi) * {_c(math.cos(chi0))}
+              - cos(_chi) * {_c(math.sin(chi0))} * cos(_slam)) / _bb
+              AS northing
+          FROM _sod_s10)
+    """
+
+
 _PRJ_PARAM_RE = re.compile(
     r'PARAMETER\s*\[\s*"([^"]+)"\s*,\s*([-+0-9.Ee]+)', re.I)
 _PRJ_SPHEROID_RE = re.compile(
@@ -1312,6 +1544,26 @@ def prj_to_frame(wkt: str) -> str | None:
     if "MERCATOR_AUXILIARY_SPHERE" in up or "WEB_MERCATOR" in up \
             or "PSEUDO-MERCATOR" in up:
         return "merc"
+    if "DOUBLE_STEREOGRAPHIC" in up or "OBLIQUE_STEREOGRAPHIC" in up:
+        # RD New-class double stereographic: recognized only with the
+        # Amersfoort datum (the one national Helmert the engine knows
+        # for this projection family); other datums refuse, never guess.
+        if "AMERSFOORT" not in datum:
+            return None
+        params = {k.lower(): float(v)
+                  for k, v in _PRJ_PARAM_RE.findall(s)}
+        sph = _PRJ_SPHEROID_RE.search(s)
+        a = float(sph.group(2)) if sph else BESSEL_A
+        invf = float(sph.group(3)) if sph else 1.0 / BESSEL_F
+        try:
+            return _frame("sod:" + ":".join(repr(v) for v in (
+                params["latitude_of_origin"], params["central_meridian"],
+                params.get("scale_factor", 1.0),
+                params.get("false_easting", 0.0),
+                params.get("false_northing", 0.0),
+                a, 1.0 / invf, *AMERSFOORT_HELMERT)))
+        except KeyError:
+            return None
     if "TRANSVERSE_MERCATOR" not in up:
         return None
     params = {k.lower(): float(v) for k, v in _PRJ_PARAM_RE.findall(s)}
@@ -1378,6 +1630,8 @@ def transform_points(xy: np.ndarray, src: str, dst: str) -> np.ndarray:
         ll = aea_inverse(xy, *(float(v) for v in src.split(":")[1:]))
     elif src.startswith("tmd:"):
         ll = tmd_to_wgs84(xy, *(float(v) for v in src.split(":")[1:]))
+    elif src.startswith("sod:"):
+        ll = sod_to_wgs84(xy, *(float(v) for v in src.split(":")[1:]))
     elif src.startswith("tm:"):
         ll = tm_inverse(xy, *(float(v) for v in src.split(":")[1:]))
     else:
@@ -1403,6 +1657,8 @@ def transform_points(xy: np.ndarray, src: str, dst: str) -> np.ndarray:
         return aea_forward(ll, *(float(v) for v in dst.split(":")[1:]))
     if dst.startswith("tmd:"):
         return wgs84_to_tmd(ll, *(float(v) for v in dst.split(":")[1:]))
+    if dst.startswith("sod:"):
+        return wgs84_to_sod(ll, *(float(v) for v in dst.split(":")[1:]))
     if dst.startswith("tm:"):
         return tm_forward(ll, *(float(v) for v in dst.split(":")[1:]))
     _, z, hemi = dst.split(":")
