@@ -4035,6 +4035,88 @@ def _media_avc_mc_oracle_sql() -> str:
     """
 
 
+def _q_media_avc_pres(spark, sf_dir) -> DataFrame:
+    """INTER-RESIDUAL avc1 decode on the hard gate (r11, third wave —
+    the tier past media_avc_mc/qpel's residual-free motion): per media
+    i, an I_PCM IDR carrying v(x, y) = 16 + x + 2y, then a P frame
+    whose P_L0_16x16 macroblocks carry BOTH a real motion vector AND
+    CAVLC-coded luma residuals (cbp = 15 via the Table 9-4 inter me(v)
+    map, one DC-position coefficient per 4x4 — §8.5.12 dequant +
+    inverse core transform make each MB's residual the exact uniform
+    value 4c), then a zero-MV P frame with a uniform +4 residual
+    proving residuals ACCUMULATE through the reference chain.  The
+    base-16 ramp keeps every reconstruction off the 0/255 clips, so
+    each frame's pixel sum is the closed form the oracle replays:
+    luma = 16wh + h·S(w, dx) + 2w·S(h, dy) + 256·Σr_mb (S = the
+    clamped-ramp sum from the media_avc_mc oracle).  Chroma residuals,
+    nC ≥ 2 contexts and B slices remain the documented seam."""
+    import struct as _struct
+
+    import numpy as np
+    from spatial_spark.operators.codecs import (build_avcc, build_h264_sps,
+                                                build_mp4,
+                                                encode_h264_ipcm,
+                                                encode_h264_pres)
+    from spatial_spark.operators.multimodal import MEDIA_SCHEMA, mp4_frames
+    rows = []
+    for i in range(24):
+        w, h = 48 + 16 * (i % 3), 32 + 16 * (i % 2)
+        mbw, mbh = w // 16, h // 16
+        dx, dy = 2 * ((i % 5) - 2), 2 * ((i % 3) - 1)
+        v = 16 + (np.arange(w)[None, :] + 2 * np.arange(h)[:, None])
+        img = np.repeat(v.astype(np.uint8)[:, :, None], 3, axis=2)
+        resid = 4 * (((np.arange(mbw)[None, :] + np.arange(mbh)[:, None]
+                       + i) % 5) - 2)
+        idr = encode_h264_ipcm(img)
+        p1 = encode_h264_pres(w, h, 1, mv=(4 * dx, 4 * dy),
+                              residuals=resid)
+        p2 = encode_h264_pres(w, h, 2, mv=(0, 0),
+                              residuals=np.full((mbh, mbw), 4))
+        nals = [_struct.pack(">I", len(n)) + n for n in (idr, p1, p2)]
+        rows.append((i, bytearray(build_mp4(
+            w, h, 0, 1000, 40, codec="avc1", samples=nals,
+            codec_config=build_avcc(build_h264_sps(w, h)))),
+            "video", "mp4", w, h, None))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(8)
+    return (mp4_frames(df)
+            .select("media_id", "frame_no", "decoded_w", "decoded_h",
+                    F.expr("CAST(round(mean_intensity * decoded_w * "
+                           "decoded_h * 3) AS BIGINT)").alias("sum_rgb"))
+            .orderBy("media_id", "frame_no"))
+
+
+def _media_avc_pres_oracle_sql() -> str:
+    s = ("(CASE WHEN {d} >= 0 THEN ({n}-1+{d})*({n}-{d})/2 + {d}*({n}-1) "
+         "ELSE ({n}-1+{d})*({n}+{d})/2 END)")
+    sx = s.format(n="w", d="ex")
+    sy = s.format(n="h", d="ey")
+    return f"""
+        WITH items AS (SELECT unnest(generate_series(0, 23)) AS i),
+        dims AS (SELECT i, 48 + 16 * (i % 3) AS w, 32 + 16 * (i % 2) AS h,
+                        2 * ((i % 5) - 2) AS dx, 2 * ((i % 3) - 1) AS dy
+                 FROM items),
+        mbx AS (SELECT *, unnest(generate_series(0, w // 16 - 1)) AS mx
+                FROM dims),
+        mby AS (SELECT *, unnest(generate_series(0, h // 16 - 1)) AS my
+                FROM mbx),
+        rsum AS (SELECT i, SUM(4 * (((mx + my + i) % 5) - 2)) AS rtot
+                 FROM mby GROUP BY i),
+        fr AS (SELECT d.*, r.rtot, unnest(generate_series(0, 2)) AS f
+               FROM dims d JOIN rsum r USING (i)),
+        sh AS (SELECT i, f, w, h, rtot,
+                      CASE WHEN f = 0 THEN 0 ELSE dx END AS ex,
+                      CASE WHEN f = 0 THEN 0 ELSE dy END AS ey,
+                      CASE WHEN f = 0 THEN 0 ELSE 256 * rtot END AS radd,
+                      CASE WHEN f = 2 THEN 4 * w * h ELSE 0 END AS radd2
+               FROM fr)
+        SELECT CAST(i AS BIGINT) AS media_id, CAST(f AS INT) AS frame_no,
+               CAST(w AS INT) AS decoded_w, CAST(h AS INT) AS decoded_h,
+               CAST(3 * (16 * w * h + h * {sx} + 2 * w * {sy}
+                         + radd + radd2) AS BIGINT) AS sum_rgb
+        FROM sh ORDER BY media_id, frame_no
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4127,6 +4209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     the r12 cohort behind the r8 debt
         "interval_join_outer": _q_interval_join_outer,
         "st_transform_rd": _q_st_transform_rd,
+        "media_avc_pres": _q_media_avc_pres,
         # --- the 15 r8-row holders that did not fit: FIRST in r12
         "cql2": _q_cql2,
         "st_transform_merc": _q_st_transform_merc,
@@ -7007,6 +7090,7 @@ def oracle_sql() -> dict[str, str]:
         "media_avc_qpel": _media_avc_qpel_oracle_sql(),
         "interval_join_outer": _INTERVAL_JOIN_OUTER_ORACLE,
         "st_transform_rd": _st_transform_rd_oracle_sql(),
+        "media_avc_pres": _media_avc_pres_oracle_sql(),
         "st_transform_aea": _aea_oracle_sql(),
         # stream-stream interval join == the batch interval join (the
         # time-ordered replay has no late data, so the watermark drops

@@ -146,6 +146,8 @@ HEADLINE = [
     # r11: RD New datum-shifted oblique stereographic (EPSG 9809
     # double projection — Helmert + conformal sphere on Bessel)
     "st_transform_rd",
+    # r11: H.264 inter residuals (CAVLC cbp=15 + MC + residual add)
+    "media_avc_pres",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -313,6 +315,9 @@ BUDGET_SF01 = {
     # ECEF→Helmert→Bowring→conformal-sphere-stereographic chain,
     # uniform-batch fast path; measured under a concurrent sweep)
     "st_transform_rd": 2.7,
+    # r11: 2.2x local best-of-two (24-container fixture: I_PCM IDR +
+    # an MC+residual P + a residual-accumulating P per media)
+    "media_avc_pres": 3.1,
     # (EVERY pin re-ratcheted as min(old, 2.2x the clean final full
     # run's min-of-2) — landing-time measurements taken under
     # concurrent sweeps carried up to 9x slack; the ratchet never

@@ -1942,11 +1942,12 @@ def decode_mp4_frames(buf: bytes, every_n: int = 1) -> list:
     [(frame_no, (h, w, 3) uint8), ...] for every ``every_n``-th frame.
     avc1 tracks decode natively when their slices are I_PCM,
     ENTROPY-CODED I_16x16 DC (decode_h264_islice — the CAVLC route),
-    or ALL-SKIP P frames (r10: the static-repeat inter tier —
-    decode_h264_slice tracks the reference picture across samples, so
-    every sample is decoded in order even under ``every_n``
-    subsampling); dense AC residuals, non-DC prediction,
-    MOTION-COMPENSATED P/B macroblocks and hevc remain the documented
+    or P frames of skip / motion-compensated / RESIDUAL-CARRYING
+    P_L0_16x16 macroblocks (r10 skip tier; r11 quarter-pel MC + CAVLC
+    inter residuals — the walker chains decoded PLANES across samples,
+    so every sample is decoded in order even under ``every_n``
+    subsampling); chroma residuals, nC ≥ 2 CAVLC contexts, non-DC
+    intra prediction, B slices, CABAC and hevc remain the documented
     ffmpeg seam."""
     buf = bytes(buf)
     tab = mp4_sample_table(buf, handler="vide")
@@ -3359,12 +3360,87 @@ def encode_h264_pmv(width: int, height: int, frame_num: int,
     return body[:1] + _insert_emulation(body[1:])
 
 
+# coded_block_pattern me(v) mapping for INTER macroblocks, ChromaArrayType
+# 1 (T-REC-H.264 Table 9-4, the Inter column): codeNum → cbp.  cbp 15
+# (all four luma 8x8 groups, no chroma) is codeNum 11 — the pattern this
+# module's residual encoder emits.
+_H264_CBP_INTER = (
+    0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+    14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+    17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41)
+_H264_CBP_INTER_ENC = {v: i for i, v in enumerate(_H264_CBP_INTER)}
+
+
+def encode_h264_pres(width: int, height: int, frame_num: int,
+                     mv: tuple = (0, 0),
+                     residuals: np.ndarray | None = None,
+                     qp: int = 28, nal_ref_idc: int = 2) -> bytes:
+    """One P slice NAL of P_L0_16x16 macroblocks carrying BOTH motion
+    vectors and CODED LUMA RESIDUALS (r11, third wave — the tier past
+    encode_h264_pmv's residual-free inter): coded_block_pattern = 15
+    (all four 8x8 luma groups), each 4x4 block holding a single
+    quantized DC-position coefficient, so every macroblock adds the
+    UNIFORM per-MB residual ``residuals[mby, mbx]`` to its motion-
+    compensated prediction.  At qp=28 the §8.5.12 dequant + inverse
+    core transform make a DC-only coefficient c an exact uniform
+    residual of 4·c per pixel ((256·c + 32) >> 6), so residual values
+    must be multiples of 4 — the closed form the gate oracle replays.
+    Single-coefficient blocks keep every CAVLC nC context < 2 (the
+    documented table scope: nA, nB ≤ 1 ⇒ nC ≤ 1)."""
+    if qp != 28:
+        raise NotImplementedError("inter residual encoder: qp=28 only "
+                                  "(the identity-form dequant step)")
+    mbw, mbh = (width + 15) // 16, (height + 15) // 16
+    if residuals is None:
+        res = np.zeros((mbh, mbw), dtype=np.int64)
+    else:
+        res = np.asarray(residuals, dtype=np.int64)
+        if res.shape != (mbh, mbw):
+            raise ValueError(f"residuals must be ({mbh}, {mbw})")
+    if (res % 4).any():
+        raise ValueError("residual values must be multiples of 4 "
+                         "(DC-only qp=28 step size)")
+    levels = res // 4
+    if np.abs(levels).max() > 64:
+        raise ValueError("|residual| > 256 exceeds the useful range")
+    w = _EgBitWriter()
+    w.write((nal_ref_idc << 5) | 1, 8)  # NAL header, type 1 (non-IDR)
+    w.ue(0)                             # first_mb_in_slice
+    w.ue(0)                             # slice_type: P
+    w.ue(0)                             # pic_parameter_set_id
+    w.write(frame_num % 16, 4)          # frame_num (log2_max = 4)
+    w.write(0, 1)                       # num_ref_idx_active_override
+    w.write(0, 1)                       # ref_pic_list_modification_l0
+    if nal_ref_idc:
+        w.write(0, 1)                   # adaptive_ref_pic_marking = 0
+    w.se(qp - 26)                       # slice_qp_delta (pps init 26)
+    done: dict = {}
+    for mby in range(mbh):
+        for mbx in range(mbw):
+            w.ue(0)                     # mb_skip_run
+            w.ue(0)                     # mb_type P_L0_16x16
+            mvp = _h264_mvp_16x16(done, mbx, mby, mbw)
+            w.se(mv[0] - mvp[0])        # mvd_l0 x
+            w.se(mv[1] - mvp[1])        # mvd_l0 y
+            done[(mbx, mby)] = (int(mv[0]), int(mv[1]))
+            w.ue(_H264_CBP_INTER_ENC[15])   # coded_block_pattern
+            w.se(0)                     # mb_qp_delta
+            c = int(levels[mby, mbx])
+            blk = [c] + [0] * 15        # DC-position-only 4x4
+            for _b in range(16):        # luma4x4BlkIdx 0..15
+                cavlc_encode_block(w, blk)
+    body = w.bytes_aligned()
+    return body[:1] + _insert_emulation(body[1:])
+
+
 def _parse_p_slice_tail(r: "_EgBitReader", nal_ref_idc: int, stype: int,
-                        width: int, height: int) -> dict:
+                        width: int, height: int) -> tuple:
     """Slice-header tail + slice data of a P slice (reader positioned
-    after slice_type): returns the (mbx, mby) → (mvx, mvy) quarter-pel
-    motion field.  Shared by the RGB route (decode_h264_slice) and the
-    plane route (decode_h264_picture)."""
+    after slice_type): returns ``(mvs, res)`` — the (mbx, mby) →
+    (mvx, mvy) quarter-pel motion field, plus the decoded LUMA residual
+    plane (padded (mh, mw) int64, None when every cbp is 0).  Shared by
+    the RGB route (decode_h264_slice) and the plane route
+    (decode_h264_picture)."""
     if stype % 5 != 0:
         raise NotImplementedError(
             "H264: only I and P slices decode natively "
@@ -3377,10 +3453,14 @@ def _parse_p_slice_tail(r: "_EgBitReader", nal_ref_idc: int, stype: int,
         if r.read(1):                   # adaptive_ref_pic_marking
             raise NotImplementedError(
                 "H264: adaptive reference marking needs ffmpeg")
-    r.se()                              # slice_qp_delta
+    qp = 26 + r.se()                    # slice_qp_delta over pps init
     mbw, mbh = (width + 15) // 16, (height + 15) // 16
     n_mbs = mbw * mbh
     mvs: dict = {}
+    res = None                          # lazy (mh, mw) residual plane
+    # per-4x4 TotalCoeff grid (4*mbh rows x 4*mbw cols) for the CAVLC
+    # nC context: nC = nA / nB / (nA+nB+1)>>1 per availability (§9.2.1)
+    ncg = np.zeros((4 * mbh, 4 * mbw), dtype=np.int64)
     i = 0
     while i < n_mbs:
         skip_run = r.ue()               # §7.3.4: skip run before each MB
@@ -3401,15 +3481,47 @@ def _parse_p_slice_tail(r: "_EgBitReader", nal_ref_idc: int, stype: int,
         mbx, mby = i % mbw, i // mbw
         mvp = _h264_mvp_16x16(mvs, mbx, mby, mbw)
         mvd = (r.se(), r.se())
-        if r.ue() != 0:                 # coded_block_pattern, inter map:
-            raise NotImplementedError(  # codeNum 0 ↔ cbp 0
-                "H264: inter residuals (coded_block_pattern != 0) need "
-                "ffmpeg — the remaining inter seam")
+        cbp = _H264_CBP_INTER[r.ue()]   # me(v), Table 9-4 Inter column
+        if cbp >> 4:
+            raise NotImplementedError(
+                "H264: inter CHROMA residuals remain the seam "
+                "(cbp_chroma != 0)")
+        if cbp:
+            qp += r.se()                # mb_qp_delta
+            if res is None:
+                res = np.zeros((16 * mbh, 16 * mbw), dtype=np.int64)
+            for b8 in range(4):
+                if not (cbp >> b8) & 1:
+                    continue
+                for b4 in range(4):
+                    by, bx = _H264_BLK_ORDER[4 * b8 + b4]
+                    gy, gx = 4 * mby + by, 4 * mbx + bx
+                    # §9.2.1 nC from decoded-neighbor TotalCoeff
+                    na = int(ncg[gy, gx - 1]) if gx > 0 else None
+                    nb = int(ncg[gy - 1, gx]) if gy > 0 else None
+                    if na is not None and nb is not None:
+                        nc = (na + nb + 1) >> 1
+                    else:
+                        nc = na if na is not None else (nb or 0)
+                    if nc >= 2:
+                        raise NotImplementedError(
+                            "H264: CAVLC nC >= 2 contexts remain the "
+                            "seam (this decoder's table is the nC < 2 "
+                            "column)")
+                    levels = cavlc_decode_block(r, 16)
+                    ncg[gy, gx] = sum(1 for v in levels if v)
+                    c4 = np.zeros((4, 4), dtype=np.int64)
+                    for lv, (zi, zj) in zip(levels, _H264_ZIGZAG_4x4):
+                        c4[zi, zj] = lv
+                    d = _h264_ac_dequant(c4, qp)
+                    y0, x0 = 16 * mby + 4 * by, 16 * mbx + 4 * bx
+                    res[y0:y0 + 4, x0:x0 + 4] = \
+                        (_h264_inv_core4(d) + 32) >> 6
         mvs[(mbx, mby)] = (mvp[0] + mvd[0], mvp[1] + mvd[1])
         i += 1
     if r.read(1) != 1:
         raise ValueError("H264: missing rbsp stop bit after slice data")
-    return mvs
+    return mvs, res
 
 
 H264_QPEL_TAPS = (1, -5, 20, 20, -5, 1)   # §8.4.2.2.1 6-tap filter
@@ -3527,9 +3639,12 @@ def decode_h264_picture(nal: bytes, width: int, height: int,
     per-macroblock translational prediction at FULL quarter-pel luma /
     eighth-pel chroma precision (§8.4.2.2: 6-tap half-pel + averaged
     quarter positions on Y, bilinear on Cb/Cr) against ``ref_planes``
-    — the previous decoded picture's planes, which the caller chains.
-    Inter residuals, sub-partitions and B prediction remain the
-    documented seam (_parse_p_slice_tail raises)."""
+    — the previous decoded picture's planes, which the caller chains —
+    then add the decoded LUMA residual plane (r11 third wave: CAVLC
+    inter residuals under nC < 2 contexts, §8.5.12 dequant + inverse
+    core transform) and clip.  Chroma residuals, sub-partitions, nC ≥ 2
+    contexts and B prediction remain the documented seam
+    (_parse_p_slice_tail raises)."""
     data = _strip_emulation(bytes(nal))
     if not data or (data[0] & 0x1F) not in (1, 5):
         raise ValueError("H264: not a slice NAL")
@@ -3541,7 +3656,7 @@ def decode_h264_picture(nal: bytes, width: int, height: int,
     if stype % 5 == 2:
         planes = decode_h264_islice_planes(nal, width, height)
         return planes, _h264_planes_to_rgb(*planes, width, height)
-    mvs = _parse_p_slice_tail(r, nal_ref_idc, stype, width, height)
+    mvs, res = _parse_p_slice_tail(r, nal_ref_idc, stype, width, height)
     if ref_planes is None:
         raise ValueError(
             "H264: P slice with no reference picture (the caller "
@@ -3559,6 +3674,9 @@ def decode_h264_picture(nal: bytes, width: int, height: int,
             refCb, cy0, cx0, mvx, mvy)
         outCr[cy0:cy0 + 8, cx0:cx0 + 8] = _h264_chroma_block(
             refCr, cy0, cx0, mvx, mvy)
+    if res is not None:                 # §8.5: recon = Clip1(pred + res)
+        outY = np.clip(outY.astype(np.int64) + res, 0, 255) \
+            .astype(np.uint8)
     return (outY, outCb, outCr), _h264_planes_to_rgb(
         outY, outCb, outCr, width, height)
 
@@ -3583,11 +3701,16 @@ def decode_h264_slice(nal: bytes, width: int, height: int,
     stype = r.ue()
     if stype % 5 == 2:                  # I slice: the intra routes
         return decode_h264_islice(nal, width, height)
-    mvs = _parse_p_slice_tail(r, nal_ref_idc, stype, width, height)
+    mvs, res = _parse_p_slice_tail(r, nal_ref_idc, stype, width, height)
     if ref is None:
         raise ValueError(
             "H264: P slice with no reference picture (the caller "
             "must pass the previous decoded frame)")
+    if res is not None:
+        raise NotImplementedError(
+            "H264: inter residuals decode through the PLANE route "
+            "(decode_h264_picture) — the RGB route is display-only "
+            "for residual-free streams")
     if all(v == (0, 0) for v in mvs.values()):
         return ref.copy()               # zero-motion: exact repeat
     # Motion compensation (§8.4.2.2, reference coordinates clamped to

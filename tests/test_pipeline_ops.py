@@ -4070,6 +4070,81 @@ def test_h264_motion_compensated_p():
                           ref=f0[:30, :50])
 
 
+def test_h264_inter_residuals():
+    """r11 third wave: P_L0_16x16 with CODED LUMA RESIDUALS —
+    cbp = 15 via the Table 9-4 inter me(v) map, one DC-position CAVLC
+    coefficient per 4x4 (every nC context stays < 2), §8.5.12 dequant
+    + inverse core transform.  At qp=28 a DC-only coefficient c is an
+    exact uniform residual of 4c, so reconstruction is the closed form
+    clip(shifted ref + r_mb) the MP4 chain and the gate replay."""
+    import struct
+
+    import numpy as np
+    import pytest as _p
+    from spatial_spark.operators.codecs import (build_avcc, build_h264_sps,
+                                                build_mp4,
+                                                decode_h264_picture,
+                                                decode_h264_slice,
+                                                decode_mp4_frames,
+                                                encode_h264_ipcm,
+                                                encode_h264_pmv,
+                                                encode_h264_pres,
+                                                decode_h264_islice_planes)
+
+    w, h = 64, 48
+    mbw, mbh = w // 16, h // 16
+    v = 16 + (np.arange(w)[None, :] + 2 * np.arange(h)[:, None])
+    img = np.repeat(v.astype(np.uint8)[:, :, None], 3, axis=2)
+    planes0 = decode_h264_islice_planes(encode_h264_ipcm(img), w, h)
+
+    resid = 4 * ((np.add.outer(np.arange(mbh), np.arange(mbw)) % 5) - 2)
+    dx, dy = -2, 4
+    p1 = encode_h264_pres(w, h, 1, mv=(4 * dx, 4 * dy), residuals=resid)
+    planes1, _ = decode_h264_picture(p1, w, h, ref_planes=planes0)
+    xs = np.clip(np.arange(w) + dx, 0, w - 1)
+    ys = np.clip(np.arange(h) + dy, 0, h - 1)
+    want1 = np.clip(16 + xs[None, :] + 2 * ys[:, None]
+                    + np.kron(resid, np.ones((16, 16), dtype=np.int64)),
+                    0, 255)
+    assert np.array_equal(planes1[0].astype(np.int64), want1)
+    # residuals accumulate across the reference chain
+    p2 = encode_h264_pres(w, h, 2, mv=(0, 0),
+                          residuals=np.full((mbh, mbw), 4))
+    planes2, _ = decode_h264_picture(p2, w, h, ref_planes=planes1)
+    assert np.array_equal(planes2[0].astype(np.int64),
+                          np.clip(want1 + 4, 0, 255))
+    # CLIPPING: a large negative residual saturates at 0 exactly
+    pneg = encode_h264_pres(w, h, 3, mv=(0, 0),
+                            residuals=np.full((mbh, mbw), -64))
+    planesn, _ = decode_h264_picture(pneg, w, h, ref_planes=planes0)
+    assert np.array_equal(planesn[0].astype(np.int64),
+                          np.clip(16 + np.arange(w)[None, :]
+                                  + 2 * np.arange(h)[:, None] - 64,
+                                  0, 255))
+    # zero-residual pres reconstructs identically to pmv
+    a, _ = decode_h264_picture(encode_h264_pres(w, h, 4, mv=(8, -4)),
+                               w, h, ref_planes=planes0)
+    b, _ = decode_h264_picture(encode_h264_pmv(w, h, 4, mv=(8, -4)),
+                               w, h, ref_planes=planes0)
+    assert all(np.array_equal(x, y) for x, y in zip(a, b))
+    # the full MP4 chain decodes residual frames in order
+    nals = [struct.pack(">I", len(n)) + n
+            for n in (encode_h264_ipcm(img), p1, p2)]
+    mp4 = build_mp4(w, h, 0, 1000, 40, codec="avc1", samples=nals,
+                    codec_config=build_avcc(build_h264_sps(w, h)))
+    frames = dict(decode_mp4_frames(bytes(mp4)))
+    assert np.array_equal(frames[1][:, :, 0].astype(np.int64), want1)
+    assert np.array_equal(frames[2][:, :, 0].astype(np.int64),
+                          np.clip(want1 + 4, 0, 255))
+    # honest boundaries: RGB route, step-size misuse, qp scope
+    with _p.raises(NotImplementedError, match="PLANE route"):
+        decode_h264_slice(p1, w, h, ref=img)
+    with _p.raises(ValueError, match="multiples of 4"):
+        encode_h264_pres(w, h, 1, residuals=np.full((mbh, mbw), 3))
+    with _p.raises(NotImplementedError, match="qp=28"):
+        encode_h264_pres(w, h, 1, qp=20)
+
+
 def test_aac_huffman_machinery():
     """r11 (VERDICT r10 ask #2, executed at the honest boundary): the
     complete AAC Huffman-layer decode pipeline — sections over
