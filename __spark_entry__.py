@@ -3725,6 +3725,136 @@ def _funnel_stream_oracle_sql() -> str:
     """
 
 
+def _q_dedup_stream(spark, sf_dir) -> DataFrame:
+    """Streaming exact-dedup twin under the HARD gate (r11, third wave
+    — the last un-gated streaming twin family; funnel_stream/kmv_stream
+    set the replay pattern): a capped documents fixture whose text is
+    collapsed onto 97 content keys (so every key repeats MANY times and
+    the repeats SPAN micro-batches), sliced into 4 time-ordered parquet
+    files and replayed with maxFilesPerTrigger=1 through
+    streaming/dedup.dedup_stream (dropDuplicatesWithinWatermark on the
+    md5 fingerprint — cross-batch state, not per-batch distinct).  The
+    contract the oracle checks: each distinct content emits EXACTLY ONE
+    survivor row across the whole replay — a stateless per-batch dedup
+    would emit ~4.  The 30-day delay keeps every fixture timestamp
+    inside the horizon, so no state expires mid-replay (expiry is the
+    documented trade, reconciled by the batch exact_dedup)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from spatial_spark.streaming.dedup import dedup_stream
+
+    work = tempfile.mkdtemp(prefix="dedup_stream_gate_")
+    try:
+        src = os.path.join(work, "src")
+        docs = (spark.table("documents")
+                .filter(F.col("doc_id") <= 2000)
+                .select(
+                    "doc_id",
+                    F.concat(F.lit("content-"),
+                             (F.col("doc_id") % 97).cast("string"))
+                    .alias("text"),
+                    F.timestamp_millis(F.col("doc_id") * 60000)
+                    .alias("ts"))
+                .withColumn("_slice", F.ntile(4).over(
+                    Window.orderBy("ts", "doc_id"))))
+        for b in range(1, 5):
+            (docs.filter(F.col("_slice") == b).drop("_slice")
+             .coalesce(1)
+             .write.mode("overwrite").parquet(os.path.join(src, f"b{b}")))
+        stream = (spark.readStream
+                  .schema("doc_id bigint, text string, ts timestamp")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(src + "/b*"))
+        out_dir = os.path.join(work, "out")
+        q = (dedup_stream(stream, text_col="text", ts_col="ts",
+                          delay="30 days")
+             .writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", os.path.join(work, "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(600)
+        rows = (spark.read.parquet(out_dir)
+                .groupBy("text")
+                .agg(F.count(F.lit(1)).alias("n_emitted"))
+                .orderBy("text").collect())
+        return spark.createDataFrame(rows, "text string, n_emitted bigint")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_DEDUP_STREAM_ORACLE = """
+    SELECT 'content-' || CAST(doc_id % 97 AS VARCHAR) AS text,
+           CAST(1 AS BIGINT) AS n_emitted
+    FROM documents WHERE doc_id <= 2000
+    GROUP BY 1
+"""
+
+
+def _q_retention_stream(spark, sf_dir) -> DataFrame:
+    """Streaming weekly-cohort retention twin under the HARD gate (r11,
+    third wave): the capped events corpus replayed as 4 time-ordered
+    micro-batches through streaming/retention.retention_stream
+    (applyInPandasWithState: per-user cohort week + seen-week bitmap,
+    each (user, cohort, weeks_since) cell emitted the first time it
+    happens).  Each cell emits exactly once, so counting emissions by
+    (cohort_week, weeks_since) reproduces the batch retention triangle
+    — the oracle replays it in SQL over the same fixture (time-ordered
+    replay = the documented no-rewind equivalence precondition)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from spatial_spark.streaming.retention import retention_stream
+
+    work = tempfile.mkdtemp(prefix="retention_stream_gate_")
+    try:
+        src = os.path.join(work, "src")
+        ev = (spark.table("events")
+              .filter(F.col("event_id") <= 2000)
+              .select("event_id", "user_id", "ts")
+              .withColumn("_slice", F.ntile(4).over(
+                  Window.orderBy("ts", "event_id"))))
+        for b in range(1, 5):
+            (ev.filter(F.col("_slice") == b).drop("_slice")
+             .coalesce(1)
+             .write.mode("overwrite").parquet(os.path.join(src, f"b{b}")))
+        stream = (spark.readStream
+                  .schema("event_id bigint, user_id bigint, ts timestamp")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(src + "/b*"))
+        out_dir = os.path.join(work, "out")
+        q = (retention_stream(stream)
+             .writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", os.path.join(work, "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(600)
+        rows = (spark.read.parquet(out_dir)
+                .groupBy("cohort_week", "weeks_since")
+                .agg(F.count(F.lit(1)).alias("n_users"))
+                .orderBy("cohort_week", "weeks_since").collect())
+        return spark.createDataFrame(
+            rows, "cohort_week string, weeks_since int, n_users bigint")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_RETENTION_STREAM_ORACLE = """
+    WITH ev AS (SELECT * FROM events WHERE event_id <= 2000),
+    per AS (
+      SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS w
+      FROM ev),
+    cohort AS (SELECT u, min(w) AS c FROM per GROUP BY u)
+    SELECT strftime(c, '%Y-%m-%d') AS cohort_week,
+           CAST(datediff('day', c, w) / 7 AS INT) AS weeks_since,
+           count(DISTINCT p.u) AS n_users
+    FROM per p JOIN cohort ch ON p.u = ch.u
+    GROUP BY 1, 2
+"""
+
+
 def _q_media_avc_pskip(spark, sf_dir) -> DataFrame:
     """INTER-frame avc1 decode on the hard gate (r10 — the first
     P-frame tier): per media i, ONE I_PCM IDR (uniform gray
@@ -4210,6 +4340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_outer": _q_interval_join_outer,
         "st_transform_rd": _q_st_transform_rd,
         "media_avc_pres": _q_media_avc_pres,
+        "dedup_stream": _q_dedup_stream,
+        "retention_stream": _q_retention_stream,
         # --- the 15 r8-row holders that did not fit: FIRST in r12
         "cql2": _q_cql2,
         "st_transform_merc": _q_st_transform_merc,
@@ -7091,6 +7223,8 @@ def oracle_sql() -> dict[str, str]:
         "interval_join_outer": _INTERVAL_JOIN_OUTER_ORACLE,
         "st_transform_rd": _st_transform_rd_oracle_sql(),
         "media_avc_pres": _media_avc_pres_oracle_sql(),
+        "dedup_stream": _DEDUP_STREAM_ORACLE,
+        "retention_stream": _RETENTION_STREAM_ORACLE,
         "st_transform_aea": _aea_oracle_sql(),
         # stream-stream interval join == the batch interval join (the
         # time-ordered replay has no late data, so the watermark drops

@@ -148,6 +148,12 @@ HEADLINE = [
     "st_transform_rd",
     # r11: H.264 inter residuals (CAVLC cbp=15 + MC + residual add)
     "media_avc_pres",
+    # r11: streaming exact-dedup twin (4 real micro-batches,
+    # cross-batch dropDuplicatesWithinWatermark state)
+    "dedup_stream",
+    # r11: streaming retention twin (4 real micro-batches,
+    # applyInPandasWithState cohort+bitmap state)
+    "retention_stream",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -318,6 +324,12 @@ BUDGET_SF01 = {
     # r11: 2.2x local best-of-two (24-container fixture: I_PCM IDR +
     # an MC+residual P + a residual-accumulating P per media)
     "media_avc_pres": 3.1,
+    # r11: 2.2x local best-of-two (capped 2000-doc fixture; cost = 4
+    # stateful micro-batch folds + the fixture write, not scan volume)
+    "dedup_stream": 16.3,
+    # r11: 2.2x local best-of-two (capped 2000-event fixture; 4
+    # applyInPandasWithState micro-batches)
+    "retention_stream": 23.0,
     # (EVERY pin re-ratcheted as min(old, 2.2x the clean final full
     # run's min-of-2) — landing-time measurements taken under
     # concurrent sweeps carried up to 9x slack; the ratchet never
