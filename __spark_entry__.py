@@ -609,6 +609,48 @@ def _st_transform_rd_oracle_sql() -> str:
         FROM _sod_out"""
 
 
+def _q_st_transform_lv95(spark, sf_dir) -> DataFrame:
+    """Swiss oblique cylindrical on the hard gate (r11, third wave; the
+    third datum-shifted family after OSGB36/RD New and the third
+    projection method in the datum tier): customer points wrapped into
+    the Swiss box 4326 → EPSG:2056 (CH1903+ / LV95 — EPSG method 9814,
+    the Rosenmund double projection via the Gauss conformal sphere and
+    the Bern pseudo-equator rotation, on Bessel 1841 + the swisstopo
+    GRANIT87 translation-only Helmert) through the st_transform kernel,
+    cm integers hash-compared against the dual-engine soc_forward_ctes
+    SQL (kernel anchored to the published swisstopo Rigi point)."""
+    pts = (spark.table("customer")
+           .select("c_custkey",
+                   F.expr("5.96 + CAST((c_custkey * 7919) % 450 "
+                          "AS DOUBLE) / 100.0").alias("lon"),
+                   F.expr("45.82 + CAST((c_custkey * 104729) % 196 "
+                          "AS DOUBLE) / 100.0").alias("lat"))
+           .withColumn("u", F.expr(
+               "st_transform(st_point(lon, lat), 'EPSG:4326', "
+               "'EPSG:2056')")))
+    return pts.select(
+        "c_custkey",
+        F.expr("CAST(round(st_x(u) * 100) AS BIGINT)").alias("e_cm"),
+        F.expr("CAST(round(st_y(u) * 100) AS BIGINT)").alias("n_cm"))
+
+
+def _st_transform_lv95_oracle_sql() -> str:
+    from spatial_spark.functions.crs import _frame, soc_forward_ctes
+    params = tuple(float(v)
+                   for v in _frame("EPSG:2056").split(":")[1:])
+    base = """SELECT c_custkey,
+                     5.96 + CAST((c_custkey * 7919) % 450 AS DOUBLE)
+                       / 100.0 AS lon,
+                     45.82 + CAST((c_custkey * 104729) % 196 AS DOUBLE)
+                       / 100.0 AS lat
+              FROM customer"""
+    return soc_forward_ctes(base, *params) + """
+        SELECT c_custkey,
+               CAST(round(easting * 100) AS BIGINT) AS e_cm,
+               CAST(round(northing * 100) AS BIGINT) AS n_cm
+        FROM _soc_out"""
+
+
 def _q_st_transform_lcc(spark, sf_dir) -> DataFrame:
     """Lambert Conformal Conic gate (r9 conic CRS tier): customer
     points 4326 → EPSG:2154 (Lambert-93) through the st_transform UDF
@@ -4342,6 +4384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_avc_pres": _q_media_avc_pres,
         "dedup_stream": _q_dedup_stream,
         "retention_stream": _q_retention_stream,
+        "st_transform_lv95": _q_st_transform_lv95,
         # --- the 15 r8-row holders that did not fit: FIRST in r12
         "cql2": _q_cql2,
         "st_transform_merc": _q_st_transform_merc,
@@ -7225,6 +7268,7 @@ def oracle_sql() -> dict[str, str]:
         "media_avc_pres": _media_avc_pres_oracle_sql(),
         "dedup_stream": _DEDUP_STREAM_ORACLE,
         "retention_stream": _RETENTION_STREAM_ORACLE,
+        "st_transform_lv95": _st_transform_lv95_oracle_sql(),
         "st_transform_aea": _aea_oracle_sql(),
         # stream-stream interval join == the batch interval join (the
         # time-ordered replay has no late data, so the watermark drops

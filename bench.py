@@ -154,6 +154,9 @@ HEADLINE = [
     # r11: streaming retention twin (4 real micro-batches,
     # applyInPandasWithState cohort+bitmap state)
     "retention_stream",
+    # r11: Swiss LV95 datum-shifted oblique cylindrical (EPSG 9814
+    # Rosenmund double projection — conformal sphere + rotation)
+    "st_transform_lv95",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -330,6 +333,9 @@ BUDGET_SF01 = {
     # r11: 2.2x local best-of-two (capped 2000-event fixture; 4
     # applyInPandasWithState micro-batches)
     "retention_stream": 23.0,
+    # r11: 2.2x local best-of-two (Swiss-box customers through the
+    # ECEF→Helmert→Bowring→conformal-sphere→rotation→Mercator chain)
+    "st_transform_lv95": 2.0,
     # (EVERY pin re-ratcheted as min(old, 2.2x the clean final full
     # run's min-of-2) — landing-time measurements taken under
     # concurrent sweeps carried up to 9x slack; the ratchet never

@@ -175,6 +175,26 @@ _EPSG_SOD = {
         BESSEL_A, BESSEL_F, *AMERSFOORT_HELMERT))),
 }
 
+# Datum-SHIFTED SWISS OBLIQUE CYLINDRICAL grids (r11, third wave):
+# soc:<lat0>:<lon0>:<fe>:<fn>:<a>:<f>:<tx>:<ty>:<tz>:<rx>:<ry>:<rz>:<ds>
+# — EPSG method 9814 ("Swiss Oblique Cylindrical", the Rosenmund
+# double projection: ellipsoid → Gauss conformal sphere → Mercator on
+# the sphere rotated so Bern sits on the pseudo-equator).  CH1903 →
+# WGS84 is the official swisstopo GRANIT87 translation-only Helmert.
+#   21781  CH1903 / LV03     (Bern 600 000 / 200 000)
+#   2056   CH1903+ / LV95    (Bern 2 600 000 / 1 200 000)
+CH1903_HELMERT = (674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0)
+_SWISS_LAT0 = 46.0 + 57.0 / 60.0 + 8.66 / 3600.0
+_SWISS_LON0 = 7.0 + 26.0 / 60.0 + 22.5 / 3600.0
+_EPSG_SOC = {
+    "21781": ("soc:" + ":".join(repr(v) for v in (
+        _SWISS_LAT0, _SWISS_LON0, 600000.0, 200000.0,
+        BESSEL_A, BESSEL_F, *CH1903_HELMERT))),
+    "2056": ("soc:" + ":".join(repr(v) for v in (
+        _SWISS_LAT0, _SWISS_LON0, 2600000.0, 1200000.0,
+        BESSEL_A, BESSEL_F, *CH1903_HELMERT))),
+}
+
 # Legacy NAD27 UTM zones (EPSG 26701-26722 = NAD27 / UTM 1N..22N):
 # Clarke 1866 ellipsoid + the published CONUS 3-parameter shift
 # NAD27→WGS84 (EPSG tfm 1173: dX −8, dY 160, dZ 176 m) — the ~10 m
@@ -228,11 +248,13 @@ def _frame(crs) -> str:
         return _EPSG_TMD[key]
     if key in _EPSG_SOD:
         return _EPSG_SOD[key]
+    if key in _EPSG_SOC:
+        return _EPSG_SOC[key]
     if s.startswith(("lcc:", "psb:", "psa:", "laea:", "tm:", "aea:",
-                     "tmd:", "sod:")):
+                     "tmd:", "sod:", "soc:")):
         kind, *parts = s.split(":")
         n_num = {"lcc": 6, "psb": 4, "psa": 4, "laea": 4, "tm": 5,
-                 "aea": 6, "tmd": 14, "sod": 14}[kind]
+                 "aea": 6, "tmd": 14, "sod": 14, "soc": 13}[kind]
         hemi = ()
         if kind == "psa":
             if len(parts) != 5 or parts[4] not in ("n", "s"):
@@ -267,6 +289,13 @@ def _frame(crs) -> str:
             if not (nums[5] > 0.0 and 0.0 < nums[6] < 0.01):
                 raise ValueError("st_transform: sod ellipsoid must have "
                                  "a > 0 and 0 < f < 0.01")
+        if kind == "soc":
+            if abs(nums[0]) >= 89.999999:
+                raise ValueError("st_transform: Swiss-oblique origin "
+                                 "latitude must be below the pole")
+            if not (nums[4] > 0.0 and 0.0 < nums[5] < 0.01):
+                raise ValueError("st_transform: soc ellipsoid must have "
+                                 "a > 0 and 0 < f < 0.01")
         if kind == "laea" and abs(nums[0]) >= 89.999999:
             raise ValueError("st_transform: LAEA polar aspect is out of "
                              "scope (oblique |lat0| < 90 only)")
@@ -281,8 +310,9 @@ def _frame(crs) -> str:
         "EPSG:2154/3034 LCC, EPSG:3031/3413/3995 polar stereographic, "
         "EPSG:5041/5042 UPS, EPSG:3035 LAEA, EPSG:5070 Albers, "
         "EPSG:2193/2180/3414 TM, EPSG:27700 OSGB36 National Grid, "
-        "EPSG:28992 Amersfoort / RD New, EPSG:26701-26722 NAD27 UTM, "
-        "generic lcc:/psb:/psa:/laea:/tm:/aea:/tmd:/sod: frames, "
+        "EPSG:28992 Amersfoort / RD New, EPSG:21781/2056 Swiss LV03/"
+        "LV95, EPSG:26701-26722 NAD27 UTM, "
+        "generic lcc:/psb:/psa:/laea:/tm:/aea:/tmd:/sod:/soc: frames, "
         "cartesian)")
 
 
@@ -1511,6 +1541,201 @@ def sod_forward_ctes(base: str, lat0, lon0, k0, fe, fn, a, f,
     """
 
 
+# ---------------------------------------------------------------------------
+# Swiss oblique cylindrical on a datum-shifted ellipsoid (EPSG method
+# 9814, the Rosenmund double projection): ellipsoid → Gauss conformal
+# sphere (the same sphere family as the 9809 tier) → Mercator on the
+# sphere ROTATED so the projection center sits on the pseudo-equator.
+# LV03/LV95 (EPSG:21781/2056) are the canonical users.  Kernel anchored
+# to the published swisstopo reference point (Rigi:
+# 47°03'28.95659233"N 8°29'11.11127154"E → LV03 679520.05 / 212273.44).
+
+
+def soc_constants(lat0: float, a: float, f: float):
+    """(R, alpha, b0, K, e) — the Gauss conformal-sphere constants for
+    a Swiss oblique cylindrical frame: Gaussian sphere radius R at the
+    origin, sphere/ellipsoid longitude ratio alpha, sphere latitude of
+    the origin b0, and the integration constant K that makes the
+    conformal map exact at the origin."""
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    p0 = math.radians(lat0)
+    s0 = math.sin(p0)
+    alpha = math.sqrt(1.0 + e2 / (1.0 - e2) * math.cos(p0) ** 4)
+    R = a * math.sqrt(1.0 - e2) / (1.0 - e2 * s0 * s0)
+    b0 = math.asin(s0 / alpha)
+    K = (math.log(math.tan(math.pi / 4.0 + b0 / 2.0))
+         - alpha * math.log(math.tan(math.pi / 4.0 + p0 / 2.0))
+         + alpha * e / 2.0
+         * math.log((1.0 + e * s0) / (1.0 - e * s0)))
+    return R, alpha, b0, K, e
+
+
+def soc_forward(xy: np.ndarray, lat0: float, lon0: float,
+                fe: float, fn: float, a: float, f: float) -> np.ndarray:
+    """Swiss oblique cylindrical forward — geodetic coordinates are in
+    the GRID's own datum (callers datum-shift first)."""
+    R, alpha, b0, K, e = soc_constants(lat0, a, f)
+    phi = np.radians(xy[:, 1])
+    lam = alpha * np.radians(xy[:, 0] - lon0)
+    sphi = np.sin(phi)
+    S = (alpha * np.log(np.tan(np.pi / 4.0 + phi / 2.0))
+         - alpha * e / 2.0 * np.log((1.0 + e * sphi) / (1.0 - e * sphi))
+         + K)
+    b = 2.0 * (np.arctan(np.exp(S)) - np.pi / 4.0)
+    sb = (math.cos(b0) * np.sin(b)
+          - math.sin(b0) * np.cos(b) * np.cos(lam))
+    yb = np.cos(b) * np.sin(lam)
+    xb = (math.sin(b0) * np.sin(b)
+          + math.cos(b0) * np.cos(b) * np.cos(lam))
+    out = np.empty_like(xy, dtype=np.float64)
+    out[:, 0] = fe + R * np.arctan2(yb, xb)
+    out[:, 1] = fn + R / 2.0 * np.log((1.0 + sb) / (1.0 - sb))
+    return out
+
+
+def soc_inverse(xy: np.ndarray, lat0: float, lon0: float,
+                fe: float, fn: float, a: float, f: float) -> np.ndarray:
+    """Swiss oblique cylindrical inverse — returns geodetic coordinates
+    in the GRID's own datum.  The conformal→geodetic latitude step is
+    the standard fixed-point iteration at a FIXED 6 steps
+    (deterministic; <1e-12 deg residual over the LV03 extent)."""
+    R, alpha, b0, K, e = soc_constants(lat0, a, f)
+    lbar = (xy[:, 0] - fe) / R
+    bbar = 2.0 * (np.arctan(np.exp((xy[:, 1] - fn) / R)) - np.pi / 4.0)
+    sb = (math.cos(b0) * np.sin(bbar)
+          + math.sin(b0) * np.cos(bbar) * np.cos(lbar))
+    b = np.arcsin(sb)
+    lam = np.arctan2(
+        np.cos(bbar) * np.sin(lbar),
+        math.cos(b0) * np.cos(bbar) * np.cos(lbar)
+        - math.sin(b0) * np.sin(bbar))
+    # invert the conformal latitude: fixed 6-step point iteration
+    Ssph = np.log(np.tan(np.pi / 4.0 + b / 2.0))
+    phi = b.copy()
+    for _ in range(6):
+        sphi = np.sin(phi)
+        phi = 2.0 * (np.arctan(np.exp(
+            (Ssph - K) / alpha
+            + e / 2.0 * np.log((1.0 + e * sphi) / (1.0 - e * sphi))))
+            - np.pi / 4.0)
+    out = np.empty_like(xy, dtype=np.float64)
+    out[:, 0] = lon0 + np.degrees(lam / alpha)
+    out[:, 1] = np.degrees(phi)
+    return out
+
+
+def soc_to_wgs84(xy: np.ndarray, lat0, lon0, fe, fn, a, f,
+                 tx, ty, tz, rx, ry, rz, ds) -> np.ndarray:
+    """Datum'd Swiss grid meters → WGS84 lon/lat degrees (the tmd/sod
+    chain with the Rosenmund kernel)."""
+    ll = soc_inverse(xy, lat0, lon0, fe, fn, a, f)
+    x, y, z = geodetic_to_ecef(ll[:, 0], ll[:, 1], a, f)
+    x, y, z = helmert_xyz(x, y, z, tx, ty, tz, rx, ry, rz, ds)
+    lon, lat = ecef_to_geodetic(x, y, z, MERC_R, _F)
+    out = np.empty_like(xy, dtype=np.float64)
+    out[:, 0] = lon
+    out[:, 1] = lat
+    return out
+
+
+def wgs84_to_soc(ll: np.ndarray, lat0, lon0, fe, fn, a, f,
+                 tx, ty, tz, rx, ry, rz, ds) -> np.ndarray:
+    """WGS84 lon/lat degrees → datum'd Swiss grid meters (reverse
+    Helmert = negated parameters, EPSG 9606 convention)."""
+    x, y, z = geodetic_to_ecef(ll[:, 0], ll[:, 1], MERC_R, _F)
+    x, y, z = helmert_xyz(x, y, z, -tx, -ty, -tz, -rx, -ry, -rz, -ds)
+    lon, lat = ecef_to_geodetic(x, y, z, a, f)
+    out = np.empty_like(ll, dtype=np.float64)
+    out[:, 0] = lon
+    out[:, 1] = lat
+    return soc_forward(out, lat0, lon0, fe, fn, a, f)
+
+
+def soc_forward_ctes(base: str, lat0, lon0, fe, fn, a, f,
+                     tx, ty, tz, rx, ry, rz, ds,
+                     lon: str = "lon", lat: str = "lat") -> str:
+    """Dual-engine SQL (Spark SQL AND DuckDB) for WGS84 → datum'd Swiss
+    oblique cylindrical grid: the SAME closed-form chain as
+    wgs84_to_soc op for op — WGS84 ECEF, negated-parameter Helmert,
+    Bowring inverse on the grid ellipsoid, conformal sphere, rotation
+    to the pseudo-equator, spherical Mercator (all frame constants
+    computed by the same Python the kernel runs)."""
+    def _c(v: float) -> str:
+        return f"CAST({v!r} AS DOUBLE)"
+
+    e2w = _F * (2.0 - _F)                 # WGS84 e²
+    rxr, ryr, rzr = -rx * _AS2R, -ry * _AS2R, -rz * _AS2R
+    s = 1.0 - ds * 1e-6
+    bg = a * (1.0 - f)                    # grid ellipsoid b
+    e2g = f * (2.0 - f)
+    ep2g = e2g / (1.0 - e2g)
+    R, alpha, b0, K, e = soc_constants(lat0, a, f)
+    return f"""
+        WITH _soc_base AS ({base}),
+        _soc_s1 AS (
+          SELECT *, radians(CAST({lat} AS DOUBLE)) AS _gphi,
+                 radians(CAST({lon} AS DOUBLE)) AS _glam
+          FROM _soc_base),
+        _soc_s2 AS (
+          SELECT *, {_c(MERC_R)} / sqrt(1.0 - {_c(e2w)} * sin(_gphi)
+                   * sin(_gphi)) AS _nu
+          FROM _soc_s1),
+        _soc_s3 AS (
+          SELECT *, _nu * cos(_gphi) * cos(_glam) AS _wx,
+                 _nu * cos(_gphi) * sin(_glam) AS _wy,
+                 _nu * (1.0 - {_c(e2w)}) * sin(_gphi) AS _wz
+          FROM _soc_s2),
+        _soc_s4 AS (
+          SELECT *,
+            {_c(-tx)} + {_c(s)} * (_wx - {_c(rzr)} * _wy + {_c(ryr)} * _wz)
+              AS _hx,
+            {_c(-ty)} + {_c(s)} * ({_c(rzr)} * _wx + _wy - {_c(rxr)} * _wz)
+              AS _hy,
+            {_c(-tz)} + {_c(s)} * (-({_c(ryr)}) * _wx + {_c(rxr)} * _wy + _wz)
+              AS _hz
+          FROM _soc_s3),
+        _soc_s5 AS (
+          SELECT *, sqrt(_hx * _hx + _hy * _hy) AS _p,
+                 atan2(_hz * {_c(a)}, sqrt(_hx * _hx + _hy * _hy)
+                       * {_c(bg)}) AS _th
+          FROM _soc_s4),
+        _soc_s6 AS (
+          SELECT *,
+            atan2(_hz + {_c(ep2g)} * {_c(bg)} * sin(_th) * sin(_th)
+                    * sin(_th),
+                  _p - {_c(e2g)} * {_c(a)} * cos(_th) * cos(_th)
+                    * cos(_th)) AS _phi,
+            atan2(_hy, _hx) AS _lamabs
+          FROM _soc_s5),
+        _soc_s7 AS (
+          SELECT *, {_c(alpha)} * (_lamabs - radians({_c(lon0)})) AS _lam,
+                 {_c(alpha)} * ln(tan(pi() / 4.0 + _phi / 2.0))
+                 - {_c(alpha * e / 2.0)}
+                   * ln((1.0 + {_c(e)} * sin(_phi))
+                        / (1.0 - {_c(e)} * sin(_phi)))
+                 + {_c(K)} AS _ss
+          FROM _soc_s6),
+        _soc_s8 AS (
+          SELECT *, 2.0 * (atan(exp(_ss)) - pi() / 4.0) AS _b
+          FROM _soc_s7),
+        _soc_s9 AS (
+          SELECT *,
+            {_c(math.cos(b0))} * sin(_b)
+              - {_c(math.sin(b0))} * cos(_b) * cos(_lam) AS _sb,
+            cos(_b) * sin(_lam) AS _yb,
+            {_c(math.sin(b0))} * sin(_b)
+              + {_c(math.cos(b0))} * cos(_b) * cos(_lam) AS _xb
+          FROM _soc_s8),
+        _soc_out AS (
+          SELECT *,
+            {_c(fe)} + {_c(R)} * atan2(_yb, _xb) AS easting,
+            {_c(fn)} + {_c(R / 2.0)} * ln((1.0 + _sb) / (1.0 - _sb))
+              AS northing
+          FROM _soc_s9)
+    """
+
+
 _PRJ_PARAM_RE = re.compile(
     r'PARAMETER\s*\[\s*"([^"]+)"\s*,\s*([-+0-9.Ee]+)', re.I)
 _PRJ_SPHEROID_RE = re.compile(
@@ -1562,6 +1787,27 @@ def prj_to_frame(wkt: str) -> str | None:
                 params.get("false_easting", 0.0),
                 params.get("false_northing", 0.0),
                 a, 1.0 / invf, *AMERSFOORT_HELMERT)))
+        except KeyError:
+            return None
+    if "HOTINE_OBLIQUE_MERCATOR_AZIMUTH_CENTER" in up \
+            or "OBLIQUE_CYLINDRICAL" in up:
+        # Swiss LV03/LV95 class: ESRI spells the Rosenmund projection
+        # as Hotine azimuth-center (azimuth 90 at Bern); recognized
+        # only with the CH1903 datum family — other datums refuse.
+        if "CH1903" not in datum:
+            return None
+        params = {k.lower(): float(v)
+                  for k, v in _PRJ_PARAM_RE.findall(s)}
+        sph = _PRJ_SPHEROID_RE.search(s)
+        a = float(sph.group(2)) if sph else BESSEL_A
+        invf = float(sph.group(3)) if sph else 1.0 / BESSEL_F
+        try:
+            return _frame("soc:" + ":".join(repr(v) for v in (
+                params["latitude_of_center"],
+                params["longitude_of_center"],
+                params.get("false_easting", 600000.0),
+                params.get("false_northing", 200000.0),
+                a, 1.0 / invf, *CH1903_HELMERT)))
         except KeyError:
             return None
     if "TRANSVERSE_MERCATOR" not in up:
@@ -1632,6 +1878,8 @@ def transform_points(xy: np.ndarray, src: str, dst: str) -> np.ndarray:
         ll = tmd_to_wgs84(xy, *(float(v) for v in src.split(":")[1:]))
     elif src.startswith("sod:"):
         ll = sod_to_wgs84(xy, *(float(v) for v in src.split(":")[1:]))
+    elif src.startswith("soc:"):
+        ll = soc_to_wgs84(xy, *(float(v) for v in src.split(":")[1:]))
     elif src.startswith("tm:"):
         ll = tm_inverse(xy, *(float(v) for v in src.split(":")[1:]))
     else:
@@ -1659,6 +1907,8 @@ def transform_points(xy: np.ndarray, src: str, dst: str) -> np.ndarray:
         return wgs84_to_tmd(ll, *(float(v) for v in dst.split(":")[1:]))
     if dst.startswith("sod:"):
         return wgs84_to_sod(ll, *(float(v) for v in dst.split(":")[1:]))
+    if dst.startswith("soc:"):
+        return wgs84_to_soc(ll, *(float(v) for v in dst.split(":")[1:]))
     if dst.startswith("tm:"):
         return tm_forward(ll, *(float(v) for v in dst.split(":")[1:]))
     _, z, hemi = dst.split(":")

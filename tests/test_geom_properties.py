@@ -1206,6 +1206,94 @@ def test_sod_prj_recognition():
     assert crs.prj_to_frame(unknown) is None
 
 
+def test_soc_swiss_anchor_and_roundtrip():
+    """r11 Swiss oblique cylindrical tier (EPSG method 9814, the
+    Rosenmund double projection): (a) the forward map reproduces the
+    published swisstopo reference point (Rigi, CH1903 geodetic
+    47°03'28.95659233"N 8°29'11.11127154"E → LV03 679520.05 /
+    212273.44) to mm; (b) the projection origin maps to (FE, FN) in
+    both LV03 and LV95; (c) the fixed-6-step inverse round-trips the
+    Swiss box to ~1e-13 deg; (d) the full WGS84 chain puts the Bern
+    origin within 5 cm of its published WGS84 position (the GRANIT87
+    translation-only Helmert is survey-grade to ~1 m; the ANCHOR point
+    itself is the datum definition, so it lands to cm)."""
+    import numpy as np
+    from spatial_spark.functions import crs
+
+    tok = crs._frame("EPSG:21781")
+    assert tok.startswith("soc:")
+    p = [float(v) for v in tok.split(":")[1:]]
+    lat0, lon0, fe, fn, a, f = p[:6]
+    lat = 47 + 3 / 60 + 28.95659233 / 3600
+    lon = 8 + 29 / 60 + 11.11127154 / 3600
+    en = crs.soc_forward(np.array([[lon, lat]]), lat0, lon0, fe, fn, a, f)
+    assert abs(en[0, 0] - 679520.05) < 2e-3
+    assert abs(en[0, 1] - 212273.44) < 2e-3
+    o = crs.soc_forward(np.array([[lon0, lat0]]), lat0, lon0, fe, fn, a, f)
+    assert abs(o[0, 0] - fe) < 1e-6 and abs(o[0, 1] - fn) < 1e-6
+    o95 = crs.transform_points(
+        crs.soc_to_wgs84(np.array([[fe, fn]]), *p), "wgs84",
+        crs._frame("EPSG:2056"))
+    # LV03 → WGS84 → LV95 rides the Helmert out and back at h = 0:
+    # sub-mm residual, not exact
+    assert abs(o95[0, 0] - 2600000.0) < 5e-3
+    assert abs(o95[0, 1] - 1200000.0) < 5e-3
+    rng = np.random.default_rng(21781)
+    ll = np.stack([rng.uniform(5.9, 10.5, 2000),
+                   rng.uniform(45.8, 47.9, 2000)], axis=1)
+    back = crs.soc_inverse(crs.soc_forward(ll, lat0, lon0, fe, fn, a, f),
+                           lat0, lon0, fe, fn, a, f)
+    assert np.abs(back - ll).max() < 1e-12
+    bern = crs.transform_points(
+        np.array([[7.438632495, 46.951082877]]), "wgs84", tok)
+    assert abs(bern[0, 0] - 600000.0) < 0.05
+    assert abs(bern[0, 1] - 200000.0) < 0.05
+    back2 = crs.transform_points(crs.transform_points(ll, "wgs84", tok),
+                                 tok, "wgs84")
+    assert np.abs(back2 - ll).max() < 5e-7
+
+
+def test_soc_sql_text_matches_kernel(spark):
+    """soc_forward_ctes (WGS84 ECEF → negated Helmert → Bowring on
+    Bessel → conformal sphere → pseudo-equator rotation → spherical
+    Mercator) agrees with the wgs84_to_soc kernel to sub-0.1 mm in
+    BOTH engines; the ESRI Hotine-azimuth-center WKT resolves to the
+    soc frame for the CH1903 datum and refuses any other."""
+    import duckdb
+    import numpy as np
+    from spatial_spark.functions import crs
+
+    tok = crs._frame("EPSG:2056")
+    params = tuple(float(v) for v in tok.split(":")[1:])
+    rng = np.random.default_rng(2056)
+    ll = np.stack([rng.uniform(5.9, 10.5, 300),
+                   rng.uniform(45.8, 47.9, 300)], axis=1)
+    want = crs.wgs84_to_soc(ll, *params)
+    base = " UNION ALL ".join(
+        f"SELECT CAST({lo!r} AS DOUBLE) AS lon, CAST({la!r} AS DOUBLE) AS lat"
+        for lo, la in ll[:80])
+    sql = crs.soc_forward_ctes(base, *params) \
+        + " SELECT easting, northing FROM _soc_out"
+    got_duck = np.array(duckdb.connect().execute(sql).fetchall())
+    got_spark = np.array([(r.easting, r.northing)
+                          for r in spark.sql(sql).collect()])
+    assert np.abs(got_duck - want[:80]).max() < 1e-4
+    assert np.abs(got_spark - want[:80]).max() < 1e-4
+    CH = ('PROJCS["CH1903_LV03",GEOGCS["GCS_CH1903",DATUM["D_CH1903",'
+          'SPHEROID["Bessel_1841",6377397.155,299.1528128]],'
+          'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+          'PROJECTION["Hotine_Oblique_Mercator_Azimuth_Center"],'
+          'PARAMETER["False_Easting",600000.0],'
+          'PARAMETER["False_Northing",200000.0],'
+          'PARAMETER["Scale_Factor",1.0],PARAMETER["Azimuth",90.0],'
+          'PARAMETER["Longitude_Of_Center",7.43958333333333],'
+          'PARAMETER["Latitude_Of_Center",46.9524055555556],'
+          'UNIT["Meter",1.0]]')
+    ptok = crs.prj_to_frame(CH)
+    assert ptok is not None and ptok.startswith("soc:")
+    assert crs.prj_to_frame(CH.replace("D_CH1903", "D_Other")) is None
+
+
 def test_prj_to_frame_and_shapefile_datum_path(spark, tmp_path, ctx):
     """The .prj path (the r10 verdict's 'where this bites first'):
     ESRI British National Grid WKT resolves to the EPSG:27700 tmd

@@ -152,6 +152,22 @@ PROBES = {
     "aac_huff_scaled": ("linear", "AAC Huffman decode + IMDCT over a"
                         " container count scaled with the corpus;"
                         " per-file decode, mapInPandas parallel"),
+    # --- r11 third wave ---
+    "st_transform_rd": ("linear", "per-point map through the"
+                        " ECEF→Helmert→Bowring→conformal-sphere"
+                        " stereographic chain (uniform-batch numpy"
+                        " fast path); the gate reads ALL customers,"
+                        " so it probes directly"),
+    "media_pres_scaled": ("linear", "avc1 MC+residual decode (CAVLC"
+                          " cbp=15 parse + dequant/inverse-transform"
+                          " per MB) over a container count scaled"
+                          " with the corpus; per-file mapInPandas"),
+    "dedup_stream_scaled": ("linear", "streaming exact dedup with BOTH"
+                            " the replayed row count and the distinct-"
+                            "key domain (= state-store size) riding"
+                            " the scale; 4 micro-batches, state ="
+                            " one 16-byte fingerprint per distinct"
+                            " key inside the horizon"),
 }
 
 
@@ -378,8 +394,98 @@ def _probe_aac_huff_scaled(spark, sf_dir):
                     F.round("deq_l1", 3).alias("deq_l1_q3")))
 
 
+def _probe_media_pres_scaled(spark, sf_dir):
+    """media_avc_pres's decode with the CONTAINER COUNT riding the
+    scale factor (the gate builds a fixed 24): every P macroblock
+    carries a motion vector AND CAVLC luma residuals."""
+    import struct as _struct
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from spatial_spark.operators.codecs import (build_avcc, build_h264_sps,
+                                                build_mp4,
+                                                encode_h264_ipcm,
+                                                encode_h264_pres)
+    from spatial_spark.operators.multimodal import MEDIA_SCHEMA, mp4_frames
+    rows = []
+    for i in range(_scaled_media_count(spark)):
+        w, h = 48 + 16 * (i % 3), 32 + 16 * (i % 2)
+        mbw, mbh = w // 16, h // 16
+        dx, dy = 2 * ((i % 5) - 2), 2 * ((i % 3) - 1)
+        v = 16 + (np.arange(w)[None, :] + 2 * np.arange(h)[:, None])
+        img = np.repeat(v.astype(np.uint8)[:, :, None], 3, axis=2)
+        resid = 4 * (((np.arange(mbw)[None, :] + np.arange(mbh)[:, None]
+                       + i) % 5) - 2)
+        idr = encode_h264_ipcm(img)
+        p1 = encode_h264_pres(w, h, 1, mv=(4 * dx, 4 * dy),
+                              residuals=resid)
+        p2 = encode_h264_pres(w, h, 2, mv=(0, 0),
+                              residuals=np.full((mbh, mbw), 4))
+        nals = [_struct.pack(">I", len(n)) + n for n in (idr, p1, p2)]
+        rows.append((i, bytearray(build_mp4(
+            w, h, 0, 1000, 40, codec="avc1", samples=nals,
+            codec_config=build_avcc(build_h264_sps(w, h)))),
+            "video", "mp4", w, h, None))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(32)
+    return mp4_frames(df).select(
+        "media_id", "frame_no",
+        F.round("mean_intensity", 6).alias("mean_intensity"))
+
+
+def _probe_dedup_stream_scaled(spark, sf_dir):
+    """dedup_stream with the replayed ROW COUNT and the distinct-KEY
+    domain both riding the scale (the gate caps at 2000 docs / 97
+    keys): state-store growth is the scaling axis that matters for
+    streaming dedup, so the key domain is n_docs/20."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spatial_spark.streaming.dedup import dedup_stream
+    work = tempfile.mkdtemp(prefix="dedup_stream_probe_")
+    try:
+        src = os.path.join(work, "src")
+        docs = spark.table("documents")
+        n_keys = max(97, docs.count() // 20)
+        docs = (docs.select(
+                    "doc_id",
+                    F.concat(F.lit("content-"),
+                             (F.col("doc_id") % n_keys).cast("string"))
+                    .alias("text"),
+                    F.timestamp_millis(F.col("doc_id") * 60000)
+                    .alias("ts"))
+                .withColumn("_slice", F.ntile(4).over(
+                    Window.orderBy("ts", "doc_id"))))
+        for b in range(1, 5):
+            (docs.filter(F.col("_slice") == b).drop("_slice")
+             .coalesce(1)
+             .write.mode("overwrite").parquet(os.path.join(src, f"b{b}")))
+        stream = (spark.readStream
+                  .schema("doc_id bigint, text string, ts timestamp")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(src + "/b*"))
+        out_dir = os.path.join(work, "out")
+        q = (dedup_stream(stream, text_col="text", ts_col="ts",
+                          delay="365 days")
+             .writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", os.path.join(work, "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(1200)
+        return spark.createDataFrame(
+            [(spark.read.parquet(out_dir).count(),)], "n bigint")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 CUSTOM_PROBES = {
     "density_islands_full": _probe_density_islands_full,
+    "media_pres_scaled": _probe_media_pres_scaled,
+    "dedup_stream_scaled": _probe_dedup_stream_scaled,
     "geodesic_pairs_full": _probe_geodesic_pairs_full,
     "media_mc_scaled": _probe_media_mc_scaled,
     "aac_huff_scaled": _probe_aac_huff_scaled,
