@@ -4289,6 +4289,92 @@ def _media_avc_pres_oracle_sql() -> str:
     """
 
 
+def _q_media_avc_cres(spark, sf_dir) -> DataFrame:
+    """CHROMA-RESIDUAL avc1 decode on the hard gate (r11, third wave —
+    inter frames that change COLOR, not just luma): per media i, an
+    I_PCM IDR of uniform gray v_i (Y = v, Cb = Cr = 128 exactly), then
+    a zero-MV P frame carrying a uniform luma residual AND uniform
+    chroma residuals (cbp = 31: luma 15 + cbp_chroma 1 — ChromaDCLevel
+    blocks under the nC == -1 CAVLC context, 2x2 inverse Hadamard,
+    §8.5.11 chroma DC dequant), then a second P frame whose chroma
+    residuals ACCUMULATE.  Every decoded frame is one uniform YCbCr
+    triple, so each frame's RGB sum is the closed JFIF form the oracle
+    replays per media: sum_rgb = w·h·(round(Y + 1.402 crd) +
+    round(Y − 0.344136 cbd − 0.714136 crd) + round(Y + 1.772 cbd)).
+    Chroma AC (cbp_chroma = 2) remains the documented seam."""
+    import struct as _struct
+
+    import numpy as np
+    from spatial_spark.operators.codecs import (build_avcc, build_h264_sps,
+                                                build_mp4,
+                                                encode_h264_ipcm,
+                                                encode_h264_pres)
+    from spatial_spark.operators.multimodal import MEDIA_SCHEMA, mp4_frames
+    rows = []
+    for i in range(24):
+        w, h = 48 + 16 * (i % 3), 32 + 16 * (i % 2)
+        mbw, mbh = w // 16, h // 16
+        v = 60 + (i * 13) % 120
+        rl = 4 * ((i % 5) - 2)
+        rb1, rr1 = 2 * ((i % 7) - 3), 2 * ((i * 3) % 7 - 3)
+        rb2, rr2 = 2 * ((i % 3) - 1), 2 * ((i % 4) - 1)
+        idr = encode_h264_ipcm(np.full((h, w, 3), v, dtype=np.uint8))
+        p1 = encode_h264_pres(w, h, 1, mv=(0, 0),
+                              residuals=np.full((mbh, mbw), rl),
+                              chroma_residuals=(rb1, rr1))
+        p2 = encode_h264_pres(w, h, 2, mv=(0, 0),
+                              residuals=np.zeros((mbh, mbw), dtype=int),
+                              chroma_residuals=(rb2, rr2))
+        nals = [_struct.pack(">I", len(n)) + n for n in (idr, p1, p2)]
+        rows.append((i, bytearray(build_mp4(
+            w, h, 0, 1000, 40, codec="avc1", samples=nals,
+            codec_config=build_avcc(build_h264_sps(w, h)))),
+            "video", "mp4", w, h, None))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(8)
+    return (mp4_frames(df)
+            .select("media_id", "frame_no", "decoded_w", "decoded_h",
+                    F.expr("CAST(round(mean_intensity * decoded_w * "
+                           "decoded_h * 3) AS BIGINT)").alias("sum_rgb"))
+            .orderBy("media_id", "frame_no"))
+
+
+def _media_avc_cres_oracle_sql() -> str:
+    # one uniform YCbCr triple per frame → the JFIF matrix + round per
+    # channel (every product is far from an exact .5, so round-half-
+    # away == numpy's round-half-even on this fixture)
+    chan = ("(CAST(round(_y + CAST(1.402 AS DOUBLE) * _crd) AS BIGINT)"
+            " + CAST(round(_y - CAST(0.344136 AS DOUBLE) * _cbd"
+            "   - CAST(0.714136 AS DOUBLE) * _crd) AS BIGINT)"
+            " + CAST(round(_y + CAST(1.772 AS DOUBLE) * _cbd)"
+            "   AS BIGINT))")
+    return f"""
+        WITH items AS (SELECT unnest(generate_series(0, 23)) AS i),
+        dims AS (SELECT i, 48 + 16 * (i % 3) AS w, 32 + 16 * (i % 2) AS h,
+                        60 + (i * 13) % 120 AS v,
+                        4 * ((i % 5) - 2) AS rl,
+                        2 * ((i % 7) - 3) AS rb1,
+                        2 * ((i * 3) % 7 - 3) AS rr1,
+                        2 * ((i % 3) - 1) AS rb2,
+                        2 * ((i % 4) - 1) AS rr2
+                 FROM items),
+        fr AS (SELECT *, unnest(generate_series(0, 2)) AS f FROM dims),
+        st AS (SELECT i, f, w, h,
+                      CAST(CASE WHEN f = 0 THEN v ELSE v + rl END
+                           AS DOUBLE) AS _y,
+                      CAST(CASE WHEN f = 0 THEN 0
+                           WHEN f = 1 THEN rb1 ELSE rb1 + rb2 END
+                           AS DOUBLE) AS _cbd,
+                      CAST(CASE WHEN f = 0 THEN 0
+                           WHEN f = 1 THEN rr1 ELSE rr1 + rr2 END
+                           AS DOUBLE) AS _crd
+               FROM fr)
+        SELECT CAST(i AS BIGINT) AS media_id, CAST(f AS INT) AS frame_no,
+               CAST(w AS INT) AS decoded_w, CAST(h AS INT) AS decoded_h,
+               CAST(w * h * {chan} AS BIGINT) AS sum_rgb
+        FROM st ORDER BY media_id, frame_no
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4385,6 +4471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_stream": _q_dedup_stream,
         "retention_stream": _q_retention_stream,
         "st_transform_lv95": _q_st_transform_lv95,
+        "media_avc_cres": _q_media_avc_cres,
         # --- the 15 r8-row holders that did not fit: FIRST in r12
         "cql2": _q_cql2,
         "st_transform_merc": _q_st_transform_merc,
@@ -7269,6 +7356,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_stream": _DEDUP_STREAM_ORACLE,
         "retention_stream": _RETENTION_STREAM_ORACLE,
         "st_transform_lv95": _st_transform_lv95_oracle_sql(),
+        "media_avc_cres": _media_avc_cres_oracle_sql(),
         "st_transform_aea": _aea_oracle_sql(),
         # stream-stream interval join == the batch interval join (the
         # time-ordered replay has no late data, so the watermark drops

@@ -157,6 +157,8 @@ HEADLINE = [
     # r11: Swiss LV95 datum-shifted oblique cylindrical (EPSG 9814
     # Rosenmund double projection — conformal sphere + rotation)
     "st_transform_lv95",
+    # r11: H.264 inter CHROMA residuals (ChromaDCLevel nC==-1 route)
+    "media_avc_cres",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -336,6 +338,9 @@ BUDGET_SF01 = {
     # r11: 2.2x local best-of-two (Swiss-box customers through the
     # ECEF→Helmert→Bowring→conformal-sphere→rotation→Mercator chain)
     "st_transform_lv95": 2.0,
+    # r11: 2.2x local best-of-two (24-container fixture: gray IDR +
+    # two chroma-shifting residual P frames per media)
+    "media_avc_cres": 2.8,
     # (EVERY pin re-ratcheted as min(old, 2.2x the clean final full
     # run's min-of-2) — landing-time measurements taken under
     # concurrent sweeps carried up to 9x slack; the ratchet never

@@ -2108,6 +2108,26 @@ _CAVLC_COEFF_TOKEN_NC02 = {
     (2, 16): "0000000000000101", (3, 16): "0000000000001000",
 }
 
+# coeff_token VLC, nC == -1 column (Table 9-5): the ChromaDCLevel
+# context for 4:2:0 (maxNumCoeff = 4).
+_CAVLC_COEFF_TOKEN_NCM1 = {
+    (0, 0): "01",
+    (0, 1): "000111", (1, 1): "1",
+    (0, 2): "000100", (1, 2): "000110", (2, 2): "001",
+    (0, 3): "000011", (1, 3): "0000011", (2, 3): "0000010",
+    (3, 3): "000101",
+    (0, 4): "000010", (1, 4): "00000011", (2, 4): "00000010",
+    (3, 4): "0000000",
+}
+
+# total_zeros VLC for chroma DC 2x2 blocks, 4:2:0 (Table 9-9(a)),
+# indexed [total_coeff][total_zeros].
+_CAVLC_TOTAL_ZEROS_CDC = {
+    1: ["1", "01", "001", "000"],
+    2: ["1", "01", "00"],
+    3: ["1", "0"],
+}
+
 # total_zeros VLC for 4x4 blocks (Table 9-7/9-8), indexed
 # [total_coeff][total_zeros] -> bitstring (total_coeff 1..15).
 _CAVLC_TOTAL_ZEROS = {
@@ -2160,12 +2180,17 @@ def _assert_prefix_free(codes):
 
 
 _assert_prefix_free(list(_CAVLC_COEFF_TOKEN_NC02.values()))
+_assert_prefix_free(list(_CAVLC_COEFF_TOKEN_NCM1.values()))
 for _tc, _codes in _CAVLC_TOTAL_ZEROS.items():
+    _assert_prefix_free(_codes)
+for _tc, _codes in _CAVLC_TOTAL_ZEROS_CDC.items():
     _assert_prefix_free(_codes)
 for _zl, _codes in _CAVLC_RUN_BEFORE.items():
     _assert_prefix_free(_codes)
 
 _CAVLC_COEFF_TOKEN_DEC = {v: k for k, v in _CAVLC_COEFF_TOKEN_NC02.items()}
+_CAVLC_COEFF_TOKEN_NCM1_DEC = {
+    v: k for k, v in _CAVLC_COEFF_TOKEN_NCM1.items()}
 
 
 def _bits_write(wtr, bitstring: str):
@@ -2182,10 +2207,14 @@ def _vlc_read(r, table: dict):
     raise ValueError("H264 CAVLC: no VLC match within 32 bits")
 
 
-def cavlc_encode_block(wtr, levels) -> None:
-    """CAVLC-encode one 4x4 coefficient list (scan order, len <= 16)
-    under the nC < 2 context.  ``levels`` is the zigzag-scanned list
-    INCLUDING zeros (length = maxNumCoeff)."""
+def cavlc_encode_block(wtr, levels, chroma_dc: bool = False) -> None:
+    """CAVLC-encode one coefficient list (scan order) under the nC < 2
+    context — or, with ``chroma_dc``, the nC == -1 ChromaDCLevel
+    context (maxNumCoeff = 4, Table 9-9(a) total_zeros).  ``levels`` is
+    the scanned list INCLUDING zeros (length = maxNumCoeff)."""
+    tok_tab = _CAVLC_COEFF_TOKEN_NCM1 if chroma_dc \
+        else _CAVLC_COEFF_TOKEN_NC02
+    tz_tab = _CAVLC_TOTAL_ZEROS_CDC if chroma_dc else _CAVLC_TOTAL_ZEROS
     n = len(levels)
     nz = [(i, v) for i, v in enumerate(levels) if v != 0]
     total_coeff = len(nz)
@@ -2196,7 +2225,7 @@ def cavlc_encode_block(wtr, levels) -> None:
             t1 += 1
         else:
             break
-    _bits_write(wtr, _CAVLC_COEFF_TOKEN_NC02[(t1, total_coeff)])
+    _bits_write(wtr, tok_tab[(t1, total_coeff)])
     if total_coeff == 0:
         return
     # trailing-one signs, high frequency first
@@ -2236,7 +2265,7 @@ def cavlc_encode_block(wtr, levels) -> None:
     highest = nz[-1][0]
     total_zeros = highest + 1 - total_coeff
     if total_coeff < n:
-        _bits_write(wtr, _CAVLC_TOTAL_ZEROS[total_coeff][total_zeros])
+        _bits_write(wtr, tz_tab[total_coeff][total_zeros])
     # run_before, high frequency first
     zeros_left = total_zeros
     for i in range(total_coeff - 1, 0, -1):
@@ -2247,10 +2276,13 @@ def cavlc_encode_block(wtr, levels) -> None:
         zeros_left -= run
 
 
-def cavlc_decode_block(r, max_coeff: int = 16):
-    """Decode one CAVLC 4x4 block (nC < 2 context) -> list of
-    ``max_coeff`` levels in scan order."""
-    t1, total_coeff = _vlc_read(r, _CAVLC_COEFF_TOKEN_DEC)
+def cavlc_decode_block(r, max_coeff: int = 16, chroma_dc: bool = False):
+    """Decode one CAVLC block (nC < 2 context — or the nC == -1
+    ChromaDCLevel context with ``chroma_dc``) -> list of ``max_coeff``
+    levels in scan order."""
+    t1, total_coeff = _vlc_read(
+        r, _CAVLC_COEFF_TOKEN_NCM1_DEC if chroma_dc
+        else _CAVLC_COEFF_TOKEN_DEC)
     out = [0] * max_coeff
     if total_coeff == 0:
         return out
@@ -2288,8 +2320,9 @@ def cavlc_decode_block(r, max_coeff: int = 16):
             suffix_len += 1
     # levels[] is high-frequency-first; positions via total_zeros/runs
     if total_coeff < max_coeff:
-        tz_codes = {c: i for i, c in
-                    enumerate(_CAVLC_TOTAL_ZEROS[total_coeff])}
+        tz_tab = _CAVLC_TOTAL_ZEROS_CDC if chroma_dc \
+            else _CAVLC_TOTAL_ZEROS
+        tz_codes = {c: i for i, c in enumerate(tz_tab[total_coeff])}
         total_zeros = _vlc_read(r, tz_codes)
     else:
         total_zeros = 0
@@ -3370,10 +3403,24 @@ _H264_CBP_INTER = (
     17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41)
 _H264_CBP_INTER_ENC = {v: i for i, v in enumerate(_H264_CBP_INTER)}
 
+# QPc from qPi (Table 8-15; chroma_qp_index_offset = 0, the PPS this
+# module emits): identity below 30, then the compressed tail.
+_H264_QPC_TAIL = {30: 29, 31: 30, 32: 31, 33: 32, 34: 32, 35: 33,
+                  36: 34, 37: 34, 38: 35, 39: 35, 40: 36, 41: 36,
+                  42: 37, 43: 37, 44: 37, 45: 38, 46: 38, 47: 38,
+                  48: 39, 49: 39, 50: 39, 51: 39}
+_H2X2 = np.array([[1, 1], [1, -1]], dtype=np.int64)
+
+
+def _h264_chroma_qp(qp: int) -> int:
+    qpi = min(max(qp, 0), 51)
+    return qpi if qpi < 30 else _H264_QPC_TAIL[qpi]
+
 
 def encode_h264_pres(width: int, height: int, frame_num: int,
                      mv: tuple = (0, 0),
                      residuals: np.ndarray | None = None,
+                     chroma_residuals: tuple | None = None,
                      qp: int = 28, nal_ref_idc: int = 2) -> bytes:
     """One P slice NAL of P_L0_16x16 macroblocks carrying BOTH motion
     vectors and CODED LUMA RESIDUALS (r11, third wave — the tier past
@@ -3386,7 +3433,14 @@ def encode_h264_pres(width: int, height: int, frame_num: int,
     residual of 4·c per pixel ((256·c + 32) >> 6), so residual values
     must be multiples of 4 — the closed form the gate oracle replays.
     Single-coefficient blocks keep every CAVLC nC context < 2 (the
-    documented table scope: nA, nB ≤ 1 ⇒ nC ≤ 1)."""
+    documented table scope: nA, nB ≤ 1 ⇒ nC ≤ 1).
+
+    ``chroma_residuals=(rb, rr)`` additionally codes UNIFORM chroma
+    residuals (cbp_chroma = 1, the ChromaDCLevel-only route): one
+    DC-position coefficient v per 2x2 chroma DC block under the
+    nC == -1 CAVLC context — at qp=28 (QPc = 28) the §8.5.11 chroma DC
+    dequant makes the per-pixel chroma residual exactly 2·v, so rb/rr
+    must be multiples of 2."""
     if qp != 28:
         raise NotImplementedError("inter residual encoder: qp=28 only "
                                   "(the identity-form dequant step)")
@@ -3403,6 +3457,17 @@ def encode_h264_pres(width: int, height: int, frame_num: int,
     levels = res // 4
     if np.abs(levels).max() > 64:
         raise ValueError("|residual| > 256 exceeds the useful range")
+    cb_v = cr_v = None
+    if chroma_residuals is not None:
+        rb, rr = int(chroma_residuals[0]), int(chroma_residuals[1])
+        if rb % 2 or rr % 2:
+            raise ValueError("chroma residual values must be multiples "
+                             "of 2 (DC-only qp=28 step size)")
+        if max(abs(rb), abs(rr)) > 128:
+            raise ValueError("|chroma residual| > 128 exceeds the "
+                             "useful range")
+        cb_v, cr_v = rb // 2, rr // 2
+    cbp = 15 | (16 if chroma_residuals is not None else 0)
     w = _EgBitWriter()
     w.write((nal_ref_idc << 5) | 1, 8)  # NAL header, type 1 (non-IDR)
     w.ue(0)                             # first_mb_in_slice
@@ -3423,12 +3488,15 @@ def encode_h264_pres(width: int, height: int, frame_num: int,
             w.se(mv[0] - mvp[0])        # mvd_l0 x
             w.se(mv[1] - mvp[1])        # mvd_l0 y
             done[(mbx, mby)] = (int(mv[0]), int(mv[1]))
-            w.ue(_H264_CBP_INTER_ENC[15])   # coded_block_pattern
+            w.ue(_H264_CBP_INTER_ENC[cbp])  # coded_block_pattern
             w.se(0)                     # mb_qp_delta
             c = int(levels[mby, mbx])
             blk = [c] + [0] * 15        # DC-position-only 4x4
             for _b in range(16):        # luma4x4BlkIdx 0..15
                 cavlc_encode_block(w, blk)
+            if cb_v is not None:        # ChromaDCLevel: Cb then Cr
+                cavlc_encode_block(w, [cb_v, 0, 0, 0], chroma_dc=True)
+                cavlc_encode_block(w, [cr_v, 0, 0, 0], chroma_dc=True)
     body = w.bytes_aligned()
     return body[:1] + _insert_emulation(body[1:])
 
@@ -3436,10 +3504,12 @@ def encode_h264_pres(width: int, height: int, frame_num: int,
 def _parse_p_slice_tail(r: "_EgBitReader", nal_ref_idc: int, stype: int,
                         width: int, height: int) -> tuple:
     """Slice-header tail + slice data of a P slice (reader positioned
-    after slice_type): returns ``(mvs, res)`` — the (mbx, mby) →
-    (mvx, mvy) quarter-pel motion field, plus the decoded LUMA residual
-    plane (padded (mh, mw) int64, None when every cbp is 0).  Shared by
-    the RGB route (decode_h264_slice) and the plane route
+    after slice_type): returns ``(mvs, res, cres)`` — the (mbx, mby) →
+    (mvx, mvy) quarter-pel motion field, the decoded LUMA residual
+    plane (padded (mh, mw) int64, None when no luma cbp bit is set
+    anywhere), and the (Cb, Cr) chroma residual planes (padded
+    (mh/2, mw/2) int64 each, None when every cbp_chroma is 0).  Shared
+    by the RGB route (decode_h264_slice) and the plane route
     (decode_h264_picture)."""
     if stype % 5 != 0:
         raise NotImplementedError(
@@ -3457,7 +3527,8 @@ def _parse_p_slice_tail(r: "_EgBitReader", nal_ref_idc: int, stype: int,
     mbw, mbh = (width + 15) // 16, (height + 15) // 16
     n_mbs = mbw * mbh
     mvs: dict = {}
-    res = None                          # lazy (mh, mw) residual plane
+    res = None                          # lazy (mh, mw) luma residuals
+    cres = None                         # lazy (Cb, Cr) chroma residuals
     # per-4x4 TotalCoeff grid (4*mbh rows x 4*mbw cols) for the CAVLC
     # nC context: nC = nA / nB / (nA+nB+1)>>1 per availability (§9.2.1)
     ncg = np.zeros((4 * mbh, 4 * mbw), dtype=np.int64)
@@ -3482,13 +3553,13 @@ def _parse_p_slice_tail(r: "_EgBitReader", nal_ref_idc: int, stype: int,
         mvp = _h264_mvp_16x16(mvs, mbx, mby, mbw)
         mvd = (r.se(), r.se())
         cbp = _H264_CBP_INTER[r.ue()]   # me(v), Table 9-4 Inter column
-        if cbp >> 4:
+        if cbp >> 4 == 2:
             raise NotImplementedError(
-                "H264: inter CHROMA residuals remain the seam "
-                "(cbp_chroma != 0)")
+                "H264: inter chroma AC residuals remain the seam "
+                "(cbp_chroma == 2; DC-only cbp_chroma == 1 decodes)")
         if cbp:
             qp += r.se()                # mb_qp_delta
-            if res is None:
+            if cbp & 15 and res is None:
                 res = np.zeros((16 * mbh, 16 * mbw), dtype=np.int64)
             for b8 in range(4):
                 if not (cbp >> b8) & 1:
@@ -3517,11 +3588,30 @@ def _parse_p_slice_tail(r: "_EgBitReader", nal_ref_idc: int, stype: int,
                     y0, x0 = 16 * mby + 4 * by, 16 * mbx + 4 * bx
                     res[y0:y0 + 4, x0:x0 + 4] = \
                         (_h264_inv_core4(d) + 32) >> 6
+            if cbp >> 4:                # ChromaDCLevel (§8.5.11): 2x2
+                if cres is None:        # Hadamard + DC-only dequant
+                    cres = (np.zeros((8 * mbh, 8 * mbw), dtype=np.int64),
+                            np.zeros((8 * mbh, 8 * mbw), dtype=np.int64))
+                qpc = _h264_chroma_qp(qp)
+                for pi in (0, 1):       # Cb then Cr
+                    lv = cavlc_decode_block(r, 4, chroma_dc=True)
+                    c2 = np.array([[lv[0], lv[1]], [lv[2], lv[3]]],
+                                  dtype=np.int64)
+                    f2 = _H2X2 @ c2 @ _H2X2
+                    dcc = (f2 * (16 * _H264_DC_V0[qpc % 6])
+                           << (qpc // 6)) >> 5
+                    for by in range(2):
+                        for bx in range(2):
+                            val = (int(dcc[by, bx]) + 32) >> 6
+                            cres[pi][8 * mby + 4 * by:
+                                     8 * mby + 4 * by + 4,
+                                     8 * mbx + 4 * bx:
+                                     8 * mbx + 4 * bx + 4] = val
         mvs[(mbx, mby)] = (mvp[0] + mvd[0], mvp[1] + mvd[1])
         i += 1
     if r.read(1) != 1:
         raise ValueError("H264: missing rbsp stop bit after slice data")
-    return mvs, res
+    return mvs, res, cres
 
 
 H264_QPEL_TAPS = (1, -5, 20, 20, -5, 1)   # §8.4.2.2.1 6-tap filter
@@ -3656,7 +3746,8 @@ def decode_h264_picture(nal: bytes, width: int, height: int,
     if stype % 5 == 2:
         planes = decode_h264_islice_planes(nal, width, height)
         return planes, _h264_planes_to_rgb(*planes, width, height)
-    mvs, res = _parse_p_slice_tail(r, nal_ref_idc, stype, width, height)
+    mvs, res, cres = _parse_p_slice_tail(r, nal_ref_idc, stype,
+                                         width, height)
     if ref_planes is None:
         raise ValueError(
             "H264: P slice with no reference picture (the caller "
@@ -3676,6 +3767,11 @@ def decode_h264_picture(nal: bytes, width: int, height: int,
             refCr, cy0, cx0, mvx, mvy)
     if res is not None:                 # §8.5: recon = Clip1(pred + res)
         outY = np.clip(outY.astype(np.int64) + res, 0, 255) \
+            .astype(np.uint8)
+    if cres is not None:
+        outCb = np.clip(outCb.astype(np.int64) + cres[0], 0, 255) \
+            .astype(np.uint8)
+        outCr = np.clip(outCr.astype(np.int64) + cres[1], 0, 255) \
             .astype(np.uint8)
     return (outY, outCb, outCr), _h264_planes_to_rgb(
         outY, outCb, outCr, width, height)
@@ -3701,12 +3797,13 @@ def decode_h264_slice(nal: bytes, width: int, height: int,
     stype = r.ue()
     if stype % 5 == 2:                  # I slice: the intra routes
         return decode_h264_islice(nal, width, height)
-    mvs, res = _parse_p_slice_tail(r, nal_ref_idc, stype, width, height)
+    mvs, res, cres = _parse_p_slice_tail(r, nal_ref_idc, stype,
+                                         width, height)
     if ref is None:
         raise ValueError(
             "H264: P slice with no reference picture (the caller "
             "must pass the previous decoded frame)")
-    if res is not None:
+    if res is not None or cres is not None:
         raise NotImplementedError(
             "H264: inter residuals decode through the PLANE route "
             "(decode_h264_picture) — the RGB route is display-only "

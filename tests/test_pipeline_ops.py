@@ -4143,6 +4143,24 @@ def test_h264_inter_residuals():
         encode_h264_pres(w, h, 1, residuals=np.full((mbh, mbw), 3))
     with _p.raises(NotImplementedError, match="qp=28"):
         encode_h264_pres(w, h, 1, qp=20)
+    # CHROMA residuals (cbp_chroma = 1, the ChromaDCLevel nC == -1
+    # route): uniform color shifts decode exactly and accumulate
+    gray = np.full((h, w, 3), 100, dtype=np.uint8)
+    pg = decode_h264_islice_planes(encode_h264_ipcm(gray), w, h)
+    pc = encode_h264_pres(w, h, 1, mv=(0, 0),
+                          residuals=np.full((mbh, mbw), 8),
+                          chroma_residuals=(6, -10))
+    pl1, _ = decode_h264_picture(pc, w, h, ref_planes=pg)
+    assert (np.unique(pl1[0]).tolist(), np.unique(pl1[1]).tolist(),
+            np.unique(pl1[2]).tolist()) == ([108], [134], [118])
+    pc2 = encode_h264_pres(w, h, 2, mv=(0, 0),
+                           residuals=np.zeros((mbh, mbw), dtype=int),
+                           chroma_residuals=(2, 4))
+    pl2, _ = decode_h264_picture(pc2, w, h, ref_planes=pl1)
+    assert (np.unique(pl2[1]).tolist(),
+            np.unique(pl2[2]).tolist()) == ([136], [122])
+    with _p.raises(ValueError, match="multiples of 2"):
+        encode_h264_pres(w, h, 1, chroma_residuals=(3, 0))
 
 
 def test_aac_huffman_machinery():
