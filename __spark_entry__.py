@@ -4142,6 +4142,128 @@ def _media_aac_huff_oracle_sql() -> str:
     """
 
 
+def _q_media_aac_cpe(spark, sf_dir) -> DataFrame:
+    """STEREO AAC-LC (channel_pair_element) on the hard gate (r11,
+    third wave — the tier past media_aac_huff's mono SCE): per media i,
+    2 + i%3 raw_data_blocks each carrying a CPE with a COMMON window,
+    per-channel global gains / DPCM scalefactors / Huffman-coded
+    spectra (the same four-book layout as the mono gate, with
+    CHANNEL-DEPENDENT coefficient formulas), muxed into 2-channel mp4a
+    MP4s and decoded through multimodal.mp4_audio — per-channel
+    filterbanks synthesize (n, 2) PCM.  The oracle recomputes every
+    decoded field closed-form over a (band, slot, CHANNEL) grid:
+    per-frame nonzero support and dequantized L1 now fold BOTH
+    channels.  M/S reconstruction is pinned by pytest
+    (test_aac_cpe_stereo); the gate keeps ms_mask_present = 0 so the
+    L1 stays a per-coefficient closed form."""
+    import numpy as np
+    from spatial_spark.operators.codecs import (build_aac_asc, build_esds,
+                                                build_mp4,
+                                                encode_aac_lc_cpe,
+                                                engine_codebooks)
+    from spatial_spark.operators.multimodal import MEDIA_SCHEMA, mp4_audio
+
+    cbs = engine_codebooks()
+    band_cbs = [3, 5, 7, 11]
+    rows = []
+    for i in range(16):
+        frames = []
+        for f in range(2 + i % 3):
+            gg_l = 92 + (i * 7 + 3 * f) % 17
+            gg_r = 90 + (i * 5 + 4 * f) % 19
+            sfs_l = [gg_l + ((i + f + b) % 7 - 3) for b in range(4)]
+            sfs_r = [gg_r + ((2 * i + f + b) % 7 - 3) for b in range(4)]
+            ql = np.zeros(1024, dtype=np.int64)
+            qr = np.zeros(1024, dtype=np.int64)
+            for s in range(32):
+                ql[s] = ((i + f + s) % 3) * (1 if (s + f) % 2 == 0
+                                             else -1)
+                qr[s] = ((i + 2 * f + s) % 3) * (1 if (s + i) % 2 == 0
+                                                 else -1)
+                ql[32 + s] = (i + 2 * f + 3 * s) % 9 - 4
+                qr[32 + s] = (2 * i + f + 3 * s) % 9 - 4
+                ql[64 + s] = ((2 * i + f + s) % 8) * (1 if (s + i) % 2
+                                                      else -1)
+                qr[64 + s] = ((i + 3 * f + s) % 8) * (1 if (s + f) % 2
+                                                      else -1)
+                ml = (17 + (i + f + s) % 20) if s % 8 == 0 \
+                    else (i + 2 * s) % 16
+                mr = (17 + (2 * i + f + s) % 20) if s % 8 == 4 \
+                    else (3 * i + s) % 16
+                ql[96 + s] = ml * (1 if (s + i + f) % 2 == 0 else -1)
+                qr[96 + s] = mr * (1 if (s + i) % 2 == 0 else -1)
+            frames.append(encode_aac_lc_cpe(
+                ql, qr, band_cbs, sfs_l, sfs_r, gg_l, gg_r, cbs,
+                window_shape=f % 2))
+        rows.append((i, bytearray(build_mp4(
+            2, 44100, len(frames), 44100, 1024, codec="mp4a",
+            handler="soun", samples=frames,
+            codec_config=build_esds(build_aac_asc(2, 44100, 2)))),
+            "audio", "mp4", None, None, None))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4)
+    return (mp4_audio(df, codebooks=cbs, spectral_stats=True)
+            .select("media_id", "frame_no", "global_gain", "max_sfb",
+                    "n_nonzero",
+                    F.round("deq_l1", 3).alias("deq_l1_q3"))
+            .orderBy("media_id", "frame_no"))
+
+
+def _media_aac_cpe_oracle_sql() -> str:
+    # the same per-channel magnitude/sign/scalefactor formulas,
+    # recomputed per (media, frame, band, slot, channel) and folded
+    return """
+        WITH items AS (SELECT unnest(generate_series(0, 15)) AS i),
+        fr AS (SELECT i, unnest(generate_series(0, 1 + i % 3)) AS f
+               FROM items),
+        slots AS (SELECT i, f, unnest(generate_series(0, 31)) AS s
+                  FROM fr),
+        grid AS (SELECT * FROM slots
+                 CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
+                 CROSS JOIN (SELECT unnest(generate_series(0, 1))
+                             AS ch)),
+        mags AS (
+          SELECT i, f, s, b, ch,
+                 CASE WHEN ch = 0 THEN
+                   CASE b
+                     WHEN 0 THEN (i + f + s) % 3
+                     WHEN 1 THEN abs((i + 2 * f + 3 * s) % 9 - 4)
+                     WHEN 2 THEN (2 * i + f + s) % 8
+                     ELSE CASE WHEN s % 8 = 0
+                               THEN 17 + (i + f + s) % 20
+                               ELSE (i + 2 * s) % 16 END
+                   END
+                 ELSE
+                   CASE b
+                     WHEN 0 THEN (i + 2 * f + s) % 3
+                     WHEN 1 THEN abs((2 * i + f + 3 * s) % 9 - 4)
+                     WHEN 2 THEN (i + 3 * f + s) % 8
+                     ELSE CASE WHEN s % 8 = 4
+                               THEN 17 + (2 * i + f + s) % 20
+                               ELSE (3 * i + s) % 16 END
+                   END
+                 END AS mag,
+                 CASE WHEN ch = 0
+                   THEN 92 + (i * 7 + 3 * f) % 17 + ((i + f + b) % 7 - 3)
+                   ELSE 90 + (i * 5 + 4 * f) % 19
+                        + ((2 * i + f + b) % 7 - 3)
+                 END AS sf
+          FROM grid),
+        per_frame AS (
+          SELECT i, f,
+                 sum(CASE WHEN mag <> 0 THEN 1 ELSE 0 END) AS nnz,
+                 sum(pow(CAST(mag AS DOUBLE), 4.0 / 3.0)
+                     * pow(2.0, 0.25 * (CAST(sf AS DOUBLE) - 100.0)))
+                   AS l1
+          FROM mags GROUP BY i, f)
+        SELECT CAST(i AS BIGINT) AS media_id, CAST(f AS INT) AS frame_no,
+               CAST(92 + (i * 7 + 3 * f) % 17 AS INT) AS global_gain,
+               CAST(4 AS INT) AS max_sfb,
+               CAST(nnz AS INT) AS n_nonzero,
+               round(l1, 3) AS deq_l1_q3
+        FROM per_frame ORDER BY media_id, frame_no
+    """
+
+
 def _q_media_avc_mc(spark, sf_dir) -> DataFrame:
     """MOTION-COMPENSATED avc1 decode on the hard gate (r11, VERDICT
     r10 ask #3 — the first moving-picture inter tier): per media i, an
@@ -4472,6 +4594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_stream": _q_retention_stream,
         "st_transform_lv95": _q_st_transform_lv95,
         "media_avc_cres": _q_media_avc_cres,
+        "media_aac_cpe": _q_media_aac_cpe,
         # --- the 15 r8-row holders that did not fit: FIRST in r12
         "cql2": _q_cql2,
         "st_transform_merc": _q_st_transform_merc,
@@ -7357,6 +7480,7 @@ def oracle_sql() -> dict[str, str]:
         "retention_stream": _RETENTION_STREAM_ORACLE,
         "st_transform_lv95": _st_transform_lv95_oracle_sql(),
         "media_avc_cres": _media_avc_cres_oracle_sql(),
+        "media_aac_cpe": _media_aac_cpe_oracle_sql(),
         "st_transform_aea": _aea_oracle_sql(),
         # stream-stream interval join == the batch interval join (the
         # time-ordered replay has no late data, so the watermark drops

@@ -159,6 +159,8 @@ HEADLINE = [
     "st_transform_lv95",
     # r11: H.264 inter CHROMA residuals (ChromaDCLevel nC==-1 route)
     "media_avc_cres",
+    # r11: stereo AAC CPE (common window, per-channel Huffman streams)
+    "media_aac_cpe",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -341,6 +343,9 @@ BUDGET_SF01 = {
     # r11: 2.2x local best-of-two (24-container fixture: gray IDR +
     # two chroma-shifting residual P frames per media)
     "media_avc_cres": 2.8,
+    # r11: 2.2x local best-of-two (16-container stereo fixture: CPE
+    # Huffman decode x2 channels + two per-channel filterbanks)
+    "media_aac_cpe": 2.9,
     # (EVERY pin re-ratcheted as min(old, 2.2x the clean final full
     # run's min-of-2) — landing-time measurements taken under
     # concurrent sweeps carried up to 9x slack; the ratchet never

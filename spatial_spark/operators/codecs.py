@@ -2990,6 +2990,18 @@ def encode_aac_lc_spectral(quant: np.ndarray, band_cbs: list,
     w.write(window_shape, 1)
     w.write(max_sfb, 6)
     w.write(0, 1)                   # predictor_data_present
+    _aac_write_ics_body(w, quant, band_cbs, band_sfs, global_gain,
+                        codebooks, swb_offsets)
+    w.write(7, 3)                   # END
+    return _aac_pack_bits(w)
+
+
+def _aac_write_ics_body(w, quant, band_cbs, band_sfs, global_gain,
+                        codebooks, swb_offsets) -> None:
+    """section_data + scale_factor_data + tool flags + spectral_data —
+    the individual_channel_stream tail shared by the SCE and CPE
+    encoders (global_gain and ics_info are the caller's)."""
+    max_sfb = len(band_cbs)
     # section_data: one section per run of equal codebook
     b = 0
     while b < max_sfb:
@@ -3054,7 +3066,9 @@ def encode_aac_lc_spectral(quant: np.ndarray, band_cbs: list,
                         w.write(1, 1)
                     w.write(0, 1)
                     w.write(m - (1 << n), n)
-    w.write(7, 3)                   # END
+
+
+def _aac_pack_bits(w) -> bytes:
     bits = w.bits + [0] * ((-len(w.bits)) % 8)
     out = bytearray()
     for i in range(0, len(bits), 8):
@@ -3063,6 +3077,56 @@ def encode_aac_lc_spectral(quant: np.ndarray, band_cbs: list,
             v = (v << 1) | bit
         out.append(v)
     return bytes(out)
+
+
+def encode_aac_lc_cpe(quant_l: np.ndarray, quant_r: np.ndarray,
+                      band_cbs: list, band_sfs_l: list,
+                      band_sfs_r: list, global_gain_l: int,
+                      global_gain_r: int, codebooks: dict,
+                      window_shape: int = 0,
+                      ms_used: list | None = None,
+                      swb_offsets=AAC_ENGINE_SWB_OFFSETS,
+                      tag: int = 0) -> bytes:
+    """One STEREO AAC-LC raw_data_block (CPE + END, §4.4.2.1 — r11
+    third wave): common_window = 1 (shared ics_info), per-channel
+    global gains / scalefactors / Huffman-coded spectra through the
+    same registry books as the SCE encoder.  ``ms_used`` (per-band
+    booleans) writes ms_mask_present = 1 and marks the bands where
+    ``quant_l``/``quant_r`` carry MID/SIDE channels the decoder
+    reconstructs as l = m + s, r = m − s; None writes
+    ms_mask_present = 0 (independent stereo)."""
+    quant_l = np.asarray(quant_l, dtype=np.int64)
+    quant_r = np.asarray(quant_r, dtype=np.int64)
+    max_sfb = len(band_cbs)
+    if len(band_sfs_l) != max_sfb or len(band_sfs_r) != max_sfb:
+        raise ValueError("band_cbs and band_sfs must align")
+    if max_sfb > len(swb_offsets) - 1 or max_sfb > 30:
+        raise ValueError("max_sfb exceeds the band layout")
+    if ms_used is not None and len(ms_used) != max_sfb:
+        raise ValueError("ms_used must give one flag per band")
+    w = _EgBitWriter()
+    w.write(1, 3)                   # CPE
+    w.write(tag, 4)
+    w.write(1, 1)                   # common_window
+    w.write(0, 1)                   # ics_reserved
+    w.write(0, 2)                   # ONLY_LONG
+    w.write(window_shape, 1)
+    w.write(max_sfb, 6)
+    w.write(0, 1)                   # predictor_data_present
+    if ms_used is None:
+        w.write(0, 2)               # ms_mask_present = 0
+    else:
+        w.write(1, 2)               # ms_mask_present = 1
+        for flag in ms_used:
+            w.write(1 if flag else 0, 1)
+    w.write(global_gain_l, 8)
+    _aac_write_ics_body(w, quant_l, band_cbs, band_sfs_l,
+                        global_gain_l, codebooks, swb_offsets)
+    w.write(global_gain_r, 8)
+    _aac_write_ics_body(w, quant_r, band_cbs, band_sfs_r,
+                        global_gain_r, codebooks, swb_offsets)
+    w.write(7, 3)                   # END
+    return _aac_pack_bits(w)
 
 
 def _aac_read_escape(r: "_EgBitReader") -> int:
@@ -3111,21 +3175,120 @@ def encode_aac_lc_frame(global_gain: int, window_shape: int = 0,
     return bytes(out)
 
 
+def _aac_ics_info(r: "_EgBitReader", swb_offsets) -> tuple:
+    """ics_info() (§4.4.2.1, long windows): returns ``(window_sequence,
+    window_shape, max_sfb)`` with the documented raises."""
+    r.read(1)                       # ics_reserved_bit
+    window_sequence = r.read(2)
+    window_shape = r.read(1)
+    if window_sequence == 2:        # EIGHT_SHORT_SEQUENCE
+        raise NotImplementedError(
+            "AAC: EIGHT_SHORT windows need the short-block tables")
+    max_sfb = r.read(6)
+    if r.read(1):
+        raise NotImplementedError("AAC: predictor data (not LC)")
+    if max_sfb > len(swb_offsets) - 1:
+        raise NotImplementedError(
+            "AAC: max_sfb exceeds the band layout (the normative "
+            "per-rate swb_offset tables are registry data)")
+    return window_sequence, window_shape, max_sfb
+
+
+def _aac_channel_stream(r: "_EgBitReader", codebooks, swb_offsets,
+                        ics: tuple | None = None) -> dict:
+    """individual_channel_stream() (§4.4.2.4): global_gain, ics_info
+    (unless ``ics`` carries the CPE's common window), section data,
+    DPCM scalefactors, tool flags and spectral data.  Returns the
+    quantized and FULLY dequantized coefficient arrays."""
+    global_gain = r.read(8)
+    if ics is None:
+        ics = _aac_ics_info(r, swb_offsets)
+    window_sequence, window_shape, max_sfb = ics
+    band_cbs = []
+    while len(band_cbs) < max_sfb:  # section_data, long windows
+        sect_cb = r.read(4)
+        ln = r.read(5)
+        if ln == 31:                # sect_len escape chain
+            raise NotImplementedError("AAC: escaped section lengths")
+        if sect_cb != 0 and codebooks is None:
+            raise NotImplementedError(
+                "AAC: entropy-coded spectra (Huffman codebook "
+                f"{sect_cb}) — the NORMATIVE codeword tables are "
+                "data this build lacks; install them (or "
+                "engine_codebooks() for the engine profile) via "
+                "the codebooks parameter (see module note)")
+        if sect_cb != 0 and sect_cb not in codebooks:
+            raise NotImplementedError(
+                f"AAC: codebook {sect_cb} not in the registry "
+                "(intensity/noise tools stay out of scope)")
+        if ln == 0:
+            raise ValueError("AAC: zero-length section")
+        band_cbs.extend([sect_cb] * ln)
+    if len(band_cbs) > max_sfb:
+        raise ValueError("AAC: sections overrun max_sfb")
+    # scale_factor_data: DPCM against global_gain for live bands
+    sfs = [None] * max_sfb
+    last = global_gain
+    for b in range(max_sfb):
+        if band_cbs[b] == 0:
+            continue
+        (d,) = codebooks["sf"].read(r)
+        last += d
+        sfs[b] = last
+    if r.read(1):
+        raise NotImplementedError("AAC: pulse data")
+    if r.read(1):
+        raise NotImplementedError("AAC: TNS")
+    if r.read(1):
+        raise NotImplementedError("AAC: gain control (SSR)")
+    # spectral_data → quantized ints → per-band dequantization
+    quant = np.zeros(AAC_FRAME_LEN, dtype=np.int64)
+    for b in range(max_sfb):
+        cb = band_cbs[b]
+        if cb == 0:
+            continue
+        book = codebooks[cb]
+        lo, hi = swb_offsets[b], swb_offsets[b + 1]
+        for i in range(lo, hi, book.dims):
+            vals = list(book.read(r))
+            if not book.signed:
+                signs = [(-1 if v and r.read(1) else 1)
+                         for v in vals]
+                if book.esc:
+                    vals = [(_aac_read_escape(r)
+                             if v == AAC_ESC_FLAG else v)
+                            for v in vals]
+                vals = [s * v for s, v in zip(signs, vals)]
+            quant[i:i + book.dims] = vals
+    spec = np.zeros(AAC_FRAME_LEN, dtype=np.float64)
+    for b in range(max_sfb):
+        if band_cbs[b] == 0:
+            continue
+        lo, hi = swb_offsets[b], swb_offsets[b + 1]
+        spec[lo:hi] = aac_dequantize(quant[lo:hi], sfs[b])
+    return {"global_gain": global_gain, "window_shape": window_shape,
+            "window_sequence": window_sequence, "max_sfb": max_sfb,
+            "band_cbs": band_cbs, "quant": quant, "spec": spec}
+
+
 def decode_aac_lc_frame(data: bytes, codebooks: dict | None = None,
                         swb_offsets=AAC_ENGINE_SWB_OFFSETS) -> dict:
-    """Parse one raw_data_block (mono-SCE class).  Returns
-    ``{"global_gain", "window_shape", "window_sequence", "max_sfb",
-    "spec", "n_nonzero"}`` with ``spec`` the 1024 FULLY dequantized
-    coefficients — sign(q)·|q|^(4/3)·2^{0.25·(sf−100)} with each band's
-    decoded scalefactor (for ZERO_HCB bands everything is 0 and the
-    global gain is moot).  With ``codebooks`` (see engine_codebooks /
-    the registry note) entropy-coded sections DECODE: section walk over
-    arbitrary books, DPCM scalefactors, n-tuple spectral codewords with
-    sign bits and §4.6.3 escapes.  With the default ``codebooks=None``
+    """Parse one raw_data_block (mono SCE or STEREO CPE — r11, third
+    wave).  Returns ``{"channels", "global_gain", "window_shape",
+    "window_sequence", "max_sfb", "spec", "n_nonzero"}`` with ``spec``
+    the FULLY dequantized coefficients —
+    sign(q)·|q|^(4/3)·2^{0.25·(sf−100)} with each band's decoded
+    scalefactor; for CPE blocks ``spec`` is the LEFT channel,
+    ``spec_r`` the right, and ``n_nonzero`` counts both channels'
+    quantized supports.  CPE decodes common_window ics sharing and
+    M/S stereo (§4.6.8.1: l = m + s, r = m − s on the dequantized
+    spectra, per ms_used band or all bands at ms_mask_present = 2).
+    With ``codebooks`` (see engine_codebooks / the registry note)
+    entropy-coded sections DECODE; with the default ``codebooks=None``
     the first entropy-coded section still raises — the honest seam for
     real streams, whose NORMATIVE tables are data this container
-    lacks.  EIGHT_SHORT windows, pulse/TNS/gain-control tools and CPE
-    stereo remain NotImplementedError."""
+    lacks.  EIGHT_SHORT windows and pulse/TNS/gain-control tools
+    remain NotImplementedError."""
     r = _EgBitReader(bytes(data))
     info = None
     while True:
@@ -3138,97 +3301,57 @@ def decode_aac_lc_frame(data: bytes, codebooks: dict | None = None,
                 cnt += r.read(8) - 1
             r.read(8 * cnt)
             continue
-        if ele != 0:
+        if ele not in (0, 1):
             raise NotImplementedError(
-                f"AAC: element {ele} (only mono SCE decodes natively; "
-                "CPE stereo tools need ffmpeg)")
+                f"AAC: element {ele} (SCE and CPE decode natively; "
+                "CCE/LFE/DSE/PCE need ffmpeg)")
         if info is not None:
-            raise NotImplementedError("AAC: multiple SCEs per block")
+            raise NotImplementedError(
+                "AAC: multiple channel elements per block")
         tag = r.read(4)
-        global_gain = r.read(8)
-        r.read(1)                   # ics_reserved_bit
-        window_sequence = r.read(2)
-        window_shape = r.read(1)
-        if window_sequence == 2:    # EIGHT_SHORT_SEQUENCE
-            raise NotImplementedError(
-                "AAC: EIGHT_SHORT windows need the short-block tables")
-        max_sfb = r.read(6)
-        if r.read(1):
-            raise NotImplementedError("AAC: predictor data (not LC)")
-        if max_sfb > len(swb_offsets) - 1:
-            raise NotImplementedError(
-                "AAC: max_sfb exceeds the band layout (the normative "
-                "per-rate swb_offset tables are registry data)")
-        band_cbs = []
-        while len(band_cbs) < max_sfb:  # section_data, long windows
-            sect_cb = r.read(4)
-            ln = r.read(5)
-            if ln == 31:            # sect_len escape chain
-                raise NotImplementedError(
-                    "AAC: escaped section lengths")
-            if sect_cb != 0 and codebooks is None:
-                raise NotImplementedError(
-                    "AAC: entropy-coded spectra (Huffman codebook "
-                    f"{sect_cb}) — the NORMATIVE codeword tables are "
-                    "data this build lacks; install them (or "
-                    "engine_codebooks() for the engine profile) via "
-                    "the codebooks parameter (see module note)")
-            if sect_cb != 0 and sect_cb not in codebooks:
-                raise NotImplementedError(
-                    f"AAC: codebook {sect_cb} not in the registry "
-                    "(intensity/noise tools stay out of scope)")
-            if ln == 0:
-                raise ValueError("AAC: zero-length section")
-            band_cbs.extend([sect_cb] * ln)
-        if len(band_cbs) > max_sfb:
-            raise ValueError("AAC: sections overrun max_sfb")
-        # scale_factor_data: DPCM against global_gain for live bands
-        sfs = [None] * max_sfb
-        last = global_gain
-        for b in range(max_sfb):
-            if band_cbs[b] == 0:
-                continue
-            (d,) = codebooks["sf"].read(r)
-            last += d
-            sfs[b] = last
-        if r.read(1):
-            raise NotImplementedError("AAC: pulse data")
-        if r.read(1):
-            raise NotImplementedError("AAC: TNS")
-        if r.read(1):
-            raise NotImplementedError("AAC: gain control (SSR)")
-        # spectral_data → quantized ints → per-band dequantization
-        quant = np.zeros(AAC_FRAME_LEN, dtype=np.int64)
-        for b in range(max_sfb):
-            cb = band_cbs[b]
-            if cb == 0:
-                continue
-            book = codebooks[cb]
-            lo, hi = swb_offsets[b], swb_offsets[b + 1]
-            for i in range(lo, hi, book.dims):
-                vals = list(book.read(r))
-                if not book.signed:
-                    signs = [(-1 if v and r.read(1) else 1)
-                             for v in vals]
-                    if book.esc:
-                        vals = [(_aac_read_escape(r)
-                                 if v == AAC_ESC_FLAG else v)
-                                for v in vals]
-                    vals = [s * v for s, v in zip(signs, vals)]
-                quant[i:i + book.dims] = vals
-        spec = np.zeros(AAC_FRAME_LEN, dtype=np.float64)
-        for b in range(max_sfb):
-            if band_cbs[b] == 0:
-                continue
-            lo, hi = swb_offsets[b], swb_offsets[b + 1]
-            spec[lo:hi] = aac_dequantize(quant[lo:hi], sfs[b])
-        info = {"tag": tag, "global_gain": global_gain,
-                "window_shape": window_shape,
-                "window_sequence": window_sequence, "max_sfb": max_sfb,
-                "spec": spec,
-                "n_nonzero": int(np.count_nonzero(quant))}
+        if ele == 0:                # SCE
+            ch = _aac_channel_stream(r, codebooks, swb_offsets)
+            info = {"tag": tag, "channels": 1,
+                    "global_gain": ch["global_gain"],
+                    "window_shape": ch["window_shape"],
+                    "window_sequence": ch["window_sequence"],
+                    "max_sfb": ch["max_sfb"], "spec": ch["spec"],
+                    "n_nonzero": int(np.count_nonzero(ch["quant"]))}
+            continue
+        # CPE (§4.4.2.1): optional shared ics_info + M/S, two streams
+        common = r.read(1)
+        ics = None
+        ms_present, ms_used = 0, None
+        if common:
+            ics = _aac_ics_info(r, swb_offsets)
+            ms_present = r.read(2)
+            if ms_present == 3:
+                raise ValueError("AAC: reserved ms_mask_present")
+            if ms_present == 1:     # per-band mask (one window group)
+                ms_used = [bool(r.read(1)) for _ in range(ics[2])]
+        left = _aac_channel_stream(r, codebooks, swb_offsets, ics=ics)
+        right = _aac_channel_stream(r, codebooks, swb_offsets, ics=ics)
+        spec_l, spec_r = left["spec"], right["spec"]
+        if ms_present:              # §4.6.8.1 mid/side reconstruction
+            for b in range(left["max_sfb"]):
+                if ms_present == 1 and not ms_used[b]:
+                    continue
+                lo, hi = swb_offsets[b], swb_offsets[b + 1]
+                m = spec_l[lo:hi].copy()
+                s = spec_r[lo:hi].copy()
+                spec_l[lo:hi] = m + s
+                spec_r[lo:hi] = m - s
+        info = {"tag": tag, "channels": 2,
+                "global_gain": left["global_gain"],
+                "window_shape": left["window_shape"],
+                "window_sequence": left["window_sequence"],
+                "max_sfb": left["max_sfb"],
+                "spec": spec_l, "spec_r": spec_r,
+                "n_nonzero": int(np.count_nonzero(left["quant"]))
+                + int(np.count_nonzero(right["quant"]))}
     if info is None:
-        raise ValueError("AAC: raw_data_block carries no SCE")
+        raise ValueError("AAC: raw_data_block carries no channel "
+                         "element")
     return info
 
 
@@ -3258,19 +3381,33 @@ def decode_mp4_audio(buf: bytes, codebooks: dict | None = None,
     infos = []
     specs = []
     shapes = []
+    n_ch = None
     for f, (off, size) in enumerate(tab["samples"]):
         if size <= 0 or off + size > len(buf):
             raise ValueError(f"MP4: audio sample {f} outside mdat")
         d = decode_aac_lc_frame(buf[off:off + size], codebooks=codebooks,
                                 swb_offsets=swb_offsets)
+        if n_ch is None:
+            n_ch = d["channels"]
+        elif n_ch != d["channels"]:
+            raise ValueError("MP4 audio: SCE/CPE mix across frames")
         infos.append((f, d["global_gain"], d["window_shape"],
                       d["max_sfb"]))
         # spec is FULLY dequantized (per-band scalefactor gains include
         # the global_gain DPCM start; the silence class is zeros either
-        # way)
-        specs.append(d["spec"])
+        # way); stereo frames stack (2, 1024) so n_nonzero/L1 readers
+        # fold both channels
+        specs.append(d["spec"] if d["channels"] == 1
+                     else np.stack([d["spec"], d["spec_r"]]))
         shapes.append(d["window_shape"])
-    pcm = aac_overlap_add(specs, shapes) if specs else np.zeros(0)
+    if not specs:
+        pcm = np.zeros(0)
+    elif n_ch == 1:
+        pcm = aac_overlap_add(specs, shapes)
+    else:                           # stereo: per-channel filterbanks
+        pcm = np.stack(
+            [aac_overlap_add([s[c] for s in specs], shapes)
+             for c in range(2)], axis=1)
     return {"sample_rate": rate, "channels": channels, "pcm": pcm,
             "frames": infos, "specs": specs}
 

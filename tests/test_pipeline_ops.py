@@ -3315,8 +3315,10 @@ def test_aac_frame_roundtrip_and_seams():
         decode_aac_lc_frame(frame(sect_cb=5))
     with pytest.raises(NotImplementedError, match="EIGHT_SHORT"):
         decode_aac_lc_frame(frame(wseq=2))
-    with pytest.raises(NotImplementedError, match="element 1"):
-        decode_aac_lc_frame(frame(ele=1))
+    # element 1 (CPE) decodes since r11 third wave; element 2 (CCE)
+    # stays the honest raise
+    with pytest.raises(NotImplementedError, match="element 2"):
+        decode_aac_lc_frame(frame(ele=2))
 
 
 def test_aac_mp4_route():
@@ -4161,6 +4163,99 @@ def test_h264_inter_residuals():
             np.unique(pl2[2]).tolist()) == ([136], [122])
     with _p.raises(ValueError, match="multiples of 2"):
         encode_h264_pres(w, h, 1, chroma_residuals=(3, 0))
+
+
+def test_aac_cpe_stereo():
+    """r11 third wave: CPE stereo raw_data_blocks — common_window ics
+    sharing, per-channel gains/scalefactors/Huffman spectra, and M/S
+    reconstruction (l = m + s, r = m − s per ms_used band).  The mp4a
+    container route synthesizes (n, 2) PCM through per-channel
+    filterbanks."""
+    import numpy as np
+    import pytest as _p
+    from spatial_spark.operators.codecs import (AAC_ENGINE_SWB_OFFSETS,
+                                                aac_dequantize,
+                                                aac_overlap_add,
+                                                build_aac_asc, build_esds,
+                                                build_mp4,
+                                                decode_aac_lc_frame,
+                                                decode_mp4_audio,
+                                                encode_aac_lc_cpe,
+                                                engine_codebooks)
+
+    cbs = engine_codebooks()
+    off = AAC_ENGINE_SWB_OFFSETS
+    band_cbs = [3, 5, 7, 11]
+    ql = np.zeros(1024, dtype=np.int64)
+    qr = np.zeros(1024, dtype=np.int64)
+    for s in range(32):
+        ql[s] = (s % 3) * (1 if s % 2 == 0 else -1)
+        qr[s] = ((s + 1) % 3) * (1 if s % 2 else -1)
+        ql[32 + s] = (3 * s) % 9 - 4
+        qr[32 + s] = (5 * s) % 9 - 4
+        ql[64 + s] = (s % 8) * (1 if s % 2 else -1)
+        qr[64 + s] = (s + 3) % 8
+        ql[96 + s] = (17 + s) if s % 8 == 0 else (s % 16)
+        qr[96 + s] = (20 + s) if s % 8 == 4 else -((2 * s) % 16)
+    sfl, sfr = [100, 98, 102, 96], [95, 99, 101, 103]
+
+    def deq(q, sfs):
+        spec = np.zeros(1024)
+        for b in range(4):
+            lo, hi = off[b], off[b + 1]
+            spec[lo:hi] = aac_dequantize(q[lo:hi], sfs[b])
+        return spec
+
+    wl, wr = deq(ql, sfl), deq(qr, sfr)
+    d = decode_aac_lc_frame(
+        encode_aac_lc_cpe(ql, qr, band_cbs, sfl, sfr, 100, 95, cbs),
+        codebooks=cbs)
+    assert d["channels"] == 2
+    assert np.array_equal(d["spec"], wl)
+    assert np.array_equal(d["spec_r"], wr)
+    assert d["n_nonzero"] == int(np.count_nonzero(ql)
+                                 + np.count_nonzero(qr))
+    # M/S bands reconstruct as sum/difference of the dequantized M, S
+    ms = [False, True, False, True]
+    d2 = decode_aac_lc_frame(
+        encode_aac_lc_cpe(ql, qr, band_cbs, sfl, sfr, 100, 95, cbs,
+                          ms_used=ms), codebooks=cbs)
+    el, er = wl.copy(), wr.copy()
+    for b in (1, 3):
+        lo, hi = off[b], off[b + 1]
+        m, s = wl[lo:hi].copy(), wr[lo:hi].copy()
+        el[lo:hi] = m + s
+        er[lo:hi] = m - s
+    assert np.array_equal(d2["spec"], el)
+    assert np.array_equal(d2["spec_r"], er)
+    # the container route: stereo PCM == per-channel filterbanks
+    frames = [encode_aac_lc_cpe(ql, qr, band_cbs, sfl, sfr, 100, 95,
+                                cbs, window_shape=f % 2)
+              for f in range(3)]
+    mp4 = build_mp4(2, 44100, 3, 44100, 1024, codec="mp4a",
+                    handler="soun", samples=frames,
+                    codec_config=build_esds(build_aac_asc(2, 44100, 2)))
+    out = decode_mp4_audio(bytes(mp4), codebooks=cbs)
+    assert out["pcm"].shape == (3 * 1024, 2)
+    want_l = aac_overlap_add([wl] * 3, [0, 1, 0])
+    want_r = aac_overlap_add([wr] * 3, [0, 1, 0])
+    assert np.allclose(out["pcm"][:, 0], want_l, rtol=0, atol=1e-12)
+    assert np.allclose(out["pcm"][:, 1], want_r, rtol=0, atol=1e-12)
+    # honest boundaries: reserved ms mask, other element ids
+    from spatial_spark.operators.codecs import _EgBitWriter
+    w = _EgBitWriter()
+    w.write(2, 3)                   # CCE
+    w.write(0, 4)
+    w.write(7, 3)
+    bits = w.bits + [0] * ((-len(w.bits)) % 8)
+    raw = bytearray()
+    for i in range(0, len(bits), 8):
+        v = 0
+        for bit in bits[i:i + 8]:
+            v = (v << 1) | bit
+        raw.append(v)
+    with _p.raises(NotImplementedError, match="CCE/LFE"):
+        decode_aac_lc_frame(bytes(raw), codebooks=cbs)
 
 
 def test_aac_huffman_machinery():
