@@ -4507,10 +4507,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict ORDER is part of the driver contract: the driver's correctness
     # gate checks the first 50 registered entries.  The r11 rotation is
     # documented inline at the top of the dict below.  r12 window plan:
-    # the 14 age-4 r8-row holders immediately below the window lead
-    # (cql2 … covered_env — the explicit rotation debt), then any new
+    # the 15 age-4 r8-row holders immediately below the window lead
+    # (cql2 … covered_env — the explicit rotation debt), then the 8
+    # never-driver-rowed r11-late gates (interval_join_outer,
+    # st_transform_rd, media_avc_pres, dedup_stream, retention_stream,
+    # st_transform_lv95, media_avc_cres, media_aac_cpe), then any new
     # r12 gates, then oldest-first from the r9-row holders (age 3 at
-    # r12).  With 164 gates and a 50-row window the full cycle is ~3.3
+    # r12).  With 172 gates and a 50-row window the full cycle is ~3.4
     # rounds, so the oldest-first discipline (never-rowed > oldest row)
     # is what bounds every gate's driver-row age.  Every entry keeps
     # its local-gate oracle (tools/check_correctness runs ALL of them,
@@ -4585,8 +4588,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cql_filter": _q_cql_filter,
         # ================= end of the 50-entry driver window =========
         # (the boundary falls between zorder_keys and cql_filter)
-        # --- r11-late gates (registered after the window froze): join
-        #     the r12 cohort behind the r8 debt
+        # --- r11-late gates (registered after the window froze): all 8
+        #     are never-driver-rowed and join the r12 window right
+        #     behind the 15-gate r8 debt
         "interval_join_outer": _q_interval_join_outer,
         "st_transform_rd": _q_st_transform_rd,
         "media_avc_pres": _q_media_avc_pres,

@@ -423,10 +423,16 @@ def test_st_transform_webmercator(spark):
                     ).collect()[0]
     assert lcc["lat"] == pytest.approx(46.5, abs=1e-9)  # Lambert-93 origin
     # a projected CRS outside the scoped set still raises (27700 moved
-    # into scope in r11 — the Swiss oblique-Mercator grid has not)
+    # into scope in r11, 2056 in the r11 third wave — Krovak has not)
     with _pt.raises(Exception):
         spark.sql("SELECT st_transform(st_point(0.0D, 0.0D), "
-                  "'EPSG:2056', 'EPSG:4326')").collect()
+                  "'EPSG:5514', 'EPSG:4326')").collect()
+    # …and EPSG:2056 (Swiss LV95, r11 third wave) now interprets
+    # meters: the Bern false origin maps back near Bern
+    lv95 = spark.sql("SELECT st_y(st_transform(st_point(2600000.0D, "
+                     "1200000.0D), 'EPSG:2056', 'EPSG:4326')) AS lat"
+                     ).collect()[0]
+    assert lv95["lat"] == pytest.approx(46.95108, abs=1e-4)
     # …and EPSG:27700 (OSGB36, r11 datum tier) now interprets meters
     osgb = spark.sql("SELECT st_y(st_transform(st_point(400000.0D, "
                      "-100000.0D), 'EPSG:27700', 'EPSG:4326')) AS lat"
