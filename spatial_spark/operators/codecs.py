@@ -3301,15 +3301,17 @@ def decode_aac_lc_frame(data: bytes, codebooks: dict | None = None,
                 cnt += r.read(8) - 1
             r.read(8 * cnt)
             continue
-        if ele not in (0, 1):
+        if ele not in (0, 1, 3):
             raise NotImplementedError(
-                f"AAC: element {ele} (SCE and CPE decode natively; "
-                "CCE/LFE/DSE/PCE need ffmpeg)")
+                f"AAC: element {ele} (SCE, CPE and LFE decode "
+                "natively; CCE/DSE/PCE need ffmpeg)")
         if info is not None:
             raise NotImplementedError(
                 "AAC: multiple channel elements per block")
         tag = r.read(4)
-        if ele == 0:                # SCE
+        if ele in (0, 3):           # SCE / LFE (§4.4.2.3: an LFE is
+            # syntactically an individual_channel_stream; its ONLY_LONG
+            # / no-TNS restrictions are what this path supports anyway)
             ch = _aac_channel_stream(r, codebooks, swb_offsets)
             info = {"tag": tag, "channels": 1,
                     "global_gain": ch["global_gain"],

@@ -4241,6 +4241,12 @@ def test_aac_cpe_stereo():
     want_r = aac_overlap_add([wr] * 3, [0, 1, 0])
     assert np.allclose(out["pcm"][:, 0], want_l, rtol=0, atol=1e-12)
     assert np.allclose(out["pcm"][:, 1], want_r, rtol=0, atol=1e-12)
+    # LFE (element 3) is syntactically an SCE-class channel stream
+    from spatial_spark.operators.codecs import encode_aac_lc_spectral
+    sce = encode_aac_lc_spectral(ql, band_cbs, sfl, 100, cbs)
+    lfe = bytes([(3 << 5) | (sce[0] & 0x1F)]) + sce[1:]
+    dl = decode_aac_lc_frame(lfe, codebooks=cbs)
+    assert dl["channels"] == 1 and np.array_equal(dl["spec"], wl)
     # honest boundaries: reserved ms mask, other element ids
     from spatial_spark.operators.codecs import _EgBitWriter
     w = _EgBitWriter()
@@ -4254,7 +4260,7 @@ def test_aac_cpe_stereo():
         for bit in bits[i:i + 8]:
             v = (v << 1) | bit
         raw.append(v)
-    with _p.raises(NotImplementedError, match="CCE/LFE"):
+    with _p.raises(NotImplementedError, match="CCE/DSE"):
         decode_aac_lc_frame(bytes(raw), codebooks=cbs)
 
 
