@@ -4142,6 +4142,86 @@ def _media_aac_huff_oracle_sql() -> str:
     """
 
 
+def _q_media_avc_ipred(spark, sf_dir) -> DataFrame:
+    """INTRA-PREDICTION avc1 decode on the hard gate (r11, third wave
+    — the non-DC §8.3.3 modes): per media i, ONE CAVLC I-slice whose
+    macroblock grid mixes all three uniform-preserving modes — DC at
+    the origin, HORIZONTAL along row 0, VERTICAL down every column —
+    each with a DC-coded uniform offset c(my, mx) = ((mx + 2·my + i)
+    % 7) − 3.  Each MB stays uniform, so its value is the exact
+    recurrence value(my, mx) = 128 + Σ_{j≤mx} c(0, j) + Σ_{1≤k≤my}
+    c(k, mx), which the oracle replays with two grid-join sums; the
+    frame's RGB sum is 3 · 256 · Σ value.  PLANE mode (gradient
+    prediction) is pinned by pytest (test_h264_intra_prediction_modes,
+    encoder-constructed equality) — a uniform fixture would not
+    exercise its H/V terms."""
+    import struct as _struct
+
+    import numpy as np
+    from spatial_spark.operators.codecs import (build_avcc, build_h264_sps,
+                                                build_mp4,
+                                                encode_h264_i16_modes)
+    from spatial_spark.operators.multimodal import MEDIA_SCHEMA, mp4_frames
+    rows = []
+    for i in range(24):
+        w, h = 48 + 16 * (i % 3), 32 + 16 * (i % 2)
+        mbw, mbh = w // 16, h // 16
+        modes = np.zeros((mbh, mbw), dtype=int)   # col 0 + interior: V
+        modes[0, :] = 1                           # row 0: H …
+        modes[0, 0] = 2                           # … after the DC seed
+        offs = (((np.arange(mbw)[None, :] + 2 * np.arange(mbh)[:, None]
+                  + i) % 7) - 3)
+        nal, _ = encode_h264_i16_modes(w, h, modes, offs)
+        nals = [_struct.pack(">I", len(nal)) + nal]
+        rows.append((i, bytearray(build_mp4(
+            w, h, 0, 1000, 40, codec="avc1", samples=nals,
+            codec_config=build_avcc(build_h264_sps(w, h)))),
+            "video", "mp4", w, h, None))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(8)
+    return (mp4_frames(df)
+            .select("media_id", "frame_no", "decoded_w", "decoded_h",
+                    F.expr("CAST(round(mean_intensity * decoded_w * "
+                           "decoded_h * 3) AS BIGINT)").alias("sum_rgb"))
+            .orderBy("media_id", "frame_no"))
+
+
+def _media_avc_ipred_oracle_sql() -> str:
+    # value(my, mx) = 128 + Σ_{j<=mx} c(0, j) + Σ_{1<=k<=my} c(k, mx)
+    # with c(my, mx) = ((mx + 2 my + i) % 7) - 3, folded over the grid
+    return """
+        WITH items AS (SELECT unnest(generate_series(0, 23)) AS i),
+        dims AS (SELECT i, 48 + 16 * (i % 3) AS w, 32 + 16 * (i % 2) AS h
+                 FROM items),
+        grid AS (SELECT d.*, mx.mx, my.my
+                 FROM dims d,
+                      LATERAL (SELECT unnest(generate_series(
+                        0, d.w // 16 - 1)) AS mx) mx,
+                      LATERAL (SELECT unnest(generate_series(
+                        0, d.h // 16 - 1)) AS my) my),
+        vals AS (
+          SELECT g.i, g.mx, g.my,
+                 128
+                 + (SELECT sum(((j.j + g.i) % 7) - 3)
+                    FROM (SELECT unnest(generate_series(0, g.mx))
+                          AS j) j)
+                 + COALESCE((SELECT sum(((g.mx + 2 * k.k + g.i) % 7)
+                                        - 3)
+                             FROM (SELECT unnest(generate_series(
+                               1, g.my)) AS k) k
+                             WHERE g.my >= 1), 0) AS v
+          FROM grid g),
+        per_frame AS (
+          SELECT i, sum(v) AS vsum FROM vals GROUP BY i)
+        SELECT CAST(d.i AS BIGINT) AS media_id, CAST(0 AS INT)
+                 AS frame_no,
+               CAST(d.w AS INT) AS decoded_w, CAST(d.h AS INT)
+                 AS decoded_h,
+               CAST(3 * 256 * p.vsum AS BIGINT) AS sum_rgb
+        FROM dims d JOIN per_frame p USING (i)
+        ORDER BY media_id, frame_no
+    """
+
+
 def _q_media_aac_cpe(spark, sf_dir) -> DataFrame:
     """STEREO AAC-LC (channel_pair_element) on the hard gate (r11,
     third wave — the tier past media_aac_huff's mono SCE): per media i,
@@ -4599,6 +4679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_transform_lv95": _q_st_transform_lv95,
         "media_avc_cres": _q_media_avc_cres,
         "media_aac_cpe": _q_media_aac_cpe,
+        "media_avc_ipred": _q_media_avc_ipred,
         # --- the 15 r8-row holders that did not fit: FIRST in r12
         "cql2": _q_cql2,
         "st_transform_merc": _q_st_transform_merc,
@@ -7485,6 +7566,7 @@ def oracle_sql() -> dict[str, str]:
         "st_transform_lv95": _st_transform_lv95_oracle_sql(),
         "media_avc_cres": _media_avc_cres_oracle_sql(),
         "media_aac_cpe": _media_aac_cpe_oracle_sql(),
+        "media_avc_ipred": _media_avc_ipred_oracle_sql(),
         "st_transform_aea": _aea_oracle_sql(),
         # stream-stream interval join == the batch interval join (the
         # time-ordered replay has no late data, so the watermark drops

@@ -161,6 +161,8 @@ HEADLINE = [
     "media_avc_cres",
     # r11: stereo AAC CPE (common window, per-channel Huffman streams)
     "media_aac_cpe",
+    # r11: Intra_16x16 V/H/DC prediction grid (non-DC intra modes)
+    "media_avc_ipred",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -346,6 +348,9 @@ BUDGET_SF01 = {
     # r11: 2.2x local best-of-two (16-container stereo fixture: CPE
     # Huffman decode x2 channels + two per-channel filterbanks)
     "media_aac_cpe": 2.9,
+    # r11: 2.2x local best-of-two (24-container fixture: driver-side
+    # encode of a V/H/DC prediction grid + one I-slice decode each)
+    "media_avc_ipred": 4.6,
     # (EVERY pin re-ratcheted as min(old, 2.2x the clean final full
     # run's min-of-2) — landing-time measurements taken under
     # concurrent sweeps carried up to 9x slack; the ratchet never

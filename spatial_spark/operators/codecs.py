@@ -2425,6 +2425,107 @@ def encode_h264_i16_dc(img: np.ndarray, qp: int = 28) -> bytes:
     return body[:1] + _insert_emulation(body[1:])
 
 
+def _h264_i16_pred(yp: np.ndarray, mode: int, y0: int,
+                   x0: int) -> np.ndarray:
+    """§8.3.3 Intra_16x16 luma prediction (r11, third wave — ALL FOUR
+    modes): returns the (16, 16) prediction for the macroblock at
+    (y0, x0) from the already-decoded plane ``yp``.  Modes: 0 Vertical
+    (needs top), 1 Horizontal (needs left), 2 DC (neighbor average,
+    128 with none), 3 Plane (§8.3.3.4, needs top + left + top-left).
+    Unavailable-neighbor modes raise ValueError (a conformant encoder
+    never emits them)."""
+    left_ok, top_ok = x0 > 0, y0 > 0
+    if mode == 2:                   # DC
+        if left_ok and top_ok:
+            p = (int(yp[y0:y0 + 16, x0 - 1].sum()
+                     + yp[y0 - 1, x0:x0 + 16].sum()) + 16) >> 5
+        elif left_ok:
+            p = (int(yp[y0:y0 + 16, x0 - 1].sum()) + 8) >> 4
+        elif top_ok:
+            p = (int(yp[y0 - 1, x0:x0 + 16].sum()) + 8) >> 4
+        else:
+            p = 128
+        return np.full((16, 16), p, dtype=np.int64)
+    if mode == 0:                   # Vertical
+        if not top_ok:
+            raise ValueError("H264: Intra_16x16 vertical prediction "
+                             "with no row above (nonconformant)")
+        return np.tile(yp[y0 - 1, x0:x0 + 16], (16, 1)).astype(np.int64)
+    if mode == 1:                   # Horizontal
+        if not left_ok:
+            raise ValueError("H264: Intra_16x16 horizontal prediction "
+                             "with no column left (nonconformant)")
+        return np.tile(yp[y0:y0 + 16, x0 - 1][:, None],
+                       (1, 16)).astype(np.int64)
+    if mode == 3:                   # Plane (§8.3.3.4)
+        if not (top_ok and left_ok):
+            raise ValueError("H264: Intra_16x16 plane prediction "
+                             "needs top AND left (nonconformant)")
+        top = yp[y0 - 1, x0 - 1:x0 + 16].astype(np.int64)   # p[-1..15]
+        left = yp[y0 - 1:y0 + 16, x0 - 1].astype(np.int64)
+        k = np.arange(1, 9, dtype=np.int64)                 # x'+1
+        H = int((k * (top[1 + 8 + k - 1] - top[1 + 6 - (k - 1)])).sum())
+        V = int((k * (left[1 + 8 + k - 1] - left[1 + 6 - (k - 1)])).sum())
+        a = 16 * (int(left[16]) + int(top[16]))
+        b = (5 * H + 32) >> 6
+        c = (5 * V + 32) >> 6
+        x = np.arange(16, dtype=np.int64)
+        grid = a + b * (x[None, :] - 7) + c * (x[:, None] - 8) + 16
+        return np.clip(grid >> 5, 0, 255)
+    raise ValueError(f"H264: Intra_16x16 prediction mode {mode}")
+
+
+def encode_h264_i16_modes(width: int, height: int, modes: np.ndarray,
+                          offsets: np.ndarray, qp: int = 28) -> tuple:
+    """One IDR I-slice NAL of I_16x16 macroblocks exercising ALL FOUR
+    §8.3.3 prediction modes (r11, third wave): per MB, mb_type =
+    1 + modes[mby, mbx] (0 V / 1 H / 2 DC / 3 Plane, cbp = 0) plus a
+    DC-coded uniform residual offsets[mby, mbx] (any integer — the
+    qp=28 identity chain).  The encoder replays the decoder's exact
+    prediction loop, so the CONSTRUCTED picture is part of the return:
+    ``(nal, luma)`` with ``luma`` the (height, width) uint8 plane the
+    decoder must reproduce bit-exactly.  Availability is validated
+    (V needs a row above, H a column left, Plane both)."""
+    if qp != 28:
+        raise NotImplementedError("H264 I16 encoder: qp=28 only")
+    if width % 16 or height % 16:
+        raise ValueError("encode_h264_i16_modes: multiple-of-16 "
+                         "dimensions only")
+    mbw, mbh = width // 16, height // 16
+    modes = np.asarray(modes, dtype=np.int64)
+    offs = np.asarray(offsets, dtype=np.int64)
+    if modes.shape != (mbh, mbw) or offs.shape != (mbh, mbw):
+        raise ValueError(f"modes/offsets must be ({mbh}, {mbw})")
+    if np.abs(offs).max() > 255:
+        raise ValueError("|offset| > 255")
+    recon = np.zeros((height, width), dtype=np.int64)
+    wtr = _EgBitWriter()
+    wtr.write(0x65, 8)                  # NAL: ref_idc=3, type=5 (IDR)
+    wtr.ue(0)                           # first_mb_in_slice
+    wtr.ue(7)                           # slice_type: I
+    wtr.ue(0)                           # pic_parameter_set_id
+    wtr.write(0, 4)                     # frame_num
+    wtr.ue(0)                           # idr_pic_id
+    wtr.write(0, 2)                     # dec_ref_pic_marking
+    wtr.se(int(qp) - 26)                # slice_qp_delta (pps init 26)
+    for mby in range(mbh):
+        for mbx in range(mbw):
+            y0, x0 = 16 * mby, 16 * mbx
+            mode = int(modes[mby, mbx])
+            t = int(offs[mby, mbx])
+            pred = _h264_i16_pred(recon, mode, y0, x0)
+            wtr.ue(1 + mode)            # mb_type: I_16x16_<mode>_0_0
+            wtr.ue(0)                   # intra_chroma_pred_mode: DC
+            wtr.se(0)                   # mb_qp_delta
+            levels = [0] * 16
+            levels[0] = t               # c00-only DC block
+            cavlc_encode_block(wtr, levels)
+            recon[y0:y0 + 16, x0:x0 + 16] = np.clip(pred + t, 0, 255)
+    body = wtr.bytes_aligned()
+    return (body[:1] + _insert_emulation(body[1:]),
+            recon.astype(np.uint8))
+
+
 def decode_h264_islice(nal: bytes, width: int, height: int) -> np.ndarray:
     """One IDR/non-IDR I-slice NAL → (height, width, 3) uint8 RGB.
     Decodes BOTH macroblock routes this library emits: I_PCM (raw
@@ -2497,11 +2598,8 @@ def decode_h264_islice_planes(nal: bytes, width: int, height: int):
             cbp_luma15 = (mb_type - 1) >= 12
             if cbp_chroma != 0:
                 raise NotImplementedError(
-                    "H264: chroma residuals are the remaining seam")
-            if pred_mode != 2:
-                raise NotImplementedError(
-                    "H264: only Intra_16x16 DC prediction implemented "
-                    "(V/H/plane are the remaining seam)")
+                    "H264: intra chroma residuals are the remaining "
+                    "seam")
             r.ue()                      # intra_chroma_pred_mode
             qp += r.se()                # mb_qp_delta
             levels = cavlc_decode_block(r, 16)
@@ -2519,21 +2617,15 @@ def decode_h264_islice_planes(nal: bytes, width: int, height: int):
                     for lv, (zi, zj) in zip(ac, _H264_ZIGZAG_4x4[1:]):
                         cb4[zi, zj] = lv
                     ac_blocks.append(cb4)
-            left_ok, top_ok = mbx > 0, mby > 0
-            if left_ok and top_ok:
-                pred = (int(yp[y0:y0 + 16, x0 - 1].sum()
-                            + yp[y0 - 1, x0:x0 + 16].sum()) + 16) >> 5
-            elif left_ok:
-                pred = (int(yp[y0:y0 + 16, x0 - 1].sum()) + 8) >> 4
-            elif top_ok:
-                pred = (int(yp[y0 - 1, x0:x0 + 16].sum()) + 8) >> 4
-            else:
-                pred = 128
+            # §8.3.3 Intra_16x16 prediction, all four modes (r11)
+            pred = _h264_i16_pred(yp, pred_mode, y0, x0)
             if ac_blocks is None:
                 for bi in range(4):
                     for bj in range(4):
                         res = (int(dc[bi, bj]) + 32) >> 6
-                        blk = np.clip(pred + res, 0, 255)
+                        blk = np.clip(
+                            pred[4 * bi:4 * bi + 4,
+                                 4 * bj:4 * bj + 4] + res, 0, 255)
                         yp[y0 + 4 * bi:y0 + 4 * bi + 4,
                            x0 + 4 * bj:x0 + 4 * bj + 4] = blk
             else:
@@ -2543,7 +2635,8 @@ def decode_h264_islice_planes(nal: bytes, width: int, height: int):
                     rblk = (_h264_inv_core4(d) + 32) >> 6
                     yp[y0 + 4 * by:y0 + 4 * by + 4,
                        x0 + 4 * bx:x0 + 4 * bx + 4] = \
-                        np.clip(pred + rblk, 0, 255)
+                        np.clip(pred[4 * by:4 * by + 4,
+                                     4 * bx:4 * bx + 4] + rblk, 0, 255)
     _ = pcm_any
     return (np.clip(yp, 0, 255).astype(np.uint8), cbs, crs)
 

@@ -3911,9 +3911,12 @@ def test_h264_i16_dc_mean_approximation_and_seams():
     w.write(0x65, 8)
     w.ue(0); w.ue(7); w.ue(0); w.write(0, 4); w.ue(0); w.write(0, 2)
     w.se(0)
-    w.ue(13)                          # I_16x16 with cbp_luma=15: AC seam
+    # mb_type 7 = I_16x16 with cbp_chroma=1: intra chroma residuals
+    # stay the honest seam (V/H/plane prediction and luma AC both
+    # decode since r10/r11)
+    w.ue(7)
     body = w.bytes_aligned()
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(NotImplementedError, match="chroma"):
         decode_h264_islice(body[:1] + _insert_emulation(body[1:]), 16, 16)
 
 
@@ -4163,6 +4166,52 @@ def test_h264_inter_residuals():
             np.unique(pl2[2]).tolist()) == ([136], [122])
     with _p.raises(ValueError, match="multiples of 2"):
         encode_h264_pres(w, h, 1, chroma_residuals=(3, 0))
+
+
+def test_h264_intra_prediction_modes():
+    """r11 third wave: ALL FOUR §8.3.3 Intra_16x16 prediction modes
+    (V / H / DC / Plane) decode; the encoder replays the decoder's
+    prediction loop so its constructed picture is the exact expected
+    reconstruction (including plane mode over non-uniform gradients);
+    unavailable-neighbor modes raise."""
+    import numpy as np
+    import pytest as _p
+    from spatial_spark.operators.codecs import (decode_h264_islice_planes,
+                                                encode_h264_i16_modes)
+
+    rng = np.random.default_rng(833)
+    w, h = 80, 64
+    mbw, mbh = w // 16, h // 16
+    modes = np.zeros((mbh, mbw), dtype=int)
+    for my in range(mbh):
+        for mx in range(mbw):
+            if my == 0 and mx == 0:
+                modes[my, mx] = 2
+            elif my == 0:
+                modes[my, mx] = 1
+            elif mx == 0:
+                modes[my, mx] = 0
+            else:
+                modes[my, mx] = (mx + my) % 4
+    offs = rng.integers(-3, 4, (mbh, mbw))
+    nal, want = encode_h264_i16_modes(w, h, modes, offs)
+    got = decode_h264_islice_planes(nal, w, h)[0]
+    assert np.array_equal(got[:h, :w], want)
+    # plane mode over macroblocks whose neighbors carry real gradients
+    modes2 = np.full((mbh, mbw), 3)
+    modes2[0, :] = 2
+    modes2[:, 0] = 2
+    offs2 = rng.integers(-20, 21, (mbh, mbw))
+    nal2, want2 = encode_h264_i16_modes(w, h, modes2, offs2)
+    got2 = decode_h264_islice_planes(nal2, w, h)[0]
+    assert np.array_equal(got2[:h, :w], want2)
+    with _p.raises(ValueError, match="vertical"):
+        encode_h264_i16_modes(w, h, np.zeros((mbh, mbw), dtype=int),
+                              offs)
+    with _p.raises(ValueError, match="plane"):
+        m = np.full((mbh, mbw), 2)
+        m[0, 1] = 3
+        encode_h264_i16_modes(w, h, m, offs)
 
 
 def test_aac_cpe_stereo():
