@@ -4222,6 +4222,107 @@ def _media_avc_ipred_oracle_sql() -> str:
     """
 
 
+def _q_media_avc_icres(spark, sf_dir) -> DataFrame:
+    """COLORED INTRA avc1 decode on the hard gate (r11, third wave —
+    the first entropy-coded COLOR intra tier, no I_PCM anywhere): per
+    media i, ONE CAVLC I-slice whose macroblocks carry luma V/H/DC
+    prediction offsets AND chroma DC-coded residuals over the §8.3.4
+    chroma prediction chain (DC seed at the origin, chroma-H along
+    row 0, chroma-V down columns — the same uniform-preserving grid as
+    the luma).  Every MB is one uniform YCbCr triple given by three
+    integer recurrences; the oracle replays them with grid-join sums
+    and folds the JFIF matrix per MB.  Chroma plane mode and the
+    per-quadrant DC rules are pinned by pytest
+    (test_h264_intra_prediction_modes)."""
+    import struct as _struct
+
+    import numpy as np
+    from spatial_spark.operators.codecs import (build_avcc, build_h264_sps,
+                                                build_mp4,
+                                                encode_h264_i16_modes)
+    from spatial_spark.operators.multimodal import MEDIA_SCHEMA, mp4_frames
+    rows = []
+    for i in range(24):
+        w, h = 48 + 16 * (i % 3), 32 + 16 * (i % 2)
+        mbw, mbh = w // 16, h // 16
+        modes = np.zeros((mbh, mbw), dtype=int)
+        modes[0, :] = 1
+        modes[0, 0] = 2
+        cmodes = np.full((mbh, mbw), 2)     # chroma-V …
+        cmodes[0, :] = 1                    # … chroma-H on row 0 …
+        cmodes[0, 0] = 0                    # … after the DC seed
+        mx = np.arange(mbw)[None, :]
+        my = np.arange(mbh)[:, None]
+        offs = ((mx + 2 * my + 2 * i) % 7) - 3
+        coffs = np.stack([2 * (((mx + my + i) % 5) - 2),
+                          2 * (((2 * mx + my + i) % 5) - 2)], axis=2)
+        nal, _ = encode_h264_i16_modes(w, h, modes, offs,
+                                       chroma_modes=cmodes,
+                                       chroma_offsets=coffs)
+        nals = [_struct.pack(">I", len(nal)) + nal]
+        rows.append((i, bytearray(build_mp4(
+            w, h, 0, 1000, 40, codec="avc1", samples=nals,
+            codec_config=build_avcc(build_h264_sps(w, h)))),
+            "video", "mp4", w, h, None))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(8)
+    return (mp4_frames(df)
+            .select("media_id", "frame_no", "decoded_w", "decoded_h",
+                    F.expr("CAST(round(mean_intensity * decoded_w * "
+                           "decoded_h * 3) AS BIGINT)").alias("sum_rgb"))
+            .orderBy("media_id", "frame_no"))
+
+
+def _media_avc_icres_oracle_sql() -> str:
+    # three per-MB value recurrences (Y via c_y, Cb via c_b, Cr via
+    # c_r, each 128 + row-0 prefix + column tail), then the JFIF
+    # matrix + round per MB — every product far from an exact .5
+    rec = ("128 + (SELECT sum({row0}) FROM (SELECT unnest("
+           "generate_series(0, g.mx)) AS j) j) + COALESCE((SELECT "
+           "sum({col}) FROM (SELECT unnest(generate_series(1, g.my)) "
+           "AS k) k WHERE g.my >= 1), 0)")
+    vy = rec.format(row0="((j.j + 2 * g.i) % 7) - 3",
+                    col="((g.mx + 2 * k.k + 2 * g.i) % 7) - 3")
+    vcb = rec.format(row0="2 * (((j.j + g.i) % 5) - 2)",
+                     col="2 * (((g.mx + k.k + g.i) % 5) - 2)")
+    vcr = rec.format(row0="2 * (((2 * j.j + g.i) % 5) - 2)",
+                     col="2 * (((2 * g.mx + k.k + g.i) % 5) - 2)")
+    return f"""
+        WITH items AS (SELECT unnest(generate_series(0, 23)) AS i),
+        dims AS (SELECT i, 48 + 16 * (i % 3) AS w, 32 + 16 * (i % 2) AS h
+                 FROM items),
+        grid AS (SELECT d.*, mx.mx, my.my
+                 FROM dims d,
+                      LATERAL (SELECT unnest(generate_series(
+                        0, d.w // 16 - 1)) AS mx) mx,
+                      LATERAL (SELECT unnest(generate_series(
+                        0, d.h // 16 - 1)) AS my) my),
+        vals AS (
+          SELECT g.i, g.mx, g.my,
+                 CAST({vy} AS DOUBLE) AS _y,
+                 CAST(({vcb}) - 128 AS DOUBLE) AS _cbd,
+                 CAST(({vcr}) - 128 AS DOUBLE) AS _crd
+          FROM grid g),
+        rgb AS (
+          SELECT i,
+                 CAST(round(_y + CAST(1.402 AS DOUBLE) * _crd)
+                      AS BIGINT)
+                 + CAST(round(_y - CAST(0.344136 AS DOUBLE) * _cbd
+                              - CAST(0.714136 AS DOUBLE) * _crd)
+                        AS BIGINT)
+                 + CAST(round(_y + CAST(1.772 AS DOUBLE) * _cbd)
+                        AS BIGINT) AS trip
+          FROM vals),
+        per_frame AS (SELECT i, sum(trip) AS tsum FROM rgb GROUP BY i)
+        SELECT CAST(d.i AS BIGINT) AS media_id,
+               CAST(0 AS INT) AS frame_no,
+               CAST(d.w AS INT) AS decoded_w,
+               CAST(d.h AS INT) AS decoded_h,
+               CAST(256 * p.tsum AS BIGINT) AS sum_rgb
+        FROM dims d JOIN per_frame p USING (i)
+        ORDER BY media_id, frame_no
+    """
+
+
 def _q_media_aac_cpe(spark, sf_dir) -> DataFrame:
     """STEREO AAC-LC (channel_pair_element) on the hard gate (r11,
     third wave — the tier past media_aac_huff's mono SCE): per media i,
@@ -4680,6 +4781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_avc_cres": _q_media_avc_cres,
         "media_aac_cpe": _q_media_aac_cpe,
         "media_avc_ipred": _q_media_avc_ipred,
+        "media_avc_icres": _q_media_avc_icres,
         # --- the 15 r8-row holders that did not fit: FIRST in r12
         "cql2": _q_cql2,
         "st_transform_merc": _q_st_transform_merc,
@@ -7567,6 +7669,7 @@ def oracle_sql() -> dict[str, str]:
         "media_avc_cres": _media_avc_cres_oracle_sql(),
         "media_aac_cpe": _media_aac_cpe_oracle_sql(),
         "media_avc_ipred": _media_avc_ipred_oracle_sql(),
+        "media_avc_icres": _media_avc_icres_oracle_sql(),
         "st_transform_aea": _aea_oracle_sql(),
         # stream-stream interval join == the batch interval join (the
         # time-ordered replay has no late data, so the watermark drops

@@ -163,6 +163,8 @@ HEADLINE = [
     "media_aac_cpe",
     # r11: Intra_16x16 V/H/DC prediction grid (non-DC intra modes)
     "media_avc_ipred",
+    # r11: colored intra — chroma prediction + DC residuals, no I_PCM
+    "media_avc_icres",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -351,6 +353,9 @@ BUDGET_SF01 = {
     # r11: 2.2x local best-of-two (24-container fixture: driver-side
     # encode of a V/H/DC prediction grid + one I-slice decode each)
     "media_avc_ipred": 4.6,
+    # r11: 2.2x local best-of-two (24-container fixture: colored
+    # intra — luma + chroma prediction chains per I-slice)
+    "media_avc_icres": 1.9,
     # (EVERY pin re-ratcheted as min(old, 2.2x the clean final full
     # run's min-of-2) — landing-time measurements taken under
     # concurrent sweeps carried up to 9x slack; the ratchet never

@@ -2475,17 +2475,89 @@ def _h264_i16_pred(yp: np.ndarray, mode: int, y0: int,
     raise ValueError(f"H264: Intra_16x16 prediction mode {mode}")
 
 
+def _h264_chroma_pred(pl: np.ndarray, mode: int, y0: int,
+                      x0: int) -> np.ndarray:
+    """§8.3.4 intra CHROMA prediction (8x8, 4:2:0): returns the (8, 8)
+    prediction for the chroma block at (y0, x0) of plane ``pl``.
+    Chroma mode numbering (≠ luma!): 0 DC (per-4x4-quadrant neighbor
+    rules, §8.3.4.1), 1 Horizontal, 2 Vertical, 3 Plane (§8.3.4.4
+    with the 34·H/34·V fit).  Unavailable-neighbor modes raise."""
+    left_ok, top_ok = x0 > 0, y0 > 0
+    out = np.empty((8, 8), dtype=np.int64)
+    if mode == 0:                   # DC, per 4x4 quadrant
+        def s_top(lo):
+            return int(pl[y0 - 1, x0 + lo:x0 + lo + 4].sum())
+
+        def s_left(lo):
+            return int(pl[y0 + lo:y0 + lo + 4, x0 - 1].sum())
+        for qy in (0, 4):
+            for qx in (0, 4):
+                corner = (qx == 0) == (qy == 0)   # (0,0) and (4,4)
+                if corner and left_ok and top_ok:
+                    v = (s_top(qx) + s_left(qy) + 4) >> 3
+                elif (qx == 4 and qy == 0 and top_ok) or \
+                        (corner and top_ok and not left_ok):
+                    v = (s_top(qx) + 2) >> 2
+                elif (qx == 0 and qy == 4 and left_ok) or \
+                        (corner and left_ok and not top_ok):
+                    v = (s_left(qy) + 2) >> 2
+                elif left_ok:       # fallbacks for the off-corners
+                    v = (s_left(qy) + 2) >> 2
+                elif top_ok:
+                    v = (s_top(qx) + 2) >> 2
+                else:
+                    v = 128
+                out[qy:qy + 4, qx:qx + 4] = v
+        return out
+    if mode == 1:                   # Horizontal
+        if not left_ok:
+            raise ValueError("H264: chroma horizontal prediction with "
+                             "no column left (nonconformant)")
+        return np.tile(pl[y0:y0 + 8, x0 - 1][:, None],
+                       (1, 8)).astype(np.int64)
+    if mode == 2:                   # Vertical
+        if not top_ok:
+            raise ValueError("H264: chroma vertical prediction with "
+                             "no row above (nonconformant)")
+        return np.tile(pl[y0 - 1, x0:x0 + 8], (8, 1)).astype(np.int64)
+    if mode == 3:                   # Plane (§8.3.4.4)
+        if not (top_ok and left_ok):
+            raise ValueError("H264: chroma plane prediction needs top "
+                             "AND left (nonconformant)")
+        top = pl[y0 - 1, x0 - 1:x0 + 8].astype(np.int64)
+        left = pl[y0 - 1:y0 + 8, x0 - 1].astype(np.int64)
+        k = np.arange(1, 5, dtype=np.int64)
+        H = int((k * (top[4 + k] - top[4 - k])).sum())
+        V = int((k * (left[4 + k] - left[4 - k])).sum())
+        a = 16 * (int(left[8]) + int(top[8]))
+        b = (34 * H + 32) >> 6
+        c = (34 * V + 32) >> 6
+        x = np.arange(8, dtype=np.int64)
+        grid = a + b * (x[None, :] - 3) + c * (x[:, None] - 4) + 16
+        return np.clip(grid >> 5, 0, 255)
+    raise ValueError(f"H264: chroma prediction mode {mode}")
+
+
 def encode_h264_i16_modes(width: int, height: int, modes: np.ndarray,
-                          offsets: np.ndarray, qp: int = 28) -> tuple:
+                          offsets: np.ndarray, qp: int = 28,
+                          chroma_modes: np.ndarray | None = None,
+                          chroma_offsets: np.ndarray | None = None
+                          ) -> tuple:
     """One IDR I-slice NAL of I_16x16 macroblocks exercising ALL FOUR
     §8.3.3 prediction modes (r11, third wave): per MB, mb_type =
-    1 + modes[mby, mbx] (0 V / 1 H / 2 DC / 3 Plane, cbp = 0) plus a
-    DC-coded uniform residual offsets[mby, mbx] (any integer — the
-    qp=28 identity chain).  The encoder replays the decoder's exact
+    1 + modes[mby, mbx] (0 V / 1 H / 2 DC / 3 Plane) plus a DC-coded
+    uniform luma residual offsets[mby, mbx] (any integer — the qp=28
+    identity chain).  The encoder replays the decoder's exact
     prediction loop, so the CONSTRUCTED picture is part of the return:
     ``(nal, luma)`` with ``luma`` the (height, width) uint8 plane the
     decoder must reproduce bit-exactly.  Availability is validated
-    (V needs a row above, H a column left, Plane both)."""
+    (V needs a row above, H a column left, Plane both).
+
+    ``chroma_modes`` (§8.3.4 numbering: 0 DC / 1 H / 2 V / 3 Plane)
+    with ``chroma_offsets`` (mbh, mbw, 2) — per-MB uniform (Cb, Cr)
+    residuals, multiples of 2 — additionally code intra CHROMA:
+    cbp_chroma = 1 (ChromaDCLevel-only), COLORED intra frames without
+    I_PCM.  The return becomes ``(nal, (luma, cb, cr))``."""
     if qp != 28:
         raise NotImplementedError("H264 I16 encoder: qp=28 only")
     if width % 16 or height % 16:
@@ -2498,7 +2570,19 @@ def encode_h264_i16_modes(width: int, height: int, modes: np.ndarray,
         raise ValueError(f"modes/offsets must be ({mbh}, {mbw})")
     if np.abs(offs).max() > 255:
         raise ValueError("|offset| > 255")
+    do_chroma = chroma_modes is not None
+    if do_chroma:
+        cmodes = np.asarray(chroma_modes, dtype=np.int64)
+        coffs = np.asarray(chroma_offsets, dtype=np.int64)
+        if cmodes.shape != (mbh, mbw) or coffs.shape != (mbh, mbw, 2):
+            raise ValueError(f"chroma modes must be ({mbh}, {mbw}), "
+                             f"offsets ({mbh}, {mbw}, 2)")
+        if (coffs % 2).any():
+            raise ValueError("chroma residual values must be "
+                             "multiples of 2 (DC-only qp=28 step)")
     recon = np.zeros((height, width), dtype=np.int64)
+    creco = [np.zeros((height // 2, width // 2), dtype=np.int64)
+             for _ in range(2)]
     wtr = _EgBitWriter()
     wtr.write(0x65, 8)                  # NAL: ref_idc=3, type=5 (IDR)
     wtr.ue(0)                           # first_mb_in_slice
@@ -2514,16 +2598,36 @@ def encode_h264_i16_modes(width: int, height: int, modes: np.ndarray,
             mode = int(modes[mby, mbx])
             t = int(offs[mby, mbx])
             pred = _h264_i16_pred(recon, mode, y0, x0)
-            wtr.ue(1 + mode)            # mb_type: I_16x16_<mode>_0_0
-            wtr.ue(0)                   # intra_chroma_pred_mode: DC
+            cbp_chroma = 1 if do_chroma else 0
+            wtr.ue(1 + mode + 4 * cbp_chroma)   # mb_type
+            wtr.ue(int(cmodes[mby, mbx]) if do_chroma else 0)
             wtr.se(0)                   # mb_qp_delta
             levels = [0] * 16
             levels[0] = t               # c00-only DC block
             cavlc_encode_block(wtr, levels)
             recon[y0:y0 + 16, x0:x0 + 16] = np.clip(pred + t, 0, 255)
+            if do_chroma:               # ChromaDCLevel: Cb then Cr
+                cy0, cx0 = 8 * mby, 8 * mbx
+                for pi in (0, 1):
+                    cv = int(coffs[mby, mbx, pi]) // 2
+                    cavlc_encode_block(wtr, [cv, 0, 0, 0],
+                                       chroma_dc=True)
+                    cpred = _h264_chroma_pred(
+                        creco[pi], int(cmodes[mby, mbx]), cy0, cx0)
+                    creco[pi][cy0:cy0 + 8, cx0:cx0 + 8] = \
+                        np.clip(cpred + 2 * cv, 0, 255)
+            else:                       # prediction-only neutral 128
+                cy0, cx0 = 8 * mby, 8 * mbx
+                for pi in (0, 1):
+                    creco[pi][cy0:cy0 + 8, cx0:cx0 + 8] = \
+                        _h264_chroma_pred(creco[pi], 0, cy0, cx0)
     body = wtr.bytes_aligned()
-    return (body[:1] + _insert_emulation(body[1:]),
-            recon.astype(np.uint8))
+    nal = body[:1] + _insert_emulation(body[1:])
+    if do_chroma:
+        return nal, (recon.astype(np.uint8),
+                     creco[0].astype(np.uint8),
+                     creco[1].astype(np.uint8))
+    return nal, recon.astype(np.uint8)
 
 
 def decode_h264_islice(nal: bytes, width: int, height: int) -> np.ndarray:
@@ -2596,11 +2700,12 @@ def decode_h264_islice_planes(nal: bytes, width: int, height: int):
             pred_mode = (mb_type - 1) % 4   # 0=V 1=H 2=DC 3=Plane
             cbp_chroma = ((mb_type - 1) // 4) % 3
             cbp_luma15 = (mb_type - 1) >= 12
-            if cbp_chroma != 0:
+            if cbp_chroma == 2:
                 raise NotImplementedError(
-                    "H264: intra chroma residuals are the remaining "
-                    "seam")
-            r.ue()                      # intra_chroma_pred_mode
+                    "H264: intra chroma AC residuals remain the seam "
+                    "(cbp_chroma == 2; DC-only cbp_chroma == 1 "
+                    "decodes)")
+            cpm = r.ue()                # intra_chroma_pred_mode
             qp += r.se()                # mb_qp_delta
             levels = cavlc_decode_block(r, 16)
             c = np.zeros((4, 4), dtype=np.int64)
@@ -2617,6 +2722,25 @@ def decode_h264_islice_planes(nal: bytes, width: int, height: int):
                     for lv, (zi, zj) in zip(ac, _H264_ZIGZAG_4x4[1:]):
                         cb4[zi, zj] = lv
                     ac_blocks.append(cb4)
+            if cbp_chroma:              # ChromaDCLevel (§8.5.11) + the
+                qpc = _h264_chroma_qp(qp)   # §8.3.4 chroma prediction
+                cy0, cx0 = 8 * mby, 8 * mbx
+                for pl in (cbs, crs):
+                    lv = cavlc_decode_block(r, 4, chroma_dc=True)
+                    c2 = np.array([[lv[0], lv[1]], [lv[2], lv[3]]],
+                                  dtype=np.int64)
+                    f2 = _H2X2 @ c2 @ _H2X2
+                    dcc = (f2 * (16 * _H264_DC_V0[qpc % 6])
+                           << (qpc // 6)) >> 5
+                    cpred = _h264_chroma_pred(pl, cpm, cy0, cx0)
+                    for by in range(2):
+                        for bx in range(2):
+                            val = (int(dcc[by, bx]) + 32) >> 6
+                            pl[cy0 + 4 * by:cy0 + 4 * by + 4,
+                               cx0 + 4 * bx:cx0 + 4 * bx + 4] = \
+                                np.clip(cpred[4 * by:4 * by + 4,
+                                              4 * bx:4 * bx + 4]
+                                        + val, 0, 255)
             # §8.3.3 Intra_16x16 prediction, all four modes (r11)
             pred = _h264_i16_pred(yp, pred_mode, y0, x0)
             if ac_blocks is None:

@@ -3911,12 +3911,12 @@ def test_h264_i16_dc_mean_approximation_and_seams():
     w.write(0x65, 8)
     w.ue(0); w.ue(7); w.ue(0); w.write(0, 4); w.ue(0); w.write(0, 2)
     w.se(0)
-    # mb_type 7 = I_16x16 with cbp_chroma=1: intra chroma residuals
-    # stay the honest seam (V/H/plane prediction and luma AC both
-    # decode since r10/r11)
-    w.ue(7)
+    # mb_type 11 = I_16x16 with cbp_chroma=2: intra chroma AC stays
+    # the honest seam (V/H/plane prediction, luma AC and chroma DC
+    # residuals all decode since r10/r11)
+    w.ue(11)
     body = w.bytes_aligned()
-    with pytest.raises(NotImplementedError, match="chroma"):
+    with pytest.raises(NotImplementedError, match="chroma AC"):
         decode_h264_islice(body[:1] + _insert_emulation(body[1:]), 16, 16)
 
 
@@ -4212,6 +4212,30 @@ def test_h264_intra_prediction_modes():
         m = np.full((mbh, mbw), 2)
         m[0, 1] = 3
         encode_h264_i16_modes(w, h, m, offs)
+    # intra CHROMA: §8.3.4 prediction (all four chroma modes, incl.
+    # the per-quadrant DC rules and the 34H/34V plane fit) + DC-coded
+    # chroma residuals — colored intra frames without I_PCM
+    cmodes = np.zeros((mbh, mbw), dtype=int)
+    for my in range(mbh):
+        for mx in range(mbw):
+            if my == 0 and mx == 0:
+                cmodes[my, mx] = 0
+            elif my == 0:
+                cmodes[my, mx] = 1
+            elif mx == 0:
+                cmodes[my, mx] = 2
+            else:
+                cmodes[my, mx] = (mx + 2 * my) % 4
+    coffs = 2 * rng.integers(-4, 5, (mbh, mbw, 2))
+    nal3, (wy3, wcb, wcr) = encode_h264_i16_modes(
+        w, h, modes, offs, chroma_modes=cmodes, chroma_offsets=coffs)
+    gy3, gcb, gcr = decode_h264_islice_planes(nal3, w, h)
+    assert np.array_equal(gy3[:h, :w], wy3)
+    assert np.array_equal(gcb, wcb)
+    assert np.array_equal(gcr, wcr)
+    with _p.raises(ValueError, match="multiples of 2"):
+        encode_h264_i16_modes(w, h, modes, offs, chroma_modes=cmodes,
+                              chroma_offsets=coffs + 1)
 
 
 def test_aac_cpe_stereo():
