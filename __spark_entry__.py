@@ -4222,6 +4222,59 @@ def _media_avc_ipred_oracle_sql() -> str:
     """
 
 
+def _q_url_dedup(spark, sf_dir) -> DataFrame:
+    """URL canonicalization + URL-level dedup on the hard gate (r11,
+    third wave — the crawl-pipeline front door): per document a MESSY
+    absolute URL synthesized from doc_id (uppercase scheme/host,
+    default and non-default ports, empty paths, shuffled + tracking
+    query params, fragments), canonicalized by text.url_normalize
+    (pure Column string algebra, no UDF) and deduped on the canonical
+    key.  The oracle never replays the regex pipeline — it states the
+    EXPECTED canonical form directly from doc_id and groups, so any
+    normalization rule the operator gets wrong (a kept utm param, an
+    unsorted query, a surviving :443) hash-mismatches."""
+    from spatial_spark.operators.text import url_dedup
+    raw = ("concat("
+           "CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END,"
+           "'://WWW.Example', CAST(doc_id % 50 AS STRING), '.COM',"
+           "CASE WHEN doc_id % 4 = 0 THEN"
+           "  CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END"
+           " WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END,"
+           "CASE WHEN doc_id % 3 = 0 THEN ''"
+           " WHEN doc_id % 3 = 1 THEN concat('/Page',"
+           "   CAST(doc_id % 7 AS STRING)) ELSE '/a/B' END,"
+           "CASE WHEN doc_id % 5 = 0 THEN '?utm_source=news&b=2&a=1'"
+           " WHEN doc_id % 5 = 1 THEN '?a=1&b=2'"
+           " WHEN doc_id % 5 = 2 THEN '?b=2&a=1&fbclid=xyz'"
+           " WHEN doc_id % 5 = 3 THEN '?gclid=1' ELSE '' END,"
+           "CASE WHEN doc_id % 2 = 1 THEN concat('#Sec',"
+           "  CAST(doc_id % 3 AS STRING)) ELSE '' END)")
+    docs = (spark.table("documents")
+            .filter(F.col("doc_id") <= 4000)
+            .select("doc_id", F.expr(raw).alias("url")))
+    return (url_dedup(docs)
+            .orderBy("canonical_url"))
+
+
+_URL_DEDUP_ORACLE = """
+    WITH docs AS (SELECT doc_id AS d FROM documents
+                  WHERE doc_id <= 4000),
+    canon AS (SELECT d,
+      (CASE WHEN d % 2 = 0 THEN 'https' ELSE 'http' END)
+      || '://www.example' || CAST(d % 50 AS VARCHAR) || '.com'
+      || (CASE WHEN d % 4 = 1 THEN ':8080' ELSE '' END)
+      || (CASE WHEN d % 3 = 0 THEN '/'
+               WHEN d % 3 = 1 THEN '/Page' || CAST(d % 7 AS VARCHAR)
+               ELSE '/a/B' END)
+      || (CASE WHEN d % 5 IN (0, 1, 2) THEN '?a=1&b=2' ELSE '' END)
+        AS cu
+      FROM docs)
+    SELECT cu AS canonical_url, min(d) AS keeper_doc_id,
+           count(*) AS n_dupes
+    FROM canon GROUP BY cu ORDER BY canonical_url
+"""
+
+
 def _q_media_avc_icres(spark, sf_dir) -> DataFrame:
     """COLORED INTRA avc1 decode on the hard gate (r11, third wave —
     the first entropy-coded COLOR intra tier, no I_PCM anywhere): per
@@ -4782,6 +4835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_aac_cpe": _q_media_aac_cpe,
         "media_avc_ipred": _q_media_avc_ipred,
         "media_avc_icres": _q_media_avc_icres,
+        "url_dedup": _q_url_dedup,
         # --- the 15 r8-row holders that did not fit: FIRST in r12
         "cql2": _q_cql2,
         "st_transform_merc": _q_st_transform_merc,
@@ -7670,6 +7724,7 @@ def oracle_sql() -> dict[str, str]:
         "media_aac_cpe": _media_aac_cpe_oracle_sql(),
         "media_avc_ipred": _media_avc_ipred_oracle_sql(),
         "media_avc_icres": _media_avc_icres_oracle_sql(),
+        "url_dedup": _URL_DEDUP_ORACLE,
         "st_transform_aea": _aea_oracle_sql(),
         # stream-stream interval join == the batch interval join (the
         # time-ordered replay has no late data, so the watermark drops

@@ -165,6 +165,8 @@ HEADLINE = [
     "media_avc_ipred",
     # r11: colored intra — chroma prediction + DC residuals, no I_PCM
     "media_avc_icres",
+    # r11: URL canonicalization + URL-level dedup (pure Column)
+    "url_dedup",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -331,31 +333,34 @@ BUDGET_SF01 = {
     # r11: 2.2x local best-of-two (NL-box customers through the full
     # ECEF→Helmert→Bowring→conformal-sphere-stereographic chain,
     # uniform-batch fast path; measured under a concurrent sweep)
-    "st_transform_rd": 2.7,
+    "st_transform_rd": 0.9,
     # r11: 2.2x local best-of-two (24-container fixture: I_PCM IDR +
     # an MC+residual P + a residual-accumulating P per media)
-    "media_avc_pres": 3.1,
+    "media_avc_pres": 2.1,
     # r11: 2.2x local best-of-two (capped 2000-doc fixture; cost = 4
     # stateful micro-batch folds + the fixture write, not scan volume)
-    "dedup_stream": 16.3,
+    "dedup_stream": 13.8,
     # r11: 2.2x local best-of-two (capped 2000-event fixture; 4
     # applyInPandasWithState micro-batches)
-    "retention_stream": 23.0,
+    "retention_stream": 16.9,
     # r11: 2.2x local best-of-two (Swiss-box customers through the
     # ECEF→Helmert→Bowring→conformal-sphere→rotation→Mercator chain)
-    "st_transform_lv95": 2.0,
+    "st_transform_lv95": 1.0,
     # r11: 2.2x local best-of-two (24-container fixture: gray IDR +
     # two chroma-shifting residual P frames per media)
-    "media_avc_cres": 2.8,
+    "media_avc_cres": 2.6,
     # r11: 2.2x local best-of-two (16-container stereo fixture: CPE
     # Huffman decode x2 channels + two per-channel filterbanks)
-    "media_aac_cpe": 2.9,
+    "media_aac_cpe": 2.2,
     # r11: 2.2x local best-of-two (24-container fixture: driver-side
     # encode of a V/H/DC prediction grid + one I-slice decode each)
-    "media_avc_ipred": 4.6,
+    "media_avc_ipred": 1.5,
     # r11: 2.2x local best-of-two (24-container fixture: colored
     # intra — luma + chroma prediction chains per I-slice)
-    "media_avc_icres": 1.9,
+    "media_avc_icres": 1.7,
+    # r11: 2.2x local best-of-two (capped 4000-doc fixture; one
+    # regex-normalize map pass + one keyed agg)
+    "url_dedup": 1.8,
     # (EVERY pin re-ratcheted as min(old, 2.2x the clean final full
     # run's min-of-2) — landing-time measurements taken under
     # concurrent sweeps carried up to 9x slack; the ratchet never

@@ -484,3 +484,64 @@ def credit_card_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
         lambda acc, c: F.replace(acc, c, F.lit("[CARD]")))
     return (df.withColumn("card_count", F.size(valid))
             .withColumn(text_col, scrubbed))
+
+
+# ---------------------------------------------------------------------------
+# URL normalization + URL-level dedup (r11, third wave) — the crawl-
+# pipeline front door: raw crawl URL lists carry the same page under
+# scheme/host case variants, default ports, fragments, tracking
+# parameters and shuffled query strings.  Canonicalize FIRST, then
+# dedup on the canonical key — pure Column string algebra (no UDF),
+# the same RE2-compatible-regex discipline as pii_scrub.
+# ---------------------------------------------------------------------------
+_URL_TRACKING_RE = "^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid)="
+
+
+def url_normalize(url: Column | str) -> Column:
+    """Canonical form of an absolute http(s)-style URL, as one Column
+    expression: lowercase scheme and host, strip the fragment, drop
+    default ports (http:80, https:443), drop tracking query params
+    (utm_*, gclid, fbclid, msclkid, mc_eid), SORT the surviving query
+    params, and normalize an empty path to '/'.  Path case, non-default
+    ports and param VALUES are preserved (they are significant)."""
+    u = F.col(url) if isinstance(url, str) else url
+    u0 = F.regexp_replace(u, "#.*$", "")          # fragment
+    scheme = F.lower(F.regexp_extract(
+        u0, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    rest = F.regexp_replace(u0, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    pathq = F.regexp_replace(rest, r"^[^/?]*", "")
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    drop_port = ((port == "")
+                 | ((scheme == "http") & (port == "80"))
+                 | ((scheme == "https") & (port == "443")))
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    path = F.when(path == "", "/").otherwise(path)
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_URL_TRACKING_RE))
+    qnorm = F.array_join(F.sort_array(params), "&")
+    return F.concat(
+        scheme, F.lit("://"), host,
+        F.when(drop_port, F.lit("")).otherwise(F.concat(F.lit(":"),
+                                                        port)),
+        path,
+        F.when(qnorm == "", F.lit("")).otherwise(F.concat(F.lit("?"),
+                                                          qnorm)))
+
+
+def url_dedup(df: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """URL-level exact dedup on the CANONICAL form: one row per
+    normalized URL with the smallest ``id_col`` as the deterministic
+    winner and the duplicate count.  One keyed agg — the shuffle key is
+    the canonical string, never the document payload; at crawl scale
+    this is the first, cheapest dedup pass (before any content
+    fingerprinting), typically dropping the 10-30% of refetches that
+    differ only in tracking params or fragments."""
+    return (df.withColumn("_canon", url_normalize(url_col))
+            .groupBy(F.col("_canon").alias("canonical_url"))
+            .agg(F.min(id_col).alias("keeper_" + id_col),
+                 F.count(F.lit(1)).alias("n_dupes")))

@@ -901,6 +901,41 @@ def test_deterministic_sampling(spark):
     assert cnt["train"] > 2900 and cnt["valid"] > 200 and cnt["test"] > 200
 
 
+def test_url_normalize_and_dedup(spark):
+    """r11 third wave: URL canonicalization rules (scheme/host case,
+    fragments, default ports, tracking params, query sort, empty
+    path) and the canonical-key dedup with a deterministic winner."""
+    from pyspark.sql import functions as F
+
+    from spatial_spark.operators.text import url_dedup, url_normalize
+
+    cases = [
+        ("HTTP://WWW.Ex.COM:80/Path?b=2&utm_source=x&a=1#frag",
+         "http://www.ex.com/Path?a=1&b=2"),
+        ("https://Host.org:443", "https://host.org/"),
+        ("https://Host.org:8443/A?gclid=1", "https://host.org:8443/A"),
+        ("http://h.io/p?fbclid=z&z=9&a=1&mc_eid=7",
+         "http://h.io/p?a=1&z=9"),
+        ("http://h.io:8080/", "http://h.io:8080/"),
+        ("http://h.io/CaseKept/Path", "http://h.io/CaseKept/Path"),
+        # :443 on http is NOT a default port — preserved
+        ("http://h.io:443/x", "http://h.io:443/x"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(url_normalize("url")).collect()]
+    assert got == [w for _, w in cases]
+    dup = spark.createDataFrame(
+        [(1, "http://A.io/x?b=2&a=1"),
+         (2, "HTTP://a.io:80/x?a=1&b=2#z"),
+         (3, "http://a.io/x?a=1&b=2&utm_source=t"),
+         (4, "http://a.io/y")],
+        "doc_id long, url string")
+    out = {r["canonical_url"]: (r["keeper_doc_id"], r["n_dupes"])
+           for r in url_dedup(dup).collect()}
+    assert out == {"http://a.io/x?a=1&b=2": (1, 3),
+                   "http://a.io/y": (4, 1)}
+
+
 def test_pii_scrub(spark):
     from spatial_spark.operators.text import pii_scrub
     df = spark.createDataFrame(
