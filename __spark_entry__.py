@@ -609,6 +609,46 @@ def _st_transform_rd_oracle_sql() -> str:
         FROM _sod_out"""
 
 
+def _q_st_transform_gk(spark, sf_dir) -> DataFrame:
+    """Pulkovo 1942 Gauss-Krüger on the hard gate (r11, third wave —
+    the legacy Eastern-European zone family, EPSG:28404-28432):
+    customer points wrapped into the GK zone-7 box 4326 → EPSG:28407
+    (Krassovsky 1940 + the EPSG:1254 3-parameter shift, zone number
+    riding the false easting) through the st_transform kernel, cm
+    integers hash-compared against the dual-engine tmd_forward_ctes
+    SQL — the fourth datum family on the same closed-form chain."""
+    pts = (spark.table("customer")
+           .select("c_custkey",
+                   F.expr("36.2 + CAST((c_custkey * 7919) % 560 "
+                          "AS DOUBLE) / 100.0").alias("lon"),
+                   F.expr("42.0 + CAST((c_custkey * 104729) % 2600 "
+                          "AS DOUBLE) / 100.0").alias("lat"))
+           .withColumn("u", F.expr(
+               "st_transform(st_point(lon, lat), 'EPSG:4326', "
+               "'EPSG:28407')")))
+    return pts.select(
+        "c_custkey",
+        F.expr("CAST(round(st_x(u) * 100) AS BIGINT)").alias("e_cm"),
+        F.expr("CAST(round(st_y(u) * 100) AS BIGINT)").alias("n_cm"))
+
+
+def _st_transform_gk_oracle_sql() -> str:
+    from spatial_spark.functions.crs import _frame, tmd_forward_ctes
+    params = tuple(float(v)
+                   for v in _frame("EPSG:28407").split(":")[1:])
+    base = """SELECT c_custkey,
+                     36.2 + CAST((c_custkey * 7919) % 560 AS DOUBLE)
+                       / 100.0 AS lon,
+                     42.0 + CAST((c_custkey * 104729) % 2600 AS DOUBLE)
+                       / 100.0 AS lat
+              FROM customer"""
+    return tmd_forward_ctes(base, *params) + """
+        SELECT c_custkey,
+               CAST(round(easting * 100) AS BIGINT) AS e_cm,
+               CAST(round(northing * 100) AS BIGINT) AS n_cm
+        FROM _tmd_out"""
+
+
 def _q_st_transform_lv95(spark, sf_dir) -> DataFrame:
     """Swiss oblique cylindrical on the hard gate (r11, third wave; the
     third datum-shifted family after OSGB36/RD New and the third
@@ -4836,6 +4876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_avc_ipred": _q_media_avc_ipred,
         "media_avc_icres": _q_media_avc_icres,
         "url_dedup": _q_url_dedup,
+        "st_transform_gk": _q_st_transform_gk,
         # --- the 15 r8-row holders that did not fit: FIRST in r12
         "cql2": _q_cql2,
         "st_transform_merc": _q_st_transform_merc,
@@ -7725,6 +7766,7 @@ def oracle_sql() -> dict[str, str]:
         "media_avc_ipred": _media_avc_ipred_oracle_sql(),
         "media_avc_icres": _media_avc_icres_oracle_sql(),
         "url_dedup": _URL_DEDUP_ORACLE,
+        "st_transform_gk": _st_transform_gk_oracle_sql(),
         "st_transform_aea": _aea_oracle_sql(),
         # stream-stream interval join == the batch interval join (the
         # time-ordered replay has no late data, so the watermark drops

@@ -167,6 +167,8 @@ HEADLINE = [
     "media_avc_icres",
     # r11: URL canonicalization + URL-level dedup (pure Column)
     "url_dedup",
+    # r11: Pulkovo 1942 Gauss-Krüger zone family (4th datum family)
+    "st_transform_gk",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -361,6 +363,9 @@ BUDGET_SF01 = {
     # r11: 2.2x local best-of-two (capped 4000-doc fixture; one
     # regex-normalize map pass + one keyed agg)
     "url_dedup": 1.8,
+    # r11: 2.2x local best-of-two (zone-7-box customers through the
+    # datum-tier chain — same shape as st_transform_osgb)
+    "st_transform_gk": 1.9,
     # (EVERY pin re-ratcheted as min(old, 2.2x the clean final full
     # run's min-of-2) — landing-time measurements taken under
     # concurrent sweeps carried up to 9x slack; the ratchet never

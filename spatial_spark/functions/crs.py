@@ -195,6 +195,27 @@ _EPSG_SOC = {
         BESSEL_A, BESSEL_F, *CH1903_HELMERT))),
 }
 
+# Legacy Pulkovo 1942 Gauss-Krüger zones (EPSG 28404-28432 = Pulkovo
+# 1942 / GK zone 4..32): Krassovsky 1940 ellipsoid, k0 = 1, central
+# meridian 6n−3, false easting n·1 000 000 + 500 000 (the zone number
+# rides the easting), plus the published continent-wide 3-parameter
+# shift Pulkovo 1942 → WGS84 (EPSG tfm 1254: dX 28, dY −130, dZ −95 m
+# — the documented ~5-10 m accuracy class, the same contract as the
+# NAD27 tier; regional 7-parameter refinements drop into the same
+# tmd: token).  The family every legacy Russian / Eastern-European
+# shapefile workflow hits first.
+KRASSOVSKY_A = 6378245.0
+KRASSOVSKY_F = 1.0 / 298.3
+PULKOVO42_HELMERT = (28.0, -130.0, -95.0, 0.0, 0.0, 0.0, 0.0)
+_PULKOVO_GK_RE = re.compile(r"^(?:epsg:)?284(0[4-9]|[12][0-9]|3[0-2])$")
+
+
+def _pulkovo_gk_frame(zone: int) -> str:
+    return _frame("tmd:" + ":".join(repr(v) for v in (
+        0.0, 6.0 * zone - 3.0, 1.0, zone * 1_000_000.0 + 500_000.0,
+        0.0, KRASSOVSKY_A, KRASSOVSKY_F, *PULKOVO42_HELMERT)))
+
+
 # Legacy NAD27 UTM zones (EPSG 26701-26722 = NAD27 / UTM 1N..22N):
 # Clarke 1866 ellipsoid + the published CONUS 3-parameter shift
 # NAD27→WGS84 (EPSG tfm 1173: dX −8, dY 160, dZ 176 m) — the ~10 m
@@ -236,6 +257,9 @@ def _frame(crs) -> str:
     m = _NAD27_UTM_RE.match(s)
     if m:                       # EPSG:26701-26722 — NAD27 / UTM zones
         return _nad27_utm_frame(int(m.group(1)))
+    m = _PULKOVO_GK_RE.match(s)
+    if m:                       # EPSG:28404-28432 — Pulkovo 1942 / GK
+        return _pulkovo_gk_frame(int(m.group(1)))
     m = _ETRS_UTM_RE.match(s)
     if m:                       # EPSG:25828-25838 — ETRS89 / UTM
         return f"utm:{int(m.group(1))}:n"
@@ -311,7 +335,8 @@ def _frame(crs) -> str:
         "EPSG:5041/5042 UPS, EPSG:3035 LAEA, EPSG:5070 Albers, "
         "EPSG:2193/2180/3414 TM, EPSG:27700 OSGB36 National Grid, "
         "EPSG:28992 Amersfoort / RD New, EPSG:21781/2056 Swiss LV03/"
-        "LV95, EPSG:26701-26722 NAD27 UTM, "
+        "LV95, EPSG:26701-26722 NAD27 UTM, EPSG:28404-28432 Pulkovo "
+        "1942 Gauss-Krüger, "
         "generic lcc:/psb:/psa:/laea:/tm:/aea:/tmd:/sod:/soc: frames, "
         "cartesian)")
 
@@ -1836,6 +1861,14 @@ def prj_to_frame(wkt: str) -> str | None:
         invf = float(sph.group(3)) if sph else 1.0 / CLARKE66_F
         return _frame("tmd:" + ":".join(repr(v) for v in (
             lat0, lon0, k0, fe, fn, a, 1.0 / invf, *NAD27_HELMERT)))
+    if "PULKOVO" in datum:
+        # legacy Pulkovo 1942 Gauss-Krüger: Krassovsky 1940 + the
+        # EPSG:1254 3-param shift (~5-10 m class — see the GK note)
+        a = float(sph.group(2)) if sph else KRASSOVSKY_A
+        invf = float(sph.group(3)) if sph else 1.0 / KRASSOVSKY_F
+        return _frame("tmd:" + ":".join(repr(v) for v in (
+            lat0, lon0, k0, fe, fn, a, 1.0 / invf,
+            *PULKOVO42_HELMERT)))
     if not wgs84_family:
         return None                 # unknown datum: refuse, never guess
     return _frame(f"tm:{lat0!r}:{lon0!r}:{k0!r}:{fe!r}:{fn!r}")

@@ -1206,6 +1206,46 @@ def test_sod_prj_recognition():
     assert crs.prj_to_frame(unknown) is None
 
 
+def test_pulkovo_gk_zones():
+    """r11 Pulkovo 1942 Gauss-Krüger tier (EPSG:28404-28432): zone
+    parameters fold into the tmd machinery (Krassovsky 1940, k0 = 1,
+    CM 6n−3, FE n·10⁶ + 5·10⁵, EPSG:1254 3-param shift); Moscow lands
+    at its well-known zone-7 coordinates (~7 413 km E / 6 182 km N),
+    the datum shift is the published ~100 m class, and the ESRI
+    Pulkovo WKT resolves to the same frame; out-of-range zones
+    refuse."""
+    import numpy as np
+    import pytest as _pt
+    from spatial_spark.functions import crs
+
+    tok = crs._frame("EPSG:28407")
+    assert tok.startswith("tmd:")
+    gk = crs.transform_points(np.array([[37.6176, 55.7558]]),
+                              "wgs84", tok)
+    assert 7_300_000 < gk[0, 0] < 7_500_000
+    assert 6_100_000 < gk[0, 1] < 6_250_000
+    back = crs.transform_points(gk, tok, "wgs84")
+    assert np.abs(back - [[37.6176, 55.7558]]).max() < 1e-7
+    # datum-shift magnitude on the central meridian: ~100 m class
+    cm = crs.transform_points(np.array([[39.0, 55.0]]), "wgs84", tok)
+    assert 30.0 < abs(cm[0, 0] - 7_500_000.0) < 300.0
+    PRJ = ('PROJCS["Pulkovo_1942_GK_Zone_7",GEOGCS["GCS_Pulkovo_1942",'
+           'DATUM["D_Pulkovo_1942",SPHEROID["Krasovsky_1940",6378245.0,'
+           '298.3]],PRIMEM["Greenwich",0.0],'
+           'UNIT["Degree",0.0174532925199433]],'
+           'PROJECTION["Transverse_Mercator"],'
+           'PARAMETER["False_Easting",7500000.0],'
+           'PARAMETER["False_Northing",0.0],'
+           'PARAMETER["Central_Meridian",39.0],'
+           'PARAMETER["Scale_Factor",1.0],'
+           'PARAMETER["Latitude_Of_Origin",0.0],UNIT["Meter",1.0]]')
+    assert crs.prj_to_frame(PRJ) == tok
+    with _pt.raises(ValueError, match="unsupported"):
+        crs._frame("EPSG:28433")    # zone 33 does not exist
+    with _pt.raises(ValueError, match="unsupported"):
+        crs._frame("EPSG:28403")    # zones start at 4
+
+
 def test_soc_swiss_anchor_and_roundtrip():
     """r11 Swiss oblique cylindrical tier (EPSG method 9814, the
     Rosenmund double projection): (a) the forward map reproduces the
