@@ -4538,6 +4538,147 @@ def _media_aac_cpe_oracle_sql() -> str:
     """
 
 
+def _q_media_aac_short(spark, sf_dir) -> DataFrame:
+    """EIGHT_SHORT AAC-LC on the hard gate (r11, third wave — the
+    short-block tier): per media i, a conformant window-sequence chain
+    ONLY_LONG → LONG_START → EIGHT_SHORT → LONG_STOP; the short frame
+    carries grouped windows ((2, 3, 3)), per-(group, band)
+    scalefactors and Huffman spectra over the engine SHORT band layout
+    in the §4.6.3.2 interleave, and the decode runs the real 8×256
+    short filterbank with the transition window geometry (TDAC through
+    every transition pinned by pytest).  The oracle recomputes
+    per-frame nonzero support + dequantized L1 closed-form — the long
+    frames via the media_aac_huff formulas, the short frame over an
+    (i, window, band, slot) grid."""
+    import numpy as np
+    from spatial_spark.operators.codecs import (build_aac_asc, build_esds,
+                                                build_mp4,
+                                                encode_aac_lc_short,
+                                                encode_aac_lc_spectral,
+                                                engine_codebooks)
+    from spatial_spark.operators.multimodal import MEDIA_SCHEMA, mp4_audio
+
+    cbs = engine_codebooks()
+    rows = []
+    for i in range(16):
+        frames = []
+        for f, seq in enumerate((0, 1, 2, 3)):
+            gg = 90 + (i * 11 + 5 * f) % 21
+            if seq != 2:            # long frames: the huff formulas
+                band_cbs = [3, 5, 7, 11]
+                band_sfs = [gg + ((i + f + b) % 9 - 4)
+                            for b in range(4)]
+                q = np.zeros(1024, dtype=np.int64)
+                for s in range(32):
+                    q[s] = ((i + f + s) % 3) * (1 if (s + f) % 2 == 0
+                                                else -1)
+                    q[32 + s] = (i + 2 * f + 3 * s) % 9 - 4
+                    q[64 + s] = ((2 * i + f + s) % 8) * (1 if (s + i)
+                                                         % 2 else -1)
+                    mag = (17 + (i + f + s) % 20) if s % 8 == 0 \
+                        else (i + 2 * s) % 16
+                    q[96 + s] = mag * (1 if (s + i + f) % 2 == 0
+                                       else -1)
+                frames.append(encode_aac_lc_spectral(
+                    q, band_cbs, band_sfs, gg, cbs,
+                    window_shape=f % 2, window_sequence=seq))
+            else:                   # the EIGHT_SHORT frame
+                groups = (2, 3, 3)
+                bc = [[3, 5, 7, 11]] * 3
+                bs = [[gg + ((i + g + b) % 9 - 4) for b in range(4)]
+                      for g in range(3)]
+                q = np.zeros((8, 128), dtype=np.int64)
+                for w in range(8):
+                    for s in range(16):
+                        q[w, s] = ((i + w + s) % 3) * (
+                            1 if (s + w) % 2 == 0 else -1)
+                        q[w, 16 + s] = (i + 2 * w + 3 * s) % 9 - 4
+                        q[w, 32 + s] = ((2 * i + w + s) % 8) * (
+                            1 if (s + i) % 2 else -1)
+                        mag = (17 + (i + w + s) % 20) if s % 4 == 0 \
+                            else (i + w + 2 * s) % 16
+                        q[w, 48 + s] = mag * (1 if (s + i + w) % 2 == 0
+                                              else -1)
+                frames.append(encode_aac_lc_short(
+                    q, groups, bc, bs, gg, cbs, window_shape=f % 2))
+        rows.append((i, bytearray(build_mp4(
+            1, 44100, len(frames), 44100, 1024, codec="mp4a",
+            handler="soun", samples=frames,
+            codec_config=build_esds(build_aac_asc(2, 44100, 1)))),
+            "audio", "mp4", None, None, None))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4)
+    return (mp4_audio(df, codebooks=cbs, spectral_stats=True)
+            .select("media_id", "frame_no", "global_gain", "max_sfb",
+                    "n_nonzero",
+                    F.round("deq_l1", 3).alias("deq_l1_q3"))
+            .orderBy("media_id", "frame_no"))
+
+
+def _media_aac_short_oracle_sql() -> str:
+    # long frames (f = 0, 1, 3): the media_aac_huff formulas; the
+    # short frame (f = 2): an (i, window, band, slot) grid with
+    # per-(group, band) scalefactors, g(w) = 0 / 1 / 2 for the
+    # (2, 3, 3) grouping
+    return """
+        WITH items AS (SELECT unnest(generate_series(0, 15)) AS i),
+        longf AS (SELECT i, f FROM items,
+                  (SELECT unnest([0, 1, 3]) AS f)),
+        lslots AS (SELECT i, f, unnest(generate_series(0, 31)) AS s
+                   FROM longf),
+        lmags AS (
+          SELECT i, f, s, b,
+                 CASE b
+                   WHEN 0 THEN (i + f + s) % 3
+                   WHEN 1 THEN abs((i + 2 * f + 3 * s) % 9 - 4)
+                   WHEN 2 THEN (2 * i + f + s) % 8
+                   ELSE CASE WHEN s % 8 = 0 THEN 17 + (i + f + s) % 20
+                             ELSE (i + 2 * s) % 16 END
+                 END AS mag,
+                 90 + (i * 11 + 5 * f) % 21 + ((i + f + b) % 9 - 4)
+                   AS sf
+          FROM lslots CROSS JOIN (SELECT unnest(generate_series(0, 3))
+                                  AS b)),
+        sgrid AS (SELECT i, unnest(generate_series(0, 7)) AS w
+                  FROM items),
+        sgrid2 AS (SELECT *, unnest(generate_series(0, 15)) AS s
+                   FROM sgrid),
+        smags AS (
+          SELECT i, w, s, b,
+                 CASE b
+                   WHEN 0 THEN (i + w + s) % 3
+                   WHEN 1 THEN abs((i + 2 * w + 3 * s) % 9 - 4)
+                   WHEN 2 THEN (2 * i + w + s) % 8
+                   ELSE CASE WHEN s % 4 = 0 THEN 17 + (i + w + s) % 20
+                             ELSE (i + w + 2 * s) % 16 END
+                 END AS mag,
+                 90 + (i * 11 + 10) % 21
+                 + ((i + (CASE WHEN w < 2 THEN 0
+                               WHEN w < 5 THEN 1 ELSE 2 END) + b)
+                    % 9 - 4) AS sf
+          FROM sgrid2 CROSS JOIN (SELECT unnest(generate_series(0, 3))
+                                  AS b)),
+        per_frame AS (
+          SELECT i, f,
+                 sum(CASE WHEN mag <> 0 THEN 1 ELSE 0 END) AS nnz,
+                 sum(pow(CAST(mag AS DOUBLE), 4.0 / 3.0)
+                     * pow(2.0, 0.25 * (CAST(sf AS DOUBLE) - 100.0)))
+                   AS l1
+          FROM lmags GROUP BY i, f
+          UNION ALL
+          SELECT i, 2 AS f,
+                 sum(CASE WHEN mag <> 0 THEN 1 ELSE 0 END),
+                 sum(pow(CAST(mag AS DOUBLE), 4.0 / 3.0)
+                     * pow(2.0, 0.25 * (CAST(sf AS DOUBLE) - 100.0)))
+          FROM smags GROUP BY i)
+        SELECT CAST(i AS BIGINT) AS media_id, CAST(f AS INT) AS frame_no,
+               CAST(90 + (i * 11 + 5 * f) % 21 AS INT) AS global_gain,
+               CAST(4 AS INT) AS max_sfb,
+               CAST(nnz AS INT) AS n_nonzero,
+               round(l1, 3) AS deq_l1_q3
+        FROM per_frame ORDER BY media_id, frame_no
+    """
+
+
 def _q_media_avc_mc(spark, sf_dir) -> DataFrame:
     """MOTION-COMPENSATED avc1 decode on the hard gate (r11, VERDICT
     r10 ask #3 — the first moving-picture inter tier): per media i, an
@@ -4877,6 +5018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_avc_icres": _q_media_avc_icres,
         "url_dedup": _q_url_dedup,
         "st_transform_gk": _q_st_transform_gk,
+        "media_aac_short": _q_media_aac_short,
         # --- the 15 r8-row holders that did not fit: FIRST in r12
         "cql2": _q_cql2,
         "st_transform_merc": _q_st_transform_merc,
@@ -7767,6 +7909,7 @@ def oracle_sql() -> dict[str, str]:
         "media_avc_icres": _media_avc_icres_oracle_sql(),
         "url_dedup": _URL_DEDUP_ORACLE,
         "st_transform_gk": _st_transform_gk_oracle_sql(),
+        "media_aac_short": _media_aac_short_oracle_sql(),
         "st_transform_aea": _aea_oracle_sql(),
         # stream-stream interval join == the batch interval join (the
         # time-ordered replay has no late data, so the watermark drops

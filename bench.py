@@ -169,6 +169,8 @@ HEADLINE = [
     "url_dedup",
     # r11: Pulkovo 1942 Gauss-Krüger zone family (4th datum family)
     "st_transform_gk",
+    # r11: EIGHT_SHORT AAC frames (grouped short blocks + transitions)
+    "media_aac_short",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -366,6 +368,9 @@ BUDGET_SF01 = {
     # r11: 2.2x local best-of-two (zone-7-box customers through the
     # datum-tier chain — same shape as st_transform_osgb)
     "st_transform_gk": 1.9,
+    # r11: 2.2x local best-of-two (16-container fixture: a full
+    # long/start/short/stop chain per media, 8x256 short filterbank)
+    "media_aac_short": 2.6,
     # (EVERY pin re-ratcheted as min(old, 2.2x the clean final full
     # run's min-of-2) — landing-time measurements taken under
     # concurrent sweeps carried up to 9x slack; the ratchet never

@@ -2991,12 +2991,13 @@ def aac_mdct(x: np.ndarray, n: int = 2048) -> np.ndarray:
 
 
 def aac_window(shape: int = 0, n: int = 2048) -> np.ndarray:
-    """§4.6.11.2 long windows: shape 0 = sine  sin(π/N (i + ½));
-    shape 1 = Kaiser-Bessel-derived, α = 4 for the long transform
-    (w[i] = sqrt(cumsum(kernel)/sum(kernel)), kernel = I0-Kaiser)."""
+    """§4.6.11.2 windows: shape 0 = sine  sin(π/N (i + ½)); shape 1 =
+    Kaiser-Bessel-derived (α = 4 for the long transform, α = 6 for the
+    256-sample short transform; w[i] = sqrt(cumsum(kernel)/sum(kernel)),
+    kernel = I0-Kaiser)."""
     if shape == 0:
         return np.sin(np.pi / n * (np.arange(n) + 0.5))
-    alpha = 4.0
+    alpha = 4.0 if n >= 1024 else 6.0
     half = n // 2
     j = np.arange(half + 1)
     kern = np.i0(np.pi * alpha
@@ -3006,21 +3007,68 @@ def aac_window(shape: int = 0, n: int = 2048) -> np.ndarray:
     return np.concatenate([left, left[::-1]])
 
 
-def aac_overlap_add(frames: list, shapes: list | None = None) -> np.ndarray:
+def _aac_frame_waveform(spec, shape: int, prev_shape: int,
+                        seq: int = 0) -> np.ndarray:
+    """One frame's 2048-sample WINDOWED waveform buffer (§4.6.11.3):
+    the synthesis window's LEFT half always matches the window it
+    overlaps with — the previous frame's shape (§4.6.11.2.2) — and the
+    window SEQUENCE picks the geometry: 0 ONLY_LONG, 1 LONG_START
+    (long left half, flat top, short right edge), 2 EIGHT_SHORT
+    (8 × 256 short transforms at offsets 448 + 128·w), 3 LONG_STOP
+    (the LONG_START mirror)."""
+    n = 2 * AAC_FRAME_LEN
+    half = AAC_FRAME_LEN
+    if seq == 2:
+        spec = np.asarray(spec, dtype=np.float64)
+        if spec.shape != (8, 128):
+            raise ValueError("EIGHT_SHORT expects (8, 128) spectra")
+        z = np.zeros(n, dtype=np.float64)
+        right = aac_window(shape, 256)[128:]
+        for w in range(8):
+            left = aac_window(prev_shape if w == 0 else shape,
+                              256)[:128]
+            z[448 + 128 * w:448 + 128 * w + 256] += \
+                aac_imdct(spec[w], 256) * np.concatenate([left, right])
+        return z
+    x = aac_imdct(np.asarray(spec, dtype=np.float64), n)
+    if seq == 0:                    # ONLY_LONG
+        w = np.concatenate([aac_window(prev_shape, n)[:half],
+                            aac_window(shape, n)[half:]])
+    elif seq == 1:                  # LONG_START
+        w = np.concatenate([
+            aac_window(prev_shape, n)[:half],
+            np.ones(448), aac_window(shape, 256)[128:],
+            np.zeros(448)])
+    elif seq == 3:                  # LONG_STOP
+        w = np.concatenate([
+            np.zeros(448), aac_window(prev_shape, 256)[:128],
+            np.ones(448), aac_window(shape, n)[half:]])
+    else:
+        raise ValueError(f"AAC: window_sequence {seq}")
+    return x * w
+
+
+def aac_overlap_add(frames: list, shapes: list | None = None,
+                    sequences: list | None = None) -> np.ndarray:
     """Windowed IMDCT outputs → PCM via 50% overlap-add (§4.6.11): the
     i-th 1024-sample output block is the saved second half of frame
     i−1 plus the first half of frame i (standard one-frame priming:
-    the very first block overlaps with zeros)."""
-    n = 2 * AAC_FRAME_LEN
+    the very first block overlaps with zeros).  ``frames[i]`` is a
+    1024-coefficient long spectrum — or (8, 128) short spectra when
+    ``sequences[i] == 2`` (r11 third wave: EIGHT_SHORT, with
+    LONG_START/LONG_STOP transition geometry and the §4.6.11.2.2
+    previous-shape rule for every left window half)."""
     out = np.zeros(len(frames) * AAC_FRAME_LEN, dtype=np.float64)
     prev = np.zeros(AAC_FRAME_LEN)
+    prev_shape = 0
     for i, spec in enumerate(frames):
         shape = 0 if shapes is None else shapes[i]
-        z = aac_imdct(np.asarray(spec, dtype=np.float64), n) \
-            * aac_window(shape, n)
+        seq = 0 if sequences is None else sequences[i]
+        z = _aac_frame_waveform(spec, shape, prev_shape, seq)
         out[i * AAC_FRAME_LEN:(i + 1) * AAC_FRAME_LEN] = \
             prev + z[:AAC_FRAME_LEN]
         prev = z[AAC_FRAME_LEN:]
+        prev_shape = shape
     return out
 
 
@@ -3185,7 +3233,8 @@ def encode_aac_lc_spectral(quant: np.ndarray, band_cbs: list,
                            band_sfs: list, global_gain: int,
                            codebooks: dict, window_shape: int = 0,
                            swb_offsets=AAC_ENGINE_SWB_OFFSETS,
-                           tag: int = 0) -> bytes:
+                           tag: int = 0,
+                           window_sequence: int = 0) -> bytes:
     """One AAC-LC raw_data_block (mono SCE + END) carrying REAL
     Huffman-coded spectra: ``quant`` is the 1024 quantized integer
     coefficients, ``band_cbs[b]``/``band_sfs[b]`` the per-band codebook
@@ -3198,12 +3247,16 @@ def encode_aac_lc_spectral(quant: np.ndarray, band_cbs: list,
         raise ValueError("band_cbs and band_sfs must align")
     if max_sfb > len(swb_offsets) - 1 or max_sfb > 30:
         raise ValueError("max_sfb exceeds the band layout")
+    if window_sequence not in (0, 1, 3):
+        raise ValueError("long encoder: window_sequence must be "
+                         "ONLY_LONG / LONG_START / LONG_STOP "
+                         "(encode_aac_lc_short writes EIGHT_SHORT)")
     w = _EgBitWriter()
     w.write(0, 3)                   # SCE
     w.write(tag, 4)
     w.write(global_gain, 8)
     w.write(0, 1)                   # ics_reserved
-    w.write(0, 2)                   # ONLY_LONG
+    w.write(window_sequence, 2)     # ONLY_LONG / LONG_START / _STOP
     w.write(window_shape, 1)
     w.write(max_sfb, 6)
     w.write(0, 1)                   # predictor_data_present
@@ -3283,6 +3336,121 @@ def _aac_write_ics_body(w, quant, band_cbs, band_sfs, global_gain,
                         w.write(1, 1)
                     w.write(0, 1)
                     w.write(m - (1 << n), n)
+
+
+def _aac_write_band(w, book, vals) -> None:
+    """One scalefactor band's worth of spectral codewords (the
+    codeword/sign/escape logic of _aac_write_ics_body, per tuple)."""
+    vals = np.asarray(vals, dtype=np.int64)
+    if book.signed:
+        if np.any(np.abs(vals) > book.lav):
+            raise ValueError("AAC: |q| exceeds lav")
+        book.write(w, tuple(int(v) for v in vals))
+        return
+    mags = np.abs(vals)
+    esc_idx, wrote = [], []
+    for j, m in enumerate(mags):
+        m = int(m)
+        if book.esc and m >= AAC_ESC_FLAG:
+            wrote.append(AAC_ESC_FLAG)
+            esc_idx.append(j)
+        elif m > book.lav:
+            raise ValueError("AAC: |q| exceeds lav")
+        else:
+            wrote.append(m)
+    book.write(w, tuple(wrote))
+    for j, m in enumerate(wrote):
+        if m:
+            w.write(1 if vals[j] < 0 else 0, 1)
+    for j in sorted(esc_idx):
+        m = int(abs(int(vals[j])))
+        n = m.bit_length() - 1
+        if n < 4:
+            raise ValueError("escaped magnitude below 16")
+        for _ in range(n - 4):
+            w.write(1, 1)
+        w.write(0, 1)
+        w.write(m - (1 << n), n)
+
+
+def encode_aac_lc_short(quant: np.ndarray, groups: tuple,
+                        band_cbs: list, band_sfs: list,
+                        global_gain: int, codebooks: dict,
+                        window_shape: int = 0, tag: int = 0) -> bytes:
+    """One EIGHT_SHORT AAC-LC raw_data_block (mono SCE + END — r11
+    third wave): ``quant`` is the (8, 128) per-short-window quantized
+    spectra, ``groups`` the window grouping (counts summing to 8,
+    encoded into scale_factor_grouping), ``band_cbs[g][b]`` /
+    ``band_sfs[g][b]`` the per-(group, band) codebook and scalefactor
+    over the ENGINE short band layout (AAC_ENGINE_SWB_OFFSETS_SHORT).
+    Sections use the short 3-bit lengths (runs split at 6); spectral
+    data is written in the §4.6.3.2 interleave (group → band → window
+    → bin) the decoder deinterleaves."""
+    quant = np.asarray(quant, dtype=np.int64)
+    if quant.shape != (8, 128):
+        raise ValueError("short encoder expects (8, 128) spectra")
+    if sum(groups) != 8 or any(g < 1 for g in groups):
+        raise ValueError("groups must be positive counts summing to 8")
+    max_sfb = len(band_cbs[0])
+    if max_sfb > len(AAC_ENGINE_SWB_OFFSETS_SHORT) - 1:
+        raise ValueError("max_sfb exceeds the short band layout")
+    if len(band_cbs) != len(groups) or len(band_sfs) != len(groups):
+        raise ValueError("band_cbs/band_sfs must give one row per "
+                         "group")
+    soff = AAC_ENGINE_SWB_OFFSETS_SHORT
+    w = _EgBitWriter()
+    w.write(0, 3)                   # SCE
+    w.write(tag, 4)
+    w.write(global_gain, 8)
+    w.write(0, 1)                   # ics_reserved
+    w.write(2, 2)                   # EIGHT_SHORT_SEQUENCE
+    w.write(window_shape, 1)
+    w.write(max_sfb, 4)
+    grouping = 0                    # bit i: window i+1 joins window i
+    wpos = 0
+    for g in groups:
+        for k in range(1, g):
+            grouping |= 1 << (6 - (wpos + k - 1))
+        wpos += g
+    w.write(grouping, 7)
+    for g in range(len(groups)):    # section_data, 3-bit lengths
+        b = 0
+        while b < max_sfb:
+            e = b
+            while e < max_sfb and band_cbs[g][e] == band_cbs[g][b] \
+                    and e - b < 6:
+                e += 1
+            w.write(band_cbs[g][b], 4)
+            w.write(e - b, 3)
+            b = e
+    sf_book = codebooks["sf"]       # DPCM sequential across groups
+    last = global_gain
+    for g in range(len(groups)):
+        for b in range(max_sfb):
+            if band_cbs[g][b] == 0:
+                continue
+            sf_book.write(w, (band_sfs[g][b] - last,))
+            last = band_sfs[g][b]
+    w.write(0, 1)                   # pulse
+    w.write(0, 1)                   # tns
+    w.write(0, 1)                   # gain control
+    w0 = 0
+    for g, wg in enumerate(groups):
+        for b in range(max_sfb):
+            cb = band_cbs[g][b]
+            lo, hi = soff[b], soff[b + 1]
+            if cb == 0:
+                if np.any(quant[w0:w0 + wg, lo:hi]):
+                    raise ValueError(f"group {g} band {b}: ZERO_HCB "
+                                     "with nonzero coefficients")
+                continue
+            book = codebooks[cb]
+            for win in range(w0, w0 + wg):
+                for i in range(lo, hi, book.dims):
+                    _aac_write_band(w, book, quant[win, i:i + book.dims])
+        w0 += wg
+    w.write(7, 3)                   # END
+    return _aac_pack_bits(w)
 
 
 def _aac_pack_bits(w) -> bytes:
@@ -3392,15 +3560,36 @@ def encode_aac_lc_frame(global_gain: int, window_shape: int = 0,
     return bytes(out)
 
 
+# Engine-profile SHORT-window band layout (r11 third wave): 8 bands of
+# 16 bins per 128-coefficient short transform — the same engine-data
+# role as AAC_ENGINE_SWB_OFFSETS (the normative per-rate short
+# swb_offset tables are registry data, exactly like the codebooks).
+AAC_ENGINE_SWB_OFFSETS_SHORT = tuple(range(0, 129, 16))
+
+
 def _aac_ics_info(r: "_EgBitReader", swb_offsets) -> tuple:
-    """ics_info() (§4.4.2.1, long windows): returns ``(window_sequence,
-    window_shape, max_sfb)`` with the documented raises."""
+    """ics_info() (§4.4.2.1): returns ``(window_sequence, window_shape,
+    max_sfb, groups)`` — ``groups`` is None for the long sequences, or
+    the per-group window counts decoded from scale_factor_grouping for
+    EIGHT_SHORT (r11 third wave)."""
     r.read(1)                       # ics_reserved_bit
     window_sequence = r.read(2)
     window_shape = r.read(1)
     if window_sequence == 2:        # EIGHT_SHORT_SEQUENCE
-        raise NotImplementedError(
-            "AAC: EIGHT_SHORT windows need the short-block tables")
+        max_sfb = r.read(4)
+        grouping = r.read(7)        # bit i set: window i+1 extends the
+        groups = [1]                # group of window i
+        for i in range(7):
+            if (grouping >> (6 - i)) & 1:
+                groups[-1] += 1
+            else:
+                groups.append(1)
+        if max_sfb > len(AAC_ENGINE_SWB_OFFSETS_SHORT) - 1:
+            raise NotImplementedError(
+                "AAC: short max_sfb exceeds the engine band layout "
+                "(the normative per-rate short swb_offset tables are "
+                "registry data)")
+        return window_sequence, window_shape, max_sfb, groups
     max_sfb = r.read(6)
     if r.read(1):
         raise NotImplementedError("AAC: predictor data (not LC)")
@@ -3408,7 +3597,56 @@ def _aac_ics_info(r: "_EgBitReader", swb_offsets) -> tuple:
         raise NotImplementedError(
             "AAC: max_sfb exceeds the band layout (the normative "
             "per-rate swb_offset tables are registry data)")
-    return window_sequence, window_shape, max_sfb
+    return window_sequence, window_shape, max_sfb, None
+
+
+def _aac_read_sections(r, codebooks, max_sfb: int, n_groups: int,
+                       len_bits: int) -> list:
+    """section_data() (§4.4.2.7): per window group, runs of equal
+    codebooks covering exactly max_sfb bands.  Returns [group][band]
+    codebook indices.  Long windows: one group, 5-bit lengths; short:
+    per-group 3-bit lengths."""
+    esc = (1 << len_bits) - 1
+    out = []
+    for _g in range(n_groups):
+        cbs: list = []
+        while len(cbs) < max_sfb:
+            sect_cb = r.read(4)
+            ln = r.read(len_bits)
+            if ln == esc:           # sect_len escape chain
+                raise NotImplementedError(
+                    "AAC: escaped section lengths")
+            if sect_cb != 0 and codebooks is None:
+                raise NotImplementedError(
+                    "AAC: entropy-coded spectra (Huffman codebook "
+                    f"{sect_cb}) — the NORMATIVE codeword tables are "
+                    "data this build lacks; install them (or "
+                    "engine_codebooks() for the engine profile) via "
+                    "the codebooks parameter (see module note)")
+            if sect_cb != 0 and sect_cb not in codebooks:
+                raise NotImplementedError(
+                    f"AAC: codebook {sect_cb} not in the registry "
+                    "(intensity/noise tools stay out of scope)")
+            if ln == 0:
+                raise ValueError("AAC: zero-length section")
+            cbs.extend([sect_cb] * ln)
+        if len(cbs) > max_sfb:
+            raise ValueError("AAC: sections overrun max_sfb")
+        out.append(cbs)
+    return out
+
+
+def _aac_read_band(r, book, quant: np.ndarray, lo: int, hi: int):
+    """One scalefactor band's spectral codewords into quant[lo:hi]."""
+    for i in range(lo, hi, book.dims):
+        vals = list(book.read(r))
+        if not book.signed:
+            signs = [(-1 if v and r.read(1) else 1) for v in vals]
+            if book.esc:
+                vals = [(_aac_read_escape(r)
+                         if v == AAC_ESC_FLAG else v) for v in vals]
+            vals = [s * v for s, v in zip(signs, vals)]
+        quant[i:i + book.dims] = vals
 
 
 def _aac_channel_stream(r: "_EgBitReader", codebooks, swb_offsets,
@@ -3416,76 +3654,84 @@ def _aac_channel_stream(r: "_EgBitReader", codebooks, swb_offsets,
     """individual_channel_stream() (§4.4.2.4): global_gain, ics_info
     (unless ``ics`` carries the CPE's common window), section data,
     DPCM scalefactors, tool flags and spectral data.  Returns the
-    quantized and FULLY dequantized coefficient arrays."""
+    quantized and FULLY dequantized coefficient arrays — (1024,) for
+    the long sequences, (8, 128) per-window arrays for EIGHT_SHORT
+    (r11 third wave: per-group 3-bit sections, per-(group, band)
+    scalefactors, and the §4.6.3.2 interleave — group → band → window
+    → bin — deinterleaved on read)."""
     global_gain = r.read(8)
     if ics is None:
         ics = _aac_ics_info(r, swb_offsets)
-    window_sequence, window_shape, max_sfb = ics
-    band_cbs = []
-    while len(band_cbs) < max_sfb:  # section_data, long windows
-        sect_cb = r.read(4)
-        ln = r.read(5)
-        if ln == 31:                # sect_len escape chain
-            raise NotImplementedError("AAC: escaped section lengths")
-        if sect_cb != 0 and codebooks is None:
-            raise NotImplementedError(
-                "AAC: entropy-coded spectra (Huffman codebook "
-                f"{sect_cb}) — the NORMATIVE codeword tables are "
-                "data this build lacks; install them (or "
-                "engine_codebooks() for the engine profile) via "
-                "the codebooks parameter (see module note)")
-        if sect_cb != 0 and sect_cb not in codebooks:
-            raise NotImplementedError(
-                f"AAC: codebook {sect_cb} not in the registry "
-                "(intensity/noise tools stay out of scope)")
-        if ln == 0:
-            raise ValueError("AAC: zero-length section")
-        band_cbs.extend([sect_cb] * ln)
-    if len(band_cbs) > max_sfb:
-        raise ValueError("AAC: sections overrun max_sfb")
-    # scale_factor_data: DPCM against global_gain for live bands
-    sfs = [None] * max_sfb
+    window_sequence, window_shape, max_sfb, groups = ics
+    short = window_sequence == 2
+    soff = AAC_ENGINE_SWB_OFFSETS_SHORT
+    n_groups = len(groups) if short else 1
+    sects = _aac_read_sections(r, codebooks, max_sfb, n_groups,
+                               3 if short else 5)
+    # scale_factor_data: DPCM against global_gain for live bands,
+    # sequential across groups
+    sfs = [[None] * max_sfb for _ in range(n_groups)]
     last = global_gain
-    for b in range(max_sfb):
-        if band_cbs[b] == 0:
-            continue
-        (d,) = codebooks["sf"].read(r)
-        last += d
-        sfs[b] = last
+    for g in range(n_groups):
+        for b in range(max_sfb):
+            if sects[g][b] == 0:
+                continue
+            (d,) = codebooks["sf"].read(r)
+            last += d
+            sfs[g][b] = last
     if r.read(1):
         raise NotImplementedError("AAC: pulse data")
     if r.read(1):
         raise NotImplementedError("AAC: TNS")
     if r.read(1):
         raise NotImplementedError("AAC: gain control (SSR)")
-    # spectral_data → quantized ints → per-band dequantization
+    if short:
+        quant = np.zeros((8, 128), dtype=np.int64)
+        w0 = 0
+        for g, wg in enumerate(groups):
+            for b in range(max_sfb):
+                cb = sects[g][b]
+                if cb == 0:
+                    continue
+                book = codebooks[cb]
+                lo, hi = soff[b], soff[b + 1]
+                for w in range(w0, w0 + wg):
+                    _aac_read_band(r, book, quant[w], lo, hi)
+            w0 += wg
+        spec = np.zeros((8, 128), dtype=np.float64)
+        w0 = 0
+        for g, wg in enumerate(groups):
+            for b in range(max_sfb):
+                if sects[g][b] == 0:
+                    continue
+                lo, hi = soff[b], soff[b + 1]
+                for w in range(w0, w0 + wg):
+                    spec[w, lo:hi] = aac_dequantize(quant[w, lo:hi],
+                                                    sfs[g][b])
+            w0 += wg
+        return {"global_gain": global_gain,
+                "window_shape": window_shape,
+                "window_sequence": window_sequence,
+                "max_sfb": max_sfb, "groups": groups,
+                "band_cbs": sects, "quant": quant, "spec": spec}
+    band_cbs = sects[0]
     quant = np.zeros(AAC_FRAME_LEN, dtype=np.int64)
     for b in range(max_sfb):
         cb = band_cbs[b]
         if cb == 0:
             continue
-        book = codebooks[cb]
-        lo, hi = swb_offsets[b], swb_offsets[b + 1]
-        for i in range(lo, hi, book.dims):
-            vals = list(book.read(r))
-            if not book.signed:
-                signs = [(-1 if v and r.read(1) else 1)
-                         for v in vals]
-                if book.esc:
-                    vals = [(_aac_read_escape(r)
-                             if v == AAC_ESC_FLAG else v)
-                            for v in vals]
-                vals = [s * v for s, v in zip(signs, vals)]
-            quant[i:i + book.dims] = vals
+        _aac_read_band(r, codebooks[cb], quant,
+                       swb_offsets[b], swb_offsets[b + 1])
     spec = np.zeros(AAC_FRAME_LEN, dtype=np.float64)
     for b in range(max_sfb):
         if band_cbs[b] == 0:
             continue
         lo, hi = swb_offsets[b], swb_offsets[b + 1]
-        spec[lo:hi] = aac_dequantize(quant[lo:hi], sfs[b])
+        spec[lo:hi] = aac_dequantize(quant[lo:hi], sfs[0][b])
     return {"global_gain": global_gain, "window_shape": window_shape,
             "window_sequence": window_sequence, "max_sfb": max_sfb,
-            "band_cbs": band_cbs, "quant": quant, "spec": spec}
+            "groups": None, "band_cbs": band_cbs, "quant": quant,
+            "spec": spec}
 
 
 def decode_aac_lc_frame(data: bytes, codebooks: dict | None = None,
@@ -3534,7 +3780,8 @@ def decode_aac_lc_frame(data: bytes, codebooks: dict | None = None,
                     "global_gain": ch["global_gain"],
                     "window_shape": ch["window_shape"],
                     "window_sequence": ch["window_sequence"],
-                    "max_sfb": ch["max_sfb"], "spec": ch["spec"],
+                    "max_sfb": ch["max_sfb"], "groups": ch["groups"],
+                    "spec": ch["spec"],
                     "n_nonzero": int(np.count_nonzero(ch["quant"]))}
             continue
         # CPE (§4.4.2.1): optional shared ics_info + M/S, two streams
@@ -3543,28 +3790,39 @@ def decode_aac_lc_frame(data: bytes, codebooks: dict | None = None,
         ms_present, ms_used = 0, None
         if common:
             ics = _aac_ics_info(r, swb_offsets)
+            n_grp = len(ics[3]) if ics[3] else 1
             ms_present = r.read(2)
             if ms_present == 3:
                 raise ValueError("AAC: reserved ms_mask_present")
-            if ms_present == 1:     # per-band mask (one window group)
-                ms_used = [bool(r.read(1)) for _ in range(ics[2])]
+            if ms_present == 1:     # per-(group, band) mask
+                ms_used = [[bool(r.read(1)) for _ in range(ics[2])]
+                           for _ in range(n_grp)]
         left = _aac_channel_stream(r, codebooks, swb_offsets, ics=ics)
         right = _aac_channel_stream(r, codebooks, swb_offsets, ics=ics)
         spec_l, spec_r = left["spec"], right["spec"]
         if ms_present:              # §4.6.8.1 mid/side reconstruction
-            for b in range(left["max_sfb"]):
-                if ms_present == 1 and not ms_used[b]:
-                    continue
-                lo, hi = swb_offsets[b], swb_offsets[b + 1]
-                m = spec_l[lo:hi].copy()
-                s = spec_r[lo:hi].copy()
-                spec_l[lo:hi] = m + s
-                spec_r[lo:hi] = m - s
+            short = left["window_sequence"] == 2
+            soff = AAC_ENGINE_SWB_OFFSETS_SHORT if short \
+                else swb_offsets
+            grps = left["groups"] if short else [1]
+            w0 = 0
+            for g, wg in enumerate(grps):
+                for b in range(left["max_sfb"]):
+                    if ms_present == 1 and not ms_used[g][b]:
+                        continue
+                    lo, hi = soff[b], soff[b + 1]
+                    sl = (np.s_[w0:w0 + wg, lo:hi] if short
+                          else np.s_[lo:hi])
+                    m = spec_l[sl].copy()
+                    s = spec_r[sl].copy()
+                    spec_l[sl] = m + s
+                    spec_r[sl] = m - s
+                w0 += wg
         info = {"tag": tag, "channels": 2,
                 "global_gain": left["global_gain"],
                 "window_shape": left["window_shape"],
                 "window_sequence": left["window_sequence"],
-                "max_sfb": left["max_sfb"],
+                "max_sfb": left["max_sfb"], "groups": left["groups"],
                 "spec": spec_l, "spec_r": spec_r,
                 "n_nonzero": int(np.count_nonzero(left["quant"]))
                 + int(np.count_nonzero(right["quant"]))}
@@ -3601,6 +3859,7 @@ def decode_mp4_audio(buf: bytes, codebooks: dict | None = None,
     specs = []
     shapes = []
     n_ch = None
+    seqs: list = []
     for f, (off, size) in enumerate(tab["samples"]):
         if size <= 0 or off + size > len(buf):
             raise ValueError(f"MP4: audio sample {f} outside mdat")
@@ -3614,18 +3873,19 @@ def decode_mp4_audio(buf: bytes, codebooks: dict | None = None,
                       d["max_sfb"]))
         # spec is FULLY dequantized (per-band scalefactor gains include
         # the global_gain DPCM start; the silence class is zeros either
-        # way); stereo frames stack (2, 1024) so n_nonzero/L1 readers
-        # fold both channels
+        # way); stereo frames stack (2, ...) so n_nonzero/L1 readers
+        # fold both channels; EIGHT_SHORT frames are (8, 128)
         specs.append(d["spec"] if d["channels"] == 1
                      else np.stack([d["spec"], d["spec_r"]]))
         shapes.append(d["window_shape"])
+        seqs.append(d["window_sequence"])
     if not specs:
         pcm = np.zeros(0)
     elif n_ch == 1:
-        pcm = aac_overlap_add(specs, shapes)
+        pcm = aac_overlap_add(specs, shapes, seqs)
     else:                           # stereo: per-channel filterbanks
         pcm = np.stack(
-            [aac_overlap_add([s[c] for s in specs], shapes)
+            [aac_overlap_add([s[c] for s in specs], shapes, seqs)
              for c in range(2)], axis=1)
     return {"sample_rate": rate, "channels": channels, "pcm": pcm,
             "frames": infos, "specs": specs}

@@ -3329,11 +3329,15 @@ def test_aac_frame_roundtrip_and_seams():
         w.write(0, 1)
         w.write(wseq, 2)
         w.write(0, 1)
-        w.write(2 if wseq != 2 else 0, 6)
         if wseq != 2:
+            w.write(2, 6)           # max_sfb (long: 6 bits)
             w.write(0, 1)
             w.write(sect_cb, 4)
             w.write(2, 5)
+            w.write(0, 3)           # pulse/tns/gain absent
+        else:                       # minimal valid EIGHT_SHORT frame:
+            w.write(0, 4)           # max_sfb = 0 (4 bits)
+            w.write(0, 7)           # scale_factor_grouping: 8 groups
             w.write(0, 3)           # pulse/tns/gain absent
         w.write(7, 3)
         bits = w.bits + [0] * ((-len(w.bits)) % 8)
@@ -3348,8 +3352,11 @@ def test_aac_frame_roundtrip_and_seams():
     assert decode_aac_lc_frame(frame(fil_first=True))["global_gain"] == 90
     with pytest.raises(NotImplementedError, match="codebook 5"):
         decode_aac_lc_frame(frame(sect_cb=5))
-    with pytest.raises(NotImplementedError, match="EIGHT_SHORT"):
-        decode_aac_lc_frame(frame(wseq=2))
+    # EIGHT_SHORT decodes since the r11 third wave: a minimal all-zero
+    # short frame parses with 8 singleton groups and (8, 128) spectra
+    ds = decode_aac_lc_frame(frame(wseq=2))
+    assert ds["window_sequence"] == 2 and ds["groups"] == [1] * 8
+    assert ds["spec"].shape == (8, 128) and ds["n_nonzero"] == 0
     # element 1 (CPE) decodes since r11 third wave; element 2 (CCE)
     # stays the honest raise
     with pytest.raises(NotImplementedError, match="element 2"):
@@ -4271,6 +4278,118 @@ def test_h264_intra_prediction_modes():
     with _p.raises(ValueError, match="multiples of 2"):
         encode_h264_i16_modes(w, h, modes, offs, chroma_modes=cmodes,
                               chroma_offsets=coffs + 1)
+
+
+def test_aac_eight_short_windows():
+    """r11 third wave: the EIGHT_SHORT tier — (a) the filterbank
+    reconstructs random audio EXACTLY through a full ONLY_LONG →
+    LONG_START → EIGHT_SHORT → LONG_STOP chain (TDAC across every
+    transition geometry, with the §4.6.11.2.2 previous-shape rule);
+    (b) short-frame syntax round-trips (grouping, per-group 3-bit
+    sections, per-(group, band) scalefactors, the §4.6.3.2
+    interleave); (c) the mp4a container route decodes a mixed
+    long/short track end to end."""
+    import numpy as np
+    from spatial_spark.operators.codecs import (
+        AAC_ENGINE_SWB_OFFSETS_SHORT as SOFF, aac_dequantize, aac_mdct,
+        aac_overlap_add, aac_window, build_aac_asc, build_esds,
+        build_mp4, decode_aac_lc_frame, decode_mp4_audio,
+        encode_aac_lc_short, encode_aac_lc_spectral, engine_codebooks)
+
+    # (a) perfect reconstruction through every transition geometry
+    rng = np.random.default_rng(8)
+    L = 1024
+    x = rng.normal(size=7 * L)
+    xs = np.concatenate([np.zeros(L), x, np.zeros(L)])
+    seqs = [0, 1, 2, 3, 0, 1, 2, 3]
+    shapes = [0, 1, 1, 0, 1, 0, 0, 1]
+    specs = []
+    prev = 0
+    for i, (seq, shape) in enumerate(zip(seqs, shapes)):
+        buf = xs[i * L:i * L + 2 * L]
+        if seq == 2:
+            right = aac_window(shape, 256)[128:]
+            sp = np.zeros((8, 128))
+            for w in range(8):
+                left = aac_window(prev if w == 0 else shape, 256)[:128]
+                sp[w] = aac_mdct(
+                    buf[448 + 128 * w:448 + 128 * w + 256]
+                    * np.concatenate([left, right]), 256)
+            specs.append(sp)
+        else:
+            if seq == 0:
+                win = np.concatenate([aac_window(prev, 2 * L)[:L],
+                                      aac_window(shape, 2 * L)[L:]])
+            elif seq == 1:
+                win = np.concatenate([aac_window(prev, 2 * L)[:L],
+                                      np.ones(448),
+                                      aac_window(shape, 256)[128:],
+                                      np.zeros(448)])
+            else:
+                win = np.concatenate([np.zeros(448),
+                                      aac_window(prev, 256)[:128],
+                                      np.ones(448),
+                                      aac_window(shape, 2 * L)[L:]])
+            specs.append(aac_mdct(buf * win, 2 * L))
+        prev = shape
+    y = aac_overlap_add(specs, shapes, seqs)
+    assert np.abs(y[L:7 * L] - x[:6 * L]).max() < 1e-9
+
+    # (b) short-frame syntax round-trip
+    cbs = engine_codebooks()
+    groups = (2, 3, 3)
+    band_cbs = [[3, 5, 0, 7], [5, 0, 7, 3], [7, 3, 5, 0]]
+    gg = 100
+    band_sfs = [[None] * 4 for _ in range(3)]
+    q = np.zeros((8, 128), dtype=np.int64)
+    w0 = 0
+    for g, wg in enumerate(groups):
+        for b in range(4):
+            if band_cbs[g][b] == 0:
+                continue
+            band_sfs[g][b] = gg + ((g * 3 + b) % 9) - 4
+            lo, hi = SOFF[b], SOFF[b + 1]
+            lav = {3: 2, 5: 4, 7: 7}[band_cbs[g][b]]
+            for w in range(w0, w0 + wg):
+                q[w, lo:hi] = rng.integers(-lav, lav + 1, hi - lo)
+        w0 += wg
+    d = decode_aac_lc_frame(
+        encode_aac_lc_short(q, groups, band_cbs, band_sfs, gg, cbs),
+        codebooks=cbs)
+    assert d["window_sequence"] == 2 and d["spec"].shape == (8, 128)
+    assert d["groups"] == list(groups)
+    want = np.zeros((8, 128))
+    w0 = 0
+    for g, wg in enumerate(groups):
+        for b in range(4):
+            if band_cbs[g][b] == 0:
+                continue
+            lo, hi = SOFF[b], SOFF[b + 1]
+            for w in range(w0, w0 + wg):
+                want[w, lo:hi] = aac_dequantize(q[w, lo:hi],
+                                                band_sfs[g][b])
+        w0 += wg
+    assert np.array_equal(d["spec"], want)
+    assert d["n_nonzero"] == int(np.count_nonzero(q))
+
+    # (c) a mixed long/short mp4a track decodes end to end
+    long_q = np.zeros(1024, dtype=np.int64)
+    long_q[:32] = [(s % 3) * (1 if s % 2 else -1) for s in range(32)]
+    frames = [
+        encode_aac_lc_spectral(long_q, [3], [100], 100, cbs,
+                               window_sequence=1),
+        encode_aac_lc_short(q, groups, band_cbs, band_sfs, gg, cbs),
+        encode_aac_lc_spectral(long_q, [3], [100], 100, cbs,
+                               window_sequence=3),
+    ]
+    mp4 = build_mp4(1, 44100, 3, 44100, 1024, codec="mp4a",
+                    handler="soun", samples=frames,
+                    codec_config=build_esds(build_aac_asc(2, 44100, 1)))
+    out = decode_mp4_audio(bytes(mp4), codebooks=cbs)
+    assert out["pcm"].shape == (3 * 1024,)
+    assert out["specs"][1].shape == (8, 128)
+    assert np.array_equal(out["specs"][1], want)
+    assert np.abs(out["pcm"]).max() > 0.0
 
 
 def test_aac_cpe_stereo():
