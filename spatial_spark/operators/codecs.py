@@ -3234,7 +3234,8 @@ def encode_aac_lc_spectral(quant: np.ndarray, band_cbs: list,
                            codebooks: dict, window_shape: int = 0,
                            swb_offsets=AAC_ENGINE_SWB_OFFSETS,
                            tag: int = 0,
-                           window_sequence: int = 0) -> bytes:
+                           window_sequence: int = 0,
+                           pulses: list | None = None) -> bytes:
     """One AAC-LC raw_data_block (mono SCE + END) carrying REAL
     Huffman-coded spectra: ``quant`` is the 1024 quantized integer
     coefficients, ``band_cbs[b]``/``band_sfs[b]`` the per-band codebook
@@ -3261,16 +3262,20 @@ def encode_aac_lc_spectral(quant: np.ndarray, band_cbs: list,
     w.write(max_sfb, 6)
     w.write(0, 1)                   # predictor_data_present
     _aac_write_ics_body(w, quant, band_cbs, band_sfs, global_gain,
-                        codebooks, swb_offsets)
+                        codebooks, swb_offsets, pulses=pulses)
     w.write(7, 3)                   # END
     return _aac_pack_bits(w)
 
 
 def _aac_write_ics_body(w, quant, band_cbs, band_sfs, global_gain,
-                        codebooks, swb_offsets) -> None:
+                        codebooks, swb_offsets,
+                        pulses: list | None = None) -> None:
     """section_data + scale_factor_data + tool flags + spectral_data —
     the individual_channel_stream tail shared by the SCE and CPE
-    encoders (global_gain and ics_info are the caller's)."""
+    encoders (global_gain and ics_info are the caller's).  ``pulses``
+    ([(k, amp), ...] sorted by position) writes pulse_data the decoder
+    ADDS to the quantized spectrum (§4.6.3.3) — ``quant`` here is the
+    PRE-pulse spectrum."""
     max_sfb = len(band_cbs)
     # section_data: one section per run of equal codebook
     b = 0
@@ -3291,7 +3296,27 @@ def _aac_write_ics_body(w, quant, band_cbs, band_sfs, global_gain,
             continue
         sf_book.write(w, (band_sfs[b] - last,))
         last = band_sfs[b]
-    w.write(0, 1)                   # pulse
+    if pulses:
+        if not 1 <= len(pulses) <= 4:
+            raise ValueError("pulse_data carries 1-4 pulses")
+        k0 = pulses[0][0]
+        start_sfb = max(b for b in range(max_sfb + 1)
+                        if swb_offsets[b] <= k0
+                        and k0 - swb_offsets[b] <= 31)
+        w.write(1, 1)               # pulse_data_present
+        w.write(len(pulses) - 1, 2)
+        w.write(start_sfb, 6)
+        prev = swb_offsets[start_sfb]
+        for k, amp in pulses:
+            if not 0 <= k - prev <= 31:
+                raise ValueError("pulse offsets must be 0-31 apart")
+            if not 0 <= amp <= 15:
+                raise ValueError("pulse amplitude must be 0-15")
+            w.write(k - prev, 5)
+            w.write(amp, 4)
+            prev = k
+    else:
+        w.write(0, 1)               # pulse
     w.write(0, 1)                   # tns
     w.write(0, 1)                   # gain control
     # spectral_data
@@ -3679,8 +3704,20 @@ def _aac_channel_stream(r: "_EgBitReader", codebooks, swb_offsets,
             (d,) = codebooks["sf"].read(r)
             last += d
             sfs[g][b] = last
-    if r.read(1):
-        raise NotImplementedError("AAC: pulse data")
+    pulses = None
+    if r.read(1):                   # pulse_data (§4.6.3.3, long only)
+        if short:
+            raise ValueError("AAC: pulse data is forbidden in "
+                             "EIGHT_SHORT frames")
+        n_pulse = r.read(2) + 1
+        start_sfb = r.read(6)
+        if start_sfb > max_sfb:
+            raise ValueError("AAC: pulse_start_sfb past max_sfb")
+        pulses = []
+        k = swb_offsets[start_sfb]
+        for _p in range(n_pulse):
+            k += r.read(5)
+            pulses.append((k, r.read(4)))
     if r.read(1):
         raise NotImplementedError("AAC: TNS")
     if r.read(1):
@@ -3722,6 +3759,16 @@ def _aac_channel_stream(r: "_EgBitReader", codebooks, swb_offsets,
             continue
         _aac_read_band(r, codebooks[cb], quant,
                        swb_offsets[b], swb_offsets[b + 1])
+    if pulses:                      # §4.6.3.3: amplitude rides the
+        for k, amp in pulses:       # decoded coefficient's sign
+            if k >= AAC_FRAME_LEN:
+                raise ValueError("AAC: pulse position past the frame")
+            kb = int(np.searchsorted(swb_offsets, k, side="right")) - 1
+            if kb >= max_sfb or band_cbs[kb] == 0:
+                raise ValueError("AAC: pulse lands in a band with no "
+                                 "scalefactor (ZERO_HCB / past "
+                                 "max_sfb)")
+            quant[k] += amp if quant[k] >= 0 else -amp
     spec = np.zeros(AAC_FRAME_LEN, dtype=np.float64)
     for b in range(max_sfb):
         if band_cbs[b] == 0:

@@ -4280,6 +4280,37 @@ def test_h264_intra_prediction_modes():
                               chroma_offsets=coffs + 1)
 
 
+def test_aac_pulse_tool():
+    """r11 third wave: pulse_data (§4.6.3.3) — encoded pulse
+    amplitudes ADD to the quantized spectrum riding each coefficient's
+    sign, before dequantization; pulses into ZERO_HCB bands (no
+    scalefactor) and in EIGHT_SHORT frames stay honest raises."""
+    import numpy as np
+    import pytest as _p
+    from spatial_spark.operators.codecs import (aac_dequantize,
+                                                decode_aac_lc_frame,
+                                                encode_aac_lc_spectral,
+                                                engine_codebooks)
+    cbs = engine_codebooks()
+    q = np.zeros(1024, dtype=np.int64)
+    q[:32] = [(s % 3) * (1 if s % 2 else -1) for s in range(32)]
+    pulses = [(3, 5), (10, 7), (20, 3)]
+    d = decode_aac_lc_frame(
+        encode_aac_lc_spectral(q, [3], [100], 100, cbs, pulses=pulses),
+        codebooks=cbs)
+    want_q = q.copy()
+    for k, amp in pulses:
+        want_q[k] += amp if want_q[k] >= 0 else -amp
+    want = np.zeros(1024)
+    want[:32] = aac_dequantize(want_q[:32], 100)
+    assert np.array_equal(d["spec"], want)
+    assert d["n_nonzero"] == int(np.count_nonzero(want_q))
+    with _p.raises(ValueError, match="no scalefactor"):
+        decode_aac_lc_frame(
+            encode_aac_lc_spectral(q, [3, 0], [100, None], 100, cbs,
+                                   pulses=[(40, 5)]), codebooks=cbs)
+
+
 def test_aac_eight_short_windows():
     """r11 third wave: the EIGHT_SHORT tier — (a) the filterbank
     reconstructs random audio EXACTLY through a full ONLY_LONG →
