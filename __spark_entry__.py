@@ -3258,6 +3258,67 @@ def _q_kmv_stream(spark, sf_dir) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _q_quantile_stream(spark, sf_dir) -> DataFrame:
+    """Streaming MRL quantile twin under the HARD gate (r11, third
+    wave — completing the streaming-sketch family after kmv_stream):
+    capped customer balances replayed as 4 micro-batches through
+    streaming/sketches.stream_quantile_sketch (per-batch DISTRIBUTED
+    partial sketches, epoch-tagged exactly-once fold, atomic state
+    publish), final state read back and folded through the same
+    window-cumsum readout.  k=4096 exceeds the row count at every test
+    SF, so no compaction fires anywhere in the chain and the stream's
+    accreted state holds the EXACT values — the readout equals the
+    exact order statistics ceil(q·n) the oracle computes with a plain
+    row_number (the batch quantile_sketch gate's lossless contract;
+    the compacted regime is pinned in pytest)."""
+    import shutil
+    import tempfile
+
+    from spatial_spark.operators.quantiles import sketch_quantiles
+    from spatial_spark.streaming.sketches import (read_quantile_state,
+                                                  stream_quantile_sketch)
+
+    work = tempfile.mkdtemp(prefix="quantile_stream_gate_")
+    try:
+        src = os.path.join(work, "src")
+        vals = (spark.table("customer")
+                .where(F.col("c_custkey") % 29 == 0)
+                .select("c_custkey",
+                        F.col("c_acctbal").cast("double").alias("v")))
+        for b in range(4):
+            (vals.filter(F.col("c_custkey") % 4 == b).select("v")
+             .coalesce(1)
+             .write.mode("overwrite").parquet(os.path.join(src, f"b{b}")))
+        stream = (spark.readStream.schema("v double")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(src + "/b*"))
+        state = os.path.join(work, "state")
+        q = stream_quantile_sketch(stream, "v", state,
+                                   os.path.join(work, "ckpt"), k=4096)
+        q.awaitTermination(600)
+        qs = [0.05, 0.25, 0.5, 0.75, 0.9, 0.99]
+        out = (sketch_quantiles(read_quantile_state(spark, state), qs)
+               .select("q", F.round("value", 2).alias("value"))
+               .orderBy("q"))
+        rows = out.collect()        # before the temp state dir goes
+        return spark.createDataFrame(rows, "q double, value double")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_QUANTILE_STREAM_ORACLE = """
+    WITH src AS (SELECT CAST(c_acctbal AS DOUBLE) AS v
+                 FROM customer WHERE c_custkey % 29 = 0),
+    r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+                 count(*) OVER () AS n FROM src),
+    qs AS (SELECT CAST(unnest([0.05, 0.25, 0.5, 0.75, 0.9, 0.99])
+                     AS DOUBLE) AS q)
+    SELECT q, round(min(v), 2) AS value
+    FROM r JOIN qs ON rn >= greatest(1, CAST(ceil(q * n) AS BIGINT))
+    GROUP BY q ORDER BY q
+"""
+
+
 _IVF_RECALL_CENTERS = [(8.0, 0.0), (7.0, 4.0), (4.0, 7.0), (0.0, 8.0)]
 _IVF_RECALL_PROBE = [5.5, 5.5, 0.0, 0.0]
 
@@ -5019,6 +5080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": _q_url_dedup,
         "st_transform_gk": _q_st_transform_gk,
         "media_aac_short": _q_media_aac_short,
+        "quantile_stream": _q_quantile_stream,
         # --- the 15 r8-row holders that did not fit: FIRST in r12
         "cql2": _q_cql2,
         "st_transform_merc": _q_st_transform_merc,
@@ -7910,6 +7972,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": _URL_DEDUP_ORACLE,
         "st_transform_gk": _st_transform_gk_oracle_sql(),
         "media_aac_short": _media_aac_short_oracle_sql(),
+        "quantile_stream": _QUANTILE_STREAM_ORACLE,
         "st_transform_aea": _aea_oracle_sql(),
         # stream-stream interval join == the batch interval join (the
         # time-ordered replay has no late data, so the watermark drops

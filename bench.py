@@ -171,6 +171,8 @@ HEADLINE = [
     "st_transform_gk",
     # r11: EIGHT_SHORT AAC frames (grouped short blocks + transitions)
     "media_aac_short",
+    # r11: streaming MRL quantile twin (4 micro-batch folds, lossless)
+    "quantile_stream",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -371,6 +373,9 @@ BUDGET_SF01 = {
     # r11: 2.2x local best-of-two (16-container fixture: a full
     # long/start/short/stop chain per media, 8x256 short filterbank)
     "media_aac_short": 2.6,
+    # r11: 2.2x local best-of-two (capped fixture; 4 stateful
+    # micro-batch sketch folds + the fixture write)
+    "quantile_stream": 10.4,
     # (EVERY pin re-ratcheted as min(old, 2.2x the clean final full
     # run's min-of-2) — landing-time measurements taken under
     # concurrent sweeps carried up to 9x slack; the ratchet never
