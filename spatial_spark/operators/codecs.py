@@ -20,6 +20,7 @@ Encoders exist so tests can round-trip byte-exactly.
 
 from __future__ import annotations
 
+import math
 import struct
 
 import numpy as np
@@ -3235,7 +3236,8 @@ def encode_aac_lc_spectral(quant: np.ndarray, band_cbs: list,
                            swb_offsets=AAC_ENGINE_SWB_OFFSETS,
                            tag: int = 0,
                            window_sequence: int = 0,
-                           pulses: list | None = None) -> bytes:
+                           pulses: list | None = None,
+                           tns: tuple | None = None) -> bytes:
     """One AAC-LC raw_data_block (mono SCE + END) carrying REAL
     Huffman-coded spectra: ``quant`` is the 1024 quantized integer
     coefficients, ``band_cbs[b]``/``band_sfs[b]`` the per-band codebook
@@ -3262,14 +3264,15 @@ def encode_aac_lc_spectral(quant: np.ndarray, band_cbs: list,
     w.write(max_sfb, 6)
     w.write(0, 1)                   # predictor_data_present
     _aac_write_ics_body(w, quant, band_cbs, band_sfs, global_gain,
-                        codebooks, swb_offsets, pulses=pulses)
+                        codebooks, swb_offsets, pulses=pulses, tns=tns)
     w.write(7, 3)                   # END
     return _aac_pack_bits(w)
 
 
 def _aac_write_ics_body(w, quant, band_cbs, band_sfs, global_gain,
                         codebooks, swb_offsets,
-                        pulses: list | None = None) -> None:
+                        pulses: list | None = None,
+                        tns: tuple | None = None) -> None:
     """section_data + scale_factor_data + tool flags + spectral_data —
     the individual_channel_stream tail shared by the SCE and CPE
     encoders (global_gain and ics_info are the caller's).  ``pulses``
@@ -3317,7 +3320,28 @@ def _aac_write_ics_body(w, quant, band_cbs, band_sfs, global_gain,
             prev = k
     else:
         w.write(0, 1)               # pulse
-    w.write(0, 1)                   # tns
+    if tns:
+        coef_res, filts = tns
+        if not 1 <= len(filts) <= 3:
+            raise ValueError("tns_data carries 1-3 filters")
+        w.write(1, 1)               # tns_data_present
+        w.write(len(filts), 2)
+        w.write(coef_res, 1)
+        for length, direction, coef_compress, coefs in filts:
+            bits = coef_res + 3 - coef_compress
+            w.write(length, 6)
+            w.write(len(coefs), 5)
+            if coefs:
+                w.write(direction, 1)
+                w.write(coef_compress, 1)
+                half = 1 << (bits - 1)
+                for c in coefs:
+                    if not -half <= c < half:
+                        raise ValueError("TNS coef out of range for "
+                                         f"{bits}-bit field")
+                    w.write(c & ((1 << bits) - 1), bits)
+    else:
+        w.write(0, 1)               # tns
     w.write(0, 1)                   # gain control
     # spectral_data
     for b in range(max_sfb):
@@ -3718,8 +3742,44 @@ def _aac_channel_stream(r: "_EgBitReader", codebooks, swb_offsets,
         for _p in range(n_pulse):
             k += r.read(5)
             pulses.append((k, r.read(4)))
-    if r.read(1):
-        raise NotImplementedError("AAC: TNS")
+    tns_filters = None
+    if r.read(1):                   # tns_data (§4.6.9)
+        if short:
+            raise NotImplementedError(
+                "AAC: TNS in EIGHT_SHORT frames remains the seam")
+        n_filt = r.read(2)
+        tns_filters = []
+        if n_filt:
+            coef_res = r.read(1)
+            top = max_sfb
+            for _f in range(n_filt):
+                length = r.read(6)
+                order = r.read(5)
+                bottom = max(top - length, 0)
+                if order:
+                    direction = r.read(1)
+                    coef_compress = r.read(1)
+                    bits = coef_res + 3 - coef_compress
+                    raw = [r.read(bits) for _ in range(order)]
+                    # signed in `bits` bits; §4.6.9.3 inverse quant
+                    half = 1 << (bits - 1)
+                    iqf = ((1 << (coef_res + 2)) - 0.5) / (math.pi / 2)
+                    iqfm = ((1 << (coef_res + 2)) + 0.5) / (math.pi / 2)
+                    rc = []
+                    for v in raw:
+                        s = v - (1 << bits) if v >= half else v
+                        rc.append(math.sin(s / (iqf if s >= 0
+                                                else iqfm)))
+                    # reflection → LPC (standard Levinson recursion)
+                    a = [1.0]
+                    for m in range(order):
+                        k = rc[m]
+                        a = ([1.0]
+                             + [a[i] + k * a[m - i]
+                                for i in range(1, m + 1)]
+                             + [k])
+                    tns_filters.append((bottom, top, direction, a))
+                top = bottom
     if r.read(1):
         raise NotImplementedError("AAC: gain control (SSR)")
     if short:
@@ -3775,6 +3835,19 @@ def _aac_channel_stream(r: "_EgBitReader", codebooks, swb_offsets,
             continue
         lo, hi = swb_offsets[b], swb_offsets[b + 1]
         spec[lo:hi] = aac_dequantize(quant[lo:hi], sfs[0][b])
+    if tns_filters:                 # §4.6.9.2: all-pole synthesis
+        for bottom, top, direction, a in tns_filters:   # along freq,
+            lo, hi = swb_offsets[bottom], swb_offsets[top]  # zero
+            order = len(a) - 1                          # initial state
+            ks = range(hi - 1, lo - 1, -1) if direction \
+                else range(lo, hi)
+            for k in ks:
+                acc = spec[k]
+                for j in range(1, order + 1):
+                    kk = k + j if direction else k - j
+                    if lo <= kk < hi:
+                        acc -= a[j] * spec[kk]
+                spec[k] = acc
     return {"global_gain": global_gain, "window_shape": window_shape,
             "window_sequence": window_sequence, "max_sfb": max_sfb,
             "groups": None, "band_cbs": band_cbs, "quant": quant,

@@ -4311,6 +4311,69 @@ def test_aac_pulse_tool():
                                    pulses=[(40, 5)]), codebooks=cbs)
 
 
+def test_aac_tns_tool():
+    """r11 third wave: TNS (§4.6.9) — reflection coefficients inverse-
+    quantized through the sin(±) branches, converted to LPC by the
+    Levinson recursion, applied as an all-pole synthesis filter along
+    frequency with zero initial state inside the band range, in both
+    directions; pinned against an independent per-sample replay.  TNS
+    in EIGHT_SHORT frames stays the honest raise."""
+    import math
+
+    import numpy as np
+    from spatial_spark.operators.codecs import (
+        AAC_ENGINE_SWB_OFFSETS as OFF, aac_dequantize,
+        decode_aac_lc_frame, encode_aac_lc_spectral, engine_codebooks)
+
+    cbs = engine_codebooks()
+    q = np.zeros(1024, dtype=np.int64)
+    for s in range(64):
+        q[s] = ((s * 3) % 9) - 4
+    base = np.zeros(1024)
+    base[:32] = aac_dequantize(q[:32], 100)
+    base[32:64] = aac_dequantize(q[32:64], 98)
+
+    def lpc(rcs):
+        a = [1.0]
+        for m, k in enumerate(rcs):
+            a = [1.0] + [a[i] + k * a[m - i]
+                         for i in range(1, m + 1)] + [k]
+        return a
+
+    def replay(spec, lo, hi, a, down):
+        out = spec.copy()
+        ks = range(hi - 1, lo - 1, -1) if down else range(lo, hi)
+        for k in ks:
+            acc = out[k]
+            for j in range(1, len(a)):
+                kk = k + j if down else k - j
+                if lo <= kk < hi:
+                    acc -= a[j] * out[kk]
+            out[k] = acc
+        return out
+
+    # upward over the top band (coef_res=1: 4-bit coefs, ± branches)
+    iqf = ((1 << 3) - 0.5) / (math.pi / 2)
+    iqm = ((1 << 3) + 0.5) / (math.pi / 2)
+    d = decode_aac_lc_frame(
+        encode_aac_lc_spectral(q, [5, 5], [100, 98], 100, cbs,
+                               tns=(1, [(1, 0, 0, [3, -2])])),
+        codebooks=cbs)
+    want = replay(base, OFF[1], OFF[2],
+                  lpc([math.sin(3 / iqf), math.sin(-2 / iqm)]), False)
+    assert np.allclose(d["spec"], want, rtol=0, atol=1e-15)
+    # downward over both bands (coef_res=0 + coef_compress: 2-bit)
+    iqf0 = ((1 << 2) - 0.5) / (math.pi / 2)
+    iqm0 = ((1 << 2) + 0.5) / (math.pi / 2)
+    d2 = decode_aac_lc_frame(
+        encode_aac_lc_spectral(q, [5, 5], [100, 98], 100, cbs,
+                               tns=(0, [(2, 1, 1, [1, -1])])),
+        codebooks=cbs)
+    want2 = replay(base, OFF[0], OFF[2],
+                   lpc([math.sin(1 / iqf0), math.sin(-1 / iqm0)]), True)
+    assert np.allclose(d2["spec"], want2, rtol=0, atol=1e-15)
+
+
 def test_aac_eight_short_windows():
     """r11 third wave: the EIGHT_SHORT tier — (a) the filterbank
     reconstructs random audio EXACTLY through a full ONLY_LONG →
