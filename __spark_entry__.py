@@ -4984,16 +4984,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gate checks the first 50 registered entries.  The r11 rotation is
     # documented inline at the top of the dict below.  r12 window plan:
     # the 15 age-4 r8-row holders immediately below the window lead
-    # (cql2 … covered_env — the explicit rotation debt), then the 8
-    # never-driver-rowed r11-late gates (interval_join_outer,
-    # st_transform_rd, media_avc_pres, dedup_stream, retention_stream,
-    # st_transform_lv95, media_avc_cres, media_aac_cpe), then any new
-    # r12 gates, then oldest-first from the r9-row holders (age 3 at
-    # r12).  With 172 gates and a 50-row window the full cycle is ~3.4
-    # rounds, so the oldest-first discipline (never-rowed > oldest row)
-    # is what bounds every gate's driver-row age.  Every entry keeps
-    # its local-gate oracle (tools/check_correctness runs ALL of them,
-    # every round, at sf0.001/0.01/0.1).
+    # (cql2 … covered_env — the explicit rotation debt), then the 14
+    # never-driver-rowed r11-late gates in registration order
+    # (interval_join_outer, st_transform_rd, media_avc_pres,
+    # dedup_stream, retention_stream, st_transform_lv95,
+    # media_avc_cres, media_aac_cpe, media_avc_ipred, media_avc_icres,
+    # url_dedup, st_transform_gk, media_aac_short, quantile_stream),
+    # then any new r12 gates, then oldest-first from the r9-row
+    # holders (age 3 at r12).  With 179 gates and a 50-row window the
+    # full cycle is ~3.6 rounds, so the oldest-first discipline
+    # (never-rowed > oldest row) is what bounds every gate's
+    # driver-row age.  Every entry keeps its local-gate oracle
+    # (tools/check_correctness runs ALL of them, every round, at
+    # sf0.001/0.01/0.1).
     return {name: wrap(fn) for name, fn in {
         # ============ r11 WINDOW (first 50 — the driver's correctness
         # gate), executed as queued in r10 and as VERDICT r10 ask #1

@@ -354,7 +354,7 @@ BUDGET_SF01 = {
     "st_transform_lv95": 1.0,
     # r11: 2.2x local best-of-two (24-container fixture: gray IDR +
     # two chroma-shifting residual P frames per media)
-    "media_avc_cres": 2.6,
+    "media_avc_cres": 2.2,
     # r11: 2.2x local best-of-two (16-container stereo fixture: CPE
     # Huffman decode x2 channels + two per-channel filterbanks)
     "media_aac_cpe": 2.2,
@@ -366,7 +366,7 @@ BUDGET_SF01 = {
     "media_avc_icres": 1.7,
     # r11: 2.2x local best-of-two (capped 4000-doc fixture; one
     # regex-normalize map pass + one keyed agg)
-    "url_dedup": 1.8,
+    "url_dedup": 0.8,
     # r11: 2.2x local best-of-two (zone-7-box customers through the
     # datum-tier chain — same shape as st_transform_osgb)
     "st_transform_gk": 1.9,
@@ -375,7 +375,7 @@ BUDGET_SF01 = {
     "media_aac_short": 2.6,
     # r11: 2.2x local best-of-two (capped fixture; 4 stateful
     # micro-batch sketch folds + the fixture write)
-    "quantile_stream": 10.4,
+    "quantile_stream": 9.4,
     # (EVERY pin re-ratcheted as min(old, 2.2x the clean final full
     # run's min-of-2) — landing-time measurements taken under
     # concurrent sweeps carried up to 9x slack; the ratchet never
