@@ -4311,6 +4311,60 @@ def test_aac_pulse_tool():
                                    pulses=[(40, 5)]), codebooks=cbs)
 
 
+def test_h264_chroma_dc_quadrant_rules():
+    """§8.3.4.1 chroma DC prediction, ALL availability combinations
+    (both / left-only / top-only / none) pinned against an
+    INDEPENDENTLY spelled reference — including the (4,0)/(0,4)
+    quadrants' preferred-edge rules and their single-neighbor
+    fallbacks, which the encoder-driven round-trip tests only reach
+    with both neighbors present."""
+    import numpy as np
+    from spatial_spark.operators.codecs import _h264_chroma_pred
+
+    def ref_dc(pl, y0, x0):
+        left_ok, top_ok = x0 > 0, y0 > 0
+        out = np.empty((8, 8), dtype=np.int64)
+
+        def st(lo):
+            return int(pl[y0 - 1, x0 + lo:x0 + lo + 4].sum())
+
+        def sl(lo):
+            return int(pl[y0 + lo:y0 + lo + 4, x0 - 1].sum())
+        if left_ok and top_ok:
+            v00 = (st(0) + sl(0) + 4) >> 3
+            v44 = (st(4) + sl(4) + 4) >> 3
+        elif left_ok:
+            v00, v44 = (sl(0) + 2) >> 2, (sl(4) + 2) >> 2
+        elif top_ok:
+            v00, v44 = (st(0) + 2) >> 2, (st(4) + 2) >> 2
+        else:
+            v00 = v44 = 128
+        if top_ok:
+            v40 = (st(4) + 2) >> 2
+        elif left_ok:
+            v40 = (sl(0) + 2) >> 2
+        else:
+            v40 = 128
+        if left_ok:
+            v04 = (sl(4) + 2) >> 2
+        elif top_ok:
+            v04 = (st(0) + 2) >> 2
+        else:
+            v04 = 128
+        out[:4, :4] = v00
+        out[:4, 4:] = v40
+        out[4:, :4] = v04
+        out[4:, 4:] = v44
+        return out
+
+    rng = np.random.default_rng(5)
+    pl = rng.integers(0, 256, (24, 24)).astype(np.int64)
+    for (y0, x0) in [(0, 0), (0, 8), (8, 0), (8, 8), (16, 16),
+                     (0, 16), (16, 0)]:
+        assert np.array_equal(_h264_chroma_pred(pl, 0, y0, x0),
+                              ref_dc(pl, y0, x0)), (y0, x0)
+
+
 def test_aac_tns_tool():
     """r11 third wave: TNS (§4.6.9) — reflection coefficients inverse-
     quantized through the sin(±) branches, converted to LPC by the
