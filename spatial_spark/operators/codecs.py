@@ -2471,7 +2471,7 @@ def _h264_i16_pred(yp: np.ndarray, mode: int, y0: int,
         b = (5 * H + 32) >> 6
         c = (5 * V + 32) >> 6
         x = np.arange(16, dtype=np.int64)
-        grid = a + b * (x[None, :] - 7) + c * (x[:, None] - 8) + 16
+        grid = a + b * (x[None, :] - 7) + c * (x[:, None] - 7) + 16
         return np.clip(grid >> 5, 0, 255)
     raise ValueError(f"H264: Intra_16x16 prediction mode {mode}")
 
@@ -2534,7 +2534,7 @@ def _h264_chroma_pred(pl: np.ndarray, mode: int, y0: int,
         b = (34 * H + 32) >> 6
         c = (34 * V + 32) >> 6
         x = np.arange(8, dtype=np.int64)
-        grid = a + b * (x[None, :] - 3) + c * (x[:, None] - 4) + 16
+        grid = a + b * (x[None, :] - 3) + c * (x[:, None] - 3) + 16
         return np.clip(grid >> 5, 0, 255)
     raise ValueError(f"H264: chroma prediction mode {mode}")
 
@@ -3775,7 +3775,7 @@ def _aac_channel_stream(r: "_EgBitReader", codebooks, swb_offsets,
                     for m in range(order):
                         k = rc[m]
                         a = ([1.0]
-                             + [a[i] + k * a[m - i]
+                             + [a[i] + k * a[m + 1 - i]
                                 for i in range(1, m + 1)]
                              + [k])
                     tns_filters.append((bottom, top, direction, a))

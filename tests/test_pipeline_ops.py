@@ -4388,11 +4388,27 @@ def test_aac_tns_tool():
     base[32:64] = aac_dequantize(q[32:64], 98)
 
     def lpc(rcs):
+        # Spec-literal ISO 14496-3 §4.6.9.3 pseudocode: for each new
+        # order m, b[i] = a[i] + rc*a[m-i] (m here IS the new order),
+        # b[m] = rc — buffered so a[] reads are pre-update values.
         a = [1.0]
-        for m, k in enumerate(rcs):
-            a = [1.0] + [a[i] + k * a[m - i]
-                         for i in range(1, m + 1)] + [k]
+        for step, rc in enumerate(rcs):
+            m = step + 1            # the new filter order
+            b = [1.0] + [a[i] + rc * a[m - i] for i in range(1, m)] \
+                + [rc]
+            a = b
         return a
+
+    # hardcoded spec values: order 2 gives a1 = r1 + r1*r2 (NOT
+    # r1 + r2 — the self-consistent-twin bug the r11 advisor caught)
+    r1, r2, r3 = 0.5, -0.25, 0.125
+    assert lpc([r1, r2]) == [1.0, r1 + r1 * r2, r2]
+    a3 = lpc([r1, r2, r3])
+    want_a1 = (r1 + r1 * r2) + r3 * r2
+    want_a2 = r2 + r3 * (r1 + r1 * r2)
+    assert abs(a3[1] - want_a1) < 1e-15
+    assert abs(a3[2] - want_a2) < 1e-15
+    assert a3[3] == r3
 
     def replay(spec, lo, hi, a, down):
         out = spec.copy()
@@ -4896,3 +4912,82 @@ def test_stream_interval_join_outer_matches_batch(spark, tmp_path):
             else:
                 want.add((u, f"imp-{u}-{i}", None))
     assert got == want
+
+
+def test_h264_plane_prediction_spec_pin():
+    """r12 advisor fix: pin Intra_16x16 AND chroma Plane prediction
+    against an INDEPENDENT per-pixel transcription of H.264 §8.3.3.4
+    eq 8-116..8-121 and §8.3.4.4 (4:2:0) — the r11 twins shared a
+    c*(y-8)/c*(y-4) off-by-one between encoder and decoder, so only a
+    from-the-spec spelling can catch it.  Random neighbor pixels, the
+    decoder's private prediction helpers probed directly."""
+    import numpy as np
+    from spatial_spark.operators.codecs import (_h264_chroma_pred,
+                                                _h264_i16_pred)
+
+    rng = np.random.default_rng(1207)
+
+    def spec_luma_plane(p):
+        # p[x, y]: x horizontal, y vertical; p[., -1] top row,
+        # p[-1, .] left column (spec axis order, eq 8-116..8-121)
+        H = sum((x + 1) * (p[8 + x, -1] - p[6 - x, -1])
+                for x in range(8))
+        V = sum((y + 1) * (p[-1, 8 + y] - p[-1, 6 - y])
+                for y in range(8))
+        a = 16 * (p[-1, 15] + p[15, -1])
+        b = (5 * H + 32) >> 6
+        c = (5 * V + 32) >> 6
+        out = np.zeros((16, 16), dtype=np.int64)   # [y, x]
+        for y in range(16):
+            for x in range(16):
+                out[y, x] = min(255, max(0, (a + b * (x - 7)
+                                             + c * (y - 7) + 16) >> 5))
+        return out
+
+    def spec_chroma_plane(p):
+        H = sum((x + 1) * (p[4 + x, -1] - p[2 - x, -1])
+                for x in range(4))
+        V = sum((y + 1) * (p[-1, 4 + y] - p[-1, 2 - y])
+                for y in range(4))
+        a = 16 * (p[-1, 7] + p[7, -1])
+        b = (34 * H + 32) >> 6
+        c = (34 * V + 32) >> 6
+        out = np.zeros((8, 8), dtype=np.int64)
+        for y in range(8):
+            for x in range(8):
+                out[y, x] = min(255, max(0, (a + b * (x - 3)
+                                             + c * (y - 3) + 16) >> 5))
+        return out
+
+    for trial in range(5):
+        yp = rng.integers(0, 256, (40, 40)).astype(np.int64)
+        y0, x0 = 16, 16
+        # p[x, y] view: p[x, -1] = top neighbors yp[y0-1, x0+x];
+        # p[-1, y] = left neighbors yp[y0+y, x0-1]; p[-1, -1] corner
+        pl = {}
+        for x in range(-1, 16):
+            pl[(x, -1)] = int(yp[y0 - 1, x0 + x])
+        for y in range(-1, 16):
+            pl[(-1, y)] = int(yp[y0 + y, x0 - 1])
+
+        class P:
+            def __getitem__(self, xy):
+                return pl[xy]
+        want = spec_luma_plane(P())
+        got = _h264_i16_pred(yp, 3, y0, x0)
+        assert np.array_equal(got, want), f"luma plane trial {trial}"
+
+        cp = rng.integers(0, 256, (24, 24)).astype(np.int64)
+        cy0, cx0 = 8, 8
+        pc = {}
+        for x in range(-1, 8):
+            pc[(x, -1)] = int(cp[cy0 - 1, cx0 + x])
+        for y in range(-1, 8):
+            pc[(-1, y)] = int(cp[cy0 + y, cx0 - 1])
+
+        class C:
+            def __getitem__(self, xy):
+                return pc[xy]
+        wantc = spec_chroma_plane(C())
+        gotc = _h264_chroma_pred(cp, 3, cy0, cx0)
+        assert np.array_equal(gotc, wantc), f"chroma plane trial {trial}"
