@@ -17,6 +17,8 @@ Parquet min/max stats as index-node envelopes.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -199,7 +201,58 @@ class Layer:
         directory listing as epoch 0, so every later crash window
         resolves against a snapshot instead of raw listing."""
         if man.current() is None:
-            man.commit(sorted(man.snapshot_names()), lock_token=lock_token)
+            names = sorted(man.snapshot_names())
+            man.commit(names, lock_token=lock_token,
+                       stats=self._footer_stats(names))
+
+    def _footer_stats(self, names) -> dict:
+        """Per-file (zkey range, bbox, row count) from the parquet
+        FOOTERS of just-written files — driver-side, O(changed files),
+        no Spark job.  Feeds the manifest shard stats so window
+        planning prunes whole shards from the manifest list alone (the
+        R-tree node envelopes at FILE granularity,
+        rtree/RTreeIndex.java:781-847, one level above the parquet
+        row-group min/max).  Stats are an optimization: unreadable
+        footers (non-local IO, missing columns) just yield no entry
+        and the shard stays unprunable."""
+        out: dict = {}
+        try:
+            import pyarrow.parquet as pq
+        except Exception:                        # pragma: no cover
+            return out
+        for n in names:
+            try:
+                md = pq.ParquetFile(os.path.join(self.path, n)).metadata
+            except Exception:
+                continue
+            idx = {md.schema.column(i).name: i
+                   for i in range(md.num_columns)}
+
+            def rng(col):
+                ci = idx.get(col)
+                if ci is None or md.num_row_groups == 0:
+                    return None
+                mins, maxs = [], []
+                for g in range(md.num_row_groups):
+                    s = md.row_group(g).column(ci).statistics
+                    if s is None or not s.has_min_max:
+                        return None
+                    mins.append(s.min)
+                    maxs.append(s.max)
+                return min(mins), max(maxs)
+            st: dict = {"rows": md.num_rows}
+            z = rng("zkey")
+            if z is not None:
+                st["zmin"], st["zmax"] = int(z[0]), int(z[1])
+            for col, key, hi in (("xmin", "xmin", False),
+                                 ("ymin", "ymin", False),
+                                 ("xmax", "xmax", True),
+                                 ("ymax", "ymax", True)):
+                r = rng(col)
+                if r is not None:
+                    st[key] = float(r[1] if hi else r[0])
+            out[n] = st
+        return out
 
     # ---- write path ---------------------------------------------------
     def add(self, df: DataFrame, geom: str = "geom", wkt: str | None = None,
@@ -303,12 +356,14 @@ class Layer:
             before = man.snapshot_names()
             writer.parquet(self.path)
             after = man.snapshot_names()
+            stats = self._footer_stats(sorted(after - before))
             if mode == "overwrite":
-                man.commit(sorted(after), lock_token=lk.token)
+                man.commit(sorted(after), lock_token=lk.token, stats=stats)
             else:
-                cur = man.current()
-                man.commit(sorted(set(cur[1]) | (after - before)),
-                           lock_token=lk.token)
+                # O(changed) publish: no full-list materialization, no
+                # existing shard doc read (pure append)
+                man.commit_delta(add=sorted(after - before),
+                                 lock_token=lk.token, stats=stats)
         try:
             self.ctx.catalog.merge_stats(self.name, dict(obs.get),
                                          replace=(mode == "overwrite"))
@@ -554,11 +609,15 @@ class Layer:
                     man.io.rename(os.path.join(tmp, p),
                                   os.path.join(self.path, p))
                     moved.append(os.path.join(self.path, p))
-            replaced = {os.path.basename(f) for f in files}
-            live = set(man.current()[1])
-            man.commit(sorted((live - replaced)
-                              | {os.path.basename(m) for m in moved}),
-                       lock_token=lk.token)
+            # O(changed) delta publish: only shards holding replaced
+            # files are opened/rewritten (files_for_ids resolved UNDER
+            # this lock, so every replaced name is in the snapshot)
+            moved_names = sorted(os.path.basename(m) for m in moved)
+            man.commit_delta(add=moved_names,
+                             remove=sorted(os.path.basename(f)
+                                           for f in files),
+                             lock_token=lk.token,
+                             stats=self._footer_stats(moved_names))
             # replaced files stay ON DISK (r11, VERDICT r10 ask #6): a
             # concurrent reader pinned to the pre-mutation snapshot
             # finishes its scan untouched, and time travel to that
@@ -676,14 +735,17 @@ class Layer:
                     raise ManifestConflict(
                         f"{len(base - cur)} base file(s) replaced by a "
                         "concurrent mutation during rewrite")
-                appended = sorted(cur - base)
                 moved = []
                 for p in man.io.listdir(tmp):
                     if p.startswith("part-"):
                         man.io.rename(os.path.join(tmp, p),
                                       os.path.join(self.path, p))
                         moved.append(p)
-                man.commit(sorted(moved) + appended, lock_token=lk.token)
+                man.commit_delta(add=sorted(moved),
+                                 remove=sorted(os.path.basename(b)
+                                               for b in base),
+                                 lock_token=lk.token,
+                                 stats=self._footer_stats(sorted(moved)))
                 # base files stay on disk (r11): pinned readers and
                 # time travel keep the pre-rewrite snapshot readable;
                 # vacuum()/gc() reclaims them on the retention cadence
@@ -796,15 +858,15 @@ class Layer:
                     man.io.rename(os.path.join(tmp, p),
                                   os.path.join(self.path, p))
                     moved.append(p)
-            replaced = {os.path.basename(f) for f in targets}
-            keep = [os.path.basename(f) for f in live
-                    if os.path.basename(f) not in replaced]
-            man.commit(sorted(keep + moved), lock_token=lk.token)
+            replaced = sorted(os.path.basename(f) for f in targets)
+            man.commit_delta(add=sorted(moved), remove=replaced,
+                             lock_token=lk.token,
+                             stats=self._footer_stats(sorted(moved)))
             for f in targets:   # post-publish cleanup
                 man.io.remove(f)
             man.io.remove_dir(tmp)
             return {"files_before": len(live),
-                    "files_after": len(keep) + len(moved),
+                    "files_after": len(live) - len(replaced) + len(moved),
                     "files_compacted": len(targets)}
 
     @property
@@ -890,6 +952,44 @@ class Layer:
         if st is not None:
             return self.ctx.spark.read.schema(st).parquet(self.path)
         return self.ctx.spark.read.option("mergeSchema", "true").parquet(self.path)
+
+    def df_window(self, windows) -> DataFrame:
+        """Snapshot read PRUNED at the manifest list: only files in
+        shards whose aggregate bbox stats intersect one of the
+        ``(x0, y0, x1, y1)`` windows reach the reader — the R-tree
+        node-envelope descent (rtree/RTreeIndex.java:781-847) at FILE
+        granularity, decided driver-side from the manifest list alone,
+        before any parquet footer is opened.  At 100 TB this is the
+        difference between planning over millions of files and over
+        the handful of shards a window touches.  Shards without stats
+        are always included, and the exact window predicate still runs
+        in the plan — pruning only shrinks the file list, never the
+        answer."""
+        ws = windows if isinstance(windows, list) else [windows]
+
+        def keep(stats: dict) -> bool:
+            if not all(k in stats for k in
+                       ("xmin", "ymin", "xmax", "ymax")):
+                return True
+            return any(stats["xmin"] <= w[2] and stats["xmax"] >= w[0]
+                       and stats["ymin"] <= w[3] and stats["ymax"] >= w[1]
+                       for w in ws)
+
+        files = self._manifest.files_where(keep)
+        if files is None:                # pre-manifest store
+            return self.df()
+        schema_json = self.meta.get("schema_json")
+        st = None
+        if schema_json:
+            import json as _json
+            st = T.StructType.fromJson(_json.loads(schema_json))
+        if not files:
+            return (self.ctx.spark.createDataFrame([], st) if st
+                    else self.df().limit(0))
+        if st is not None:
+            return self.ctx.spark.read.schema(st).parquet(*files)
+        return (self.ctx.spark.read.option("mergeSchema", "true")
+                .parquet(*files))
 
     def signature(self) -> str:
         """Compact layer signature string — Layer.getSignature /

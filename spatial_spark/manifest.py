@@ -337,19 +337,44 @@ class _LockHandle:
 
 
 class Manifest:
-    """File-list manifest + writer lock for one layer store directory.
+    """Sharded manifest-list + writer lock for one layer store directory.
 
     Layout (``<store>_manifest/``)::
 
-        manifest-<epoch>.json   {"epoch": N, "files": ["part-...", ...]}
+        manifest-<epoch>.json   the manifest LIST:
+                                {"epoch": N, "format": 2, "meta": {...},
+                                 "shards": [{"name": "shard-....json",
+                                             "n": K, "stats": {...}}]}
+        shard-<e>-<uuid>.json   IMMUTABLE file shard:
+                                {"files": ["part-...", ...],
+                                 "file_stats": {"part-...": {...}}}
         LOCK                    writer lock {"token", "pid", "hb"}
 
-    File names in the manifest are store-relative; epochs are dense and
+    The Iceberg manifest-list shape (VERDICT r11 ask #2): the per-epoch
+    doc enumerates SHARDS (≤ ``SHARD_TARGET`` files each, with
+    aggregated zkey-range / bbox / row-count stats), not files.  A
+    commit rewrites only the shards its change touches — unchanged
+    shards are reused by name — so publish cost is O(changed files +
+    n_shards), not O(n_files); and readers can prune at SHARD
+    granularity from the list alone (``files_where``), the R-tree
+    node-envelope descent at file granularity
+    (rtree/RTreeIndex.java:781-847), before any parquet footer is
+    opened.  Format-1 docs ({"files": [...]}) remain readable; the
+    first commit over a v1 store migrates it.
+
+    File names in shards are store-relative; epochs are dense and
     monotone.  Older manifest generations are kept (cheap, json-sized)
-    as the commit history — ``commit`` prunes to the newest few.
+    as the commit history — ``commit`` prunes to the newest few, and
+    shard docs referenced by no retained generation are reclaimed once
+    their creation epoch ages out (so a mid-commit writer's
+    just-written, not-yet-published shards are never swept).
     """
 
     KEEP_GENERATIONS = 5
+    SHARD_TARGET = 512
+    # aggregate stat keys: mins and maxes taken over per-file stats
+    _STAT_MIN = ("zmin", "xmin", "ymin")
+    _STAT_MAX = ("zmax", "xmax", "ymax")
 
     def __init__(self, store_path: str, io=None):
         self.store = store_path
@@ -358,10 +383,8 @@ class Manifest:
         self._lock_path = self.dir + "/LOCK"
 
     # ---- read side ----------------------------------------------------
-    def current(self):
-        """``(epoch, [store-relative file names])`` of the newest
-        manifest, or ``None`` when the layer predates manifests (the
-        reader then falls back to directory listing)."""
+    def _newest(self):
+        """(epoch, list-doc) of the newest manifest, or None."""
         if not self.io.isdir(self.dir):
             return None
         best, name = -1, None
@@ -375,8 +398,28 @@ class Manifest:
                     best, name = e, f
         if name is None:
             return None
-        doc = json.loads(self.io.read_text(self.dir + "/" + name))
-        return doc["epoch"], list(doc["files"])
+        return best, json.loads(self.io.read_text(self.dir + "/" + name))
+
+    def _shard_doc(self, name: str) -> dict:
+        return json.loads(self.io.read_text(self.dir + "/" + name))
+
+    def _materialize(self, doc: dict) -> list:
+        """Store-relative file names of a list doc (v1 or v2)."""
+        if "files" in doc:                       # format 1
+            return list(doc["files"])
+        out: list = []
+        for sh in doc.get("shards", []):
+            out.extend(self._shard_doc(sh["name"])["files"])
+        return sorted(out)                       # v1 contract: sorted
+
+    def current(self):
+        """``(epoch, [store-relative file names])`` of the newest
+        manifest, or ``None`` when the layer predates manifests (the
+        reader then falls back to directory listing)."""
+        cur = self._newest()
+        if cur is None:
+            return None
+        return cur[0], self._materialize(cur[1])
 
     def files(self):
         """Absolute paths of the current snapshot's data files, or None
@@ -386,26 +429,49 @@ class Manifest:
             return None
         return [os.path.join(self.store, n) for n in cur[1]]
 
+    def shard_stats(self) -> list | None:
+        """Current snapshot's shard descriptors ``[{"name", "n",
+        "stats"}]`` straight from the manifest list (no shard-doc
+        reads), or None when no manifest exists.  A v1 doc reports one
+        pseudo-shard with empty stats."""
+        cur = self._newest()
+        if cur is None:
+            return None
+        doc = cur[1]
+        if "files" in doc:
+            return [{"name": None, "n": len(doc["files"]), "stats": {}}]
+        return [dict(sh) for sh in doc.get("shards", [])]
+
+    def files_where(self, keep) -> list | None:
+        """Absolute paths of current data files in shards whose
+        aggregate stats pass ``keep(stats_dict) -> bool`` — the
+        planning read: only matching shard docs are opened.  Shards
+        with EMPTY stats are always included (prune only on evidence).
+        Returns None when no manifest exists."""
+        cur = self._newest()
+        if cur is None:
+            return None
+        doc = cur[1]
+        if "files" in doc:                       # v1: no stats, no prune
+            return [os.path.join(self.store, n) for n in doc["files"]]
+        out = []
+        for sh in doc.get("shards", []):
+            st = sh.get("stats") or {}
+            if st and not keep(st):
+                continue
+            out.extend(os.path.join(self.store, n)
+                       for n in self._shard_doc(sh["name"])["files"])
+        return out
+
     def current_meta(self) -> dict:
         """App-defined metadata riding the newest manifest ({} when
         absent) — e.g. streaming epoch markers, which thereby publish
         ATOMICALLY with the file list they admitted (ADVICE r7: the
         separate marker file left a duplicate-replay window)."""
-        if not self.io.isdir(self.dir):
+        cur = self._newest()
+        if cur is None:
             return {}
-        best, name = -1, None
-        for f in self.io.listdir(self.dir):
-            if f.startswith("manifest-") and f.endswith(".json"):
-                try:
-                    e = int(f[len("manifest-"):-len(".json")])
-                except ValueError:
-                    continue
-                if e > best:
-                    best, name = e, f
-        if name is None:
-            return {}
-        doc = json.loads(self.io.read_text(self.dir + "/" + name))
-        return doc.get("meta", {})
+        return cur[1].get("meta", {})
 
     def epochs(self) -> list:
         """Retained snapshot epochs, oldest first (the commit history —
@@ -435,7 +501,7 @@ class Manifest:
         except FileNotFoundError:
             raise KeyError(
                 f"epoch {epoch} not retained (have {self.epochs()})")
-        return [os.path.join(self.store, n) for n in doc["files"]]
+        return [os.path.join(self.store, n) for n in self._materialize(doc)]
 
     # ---- write side ---------------------------------------------------
     def _lock_payload(self, token: str) -> bytes:
@@ -597,34 +663,133 @@ class Manifest:
         cur = self._read_lock()
         return cur is not None and cur[0] == handle.token
 
+    @classmethod
+    def _agg_stats(cls, file_stats: dict) -> dict:
+        """Shard-level aggregate of per-file stats: mins of *min keys,
+        maxes of *max keys, summed rows — {} unless EVERY file carries
+        the key (a partial stat cannot prune safely)."""
+        if not file_stats:
+            return {}
+        vals = list(file_stats.values())
+        agg: dict = {}
+        for k in cls._STAT_MIN:
+            if all(v.get(k) is not None for v in vals):
+                agg[k] = min(v[k] for v in vals)
+        for k in cls._STAT_MAX:
+            if all(v.get(k) is not None for v in vals):
+                agg[k] = max(v[k] for v in vals)
+        if all(v.get("rows") is not None for v in vals):
+            agg["rows"] = sum(v["rows"] for v in vals)
+        return agg
+
+    def _write_shard(self, epoch: int, names: list,
+                     file_stats: dict) -> dict:
+        """Write one immutable shard doc; return its list entry."""
+        name = f"shard-{epoch}-{uuid.uuid4().hex[:8]}.json"
+        fs = {n: file_stats[n] for n in names if file_stats.get(n)}
+        body: dict = {"files": names}
+        if fs:
+            body["file_stats"] = fs
+        self.io.write_file(self.dir + "/" + name,
+                           json.dumps(body).encode())
+        # lo/hi = the shard's file-NAME range: delta commits consult it
+        # to decide whether a removal/duplicate-add can touch this
+        # shard at all, without opening the doc
+        return {"name": name, "n": len(names),
+                "lo": min(names), "hi": max(names),
+                "stats": self._agg_stats(fs) if len(fs) == len(names)
+                else {}}
+
     def commit(self, files, base_epoch: int | None = None,
                lock_token: str | None = None,
-               meta: dict | None = None) -> int:
+               meta: dict | None = None,
+               stats: dict | None = None) -> int:
         """Publish a new snapshot listing ``files`` (absolute or
-        store-relative).  Atomic AND conflict-safe: the json is written
-        to a temp name and CAS-renamed (create-no-overwrite) to
+        store-relative).  Atomic AND conflict-safe: shard docs are
+        written first under unique names, then the manifest LIST is
+        written to a temp name and CAS-renamed (create-no-overwrite) to
         ``manifest-<epoch>.json`` — readers see the old snapshot or the
-        new one, never a torn file, and if another writer published the
-        same epoch first the CAS fails with ``ManifestConflict`` instead
-        of silently overwriting it.  When ``base_epoch`` is given,
-        raises ``ManifestConflict`` if another commit landed since.
-        When ``lock_token`` is given (a ``_LockHandle.token``), raises
+        new one, never a torn file; a crash before the CAS leaves only
+        unreferenced (invisible) shard docs; and if another writer
+        published the same epoch first the CAS fails with
+        ``ManifestConflict`` instead of silently overwriting it.
+
+        Shard REUSE makes the publish O(changed): a prior shard whose
+        file set is fully retained is referenced by name, unwritten;
+        shards that lost files are rewritten minus the removals
+        (keeping their surviving per-file stats); new files pack into
+        fresh shards of ``SHARD_TARGET``.
+
+        ``stats`` maps store-relative file name → per-file stats
+        ({"zmin","zmax","xmin","ymin","xmax","ymax","rows"}, any
+        subset) for files whose stats the writer knows (typically the
+        new ones); retained files keep the stats already in their
+        shards.  When ``base_epoch`` is given, raises
+        ``ManifestConflict`` if another commit landed since.  When
+        ``lock_token`` is given (a ``_LockHandle.token``), raises
         ``ManifestConflict`` if the caller no longer owns the writer
         lock — the stale-break defense (ADVICE r7)."""
         self.io.mkdirs(self.dir)
-        cur = self.current()
-        epoch = (cur[0] if cur else -1) + 1
-        if base_epoch is not None and cur is not None and cur[0] != base_epoch:
-            raise ManifestConflict(
-                f"expected base epoch {base_epoch}, store is at {cur[0]}")
-        if lock_token is not None:
-            held = self._read_lock()
-            if held is None or held[0] != lock_token:
-                raise ManifestConflict(
-                    "writer lock lost before publish (stale-break?); "
-                    "refusing to commit over a concurrent writer")
+        cur = self._newest()
+        epoch = self._check_preconditions(cur, base_epoch, lock_token)
         rel = sorted(os.path.basename(f) for f in files)
-        doc = {"epoch": epoch, "files": rel}
+        target = set(rel)
+        file_stats = {os.path.basename(k): v
+                      for k, v in (stats or {}).items()}
+
+        shards: list = []
+        placed: set = set()
+        if cur is not None and "shards" in cur[1]:
+            for sh in cur[1]["shards"]:
+                old = self._shard_doc(sh["name"])
+                kept = [n for n in old["files"] if n in target]
+                if not kept:
+                    continue
+                old_fs = old.get("file_stats", {})
+                if len(kept) == len(old["files"]) and not any(
+                        n in file_stats for n in kept):
+                    shards.append(dict(sh))      # reused by name
+                else:
+                    merged = {n: file_stats.get(n) or old_fs.get(n)
+                              for n in kept}
+                    merged = {n: v for n, v in merged.items() if v}
+                    shards.append(self._write_shard(epoch, kept, merged))
+                placed.update(kept)
+        new = [n for n in rel if n not in placed]
+        for i in range(0, len(new), self.SHARD_TARGET):
+            chunk = new[i:i + self.SHARD_TARGET]
+            shards.append(self._write_shard(epoch, chunk, file_stats))
+        shards = self._coalesce(epoch, shards)
+        return self._publish(epoch, shards, meta)
+
+    def _coalesce(self, epoch: int, shards: list) -> list:
+        """Repack shard sprawl (append-heavy histories): when the
+        shard count exceeds 2× the packed minimum, the smallest shards
+        merge into full ones — amortized O(changed), bounded list
+        length."""
+        total = sum(sh["n"] for sh in shards)
+        limit = max(8, 2 * ((total + self.SHARD_TARGET - 1)
+                            // max(1, self.SHARD_TARGET)))
+        if len(shards) <= limit:
+            return shards
+        shards = sorted(shards, key=lambda s: s["n"], reverse=True)
+        big, small = shards[:limit // 2], shards[limit // 2:]
+        pool: list = []
+        pool_fs: dict = {}
+        for sh in small:
+            d = self._shard_doc(sh["name"])
+            pool.extend(d["files"])
+            pool_fs.update(d.get("file_stats", {}))
+        pool.sort()
+        out = list(big)
+        for i in range(0, len(pool), self.SHARD_TARGET):
+            out.append(self._write_shard(
+                epoch, pool[i:i + self.SHARD_TARGET], pool_fs))
+        return out
+
+    def _publish(self, epoch: int, shards: list, meta: dict | None) -> int:
+        """Write + CAS-publish the manifest list for ``epoch``."""
+        doc: dict = {"epoch": epoch, "format": 2, "shards": shards}
         # meta CARRIES FORWARD by default (ADVICE r8 medium): streaming
         # replay markers (stream_epochs) ride the manifest meta, so a
         # meta-less commit from any OTHER writer (Layer.add/mutate/
@@ -646,14 +811,122 @@ class Manifest:
         self._prune(epoch)
         return epoch
 
+    def _check_preconditions(self, cur, base_epoch, lock_token) -> int:
+        epoch = (cur[0] if cur else -1) + 1
+        if base_epoch is not None and cur is not None \
+                and cur[0] != base_epoch:
+            raise ManifestConflict(
+                f"expected base epoch {base_epoch}, store is at {cur[0]}")
+        if lock_token is not None:
+            held = self._read_lock()
+            if held is None or held[0] != lock_token:
+                raise ManifestConflict(
+                    "writer lock lost before publish (stale-break?); "
+                    "refusing to commit over a concurrent writer")
+        return epoch
+
+    def commit_delta(self, add=(), remove=(),
+                     base_epoch: int | None = None,
+                     lock_token: str | None = None,
+                     meta: dict | None = None,
+                     stats: dict | None = None) -> int:
+        """Publish a new snapshot as a DELTA over the current one —
+        the O(changed) hot path the Layer writers use.  ``add`` /
+        ``remove`` are file names (absolute or store-relative).
+
+        Unlike ``commit(files)``, no shard doc is read unless its
+        list-entry file-name range (``lo``/``hi``) can contain a
+        removed or re-added name — a pure append publishes one new
+        shard + the list and opens ZERO existing shard docs, so cost
+        is flat in store size (probed 1x-64x,
+        tools/probe_manifest_shards.py).  Removing a name no shard
+        contains raises KeyError (the caller's view was stale).
+        ``stats`` maps added file names to per-file stats.  Other
+        parameters behave exactly as in ``commit``."""
+        cur = self._newest()
+        if cur is not None and "files" in cur[1]:
+            # v1 store: fall back to a migrating full-list commit
+            files = set(cur[1]["files"])
+            files -= {os.path.basename(f) for f in remove}
+            files |= {os.path.basename(f) for f in add}
+            return self.commit(sorted(files), base_epoch=base_epoch,
+                               lock_token=lock_token, meta=meta,
+                               stats=stats)
+        self.io.mkdirs(self.dir)
+        epoch = self._check_preconditions(cur, base_epoch, lock_token)
+        add_n = sorted({os.path.basename(f) for f in add})
+        rm_n = {os.path.basename(f) for f in remove}
+        file_stats = {os.path.basename(k): v
+                      for k, v in (stats or {}).items()}
+        shards: list = []
+        rm_left = set(rm_n)
+        add_left = set(add_n)
+        for sh in (cur[1].get("shards", []) if cur else []):
+            lo, hi = sh.get("lo"), sh.get("hi")
+            touched_rm = [n for n in rm_left
+                          if lo is None or lo <= n <= hi]
+            touched_add = [n for n in add_left
+                           if lo is not None and lo <= n <= hi]
+            if not touched_rm and not touched_add:
+                shards.append(dict(sh))          # untouched: zero reads
+                continue
+            old = self._shard_doc(sh["name"])
+            have = set(old["files"])
+            rm_here = have & set(touched_rm)
+            add_left -= have                     # already-present adds
+            rm_left -= rm_here
+            kept = [n for n in old["files"] if n not in rm_here]
+            if len(kept) == len(old["files"]):
+                shards.append(dict(sh))
+                continue
+            if kept:
+                old_fs = old.get("file_stats", {})
+                shards.append(self._write_shard(
+                    epoch, kept, {n: old_fs[n] for n in kept
+                                  if n in old_fs}))
+        if rm_left:
+            raise KeyError(
+                f"remove of file(s) absent from the current snapshot "
+                f"(stale caller view): {sorted(rm_left)[:3]}...")
+        new = [n for n in add_n if n in add_left]
+        for i in range(0, len(new), self.SHARD_TARGET):
+            shards.append(self._write_shard(
+                epoch, new[i:i + self.SHARD_TARGET], file_stats))
+        shards = self._coalesce(epoch, shards)
+        return self._publish(epoch, shards, meta)
+
     def _prune(self, newest: int) -> None:
-        for f in self.io.listdir(self.dir):
+        cutoff = newest - self.KEEP_GENERATIONS
+        listing = self.io.listdir(self.dir)
+        for f in listing:
             if f.startswith("manifest-") and f.endswith(".json"):
                 try:
                     e = int(f[len("manifest-"):-len(".json")])
                 except ValueError:
                     continue
-                if e <= newest - self.KEEP_GENERATIONS:
+                if e <= cutoff:
+                    self.io.remove(self.dir + "/" + f)
+        # sweep shard docs referenced by no RETAINED generation, but
+        # only once their creation epoch ages past the cutoff — a
+        # concurrent writer's just-written, not-yet-published shards
+        # carry epoch newest+1 and are never swept
+        referenced: set = set()
+        for e in self.epochs():
+            try:
+                doc = json.loads(
+                    self.io.read_text(self.dir + f"/manifest-{e}.json"))
+            except FileNotFoundError:
+                continue
+            for sh in doc.get("shards", []):
+                referenced.add(sh["name"])
+        for f in listing:
+            if f.startswith("shard-") and f.endswith(".json") \
+                    and f not in referenced:
+                try:
+                    e = int(f.split("-")[1])
+                except (IndexError, ValueError):
+                    continue
+                if e <= cutoff:
                     self.io.remove(self.dir + "/" + f)
 
     # ---- maintenance --------------------------------------------------

@@ -91,8 +91,10 @@ def within_distance(layer, lon: float, lat: float, km: float) -> DataFrame:
     """All records within `km` of (lon,lat), with a `distance` column,
     ordered ascending — spatial.withinDistance semantics."""
     windows = sphere_search_windows(lon, lat, km)
-    df = _window_prefilter(layer.df(), windows, _layer_all_points(layer),
-                           _layer_curve(layer))
+    # manifest-shard file pruning first (df_window), then the in-plan
+    # bbox + SFC-range predicates — three prune layers, outermost free
+    df = _window_prefilter(layer.df_window(windows), windows,
+                           _layer_all_points(layer), _layer_curve(layer))
     df = df.withColumn("distance", _distance_col(df, lon, lat))
     return df.filter(F.col("distance") <= km).orderBy("distance")
 
@@ -128,7 +130,8 @@ def closest(layer, lon: float, lat: float, k: int = 100,
     if max_km is not None:
         km = min(km, max_km)
     window = sphere_search_window(lon, lat, km)  # unwrapped, for coverage test
-    cand = _window_prefilter(layer.df(), sphere_search_windows(lon, lat, km),
+    kwins = sphere_search_windows(lon, lat, km)
+    cand = _window_prefilter(layer.df_window(kwins), kwins,
                              all_pts, _layer_curve(layer))
     cand = cand.withColumn("distance", _distance_col(cand, lon, lat))
     if max_km is not None:
@@ -153,8 +156,8 @@ def closest(layer, lon: float, lat: float, k: int = 100,
 
 def bbox_search(layer, window) -> DataFrame:
     """spatial.bbox (:822-836): envelope-intersection search."""
-    return _window_prefilter(layer.df(), window, _layer_all_points(layer),
-                             _layer_curve(layer))
+    return _window_prefilter(layer.df_window(window), window,
+                             _layer_all_points(layer), _layer_curve(layer))
 
 
 def intersects_search(layer, geom_or_wkt) -> DataFrame:
@@ -164,8 +167,8 @@ def intersects_search(layer, geom_or_wkt) -> DataFrame:
     the catalog's write-time stats, never a plan-time scan."""
     g = from_wkt(geom_or_wkt) if isinstance(geom_or_wkt, str) else geom_or_wkt
     all_pts = _layer_all_points(layer)
-    df = _window_prefilter(layer.df(), g.envelope(), all_pts,
-                           _layer_curve(layer))
+    df = _window_prefilter(layer.df_window(g.envelope()), g.envelope(),
+                           all_pts, _layer_curve(layer))
     if all_pts is True:
         # pure point layer: exact test is point-in-geometry, vectorized
         from ..geom.algorithms import points_in_polygon_bulk, point_in_polygon

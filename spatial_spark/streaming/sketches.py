@@ -159,9 +159,9 @@ def stream_dedup_with_bloom(stream_df: DataFrame, out_path: str,
                 live = cur[1] if cur else []
                 epochs = dict(man.current_meta().get("stream_epochs", {}))
                 epochs[ckpt_key] = int(epoch_id)
-                man.commit(sorted(set(live) | set(moved)),
-                           lock_token=lk.token,
-                           meta={"stream_epochs": epochs})
+                man.commit_delta(add=sorted(set(moved) - set(live)),
+                                 lock_token=lk.token,
+                                 meta={"stream_epochs": epochs})
             # 4. fold survivors into the bloom and publish (crash here
             # → next batch rebuilds from the store, see above)
             delta = build_bloom(new, key_col=key_col, m_bits=m_bits, k=k)

@@ -579,16 +579,18 @@ def test_mutation_crash_before_publish_keeps_old_snapshot(ctx, spark,
     layer.add(_grid_points(spark))
     assert layer.count() == 400
 
-    real_commit = Manifest.commit
+    real_publish = Manifest._publish
     state = {"armed": True}
 
-    def dying_commit(self, files, base_epoch=None, lock_token=None):
+    def dying_publish(self, epoch, shards, meta):
+        # _publish is the single CAS point every commit flavor
+        # (commit / commit_delta) funnels through
         if state["armed"]:
             state["armed"] = False
             raise RuntimeError("simulated crash before manifest publish")
-        return real_commit(self, files, base_epoch, lock_token=lock_token)
+        return real_publish(self, epoch, shards, meta)
 
-    monkeypatch.setattr(Manifest, "commit", dying_commit)
+    monkeypatch.setattr(Manifest, "_publish", dying_publish)
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="simulated crash"):
         layer.delete([0])
@@ -861,17 +863,20 @@ def test_manifest_fake_io_commit_protocol_and_kill_injection():
     assert man.current() == (0, ["part-a"]), \
         "torn publish must leave the old snapshot current"
     assert man.commit(["part-a", "part-b"]) == 1     # retry heals
-    # lost CAS: a concurrent writer published our epoch first
-    real_current = Manifest.current
+    # lost CAS: a concurrent writer published our epoch first (patch
+    # the internal snapshot read commit plans from — _newest — to a
+    # stale view; v1-shaped doc exercises the migration path too)
+    real_newest = Manifest._newest
+    stale = (1, {"epoch": 1, "files": ["part-a", "part-b"]})
     try:
-        Manifest.current = lambda self: (1, ["part-a", "part-b"])
+        Manifest._newest = lambda self: stale
         man2 = Manifest("/mem/store", io=io)
         man2.commit(["part-c"])                      # takes epoch 2 for real
-        Manifest.current = lambda self: (1, ["part-a", "part-b"])  # stale view
+        Manifest._newest = lambda self: stale        # stale view again
         with _pytest.raises(ManifestConflict, match="concurrent writer"):
             Manifest.commit(man, ["part-d"])
     finally:
-        Manifest.current = real_current
+        Manifest._newest = real_newest
     # the winner's manifest is intact
     assert man.current()[1] == ["part-c"]
 
@@ -1047,17 +1052,19 @@ def test_manifest_s3_io_commit_protocol_and_kill_injection():
     assert any(".tmp" in k for k in s3.objects), "orphan temp remains"
     # meta carried forward through every commit above
     assert man.current_meta()["stream_epochs"] == {"ck": 3}
-    # lost CAS: a concurrent writer published our epoch first
-    real_current = Manifest.current
+    # lost CAS: a concurrent writer published our epoch first (patch
+    # the internal snapshot read commit plans from — _newest)
+    real_newest = Manifest._newest
+    stale = (2, {"epoch": 2, "files": ["part-c"]})
     try:
         man2 = Manifest("bucket/store", io=S3ManifestIO(s3))
-        Manifest.current = lambda self: (2, ["part-c"])
+        Manifest._newest = lambda self: stale
         man2.commit(["part-d"])                      # takes epoch 3
-        Manifest.current = lambda self: (2, ["part-c"])   # stale view
+        Manifest._newest = lambda self: stale        # stale view again
         with _pytest.raises(ManifestConflict, match="concurrent writer"):
             Manifest.commit(man, ["part-e"])
     finally:
-        Manifest.current = real_current
+        Manifest._newest = real_newest
     assert man.current()[1] == ["part-d"]
 
 
@@ -1302,17 +1309,16 @@ def test_mutation_crash_with_hadoop_manifest_io(ctx, spark, monkeypatch):
         assert layer.count() == 100
         from spatial_spark.manifest import HadoopManifestIO
         assert isinstance(layer._manifest.io, HadoopManifestIO)
-        real_commit = Manifest.commit
+        real_publish = Manifest._publish
         state = {"armed": True}
 
-        def dying_commit(self, files, base_epoch=None, lock_token=None):
+        def dying_publish(self, epoch, shards, meta):
             if state["armed"]:
                 state["armed"] = False
                 raise RuntimeError("simulated crash before manifest publish")
-            return real_commit(self, files, base_epoch,
-                               lock_token=lock_token)
+            return real_publish(self, epoch, shards, meta)
 
-        monkeypatch.setattr(Manifest, "commit", dying_commit)
+        monkeypatch.setattr(Manifest, "_publish", dying_publish)
         import pytest as _pytest
         with _pytest.raises(RuntimeError, match="simulated crash"):
             layer.delete([0])
@@ -1534,3 +1540,182 @@ def test_vacuum_crash_leaves_consistent_store(ctx, spark, monkeypatch):
     man.vacuum(retain_epochs=1)
     left = {f for f in _os.listdir(layer.path) if f.startswith("part-")}
     assert left == live
+
+
+def test_manifest_sharded_layout_reuse_and_stats():
+    """r12 (VERDICT r11 ask #2): the manifest-list layout — (a) an
+    append commit REUSES every prior shard by name and writes only one
+    new shard + the list (publish is O(changed), not O(n_files));
+    (b) shard stats aggregate per-file stats and files_where prunes
+    shard docs from the LIST alone; (c) a removal rewrites only the
+    shard that lost files; (d) v1 {"files": [...]} docs stay readable
+    and the first commit migrates them."""
+    import json as _json
+
+    from spatial_spark.manifest import Manifest
+    io = _FakeManifestIO()
+    man = Manifest("/mem/store", io=io)
+    st = {f"part-{i:03d}": {"zmin": i * 10, "zmax": i * 10 + 9,
+                            "xmin": float(i), "ymin": 0.0,
+                            "xmax": float(i) + 0.5, "ymax": 1.0,
+                            "rows": 100}
+          for i in range(6)}
+    first = sorted(st)[:3]
+    man.commit(first, stats={k: st[k] for k in first})
+    doc0 = _json.loads(io.read_text("/mem/store_manifest/manifest-0.json"))
+    assert doc0["format"] == 2 and len(doc0["shards"]) == 1
+    sh0 = doc0["shards"][0]
+    assert sh0["n"] == 3
+    assert sh0["stats"]["zmin"] == 0 and sh0["stats"]["zmax"] == 29
+    assert sh0["stats"]["xmax"] == 2.5 and sh0["stats"]["rows"] == 300
+    # (a) append: shard 0 reused BY NAME, exactly one new shard doc
+    rest = sorted(st)[3:]
+    man.commit(sorted(st), stats={k: st[k] for k in rest})
+    doc1 = _json.loads(io.read_text("/mem/store_manifest/manifest-1.json"))
+    names1 = [sh["name"] for sh in doc1["shards"]]
+    assert sh0["name"] in names1 and len(names1) == 2
+    assert man.current() == (1, sorted(st))
+    # (b) stat pruning from the list alone: a window over x in [3, 6]
+    # keeps only the second shard; count shard-doc reads via read_text
+    reads = []
+    real_read = io.read_text
+    io.read_text = lambda p: (reads.append(p), real_read(p))[1]
+    got = man.files_where(lambda s: s["xmin"] <= 6.0 and s["xmax"] >= 3.0)
+    io.read_text = real_read
+    assert sorted(got) == [f"/mem/store/part-{i:03d}" for i in (3, 4, 5)]
+    shard_reads = [p for p in reads if "/shard-" in p]
+    assert len(shard_reads) == 1, "pruned shard doc must not be opened"
+    # (c) removal: only the shard containing the removed file rewrites
+    keep = [f for f in sorted(st) if f != "part-001"]
+    man.commit(keep)
+    doc2 = _json.loads(io.read_text("/mem/store_manifest/manifest-2.json"))
+    names2 = [sh["name"] for sh in doc2["shards"]]
+    assert names1[1] in names2, "untouched shard reused"
+    assert names1[0] not in names2, "shard that lost a file rewritten"
+    rewritten = next(sh for sh in doc2["shards"] if sh["name"] != names1[1])
+    assert rewritten["n"] == 2
+    # surviving per-file stats carried into the rewritten shard
+    assert rewritten["stats"]["zmin"] == 0 and rewritten["stats"]["zmax"] == 29
+    assert rewritten["stats"]["rows"] == 200
+    # (d) v1 compat: a hand-written legacy doc reads + migrates
+    io2 = _FakeManifestIO()
+    io2.mkdirs("/mem/v1_manifest")
+    io2.files["/mem/v1_manifest/manifest-0.json"] = _json.dumps(
+        {"epoch": 0, "files": ["part-a", "part-b"]}).encode()
+    man2 = Manifest("/mem/v1", io=io2)
+    assert man2.current() == (0, ["part-a", "part-b"])
+    assert man2.files_where(lambda s: False) == [
+        "/mem/v1/part-a", "/mem/v1/part-b"], "v1 has no stats: no prune"
+    man2.commit(["part-a", "part-b", "part-c"])
+    doc = _json.loads(io2.read_text("/mem/v1_manifest/manifest-1.json"))
+    assert doc["format"] == 2 and sum(sh["n"] for sh in doc["shards"]) == 3
+
+
+def test_manifest_shard_gc_and_orphan_safety():
+    """Shard-doc lifecycle: (a) a crash between shard write and list
+    CAS leaves an orphan shard doc that is INVISIBLE and swept only
+    after its creation epoch ages past KEEP_GENERATIONS; (b) shard
+    docs referenced by ANY retained generation survive pruning; (c) a
+    reused old shard is never swept while referenced."""
+    import json as _json
+
+    from spatial_spark.manifest import Manifest
+    io = _FakeManifestIO()
+    man = Manifest("/mem/store", io=io)
+    man.commit(["part-a"])
+    # (a) crash after shard write, before CAS: orphan shard doc
+    io.fail_next["cas_rename"] = 0
+    import pytest as _pytest
+    with _pytest.raises(OSError):
+        man.commit(["part-a", "part-b"])
+    del io.fail_next["cas_rename"]
+    orphans = [p for p in io.files
+               if "/shard-1-" in p]
+    assert orphans, "crash left the epoch-1 shard doc"
+    assert man.current() == (0, ["part-a"]), "orphan invisible"
+    # age it out: KEEP_GENERATIONS commits later the orphan is swept,
+    # the shard docs of retained generations survive
+    for i in range(Manifest.KEEP_GENERATIONS + 2):
+        man.commit(["part-a", f"part-x{i}"])
+    assert not [p for p in io.files if "/shard-1-" in p], \
+        "aged-out orphan swept"
+    cur = man._newest()
+    for sh in cur[1]["shards"]:
+        assert "/mem/store_manifest/" + sh["name"] in io.files
+    # (c) every retained epoch still materializes (no referenced shard
+    # was swept, including ones created many epochs ago and reused)
+    for e in man.epochs():
+        assert man.files_at(e), f"epoch {e} lost its shards"
+
+
+def test_layer_df_window_prunes_files(ctx, spark):
+    """Layer-level shard planning: two widely-separated spatial
+    clusters written as separate appends land in different shards with
+    footer-harvested stats; df_window over one cluster's window reads
+    a strict subset of the layer's files and within_distance stays
+    exact."""
+    layer = ctx.create_point_layer("shardprune", x="lon", y="lat")
+    west = [(i, -100.0 + i * 0.01, 40.0) for i in range(50)]
+    east = [(100 + i, 100.0 + i * 0.01, -40.0) for i in range(50)]
+    layer.add(spark.createDataFrame(west, "id long, lon double, lat double"))
+    layer.add(spark.createDataFrame(east, "id long, lon double, lat double"))
+    shards = layer._manifest.shard_stats()
+    assert shards is not None and len(shards) >= 2
+    with_stats = [s for s in shards if s["stats"]]
+    assert with_stats, "footer stats reached the manifest list"
+    all_files = set(layer.df().inputFiles())
+    west_files = set(layer.df_window((-101.0, 39.0, -99.0, 41.0)).inputFiles())
+    assert west_files and west_files < all_files, \
+        "window read must plan over a strict subset of files"
+    got = sorted(r["id"] for r in
+                 layer.within_distance(-100.0, 40.0, 200.0).collect())
+    assert got and all(i < 100 for i in got), "east cluster excluded"
+    # a window over everything still sees every row
+    assert layer.bbox_search(-180.0, -90.0, 180.0, 90.0).count() == 100
+
+
+def test_manifest_commit_delta():
+    """commit_delta semantics: (a) a pure append opens ZERO existing
+    shard docs and reuses every shard by name; (b) a removal opens and
+    rewrites only the shard whose lo/hi name range covers the removed
+    file; (c) removing a file absent from the snapshot raises KeyError
+    (stale caller view); (d) re-adding an existing name is idempotent;
+    (e) meta carries forward through delta commits."""
+    import json as _json
+
+    import pytest as _pytest
+    from spatial_spark.manifest import Manifest
+    io = _FakeManifestIO()
+    man = Manifest("/mem/store", io=io)
+    man.commit([f"part-{i:03d}" for i in range(4)],
+               meta={"stream_epochs": {"ck": 7}})
+    doc0 = _json.loads(io.read_text("/mem/store_manifest/manifest-0.json"))
+    names0 = [sh["name"] for sh in doc0["shards"]]
+    # (a) pure append: no shard-doc reads, prior shard reused by name
+    reads = []
+    real_read = io.read_text
+    io.read_text = lambda p: (reads.append(p), real_read(p))[1]
+    man.commit_delta(add=["part-zz"])
+    io.read_text = real_read
+    assert not [p for p in reads if "/shard-" in p], \
+        "append must not open existing shard docs"
+    doc1 = _json.loads(io.read_text("/mem/store_manifest/manifest-1.json"))
+    assert set(names0) < {sh["name"] for sh in doc1["shards"]}
+    assert man.current() == (1, [f"part-{i:03d}" for i in range(4)]
+                             + ["part-zz"])
+    # (b) removal rewrites only the covering shard
+    man.commit_delta(remove=["part-001"])
+    assert man.current()[1] == ["part-000", "part-002", "part-003",
+                                "part-zz"]
+    doc2 = _json.loads(io.read_text("/mem/store_manifest/manifest-2.json"))
+    kept = {sh["name"] for sh in doc1["shards"]} & \
+           {sh["name"] for sh in doc2["shards"]}
+    assert kept, "the untouched shard must be reused"
+    # (c) stale remove raises
+    with _pytest.raises(KeyError, match="stale"):
+        man.commit_delta(remove=["part-001"])
+    # (d) re-adding an existing name is a no-op for the file set
+    man.commit_delta(add=["part-zz"])
+    assert man.current()[1].count("part-zz") == 1
+    # (e) meta carried forward through all of the above
+    assert man.current_meta()["stream_epochs"] == {"ck": 7}
