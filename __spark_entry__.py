@@ -745,6 +745,98 @@ def _utm_oracle_sql() -> str:
         FROM _utm_out"""
 
 
+# r12 registry gate: spec table shared between the Spark side and the
+# oracle so the point-generation SQL is textually identical.
+# (code, kernel kind, kernel params, lon_base, lon_mod, lat_base,
+#  lat_mod) — points span each grid's published domain.
+_REG_GATE_SPECS = (
+    (2451, "tm", (36.0, 139.0 + 5.0 / 6.0, 0.9999, 0.0, 0.0),
+     136.83333333333334, 600, 31.0, 1200),
+    (5179, "tm", (38.0, 127.5, 0.9996, 1000000.0, 2000000.0),
+     124.0, 700, 33.5, 500),
+    (3946, "lcc", (45.25, 46.75, 46.0, 3.0, 1700000.0, 5200000.0),
+     -2.0, 1000, 44.5, 300),
+    (3112, "lcc", (-18.0, -36.0, 0.0, 134.0, 0.0, 0.0),
+     120.0, 2800, -40.0, 2600),
+    (3577, "aea", (-18.0, -36.0, 0.0, 132.0, 0.0, 0.0),
+     117.0, 3000, -40.0, 2600),
+    (26910, "utm", (10, False), -125.5, 500, 31.0, 1800),
+    (28355, "utm", (55, True), 144.5, 500, -40.0, 2400),
+)
+
+
+def _reg_gate_lonlat(lon_b, lon_m, lat_b, lat_m):
+    lon = (f"({lon_b!r} + CAST((c_custkey * 7919) % {lon_m} AS DOUBLE)"
+           " / 100.0)")
+    lat = (f"({lat_b!r} + CAST((c_custkey * 104729) % {lat_m} AS DOUBLE)"
+           " / 100.0)")
+    return lon, lat
+
+
+def _q_st_transform_registry(spark, sf_dir) -> DataFrame:
+    """Data-driven EPSG registry gate (r12, VERDICT r11 ask #3): seven
+    newly table-driven codes spanning four kernel families — JGD2000
+    Japan CS IX (2451, tm), Korea Unified (5179, tm), RGF93 CC46
+    (3946, lcc), GDA94 GA Lambert (3112, lcc), GDA94 Australian Albers
+    (3577, aea), NAD83 UTM 10N (26910) and GDA94 MGA 55 (28355, a UTM-S
+    parameter twin) — customer points inside each grid's domain through
+    st_transform, cm integers hash-compared against the dual-engine
+    closed-form CTEs.  The registry rows are pure DATA over kernels
+    whose SQL twins are already pinned; unknown codes still refuse.
+    Parity envelope: DefaultLayer.java:135-141 (GeoTools CRS decode)."""
+    out = None
+    for code, kind, params, lon_b, lon_m, lat_b, lat_m in _REG_GATE_SPECS:
+        lon, lat = _reg_gate_lonlat(lon_b, lon_m, lat_b, lat_m)
+        blk = (spark.table("customer")
+               .select("c_custkey", F.expr(lon).alias("lon"),
+                       F.expr(lat).alias("lat"))
+               .withColumn("u", F.expr(
+                   f"st_transform(st_point(lon, lat), 'EPSG:4326', "
+                   f"'EPSG:{code}')"))
+               .select(F.lit(code).alias("code"), "c_custkey",
+                       F.expr("CAST(round(st_x(u) * 100) AS BIGINT)")
+                       .alias("e_cm"),
+                       F.expr("CAST(round(st_y(u) * 100) AS BIGINT)")
+                       .alias("n_cm")))
+        out = blk if out is None else out.unionAll(blk)
+    return out
+
+
+def _registry_oracle_sql() -> str:
+    """One complete WITH-subquery per registry code (the same
+    *_forward_ctes chains the per-family gates pin), UNION ALL'd."""
+    from spatial_spark.functions.crs import (aea_forward_ctes,
+                                             lcc_forward_ctes,
+                                             tm_forward_ctes,
+                                             utm_forward_ctes)
+    parts = []
+    for code, kind, params, lon_b, lon_m, lat_b, lat_m in _REG_GATE_SPECS:
+        lon, lat = _reg_gate_lonlat(lon_b, lon_m, lat_b, lat_m)
+        if kind == "utm":
+            zone, south = params
+            base = (f"SELECT c_custkey, {lon} AS lon, {lat} AS lat, "
+                    f"{zone} AS zone, (1={1 if south else 2}) AS south "
+                    "FROM customer")
+            chain, out_cte = utm_forward_ctes(base), "_utm_out"
+        else:
+            base = (f"SELECT c_custkey, {lon} AS lon, {lat} AS lat "
+                    "FROM customer")
+            if kind == "tm":
+                chain, out_cte = tm_forward_ctes(base, *params), "_tm_out"
+            elif kind == "lcc":
+                chain, out_cte = (lcc_forward_ctes(base, "lon", "lat",
+                                                   *params), "_lcc_out")
+            else:
+                chain, out_cte = (aea_forward_ctes(base, "lon", "lat",
+                                                   *params), "_aea_out")
+        parts.append(f"""SELECT * FROM ({chain}
+            SELECT {code} AS code, c_custkey,
+                   CAST(round(easting * 100) AS BIGINT) AS e_cm,
+                   CAST(round(northing * 100) AS BIGINT) AS n_cm
+            FROM {out_cte})""")
+    return " UNION ALL ".join(parts)
+
+
 def _q_wkt_export(spark, sf_dir) -> DataFrame:
     """Text-sink writers on the hard gate (SURVEY §2.7 #48, previously
     pytest-only): WKT / GeoJSON / KML / GML serializations of the
@@ -5043,6 +5135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_aac_short": _q_media_aac_short,
         "quantile_stream": _q_quantile_stream,
         # --- 30-50: new r12 gates first, then r9-row holders oldest-first
+        "st_transform_registry": _q_st_transform_registry,
         "overlay_degenerate": _q_overlay_degenerate,
         "kmv_stream": _q_kmv_stream,
         "ivf_recall": _q_ivf_recall,
@@ -5063,9 +5156,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": _q_triangles,
         "pq_knn": _q_pq_knn,
         "osm_pbf_source": _q_osm_pbf_source,
-        "st_subdivide": _q_st_subdivide,
         # ================= end of the 50-entry driver window =========
         # --- remaining r9-row holders (age 3 — rotate next, oldest first)
+        "st_subdivide": _q_st_subdivide,
         "pca_project": _q_pca_project,
         "media_resize": _q_media_resize,
         "hll_by_group": _q_hll_by_group,
@@ -6519,6 +6612,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS media_id, min(label) AS group_id
             FROM reach GROUP BY id ORDER BY media_id
         """,
+        "st_transform_registry": _registry_oracle_sql(),
         "st_transform_tm": __import__("spatial_spark.functions.crs",
                                       fromlist=["tm_forward_ctes"])
         .tm_forward_ctes(

@@ -235,6 +235,57 @@ def _nad27_utm_frame(zone: int) -> str:
         CLARKE66_A, CLARKE66_F, *NAD27_HELMERT)))
 
 
+# ---------------------------------------------------------------------
+# r12 (VERDICT r11 ask #3): DATA-DRIVEN EPSG REGISTRY over the existing
+# kernels.  Every entry maps a published EPSG code to a frame token on a
+# method the engine already implements (tm/lcc/aea/utm), and every datum
+# here is WGS84-family (GRS80 / GDA94 / GDA2020 / JGD2000 / KGD2002 /
+# RGF93 / NAD83 — 1/f differs from WGS84 at 1e-10, far below the series
+# truncation), so no datum shift is needed and the existing kernels and
+# dual-engine CTE oracles apply byte-for-byte.  Codes on OTHER datums
+# still refuse unless a tmd:/sod:/soc: entry carries the Helmert — the
+# refusal is the correctness contract, the registry is pure data.
+# Parity envelope: DefaultLayer.java:135-141 (the reference accepts any
+# CRS GeoTools can decode; this table is the engine's decodable set).
+
+# JGD2000 / Japan Plane Rectangular CS I..XIX (EPSG 2443-2461): each a
+# plain TM with k0 = 0.9999, FE = FN = 0 and a per-zone natural origin.
+_JPRCS_ORIGINS = (
+    (33.0, 129.5), (33.0, 131.0), (36.0, 132.0 + 1.0 / 6.0),
+    (33.0, 133.5), (36.0, 134.0 + 1.0 / 3.0), (36.0, 136.0),
+    (36.0, 137.0 + 1.0 / 6.0), (36.0, 138.5), (36.0, 139.0 + 5.0 / 6.0),
+    (40.0, 140.0 + 5.0 / 6.0), (44.0, 140.25), (44.0, 142.25),
+    (44.0, 144.25), (26.0, 142.0), (26.0, 127.5), (26.0, 124.0),
+    (26.0, 131.0), (20.0, 136.0), (26.0, 154.0),
+)
+
+EPSG_REGISTRY: dict = {}
+for _i, (_la, _lo) in enumerate(_JPRCS_ORIGINS):
+    EPSG_REGISTRY[str(2443 + _i)] = f"tm:{_la!r}:{_lo!r}:0.9999:0.0:0.0"
+# RGF93 / CC42..CC50 (EPSG 3942-3950): France's 9 conic-conformal zones,
+# lat0 = 42+i, parallels lat0 ± 0.75, lon0 = 3, FE 1 700 000,
+# FN 1 200 000 + i * 1 000 000.
+for _i in range(9):
+    _la = 42.0 + _i
+    EPSG_REGISTRY[str(3942 + _i)] = (
+        f"lcc:{_la - 0.75!r}:{_la + 0.75!r}:{_la!r}:3.0:1700000.0:"
+        f"{1200000.0 + _i * 1000000.0!r}")
+# Korea 2000 / Unified CS (EPSG 5179, KGD2002 on GRS80)
+EPSG_REGISTRY["5179"] = "tm:38.0:127.5:0.9996:1000000.0:2000000.0"
+# GDA94 / Australian Albers (EPSG 3577)
+EPSG_REGISTRY["3577"] = "aea:-18.0:-36.0:0.0:132.0:0.0:0.0"
+# GDA94 / Geoscience Australia Lambert (EPSG 3112)
+EPSG_REGISTRY["3112"] = "lcc:-18.0:-36.0:0.0:134.0:0.0:0.0"
+
+# Zone families resolved by regex (parameter-identical to UTM zones):
+#   26901-26923  NAD83 / UTM 1N-23N      (GRS80 — WGS84-family)
+#   28348-28358  GDA94 / MGA zones 48-58 (southern TM, k0/FE/FN = UTM S)
+#   7846-7856    GDA2020 / MGA zones 46-56
+_NAD83_UTM_RE = re.compile(r"^(?:epsg:)?269(0[1-9]|1[0-9]|2[0-3])$")
+_MGA94_RE = re.compile(r"^(?:epsg:)?283(4[89]|5[0-8])$")
+_MGA2020_RE = re.compile(r"^(?:epsg:)?78(4[6-9]|5[0-6])$")
+
+
 def _frame(crs) -> str:
     """Canonical frame token: 'wgs84' | 'merc' | 'cart' |
     'utm:<zone>:<n|s>' | 'lcc:<lat1>:<lat2>:<lat0>:<lon0>:<fe>:<fn>' |
@@ -265,7 +316,15 @@ def _frame(crs) -> str:
         return f"utm:{int(m.group(1))}:n"
     if s in ("epsg:3067", "3067"):      # ETRS89 / TM35FIN == UTM 35N
         return "utm:35:n"
+    m = _NAD83_UTM_RE.match(s)
+    if m:                       # EPSG:26901-26923 — NAD83 / UTM
+        return f"utm:{int(m.group(1))}:n"
+    m = _MGA94_RE.match(s) or _MGA2020_RE.match(s)
+    if m:                       # GDA94/GDA2020 / MGA — UTM-S twins
+        return f"utm:{int(m.group(1))}:s"
     key = s[5:] if s.startswith("epsg:") else s
+    if key in EPSG_REGISTRY:    # data-driven registry (r12)
+        return _frame(EPSG_REGISTRY[key])
     if key in _EPSG_CONIC:
         return _EPSG_CONIC[key]
     if key in _EPSG_TMD:
@@ -336,7 +395,10 @@ def _frame(crs) -> str:
         "EPSG:2193/2180/3414 TM, EPSG:27700 OSGB36 National Grid, "
         "EPSG:28992 Amersfoort / RD New, EPSG:21781/2056 Swiss LV03/"
         "LV95, EPSG:26701-26722 NAD27 UTM, EPSG:28404-28432 Pulkovo "
-        "1942 Gauss-Krüger, "
+        "1942 Gauss-Krüger, EPSG:26901-26923 NAD83 UTM, EPSG:28348-"
+        "28358 + 7846-7856 GDA MGA, EPSG:2443-2461 JGD2000 Japan CS, "
+        "EPSG:3942-3950 RGF93 CC zones, EPSG:5179 Korea Unified, "
+        "EPSG:3577/3112 GDA94 Albers/Lambert, "
         "generic lcc:/psb:/psa:/laea:/tm:/aea:/tmd:/sod:/soc: frames, "
         "cartesian)")
 
@@ -1769,7 +1831,13 @@ _PRJ_SPHEROID_RE = re.compile(
 _PRJ_DATUM_RE = re.compile(r'DATUM\s*\[\s*"([^"]+)"', re.I)
 _PRJ_WGS84_DATUMS = ("WGS_1984", "WGS 84", "WGS84", "ETRS_1989", "ETRS89",
                      "ETRS 1989", "NAD_1983", "NAD83", "NAD 1983",
-                     "NZGD_2000", "NZGD2000")
+                     "NZGD_2000", "NZGD2000",
+                     # r12 registry datums — all GRS80 twins (1/f delta
+                     # 1e-10, below the series truncation)
+                     "GDA_1994", "GDA94", "GDA_2020", "GDA2020",
+                     "JGD_2000", "JGD2000", "JGD_2011", "JGD2011",
+                     "KOREA_2000", "KGD2002", "RGF_1993", "RGF93",
+                     "SIRGAS_2000", "SIRGAS 2000")
 
 
 def prj_to_frame(wkt: str) -> str | None:
@@ -1833,6 +1901,36 @@ def prj_to_frame(wkt: str) -> str | None:
                 params.get("false_easting", 600000.0),
                 params.get("false_northing", 200000.0),
                 a, 1.0 / invf, *CH1903_HELMERT)))
+        except KeyError:
+            return None
+    if "LAMBERT_CONFORMAL_CONIC" in up and wgs84_family:
+        # r12: LCC 2SP on a WGS84-family datum (RGF93 CC zones, GDA94
+        # Lambert, NAD83 state planes) — the existing lcc: kernel
+        params = {k.lower(): float(v)
+                  for k, v in _PRJ_PARAM_RE.findall(s)}
+        try:
+            return _frame("lcc:" + ":".join(repr(v) for v in (
+                params["standard_parallel_1"],
+                params["standard_parallel_2"],
+                params.get("latitude_of_origin", 0.0),
+                params["central_meridian"],
+                params.get("false_easting", 0.0),
+                params.get("false_northing", 0.0))))
+        except KeyError:
+            return None
+    if "ALBERS" in up and wgs84_family:
+        # r12: Albers equal-area on a WGS84-family datum (GDA94
+        # Australian Albers, NAD83 Conus) — the existing aea: kernel
+        params = {k.lower(): float(v)
+                  for k, v in _PRJ_PARAM_RE.findall(s)}
+        try:
+            return _frame("aea:" + ":".join(repr(v) for v in (
+                params["standard_parallel_1"],
+                params["standard_parallel_2"],
+                params.get("latitude_of_origin", 0.0),
+                params["central_meridian"],
+                params.get("false_easting", 0.0),
+                params.get("false_northing", 0.0))))
         except KeyError:
             return None
     if "TRANSVERSE_MERCATOR" not in up:

@@ -1455,3 +1455,95 @@ def test_etrs89_utm_aliases():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         crs._frame("EPSG:25839")      # outside the defined zone band
+
+
+def test_epsg_registry_data_driven_codes():
+    """r12 (VERDICT r11 ask #3): the data-driven EPSG registry — (a)
+    registry codes resolve to frame tokens on existing kernels and
+    round-trip numerically; (b) zone-family regexes (NAD83 UTM, GDA
+    MGA) resolve to UTM parameter twins; (c) anchor checks: known
+    coordinates under each family land where the published grids put
+    them (coarse, km-level sanity — the cm-exact oracle lives in the
+    st_transform_registry gate); (d) unknown codes still refuse."""
+    import numpy as np
+    import pytest as _pytest
+
+    from spatial_spark.functions import crs
+
+    # (a) resolution + forward/inverse round-trip through each family
+    cases = {
+        "EPSG:2451": (139.75, 35.7),    # Tokyo — Japan CS IX
+        "EPSG:5179": (127.0, 37.5),     # Seoul — Korea Unified
+        "EPSG:3946": (4.85, 45.75),     # Lyon — RGF93 CC46
+        "EPSG:3112": (144.96, -37.81),  # Melbourne — GA Lambert
+        "EPSG:3577": (133.0, -25.0),    # centre — Australian Albers
+        "EPSG:26910": (-122.4, 37.77),  # SF — NAD83 UTM 10N
+        "EPSG:28355": (144.96, -37.81),  # Melbourne — MGA 55
+    }
+    def tp(xy, src, dst):
+        # transform_points takes RESOLVED frame tokens (the st_transform
+        # UDF resolves codes via _frame first)
+        return crs.transform_points(np.asarray(xy, float),
+                                    crs._frame(src), crs._frame(dst))
+
+    for code, (lon, lat) in cases.items():
+        fwd = tp([[lon, lat]], "EPSG:4326", code)
+        back = tp(fwd, code, "EPSG:4326")
+        assert np.allclose(back, [[lon, lat]], atol=1e-9), code
+    # (b) UTM twins: the MGA/NAD83 zones equal the plain UTM zones
+    p = np.array([[144.96, -37.81]])
+    assert np.allclose(tp(p, "EPSG:4326", "EPSG:28355"),
+                       tp(p, "EPSG:4326", "EPSG:32755"), atol=1e-6)
+    q = np.array([[-122.4, 37.77]])
+    assert np.allclose(tp(q, "EPSG:4326", "EPSG:26910"),
+                       tp(q, "EPSG:4326", "EPSG:32610"), atol=1e-6)
+    # (c) anchors (published grid neighborhoods, 10 km tolerance):
+    # Melbourne MGA55 ~ (320704, 5812911); Seoul Korea-Unified
+    # ~ (953820, 1952050); Lyon CC46 ~ (1843681, 5173433)
+    mel = tp(p, "EPSG:4326", "EPSG:28355")[0]
+    assert abs(mel[0] - 320704) < 10000 and abs(mel[1] - 5812911) < 10000
+    seoul = tp([[126.978, 37.5665]], "EPSG:4326", "EPSG:5179")[0]
+    assert abs(seoul[0] - 953820) < 10000 and abs(seoul[1] - 1952050) < 10000
+    lyon = tp([[4.85, 45.75]], "EPSG:4326", "EPSG:3946")[0]
+    assert abs(lyon[0] - 1843681) < 10000 and abs(lyon[1] - 5173433) < 10000
+    # (d) non-WGS84-family codes on implemented methods still refuse
+    for bad in ("EPSG:31370", "EPSG:23030", "EPSG:99999"):
+        with _pytest.raises(ValueError, match="unsupported CRS"):
+            crs._frame(bad)
+
+
+def test_prj_recognition_widened_lcc_albers():
+    """r12: .prj recognition for LCC 2SP / Albers on WGS84-family
+    datums resolves to the same frame tokens as the registry codes;
+    non-family datums on those projections still return None."""
+    from spatial_spark.functions import crs
+    cc46 = ('PROJCS["RGF_1993_CC46",GEOGCS["GCS_RGF_1993",DATUM['
+            '"D_RGF_1993",SPHEROID["GRS_1980",6378137.0,298.257222101]],'
+            'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+            'PROJECTION["Lambert_Conformal_Conic"],'
+            'PARAMETER["False_Easting",1700000.0],'
+            'PARAMETER["False_Northing",5200000.0],'
+            'PARAMETER["Central_Meridian",3.0],'
+            'PARAMETER["Standard_Parallel_1",45.25],'
+            'PARAMETER["Standard_Parallel_2",46.75],'
+            'PARAMETER["Latitude_Of_Origin",46.0],UNIT["Meter",1.0]]')
+    assert crs.prj_to_frame(cc46) == crs._frame("EPSG:3946")
+    alb = cc46.replace("RGF_1993_CC46", "GDA_1994_Australia_Albers") \
+              .replace("GCS_RGF_1993", "GCS_GDA_1994") \
+              .replace("D_RGF_1993", "D_GDA_1994") \
+              .replace("Lambert_Conformal_Conic", "Albers") \
+              .replace('"False_Easting",1700000.0', '"False_Easting",0.0') \
+              .replace('"False_Northing",5200000.0',
+                       '"False_Northing",0.0') \
+              .replace('"Central_Meridian",3.0',
+                       '"Central_Meridian",132.0') \
+              .replace('"Standard_Parallel_1",45.25',
+                       '"Standard_Parallel_1",-18.0') \
+              .replace('"Standard_Parallel_2",46.75',
+                       '"Standard_Parallel_2",-36.0') \
+              .replace('"Latitude_Of_Origin",46.0',
+                       '"Latitude_Of_Origin",0.0')
+    assert crs.prj_to_frame(alb) == crs._frame("EPSG:3577")
+    # unknown datum on the same projections: refuse
+    assert crs.prj_to_frame(cc46.replace("D_RGF_1993",
+                                         "D_Belge_1972")) is None
