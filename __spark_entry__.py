@@ -2512,6 +2512,44 @@ def _q_image_dedup_groups(spark, sf_dir) -> DataFrame:
             .orderBy("media_id"))
 
 
+def _q_pipeline_mm_e2e(spark, sf_dir) -> DataFrame:
+    """Multimodal end-to-end pipeline gate (r12, VERDICT r11 ask #4):
+    pipelines.image_dedup_pipeline composes decode (real GIF codec) →
+    exact-integer area resize to 8×4 (re-encoded PNG) → dHash over the
+    REAL decode of that PNG → pigeonhole-banded Hamming pairs (t=16)
+    → pointer-doubled components → canonical keep.  The oracle replays
+    every stage relationally: stage-1 resize is the media_resize
+    closed form (two-tone columns, v−u ≡ 0 mod 16, w = 8m with m odd ⇒
+    rounding is .5-free), stage-2 dHash compares the 9-col area
+    numerators OVER THE ROUNDED stage-1 pixels, pairs brute-force from
+    the replicated row bytes, groups via recursive min-label
+    reachability.  dHash (not pHash) keeps the oracle closed-form —
+    the DCT path is unit-pinned in tests instead."""
+    import numpy as np
+    from spatial_spark.operators.codecs import encode_gif
+    from spatial_spark.operators.multimodal import MEDIA_SCHEMA
+    from spatial_spark.pipelines import image_dedup_pipeline
+    rows = []
+    for i in range(32):
+        m = (3, 5, 7)[i % 3]
+        w = 8 * m
+        h = 5 + i % 4
+        wa = 1 + (i * 5) % (w - 1)
+        wa2 = wa + 1 if wa + 1 <= w - 1 else wa - 1
+        u = (i * 23) % 96
+        v = u + 16 * (1 + (i * 7) % 9)
+        for mid, wax in ((i, wa), (1000 + i, wa2)):
+            img = np.zeros((h, w, 3), dtype=np.uint8)
+            img[:, :wax] = v
+            img[:, wax:] = u
+            rows.append((mid, bytearray(encode_gif(img)), "image", "gif",
+                         w, h, None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return image_dedup_pipeline(media, target_w=8, target_h=4,
+                                hash_method="dhash",
+                                max_distance=16)["result"]
+
+
 def _q_winnowing(spark, sf_dir) -> DataFrame:
     """Winnowing fingerprints (k=8, window=4) over documents — vectorized
     FNV-1a k-gram hashes + sliding-window minima, deduped per doc."""
@@ -5136,6 +5174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_stream": _q_quantile_stream,
         # --- 30-50: new r12 gates first, then r9-row holders oldest-first
         "st_transform_registry": _q_st_transform_registry,
+        "pipeline_mm_e2e": _q_pipeline_mm_e2e,
         "overlay_degenerate": _q_overlay_degenerate,
         "kmv_stream": _q_kmv_stream,
         "ivf_recall": _q_ivf_recall,
@@ -5155,9 +5194,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_avc_ipcm": _q_media_avc_ipcm,
         "triangle_counts": _q_triangles,
         "pq_knn": _q_pq_knn,
-        "osm_pbf_source": _q_osm_pbf_source,
         # ================= end of the 50-entry driver window =========
         # --- remaining r9-row holders (age 3 — rotate next, oldest first)
+        "osm_pbf_source": _q_osm_pbf_source,
         "st_subdivide": _q_st_subdivide,
         "pca_project": _q_pca_project,
         "media_resize": _q_media_resize,
@@ -6610,6 +6649,62 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.dst, r.label FROM reach r
               JOIN dedges e ON e.src = r.id)
             SELECT id AS media_id, min(label) AS group_id
+            FROM reach GROUP BY id ORDER BY media_id
+        """,
+        "pipeline_mm_e2e": """
+            WITH RECURSIVE items AS (SELECT unnest(generate_series(0, 31)) AS i),
+            p AS (SELECT i,
+                         8 * (CASE i % 3 WHEN 0 THEN 3 WHEN 1 THEN 5
+                              ELSE 7 END) AS w,
+                         1 + (i * 5) % (8 * (CASE i % 3 WHEN 0 THEN 3
+                              WHEN 1 THEN 5 ELSE 7 END) - 1) AS wa,
+                         (i * 23) % 96 AS u,
+                         (i * 23) % 96 + 16 * (1 + (i * 7) % 9) AS v
+                  FROM items),
+            imgs AS (
+              SELECT CAST(i AS BIGINT) AS media_id, w, u, v, wa FROM p
+              UNION ALL
+              SELECT CAST(i + 1000 AS BIGINT), w, u, v,
+                     CASE WHEN wa + 1 <= w - 1 THEN wa + 1
+                          ELSE wa - 1 END
+              FROM p),
+            cs AS (SELECT unnest(generate_series(0, 7)) AS c),
+            cell AS (
+              SELECT media_id, c,
+                     round(u + (least((c + 1) * w, 8 * wa)
+                                - least(c * w, 8 * wa))
+                           * CAST(v - u AS DOUBLE) / w) AS val
+              FROM imgs, cs),
+            c9 AS (SELECT unnest(generate_series(0, 8)) AS c9),
+            x9 AS (
+              SELECT cell.media_id, c9.c9 AS c,
+                     sum(greatest(0, least((c9.c9 + 1) * 8,
+                                           9 * (cell.c + 1))
+                                     - greatest(c9.c9 * 8, 9 * cell.c))
+                         * cell.val) AS x
+              FROM cell, c9 GROUP BY cell.media_id, c9.c9),
+            dbits AS (
+              SELECT a.media_id, a.c,
+                     CASE WHEN a.x > b.x THEN 1 ELSE 0 END AS bit
+              FROM x9 a JOIN x9 b ON a.media_id = b.media_id
+                                  AND b.c = a.c + 1
+              WHERE a.c < 8),
+            ipairs AS (
+              SELECT a.media_id AS id_a, b.media_id AS id_b
+              FROM dbits a JOIN dbits b
+                ON a.c = b.c AND a.media_id < b.media_id
+              GROUP BY a.media_id, b.media_id
+              HAVING 8 * sum(CASE WHEN a.bit != b.bit
+                             THEN 1 ELSE 0 END) <= 16),
+            dedges AS (SELECT id_a AS src, id_b AS dst FROM ipairs
+                       UNION ALL SELECT id_b, id_a FROM ipairs),
+            reach(id, label) AS (
+              SELECT media_id, media_id FROM imgs
+              UNION
+              SELECT e.dst, r.label FROM reach r
+              JOIN dedges e ON e.src = r.id)
+            SELECT id AS media_id, min(label) AS group_id,
+                   (id = min(label)) AS keep
             FROM reach GROUP BY id ORDER BY media_id
         """,
         "st_transform_registry": _registry_oracle_sql(),

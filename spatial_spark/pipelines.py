@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pretrain_pipeline"]
+__all__ = ["pretrain_pipeline", "image_dedup_pipeline"]
 
 
 def pretrain_pipeline(docs: DataFrame,
@@ -138,3 +138,42 @@ def pretrain_pipeline(docs: DataFrame,
     out["stats_after"] = corpus_stats(kept, by="source", text_col=text_col,
                                       lang_col=None)
     return out
+
+
+def image_dedup_pipeline(media: DataFrame, target_w: int = 8,
+                         target_h: int = 4, hash_method: str = "dhash",
+                         max_distance: int = 16,
+                         id_col: str = "media_id") -> dict:
+    """The image-axis composition (r12, VERDICT r11 ask #4): decode
+    (real codecs) → exact-integer area resize → perceptual hash →
+    pigeonhole-banded near-dup pairs → connected-component groups →
+    canonical keep (min id per group).
+
+    Every stage is one of the repo's oracled operators; the composition
+    adds no new semantics.  Scale shape: the decode/resize/hash stages
+    are map-only Arrow batches (no shuffle); the pair stage is the
+    banded equi-join over DISTINCT hashes (never all-pairs); components
+    are pointer-doubled; the keep stage is one keyed min.  Returns a
+    dict with every intermediate frame plus ``result``:
+    (media_id, group_id, keep)."""
+    from pyspark.sql import functions as F
+
+    from .operators.graph import min_label_components
+    from .operators.imagehash import hamming_near_dup_pairs, image_hashes
+    from .operators.multimodal import resize_images
+
+    resized = resize_images(media, target_w, target_h)
+    hashes = image_hashes(resized, methods=(hash_method,))
+    pairs = hamming_near_dup_pairs(hashes, hash_col=hash_method,
+                                   max_distance=max_distance,
+                                   id_col=id_col)
+    comp = min_label_components(
+        hashes.select(F.col(id_col).alias("node")),
+        pairs.select(F.col("id_a").alias("a_id"),
+                     F.col("id_b").alias("b_id")))
+    result = (comp.select(F.col("node").alias(id_col),
+                          F.col("island").alias("group_id"),
+                          (F.col("node") == F.col("island")).alias("keep"))
+              .orderBy(id_col))
+    return {"resized": resized, "hashes": hashes, "pairs": pairs,
+            "result": result}
