@@ -1,0 +1,1102 @@
+"""WAV PCM and AAC-LC (ISO/IEC 14496-3 §4) decode/encode from the
+public spec math; the normative Huffman codeword tables remain the
+documented drop-in seam (see the registry note inline).  Split out of
+the codecs monolith in r12; behavior unchanged."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+from .bits import _EgBitReader, _EgBitWriter
+
+AAC_SAMPLE_RATES = (96000, 88200, 64000, 48000, 44100, 32000, 24000,
+                    22050, 16000, 12000, 11025, 8000, 7350)
+
+
+def parse_aac_asc(b: bytes) -> dict:
+    """AAC AudioSpecificConfig: ``{"object_type", "sample_rate",
+    "channels"}`` (explicit 24-bit sample rates and the escaped
+    object-type range both handled)."""
+    r = _EgBitReader(bytes(b))
+    obj = r.read(5)
+    if obj == 31:
+        obj = 32 + r.read(6)
+    idx = r.read(4)
+    rate = r.read(24) if idx == 15 else AAC_SAMPLE_RATES[idx]
+    ch = r.read(4)
+    return {"object_type": obj, "sample_rate": rate, "channels": ch}
+
+
+def build_aac_asc(object_type: int = 2, sample_rate: int = 44100,
+                  channels: int = 2) -> bytes:
+    w = _EgBitWriter()
+    if object_type >= 31:
+        w.write(31, 5)
+        w.write(object_type - 32, 6)
+    else:
+        w.write(object_type, 5)
+    if sample_rate in AAC_SAMPLE_RATES:
+        w.write(AAC_SAMPLE_RATES.index(sample_rate), 4)
+    else:
+        w.write(15, 4)
+        w.write(sample_rate, 24)
+    w.write(channels, 4)
+    w.write(0, 3)                           # frame length + dependsOnCore
+    # bytes_aligned appends a stop bit; AAC ASC readers ignore the tail
+    return w.bytes_aligned()
+
+
+
+# ----------------------------------------------------------------------- WAV
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """(n,) or (n, channels) int16 PCM → RIFF/WAVE bytes."""
+    samples = np.asarray(samples, dtype="<i2")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    data = np.ascontiguousarray(samples).tobytes()
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    out = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+           + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(data)) + data)
+    return out
+
+
+def decode_wav(buf: bytes):
+    """RIFF/WAVE bytes → (sample_rate, (n, channels) int16 array).
+    PCM 16-bit only; walks chunks so extra chunks (LIST etc.) are fine."""
+    buf = bytes(buf)
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, rate, ch, bits, data = 12, None, None, None, None
+    while i + 8 <= len(buf):
+        cid = buf[i : i + 4]
+        size = struct.unpack_from("<I", buf, i + 4)[0]
+        body = buf[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, ch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if fmt_tag != 1:
+                raise NotImplementedError(f"non-PCM WAV (format {fmt_tag})")
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)   # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if bits != 16:
+        raise NotImplementedError(f"{bits}-bit WAV (only 16-bit PCM)")
+    arr = np.frombuffer(data, dtype="<i2")
+    return rate, arr.reshape(-1, ch).copy()
+
+
+
+# ---------------------------------------------------------------------------
+AAC_FRAME_LEN = 1024
+_AAC_SF_OFFSET = 100
+_AAC_IMDCT_CACHE: dict = {}
+
+
+def aac_dequantize(q: np.ndarray, sf: int | np.ndarray) -> np.ndarray:
+    """§4.6.2/4.6.3: sign(q)·|q|^(4/3) · 2^{0.25·(sf − 100)}."""
+    q = np.asarray(q, dtype=np.float64)
+    gain = 2.0 ** (0.25 * (np.asarray(sf, dtype=np.float64)
+                           - _AAC_SF_OFFSET))
+    return np.sign(q) * np.abs(q) ** (4.0 / 3.0) * gain
+
+
+def _aac_imdct_matrix(n: int) -> np.ndarray:
+    m = _AAC_IMDCT_CACHE.get(n)
+    if m is None:
+        n0 = (n / 2.0 + 1.0) / 2.0
+        ns = np.arange(n)[:, None] + n0
+        ks = np.arange(n // 2)[None, :] + 0.5
+        m = np.cos(2.0 * np.pi / n * ns * ks)   # (n, n/2)
+        _AAC_IMDCT_CACHE[n] = m
+    return m
+
+
+def aac_imdct(spec: np.ndarray, n: int = 2048) -> np.ndarray:
+    """§4.6.11.1: x[i] = (2/N) Σ_k spec[k] cos(2π/N (i + n0)(k + ½)),
+    n0 = (N/2 + 1)/2 — the long-window inverse MDCT (N=2048)."""
+    spec = np.asarray(spec, dtype=np.float64)
+    if spec.shape != (n // 2,):
+        raise ValueError(f"AAC IMDCT expects {n // 2} coefficients")
+    return (2.0 / n) * (_aac_imdct_matrix(n) @ spec)
+
+
+def aac_mdct(x: np.ndarray, n: int = 2048) -> np.ndarray:
+    """Forward MDCT twin (analysis; test/encoder helper): X[k] =
+    2 Σ_i x[i] cos(2π/N (i + n0)(k + ½)).  With a Princen-Bradley
+    window (sine/KBD: w[i]² + w[i+N/2]² = 1) applied on both sides,
+    IMDCT + 50% overlap-add reconstructs the input exactly (TDAC) —
+    pinned in tests."""
+    x = np.asarray(x, dtype=np.float64)
+    if x.shape != (n,):
+        raise ValueError(f"AAC MDCT expects {n} samples")
+    return 2.0 * (_aac_imdct_matrix(n).T @ x)
+
+
+def aac_window(shape: int = 0, n: int = 2048) -> np.ndarray:
+    """§4.6.11.2 windows: shape 0 = sine  sin(π/N (i + ½)); shape 1 =
+    Kaiser-Bessel-derived (α = 4 for the long transform, α = 6 for the
+    256-sample short transform; w[i] = sqrt(cumsum(kernel)/sum(kernel)),
+    kernel = I0-Kaiser)."""
+    if shape == 0:
+        return np.sin(np.pi / n * (np.arange(n) + 0.5))
+    alpha = 4.0 if n >= 1024 else 6.0
+    half = n // 2
+    j = np.arange(half + 1)
+    kern = np.i0(np.pi * alpha
+                 * np.sqrt(1.0 - ((j - half / 2.0) / (half / 2.0)) ** 2))
+    cum = np.cumsum(kern)
+    left = np.sqrt(cum[:half] / cum[half])
+    return np.concatenate([left, left[::-1]])
+
+
+def _aac_frame_waveform(spec, shape: int, prev_shape: int,
+                        seq: int = 0) -> np.ndarray:
+    """One frame's 2048-sample WINDOWED waveform buffer (§4.6.11.3):
+    the synthesis window's LEFT half always matches the window it
+    overlaps with — the previous frame's shape (§4.6.11.2.2) — and the
+    window SEQUENCE picks the geometry: 0 ONLY_LONG, 1 LONG_START
+    (long left half, flat top, short right edge), 2 EIGHT_SHORT
+    (8 × 256 short transforms at offsets 448 + 128·w), 3 LONG_STOP
+    (the LONG_START mirror)."""
+    n = 2 * AAC_FRAME_LEN
+    half = AAC_FRAME_LEN
+    if seq == 2:
+        spec = np.asarray(spec, dtype=np.float64)
+        if spec.shape != (8, 128):
+            raise ValueError("EIGHT_SHORT expects (8, 128) spectra")
+        z = np.zeros(n, dtype=np.float64)
+        right = aac_window(shape, 256)[128:]
+        for w in range(8):
+            left = aac_window(prev_shape if w == 0 else shape,
+                              256)[:128]
+            z[448 + 128 * w:448 + 128 * w + 256] += \
+                aac_imdct(spec[w], 256) * np.concatenate([left, right])
+        return z
+    x = aac_imdct(np.asarray(spec, dtype=np.float64), n)
+    if seq == 0:                    # ONLY_LONG
+        w = np.concatenate([aac_window(prev_shape, n)[:half],
+                            aac_window(shape, n)[half:]])
+    elif seq == 1:                  # LONG_START
+        w = np.concatenate([
+            aac_window(prev_shape, n)[:half],
+            np.ones(448), aac_window(shape, 256)[128:],
+            np.zeros(448)])
+    elif seq == 3:                  # LONG_STOP
+        w = np.concatenate([
+            np.zeros(448), aac_window(prev_shape, 256)[:128],
+            np.ones(448), aac_window(shape, n)[half:]])
+    else:
+        raise ValueError(f"AAC: window_sequence {seq}")
+    return x * w
+
+
+def aac_overlap_add(frames: list, shapes: list | None = None,
+                    sequences: list | None = None) -> np.ndarray:
+    """Windowed IMDCT outputs → PCM via 50% overlap-add (§4.6.11): the
+    i-th 1024-sample output block is the saved second half of frame
+    i−1 plus the first half of frame i (standard one-frame priming:
+    the very first block overlaps with zeros).  ``frames[i]`` is a
+    1024-coefficient long spectrum — or (8, 128) short spectra when
+    ``sequences[i] == 2`` (r11 third wave: EIGHT_SHORT, with
+    LONG_START/LONG_STOP transition geometry and the §4.6.11.2.2
+    previous-shape rule for every left window half)."""
+    out = np.zeros(len(frames) * AAC_FRAME_LEN, dtype=np.float64)
+    prev = np.zeros(AAC_FRAME_LEN)
+    prev_shape = 0
+    for i, spec in enumerate(frames):
+        shape = 0 if shapes is None else shapes[i]
+        seq = 0 if sequences is None else sequences[i]
+        z = _aac_frame_waveform(spec, shape, prev_shape, seq)
+        out[i * AAC_FRAME_LEN:(i + 1) * AAC_FRAME_LEN] = \
+            prev + z[:AAC_FRAME_LEN]
+        prev = z[AAC_FRAME_LEN:]
+        prev_shape = shape
+    return out
+
+
+# --- AAC Huffman-layer machinery (r11, VERDICT r10 ask #2) ----------------
+# The COMPLETE sub-bitstream decode pipeline for entropy-coded AAC-LC
+# frames — section data over arbitrary codebooks, DPCM scalefactor
+# decode, n-tuple spectral Huffman walk with sign bits and the §4.6.3
+# escape sequence, per-band dequantization — parameterized by a
+# CODEBOOK REGISTRY, because the normative codeword tables themselves
+# (ISO/IEC 14496-3 Tables 4.A.2-4.A.12 and the swb_offset tables) are
+# hundreds of explicit constants this container has no source for:
+# they are NOT canonical codes and cannot be re-derived from first
+# principles.  Reproducing them from memory would risk a silently
+# NONCONFORMANT decoder (worse than an honest raise — the module
+# contract), so:
+#
+#   * decode with codebooks=None (the default — every production path)
+#     still RAISES at the first entropy-coded section: real mp4a
+#     streams keep the honest seam;
+#   * `engine_codebooks()` builds a deterministic, prefix-free,
+#     variable-length codebook set with the SAME STRUCTURAL ROLES as
+#     the normative set (quad signed lav1 ×2, quad unsigned lav2 ×2,
+#     pair signed lav4 ×2, pair unsigned lav7 ×2 and lav12 ×2, the
+#     lav16 ESC pair book, and the ±60 scalefactor book) — explicitly
+#     documented as ENGINE-DEFINED, exercising every branch of the
+#     machinery under the media_aac_huff gate;
+#   * a user holding the spec drops the normative tables in as data
+#     (`AacCodebook(index, dims, lav, signed, entries=[(values, length,
+#     code), ...])` per book) and the same pipeline decodes real
+#     streams — the seam is now a constant TABLE, not code.
+
+AAC_ESC_FLAG = 16                      # pair-ESC books escape |v| == 16
+AAC_ENGINE_SWB_OFFSETS = tuple(range(0, 1025, 32))   # engine profile:
+# 32 uniform 32-coefficient long-window bands (normative per-rate
+# swb_offset tables drop in through the swb_offsets parameter)
+
+
+class AacCodebook:
+    """One AAC Huffman codebook: ``dims``-tuples of magnitudes
+    (``signed`` books carry the sign inside the codeword; unsigned
+    books append one sign bit per nonzero value; ``esc`` pair books
+    escape magnitude 16 via the §4.6.3 N×'1',0,(N+4)-bit sequence).
+    ``entries`` = [(values_tuple, bit_length, codeword_int), ...] —
+    must be prefix-free (validated)."""
+
+    def __init__(self, index: int, dims: int, lav: int, signed: bool,
+                 entries: list, esc: bool = False):
+        self.index, self.dims, self.lav = index, dims, lav
+        self.signed, self.esc = signed, esc
+        self.dec: dict = {}
+        self.enc: dict = {}
+        self.max_len = 0
+        for vals, length, code in entries:
+            vals = tuple(int(v) for v in vals)
+            if (length, code) in self.dec:
+                raise ValueError(f"codebook {index}: duplicate codeword")
+            self.dec[(length, code)] = vals
+            self.enc[vals] = (length, code)
+            self.max_len = max(self.max_len, length)
+        # prefix-freeness: no codeword may be a prefix of another
+        seen = set()
+        for (length, code) in sorted(self.dec):
+            for (l2, c2) in self.dec:
+                if l2 > length and (c2 >> (l2 - length)) == code:
+                    raise ValueError(
+                        f"codebook {index}: codeword is a prefix of "
+                        "another")
+            seen.add((length, code))
+
+    def read(self, r: "_EgBitReader") -> tuple:
+        length, code = 0, 0
+        while length < self.max_len:
+            code = (code << 1) | r.read(1)
+            length += 1
+            v = self.dec.get((length, code))
+            if v is not None:
+                return v
+        raise ValueError(f"AAC: invalid codeword for codebook "
+                         f"{self.index}")
+
+    def write(self, w: "_EgBitWriter", vals: tuple) -> None:
+        length, code = self.enc[tuple(int(v) for v in vals)]
+        w.write(code, length)
+
+
+def _huffman_lengths(weights: list) -> dict:
+    """Deterministic Huffman code lengths for [(symbol, int_weight)]:
+    heapq merge with an insertion-order tiebreak."""
+    import heapq
+    if len(weights) == 1:
+        return {weights[0][0]: 1}
+    heap = [(wt, i, {sym: 0}) for i, (sym, wt) in enumerate(weights)]
+    heapq.heapify(heap)
+    nxt = len(heap)
+    while len(heap) > 1:
+        w1, _, d1 = heapq.heappop(heap)
+        w2, _, d2 = heapq.heappop(heap)
+        merged = {s: l + 1 for s, l in d1.items()}
+        merged.update({s: l + 1 for s, l in d2.items()})
+        heapq.heappush(heap, (w1 + w2, nxt, merged))
+        nxt += 1
+    return heap[0][2]
+
+
+def _canonical_entries(lengths: dict) -> list:
+    """Canonical codeword assignment from a length map (sorted by
+    (length, symbol) — fully deterministic)."""
+    out = []
+    code, prev = 0, 0
+    for sym in sorted(lengths, key=lambda s: (lengths[s], s)):
+        length = lengths[sym]
+        code <<= (length - prev)
+        out.append((sym, length, code))
+        code += 1
+        prev = length
+    return out
+
+
+def make_aac_codebook(index: int, dims: int, lav: int, signed: bool,
+                      esc: bool = False, skew: int = 3) -> AacCodebook:
+    """An ENGINE-DEFINED (non-normative) codebook with the structural
+    role (dims/lav/signed/esc) of its normative counterpart: alphabet =
+    all dims-tuples over [-lav, lav] (signed) or [0, lav] (unsigned),
+    Huffman lengths from the deterministic weight (Smax+1-s)^skew with
+    s = Σ|v| — small magnitudes get short codes, like the real set."""
+    from itertools import product
+    rng = range(-lav, lav + 1) if signed else range(0, lav + 1)
+    tuples = list(product(rng, repeat=dims))
+    smax = max(sum(abs(v) for v in t) for t in tuples)
+    weights = [(t, (smax + 1 - sum(abs(v) for v in t)) ** skew)
+               for t in sorted(tuples)]
+    return AacCodebook(index, dims, lav, signed,
+                       [(s, l, c) for s, l, c in
+                        _canonical_entries(_huffman_lengths(weights))],
+                       esc=esc)
+
+
+_AAC_ENGINE_BOOKS: dict = {}
+
+
+def engine_codebooks() -> dict:
+    """The engine-defined codebook set (cached): spectral books 1-11
+    with the normative set's structural roles plus the 'sf'
+    scalefactor book (±60 deltas).  NON-NORMATIVE — see the module
+    note; production decode paths never use these implicitly."""
+    if not _AAC_ENGINE_BOOKS:
+        spec = {1: (4, 1, True, False), 2: (4, 1, True, False),
+                3: (4, 2, False, False), 4: (4, 2, False, False),
+                5: (2, 4, True, False), 6: (2, 4, True, False),
+                7: (2, 7, False, False), 8: (2, 7, False, False),
+                9: (2, 12, False, False), 10: (2, 12, False, False),
+                11: (2, AAC_ESC_FLAG, False, True)}
+        for i, (dims, lav, signed, esc) in spec.items():
+            _AAC_ENGINE_BOOKS[i] = make_aac_codebook(
+                i, dims, lav, signed, esc=esc, skew=2 + i % 2)
+        _AAC_ENGINE_BOOKS["sf"] = make_aac_codebook(
+            0, 1, 60, True, skew=1)
+    return _AAC_ENGINE_BOOKS
+
+
+def encode_aac_lc_spectral(quant: np.ndarray, band_cbs: list,
+                           band_sfs: list, global_gain: int,
+                           codebooks: dict, window_shape: int = 0,
+                           swb_offsets=AAC_ENGINE_SWB_OFFSETS,
+                           tag: int = 0,
+                           window_sequence: int = 0,
+                           pulses: list | None = None,
+                           tns: tuple | None = None) -> bytes:
+    """One AAC-LC raw_data_block (mono SCE + END) carrying REAL
+    Huffman-coded spectra: ``quant`` is the 1024 quantized integer
+    coefficients, ``band_cbs[b]``/``band_sfs[b]`` the per-band codebook
+    index (0 = ZERO_HCB) and scalefactor for the first len(band_cbs)
+    bands of ``swb_offsets`` (max_sfb = len(band_cbs)); scalefactors
+    DPCM against ``global_gain`` through the 'sf' book."""
+    quant = np.asarray(quant, dtype=np.int64)
+    max_sfb = len(band_cbs)
+    if len(band_sfs) != max_sfb:
+        raise ValueError("band_cbs and band_sfs must align")
+    if max_sfb > len(swb_offsets) - 1 or max_sfb > 30:
+        raise ValueError("max_sfb exceeds the band layout")
+    if window_sequence not in (0, 1, 3):
+        raise ValueError("long encoder: window_sequence must be "
+                         "ONLY_LONG / LONG_START / LONG_STOP "
+                         "(encode_aac_lc_short writes EIGHT_SHORT)")
+    w = _EgBitWriter()
+    w.write(0, 3)                   # SCE
+    w.write(tag, 4)
+    w.write(global_gain, 8)
+    w.write(0, 1)                   # ics_reserved
+    w.write(window_sequence, 2)     # ONLY_LONG / LONG_START / _STOP
+    w.write(window_shape, 1)
+    w.write(max_sfb, 6)
+    w.write(0, 1)                   # predictor_data_present
+    _aac_write_ics_body(w, quant, band_cbs, band_sfs, global_gain,
+                        codebooks, swb_offsets, pulses=pulses, tns=tns)
+    w.write(7, 3)                   # END
+    return _aac_pack_bits(w)
+
+
+def _aac_write_ics_body(w, quant, band_cbs, band_sfs, global_gain,
+                        codebooks, swb_offsets,
+                        pulses: list | None = None,
+                        tns: tuple | None = None) -> None:
+    """section_data + scale_factor_data + tool flags + spectral_data —
+    the individual_channel_stream tail shared by the SCE and CPE
+    encoders (global_gain and ics_info are the caller's).  ``pulses``
+    ([(k, amp), ...] sorted by position) writes pulse_data the decoder
+    ADDS to the quantized spectrum (§4.6.3.3) — ``quant`` here is the
+    PRE-pulse spectrum."""
+    max_sfb = len(band_cbs)
+    # section_data: one section per run of equal codebook
+    b = 0
+    while b < max_sfb:
+        e = b
+        while e < max_sfb and band_cbs[e] == band_cbs[b]:
+            e += 1
+        if e - b >= 31:
+            raise ValueError("section longer than the non-escaped max")
+        w.write(band_cbs[b], 4)
+        w.write(e - b, 5)
+        b = e
+    # scale_factor_data: DPCM for every non-ZERO_HCB band
+    sf_book = codebooks["sf"]
+    last = global_gain
+    for b in range(max_sfb):
+        if band_cbs[b] == 0:
+            continue
+        sf_book.write(w, (band_sfs[b] - last,))
+        last = band_sfs[b]
+    if pulses:
+        if not 1 <= len(pulses) <= 4:
+            raise ValueError("pulse_data carries 1-4 pulses")
+        k0 = pulses[0][0]
+        start_sfb = max(b for b in range(max_sfb + 1)
+                        if swb_offsets[b] <= k0
+                        and k0 - swb_offsets[b] <= 31)
+        w.write(1, 1)               # pulse_data_present
+        w.write(len(pulses) - 1, 2)
+        w.write(start_sfb, 6)
+        prev = swb_offsets[start_sfb]
+        for k, amp in pulses:
+            if not 0 <= k - prev <= 31:
+                raise ValueError("pulse offsets must be 0-31 apart")
+            if not 0 <= amp <= 15:
+                raise ValueError("pulse amplitude must be 0-15")
+            w.write(k - prev, 5)
+            w.write(amp, 4)
+            prev = k
+    else:
+        w.write(0, 1)               # pulse
+    if tns:
+        coef_res, filts = tns
+        if not 1 <= len(filts) <= 3:
+            raise ValueError("tns_data carries 1-3 filters")
+        w.write(1, 1)               # tns_data_present
+        w.write(len(filts), 2)
+        w.write(coef_res, 1)
+        for length, direction, coef_compress, coefs in filts:
+            bits = coef_res + 3 - coef_compress
+            w.write(length, 6)
+            w.write(len(coefs), 5)
+            if coefs:
+                w.write(direction, 1)
+                w.write(coef_compress, 1)
+                half = 1 << (bits - 1)
+                for c in coefs:
+                    if not -half <= c < half:
+                        raise ValueError("TNS coef out of range for "
+                                         f"{bits}-bit field")
+                    w.write(c & ((1 << bits) - 1), bits)
+    else:
+        w.write(0, 1)               # tns
+    w.write(0, 1)                   # gain control
+    # spectral_data
+    for b in range(max_sfb):
+        cb = band_cbs[b]
+        lo, hi = swb_offsets[b], swb_offsets[b + 1]
+        if cb == 0:
+            if np.any(quant[lo:hi]):
+                raise ValueError(f"band {b}: ZERO_HCB with nonzero "
+                                 "coefficients")
+            continue
+        book = codebooks[cb]
+        for i in range(lo, hi, book.dims):
+            vals = quant[i:i + book.dims]
+            if book.signed:
+                if np.any(np.abs(vals) > book.lav):
+                    raise ValueError(f"band {b}: |q| exceeds lav")
+                book.write(w, tuple(int(v) for v in vals))
+            else:
+                mags = np.abs(vals)
+                esc_idx = []
+                wrote = []
+                for j, m in enumerate(mags):
+                    m = int(m)
+                    if book.esc and m >= AAC_ESC_FLAG:
+                        wrote.append(AAC_ESC_FLAG)
+                        esc_idx.append(j)
+                    elif m > book.lav:
+                        raise ValueError(f"band {b}: |q| exceeds lav")
+                    else:
+                        wrote.append(m)
+                book.write(w, tuple(wrote))
+                for j, m in enumerate(wrote):
+                    if m:           # sign bit per nonzero magnitude
+                        w.write(1 if vals[j] < 0 else 0, 1)
+                for j in sorted(esc_idx):
+                    m = int(abs(int(vals[j])))
+                    n = m.bit_length() - 1
+                    if n < 4:
+                        raise ValueError("escaped magnitude below 16")
+                    for _ in range(n - 4):
+                        w.write(1, 1)
+                    w.write(0, 1)
+                    w.write(m - (1 << n), n)
+
+
+def _aac_write_band(w, book, vals) -> None:
+    """One scalefactor band's worth of spectral codewords (the
+    codeword/sign/escape logic of _aac_write_ics_body, per tuple)."""
+    vals = np.asarray(vals, dtype=np.int64)
+    if book.signed:
+        if np.any(np.abs(vals) > book.lav):
+            raise ValueError("AAC: |q| exceeds lav")
+        book.write(w, tuple(int(v) for v in vals))
+        return
+    mags = np.abs(vals)
+    esc_idx, wrote = [], []
+    for j, m in enumerate(mags):
+        m = int(m)
+        if book.esc and m >= AAC_ESC_FLAG:
+            wrote.append(AAC_ESC_FLAG)
+            esc_idx.append(j)
+        elif m > book.lav:
+            raise ValueError("AAC: |q| exceeds lav")
+        else:
+            wrote.append(m)
+    book.write(w, tuple(wrote))
+    for j, m in enumerate(wrote):
+        if m:
+            w.write(1 if vals[j] < 0 else 0, 1)
+    for j in sorted(esc_idx):
+        m = int(abs(int(vals[j])))
+        n = m.bit_length() - 1
+        if n < 4:
+            raise ValueError("escaped magnitude below 16")
+        for _ in range(n - 4):
+            w.write(1, 1)
+        w.write(0, 1)
+        w.write(m - (1 << n), n)
+
+
+def encode_aac_lc_short(quant: np.ndarray, groups: tuple,
+                        band_cbs: list, band_sfs: list,
+                        global_gain: int, codebooks: dict,
+                        window_shape: int = 0, tag: int = 0) -> bytes:
+    """One EIGHT_SHORT AAC-LC raw_data_block (mono SCE + END — r11
+    third wave): ``quant`` is the (8, 128) per-short-window quantized
+    spectra, ``groups`` the window grouping (counts summing to 8,
+    encoded into scale_factor_grouping), ``band_cbs[g][b]`` /
+    ``band_sfs[g][b]`` the per-(group, band) codebook and scalefactor
+    over the ENGINE short band layout (AAC_ENGINE_SWB_OFFSETS_SHORT).
+    Sections use the short 3-bit lengths (runs split at 6); spectral
+    data is written in the §4.6.3.2 interleave (group → band → window
+    → bin) the decoder deinterleaves."""
+    quant = np.asarray(quant, dtype=np.int64)
+    if quant.shape != (8, 128):
+        raise ValueError("short encoder expects (8, 128) spectra")
+    if sum(groups) != 8 or any(g < 1 for g in groups):
+        raise ValueError("groups must be positive counts summing to 8")
+    max_sfb = len(band_cbs[0])
+    if max_sfb > len(AAC_ENGINE_SWB_OFFSETS_SHORT) - 1:
+        raise ValueError("max_sfb exceeds the short band layout")
+    if len(band_cbs) != len(groups) or len(band_sfs) != len(groups):
+        raise ValueError("band_cbs/band_sfs must give one row per "
+                         "group")
+    soff = AAC_ENGINE_SWB_OFFSETS_SHORT
+    w = _EgBitWriter()
+    w.write(0, 3)                   # SCE
+    w.write(tag, 4)
+    w.write(global_gain, 8)
+    w.write(0, 1)                   # ics_reserved
+    w.write(2, 2)                   # EIGHT_SHORT_SEQUENCE
+    w.write(window_shape, 1)
+    w.write(max_sfb, 4)
+    grouping = 0                    # bit i: window i+1 joins window i
+    wpos = 0
+    for g in groups:
+        for k in range(1, g):
+            grouping |= 1 << (6 - (wpos + k - 1))
+        wpos += g
+    w.write(grouping, 7)
+    for g in range(len(groups)):    # section_data, 3-bit lengths
+        b = 0
+        while b < max_sfb:
+            e = b
+            while e < max_sfb and band_cbs[g][e] == band_cbs[g][b] \
+                    and e - b < 6:
+                e += 1
+            w.write(band_cbs[g][b], 4)
+            w.write(e - b, 3)
+            b = e
+    sf_book = codebooks["sf"]       # DPCM sequential across groups
+    last = global_gain
+    for g in range(len(groups)):
+        for b in range(max_sfb):
+            if band_cbs[g][b] == 0:
+                continue
+            sf_book.write(w, (band_sfs[g][b] - last,))
+            last = band_sfs[g][b]
+    w.write(0, 1)                   # pulse
+    w.write(0, 1)                   # tns
+    w.write(0, 1)                   # gain control
+    w0 = 0
+    for g, wg in enumerate(groups):
+        for b in range(max_sfb):
+            cb = band_cbs[g][b]
+            lo, hi = soff[b], soff[b + 1]
+            if cb == 0:
+                if np.any(quant[w0:w0 + wg, lo:hi]):
+                    raise ValueError(f"group {g} band {b}: ZERO_HCB "
+                                     "with nonzero coefficients")
+                continue
+            book = codebooks[cb]
+            for win in range(w0, w0 + wg):
+                for i in range(lo, hi, book.dims):
+                    _aac_write_band(w, book, quant[win, i:i + book.dims])
+        w0 += wg
+    w.write(7, 3)                   # END
+    return _aac_pack_bits(w)
+
+
+def _aac_pack_bits(w) -> bytes:
+    bits = w.bits + [0] * ((-len(w.bits)) % 8)
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        v = 0
+        for bit in bits[i:i + 8]:
+            v = (v << 1) | bit
+        out.append(v)
+    return bytes(out)
+
+
+def encode_aac_lc_cpe(quant_l: np.ndarray, quant_r: np.ndarray,
+                      band_cbs: list, band_sfs_l: list,
+                      band_sfs_r: list, global_gain_l: int,
+                      global_gain_r: int, codebooks: dict,
+                      window_shape: int = 0,
+                      ms_used: list | None = None,
+                      swb_offsets=AAC_ENGINE_SWB_OFFSETS,
+                      tag: int = 0) -> bytes:
+    """One STEREO AAC-LC raw_data_block (CPE + END, §4.4.2.1 — r11
+    third wave): common_window = 1 (shared ics_info), per-channel
+    global gains / scalefactors / Huffman-coded spectra through the
+    same registry books as the SCE encoder.  ``ms_used`` (per-band
+    booleans) writes ms_mask_present = 1 and marks the bands where
+    ``quant_l``/``quant_r`` carry MID/SIDE channels the decoder
+    reconstructs as l = m + s, r = m − s; None writes
+    ms_mask_present = 0 (independent stereo)."""
+    quant_l = np.asarray(quant_l, dtype=np.int64)
+    quant_r = np.asarray(quant_r, dtype=np.int64)
+    max_sfb = len(band_cbs)
+    if len(band_sfs_l) != max_sfb or len(band_sfs_r) != max_sfb:
+        raise ValueError("band_cbs and band_sfs must align")
+    if max_sfb > len(swb_offsets) - 1 or max_sfb > 30:
+        raise ValueError("max_sfb exceeds the band layout")
+    if ms_used is not None and len(ms_used) != max_sfb:
+        raise ValueError("ms_used must give one flag per band")
+    w = _EgBitWriter()
+    w.write(1, 3)                   # CPE
+    w.write(tag, 4)
+    w.write(1, 1)                   # common_window
+    w.write(0, 1)                   # ics_reserved
+    w.write(0, 2)                   # ONLY_LONG
+    w.write(window_shape, 1)
+    w.write(max_sfb, 6)
+    w.write(0, 1)                   # predictor_data_present
+    if ms_used is None:
+        w.write(0, 2)               # ms_mask_present = 0
+    else:
+        w.write(1, 2)               # ms_mask_present = 1
+        for flag in ms_used:
+            w.write(1 if flag else 0, 1)
+    w.write(global_gain_l, 8)
+    _aac_write_ics_body(w, quant_l, band_cbs, band_sfs_l,
+                        global_gain_l, codebooks, swb_offsets)
+    w.write(global_gain_r, 8)
+    _aac_write_ics_body(w, quant_r, band_cbs, band_sfs_r,
+                        global_gain_r, codebooks, swb_offsets)
+    w.write(7, 3)                   # END
+    return _aac_pack_bits(w)
+
+
+def _aac_read_escape(r: "_EgBitReader") -> int:
+    n = 4
+    while r.read(1):
+        n += 1
+    return (1 << n) + r.read(n)
+
+
+def encode_aac_lc_frame(global_gain: int, window_shape: int = 0,
+                        max_sfb: int = 0, tag: int = 0) -> bytes:
+    """One conformant AAC-LC raw_data_block (mono SCE + END, §4.4.1):
+    a digital-silence frame — ``max_sfb`` bands all sectioned as
+    ZERO_HCB (no scalefactor/spectral Huffman data exists for zero
+    sections, so the frame is entropy-free yet fully conformant; any
+    player decodes it to silence).  global_gain is REAL per-frame
+    bitstream state the decoder must recover."""
+    if not (0 <= global_gain <= 255):
+        raise ValueError("global_gain out of range")
+    if not (0 <= max_sfb <= 30):
+        raise ValueError("max_sfb: this silence encoder emits one "
+                         "non-escaped section (len < 31)")
+    w = _EgBitWriter()
+    w.write(0, 3)                   # id_syn_ele = SCE
+    w.write(tag, 4)                 # element_instance_tag
+    w.write(global_gain, 8)
+    w.write(0, 1)                   # ics_reserved_bit
+    w.write(0, 2)                   # window_sequence = ONLY_LONG
+    w.write(window_shape, 1)
+    w.write(max_sfb, 6)
+    w.write(0, 1)                   # predictor_data_present (LC: none)
+    if max_sfb:                     # one ZERO_HCB section covers all sfb
+        w.write(0, 4)               # sect_cb = ZERO_HCB
+        w.write(max_sfb, 5)         # sect_len_incr (long windows: 5 bits)
+    w.write(0, 1)                   # pulse_data_present
+    w.write(0, 1)                   # tns_data_present
+    w.write(0, 1)                   # gain_control_data_present
+    w.write(7, 3)                   # id_syn_ele = END
+    bits = w.bits + [0] * ((-len(w.bits)) % 8)   # §4.4.1 byte_alignment
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        b = 0
+        for bit in bits[i:i + 8]:
+            b = (b << 1) | bit
+        out.append(b)
+    return bytes(out)
+
+
+# Engine-profile SHORT-window band layout (r11 third wave): 8 bands of
+# 16 bins per 128-coefficient short transform — the same engine-data
+# role as AAC_ENGINE_SWB_OFFSETS (the normative per-rate short
+# swb_offset tables are registry data, exactly like the codebooks).
+AAC_ENGINE_SWB_OFFSETS_SHORT = tuple(range(0, 129, 16))
+
+
+def _aac_ics_info(r: "_EgBitReader", swb_offsets) -> tuple:
+    """ics_info() (§4.4.2.1): returns ``(window_sequence, window_shape,
+    max_sfb, groups)`` — ``groups`` is None for the long sequences, or
+    the per-group window counts decoded from scale_factor_grouping for
+    EIGHT_SHORT (r11 third wave)."""
+    r.read(1)                       # ics_reserved_bit
+    window_sequence = r.read(2)
+    window_shape = r.read(1)
+    if window_sequence == 2:        # EIGHT_SHORT_SEQUENCE
+        max_sfb = r.read(4)
+        grouping = r.read(7)        # bit i set: window i+1 extends the
+        groups = [1]                # group of window i
+        for i in range(7):
+            if (grouping >> (6 - i)) & 1:
+                groups[-1] += 1
+            else:
+                groups.append(1)
+        if max_sfb > len(AAC_ENGINE_SWB_OFFSETS_SHORT) - 1:
+            raise NotImplementedError(
+                "AAC: short max_sfb exceeds the engine band layout "
+                "(the normative per-rate short swb_offset tables are "
+                "registry data)")
+        return window_sequence, window_shape, max_sfb, groups
+    max_sfb = r.read(6)
+    if r.read(1):
+        raise NotImplementedError("AAC: predictor data (not LC)")
+    if max_sfb > len(swb_offsets) - 1:
+        raise NotImplementedError(
+            "AAC: max_sfb exceeds the band layout (the normative "
+            "per-rate swb_offset tables are registry data)")
+    return window_sequence, window_shape, max_sfb, None
+
+
+def _aac_read_sections(r, codebooks, max_sfb: int, n_groups: int,
+                       len_bits: int) -> list:
+    """section_data() (§4.4.2.7): per window group, runs of equal
+    codebooks covering exactly max_sfb bands.  Returns [group][band]
+    codebook indices.  Long windows: one group, 5-bit lengths; short:
+    per-group 3-bit lengths."""
+    esc = (1 << len_bits) - 1
+    out = []
+    for _g in range(n_groups):
+        cbs: list = []
+        while len(cbs) < max_sfb:
+            sect_cb = r.read(4)
+            ln = r.read(len_bits)
+            if ln == esc:           # sect_len escape chain
+                raise NotImplementedError(
+                    "AAC: escaped section lengths")
+            if sect_cb != 0 and codebooks is None:
+                raise NotImplementedError(
+                    "AAC: entropy-coded spectra (Huffman codebook "
+                    f"{sect_cb}) — the NORMATIVE codeword tables are "
+                    "data this build lacks; install them (or "
+                    "engine_codebooks() for the engine profile) via "
+                    "the codebooks parameter (see module note)")
+            if sect_cb != 0 and sect_cb not in codebooks:
+                raise NotImplementedError(
+                    f"AAC: codebook {sect_cb} not in the registry "
+                    "(intensity/noise tools stay out of scope)")
+            if ln == 0:
+                raise ValueError("AAC: zero-length section")
+            cbs.extend([sect_cb] * ln)
+        if len(cbs) > max_sfb:
+            raise ValueError("AAC: sections overrun max_sfb")
+        out.append(cbs)
+    return out
+
+
+def _aac_read_band(r, book, quant: np.ndarray, lo: int, hi: int):
+    """One scalefactor band's spectral codewords into quant[lo:hi]."""
+    for i in range(lo, hi, book.dims):
+        vals = list(book.read(r))
+        if not book.signed:
+            signs = [(-1 if v and r.read(1) else 1) for v in vals]
+            if book.esc:
+                vals = [(_aac_read_escape(r)
+                         if v == AAC_ESC_FLAG else v) for v in vals]
+            vals = [s * v for s, v in zip(signs, vals)]
+        quant[i:i + book.dims] = vals
+
+
+def _aac_channel_stream(r: "_EgBitReader", codebooks, swb_offsets,
+                        ics: tuple | None = None) -> dict:
+    """individual_channel_stream() (§4.4.2.4): global_gain, ics_info
+    (unless ``ics`` carries the CPE's common window), section data,
+    DPCM scalefactors, tool flags and spectral data.  Returns the
+    quantized and FULLY dequantized coefficient arrays — (1024,) for
+    the long sequences, (8, 128) per-window arrays for EIGHT_SHORT
+    (r11 third wave: per-group 3-bit sections, per-(group, band)
+    scalefactors, and the §4.6.3.2 interleave — group → band → window
+    → bin — deinterleaved on read)."""
+    global_gain = r.read(8)
+    if ics is None:
+        ics = _aac_ics_info(r, swb_offsets)
+    window_sequence, window_shape, max_sfb, groups = ics
+    short = window_sequence == 2
+    soff = AAC_ENGINE_SWB_OFFSETS_SHORT
+    n_groups = len(groups) if short else 1
+    sects = _aac_read_sections(r, codebooks, max_sfb, n_groups,
+                               3 if short else 5)
+    # scale_factor_data: DPCM against global_gain for live bands,
+    # sequential across groups
+    sfs = [[None] * max_sfb for _ in range(n_groups)]
+    last = global_gain
+    for g in range(n_groups):
+        for b in range(max_sfb):
+            if sects[g][b] == 0:
+                continue
+            (d,) = codebooks["sf"].read(r)
+            last += d
+            sfs[g][b] = last
+    pulses = None
+    if r.read(1):                   # pulse_data (§4.6.3.3, long only)
+        if short:
+            raise ValueError("AAC: pulse data is forbidden in "
+                             "EIGHT_SHORT frames")
+        n_pulse = r.read(2) + 1
+        start_sfb = r.read(6)
+        if start_sfb > max_sfb:
+            raise ValueError("AAC: pulse_start_sfb past max_sfb")
+        pulses = []
+        k = swb_offsets[start_sfb]
+        for _p in range(n_pulse):
+            k += r.read(5)
+            pulses.append((k, r.read(4)))
+    tns_filters = None
+    if r.read(1):                   # tns_data (§4.6.9)
+        if short:
+            raise NotImplementedError(
+                "AAC: TNS in EIGHT_SHORT frames remains the seam")
+        n_filt = r.read(2)
+        tns_filters = []
+        if n_filt:
+            coef_res = r.read(1)
+            top = max_sfb
+            for _f in range(n_filt):
+                length = r.read(6)
+                order = r.read(5)
+                bottom = max(top - length, 0)
+                if order:
+                    direction = r.read(1)
+                    coef_compress = r.read(1)
+                    bits = coef_res + 3 - coef_compress
+                    raw = [r.read(bits) for _ in range(order)]
+                    # signed in `bits` bits; §4.6.9.3 inverse quant
+                    half = 1 << (bits - 1)
+                    iqf = ((1 << (coef_res + 2)) - 0.5) / (math.pi / 2)
+                    iqfm = ((1 << (coef_res + 2)) + 0.5) / (math.pi / 2)
+                    rc = []
+                    for v in raw:
+                        s = v - (1 << bits) if v >= half else v
+                        rc.append(math.sin(s / (iqf if s >= 0
+                                                else iqfm)))
+                    # reflection → LPC (standard Levinson recursion)
+                    a = [1.0]
+                    for m in range(order):
+                        k = rc[m]
+                        a = ([1.0]
+                             + [a[i] + k * a[m + 1 - i]
+                                for i in range(1, m + 1)]
+                             + [k])
+                    tns_filters.append((bottom, top, direction, a))
+                top = bottom
+    if r.read(1):
+        raise NotImplementedError("AAC: gain control (SSR)")
+    if short:
+        quant = np.zeros((8, 128), dtype=np.int64)
+        w0 = 0
+        for g, wg in enumerate(groups):
+            for b in range(max_sfb):
+                cb = sects[g][b]
+                if cb == 0:
+                    continue
+                book = codebooks[cb]
+                lo, hi = soff[b], soff[b + 1]
+                for w in range(w0, w0 + wg):
+                    _aac_read_band(r, book, quant[w], lo, hi)
+            w0 += wg
+        spec = np.zeros((8, 128), dtype=np.float64)
+        w0 = 0
+        for g, wg in enumerate(groups):
+            for b in range(max_sfb):
+                if sects[g][b] == 0:
+                    continue
+                lo, hi = soff[b], soff[b + 1]
+                for w in range(w0, w0 + wg):
+                    spec[w, lo:hi] = aac_dequantize(quant[w, lo:hi],
+                                                    sfs[g][b])
+            w0 += wg
+        return {"global_gain": global_gain,
+                "window_shape": window_shape,
+                "window_sequence": window_sequence,
+                "max_sfb": max_sfb, "groups": groups,
+                "band_cbs": sects, "quant": quant, "spec": spec}
+    band_cbs = sects[0]
+    quant = np.zeros(AAC_FRAME_LEN, dtype=np.int64)
+    for b in range(max_sfb):
+        cb = band_cbs[b]
+        if cb == 0:
+            continue
+        _aac_read_band(r, codebooks[cb], quant,
+                       swb_offsets[b], swb_offsets[b + 1])
+    if pulses:                      # §4.6.3.3: amplitude rides the
+        for k, amp in pulses:       # decoded coefficient's sign
+            if k >= AAC_FRAME_LEN:
+                raise ValueError("AAC: pulse position past the frame")
+            kb = int(np.searchsorted(swb_offsets, k, side="right")) - 1
+            if kb >= max_sfb or band_cbs[kb] == 0:
+                raise ValueError("AAC: pulse lands in a band with no "
+                                 "scalefactor (ZERO_HCB / past "
+                                 "max_sfb)")
+            quant[k] += amp if quant[k] >= 0 else -amp
+    spec = np.zeros(AAC_FRAME_LEN, dtype=np.float64)
+    for b in range(max_sfb):
+        if band_cbs[b] == 0:
+            continue
+        lo, hi = swb_offsets[b], swb_offsets[b + 1]
+        spec[lo:hi] = aac_dequantize(quant[lo:hi], sfs[0][b])
+    if tns_filters:                 # §4.6.9.2: all-pole synthesis
+        for bottom, top, direction, a in tns_filters:   # along freq,
+            lo, hi = swb_offsets[bottom], swb_offsets[top]  # zero
+            order = len(a) - 1                          # initial state
+            ks = range(hi - 1, lo - 1, -1) if direction \
+                else range(lo, hi)
+            for k in ks:
+                acc = spec[k]
+                for j in range(1, order + 1):
+                    kk = k + j if direction else k - j
+                    if lo <= kk < hi:
+                        acc -= a[j] * spec[kk]
+                spec[k] = acc
+    return {"global_gain": global_gain, "window_shape": window_shape,
+            "window_sequence": window_sequence, "max_sfb": max_sfb,
+            "groups": None, "band_cbs": band_cbs, "quant": quant,
+            "spec": spec}
+
+
+def decode_aac_lc_frame(data: bytes, codebooks: dict | None = None,
+                        swb_offsets=AAC_ENGINE_SWB_OFFSETS) -> dict:
+    """Parse one raw_data_block (mono SCE or STEREO CPE — r11, third
+    wave).  Returns ``{"channels", "global_gain", "window_shape",
+    "window_sequence", "max_sfb", "spec", "n_nonzero"}`` with ``spec``
+    the FULLY dequantized coefficients —
+    sign(q)·|q|^(4/3)·2^{0.25·(sf−100)} with each band's decoded
+    scalefactor; for CPE blocks ``spec`` is the LEFT channel,
+    ``spec_r`` the right, and ``n_nonzero`` counts both channels'
+    quantized supports.  CPE decodes common_window ics sharing and
+    M/S stereo (§4.6.8.1: l = m + s, r = m − s on the dequantized
+    spectra, per ms_used band or all bands at ms_mask_present = 2).
+    With ``codebooks`` (see engine_codebooks / the registry note)
+    entropy-coded sections DECODE; with the default ``codebooks=None``
+    the first entropy-coded section still raises — the honest seam for
+    real streams, whose NORMATIVE tables are data this container
+    lacks.  EIGHT_SHORT windows and pulse/TNS/gain-control tools
+    remain NotImplementedError."""
+    r = _EgBitReader(bytes(data))
+    info = None
+    while True:
+        ele = r.read(3)
+        if ele == 7:                # END
+            break
+        if ele == 6:                # FIL: skip
+            cnt = r.read(4)
+            if cnt == 15:
+                cnt += r.read(8) - 1
+            r.read(8 * cnt)
+            continue
+        if ele not in (0, 1, 3):
+            raise NotImplementedError(
+                f"AAC: element {ele} (SCE, CPE and LFE decode "
+                "natively; CCE/DSE/PCE need ffmpeg)")
+        if info is not None:
+            raise NotImplementedError(
+                "AAC: multiple channel elements per block")
+        tag = r.read(4)
+        if ele in (0, 3):           # SCE / LFE (§4.4.2.3: an LFE is
+            # syntactically an individual_channel_stream; its ONLY_LONG
+            # / no-TNS restrictions are what this path supports anyway)
+            ch = _aac_channel_stream(r, codebooks, swb_offsets)
+            info = {"tag": tag, "channels": 1,
+                    "global_gain": ch["global_gain"],
+                    "window_shape": ch["window_shape"],
+                    "window_sequence": ch["window_sequence"],
+                    "max_sfb": ch["max_sfb"], "groups": ch["groups"],
+                    "spec": ch["spec"],
+                    "n_nonzero": int(np.count_nonzero(ch["quant"]))}
+            continue
+        # CPE (§4.4.2.1): optional shared ics_info + M/S, two streams
+        common = r.read(1)
+        ics = None
+        ms_present, ms_used = 0, None
+        if common:
+            ics = _aac_ics_info(r, swb_offsets)
+            n_grp = len(ics[3]) if ics[3] else 1
+            ms_present = r.read(2)
+            if ms_present == 3:
+                raise ValueError("AAC: reserved ms_mask_present")
+            if ms_present == 1:     # per-(group, band) mask
+                ms_used = [[bool(r.read(1)) for _ in range(ics[2])]
+                           for _ in range(n_grp)]
+        left = _aac_channel_stream(r, codebooks, swb_offsets, ics=ics)
+        right = _aac_channel_stream(r, codebooks, swb_offsets, ics=ics)
+        spec_l, spec_r = left["spec"], right["spec"]
+        if ms_present:              # §4.6.8.1 mid/side reconstruction
+            short = left["window_sequence"] == 2
+            soff = AAC_ENGINE_SWB_OFFSETS_SHORT if short \
+                else swb_offsets
+            grps = left["groups"] if short else [1]
+            w0 = 0
+            for g, wg in enumerate(grps):
+                for b in range(left["max_sfb"]):
+                    if ms_present == 1 and not ms_used[g][b]:
+                        continue
+                    lo, hi = soff[b], soff[b + 1]
+                    sl = (np.s_[w0:w0 + wg, lo:hi] if short
+                          else np.s_[lo:hi])
+                    m = spec_l[sl].copy()
+                    s = spec_r[sl].copy()
+                    spec_l[sl] = m + s
+                    spec_r[sl] = m - s
+                w0 += wg
+        info = {"tag": tag, "channels": 2,
+                "global_gain": left["global_gain"],
+                "window_shape": left["window_shape"],
+                "window_sequence": left["window_sequence"],
+                "max_sfb": left["max_sfb"], "groups": left["groups"],
+                "spec": spec_l, "spec_r": spec_r,
+                "n_nonzero": int(np.count_nonzero(left["quant"]))
+                + int(np.count_nonzero(right["quant"]))}
+    if info is None:
+        raise ValueError("AAC: raw_data_block carries no channel "
+                         "element")
+    return info
+
+

@@ -2703,16 +2703,16 @@ def test_stream_bloom_dedup_crash_replay_exactly_once(spark, tmp_path,
             _os.utime(_os.path.join(d, f), (now + 60 * b - 300,) * 2)
     out, bloom, ckpt = (str(tmp_path / n) for n in ("out", "bloom", "ck"))
 
-    real_commit = Manifest.commit
+    real_publish = Manifest._publish
     state = {"commits": 0}
 
-    def dying_commit(self, files, base_epoch=None, lock_token=None,
-                     meta=None):
+    def dying_publish(self, epoch, shards, meta):
+        # _publish is the single CAS point every commit flavor
+        # (commit / commit_delta) funnels through
         state["commits"] += 1
         if state["commits"] == 2:     # second batch: crash pre-publish
             raise RuntimeError("injected crash before manifest publish")
-        return real_commit(self, files, base_epoch,
-                           lock_token=lock_token, meta=meta)
+        return real_publish(self, epoch, shards, meta)
 
     def start():
         return stream_dedup_with_bloom(
@@ -2720,7 +2720,7 @@ def test_stream_bloom_dedup_crash_replay_exactly_once(spark, tmp_path,
              .option("maxFilesPerTrigger", 1).parquet(str(src) + "/b*")),
             out, bloom, ckpt, m_bits=1 << 16, k=3)
 
-    monkeypatch.setattr(Manifest, "commit", dying_commit)
+    monkeypatch.setattr(Manifest, "_publish", dying_publish)
     import pytest as _pytest
     q = start()
     with _pytest.raises(Exception, match="injected crash"):
