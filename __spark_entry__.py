@@ -427,6 +427,30 @@ def _q_cql2(spark, sf_dir) -> DataFrame:
                     .alias("acctbal_cents"), "c_mktsegment"))
 
 
+def _q_cql3(spark, sf_dir) -> DataFrame:
+    """ECQL tier 4 (r12, VERDICT r11 ask #7): ARITHMETIC in predicates
+    (p_size * 3 - 10 > 50, integer-exact across engines) combined with
+    GEOMETRY functions — area/numPoints/isValid/dimension over part
+    rects — translated by cql_to_sql into the st_* kernel and
+    hash-compared against the closed-form DuckDB replay (rect area =
+    w*h on the exact 0.01 grid; threshold at .005 so no boundary
+    ties).  Parity: FilterCQL.java:35-52 (GeoTools ECQL evaluates the
+    same expression grammar per record)."""
+    from spatial_spark.operators.cql import cql_to_sql
+    df = spark.sql(f"""
+        SELECT p_partkey, p_size, {PART_X0} AS x0, {PART_Y0} AS y0,
+               {PART_W} AS w, {PART_H} AS h FROM part
+    """)
+    geoms = df.withColumn("geom", F.expr("st_make_box(x0, y0, x0+w, y0+h)"))
+    sql = cql_to_sql(
+        "area(the_geom) > 8.005 AND p_size * 3 - 10 > 50"
+        " AND numPoints(the_geom) = 5 AND isValid(the_geom)"
+        " AND dimension(the_geom) = 2")
+    return (geoms.filter(sql)
+            .select("p_partkey", "p_size",
+                    F.round(F.expr("st_area(geom)"), 9).alias("area")))
+
+
 def _q_st_transform_merc(spark, sf_dir) -> DataFrame:
     """CRS reprojection gate (VERDICT r7 ask #7): customer points
     4326→3857 through the registered st_transform UDF, cross-checked
@@ -5175,6 +5199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- 30-50: new r12 gates first, then r9-row holders oldest-first
         "st_transform_registry": _q_st_transform_registry,
         "pipeline_mm_e2e": _q_pipeline_mm_e2e,
+        "cql3": _q_cql3,
         "overlay_degenerate": _q_overlay_degenerate,
         "kmv_stream": _q_kmv_stream,
         "ivf_recall": _q_ivf_recall,
@@ -5193,9 +5218,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "media_avc_ipcm": _q_media_avc_ipcm,
         "triangle_counts": _q_triangles,
-        "pq_knn": _q_pq_knn,
         # ================= end of the 50-entry driver window =========
         # --- remaining r9-row holders (age 3 — rotate next, oldest first)
+        "pq_knn": _q_pq_knn,
         "osm_pbf_source": _q_osm_pbf_source,
         "st_subdivide": _q_st_subdivide,
         "pca_project": _q_pca_project,
@@ -7072,6 +7097,13 @@ def oracle_sql() -> dict[str, str]:
                         + radians({CUST_LAT}) / 2.0))) * 100)
                         AS BIGINT) AS my_cm
             FROM customer
+        """,
+        "cql3": f"""
+            SELECT p_partkey, p_size,
+                   round({PART_W} * {PART_H}, 9) AS area
+            FROM part
+            WHERE {PART_W} * {PART_H} > 8.005
+              AND p_size * 3 - 10 > 50
         """,
         "cql2": f"""
             SELECT c_custkey,

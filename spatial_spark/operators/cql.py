@@ -20,7 +20,14 @@ Scope (still a strict subset — untranslatable spatial constructs raise):
     balanced-paren extraction instead of the old single-level regex,
   * tier 3: temporal BEFORE / AFTER / DURING with ISO-8601 instants
     (instant/instant periods; durations and non-Z offsets strictly
-    rejected).
+    rejected),
+  * tier 4 (r12, VERDICT r11 ask #7): arithmetic expressions flow
+    through (ECQL +,-,*,/ and abs/ceil/floor share SQL syntax —
+    conformance-pinned), and GEOMETRY functions in predicates rewrite
+    to the engine kernel: area/geomLength/numPoints/numGeometries/
+    dimension/isValid/isEmpty over a geometry property become the
+    st_* twins.  A geometry function over a NON-geometry argument
+    raises in strict mode — never guess.
 
 Quoted string literals are MASKED for the whole translation and
 restored at the end (ADVICE r8): no keyword rewrite, temporal regex,
@@ -248,6 +255,30 @@ def cql_to_sql(expr: str, strict: bool = True, has_geom: bool = True) -> str:
     # geometryType(the_geom) → st_geometrytype(geom)
     s = re.sub(r"geometryType\s*\(\s*(\w+)\s*\)", "st_geometrytype(geom)",
                s, flags=re.I)
+
+    # tier 4: geometry functions in (arithmetic) predicates — ECQL
+    # area(geom) / geomLength(geom) / numPoints / numGeometries /
+    # dimension / isValid / isEmpty → the st_* kernel over the layer's
+    # geom column.  Strict: the argument must BE a geometry property;
+    # a stray column name raises instead of silently st_-ing it.
+    _GEOM_FNS = {"area": "st_area", "geomlength": "st_length",
+                 "numpoints": "st_numpoints",
+                 "numgeometries": "st_numgeometries",
+                 "dimension": "st_dimension", "isvalid": "st_isvalid",
+                 "isempty": "st_isempty"}
+
+    def geom_fn_repl(name, args):
+        if len(args) != 1:
+            raise ValueError(
+                f"{name}: expected 1 argument, got {len(args)}")
+        prop = args[0].strip().lower()
+        if prop not in _GEOM_PROPS and prop != "geom":
+            raise ValueError(
+                f"CQL: {name}({args[0]}) — geometry function over a "
+                f"non-geometry property (expected one of {_GEOM_PROPS})")
+        return f"{_GEOM_FNS[name]}(geom)"
+
+    s = _rewrite_calls(s, list(_GEOM_FNS), geom_fn_repl)
 
     # INCLUDE / EXCLUDE match-all / match-none literals (tier 2)
     s = re.sub(r"\bINCLUDE\b", "TRUE", s, flags=re.I)

@@ -1719,3 +1719,43 @@ def test_manifest_commit_delta():
     assert man.current()[1].count("part-zz") == 1
     # (e) meta carried forward through all of the above
     assert man.current_meta()["stream_epochs"] == {"ck": 7}
+
+
+def test_cql_tier4_arithmetic_and_geometry_functions(ctx, spark):
+    """r12 (VERDICT r11 ask #7) — ECQL tier 4: (a) arithmetic
+    expressions flow through to SQL; (b) geometry functions
+    (area/geomLength/numPoints/numGeometries/dimension/isValid/isEmpty)
+    rewrite to the st_* kernel over the geom column; (c) a geometry
+    function over a non-geometry property refuses in strict mode; (d)
+    literal masking keeps function names inside strings untouched; (e)
+    end-to-end on a WKT layer."""
+    import pytest as _pytest
+
+    from spatial_spark.operators.cql import cql_to_sql
+
+    # (a) + (b): translation shapes
+    assert cql_to_sql("a + b * 2 > 10") == "a + b * 2 > 10"
+    assert cql_to_sql("area(the_geom) > 5") == "st_area(geom) > 5"
+    assert (cql_to_sql("geomLength(geometry) + 1 < x")
+            == "st_length(geom) + 1 < x")
+    assert (cql_to_sql("numPoints(the_geom) = 5 AND numGeometries(geom)"
+                       " = 1 AND dimension(the_geom) = 2")
+            == "st_numpoints(geom) = 5 AND st_numgeometries(geom)"
+               " = 1 AND st_dimension(geom) = 2")
+    assert (cql_to_sql("isValid(the_geom) AND NOT isEmpty(the_geom)")
+            == "st_isvalid(geom) AND NOT st_isempty(geom)")
+    # (c) strict refusal on non-geometry arguments
+    with _pytest.raises(ValueError, match="non-geometry"):
+        cql_to_sql("area(p_name) > 1")
+    # (d) masked literals survive
+    assert (cql_to_sql("name = 'area(the_geom)'")
+            == "name = 'area(the_geom)'")
+    # (e) end to end: rect areas through a WKT layer
+    layer = ctx.create_wkt_layer("cql4")
+    rows = [(i, "POLYGON ((0 0, %d 0, %d %d, 0 %d, 0 0))"
+             % (i, i, i, i)) for i in range(1, 6)]
+    layer.add(spark.createDataFrame(rows, "id long, wkt string"), wkt="wkt")
+    got = sorted(r["id"] for r in
+                 layer.cql("area(the_geom) > 4.5 AND id * 2 >= 6")
+                 .collect())
+    assert got == [3, 4, 5]
