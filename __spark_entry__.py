@@ -2574,6 +2574,77 @@ def _q_pipeline_mm_e2e(spark, sf_dir) -> DataFrame:
                                 max_distance=16)["result"]
 
 
+EV_LON = "(CAST((event_id * 7919) % 3600 AS DOUBLE) / 10.0 - 180.0)"
+EV_LAT = "(CAST((event_id * 104729) % 1700 AS DOUBLE) / 10.0 - 85.0)"
+
+
+def _q_tile_counts_stream(spark, sf_dir) -> DataFrame:
+    """Streaming SPATIAL gate (r12, VERDICT r11 ask #8 — the geofence/
+    windowed-tile streaming ops were pytest-only): windowed per-tile
+    event counts over a REPLAYED micro-batch stream equal the batch
+    formulation in SQL.  The capped events corpus gets deterministic
+    lon/lat, is sliced into 4 time-ordered parquet files (ntile over
+    (ts, event_id)) and replayed with maxFilesPerTrigger=1 → 4 real
+    micro-batches through operators/tiles.windowed_tile_counts
+    (watermarked window agg; the tile assignment is the same codegen
+    Column math as the batch path).  Complete output mode: append
+    would withhold the windows the final watermark hasn't closed when
+    the availableNow stream terminates.  Window starts surface as
+    epoch seconds (session TZ UTC) so both engines hash integers."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from spatial_spark.operators.tiles import windowed_tile_counts
+    from spatial_spark.streaming.events import run_batchlike
+
+    work = tempfile.mkdtemp(prefix="tile_stream_gate_")
+    try:
+        src = os.path.join(work, "src")
+        ev = (spark.table("events")
+              .filter(F.col("event_id") <= 2000)
+              .select("event_id", "ts",
+                      F.expr(EV_LON).alias("lon"),
+                      F.expr(EV_LAT).alias("lat"))
+              .withColumn("_slice", F.ntile(4).over(
+                  Window.orderBy("ts", "event_id"))))
+        for b in range(1, 5):
+            (ev.filter(F.col("_slice") == b).drop("_slice")
+             .coalesce(1)
+             .write.mode("overwrite").parquet(os.path.join(src, f"b{b}")))
+        stream = (spark.readStream
+                  .schema("event_id bigint, ts timestamp, "
+                          "lon double, lat double")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(src + "/b*"))
+        out = run_batchlike(windowed_tile_counts(stream, 6),
+                            out_mode="complete")
+        rows = (out.select(
+            F.col("window_start").cast("long").alias("window_epoch"),
+            "tile_z", "tile_x", "tile_y", "n").collect())
+        return spark.createDataFrame(
+            rows, "window_epoch bigint, tile_z int, tile_x bigint, "
+                  "tile_y bigint, n bigint")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _tile_counts_stream_oracle_sql() -> str:
+    """The batch formulation: hourly epoch-aligned windows (DuckDB
+    date_trunc == Spark's 1-hour F.window for naive timestamps) and
+    the SAME tile x/y SQL text (tiles.tile_xy_sql)."""
+    from spatial_spark.operators.tiles import tile_xy_sql
+    x6, y6 = tile_xy_sql(6, EV_LON, EV_LAT)
+    return f"""
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+                 AS window_epoch,
+               CAST(6 AS INT) AS tile_z, {x6} AS tile_x, {y6} AS tile_y,
+               count(*) AS n
+        FROM events WHERE event_id <= 2000
+        GROUP BY 1, 3, 4
+    """
+
+
 def _q_winnowing(spark, sf_dir) -> DataFrame:
     """Winnowing fingerprints (k=8, window=4) over documents — vectorized
     FNV-1a k-gram hashes + sliding-window minima, deduped per doc."""
@@ -5200,6 +5271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_transform_registry": _q_st_transform_registry,
         "pipeline_mm_e2e": _q_pipeline_mm_e2e,
         "cql3": _q_cql3,
+        "tile_counts_stream": _q_tile_counts_stream,
         "overlay_degenerate": _q_overlay_degenerate,
         "kmv_stream": _q_kmv_stream,
         "ivf_recall": _q_ivf_recall,
@@ -5217,9 +5289,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch": _q_quantile_sketch,
         "weighted_sample": _q_weighted_sample,
         "media_avc_ipcm": _q_media_avc_ipcm,
-        "triangle_counts": _q_triangles,
         # ================= end of the 50-entry driver window =========
         # --- remaining r9-row holders (age 3 — rotate next, oldest first)
+        "triangle_counts": _q_triangles,
         "pq_knn": _q_pq_knn,
         "osm_pbf_source": _q_osm_pbf_source,
         "st_subdivide": _q_st_subdivide,
@@ -7098,6 +7170,7 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS my_cm
             FROM customer
         """,
+        "tile_counts_stream": _tile_counts_stream_oracle_sql(),
         "cql3": f"""
             SELECT p_partkey, p_size,
                    round({PART_W} * {PART_H}, 9) AS area
