@@ -4991,3 +4991,50 @@ def test_h264_plane_prediction_spec_pin():
         wantc = spec_chroma_plane(C())
         gotc = _h264_chroma_pred(cp, 3, cy0, cx0)
         assert np.array_equal(gotc, wantc), f"chroma plane trial {trial}"
+
+
+def test_aac_codebook_dropin_loader(tmp_path):
+    """r12 (VERDICT r11 ask #9 — seam RATIFIED as a tested drop-in
+    path): save_codebooks/load_codebooks round-trip the full codebook
+    set byte-exactly (the engine profile stands in for the normative
+    ISO tables, which is exactly how a user drops the real ones in),
+    a frame encoded with the built-ins decodes IDENTICALLY through the
+    loaded set, and a corrupted table file fails loudly at load time."""
+    import json
+
+    import numpy as np
+    import pytest as _pytest
+    from spatial_spark.operators.codecs import (
+        AAC_ENGINE_SWB_OFFSETS, decode_aac_lc_frame,
+        encode_aac_lc_spectral, engine_codebooks, load_codebooks,
+        save_codebooks)
+
+    books = engine_codebooks()
+    path = str(tmp_path / "tables.json")
+    save_codebooks(path, books, {44100: AAC_ENGINE_SWB_OFFSETS})
+    loaded, swb = load_codebooks(path)
+    assert set(loaded) == set(books)
+    assert swb == {44100: tuple(AAC_ENGINE_SWB_OFFSETS)}
+    for k in books:
+        assert loaded[k].dec == books[k].dec, k
+        assert (loaded[k].dims, loaded[k].lav, loaded[k].signed,
+                loaded[k].esc) == (books[k].dims, books[k].lav,
+                                   books[k].signed, books[k].esc)
+    # decode through the LOADED set == decode through the built-ins
+    q = np.zeros(1024, dtype=np.int64)
+    for i in range(64):
+        q[i] = ((i * 5) % 7) - 3
+    frame = encode_aac_lc_spectral(q, [5, 7], [100, 98], 100, books)
+    d0 = decode_aac_lc_frame(frame, codebooks=books)
+    d1 = decode_aac_lc_frame(frame, codebooks=loaded,
+                             swb_offsets=swb[44100])
+    assert np.array_equal(d0["spec"], d1["spec"])
+    assert d0["global_gain"] == d1["global_gain"]
+    # a corrupted file (duplicate codeword) fails at LOAD, not decode
+    doc = json.load(open(path))
+    doc["codebooks"]["1"]["entries"][1][1:] = \
+        doc["codebooks"]["1"]["entries"][0][1:]
+    bad = str(tmp_path / "bad.json")
+    json.dump(doc, open(bad, "w"))
+    with _pytest.raises(ValueError, match="duplicate|prefix"):
+        load_codebooks(bad)
