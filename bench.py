@@ -173,6 +173,16 @@ HEADLINE = [
     "media_aac_short",
     # r11: streaming MRL quantile twin (4 micro-batch folds, lossless)
     "quantile_stream",
+    # r12: data-driven EPSG registry — 7 table-driven codes through 4
+    # kernel families (tm/lcc/aea/utm), 7 customer-point blocks
+    "st_transform_registry",
+    # r12: multimodal end-to-end pipeline — decode → resize → dHash →
+    # banded pairs → CC groups → canonical keep (64-image fixture)
+    "pipeline_mm_e2e",
+    # r12: ECQL tier 4 — arithmetic + geometry functions over part rects
+    "cql3",
+    # r12: streaming windowed tile counts — 4 real micro-batches
+    "tile_counts_stream",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -376,6 +386,17 @@ BUDGET_SF01 = {
     # r11: 2.2x local best-of-two (capped fixture; 4 stateful
     # micro-batch sketch folds + the fixture write)
     "quantile_stream": 9.4,
+    # r12: 2.2x local best-of-two (7 registry codes x 150 customers
+    # through 4 kernel families; one union of pure-Column blocks)
+    "st_transform_registry": 3.8,
+    # r12: 2.2x local best-of-two (64-image fixture: decode + resize +
+    # rehash + banded pairs + pointer-doubled CC per invocation)
+    "pipeline_mm_e2e": 16.2,
+    # r12: 2.2x local best-of-two (part rects, one Column filter pass)
+    "cql3": 2.2,
+    # r12: 2.2x local best-of-two (capped fixture; 4 real watermarked
+    # micro-batches through the memory sink per invocation)
+    "tile_counts_stream": 13.7,
     # (EVERY pin re-ratcheted as min(old, 2.2x the clean final full
     # run's min-of-2) — landing-time measurements taken under
     # concurrent sweeps carried up to 9x slack; the ratchet never
