@@ -183,6 +183,8 @@ HEADLINE = [
     "cql3",
     # r12: streaming windowed tile counts — 4 real micro-batches
     "tile_counts_stream",
+    # r12: datum-shifted LCC (Belgian Lambert 72 — the lccd: tier)
+    "st_transform_lccd",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -397,6 +399,9 @@ BUDGET_SF01 = {
     # r12: 2.2x local best-of-two (capped fixture; 4 real watermarked
     # micro-batches through the memory sink per invocation)
     "tile_counts_stream": 13.7,
+    # r12: 2.2x local best-of-two (Belgian-domain customers through the
+    # Helmert + conic chain — same shape as st_transform_osgb)
+    "st_transform_lccd": 2.2,
     # (EVERY pin re-ratcheted as min(old, 2.2x the clean final full
     # run's min-of-2) — landing-time measurements taken under
     # concurrent sweeps carried up to 9x slack; the ratchet never

@@ -1547,3 +1547,64 @@ def test_prj_recognition_widened_lcc_albers():
     # unknown datum on the same projections: refuse
     assert crs.prj_to_frame(cc46.replace("D_RGF_1993",
                                          "D_Belge_1972")) is None
+
+
+def test_lccd_belgian_lambert72():
+    """r12: the datum-shifted LCC tier (lccd:) — (a) EPSG:31370
+    resolves; (b) the Brussels anchor lands in the published Belgian
+    Lambert 72 neighborhood (~2 km tolerance: the Helmert class, not
+    the kernel, bounds absolute accuracy — the gate pins cross-engine
+    cm-exactness); (c) forward/inverse round-trip to sub-mm;
+    (d) a Belge-1972 .prj resolves to the same frame; (e) the SQL
+    twin (lccd_forward_ctes) matches the kernel to sub-cm in Spark."""
+    import numpy as np
+
+    from spatial_spark.functions import crs
+
+    f31370 = crs._frame("EPSG:31370")
+    assert f31370.startswith("lccd:51.16666723:49.8333339:90.0")
+    bru = crs.transform_points(np.array([[4.3525, 50.8467]]),
+                               "wgs84", f31370)[0]
+    assert abs(bru[0] - 148870) < 2000 and abs(bru[1] - 170570) < 2000
+    pts = np.array([[2.5, 49.6], [4.3525, 50.8467], [6.3, 51.4]])
+    back = crs.transform_points(
+        crs.transform_points(pts, "wgs84", f31370), f31370, "wgs84")
+    assert np.allclose(back, pts, atol=1e-8)
+    prj = ('PROJCS["Belge_1972_Belgian_Lambert_72",GEOGCS["GCS_Belge_1972",'
+           'DATUM["D_Belge_1972",SPHEROID["International_1924",6378388.0,'
+           '297.0]],PRIMEM["Greenwich",0.0],'
+           'UNIT["Degree",0.0174532925199433]],'
+           'PROJECTION["Lambert_Conformal_Conic"],'
+           'PARAMETER["False_Easting",150000.013],'
+           'PARAMETER["False_Northing",5400088.438],'
+           'PARAMETER["Central_Meridian",4.367486666666666],'
+           'PARAMETER["Standard_Parallel_1",51.16666723],'
+           'PARAMETER["Standard_Parallel_2",49.8333339],'
+           'PARAMETER["Latitude_Of_Origin",90.0],UNIT["Meter",1.0]]')
+    assert crs.prj_to_frame(prj) == f31370
+
+
+def test_lccd_sql_text_matches_kernel(spark):
+    """The lccd dual-engine SQL chain equals the numpy kernel to
+    sub-cm over the Belgian domain (the same pin every datum tier
+    carries: tmd/sod/soc)."""
+    import numpy as np
+
+    from spatial_spark.functions.crs import (BD72_HELMERT, INTL24_A,
+                                             INTL24_F, lccd_forward_ctes,
+                                             wgs84_to_lccd)
+    params = (51.16666723, 49.8333339, 90.0, 4.367486666666666,
+              150000.013, 5400088.438, INTL24_A, INTL24_F, *BD72_HELMERT)
+    pts = [(i, 1.3 + (i * 17) % 60 / 10.0, 49.2 + (i * 7) % 30 / 10.0)
+           for i in range(200)]
+    sql = lccd_forward_ctes(
+        "SELECT * FROM lccd_pts", *params) + \
+        "SELECT id, easting, northing FROM _lcd_out"
+    spark.createDataFrame(pts, "id long, lon double, lat double") \
+        .createOrReplaceTempView("lccd_pts")
+    got = {r["id"]: (r["easting"], r["northing"])
+           for r in spark.sql(sql).collect()}
+    xy = wgs84_to_lccd(np.array([[p[1], p[2]] for p in pts]), *params)
+    for i, (e, n) in enumerate(xy):
+        ge, gn = got[i]
+        assert abs(ge - e) < 1e-2 and abs(gn - n) < 1e-2, i
