@@ -153,6 +153,15 @@ PROBES = {
                         " container count scaled with the corpus;"
                         " per-file decode, mapInPandas parallel"),
     # --- r11 third wave ---
+    "st_transform_registry": ("linear", "per-point map through 4 kernel"
+                              " families; 7 unioned pure-Column blocks"),
+    "st_transform_lccd": ("linear", "per-point Helmert + conic map"
+                          " (the tmd-class chain with an LCC tail)"),
+    "mm_pipeline_scaled": ("pair-bound", "decode/resize/hash map-only;"
+                           " banded pairs ~ twin rate (one twin per"
+                           " base image, so pairs scale ~linearly)"),
+    "tile_stream_scaled": ("linear", "windowed tile counts = one"
+                           " partial-agg window group-by over events"),
     "st_transform_rd": ("linear", "per-point map through the"
                         " ECEF→Helmert→Bowring→conformal-sphere"
                         " stereographic chain (uniform-batch numpy"
@@ -482,7 +491,54 @@ def _probe_dedup_stream_scaled(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _probe_mm_pipeline_scaled(spark, sf_dir):
+    """image_dedup_pipeline with the IMAGE COUNT riding the scale
+    factor (the gate builds a fixed 64): base+twin two-tone GIFs, the
+    full decode -> resize -> dHash -> banded pairs -> CC -> keep
+    chain."""
+    import numpy as np
+
+    from spatial_spark.operators.codecs import encode_gif
+    from spatial_spark.operators.multimodal import MEDIA_SCHEMA
+    from spatial_spark.pipelines import image_dedup_pipeline
+    rows = []
+    for i in range(_scaled_media_count(spark)):
+        m = (3, 5, 7)[i % 3]
+        w = 8 * m
+        h = 5 + i % 4
+        wa = 1 + (i * 5) % (w - 1)
+        wa2 = wa + 1 if wa + 1 <= w - 1 else wa - 1
+        u = (i * 23) % 96
+        v = u + 16 * (1 + (i * 7) % 9)
+        for mid, wax in ((i, wa), (100000 + i, wa2)):
+            img = np.zeros((h, w, 3), dtype=np.uint8)
+            img[:, :wax] = v
+            img[:, wax:] = u
+            rows.append((mid, bytearray(encode_gif(img)), "image",
+                         "gif", w, h, None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(32)
+    return image_dedup_pipeline(media, 8, 4, "dhash", 16)["result"]
+
+
+def _probe_tile_stream_scaled(spark, sf_dir):
+    """windowed_tile_counts over the FULL scaled events table (batch
+    formulation — the streaming twin adds fixed micro-batch machinery,
+    not data-volume cost, per the r11 streaming-gate analysis)."""
+    from pyspark.sql import functions as F
+
+    from spatial_spark.operators.tiles import windowed_tile_counts
+    ev = spark.table("events").select(
+        "ts",
+        F.expr("(CAST((event_id * 7919) % 3600 AS DOUBLE) / 10.0"
+               " - 180.0)").alias("lon"),
+        F.expr("(CAST((event_id * 104729) % 1700 AS DOUBLE) / 10.0"
+               " - 85.0)").alias("lat"))
+    return windowed_tile_counts(ev, 6)
+
+
 CUSTOM_PROBES = {
+    "mm_pipeline_scaled": _probe_mm_pipeline_scaled,
+    "tile_stream_scaled": _probe_tile_stream_scaled,
     "density_islands_full": _probe_density_islands_full,
     "media_pres_scaled": _probe_media_pres_scaled,
     "dedup_stream_scaled": _probe_dedup_stream_scaled,
