@@ -298,6 +298,40 @@ _MGA94_RE = re.compile(r"^(?:epsg:)?283(4[89]|5[0-8])$")
 _MGA2020_RE = re.compile(r"^(?:epsg:)?78(4[6-9]|5[0-6])$")
 
 
+def list_supported_epsg() -> dict:
+    """User-facing inventory: every EPSG code (or code range) the
+    engine decodes, with the kernel family behind it — the
+    spatial.layers-style discoverability surface for the CRS tier
+    (r12).  Ranges are (lo, hi) inclusive."""
+    out = {
+        "4326": "geographic WGS84", "3857": "web mercator",
+        ("32601", "32660"): "WGS84 / UTM north",
+        ("32701", "32760"): "WGS84 / UTM south",
+        ("25828", "25838"): "ETRS89 / UTM",
+        "3067": "ETRS89 / TM35FIN",
+        ("26901", "26923"): "NAD83 / UTM",
+        ("28348", "28358"): "GDA94 / MGA",
+        ("7846", "7856"): "GDA2020 / MGA",
+        ("26701", "26722"): "NAD27 / UTM (Clarke 1866 + Helmert)",
+        ("28404", "28432"): "Pulkovo 1942 / Gauss-Krüger "
+                            "(Krassovsky + Helmert)",
+        "27700": "OSGB36 / British National Grid (Airy + Helmert)",
+        "28992": "Amersfoort / RD New (Bessel + Helmert, obl. stereo)",
+        "21781": "CH1903 / LV03 (Bessel + Helmert, Swiss oblique)",
+        "2056": "CH1903+ / LV95",
+        "31370": "Belge 1972 / Belgian Lambert 72 (Intl 1924 + "
+                 "Helmert, LCC 2SP)",
+    }
+    for k, v in EPSG_REGISTRY.items():
+        if k not in out:
+            out[k] = v.split(":")[0] + " (registry)"
+    for k, v in {**_EPSG_CONIC, **_EPSG_TMD, **_EPSG_SOD,
+                 **_EPSG_SOC}.items():
+        if k not in out:
+            out[k] = v.split(":")[0]
+    return out
+
+
 def _frame(crs) -> str:
     """Canonical frame token: 'wgs84' | 'merc' | 'cart' |
     'utm:<zone>:<n|s>' | 'lcc:<lat1>:<lat2>:<lat0>:<lon0>:<fe>:<fn>' |

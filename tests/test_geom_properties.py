@@ -1751,3 +1751,17 @@ def test_ntv2_shapefile_import_path(ctx, tmp_path):
     layer3 = import_shapefile(ctx, shp2, "n27utm_h")
     got3 = from_wkb(bytes(layer3.df().select("geom").collect()[0].geom))
     assert abs(float(got3.data[0]) - float(got2.data[0])) > 1e-6
+
+
+def test_list_supported_epsg_inventory():
+    """Every code (and range endpoint) the inventory advertises
+    actually resolves, and known registry families are present."""
+    from spatial_spark.functions import crs
+    inv = crs.list_supported_epsg()
+    for k in inv:
+        for c in ([k] if isinstance(k, str) else k):
+            crs._frame(f"EPSG:{c}")       # must not raise
+    flat = {c for k in inv for c in ([k] if isinstance(k, str) else k)}
+    for must in ("31370", "5179", "3577", "2443", "3942", "27700"):
+        assert must in flat or any(
+            isinstance(k, tuple) and k[0] <= must <= k[1] for k in inv)
