@@ -153,14 +153,25 @@ def _rewrite_calls(s: str, names, repl):
         pos = i
 
 
-def cql_to_sql(expr: str, strict: bool = True, has_geom: bool = True) -> str:
+def cql_to_sql(expr: str, strict: bool = True, has_geom: bool = True,
+               _env_out: list | None = None) -> str:
     """Translate the CQL subset to a Spark SQL predicate string.
 
     strict=True (default) raises on CQL spatial constructs the translator
     failed to rewrite (wrong arity, malformed WKT) instead of letting them
     fall through to a confusing Spark analysis error.  has_geom=False
     targets point layers (no WKB column): distance predicates compile to
-    the pure-column spherical formula on (xmin, ymin)."""
+    the pure-column spherical formula on (xmin, ymin).
+
+    ``_env_out`` (r12): a caller-supplied list that receives the
+    envelopes of the expression's spatial predicates (BBOX and the
+    WKT-literal family except DISJOINT) — the
+    Utilities.extractEnvelopeFromFilter (:65-119) index-seeding parity,
+    now at the MANIFEST level (cql_filter prunes shards with it).
+    Mining is conservative: when the expression contains OR or NOT
+    anywhere (so a spatial predicate may sit under negation or
+    disjunction), the list is CLEARED — pruning only engages for pure
+    conjunctions."""
     # quoted string literals are masked for the WHOLE translation and
     # restored at the end — no keyword rewrite can touch literal text
     # (ADVICE r8 low)
@@ -187,6 +198,9 @@ def cql_to_sql(expr: str, strict: bool = True, has_geom: bool = True) -> str:
         if len(args) != 5:
             raise ValueError(f"BBOX: expected 5 arguments, got {len(args)}")
         x1, y1, x2, y2 = (float(v) for v in args[1:5])
+        if _env_out is not None:
+            _env_out.append((min(x1, x2), min(y1, y2),
+                             max(x1, x2), max(y1, y2)))
         return (f"(xmax >= {min(x1, x2)!r} AND xmin <= {max(x1, x2)!r} AND "
                 f"ymax >= {min(y1, y2)!r} AND ymin <= {max(y1, y2)!r})")
 
@@ -224,6 +238,8 @@ def cql_to_sql(expr: str, strict: bool = True, has_geom: bool = True) -> str:
         exact = f"{_SPATIAL_FNS[op]}(geom, st_geomfromtext('{wkt}'))"
         if op == "disjoint":
             return exact
+        if _env_out is not None:
+            _env_out.append((e[0], e[1], e[2], e[3]))
         return (f"(xmax >= {e[0]!r} AND xmin <= {e[2]!r} AND "
                 f"ymax >= {e[1]!r} AND ymin <= {e[3]!r} AND {exact})")
 
@@ -329,6 +345,12 @@ def cql_to_sql(expr: str, strict: bool = True, has_geom: bool = True) -> str:
     # conformance-pinned in tests and the cql2 oracle gate).
     s = re.sub(r"<>", "!=", s)
 
+    # envelope mining is only sound for pure conjunctions: an OR /
+    # NOT anywhere may place a spatial predicate under disjunction or
+    # negation (checked on the MASKED text — literals can say OR)
+    if _env_out is not None and re.search(r"\b(OR|NOT)\b", s, flags=re.I):
+        _env_out.clear()
+
     if strict:
         leftover = re.search(
             r"\b(BBOX|INTERSECTS|DWITHIN|RELATE|WITHIN|CONTAINS|TOUCHES"
@@ -341,6 +363,20 @@ def cql_to_sql(expr: str, strict: bool = True, has_geom: bool = True) -> str:
 
 
 def cql_filter(layer, expression: str) -> DataFrame:
-    """spatial.cql (:838-848)."""
+    """spatial.cql (:838-848).  Conjunctive spatial envelopes mined
+    from the expression seed MANIFEST-shard file pruning
+    (Layer.df_window) before the translated predicate runs — the
+    engine's analogue of Utilities.extractEnvelopeFromFilter seeding
+    the R-tree search."""
     df = layer.df()
-    return df.filter(cql_to_sql(expression, has_geom="geom" in df.columns))
+    env: list = []
+    sql = cql_to_sql(expression, has_geom="geom" in df.columns,
+                     _env_out=env)
+    if env and hasattr(layer, "df_window"):
+        x0 = max(e[0] for e in env)
+        y0 = max(e[1] for e in env)
+        x1 = min(e[2] for e in env)
+        y1 = min(e[3] for e in env)
+        if x0 <= x1 and y0 <= y1:
+            return layer.df_window((x0, y0, x1, y1)).filter(sql)
+    return df.filter(sql)

@@ -1759,3 +1759,38 @@ def test_cql_tier4_arithmetic_and_geometry_functions(ctx, spark):
                  layer.cql("area(the_geom) > 4.5 AND id * 2 >= 6")
                  .collect())
     assert got == [3, 4, 5]
+
+
+def test_cql_envelope_mines_manifest_pruning(ctx, spark):
+    """r12: conjunctive CQL spatial envelopes prune manifest shards —
+    a BBOX over one spatial cluster reads a strict subset of the
+    layer's files; OR/NOT expressions and DISJOINT do not prune; the
+    answers are identical either way."""
+    from spatial_spark.operators.cql import cql_to_sql
+
+    layer = ctx.create_point_layer("cqlprune", x="lon", y="lat")
+    west = [(i, -100.0 + i * 0.01, 40.0) for i in range(50)]
+    east = [(100 + i, 100.0 + i * 0.01, -40.0) for i in range(50)]
+    layer.add(spark.createDataFrame(west, "id long, lon double, lat double"))
+    layer.add(spark.createDataFrame(east, "id long, lon double, lat double"))
+    all_files = set(layer.df().inputFiles())
+    q = layer.cql("BBOX(the_geom, -101, 39, -99, 41) AND id < 1000")
+    assert set(q.inputFiles()) < all_files, "BBOX must prune shards"
+    got = sorted(r["id"] for r in q.collect())
+    assert got == list(range(50))
+    # OR disables mining (spatial predicate may be disjunctive)
+    q2 = layer.cql("BBOX(the_geom, -101, 39, -99, 41) OR id >= 100")
+    assert set(q2.inputFiles()) == all_files
+    assert q2.count() == 100
+    # envelope collector behavior at the translator level
+    env = []
+    cql_to_sql("BBOX(the_geom, 0, 1, 2, 3) AND "
+               "INTERSECTS(the_geom, POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)))",
+               _env_out=env)
+    assert env == [(0.0, 1.0, 2.0, 3.0), (0.0, 0.0, 4.0, 4.0)]
+    env2 = []
+    cql_to_sql("NOT BBOX(the_geom, 0, 1, 2, 3)", _env_out=env2)
+    assert env2 == []
+    env3 = []
+    cql_to_sql("DISJOINT(the_geom, POINT (1 1))", _env_out=env3)
+    assert env3 == []
