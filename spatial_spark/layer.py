@@ -200,9 +200,9 @@ class Layer:
         """First write to a pre-manifest store: publish the CURRENT
         directory listing as epoch 0, so every later crash window
         resolves against a snapshot instead of raw listing."""
-        if man.current() is None:
-            names = sorted(man.snapshot_names())
-            man.commit(names, lock_token=lock_token,
+        if man._newest() is None:    # existence check only — adopting
+            names = sorted(man.snapshot_names())    # a pre-manifest
+            man.commit(names, lock_token=lock_token,    # store is rare
                        stats=self._footer_stats(names))
 
     def _footer_stats(self, names) -> dict:
@@ -345,7 +345,7 @@ class Layer:
                            F.max("ymax").alias("ymax"),
                            F.min("_rect").alias("rect_min"))
                   .drop("_rect")
-                  .write.mode(mode))
+                  .write)
         # the write commits through the manifest: concurrent writers
         # (streaming ingest epochs, compaction, mutation) serialize on
         # the lock, and the file set only becomes visible at the
@@ -353,17 +353,32 @@ class Layer:
         man = self._manifest
         with man.lock() as lk:
             self._adopt_manifest(man, lk.token)
-            before = man.snapshot_names()
-            writer.parquet(self.path)
-            after = man.snapshot_names()
-            stats = self._footer_stats(sorted(after - before))
             if mode == "overwrite":
+                before = man.snapshot_names()
+                writer.mode("overwrite").parquet(self.path)
+                after = man.snapshot_names()
+                stats = self._footer_stats(sorted(after - before))
                 man.commit(sorted(after), lock_token=lk.token, stats=stats)
             else:
-                # O(changed) publish: no full-list materialization, no
-                # existing shard doc read (pure append)
-                man.commit_delta(add=sorted(after - before),
-                                 lock_token=lk.token, stats=stats)
+                # r12: the append is O(changed) END TO END — the job
+                # writes a fresh tmp dir (listing it lists only the new
+                # files, never the store), part files move in through
+                # the manifest IO, and commit_delta publishes without
+                # materializing the snapshot or opening any existing
+                # shard doc.  Part names carry a per-job UUID, so moves
+                # cannot collide with store files.
+                tmp = self.path + ".add.tmp"
+                writer.mode("overwrite").parquet(tmp)
+                man.io.mkdirs(self.path)
+                moved = []
+                for p in man.io.listdir(tmp):
+                    if p.startswith("part-"):
+                        man.io.rename(os.path.join(tmp, p),
+                                      os.path.join(self.path, p))
+                        moved.append(p)
+                man.io.remove_dir(tmp)
+                man.commit_delta(add=sorted(moved), lock_token=lk.token,
+                                 stats=self._footer_stats(sorted(moved)))
         try:
             self.ctx.catalog.merge_stats(self.name, dict(obs.get),
                                          replace=(mode == "overwrite"))
