@@ -155,11 +155,12 @@ def stream_dedup_with_bloom(stream_df: DataFrame, out_path: str,
                     moved.append(name)
             man.io.remove_dir(tmp)
             with man.lock() as lk:
-                cur = man.current()
-                live = cur[1] if cur else []
                 epochs = dict(man.current_meta().get("stream_epochs", {}))
                 epochs[ckpt_key] = int(epoch_id)
-                man.commit_delta(add=sorted(set(moved) - set(live)),
+                # commit_delta dedups already-present names itself (the
+                # lo/hi shard ranges bound which docs it opens), so the
+                # admit never materializes the snapshot — O(changed)
+                man.commit_delta(add=sorted(moved),
                                  lock_token=lk.token,
                                  meta={"stream_epochs": epochs})
             # 4. fold survivors into the bloom and publish (crash here
