@@ -217,42 +217,42 @@ HEADLINE = [
 BUDGET_SF01 = {
     "within_distance": 0.4, "knn": 0.4, "bbox_window": 0.3,
     "spatial_join": 1.0, "spatial_join_agg": 1.4, "distance_join": 1.4,
-    "st_area_rects": 1.6, "extract_points": 0.9, "orthodromic_length": 0.8,
+    "st_area_rects": 1.5, "extract_points": 0.9, "orthodromic_length": 0.8,
     "zorder_keys": 0.5, "tpch_q1": 0.6, "revenue_by_nation": 1.7,
     "dedup_exact": 0.4, "minhash_pairs": 2.7, "simhash_pairs": 3.4,
     "quality_scores": 0.8, "lang_id": 0.6, "knn_cosine": 0.3,
     "events_daily": 0.4, "ngram_jaccard": 5.5, "dedup_clusters": 6.6,
     "contamination": 3.5, "winnowing": 1.4, "tf_idf": 1.6,
     "semantic_dedup": 5.9, "paragraph_dedup": 1.0, "pack_sequences": 0.3,
-    "knn_join": 5.1, "asof_join": 0.7, "range_join": 0.5,
+    "knn_join": 4.8, "asof_join": 0.7, "range_join": 0.5,
     "ivf_knn": 0.9, "lm_perplexity": 2.0, "doc_chunks": 0.5,
     "tile_counts": 0.4, "dsir_weights": 2.3, "polygon_join": 3.2,
-    "corpus_stats": 0.5, "shuffle_order": 0.2, "density_islands": 2.4,
+    "corpus_stats": 0.5, "shuffle_order": 0.3, "density_islands": 2.4,
     "dedup_against": 1.3, "line_dedup_doc": 2.0, "duplicate_spans": 3.0,
     "scrub_spans": 4.3, "funnel": 0.5, "retention": 0.5,
-    "azimuth_project": 0.2, "funnel_timings": 0.5, "bpe_apply": 1.1,
-    "pipeline_e2e": 10.7, "bloom_dedup": 0.8, "cms_hitters": 2.4,
-    "hll_registers": 1.1, "cql2": 1.6, "st_transform_merc": 0.9,
+    "azimuth_project": 0.3, "funnel_timings": 0.5, "bpe_apply": 0.9,
+    "pipeline_e2e": 10.7, "bloom_dedup": 0.8, "cms_hitters": 2.2,
+    "hll_registers": 1.1, "cql2": 1.5, "st_transform_merc": 0.8,
     "dedup_against_inc": 1.6,
     # 19 bench newcomers (r9): 2.2x this round's local best-of-two.
     # filter_equal / isvalid_isempty are capped 4000-row semantics
     # fixtures (per-row WKT build + kernel calls), measured post-cap.
-    "media_gif": 1.2, "wkt_export": 0.5, "shapefile_source": 0.7,
-    "osm_source": 2.1, "render_sink": 12.3, "audio_features": 1.2,
-    "mp4_meta": 1.1, "knn_cosine_q8": 1.0, "datastore_gjl": 1.6,
-    "filter_equal": 4.2, "covered_env": 0.3, "intersect_all": 1.3,
-    "isvalid_isempty": 2.8, "equal_env": 0.4, "results_layer": 6.9,
-    "datastore_write": 2.8, "st_transform_utm": 1.0, "media_mjpeg": 2.4,
+    "media_gif": 1.1, "wkt_export": 0.5, "shapefile_source": 0.6,
+    "osm_source": 2.1, "render_sink": 10.2, "audio_features": 1.0,
+    "mp4_meta": 0.9, "knn_cosine_q8": 1.0, "datastore_gjl": 1.6,
+    "filter_equal": 4.0, "covered_env": 0.3, "intersect_all": 1.2,
+    "isvalid_isempty": 2.7, "equal_env": 0.4, "results_layer": 6.9,
+    "datastore_write": 2.8, "st_transform_utm": 0.9, "media_mjpeg": 2.2,
     "density_greedy": 3.7,
-    "st_transform_lcc": 0.8, "mp4_codec_meta": 1.1,
-    "kmeans_embed": 3.3, "pagerank": 10.3, "semdedup": 4.1,
+    "st_transform_lcc": 0.8, "mp4_codec_meta": 1.0,
+    "kmeans_embed": 3.3, "pagerank": 10.3, "semdedup": 4.0,
     "st_transform_laea": 0.7,
     # r9 sixth wave: 2.2x local best-of-two (fixture-decode bound)
-    "image_hashes": 1.2, "image_dedup": 3.9,
+    "image_hashes": 1.1, "image_dedup": 3.8,
     # r9 seventh wave: 2.2x local best-of-two (write+footer+scan bound)
-    "geoparquet_roundtrip": 1.5,
+    "geoparquet_roundtrip": 1.4,
     # r9 eighth wave: 2.2x local best-of-two
-    "quantile_sketch": 1.6, "weighted_sample": 0.2,
+    "quantile_sketch": 1.6, "weighted_sample": 0.3,
     # r9 tenth wave: 2.2x local best-of-two (fixture encode+decode bound)
     "media_avc_ipcm": 2.1,
     # r9 eleventh wave: 2.2x local best-of-two
@@ -277,7 +277,7 @@ BUDGET_SF01 = {
     # r9 twentieth wave: 2.2x local best-of-two (dbscan_cluster is the
     # constant 300-point semantics fixture — stage-latency bound, like
     # density_greedy)
-    "bm25_retrieval": 2.0, "cdc_chunks": 0.8, "dbscan_cluster": 2.7,
+    "bm25_retrieval": 1.7, "cdc_chunks": 0.7, "dbscan_cluster": 2.7,
     # r9 twenty-first wave: 2.2x local best-of-two
     "hex_density": 0.3,
     # r9 twenty-second wave: 2.2x local best-of-two
@@ -285,7 +285,7 @@ BUDGET_SF01 = {
     # r9 twenty-third wave: 2.2x local best-of-two
     "kmv_distinct": 1.3,
     # r9 twenty-fourth wave: 2.2x local best-of-two
-    "mixture_epoch": 0.2,
+    "mixture_epoch": 0.3,
     # r9 twenty-fifth wave: 2.2x local best-of-two
     "stay_points": 0.9,
     # r9 twenty-sixth wave: 2.2x local best-of-two
@@ -294,16 +294,16 @@ BUDGET_SF01 = {
     # concurrent full bench; re-check on the clean final run)
     "card_scrub": 1.0,
     # r9 twenty-eighth wave: 2.2x local best-of-two
-    "ppl_buckets": 3.8,
+    "ppl_buckets": 3.5,
     # r9 twenty-ninth wave: 2.2x local best-of-two
     "boolean_retrieval": 1.0, "kmv_intersect": 1.2, "cdc_shared": 0.8,
     # r9 thirtieth wave: 2.2x local best-of-two
-    "media_avc_cavlc": 2.2,
+    "media_avc_cavlc": 2.1,
     # r9 thirty-first wave: 2.2x local best-of-two
     "decontam_retrieval": 1.8,
     # r10: 2.2x local best-of-two (constant 400-pair kernel-semantics
     # fixture — 3600 general-overlay calls across 32 partitions)
-    "overlay_degenerate": 2.0,
+    "overlay_degenerate": 1.9,
     # r10: 2.2x local best-of-two (capped 200-doc fixture; cost = the 5
     # micro-batch folds + slice writes, not scan throughput)
     "kmv_stream": 5.7,
@@ -315,7 +315,7 @@ BUDGET_SF01 = {
     "media_aac": 2.7,
     # r10: 2.2x local best-of-two (1000 order paths, vectorized
     # 8-step Vincenty per segment)
-    "st_length_geodesic": 1.4,
+    "st_length_geodesic": 1.3,
     # r10: 2.2x local best-of-two (codegen JSON path + one keyed agg)
     "json_props": 0.8,
     # r10: 2.2x local best-of-two (per-point numpy kernel, the
@@ -326,28 +326,28 @@ BUDGET_SF01 = {
     "interval_join_stream": 8.7,
     # r10: 2.2x local best-of-two (24-container fixture: I_PCM IDR +
     # skip-chain decode)
-    "media_avc_pskip": 1.8,
+    "media_avc_pskip": 1.5,
     # r11: 2.2x local best-of-two (1500-pair fixture; vectorized
     # 8-step Vincenty through the guarded point-pair UDF)
-    "st_distance_geodesic": 1.8,
+    "st_distance_geodesic": 1.2,
     # r11: 2.2x local best-of-two (UK-box customers through the full
     # ECEF→Helmert→Bowring→Krüger chain, uniform-batch fast path)
-    "st_transform_osgb": 1.3,
+    "st_transform_osgb": 0.9,
     # r11: 2.2x local best-of-two (capped 2000-event fixture; cost =
     # 4 stateful micro-batch folds, not scan throughput)
     "funnel_stream": 14.0,
     # r11: 2.2x local best-of-two (16-container fixture: Huffman
     # decode of 4 live bands/frame incl. escapes + IMDCT synthesis)
-    "media_aac_huff": 3.5,
+    "media_aac_huff": 2.7,
     # r11: 2.2x local best-of-two (24-container fixture: I_PCM IDR +
     # two MC P frames per media)
-    "media_avc_mc": 2.2,
+    "media_avc_mc": 1.7,
     # r11: 2.2x local best-of-two (16-container fixture: one
     # quarter-pel-interpolated P frame per media, all 16 positions)
-    "media_avc_qpel": 2.5,
+    "media_avc_qpel": 1.7,
     # r11: 2.2x local best-of-two (capped fixture; cost = 3 stateful
     # outer-join micro-batches + the no-data watermark flush)
-    "interval_join_outer": 30.8,
+    "interval_join_outer": 30.2,
     # r11: 2.2x local best-of-two (NL-box customers through the full
     # ECEF→Helmert→Bowring→conformal-sphere-stereographic chain,
     # uniform-batch fast path; measured under a concurrent sweep)
@@ -357,10 +357,10 @@ BUDGET_SF01 = {
     "media_avc_pres": 2.1,
     # r11: 2.2x local best-of-two (capped 2000-doc fixture; cost = 4
     # stateful micro-batch folds + the fixture write, not scan volume)
-    "dedup_stream": 13.8,
+    "dedup_stream": 12.5,
     # r11: 2.2x local best-of-two (capped 2000-event fixture; 4
     # applyInPandasWithState micro-batches)
-    "retention_stream": 16.9,
+    "retention_stream": 16.0,
     # r11: 2.2x local best-of-two (Swiss-box customers through the
     # ECEF→Helmert→Bowring→conformal-sphere→rotation→Mercator chain)
     "st_transform_lv95": 1.0,
@@ -378,30 +378,30 @@ BUDGET_SF01 = {
     "media_avc_icres": 1.7,
     # r11: 2.2x local best-of-two (capped 4000-doc fixture; one
     # regex-normalize map pass + one keyed agg)
-    "url_dedup": 0.8,
+    "url_dedup": 0.7,
     # r11: 2.2x local best-of-two (zone-7-box customers through the
     # datum-tier chain — same shape as st_transform_osgb)
-    "st_transform_gk": 1.9,
+    "st_transform_gk": 1.8,
     # r11: 2.2x local best-of-two (16-container fixture: a full
     # long/start/short/stop chain per media, 8x256 short filterbank)
-    "media_aac_short": 2.6,
+    "media_aac_short": 2.3,
     # r11: 2.2x local best-of-two (capped fixture; 4 stateful
     # micro-batch sketch folds + the fixture write)
-    "quantile_stream": 9.4,
+    "quantile_stream": 7.7,
     # r12: 2.2x local best-of-two (7 registry codes x 150 customers
     # through 4 kernel families; one union of pure-Column blocks)
-    "st_transform_registry": 3.8,
+    "st_transform_registry": 2.0,
     # r12: 2.2x local best-of-two (64-image fixture: decode + resize +
     # rehash + banded pairs + pointer-doubled CC per invocation)
-    "pipeline_mm_e2e": 16.2,
+    "pipeline_mm_e2e": 12.4,
     # r12: 2.2x local best-of-two (part rects, one Column filter pass)
-    "cql3": 2.2,
+    "cql3": 1.8,
     # r12: 2.2x local best-of-two (capped fixture; 4 real watermarked
     # micro-batches through the memory sink per invocation)
-    "tile_counts_stream": 13.7,
+    "tile_counts_stream": 11.7,
     # r12: 2.2x local best-of-two (Belgian-domain customers through the
     # Helmert + conic chain — same shape as st_transform_osgb)
-    "st_transform_lccd": 2.2,
+    "st_transform_lccd": 1.7,
     # (EVERY pin re-ratcheted as min(old, 2.2x the clean final full
     # run's min-of-2) — landing-time measurements taken under
     # concurrent sweeps carried up to 9x slack; the ratchet never
