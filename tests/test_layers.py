@@ -1794,3 +1794,91 @@ def test_cql_envelope_mines_manifest_pruning(ctx, spark):
     env3 = []
     cql_to_sql("DISJOINT(the_geom, POINT (1 1))", _env_out=env3)
     assert env3 == []
+
+
+def test_manifest_sharded_model_check():
+    """Randomized model check (r12): 300 interleaved operations —
+    full-list commit, delta add/remove, stats-carrying commits,
+    generation pruning — against a plain-set model.  Invariants after
+    every step: current() == (epoch, sorted(model)); files_where over
+    a random stat predicate returns a SUPERSET of the stat-matching
+    files and a SUBSET of all files; every retained epoch
+    materializes; no unreferenced shard doc older than the prune
+    cutoff survives."""
+    import json as _json
+    import random
+
+    from spatial_spark.manifest import Manifest
+
+    rng = random.Random(1207)
+    io = _FakeManifestIO()
+    man = Manifest("/mem/store", io=io)
+    model: dict = {}            # name -> stats or None
+    epoch = -1
+    next_id = 0
+
+    def new_files(k):
+        nonlocal next_id
+        out = []
+        for _ in range(k):
+            n = f"part-{rng.randrange(10):01d}{next_id:05d}"
+            next_id += 1
+            z = rng.randrange(1000)
+            out.append((n, {"zmin": z, "zmax": z + rng.randrange(50),
+                            "xmin": float(rng.randrange(-180, 170)),
+                            "ymin": -10.0, "xmax": 181.0, "ymax": 10.0,
+                            "rows": rng.randrange(1, 500)}
+                        if rng.random() < 0.8 else None))
+        return out
+
+    for step in range(300):
+        op = rng.random()
+        if op < 0.55 and epoch >= 0:        # delta
+            adds = new_files(rng.randrange(0, 4))
+            rm = rng.sample(sorted(model), min(len(model),
+                                               rng.randrange(0, 3)))
+            man.commit_delta(
+                add=[n for n, _ in adds], remove=rm,
+                stats={n: st for n, st in adds if st})
+            for n in rm:
+                model.pop(n)
+            for n, st in adds:
+                model[n] = st
+        else:                               # full-list commit
+            adds = new_files(rng.randrange(1, 5))
+            keep = {n: model[n] for n in
+                    rng.sample(sorted(model),
+                               max(0, len(model)
+                                   - rng.randrange(0, 3)))}
+            model = keep
+            for n, st in adds:
+                model[n] = st
+            man.commit(sorted(model),
+                       stats={n: st for n, st in adds if st})
+        epoch += 1
+        cur = man.current()
+        assert cur == (epoch, sorted(model)), f"step {step}"
+        if rng.random() < 0.2:
+            zc = rng.randrange(1000)
+            got = set(man.files_where(
+                lambda s: s.get("zmin", 0) <= zc
+                and s.get("zmax", 10**9) >= zc))
+            must = {f"/mem/store/{n}" for n, st in model.items()
+                    if st and st["zmin"] <= zc <= st["zmax"]}
+            every = {f"/mem/store/{n}" for n in model}
+            assert must <= got <= every, f"step {step}"
+        for e in man.epochs():
+            man.files_at(e)                 # must not raise
+    # shard-doc hygiene: docs referenced by no retained manifest and
+    # older than the cutoff are gone
+    referenced = set()
+    for e in man.epochs():
+        doc = _json.loads(io.read_text(
+            f"/mem/store_manifest/manifest-{e}.json"))
+        referenced |= {sh["name"] for sh in doc.get("shards", [])}
+    cutoff = epoch - Manifest.KEEP_GENERATIONS
+    stale = [p for p in io.files
+             if "/shard-" in p
+             and p.split("/")[-1] not in referenced
+             and int(p.split("/")[-1].split("-")[1]) <= cutoff]
+    assert not stale, stale[:5]
