@@ -1506,8 +1506,9 @@ def test_epsg_registry_data_driven_codes():
     assert abs(seoul[0] - 953820) < 10000 and abs(seoul[1] - 1952050) < 10000
     lyon = tp([[4.85, 45.75]], "EPSG:4326", "EPSG:3946")[0]
     assert abs(lyon[0] - 1843681) < 10000 and abs(lyon[1] - 5173433) < 10000
-    # (d) non-WGS84-family codes on implemented methods still refuse
-    for bad in ("EPSG:31370", "EPSG:23030", "EPSG:99999"):
+    # (d) codes on unregistered datums still refuse (31370 itself is
+    # now table-driven through the lccd tier — see the lccd tests)
+    for bad in ("EPSG:27572", "EPSG:23030", "EPSG:99999"):
         with _pytest.raises(ValueError, match="unsupported CRS"):
             crs._frame(bad)
 
@@ -1544,9 +1545,11 @@ def test_prj_recognition_widened_lcc_albers():
               .replace('"Latitude_Of_Origin",46.0',
                        '"Latitude_Of_Origin",0.0')
     assert crs.prj_to_frame(alb) == crs._frame("EPSG:3577")
-    # unknown datum on the same projections: refuse
+    # unknown datum on the same projections: refuse (Belge 1972 now
+    # resolves through the lccd tier, so use a genuinely unregistered
+    # datum here)
     assert crs.prj_to_frame(cc46.replace("D_RGF_1993",
-                                         "D_Belge_1972")) is None
+                                         "D_Batavia")) is None
 
 
 def test_lccd_belgian_lambert72():
