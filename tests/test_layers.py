@@ -1882,3 +1882,25 @@ def test_manifest_sharded_model_check():
              and p.split("/")[-1] not in referenced
              and int(p.split("/")[-1].split("-")[1]) <= cutoff]
     assert not stale, stale[:5]
+
+
+def test_df_window_antimeridian_split(ctx, spark):
+    """within_distance near the antimeridian: the split search windows
+    reach df_window as a LIST and shard pruning must keep files on
+    BOTH sides (a wrong all-windows AND would drop one side)."""
+    layer = ctx.create_point_layer("amsplit", x="lon", y="lat")
+    west_side = [(i, 179.5 + i * 0.001, 10.0) for i in range(40)]
+    east_side = [(100 + i, -179.9 + i * 0.001, 10.0) for i in range(40)]
+    far = [(200 + i, 0.0 + i * 0.01, -50.0) for i in range(40)]
+    for rows in (west_side, east_side, far):
+        layer.add(spark.createDataFrame(
+            rows, "id long, lon double, lat double"))
+    got = sorted(r["id"] for r in
+                 layer.within_distance(179.95, 10.0, 60.0).collect())
+    assert got, "must find neighbors across the antimeridian"
+    assert any(i < 100 for i in got) and any(100 <= i < 200 for i in got)
+    assert all(i < 200 for i in got), "far cluster excluded"
+    # pruning engaged: the far cluster's files are not read
+    pruned = layer.df_window([(179.0, 9.0, 180.0, 11.0),
+                              (-180.0, 9.0, -179.0, 11.0)])
+    assert set(pruned.inputFiles()) < set(layer.df().inputFiles())
