@@ -2687,6 +2687,50 @@ def _lccd_oracle_sql() -> str:
         FROM _lcd_out"""
 
 
+def _q_mvt_export(spark, sf_dir) -> DataFrame:
+    """Mapbox Vector Tile sink gate (r12 — the vector twin of
+    render_sink): customer points tile at z=3 through io/mvt.mvt_tiles
+    (tile assignment + in-tile integer coordinates as codegen Columns,
+    per-tile protobuf pack), then every tile's BYTES decode back
+    through the independent decode_mvt reader and the decoded feature
+    ids/coordinates aggregate per tile — hash-compared against the
+    DuckDB replay of the identical tile_local_sql text.  The command
+    stream / varint layer is additionally pinned against the public
+    spec's worked examples in pytest (golden bytes), so encoder and
+    decoder cannot share a compensating bug.  Bounded collect: at
+    z=3 the world holds at most 64 tiles."""
+    from spatial_spark.io.mvt import decode_mvt, mvt_tiles
+    pts = _customer_points(spark).select(
+        F.col("c_custkey").alias("id"), "lon", "lat")
+    tiles = mvt_tiles(pts, 3, "lon", "lat", id_col="id",
+                      layer_name="customers")
+    out = []
+    for r in tiles.collect():
+        layer = decode_mvt(bytes(r["mvt"]))[0]
+        feats = layer["features"]
+        out.append((r["tile_z"], r["tile_x"], r["tile_y"], len(feats),
+                    sum(f["parts"][0][0][0] for f in feats),
+                    sum(f["parts"][0][0][1] for f in feats),
+                    sum(f["id"] for f in feats)))
+    return spark.createDataFrame(
+        out, "tile_z int, tile_x bigint, tile_y bigint, "
+             "n_features bigint, sum_px bigint, sum_py bigint, "
+             "sum_id bigint")
+
+
+def _mvt_oracle_sql() -> str:
+    from spatial_spark.io.mvt import tile_local_sql
+    tx, ty, px, py = tile_local_sql(3, CUST_LON, CUST_LAT)
+    return f"""
+        SELECT CAST(3 AS INT) AS tile_z, {tx} AS tile_x, {ty} AS tile_y,
+               count(*) AS n_features,
+               CAST(sum({px}) AS BIGINT) AS sum_px,
+               CAST(sum({py}) AS BIGINT) AS sum_py,
+               CAST(sum(c_custkey) AS BIGINT) AS sum_id
+        FROM customer GROUP BY 2, 3
+    """
+
+
 def _q_winnowing(spark, sf_dir) -> DataFrame:
     """Winnowing fingerprints (k=8, window=4) over documents — vectorized
     FNV-1a k-gram hashes + sliding-window minima, deduped per doc."""
@@ -5315,6 +5359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cql3": _q_cql3,
         "tile_counts_stream": _q_tile_counts_stream,
         "st_transform_lccd": _q_st_transform_lccd,
+        "mvt_export": _q_mvt_export,
         "overlay_degenerate": _q_overlay_degenerate,
         "kmv_stream": _q_kmv_stream,
         "ivf_recall": _q_ivf_recall,
@@ -5330,9 +5375,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dedup": _q_image_dedup,
         "geoparquet_roundtrip": _q_geoparquet,
         "quantile_sketch": _q_quantile_sketch,
-        "weighted_sample": _q_weighted_sample,
         # ================= end of the 50-entry driver window =========
         # --- remaining r9-row holders (age 3 — rotate next, oldest first)
+        "weighted_sample": _q_weighted_sample,
         "media_avc_ipcm": _q_media_avc_ipcm,
         "triangle_counts": _q_triangles,
         "pq_knn": _q_pq_knn,
@@ -7213,6 +7258,7 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS my_cm
             FROM customer
         """,
+        "mvt_export": _mvt_oracle_sql(),
         "st_transform_lccd": _lccd_oracle_sql(),
         "tile_counts_stream": _tile_counts_stream_oracle_sql(),
         "cql3": f"""

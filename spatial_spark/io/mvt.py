@@ -1,0 +1,270 @@
+"""Mapbox Vector Tile (MVT 2.1) sink — the modern tile-export path.
+
+The reference renders layers to PNG via GeoTools/SLD
+(StyledImageExporter — io/render.py covers that parity); production
+map stacks serve VECTOR tiles instead.  This module implements the
+public vector-tile-spec 2.1 wire format from scratch on the repo's
+protobuf primitives (io/osmpbf.py — varint/zigzag/fields):
+
+  * ``encode_mvt`` / ``decode_mvt``: one tile's Layer message (points,
+    linestrings, polygons; command stream MoveTo/LineTo/ClosePath with
+    zigzag deltas; keys/values tag tables),
+  * ``tile_local_sql``: the tile-index + in-tile integer coordinate
+    math as DUAL-ENGINE SQL text (Spark AND DuckDB) so the oracle
+    replays the geometry integers exactly,
+  * ``mvt_tiles``: DataFrame sink — points grouped per tile with ONE
+    shuffle (the tile key), each tile packed by an Arrow batch; output
+    (tile_z, tile_x, tile_y, mvt bytes, n_features).
+
+Scale shape: tile assignment and local coordinates are pure codegen
+Columns; the only Python is the per-tile protobuf pack over already-
+computed integers (applyInPandas, no second shuffle).  100 TB tiling
+is exactly this plan with more reducers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.tiles import MAX_MERC_LAT, tile_xy_sql
+from .osmpbf import _fields, _packed, _unzig, _uvarint, _w_bytes, \
+    _w_field, _w_uvarint, _zig
+
+__all__ = ["encode_mvt", "decode_mvt", "mvt_tiles", "tile_local_sql"]
+
+_GEOM_TYPES = {1: "point", 2: "linestring", 3: "polygon"}
+
+
+def tile_local_sql(z: int, lon_sql: str, lat_sql: str,
+                   extent: int = 4096) -> tuple:
+    """(tile_x, tile_y, px, py) SQL texts — valid in BOTH Spark SQL
+    and DuckDB.  px/py are the in-tile integer coordinates the MVT
+    geometry carries: floor(extent * (norm * 2^z - tile)), clamped to
+    [0, extent-1] (points assigned to the tile lie inside by
+    construction; the clamp absorbs the exact-edge float)."""
+    n = 1 << z
+    tx, ty = tile_xy_sql(z, lon_sql, lat_sql)
+    xn = f"((({lon_sql}) + 180.0) / 360.0)"
+    lat_c = (f"least(greatest(CAST(({lat_sql}) AS DOUBLE), "
+             f"-{MAX_MERC_LAT}), {MAX_MERC_LAT})")
+    yn = (f"((1.0 - ln(tan(radians({lat_c})) "
+          f"+ 1.0 / cos(radians({lat_c}))) / pi()) / 2.0)")
+    px = (f"CAST(least(greatest(floor({extent}.0 * ({xn} * {n}.0 "
+          f"- CAST({tx} AS DOUBLE))), 0.0), {extent - 1}.0) AS BIGINT)")
+    py = (f"CAST(least(greatest(floor({extent}.0 * ({yn} * {n}.0 "
+          f"- CAST({ty} AS DOUBLE))), 0.0), {extent - 1}.0) AS BIGINT)")
+    return tx, ty, px, py
+
+
+def _encode_geometry(gtype: int, parts: list) -> list:
+    """Command-integer stream for one feature.  ``parts``: for points
+    one list of (x, y); for linestrings a list of paths; for polygons
+    a list of rings (first point NOT repeated at the end — ClosePath
+    carries the closure)."""
+    cmds: list = []
+    cx = cy = 0
+    if gtype == 1:
+        pts = parts[0]
+        cmds.append((1 & 0x7) | (len(pts) << 3))        # MoveTo xN
+        for x, y in pts:
+            cmds += [_zig(x - cx), _zig(y - cy)]
+            cx, cy = x, y
+        return cmds
+    for part in parts:
+        if len(part) < 2:
+            raise ValueError("MVT: path/ring needs >= 2 points")
+        cmds.append((1 & 0x7) | (1 << 3))               # MoveTo x1
+        x, y = part[0]
+        cmds += [_zig(x - cx), _zig(y - cy)]
+        cx, cy = x, y
+        cmds.append((2 & 0x7) | ((len(part) - 1) << 3))  # LineTo xK
+        for x, y in part[1:]:
+            cmds += [_zig(x - cx), _zig(y - cy)]
+            cx, cy = x, y
+        if gtype == 3:
+            cmds.append((7 & 0x7) | (1 << 3))           # ClosePath x1
+    return cmds
+
+
+def _decode_geometry(cmds: list, gtype: int) -> list:
+    parts: list = []
+    cur: list = []
+    cx = cy = 0
+    i = 0
+    while i < len(cmds):
+        cid, count = cmds[i] & 0x7, cmds[i] >> 3
+        i += 1
+        if cid in (1, 2):
+            if cid == 1 and cur:
+                parts.append(cur)
+                cur = []
+            for _ in range(count):
+                cx += _unzig(cmds[i])
+                cy += _unzig(cmds[i + 1])
+                i += 2
+                cur.append((cx, cy))
+        elif cid == 7:
+            parts.append(cur)
+            cur = []
+        else:
+            raise ValueError(f"MVT: unknown command id {cid}")
+    if cur:
+        parts.append(cur)
+    return parts
+
+
+def _encode_value(v) -> bytes:
+    if isinstance(v, bool):
+        return _w_field(7, 1 if v else 0)
+    if isinstance(v, int):
+        return _w_uvarint((6 << 3) | 0) + _w_uvarint(_zig(v))
+    if isinstance(v, float):
+        import struct
+        return _w_uvarint((3 << 3) | 1) + struct.pack("<d", v)
+    return _w_bytes(1, str(v).encode("utf-8"))
+
+
+def _decode_value(buf: bytes):
+    import struct
+    for field, val in _fields(buf):
+        if field == 1:
+            return val.decode("utf-8")
+        if field == 3:
+            return struct.unpack("<d", val)[0]
+        if field == 6:
+            return _unzig(val)
+        if field == 7:
+            return bool(val)
+        if field == 2:
+            return struct.unpack("<f", val)[0]
+        if field in (4, 5):
+            return val
+    return None
+
+
+def encode_mvt(features: list, name: str = "layer",
+               extent: int = 4096) -> bytes:
+    """One Tile message holding one Layer.  ``features``: list of
+    (feature_id, gtype 1|2|3, parts, tags_dict) — ``parts`` per
+    ``_encode_geometry``, ``tags_dict`` str -> str/int/float/bool."""
+    keys: list = []
+    values: list = []
+    kidx: dict = {}
+    vidx: dict = {}
+    body = bytearray()
+    for fid, gtype, parts, tags in features:
+        f = bytearray()
+        f += _w_field(1, int(fid))
+        if tags:
+            packed = bytearray()
+            for k, v in tags.items():
+                if k not in kidx:
+                    kidx[k] = len(keys)
+                    keys.append(k)
+                vk = (type(v).__name__, v)
+                if vk not in vidx:
+                    vidx[vk] = len(values)
+                    values.append(v)
+                packed += _w_uvarint(kidx[k]) + _w_uvarint(vidx[vk])
+            body_tags = bytes(packed)
+            f += _w_bytes(2, body_tags)
+        f += _w_field(3, int(gtype))
+        geom = bytearray()
+        for c in _encode_geometry(gtype, parts):
+            geom += _w_uvarint(c)
+        f += _w_bytes(4, bytes(geom))
+        body += _w_bytes(2, bytes(f))
+    layer = bytearray()
+    layer += _w_field(15, 2)                         # version
+    layer += _w_bytes(1, name.encode("utf-8"))
+    layer += bytes(body)
+    for k in keys:
+        layer += _w_bytes(3, k.encode("utf-8"))
+    for v in values:
+        layer += _w_bytes(4, _encode_value(v))
+    layer += _w_field(5, int(extent))
+    return bytes(_w_bytes(3, bytes(layer)))          # Tile.layers
+
+
+def decode_mvt(buf: bytes) -> list:
+    """Tile bytes -> [{"name", "extent", "version", "features":
+    [{"id", "type", "parts", "tags"}]}]."""
+    out = []
+    for field, val in _fields(buf):
+        if field != 3:
+            continue
+        name, extent, version = "", 4096, None
+        keys: list = []
+        values: list = []
+        raw_features: list = []
+        for lf, lv in _fields(val):
+            if lf == 15:
+                version = lv
+            elif lf == 1:
+                name = lv.decode("utf-8")
+            elif lf == 2:
+                raw_features.append(lv)
+            elif lf == 3:
+                keys.append(lv.decode("utf-8"))
+            elif lf == 4:
+                values.append(_decode_value(lv))
+            elif lf == 5:
+                extent = lv
+        feats = []
+        for fb in raw_features:
+            fid, gtype, cmds, tag_ids = None, None, [], []
+            for ff, fv in _fields(fb):
+                if ff == 1:
+                    fid = fv
+                elif ff == 2:
+                    tag_ids = _packed(fv)
+                elif ff == 3:
+                    gtype = fv
+                elif ff == 4:
+                    cmds = _packed(fv)
+            tags = {keys[tag_ids[i]]: values[tag_ids[i + 1]]
+                    for i in range(0, len(tag_ids), 2)}
+            feats.append({"id": fid, "type": _GEOM_TYPES.get(gtype),
+                          "parts": _decode_geometry(cmds, gtype),
+                          "tags": tags})
+        out.append({"name": name, "extent": extent, "version": version,
+                    "features": feats})
+    return out
+
+
+def mvt_tiles(df: DataFrame, z: int, lon_col: str = "lon",
+              lat_col: str = "lat", id_col: str = "id",
+              layer_name: str = "layer", extent: int = 4096) -> DataFrame:
+    """Point-feature MVT tiles at zoom ``z``: one row per non-empty
+    tile — (tile_z, tile_x, tile_y, mvt bytes, n_features).  Tile
+    assignment and in-tile integer coordinates are codegen Columns
+    (tile_local_sql — the identical text the DuckDB oracle runs); the
+    per-tile protobuf pack is the only Python, over already-computed
+    integers."""
+    tx, ty, px, py = tile_local_sql(z, lon_col, lat_col, extent)
+    staged = df.select(
+        F.col(id_col).cast("long").alias("fid"),
+        F.expr(tx).alias("tile_x"), F.expr(ty).alias("tile_y"),
+        F.expr(px).alias("px"), F.expr(py).alias("py"))
+    out_schema = T.StructType([
+        T.StructField("tile_z", T.IntegerType()),
+        T.StructField("tile_x", T.LongType()),
+        T.StructField("tile_y", T.LongType()),
+        T.StructField("mvt", T.BinaryType()),
+        T.StructField("n_features", T.LongType()),
+    ])
+
+    def pack(key, pdf):
+        import pandas as pd
+        pdf = pdf.sort_values("fid")
+        feats = [(int(r.fid), 1, [[(int(r.px), int(r.py))]], {})
+                 for r in pdf.itertuples()]
+        buf = encode_mvt(feats, name=layer_name, extent=extent)
+        return pd.DataFrame({
+            "tile_z": [z], "tile_x": [key[0]], "tile_y": [key[1]],
+            "mvt": [bytearray(buf)], "n_features": [len(feats)]})
+
+    return staged.groupBy("tile_x", "tile_y").applyInPandas(
+        pack, out_schema)
