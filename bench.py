@@ -185,6 +185,8 @@ HEADLINE = [
     "tile_counts_stream",
     # r12: datum-shifted LCC (Belgian Lambert 72 — the lccd: tier)
     "st_transform_lccd",
+    # r12: Mapbox Vector Tile sink (encode + independent decode per tile)
+    "mvt_export",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -402,6 +404,9 @@ BUDGET_SF01 = {
     # r12: 2.2x local best-of-two (Belgian-domain customers through the
     # Helmert + conic chain — same shape as st_transform_osgb)
     "st_transform_lccd": 1.7,
+    # r12: 2.2x local best-of-two (64-tile collect + per-tile protobuf
+    # pack + independent decode per invocation)
+    "mvt_export": 2.9,
     # (EVERY pin re-ratcheted as min(old, 2.2x the clean final full
     # run's min-of-2) — landing-time measurements taken under
     # concurrent sweeps carried up to 9x slack; the ratchet never
