@@ -153,6 +153,9 @@ PROBES = {
                         " container count scaled with the corpus;"
                         " per-file decode, mapInPandas parallel"),
     # --- r11 third wave ---
+    "mvt_export": ("linear", "tile assignment + in-tile integers are"
+                   " codegen Columns; per-tile protobuf pack over a"
+                   " FIXED 64-tile world at z=3 (collect bounded)"),
     "st_transform_registry": ("linear", "per-point map through 4 kernel"
                               " families; 7 unioned pure-Column blocks"),
     "st_transform_lccd": ("linear", "per-point Helmert + conic map"
