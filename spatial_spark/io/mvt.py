@@ -32,7 +32,8 @@ from ..operators.tiles import MAX_MERC_LAT, tile_xy_sql
 from .osmpbf import _fields, _packed, _unzig, _uvarint, _w_bytes, \
     _w_field, _w_uvarint, _zig
 
-__all__ = ["encode_mvt", "decode_mvt", "mvt_tiles", "tile_local_sql"]
+__all__ = ["encode_mvt", "decode_mvt", "mvt_tiles",
+           "mvt_tiles_geoms", "tile_local_sql"]
 
 _GEOM_TYPES = {1: "point", 2: "linestring", 3: "polygon"}
 
@@ -264,6 +265,123 @@ def mvt_tiles(df: DataFrame, z: int, lon_col: str = "lon",
         buf = encode_mvt(feats, name=layer_name, extent=extent)
         return pd.DataFrame({
             "tile_z": [z], "tile_x": [key[0]], "tile_y": [key[1]],
+            "mvt": [bytearray(buf)], "n_features": [len(feats)]})
+
+    return staged.groupBy("tile_x", "tile_y").applyInPandas(
+        pack, out_schema)
+
+
+def _tile_envelope(z: int, tx: int, ty: int) -> tuple:
+    """(lon0, lat0, lon1, lat1) of tile (z, tx, ty) — inverse of the
+    web-mercator tile math."""
+    import math
+    n = 1 << z
+    lon0 = tx / n * 360.0 - 180.0
+    lon1 = (tx + 1) / n * 360.0 - 180.0
+
+    def lat_of(yn):
+        return math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * yn))))
+    return lon0, lat_of((ty + 1) / n), lon1, lat_of(ty / n)
+
+
+def mvt_tiles_geoms(df: DataFrame, z: int, id_col: str = "id",
+                    layer_name: str = "layer",
+                    extent: int = 4096) -> DataFrame:
+    """POLYGON/LINE MVT tiles: WKB features (layer core columns —
+    geom + xmin..ymax) explode to the tiles their bbox covers (the
+    PBSM cell trick on the tile grid — pure Columns), then each
+    (tile, feature) pair CLIPS through the exact overlay kernel
+    (geom/clip.intersection against the tile envelope), transforms to
+    tile-integer coordinates and packs — the real vector-tiling
+    pipeline (clip + encode), one shuffle on the tile key.
+
+    Vertex integerization floors onto the extent grid, so geometry is
+    exact only when vertices land on grid points (the test fixtures) —
+    production tiling accepts the sub-pixel quantization, as every
+    tiler does."""
+    import math
+
+    n = 1 << z
+    tx_lo = (f"CAST(least(greatest(floor((xmin + 180.0) / 360.0 "
+             f"* {n}.0), 0.0), {n - 1}.0) AS BIGINT)")
+    tx_hi = (f"CAST(least(greatest(floor((xmax + 180.0) / 360.0 "
+             f"* {n}.0), 0.0), {n - 1}.0) AS BIGINT)")
+
+    def yn_expr(lat):
+        lat_c = (f"least(greatest(CAST(({lat}) AS DOUBLE), "
+                 f"-{MAX_MERC_LAT}), {MAX_MERC_LAT})")
+        return (f"((1.0 - ln(tan(radians({lat_c})) "
+                f"+ 1.0 / cos(radians({lat_c}))) / pi()) / 2.0)")
+    # y grows downward: ymax (north) gives the LOW tile_y
+    ty_lo = (f"CAST(least(greatest(floor({yn_expr('ymax')} * {n}.0), "
+             f"0.0), {n - 1}.0) AS BIGINT)")
+    ty_hi = (f"CAST(least(greatest(floor({yn_expr('ymin')} * {n}.0), "
+             f"0.0), {n - 1}.0) AS BIGINT)")
+    staged = (df.select(F.col(id_col).cast("long").alias("fid"), "geom",
+                        F.expr(tx_lo).alias("_txl"),
+                        F.expr(tx_hi).alias("_txh"),
+                        F.expr(ty_lo).alias("_tyl"),
+                        F.expr(ty_hi).alias("_tyh"))
+              .withColumn("tile_x", F.explode(
+                  F.sequence(F.col("_txl"), F.col("_txh"))))
+              .withColumn("tile_y", F.explode(
+                  F.sequence(F.col("_tyl"), F.col("_tyh"))))
+              .select("fid", "geom", "tile_x", "tile_y"))
+    out_schema = T.StructType([
+        T.StructField("tile_z", T.IntegerType()),
+        T.StructField("tile_x", T.LongType()),
+        T.StructField("tile_y", T.LongType()),
+        T.StructField("mvt", T.BinaryType()),
+        T.StructField("n_features", T.LongType()),
+    ])
+
+    def pack(key, pdf):
+        import pandas as pd
+
+        from ..geom import Geometry, from_wkb
+        from ..geom.clip import intersection
+        tx, ty = int(key[0]), int(key[1])
+        lon0, lat0, lon1, lat1 = _tile_envelope(z, tx, ty)
+        box = Geometry.box(lon0, lat0, lon1, lat1)
+
+        def local(x, y):
+            xn = (x + 180.0) / 360.0
+            lat_c = min(max(y, -MAX_MERC_LAT), MAX_MERC_LAT)
+            yn = (1.0 - math.log(math.tan(math.radians(lat_c))
+                                 + 1.0 / math.cos(math.radians(lat_c)))
+                  / math.pi) / 2.0
+            px = int(min(max(math.floor(extent * (xn * n - tx)), 0),
+                         extent - 1))
+            py = int(min(max(math.floor(extent * (yn * n - ty)), 0),
+                         extent - 1))
+            return px, py
+
+        feats = []
+        for r in pdf.sort_values("fid").itertuples():
+            g = from_wkb(bytes(r.geom))
+            clipped = intersection(g, box)
+            if clipped.is_empty():
+                continue
+            polys = ([clipped] if clipped.gtype == 3
+                     else [p for p in clipped.parts()
+                           if p.gtype == 3]
+                     if clipped.gtype == 6 else [])
+            rings = []
+            for p in polys:
+                for ring in p.data:
+                    pts = [local(x, y) for x, y in ring[:-1]]
+                    dedup = [pt for i, pt in enumerate(pts)
+                             if i == 0 or pt != pts[i - 1]]
+                    if len(dedup) >= 3:
+                        rings.append(dedup)
+            if rings:
+                feats.append((int(r.fid), 3, rings, {}))
+        if not feats:
+            return pd.DataFrame({c.name: [] for c in out_schema.fields}
+                                ).astype({"tile_z": "int32"})
+        buf = encode_mvt(feats, name=layer_name, extent=extent)
+        return pd.DataFrame({
+            "tile_z": [z], "tile_x": [tx], "tile_y": [ty],
             "mvt": [bytearray(buf)], "n_features": [len(feats)]})
 
     return staged.groupBy("tile_x", "tile_y").applyInPandas(

@@ -658,3 +658,65 @@ def test_mvt_golden_bytes_and_roundtrip(spark):
         assert got == want[key], key
         total += len(got)
     assert total == 200
+
+
+def test_mvt_polygon_tiling_with_clipping(spark):
+    """r12: the polygon MVT path — WKB rects explode to the tiles
+    their bbox covers, clip through the EXACT overlay kernel against
+    each tile envelope, and pack; decoded rings equal the closed-form
+    clipped rectangles in tile-integer coordinates.  Fixture at z=1
+    with extent 4 and lat=0-symmetric rects so every expected vertex
+    is derivable by hand through the mercator y."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from spatial_spark.functions.scalar import register_all
+    from spatial_spark.io.mvt import _tile_envelope, decode_mvt, \
+        mvt_tiles_geoms
+    register_all(spark)
+
+    # z=1: four tiles; a rect spanning lon -90..90, lat symmetric so
+    # it crosses all four; plus one rect fully inside tile (0, 0)
+    # (at extent 64 its ring keeps >= 3 distinct grid points)
+    rows = [
+        (1, "POLYGON ((-90 -40, 90 -40, 90 40, -90 40, -90 -40))"),
+        (2, "POLYGON ((-135 50, -100 50, -100 70, -135 70, -135 50))"),
+    ]
+    from spatial_spark.functions.scalar import st_bbox
+    df = (spark.createDataFrame(rows, "id long, wkt string")
+          .withColumn("geom", F.expr("st_geomfromtext(wkt)"))
+          .withColumn("_bbox", st_bbox("geom"))
+          .select("id", "geom", "_bbox.xmin", "_bbox.ymin",
+                  "_bbox.xmax", "_bbox.ymax"))
+    tiles = {(r["tile_x"], r["tile_y"]):
+             decode_mvt(bytes(r["mvt"]))[0]
+             for r in mvt_tiles_geoms(df, 1, extent=64).collect()}
+    # rect 1 appears in all four tiles; rect 2 only in (0, 0)
+    assert set(tiles) == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    assert [f["id"] for f in tiles[(0, 0)]["features"]] == [1, 2]
+    for key in ((0, 1), (1, 0), (1, 1)):
+        assert [f["id"] for f in tiles[key]["features"]] == [1]
+
+    def local(x, y, tx, ty, z=1, extent=64):
+        n = 1 << z
+        xn = (x + 180.0) / 360.0
+        yn = (1.0 - math.log(math.tan(math.radians(y))
+                             + 1.0 / math.cos(math.radians(y)))
+              / math.pi) / 2.0
+        return (int(min(max(math.floor(extent * (xn * n - tx)), 0),
+                        extent - 1)),
+                int(min(max(math.floor(extent * (yn * n - ty)), 0),
+                        extent - 1)))
+
+    # tile (1, 0) = lon 0..180, lat 0..85: rect 1 clips to
+    # lon 0..90, lat 0..40 — verify the decoded ring vertex SET
+    f = tiles[(1, 0)]["features"][0]
+    ring = set(f["parts"][0])
+    want = {local(x, y, 1, 0) for x, y in
+            ((0.0, 0.0), (90.0, 0.0), (90.0, 40.0), (0.0, 40.0))}
+    assert ring == want, (ring, want)
+    # the envelope helper inverts the tile math
+    lon0, lat0, lon1, lat1 = _tile_envelope(1, 1, 0)
+    assert abs(lon0 - 0.0) < 1e-9 and abs(lon1 - 180.0) < 1e-9
+    assert abs(lat0 - 0.0) < 1e-9 and abs(lat1 - 85.05112878) < 1e-6
