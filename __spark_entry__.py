@@ -2731,6 +2731,108 @@ def _mvt_oracle_sql() -> str:
     """
 
 
+# mvt_polygons gate fixture: part-keyed rects inside lon ±150 / lat
+# ±70, offset to .005 grids (clear of tile boundaries at z=2)
+_MVTP_X0 = "(CAST((p_partkey * 7919) % 2900 AS DOUBLE) / 10.0 - 150.0 + 0.005)"
+_MVTP_Y0 = "(CAST((p_partkey * 104729) % 1300 AS DOUBLE) / 10.0 - 70.0 + 0.005)"
+_MVTP_W = "(CAST(p_size % 50 AS DOUBLE) / 2.0 + 0.1)"
+_MVTP_H = "(CAST((p_size * 7) % 50 AS DOUBLE) / 2.0 + 0.1)"
+
+
+def _q_mvt_polygons(spark, sf_dir) -> DataFrame:
+    """Polygon MVT tiling gate (r12): part rects explode to the z=2
+    tiles their bbox covers, CLIP through the exact overlay kernel
+    against each tile envelope, integerize and pack; every tile's
+    bytes decode back through the independent reader and the per-
+    (tile, feature) ring extents hash-compare against the closed-form
+    DuckDB replay (rect ∩ tile = interval intersection; local integers
+    by the same floor formulas; slivers whose quantized ring loses its
+    area are dropped by BOTH sides — the MVT nonzero-area ring rule).
+    Bounded collect: z=2 holds at most 16 tiles."""
+    from spatial_spark.io.mvt import decode_mvt, mvt_tiles_geoms
+    df = (spark.sql(f"""
+            SELECT p_partkey AS id, {_MVTP_X0} AS x0, {_MVTP_Y0} AS y0,
+                   {_MVTP_X0} + {_MVTP_W} AS x1,
+                   {_MVTP_Y0} + {_MVTP_H} AS y1
+            FROM part""")
+          .withColumn("geom", F.expr("st_make_box(x0, y0, x1, y1)"))
+          .selectExpr("id", "geom", "x0 AS xmin", "y0 AS ymin",
+                      "x1 AS xmax", "y1 AS ymax"))
+    out = []
+    for r in mvt_tiles_geoms(df, 2, layer_name="parts").collect():
+        layer = decode_mvt(bytes(r["mvt"]))[0]
+        for f in layer["features"]:
+            ring = f["parts"][0]
+            xs = [pt[0] for pt in ring]
+            ys = [pt[1] for pt in ring]
+            out.append((r["tile_x"], r["tile_y"], f["id"], len(ring),
+                        min(xs), max(xs), min(ys), max(ys)))
+    return spark.createDataFrame(
+        out, "tile_x bigint, tile_y bigint, id bigint, n_pts int, "
+             "min_px bigint, max_px bigint, min_py bigint, max_py bigint")
+
+
+def _mvt_polygons_oracle_sql() -> str:
+    """Closed-form replay: tile cover from the bbox floor formulas,
+    rect ∩ tile-envelope as interval intersections (tile lat edges
+    precomputed in Python by the SAME _tile_envelope the sink uses),
+    local integers by the identical floor/clamp math."""
+    from spatial_spark.io.mvt import _tile_envelope
+    lat_edges = {ty: _tile_envelope(2, 0, ty) for ty in range(4)}
+    lat0_case = "CASE ty " + " ".join(
+        f"WHEN {ty} THEN {lat_edges[ty][1]!r}" for ty in range(4)) + " END"
+    lat1_case = "CASE ty " + " ".join(
+        f"WHEN {ty} THEN {lat_edges[ty][3]!r}" for ty in range(4)) + " END"
+
+    def yn(lat):
+        return (f"((1.0 - ln(tan(radians({lat})) "
+                f"+ 1.0 / cos(radians({lat}))) / pi()) / 2.0)")
+
+    def px(lon):
+        return (f"CAST(least(greatest(floor(4096.0 * ((({lon}) + 180.0)"
+                f" / 360.0 * 4.0 - CAST(tx AS DOUBLE))), 0.0), 4095.0)"
+                " AS BIGINT)")
+
+    def py(lat):
+        return (f"CAST(least(greatest(floor(4096.0 * ({yn(lat)} * 4.0"
+                f" - CAST(ty AS DOUBLE))), 0.0), 4095.0) AS BIGINT)")
+    return f"""
+        WITH p AS (
+          SELECT p_partkey AS id, {_MVTP_X0} AS x0, {_MVTP_Y0} AS y0,
+                 {_MVTP_X0} + {_MVTP_W} AS x1, {_MVTP_Y0} + {_MVTP_H} AS y1
+          FROM part),
+        cov AS (
+          SELECT id, x0, y0, x1, y1,
+                 unnest(generate_series(
+                   CAST(least(greatest(floor((x0 + 180.0) / 360.0 * 4.0),
+                        0.0), 3.0) AS BIGINT),
+                   CAST(least(greatest(floor((x1 + 180.0) / 360.0 * 4.0),
+                        0.0), 3.0) AS BIGINT))) AS tx
+          FROM p),
+        cov2 AS (
+          SELECT id, x0, y0, x1, y1, tx,
+                 unnest(generate_series(
+                   CAST(least(greatest(floor({yn('y1')} * 4.0), 0.0),
+                        3.0) AS BIGINT),
+                   CAST(least(greatest(floor({yn('y0')} * 4.0), 0.0),
+                        3.0) AS BIGINT))) AS ty
+          FROM cov),
+        clip AS (
+          SELECT id, tx, ty,
+                 greatest(x0, CAST(tx AS DOUBLE) * 90.0 - 180.0) AS cx0,
+                 least(x1, (CAST(tx AS DOUBLE) + 1.0) * 90.0 - 180.0)
+                   AS cx1,
+                 greatest(y0, {lat0_case}) AS cy0,
+                 least(y1, {lat1_case}) AS cy1
+          FROM cov2)
+        SELECT tx AS tile_x, ty AS tile_y, id, CAST(4 AS INT) AS n_pts,
+               {px('cx0')} AS min_px, {px('cx1')} AS max_px,
+               {py('cy1')} AS min_py, {py('cy0')} AS max_py
+        FROM clip
+        WHERE {px('cx0')} != {px('cx1')} AND {py('cy1')} != {py('cy0')}
+    """
+
+
 def _q_winnowing(spark, sf_dir) -> DataFrame:
     """Winnowing fingerprints (k=8, window=4) over documents — vectorized
     FNV-1a k-gram hashes + sliding-window minima, deduped per doc."""
@@ -5360,6 +5462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_counts_stream": _q_tile_counts_stream,
         "st_transform_lccd": _q_st_transform_lccd,
         "mvt_export": _q_mvt_export,
+        "mvt_polygons": _q_mvt_polygons,
         "overlay_degenerate": _q_overlay_degenerate,
         "kmv_stream": _q_kmv_stream,
         "ivf_recall": _q_ivf_recall,
@@ -5374,9 +5477,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_hashes": _q_image_hashes,
         "image_dedup": _q_image_dedup,
         "geoparquet_roundtrip": _q_geoparquet,
-        "quantile_sketch": _q_quantile_sketch,
         # ================= end of the 50-entry driver window =========
         # --- remaining r9-row holders (age 3 — rotate next, oldest first)
+        "quantile_sketch": _q_quantile_sketch,
         "weighted_sample": _q_weighted_sample,
         "media_avc_ipcm": _q_media_avc_ipcm,
         "triangle_counts": _q_triangles,
@@ -7259,6 +7362,7 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
         """,
         "mvt_export": _mvt_oracle_sql(),
+        "mvt_polygons": _mvt_polygons_oracle_sql(),
         "st_transform_lccd": _lccd_oracle_sql(),
         "tile_counts_stream": _tile_counts_stream_oracle_sql(),
         "cql3": f"""

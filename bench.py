@@ -187,6 +187,8 @@ HEADLINE = [
     "st_transform_lccd",
     # r12: Mapbox Vector Tile sink (encode + independent decode per tile)
     "mvt_export",
+    # r12: polygon MVT tiling (overlay clip per tile + pack + decode)
+    "mvt_polygons",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -407,6 +409,9 @@ BUDGET_SF01 = {
     # r12: 2.2x local best-of-two (64-tile collect + per-tile protobuf
     # pack + independent decode per invocation)
     "mvt_export": 2.9,
+    # r12: 2.2x local best-of-two (bbox-cover explode + per-tile exact
+    # overlay clip of 20k part rects + pack + independent decode)
+    "mvt_polygons": 9.2,
     # (EVERY pin re-ratcheted as min(old, 2.2x the clean final full
     # run's min-of-2) — landing-time measurements taken under
     # concurrent sweeps carried up to 9x slack; the ratchet never

@@ -372,7 +372,16 @@ def mvt_tiles_geoms(df: DataFrame, z: int, id_col: str = "id",
                     pts = [local(x, y) for x, y in ring[:-1]]
                     dedup = [pt for i, pt in enumerate(pts)
                              if i == 0 or pt != pts[i - 1]]
-                    if len(dedup) >= 3:
+                    while len(dedup) > 1 and dedup[-1] == dedup[0]:
+                        dedup.pop()
+                    # MVT spec: rings must enclose area — quantization
+                    # can collapse a clipped sliver to a zero-area
+                    # chain; shoelace == 0 drops it symmetrically
+                    area2 = sum(
+                        dedup[i][0] * dedup[(i + 1) % len(dedup)][1]
+                        - dedup[(i + 1) % len(dedup)][0] * dedup[i][1]
+                        for i in range(len(dedup)))
+                    if len(dedup) >= 3 and area2 != 0:
                         rings.append(dedup)
             if rings:
                 feats.append((int(r.fid), 3, rings, {}))
