@@ -866,7 +866,7 @@ class Manifest:
             touched_rm = [n for n in rm_left
                           if lo is None or lo <= n <= hi]
             touched_add = [n for n in add_left
-                           if lo is not None and lo <= n <= hi]
+                           if lo is None or lo <= n <= hi]
             if not touched_rm and not touched_add:
                 shards.append(dict(sh))          # untouched: zero reads
                 continue

@@ -1904,3 +1904,25 @@ def test_df_window_antimeridian_split(ctx, spark):
     pruned = layer.df_window([(179.0, 9.0, 180.0, 11.0),
                               (-180.0, 9.0, -179.0, 11.0)])
     assert set(pruned.inputFiles()) < set(layer.df().inputFiles())
+
+
+def test_commit_delta_range_less_shard_dedups_adds():
+    """A shard entry without a lo/hi name range (e.g. written by an
+    older layout generation) must be treated as possibly containing
+    ANY added name — re-adding a file that lives in such a shard stays
+    idempotent instead of duplicating it across shards."""
+    import json as _json
+
+    from spatial_spark.manifest import Manifest
+    io = _FakeManifestIO()
+    man = Manifest("/mem/store", io=io)
+    man.commit(["part-a", "part-b"])
+    # strip lo/hi from the published entry (simulate the older layout)
+    path = "/mem/store_manifest/manifest-0.json"
+    doc = _json.loads(io.read_text(path))
+    for sh in doc["shards"]:
+        sh.pop("lo", None)
+        sh.pop("hi", None)
+    io.files[path] = _json.dumps(doc).encode()
+    man.commit_delta(add=["part-a", "part-c"])
+    assert man.current() == (1, ["part-a", "part-b", "part-c"])
