@@ -284,16 +284,55 @@ def _tile_envelope(z: int, tx: int, ty: int) -> tuple:
     return lon0, lat_of((ty + 1) / n), lon1, lat_of(ty / n)
 
 
+def _tile_classify(g, lon0: float, lat0: float, lon1: float,
+                   lat1: float) -> str | None:
+    """INCLUDE_ALL fast classification of a tile envelope against a
+    polygonal feature WITHOUT the overlay kernel (the reference's
+    envelope-containment short-circuit, SearchIntersectWindow.java:
+    56-65): if NO boundary segment's bbox touches the closed tile box,
+    the tile is wholly inside or wholly outside the feature — one
+    center point-in-polygon test decides which.  Returns ``"inside"``,
+    ``"outside"``, or ``None`` (a boundary tile — exact clip needed).
+    Conservative by construction: any segment-bbox overlap falls back
+    to the exact kernel, so the fast path never changes output."""
+    import numpy as np
+
+    from ..geom.algorithms import point_in_polygon
+    from ..geom.core import GTYPE_POLYGON
+    for p in g.parts():
+        if p.gtype != GTYPE_POLYGON:
+            return None
+        for ring in p.data:
+            r = np.asarray(ring, dtype=np.float64)
+            if len(r) < 2:
+                continue
+            a, b = r[:-1], r[1:]
+            hit = ((np.minimum(a[:, 0], b[:, 0]) <= lon1)
+                   & (np.maximum(a[:, 0], b[:, 0]) >= lon0)
+                   & (np.minimum(a[:, 1], b[:, 1]) <= lat1)
+                   & (np.maximum(a[:, 1], b[:, 1]) >= lat0))
+            if bool(hit.any()):
+                return None
+    cx, cy = (lon0 + lon1) / 2.0, (lat0 + lat1) / 2.0
+    return "inside" if point_in_polygon(cx, cy, g) == 2 else "outside"
+
+
 def mvt_tiles_geoms(df: DataFrame, z: int, id_col: str = "id",
                     layer_name: str = "layer",
                     extent: int = 4096) -> DataFrame:
-    """POLYGON/LINE MVT tiles: WKB features (layer core columns —
-    geom + xmin..ymax) explode to the tiles their bbox covers (the
-    PBSM cell trick on the tile grid — pure Columns), then each
-    (tile, feature) pair CLIPS through the exact overlay kernel
-    (geom/clip.intersection against the tile envelope), transforms to
-    tile-integer coordinates and packs — the real vector-tiling
-    pipeline (clip + encode), one shuffle on the tile key.
+    """POLYGON and LINESTRING MVT tiles: WKB features (layer core
+    columns — geom + xmin..ymax) explode to the tiles their bbox
+    covers (the PBSM cell trick on the tile grid — pure Columns), then
+    each (tile, feature) pair CLIPS against the tile envelope
+    (geom/clip.intersection; lines via Liang-Barsky-style clip_line),
+    transforms to tile-integer coordinates and packs — the real
+    vector-tiling pipeline (clip + encode), one shuffle on the tile
+    key.  Polygon rings are oriented per MVT 2.1: exterior rings have
+    POSITIVE surveyor-formula area in tile (y-down) coordinates, holes
+    negative.  Interior tiles of large polygons skip the overlay
+    kernel entirely (``_tile_classify`` — segment-bbox sweep + one
+    point-in-polygon test) and emit the tile rectangle; only boundary
+    tiles pay the exact clip.  Point inputs belong in ``mvt_tiles``.
 
     Vertex integerization floors onto the extent grid, so geometry is
     exact only when vertices land on grid points (the test fixtures) —
@@ -359,16 +398,38 @@ def mvt_tiles_geoms(df: DataFrame, z: int, id_col: str = "id",
         feats = []
         for r in pdf.sort_values("fid").itertuples():
             g = from_wkb(bytes(r.geom))
-            clipped = intersection(g, box)
+            dim = g.dimension()
+            if dim == 1:
+                clipped = intersection(g, box)
+                if clipped.is_empty():
+                    continue
+                paths = []
+                for p in clipped.parts():
+                    if p.gtype != 2:
+                        continue
+                    pts = [local(x, y) for x, y in p.data]
+                    dedup = [pt for i, pt in enumerate(pts)
+                             if i == 0 or pt != pts[i - 1]]
+                    if len(dedup) >= 2:
+                        paths.append(dedup)
+                if paths:
+                    feats.append((int(r.fid), 2, paths, {}))
+                continue
+            if dim != 2:
+                raise ValueError(
+                    "mvt_tiles_geoms packs POLYGON/LINESTRING features;"
+                    " route point layers through mvt_tiles")
+            cls = _tile_classify(g, lon0, lat0, lon1, lat1)
+            if cls == "outside":
+                continue
+            clipped = box if cls == "inside" else intersection(g, box)
             if clipped.is_empty():
                 continue
-            polys = ([clipped] if clipped.gtype == 3
-                     else [p for p in clipped.parts()
-                           if p.gtype == 3]
-                     if clipped.gtype == 6 else [])
             rings = []
-            for p in polys:
-                for ring in p.data:
+            for p in clipped.parts():
+                if p.gtype != 3:
+                    continue
+                for ri, ring in enumerate(p.data):
                     pts = [local(x, y) for x, y in ring[:-1]]
                     dedup = [pt for i, pt in enumerate(pts)
                              if i == 0 or pt != pts[i - 1]]
@@ -382,6 +443,14 @@ def mvt_tiles_geoms(df: DataFrame, z: int, id_col: str = "id",
                         - dedup[(i + 1) % len(dedup)][0] * dedup[i][1]
                         for i in range(len(dedup)))
                     if len(dedup) >= 3 and area2 != 0:
+                        # MVT 2.1 winding: exterior rings POSITIVE
+                        # surveyor-formula area in tile (y-down)
+                        # coords, holes negative — the clip kernel
+                        # emits shells CCW in lon/lat, which the
+                        # y-flip turns negative, so reverse (keeping
+                        # the MoveTo start vertex stable)
+                        if (area2 > 0) != (ri == 0):
+                            dedup = [dedup[0]] + dedup[:0:-1]
                         rings.append(dedup)
             if rings:
                 feats.append((int(r.fid), 3, rings, {}))

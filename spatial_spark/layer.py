@@ -261,7 +261,14 @@ class Layer:
         → RTreeIndex.add, re-expressed as a bulk columnar write).
 
         Accepts one of: WKB `geom` column, `wkt` string column, or point
-        `x`/`y` columns (per layer encoder config)."""
+        `x`/`y` columns (per layer encoder config).  ``mode`` is
+        ``append`` or ``overwrite`` — the manifest-transactional write
+        path has no 'ignore'/'error(ifexists)' semantics, so anything
+        else refuses loudly rather than silently appending."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(
+                f"Layer.add mode must be 'append' or 'overwrite', "
+                f"got {mode!r}")
         meta = self.meta
         enc = meta["encoder"]
         if enc == ENC_POINT:

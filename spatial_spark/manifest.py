@@ -873,7 +873,10 @@ class Manifest:
             old = self._shard_doc(sh["name"])
             have = set(old["files"])
             rm_here = have & set(touched_rm)
-            add_left -= have                     # already-present adds
+            # already-present adds are consumed — EXCEPT names this
+            # same delta is removing (same-name replace): those must
+            # stay in add_left so the new shard re-adds them
+            add_left -= have - rm_here
             rm_left -= rm_here
             kept = [n for n in old["files"] if n not in rm_here]
             if len(kept) == len(old["files"]):

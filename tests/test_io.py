@@ -720,3 +720,129 @@ def test_mvt_polygon_tiling_with_clipping(spark):
     lon0, lat0, lon1, lat1 = _tile_envelope(1, 1, 0)
     assert abs(lon0 - 0.0) < 1e-9 and abs(lon1 - 180.0) < 1e-9
     assert abs(lat0 - 0.0) < 1e-9 and abs(lat1 - 85.05112878) < 1e-6
+
+
+def _ring_area2(ring):
+    """Twice the signed surveyor-formula area of an open ring."""
+    n = len(ring)
+    return sum(ring[i][0] * ring[(i + 1) % n][1]
+               - ring[(i + 1) % n][0] * ring[i][1] for i in range(n))
+
+
+def test_mvt_ring_winding_and_fastpath(spark):
+    """r13: MVT 2.1 ring orientation — exterior rings POSITIVE
+    surveyor-formula area in tile (y-down) integer coords, holes
+    negative — and the INCLUDE_ALL fast classification: interior
+    tiles of a large polygon skip the overlay kernel (classified
+    'inside' from the segment-bbox sweep + one point-in-polygon
+    test) yet still emit the full tile rectangle, byte-compatible
+    with what the exact clip would quantize to."""
+    from pyspark.sql import functions as F
+
+    from spatial_spark.functions.scalar import register_all, st_bbox
+    from spatial_spark.io.mvt import (_tile_classify, _tile_envelope,
+                                      decode_mvt, mvt_tiles_geoms)
+    register_all(spark)
+
+    # polygon lon -120..120 lat -60..60 with hole -40..40 / -30..30:
+    # covers most z=3 tiles; tile (5,3) (lon 45..90, lat 0..40.98) is
+    # strictly interior — no boundary segment near it
+    wkt = ("POLYGON ((-120 -60, 120 -60, 120 60, -120 60, -120 -60), "
+           "(-40 -30, 40 -30, 40 30, -40 30, -40 -30))")
+    df = (spark.createDataFrame([(1, wkt)], "id long, wkt string")
+          .withColumn("geom", F.expr("st_geomfromtext(wkt)"))
+          .withColumn("_bbox", st_bbox("geom"))
+          .select("id", "geom", "_bbox.xmin", "_bbox.ymin",
+                  "_bbox.xmax", "_bbox.ymax"))
+    ext = 256
+    tiles = {(r["tile_x"], r["tile_y"]):
+             decode_mvt(bytes(r["mvt"]))[0]
+             for r in mvt_tiles_geoms(df, 3, extent=ext).collect()}
+
+    # every decoded polygon: first ring positive area, rest negative
+    shells = 0
+    for layer in tiles.values():
+        for f in layer["features"]:
+            assert f["type"] == "polygon"
+            a0 = _ring_area2(f["parts"][0])
+            assert a0 > 0, "exterior ring must be positive-area"
+            shells += 1
+            for hole in f["parts"][1:]:
+                assert _ring_area2(hole) < 0
+    assert shells >= 10
+
+    # hole winding: at z=2 a hole strictly inside tile (1,1)
+    # (lon -90..0, lat 0..66.5) survives the clip as a second ring
+    wkt2 = ("POLYGON ((-120 -60, 120 -60, 120 60, -120 60, -120 -60), "
+            "(-80 10, -10 10, -10 50, -80 50, -80 10))")
+    df2 = (spark.createDataFrame([(2, wkt2)], "id long, wkt string")
+           .withColumn("geom", F.expr("st_geomfromtext(wkt)"))
+           .withColumn("_bbox", st_bbox("geom"))
+           .select("id", "geom", "_bbox.xmin", "_bbox.ymin",
+                   "_bbox.xmax", "_bbox.ymax"))
+    tiles2 = {(r["tile_x"], r["tile_y"]):
+              decode_mvt(bytes(r["mvt"]))[0]
+              for r in mvt_tiles_geoms(df2, 2, extent=ext).collect()}
+    f11 = tiles2[(1, 1)]["features"][0]
+    assert len(f11["parts"]) == 2
+    assert _ring_area2(f11["parts"][0]) > 0
+    assert _ring_area2(f11["parts"][1]) < 0, \
+        "interior ring must be negative-area"
+
+    # classification: (5,3) interior, (0,0) outside-ish corner tile
+    # (lon -180..-135 lat 66..85 — beyond the polygon), (2,3) boundary
+    # (contains the hole's west edge at lon -40)
+    from spatial_spark.geom.wkt import from_wkt
+    g = from_wkt(wkt)
+    assert _tile_classify(g, *_box4(3, 5, 3)) == "inside"
+    assert _tile_classify(g, *_box4(3, 0, 0)) == "outside"
+    assert _tile_classify(g, *_box4(3, 3, 3)) is None
+    # a tile strictly inside the HOLE classifies outside (center
+    # point-in-polygon honors holes) — hole spans lon/lat ±40/±30;
+    # z=5 tile (16, 16) = lon 0..11.25, lat -10.8..0: inside the hole
+    assert _tile_classify(g, *_box4(5, 16, 16)) == "outside"
+
+    # the interior tile's emitted geometry is the full tile rectangle
+    f = tiles[(5, 3)]["features"][0]
+    assert set(f["parts"][0]) == {(0, 0), (ext - 1, 0),
+                                  (ext - 1, ext - 1), (0, ext - 1)}
+
+
+def _box4(z, tx, ty):
+    from spatial_spark.io.mvt import _tile_envelope
+    return _tile_envelope(z, tx, ty)
+
+
+def test_mvt_linestring_tiling(spark):
+    """r13: LINESTRING features clip to tile envelopes (clip_line via
+    geom/clip.intersection) and pack as gtype-2 MVT features with the
+    same floor-quantization as polygons."""
+    from pyspark.sql import functions as F
+
+    from spatial_spark.functions.scalar import register_all, st_bbox
+    from spatial_spark.io.mvt import decode_mvt, mvt_tiles_geoms
+    register_all(spark)
+
+    # a line from (-90, 0) to (90, 40): crosses tiles (0,0) and (1,0)
+    # at z=1 (the lat>=0 half), entering (1,0) exactly at lon 0 lat 20
+    rows = [(7, "LINESTRING (-90 0, 90 40)")]
+    df = (spark.createDataFrame(rows, "id long, wkt string")
+          .withColumn("geom", F.expr("st_geomfromtext(wkt)"))
+          .withColumn("_bbox", st_bbox("geom"))
+          .select("id", "geom", "_bbox.xmin", "_bbox.ymin",
+                  "_bbox.xmax", "_bbox.ymax"))
+    tiles = {(r["tile_x"], r["tile_y"]):
+             decode_mvt(bytes(r["mvt"]))[0]
+             for r in mvt_tiles_geoms(df, 1, extent=64).collect()}
+    assert set(tiles) == {(0, 0), (1, 0)}
+    for key in tiles:
+        (f,) = tiles[key]["features"]
+        assert f["type"] == "linestring" and f["id"] == 7
+        assert len(f["parts"]) == 1 and len(f["parts"][0]) == 2
+    # endpoints: (-90, 0) is the mid-point of tile (0,0) in x and the
+    # bottom edge (equator, yn=0.5 -> py clamps to 63); lon 0 lat 20
+    # is the tile (1,0) entry at px=0
+    p00 = tiles[(0, 0)]["features"][0]["parts"][0]
+    assert p00[0] == (32, 63)
+    p10 = tiles[(1, 0)]["features"][0]["parts"][0]
+    assert p10[0][0] == 0 and p10[1][0] == 32

@@ -1926,3 +1926,38 @@ def test_commit_delta_range_less_shard_dedups_adds():
     io.files[path] = _json.dumps(doc).encode()
     man.commit_delta(add=["part-a", "part-c"])
     assert man.current() == (1, ["part-a", "part-b", "part-c"])
+
+
+def test_commit_delta_same_name_replace():
+    """r13 (ADVICE): a name appearing in BOTH add and remove of one
+    delta is a same-name replace — the snapshot must retain the name
+    (with the NEW stats), not silently drop it."""
+    from spatial_spark.manifest import Manifest
+    io = _FakeManifestIO()
+    man = Manifest("/mem/store", io=io)
+    man.commit(["part-a", "part-b"],
+               stats={"part-a": {"rows": 1}, "part-b": {"rows": 2}})
+    man.commit_delta(add=["part-a"], remove=["part-a"],
+                     stats={"part-a": {"rows": 9}})
+    epoch, files = man.current()
+    assert files == ["part-a", "part-b"]
+    import json as _json
+    doc = _json.loads(
+        io.read_text(f"/mem/store_manifest/manifest-{epoch}.json"))
+    st = {}
+    for sh in doc["shards"]:
+        st.update(man._shard_doc(sh["name"]).get("file_stats", {}))
+    assert st["part-a"]["rows"] == 9 and st["part-b"]["rows"] == 2
+
+
+def test_layer_add_mode_validation(ctx, spark):
+    """r13 (ADVICE): Layer.add only supports append/overwrite — the
+    manifest-transactional path can't honor 'ignore'/'error', so they
+    raise instead of silently appending."""
+    import pytest as _pytest
+    layer = ctx.create_layer("modeval_l", encoder="wkt")
+    df = spark.createDataFrame([(1, "POINT (1 2)")], "id long, wkt string")
+    with _pytest.raises(ValueError, match="append.*overwrite"):
+        layer.add(df, wkt="wkt", mode="ignore")
+    with _pytest.raises(ValueError, match="append.*overwrite"):
+        layer.add(df, wkt="wkt", mode="errorifexists")
