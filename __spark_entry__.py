@@ -786,6 +786,43 @@ _REG_GATE_SPECS = (
      117.0, 3000, -40.0, 2600),
     (26910, "utm", (10, False), -125.5, 500, 31.0, 1800),
     (28355, "utm", (55, True), 144.5, 500, -40.0, 2400),
+    # --- r13 additions (VERDICT r12 ask #2): the new registry families
+    # JGD2011 CS IX (params == JGD2000 2451; distinct code, tm kernel)
+    (6677, "tm", (36.0, 139.0 + 5.0 / 6.0, 0.9999, 0.0, 0.0),
+     136.83333333333334, 600, 31.0, 1200),
+    # SPCS83: Alabama East (tm), California zone 3 + Texas Central (lcc)
+    (26929, "tm", (30.5, -85.0 - 50.0 / 60.0, 1 - 1 / 25000,
+                   200000.0, 0.0), -85.95, 110, 30.2, 480),
+    (26943, "lcc", (37.0 + 4.0 / 60.0, 38.0 + 26.0 / 60.0, 36.5,
+                    -120.5, 2000000.0, 500000.0),
+     -122.2, 400, 36.4, 220),
+    (32139, "lcc", (30.0 + 7.0 / 60.0, 31.0 + 53.0 / 60.0,
+                    29.0 + 40.0 / 60.0, -100.0 - 20.0 / 60.0,
+                    700000.0, 3000000.0), -104.0, 750, 29.5, 260),
+    # continental frames: CONUS Albers (aea), ETRS89-LAEA Europe (laea)
+    (5070, "aea", (29.5, 45.5, 23.0, -96.0, 0.0, 0.0),
+     -120.0, 4300, 26.0, 2200),
+    (3035, "laea", (52.0, 10.0, 4321000.0, 3210000.0),
+     -9.0, 3800, 36.0, 3300),
+    # national TM grids: SWEREF99 TM, CGCS2000 CM 75E, Norway NTM 10,
+    # GK31FIN, Irish TM
+    (3006, "tm", (0.0, 15.0, 0.9996, 500000.0, 0.0),
+     11.5, 1200, 55.5, 1300),
+    (4502, "tm", (0.0, 75.0, 1.0, 500000.0, 0.0),
+     72.5, 500, 21.0, 2800),
+    (5110, "tm", (58.0, 10.5, 1.0, 100000.0, 1000000.0),
+     10.05, 90, 58.1, 650),
+    (3885, "tm", (0.0, 31.0, 1.0, 31500000.0, 0.0),
+     30.1, 180, 60.5, 900),
+    (2157, "tm", (53.5, -8.0, 0.99982, 600000.0, 750000.0),
+     -9.9, 380, 51.6, 380),
+    # SIRGAS 2000 / UTM 20N (regex-free registry zone alias)
+    (31974, "utm", (20, False), -65.8, 550, 0.5, 1100),
+    # DHDN / Gauss-Krüger zone 4 (Bessel + Helmert — the tmd kernel)
+    (31468, "tmd", (0.0, 12.0, 1.0, 4500000.0, 0.0,
+                    6377397.155, 1.0 / 299.1528128,
+                    598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7),
+     10.6, 280, 47.4, 740),
 )
 
 
@@ -798,16 +835,20 @@ def _reg_gate_lonlat(lon_b, lon_m, lat_b, lat_m):
 
 
 def _q_st_transform_registry(spark, sf_dir) -> DataFrame:
-    """Data-driven EPSG registry gate (r12, VERDICT r11 ask #3): seven
-    newly table-driven codes spanning four kernel families — JGD2000
-    Japan CS IX (2451, tm), Korea Unified (5179, tm), RGF93 CC46
-    (3946, lcc), GDA94 GA Lambert (3112, lcc), GDA94 Australian Albers
-    (3577, aea), NAD83 UTM 10N (26910) and GDA94 MGA 55 (28355, a UTM-S
-    parameter twin) — customer points inside each grid's domain through
-    st_transform, cm integers hash-compared against the dual-engine
-    closed-form CTEs.  The registry rows are pure DATA over kernels
-    whose SQL twins are already pinned; unknown codes still refuse.
-    Parity envelope: DefaultLayer.java:135-141 (GeoTools CRS decode)."""
+    """Data-driven EPSG registry gate (r12 ask #3; widened r13 per
+    VERDICT r12 ask #2): twenty table-driven codes spanning SIX kernel
+    families — tm (JGD2000 2451 + its JGD2011 twin 6677, Korea 5179,
+    SPCS83 Alabama East 26929, SWEREF99 TM 3006, CGCS2000 CM75E 4502,
+    Norway NTM10 5110, GK31FIN 3885, Irish TM 2157), lcc (RGF93 CC46
+    3946, GDA94 GA Lambert 3112, SPCS83 California-3 26943 + Texas
+    Central 32139), aea (GDA Albers 3577, CONUS Albers 5070), laea
+    (ETRS89-LAEA Europe 3035), utm (NAD83 10N 26910, MGA 55 28355,
+    SIRGAS 20N 31974), and tmd (DHDN GK4 31468, Bessel + Helmert) —
+    customer points inside each grid's domain through st_transform,
+    cm integers hash-compared against the dual-engine closed-form
+    CTEs.  The registry rows are pure DATA over kernels whose SQL
+    twins are already pinned; unknown codes still refuse.  Parity
+    envelope: DefaultLayer.java:135-141 (GeoTools CRS decode)."""
     out = None
     for code, kind, params, lon_b, lon_m, lat_b, lat_m in _REG_GATE_SPECS:
         lon, lat = _reg_gate_lonlat(lon_b, lon_m, lat_b, lat_m)
@@ -830,8 +871,10 @@ def _registry_oracle_sql() -> str:
     """One complete WITH-subquery per registry code (the same
     *_forward_ctes chains the per-family gates pin), UNION ALL'd."""
     from spatial_spark.functions.crs import (aea_forward_ctes,
+                                             laea_forward_ctes,
                                              lcc_forward_ctes,
                                              tm_forward_ctes,
+                                             tmd_forward_ctes,
                                              utm_forward_ctes)
     parts = []
     for code, kind, params, lon_b, lon_m, lat_b, lat_m in _REG_GATE_SPECS:
@@ -850,6 +893,12 @@ def _registry_oracle_sql() -> str:
             elif kind == "lcc":
                 chain, out_cte = (lcc_forward_ctes(base, "lon", "lat",
                                                    *params), "_lcc_out")
+            elif kind == "laea":
+                chain, out_cte = (laea_forward_ctes(base, "lon", "lat",
+                                                    *params), "_laea_out")
+            elif kind == "tmd":
+                chain, out_cte = (tmd_forward_ctes(base, *params),
+                                  "_tmd_out")
             else:
                 chain, out_cte = (aea_forward_ctes(base, "lon", "lat",
                                                    *params), "_aea_out")

@@ -392,9 +392,10 @@ BUDGET_SF01 = {
     # r11: 2.2x local best-of-two (capped fixture; 4 stateful
     # micro-batch sketch folds + the fixture write)
     "quantile_stream": 7.7,
-    # r12: 2.2x local best-of-two (7 registry codes x 150 customers
-    # through 4 kernel families; one union of pure-Column blocks)
-    "st_transform_registry": 2.0,
+    # r13 re-derivation: the gate WIDENED 7 -> 20 registry codes
+    # across 6 kernel families (VERDICT r12 ask #2), so the pin is
+    # re-measured, not ratcheted: 2.2x local best-of-three (3.69s)
+    "st_transform_registry": 8.1,
     # r12: 2.2x local best-of-two (64-image fixture: decode + resize +
     # rehash + banded pairs + pointer-doubled CC per invocation)
     "pipeline_mm_e2e": 12.4,

@@ -289,6 +289,283 @@ EPSG_REGISTRY["31370"] = ("lccd:" + ":".join(repr(v) for v in (
     51.16666723, 49.8333339, 90.0, 4.367486666666666,
     150000.013, 5400088.438, INTL24_A, INTL24_F, *BD72_HELMERT)))
 
+
+def _dms(d: float, m: float = 0.0, s: float = 0.0) -> float:
+    """Signed degrees-minutes-seconds → decimal degrees (sign on d)."""
+    sgn = -1.0 if d < 0 else 1.0
+    return sgn * (abs(d) + m / 60.0 + s / 3600.0)
+
+
+# ---------------------------------------------------------------------
+# r13 (VERDICT r12 ask #2): MECHANICAL REGISTRY COMPLETION — several
+# hundred additional published EPSG codes, all pure table data over the
+# kernels above (tm/lcc/aea/laea/utm/tmd).  Datum policy unchanged:
+# every non-tmd entry is a WGS84-family frame (GRS80-class ellipsoid,
+# realization within cm of WGS84 — NAD83, ETRS89, RGF93, SWEREF99,
+# CGCS2000, NZGD2000, SIRGAS2000, JGD2011), so no shift applies and the
+# pinned dual-engine kernels carry each code byte-for-byte.  Sources:
+# the public EPSG dataset parameter tables; SPCS83 zone constants per
+# NOAA Manual NOS NGS 5 Appendix A.  Unknown codes STILL refuse.
+
+# JGD2011 (EPSG 6669-6687): Japan Plane Rectangular CS I-XIX on the
+# JGD2011 frame — projection parameters IDENTICAL to JGD2000; the 2011
+# realization moved the datum epoch, not the grid definitions.
+for _i in range(19):
+    EPSG_REGISTRY[str(6669 + _i)] = EPSG_REGISTRY[str(2443 + _i)]
+
+# NAD83 State Plane (SPCS83, metre-based codes) — Transverse Mercator
+# zones: code -> (lat0, lon0, k0, FE, FN).  k0 written as the exact
+# 1 - 1/x the SPCS83 tables define.
+_SPCS_TM = {
+    26929: (_dms(30, 30), _dms(-85, 50), 1 - 1 / 25000, 200000.0, 0.0),
+    26930: (30.0, -87.5, 1 - 1 / 15000, 600000.0, 0.0),
+    # Alaska zones 2-9: CM = -142 - 4*(zone-2), lat0 54, 1/10000
+    **{26930 + _z: (54.0, -142.0 - 4.0 * (_z - 2), 1 - 1 / 10000,
+                    500000.0, 0.0) for _z in range(2, 10)},
+    26948: (31.0, _dms(-110, 10), 1 - 1 / 10000, 213360.0, 0.0),
+    26949: (31.0, _dms(-111, 55), 1 - 1 / 10000, 213360.0, 0.0),
+    26950: (31.0, _dms(-113, 45), 1 - 1 / 15000, 213360.0, 0.0),
+    26957: (38.0, _dms(-75, 25), 1 - 1 / 200000, 200000.0, 0.0),
+    26958: (_dms(24, 20), -81.0, 1 - 1 / 17000, 200000.0, 0.0),
+    26959: (_dms(24, 20), -82.0, 1 - 1 / 17000, 200000.0, 0.0),
+    26961: (_dms(18, 50), -155.5, 1 - 1 / 30000, 500000.0, 0.0),
+    26962: (_dms(20, 20), _dms(-156, 40), 1 - 1 / 30000, 500000.0, 0.0),
+    26963: (_dms(21, 10), -158.0, 1 - 1 / 100000, 500000.0, 0.0),
+    26964: (_dms(21, 50), -159.5, 1 - 1 / 100000, 500000.0, 0.0),
+    26965: (_dms(21, 40), _dms(-160, 10), 1.0, 500000.0, 0.0),
+    26966: (30.0, _dms(-82, 10), 1 - 1 / 10000, 200000.0, 0.0),
+    26967: (30.0, _dms(-84, 10), 1 - 1 / 10000, 700000.0, 0.0),
+    26968: (_dms(41, 40), _dms(-112, 10), 1 - 1 / 19000, 200000.0, 0.0),
+    26969: (_dms(41, 40), -114.0, 1 - 1 / 19000, 500000.0, 0.0),
+    26970: (_dms(41, 40), -115.75, 1 - 1 / 15000, 800000.0, 0.0),
+    26971: (_dms(36, 40), _dms(-88, 20), 1 - 1 / 40000, 300000.0, 0.0),
+    26972: (_dms(36, 40), _dms(-90, 10), 1 - 1 / 17000, 700000.0, 0.0),
+    26973: (37.5, _dms(-85, 40), 1 - 1 / 30000, 100000.0, 250000.0),
+    26974: (37.5, _dms(-87, 5), 1 - 1 / 30000, 900000.0, 250000.0),
+    26983: (_dms(43, 40), -68.5, 1 - 1 / 10000, 300000.0, 0.0),
+    26984: (_dms(42, 50), _dms(-70, 10), 1 - 1 / 30000, 900000.0, 0.0),
+    26994: (29.5, _dms(-88, 50), 1 - 1 / 20000, 300000.0, 0.0),
+    26995: (29.5, _dms(-90, 20), 1 - 1 / 20000, 700000.0, 0.0),
+    26996: (_dms(35, 50), -90.5, 1 - 1 / 15000, 250000.0, 0.0),
+    26997: (_dms(35, 50), -92.5, 1 - 1 / 15000, 500000.0, 0.0),
+    26998: (_dms(36, 10), -94.5, 1 - 1 / 17000, 850000.0, 0.0),
+    32107: (34.75, _dms(-115, 35), 1 - 1 / 10000, 200000.0, 8000000.0),
+    32108: (34.75, _dms(-116, 40), 1 - 1 / 10000, 500000.0, 6000000.0),
+    32109: (34.75, _dms(-118, 35), 1 - 1 / 10000, 800000.0, 4000000.0),
+    32110: (42.5, _dms(-71, 40), 1 - 1 / 30000, 300000.0, 0.0),
+    32111: (_dms(38, 50), -74.5, 1 - 1 / 10000, 150000.0, 0.0),
+    32112: (31.0, _dms(-104, 20), 1 - 1 / 11000, 165000.0, 0.0),
+    32113: (31.0, -106.25, 1 - 1 / 10000, 500000.0, 0.0),
+    32114: (31.0, _dms(-107, 50), 1 - 1 / 12000, 830000.0, 0.0),
+    32115: (_dms(38, 50), -74.5, 1 - 1 / 10000, 150000.0, 0.0),
+    32116: (40.0, _dms(-76, 35), 1 - 1 / 16000, 250000.0, 0.0),
+    32117: (40.0, _dms(-78, 35), 1 - 1 / 16000, 350000.0, 0.0),
+    32130: (_dms(41, 5), -71.5, 1 - 1 / 160000, 100000.0, 0.0),
+    32145: (42.5, -72.5, 1 - 1 / 28000, 500000.0, 0.0),
+    32155: (40.5, _dms(-105, 10), 1 - 1 / 16000, 200000.0, 0.0),
+    32156: (40.5, _dms(-107, 20), 1 - 1 / 16000, 400000.0, 100000.0),
+    32157: (40.5, _dms(-108, 45), 1 - 1 / 16000, 600000.0, 0.0),
+    32158: (40.5, _dms(-110, 5), 1 - 1 / 16000, 800000.0, 100000.0),
+}
+for _code, (_la0, _lo0, _k0, _fe, _fn) in _SPCS_TM.items():
+    EPSG_REGISTRY[str(_code)] = \
+        f"tm:{_la0!r}:{_lo0!r}:{_k0!r}:{_fe!r}:{_fn!r}"
+
+# NAD83 State Plane — Lambert Conformal Conic (2SP) zones:
+# code -> (lat1, lat2, lat0, lon0, FE, FN).
+_SPCS_LCC = {
+    26940: (_dms(51, 50), _dms(53, 50), 51.0, -176.0, 1000000.0, 0.0),
+    26941: (40.0, _dms(41, 40), _dms(39, 20), -122.0,
+            2000000.0, 500000.0),
+    26942: (_dms(38, 20), _dms(39, 50), _dms(37, 40), -122.0,
+            2000000.0, 500000.0),
+    26943: (_dms(37, 4), _dms(38, 26), 36.5, -120.5,
+            2000000.0, 500000.0),
+    26944: (36.0, _dms(37, 15), _dms(35, 20), -119.0,
+            2000000.0, 500000.0),
+    26945: (_dms(34, 2), _dms(35, 28), 33.5, -118.0,
+            2000000.0, 500000.0),
+    26946: (_dms(32, 47), _dms(33, 53), _dms(32, 10), -116.25,
+            2000000.0, 500000.0),
+    26951: (_dms(34, 56), _dms(36, 14), _dms(34, 20), -92.0,
+            400000.0, 0.0),
+    26952: (_dms(33, 18), _dms(34, 46), _dms(32, 40), -92.0,
+            400000.0, 400000.0),
+    26953: (_dms(39, 43), _dms(40, 47), _dms(39, 20), -105.5,
+            914401.8289, 304800.6096),
+    26954: (_dms(38, 27), _dms(39, 45), _dms(37, 50), -105.5,
+            914401.8289, 304800.6096),
+    26955: (_dms(37, 14), _dms(38, 26), _dms(36, 40), -105.5,
+            914401.8289, 304800.6096),
+    26956: (_dms(41, 12), _dms(41, 52), _dms(40, 50), -72.75,
+            304800.6096, 152400.3048),
+    26960: (_dms(29, 35), _dms(30, 45), 29.0, -84.5, 600000.0, 0.0),
+    26975: (_dms(42, 4), _dms(43, 16), 41.5, -93.5,
+            1500000.0, 1000000.0),
+    26976: (_dms(40, 37), _dms(41, 47), 40.0, -93.5, 500000.0, 0.0),
+    26977: (_dms(38, 43), _dms(39, 47), _dms(38, 20), -98.0,
+            400000.0, 0.0),
+    26978: (_dms(37, 16), _dms(38, 34), _dms(36, 40), -98.5,
+            400000.0, 400000.0),
+    26979: (_dms(37, 58), _dms(38, 58), 37.5, -84.25, 500000.0, 0.0),
+    26980: (_dms(36, 44), _dms(37, 56), _dms(36, 20), -85.75,
+            500000.0, 500000.0),
+    26981: (_dms(31, 10), _dms(32, 40), 30.5, -92.5, 1000000.0, 0.0),
+    26982: (_dms(29, 18), _dms(30, 42), 28.5, _dms(-91, 20),
+            1000000.0, 0.0),
+    26985: (_dms(38, 18), _dms(39, 27), _dms(37, 40), -77.0,
+            400000.0, 0.0),
+    26986: (_dms(41, 43), _dms(42, 41), 41.0, -71.5,
+            200000.0, 750000.0),
+    26987: (_dms(41, 17), _dms(41, 29), 41.0, -70.5, 500000.0, 0.0),
+    26988: (_dms(45, 29), _dms(47, 5), _dms(44, 47), -87.0,
+            8000000.0, 0.0),
+    26989: (_dms(44, 11), _dms(45, 42), _dms(43, 19), _dms(-84, 22),
+            6000000.0, 0.0),
+    26990: (_dms(42, 6), _dms(43, 40), 41.5, _dms(-84, 22),
+            4000000.0, 0.0),
+    26991: (_dms(47, 2), _dms(48, 38), 46.5, _dms(-93, 6),
+            800000.0, 100000.0),
+    26992: (_dms(45, 37), _dms(47, 3), 45.0, -94.25,
+            800000.0, 100000.0),
+    26993: (_dms(43, 47), _dms(45, 13), 43.0, -94.0,
+            800000.0, 100000.0),
+    32100: (45.0, 49.0, 44.25, -109.5, 600000.0, 0.0),
+    32104: (40.0, 43.0, _dms(39, 50), -100.0, 500000.0, 0.0),
+    32118: (_dms(40, 40), _dms(41, 2), _dms(40, 10), -74.0,
+            300000.0, 0.0),
+    32119: (_dms(34, 20), _dms(36, 10), 33.75, -79.0, 609601.22, 0.0),
+    32120: (_dms(47, 26), _dms(48, 44), 47.0, -100.5, 600000.0, 0.0),
+    32121: (_dms(46, 11), _dms(47, 29), _dms(45, 40), -100.5,
+            600000.0, 0.0),
+    32122: (_dms(40, 26), _dms(41, 42), _dms(39, 40), -82.5,
+            600000.0, 0.0),
+    32123: (_dms(38, 44), _dms(40, 2), 38.0, -82.5, 600000.0, 0.0),
+    32124: (_dms(35, 34), _dms(36, 46), 35.0, -98.0, 600000.0, 0.0),
+    32125: (_dms(33, 56), _dms(35, 14), _dms(33, 20), -98.0,
+            600000.0, 0.0),
+    32126: (_dms(44, 20), 46.0, _dms(43, 40), -120.5,
+            2500000.0, 0.0),
+    32127: (_dms(42, 20), 44.0, _dms(41, 40), -120.5,
+            1500000.0, 0.0),
+    32128: (_dms(40, 53), _dms(41, 57), _dms(40, 10), -77.75,
+            600000.0, 0.0),
+    32129: (_dms(39, 56), _dms(40, 58), _dms(39, 20), -77.75,
+            600000.0, 0.0),
+    32133: (32.5, _dms(34, 50), _dms(31, 50), -81.0, 609600.0, 0.0),
+    32134: (_dms(44, 25), _dms(45, 41), _dms(43, 50), -100.0,
+            600000.0, 0.0),
+    32135: (_dms(42, 50), _dms(44, 24), _dms(42, 20), _dms(-100, 20),
+            600000.0, 0.0),
+    32136: (_dms(35, 15), _dms(36, 25), _dms(34, 20), -86.0,
+            600000.0, 0.0),
+    32137: (_dms(34, 39), _dms(36, 11), 34.0, -101.5,
+            200000.0, 1000000.0),
+    32138: (_dms(32, 8), _dms(33, 58), _dms(31, 40), -98.5,
+            600000.0, 2000000.0),
+    32139: (_dms(30, 7), _dms(31, 53), _dms(29, 40), _dms(-100, 20),
+            700000.0, 3000000.0),
+    32140: (_dms(28, 23), _dms(30, 17), _dms(27, 50), -99.0,
+            600000.0, 4000000.0),
+    32141: (_dms(26, 10), _dms(27, 50), _dms(25, 40), -98.5,
+            300000.0, 5000000.0),
+    32142: (_dms(40, 43), _dms(41, 47), _dms(40, 20), -111.5,
+            500000.0, 1000000.0),
+    32143: (_dms(39, 1), _dms(40, 39), _dms(38, 20), -111.5,
+            500000.0, 2000000.0),
+    32144: (_dms(37, 13), _dms(38, 21), _dms(36, 40), -111.5,
+            500000.0, 3000000.0),
+    32146: (_dms(38, 2), _dms(39, 12), _dms(37, 40), -78.5,
+            3500000.0, 2000000.0),
+    32147: (_dms(36, 46), _dms(37, 58), _dms(36, 20), -78.5,
+            3500000.0, 1000000.0),
+    32148: (47.5, _dms(48, 44), 47.0, _dms(-120, 50),
+            500000.0, 0.0),
+    32149: (_dms(45, 50), _dms(47, 20), _dms(45, 20), -120.5,
+            500000.0, 0.0),
+    32150: (39.0, _dms(40, 15), 38.5, -79.5, 600000.0, 0.0),
+    32151: (_dms(37, 29), _dms(38, 53), 37.0, -81.0, 600000.0, 0.0),
+    32152: (_dms(45, 34), _dms(46, 46), _dms(45, 10), -90.0,
+            600000.0, 0.0),
+    32153: (44.25, 45.5, _dms(43, 50), -90.0, 600000.0, 0.0),
+    32154: (_dms(42, 44), _dms(44, 4), 42.0, -90.0, 600000.0, 0.0),
+    3088: (_dms(37, 5), _dms(38, 40), _dms(36, 20), -85.75,
+           1500000.0, 1000000.0),
+}
+for _code, (_l1, _l2, _la0, _lo0, _fe, _fn) in _SPCS_LCC.items():
+    EPSG_REGISTRY[str(_code)] = \
+        f"lcc:{_l1!r}:{_l2!r}:{_la0!r}:{_lo0!r}:{_fe!r}:{_fn!r}"
+
+# Continental equal-area / conformal frames on WGS84-family datums.
+EPSG_REGISTRY["5070"] = "aea:29.5:45.5:23.0:-96.0:0.0:0.0"  # CONUS Albers
+EPSG_REGISTRY["3005"] = "aea:50.0:58.5:45.0:-126.0:1000000.0:0.0"  # BC
+EPSG_REGISTRY["3338"] = "aea:55.0:65.0:50.0:-154.0:0.0:0.0"  # AK Albers
+EPSG_REGISTRY["3978"] = "lcc:49.0:77.0:49.0:-95.0:0.0:0.0"  # Canada Atlas
+EPSG_REGISTRY["3979"] = EPSG_REGISTRY["3978"]     # NAD83(CSRS) twin
+# (2154 / 3034 / 3035 / 5070 / 2193 / 2180 already live in _EPSG_CONIC)
+EPSG_REGISTRY["2157"] = \
+    "tm:53.5:-8.0:0.99982:600000.0:750000.0"        # IRENET95 / ITM
+EPSG_REGISTRY["3083"] = \
+    "aea:27.5:35.0:18.0:-100.0:1500000.0:6000000.0"  # TX Centric Albers
+EPSG_REGISTRY["3082"] = \
+    "lcc:27.5:35.0:18.0:-100.0:1500000.0:5000000.0"  # TX Centric LCC
+
+# Poland PL-2000 zones (PL-1992 = 2180 already in _EPSG_CONIC).
+for _z in range(5, 9):     # 2176-2179 = CS2000 zones 5..8 (CM 15..24)
+    EPSG_REGISTRY[str(2171 + _z)] = (
+        f"tm:0.0:{3.0 * _z!r}:0.999923:{_z * 1000000.0 + 500000.0!r}:0.0")
+
+# Sweden: SWEREF99 TM (3006) + the 12 local dd mm zones (3007-3018),
+# k0 = 1, FE 150 000, FN 0, CM per the published zone list.
+EPSG_REGISTRY["3006"] = "tm:0.0:15.0:0.9996:500000.0:0.0"
+for _code, _cm in ((3007, 12.0), (3008, 13.5), (3009, 15.0),
+                   (3010, 16.5), (3011, 18.0), (3012, 14.25),
+                   (3013, 15.75), (3014, 17.25), (3015, 18.75),
+                   (3016, 20.25), (3017, 21.75), (3018, 23.25)):
+    EPSG_REGISTRY[str(_code)] = f"tm:0.0:{_cm!r}:1.0:150000.0:0.0"
+
+# Norway: ETRS89 / NTM zones 5-30 (EPSG 5105-5130): lat0 58, CM
+# zone + 0.5, k0 = 1, FE 100 000, FN 1 000 000.
+for _z in range(5, 31):
+    EPSG_REGISTRY[str(5100 + _z)] = \
+        f"tm:58.0:{_z + 0.5!r}:1.0:100000.0:1000000.0"
+
+# Finland: ETRS89 / GK19FIN..GK31FIN (EPSG 3873-3885): lat0 0, CM
+# 19..31, k0 = 1, FE = CM * 1e6 + 500 000.
+for _cm in range(19, 32):
+    EPSG_REGISTRY[str(3854 + _cm)] = \
+        f"tm:0.0:{float(_cm)!r}:1.0:{_cm * 1000000.0 + 500000.0!r}:0.0"
+
+# China: CGCS2000 / Gauss-Krüger (CGCS2000 is WGS84-family GRS80-class:
+# 1/f = 298.257222101).  4491-4501 = zones 13-23 (zone-prefixed FE),
+# 4502-4512 = CM 75E..135E (FE 500 000); 6-degree zones, CM = 6z - 3.
+for _z in range(13, 24):
+    EPSG_REGISTRY[str(4478 + _z)] = (
+        f"tm:0.0:{6.0 * _z - 3.0!r}:1.0:{_z * 1000000.0 + 500000.0!r}:0.0")
+for _i, _cm in enumerate(range(75, 136, 6)):
+    EPSG_REGISTRY[str(4502 + _i)] = \
+        f"tm:0.0:{float(_cm)!r}:1.0:500000.0:0.0"
+
+# SIRGAS 2000 / UTM (GRS80): 31965-31976 = zones 11N-22N,
+# 31977-31985 = zones 17S-25S.
+for _z in range(11, 23):
+    EPSG_REGISTRY[str(31954 + _z)] = f"utm:{_z}:n"
+for _z in range(17, 26):
+    EPSG_REGISTRY[str(31960 + _z)] = f"utm:{_z}:s"
+
+# Germany: DHDN / 3-degree Gauss-Krüger zones 2-5 (EPSG 31466-31469) —
+# Bessel 1841 + the published position-vector Helmert DHDN→WGS84
+# (EPSG tfm 1777: 598.1, 73.7, 418.2 m; 0.202", 0.045", -2.455";
+# 6.7 ppm — the documented ~3 m national class, same contract as the
+# NAD27/Pulkovo tiers).  CM = 3z, FE = z * 1e6 + 500 000, k0 = 1.
+BESSEL_A = 6377397.155
+BESSEL_F = 1.0 / 299.1528128
+DHDN_HELMERT = (598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7)
+for _z in range(2, 6):
+    EPSG_REGISTRY[str(31464 + _z)] = ("tmd:" + ":".join(
+        repr(v) for v in (0.0, 3.0 * _z, 1.0, _z * 1000000.0 + 500000.0,
+                          0.0, BESSEL_A, BESSEL_F, *DHDN_HELMERT)))
+
 # Zone families resolved by regex (parameter-identical to UTM zones):
 #   26901-26923  NAD83 / UTM 1N-23N      (GRS80 — WGS84-family)
 #   28348-28358  GDA94 / MGA zones 48-58 (southern TM, k0/FE/FN = UTM S)
@@ -321,6 +598,35 @@ def list_supported_epsg() -> dict:
         "2056": "CH1903+ / LV95",
         "31370": "Belge 1972 / Belgian Lambert 72 (Intl 1924 + "
                  "Helmert, LCC 2SP)",
+        # r13 mechanical completion — the registry families:
+        ("6669", "6687"): "JGD2011 / Japan Plane Rectangular CS I-XIX",
+        ("26929", "26998"): "NAD83 / SPCS83 state-plane (TM + LCC "
+                            "zones, metre codes; AK zone 1 26931 "
+                            "(oblique Mercator) refuses)",
+        ("32100", "32158"): "NAD83 / SPCS83 state-plane (TM + LCC "
+                            "zones, metre codes; codes absent from "
+                            "EPSG refuse)",
+        "3088": "NAD83 / Kentucky Single Zone",
+        "5070": "NAD83 / Conus Albers", "3338": "NAD83 / Alaska Albers",
+        "3005": "NAD83 / BC Albers",
+        ("3978", "3979"): "NAD83(+CSRS) / Canada Atlas Lambert",
+        ("3082", "3083"): "NAD83 / Texas Centric (LCC + Albers)",
+        "2154": "RGF93 / Lambert-93",
+        "3034": "ETRS89-extended / LCC Europe",
+        "3035": "ETRS89-extended / LAEA Europe",
+        "2157": "IRENET95 / Irish Transverse Mercator",
+        "2193": "NZGD2000 / New Zealand TM 2000",
+        "2180": "ETRS89 / Poland CS92",
+        ("2176", "2179"): "ETRS89 / Poland CS2000 zones 5-8",
+        ("3006", "3018"): "SWEREF99 TM + dd mm zones",
+        ("5105", "5130"): "ETRS89 / Norway NTM zones 5-30",
+        ("3873", "3885"): "ETRS89 / GK19FIN-GK31FIN",
+        ("4491", "4501"): "CGCS2000 / Gauss-Krüger zones 13-23",
+        ("4502", "4512"): "CGCS2000 / Gauss-Krüger CM 75E-135E",
+        ("31965", "31976"): "SIRGAS 2000 / UTM 11N-22N",
+        ("31977", "31985"): "SIRGAS 2000 / UTM 17S-25S",
+        ("31466", "31469"): "DHDN / 3-degree Gauss-Krüger zones 2-5 "
+                            "(Bessel + Helmert)",
     }
     for k, v in EPSG_REGISTRY.items():
         if k not in out:
@@ -379,6 +685,18 @@ def _frame(crs) -> str:
         return _EPSG_SOD[key]
     if key in _EPSG_SOC:
         return _EPSG_SOC[key]
+    if s.startswith("utm:"):
+        # canonical utm:<zone>:<n|s> token (registry zone aliases —
+        # e.g. SIRGAS 2000 / UTM — resolve recursively through here)
+        parts = s.split(":")
+        if (len(parts) != 3 or not parts[1].isdigit()
+                or parts[2] not in ("n", "s")):
+            raise ValueError(f"st_transform: malformed frame {crs!r} "
+                             "(utm:<zone>:<n|s>)")
+        zone = int(parts[1])
+        if not 1 <= zone <= 60:
+            raise ValueError(f"st_transform: UTM zone {zone} out of 1..60")
+        return f"utm:{zone}:{parts[2]}"
     if s.startswith(("lcc:", "psb:", "psa:", "laea:", "tm:", "aea:",
                      "tmd:", "sod:", "soc:", "lccd:")):
         kind, *parts = s.split(":")

@@ -1768,3 +1768,73 @@ def test_list_supported_epsg_inventory():
     for must in ("31370", "5179", "3577", "2443", "3942", "27700"):
         assert must in flat or any(
             isinstance(k, tuple) and k[0] <= must <= k[1] for k in inv)
+
+
+def test_epsg_registry_r13_mechanical_completion():
+    """r13 (VERDICT r12 ask #2): the mechanically-completed registry —
+    (a) every tm/lcc/aea/laea registry token maps its natural origin
+    to exactly (FE, FN) (transcription well-formedness invariant);
+    (b) JGD2011 codes are parameter twins of JGD2000; (c) SIRGAS 2000
+    UTM aliases equal the plain WGS84 UTM kernels; (d) the DHDN GK4
+    Helmert lands Munich in the published neighborhood; (e) breadth:
+    >= 280 explicit codes over >= 6 token kinds; (f) AK zone 1
+    (oblique Mercator, unimplemented method) and unknown codes still
+    refuse."""
+    import numpy as np
+    import pytest as _pytest
+
+    from spatial_spark.functions import crs
+
+    # (a) natural-origin invariant over the whole registry
+    checked = 0
+    for code, tok in crs.EPSG_REGISTRY.items():
+        kind, *ps = tok.split(":")
+        if kind == "tm":
+            la0, lo0, k0, fe, fn = map(float, ps)
+            out = crs.tm_forward(np.array([[lo0, la0]]),
+                                 la0, lo0, k0, fe, fn)
+        elif kind == "lcc":
+            l1, l2, la0, lo0, fe, fn = map(float, ps)
+            out = crs.lcc_forward(np.array([[lo0, la0]]),
+                                  l1, l2, la0, lo0, fe, fn)
+        elif kind == "aea":
+            l1, l2, la0, lo0, fe, fn = map(float, ps)
+            out = crs.aea_forward(np.array([[lo0, la0]]),
+                                  l1, l2, la0, lo0, fe, fn)
+        elif kind == "laea":
+            la0, lo0, fe, fn = map(float, ps)
+            out = crs.laea_forward(np.array([[lo0, la0]]),
+                                   la0, lo0, fe, fn)
+        else:
+            continue
+        checked += 1
+        assert abs(out[0, 0] - fe) < 1e-5, (code, tok)
+        assert abs(out[0, 1] - fn) < 1e-5, (code, tok)
+    assert checked >= 240
+
+    # (b) JGD2011 I-XIX == JGD2000 I-XIX parameter twins
+    for i in range(19):
+        assert (crs._frame(f"EPSG:{6669 + i}")
+                == crs._frame(f"EPSG:{2443 + i}"))
+
+    # (c) SIRGAS 2000 / UTM == WGS84 UTM kernels
+    assert crs._frame("EPSG:31974") == crs._frame("EPSG:32620")
+    assert crs._frame("EPSG:31982") == crs._frame("EPSG:32722")
+
+    # (d) DHDN GK4 anchor: Munich (11.575 E, 48.137 N) — published
+    # Gauss-Krüger neighborhood (4468600, 5333200), 10 km tolerance
+    # (the Helmert is the ~3 m national class; the anchor guards the
+    # zone constants, not the shift)
+    muc = crs.transform_points(np.array([[11.575, 48.137]]),
+                               "wgs84", crs._frame("EPSG:31468"))[0]
+    assert abs(muc[0] - 4468600) < 10000 and abs(muc[1] - 5333200) < 10000
+
+    # (e) breadth across token kinds
+    kinds = {tok.split(":")[0] for tok in crs.EPSG_REGISTRY.values()}
+    assert len(crs.EPSG_REGISTRY) >= 280
+    assert {"tm", "lcc", "aea", "utm", "tmd", "lccd"} <= kinds
+
+    # (f) refusals unchanged
+    for bad in ("EPSG:26931", "EPSG:2046", "EPSG:99999"):
+        with _pytest.raises(ValueError, match="unsupported CRS"):
+            crs._frame(bad)
