@@ -251,6 +251,33 @@ class Layer:
                 r = rng(col)
                 if r is not None:
                     st[key] = float(r[1] if hi else r[0])
+            # r13 (VERDICT r12 ask #5): ATTRIBUTE-range stats — min/max
+            # for NUMERIC non-core columns (capped, schema order) so
+            # property predicates (FilterProperty / CQL comparisons)
+            # prune whole shards from the manifest list exactly like
+            # spatial windows do.  Numeric only: parquet string stats
+            # may be writer-truncated; numeric min/max are exact.
+            core = {"id", "geom", "gtype", "xmin", "ymin", "xmax",
+                    "ymax", "zkey"}
+            n_attr = 0
+            for i in range(md.num_columns):
+                c = md.schema.column(i)
+                if (c.name in core or not c.name.isidentifier()
+                        or c.physical_type not in
+                        ("INT32", "INT64", "FLOAT", "DOUBLE")):
+                    continue
+                if n_attr >= 12:        # bound the shard-doc size
+                    break
+                r = rng(c.name)
+                if r is None:
+                    continue
+                try:
+                    lo, hi_v = float(r[0]), float(r[1])
+                except (TypeError, ValueError):
+                    continue
+                st[f"amin:{c.name}"] = lo
+                st[f"amax:{c.name}"] = hi_v
+                n_attr += 1
             out[n] = st
         return out
 
@@ -987,15 +1014,40 @@ class Layer:
         are always included, and the exact window predicate still runs
         in the plan — pruning only shrinks the file list, never the
         answer."""
-        ws = windows if isinstance(windows, list) else [windows]
+        return self.df_pruned(windows=windows)
+
+    def df_pruned(self, windows=None, props: dict | None = None
+                  ) -> DataFrame:
+        """Snapshot read pruned at the manifest list by spatial
+        windows AND/OR attribute ranges.  ``props`` maps a column name
+        to a ``(lo, hi)`` bound (either side None for unbounded); a
+        shard is skipped when its aggregate ``amin:<col>``/
+        ``amax:<col>`` stats prove the range empty — the FilterProperty
+        analogue of the window descent, decided from the manifest list
+        alone (r13, VERDICT r12 ask #5).  Shards without the stat are
+        always included; the exact predicate still runs in the plan —
+        pruning only shrinks the file list, never the answer."""
+        ws = (windows if isinstance(windows, list) else [windows]) \
+            if windows is not None else None
+        pb = {k: v for k, v in (props or {}).items()
+              if v is not None and (v[0] is not None
+                                    or v[1] is not None)}
 
         def keep(stats: dict) -> bool:
-            if not all(k in stats for k in
-                       ("xmin", "ymin", "xmax", "ymax")):
-                return True
-            return any(stats["xmin"] <= w[2] and stats["xmax"] >= w[0]
-                       and stats["ymin"] <= w[3] and stats["ymax"] >= w[1]
-                       for w in ws)
+            if ws is not None and all(
+                    k in stats for k in ("xmin", "ymin", "xmax", "ymax")):
+                if not any(stats["xmin"] <= w[2] and stats["xmax"] >= w[0]
+                           and stats["ymin"] <= w[3]
+                           and stats["ymax"] >= w[1] for w in ws):
+                    return False
+            for col, (lo, hi) in pb.items():
+                amin = stats.get(f"amin:{col}")
+                amax = stats.get(f"amax:{col}")
+                if hi is not None and amin is not None and amin > hi:
+                    return False
+                if lo is not None and amax is not None and amax < lo:
+                    return False
+            return True
 
         files = self._manifest.files_where(keep)
         if files is None:                # pre-manifest store

@@ -667,7 +667,10 @@ class Manifest:
     def _agg_stats(cls, file_stats: dict) -> dict:
         """Shard-level aggregate of per-file stats: mins of *min keys,
         maxes of *max keys, summed rows — {} unless EVERY file carries
-        the key (a partial stat cannot prune safely)."""
+        the key (a partial stat cannot prune safely).  Dynamic
+        ``amin:<col>`` / ``amax:<col>`` attribute-range keys (r13)
+        aggregate the same way, so property predicates prune shards
+        exactly like spatial windows."""
         if not file_stats:
             return {}
         vals = list(file_stats.values())
@@ -678,6 +681,12 @@ class Manifest:
         for k in cls._STAT_MAX:
             if all(v.get(k) is not None for v in vals):
                 agg[k] = max(v[k] for v in vals)
+        dyn = {k for v in vals for k in v
+               if k.startswith(("amin:", "amax:"))}
+        for k in dyn:
+            if all(v.get(k) is not None for v in vals):
+                agg[k] = (min if k.startswith("amin:") else max)(
+                    v[k] for v in vals)
         if all(v.get("rows") is not None for v in vals):
             agg["rows"] = sum(v["rows"] for v in vals)
         return agg

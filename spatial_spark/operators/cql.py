@@ -154,7 +154,8 @@ def _rewrite_calls(s: str, names, repl):
 
 
 def cql_to_sql(expr: str, strict: bool = True, has_geom: bool = True,
-               _env_out: list | None = None) -> str:
+               _env_out: list | None = None,
+               _prop_out: dict | None = None) -> str:
     """Translate the CQL subset to a Spark SQL predicate string.
 
     strict=True (default) raises on CQL spatial constructs the translator
@@ -348,8 +349,45 @@ def cql_to_sql(expr: str, strict: bool = True, has_geom: bool = True,
     # envelope mining is only sound for pure conjunctions: an OR /
     # NOT anywhere may place a spatial predicate under disjunction or
     # negation (checked on the MASKED text — literals can say OR)
-    if _env_out is not None and re.search(r"\b(OR|NOT)\b", s, flags=re.I):
+    _disjunctive = bool(re.search(r"\b(OR|NOT)\b", s, flags=re.I))
+    if _env_out is not None and _disjunctive:
         _env_out.clear()
+
+    # r13 (VERDICT r12 ask #5): mine NUMERIC property-range bounds
+    # from the same pure-conjunction text — they seed manifest-shard
+    # ATTRIBUTE pruning (Layer.df_pruned props=) the way envelopes
+    # seed the window descent.  Mined on the MASKED text, so string
+    # literals can never look like comparisons.
+    if _prop_out is not None and not _disjunctive:
+        _num = r"-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?"
+
+        def _bound(col, lo_v, hi_v):
+            lo, hi = _prop_out.get(col, (None, None))
+            if lo_v is not None:
+                lo = lo_v if lo is None else max(lo, lo_v)
+            if hi_v is not None:
+                hi = hi_v if hi is None else min(hi, hi_v)
+            _prop_out[col] = (lo, hi)
+
+        def _btw(m):
+            va, vb = sorted((float(m.group(2)), float(m.group(3))))
+            _bound(m.group(1), va, vb)
+            return " \x02 "     # consumed-conjunct placeholder
+        txt = re.sub(
+            rf"\b([A-Za-z_]\w*)\s+BETWEEN\s+({_num})\s+AND\s+({_num})\b",
+            _btw, s, flags=re.I)
+        # only a conjunct that IS a bare `col op number` (no
+        # arithmetic, no functions) contributes a bound — fullmatch
+        # per AND-separated piece keeps `p_size < 10 + 2` unmined
+        for part in re.split(r"\bAND\b", txt, flags=re.I):
+            m = re.fullmatch(
+                rf"[\s(]*([A-Za-z_]\w*)\s*(<=|>=|<|>|=)\s*({_num})[\s)]*",
+                part)
+            if not m:
+                continue
+            col, op, v = m.group(1), m.group(2), float(m.group(3))
+            _bound(col, v if op in (">", ">=", "=") else None,
+                   v if op in ("<", "<=", "=") else None)
 
     if strict:
         leftover = re.search(
@@ -363,20 +401,26 @@ def cql_to_sql(expr: str, strict: bool = True, has_geom: bool = True,
 
 
 def cql_filter(layer, expression: str) -> DataFrame:
-    """spatial.cql (:838-848).  Conjunctive spatial envelopes mined
-    from the expression seed MANIFEST-shard file pruning
-    (Layer.df_window) before the translated predicate runs — the
-    engine's analogue of Utilities.extractEnvelopeFromFilter seeding
-    the R-tree search."""
+    """spatial.cql (:838-848).  Conjunctive spatial envelopes AND
+    numeric property-range bounds mined from the expression seed
+    MANIFEST-shard file pruning (Layer.df_pruned) before the
+    translated predicate runs — the engine's analogue of
+    Utilities.extractEnvelopeFromFilter seeding the R-tree search,
+    extended to FilterProperty shapes over the r13 attribute-range
+    shard stats."""
     df = layer.df()
     env: list = []
+    props: dict = {}
     sql = cql_to_sql(expression, has_geom="geom" in df.columns,
-                     _env_out=env)
-    if env and hasattr(layer, "df_window"):
+                     _env_out=env, _prop_out=props)
+    window = None
+    if env:
         x0 = max(e[0] for e in env)
         y0 = max(e[1] for e in env)
         x1 = min(e[2] for e in env)
         y1 = min(e[3] for e in env)
         if x0 <= x1 and y0 <= y1:
-            return layer.df_window((x0, y0, x1, y1)).filter(sql)
+            window = (x0, y0, x1, y1)
+    if (window or props) and hasattr(layer, "df_pruned"):
+        return layer.df_pruned(windows=window, props=props).filter(sql)
     return df.filter(sql)

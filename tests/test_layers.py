@@ -1961,3 +1961,58 @@ def test_layer_add_mode_validation(ctx, spark):
         layer.add(df, wkt="wkt", mode="ignore")
     with _pytest.raises(ValueError, match="append.*overwrite"):
         layer.add(df, wkt="wkt", mode="errorifexists")
+
+
+def test_attribute_range_shard_pruning(ctx, spark):
+    """r13 (VERDICT r12 ask #5): per-shard attribute-range stats —
+    (a) numeric attribute columns get amin:/amax: entries in the
+    manifest shard stats; (b) Layer.df_pruned(props=) skips shards
+    the range proves empty, and the pruned result equals the
+    unpruned filter; (c) cql_filter mines property bounds from pure
+    conjunctions and engages the same pruning; (d) arithmetic
+    right-hand sides are NOT mined (no over-pruning); (e) OR
+    disables mining."""
+    from spatial_spark.operators.cql import cql_filter, cql_to_sql
+    layer = ctx.create_point_layer("attrprune", x="lon", y="lat")
+    # three appends with disjoint `score` ranges -> three shards-ish
+    for base in (0, 100, 200):
+        rows = [(base + i, 10.0 + base * 0.01 + i * 0.001, 45.0,
+                 base + i) for i in range(30)]
+        layer.add(spark.createDataFrame(
+            rows, "id long, lon double, lat double, score long"))
+
+    # (a) stats present in the manifest
+    sts = layer._manifest.shard_stats()
+    assert any("amin:score" in (sh.get("stats") or {}) for sh in sts)
+
+    # (b) range pruning shrinks the file list, same answer
+    full = layer.df().filter("score >= 200")
+    pruned = layer.df_pruned(props={"score": (200, None)})
+    assert set(pruned.inputFiles()) < set(layer.df().inputFiles())
+    assert (sorted(r["id"] for r in pruned.filter("score >= 200")
+                   .collect())
+            == sorted(r["id"] for r in full.collect()))
+
+    # (c) cql_filter end to end: property conjunction prunes
+    got = cql_filter(layer, "score >= 200 AND score < 230")
+    assert set(got.inputFiles()) < set(layer.df().inputFiles())
+    assert sorted(r["id"] for r in got.collect()) == list(range(200, 230))
+
+    # mined bounds are what the translator saw
+    props = {}
+    cql_to_sql("score >= 200 AND score < 230", _prop_out=props)
+    assert props == {"score": (200.0, 230.0)}
+
+    # (d) arithmetic RHS is not mined (would over-prune)
+    props = {}
+    cql_to_sql("score < 10 + 300", _prop_out=props)
+    assert "score" not in props
+    got = cql_filter(layer, "score < 10 + 300")
+    assert got.count() == 90
+
+    # (e) OR disables mining; the answer is still right
+    props = {}
+    cql_to_sql("score < 30 OR score >= 220", _prop_out=props)
+    assert props == {}
+    got = cql_filter(layer, "score < 30 OR score >= 220")
+    assert got.count() == 40

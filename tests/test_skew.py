@@ -236,3 +236,75 @@ def test_spatial_join_hot_cell_salting(spark):
     assert unsalted_max >= n, "fixture must actually hot-spot one cell"
     assert salted_max * 3 < unsalted_max, \
         f"salting must cut the hot key >3x ({unsalted_max} -> {salted_max})"
+
+
+def test_spatial_join_auto_salt_detection(spark):
+    """r13 (VERDICT r12 ask #7): ``salt="auto"`` — the deterministic
+    sampled histogram (detect_hot_cell_salt) (a) ENGAGES on the
+    hot-cell fixture (one blob cell holding every point) with the
+    result pinned identical to the plain and manual-salt plans and a
+    salted shuffle key in the plan; (b) declines on a well-spread
+    corpus (returns None; the auto plan is salt-free, default
+    behavior unchanged)."""
+    from spatial_spark.functions.scalar import register_all
+    from spatial_spark.operators.join import (_cells_expr, _grid_params,
+                                              detect_hot_cell_salt,
+                                              spatial_join)
+    register_all(spark)
+    n = 4000
+    pts = (spark.range(n)
+           .withColumn("xmin", (F.col("id") % 100).cast("double")
+                       * 0.0005 + 10.0)
+           .withColumn("ymin", (F.col("id") % 40).cast("double")
+                       * 0.001 + 45.0)
+           .withColumn("xmax", F.col("xmin"))
+           .withColumn("ymax", F.col("ymin"))
+           .withColumn("gtype", F.lit(1))
+           .withColumn("geom", F.expr("st_point(xmin, ymin)")))
+    polys = spark.createDataFrame(
+        [(0, _rect_wkt(9.0, 44.0, 12.0, 47.0), 9.0, 44.0, 12.0, 47.0),
+         (1, _rect_wkt(50.0, 50.0, 51.0, 51.0), 50.0, 50.0, 51.0, 51.0)],
+        "pid long, wkt string, xmin double, ymin double,"
+        " xmax double, ymax double").withColumn(
+            "geom", F.expr("st_geomfromtext(wkt)")).drop("wkt") \
+        .withColumn("gtype", F.lit(3))
+
+    # (a) hot fixture: detection fires and the result is identical
+    bbox = (-180.0, -90.0, 180.0, 90.0)
+    x0, y0, cw, ch, side = _grid_params(bbox, bbox, n)
+    ap = pts.select([F.col(c).alias(f"a_{c}") for c in pts.columns]) \
+        .withColumn("cell", F.explode(_cells_expr("a_", side, x0, y0,
+                                                  cw, ch)))
+    r_auto = detect_hot_cell_salt(ap, n)
+    assert r_auto is not None and r_auto >= 2
+
+    key = lambda rows: sorted((r["a_id"], r["b_pid"]) for r in rows)
+    auto = spatial_join(pts, polys, "intersects",
+                        broadcast_threshold=0, salt="auto")
+    plain = spatial_join(pts, polys, "intersects", broadcast_threshold=0)
+    assert key(auto.collect()) == key(plain.collect())
+    assert len(key(plain.collect())) == n
+    # plan shape: the auto plan joins on a salt key, the plain doesn't
+    assert "salt" in auto._jdf.queryExecution().optimizedPlan().toString()
+    assert "salt" not in \
+        plain._jdf.queryExecution().optimizedPlan().toString()
+
+    # (b) well-spread corpus: detection declines, auto == default plan
+    spread = (spark.range(n)
+              .withColumn("xmin", (F.col("id") % 360).cast("double")
+                          - 179.5)
+              .withColumn("ymin", (F.col("id") % 170).cast("double")
+                          - 84.5)
+              .withColumn("xmax", F.col("xmin"))
+              .withColumn("ymax", F.col("ymin"))
+              .withColumn("gtype", F.lit(1))
+              .withColumn("geom", F.expr("st_point(xmin, ymin)")))
+    sp = spread.select([F.col(c).alias(f"a_{c}")
+                        for c in spread.columns]) \
+        .withColumn("cell", F.explode(_cells_expr("a_", side, x0, y0,
+                                                  cw, ch)))
+    assert detect_hot_cell_salt(sp, n) is None
+    auto2 = spatial_join(spread, polys, "intersects",
+                         broadcast_threshold=0, salt="auto")
+    assert "salt" not in \
+        auto2._jdf.queryExecution().optimizedPlan().toString()
