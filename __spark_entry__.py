@@ -2564,6 +2564,61 @@ def _q_geoparquet(spark, sf_dir) -> DataFrame:
             .orderBy("p_partkey"))
 
 
+def _q_flatgeobuf(spark, sf_dir) -> DataFrame:
+    """FlatGeobuf 3 sink/source round-trip gate (r13, VERDICT r12 ask
+    #8 — the second lakehouse interop leg after GeoParquet): part
+    rects + typed attributes (string name, double price) export
+    through io/flatgeobuf.export_fgb (from-scratch FlatBuffers wire
+    layer — vtables/uoffsets pinned against a hand-derived golden in
+    pytest — magic + size-prefixed Header/Feature tables per the
+    public spec) into ONE .fgb file, then read back DISTRIBUTED via
+    fgb_source (per-file tasks) into layer-core columns.  Envelope,
+    gtype, fid assignment, and both property types hash-compare
+    against the closed-form DuckDB replay of the fixture."""
+    import tempfile
+
+    from spatial_spark.io.flatgeobuf import export_fgb, fgb_source
+    src = spark.sql(f"""
+        SELECT p_partkey, st_geomfromtext(
+                 concat('POLYGON ((', {PART_X0}, ' ', {PART_Y0}, ', ',
+                        {PART_X0} + {PART_W}, ' ', {PART_Y0}, ', ',
+                        {PART_X0} + {PART_W}, ' ', {PART_Y0} + {PART_H}, ', ',
+                        {PART_X0}, ' ', {PART_Y0} + {PART_H}, ', ',
+                        {PART_X0}, ' ', {PART_Y0}, '))')) AS geom,
+               p_name AS pname,
+               CAST(p_retailprice AS DOUBLE) AS price
+        FROM part WHERE p_partkey % 97 = 0
+        ORDER BY p_partkey
+    """)
+    path = tempfile.mkdtemp(prefix="fgb_gate_") + "/parts.fgb"
+    export_fgb(src, path, name="parts", geometry_type=3)
+    back = fgb_source(spark, path)
+    return (back.select(
+                "fid", "gtype",
+                F.round("xmin", 6).alias("rxmin"),
+                F.round("ymin", 6).alias("rymin"),
+                F.round("xmax", 6).alias("rxmax"),
+                F.round("ymax", 6).alias("rymax"),
+                "pname", "price")
+            .orderBy("fid"))
+
+
+def _flatgeobuf_oracle_sql() -> str:
+    return f"""
+        WITH p AS (
+          SELECT p_partkey, {PART_X0} AS x0, {PART_Y0} AS y0,
+                 {PART_X0} + {PART_W} AS x1, {PART_Y0} + {PART_H} AS y1,
+                 p_name, CAST(p_retailprice AS DOUBLE) AS price
+          FROM part WHERE p_partkey % 97 = 0)
+        SELECT row_number() OVER (ORDER BY p_partkey) - 1 AS fid,
+               CAST(3 AS INT) AS gtype,
+               round(x0, 6) AS rxmin, round(y0, 6) AS rymin,
+               round(x1, 6) AS rxmax, round(y1, 6) AS rymax,
+               p_name AS pname, price
+        FROM p ORDER BY fid
+    """
+
+
 def _q_image_dedup_groups(spark, sf_dir) -> DataFrame:
     """End-to-end image near-dup GROUPS on the hard gate: the banded
     Hamming pairs (t=16) feed the pointer-doubled connected components
@@ -5460,74 +5515,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (tools/check_correctness runs ALL of them, every round, at
     # sf0.001/0.01/0.1).
     return {name: wrap(fn) for name, fn in {
-        # ============ r12 WINDOW (first 50 — the driver's correctness
-        # gate), executed exactly as the r11 VERDICT ask #1 and the r11
-        # inline plan direct: the 15 age-4 r8-row holders lead
-        # (cql_filter, the 36th r8 holder, then the 14 that sat below
-        # the r11 window), then the 14 never-driver-rowed r11-late
-        # gates in registration order, then NEW r12 gates (inserted at
-        # position 30 as they land, displacing r9 holders down), then
-        # the r9-row holders oldest-registered-first.  Every entry
-        # keeps its local-gate oracle (tools/check_correctness runs
-        # ALL of them, every round, at sf0.001/0.01/0.1).  r13 window
-        # plan: any r9-row holders displaced below by new r12 gates
-        # lead (age 4 at r13), then never-rowed r12-late gates, then
-        # oldest-first from the r9/r10 holders.
-        # --- 1-15: the r8-row debt (age 4 — MUST clear this round)
-        "cql_filter": _q_cql_filter,
-        "cql2": _q_cql2,
-        "st_transform_merc": _q_st_transform_merc,
-        "dedup_against_inc": _q_dedup_against_inc,
-        "media_gif": _q_media_gif,
-        "wkt_export": _q_wkt_export,
-        "shapefile_source": _q_shapefile_source,
-        "osm_source": _q_osm_source,
-        "render_sink": _q_render_sink,
-        "audio_features": _q_audio_features,
-        "mp4_meta": _q_mp4_meta,
-        "knn_cosine_q8": _q_knn_cosine_q8,
-        "datastore_gjl": _q_datastore_gjl,
-        "filter_equal": _q_filter_equal,
-        "covered_env": _q_covered_env,
-        # --- 16-29: never-driver-rowed r11-late gates
-        "interval_join_outer": _q_interval_join_outer,
-        "st_transform_rd": _q_st_transform_rd,
-        "media_avc_pres": _q_media_avc_pres,
-        "dedup_stream": _q_dedup_stream,
-        "retention_stream": _q_retention_stream,
-        "st_transform_lv95": _q_st_transform_lv95,
-        "media_avc_cres": _q_media_avc_cres,
-        "media_aac_cpe": _q_media_aac_cpe,
-        "media_avc_ipred": _q_media_avc_ipred,
-        "media_avc_icres": _q_media_avc_icres,
-        "url_dedup": _q_url_dedup,
-        "st_transform_gk": _q_st_transform_gk,
-        "media_aac_short": _q_media_aac_short,
-        "quantile_stream": _q_quantile_stream,
-        # --- 30-50: new r12 gates first, then r9-row holders oldest-first
-        "st_transform_registry": _q_st_transform_registry,
-        "pipeline_mm_e2e": _q_pipeline_mm_e2e,
-        "cql3": _q_cql3,
-        "tile_counts_stream": _q_tile_counts_stream,
-        "st_transform_lccd": _q_st_transform_lccd,
-        "mvt_export": _q_mvt_export,
-        "mvt_polygons": _q_mvt_polygons,
-        "overlay_degenerate": _q_overlay_degenerate,
-        "kmv_stream": _q_kmv_stream,
-        "ivf_recall": _q_ivf_recall,
-        "media_aac": _q_media_aac,
-        "st_length_geodesic": _q_st_length_geodesic,
-        "st_transform_lcc": _q_st_transform_lcc,
-        "mp4_codec_meta": _q_mp4_codec_meta,
-        "kmeans_embed": _q_kmeans_embed,
-        "pagerank": _q_pagerank,
-        "semdedup": _q_semdedup,
-        "st_transform_laea": _q_st_transform_laea,
-        "image_hashes": _q_image_hashes,
-        "image_dedup": _q_image_dedup,
-        "geoparquet_roundtrip": _q_geoparquet,
-        # ================= end of the 50-entry driver window =========
-        # --- remaining r9-row holders (age 3 — rotate next, oldest first)
+        # ============ r13 WINDOW (first 50 — the driver's correctness
+        # gate), executed exactly as the r12 VERDICT ask #1 and the
+        # r12 inline plan direct: the 44 age-4 r9-row holders lead
+        # (quantile_sketch ... density_greedy — the whole remaining
+        # r9 rotation debt), then the NEW r13 gate
+        # (flatgeobuf_roundtrip), then st_transform_registry (its
+        # DEFINITION widened 7 -> 20 codes this round, so the r12 row
+        # no longer reflects it — re-rowed), then r10-row holders
+        # oldest-registered-first.  Every entry keeps its local-gate
+        # oracle (tools/check_correctness runs ALL of them, every
+        # round, at sf0.001/0.01/0.1).  r14 window plan: the
+        # remaining r10-row holders lead (age 4 at r14:
+        # token_counts ... bm25 below), then any new r14 gates, then
+        # oldest-first from the r11-row holders.
+        # --- 1-44: the r9-row debt (age 4 — cleared this round)
         "quantile_sketch": _q_quantile_sketch,
         "weighted_sample": _q_weighted_sample,
         "media_avc_ipcm": _q_media_avc_ipcm,
@@ -5572,7 +5574,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_transform_utm": _q_st_transform_utm,
         "media_mjpeg": _q_media_mjpeg,
         "density_greedy": _q_density_greedy,
-        # --- the r11 window (driver-rowed r11, age 1 — youngest rows)
+        # --- 45: new r13 gate
+        "flatgeobuf_roundtrip": _q_flatgeobuf,
+        # --- 46: definition widened r13 (20 codes x 6 families)
+        "st_transform_registry": _q_st_transform_registry,
+        # --- 47-50: r10-row holders, oldest-first
+        "dedup_exact": _q_dedup_exact,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "tpch_q1": _q_tpch_q1,
+        "dedup_groups": _q_dedup_groups,
+        # ================= end of the 50-entry driver window =========
+        # --- remaining r10-rowed holders (age 3 — promote next, r14)
+        "token_counts": _q_token_counts,
+        "geohash": _q_geohash,
+        "keep_max": _q_keep_max,
+        "fingerprint": _q_fingerprint,
+        "st_difference_area": _q_st_difference_area,
+        "st_buffer_lines": _q_st_buffer_lines,
+        "spatial_join_grid": _q_spatial_join_grid,
+        "st_centroid_rects": _q_st_centroid_rects,
+        "quality_scores": _q_quality,
+        "lang_id": _q_lang_id,
+        "knn_cosine": _q_knn_cosine,
+        "events_daily": _q_events_daily,
+        "st_intersection_area": _q_st_intersection_area,
+        "st_union_area": _q_st_union_area,
+        "relate_classes": _q_relate_classes,
+        "st_buffer_area": _q_st_buffer_area,
+        "sessionize": _q_sessionize,
+        "dynamic_view": _q_dynamic_view,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "density_islands": _q_density_islands,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
+        "tf_idf": _q_tf_idf,
+        "gopher_rules": _q_gopher_rules,
+        "mixture_weights": _q_mixture_weights,
+        "pack_sequences": _q_pack_sequences,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "semantic_dedup": _q_semantic_dedup,
+        "ivf_knn": _q_ivf_knn,
+        "media_features": _q_media_features,
+        "media_histogram": _q_media_histogram,
+        "event_transitions": _q_event_transitions,
+        "repetition": _q_repetition,
+        "knn_join": _q_knn_join,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
+        "bm25": _q_bm25,
+        # --- r11-rowed holders (age 2)
         "st_distance_geodesic": _q_st_distance_geodesic,
         "st_transform_osgb": _q_st_transform_osgb,
         "funnel_stream": _q_funnel_stream,
@@ -5623,49 +5674,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geometry_meta": _q_geometry_meta,
         "orthodromic_length": _q_orthodromic_length,
         "zorder_keys": _q_zorder_keys,
-        # --- r10-rowed holders (age 2)
-        "dedup_exact": _q_dedup_exact,
-        "revenue_by_nation": _q_revenue_by_nation,
-        "tpch_q1": _q_tpch_q1,
-        "dedup_groups": _q_dedup_groups,
-        "token_counts": _q_token_counts,
-        "geohash": _q_geohash,
-        "keep_max": _q_keep_max,
-        "fingerprint": _q_fingerprint,
-        "st_difference_area": _q_st_difference_area,
-        "st_buffer_lines": _q_st_buffer_lines,
-        "spatial_join_grid": _q_spatial_join_grid,
-        "st_centroid_rects": _q_st_centroid_rects,
-        "quality_scores": _q_quality,
-        "lang_id": _q_lang_id,
-        "knn_cosine": _q_knn_cosine,
-        "events_daily": _q_events_daily,
-        "st_intersection_area": _q_st_intersection_area,
-        "st_union_area": _q_st_union_area,
-        "relate_classes": _q_relate_classes,
-        "st_buffer_area": _q_st_buffer_area,
-        "sessionize": _q_sessionize,
-        "dynamic_view": _q_dynamic_view,
-        "minhash_pairs": _q_minhash_pairs,
-        "simhash_pairs": _q_simhash_pairs,
-        "density_islands": _q_density_islands,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "dedup_clusters": _q_dedup_clusters,
-        "tf_idf": _q_tf_idf,
-        "gopher_rules": _q_gopher_rules,
-        "mixture_weights": _q_mixture_weights,
-        "pack_sequences": _q_pack_sequences,
-        "paragraph_dedup": _q_paragraph_dedup,
-        "semantic_dedup": _q_semantic_dedup,
-        "ivf_knn": _q_ivf_knn,
-        "media_features": _q_media_features,
-        "media_histogram": _q_media_histogram,
-        "event_transitions": _q_event_transitions,
-        "repetition": _q_repetition,
-        "knn_join": _q_knn_join,
-        "asof_join": _q_asof_join,
-        "range_join": _q_range_join,
-        "bm25": _q_bm25,
+        # --- the r12 window (driver-rowed r12, age 1 — youngest)
+        "cql_filter": _q_cql_filter,
+        "cql2": _q_cql2,
+        "st_transform_merc": _q_st_transform_merc,
+        "dedup_against_inc": _q_dedup_against_inc,
+        "media_gif": _q_media_gif,
+        "wkt_export": _q_wkt_export,
+        "shapefile_source": _q_shapefile_source,
+        "osm_source": _q_osm_source,
+        "render_sink": _q_render_sink,
+        "audio_features": _q_audio_features,
+        "mp4_meta": _q_mp4_meta,
+        "knn_cosine_q8": _q_knn_cosine_q8,
+        "datastore_gjl": _q_datastore_gjl,
+        "filter_equal": _q_filter_equal,
+        "covered_env": _q_covered_env,
+        "interval_join_outer": _q_interval_join_outer,
+        "st_transform_rd": _q_st_transform_rd,
+        "media_avc_pres": _q_media_avc_pres,
+        "dedup_stream": _q_dedup_stream,
+        "retention_stream": _q_retention_stream,
+        "st_transform_lv95": _q_st_transform_lv95,
+        "media_avc_cres": _q_media_avc_cres,
+        "media_aac_cpe": _q_media_aac_cpe,
+        "media_avc_ipred": _q_media_avc_ipred,
+        "media_avc_icres": _q_media_avc_icres,
+        "url_dedup": _q_url_dedup,
+        "st_transform_gk": _q_st_transform_gk,
+        "media_aac_short": _q_media_aac_short,
+        "quantile_stream": _q_quantile_stream,
+        "pipeline_mm_e2e": _q_pipeline_mm_e2e,
+        "cql3": _q_cql3,
+        "tile_counts_stream": _q_tile_counts_stream,
+        "st_transform_lccd": _q_st_transform_lccd,
+        "mvt_export": _q_mvt_export,
+        "mvt_polygons": _q_mvt_polygons,
+        "overlay_degenerate": _q_overlay_degenerate,
+        "kmv_stream": _q_kmv_stream,
+        "ivf_recall": _q_ivf_recall,
+        "media_aac": _q_media_aac,
+        "st_length_geodesic": _q_st_length_geodesic,
+        "st_transform_lcc": _q_st_transform_lcc,
+        "mp4_codec_meta": _q_mp4_codec_meta,
+        "kmeans_embed": _q_kmeans_embed,
+        "pagerank": _q_pagerank,
+        "semdedup": _q_semdedup,
+        "st_transform_laea": _q_st_transform_laea,
+        "image_hashes": _q_image_hashes,
+        "image_dedup": _q_image_dedup,
+        "geoparquet_roundtrip": _q_geoparquet,
     }.items()}
 
 
@@ -7296,6 +7354,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, round(score, 9) AS score
             FROM s ORDER BY score DESC LIMIT 200
         """,
+        "flatgeobuf_roundtrip": _flatgeobuf_oracle_sql(),
         "geoparquet_roundtrip": f"""
             WITH src AS (
               SELECT p_partkey,

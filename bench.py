@@ -189,6 +189,9 @@ HEADLINE = [
     "mvt_export",
     # r12: polygon MVT tiling (overlay clip per tile + pack + decode)
     "mvt_polygons",
+    # r13: FlatGeobuf sink/source round-trip (from-scratch FlatBuffers
+    # wire layer; export one .fgb, distributed per-file re-read)
+    "flatgeobuf_roundtrip",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -413,6 +416,9 @@ BUDGET_SF01 = {
     # r12: 2.2x local best-of-two (bbox-cover explode + per-tile exact
     # overlay clip of 20k part rects + pack + independent decode)
     "mvt_polygons": 9.2,
+    # r13: 2.2x local best-of-three (206-feature export + per-file
+    # distributed re-read; warm best 1.03s)
+    "flatgeobuf_roundtrip": 2.3,
     # (EVERY pin re-ratcheted as min(old, 2.2x the clean final full
     # run's min-of-2) — landing-time measurements taken under
     # concurrent sweeps carried up to 9x slack; the ratchet never

