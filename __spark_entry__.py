@@ -2843,6 +2843,88 @@ _MVTP_W = "(CAST(p_size % 50 AS DOUBLE) / 2.0 + 0.1)"
 _MVTP_H = "(CAST((p_size * 7) % 50 AS DOUBLE) / 2.0 + 0.1)"
 
 
+def _q_mvt_lines(spark, sf_dir) -> DataFrame:
+    """LINESTRING MVT tiling gate (r13): horizontal part segments
+    (lat-constant, the closed-form-clippable class) explode to the
+    z=2 tiles their bbox covers, clip through geom/clip.clip_line
+    against each tile envelope, integerize and pack as gtype-2 MVT
+    features; every tile's bytes decode back through the independent
+    reader and per-(tile, feature) path endpoints hash-compare
+    against the DuckDB interval-clip replay (identical floor/clamp
+    quantization; pieces whose two endpoints quantize to the SAME
+    pixel are dropped by BOTH sides — the >=2-distinct-points path
+    rule).  Bounded collect: z=2 holds at most 16 tiles."""
+    from spatial_spark.io.mvt import decode_mvt, mvt_tiles_geoms
+    df = (spark.sql(f"""
+            SELECT p_partkey AS id, {_MVTP_X0} AS x0, {_MVTP_Y0} AS y0,
+                   {_MVTP_X0} + {_MVTP_W} AS x1
+            FROM part""")
+          .withColumn("geom", F.expr(
+              "st_geomfromtext(concat('LINESTRING (', x0, ' ', y0,"
+              " ', ', x1, ' ', y0, ')'))"))
+          .selectExpr("id", "geom", "x0 AS xmin", "y0 AS ymin",
+                      "x1 AS xmax", "y0 AS ymax"))
+    out = []
+    for r in mvt_tiles_geoms(df, 2, layer_name="seg").collect():
+        layer = decode_mvt(bytes(r["mvt"]))[0]
+        for f in layer["features"]:
+            path = f["parts"][0]
+            out.append((r["tile_x"], r["tile_y"], f["id"],
+                        len(f["parts"]), len(path),
+                        path[0][0], path[-1][0], path[0][1]))
+    return spark.createDataFrame(
+        out, "tile_x bigint, tile_y bigint, id bigint, n_paths int, "
+             "n_pts int, px0 bigint, px1 bigint, py bigint")
+
+
+def _mvt_lines_oracle_sql() -> str:
+    """Closed-form replay: tile cover from the bbox floor formulas,
+    segment ∩ tile = lon-interval intersection (lat constant), local
+    integers by the identical floor/clamp math; a piece whose two
+    quantized endpoints coincide is dropped."""
+    def yn(lat):
+        return (f"((1.0 - ln(tan(radians({lat})) "
+                f"+ 1.0 / cos(radians({lat}))) / pi()) / 2.0)")
+
+    def px(lon):
+        return (f"CAST(least(greatest(floor(4096.0 * ((({lon}) + 180.0)"
+                f" / 360.0 * 4.0 - CAST(tx AS DOUBLE))), 0.0), 4095.0)"
+                " AS BIGINT)")
+    py = (f"CAST(least(greatest(floor(4096.0 * ({yn('y0')} * 4.0"
+          f" - CAST(ty AS DOUBLE))), 0.0), 4095.0) AS BIGINT)")
+    return f"""
+        WITH p AS (
+          SELECT p_partkey AS id, {_MVTP_X0} AS x0, {_MVTP_Y0} AS y0,
+                 {_MVTP_X0} + {_MVTP_W} AS x1
+          FROM part),
+        cov AS (
+          SELECT id, x0, y0, x1,
+                 unnest(generate_series(
+                   CAST(least(greatest(floor((x0 + 180.0) / 360.0 * 4.0),
+                        0.0), 3.0) AS BIGINT),
+                   CAST(least(greatest(floor((x1 + 180.0) / 360.0 * 4.0),
+                        0.0), 3.0) AS BIGINT))) AS tx
+          FROM p),
+        cov2 AS (
+          SELECT id, x0, y0, x1, tx,
+                 CAST(least(greatest(floor({yn('y0')} * 4.0), 0.0),
+                      3.0) AS BIGINT) AS ty
+          FROM cov),
+        clip AS (
+          SELECT id, tx, ty, y0,
+                 greatest(x0, CAST(tx AS DOUBLE) * 90.0 - 180.0) AS cx0,
+                 least(x1, (CAST(tx AS DOUBLE) + 1.0) * 90.0 - 180.0)
+                   AS cx1
+          FROM cov2),
+        q AS (
+          SELECT tx AS tile_x, ty AS tile_y, id,
+                 CAST(1 AS INT) AS n_paths, CAST(2 AS INT) AS n_pts,
+                 {px('cx0')} AS px0, {px('cx1')} AS px1, {py} AS py
+          FROM clip)
+        SELECT * FROM q WHERE px0 != px1
+    """
+
+
 def _q_mvt_polygons(spark, sf_dir) -> DataFrame:
     """Polygon MVT tiling gate (r12): part rects explode to the z=2
     tiles their bbox covers, CLIP through the exact overlay kernel
@@ -5574,17 +5656,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_transform_utm": _q_st_transform_utm,
         "media_mjpeg": _q_media_mjpeg,
         "density_greedy": _q_density_greedy,
-        # --- 45: new r13 gate
+        # --- 45-46: new r13 gates
         "flatgeobuf_roundtrip": _q_flatgeobuf,
-        # --- 46: definition widened r13 (20 codes x 6 families)
+        "mvt_lines": _q_mvt_lines,
+        # --- 47: definition widened r13 (20 codes x 6 families)
         "st_transform_registry": _q_st_transform_registry,
-        # --- 47-50: r10-row holders, oldest-first
+        # --- 48-50: r10-row holders, oldest-first
         "dedup_exact": _q_dedup_exact,
         "revenue_by_nation": _q_revenue_by_nation,
         "tpch_q1": _q_tpch_q1,
-        "dedup_groups": _q_dedup_groups,
         # ================= end of the 50-entry driver window =========
         # --- remaining r10-rowed holders (age 3 — promote next, r14)
+        "dedup_groups": _q_dedup_groups,
         "token_counts": _q_token_counts,
         "geohash": _q_geohash,
         "keep_max": _q_keep_max,
@@ -7355,6 +7438,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s ORDER BY score DESC LIMIT 200
         """,
         "flatgeobuf_roundtrip": _flatgeobuf_oracle_sql(),
+        "mvt_lines": _mvt_lines_oracle_sql(),
         "geoparquet_roundtrip": f"""
             WITH src AS (
               SELECT p_partkey,

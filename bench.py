@@ -192,6 +192,8 @@ HEADLINE = [
     # r13: FlatGeobuf sink/source round-trip (from-scratch FlatBuffers
     # wire layer; export one .fgb, distributed per-file re-read)
     "flatgeobuf_roundtrip",
+    # r13: LINESTRING MVT tiling (clip_line per tile + pack + decode)
+    "mvt_lines",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -419,6 +421,9 @@ BUDGET_SF01 = {
     # r13: 2.2x local best-of-three (206-feature export + per-file
     # distributed re-read; warm best 1.03s)
     "flatgeobuf_roundtrip": 2.3,
+    # r13: 2.2x local best-of-three (20k segments x covered tiles
+    # through clip_line + pack + independent decode; warm best 4.71s)
+    "mvt_lines": 10.4,
     # (EVERY pin re-ratcheted as min(old, 2.2x the clean final full
     # run's min-of-2) — landing-time measurements taken under
     # concurrent sweeps carried up to 9x slack; the ratchet never
