@@ -451,6 +451,55 @@ def _q_cql3(spark, sf_dir) -> DataFrame:
                     F.round(F.expr("st_area(geom)"), 9).alias("area")))
 
 
+def _q_cql4(spark, sf_dir) -> DataFrame:
+    """ECQL tier 5 (r13): the GeoTools string-function family in
+    predicates AND projections — strEqualsIgnoreCase over a 0-based
+    end-exclusive strSubstring, full-match strMatches, strEndsWith,
+    strIndexOf (-1-for-absent), strLength(strConcat(...)) nesting,
+    strToLowerCase and replace-all strReplace in the output — all
+    translated by cql_to_sql with Java semantics and hash-compared
+    against the DuckDB replay (regexp_full_match / strpos-1 /
+    1-based substr twins).  Parity: GeoTools FilterFunction_str*
+    behind ECQL (the reference's CQL surface accepts the same
+    registry)."""
+    from spatial_spark.operators.cql import cql_to_sql
+    pred = cql_to_sql(
+        "strEqualsIgnoreCase(strSubstring(c_name, 0, 8), 'CUSTOMER')"
+        " = true"
+        " AND strMatches(c_name, 'Customer#[0-9]+') = true"
+        " AND strEndsWith(c_name, '7') = true"
+        " AND strIndexOf(c_mktsegment, 'U') >= 0"
+        " AND strLength(strConcat(c_name, c_mktsegment)) > 26",
+        has_geom=False)
+    seg_lower = cql_to_sql("strToLowerCase(c_mktsegment)",
+                           has_geom=False)
+    seg_repl = cql_to_sql("strReplace(c_mktsegment, 'I', 'i', true)",
+                          has_geom=False)
+    u_idx = cql_to_sql("strIndexOf(c_mktsegment, 'U')", has_geom=False)
+    return (spark.table("customer").filter(pred)
+            .selectExpr("c_custkey",
+                        f"{seg_lower} AS seg_lower",
+                        f"{seg_repl} AS seg_repl",
+                        f"CAST({u_idx} AS INT) AS u_idx")
+            .orderBy("c_custkey"))
+
+
+def _cql4_oracle_sql() -> str:
+    return """
+        SELECT c_custkey,
+               lower(c_mktsegment) AS seg_lower,
+               replace(c_mktsegment, 'I', 'i') AS seg_repl,
+               CAST(strpos(c_mktsegment, 'U') - 1 AS INT) AS u_idx
+        FROM customer
+        WHERE upper(substr(c_name, 1, 8)) = 'CUSTOMER'
+          AND regexp_full_match(c_name, 'Customer#[0-9]+')
+          AND c_name LIKE '%7'
+          AND strpos(c_mktsegment, 'U') >= 1
+          AND length(c_name || c_mktsegment) > 26
+        ORDER BY c_custkey
+    """
+
+
 def _q_st_transform_merc(spark, sf_dir) -> DataFrame:
     """CRS reprojection gate (VERDICT r7 ask #7): customer points
     4326→3857 through the registered st_transform UDF, cross-checked
@@ -5656,17 +5705,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_transform_utm": _q_st_transform_utm,
         "media_mjpeg": _q_media_mjpeg,
         "density_greedy": _q_density_greedy,
-        # --- 45-46: new r13 gates
+        # --- 45-47: new r13 gates
         "flatgeobuf_roundtrip": _q_flatgeobuf,
         "mvt_lines": _q_mvt_lines,
-        # --- 47: definition widened r13 (20 codes x 6 families)
+        "cql4": _q_cql4,
+        # --- 48: definition widened r13 (20 codes x 6 families)
         "st_transform_registry": _q_st_transform_registry,
-        # --- 48-50: r10-row holders, oldest-first
+        # --- 49-50: r10-row holders, oldest-first
         "dedup_exact": _q_dedup_exact,
         "revenue_by_nation": _q_revenue_by_nation,
-        "tpch_q1": _q_tpch_q1,
         # ================= end of the 50-entry driver window =========
         # --- remaining r10-rowed holders (age 3 — promote next, r14)
+        "tpch_q1": _q_tpch_q1,
         "dedup_groups": _q_dedup_groups,
         "token_counts": _q_token_counts,
         "geohash": _q_geohash,
@@ -7439,6 +7489,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "flatgeobuf_roundtrip": _flatgeobuf_oracle_sql(),
         "mvt_lines": _mvt_lines_oracle_sql(),
+        "cql4": _cql4_oracle_sql(),
         "geoparquet_roundtrip": f"""
             WITH src AS (
               SELECT p_partkey,

@@ -194,6 +194,8 @@ HEADLINE = [
     "flatgeobuf_roundtrip",
     # r13: LINESTRING MVT tiling (clip_line per tile + pack + decode)
     "mvt_lines",
+    # r13: ECQL tier 5 string-function family (Java-semantics twins)
+    "cql4",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -424,6 +426,9 @@ BUDGET_SF01 = {
     # r13: 2.2x local best-of-three (20k segments x covered tiles
     # through clip_line + pack + independent decode; warm best 4.71s)
     "mvt_lines": 10.4,
+    # r13: 2.2x local best-of-three (pure codegen string filter +
+    # projection; warm best 0.33s)
+    "cql4": 0.8,
     # (EVERY pin re-ratcheted as min(old, 2.2x the clean final full
     # run's min-of-2) — landing-time measurements taken under
     # concurrent sweeps carried up to 9x slack; the ratchet never

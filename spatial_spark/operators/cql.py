@@ -27,7 +27,15 @@ Scope (still a strict subset — untranslatable spatial constructs raise):
     to the engine kernel: area/geomLength/numPoints/numGeometries/
     dimension/isValid/isEmpty over a geometry property become the
     st_* twins.  A geometry function over a NON-geometry argument
-    raises in strict mode — never guess.
+    raises in strict mode — never guess,
+  * tier 5 (r13): the GeoTools ECQL string-function family
+    (strToLowerCase/strToUpperCase/strLength/strTrim/strCapitalize/
+    strConcat/strSubstring/strSubstringStart/strIndexOf/strStartsWith/
+    strEndsWith/strEqualsIgnoreCase/strMatches/strReplace) with Java
+    semantics preserved (0-based substring begin/end-exclusive,
+    indexOf -1 for absent, full-match strMatches); calls nest via
+    recursive arg rewrite; an unrecognized str*() raises in strict
+    mode.
 
 Quoted string literals are MASKED for the whole translation and
 restored at the end (ADVICE r8): no keyword rewrite, temporal regex,
@@ -297,6 +305,72 @@ def cql_to_sql(expr: str, strict: bool = True, has_geom: bool = True,
 
     s = _rewrite_calls(s, list(_GEOM_FNS), geom_fn_repl)
 
+    # tier 5 (r13): the GeoTools ECQL string-function family
+    # (FilterFunction_str*) → Spark SQL.  Java semantics preserved:
+    # strSubstring is 0-based begin-inclusive / end-exclusive,
+    # strIndexOf is 0-based with -1 for absent, strMatches is a FULL
+    # match (Java String.matches), strCapitalize title-cases every
+    # word (initcap).  Args are rewritten recursively so calls nest
+    # (strConcat(strToLowerCase(a), b)).
+    _STR_SIMPLE = {"strtolowercase": "lower", "strtouppercase": "upper",
+                   "strlength": "length", "strtrim": "trim",
+                   "strcapitalize": "initcap", "strabs": "abs"}
+    _STR_FNS = list(_STR_SIMPLE) + [
+        "strconcat", "strsubstring", "strsubstringstart", "strindexof",
+        "strstartswith", "strendswith", "strequalsignorecase",
+        "strmatches", "strreplace"]
+
+    def str_fn_repl(name, args):
+        args = [_rewrite_calls(a, _STR_FNS, str_fn_repl).strip()
+                for a in args]
+
+        def need(n):
+            if len(args) != n:
+                raise ValueError(
+                    f"{name}: expected {n} argument(s), got {len(args)}")
+        if name in _STR_SIMPLE:
+            need(1)
+            return f"{_STR_SIMPLE[name]}({args[0]})"
+        if name == "strconcat":
+            need(2)
+            return f"concat({args[0]}, {args[1]})"
+        if name == "strsubstring":
+            need(3)
+            return (f"substring({args[0]}, ({args[1]}) + 1, "
+                    f"({args[2]}) - ({args[1]}))")
+        if name == "strsubstringstart":
+            need(2)
+            return f"substring({args[0]}, ({args[1]}) + 1)"
+        if name == "strindexof":
+            need(2)
+            return f"(instr({args[0]}, {args[1]}) - 1)"
+        if name == "strstartswith":
+            need(2)
+            return f"startswith({args[0]}, {args[1]})"
+        if name == "strendswith":
+            need(2)
+            return f"endswith({args[0]}, {args[1]})"
+        if name == "strequalsignorecase":
+            need(2)
+            return f"(lower({args[0]}) = lower({args[1]}))"
+        if name == "strmatches":
+            need(2)
+            return (f"({args[0]} RLIKE concat('^(?:', {args[1]}, "
+                    f"')$'))")
+        if name == "strreplace":
+            # strReplace(s, search, replace, all) — the GeoTools
+            # signature carries a literal boolean; only all=true maps
+            # to a SQL builtin (replace); all=false has no twin
+            if len(args) == 4 and args[3].strip().lower() in (
+                    "true", "'true'"):
+                return (f"replace({args[0]}, {args[1]}, {args[2]})")
+            raise ValueError(
+                "strReplace: only the replace-all form "
+                "(4th argument true) is supported")
+        raise AssertionError(name)
+
+    s = _rewrite_calls(s, _STR_FNS, str_fn_repl)
+
     # INCLUDE / EXCLUDE match-all / match-none literals (tier 2)
     s = re.sub(r"\bINCLUDE\b", "TRUE", s, flags=re.I)
     s = re.sub(r"\bEXCLUDE\b", "FALSE", s, flags=re.I)
@@ -397,6 +471,11 @@ def cql_to_sql(expr: str, strict: bool = True, has_geom: bool = True,
             raise ValueError(
                 f"CQL: could not translate {leftover.group(1).upper()}(...) — "
                 f"check argument count/WKT in: {expr!r}")
+        leftover_s = re.search(r"\b(str[A-Za-z]\w*)\s*\(", s)
+        if leftover_s:
+            raise ValueError(
+                f"CQL: unsupported string function "
+                f"{leftover_s.group(1)}(...) in: {expr!r}")
     return _unmask(s, _lits)
 
 

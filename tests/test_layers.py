@@ -2016,3 +2016,47 @@ def test_attribute_range_shard_pruning(ctx, spark):
     assert props == {}
     got = cql_filter(layer, "score < 30 OR score >= 220")
     assert got.count() == 40
+
+
+def test_cql_tier5_string_functions(ctx, spark):
+    """r13 — ECQL tier 5 (GeoTools FilterFunction_str* family): (a)
+    Java semantics: strSubstring 0-based begin/end-exclusive,
+    strIndexOf 0-based with -1 for absent, strMatches FULL match,
+    strCapitalize = initcap; (b) nesting through recursive arg
+    rewrite; (c) strReplace only in its replace-all form; (d) an
+    unrecognized str*() raises in strict mode; (e) end-to-end on a
+    DataFrame."""
+    import pytest as _pytest
+
+    from spatial_spark.operators.cql import cql_to_sql
+
+    t = lambda e: cql_to_sql(e, has_geom=False)
+    assert t("strSubstring(a, 2, 5)") == \
+        "substring(a, (2) + 1, (5) - (2))"
+    assert t("strIndexOf(a, 'x')") == "(instr(a, 'x') - 1)"
+    assert t("strToLowerCase(strTrim(a))") == "lower(trim(a))"
+    assert t("strConcat(strToLowerCase(a), strToUpperCase(b))") == \
+        "concat(lower(a), upper(b))"
+    assert t("strMatches(a, 'ab+')") == \
+        "(a RLIKE concat('^(?:', 'ab+', ')$'))"
+    assert t("strReplace(a, 'x', 'y', true)") == "replace(a, 'x', 'y')"
+    with _pytest.raises(ValueError, match="replace-all"):
+        t("strReplace(a, 'x', 'y', false)")
+    with _pytest.raises(ValueError, match="unsupported string"):
+        t("strURLEncode(a) = 'x'")
+    # literal masking: function names inside strings stay untouched
+    assert t("a = 'strTrim(b)'") == "a = 'strTrim(b)'"
+
+    df = spark.createDataFrame(
+        [(1, "  Hello World  ", "abc123"), (2, "spark", "xyz")],
+        "id long, s string, u string")
+    got = df.filter(t("strMatches(u, '[a-z]+[0-9]+') = true")).collect()
+    assert [r["id"] for r in got] == [1]
+    row = df.filter("id = 1").selectExpr(
+        f"{t('strLength(strTrim(s))')} AS n",
+        f"{t('strCapitalize(strTrim(s))')} AS cap",
+        f"{t('strIndexOf(s, (chr(72)))')} AS i",
+        f"{t('strSubstring(u, 3, 6)')} AS sub").first()
+    assert (row["n"], row["cap"], row["sub"]) == (11, "Hello World", "123")
+    # strIndexOf of 'H' in '  Hello...' -> Java index 2
+    assert row["i"] == 2
