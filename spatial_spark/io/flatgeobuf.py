@@ -532,18 +532,60 @@ _SPARK_COL_TYPES = {_COL_BOOL: "boolean", _COL_BYTE: "tinyint",
                     _COL_BINARY: "binary"}
 
 
-def fgb_source(spark, paths):
+def read_fgb_header(path: str) -> dict:
+    """Decode ONLY the magic + Header table of a ``.fgb`` file (a few
+    hundred bytes — no feature reads).  The planning primitive: at
+    100 TB the source prunes whole FILES from their header envelopes
+    before any task launches."""
+    with open(path, "rb") as f:
+        head = f.read(12)
+        if head[:8] != MAGIC:
+            raise ValueError("FlatGeobuf: bad magic (not an fgb 3 file)")
+        (hlen,) = struct.unpack_from("<I", head, 8)
+        hbuf = f.read(hlen)
+    h = _fb_root(hbuf)
+    columns = [(_fb_string(hbuf, c, 0) or "",
+                _fb_scalar(hbuf, c, 1, "B", 0))
+               for c in _fb_offset_vector(hbuf, h, 7)]
+    crs_tab = _fb_indirect(hbuf, h, 10)
+    return {"name": _fb_string(hbuf, h, 0) or "",
+            "envelope": _fb_vector(hbuf, h, 1, "d"),
+            "geometry_type": _fb_scalar(hbuf, h, 2, "B", 0),
+            "columns": columns,
+            "features_count": _fb_scalar(hbuf, h, 8, "Q", 0),
+            "index_node_size": _fb_scalar(hbuf, h, 9, "H", 16),
+            "crs_code": (_fb_scalar(hbuf, crs_tab, 1, "i", 0)
+                         if crs_tab else 0)}
+
+
+def fgb_source(spark, paths, bbox=None):
     """Read one or more ``.fgb`` files into a layer-core DataFrame
     (geom WKB + gtype + bbox + attribute columns).  Parallelism is
     per FILE (each task decodes one sequential record stream — the
-    shapefile-source shape; a 100 TB corpus is many files)."""
+    shapefile-source shape; a 100 TB corpus is many files).
+
+    ``bbox`` (r13): an ``(x0, y0, x1, y1)`` window — files whose
+    HEADER envelope misses it are pruned driver-side (header-only
+    reads, no task launched), and surviving files' features are
+    envelope-filtered in the task.  A file without a header envelope
+    is always read (prune only on evidence)."""
     from pyspark.sql import types as T
 
     if isinstance(paths, (str, os.PathLike)):
         paths = [str(paths)]
     paths = [str(p) for p in paths]
-    head = read_fgb(paths[0])
+    head = read_fgb_header(paths[0])
     cols = head["columns"]
+    if bbox is not None:
+        x0, y0, x1, y1 = (float(v) for v in bbox)
+
+        def file_hits(p):
+            env = read_fgb_header(p)["envelope"]
+            if not env or len(env) < 4:
+                return True
+            return (env[0] <= x1 and env[2] >= x0
+                    and env[1] <= y1 and env[3] >= y0)
+        paths = [p for p in paths if file_hits(p)]
     fields = [T.StructField("fid", T.LongType()),
               T.StructField("geom", T.BinaryType()),
               T.StructField("gtype", T.IntegerType()),
@@ -555,6 +597,9 @@ def fgb_source(spark, paths):
         T.StructField(n, T._parse_datatype_string(_SPARK_COL_TYPES[t]))
         for n, t in cols])
 
+    win = (tuple(float(v) for v in bbox)
+           if bbox is not None else None)
+
     def parse(iter_pdf):
         import pandas as pd
 
@@ -565,6 +610,10 @@ def fgb_source(spark, paths):
                 rows = []
                 for i, (g, props) in enumerate(doc["features"]):
                     e = g.envelope()
+                    if win is not None and not (
+                            e[0] <= win[2] and e[2] >= win[0]
+                            and e[1] <= win[3] and e[3] >= win[1]):
+                        continue
                     row = {"fid": i, "geom": to_wkb(g),
                            "gtype": g.gtype, "xmin": e[0], "ymin": e[1],
                            "xmax": e[2], "ymax": e[3]}
@@ -574,6 +623,8 @@ def fgb_source(spark, paths):
                 yield pd.DataFrame(rows, columns=[f.name for f in
                                                   schema.fields])
 
+    if not paths:
+        return spark.createDataFrame([], schema)
     pdf = spark.createDataFrame([(p,) for p in paths], "path string") \
         .repartition(len(paths))
     return pdf.mapInPandas(parse, schema)

@@ -968,3 +968,39 @@ def test_flatgeobuf_roundtrip_and_spark_source(ctx, spark, tmp_path):
     doc2 = read_fgb(spliced)
     assert len(doc2["features"]) == 1
     assert to_wkt(doc2["features"][0][0]) == to_wkt(feats[0][0])
+
+
+def test_flatgeobuf_bbox_pushdown(spark, tmp_path):
+    """r13: fgb_source(bbox=) — files whose HEADER envelope misses
+    the window are pruned driver-side from header-only reads, and
+    surviving files' features are envelope-filtered; an empty prune
+    still returns the typed empty frame."""
+    from spatial_spark.geom.core import Geometry
+    from spatial_spark.io.flatgeobuf import (fgb_source, read_fgb_header,
+                                             write_fgb)
+    cols = [("tag", 11)]
+    west = [(Geometry.point(-100.0 - i, 10.0), {"tag": f"w{i}"})
+            for i in range(4)]
+    east = [(Geometry.point(100.0 + i, 10.0), {"tag": f"e{i}"})
+            for i in range(4)]
+    pw = str(tmp_path / "west.fgb")
+    pe = str(tmp_path / "east.fgb")
+    with open(pw, "wb") as f:
+        f.write(write_fgb(west, name="west", columns=cols))
+    with open(pe, "wb") as f:
+        f.write(write_fgb(east, name="east", columns=cols))
+    hdr = read_fgb_header(pw)
+    assert hdr["name"] == "west" and hdr["features_count"] == 4
+    assert hdr["envelope"] == [-103.0, 10.0, -100.0, 10.0]
+
+    # window over the east cluster only: west file never reaches a task
+    df = fgb_source(spark, [pw, pe], bbox=(90.0, 0.0, 110.0, 20.0))
+    assert df.rdd.getNumPartitions() == 1   # one surviving file
+    tags = sorted(r["tag"] for r in df.collect())
+    assert tags == ["e0", "e1", "e2", "e3"]
+    # intra-file feature filter: a window catching only 2 east points
+    df2 = fgb_source(spark, [pw, pe], bbox=(100.5, 0.0, 102.5, 20.0))
+    assert sorted(r["tag"] for r in df2.collect()) == ["e1", "e2"]
+    # window hitting nothing: typed empty frame, zero tasks
+    df3 = fgb_source(spark, [pw, pe], bbox=(0.0, 50.0, 1.0, 51.0))
+    assert df3.count() == 0 and "tag" in df3.columns
