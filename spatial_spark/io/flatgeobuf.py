@@ -39,8 +39,8 @@ from ..geom.core import (GTYPE_LINESTRING, GTYPE_MULTILINESTRING,
                          GTYPE_MULTIPOINT, GTYPE_MULTIPOLYGON,
                          GTYPE_POINT, GTYPE_POLYGON, Geometry)
 
-__all__ = ["write_fgb", "read_fgb", "fgb_source", "export_fgb",
-           "import_fgb"]
+__all__ = ["write_fgb", "read_fgb", "read_fgb_header", "fgb_source",
+           "export_fgb", "export_fgb_dir", "import_fgb"]
 
 MAGIC = b"fgb\x03fgb\x00"
 
@@ -666,6 +666,84 @@ def export_fgb(df, path: str, name: str = "layer",
     with open(path, "wb") as f:
         f.write(buf)
     return len(feats)
+
+
+def export_fgb_dir(df, out_dir: str, name: str = "layer",
+                   geometry_type: int = 0, crs_code: int = 4326):
+    """DISTRIBUTED FlatGeobuf export: each partition writes ONE
+    spec-conformant ``part-NNNNN.fgb`` into ``out_dir`` from its own
+    task (no driver funnel — the 100 TB export shape; read the
+    directory back with ``fgb_source`` over the part files).  Returns
+    a DataFrame manifest (path, n_features, envelope) — one row per
+    non-empty partition.  Column typing rules match ``export_fgb``."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    core = {"geom", "gtype", "xmin", "ymin", "xmax", "ymax", "zkey",
+            "fid"}
+    attr_fields = [f for f in df.schema.fields if f.name not in core]
+    type_map = {"boolean": _COL_BOOL, "integer": _COL_INT,
+                "long": _COL_LONG, "float": _COL_FLOAT,
+                "double": _COL_DOUBLE, "string": _COL_STRING,
+                "binary": _COL_BINARY, "short": _COL_SHORT,
+                "byte": _COL_BYTE}
+    columns = []
+    for f in attr_fields:
+        t = type_map.get(f.dataType.typeName())
+        if t is None:
+            raise ValueError(
+                f"FlatGeobuf: unsupported column type {f.dataType} "
+                f"for {f.name!r}")
+        columns.append((f.name, t))
+    os.makedirs(out_dir, exist_ok=True)
+    out_schema = T.StructType([
+        T.StructField("path", T.StringType()),
+        T.StructField("n_features", T.LongType()),
+        T.StructField("xmin", T.DoubleType()),
+        T.StructField("ymin", T.DoubleType()),
+        T.StructField("xmax", T.DoubleType()),
+        T.StructField("ymax", T.DoubleType()),
+    ])
+
+    def write_part(iter_pdf):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        from ..geom.wkb import from_wkb
+        feats = []
+        def present(v):
+            if v is None:
+                return False
+            return not (isinstance(v, float) and v != v)   # NaN
+        for pdf in iter_pdf:
+            for _, r in pdf.iterrows():
+                g = from_wkb(bytes(r["geom"]))
+                props = {n: r[n] for n, _t in columns
+                         if present(r[n])}
+                feats.append((g, props))
+        if not feats:
+            yield pd.DataFrame(
+                {c.name: [] for c in out_schema.fields})
+            return
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.fgb")
+        buf = write_fgb(feats, name=name, columns=columns,
+                        geometry_type=geometry_type,
+                        crs_code=crs_code)
+        with open(path, "wb") as f:
+            f.write(buf)
+        env = None
+        for g, _ in feats:
+            e = g.envelope()
+            env = (e if env is None else
+                   (min(env[0], e[0]), min(env[1], e[1]),
+                    max(env[2], e[2]), max(env[3], e[3])))
+        yield pd.DataFrame({"path": [path], "n_features": [len(feats)],
+                            "xmin": [env[0]], "ymin": [env[1]],
+                            "xmax": [env[2]], "ymax": [env[3]]})
+
+    return df.mapInPandas(write_part, out_schema)
 
 
 def import_fgb(ctx, path: str, layer_name: str):

@@ -1004,3 +1004,35 @@ def test_flatgeobuf_bbox_pushdown(spark, tmp_path):
     # window hitting nothing: typed empty frame, zero tasks
     df3 = fgb_source(spark, [pw, pe], bbox=(0.0, 50.0, 1.0, 51.0))
     assert df3.count() == 0 and "tag" in df3.columns
+
+
+def test_flatgeobuf_distributed_export(spark, tmp_path):
+    """r13: export_fgb_dir — each partition writes ONE conformant
+    .fgb from its own task (no driver funnel); the manifest rows
+    carry per-file envelope + count; fgb_source over the parts
+    reproduces the dataset and the bbox pushdown prunes part files."""
+    from pyspark.sql import functions as F
+
+    from spatial_spark.functions.scalar import register_all
+    from spatial_spark.io.flatgeobuf import export_fgb_dir, fgb_source
+    register_all(spark)
+    src = (spark.createDataFrame(
+        [(i, f"POINT ({(i % 8) * 40 - 140} {i % 50})", f"t{i}", i)
+         for i in range(64)],
+        "id long, wkt string, tag string, v long")
+        .withColumn("geom", F.expr("st_geomfromtext(wkt)"))
+        .drop("wkt", "id")
+        .repartition(4, "v"))
+    out = str(tmp_path / "parts")
+    manifest = export_fgb_dir(src, out, name="dist").collect()
+    paths = sorted(r["path"] for r in manifest)
+    assert 1 < len(paths) <= 4
+    assert sum(r["n_features"] for r in manifest) == 64
+    back = fgb_source(spark, paths)
+    assert back.count() == 64
+    assert sorted(r["tag"] for r in back.collect()) == \
+        sorted(f"t{i}" for i in range(64))
+    # per-file envelopes are honest: pushdown over them prunes parts
+    west = fgb_source(spark, paths, bbox=(-145.0, -1.0, -135.0, 51.0))
+    got = {r["tag"] for r in west.collect()}
+    assert got == {f"t{i}" for i in range(64) if i % 8 == 0}
