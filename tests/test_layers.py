@@ -2060,3 +2060,26 @@ def test_cql_tier5_string_functions(ctx, spark):
     assert (row["n"], row["cap"], row["sub"]) == (11, "Hello World", "123")
     # strIndexOf of 'H' in '  Hello...' -> Java index 2
     assert row["i"] == 2
+
+
+def test_attribute_stats_survive_compaction(ctx, spark):
+    """r13: compaction rewrites files through _footer_stats, so the
+    amin:/amax: attribute-range keys must re-appear in the compacted
+    shard aggregates and df_pruned(props=) must keep pruning with the
+    SAME answers after compact()."""
+    layer = ctx.create_point_layer("attrcompact", x="lon", y="lat")
+    for base in (0, 100, 200):
+        rows = [(base + i, 10.0 + base * 0.01 + i * 0.001, 45.0,
+                 base + i) for i in range(30)]
+        layer.add(spark.createDataFrame(
+            rows, "id long, lon double, lat double, score long"))
+    before = sorted(r["id"] for r in
+                    layer.df_pruned(props={"score": (200, None)})
+                    .filter("score >= 200").collect())
+    layer.compact(target_files=1)
+    sts = layer._manifest.shard_stats()
+    assert any("amin:score" in (sh.get("stats") or {}) for sh in sts)
+    after = sorted(r["id"] for r in
+                   layer.df_pruned(props={"score": (200, None)})
+                   .filter("score >= 200").collect())
+    assert after == before == list(range(200, 230))
