@@ -408,19 +408,24 @@ def _decode_props(columns: list, raw: bytes) -> dict:
 # --------------------------------------------------------------------
 # file-level encode / decode
 # --------------------------------------------------------------------
-def write_fgb(features: list, name: str = "layer", columns: list = (),
-              geometry_type: int = 0, crs_code: int = 4326) -> bytes:
-    """Encode ``[(Geometry, props_dict), ...]`` into FlatGeobuf bytes.
-    ``columns``: [(name, ColumnType int)] in property order;
-    ``geometry_type``: the fgb GeometryType for the header (0 =
-    Unknown/mixed).  No spatial index is written (index_node_size=0)."""
-    env = None
-    for g, _ in features:
-        e = g.envelope()
-        env = (e if env is None else
-               (min(env[0], e[0]), min(env[1], e[1]),
-                max(env[2], e[2]), max(env[3], e[3])))
+def _encode_feature(g: Geometry, props: dict, columns: list) -> bytes:
+    """One size-prefixed Feature record (the unit a streaming writer
+    appends)."""
+    fb = _FBBuilder()
+    props_off = (fb.create_bytes(_encode_props(columns, props))
+                 if props else None)
+    geom_off = _build_geometry(fb, g) if g is not None else None
+    fb.start_table(3)
+    fb.slot_offset(0, geom_off)
+    fb.slot_offset(1, props_off)
+    feat = fb.finish(fb.end_table())
+    return struct.pack("<I", len(feat)) + feat
 
+
+def _encode_header(name: str, columns: list, geometry_type: int,
+                   crs_code: int, env, n_features: int) -> bytes:
+    """magic + size-prefixed Header table (no index —
+    index_node_size=0, the spec's documented no-index mode)."""
     hb = _FBBuilder()
     col_offs = []
     for cname, ctype in columns:
@@ -444,24 +449,47 @@ def write_fgb(features: list, name: str = "layer", columns: list = (),
     hb.slot_offset(1, env_off)
     hb.slot_scalar(2, "B", int(geometry_type), 0)
     hb.slot_offset(7, cols_off)
-    hb.slot_scalar(8, "Q", len(features), 0)
+    hb.slot_scalar(8, "Q", int(n_features), 0)
     hb.slot_scalar(9, "H", 0, 16)         # index_node_size=0: no index
     hb.slot_offset(10, crs_off)
     header = hb.finish(hb.end_table())
+    return bytes(MAGIC) + struct.pack("<I", len(header)) + header
 
-    out = bytearray(MAGIC)
-    out += struct.pack("<I", len(header)) + header
+
+def write_fgb(features: list, name: str = "layer", columns: list = (),
+              geometry_type: int = 0, crs_code: int = 4326) -> bytes:
+    """Encode ``[(Geometry, props_dict), ...]`` into FlatGeobuf bytes.
+    ``columns``: [(name, ColumnType int)] in property order;
+    ``geometry_type``: the fgb GeometryType for the header (0 =
+    Unknown/mixed).  No spatial index is written (index_node_size=0)."""
+    env = None
+    for g, _ in features:
+        if g is None:
+            continue
+        e = g.envelope()
+        env = (e if env is None else
+               (min(env[0], e[0]), min(env[1], e[1]),
+                max(env[2], e[2]), max(env[3], e[3])))
+    out = bytearray(_encode_header(name, columns, geometry_type,
+                                   crs_code, env, len(features)))
     for g, props in features:
-        fb = _FBBuilder()
-        props_off = (fb.create_bytes(_encode_props(columns, props))
-                     if props else None)
-        geom_off = _build_geometry(fb, g)
-        fb.start_table(3)
-        fb.slot_offset(0, geom_off)
-        fb.slot_offset(1, props_off)
-        feat = fb.finish(fb.end_table())
-        out += struct.pack("<I", len(feat)) + feat
+        out += _encode_feature(g, props, columns)
     return bytes(out)
+
+
+def _packed_index_size(n_feat: int, node_size: int) -> int:
+    """Byte size of the packed Hilbert R-tree the spec's calcTreeSize
+    yields (leaf level + DO-WHILE parent levels, 40 bytes/node).  The
+    do-while matters: even ONE feature gets a root level above the
+    leaf (2 nodes / 80 bytes); the spec clamps node size to >= 2."""
+    ns = max(int(node_size), 2)
+    n, num_nodes = n_feat, n_feat
+    while True:
+        n = (n + ns - 1) // ns
+        num_nodes += n
+        if n == 1:
+            break
+    return num_nodes * 40
 
 
 def read_fgb(data) -> dict:
@@ -493,15 +521,7 @@ def read_fgb(data) -> dict:
     crs_tab = _fb_indirect(hbuf, h, 10)
     crs_code = _fb_scalar(hbuf, crs_tab, 1, "i", 0) if crs_tab else 0
     if node_size > 0 and n_feat > 0:
-        # packed Hilbert R-tree size (spec: sum of level node counts
-        # * 40 bytes/node) — skip it
-        n, levels = n_feat, []
-        while True:
-            levels.append(n)
-            if n == 1:
-                break
-            n = (n + node_size - 1) // node_size
-        pos += sum(levels) * 40
+        pos += _packed_index_size(n_feat, node_size)
     feats = []
     while pos < len(data) and len(feats) < (n_feat or 1 << 62):
         (flen,) = struct.unpack_from("<I", data, pos)
@@ -558,34 +578,108 @@ def read_fgb_header(path: str) -> dict:
                          if crs_tab else 0)}
 
 
-def fgb_source(spark, paths, bbox=None):
+#: below this many files the header pass stays driver-side (a Spark
+#: job costs more than a handful of few-hundred-byte reads); above it
+#: ONE bounded mapInPandas job reads every header in parallel so
+#: driver wall stays flat in file count (100k files = 100k reads that
+#: must not run in a serial Python loop).
+_HEADER_JOB_THRESHOLD = 8
+
+
+def _read_headers(spark, paths: list) -> list:
+    """Header facts for every file: ``[(path, columns, envelope|None),
+    ...]`` in input order.  Distributed when the path list is large —
+    the result is bounded (one tuple per file), the I/O is not."""
+    if len(paths) <= _HEADER_JOB_THRESHOLD:
+        return [(p, (h := read_fgb_header(p))["columns"],
+                 h["envelope"]) for p in paths]
+    import json as _json
+
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("path", T.StringType()),
+        T.StructField("cols_json", T.StringType()),
+        T.StructField("env_json", T.StringType()),
+    ])
+
+    def read_heads(iter_pdf):
+        import pandas as pd
+        for pdf in iter_pdf:
+            rows = []
+            for p in pdf["path"]:
+                h = read_fgb_header(p)
+                env = h["envelope"]
+                rows.append({
+                    "path": p,
+                    "cols_json": _json.dumps(h["columns"]),
+                    "env_json": (_json.dumps(list(env[:4]))
+                                 if env and len(env) >= 4 else None)})
+            yield pd.DataFrame(rows, columns=["path", "cols_json",
+                                              "env_json"])
+
+    npart = max(1, min(len(paths), 256))
+    pdf = (spark.createDataFrame([(p,) for p in paths], "path string")
+           .repartition(npart))
+    by_path = {r["path"]: r for r in pdf.mapInPandas(read_heads,
+                                                     schema).collect()}
+    out = []
+    for p in paths:
+        r = by_path[p]
+        cols = [(n, t) for n, t in _json.loads(r["cols_json"])]
+        env = (_json.loads(r["env_json"])
+               if r["env_json"] is not None else None)
+        out.append((p, cols, env))
+    return out
+
+
+def fgb_source(spark, paths, bbox=None, manifest=None):
     """Read one or more ``.fgb`` files into a layer-core DataFrame
     (geom WKB + gtype + bbox + attribute columns).  Parallelism is
     per FILE (each task decodes one sequential record stream — the
     shapefile-source shape; a 100 TB corpus is many files).
 
-    ``bbox`` (r13): an ``(x0, y0, x1, y1)`` window — files whose
-    HEADER envelope misses it are pruned driver-side (header-only
-    reads, no task launched), and surviving files' features are
-    envelope-filtered in the task.  A file without a header envelope
-    is always read (prune only on evidence)."""
+    ``bbox``: an ``(x0, y0, x1, y1)`` window — files whose envelope
+    misses it are pruned BEFORE any parse task launches, and surviving
+    files' features are envelope-filtered in the task.  A file without
+    a known envelope is always read (prune only on evidence).
+
+    ``manifest`` (r14): the per-file envelope index ``export_fgb_dir``
+    returns — a DataFrame (or list of Rows/dicts) with columns
+    ``path, xmin, ymin, xmax, ymax``.  When given, file pruning comes
+    from the manifest alone (ZERO header reads for pruning; one header
+    read total, for the schema).  Without it, headers are read in ONE
+    distributed job above ``_HEADER_JOB_THRESHOLD`` files (never a
+    serial driver loop), and every file's declared column list is
+    validated identical — heterogeneous inputs raise instead of
+    silently dropping or nulling columns."""
     from pyspark.sql import types as T
 
     if isinstance(paths, (str, os.PathLike)):
         paths = [str(paths)]
     paths = [str(p) for p in paths]
-    head = read_fgb_header(paths[0])
-    cols = head["columns"]
+    if manifest is not None:
+        if hasattr(manifest, "collect"):
+            manifest = manifest.collect()
+        env_by_path = {str(m["path"]): (m["xmin"], m["ymin"],
+                                        m["xmax"], m["ymax"])
+                       for m in manifest}
+        heads = [(p, None, env_by_path.get(p)) for p in paths]
+        cols = read_fgb_header(paths[0])["columns"]
+    else:
+        heads = _read_headers(spark, paths)
+        cols = heads[0][1]
+        for p, c, _e in heads[1:]:
+            if c != cols:
+                raise ValueError(
+                    "FlatGeobuf: heterogeneous schemas — "
+                    f"{paths[0]!r} declares {[n for n, _ in cols]} "
+                    f"but {p!r} declares {[n for n, _ in c]}; "
+                    "read them as separate sources")
     if bbox is not None:
         x0, y0, x1, y1 = (float(v) for v in bbox)
-
-        def file_hits(p):
-            env = read_fgb_header(p)["envelope"]
-            if not env or len(env) < 4:
-                return True
-            return (env[0] <= x1 and env[2] >= x0
-                    and env[1] <= y1 and env[3] >= y0)
-        paths = [p for p in paths if file_hits(p)]
+        paths = [p for p, _c, env in heads
+                 if env is None or (env[0] <= x1 and env[2] >= x0
+                                    and env[1] <= y1 and env[3] >= y0)]
     fields = [T.StructField("fid", T.LongType()),
               T.StructField("geom", T.BinaryType()),
               T.StructField("gtype", T.IntegerType()),
@@ -609,6 +703,19 @@ def fgb_source(spark, paths, bbox=None):
                 doc = read_fgb(path)
                 rows = []
                 for i, (g, props) in enumerate(doc["features"]):
+                    if g is None:
+                        # spec-legal geometry-less feature: keep its
+                        # properties as a null-geom row (a window
+                        # can't match what has no extent)
+                        if win is not None:
+                            continue
+                        row = {"fid": i, "geom": None, "gtype": None,
+                               "xmin": None, "ymin": None,
+                               "xmax": None, "ymax": None}
+                        for n, _t in doc["columns"]:
+                            row[n] = props.get(n)
+                        rows.append(row)
+                        continue
                     e = g.envelope()
                     if win is not None and not (
                             e[0] <= win[2] and e[2] >= win[0]
@@ -633,11 +740,15 @@ def fgb_source(spark, paths, bbox=None):
 def export_fgb(df, path: str, name: str = "layer",
                geometry_type: int = 0, crs_code: int = 4326) -> int:
     """Write a layer-core DataFrame (geom WKB + attributes) to ONE
-    ``.fgb`` file.  Streams partitions through ``toLocalIterator`` —
-    bounded driver memory, sequential append (the format is a single
-    record stream; for distributed exports write one file per
-    partition and read them back as a multi-file source).  Returns the
-    feature count."""
+    ``.fgb`` file.  Truly streaming: rows arrive one partition at a
+    time (``toLocalIterator``), each feature is ENCODED AND APPENDED
+    to a temp record stream as it arrives while the envelope + count
+    accumulate, then the header is written and the stream concatenated
+    in bounded chunks — driver memory is O(1 feature), never
+    O(dataset).  (The header precedes the features in the format, and
+    its envelope/count aren't known until the end — hence the temp
+    stream.)  For distributed exports use ``export_fgb_dir``.  Returns
+    the feature count."""
     from ..geom.wkb import from_wkb
 
     core = {"geom", "gtype", "xmin", "ymin", "xmax", "ymax", "zkey",
@@ -656,16 +767,33 @@ def export_fgb(df, path: str, name: str = "layer",
                 f"FlatGeobuf: unsupported column type {f.dataType} "
                 f"for {f.name!r}")
         columns.append((f.name, t))
-    feats = []
-    for r in df.toLocalIterator():
-        g = from_wkb(bytes(r["geom"]))
-        props = {n: r[n] for n, _ in columns if r[n] is not None}
-        feats.append((g, props))
-    buf = write_fgb(feats, name=name, columns=columns,
-                    geometry_type=geometry_type, crs_code=crs_code)
-    with open(path, "wb") as f:
-        f.write(buf)
-    return len(feats)
+    env, cnt = None, 0
+    tmp = str(path) + ".feats.tmp"
+    try:
+        with open(tmp, "wb") as tf:
+            for r in df.toLocalIterator():
+                g = from_wkb(bytes(r["geom"]))
+                props = {n: r[n] for n, _ in columns
+                         if r[n] is not None}
+                tf.write(_encode_feature(g, props, columns))
+                e = g.envelope()
+                env = (e if env is None else
+                       (min(env[0], e[0]), min(env[1], e[1]),
+                        max(env[2], e[2]), max(env[3], e[3])))
+                cnt += 1
+        with open(path, "wb") as out:
+            out.write(_encode_header(name, columns, geometry_type,
+                                     crs_code, env, cnt))
+            with open(tmp, "rb") as tf:
+                while True:
+                    chunk = tf.read(1 << 22)
+                    if not chunk:
+                        break
+                    out.write(chunk)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+    return cnt
 
 
 def export_fgb_dir(df, out_dir: str, name: str = "layer",
@@ -763,6 +891,11 @@ def import_fgb(ctx, path: str, layer_name: str):
     cols = doc["columns"]
     rows = []
     for i, (g, props) in enumerate(doc["features"]):
+        if g is None:
+            # spec-legal geometry-less feature: a Layer is a set of
+            # geometries, so these are skipped on import (fgb_source
+            # keeps them as null-geom rows for users who need them)
+            continue
         rows.append(tuple([i, bytearray(to_wkb(g))]
                           + [props.get(n) for n, _ in cols]))
     schema = "id long, geom binary" + "".join(

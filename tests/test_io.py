@@ -951,9 +951,10 @@ def test_flatgeobuf_roundtrip_and_spark_source(ctx, spark, tmp_path):
     assert layer.df().count() == 5
 
     # (f) index-skip: patch the header's index_node_size field (u16,
-    # field 9) to 16 and splice the 40-byte single-node packed index a
-    # conformant writer would emit for 1 feature — read_fgb must skip
-    # it and still decode the feature
+    # field 9) to 16 and splice the 80-byte packed index a conformant
+    # writer emits for 1 feature (spec calcTreeSize is a do-while:
+    # even one leaf gets a root level above it — 2 nodes * 40 bytes)
+    # — read_fgb must skip it and still decode the feature
     one = write_fgb(feats[:1], name="ix", columns=columns)
     import struct as _s
 
@@ -964,10 +965,16 @@ def test_flatgeobuf_roundtrip_and_spark_source(ctx, spark, tmp_path):
     pos = _fb_field(bytes(hbuf), _fb_root(bytes(hbuf)), 9)
     assert pos is not None and _s.unpack_from("<H", hbuf, pos)[0] == 0
     _s.pack_into("<H", hbuf, pos, 16)
-    spliced = one[:12] + bytes(hbuf) + b"\x00" * 40 + one[head_end:]
+    spliced = one[:12] + bytes(hbuf) + b"\x00" * 80 + one[head_end:]
     doc2 = read_fgb(spliced)
     assert len(doc2["features"]) == 1
     assert to_wkt(doc2["features"][0][0]) == to_wkt(feats[0][0])
+    # the multi-level sizes too: 16 leaves -> 17 nodes; 17 -> 20
+    from spatial_spark.io.flatgeobuf import _packed_index_size
+    assert _packed_index_size(1, 16) == 2 * 40
+    assert _packed_index_size(16, 16) == 17 * 40
+    assert _packed_index_size(17, 16) == 20 * 40
+    assert _packed_index_size(257, 16) == (257 + 17 + 2 + 1) * 40
 
 
 def test_flatgeobuf_bbox_pushdown(spark, tmp_path):
@@ -1036,3 +1043,65 @@ def test_flatgeobuf_distributed_export(spark, tmp_path):
     west = fgb_source(spark, paths, bbox=(-145.0, -1.0, -135.0, 51.0))
     got = {r["tag"] for r in west.collect()}
     assert got == {f"t{i}" for i in range(64) if i % 8 == 0}
+
+
+def test_flatgeobuf_manifest_prune_and_schema_guard(spark, tmp_path):
+    """r14: (a) fgb_source(manifest=) prunes files from the
+    export_fgb_dir manifest alone — zero per-file header reads for
+    pruning; (b) heterogeneous multi-file column lists RAISE instead
+    of silently dropping/nulling columns; (c) a geometry-less feature
+    (spec-legal) survives write->read->fgb_source as a null-geom row
+    and is skipped by import_fgb."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from spatial_spark.functions.scalar import register_all
+    from spatial_spark.geom.core import Geometry
+    from spatial_spark.io.flatgeobuf import (export_fgb_dir, fgb_source,
+                                             read_fgb, write_fgb)
+    register_all(spark)
+    src = (spark.createDataFrame(
+        [(i, f"POINT ({(i % 4) * 90 - 135} {i % 40})", f"m{i}")
+         for i in range(32)],
+        "id long, wkt string, tag string")
+        .withColumn("geom", F.expr("st_geomfromtext(wkt)"))
+        .drop("wkt", "id")
+        .repartition(4, "tag"))
+    out = str(tmp_path / "mparts")
+    manifest = export_fgb_dir(src, out, name="m").cache()
+    paths = sorted(r["path"] for r in manifest.collect())
+
+    # (a) manifest-driven pruning matches header-driven pruning
+    win = (-140.0, -1.0, -130.0, 41.0)
+    via_manifest = fgb_source(spark, paths, bbox=win, manifest=manifest)
+    via_headers = fgb_source(spark, paths, bbox=win)
+    assert (sorted(r["tag"] for r in via_manifest.collect())
+            == sorted(r["tag"] for r in via_headers.collect())
+            == sorted(f"m{i}" for i in range(32) if i % 4 == 0))
+    manifest.unpersist()
+
+    # (b) heterogeneous schemas raise loudly
+    pa = str(tmp_path / "a.fgb")
+    pb = str(tmp_path / "b.fgb")
+    with open(pa, "wb") as f:
+        f.write(write_fgb([(Geometry.point(0, 0), {"x": 1})],
+                          columns=[("x", 6)]))
+    with open(pb, "wb") as f:
+        f.write(write_fgb([(Geometry.point(1, 1), {"y": 2})],
+                          columns=[("y", 6)]))
+    with _pytest.raises(ValueError, match="heterogeneous"):
+        fgb_source(spark, [pa, pb])
+
+    # (c) geometry-less feature: kept by the source, skipped on import
+    pn = str(tmp_path / "nullgeom.fgb")
+    with open(pn, "wb") as f:
+        f.write(write_fgb([(Geometry.point(5, 5), {"x": 1}),
+                           (None, {"x": 2})], columns=[("x", 6)]))
+    doc = read_fgb(pn)
+    assert doc["features"][1][0] is None
+    assert doc["features"][1][1] == {"x": 2}
+    rows = fgb_source(spark, pn).orderBy("x").collect()
+    assert len(rows) == 2
+    assert rows[1]["geom"] is None and rows[1]["x"] == 2
+    # a window never matches the extent-less feature
+    assert fgb_source(spark, pn, bbox=(4, 4, 6, 6)).count() == 1
