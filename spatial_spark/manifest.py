@@ -443,11 +443,17 @@ class Manifest:
         return [dict(sh) for sh in doc.get("shards", [])]
 
     def files_where(self, keep) -> list | None:
-        """Absolute paths of current data files in shards whose
-        aggregate stats pass ``keep(stats_dict) -> bool`` — the
-        planning read: only matching shard docs are opened.  Shards
-        with EMPTY stats are always included (prune only on evidence).
-        Returns None when no manifest exists."""
+        """Absolute paths of current data files passing
+        ``keep(stats_dict) -> bool`` — the planning read, two tiers:
+        (1) shards whose AGGREGATE stats fail are skipped without
+        opening their doc; (2) inside a surviving doc the SAME
+        predicate runs against the per-file stats ``_write_shard``
+        persists (r14 — the doc is already in hand, so the finer cut
+        is free and a selective filter plans ~matching files instead
+        of whole shards: at 100 TB that is the difference between
+        openining 8 and 512 parquet footers).  Stats-less shards and
+        files are always included (prune only on evidence).  Returns
+        None when no manifest exists."""
         cur = self._newest()
         if cur is None:
             return None
@@ -459,8 +465,13 @@ class Manifest:
             st = sh.get("stats") or {}
             if st and not keep(st):
                 continue
-            out.extend(os.path.join(self.store, n)
-                       for n in self._shard_doc(sh["name"])["files"])
+            sdoc = self._shard_doc(sh["name"])
+            fstats = sdoc.get("file_stats") or {}
+            for n in sdoc["files"]:
+                f_st = fstats.get(n)
+                if f_st and not keep(f_st):
+                    continue
+                out.append(os.path.join(self.store, n))
         return out
 
     def current_meta(self) -> dict:

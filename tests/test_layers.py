@@ -2083,3 +2083,41 @@ def test_attribute_stats_survive_compaction(ctx, spark):
                    layer.df_pruned(props={"score": (200, None)})
                    .filter("score >= 200").collect())
     assert after == before == list(range(200, 230))
+
+
+def test_files_where_per_file_pruning():
+    """r14 (VERDICT r13 ask #2): inside an OPENED shard doc the keep
+    predicate runs again per file over the persisted per-file stats —
+    a selective filter plans ~matching files, not the whole surviving
+    shard.  Stats-less files are always included (prune only on
+    evidence), and the per-file cut survives a delta rewrite."""
+    from spatial_spark.manifest import Manifest
+    io = _FakeManifestIO()
+    man = Manifest("/mem/store", io=io)
+    names = [f"part-{i:03d}" for i in range(10)]
+    stats = {n: {"rows": 10, "amin:score": 100.0 * i,
+                 "amax:score": 100.0 * i + 99.0}
+             for i, n in enumerate(names)}
+    stats.pop("part-007")                       # one stats-less file
+    man.commit(names, stats=stats)
+    assert len(man.shard_stats()) == 1          # ONE shard holds all 10
+
+    def keep(st):
+        amin, amax = st.get("amin:score"), st.get("amax:score")
+        if amin is None or amax is None:
+            return True
+        return amin <= 350.0 and amax >= 250.0  # files 2 and 3 only
+
+    got = man.files_where(keep)
+    assert sorted(got) == ["/mem/store/part-002", "/mem/store/part-003",
+                           "/mem/store/part-007"]  # + the stats-less one
+    # per-file stats keep pruning after a removal rewrites the shard
+    man.commit([n for n in names if n != "part-005"])
+    got2 = man.files_where(keep)
+    assert sorted(got2) == sorted(got)
+    # an impossible range keeps ONLY the stats-less file (the shard
+    # aggregate is {} because one file lacks stats, so the cut is
+    # entirely the per-file tier's)
+    assert man.files_where(
+        lambda s: s.get("amin:score", 0.0) > 1e9) == \
+        ["/mem/store/part-007"]

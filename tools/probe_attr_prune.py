@@ -47,8 +47,12 @@ def probe(n_files: int) -> dict:
         return amin <= mid + 99.0 and amax >= mid
 
     files = man.files_where(keep)
+    # exactly one file's score range matches the selective filter
+    matching = [n for i, n in enumerate(names)
+                if 100.0 * i <= mid + 99.0 and 100.0 * i + 99.0 >= mid]
     return {"n_files": n_files, "total_shards": total_shards,
-            "docs_opened": reads["shard"], "files_planned": len(files)}
+            "docs_opened": reads["shard"], "files_planned": len(files),
+            "files_matching": len(matching)}
 
 
 def main():
@@ -68,6 +72,13 @@ def main():
     out["prune_ratio_64x"] = round(
         r["docs_opened"] / r["total_shards"], 4)
     assert out["prune_ratio_64x"] <= 0.2, out
+    # r14 (VERDICT r13 ask #2): per-FILE pruning inside the opened
+    # shard doc — the plan lists ~the matching files, not the whole
+    # surviving shard (previously 512 files at 64x for a 1-file
+    # filter), flat in N
+    for mult in (1, 4, 16, 64):
+        rr = out[f"{mult}x"]
+        assert rr["files_planned"] == rr["files_matching"], rr
     print(json.dumps(out))
 
 
