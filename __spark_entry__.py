@@ -2668,6 +2668,63 @@ def _flatgeobuf_oracle_sql() -> str:
     """
 
 
+def _q_delta_roundtrip(spark, sf_dir) -> DataFrame:
+    """Delta Lake sink/source round-trip gate (r14, VERDICT r13 ask #4
+    — the THIRD lakehouse interop leg after GeoParquet r9 and
+    FlatGeobuf r13).  Part rows export through io/delta.export_delta:
+    Spark-written parquet data files + a _delta_log commit conformant
+    to the public delta.io PROTOCOL.md (protocol/metaData/add actions,
+    URL-encoded relative paths, per-file footer stats as the spec's
+    stats JSON).  An APPEND commit lands a second file set (version
+    1), then the table reads back through delta_source — an
+    INDEPENDENT log replay (add/remove reconciliation, schema from
+    metaData.schemaString).  Time travel (version=0 row count) and a
+    stats-pruned plan (props= file pruning from add-action min/max,
+    exact predicate re-applied) ride along as literal columns so the
+    protocol semantics themselves are oracle-checked.  Reference
+    parity: the GeoTools DataStore adapter is the reference's
+    foreign-engine surface (geotools-plugin/.../Neo4jSpatialDataStore
+    .java:60-118); a lakehouse table format is the Spark-native
+    analogue."""
+    import tempfile
+
+    from spatial_spark.io.delta import delta_source, export_delta
+    base = spark.sql("""
+        SELECT p_partkey, p_name AS pname,
+               CAST(p_retailprice AS DOUBLE) AS price
+        FROM part WHERE p_partkey % 3 = 0""")
+    more = spark.sql("""
+        SELECT p_partkey, p_name AS pname,
+               CAST(p_retailprice AS DOUBLE) AS price
+        FROM part WHERE p_partkey % 3 = 1""")
+    tab = tempfile.mkdtemp(prefix="delta_gate_") + "/parts"
+    export_delta(base, tab, mode="overwrite", name="parts")
+    export_delta(more, tab, mode="append")
+    v0_rows = delta_source(spark, tab, version=0).count()
+    tail_rows = (delta_source(spark, tab,
+                              props={"p_partkey": (1000, None)})
+                 .filter("p_partkey >= 1000").count())
+    return (delta_source(spark, tab)
+            .select("p_partkey", "pname", "price",
+                    F.lit(v0_rows).cast("long").alias("v0_rows"),
+                    F.lit(tail_rows).cast("long").alias("tail_rows"))
+            .orderBy("p_partkey"))
+
+
+def _delta_oracle_sql() -> str:
+    return """
+        SELECT p_partkey, p_name AS pname,
+               CAST(p_retailprice AS DOUBLE) AS price,
+               (SELECT COUNT(*) FROM part WHERE p_partkey % 3 = 0)
+                   AS v0_rows,
+               (SELECT COUNT(*) FROM part
+                WHERE p_partkey % 3 <= 1 AND p_partkey >= 1000)
+                   AS tail_rows
+        FROM part WHERE p_partkey % 3 <= 1
+        ORDER BY p_partkey
+    """
+
+
 def _q_image_dedup_groups(spark, sf_dir) -> DataFrame:
     """End-to-end image near-dup GROUPS on the hard gate: the banded
     Hamming pairs (t=16) feed the pointer-doubled connected components
@@ -5646,76 +5703,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (tools/check_correctness runs ALL of them, every round, at
     # sf0.001/0.01/0.1).
     return {name: wrap(fn) for name, fn in {
-        # ============ r13 WINDOW (first 50 — the driver's correctness
-        # gate), executed exactly as the r12 VERDICT ask #1 and the
-        # r12 inline plan direct: the 44 age-4 r9-row holders lead
-        # (quantile_sketch ... density_greedy — the whole remaining
-        # r9 rotation debt), then the NEW r13 gate
-        # (flatgeobuf_roundtrip), then st_transform_registry (its
-        # DEFINITION widened 7 -> 20 codes this round, so the r12 row
-        # no longer reflects it — re-rowed), then r10-row holders
-        # oldest-registered-first.  Every entry keeps its local-gate
+        # ============ r14 WINDOW (first 50 — the driver's correctness
+        # gate), executed exactly as the r13 VERDICT ask #1 and the
+        # r13 inline plan direct: the 40 age-4 r10-row holders lead
+        # (tpch_q1 ... bm25 — the whole remaining r10 rotation debt),
+        # then the NEW r14 gate (delta_roundtrip — the Delta Lake
+        # interop leg), then the 9 oldest r11-row holders
+        # (st_distance_geodesic ... interval_join_stream,
+        # registration order).  Every entry keeps its local-gate
         # oracle (tools/check_correctness runs ALL of them, every
-        # round, at sf0.001/0.01/0.1).  r14 window plan: the
-        # remaining r10-row holders lead (age 4 at r14:
-        # token_counts ... bm25 below), then any new r14 gates, then
-        # oldest-first from the r11-row holders.
-        # --- 1-44: the r9-row debt (age 4 — cleared this round)
-        "quantile_sketch": _q_quantile_sketch,
-        "weighted_sample": _q_weighted_sample,
-        "media_avc_ipcm": _q_media_avc_ipcm,
-        "triangle_counts": _q_triangles,
-        "pq_knn": _q_pq_knn,
-        "osm_pbf_source": _q_osm_pbf_source,
-        "st_subdivide": _q_st_subdivide,
-        "pca_project": _q_pca_project,
-        "media_resize": _q_media_resize,
-        "hll_by_group": _q_hll_by_group,
-        "st_transform_tm": _q_st_transform_tm,
-        "image_dedup_groups": _q_image_dedup_groups,
-        "bm25_retrieval": _q_bm25_retrieval,
-        "cdc_chunks": _q_cdc_chunks,
-        "dbscan_cluster": _q_dbscan_cluster,
-        "hex_density": _q_hex_density,
-        "kn_perplexity": _q_kn_perplexity,
-        "kmv_distinct": _q_kmv_distinct,
-        "mixture_epoch": _q_mixture_epoch,
-        "stay_points": _q_stay_points,
-        "scc_components": _q_scc_components,
-        "card_scrub": _q_card_scrub,
-        "ppl_buckets": _q_ppl_buckets,
-        "path_length": _q_path_length,
-        "pii_scrub": _q_pii_scrub,
-        "stratified_sample": _q_stratified_sample,
-        "boilerplate": _q_boilerplate,
-        "contamination": _q_contamination,
-        "bpe_apply": _q_bpe_apply,
-        "pipeline_e2e": _q_pipeline_e2e,
-        "media_jpeg": _q_media_jpeg,
-        "bloom_dedup": _q_bloom_dedup,
-        "cms_hitters": _q_cms_hitters,
-        "hll_registers": _q_hll_registers,
-        "path_envelope": _q_path_envelope,
-        "property_paging": _q_property_paging,
-        "intersect_all": _q_intersect_all,
-        "isvalid_isempty": _q_isvalid_isempty,
-        "equal_env": _q_equal_env,
-        "results_layer": _q_results_layer,
-        "datastore_write": _q_datastore_write,
-        "st_transform_utm": _q_st_transform_utm,
-        "media_mjpeg": _q_media_mjpeg,
-        "density_greedy": _q_density_greedy,
-        # --- 45-47: new r13 gates
-        "flatgeobuf_roundtrip": _q_flatgeobuf,
-        "mvt_lines": _q_mvt_lines,
-        "cql4": _q_cql4,
-        # --- 48: definition widened r13 (20 codes x 6 families)
-        "st_transform_registry": _q_st_transform_registry,
-        # --- 49-50: r10-row holders, oldest-first
-        "dedup_exact": _q_dedup_exact,
-        "revenue_by_nation": _q_revenue_by_nation,
-        # ================= end of the 50-entry driver window =========
-        # --- remaining r10-rowed holders (age 3 — promote next, r14)
+        # round, at sf0.001/0.01/0.1).  r15 window plan: the
+        # remaining r11-row holders lead (age 4 at r15:
+        # media_avc_pskip ... zorder_keys below), then any new r15
+        # gates, then oldest-first from the r12-row holders.
+        # --- 1-40: the r10-row debt (age 4 — cleared this round)
         "tpch_q1": _q_tpch_q1,
         "dedup_groups": _q_dedup_groups,
         "token_counts": _q_token_counts,
@@ -5756,7 +5757,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "bm25": _q_bm25,
-        # --- r11-rowed holders (age 2)
+        # --- 41: new r14 gate
+        "delta_roundtrip": _q_delta_roundtrip,
+        # --- 42-50: r11-row holders, oldest-registered-first
         "st_distance_geodesic": _q_st_distance_geodesic,
         "st_transform_osgb": _q_st_transform_osgb,
         "funnel_stream": _q_funnel_stream,
@@ -5766,6 +5769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": _q_json_props,
         "st_transform_aea": _q_st_transform_aea,
         "interval_join_stream": _q_interval_join_stream,
+        # ================= end of the 50-entry driver window =========
+        # --- remaining r11-rowed holders (age 3 — promote next, r15)
         "media_avc_pskip": _q_media_avc_pskip,
         "boolean_retrieval": _q_boolean_retrieval,
         "kmv_intersect": _q_kmv_intersect,
@@ -5807,7 +5812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geometry_meta": _q_geometry_meta,
         "orthodromic_length": _q_orthodromic_length,
         "zorder_keys": _q_zorder_keys,
-        # --- the r12 window (driver-rowed r12, age 1 — youngest)
+        # --- r12-rowed holders (age 2)
         "cql_filter": _q_cql_filter,
         "cql2": _q_cql2,
         "st_transform_merc": _q_st_transform_merc,
@@ -5857,6 +5862,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_hashes": _q_image_hashes,
         "image_dedup": _q_image_dedup,
         "geoparquet_roundtrip": _q_geoparquet,
+        # --- the r13 window (driver-rowed r13, age 1 — youngest)
+        "quantile_sketch": _q_quantile_sketch,
+        "weighted_sample": _q_weighted_sample,
+        "media_avc_ipcm": _q_media_avc_ipcm,
+        "triangle_counts": _q_triangles,
+        "pq_knn": _q_pq_knn,
+        "osm_pbf_source": _q_osm_pbf_source,
+        "st_subdivide": _q_st_subdivide,
+        "pca_project": _q_pca_project,
+        "media_resize": _q_media_resize,
+        "hll_by_group": _q_hll_by_group,
+        "st_transform_tm": _q_st_transform_tm,
+        "image_dedup_groups": _q_image_dedup_groups,
+        "bm25_retrieval": _q_bm25_retrieval,
+        "cdc_chunks": _q_cdc_chunks,
+        "dbscan_cluster": _q_dbscan_cluster,
+        "hex_density": _q_hex_density,
+        "kn_perplexity": _q_kn_perplexity,
+        "kmv_distinct": _q_kmv_distinct,
+        "mixture_epoch": _q_mixture_epoch,
+        "stay_points": _q_stay_points,
+        "scc_components": _q_scc_components,
+        "card_scrub": _q_card_scrub,
+        "ppl_buckets": _q_ppl_buckets,
+        "path_length": _q_path_length,
+        "pii_scrub": _q_pii_scrub,
+        "stratified_sample": _q_stratified_sample,
+        "boilerplate": _q_boilerplate,
+        "contamination": _q_contamination,
+        "bpe_apply": _q_bpe_apply,
+        "pipeline_e2e": _q_pipeline_e2e,
+        "media_jpeg": _q_media_jpeg,
+        "bloom_dedup": _q_bloom_dedup,
+        "cms_hitters": _q_cms_hitters,
+        "hll_registers": _q_hll_registers,
+        "path_envelope": _q_path_envelope,
+        "property_paging": _q_property_paging,
+        "intersect_all": _q_intersect_all,
+        "isvalid_isempty": _q_isvalid_isempty,
+        "equal_env": _q_equal_env,
+        "results_layer": _q_results_layer,
+        "datastore_write": _q_datastore_write,
+        "st_transform_utm": _q_st_transform_utm,
+        "media_mjpeg": _q_media_mjpeg,
+        "density_greedy": _q_density_greedy,
+        "flatgeobuf_roundtrip": _q_flatgeobuf,
+        "mvt_lines": _q_mvt_lines,
+        "cql4": _q_cql4,
+        "st_transform_registry": _q_st_transform_registry,
+        "dedup_exact": _q_dedup_exact,
+        "revenue_by_nation": _q_revenue_by_nation,
     }.items()}
 
 
@@ -7488,6 +7544,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s ORDER BY score DESC LIMIT 200
         """,
         "flatgeobuf_roundtrip": _flatgeobuf_oracle_sql(),
+        "delta_roundtrip": _delta_oracle_sql(),
         "mvt_lines": _mvt_lines_oracle_sql(),
         "cql4": _cql4_oracle_sql(),
         "geoparquet_roundtrip": f"""

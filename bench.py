@@ -196,6 +196,9 @@ HEADLINE = [
     "mvt_lines",
     # r13: ECQL tier 5 string-function family (Java-semantics twins)
     "cql4",
+    # r14: Delta Lake sink/source round-trip (two commits, independent
+    # log replay, time travel + stats-pruned plan as literal columns)
+    "delta_roundtrip",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -429,6 +432,8 @@ BUDGET_SF01 = {
     # r13: 2.2x local best-of-three (pure codegen string filter +
     # projection; warm best 0.33s)
     "cql4": 0.8,
+    # r14 newcomer: 2.2x warm best-of-3 (1.06s) at sf0.1
+    "delta_roundtrip": 2.4,
     # (EVERY pin re-ratcheted as min(old, 2.2x the clean final full
     # run's min-of-2) — landing-time measurements taken under
     # concurrent sweeps carried up to 9x slack; the ratchet never

@@ -1,0 +1,560 @@
+"""Delta Lake transaction-log sink / source — the third lakehouse
+interop leg after GeoParquet (r9) and FlatGeobuf (r13).
+
+Implements the PUBLIC Delta Lake protocol (delta.io PROTOCOL.md — the
+open spec delta-rs / DuckDB-delta / Trino read): a ``_delta_log/``
+directory of newline-delimited-JSON commit files named
+``%020d.json``, optional parquet checkpoints advertised by
+``_last_checkpoint``, and the action vocabulary ``protocol`` /
+``metaData`` / ``add`` / ``remove`` / ``commitInfo``.  Snapshot state
+is the replay: newest metaData+protocol win, and the live file set is
+adds minus removes with last-action-per-path semantics.
+
+Three surfaces:
+
+* ``export_delta(df, path, mode=...)`` — write data files with
+  Spark's parquet writer (distributed), then publish ONE commit whose
+  ``add`` actions carry per-file footer stats (numRecords, min/max,
+  nullCount) so external engines — and our own reader — prune files
+  from the log alone.  ``mode="overwrite"`` publishes logical
+  ``remove`` actions (Delta semantics: old files stay for time
+  travel); ``partition_by`` writes hive-layout files and records
+  ``partitionValues`` per the spec.
+* ``layer_to_delta(layer, out_dir)`` — METADATA-ONLY export of a
+  layer snapshot: translates the sharded-manifest file list + its
+  persisted per-file stats into a Delta log whose ``add`` paths are
+  absolute (spec-legal, the shallow-clone form) — zero data copied.
+* ``delta_source(spark, path, version=..., props=..., partitions=...)``
+  — an INDEPENDENT log reader: replays checkpoint + JSON commits,
+  refuses reader features beyond protocol 1 loudly (deletion vectors /
+  column mapping), prunes files from add-action stats and
+  partitionValues BEFORE any task launches, and plans a single
+  distributed parquet scan.
+
+No delta-spark / delta-rs / DuckDB-delta exists in this container, so
+cross-engine conformance is pinned structurally in pytest (every
+required action field, URL-encoded paths, reconciliation and
+time-travel rules, checkpoint replay) and the round-trip gate
+hash-compares export → independent replay against the DuckDB oracle.
+
+Reference parity: the GeoTools DataStore adapter is the reference's
+interop surface (geotools-plugin/src/main/java/org/geotools/data/
+neo4j/Neo4jSpatialDataStore.java:60-118 — expose layers to foreign
+engines); a lakehouse table format is the Spark-native analogue.
+100 TB shape: one commit is O(changed files); planning reads the log
+tail + one checkpoint, never lists the store; file pruning happens on
+driver-held metadata exactly like the layer manifest's files_where.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from urllib.parse import quote, unquote
+
+__all__ = ["export_delta", "layer_to_delta", "read_delta_log",
+           "delta_source", "write_delta_checkpoint"]
+
+_LOG = "_delta_log"
+#: protocol floor for plain parquet tables (spec: reader 1 = no
+#: column mapping / deletion vectors; writer 2 = appendOnly &
+#: invariants honored — we write neither constraint)
+_PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+# --------------------------------------------------------------------
+# log primitives
+# --------------------------------------------------------------------
+def _commit_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, _LOG, f"{version:020d}.json")
+
+
+def _write_commit(table_dir: str, version: int, actions: list) -> None:
+    """Publish one commit file create-no-overwrite (the spec's
+    put-if-absent contract: two writers racing on the same version —
+    exactly one wins, the loser re-reads and retries at N+1)."""
+    os.makedirs(os.path.join(table_dir, _LOG), exist_ok=True)
+    path = _commit_path(table_dir, version)
+    body = "\n".join(json.dumps(a, separators=(",", ":"))
+                     for a in actions) + "\n"
+    with open(path, "x") as f:
+        f.write(body)
+
+
+def _json_safe_stat(v):
+    """Footer min/max → a Delta stats JSON value, or None to omit
+    (prune only on evidence — same rule as the layer manifest)."""
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, str):
+        return v
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    return None
+
+
+def _footer_stats_for(path: str) -> dict | None:
+    """Delta per-file stats from ONE parquet footer: numRecords +
+    min/max/nullCount per leaf column with usable statistics."""
+    try:
+        import pyarrow.parquet as pq
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return None
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for ci in range(md.num_columns):
+        name = md.schema.column(ci).name
+        cmins, cmaxs, cnull, ok = [], [], 0, True
+        for g in range(md.num_row_groups):
+            s = md.row_group(g).column(ci).statistics
+            if s is None or not s.has_min_max:
+                ok = False
+                break
+            lo, hi = _json_safe_stat(s.min), _json_safe_stat(s.max)
+            if lo is None or hi is None:
+                ok = False
+                break
+            cmins.append(lo)
+            cmaxs.append(hi)
+            cnull += s.null_count or 0
+        if ok and cmins:
+            mins[name] = min(cmins)
+            maxs[name] = max(cmaxs)
+            nulls[name] = cnull
+    out: dict = {"numRecords": md.num_rows}
+    if mins:
+        out["minValues"] = mins
+        out["maxValues"] = maxs
+        out["nullCount"] = nulls
+    return out
+
+
+def _data_files(table_dir: str) -> set:
+    """Relative paths of every .parquet data file under the table
+    (excluding the log)."""
+    out = set()
+    for root, dirs, files in os.walk(table_dir):
+        if _LOG in root.split(os.sep):
+            continue
+        dirs[:] = [d for d in dirs if d != _LOG]
+        for f in files:
+            if f.endswith(".parquet"):
+                rel = os.path.relpath(os.path.join(root, f), table_dir)
+                out.add(rel)
+    return out
+
+
+def _partition_values(rel_path: str, partition_cols: list) -> dict:
+    """partitionValues from a hive-layout relative path
+    (``col=value/.../part-*.parquet``) — the spec stores them as
+    STRINGS; ``__HIVE_DEFAULT_PARTITION__`` means null."""
+    vals: dict = {}
+    for seg in rel_path.split("/")[:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            if k in partition_cols:
+                vals[k] = (None if v == "__HIVE_DEFAULT_PARTITION__"
+                           else unquote(v))
+    return {c: vals.get(c) for c in partition_cols}
+
+
+# --------------------------------------------------------------------
+# writer
+# --------------------------------------------------------------------
+def export_delta(df, path: str, mode: str = "overwrite",
+                 name: str | None = None,
+                 partition_by: list | None = None) -> int:
+    """Write ``df`` to a Delta table at ``path``; returns the
+    committed version.  ``mode="append"`` adds files to an existing
+    table (schema must match exactly); ``mode="overwrite"`` logically
+    removes the previous snapshot's files (they stay on disk for time
+    travel — ``delta_source(version=N)``).  Data files are written by
+    Spark's parquet writer (distributed, hive layout under
+    ``partition_by``); the commit is composed from their footers
+    driver-side — O(changed files), the manifest discipline."""
+    partition_by = list(partition_by or [])
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"export_delta: mode {mode!r} not in "
+                         "('overwrite', 'append')")
+    snap = None
+    if os.path.isdir(os.path.join(path, _LOG)):
+        snap = read_delta_log(path)
+    version = 0 if snap is None else snap["version"] + 1
+    schema_string = df.schema.json()
+    if snap is not None:
+        if mode == "append" and \
+                snap["metadata"]["schemaString"] != schema_string:
+            raise ValueError(
+                "export_delta: append schema differs from the table's "
+                "— overwrite or align the frame")
+        if snap["metadata"]["partitionColumns"] != partition_by:
+            raise ValueError(
+                "export_delta: partition columns differ from the "
+                f"table's {snap['metadata']['partitionColumns']}")
+
+    before = _data_files(path) if os.path.isdir(path) else set()
+    writer = df.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    new_files = sorted(_data_files(path) - before)
+
+    now_ms = int(time.time() * 1000)
+    actions: list = [{"commitInfo": {
+        "timestamp": now_ms, "operation":
+        "WRITE" if mode == "append" and snap is not None else
+        "CREATE OR REPLACE TABLE AS SELECT",
+        "operationParameters": {"mode": mode},
+        "engineInfo": "spatial_spark-delta/1.0"}}]
+    if snap is None or mode == "overwrite":
+        actions.append({"protocol": dict(_PROTOCOL)})
+        meta_id = (snap["metadata"]["id"] if snap is not None
+                   else str(uuid.uuid4()))
+        md: dict = {"id": meta_id,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema_string,
+                    "partitionColumns": partition_by,
+                    "configuration": {},
+                    "createdTime": now_ms}
+        if name:
+            md["name"] = name
+        actions.append({"metaData": md})
+    if snap is not None and mode == "overwrite":
+        for fe in snap["files"]:
+            actions.append({"remove": {
+                "path": fe["rel_path"], "deletionTimestamp": now_ms,
+                "dataChange": True}})
+    for rel in new_files:
+        full = os.path.join(path, rel)
+        st = _footer_stats_for(full)
+        add: dict = {"path": quote(rel),
+                     "partitionValues": _partition_values(
+                         rel, partition_by),
+                     "size": os.path.getsize(full),
+                     "modificationTime": int(
+                         os.path.getmtime(full) * 1000),
+                     "dataChange": True}
+        if st is not None:
+            add["stats"] = json.dumps(st, separators=(",", ":"))
+        actions.append({"add": add})
+    _write_commit(path, version, actions)
+    return version
+
+
+def layer_to_delta(layer, out_dir: str, name: str | None = None) -> int:
+    """METADATA-ONLY Delta export of a layer's current snapshot: the
+    sharded manifest's file list + persisted per-file stats become a
+    Delta log under ``out_dir`` whose ``add`` paths are ABSOLUTE
+    (spec-legal — the form shallow clones use), so an external engine
+    reads the layer's existing parquet in place with zero data copied.
+    Stats translate key-for-key: rows → numRecords, the file envelope
+    (xmin/ymin mins, xmax/ymax maxes) and zkey range → min/maxValues
+    on the core columns, ``amin:<col>``/``amax:<col>`` → min/maxValues
+    on the attribute.  Returns the committed version (always 0 — each
+    call snapshots into a fresh log; re-export after layer commits)."""
+    man = layer._manifest
+    cur = man._newest()
+    if cur is None:
+        raise ValueError("layer_to_delta: layer has no manifest yet")
+    _, doc = cur
+    file_stats: dict = {}
+    names: list = []
+    if "files" in doc:
+        names = list(doc["files"])
+    else:
+        for sh in doc.get("shards", []):
+            sdoc = man._shard_doc(sh["name"])
+            names.extend(sdoc["files"])
+            file_stats.update(sdoc.get("file_stats") or {})
+        names.sort()
+
+    schema_json = layer.meta.get("schema_json")
+    if not schema_json:
+        raise ValueError("layer_to_delta: layer records no schema")
+    now_ms = int(time.time() * 1000)
+    actions: list = [
+        {"commitInfo": {"timestamp": now_ms,
+                        "operation": "CLONE",
+                        "operationParameters": {"source": layer.name},
+                        "engineInfo": "spatial_spark-delta/1.0"}},
+        {"protocol": dict(_PROTOCOL)},
+        {"metaData": {"id": str(uuid.uuid4()),
+                      "name": name or layer.name,
+                      "format": {"provider": "parquet", "options": {}},
+                      "schemaString": schema_json,
+                      "partitionColumns": [],
+                      "configuration": {},
+                      "createdTime": now_ms}}]
+    for n in names:
+        full = os.path.join(layer.path, n)
+        st = file_stats.get(n) or {}
+        mins: dict = {}
+        maxs: dict = {}
+        for src, dst, side in (("xmin", "xmin", "min"),
+                               ("ymin", "ymin", "min"),
+                               ("xmax", "xmax", "max"),
+                               ("ymax", "ymax", "max"),
+                               ("zmin", "zkey", "min"),
+                               ("zmax", "zkey", "max")):
+            if st.get(src) is not None:
+                (mins if side == "min" else maxs)[dst] = st[src]
+        for k, v in st.items():
+            if k.startswith("amin:"):
+                mins[k[5:]] = v
+            elif k.startswith("amax:"):
+                maxs[k[5:]] = v
+        stats: dict = {}
+        if st.get("rows") is not None:
+            stats["numRecords"] = st["rows"]
+        if mins:
+            stats["minValues"] = mins
+            stats["maxValues"] = maxs
+        add: dict = {"path": quote(os.path.abspath(full)),
+                     "partitionValues": {},
+                     "size": os.path.getsize(full),
+                     "modificationTime": int(
+                         os.path.getmtime(full) * 1000),
+                     "dataChange": True}
+        if stats:
+            add["stats"] = json.dumps(stats, separators=(",", ":"))
+        actions.append({"add": add})
+    _write_commit(out_dir, 0, actions)
+    return 0
+
+
+def write_delta_checkpoint(path: str) -> int:
+    """Write a classic parquet checkpoint of the CURRENT snapshot and
+    advertise it in ``_last_checkpoint`` (spec: one row per live
+    action — protocol, metaData, every live add — in a parquet file
+    named ``%020d.checkpoint.parquet``).  Readers then replay only the
+    JSON commits after it; ours and the spec's tail-read contract.
+    Returns the checkpointed version."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    snap = read_delta_log(path)
+    v = snap["version"]
+    proto_rows, meta_rows, add_rows = [], [], []
+    proto_rows.append(dict(_PROTOCOL))
+    meta_rows.append({
+        "id": snap["metadata"]["id"],
+        "name": snap["metadata"].get("name"),
+        "format": {"provider": "parquet"},
+        "schemaString": snap["metadata"]["schemaString"],
+        "partitionColumns": snap["metadata"]["partitionColumns"],
+        "createdTime": snap["metadata"].get("createdTime")})
+    for fe in snap["files"]:
+        add_rows.append({
+            "path": quote(fe["rel_path"]),
+            "partitionValues": fe["partitionValues"],
+            "size": fe["size"],
+            "modificationTime": fe["modificationTime"],
+            "dataChange": False,
+            "stats": (json.dumps(fe["stats"], separators=(",", ":"))
+                      if fe["stats"] else None)})
+    n = max(len(proto_rows), len(meta_rows), len(add_rows))
+
+    def pad(rows):
+        return rows + [None] * (n - len(rows))
+
+    # explicit schema: partitionValues is the spec's map<string,
+    # string> (an empty inferred struct can't even be written)
+    proto_t = pa.struct([("minReaderVersion", pa.int32()),
+                         ("minWriterVersion", pa.int32())])
+    meta_t = pa.struct([
+        ("id", pa.string()), ("name", pa.string()),
+        ("format", pa.struct([("provider", pa.string())])),
+        ("schemaString", pa.string()),
+        ("partitionColumns", pa.list_(pa.string())),
+        ("createdTime", pa.int64())])
+    add_t = pa.struct([
+        ("path", pa.string()),
+        ("partitionValues", pa.map_(pa.string(), pa.string())),
+        ("size", pa.int64()),
+        ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_()),
+        ("stats", pa.string())])
+    tbl = pa.table({
+        "protocol": pa.array(pad(proto_rows), type=proto_t),
+        "metaData": pa.array(pad(meta_rows), type=meta_t),
+        "add": pa.array(pad(add_rows), type=add_t)})
+    cp = os.path.join(path, _LOG, f"{v:020d}.checkpoint.parquet")
+    pq.write_table(tbl, cp)
+    with open(os.path.join(path, _LOG, "_last_checkpoint"), "w") as f:
+        json.dump({"version": v, "size": n}, f)
+    return v
+
+
+# --------------------------------------------------------------------
+# reader (independent replay — no shared state with the writer)
+# --------------------------------------------------------------------
+def _check_protocol(proto: dict) -> None:
+    if proto.get("minReaderVersion", 1) > 1 or proto.get(
+            "readerFeatures"):
+        raise NotImplementedError(
+            "Delta reader: table requires reader protocol "
+            f"{proto.get('minReaderVersion')} features "
+            f"{proto.get('readerFeatures')} (column mapping / deletion "
+            "vectors / type widening) — this engine reads protocol-1 "
+            "parquet tables")
+
+
+def _replay_actions(state: dict, actions) -> None:
+    for a in actions:
+        if "protocol" in a:
+            state["protocol"] = a["protocol"]
+            _check_protocol(a["protocol"])
+        elif "metaData" in a:
+            state["metadata"] = a["metaData"]
+        elif "add" in a and a["add"] is not None:
+            ad = a["add"]
+            state["adds"][unquote(ad["path"])] = ad
+        elif "remove" in a and a["remove"] is not None:
+            state["adds"].pop(unquote(a["remove"]["path"]), None)
+
+
+def read_delta_log(path: str, version: int | None = None) -> dict:
+    """Replay the Delta log at ``path`` to ``version`` (newest when
+    None) and return the snapshot: ``{"version", "metadata",
+    "protocol", "files": [{"path" (absolute), "rel_path",
+    "partitionValues", "size", "modificationTime", "stats"
+    (parsed dict | None)}]}``.  Uses the checkpoint advertised by
+    ``_last_checkpoint`` when it helps (replays only the JSON tail
+    after it — the spec's contract for 100k-commit logs)."""
+    log_dir = os.path.join(path, _LOG)
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(f"no Delta log at {log_dir}")
+    versions = sorted(
+        int(f[:-5]) for f in os.listdir(log_dir)
+        if f.endswith(".json") and f[:-5].isdigit())
+    if version is None:
+        if not versions:
+            raise FileNotFoundError(f"empty Delta log at {log_dir}")
+        version = versions[-1]
+    elif version not in versions:
+        raise KeyError(
+            f"Delta version {version} not in log (have "
+            f"{versions[:3]}..{versions[-3:]})")
+
+    state: dict = {"adds": {}, "metadata": None, "protocol": None}
+    start = 0
+    lc = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(lc):
+        with open(lc) as f:
+            cp_meta = json.load(f)
+        cpv = int(cp_meta["version"])
+        if cpv <= version:
+            import pyarrow.parquet as pq
+            cp_file = os.path.join(log_dir,
+                                   f"{cpv:020d}.checkpoint.parquet")
+            tbl = pq.read_table(cp_file)
+            cols = set(tbl.column_names)
+            rows = tbl.to_pylist()
+            for r in rows:
+                if "protocol" in cols and r.get("protocol"):
+                    state["protocol"] = r["protocol"]
+                    _check_protocol(r["protocol"])
+                if "metaData" in cols and r.get("metaData"):
+                    state["metadata"] = r["metaData"]
+                if "add" in cols and r.get("add"):
+                    ad = r["add"]
+                    state["adds"][unquote(ad["path"])] = ad
+                if "remove" in cols and r.get("remove"):
+                    state["adds"].pop(
+                        unquote(r["remove"]["path"]), None)
+            start = cpv + 1
+    for v in range(start, version + 1):
+        cf = _commit_path(path, v)
+        if not os.path.exists(cf):
+            if v in versions or v == 0:
+                raise FileNotFoundError(f"missing Delta commit {cf}")
+            continue
+        with open(cf) as f:
+            _replay_actions(
+                state, (json.loads(line) for line in f
+                        if line.strip()))
+    if state["metadata"] is None:
+        raise ValueError(
+            f"Delta log at {path}: no metaData action by "
+            f"version {version}")
+    files = []
+    for rel, ad in sorted(state["adds"].items()):
+        stats = None
+        s = ad.get("stats")
+        if s:
+            try:
+                stats = json.loads(s) if isinstance(s, str) else s
+            except ValueError:
+                stats = None
+        pv = ad.get("partitionValues") or {}
+        if isinstance(pv, list):      # arrow map<k,v> round-trips as
+            pv = dict(pv)             # a list of (k, v) pairs
+        files.append({
+            "path": (rel if os.path.isabs(rel)
+                     else os.path.join(path, rel)),
+            "rel_path": rel,
+            "partitionValues": pv,
+            "size": ad.get("size"),
+            "modificationTime": ad.get("modificationTime"),
+            "stats": stats})
+    return {"version": version, "metadata": state["metadata"],
+            "protocol": state["protocol"] or dict(_PROTOCOL),
+            "files": files}
+
+
+def delta_source(spark, path: str, version: int | None = None,
+                 props: dict | None = None,
+                 partitions: dict | None = None):
+    """Read a Delta table into a DataFrame by independent log replay.
+    ``version``: time travel to that snapshot.  ``props``: ``{col:
+    (lo, hi)}`` bounds — files whose add-action stats PROVE the range
+    empty are pruned before any task launches (None side =
+    unbounded); the exact predicate must still be applied by the
+    caller, pruning only shrinks the scan.  ``partitions``: ``{col:
+    value}`` exact matches against partitionValues (value compared as
+    its string form, the spec's storage).  Both prune on driver-held
+    metadata only — the log IS the index."""
+    from pyspark.sql import types as T
+
+    snap = read_delta_log(path, version=version)
+    meta = snap["metadata"]
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = meta["partitionColumns"]
+    files = snap["files"]
+    if partitions:
+        want = {k: (None if v is None else str(v))
+                for k, v in partitions.items()}
+        files = [fe for fe in files
+                 if all(fe["partitionValues"].get(k) == v
+                        for k, v in want.items())]
+    pb = {k: v for k, v in (props or {}).items()
+          if v is not None and (v[0] is not None or v[1] is not None)}
+    if pb:
+        def keep(fe):
+            st = fe["stats"] or {}
+            mins = st.get("minValues") or {}
+            maxs = st.get("maxValues") or {}
+            for col, (lo, hi) in pb.items():
+                if hi is not None and col in mins and mins[col] > hi:
+                    return False
+                if lo is not None and col in maxs and maxs[col] < lo:
+                    return False
+            return True
+        files = [fe for fe in files if keep(fe)]
+    if not files:
+        return spark.createDataFrame([], schema)
+    paths = [fe["path"] for fe in files]
+    if part_cols:
+        # hive layout: basePath recovers the partition columns with
+        # the types the log schema declares
+        return (spark.read.option("basePath", path)
+                .schema(schema).parquet(*paths))
+    return spark.read.schema(schema).parquet(*paths)

@@ -1,0 +1,213 @@
+"""Delta Lake interop (io/delta.py) — the third lakehouse leg.
+
+No delta-spark / delta-rs / DuckDB-delta exists in the container, so
+conformance to the PUBLIC protocol (delta.io PROTOCOL.md) is pinned
+STRUCTURALLY here: every required action field, URL-encoded paths,
+last-writer-wins reconciliation, time travel, checkpoint replay, and
+loud refusal of reader features we don't implement.  The round-trip
+gate (delta_roundtrip) hash-compares export → independent replay
+against the DuckDB oracle at three SFs.
+"""
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spatial_spark.io.delta import (delta_source, export_delta,
+                                    layer_to_delta, read_delta_log,
+                                    write_delta_checkpoint)
+
+
+def test_delta_commit_structure(spark, tmp_path):
+    """Version-0 commit carries protocol + metaData + adds with every
+    spec-required field; the log file is newline-delimited JSON named
+    %020d.json."""
+    tab = str(tmp_path / "t0")
+    df = spark.createDataFrame(
+        [(i, f"n{i}", float(i) * 1.5) for i in range(40)],
+        "id long, name string, v double").coalesce(2)
+    assert export_delta(df, tab, mode="overwrite", name="t0") == 0
+    log = os.path.join(tab, "_delta_log")
+    assert sorted(os.listdir(log)) == ["00000000000000000000.json"]
+    actions = [json.loads(line) for line in
+               open(os.path.join(log, "00000000000000000000.json"))]
+    kinds = [next(iter(a)) for a in actions]
+    assert kinds[:3] == ["commitInfo", "protocol", "metaData"]
+    proto = actions[1]["protocol"]
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+    md = actions[2]["metaData"]
+    for req in ("id", "format", "schemaString", "partitionColumns",
+                "configuration"):
+        assert req in md, req
+    assert md["format"] == {"provider": "parquet", "options": {}}
+    assert md["name"] == "t0"
+    # schemaString is the Spark schema JSON — fromJson round-trips it
+    from pyspark.sql import types as T
+    st = T.StructType.fromJson(json.loads(md["schemaString"]))
+    assert [f.name for f in st.fields] == ["id", "name", "v"]
+    adds = [a["add"] for a in actions if "add" in a]
+    assert len(adds) == 2
+    for ad in adds:
+        for req in ("path", "partitionValues", "size",
+                    "modificationTime", "dataChange"):
+            assert req in ad, req
+        assert ad["dataChange"] is True
+        assert not os.path.isabs(ad["path"])
+        st = json.loads(ad["stats"])
+        assert st["numRecords"] > 0
+        assert "id" in st["minValues"] and "id" in st["maxValues"]
+        assert st["nullCount"]["id"] == 0
+    assert sum(json.loads(a["stats"])["numRecords"] for a in adds) == 40
+
+
+def test_delta_append_overwrite_time_travel(spark, tmp_path):
+    """Append adds files; overwrite REMOVES logically (files stay on
+    disk); every prior version stays readable (time travel); appends
+    with a different schema refuse."""
+    tab = str(tmp_path / "tt")
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, float(i)) for i in range(lo, hi)], "id long, v double")
+    export_delta(mk(0, 50), tab)
+    export_delta(mk(50, 80), tab, mode="append")
+    assert delta_source(spark, tab).count() == 80
+    assert delta_source(spark, tab, version=0).count() == 50
+    export_delta(mk(0, 5), tab, mode="overwrite")
+    assert delta_source(spark, tab).count() == 5
+    assert delta_source(spark, tab, version=1).count() == 80
+    snap = read_delta_log(tab)
+    assert snap["version"] == 2 and len(snap["files"]) >= 1
+    # remove actions present in the overwrite commit
+    acts = [json.loads(line) for line in
+            open(os.path.join(tab, "_delta_log",
+                              "00000000000000000002.json"))]
+    assert any("remove" in a for a in acts)
+    rm = next(a["remove"] for a in acts if "remove" in a)
+    assert "deletionTimestamp" in rm and rm["dataChange"] is True
+    with pytest.raises(ValueError, match="schema"):
+        export_delta(spark.createDataFrame([(1,)], "only int"),
+                     tab, mode="append")
+    with pytest.raises(KeyError):
+        read_delta_log(tab, version=99)
+
+
+def test_delta_stats_and_partition_pruning(spark, tmp_path):
+    """File pruning from add-action stats and partitionValues happens
+    on driver-held metadata before any scan; answers never change
+    (pruning shrinks the plan, the caller's predicate decides)."""
+    tab = str(tmp_path / "pp")
+    df = spark.createDataFrame(
+        [(i, i % 4, float(i)) for i in range(400)],
+        "id long, g int, v double").repartition(8, "id")
+    export_delta(df, tab, partition_by=["g"])
+    snap = read_delta_log(tab)
+    assert all(set(fe["partitionValues"]) == {"g"}
+               for fe in snap["files"])
+    # partition pruning: only g=2 files planned
+    only2 = delta_source(spark, tab, partitions={"g": 2})
+    assert only2.count() == 100
+    assert set(r["g"] for r in only2.select("g").distinct()
+               .collect()) == {2}
+    # hive layout recovered: partition column readable and typed
+    assert dict(only2.dtypes)["g"] == "int"
+    # stats pruning: id >= 390 proves most files empty
+    pr = delta_source(spark, tab, props={"id": (390, None)})
+    got = sorted(r["id"] for r in pr.filter("id >= 390").collect())
+    assert got == list(range(390, 400))
+    # prune to nothing: typed empty frame
+    empty = delta_source(spark, tab, props={"id": (10_000, None)})
+    assert empty.count() == 0
+    assert [f for f, _ in empty.dtypes] == ["id", "g", "v"]
+
+
+def test_delta_checkpoint_roundtrip(spark, tmp_path):
+    """write_delta_checkpoint publishes %020d.checkpoint.parquet +
+    _last_checkpoint; the reader replays checkpoint + JSON tail only,
+    and a time travel BEFORE the checkpoint still replays pure JSON."""
+    tab = str(tmp_path / "cp")
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i,) for i in range(lo, hi)], "id long")
+    export_delta(mk(0, 30), tab)
+    export_delta(mk(30, 60), tab, mode="append")
+    assert write_delta_checkpoint(tab) == 1
+    log = os.path.join(tab, "_delta_log")
+    assert os.path.exists(os.path.join(
+        log, "00000000000000000001.checkpoint.parquet"))
+    lc = json.load(open(os.path.join(log, "_last_checkpoint")))
+    assert lc["version"] == 1 and lc["size"] >= 1
+    export_delta(mk(60, 70), tab, mode="append")
+    assert delta_source(spark, tab).count() == 70
+    assert delta_source(spark, tab, version=0).count() == 30
+    # checkpoint alone reproduces the snapshot: hide the JSON commits
+    # it covers and re-read
+    for v in (0, 1):
+        os.rename(os.path.join(log, f"{v:020d}.json"),
+                  os.path.join(log, f"{v:020d}.json.hidden"))
+    try:
+        assert delta_source(spark, tab).count() == 70
+    finally:
+        for v in (0, 1):
+            os.rename(os.path.join(log, f"{v:020d}.json.hidden"),
+                      os.path.join(log, f"{v:020d}.json"))
+
+
+def test_delta_reader_feature_refusal(spark, tmp_path):
+    """A table demanding reader protocol > 1 (column mapping /
+    deletion vectors) refuses LOUDLY, naming the gap — never a wrong
+    silent read."""
+    tab = str(tmp_path / "dvs")
+    export_delta(spark.createDataFrame([(1,)], "id long"), tab)
+    p = os.path.join(tab, "_delta_log", "00000000000000000001.json")
+    with open(p, "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"]}}) + "\n")
+    with pytest.raises(NotImplementedError, match="deletionVectors"):
+        read_delta_log(tab)
+
+
+def test_delta_commit_put_if_absent(spark, tmp_path):
+    """Commit files publish create-no-overwrite: a second writer
+    landing on the same version loses with an error instead of
+    clobbering (the spec's atomicity primitive)."""
+    tab = str(tmp_path / "race")
+    export_delta(spark.createDataFrame([(1,)], "id long"), tab)
+    from spatial_spark.io.delta import _write_commit
+    with pytest.raises(FileExistsError):
+        _write_commit(tab, 0, [{"commitInfo": {}}])
+
+
+def test_layer_to_delta_metadata_only(ctx, spark, tmp_path):
+    """layer_to_delta translates the manifest snapshot into a Delta
+    log with ABSOLUTE paths and manifest-derived per-file stats —
+    zero data copied; the independent reader sees exactly the layer's
+    rows and prunes on the translated stats."""
+    layer = ctx.create_point_layer("l2d", x="lon", y="lat")
+    for base in (0, 1000):
+        layer.add(spark.createDataFrame(
+            [(base + i, float(base // 100 + i % 7), 45.0, base + i)
+             for i in range(60)],
+            "id long, lon double, lat double, score long"))
+    out = str(tmp_path / "l2d_delta")
+    assert layer_to_delta(layer, out, name="l2d_snap") == 0
+    snap = read_delta_log(out)
+    assert snap["metadata"]["name"] == "l2d_snap"
+    n_layer_files = len(layer._manifest.files())
+    assert len(snap["files"]) == n_layer_files
+    for fe in snap["files"]:
+        assert os.path.isabs(fe["path"])       # metadata-only: clone form
+        assert os.path.exists(fe["path"])
+    # zero data files under the export dir
+    assert not [f for f in os.listdir(out) if f.endswith(".parquet")]
+    back = delta_source(spark, out)
+    assert back.count() == 120
+    assert (sorted(r["id"] for r in back.collect())
+            == sorted(list(range(60)) + list(range(1000, 1060))))
+    # manifest amin:/amax: stats became minValues/maxValues and prune
+    pruned = delta_source(spark, out, props={"score": (1000, None)})
+    assert sorted(r["id"] for r in
+                  pruned.filter("score >= 1000").collect()) == \
+        list(range(1000, 1060))
+    full_bytes = sum(fe["size"] for fe in snap["files"])
+    pr_files = read_delta_log(out)["files"]
+    assert 0 < len(pr_files) and full_bytes > 0
