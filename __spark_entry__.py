@@ -4418,10 +4418,15 @@ def _q_interval_join_outer(spark, sf_dir) -> DataFrame:
     work = tempfile.mkdtemp(prefix="ivjo_gate_")
     old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    ev = None
     try:
+        # persist: the agg + 2 sides x 2 halves would otherwise each
+        # rescan events (r14 fixture audit: prep was 11s of the gate's
+        # 14s — more than the stream itself)
         ev = (spark.table("events")
               .filter(F.col("user_id") % 5 == 0)
-              .select("event_id", "user_id", "event_type", "ts"))
+              .select("event_id", "user_id", "event_type", "ts")
+              .persist())
         mid, hi = ev.agg(
             F.expr("timestamp_millis(CAST(avg(unix_millis(ts)) "
                    "AS BIGINT))"),
@@ -4474,6 +4479,8 @@ def _q_interval_join_outer(spark, sf_dir) -> DataFrame:
         return spark.createDataFrame(
             rows, "view_id bigint, purchase_id bigint, user_id bigint")
     finally:
+        if ev is not None:
+            ev.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
         shutil.rmtree(work, ignore_errors=True)
 
@@ -4514,13 +4521,19 @@ def _q_funnel_stream(spark, sf_dir) -> DataFrame:
 
     steps = ["view", "click", "purchase"]
     work = tempfile.mkdtemp(prefix="funnel_stream_gate_")
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    ev = None
     try:
         src = os.path.join(work, "src")
+        # persist: 4 slice writes would otherwise re-run the ntile
+        # window each (r14 fixture audit)
         ev = (spark.table("events")
               .filter(F.col("event_id") <= 2000)
               .select("event_id", "ts", "user_id", "event_type")
               .withColumn("_slice", F.ntile(4).over(
-                  Window.orderBy("ts", "event_id"))))
+                  Window.orderBy("ts", "event_id")))
+              .persist())
         for b in range(1, 5):
             (ev.filter(F.col("_slice") == b).drop("_slice")
              .coalesce(1)
@@ -4544,6 +4557,9 @@ def _q_funnel_stream(spark, sf_dir) -> DataFrame:
         return spark.createDataFrame(
             rows, "step_idx int, step string, n_users bigint")
     finally:
+        if ev is not None:
+            ev.unpersist()
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
         shutil.rmtree(work, ignore_errors=True)
 
 
@@ -4594,6 +4610,9 @@ def _q_dedup_stream(spark, sf_dir) -> DataFrame:
     from spatial_spark.streaming.dedup import dedup_stream
 
     work = tempfile.mkdtemp(prefix="dedup_stream_gate_")
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    docs = None
     try:
         src = os.path.join(work, "src")
         docs = (spark.table("documents")
@@ -4606,7 +4625,8 @@ def _q_dedup_stream(spark, sf_dir) -> DataFrame:
                     F.timestamp_millis(F.col("doc_id") * 60000)
                     .alias("ts"))
                 .withColumn("_slice", F.ntile(4).over(
-                    Window.orderBy("ts", "doc_id"))))
+                    Window.orderBy("ts", "doc_id")))
+                .persist())
         for b in range(1, 5):
             (docs.filter(F.col("_slice") == b).drop("_slice")
              .coalesce(1)
@@ -4629,6 +4649,9 @@ def _q_dedup_stream(spark, sf_dir) -> DataFrame:
                 .orderBy("text").collect())
         return spark.createDataFrame(rows, "text string, n_emitted bigint")
     finally:
+        if docs is not None:
+            docs.unpersist()
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
         shutil.rmtree(work, ignore_errors=True)
 
 
@@ -4657,13 +4680,17 @@ def _q_retention_stream(spark, sf_dir) -> DataFrame:
     from spatial_spark.streaming.retention import retention_stream
 
     work = tempfile.mkdtemp(prefix="retention_stream_gate_")
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    ev = None
     try:
         src = os.path.join(work, "src")
         ev = (spark.table("events")
               .filter(F.col("event_id") <= 2000)
               .select("event_id", "user_id", "ts")
               .withColumn("_slice", F.ntile(4).over(
-                  Window.orderBy("ts", "event_id"))))
+                  Window.orderBy("ts", "event_id")))
+              .persist())
         for b in range(1, 5):
             (ev.filter(F.col("_slice") == b).drop("_slice")
              .coalesce(1)
@@ -4686,6 +4713,9 @@ def _q_retention_stream(spark, sf_dir) -> DataFrame:
         return spark.createDataFrame(
             rows, "cohort_week string, weeks_since int, n_users bigint")
     finally:
+        if ev is not None:
+            ev.unpersist()
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
         shutil.rmtree(work, ignore_errors=True)
 
 
