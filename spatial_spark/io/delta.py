@@ -53,8 +53,8 @@ import time
 import uuid
 from urllib.parse import quote, unquote
 
-__all__ = ["export_delta", "layer_to_delta", "read_delta_log",
-           "delta_source", "write_delta_checkpoint"]
+__all__ = ["export_delta", "layer_to_delta", "layer_from_delta",
+           "read_delta_log", "delta_source", "write_delta_checkpoint"]
 
 _LOG = "_delta_log"
 #: protocol floor for plain parquet tables (spec: reader 1 = no
@@ -328,6 +328,28 @@ def layer_to_delta(layer, out_dir: str, name: str | None = None) -> int:
         actions.append({"add": add})
     _write_commit(out_dir, 0, actions)
     return 0
+
+
+def layer_from_delta(ctx, path: str, layer_name: str,
+                     version: int | None = None):
+    """Reconstitute a WKB layer from a Delta table carrying the
+    layer-core column shape (what ``layer_to_delta`` / an
+    ``export_delta`` of a layer frame produces): the inverse leg of
+    the metadata-only export, so layer → Delta → layer round-trips —
+    including time travel (``version=``).  Derived core columns
+    (bbox/zkey) are recomputed by the layer's own write path; the
+    geometry and every attribute column carry over."""
+    df = delta_source(ctx.spark, path, version=version)
+    if "geom" not in df.columns:
+        raise ValueError(
+            "layer_from_delta: table has no 'geom' column — only "
+            "layer-shaped Delta tables import (read others with "
+            "delta_source)")
+    derived = {"gtype", "xmin", "ymin", "xmax", "ymax", "zkey", "bbox"}
+    keep = [c for c in df.columns if c not in derived]
+    layer = ctx.create_layer(layer_name, encoder="wkb")
+    layer.add(df.select(*keep))
+    return layer
 
 
 def write_delta_checkpoint(path: str) -> int:

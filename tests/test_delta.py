@@ -211,3 +211,30 @@ def test_layer_to_delta_metadata_only(ctx, spark, tmp_path):
     full_bytes = sum(fe["size"] for fe in snap["files"])
     pr_files = read_delta_log(out)["files"]
     assert 0 < len(pr_files) and full_bytes > 0
+
+def test_layer_delta_layer_roundtrip(ctx, spark, tmp_path):
+    """layer -> layer_to_delta -> layer_from_delta reconstitutes the
+    layer: same rows, same geometries, attributes intact; the derived
+    core columns are recomputed by the import's own write path."""
+    from spatial_spark.io.delta import layer_from_delta
+
+    src = ctx.create_layer("rt_src", encoder="wkb")
+    rows = spark.sql("""
+        SELECT id, st_geomfromtext(concat(
+            'POINT (', CAST(id % 50 AS STRING), ' ',
+            CAST(id % 20 AS STRING), ')')) AS geom,
+            concat('t', CAST(id AS STRING)) AS tag
+        FROM range(80)""")
+    src.add(rows)
+    out = str(tmp_path / "rt_delta")
+    layer_to_delta(src, out)
+    back = layer_from_delta(ctx, out, "rt_back")
+    a = src.df().select("tag", "xmin", "ymin").orderBy("tag").collect()
+    b = back.df().select("tag", "xmin", "ymin").orderBy("tag").collect()
+    assert a == b and len(a) == 80
+    # non-layer-shaped tables refuse
+    import pytest as _pytest
+    plain = str(tmp_path / "plain")
+    export_delta(spark.createDataFrame([(1,)], "id long"), plain)
+    with _pytest.raises(ValueError, match="geom"):
+        layer_from_delta(ctx, plain, "nope")
