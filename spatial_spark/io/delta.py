@@ -171,7 +171,8 @@ def _partition_values(rel_path: str, partition_cols: list) -> dict:
 # --------------------------------------------------------------------
 def export_delta(df, path: str, mode: str = "overwrite",
                  name: str | None = None,
-                 partition_by: list | None = None) -> int:
+                 partition_by: list | None = None,
+                 txn: tuple | None = None) -> int:
     """Write ``df`` to a Delta table at ``path``; returns the
     committed version.  ``mode="append"`` adds files to an existing
     table (schema must match exactly); ``mode="overwrite"`` logically
@@ -179,7 +180,13 @@ def export_delta(df, path: str, mode: str = "overwrite",
     travel — ``delta_source(version=N)``).  Data files are written by
     Spark's parquet writer (distributed, hive layout under
     ``partition_by``); the commit is composed from their footers
-    driver-side — O(changed files), the manifest discipline."""
+    driver-side — O(changed files), the manifest discipline.
+
+    ``txn``: an ``(appId, version)`` pair recorded as the spec's
+    ``txn`` action — the streaming-idempotence primitive: when the
+    table's replayed txn state already covers ``version`` for that
+    app, the write is a SKIPPED replay (returns the current table
+    version, writes nothing)."""
     partition_by = list(partition_by or [])
     if mode not in ("overwrite", "append"):
         raise ValueError(f"export_delta: mode {mode!r} not in "
@@ -187,6 +194,9 @@ def export_delta(df, path: str, mode: str = "overwrite",
     snap = None
     if os.path.isdir(os.path.join(path, _LOG)):
         snap = read_delta_log(path)
+    if txn is not None and snap is not None and \
+            snap["txns"].get(str(txn[0]), -1) >= int(txn[1]):
+        return snap["version"]          # idempotent replay: no-op
     version = 0 if snap is None else snap["version"] + 1
     schema_string = df.schema.json()
     if snap is not None:
@@ -245,6 +255,10 @@ def export_delta(df, path: str, mode: str = "overwrite",
         if st is not None:
             add["stats"] = json.dumps(st, separators=(",", ":"))
         actions.append({"add": add})
+    if txn is not None:
+        actions.append({"txn": {"appId": str(txn[0]),
+                                "version": int(txn[1]),
+                                "lastUpdated": now_ms}})
     _write_commit(path, version, actions)
     return version
 
@@ -365,6 +379,8 @@ def write_delta_checkpoint(path: str) -> int:
     snap = read_delta_log(path)
     v = snap["version"]
     proto_rows, meta_rows, add_rows = [], [], []
+    txn_rows = [{"appId": k, "version": n, "lastUpdated": None}
+                for k, n in sorted(snap["txns"].items())]
     proto_rows.append(dict(_PROTOCOL))
     meta_rows.append({
         "id": snap["metadata"]["id"],
@@ -382,7 +398,8 @@ def write_delta_checkpoint(path: str) -> int:
             "dataChange": False,
             "stats": (json.dumps(fe["stats"], separators=(",", ":"))
                       if fe["stats"] else None)})
-    n = max(len(proto_rows), len(meta_rows), len(add_rows))
+    n = max(len(proto_rows), len(meta_rows), len(add_rows),
+            len(txn_rows))
 
     def pad(rows):
         return rows + [None] * (n - len(rows))
@@ -404,10 +421,14 @@ def write_delta_checkpoint(path: str) -> int:
         ("modificationTime", pa.int64()),
         ("dataChange", pa.bool_()),
         ("stats", pa.string())])
+    txn_t = pa.struct([("appId", pa.string()),
+                       ("version", pa.int64()),
+                       ("lastUpdated", pa.int64())])
     tbl = pa.table({
         "protocol": pa.array(pad(proto_rows), type=proto_t),
         "metaData": pa.array(pad(meta_rows), type=meta_t),
-        "add": pa.array(pad(add_rows), type=add_t)})
+        "add": pa.array(pad(add_rows), type=add_t),
+        "txn": pa.array(pad(txn_rows), type=txn_t)})
     cp = os.path.join(path, _LOG, f"{v:020d}.checkpoint.parquet")
     pq.write_table(tbl, cp)
     with open(os.path.join(path, _LOG, "_last_checkpoint"), "w") as f:
@@ -441,6 +462,10 @@ def _replay_actions(state: dict, actions) -> None:
             state["adds"][unquote(ad["path"])] = ad
         elif "remove" in a and a["remove"] is not None:
             state["adds"].pop(unquote(a["remove"]["path"]), None)
+        elif "txn" in a and a["txn"] is not None:
+            t = a["txn"]
+            state["txns"][t["appId"]] = max(
+                t["version"], state["txns"].get(t["appId"], -1))
 
 
 def read_delta_log(path: str, version: int | None = None) -> dict:
@@ -457,16 +482,25 @@ def read_delta_log(path: str, version: int | None = None) -> dict:
     versions = sorted(
         int(f[:-5]) for f in os.listdir(log_dir)
         if f.endswith(".json") and f[:-5].isdigit())
+    cp_version = None
+    lc_path = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(lc_path):
+        with open(lc_path) as f:
+            cp_version = int(json.load(f)["version"])
     if version is None:
-        if not versions:
+        if not versions and cp_version is None:
             raise FileNotFoundError(f"empty Delta log at {log_dir}")
-        version = versions[-1]
-    elif version not in versions:
+        # after log cleanup a table may be checkpoint-only (no JSON
+        # tail yet) — the checkpoint version IS the snapshot then
+        version = max(versions[-1] if versions else -1,
+                      cp_version if cp_version is not None else -1)
+    elif version not in versions and version != cp_version:
         raise KeyError(
             f"Delta version {version} not in log (have "
             f"{versions[:3]}..{versions[-3:]})")
 
-    state: dict = {"adds": {}, "metadata": None, "protocol": None}
+    state: dict = {"adds": {}, "metadata": None, "protocol": None,
+                   "txns": {}}
     start = 0
     lc = os.path.join(log_dir, "_last_checkpoint")
     if os.path.exists(lc):
@@ -492,6 +526,11 @@ def read_delta_log(path: str, version: int | None = None) -> dict:
                 if "remove" in cols and r.get("remove"):
                     state["adds"].pop(
                         unquote(r["remove"]["path"]), None)
+                if "txn" in cols and r.get("txn"):
+                    t = r["txn"]
+                    state["txns"][t["appId"]] = max(
+                        t["version"],
+                        state["txns"].get(t["appId"], -1))
             start = cpv + 1
     for v in range(start, version + 1):
         cf = _commit_path(path, v)
@@ -529,7 +568,7 @@ def read_delta_log(path: str, version: int | None = None) -> dict:
             "stats": stats})
     return {"version": version, "metadata": state["metadata"],
             "protocol": state["protocol"] or dict(_PROTOCOL),
-            "files": files}
+            "txns": state["txns"], "files": files}
 
 
 def delta_source(spark, path: str, version: int | None = None,

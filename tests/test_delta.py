@@ -238,3 +238,67 @@ def test_layer_delta_layer_roundtrip(ctx, spark, tmp_path):
     export_delta(spark.createDataFrame([(1,)], "id long"), plain)
     with _pytest.raises(ValueError, match="geom"):
         layer_from_delta(ctx, plain, "nope")
+
+
+def test_delta_txn_exactly_once_and_stream_sink(spark, tmp_path):
+    """The spec's txn action: (a) export_delta(txn=(app, v)) skips a
+    replayed version (idempotent no-op riding INSIDE the commit, no
+    side-channel marker); (b) delta_stream_sink replays an identical
+    availableNow stream — fresh checkpoint, same app_id — and appends
+    NOTHING the second time; (c) txn state survives a checkpoint."""
+    from spatial_spark.io.delta import write_delta_checkpoint
+    from spatial_spark.streaming.delta_sink import delta_stream_sink
+
+    tab = str(tmp_path / "txn")
+    df1 = spark.createDataFrame([(1,), (2,)], "id long")
+    v = export_delta(df1, tab, mode="append", txn=("app", 0))
+    assert v == 0
+    # replayed txn version: no-op, same table version returned
+    assert export_delta(df1, tab, mode="append", txn=("app", 0)) == 0
+    assert delta_source(spark, tab).count() == 2
+    # a NEWER version commits; an OLDER one is covered too
+    export_delta(df1, tab, mode="append", txn=("app", 1))
+    assert delta_source(spark, tab).count() == 4
+    assert read_delta_log(tab)["txns"] == {"app": 1}
+    assert export_delta(df1, tab, mode="append", txn=("app", 0)) == 1
+    assert delta_source(spark, tab).count() == 4
+    # (c) txn state rides the checkpoint
+    write_delta_checkpoint(tab)
+    log = os.path.join(tab, "_delta_log")
+    for f in list(os.listdir(log)):
+        if f.endswith(".json") and f[:-5].isdigit():
+            os.rename(os.path.join(log, f),
+                      os.path.join(log, f + ".hidden"))
+    try:
+        assert read_delta_log(tab)["txns"] == {"app": 1}
+    finally:
+        for f in list(os.listdir(log)):
+            if f.endswith(".hidden"):
+                os.rename(os.path.join(log, f),
+                          os.path.join(log, f[:-7]))
+
+    # (b) the streaming sink end-to-end: 3-file source, 1 file/trigger
+    src = str(tmp_path / "src")
+    for b in range(3):
+        (spark.createDataFrame([(b * 10 + i,) for i in range(5)],
+                               "id long")
+         .coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(src, f"b{b}")))
+    stab = str(tmp_path / "stab")
+
+    def run(ck):
+        stream = (spark.readStream.schema("id long")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(src + "/b*"))
+        q = delta_stream_sink(stream, stab, os.path.join(str(tmp_path),
+                                                         ck),
+                              app_id="s1")
+        q.awaitTermination(300)
+
+    run("ck1")
+    assert delta_source(spark, stab).count() == 15
+    # identical replay, FRESH checkpoint (batch ids restart at 0) —
+    # every batch is a covered txn, nothing appends
+    run("ck2")
+    assert delta_source(spark, stab).count() == 15
+    assert read_delta_log(stab)["txns"]["s1"] >= 0
