@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 from urllib.parse import quote, unquote
@@ -210,12 +211,23 @@ def export_delta(df, path: str, mode: str = "overwrite",
                 "export_delta: partition columns differ from the "
                 f"table's {snap['metadata']['partitionColumns']}")
 
-    before = _data_files(path) if os.path.isdir(path) else set()
+    # data files land in a unique staging dir first, then move into
+    # the table root — so THIS commit's file list is exactly the
+    # staging listing, never a directory diff that could claim a
+    # concurrent writer's files (the commit itself is already
+    # race-safe via the put-if-absent version file)
+    staging = os.path.join(path, f"_staging-{uuid.uuid4().hex[:12]}")
     writer = df.write.mode("append")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
-    new_files = sorted(_data_files(path) - before)
+    writer.parquet(staging)
+    new_files = []
+    for rel in sorted(_data_files(staging)):
+        dst = os.path.join(path, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.replace(os.path.join(staging, rel), dst)
+        new_files.append(rel)
+    shutil.rmtree(staging, ignore_errors=True)
 
     now_ms = int(time.time() * 1000)
     actions: list = [{"commitInfo": {
