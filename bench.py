@@ -228,6 +228,11 @@ HEADLINE = [
 # (25 pins tightened, max pin/measured 2.41; zero violations); the six
 # r10 gates (overlay_degenerate, kmv_stream, ivf_recall, media_aac,
 # st_length_geodesic, json_props) pinned at 2.2x the same run.
+# r14: 26 pins re-derived as min(old, max(2.2 x the DRIVER-measured
+# BENCH_r13 number, 0.3)) — e.g. st_transform_registry 8.1->4.1 off
+# driver 1.85 (its r13 pin was set before the widened gate settled),
+# mvt_export 2.9->2.0, image_dedup 3.8->3.2, cql4 0.8->0.3 (floor).
+# delta_roundtrip (new r14) pinned at 2.2x warm local best.
 BUDGET_SF01 = {
     "within_distance": 0.4, "knn": 0.4, "bbox_window": 0.3,
     "spatial_join": 1.0, "spatial_join_agg": 1.4, "distance_join": 1.4,
@@ -256,19 +261,19 @@ BUDGET_SF01 = {
     "mp4_meta": 0.9, "knn_cosine_q8": 1.0, "datastore_gjl": 1.6,
     "filter_equal": 4.0, "covered_env": 0.3, "intersect_all": 1.2,
     "isvalid_isempty": 2.7, "equal_env": 0.4, "results_layer": 6.9,
-    "datastore_write": 2.8, "st_transform_utm": 0.9, "media_mjpeg": 2.2,
-    "density_greedy": 3.7,
-    "st_transform_lcc": 0.8, "mp4_codec_meta": 1.0,
-    "kmeans_embed": 3.3, "pagerank": 10.3, "semdedup": 4.0,
+    "datastore_write": 2.8, "st_transform_utm": 0.9, "media_mjpeg": 2,
+    "density_greedy": 3.2,
+    "st_transform_lcc": 0.8, "mp4_codec_meta": 0.8,
+    "kmeans_embed": 3.3, "pagerank": 10.3, "semdedup": 3.8,
     "st_transform_laea": 0.7,
     # r9 sixth wave: 2.2x local best-of-two (fixture-decode bound)
-    "image_hashes": 1.1, "image_dedup": 3.8,
+    "image_hashes": 1, "image_dedup": 3.2,
     # r9 seventh wave: 2.2x local best-of-two (write+footer+scan bound)
     "geoparquet_roundtrip": 1.4,
     # r9 eighth wave: 2.2x local best-of-two
-    "quantile_sketch": 1.6, "weighted_sample": 0.3,
+    "quantile_sketch": 1.3, "weighted_sample": 0.3,
     # r9 tenth wave: 2.2x local best-of-two (fixture encode+decode bound)
-    "media_avc_ipcm": 2.1,
+    "media_avc_ipcm": 2,
     # r9 eleventh wave: 2.2x local best-of-two
     "triangle_counts": 2.8,
     # r9 twelfth wave: 2.2x local best-of-two
@@ -276,7 +281,7 @@ BUDGET_SF01 = {
     # r9 thirteenth wave: 2.2x local best-of-two
     "osm_pbf_source": 2.5,
     # r9 fourteenth wave: 2.2x local best-of-two
-    "st_subdivide": 1.5,
+    "st_subdivide": 1.4,
     # r9 fifteenth wave: 2.2x local best-of-two
     "pca_project": 1.3,
     # r9 sixteenth wave: 2.2x local best-of-two
@@ -303,21 +308,21 @@ BUDGET_SF01 = {
     # r9 twenty-fifth wave: 2.2x local best-of-two
     "stay_points": 0.9,
     # r9 twenty-sixth wave: 2.2x local best-of-two
-    "scc_components": 1.0,
+    "scc_components": 0.9,
     # r9 twenty-seventh wave: 2.2x local best-of-two (measured under a
     # concurrent full bench; re-check on the clean final run)
-    "card_scrub": 1.0,
+    "card_scrub": 0.9,
     # r9 twenty-eighth wave: 2.2x local best-of-two
     "ppl_buckets": 3.5,
     # r9 twenty-ninth wave: 2.2x local best-of-two
     "boolean_retrieval": 1.0, "kmv_intersect": 1.2, "cdc_shared": 0.8,
     # r9 thirtieth wave: 2.2x local best-of-two
-    "media_avc_cavlc": 2.1,
+    "media_avc_cavlc": 2,
     # r9 thirty-first wave: 2.2x local best-of-two
     "decontam_retrieval": 1.8,
     # r10: 2.2x local best-of-two (constant 400-pair kernel-semantics
     # fixture — 3600 general-overlay calls across 32 partitions)
-    "overlay_degenerate": 1.9,
+    "overlay_degenerate": 1.7,
     # r10: 2.2x local best-of-two (capped 200-doc fixture; cost = the 5
     # micro-batch folds + slice writes, not scan throughput)
     "kmv_stream": 5.7,
@@ -340,10 +345,10 @@ BUDGET_SF01 = {
     "interval_join_stream": 8.7,
     # r10: 2.2x local best-of-two (24-container fixture: I_PCM IDR +
     # skip-chain decode)
-    "media_avc_pskip": 1.5,
+    "media_avc_pskip": 1.4,
     # r11: 2.2x local best-of-two (1500-pair fixture; vectorized
     # 8-step Vincenty through the guarded point-pair UDF)
-    "st_distance_geodesic": 1.2,
+    "st_distance_geodesic": 1.1,
     # r11: 2.2x local best-of-two (UK-box customers through the full
     # ECEF→Helmert→Bowring→Krüger chain, uniform-batch fast path)
     "st_transform_osgb": 0.9,
@@ -352,7 +357,7 @@ BUDGET_SF01 = {
     "funnel_stream": 14.0,
     # r11: 2.2x local best-of-two (16-container fixture: Huffman
     # decode of 4 live bands/frame incl. escapes + IMDCT synthesis)
-    "media_aac_huff": 2.7,
+    "media_aac_huff": 2.4,
     # r11: 2.2x local best-of-two (24-container fixture: I_PCM IDR +
     # two MC P frames per media)
     "media_avc_mc": 1.7,
@@ -377,7 +382,7 @@ BUDGET_SF01 = {
     "retention_stream": 16.0,
     # r11: 2.2x local best-of-two (Swiss-box customers through the
     # ECEF→Helmert→Bowring→conformal-sphere→rotation→Mercator chain)
-    "st_transform_lv95": 1.0,
+    "st_transform_lv95": 0.9,
     # r11: 2.2x local best-of-two (24-container fixture: gray IDR +
     # two chroma-shifting residual P frames per media)
     "media_avc_cres": 2.2,
@@ -389,26 +394,26 @@ BUDGET_SF01 = {
     "media_avc_ipred": 1.5,
     # r11: 2.2x local best-of-two (24-container fixture: colored
     # intra — luma + chroma prediction chains per I-slice)
-    "media_avc_icres": 1.7,
+    "media_avc_icres": 1.5,
     # r11: 2.2x local best-of-two (capped 4000-doc fixture; one
     # regex-normalize map pass + one keyed agg)
     "url_dedup": 0.7,
     # r11: 2.2x local best-of-two (zone-7-box customers through the
     # datum-tier chain — same shape as st_transform_osgb)
-    "st_transform_gk": 1.8,
+    "st_transform_gk": 1.6,
     # r11: 2.2x local best-of-two (16-container fixture: a full
     # long/start/short/stop chain per media, 8x256 short filterbank)
     "media_aac_short": 2.3,
     # r11: 2.2x local best-of-two (capped fixture; 4 stateful
     # micro-batch sketch folds + the fixture write)
-    "quantile_stream": 7.7,
+    "quantile_stream": 7.2,
     # r13 re-derivation: the gate WIDENED 7 -> 20 registry codes
     # across 6 kernel families (VERDICT r12 ask #2), so the pin is
     # re-measured, not ratcheted: 2.2x local best-of-three (3.69s)
-    "st_transform_registry": 8.1,
+    "st_transform_registry": 4.1,
     # r12: 2.2x local best-of-two (64-image fixture: decode + resize +
     # rehash + banded pairs + pointer-doubled CC per invocation)
-    "pipeline_mm_e2e": 12.4,
+    "pipeline_mm_e2e": 12.1,
     # r12: 2.2x local best-of-two (part rects, one Column filter pass)
     "cql3": 1.8,
     # r12: 2.2x local best-of-two (capped fixture; 4 real watermarked
@@ -419,19 +424,19 @@ BUDGET_SF01 = {
     "st_transform_lccd": 1.7,
     # r12: 2.2x local best-of-two (64-tile collect + per-tile protobuf
     # pack + independent decode per invocation)
-    "mvt_export": 2.9,
+    "mvt_export": 2,
     # r12: 2.2x local best-of-two (bbox-cover explode + per-tile exact
     # overlay clip of 20k part rects + pack + independent decode)
     "mvt_polygons": 9.2,
     # r13: 2.2x local best-of-three (206-feature export + per-file
     # distributed re-read; warm best 1.03s)
-    "flatgeobuf_roundtrip": 2.3,
+    "flatgeobuf_roundtrip": 2,
     # r13: 2.2x local best-of-three (20k segments x covered tiles
     # through clip_line + pack + independent decode; warm best 4.71s)
-    "mvt_lines": 10.4,
+    "mvt_lines": 9.2,
     # r13: 2.2x local best-of-three (pure codegen string filter +
     # projection; warm best 0.33s)
-    "cql4": 0.8,
+    "cql4": 0.3,
     # r14 newcomer: 2.2x warm best-of-3 (1.06s) at sf0.1
     "delta_roundtrip": 2.4,
     # (EVERY pin re-ratcheted as min(old, 2.2x the clean final full
