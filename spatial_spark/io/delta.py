@@ -55,7 +55,8 @@ import uuid
 from urllib.parse import quote, unquote
 
 __all__ = ["export_delta", "layer_to_delta", "layer_from_delta",
-           "read_delta_log", "delta_source", "write_delta_checkpoint"]
+           "read_delta_log", "delta_source", "write_delta_checkpoint",
+           "vacuum_delta", "cleanup_delta_log"]
 
 _LOG = "_delta_log"
 #: protocol floor for plain parquet tables (spec: reader 1 = no
@@ -581,6 +582,56 @@ def read_delta_log(path: str, version: int | None = None) -> dict:
     return {"version": version, "metadata": state["metadata"],
             "protocol": state["protocol"] or dict(_PROTOCOL),
             "txns": state["txns"], "files": files}
+
+
+def vacuum_delta(path: str) -> list:
+    """Delete data files under the table that the CURRENT snapshot no
+    longer references (overwritten/removed files kept until now for
+    time travel) — Delta's VACUUM with retention 0 over local files.
+    Time travel to pre-vacuum versions then fails on the missing file,
+    exactly the layer manifest's documented gc() trade.  Staging dirs
+    and the log itself are never touched.  Returns the deleted
+    relative paths."""
+    snap = read_delta_log(path)
+    live = {fe["rel_path"] for fe in snap["files"]
+            if not os.path.isabs(fe["rel_path"])}
+    deleted = []
+    for rel in sorted(_data_files(path) - live):
+        if rel.split("/")[0].startswith("_staging-"):
+            continue                       # an in-flight writer's files
+        os.remove(os.path.join(path, rel))
+        deleted.append(rel)
+    # sweep now-empty hive partition dirs
+    for root, dirs, files in os.walk(path, topdown=False):
+        if _LOG in root.split(os.sep) or root == path:
+            continue
+        if not os.listdir(root):
+            os.rmdir(root)
+    return deleted
+
+
+def cleanup_delta_log(path: str) -> list:
+    """Delete JSON commit files the newest checkpoint already covers
+    (the spec's log-cleanup step: readers seed from the checkpoint and
+    replay only the tail, which read_delta_log already handles —
+    including a checkpoint-only log).  Requires a checkpoint; commits
+    AFTER it are kept.  Time travel to cleaned versions then raises
+    KeyError.  Returns the deleted file names."""
+    log_dir = os.path.join(path, _LOG)
+    lc = os.path.join(log_dir, "_last_checkpoint")
+    if not os.path.exists(lc):
+        raise ValueError(
+            "cleanup_delta_log: no checkpoint — write_delta_checkpoint "
+            "first (JSON commits are the only copy of the state)")
+    with open(lc) as f:
+        cpv = int(json.load(f)["version"])
+    deleted = []
+    for fname in sorted(os.listdir(log_dir)):
+        if fname.endswith(".json") and fname[:-5].isdigit() \
+                and int(fname[:-5]) <= cpv:
+            os.remove(os.path.join(log_dir, fname))
+            deleted.append(fname)
+    return deleted
 
 
 def delta_source(spark, path: str, version: int | None = None,

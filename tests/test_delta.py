@@ -302,3 +302,36 @@ def test_delta_txn_exactly_once_and_stream_sink(spark, tmp_path):
     run("ck2")
     assert delta_source(spark, stab).count() == 15
     assert read_delta_log(stab)["txns"]["s1"] >= 0
+
+
+def test_delta_vacuum_and_log_cleanup(spark, tmp_path):
+    """Lifecycle: vacuum deletes only files the CURRENT snapshot no
+    longer references (time travel to pre-vacuum versions then fails,
+    the documented trade); cleanup_delta_log drops JSON commits the
+    checkpoint covers and the reader still reproduces the snapshot
+    from checkpoint + tail."""
+    from spatial_spark.io.delta import (cleanup_delta_log, vacuum_delta,
+                                        write_delta_checkpoint)
+    tab = str(tmp_path / "vac")
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i,) for i in range(lo, hi)], "id long")
+    export_delta(mk(0, 40), tab)
+    export_delta(mk(40, 60), tab, mode="append")
+    export_delta(mk(0, 10), tab, mode="overwrite")   # v2 removes v0+v1
+    assert delta_source(spark, tab, version=1).count() == 60
+    deleted = vacuum_delta(tab)
+    assert deleted, "overwritten files must be reclaimed"
+    assert delta_source(spark, tab).count() == 10    # current unharmed
+    with pytest.raises(Exception):
+        delta_source(spark, tab, version=1).count()  # pre-vacuum TT gone
+    # log cleanup requires a checkpoint, then drops covered commits
+    with pytest.raises(ValueError, match="checkpoint"):
+        cleanup_delta_log(tab)
+    write_delta_checkpoint(tab)
+    export_delta(mk(10, 15), tab, mode="append")     # a post-cp tail
+    gone = cleanup_delta_log(tab)
+    assert gone == [f"{v:020d}.json" for v in (0, 1, 2)]
+    assert delta_source(spark, tab).count() == 15
+    assert read_delta_log(tab)["version"] == 3
+    with pytest.raises(KeyError):
+        read_delta_log(tab, version=0)
