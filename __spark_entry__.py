@@ -1935,6 +1935,35 @@ def _q_layer_within_distance(spark, sf_dir) -> DataFrame:
             .select("c_custkey", "distance_km"))
 
 
+def _q_within_cql(spark, sf_dir) -> DataFrame:
+    """within_distance(cql=) composition under the hard gate (r14,
+    VERDICT r13 ask #6): customer points carrying a numeric ``score``
+    attribute are written through Layer.add, then searched with the
+    spatial window AND a conjunctive CQL predicate in ONE call — the
+    mined property bounds seed manifest attribute pruning (per-file
+    tier included) alongside the window descent, and the translated
+    predicate runs in-plan.  The oracle replays window + predicate in
+    closed-form SQL.  Parity: spatial.withinDistance composed with
+    FilterCQL/FilterProperty (SpatialProcedures.java:864-880 +
+    :838-848) — the reference pipes these sequentially; the engine
+    plans them jointly."""
+    import tempfile
+
+    from spatial_spark.layer import SpatialContext
+    ctx = SpatialContext(spark, tempfile.mkdtemp(prefix="spatial_wh_"))
+    layer = ctx.create_point_layer("cust_cql", x="lon", y="lat")
+    layer.add(_customer_points(spark)
+              .withColumn("id", F.col("c_custkey"))
+              .withColumn("score", ((F.col("c_custkey") * 7) % 100)
+                          .cast("double")))
+    res = layer.within_distance(
+        PROBE_LON, PROBE_LAT, 6000.001,
+        cql="score >= 25 AND score < 75")
+    return (res.withColumn("distance_km", F.round(F.col("distance"), 6))
+            .filter(F.col("distance_km") <= 6000.0)
+            .select("c_custkey", "distance_km", "score"))
+
+
 def _q_layer_knn(spark, sf_dir) -> DataFrame:
     """Layer.closest (adaptive-window k-NN) under the correctness gate."""
     import tempfile
@@ -5787,9 +5816,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "bm25": _q_bm25,
-        # --- 41: new r14 gate
+        # --- 41-42: new r14 gates
         "delta_roundtrip": _q_delta_roundtrip,
-        # --- 42-50: r11-row holders, oldest-registered-first
+        "within_cql": _q_within_cql,
+        # --- 43-50: r11-row holders, oldest-registered-first
         "st_distance_geodesic": _q_st_distance_geodesic,
         "st_transform_osgb": _q_st_transform_osgb,
         "funnel_stream": _q_funnel_stream,
@@ -5798,9 +5828,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_avc_qpel": _q_media_avc_qpel,
         "json_props": _q_json_props,
         "st_transform_aea": _q_st_transform_aea,
-        "interval_join_stream": _q_interval_join_stream,
         # ================= end of the 50-entry driver window =========
         # --- remaining r11-rowed holders (age 3 — promote next, r15)
+        "interval_join_stream": _q_interval_join_stream,
         "media_avc_pskip": _q_media_avc_pskip,
         "boolean_retrieval": _q_boolean_retrieval,
         "kmv_intersect": _q_kmv_intersect,
@@ -7870,6 +7900,14 @@ def oracle_sql() -> dict[str, str]:
         "layer_within_distance": f"""
             SELECT c_custkey, round({d}, 6) AS distance_km
             FROM customer WHERE round({d}, 6) <= 2000.0
+        """,
+        "within_cql": f"""
+            SELECT c_custkey, round({d}, 6) AS distance_km,
+                   CAST((c_custkey * 7) % 100 AS DOUBLE) AS score
+            FROM customer
+            WHERE round({d}, 6) <= 6000.0
+              AND ((c_custkey * 7) % 100) >= 25
+              AND ((c_custkey * 7) % 100) < 75
         """,
         "hilbert_keys": _hilbert_oracle_sql(),
         "union_all_rects": _union_rects_oracle_sql(),

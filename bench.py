@@ -199,6 +199,9 @@ HEADLINE = [
     # r14: Delta Lake sink/source round-trip (two commits, independent
     # log replay, time travel + stats-pruned plan as literal columns)
     "delta_roundtrip",
+    # r14: within_distance(cql=) — composed window + property-bound
+    # manifest pruning through the real layer write/search path
+    "within_cql",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -437,8 +440,9 @@ BUDGET_SF01 = {
     # r13: 2.2x local best-of-three (pure codegen string filter +
     # projection; warm best 0.33s)
     "cql4": 0.3,
-    # r14 newcomer: 2.2x warm best-of-3 (1.06s) at sf0.1
+    # r14 newcomers: 2.2x warm best-of-3 at sf0.1 (1.06s / 1.68s)
     "delta_roundtrip": 2.4,
+    "within_cql": 3.7,
     # (EVERY pin re-ratcheted as min(old, 2.2x the clean final full
     # run's min-of-2) — landing-time measurements taken under
     # concurrent sweeps carried up to 9x slack; the ratchet never
