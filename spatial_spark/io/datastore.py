@@ -138,15 +138,21 @@ class SpatialDataStore:
     def register_file(self, name: str, path: str, fmt: str | None = None):
         """Register a read-only external feature type.
 
-        fmt: 'shapefile' | 'geojsonl' | 'parquet' (inferred from the
-        extension when omitted).  The reader is lazy — registration does
-        not touch the file beyond existence checks done by Spark at plan
+        fmt: 'shapefile' | 'geojsonl' | 'parquet' | 'fgb' | 'delta'
+        (inferred from the extension — or a ``_delta_log`` dir — when
+        omitted).  The reader is lazy — registration does not touch
+        the file beyond existence checks done by Spark at plan
         time."""
+        import os as _os
+
         if name in self.get_type_names():
             raise ValueError(f"feature type exists: {name}")
         if fmt is None:
             fmt = ("shapefile" if path.endswith(".shp")
                    else "parquet" if path.endswith(".parquet")
+                   else "fgb" if path.endswith(".fgb")
+                   else "delta" if _os.path.isdir(
+                       _os.path.join(path, "_delta_log"))
                    else "geojsonl")
         spark = self.ctx.spark
         if fmt == "shapefile":
@@ -160,6 +166,14 @@ class SpatialDataStore:
         elif fmt == "geojsonl":
             def read(path=path):
                 return _read_geojsonl(spark, path)
+        elif fmt == "fgb":
+            def read(path=path):
+                from .flatgeobuf import fgb_source
+                return fgb_source(spark, path)
+        elif fmt == "delta":
+            def read(path=path):
+                from .delta import delta_source
+                return delta_source(spark, path)
         else:
             raise ValueError(f"unknown format: {fmt}")
         self._external[name] = read

@@ -307,6 +307,42 @@ def test_datastore_external_shapefile_and_geojsonl(ctx, spark, tmp_path):
         store.register_file("ext_shp", shp)
 
 
+def test_datastore_external_fgb_and_delta(ctx, spark, tmp_path):
+    """r14: the facade registers .fgb files and Delta tables as
+    feature types (fmt inferred from the extension / _delta_log dir);
+    bbox and CQL run through the same FeatureSource API."""
+    from pyspark.sql import functions as F
+
+    from spatial_spark.functions.scalar import register_all
+    from spatial_spark.io.datastore import SpatialDataStore
+    from spatial_spark.io.delta import export_delta
+    from spatial_spark.io.flatgeobuf import export_fgb
+    register_all(spark)
+    store = SpatialDataStore(ctx)
+    pts = (spark.createDataFrame(
+        [(i, f"POINT ({i * 10} {i * 5})", f"n{i}",
+          float(i * 10), float(i * 5)) for i in range(4)],
+        "id long, wkt string, name string, px double, py double")
+        .withColumn("geom", F.expr("st_geomfromtext(wkt)"))
+        .drop("wkt", "id"))
+    fgb = str(tmp_path / "pts.fgb")
+    export_fgb(pts.drop("px", "py"), fgb, name="pts")
+    fsrc = store.register_file("ext_fgb", fgb)          # inferred
+    assert fsrc.features().count() == 4
+    assert fsrc.bbox(5.0, 0.0, 25.0, 50.0).count() == 2
+    assert fsrc.cql("name = 'n3'").count() == 1
+    dtab = str(tmp_path / "dtab")
+    export_delta(pts.withColumn("xmin", F.col("px"))
+                 .withColumn("ymin", F.col("py"))
+                 .withColumn("xmax", F.col("px"))
+                 .withColumn("ymax", F.col("py"))
+                 .drop("px", "py"), dtab)
+    dsrc = store.register_file("ext_delta", dtab)       # _delta_log dir
+    assert dsrc.features().count() == 4
+    assert dsrc.bbox(5.0, 0.0, 25.0, 50.0).count() == 2
+    assert dsrc.cql("name = 'n0'").count() == 1
+
+
 def test_load_table_timestamp_variants(spark, tmp_path):
     """events.ts must load as TIMESTAMP whether the parquet holds
     TIMESTAMP(NANOS) (surfaced as bigint nanos via nanosAsLong) or
