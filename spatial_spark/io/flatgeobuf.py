@@ -658,13 +658,23 @@ def fgb_source(spark, paths, bbox=None, manifest=None):
         paths = [str(paths)]
     paths = [str(p) for p in paths]
     if manifest is not None:
+        import json as _json
         if hasattr(manifest, "collect"):
             manifest = manifest.collect()
+        manifest = [dict(zip(m.__fields__, m))
+                    if hasattr(m, "__fields__") else dict(m)
+                    for m in manifest]
         env_by_path = {str(m["path"]): (m["xmin"], m["ymin"],
                                         m["xmax"], m["ymax"])
                        for m in manifest}
         heads = [(p, None, env_by_path.get(p)) for p in paths]
-        cols = read_fgb_header(paths[0])["columns"]
+        cj = next((m.get("columns_json") for m in manifest
+                   if m.get("columns_json")), None)
+        # an r14 manifest carries the declared column list — ZERO
+        # header reads to plan; older/foreign manifests fall back to
+        # one schema read
+        cols = ([(n, t) for n, t in _json.loads(cj)] if cj
+                else read_fgb_header(paths[0])["columns"])
     else:
         heads = _read_headers(spark, paths)
         cols = heads[0][1]
@@ -832,6 +842,9 @@ def export_fgb_dir(df, out_dir: str, name: str = "layer",
         T.StructField("ymin", T.DoubleType()),
         T.StructField("xmax", T.DoubleType()),
         T.StructField("ymax", T.DoubleType()),
+        # r14: the declared column list rides the manifest so
+        # fgb_source(manifest=) plans with ZERO header reads
+        T.StructField("columns_json", T.StringType()),
     ])
 
     def write_part(iter_pdf):
@@ -869,7 +882,9 @@ def export_fgb_dir(df, out_dir: str, name: str = "layer",
                     max(env[2], e[2]), max(env[3], e[3])))
         yield pd.DataFrame({"path": [path], "n_features": [len(feats)],
                             "xmin": [env[0]], "ymin": [env[1]],
-                            "xmax": [env[2]], "ymax": [env[3]]})
+                            "xmax": [env[2]], "ymax": [env[3]],
+                            "columns_json": [_json.dumps(
+                                [list(c) for c in columns])]})
 
     return df.mapInPandas(write_part, out_schema)
 

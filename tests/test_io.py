@@ -1107,9 +1107,24 @@ def test_flatgeobuf_manifest_prune_and_schema_guard(spark, tmp_path):
     manifest = export_fgb_dir(src, out, name="m").cache()
     paths = sorted(r["path"] for r in manifest.collect())
 
-    # (a) manifest-driven pruning matches header-driven pruning
+    # (a) manifest-driven pruning matches header-driven pruning, and
+    # an r14 manifest (carrying columns_json) plans with ZERO header
+    # reads — schema and envelopes both come from metadata
+    from spatial_spark.io import flatgeobuf as fgb_mod
     win = (-140.0, -1.0, -130.0, 41.0)
-    via_manifest = fgb_source(spark, paths, bbox=win, manifest=manifest)
+    opens = {"n": 0}
+    real = fgb_mod.read_fgb_header
+
+    def counting(path):
+        opens["n"] += 1
+        return real(path)
+    fgb_mod.read_fgb_header = counting
+    try:
+        via_manifest = fgb_source(spark, paths, bbox=win,
+                                  manifest=manifest)
+    finally:
+        fgb_mod.read_fgb_header = real
+    assert opens["n"] == 0, opens
     via_headers = fgb_source(spark, paths, bbox=win)
     assert (sorted(r["tag"] for r in via_manifest.collect())
             == sorted(r["tag"] for r in via_headers.collect())

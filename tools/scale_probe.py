@@ -180,6 +180,13 @@ PROBES = {
                             " the scale; 4 micro-batches, state ="
                             " one 16-byte fingerprint per distinct"
                             " key inside the horizon"),
+    # --- r14 ---
+    "within_cql": ("linear", "layer write + composed window/property"
+                   " manifest prune + spherical refine over ALL"
+                   " scaled customers (the gate reads the full"
+                   " table through Layer.add, so it probes"
+                   " directly; candidate set ~ fixed window"
+                   " fraction of the corpus)"),
 }
 
 
