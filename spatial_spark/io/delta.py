@@ -320,8 +320,21 @@ def layer_to_delta(layer, out_dir: str, name: str | None = None) -> int:
                       "partitionColumns": [],
                       "configuration": {},
                       "createdTime": now_ms}}]
+    # one directory scan for size/mtime instead of a per-file stat
+    # loop (100k files = one readdir pass, not 100k round trips)
+    ent: dict = {}
+    try:
+        with os.scandir(layer.path) as it:
+            for e in it:
+                if e.is_file():
+                    s = e.stat()
+                    ent[e.name] = (s.st_size, s.st_mtime)
+    except OSError:
+        pass
     for n in names:
         full = os.path.join(layer.path, n)
+        size, mtime = ent.get(n) or (os.path.getsize(full),
+                                     os.path.getmtime(full))
         st = file_stats.get(n) or {}
         mins: dict = {}
         maxs: dict = {}
@@ -346,9 +359,8 @@ def layer_to_delta(layer, out_dir: str, name: str | None = None) -> int:
             stats["maxValues"] = maxs
         add: dict = {"path": quote(os.path.abspath(full)),
                      "partitionValues": {},
-                     "size": os.path.getsize(full),
-                     "modificationTime": int(
-                         os.path.getmtime(full) * 1000),
+                     "size": size,
+                     "modificationTime": int(mtime * 1000),
                      "dataChange": True}
         if stats:
             add["stats"] = json.dumps(stats, separators=(",", ":"))
@@ -584,23 +596,31 @@ def read_delta_log(path: str, version: int | None = None) -> dict:
             "txns": state["txns"], "files": files}
 
 
-def vacuum_delta(path: str) -> list:
+def vacuum_delta(path: str, clean_staging: bool = False) -> list:
     """Delete data files under the table that the CURRENT snapshot no
     longer references (overwritten/removed files kept until now for
     time travel) — Delta's VACUUM with retention 0 over local files.
     Time travel to pre-vacuum versions then fails on the missing file,
-    exactly the layer manifest's documented gc() trade.  Staging dirs
-    and the log itself are never touched.  Returns the deleted
-    relative paths."""
+    exactly the layer manifest's documented gc() trade.  The log is
+    never touched.  ``clean_staging=True`` also removes ``_staging-*``
+    dirs a crashed writer left behind — run it only when no writer is
+    active (the same no-concurrent-writer caveat Delta's own VACUUM
+    retention-0 carries).  Returns the deleted relative paths."""
     snap = read_delta_log(path)
     live = {fe["rel_path"] for fe in snap["files"]
             if not os.path.isabs(fe["rel_path"])}
     deleted = []
     for rel in sorted(_data_files(path) - live):
         if rel.split("/")[0].startswith("_staging-"):
-            continue                       # an in-flight writer's files
+            if not clean_staging:
+                continue               # maybe an in-flight writer's
         os.remove(os.path.join(path, rel))
         deleted.append(rel)
+    if clean_staging:
+        for d in os.listdir(path):
+            if d.startswith("_staging-"):
+                shutil.rmtree(os.path.join(path, d),
+                              ignore_errors=True)
     # sweep now-empty hive partition dirs
     for root, dirs, files in os.walk(path, topdown=False):
         if _LOG in root.split(os.sep) or root == path:

@@ -335,3 +335,21 @@ def test_delta_vacuum_and_log_cleanup(spark, tmp_path):
     assert read_delta_log(tab)["version"] == 3
     with pytest.raises(KeyError):
         read_delta_log(tab, version=0)
+
+
+def test_delta_vacuum_staging_cleanup(spark, tmp_path):
+    """A crashed writer's _staging-* dir survives a default vacuum
+    (an in-flight writer must not lose files) and is reclaimed by
+    vacuum_delta(clean_staging=True)."""
+    from spatial_spark.io.delta import vacuum_delta
+    tab = str(tmp_path / "stg")
+    export_delta(spark.createDataFrame([(1,)], "id long"), tab)
+    crashed = os.path.join(tab, "_staging-deadbeef")
+    os.makedirs(crashed)
+    with open(os.path.join(crashed, "part-0.parquet"), "wb") as f:
+        f.write(b"x")
+    vacuum_delta(tab)
+    assert os.path.isdir(crashed)
+    vacuum_delta(tab, clean_staging=True)
+    assert not os.path.exists(crashed)
+    assert delta_source(spark, tab).count() == 1
