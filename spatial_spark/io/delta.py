@@ -272,8 +272,37 @@ def export_delta(df, path: str, mode: str = "overwrite",
         actions.append({"txn": {"appId": str(txn[0]),
                                 "version": int(txn[1]),
                                 "lastUpdated": now_ms}})
-    _write_commit(path, version, actions)
-    return version
+    # the spec's optimistic concurrency: losing the put-if-absent race
+    # means re-reading the snapshot and retrying at N+1.  Blind-append
+    # commits are always safe to rebase (our adds are disjoint files);
+    # an overwrite's remove set was computed against a stale snapshot,
+    # so it must surface the conflict instead
+    for _attempt in range(20):
+        try:
+            _write_commit(path, version, actions)
+            return version
+        except FileExistsError:
+            if mode == "overwrite" and snap is not None:
+                raise RuntimeError(
+                    f"export_delta: concurrent commit at version "
+                    f"{version} — overwrite computed its removes "
+                    "against a stale snapshot; re-run")
+            snap2 = read_delta_log(path)
+            if mode == "append" and \
+                    snap2["metadata"]["schemaString"] != schema_string:
+                raise ValueError(
+                    "export_delta: concurrent writer created the "
+                    "table with a different schema")
+            if txn is not None and \
+                    snap2["txns"].get(str(txn[0]), -1) >= int(txn[1]):
+                return snap2["version"]    # our txn landed elsewhere
+            version = snap2["version"] + 1
+            # a concurrent writer owns the table metadata now
+            actions = [a for a in actions
+                       if "protocol" not in a and "metaData" not in a]
+    raise RuntimeError(
+        "export_delta: lost the commit race 20 times — pathological "
+        "contention; serialize writers")
 
 
 def layer_to_delta(layer, out_dir: str, name: str | None = None) -> int:

@@ -353,3 +353,59 @@ def test_delta_vacuum_staging_cleanup(spark, tmp_path):
     vacuum_delta(tab, clean_staging=True)
     assert not os.path.exists(crashed)
     assert delta_source(spark, tab).count() == 1
+
+
+def test_delta_append_commit_race_rebases(spark, tmp_path):
+    """Optimistic concurrency: an append losing the put-if-absent race
+    re-reads the snapshot and lands at N+1 (adds are disjoint files);
+    an overwrite that lost surfaces the conflict instead of deleting
+    against a stale snapshot."""
+    from spatial_spark.io.delta import _write_commit
+    tab = str(tmp_path / "race2")
+    export_delta(spark.createDataFrame([(1,)], "id long"), tab)
+    # simulate a concurrent winner at version 1
+    _write_commit(tab, 1, [{"commitInfo": {"timestamp": 0}}])
+    v = export_delta(spark.createDataFrame([(2,)], "id long"), tab,
+                     mode="append")
+    assert v == 2
+    assert delta_source(spark, tab).count() == 2
+    # overwrite race: a competitor lands between the snapshot read and
+    # the put-if-absent — the overwrite must refuse, not delete against
+    # a stale view
+    import spatial_spark.io.delta as dmod
+    orig = dmod._write_commit
+    state = {"fired": False}
+
+    def racy(path, version, actions):
+        if not state["fired"]:
+            state["fired"] = True
+            orig(path, version, [{"commitInfo": {"timestamp": 0}}])
+        return orig(path, version, actions)
+
+    dmod._write_commit = racy
+    try:
+        with pytest.raises(RuntimeError, match="stale"):
+            export_delta(spark.createDataFrame([(3,)], "id long"), tab,
+                         mode="overwrite")
+    finally:
+        dmod._write_commit = orig
+
+
+def test_delta_partition_value_escaping(spark, tmp_path):
+    """Hive-layout partition values with spaces / '=' / unicode /
+    slashes round-trip through the add-action partitionValues (the
+    spec stores the LOGICAL value; the path carries Spark's escaped
+    form) and partition pruning matches on the logical value."""
+    tab = str(tmp_path / "esc")
+    vals = ["a b", "x=y", "über", "sla/sh"]
+    df = spark.createDataFrame(
+        [(i, vals[i % 4]) for i in range(40)], "id long, g string")
+    export_delta(df, tab, partition_by=["g"])
+    snap = read_delta_log(tab)
+    got = {fe["partitionValues"]["g"] for fe in snap["files"]}
+    assert got == set(vals), got
+    for v in vals:
+        sub = delta_source(spark, tab, partitions={"g": v})
+        assert sub.count() == 10, v
+        assert {r["g"] for r in sub.select("g").distinct()
+                .collect()} == {v}
