@@ -409,3 +409,88 @@ def test_delta_partition_value_escaping(spark, tmp_path):
         assert sub.count() == 10, v
         assert {r["g"] for r in sub.select("g").distinct()
                 .collect()} == {v}
+
+
+def test_delta_randomized_lifecycle_model(spark, tmp_path):
+    """Randomized model check (the manifest suite's discipline, scaled
+    to the Delta leg): a fixed-seed walk of append / overwrite /
+    checkpoint / log-cleanup / vacuum keeps the CURRENT snapshot
+    exactly equal to a python model at every step, and historical
+    versions behave per contract — readable while their files and
+    commit JSONs survive, KeyError once cleanup dropped the commit,
+    read failure once vacuum reclaimed their files."""
+    import random
+
+    from spatial_spark.io.delta import (cleanup_delta_log, vacuum_delta,
+                                        write_delta_checkpoint)
+    rng = random.Random(20260816)
+    tab = str(tmp_path / "model")
+    mk = lambda ids: spark.createDataFrame([(i,) for i in ids],
+                                           "id long")
+    # model state
+    history = {}          # version -> (frozenset ids, frozenset groups)
+    groups_of = {}        # group id -> still-on-disk bool
+    cur_ids, cur_groups = frozenset(), frozenset()
+    cp_version = None
+    cleaned_to = -1
+    version = -1
+    step_ids = iter(range(1, 10_000))
+
+    export_delta(mk([0]), tab)
+    version = 0
+    g0 = next(step_ids)
+    groups_of[g0] = True
+    cur_ids, cur_groups = frozenset([0]), frozenset([g0])
+    history[0] = (cur_ids, cur_groups)
+
+    for step in range(30):
+        op = rng.choice(["append", "append", "overwrite",
+                         "checkpoint", "cleanup", "vacuum"])
+        if op == "append":
+            g = next(step_ids)
+            new = frozenset(g * 100 + j for j in range(rng.randint(1, 3)))
+            export_delta(mk(sorted(new)), tab, mode="append")
+            version += 1
+            groups_of[g] = True
+            cur_ids, cur_groups = cur_ids | new, cur_groups | {g}
+            history[version] = (cur_ids, cur_groups)
+        elif op == "overwrite":
+            g = next(step_ids)
+            new = frozenset(g * 100 + j for j in range(rng.randint(1, 3)))
+            export_delta(mk(sorted(new)), tab, mode="overwrite")
+            version += 1
+            groups_of[g] = True
+            cur_ids, cur_groups = new, frozenset([g])
+            history[version] = (cur_ids, cur_groups)
+        elif op == "checkpoint":
+            assert write_delta_checkpoint(tab) == version
+            cp_version = version
+        elif op == "cleanup":
+            if cp_version is None:
+                with pytest.raises(ValueError):
+                    cleanup_delta_log(tab)
+            else:
+                cleanup_delta_log(tab)
+                cleaned_to = cp_version
+        else:
+            vacuum_delta(tab)
+            for g in list(groups_of):
+                if g not in cur_groups:
+                    groups_of[g] = False
+        # invariant: the current snapshot is exactly the model
+        got = {r["id"] for r in delta_source(spark, tab).collect()}
+        assert got == set(cur_ids), f"step {step} op {op}"
+        assert read_delta_log(tab)["version"] == version
+        # a random historical version behaves per contract
+        v = rng.choice(sorted(history))
+        ids_v, groups_v = history[v]
+        if v <= cleaned_to and v != (cp_version or -1) and v != version:
+            with pytest.raises(KeyError):
+                read_delta_log(tab, version=v)
+        elif all(groups_of[g] for g in groups_v):
+            assert {r["id"] for r in
+                    delta_source(spark, tab, version=v).collect()} \
+                == set(ids_v), f"step {step} tt v{v}"
+        else:
+            with pytest.raises(Exception):
+                delta_source(spark, tab, version=v).collect()
