@@ -41,6 +41,13 @@ Reference parity: the GeoTools DataStore adapter is the reference's
 interop surface (geotools-plugin/src/main/java/org/geotools/data/
 neo4j/Neo4jSpatialDataStore.java:60-118 — expose layers to foreign
 engines); a lakehouse table format is the Spark-native analogue.
+
+Storage seam (documented): this module's log I/O is local-filesystem
+(open(mode="x") as the put-if-absent primitive).  On object stores
+the same exactly-once point maps onto a conditional PUT — the layer
+manifest's S3ManifestIO pattern — and Delta's own spec delegates it
+to a LogStore; wiring the manifest IO interface under _write_commit
+is the drop-in path when a remote gate demands it.
 100 TB shape: one commit is O(changed files); planning reads the log
 tail + one checkpoint, never lists the store; file pruning happens on
 driver-held metadata exactly like the layer manifest's files_where.
