@@ -63,7 +63,7 @@ from urllib.parse import quote, unquote
 
 __all__ = ["export_delta", "layer_to_delta", "layer_from_delta",
            "read_delta_log", "delta_source", "write_delta_checkpoint",
-           "vacuum_delta", "cleanup_delta_log"]
+           "vacuum_delta", "cleanup_delta_log", "optimize_delta"]
 
 _LOG = "_delta_log"
 #: protocol floor for plain parquet tables (spec: reader 1 = no
@@ -630,6 +630,107 @@ def read_delta_log(path: str, version: int | None = None) -> dict:
     return {"version": version, "metadata": state["metadata"],
             "protocol": state["protocol"] or dict(_PROTOCOL),
             "txns": state["txns"], "files": files}
+
+
+def optimize_delta(spark, path: str, zorder_by: list | None = None,
+                   target_files: int | None = None,
+                   bits: int = 16) -> int:
+    """OPTIMIZE the table: rewrite the current snapshot into
+    ``target_files`` files (default ~128 MB each from the logged
+    sizes), optionally Z-ORDER-clustered on ``zorder_by`` numeric
+    columns — each column min/max-normalizes to a ``bits``-bit rank
+    (one bounded agg) and the ranks bit-interleave in pure Column ops,
+    so range-partitioning on the z-key co-locates rows close in EVERY
+    clustered dimension and the add-action min/max stats become
+    genuinely selective (the reason OPTIMIZE exists: stats pruning is
+    useless over hash-scattered files).  Commits removes + adds with
+    ``dataChange=false`` per the spec — readers see the same rows,
+    streams skip the rearrangement.  Partitioned tables refuse (the
+    per-partition rewrite is the obvious extension; refusing beats
+    silently collapsing partitions).  Returns the committed version."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    snap = read_delta_log(path)
+    if snap["metadata"]["partitionColumns"]:
+        raise NotImplementedError(
+            "optimize_delta: partitioned tables — run per partition "
+            "or drop the partitioning first")
+    if not snap["files"]:
+        return snap["version"]
+    df = delta_source(spark, path)
+    total = sum(fe["size"] or 0 for fe in snap["files"])
+    n_out = max(1, int(target_files if target_files is not None
+                       else math.ceil(total / (128 << 20))))
+    if zorder_by:
+        lo_hi = df.agg(*[f for c in zorder_by for f in (
+            F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}"))]
+        ).first()
+        ranks = []
+        for c in zorder_by:
+            lo = float(lo_hi[f"lo_{c}"])
+            hi = float(lo_hi[f"hi_{c}"])
+            span = (hi - lo) or 1.0
+            r = F.floor((F.coalesce(F.col(c).cast("double"), F.lit(lo))
+                         - F.lit(lo)) / F.lit(span)
+                        * F.lit((1 << bits) - 1)).cast("long")
+            ranks.append(r)
+        z = F.lit(0).cast("long")
+        k = len(ranks)
+        one = F.lit(1).cast("long")
+        for b in range(bits):
+            for i, r in enumerate(ranks):
+                z = z.bitwiseOR(F.shiftleft(
+                    F.shiftright(r, b).bitwiseAND(one), b * k + i))
+        df = (df.withColumn("_zorder", z)
+              .repartitionByRange(n_out, "_zorder")
+              .sortWithinPartitions("_zorder")
+              .drop("_zorder"))
+    else:
+        df = df.coalesce(n_out) if n_out < len(snap["files"]) \
+            else df.repartition(n_out)
+
+    staging = os.path.join(path, f"_staging-{uuid.uuid4().hex[:12]}")
+    df.write.mode("append").parquet(staging)
+    new_files = []
+    for rel in sorted(_data_files(staging)):
+        dst = os.path.join(path, rel)
+        os.replace(os.path.join(staging, rel), dst)
+        new_files.append(rel)
+    shutil.rmtree(staging, ignore_errors=True)
+
+    now_ms = int(time.time() * 1000)
+    actions: list = [{"commitInfo": {
+        "timestamp": now_ms, "operation": "OPTIMIZE",
+        "operationParameters": {
+            "zOrderBy": json.dumps(zorder_by or [])},
+        "engineInfo": "spatial_spark-delta/1.0"}}]
+    for fe in snap["files"]:
+        actions.append({"remove": {
+            "path": fe["rel_path"], "deletionTimestamp": now_ms,
+            "dataChange": False}})
+    for rel in new_files:
+        full = os.path.join(path, rel)
+        st = _footer_stats_for(full)
+        add: dict = {"path": quote(rel), "partitionValues": {},
+                     "size": os.path.getsize(full),
+                     "modificationTime": int(
+                         os.path.getmtime(full) * 1000),
+                     "dataChange": False}
+        if st is not None:
+            add["stats"] = json.dumps(st, separators=(",", ":"))
+        actions.append({"add": add})
+    version = snap["version"] + 1
+    try:
+        _write_commit(path, version, actions)
+    except FileExistsError:
+        # the remove set is stale — surface it (the writer should
+        # re-run; compaction is always safe to retry from scratch)
+        raise RuntimeError(
+            f"optimize_delta: concurrent commit at version {version} "
+            "— re-run against the new snapshot")
+    return version
 
 
 def vacuum_delta(path: str, clean_staging: bool = False) -> list:

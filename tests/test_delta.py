@@ -494,3 +494,53 @@ def test_delta_randomized_lifecycle_model(spark, tmp_path):
         else:
             with pytest.raises(Exception):
                 delta_source(spark, tab, version=v).collect()
+
+
+def test_delta_optimize_compaction_and_zorder(spark, tmp_path):
+    """OPTIMIZE: (a) compaction rewrites N small files into few with
+    dataChange=false (same rows, time travel intact); (b) Z-ORDER
+    clustering turns useless hash-scattered min/max stats into
+    selective ones — a range predicate plans a small fraction of the
+    files it planned before."""
+    from spatial_spark.io.delta import optimize_delta
+    tab = str(tmp_path / "opt")
+    df = spark.createDataFrame(
+        [(i, i % 7, float(i)) for i in range(4000)],
+        "id long, g int, v double").repartition(8)
+    export_delta(df, tab)
+    assert len(read_delta_log(tab)["files"]) == 8
+    # hash-scattered: every file spans ~the full id range, so a
+    # selective range predicate cannot prune
+    before = delta_source(spark, tab, props={"id": (3900, None)})
+    assert len(before.inputFiles()) == 8
+    v = optimize_delta(spark, tab, zorder_by=["id", "v"],
+                       target_files=8)
+    assert v == 1
+    snap = read_delta_log(tab)
+    assert len(snap["files"]) == 8
+    cur = delta_source(spark, tab)
+    assert cur.count() == 4000
+    assert cur.agg({"id": "sum"}).first()[0] == sum(range(4000))
+    # clustered: the same predicate now plans ~1 file
+    after = delta_source(spark, tab, props={"id": (3900, None)})
+    assert len(after.inputFiles()) <= 2
+    assert sorted(r["id"] for r in after.filter("id >= 3900")
+                  .collect()) == list(range(3900, 4000))
+    # the rearrangement is dataChange=false on every add and remove
+    acts = [json.loads(line) for line in
+            open(os.path.join(tab, "_delta_log",
+                              "00000000000000000001.json"))]
+    flips = [a["add"]["dataChange"] for a in acts if "add" in a] + \
+            [a["remove"]["dataChange"] for a in acts if "remove" in a]
+    assert flips and not any(flips)
+    # time travel to the pre-optimize snapshot still works (files kept)
+    assert delta_source(spark, tab, version=0).count() == 4000
+    # plain compaction path
+    v2 = optimize_delta(spark, tab, target_files=1)
+    assert v2 == 2 and len(read_delta_log(tab)["files"]) == 1
+    assert delta_source(spark, tab).count() == 4000
+    # partitioned tables refuse loudly
+    ptab = str(tmp_path / "popt")
+    export_delta(df, ptab, partition_by=["g"])
+    with pytest.raises(NotImplementedError, match="partition"):
+        optimize_delta(spark, ptab)
