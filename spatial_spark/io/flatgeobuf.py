@@ -782,14 +782,18 @@ def export_fgb(df, path: str, name: str = "layer",
     try:
         with open(tmp, "wb") as tf:
             for r in df.toLocalIterator():
-                g = from_wkb(bytes(r["geom"]))
+                # spec-legal geometry-less features (fgb_source itself
+                # emits them as null-geom rows) round-trip as such
+                g = (None if r["geom"] is None
+                     else from_wkb(bytes(r["geom"])))
                 props = {n: r[n] for n, _ in columns
                          if r[n] is not None}
                 tf.write(_encode_feature(g, props, columns))
-                e = g.envelope()
-                env = (e if env is None else
-                       (min(env[0], e[0]), min(env[1], e[1]),
-                        max(env[2], e[2]), max(env[3], e[3])))
+                if g is not None:
+                    e = g.envelope()
+                    env = (e if env is None else
+                           (min(env[0], e[0]), min(env[1], e[1]),
+                            max(env[2], e[2]), max(env[3], e[3])))
                 cnt += 1
         with open(path, "wb") as out:
             out.write(_encode_header(name, columns, geometry_type,
@@ -859,7 +863,8 @@ def export_fgb_dir(df, out_dir: str, name: str = "layer",
             return not (isinstance(v, float) and v != v)   # NaN
         for pdf in iter_pdf:
             for _, r in pdf.iterrows():
-                g = from_wkb(bytes(r["geom"]))
+                g = (None if r["geom"] is None
+                     else from_wkb(bytes(r["geom"])))
                 props = {n: r[n] for n, _t in columns
                          if present(r[n])}
                 feats.append((g, props))
@@ -876,10 +881,14 @@ def export_fgb_dir(df, out_dir: str, name: str = "layer",
             f.write(buf)
         env = None
         for g, _ in feats:
+            if g is None:
+                continue       # geometry-less features carry no bbox
             e = g.envelope()
             env = (e if env is None else
                    (min(env[0], e[0]), min(env[1], e[1]),
                     max(env[2], e[2]), max(env[3], e[3])))
+        if env is None:
+            env = (float("nan"),) * 4
         yield pd.DataFrame({"path": [path], "n_features": [len(feats)],
                             "xmin": [env[0]], "ymin": [env[1]],
                             "xmax": [env[2]], "ymax": [env[3]],

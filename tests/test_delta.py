@@ -376,11 +376,11 @@ def test_delta_append_commit_race_rebases(spark, tmp_path):
     orig = dmod._write_commit
     state = {"fired": False}
 
-    def racy(path, version, actions):
+    def racy(path, version, actions, store=None):
         if not state["fired"]:
             state["fired"] = True
             orig(path, version, [{"commitInfo": {"timestamp": 0}}])
-        return orig(path, version, actions)
+        return orig(path, version, actions, store=store)
 
     dmod._write_commit = racy
     try:
@@ -539,8 +539,253 @@ def test_delta_optimize_compaction_and_zorder(spark, tmp_path):
     v2 = optimize_delta(spark, tab, target_files=1)
     assert v2 == 2 and len(read_delta_log(tab)["files"]) == 1
     assert delta_source(spark, tab).count() == 4000
-    # partitioned tables refuse loudly
+    # partitioned tables compact PER PARTITION (r15): hive dirs
+    # survive, each partition's fragments merge, rows intact
     ptab = str(tmp_path / "popt")
     export_delta(df, ptab, partition_by=["g"])
-    with pytest.raises(NotImplementedError, match="partition"):
-        optimize_delta(spark, ptab)
+    n0 = len(read_delta_log(ptab)["files"])
+    assert n0 > 7                     # 8 tasks x 7 groups fragment
+    v3 = optimize_delta(spark, ptab, target_files=7)
+    assert v3 == 1
+    snapp = read_delta_log(ptab)
+    assert len(snapp["files"]) == 7   # one compact file per partition
+    got_g = {fe["partitionValues"]["g"] for fe in snapp["files"]}
+    assert got_g == {str(g) for g in range(7)}
+    cur = delta_source(spark, ptab)
+    assert cur.count() == 4000
+    assert cur.agg({"id": "sum"}).first()[0] == sum(range(4000))
+    # partitions= limits the rewrite: other partitions' files survive
+    export_delta(spark.createDataFrame(
+        [(9001, 3, 1.0), (9002, 3, 2.0)], "id long, g int, v double"),
+        ptab, mode="append", partition_by=["g"])
+    files_before = {fe["rel_path"]
+                    for fe in read_delta_log(ptab)["files"]}
+    optimize_delta(spark, ptab, partitions={"g": 3})
+    snap3 = read_delta_log(ptab)
+    untouched = {fe["rel_path"] for fe in snap3["files"]
+                 if fe["partitionValues"]["g"] != "3"}
+    assert untouched <= files_before  # non-matching files untouched
+    g3 = [fe for fe in snap3["files"]
+          if fe["partitionValues"]["g"] == "3"]
+    assert len(g3) == 1               # g=3's two fragments merged
+    assert g3[0]["rel_path"] not in files_before
+    assert delta_source(spark, ptab).count() == 4002
+    assert delta_source(spark, ptab,
+                        partitions={"g": 3}).count() == 573
+
+
+def test_delta_overwrite_drops_escaped_partition_files(spark, tmp_path):
+    """ADVICE r14 high: remove.path must carry the same URL-encoding
+    as the add that introduced it.  A partitioned table whose values
+    hive-escape to literal %XX ('x=y' -> 'g=x%3Dy') is overwritten;
+    the old files must leave the snapshot (no silent duplication) and
+    the on-disk remove.path must unquote back to the adds key."""
+    tab = str(tmp_path / "esc_ow")
+    df = spark.createDataFrame(
+        [(i, "x=y" if i % 2 else "a b") for i in range(20)],
+        "id long, g string")
+    export_delta(df, tab, partition_by=["g"])
+    v0_files = {fe["rel_path"] for fe in read_delta_log(tab)["files"]}
+    assert any("%" in rel for rel in v0_files)   # hive-escaped on disk
+    df2 = spark.createDataFrame(
+        [(100 + i, "x=y") for i in range(4)], "id long, g string")
+    export_delta(df2, tab, mode="overwrite", partition_by=["g"])
+    snap = read_delta_log(tab)
+    live = {fe["rel_path"] for fe in snap["files"]}
+    assert live.isdisjoint(v0_files), "overwritten files stayed live"
+    assert delta_source(spark, tab).count() == 4
+    # the JSON remove actions round-trip through quote/unquote
+    with open(os.path.join(tab, "_delta_log",
+                           "00000000000000000001.json")) as f:
+        acts = [json.loads(line) for line in f]
+    from urllib.parse import unquote
+    removed = {unquote(a["remove"]["path"]) for a in acts
+               if "remove" in a}
+    assert removed == v0_files
+    # vacuum now reclaims every overwritten file
+    from spatial_spark.io.delta import vacuum_delta
+    deleted = set(vacuum_delta(tab))
+    assert deleted == v0_files
+
+
+def test_delta_create_overwrite_race_refuses(spark, tmp_path):
+    """ADVICE r14 medium: an overwrite that loses the race CREATING
+    the table (snap is None) must surface the conflict, not silently
+    rebase into an unvalidated blind append onto the winner's table."""
+    import spatial_spark.io.delta as dmod
+    tab = str(tmp_path / "cow")
+    orig = dmod._write_commit
+    state = {"fired": False}
+
+    def racy(path, version, actions, store=None):
+        if not state["fired"]:
+            state["fired"] = True
+            orig(path, version,
+                 [{"commitInfo": {"timestamp": 0}},
+                  {"protocol": {"minReaderVersion": 1,
+                                "minWriterVersion": 2}},
+                  {"metaData": {"id": "w", "format":
+                                {"provider": "parquet", "options": {}},
+                                "schemaString": "{}",
+                                "partitionColumns": [],
+                                "configuration": {}}}])
+        return orig(path, version, actions, store=store)
+
+    dmod._write_commit = racy
+    try:
+        with pytest.raises(RuntimeError, match="stale"):
+            export_delta(spark.createDataFrame([(1,)], "id long"), tab,
+                         mode="overwrite")
+    finally:
+        dmod._write_commit = orig
+
+
+def test_delta_vacuum_spares_inflight_uncommitted_file(spark, tmp_path):
+    """ADVICE r14 medium: a data file already moved out of staging by
+    an in-flight writer (present on disk, in NO log action) must
+    survive a default vacuum — only log-referenced dead files go.
+    clean_staging=True (writer-quiescent mode) reclaims it."""
+    from spatial_spark.io.delta import vacuum_delta
+    tab = str(tmp_path / "vif")
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i,) for i in range(lo, hi)], "id long")
+    export_delta(mk(0, 10), tab)
+    export_delta(mk(10, 12), tab, mode="overwrite")  # v0 files now dead
+    inflight = os.path.join(tab, "part-inflight-xyz.parquet")
+    with open(inflight, "wb") as f:
+        f.write(b"PAR1not-yet-committed")
+    deleted = vacuum_delta(tab)
+    assert deleted, "dead v0 files must still be reclaimed"
+    assert os.path.exists(inflight), "in-flight file must survive"
+    assert delta_source(spark, tab).count() == 2
+    vacuum_delta(tab, clean_staging=True)
+    assert not os.path.exists(inflight)
+
+
+def test_delta_checkpoint_tombstones_and_config(spark, tmp_path):
+    """ADVICE r14 low: the checkpoint carries metaData.configuration +
+    format.options and remove TOMBSTONES, so (a) strict foreign
+    engines see the full metaData, (b) vacuum after log cleanup still
+    knows pre-checkpoint dead files."""
+    import pyarrow.parquet as pq
+    from spatial_spark.io.delta import (cleanup_delta_log,
+                                        vacuum_delta)
+    tab = str(tmp_path / "cptomb")
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i,) for i in range(lo, hi)], "id long")
+    export_delta(mk(0, 10), tab)
+    dead = {fe["rel_path"] for fe in read_delta_log(tab)["files"]}
+    export_delta(mk(10, 13), tab, mode="overwrite")
+    v = write_delta_checkpoint(tab)
+    cp = pq.read_table(os.path.join(
+        tab, "_delta_log", f"{v:020d}.checkpoint.parquet"))
+    cols = set(cp.column_names)
+    assert "remove" in cols
+    md = [r for r in cp.column("metaData").to_pylist() if r]
+    assert md and "configuration" in md[0]
+    assert "options" in md[0]["format"]
+    from urllib.parse import unquote
+    tombs = {unquote(r["path"])
+             for r in cp.column("remove").to_pylist() if r}
+    assert tombs == dead
+    # cleanup drops the JSON commits; the tombstones keep the dead
+    # files knowable, so vacuum still reclaims them
+    cleanup_delta_log(tab)
+    deleted = set(vacuum_delta(tab))
+    assert deleted == dead
+    assert delta_source(spark, tab).count() == 3
+
+
+class _FakeConditionalPutClient:
+    """In-memory S3-semantics object client (put/get/list/delete with
+    If-None-Match) mirrored onto tmp dir files so Spark/pyarrow can
+    still read what the store 'hosts'."""
+
+    def __init__(self):
+        self.objects = {}
+        self.put_calls = 0
+
+    def put(self, key, data, if_none_match):
+        self.put_calls += 1
+        if if_none_match and key in self.objects:
+            return False
+        self.objects[key] = bytes(data)
+        # mirror to the real fs so checkpoint reads via pq and the
+        # commit JSONs stay inspectable
+        os.makedirs(os.path.dirname(key), exist_ok=True)
+        with open(key, "wb") as f:
+            f.write(bytes(data))
+        return True
+
+    def get(self, key):
+        if key not in self.objects:
+            raise KeyError(key)
+        return self.objects[key]
+
+    def list(self, prefix):
+        return [k for k in self.objects if k.startswith(prefix)]
+
+    def delete(self, key):
+        self.objects.pop(key, None)
+        try:
+            os.remove(key)
+        except OSError:
+            pass
+        return True
+
+
+def test_delta_logstore_conditional_put_fake(spark, tmp_path):
+    """r14 verdict ask #2: the Delta log runs on the manifest's
+    conditional-PUT IO seam.  The whole commit/read path goes through
+    an S3ManifestIO over an in-memory fake client; the optimistic-
+    concurrency behaviors (append rebase, overwrite refusal) hold."""
+    from spatial_spark.io.delta import (CommitConflict, LogStore,
+                                        _write_commit)
+    from spatial_spark.manifest import S3ManifestIO
+    client = _FakeConditionalPutClient()
+    store = LogStore(S3ManifestIO(client))
+    tab = str(tmp_path / "s3tab")
+    mk = lambda ids: spark.createDataFrame([(i,) for i in ids],
+                                           "id long")
+    v = export_delta(mk([1, 2]), tab, store=store)
+    assert v == 0 and client.put_calls > 0
+    assert delta_source(spark, tab, store=store).count() == 2
+    # append rebase through the fake: competitor takes version 1
+    _write_commit(tab, 1, [{"commitInfo": {"timestamp": 0}}],
+                  store=store)
+    v = export_delta(mk([3]), tab, mode="append", store=store)
+    assert v == 2
+    assert delta_source(spark, tab, store=store).count() == 3
+    # losing the put-if-absent on the same version raises the typed
+    # conflict
+    with pytest.raises(CommitConflict):
+        _write_commit(tab, 2, [{"commitInfo": {"timestamp": 1}}],
+                      store=store)
+    # overwrite refusal through the fake
+    import spatial_spark.io.delta as dmod
+    orig = dmod._write_commit
+    state = {"fired": False}
+
+    def racy(path, version, actions, store=None):
+        if not state["fired"]:
+            state["fired"] = True
+            orig(path, version, [{"commitInfo": {"timestamp": 0}}],
+                 store=store)
+        return orig(path, version, actions, store=store)
+
+    dmod._write_commit = racy
+    try:
+        with pytest.raises(RuntimeError, match="stale"):
+            export_delta(mk([9]), tab, mode="overwrite", store=store)
+    finally:
+        dmod._write_commit = orig
+    # checkpoint + cleanup + replay all through the store
+    cpv = write_delta_checkpoint(tab, store=store)
+    from spatial_spark.io.delta import cleanup_delta_log
+    cleanup_delta_log(tab, store=store)
+    snap = read_delta_log(tab, store=store)
+    assert snap["version"] == cpv
+    assert delta_source(spark, tab, store=store).count() == 3
+    # every log object the reader touched lives in the fake store
+    assert any(k.endswith(".checkpoint.parquet")
+               for k in client.objects)

@@ -1156,3 +1156,36 @@ def test_flatgeobuf_manifest_prune_and_schema_guard(spark, tmp_path):
     assert rows[1]["geom"] is None and rows[1]["x"] == 2
     # a window never matches the extent-less feature
     assert fgb_source(spark, pn, bbox=(4, 4, 6, 6)).count() == 1
+
+
+def test_flatgeobuf_export_null_geometry_roundtrip(spark, tmp_path):
+    """ADVICE r14 low: export_fgb of a frame containing null-geometry
+    rows (which fgb_source itself emits for spec-legal geometry-less
+    features) must encode them as geometry-less features, not crash —
+    so fgb_source -> export_fgb round-trips such a file."""
+    import pytest as _pytest
+    from spatial_spark.geom.core import Geometry
+    from spatial_spark.io.flatgeobuf import (export_fgb, fgb_source,
+                                             read_fgb, write_fgb)
+    src = str(tmp_path / "ng_src.fgb")
+    with open(src, "wb") as f:
+        f.write(write_fgb([(Geometry.point(5, 5), {"x": 1}),
+                           (None, {"x": 2}),
+                           (Geometry.point(7, 8), {"x": 3})],
+                          columns=[("x", 6)]))
+    df = fgb_source(spark, src)
+    assert df.filter("geom is null").count() == 1
+    out = str(tmp_path / "ng_out.fgb")
+    cnt = export_fgb(df.orderBy("x"), out)
+    assert cnt == 3
+    doc = read_fgb(out)
+    geoms = [g for g, _ in doc["features"]]
+    props = [p for _, p in doc["features"]]
+    assert sum(g is None for g in geoms) == 1
+    assert sorted(p["x"] for p in props) == [1, 2, 3]
+    # the header envelope covers only the real geometries
+    assert tuple(doc["envelope"]) == (5.0, 5.0, 7.0, 8.0)
+    # and the round-trip of the round-trip still reads
+    back = fgb_source(spark, out)
+    assert back.count() == 3 and \
+        back.filter("geom is null").count() == 1
