@@ -2754,6 +2754,125 @@ def _delta_oracle_sql() -> str:
     """
 
 
+def _q_delta_overwrite(spark, sf_dir) -> DataFrame:
+    """Partitioned Delta OVERWRITE gate (r15, ADVICE r14 high): the
+    partition value embeds '=' so Spark hive-escapes it to a literal
+    %XX path segment — exactly the shape where remove actions that
+    skip URL-encoding fail to drop the version-0 files and the stale
+    rows silently DOUBLE every count.  The gate overwrites a
+    partitioned table with half the rows, vacuums (referenced-dead
+    files reclaimed, protocol intact), and returns per-partition
+    exact aggregates of the final snapshot plus the pre-overwrite
+    row count as a literal — all oracle-checked, so a re-appearance
+    of the encoding bug is a hash mismatch, not a silent dup."""
+    import tempfile
+
+    from spatial_spark.io.delta import (delta_source, export_delta,
+                                        vacuum_delta)
+    base = spark.sql("""
+        SELECT c_custkey, CONCAT(c_mktsegment, '=s') AS seg,
+               CAST(c_acctbal AS DOUBLE) AS bal
+        FROM customer""")
+    tab = tempfile.mkdtemp(prefix="delta_ow_") + "/cust"
+    export_delta(base, tab, partition_by=["seg"])
+    v0_rows = delta_source(spark, tab, version=0).count()
+    export_delta(base.filter("c_custkey % 2 = 0"), tab,
+                 mode="overwrite", partition_by=["seg"])
+    vacuum_delta(tab)
+    return (delta_source(spark, tab)
+            .groupBy("seg")
+            .agg(F.count("*").alias("n"),
+                 F.sum("c_custkey").alias("sum_key"),
+                 F.min("bal").alias("min_bal"),
+                 F.max("bal").alias("max_bal"))
+            .select("seg", "n", "sum_key", "min_bal", "max_bal",
+                    F.lit(v0_rows).cast("long").alias("v0_rows"))
+            .orderBy("seg"))
+
+
+def _delta_overwrite_oracle_sql() -> str:
+    return """
+        SELECT CONCAT(c_mktsegment, '=s') AS seg,
+               COUNT(*) AS n,
+               CAST(SUM(c_custkey) AS BIGINT) AS sum_key,
+               MIN(CAST(c_acctbal AS DOUBLE)) AS min_bal,
+               MAX(CAST(c_acctbal AS DOUBLE)) AS max_bal,
+               (SELECT COUNT(*) FROM customer) AS v0_rows
+        FROM customer WHERE c_custkey % 2 = 0
+        GROUP BY seg ORDER BY seg
+    """
+
+
+def _q_delta_optimize(spark, sf_dir) -> DataFrame:
+    """Delta OPTIMIZE gate (r15, VERDICT r14 ask #4): (a) a
+    fragmented unpartitioned table Z-ORDERs on its key — the
+    add-action min/max stats become selective, so a range predicate
+    plans FEWER files than live (the pruned_ok literal); (b) a
+    partitioned table (hive layout) compacts PER PARTITION — one
+    file per partition afterwards (the compact_ok literal) with hive
+    dirs and partitionValues intact.  Row content must be bit-equal
+    through both rewrites (dataChange=false semantics): the frame is
+    the final per-priority aggregate of the compacted table, fully
+    oracle-checked against the raw source."""
+    import tempfile
+
+    from spatial_spark.io.delta import (delta_source, export_delta,
+                                        optimize_delta, read_delta_log)
+    orders = spark.sql("""
+        SELECT o_orderkey, o_custkey, o_orderpriority AS pri,
+               CAST(o_totalprice AS DOUBLE) AS price
+        FROM orders""")
+    # (a) z-order: fragment on purpose, optimize, check stats pruning
+    ztab = tempfile.mkdtemp(prefix="delta_oz_") + "/oz"
+    export_delta(orders.repartition(8), ztab)
+    hi = orders.agg(F.max("o_orderkey")).first()[0]
+    optimize_delta(spark, ztab, zorder_by=["o_orderkey"],
+                   target_files=8)
+    live = len(read_delta_log(ztab)["files"])
+    planned = len(delta_source(
+        spark, ztab,
+        props={"o_orderkey": (int(hi * 0.95), None)}).inputFiles())
+    pruned_ok = bool(planned < live)
+    # (b) per-partition compaction of a fragmented partitioned table
+    ptab = tempfile.mkdtemp(prefix="delta_op_") + "/op"
+    export_delta(orders.repartition(4), ptab, partition_by=["pri"])
+    export_delta(orders.filter("o_orderkey % 7 = 0").repartition(2),
+                 ptab, mode="append", partition_by=["pri"])
+    optimize_delta(spark, ptab)
+    snap = read_delta_log(ptab)
+    n_parts = len({fe["partitionValues"]["pri"]
+                   for fe in snap["files"]})
+    compact_ok = bool(len(snap["files"]) == n_parts)
+    return (delta_source(spark, ptab)
+            .groupBy("pri")
+            .agg(F.count("*").alias("n"),
+                 F.sum("o_orderkey").alias("sum_key"),
+                 F.min("price").alias("min_price"),
+                 F.max("price").alias("max_price"))
+            .select("pri", "n", "sum_key", "min_price", "max_price",
+                    F.lit(pruned_ok).alias("pruned_ok"),
+                    F.lit(compact_ok).alias("compact_ok"))
+            .orderBy("pri"))
+
+
+def _delta_optimize_oracle_sql() -> str:
+    return """
+        WITH both_v AS (
+          SELECT o_orderkey, o_orderpriority AS pri,
+                 CAST(o_totalprice AS DOUBLE) AS price
+          FROM orders
+          UNION ALL
+          SELECT o_orderkey, o_orderpriority AS pri,
+                 CAST(o_totalprice AS DOUBLE) AS price
+          FROM orders WHERE o_orderkey % 7 = 0)
+        SELECT pri, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+               MIN(price) AS min_price, MAX(price) AS max_price,
+               TRUE AS pruned_ok, TRUE AS compact_ok
+        FROM both_v GROUP BY pri ORDER BY pri
+    """
+
+
 def _q_image_dedup_groups(spark, sf_dir) -> DataFrame:
     """End-to-end image near-dup GROUPS on the hard gate: the banded
     Hamming pairs (t=16) feed the pointer-doubled connected components
@@ -5762,74 +5881,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (tools/check_correctness runs ALL of them, every round, at
     # sf0.001/0.01/0.1).
     return {name: wrap(fn) for name, fn in {
-        # ============ r14 WINDOW (first 50 — the driver's correctness
-        # gate), executed exactly as the r13 VERDICT ask #1 and the
-        # r13 inline plan direct: the 40 age-4 r10-row holders lead
-        # (tpch_q1 ... bm25 — the whole remaining r10 rotation debt),
-        # then the NEW r14 gate (delta_roundtrip — the Delta Lake
-        # interop leg), then the 9 oldest r11-row holders
-        # (st_distance_geodesic ... interval_join_stream,
-        # registration order).  Every entry keeps its local-gate
-        # oracle (tools/check_correctness runs ALL of them, every
-        # round, at sf0.001/0.01/0.1).  r15 window plan: the
-        # remaining r11-row holders lead (age 4 at r15:
-        # media_avc_pskip ... zorder_keys below), then any new r15
-        # gates, then oldest-first from the r12-row holders.
-        # --- 1-40: the r10-row debt (age 4 — cleared this round)
-        "tpch_q1": _q_tpch_q1,
-        "dedup_groups": _q_dedup_groups,
-        "token_counts": _q_token_counts,
-        "geohash": _q_geohash,
-        "keep_max": _q_keep_max,
-        "fingerprint": _q_fingerprint,
-        "st_difference_area": _q_st_difference_area,
-        "st_buffer_lines": _q_st_buffer_lines,
-        "spatial_join_grid": _q_spatial_join_grid,
-        "st_centroid_rects": _q_st_centroid_rects,
-        "quality_scores": _q_quality,
-        "lang_id": _q_lang_id,
-        "knn_cosine": _q_knn_cosine,
-        "events_daily": _q_events_daily,
-        "st_intersection_area": _q_st_intersection_area,
-        "st_union_area": _q_st_union_area,
-        "relate_classes": _q_relate_classes,
-        "st_buffer_area": _q_st_buffer_area,
-        "sessionize": _q_sessionize,
-        "dynamic_view": _q_dynamic_view,
-        "minhash_pairs": _q_minhash_pairs,
-        "simhash_pairs": _q_simhash_pairs,
-        "density_islands": _q_density_islands,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "dedup_clusters": _q_dedup_clusters,
-        "tf_idf": _q_tf_idf,
-        "gopher_rules": _q_gopher_rules,
-        "mixture_weights": _q_mixture_weights,
-        "pack_sequences": _q_pack_sequences,
-        "paragraph_dedup": _q_paragraph_dedup,
-        "semantic_dedup": _q_semantic_dedup,
-        "ivf_knn": _q_ivf_knn,
-        "media_features": _q_media_features,
-        "media_histogram": _q_media_histogram,
-        "event_transitions": _q_event_transitions,
-        "repetition": _q_repetition,
-        "knn_join": _q_knn_join,
-        "asof_join": _q_asof_join,
-        "range_join": _q_range_join,
-        "bm25": _q_bm25,
-        # --- 41-42: new r14 gates
-        "delta_roundtrip": _q_delta_roundtrip,
-        "within_cql": _q_within_cql,
-        # --- 43-50: r11-row holders, oldest-registered-first
-        "st_distance_geodesic": _q_st_distance_geodesic,
-        "st_transform_osgb": _q_st_transform_osgb,
-        "funnel_stream": _q_funnel_stream,
-        "media_aac_huff": _q_media_aac_huff,
-        "media_avc_mc": _q_media_avc_mc,
-        "media_avc_qpel": _q_media_avc_qpel,
-        "json_props": _q_json_props,
-        "st_transform_aea": _q_st_transform_aea,
-        # ================= end of the 50-entry driver window =========
-        # --- remaining r11-rowed holders (age 3 — promote next, r15)
+        # ============ r15 WINDOW (first 50 — the driver's correctness
+        # gate), executed exactly as the r14 VERDICT ask #1 and the
+        # r14 inline plan direct: the 42 age-4 r11-row holders lead
+        # (interval_join_stream ... zorder_keys — the whole remaining
+        # r11 rotation debt), then the 2 NEW r15 gates
+        # (delta_overwrite — the partitioned-overwrite encoding fix
+        # under the hard gate; delta_optimize — z-order stats pruning
+        # + per-partition compaction), then the 6 oldest r12-row
+        # holders (cql_filter ... wkt_export, registration order).
+        # Every entry keeps its local-gate oracle
+        # (tools/check_correctness runs ALL of them, every round, at
+        # sf0.001/0.01/0.1).  r16 window plan: the remaining r12-row
+        # holders lead (age 4 at r16: shapefile_source ...
+        # geoparquet_roundtrip below), then any new r16 gates, then
+        # oldest-first from the r13-row holders.
+        # --- 1-42: the r11-row debt (age 4 — cleared this round)
         "interval_join_stream": _q_interval_join_stream,
         "media_avc_pskip": _q_media_avc_pskip,
         "boolean_retrieval": _q_boolean_retrieval,
@@ -5872,13 +5939,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geometry_meta": _q_geometry_meta,
         "orthodromic_length": _q_orthodromic_length,
         "zorder_keys": _q_zorder_keys,
-        # --- r12-rowed holders (age 2)
+        # --- 43-44: new r15 gates
+        "delta_overwrite": _q_delta_overwrite,
+        "delta_optimize": _q_delta_optimize,
+        # --- 45-50: r12-row holders, oldest-registered-first
         "cql_filter": _q_cql_filter,
         "cql2": _q_cql2,
         "st_transform_merc": _q_st_transform_merc,
         "dedup_against_inc": _q_dedup_against_inc,
         "media_gif": _q_media_gif,
         "wkt_export": _q_wkt_export,
+        # ================= end of the 50-entry driver window =========
+        # --- remaining r12-rowed holders (age 3 — promote next, r16)
         "shapefile_source": _q_shapefile_source,
         "osm_source": _q_osm_source,
         "render_sink": _q_render_sink,
@@ -5922,7 +5994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_hashes": _q_image_hashes,
         "image_dedup": _q_image_dedup,
         "geoparquet_roundtrip": _q_geoparquet,
-        # --- the r13 window (driver-rowed r13, age 1 — youngest)
+        # --- r13-rowed holders (age 2)
         "quantile_sketch": _q_quantile_sketch,
         "weighted_sample": _q_weighted_sample,
         "media_avc_ipcm": _q_media_avc_ipcm,
@@ -5973,6 +6045,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_transform_registry": _q_st_transform_registry,
         "dedup_exact": _q_dedup_exact,
         "revenue_by_nation": _q_revenue_by_nation,
+        # --- the r14 window (driver-rowed r14, age 1 — youngest)
+        "tpch_q1": _q_tpch_q1,
+        "dedup_groups": _q_dedup_groups,
+        "token_counts": _q_token_counts,
+        "geohash": _q_geohash,
+        "keep_max": _q_keep_max,
+        "fingerprint": _q_fingerprint,
+        "st_difference_area": _q_st_difference_area,
+        "st_buffer_lines": _q_st_buffer_lines,
+        "spatial_join_grid": _q_spatial_join_grid,
+        "st_centroid_rects": _q_st_centroid_rects,
+        "quality_scores": _q_quality,
+        "lang_id": _q_lang_id,
+        "knn_cosine": _q_knn_cosine,
+        "events_daily": _q_events_daily,
+        "st_intersection_area": _q_st_intersection_area,
+        "st_union_area": _q_st_union_area,
+        "relate_classes": _q_relate_classes,
+        "st_buffer_area": _q_st_buffer_area,
+        "sessionize": _q_sessionize,
+        "dynamic_view": _q_dynamic_view,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "density_islands": _q_density_islands,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
+        "tf_idf": _q_tf_idf,
+        "gopher_rules": _q_gopher_rules,
+        "mixture_weights": _q_mixture_weights,
+        "pack_sequences": _q_pack_sequences,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "semantic_dedup": _q_semantic_dedup,
+        "ivf_knn": _q_ivf_knn,
+        "media_features": _q_media_features,
+        "media_histogram": _q_media_histogram,
+        "event_transitions": _q_event_transitions,
+        "repetition": _q_repetition,
+        "knn_join": _q_knn_join,
+        "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
+        "bm25": _q_bm25,
+        "delta_roundtrip": _q_delta_roundtrip,
+        "within_cql": _q_within_cql,
+        "st_distance_geodesic": _q_st_distance_geodesic,
+        "st_transform_osgb": _q_st_transform_osgb,
+        "funnel_stream": _q_funnel_stream,
+        "media_aac_huff": _q_media_aac_huff,
+        "media_avc_mc": _q_media_avc_mc,
+        "media_avc_qpel": _q_media_avc_qpel,
+        "json_props": _q_json_props,
+        "st_transform_aea": _q_st_transform_aea,
     }.items()}
 
 
@@ -7605,6 +7728,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "flatgeobuf_roundtrip": _flatgeobuf_oracle_sql(),
         "delta_roundtrip": _delta_oracle_sql(),
+        "delta_overwrite": _delta_overwrite_oracle_sql(),
+        "delta_optimize": _delta_optimize_oracle_sql(),
         "mvt_lines": _mvt_lines_oracle_sql(),
         "cql4": _cql4_oracle_sql(),
         "geoparquet_roundtrip": f"""

@@ -202,6 +202,12 @@ HEADLINE = [
     # r14: within_distance(cql=) — composed window + property-bound
     # manifest pruning through the real layer write/search path
     "within_cql",
+    # r15: partitioned Delta overwrite with hive-escaped partition
+    # values + vacuum (the remove-path encoding fix under the gate)
+    "delta_overwrite",
+    # r15: Delta OPTIMIZE — z-order stats pruning + per-partition
+    # compaction, content bit-equal through both rewrites
+    "delta_optimize",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -442,6 +448,9 @@ BUDGET_SF01 = {
     "cql4": 0.3,
     # r14 newcomers: 2.2x warm best-of-3 at sf0.1 (1.06s / 1.68s)
     "delta_roundtrip": 2.4,
+    # r15 newcomers: 2.2x warm local best-of-2 at sf0.1 (1.21 / 3.0),
+    # to be re-ratcheted off BENCH_r15's driver numbers next round
+    "delta_overwrite": 2.7, "delta_optimize": 6.6,
     "within_cql": 3.7,
     # (EVERY pin re-ratcheted as min(old, 2.2x the clean final full
     # run's min-of-2) — landing-time measurements taken under
