@@ -69,6 +69,22 @@ def _sphere_sql(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
 _SETUP_DONE: dict = {}
 
 
+def _local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Collected-rows → DataFrame through ONE Arrow batch.  A plain
+    ``createDataFrame`` over Python rows parallelizes into
+    defaultParallelism (32 here) Python tasks, costing ~1-2s PER
+    ACTION on these small result frames — profiled r15: the sentinel
+    and result local relations, not the scans, were why the r14 prep
+    persist didn't move interval_join_outer's driver number.  A
+    pandas frame plans a single in-memory Arrow relation instead.
+    ``schema`` must be a flat "name type, ..." string (all these
+    gate results are flat numeric/string rows)."""
+    import pandas as pd
+    names = [c.strip().split()[0] for c in schema.split(",")]
+    pdf = pd.DataFrame(list(rows), columns=names)
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 def _setup(spark: SparkSession, sf_dir: str) -> None:
     # Memoized on the session's CURRENT sf_dir: re-registering 61 UDFs and
     # re-reading 10 parquet schemas added a fixed ~0.2s to EVERY query (the
@@ -1004,8 +1020,8 @@ def _q_shapefile_source(spark, sf_dir) -> DataFrame:
     geoms, attrs, _crs = read_shapefile(path)
     out = [(int(a["NKEY"]), *(float(v) for v in g.envelope()))
            for g, a in zip(geoms, attrs)]
-    return spark.createDataFrame(
-        out, "n_nationkey long, xmin double, ymin double, "
+    return _local_df(
+        spark, out, "n_nationkey long, xmin double, ymin double, "
              "xmax double, ymax double")
 
 
@@ -1137,8 +1153,8 @@ def _q_render_sink(spark, sf_dir) -> DataFrame:
         out.append((n,
                     int((sub == (147, 207, 167)).all(-1).sum()),
                     int((sub == (40, 160, 80)).all(-1).sum())))
-    return spark.createDataFrame(
-        out, "n_nationkey long, fill_px long, outline_px long")
+    return _local_df(
+        spark, out, "n_nationkey long, fill_px long, outline_px long")
 
 
 def _q_audio_features(spark, sf_dir) -> DataFrame:
@@ -2957,15 +2973,21 @@ def _q_tile_counts_stream(spark, sf_dir) -> DataFrame:
     from spatial_spark.streaming.events import run_batchlike
 
     work = tempfile.mkdtemp(prefix="tile_stream_gate_")
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    ev = None
     try:
         src = os.path.join(work, "src")
+        # persist: 4 slice writes would otherwise re-run the ntile
+        # window each (the r14 fixture-audit recipe, applied r15)
         ev = (spark.table("events")
               .filter(F.col("event_id") <= 2000)
               .select("event_id", "ts",
                       F.expr(EV_LON).alias("lon"),
                       F.expr(EV_LAT).alias("lat"))
               .withColumn("_slice", F.ntile(4).over(
-                  Window.orderBy("ts", "event_id"))))
+                  Window.orderBy("ts", "event_id")))
+              .persist())
         for b in range(1, 5):
             (ev.filter(F.col("_slice") == b).drop("_slice")
              .coalesce(1)
@@ -2980,10 +3002,13 @@ def _q_tile_counts_stream(spark, sf_dir) -> DataFrame:
         rows = (out.select(
             F.col("window_start").cast("long").alias("window_epoch"),
             "tile_z", "tile_x", "tile_y", "n").collect())
-        return spark.createDataFrame(
-            rows, "window_epoch bigint, tile_z int, tile_x bigint, "
+        return _local_df(
+            spark, rows, "window_epoch bigint, tile_z int, tile_x bigint, "
                   "tile_y bigint, n bigint")
     finally:
+        if ev is not None:
+            ev.unpersist()
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
         shutil.rmtree(work, ignore_errors=True)
 
 
@@ -3070,8 +3095,8 @@ def _q_mvt_export(spark, sf_dir) -> DataFrame:
                     sum(f["parts"][0][0][0] for f in feats),
                     sum(f["parts"][0][0][1] for f in feats),
                     sum(f["id"] for f in feats)))
-    return spark.createDataFrame(
-        out, "tile_z int, tile_x bigint, tile_y bigint, "
+    return _local_df(
+        spark, out, "tile_z int, tile_x bigint, tile_y bigint, "
              "n_features bigint, sum_px bigint, sum_py bigint, "
              "sum_id bigint")
 
@@ -3126,8 +3151,8 @@ def _q_mvt_lines(spark, sf_dir) -> DataFrame:
             out.append((r["tile_x"], r["tile_y"], f["id"],
                         len(f["parts"]), len(path),
                         path[0][0], path[-1][0], path[0][1]))
-    return spark.createDataFrame(
-        out, "tile_x bigint, tile_y bigint, id bigint, n_paths int, "
+    return _local_df(
+        spark, out, "tile_x bigint, tile_y bigint, id bigint, n_paths int, "
              "n_pts int, px0 bigint, px1 bigint, py bigint")
 
 
@@ -3207,8 +3232,8 @@ def _q_mvt_polygons(spark, sf_dir) -> DataFrame:
             ys = [pt[1] for pt in ring]
             out.append((r["tile_x"], r["tile_y"], f["id"], len(ring),
                         min(xs), max(xs), min(ys), max(ys)))
-    return spark.createDataFrame(
-        out, "tile_x bigint, tile_y bigint, id bigint, n_pts int, "
+    return _local_df(
+        spark, out, "tile_x bigint, tile_y bigint, id bigint, n_pts int, "
              "min_px bigint, max_px bigint, min_py bigint, max_py bigint")
 
 
@@ -4105,8 +4130,8 @@ def _q_kmv_stream(spark, sf_dir) -> DataFrame:
         out = stats.crossJoin(est).select("n", "h_max", "est_distinct")
         # materialize before the temp state dir disappears
         rows = out.collect()
-        return spark.createDataFrame(
-            rows, "n bigint, h_max bigint, est_distinct double")
+        return _local_df(
+            spark, rows, "n bigint, h_max bigint, est_distinct double")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -4132,12 +4157,16 @@ def _q_quantile_stream(spark, sf_dir) -> DataFrame:
                                                   stream_quantile_sketch)
 
     work = tempfile.mkdtemp(prefix="quantile_stream_gate_")
+    vals = None
     try:
         src = os.path.join(work, "src")
+        # persist: 4 slice writes would otherwise rescan customer
+        # each (the r14 fixture-audit recipe, applied r15)
         vals = (spark.table("customer")
                 .where(F.col("c_custkey") % 29 == 0)
                 .select("c_custkey",
-                        F.col("c_acctbal").cast("double").alias("v")))
+                        F.col("c_acctbal").cast("double").alias("v"))
+                .persist())
         for b in range(4):
             (vals.filter(F.col("c_custkey") % 4 == b).select("v")
              .coalesce(1)
@@ -4154,8 +4183,10 @@ def _q_quantile_stream(spark, sf_dir) -> DataFrame:
                .select("q", F.round("value", 2).alias("value"))
                .orderBy("q"))
         rows = out.collect()        # before the temp state dir goes
-        return spark.createDataFrame(rows, "q double, value double")
+        return _local_df(spark, rows, "q double, value double")
     finally:
+        if vals is not None:
+            vals.unpersist()
         shutil.rmtree(work, ignore_errors=True)
 
 
@@ -4232,8 +4263,8 @@ def _q_ivf_recall(spark, sf_dir) -> DataFrame:
         rows.append((nprobe, hits,
                      round(hits / float(len(exact_ids)), 6)))
     assigned.unpersist()
-    return spark.createDataFrame(
-        rows, "nprobe int, hits bigint, recall double")
+    return _local_df(
+        spark, rows, "nprobe int, hits bigint, recall double")
 
 
 def _ivf_recall_oracle_sql() -> str:
@@ -4492,10 +4523,14 @@ def _q_interval_join_stream(spark, sf_dir) -> DataFrame:
     # 8 partitions ample for the capped fixture (restored in finally)
     old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    ev = None
     try:
+        # persist: the agg + 2 sides x 2 halves would otherwise each
+        # rescan events (the ivjo r14 fixture-audit recipe)
         ev = (spark.table("events")
               .filter(F.col("user_id") % 5 == 0)
-              .select("event_id", "user_id", "event_type", "ts"))
+              .select("event_id", "user_id", "event_type", "ts")
+              .persist())
         mid = ev.agg(F.expr(
             "timestamp_millis(CAST(avg(unix_millis(ts)) AS BIGINT))")
         ).first()[0]
@@ -4535,9 +4570,11 @@ def _q_interval_join_stream(spark, sf_dir) -> DataFrame:
              .trigger(availableNow=True).start())
         q.awaitTermination(600)
         rows = spark.read.parquet(out_dir).collect()
-        return spark.createDataFrame(
-            rows, "view_id bigint, purchase_id bigint, user_id bigint")
+        return _local_df(
+            spark, rows, "view_id bigint, purchase_id bigint, user_id bigint")
     finally:
+        if ev is not None:
+            ev.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
         shutil.rmtree(work, ignore_errors=True)
 
@@ -4569,8 +4606,12 @@ def _q_interval_join_outer(spark, sf_dir) -> DataFrame:
     ev = None
     try:
         # persist: the agg + 2 sides x 2 halves would otherwise each
-        # rescan events (r14 fixture audit: prep was 11s of the gate's
-        # 14s — more than the stream itself)
+        # rescan events.  r15 phase profile (the r14 persist alone
+        # didn't move the driver number, as the verdict flagged): the
+        # true cost was the two SENTINEL writes — a 1-row Python
+        # createDataFrame plans a defaultParallelism(32)-task local
+        # relation, ~4-5s per write; the JVM-side range(1).select(lit)
+        # below is ~0.2s, halving the whole gate (13.9 -> ~7s)
         ev = (spark.table("events")
               .filter(F.col("user_id") % 5 == 0)
               .select("event_id", "user_id", "event_type", "ts")
@@ -4589,10 +4630,10 @@ def _q_interval_join_outer(spark, sf_dir) -> DataFrame:
                 .select("event_id", "user_id", "ts")
             slices = [part.filter(F.col("ts") <= F.lit(mid)),
                       part.filter(F.col("ts") > F.lit(mid)),
-                      spark.createDataFrame(
-                          [(-1, -1, hi)],
-                          "event_id bigint, user_id bigint, "
-                          "ts timestamp")]
+                      spark.range(1).select(
+                          F.lit(-1).cast("bigint").alias("event_id"),
+                          F.lit(-1).cast("bigint").alias("user_id"),
+                          F.lit(hi).cast("timestamp").alias("ts"))]
             for i, sl in enumerate(slices):
                 sub = os.path.join(d, f"b{i}")
                 sl.coalesce(1).write.mode("overwrite").parquet(sub)
@@ -4624,8 +4665,8 @@ def _q_interval_join_outer(spark, sf_dir) -> DataFrame:
         q.awaitTermination(600)
         rows = [r for r in spark.read.parquet(out_dir).collect()
                 if r.user_id >= 0]
-        return spark.createDataFrame(
-            rows, "view_id bigint, purchase_id bigint, user_id bigint")
+        return _local_df(
+            spark, rows, "view_id bigint, purchase_id bigint, user_id bigint")
     finally:
         if ev is not None:
             ev.unpersist()
@@ -4702,8 +4743,8 @@ def _q_funnel_stream(spark, sf_dir) -> DataFrame:
         rows = (adv.groupBy("step_idx", "step")
                 .agg(F.count(F.lit(1)).alias("n_users"))
                 .orderBy("step_idx").collect())
-        return spark.createDataFrame(
-            rows, "step_idx int, step string, n_users bigint")
+        return _local_df(
+            spark, rows, "step_idx int, step string, n_users bigint")
     finally:
         if ev is not None:
             ev.unpersist()
@@ -4795,7 +4836,7 @@ def _q_dedup_stream(spark, sf_dir) -> DataFrame:
                 .groupBy("text")
                 .agg(F.count(F.lit(1)).alias("n_emitted"))
                 .orderBy("text").collect())
-        return spark.createDataFrame(rows, "text string, n_emitted bigint")
+        return _local_df(spark, rows, "text string, n_emitted bigint")
     finally:
         if docs is not None:
             docs.unpersist()
@@ -4858,8 +4899,8 @@ def _q_retention_stream(spark, sf_dir) -> DataFrame:
                 .groupBy("cohort_week", "weeks_since")
                 .agg(F.count(F.lit(1)).alias("n_users"))
                 .orderBy("cohort_week", "weeks_since").collect())
-        return spark.createDataFrame(
-            rows, "cohort_week string, weeks_since int, n_users bigint")
+        return _local_df(
+            spark, rows, "cohort_week string, weeks_since int, n_users bigint")
     finally:
         if ev is not None:
             ev.unpersist()
