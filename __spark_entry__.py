@@ -4101,14 +4101,20 @@ def _q_kmv_stream(spark, sf_dir) -> DataFrame:
                                                   stream_kmv_sketch)
 
     work = tempfile.mkdtemp(prefix="kmv_stream_gate_")
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    toks = None
     try:
         src = os.path.join(work, "src")
+        # persist: 5 slice writes would otherwise rescan + re-explode
+        # documents each (the r14 fixture-audit recipe, applied r15)
         toks = (spark.table("documents")
                 .filter(F.col("doc_id") <= 200)
                 .select("doc_id",
                         F.explode(F.filter(
                             F.split(F.lower(F.col("text")), r"\s+"),
-                            lambda t: F.length(t) > 0)).alias("tok")))
+                            lambda t: F.length(t) > 0)).alias("tok"))
+                .persist())
         for b in range(5):
             # one file per slice → exactly 5 micro-batches under
             # maxFilesPerTrigger=1 (a multi-file slice would multiply
@@ -4133,6 +4139,9 @@ def _q_kmv_stream(spark, sf_dir) -> DataFrame:
         return _local_df(
             spark, rows, "n bigint, h_max bigint, est_distinct double")
     finally:
+        if toks is not None:
+            toks.unpersist()
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
         shutil.rmtree(work, ignore_errors=True)
 
 
