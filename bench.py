@@ -363,16 +363,16 @@ BUDGET_SF01 = {
     "st_transform_osgb": 0.9,
     # r11: 2.2x local best-of-two (capped 2000-event fixture; cost =
     # 4 stateful micro-batch folds, not scan throughput)
-    "funnel_stream": 14.0,
+    "funnel_stream": 8.9,
     # r11: 2.2x local best-of-two (16-container fixture: Huffman
     # decode of 4 live bands/frame incl. escapes + IMDCT synthesis)
-    "media_aac_huff": 2.4,
+    "media_aac_huff": 1.8,
     # r11: 2.2x local best-of-two (24-container fixture: I_PCM IDR +
     # two MC P frames per media)
     "media_avc_mc": 1.7,
     # r11: 2.2x local best-of-two (16-container fixture: one
     # quarter-pel-interpolated P frame per media, all 16 positions)
-    "media_avc_qpel": 1.7,
+    "media_avc_qpel": 1.5,
     # r11: 2.2x local best-of-two (capped fixture; cost = 3 stateful
     # outer-join micro-batches + the no-data watermark flush)
     "interval_join_outer": 30.2,
@@ -385,16 +385,16 @@ BUDGET_SF01 = {
     "media_avc_pres": 2.1,
     # r11: 2.2x local best-of-two (capped 2000-doc fixture; cost = 4
     # stateful micro-batch folds + the fixture write, not scan volume)
-    "dedup_stream": 12.5,
+    "dedup_stream": 6.6,
     # r11: 2.2x local best-of-two (capped 2000-event fixture; 4
     # applyInPandasWithState micro-batches)
-    "retention_stream": 16.0,
+    "retention_stream": 9.4,
     # r11: 2.2x local best-of-two (Swiss-box customers through the
     # ECEF→Helmert→Bowring→conformal-sphere→rotation→Mercator chain)
     "st_transform_lv95": 0.9,
     # r11: 2.2x local best-of-two (24-container fixture: gray IDR +
     # two chroma-shifting residual P frames per media)
-    "media_avc_cres": 2.2,
+    "media_avc_cres": 2.0,
     # r11: 2.2x local best-of-two (16-container stereo fixture: CPE
     # Huffman decode x2 channels + two per-channel filterbanks)
     "media_aac_cpe": 2.2,
@@ -403,16 +403,16 @@ BUDGET_SF01 = {
     "media_avc_ipred": 1.5,
     # r11: 2.2x local best-of-two (24-container fixture: colored
     # intra — luma + chroma prediction chains per I-slice)
-    "media_avc_icres": 1.5,
+    "media_avc_icres": 1.4,
     # r11: 2.2x local best-of-two (capped 4000-doc fixture; one
     # regex-normalize map pass + one keyed agg)
-    "url_dedup": 0.7,
+    "url_dedup": 0.6,
     # r11: 2.2x local best-of-two (zone-7-box customers through the
     # datum-tier chain — same shape as st_transform_osgb)
     "st_transform_gk": 1.6,
     # r11: 2.2x local best-of-two (16-container fixture: a full
     # long/start/short/stop chain per media, 8x256 short filterbank)
-    "media_aac_short": 2.3,
+    "media_aac_short": 1.8,
     # r11: 2.2x local best-of-two (capped fixture; 4 stateful
     # micro-batch sketch folds + the fixture write)
     "quantile_stream": 7.2,
@@ -427,13 +427,13 @@ BUDGET_SF01 = {
     "cql3": 1.8,
     # r12: 2.2x local best-of-two (capped fixture; 4 real watermarked
     # micro-batches through the memory sink per invocation)
-    "tile_counts_stream": 11.7,
+    "tile_counts_stream": 10.9,
     # r12: 2.2x local best-of-two (Belgian-domain customers through the
     # Helmert + conic chain — same shape as st_transform_osgb)
-    "st_transform_lccd": 1.7,
+    "st_transform_lccd": 1.6,
     # r12: 2.2x local best-of-two (64-tile collect + per-tile protobuf
     # pack + independent decode per invocation)
-    "mvt_export": 2,
+    "mvt_export": 1.9,
     # r12: 2.2x local best-of-two (bbox-cover explode + per-tile exact
     # overlay clip of 20k part rects + pack + independent decode)
     "mvt_polygons": 9.2,
@@ -447,11 +447,17 @@ BUDGET_SF01 = {
     # projection; warm best 0.33s)
     "cql4": 0.3,
     # r14 newcomers: 2.2x warm best-of-3 at sf0.1 (1.06s / 1.68s)
-    "delta_roundtrip": 2.4,
+    "delta_roundtrip": 1.1,
+    # r15: 14 pins re-ratcheted off DRIVER-measured BENCH_r14 as
+    # min(old, 2.2x driver) — e.g. retention_stream 16.0->9.4,
+    # dedup_stream 12.5->6.6, funnel_stream 14.0->8.9,
+    # delta_roundtrip 2.4->1.1.  The r15 fixture trims
+    # (_local_df + persisted preps) should land WELL under these;
+    # re-ratchet again off BENCH_r15.
     # r15 newcomers: 2.2x warm local best-of-2 at sf0.1 (1.21 / 3.0),
     # to be re-ratcheted off BENCH_r15's driver numbers next round
     "delta_overwrite": 2.7, "delta_optimize": 6.6,
-    "within_cql": 3.7,
+    "within_cql": 3.3,
     # (EVERY pin re-ratcheted as min(old, 2.2x the clean final full
     # run's min-of-2) — landing-time measurements taken under
     # concurrent sweeps carried up to 9x slack; the ratchet never
