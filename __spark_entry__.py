@@ -2889,6 +2889,68 @@ def _delta_optimize_oracle_sql() -> str:
     """
 
 
+def _q_iceberg_roundtrip(spark, sf_dir) -> DataFrame:
+    """Iceberg v2 sink/source round-trip gate (r15 — the FOURTH
+    lakehouse interop leg after GeoParquet r9, FlatGeobuf r13, Delta
+    r14; VERDICT r14 "What's missing" #5).  Part rows export through
+    io/iceberg.export_iceberg: Spark-written parquet data files + a
+    from-scratch metadata tree conformant to the public
+    iceberg.apache.org/spec — versioned metadata.json, manifest-list
+    and manifest Avro files (spec field ids, null codec, single-value
+    binary bounds) written by the pure-Python io/avrofile codec.  An
+    APPEND commit lands a second snapshot whose manifest list REUSES
+    the first manifest untouched, then the table reads back through
+    iceberg_source — an INDEPENDENT metadata replay (version hint →
+    metadata.json → manifest list → manifests; never a directory
+    listing).  Snapshot time travel (first-snapshot row count) and a
+    bounds-pruned plan (props= file pruning from the manifests'
+    lower/upper bounds, exact predicate re-applied) ride along as
+    literal columns so the spec semantics themselves are
+    oracle-checked.  Reference parity: same surface argument as
+    delta_roundtrip (Neo4jSpatialDataStore.java:60-118 is the
+    reference's foreign-engine door; lakehouse formats are the
+    Spark-native analogue)."""
+    import tempfile
+
+    from spatial_spark.io.iceberg import export_iceberg, iceberg_source
+    base = spark.sql("""
+        SELECT p_partkey, p_name AS pname,
+               CAST(p_retailprice AS DOUBLE) AS price
+        FROM part WHERE p_partkey % 4 = 0""")
+    more = spark.sql("""
+        SELECT p_partkey, p_name AS pname,
+               CAST(p_retailprice AS DOUBLE) AS price
+        FROM part WHERE p_partkey % 4 = 1""")
+    tab = tempfile.mkdtemp(prefix="iceberg_gate_") + "/parts"
+    s1 = export_iceberg(base.repartitionByRange(4, "p_partkey"), tab,
+                        name="parts")
+    export_iceberg(more.repartitionByRange(4, "p_partkey"), tab,
+                   mode="append")
+    s1_rows = iceberg_source(spark, tab, snapshot_id=s1).count()
+    tail_rows = (iceberg_source(spark, tab,
+                                props={"p_partkey": (1000, None)})
+                 .filter("p_partkey >= 1000").count())
+    return (iceberg_source(spark, tab)
+            .select("p_partkey", "pname", "price",
+                    F.lit(s1_rows).cast("long").alias("s1_rows"),
+                    F.lit(tail_rows).cast("long").alias("tail_rows"))
+            .orderBy("p_partkey"))
+
+
+def _iceberg_oracle_sql() -> str:
+    return """
+        SELECT p_partkey, p_name AS pname,
+               CAST(p_retailprice AS DOUBLE) AS price,
+               (SELECT COUNT(*) FROM part WHERE p_partkey % 4 = 0)
+                   AS s1_rows,
+               (SELECT COUNT(*) FROM part
+                WHERE p_partkey % 4 <= 1 AND p_partkey >= 1000)
+                   AS tail_rows
+        FROM part WHERE p_partkey % 4 <= 1
+        ORDER BY p_partkey
+    """
+
+
 def _q_image_dedup_groups(spark, sf_dir) -> DataFrame:
     """End-to-end image near-dup GROUPS on the hard gate: the banded
     Hamming pairs (t=16) feed the pointer-doubled connected components
@@ -5989,18 +6051,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geometry_meta": _q_geometry_meta,
         "orthodromic_length": _q_orthodromic_length,
         "zorder_keys": _q_zorder_keys,
-        # --- 43-44: new r15 gates
+        # --- 43-45: new r15 gates
         "delta_overwrite": _q_delta_overwrite,
         "delta_optimize": _q_delta_optimize,
-        # --- 45-50: r12-row holders, oldest-registered-first
+        "iceberg_roundtrip": _q_iceberg_roundtrip,
+        # --- 46-50: r12-row holders, oldest-registered-first
         "cql_filter": _q_cql_filter,
         "cql2": _q_cql2,
         "st_transform_merc": _q_st_transform_merc,
         "dedup_against_inc": _q_dedup_against_inc,
         "media_gif": _q_media_gif,
-        "wkt_export": _q_wkt_export,
         # ================= end of the 50-entry driver window =========
-        # --- remaining r12-rowed holders (age 3 — promote next, r16)
+        # --- remaining r12-rowed holders (age 3 — promote next, r16;
+        #     wkt_export displaced from the window by iceberg_roundtrip
+        #     and leads the r16 promotion queue)
+        "wkt_export": _q_wkt_export,
         "shapefile_source": _q_shapefile_source,
         "osm_source": _q_osm_source,
         "render_sink": _q_render_sink,
@@ -7780,6 +7845,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_roundtrip": _delta_oracle_sql(),
         "delta_overwrite": _delta_overwrite_oracle_sql(),
         "delta_optimize": _delta_optimize_oracle_sql(),
+        "iceberg_roundtrip": _iceberg_oracle_sql(),
         "mvt_lines": _mvt_lines_oracle_sql(),
         "cql4": _cql4_oracle_sql(),
         "geoparquet_roundtrip": f"""

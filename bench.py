@@ -208,6 +208,10 @@ HEADLINE = [
     # r15: Delta OPTIMIZE — z-order stats pruning + per-partition
     # compaction, content bit-equal through both rewrites
     "delta_optimize",
+    # r15: Iceberg v2 sink/source round-trip (from-scratch Avro
+    # metadata tree; two snapshots, independent replay, time travel
+    # + bounds-pruned plan as literal columns)
+    "iceberg_roundtrip",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —

@@ -138,11 +138,11 @@ class SpatialDataStore:
     def register_file(self, name: str, path: str, fmt: str | None = None):
         """Register a read-only external feature type.
 
-        fmt: 'shapefile' | 'geojsonl' | 'parquet' | 'fgb' | 'delta'
-        (inferred from the extension — or a ``_delta_log`` dir — when
-        omitted).  The reader is lazy — registration does not touch
-        the file beyond existence checks done by Spark at plan
-        time."""
+        fmt: 'shapefile' | 'geojsonl' | 'parquet' | 'fgb' | 'delta' |
+        'iceberg' (inferred from the extension — or a ``_delta_log``
+        / ``metadata/version-hint.text`` dir — when omitted).  The
+        reader is lazy — registration does not touch the file beyond
+        existence checks done by Spark at plan time."""
         import os as _os
 
         if name in self.get_type_names():
@@ -153,6 +153,8 @@ class SpatialDataStore:
                    else "fgb" if path.endswith(".fgb")
                    else "delta" if _os.path.isdir(
                        _os.path.join(path, "_delta_log"))
+                   else "iceberg" if _os.path.isdir(
+                       _os.path.join(path, "metadata"))
                    else "geojsonl")
         spark = self.ctx.spark
         if fmt == "shapefile":
@@ -174,6 +176,10 @@ class SpatialDataStore:
             def read(path=path):
                 from .delta import delta_source
                 return delta_source(spark, path)
+        elif fmt == "iceberg":
+            def read(path=path):
+                from .iceberg import iceberg_source
+                return iceberg_source(spark, path)
         else:
             raise ValueError(f"unknown format: {fmt}")
         self._external[name] = read

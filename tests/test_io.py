@@ -1189,3 +1189,32 @@ def test_flatgeobuf_export_null_geometry_roundtrip(spark, tmp_path):
     back = fgb_source(spark, out)
     assert back.count() == 3 and \
         back.filter("geom is null").count() == 1
+
+
+def test_datastore_external_iceberg(ctx, spark, tmp_path):
+    """r15: Iceberg tables register as feature types too (fmt
+    inferred from the metadata/ dir); bbox and CQL run through the
+    same FeatureSource API."""
+    from pyspark.sql import functions as F
+
+    from spatial_spark.functions.scalar import register_all
+    from spatial_spark.io.datastore import SpatialDataStore
+    from spatial_spark.io.iceberg import export_iceberg
+    register_all(spark)
+    store = SpatialDataStore(ctx)
+    pts = (spark.createDataFrame(
+        [(i, f"POINT ({i * 10} {i * 5})", f"n{i}",
+          float(i * 10), float(i * 5)) for i in range(4)],
+        "id long, wkt string, name string, px double, py double")
+        .withColumn("geom", F.expr("st_geomfromtext(wkt)"))
+        .drop("wkt", "id"))
+    itab = str(tmp_path / "itab")
+    export_iceberg(pts.withColumn("xmin", F.col("px"))
+                   .withColumn("ymin", F.col("py"))
+                   .withColumn("xmax", F.col("px"))
+                   .withColumn("ymax", F.col("py"))
+                   .drop("px", "py").coalesce(1), itab)
+    isrc = store.register_file("ext_ice", itab)         # metadata/ dir
+    assert isrc.features().count() == 4
+    assert isrc.bbox(5.0, 0.0, 25.0, 50.0).count() == 2
+    assert isrc.cql("name = 'n0'").count() == 1
