@@ -33,10 +33,13 @@ Implemented, Spark-first:
 
 Deliberate seams (loud, spec-cited):
 
-* unpartitioned tables only — Iceberg partition transforms
-  (identity/bucket/truncate/day/...) are a spec tier of their own;
-  ``partition_by`` raises ``NotImplementedError`` until a gate
-  demands it;
+* IDENTITY partition transforms only (``partition_by=`` columns map
+  to spec fields ``{transform: "identity"}``; data files land in
+  hive layout, partition values live in the manifests' typed
+  ``partition`` structs, and the reader restores the columns via
+  basePath + metadata — spec-legal: readers must source identity
+  values from metadata).  bucket/truncate/day/... transforms raise
+  ``NotImplementedError`` until a gate demands them;
 * reader requires format-version 2 and refuses delete files
   (``content != 0`` manifests) — merge-on-read is v2's optional
   row-level-delete tier, not needed for an analytics export;
@@ -57,8 +60,8 @@ import time
 import uuid
 
 from .avrofile import read_avro, write_avro
-from .delta import (LogStore, _data_files, _footer_stats_for, _store,
-                    CommitConflict)
+from .delta import (LogStore, _data_files, _footer_stats_for,
+                    _partition_values, _store, CommitConflict)
 
 _FMT = 2
 _INITIAL_SPEC_ID = 0
@@ -140,6 +143,57 @@ def _sv_encode(ice_type: str, v) -> bytes | None:
     return None
 
 
+#: Iceberg primitive → the Avro primitive its manifest partition
+#: struct field uses (spec Appendix C Avro mapping, identity fields)
+_ICE_TO_AVRO = {"int": "int", "long": "long", "float": "float",
+                "double": "double", "string": "string",
+                "boolean": "boolean", "date": "int",
+                "timestamp": "long", "timestamptz": "long",
+                "binary": "bytes"}
+
+
+def _part_typed(ice_type: str, s: str | None):
+    """Hive-dir partition STRING → the typed value the manifest
+    stores (identity transform; None stays None)."""
+    if s is None:
+        return None
+    if ice_type in ("int", "long", "date"):
+        return int(s)
+    if ice_type in ("float", "double"):
+        return float(s)
+    if ice_type == "boolean":
+        return s.lower() == "true"
+    return s
+
+
+def _spec_fields_for(partition_by: list, ice_schema: dict) -> list:
+    ids = _ids_by_name(ice_schema)
+    out = []
+    for i, c in enumerate(partition_by):
+        if c not in ids:
+            raise ValueError(
+                f"export_iceberg: partition column {c!r} not in the "
+                "schema")
+        out.append({"name": c, "transform": "identity",
+                    "source-id": ids[c], "field-id": 1000 + i})
+    return out
+
+
+def _partition_avro_fields(spec_fields: list,
+                           ice_schema: dict) -> list:
+    types = _types_by_id(ice_schema)
+    out = []
+    for sf in spec_fields:
+        it = types[sf["source-id"]]
+        at = _ICE_TO_AVRO.get(it)
+        if at is None:
+            raise ValueError(
+                f"export_iceberg: partition type {it!r} unsupported")
+        out.append({"name": sf["name"], "type": ["null", at],
+                    "default": None, "field-id": sf["field-id"]})
+    return out
+
+
 def _sv_decode(ice_type: str, b: bytes):
     if ice_type in ("int", "date"):
         return struct.unpack("<i", b)[0]
@@ -170,13 +224,14 @@ def _kv_array(name: str, kid: int, vid: int, vtype) -> dict:
         "logicalType": "map"}
 
 
-def _manifest_entry_schema() -> dict:
+def _manifest_entry_schema(part_fields: list | None = None) -> dict:
     data_file = {"type": "record", "name": "r2", "fields": [
         {"name": "content", "type": "int", "field-id": 134},
         {"name": "file_path", "type": "string", "field-id": 100},
         {"name": "file_format", "type": "string", "field-id": 101},
         {"name": "partition",
-         "type": {"type": "record", "name": "r102", "fields": []},
+         "type": {"type": "record", "name": "r102",
+                  "fields": list(part_fields or [])},
          "field-id": 102},
         {"name": "record_count", "type": "long", "field-id": 103},
         {"name": "file_size_in_bytes", "type": "long",
@@ -291,13 +346,14 @@ def _types_by_id(ice_schema: dict) -> dict:
 
 
 def _data_file_record(full_path: str, size: int, ice_schema: dict,
-                      stats: dict | None) -> dict:
+                      stats: dict | None,
+                      partition: dict | None = None) -> dict:
     """Compose a spec ``data_file`` struct from Delta-shape footer
     stats ({numRecords, minValues, maxValues, nullCount})."""
     ids = _ids_by_name(ice_schema)
     types = {f["name"]: f["type"] for f in ice_schema["fields"]}
     rec = {"content": 0, "file_path": full_path,
-           "file_format": "PARQUET", "partition": {},
+           "file_format": "PARQUET", "partition": dict(partition or {}),
            "record_count": int((stats or {}).get("numRecords", 0)),
            "file_size_in_bytes": int(size),
            "value_counts": None, "null_value_counts": None,
@@ -328,7 +384,7 @@ def _data_file_record(full_path: str, size: int, ice_schema: dict,
 
 def _write_manifest(path: str, entries: list, ice_schema: dict,
                     store: LogStore, snapshot_id: int,
-                    seq: int) -> dict:
+                    seq: int, spec_fields: list | None = None) -> dict:
     """Write ONE manifest Avro + return its manifest_file row for the
     manifest list."""
     name = f"{uuid.uuid4().hex}-m0.avro"
@@ -337,12 +393,17 @@ def _write_manifest(path: str, entries: list, ice_schema: dict,
                      if e["status"] == 1)
     existing_rows = sum(e["data_file"]["record_count"] for e in entries
                         if e["status"] == 0)
+    spec_fields = list(spec_fields or [])
     size = _write_avro_via_store(
-        mpath, _manifest_entry_schema(), entries, store,
+        mpath,
+        _manifest_entry_schema(
+            _partition_avro_fields(spec_fields, ice_schema)),
+        entries, store,
         metadata={
             "schema": json.dumps(ice_schema, separators=(",", ":")),
             "schema-id": "0",
-            "partition-spec": "[]",
+            "partition-spec": json.dumps(spec_fields,
+                                         separators=(",", ":")),
             "partition-spec-id": str(_INITIAL_SPEC_ID),
             "format-version": str(_FMT),
             "content": "data"})
@@ -398,10 +459,7 @@ def export_iceberg(df, path: str, mode: str = "overwrite",
     file set (old snapshots stay readable via ``snapshot_id=`` time
     travel); 'append' adds files, reusing every previous manifest
     untouched."""
-    if partition_by:
-        raise NotImplementedError(
-            "export_iceberg: partition transforms (spec §Partitioning)"
-            " are not implemented — unpartitioned tables only")
+    partition_by = list(partition_by or [])
     if mode not in ("overwrite", "append"):
         raise ValueError("export_iceberg: mode must be "
                          "'overwrite' or 'append'")
@@ -418,10 +476,27 @@ def export_iceberg(df, path: str, mode: str = "overwrite",
                 "export_iceberg: append schema differs from the "
                 "table's — overwrite or align the frame")
         ice_schema = prev_schema          # keep original ids/nullability
+    if prev is not None:
+        prev_spec = next(
+            s for s in prev[1]["partition-specs"]
+            if s["spec-id"] == prev[1]["default-spec-id"])
+        if [f["name"] for f in prev_spec["fields"]] != partition_by:
+            raise ValueError(
+                "export_iceberg: partition columns differ from the "
+                f"table's {[f['name'] for f in prev_spec['fields']]}")
+    spec_fields = _spec_fields_for(partition_by, ice_schema)
+    part_types = {sf["name"]: _types_by_id(ice_schema)[sf["source-id"]]
+                  for sf in spec_fields}
 
     # distributed data write into staging, then publish into data/
+    # (hive layout preserved for partitioned tables — basePath
+    # restores the columns the writer dropped; partition VALUES live
+    # in the manifests, the spec's identity contract)
     staging = os.path.join(path, f"_staging-{uuid.uuid4().hex[:12]}")
-    df.write.mode("append").parquet(staging)
+    writer = df.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
     rels = sorted(_data_files(staging))
     data_dir = os.path.join(path, "data")
     os.makedirs(data_dir, exist_ok=True)
@@ -430,19 +505,29 @@ def export_iceberg(df, path: str, mode: str = "overwrite",
     seq = 1 if prev is None else prev[1]["last-sequence-number"] + 1
     stamp = uuid.uuid4().hex[:8]
     for i, rel in enumerate(rels):
-        dst = os.path.join(data_dir, f"{stamp}-{i:05d}.parquet")
+        if partition_by:
+            dst_rel = os.path.join(os.path.dirname(rel),
+                                   f"{stamp}-{i:05d}.parquet")
+        else:
+            dst_rel = f"{stamp}-{i:05d}.parquet"
+        dst = os.path.join(data_dir, dst_rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
         os.replace(os.path.join(staging, rel), dst)
         fstats = _footer_stats_for(dst)
+        raw_parts = _partition_values(rel, partition_by)
+        part = {c: _part_typed(part_types[c], raw_parts.get(c))
+                for c in partition_by}
         entries.append({
             "status": 1, "snapshot_id": snap_id,
             "sequence_number": seq, "file_sequence_number": seq,
             "data_file": _data_file_record(
                 os.path.abspath(dst), os.path.getsize(dst),
-                ice_schema, fstats)})
+                ice_schema, fstats, partition=part)})
     import shutil
     shutil.rmtree(staging, ignore_errors=True)
     return _commit_snapshot(path, st, ice_schema, entries, mode,
-                            prev, snap_id, seq, name)
+                            prev, snap_id, seq, name,
+                            spec_fields=spec_fields)
 
 
 #: an append whose manifest list would exceed this many manifests
@@ -457,10 +542,12 @@ _MERGE_MANIFESTS_AT = 8
 def _commit_snapshot(path: str, st: LogStore, ice_schema: dict,
                      entries: list, mode: str, prev, snap_id: int,
                      seq: int, name: str | None,
-                     absolute_clone: bool = False) -> int:
+                     spec_fields: list | None = None) -> int:
     now_ms = int(time.time() * 1000)
+    spec_fields = list(spec_fields or [])
     manifest_row = _write_manifest(path, entries, ice_schema, st,
-                                   snap_id, seq)
+                                   snap_id, seq,
+                                   spec_fields=spec_fields)
     manifests = [manifest_row]
     if mode == "append" and prev is not None:
         cur = prev[1].get("current-snapshot-id")
@@ -481,7 +568,7 @@ def _commit_snapshot(path: str, st: LogStore, ice_schema: dict,
                             merged_entries.append(e)
                     merged_row = _write_manifest(
                         path, merged_entries, ice_schema, st,
-                        snap_id, seq)
+                        snap_id, seq, spec_fields=spec_fields)
                     merged_row["min_sequence_number"] = min(
                         [mf["min_sequence_number"]
                          for mf in old_rows] or [seq])
@@ -525,8 +612,10 @@ def _commit_snapshot(path: str, st: LogStore, ice_schema: dict,
         "schemas": [ice_schema],
         "default-spec-id": _INITIAL_SPEC_ID,
         "partition-specs": [{"spec-id": _INITIAL_SPEC_ID,
-                             "fields": []}],
-        "last-partition-id": _LAST_PARTITION_ID,
+                             "fields": spec_fields}],
+        "last-partition-id": max(
+            [_LAST_PARTITION_ID]
+            + [sf["field-id"] for sf in spec_fields]),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": ({"name": name} if name else {}),
@@ -630,6 +719,91 @@ def layer_to_iceberg(layer, out_dir: str, name: str | None = None,
                             name or layer.name)
 
 
+def expire_snapshots(path: str, keep_last: int = 1,
+                     clean_data: bool = False,
+                     store: LogStore | None = None) -> dict:
+    """Drop all but the newest ``keep_last`` snapshots from the table
+    metadata (the spec's snapshot-expiration maintenance — the cap on
+    the metadata.json growth probe_iceberg_log measures) and delete
+    the manifest-list/manifest Avro objects only the expired
+    snapshots referenced.  ``clean_data=True`` also deletes data
+    files under the table's own ``data/`` dir that no SURVIVING
+    snapshot references (never touches absolute clone targets
+    outside the table).  Like vacuum_delta, ANY cleanup requires
+    writer quiescence — an in-flight commit may reference objects
+    this deletes.  Publishes a new metadata version through the
+    put-if-absent seam; returns ``{removed_snapshots, removed_files}``.
+    """
+    st = _store(store)
+    got = _read_table_meta(path, st)
+    if got is None:
+        raise FileNotFoundError(f"iceberg: no metadata under {path!r}")
+    version, meta = got
+    snaps = meta.get("snapshots", [])
+    if keep_last < 1:
+        raise ValueError("expire_snapshots: keep_last must be >= 1")
+    if len(snaps) <= keep_last:
+        return {"removed_snapshots": 0, "removed_files": 0}
+    keep = snaps[-keep_last:]
+    cur = meta.get("current-snapshot-id")
+    if cur not in {s["snapshot-id"] for s in keep}:
+        raise ValueError(
+            "expire_snapshots: keep_last would drop the CURRENT "
+            "snapshot")
+    drop = snaps[:-keep_last]
+
+    def objects_of(snapshot_list):
+        mls, mans, datas = set(), set(), set()
+        for s in snapshot_list:
+            mls.add(s["manifest-list"])
+            _, rows, _ = read_avro(st.read_bytes(s["manifest-list"]))
+            for mf in rows:
+                mans.add(mf["manifest_path"])
+                _, es, _ = read_avro(
+                    st.read_bytes(mf["manifest_path"]))
+                for e in es:
+                    datas.add(e["data_file"]["file_path"])
+        return mls, mans, datas
+
+    keep_mls, keep_mans, keep_datas = objects_of(keep)
+    drop_mls, drop_mans, drop_datas = objects_of(drop)
+
+    kept_ids = {s["snapshot-id"] for s in keep}
+    new_meta = dict(meta)
+    new_meta["snapshots"] = keep
+    new_meta["snapshot-log"] = [
+        e for e in meta.get("snapshot-log", [])
+        if e["snapshot-id"] in kept_ids]
+    vpath = os.path.join(_meta_dir(path),
+                         f"v{version + 1}.metadata.json")
+    try:
+        st.put_commit(vpath, json.dumps(new_meta,
+                                        separators=(",", ":")))
+    except CommitConflict:
+        raise RuntimeError(
+            f"expire_snapshots: concurrent commit at metadata "
+            f"version {version + 1} — re-run")
+    st.write_file(os.path.join(_meta_dir(path), "version-hint.text"),
+                  str(version + 1).encode())
+    removed = 0
+    for p in (drop_mls - keep_mls) | (drop_mans - keep_mans):
+        try:
+            os.unlink(p)
+            removed += 1
+        except OSError:
+            pass
+    if clean_data:
+        own_data = os.path.abspath(os.path.join(path, "data")) + os.sep
+        for p in drop_datas - keep_datas:
+            if os.path.abspath(p).startswith(own_data):
+                try:
+                    os.unlink(p)
+                    removed += 1
+                except OSError:
+                    pass
+    return {"removed_snapshots": len(drop), "removed_files": removed}
+
+
 # --------------------------------------------------------------------
 # reader
 # --------------------------------------------------------------------
@@ -660,6 +834,14 @@ def read_iceberg_meta(path: str, snapshot_id: int | None = None,
     ice_schema = next(s for s in meta["schemas"]
                       if s["schema-id"] == meta["current-schema-id"])
     types = _types_by_id(ice_schema)
+    spec = next(s for s in meta["partition-specs"]
+                if s["spec-id"] == meta["default-spec-id"])
+    bad = [f["transform"] for f in spec["fields"]
+           if f["transform"] != "identity"]
+    if bad:
+        raise NotImplementedError(
+            f"iceberg: partition transforms {bad!r} not implemented "
+            "(identity only)")
     _, manifests, _ = read_avro(st.read_bytes(snap["manifest-list"]))
     files = []
     for mf in manifests:
@@ -684,30 +866,46 @@ def read_iceberg_meta(path: str, snapshot_id: int | None = None,
                 if fid in bounds:
                     bounds[fid][1] = _sv_decode(
                         types[fid], hi["value"])
+            part = dict(dfr.get("partition") or {})
+            # an identity partition value IS an exact bound on its
+            # source column — fold it in so props= pruning sees it
+            for sf in spec["fields"]:
+                pv = part.get(sf["name"])
+                if pv is not None and sf["source-id"] not in bounds:
+                    bounds[sf["source-id"]] = [pv, pv]
             files.append({"path": dfr["file_path"],
                           "size": dfr["file_size_in_bytes"],
                           "records": dfr["record_count"],
+                          "partition": part,
                           "bounds": {k: tuple(v)
                                      for k, v in bounds.items()}})
     return {"schema": ice_schema, "files": files,
             "snapshot_id": snap["snapshot-id"],
-            "snapshots": [s["snapshot-id"] for s in snaps]}
+            "snapshots": [s["snapshot-id"] for s in snaps],
+            "spec_fields": spec["fields"]}
 
 
 def iceberg_source(spark, path: str, snapshot_id: int | None = None,
                    props: dict | None = None,
+                   partitions: dict | None = None,
                    store: LogStore | None = None):
     """Read an Iceberg table into a DataFrame.  ``props``: ``{col:
     (lo, hi)}`` bounds — files whose manifest bounds PROVE the range
     empty are pruned driver-side before any task (None side =
     unbounded); the caller still applies the exact predicate
-    (pruning only shrinks the scan — the delta_source contract)."""
+    (pruning only shrinks the scan — the delta_source contract).
+    ``partitions``: ``{col: value}`` exact matches against the
+    manifests' typed identity partition values."""
     meta = read_iceberg_meta(path, snapshot_id=snapshot_id,
                              store=store)
     ice_schema = meta["schema"]
     ids = _ids_by_name(ice_schema)
     spark_schema = _spark_schema_from_ice(ice_schema)
     files = meta["files"]
+    if partitions:
+        files = [fe for fe in files
+                 if all(fe["partition"].get(k) == v
+                        for k, v in partitions.items())]
     pb = {k: v for k, v in (props or {}).items()
           if v is not None and (v[0] is not None or v[1] is not None)}
     if pb:
@@ -728,5 +926,14 @@ def iceberg_source(spark, path: str, snapshot_id: int | None = None,
         files = [fe for fe in files if keep(fe)]
     if not files:
         return spark.createDataFrame([], spark_schema)
-    return spark.read.schema(spark_schema).parquet(
-        *[fe["path"] for fe in files])
+    paths = [fe["path"] for fe in files]
+    if meta["spec_fields"]:
+        # hive layout under data/: basePath restores the identity
+        # partition columns with the types the table schema declares
+        # (Spark appends partition columns last — the select pins the
+        # table schema's declared order)
+        return (spark.read.option(
+            "basePath", os.path.join(os.path.abspath(path), "data"))
+            .schema(spark_schema).parquet(*paths)
+            .select(*[f.name for f in spark_schema.fields]))
+    return spark.read.schema(spark_schema).parquet(*paths)

@@ -216,8 +216,8 @@ def test_iceberg_single_value_binary(tmp_path, spark):
 def test_iceberg_refusals(spark, tmp_path):
     tab = str(tmp_path / "t5")
     df = _mkdf(spark, 0, 10)
-    with pytest.raises(NotImplementedError, match="partition"):
-        export_iceberg(df, tab, partition_by=["s"])
+    with pytest.raises(ValueError, match="not in the schema"):
+        export_iceberg(df, tab, partition_by=["nope"])
     export_iceberg(df, tab)
     with pytest.raises(ValueError, match="schema differs"):
         export_iceberg(spark.range(5).selectExpr(
@@ -313,3 +313,105 @@ def test_iceberg_manifest_merge_on_many_appends(spark, tmp_path):
     seqs = {e["sequence_number"] for e in rows}
     assert len(seqs) > 1 and min(seqs) == 1
     assert all(e["status"] == 0 for e in rows)
+
+
+def test_iceberg_identity_partitioned(spark, tmp_path):
+    """r15 second wave: identity partition transforms — hive-layout
+    data files, typed partition values in the manifests, spec fields
+    with field-ids >= 1000, partition pruning (exact and via the
+    identity value folded into bounds), and basePath restoring the
+    partition columns in the table schema's declared order."""
+    from spatial_spark.io.iceberg import read_avro as _ra
+    tab = str(tmp_path / "tp")
+
+    def mk(lo, hi):
+        return (spark.range(lo, hi)
+                .selectExpr("id", "id % 4 AS g",
+                            "cast(id as double)/3 as v").coalesce(2))
+
+    export_iceberg(mk(0, 400), tab, partition_by=["g"])
+    meta = read_iceberg_meta(tab)
+    assert sorted({f["partition"]["g"] for f in meta["files"]}) == \
+        [0, 1, 2, 3]
+    assert meta["spec_fields"] == [
+        {"name": "g", "transform": "identity", "source-id": 2,
+         "field-id": 1000}]
+    md = json.loads(open(tab + "/metadata/v1.metadata.json").read())
+    assert md["last-partition-id"] == 1000
+    # typed partition struct in the manifest avro itself
+    sn = md["snapshots"][-1]
+    _, mls, _ = read_avro(sn["manifest-list"])
+    msch, rows, mmeta = read_avro(mls[0]["manifest_path"])
+    r102 = next(f for f in msch["fields"]
+                if f["name"] == "data_file")["type"]
+    pf = next(f for f in r102["fields"]
+              if f["name"] == "partition")["type"]["fields"]
+    assert pf[0]["name"] == "g" and pf[0]["field-id"] == 1000
+    assert json.loads(mmeta["partition-spec"])[0]["transform"] == \
+        "identity"
+    assert isinstance(rows[0]["data_file"]["partition"]["g"], int)
+
+    src = iceberg_source(spark, tab)
+    assert src.columns == ["id", "g", "v"]       # declared order
+    assert src.count() == 400
+    assert src.selectExpr("sum(id)").first()[0] == sum(range(400))
+    # hive dirs under data/
+    assert glob.glob(tab + "/data/g=2/*.parquet")
+
+    # partition pruning, both spellings
+    one = iceberg_source(spark, tab, partitions={"g": 2})
+    assert one.count() == 100
+    assert len(one.inputFiles()) < len(meta["files"])
+    pr = iceberg_source(spark, tab, props={"g": (3, 3)})
+    assert len(pr.inputFiles()) < len(meta["files"])
+    assert pr.count() == 100
+
+    # append must repeat the partition columns (the Delta contract)
+    with pytest.raises(ValueError, match="partition columns differ"):
+        export_iceberg(mk(400, 500), tab, mode="append")
+    export_iceberg(mk(400, 500), tab, mode="append",
+                   partition_by=["g"])
+    assert iceberg_source(spark, tab).count() == 500
+
+
+def test_iceberg_expire_snapshots(spark, tmp_path):
+    """Snapshot expiration trims the metadata history (the
+    probe_iceberg_log growth tail), deletes only objects no surviving
+    snapshot references, and keeps the current snapshot readable."""
+    from spatial_spark.io.iceberg import expire_snapshots
+    tab = str(tmp_path / "te")
+    export_iceberg(_mkdf(spark, 0, 50).coalesce(1), tab)
+    for i in range(1, 5):
+        export_iceberg(_mkdf(spark, 50 * i, 50 * (i + 1)).coalesce(1),
+                       tab, mode="append")
+    assert len(read_iceberg_meta(tab)["snapshots"]) == 5
+    n_mls = len(glob.glob(tab + "/metadata/snap-*.avro"))
+    assert n_mls == 5
+    r = expire_snapshots(tab, keep_last=2)
+    assert r["removed_snapshots"] == 3
+    meta = read_iceberg_meta(tab)
+    assert len(meta["snapshots"]) == 2
+    assert iceberg_source(spark, tab).count() == 250
+    # expired manifest lists gone; shared manifests survive
+    assert len(glob.glob(tab + "/metadata/snap-*.avro")) == 2
+    # data untouched without clean_data; current still fully readable
+    assert sum(f["records"] for f in meta["files"]) == 250
+    with pytest.raises(ValueError, match="keep_last"):
+        expire_snapshots(tab, keep_last=0)
+
+
+def test_iceberg_expire_clean_data_drops_overwritten(spark, tmp_path):
+    """clean_data=True reclaims data files only expired snapshots
+    referenced (an overwritten generation), and never touches files a
+    surviving snapshot still needs."""
+    from spatial_spark.io.iceberg import expire_snapshots
+    tab = str(tmp_path / "tc")
+    export_iceberg(_mkdf(spark, 0, 40).coalesce(1), tab)
+    export_iceberg(_mkdf(spark, 100, 120).coalesce(1), tab,
+                   mode="overwrite")
+    n_data = len(glob.glob(tab + "/data/*.parquet"))
+    assert n_data == 2
+    r = expire_snapshots(tab, keep_last=1, clean_data=True)
+    assert r["removed_snapshots"] == 1
+    assert len(glob.glob(tab + "/data/*.parquet")) == 1
+    assert iceberg_source(spark, tab).count() == 20
