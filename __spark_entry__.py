@@ -2951,6 +2951,64 @@ def _iceberg_oracle_sql() -> str:
     """
 
 
+def _q_iceberg_partitioned(spark, sf_dir) -> DataFrame:
+    """Partitioned-Iceberg gate (r15 second wave): orders rows export
+    identity-partitioned on o_orderpriority — hive-layout data files,
+    TYPED partition values in the manifests (spec partition structs,
+    field-id 1000), an append that must repeat the partition columns
+    — then read back through the independent replay with basePath
+    restoring the partition column.  Partition-exact pruning
+    (partitions=) and snapshot time travel ride along as literal
+    columns; the per-priority aggregate hash-compares the
+    reconstructed partition column itself against DuckDB, so a
+    mis-restored hive value or a dropped partition file shows as a
+    hash mismatch, not a silent count drift."""
+    import tempfile
+
+    from spatial_spark.io.iceberg import export_iceberg, iceberg_source
+    base = spark.sql("""
+        SELECT o_orderkey, o_orderpriority AS pri,
+               CAST(o_totalprice AS DOUBLE) AS price
+        FROM orders WHERE o_orderkey % 13 = 0""")
+    more = spark.sql("""
+        SELECT o_orderkey, o_orderpriority AS pri,
+               CAST(o_totalprice AS DOUBLE) AS price
+        FROM orders WHERE o_orderkey % 13 = 1""")
+    tab = tempfile.mkdtemp(prefix="iceberg_part_gate_") + "/orders"
+    s1 = export_iceberg(base.repartition(2), tab,
+                        partition_by=["pri"])
+    export_iceberg(more.repartition(2), tab, mode="append",
+                   partition_by=["pri"])
+    med = iceberg_source(
+        spark, tab, partitions={"pri": "3-MEDIUM"}).count()
+    tt = iceberg_source(spark, tab, snapshot_id=s1).count()
+    return (iceberg_source(spark, tab)
+            .groupBy("pri")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("o_orderkey").cast("long").alias("sum_key"),
+                 F.round(F.sum("price"), 2).alias("sum_price"))
+            .select("pri", "n", "sum_key", "sum_price",
+                    F.lit(med).cast("long").alias("medium_rows"),
+                    F.lit(tt).cast("long").alias("v1_rows"))
+            .orderBy("pri"))
+
+
+def _iceberg_partitioned_oracle_sql() -> str:
+    return """
+        SELECT o_orderpriority AS pri, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+               ROUND(SUM(CAST(o_totalprice AS DOUBLE)), 2)
+                   AS sum_price,
+               (SELECT COUNT(*) FROM orders
+                WHERE o_orderkey % 13 <= 1
+                  AND o_orderpriority = '3-MEDIUM') AS medium_rows,
+               (SELECT COUNT(*) FROM orders WHERE o_orderkey % 13 = 0)
+                   AS v1_rows
+        FROM orders WHERE o_orderkey % 13 <= 1
+        GROUP BY o_orderpriority ORDER BY pri
+    """
+
+
 def _q_image_dedup_groups(spark, sf_dir) -> DataFrame:
     """End-to-end image near-dup GROUPS on the hard gate: the banded
     Hamming pairs (t=16) feed the pointer-doubled connected components
@@ -6051,20 +6109,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geometry_meta": _q_geometry_meta,
         "orthodromic_length": _q_orthodromic_length,
         "zorder_keys": _q_zorder_keys,
-        # --- 43-45: new r15 gates
+        # --- 43-46: new r15 gates
         "delta_overwrite": _q_delta_overwrite,
         "delta_optimize": _q_delta_optimize,
         "iceberg_roundtrip": _q_iceberg_roundtrip,
-        # --- 46-50: r12-row holders, oldest-registered-first
+        "iceberg_partitioned": _q_iceberg_partitioned,
+        # --- 47-50: r12-row holders, oldest-registered-first
         "cql_filter": _q_cql_filter,
         "cql2": _q_cql2,
         "st_transform_merc": _q_st_transform_merc,
         "dedup_against_inc": _q_dedup_against_inc,
-        "media_gif": _q_media_gif,
         # ================= end of the 50-entry driver window =========
         # --- remaining r12-rowed holders (age 3 — promote next, r16;
-        #     wkt_export displaced from the window by iceberg_roundtrip
-        #     and leads the r16 promotion queue)
+        #     media_gif + wkt_export displaced from the window by the
+        #     two iceberg gates and lead the r16 promotion queue)
+        "media_gif": _q_media_gif,
         "wkt_export": _q_wkt_export,
         "shapefile_source": _q_shapefile_source,
         "osm_source": _q_osm_source,
@@ -7846,6 +7905,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_overwrite": _delta_overwrite_oracle_sql(),
         "delta_optimize": _delta_optimize_oracle_sql(),
         "iceberg_roundtrip": _iceberg_oracle_sql(),
+        "iceberg_partitioned": _iceberg_partitioned_oracle_sql(),
         "mvt_lines": _mvt_lines_oracle_sql(),
         "cql4": _cql4_oracle_sql(),
         "geoparquet_roundtrip": f"""

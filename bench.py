@@ -212,6 +212,9 @@ HEADLINE = [
     # metadata tree; two snapshots, independent replay, time travel
     # + bounds-pruned plan as literal columns)
     "iceberg_roundtrip",
+    # r15: identity-partitioned Iceberg (hive layout + typed manifest
+    # partition values + basePath restore + partition-exact pruning)
+    "iceberg_partitioned",
 ]
 
 # Per-query budgets at sf0.1 / local[32]: monotone ratchet —
@@ -379,7 +382,7 @@ BUDGET_SF01 = {
     "media_avc_qpel": 1.5,
     # r11: 2.2x local best-of-two (capped fixture; cost = 3 stateful
     # outer-join micro-batches + the no-data watermark flush)
-    "interval_join_outer": 30.2,
+    "interval_join_outer": 15.4,
     # r11: 2.2x local best-of-two (NL-box customers through the full
     # ECEF→Helmert→Bowring→conformal-sphere-stereographic chain,
     # uniform-batch fast path; measured under a concurrent sweep)
@@ -431,7 +434,7 @@ BUDGET_SF01 = {
     "cql3": 1.8,
     # r12: 2.2x local best-of-two (capped fixture; 4 real watermarked
     # micro-batches through the memory sink per invocation)
-    "tile_counts_stream": 10.9,
+    "tile_counts_stream": 8.0,
     # r12: 2.2x local best-of-two (Belgian-domain customers through the
     # Helmert + conic chain — same shape as st_transform_osgb)
     "st_transform_lccd": 1.6,
