@@ -719,6 +719,29 @@ def layer_to_iceberg(layer, out_dir: str, name: str | None = None,
                             name or layer.name)
 
 
+def layer_from_iceberg(ctx, path: str, layer_name: str,
+                       snapshot_id: int | None = None):
+    """Reconstitute a WKB layer from an Iceberg table carrying the
+    layer-core column shape (what ``layer_to_iceberg`` / an
+    ``export_iceberg`` of a layer frame produces): the inverse leg of
+    the metadata-only export, so layer → Iceberg → layer round-trips
+    — including snapshot time travel.  Derived core columns
+    (bbox/zkey) are recomputed by the layer's own write path; the
+    geometry and every attribute column carry over (the
+    layer_from_delta twin)."""
+    df = iceberg_source(ctx.spark, path, snapshot_id=snapshot_id)
+    if "geom" not in df.columns:
+        raise ValueError(
+            "layer_from_iceberg: table has no 'geom' column — only "
+            "layer-shaped Iceberg tables import (read others with "
+            "iceberg_source)")
+    derived = {"gtype", "xmin", "ymin", "xmax", "ymax", "zkey", "bbox"}
+    keep = [c for c in df.columns if c not in derived]
+    layer = ctx.create_layer(layer_name, encoder="wkb")
+    layer.add(df.select(*keep))
+    return layer
+
+
 def expire_snapshots(path: str, keep_last: int = 1,
                      clean_data: bool = False,
                      store: LogStore | None = None) -> dict:

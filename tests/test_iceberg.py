@@ -415,3 +415,31 @@ def test_iceberg_expire_clean_data_drops_overwritten(spark, tmp_path):
     assert r["removed_snapshots"] == 1
     assert len(glob.glob(tab + "/data/*.parquet")) == 1
     assert iceberg_source(spark, tab).count() == 20
+
+
+def test_layer_iceberg_layer_roundtrip(ctx, spark, tmp_path):
+    """layer -> layer_to_iceberg -> layer_from_iceberg reconstitutes
+    the layer: same rows, same geometries, attributes intact; the
+    derived core columns are recomputed by the import's own write
+    path (the Delta inverse-leg twin)."""
+    from spatial_spark.io.iceberg import layer_from_iceberg
+
+    src = ctx.create_layer("irt_src", encoder="wkb")
+    rows = spark.sql("""
+        SELECT id, st_geomfromtext(concat(
+            'POINT (', CAST(id % 50 AS STRING), ' ',
+            CAST(id % 20 AS STRING), ')')) AS geom,
+            concat('t', CAST(id AS STRING)) AS tag
+        FROM range(80)""")
+    src.add(rows)
+    out = str(tmp_path / "irt_ice")
+    layer_to_iceberg(src, out)
+    back = layer_from_iceberg(ctx, out, "irt_back")
+    a = src.df().select("tag", "xmin", "ymin").orderBy("tag").collect()
+    b = back.df().select("tag", "xmin", "ymin").orderBy("tag").collect()
+    assert a == b and len(a) == 80
+    # non-layer-shaped tables refuse
+    plain = str(tmp_path / "plain")
+    export_iceberg(spark.createDataFrame([(1,)], "id long"), plain)
+    with pytest.raises(ValueError, match="geom"):
+        layer_from_iceberg(ctx, plain, "nope")
