@@ -6063,8 +6063,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Every entry keeps its local-gate oracle
         # (tools/check_correctness runs ALL of them, every round, at
         # sf0.001/0.01/0.1).  r16 window plan: the remaining r12-row
-        # holders lead (age 4 at r16: shapefile_source ...
-        # geoparquet_roundtrip below), then any new r16 gates, then
+        # holders lead (age 4 at r16: media_gif + wkt_export — the
+        # two displaced by the r15 iceberg gates — then
+        # shapefile_source ... geoparquet_roundtrip below, in
+        # registration order), then any new r16 gates, then
         # oldest-first from the r13-row holders.
         # --- 1-42: the r11-row debt (age 4 — cleared this round)
         "interval_join_stream": _q_interval_join_stream,
