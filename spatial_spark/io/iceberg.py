@@ -308,18 +308,22 @@ def _meta_dir(path: str) -> str:
     return os.path.join(path, "metadata")
 
 
-def _read_table_meta(path: str, store: LogStore) -> tuple | None:
+def _read_table_meta(path: str, store: LogStore,
+                     prefer_hint: bool = True) -> tuple | None:
     """→ (version, metadata dict) of the newest committed metadata
     json, or None for a fresh location.  Prefers version-hint.text
-    (one read); falls back to a directory listing."""
+    (one read); falls back to a directory listing.  A commit-race
+    rebase passes ``prefer_hint=False`` — the loser must see the
+    WINNER's version, and the hint may lag the winner's commit."""
     md = _meta_dir(path)
-    try:
-        hint = int(store.read_text(
-            os.path.join(md, "version-hint.text")).strip())
-        return hint, json.loads(store.read_text(
-            os.path.join(md, f"v{hint}.metadata.json")))
-    except (FileNotFoundError, ValueError, NotADirectoryError):
-        pass
+    if prefer_hint:
+        try:
+            hint = int(store.read_text(
+                os.path.join(md, "version-hint.text")).strip())
+            return hint, json.loads(store.read_text(
+                os.path.join(md, f"v{hint}.metadata.json")))
+        except (FileNotFoundError, ValueError, NotADirectoryError):
+            pass
     if not store.isdir(md):
         return None
     best = None
@@ -543,103 +547,150 @@ def _commit_snapshot(path: str, st: LogStore, ice_schema: dict,
                      entries: list, mode: str, prev, snap_id: int,
                      seq: int, name: str | None,
                      spec_fields: list | None = None) -> int:
-    now_ms = int(time.time() * 1000)
+    """Compose and publish one snapshot.  Optimistic concurrency per
+    the spec: an APPEND that loses the put-if-absent metadata-version
+    race re-reads the table and retries against the new snapshot
+    (its added files are disjoint; the manifest is rewritten so entry
+    sequence numbers match the new commit).  An OVERWRITE's semantics
+    were computed against a snapshot that is now stale, so a lost
+    overwrite SURFACES the conflict instead of rebasing — the same
+    rule as the Delta leg."""
     spec_fields = list(spec_fields or [])
-    manifest_row = _write_manifest(path, entries, ice_schema, st,
-                                   snap_id, seq,
-                                   spec_fields=spec_fields)
-    manifests = [manifest_row]
-    if mode == "append" and prev is not None:
-        cur = prev[1].get("current-snapshot-id")
-        for s in prev[1].get("snapshots", []):
-            if s["snapshot-id"] == cur:
-                _, old_rows, _ = read_avro(
-                    st.read_bytes(s["manifest-list"]))
-                if len(old_rows) + 1 > _MERGE_MANIFESTS_AT:
-                    merged_entries = []
-                    for mf in old_rows:
-                        _, rows, _ = read_avro(
-                            st.read_bytes(mf["manifest_path"]))
-                        for e in rows:
-                            if e["status"] == 2:
-                                continue
-                            e = dict(e)
-                            e["status"] = 0          # existing
-                            merged_entries.append(e)
-                    merged_row = _write_manifest(
-                        path, merged_entries, ice_schema, st,
-                        snap_id, seq, spec_fields=spec_fields)
-                    merged_row["min_sequence_number"] = min(
-                        [mf["min_sequence_number"]
-                         for mf in old_rows] or [seq])
-                    manifests = [merged_row, manifest_row]
-                else:
-                    manifests = old_rows + manifests
-                break
 
-    ml_name = f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro"
-    ml_path = os.path.join(_meta_dir(path), ml_name)
-    _write_avro_via_store(ml_path, _manifest_file_schema(), manifests,
-                          st, metadata={"format-version": str(_FMT)})
+    for _attempt in range(20):
+        now_ms = int(time.time() * 1000)
+        for e in entries:
+            e["sequence_number"] = seq
+            e["file_sequence_number"] = seq
+            e["snapshot_id"] = snap_id
+        manifest_row = _write_manifest(path, entries, ice_schema, st,
+                                       snap_id, seq,
+                                       spec_fields=spec_fields)
+        manifests = [manifest_row]
+        if mode == "append" and prev is not None:
+            cur = prev[1].get("current-snapshot-id")
+            for s in prev[1].get("snapshots", []):
+                if s["snapshot-id"] == cur:
+                    _, old_rows, _ = read_avro(
+                        st.read_bytes(s["manifest-list"]))
+                    if len(old_rows) + 1 > _MERGE_MANIFESTS_AT:
+                        merged_entries = []
+                        for mf in old_rows:
+                            _, rows, _ = read_avro(
+                                st.read_bytes(mf["manifest_path"]))
+                            for e in rows:
+                                if e["status"] == 2:
+                                    continue
+                                e = dict(e)
+                                e["status"] = 0          # existing
+                                merged_entries.append(e)
+                        merged_row = _write_manifest(
+                            path, merged_entries, ice_schema, st,
+                            snap_id, seq, spec_fields=spec_fields)
+                        merged_row["min_sequence_number"] = min(
+                            [mf["min_sequence_number"]
+                             for mf in old_rows] or [seq])
+                        manifests = [merged_row, manifest_row]
+                    else:
+                        manifests = old_rows + manifests
+                    break
 
-    added_rows = sum(e["data_file"]["record_count"] for e in entries)
-    snapshot = {"snapshot-id": snap_id,
-                "sequence-number": seq,
-                "timestamp-ms": now_ms,
-                "manifest-list": ml_path,
-                "summary": {
-                    "operation": "append" if mode == "append"
-                    else "overwrite",
-                    "added-data-files": str(len(entries)),
-                    "added-records": str(added_rows)},
-                "schema-id": 0}
-    if prev is not None and prev[1].get("current-snapshot-id"):
-        snapshot["parent-snapshot-id"] = prev[1]["current-snapshot-id"]
+        ml_name = f"snap-{snap_id}-1-{uuid.uuid4().hex}.avro"
+        ml_path = os.path.join(_meta_dir(path), ml_name)
+        _write_avro_via_store(ml_path, _manifest_file_schema(),
+                              manifests, st,
+                              metadata={"format-version": str(_FMT)})
 
-    old_snaps = [] if prev is None else list(
-        prev[1].get("snapshots", []))
-    old_log = [] if prev is None else list(
-        prev[1].get("snapshot-log", []))
-    meta = {
-        "format-version": _FMT,
-        "table-uuid": (prev[1]["table-uuid"] if prev is not None
-                       else str(uuid.uuid4())),
-        "location": os.path.abspath(path),
-        "last-sequence-number": seq,
-        "last-updated-ms": now_ms,
-        "last-column-id": max(f["id"] for f in ice_schema["fields"]),
-        "current-schema-id": 0,
-        "schemas": [ice_schema],
-        "default-spec-id": _INITIAL_SPEC_ID,
-        "partition-specs": [{"spec-id": _INITIAL_SPEC_ID,
-                             "fields": spec_fields}],
-        "last-partition-id": max(
-            [_LAST_PARTITION_ID]
-            + [sf["field-id"] for sf in spec_fields]),
-        "default-sort-order-id": 0,
-        "sort-orders": [{"order-id": 0, "fields": []}],
-        "properties": ({"name": name} if name else {}),
-        "current-snapshot-id": snap_id,
-        "snapshots": old_snaps + [snapshot],
-        "snapshot-log": old_log + [{"timestamp-ms": now_ms,
-                                    "snapshot-id": snap_id}],
-        "metadata-log": [],
-    }
-    version = 1 if prev is None else prev[0] + 1
-    vpath = os.path.join(_meta_dir(path),
-                         f"v{version}.metadata.json")
-    # HadoopTables' atomic version-file rename == put-if-absent here:
-    # the loser sees CommitConflict and must re-run (its manifest was
-    # computed against a stale snapshot — the Delta overwrite rule)
-    try:
-        st.put_commit(vpath, json.dumps(meta, separators=(",", ":")))
-    except CommitConflict:
-        raise RuntimeError(
-            f"export_iceberg: concurrent commit at metadata version "
-            f"{version} — re-run against the new snapshot")
-    st.write_file(os.path.join(_meta_dir(path), "version-hint.text"),
-                  str(version).encode())
-    return snap_id
+        added_rows = sum(e["data_file"]["record_count"]
+                         for e in entries)
+        snapshot = {"snapshot-id": snap_id,
+                    "sequence-number": seq,
+                    "timestamp-ms": now_ms,
+                    "manifest-list": ml_path,
+                    "summary": {
+                        "operation": "append" if mode == "append"
+                        else "overwrite",
+                        "added-data-files": str(len(entries)),
+                        "added-records": str(added_rows)},
+                    "schema-id": 0}
+        if prev is not None and prev[1].get("current-snapshot-id"):
+            snapshot["parent-snapshot-id"] = \
+                prev[1]["current-snapshot-id"]
+
+        old_snaps = [] if prev is None else list(
+            prev[1].get("snapshots", []))
+        old_log = [] if prev is None else list(
+            prev[1].get("snapshot-log", []))
+        meta = {
+            "format-version": _FMT,
+            "table-uuid": (prev[1]["table-uuid"] if prev is not None
+                           else str(uuid.uuid4())),
+            "location": os.path.abspath(path),
+            "last-sequence-number": seq,
+            "last-updated-ms": now_ms,
+            "last-column-id": max(f["id"]
+                                  for f in ice_schema["fields"]),
+            "current-schema-id": 0,
+            "schemas": [ice_schema],
+            "default-spec-id": _INITIAL_SPEC_ID,
+            "partition-specs": [{"spec-id": _INITIAL_SPEC_ID,
+                                 "fields": spec_fields}],
+            "last-partition-id": max(
+                [_LAST_PARTITION_ID]
+                + [sf["field-id"] for sf in spec_fields]),
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": ({"name": name} if name else {}),
+            "current-snapshot-id": snap_id,
+            "snapshots": old_snaps + [snapshot],
+            "snapshot-log": old_log + [{"timestamp-ms": now_ms,
+                                        "snapshot-id": snap_id}],
+            "metadata-log": [],
+        }
+        version = 1 if prev is None else prev[0] + 1
+        vpath = os.path.join(_meta_dir(path),
+                             f"v{version}.metadata.json")
+        # HadoopTables' atomic version-file rename == put-if-absent
+        try:
+            st.put_commit(vpath,
+                          json.dumps(meta, separators=(",", ":")))
+        except CommitConflict:
+            if mode != "append":
+                raise RuntimeError(
+                    f"export_iceberg: concurrent commit at metadata "
+                    f"version {version} — overwrite computed against "
+                    "a stale snapshot; re-run")
+            # append rebase: re-read by LISTING (the winner's commit
+            # may be newer than the hint), verify the winner kept our
+            # schema/spec, retry at the next version (lost attempts
+            # leave orphan manifest avros — unreferenced, harmless)
+            prev = _read_table_meta(path, st, prefer_hint=False)
+            win_schema = next(
+                s for s in prev[1]["schemas"]
+                if s["schema-id"] == prev[1]["current-schema-id"])
+            if [(f["name"], f["type"])
+                    for f in win_schema["fields"]] != \
+                    [(f["name"], f["type"])
+                     for f in ice_schema["fields"]]:
+                raise ValueError(
+                    "export_iceberg: concurrent writer changed the "
+                    "table schema — re-run")
+            win_spec = next(
+                s for s in prev[1]["partition-specs"]
+                if s["spec-id"] == prev[1]["default-spec-id"])
+            if win_spec["fields"] != spec_fields:
+                raise ValueError(
+                    "export_iceberg: concurrent writer changed the "
+                    "partition spec — re-run")
+            seq = prev[1]["last-sequence-number"] + 1
+            continue
+        st.write_file(os.path.join(_meta_dir(path),
+                                   "version-hint.text"),
+                      str(version).encode())
+        return snap_id
+    raise RuntimeError(
+        "export_iceberg: lost the commit race 20 times — "
+        "pathological contention; serialize writers")
 
 
 def layer_to_iceberg(layer, out_dir: str, name: str | None = None,

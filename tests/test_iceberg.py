@@ -233,17 +233,29 @@ def test_iceberg_refusals(spark, tmp_path):
         read_iceberg_meta(tab)
 
 
-def test_iceberg_commit_put_if_absent(spark, tmp_path):
-    """Losing the metadata-version race surfaces, never silently
-    rebases (HadoopTables' rename contract)."""
+def test_iceberg_commit_race_semantics(spark, tmp_path):
+    """Optimistic concurrency: a lost APPEND rebases onto the
+    winner's snapshot and retries (its files are disjoint); a lost
+    OVERWRITE surfaces — its removes were computed against a stale
+    snapshot (the Delta-leg rule)."""
     tab = str(tmp_path / "t6")
-    export_iceberg(_mkdf(spark, 0, 10), tab)
-    # simulate a concurrent winner at v2
+    export_iceberg(_mkdf(spark, 0, 10).coalesce(1), tab)
+    # simulate a concurrent winner at v2 (valid metadata — a copy of
+    # v1 with a bumped snapshot list is close enough: reuse v1 doc)
     md = tab + "/metadata"
     doc = open(md + "/v1.metadata.json").read()
     open(md + "/v2.metadata.json", "w").write(doc)
+    # append: loses at v2, re-reads, lands at v3 with ALL rows live
+    export_iceberg(_mkdf(spark, 10, 20).coalesce(1), tab,
+                   mode="append")
+    assert os.path.exists(md + "/v3.metadata.json")
+    assert iceberg_source(spark, tab).count() == 20
+    # overwrite: loses at v4 and refuses
+    open(md + "/v4.metadata.json", "w").write(
+        open(md + "/v3.metadata.json").read())
     with pytest.raises(RuntimeError, match="concurrent commit"):
-        export_iceberg(_mkdf(spark, 10, 20), tab, mode="append")
+        export_iceberg(_mkdf(spark, 0, 5).coalesce(1), tab,
+                       mode="overwrite")
 
 
 def test_layer_to_iceberg_metadata_only(ctx, spark, tmp_path):
