@@ -137,6 +137,24 @@ class LogStore:
         except (FileNotFoundError, IsADirectoryError):
             return False
 
+    def delete(self, path: str) -> bool:
+        """Best-effort object delete through the io when it has one
+        (object stores), else the local filesystem.  Returns whether
+        the object was removed — cleanup paths (vacuum, snapshot
+        expiration) must count deletions, not assume them."""
+        d = getattr(self.io, "delete", None)
+        if d is not None:
+            try:
+                d(path)
+                return True
+            except (FileNotFoundError, OSError):
+                return False
+        try:
+            os.unlink(path)
+            return True
+        except OSError:
+            return False
+
 
 _DEFAULT_STORE = LogStore()
 
@@ -215,11 +233,16 @@ def _footer_stats_for(path: str) -> dict | None:
         name = md.schema.column(ci).name
         cmins, cmaxs, cnull, ok = [], [], 0, True
         for g in range(md.num_row_groups):
-            s = md.row_group(g).column(ci).statistics
-            if s is None or not s.has_min_max:
-                ok = False
+            try:
+                s = md.row_group(g).column(ci).statistics
+                if s is None or not s.has_min_max:
+                    ok = False
+                    break
+                raw_lo, raw_hi = s.min, s.max
+            except Exception:      # pyarrow: "Cannot extract
+                ok = False         # statistics for type" (decimal…)
                 break
-            lo, hi = _json_safe_stat(s.min), _json_safe_stat(s.max)
+            lo, hi = _json_safe_stat(raw_lo), _json_safe_stat(raw_hi)
             if lo is None or hi is None:
                 ok = False
                 break

@@ -60,8 +60,9 @@ import time
 import uuid
 
 from .avrofile import read_avro, write_avro
-from .delta import (LogStore, _data_files, _footer_stats_for,
-                    _partition_values, _store, CommitConflict)
+from .delta import (LogStore, _DISTRIBUTE_PUBLISH_AT, _data_files,
+                    _footer_stats_for, _partition_values, _store,
+                    CommitConflict)
 
 _FMT = 2
 _INITIAL_SPEC_ID = 0
@@ -91,9 +92,11 @@ def _ice_schema_from_spark(schema) -> dict:
     fields = []
     for i, f in enumerate(schema.fields, start=1):
         tn = f.dataType.typeName()
-        if tn.startswith("decimal"):
-            it = tn.replace("decimal", "decimal") \
-                   .replace("(", "(").replace(")", ")")
+        if tn == "decimal":
+            # typeName() is the BARE word — simpleString() carries
+            # the spec-required precision/scale: decimal(P, S)
+            p, s = f.dataType.precision, f.dataType.scale
+            it = f"decimal({p}, {s})"
         elif tn in _SPARK_TO_ICE:
             it = _SPARK_TO_ICE[tn]
         else:
@@ -154,10 +157,21 @@ _ICE_TO_AVRO = {"int": "int", "long": "long", "float": "float",
 
 def _part_typed(ice_type: str, s: str | None):
     """Hive-dir partition STRING → the typed value the manifest
-    stores (identity transform; None stays None)."""
+    stores (identity transform; None stays None).  Dates store as
+    days-from-epoch ints, timestamps as micros-from-epoch longs
+    (spec partition-value representation)."""
     if s is None:
         return None
-    if ice_type in ("int", "long", "date"):
+    if ice_type == "date":
+        import datetime
+        return (datetime.date.fromisoformat(s)
+                - datetime.date(1970, 1, 1)).days
+    if ice_type in ("timestamp", "timestamptz"):
+        import datetime
+        dt = datetime.datetime.fromisoformat(s)
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=dt.tzinfo)
+        return int((dt - epoch).total_seconds() * 1_000_000)
+    if ice_type in ("int", "long"):
         return int(s)
     if ice_type in ("float", "double"):
         return float(s)
@@ -320,8 +334,14 @@ def _read_table_meta(path: str, store: LogStore,
         try:
             hint = int(store.read_text(
                 os.path.join(md, "version-hint.text")).strip())
-            return hint, json.loads(store.read_text(
-                os.path.join(md, f"v{hint}.metadata.json")))
+            # a writer that died between put_commit(v{N+1}) and the
+            # hint update leaves the hint stale FOREVER — one probe
+            # for the next version self-heals (fall through to the
+            # listing, which finds the true newest)
+            if not store.exists(
+                    os.path.join(md, f"v{hint + 1}.metadata.json")):
+                return hint, json.loads(store.read_text(
+                    os.path.join(md, f"v{hint}.metadata.json")))
         except (FileNotFoundError, ValueError, NotADirectoryError):
             pass
     if not store.isdir(md):
@@ -405,7 +425,7 @@ def _write_manifest(path: str, entries: list, ice_schema: dict,
         entries, store,
         metadata={
             "schema": json.dumps(ice_schema, separators=(",", ":")),
-            "schema-id": "0",
+            "schema-id": str(ice_schema.get("schema-id", 0)),
             "partition-spec": json.dumps(spec_fields,
                                          separators=(",", ":")),
             "partition-spec-id": str(_INITIAL_SPEC_ID),
@@ -450,6 +470,19 @@ def _write_avro_via_store(path: str, schema: dict, records: list,
             pass
 
 
+def _move_and_stat(staging: str, data_dir: str, rel: str,
+                   dst_rel: str) -> tuple:
+    """Move ONE staged data file into data/ and read its footer
+    stats.  Runs driver-side for small commits and inside executor
+    tasks for large ones (shared table storage either way — the
+    Delta leg's _move_and_add contract)."""
+    dst = os.path.join(data_dir, dst_rel)
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    os.replace(os.path.join(staging, rel), dst)
+    return (rel, dst_rel, os.path.getsize(dst),
+            _footer_stats_for(dst))
+
+
 def _snapshot_id() -> int:
     return uuid.uuid4().int & ((1 << 62) - 1)
 
@@ -479,7 +512,19 @@ def export_iceberg(df, path: str, mode: str = "overwrite",
             raise ValueError(
                 "export_iceberg: append schema differs from the "
                 "table's — overwrite or align the frame")
-        ice_schema = prev_schema          # keep original ids/nullability
+        # keep the table's field ids; but a nullable incoming column
+        # RELAXES required -> optional (spec-legal evolution) — the
+        # appended files may hold nulls, so keeping required=true
+        # would poison the non-null contract for every reader
+        merged = []
+        for pf, nf in zip(prev_schema["fields"],
+                          ice_schema["fields"]):
+            f = dict(pf)
+            f["required"] = pf["required"] and nf["required"]
+            merged.append(f)
+        ice_schema = {"type": "struct",
+                      "schema-id": prev_schema["schema-id"],
+                      "fields": merged}
     if prev is not None:
         prev_spec = next(
             s for s in prev[1]["partition-specs"]
@@ -504,20 +549,32 @@ def export_iceberg(df, path: str, mode: str = "overwrite",
     rels = sorted(_data_files(staging))
     data_dir = os.path.join(path, "data")
     os.makedirs(data_dir, exist_ok=True)
-    entries = []
     snap_id = _snapshot_id()
     seq = 1 if prev is None else prev[1]["last-sequence-number"] + 1
     stamp = uuid.uuid4().hex[:8]
+    moves = []
     for i, rel in enumerate(rels):
         if partition_by:
             dst_rel = os.path.join(os.path.dirname(rel),
                                    f"{stamp}-{i:05d}.parquet")
         else:
             dst_rel = f"{stamp}-{i:05d}.parquet"
-        dst = os.path.join(data_dir, dst_rel)
-        os.makedirs(os.path.dirname(dst), exist_ok=True)
-        os.replace(os.path.join(staging, rel), dst)
-        fstats = _footer_stats_for(dst)
+        moves.append((rel, dst_rel))
+    # the per-file move+footer-stat pass runs as ONE Spark job above
+    # the Delta leg's threshold (the same serial-driver-loop fix)
+    if len(moves) >= _DISTRIBUTE_PUBLISH_AT:
+        sc = df.sparkSession.sparkContext
+        n_slices = max(1, min(len(moves) // 16, 512))
+        moved = (sc.parallelize(moves, n_slices)
+                 .map(lambda m: _move_and_stat(
+                     staging, data_dir, m[0], m[1]))
+                 .collect())
+        moved.sort(key=lambda t: t[1])
+    else:
+        moved = [_move_and_stat(staging, data_dir, rel, dst_rel)
+                 for rel, dst_rel in moves]
+    entries = []
+    for rel, dst_rel, size, fstats in moved:
         raw_parts = _partition_values(rel, partition_by)
         part = {c: _part_typed(part_types[c], raw_parts.get(c))
                 for c in partition_by}
@@ -525,8 +582,8 @@ def export_iceberg(df, path: str, mode: str = "overwrite",
             "status": 1, "snapshot_id": snap_id,
             "sequence_number": seq, "file_sequence_number": seq,
             "data_file": _data_file_record(
-                os.path.abspath(dst), os.path.getsize(dst),
-                ice_schema, fstats, partition=part)})
+                os.path.abspath(os.path.join(data_dir, dst_rel)),
+                size, ice_schema, fstats, partition=part)})
     import shutil
     shutil.rmtree(staging, ignore_errors=True)
     return _commit_snapshot(path, st, ice_schema, entries, mode,
@@ -559,6 +616,28 @@ def _commit_snapshot(path: str, st: LogStore, ice_schema: dict,
 
     for _attempt in range(20):
         now_ms = int(time.time() * 1000)
+        # schema HISTORY: an overwrite that changes the schema appends
+        # a new entry with the next schema-id instead of replacing the
+        # list — snapshots pin their schema-id so time travel decodes
+        # old manifests under the schema they were written with
+        old_schemas = [] if prev is None else list(
+            prev[1].get("schemas", []))
+
+        def _sig(sch):
+            return [(f["id"], f["name"], f["type"], f["required"])
+                    for f in sch["fields"]]
+        match = next((s for s in old_schemas
+                      if _sig(s) == _sig(ice_schema)), None)
+        if match is None:
+            sid = max((s["schema-id"] for s in old_schemas),
+                      default=-1) + 1
+            ice_schema = dict(ice_schema)
+            ice_schema["schema-id"] = sid
+            schemas = old_schemas + [ice_schema]
+        else:
+            sid = match["schema-id"]
+            schemas = old_schemas
+
         for e in entries:
             e["sequence_number"] = seq
             e["file_sequence_number"] = seq
@@ -612,7 +691,7 @@ def _commit_snapshot(path: str, st: LogStore, ice_schema: dict,
                         else "overwrite",
                         "added-data-files": str(len(entries)),
                         "added-records": str(added_rows)},
-                    "schema-id": 0}
+                    "schema-id": sid}
         if prev is not None and prev[1].get("current-snapshot-id"):
             snapshot["parent-snapshot-id"] = \
                 prev[1]["current-snapshot-id"]
@@ -628,10 +707,10 @@ def _commit_snapshot(path: str, st: LogStore, ice_schema: dict,
             "location": os.path.abspath(path),
             "last-sequence-number": seq,
             "last-updated-ms": now_ms,
-            "last-column-id": max(f["id"]
-                                  for f in ice_schema["fields"]),
-            "current-schema-id": 0,
-            "schemas": [ice_schema],
+            "last-column-id": max(f["id"] for s in schemas
+                                  for f in s["fields"]),
+            "current-schema-id": sid,
+            "schemas": schemas,
             "default-spec-id": _INITIAL_SPEC_ID,
             "partition-specs": [{"spec-id": _INITIAL_SPEC_ID,
                                  "fields": spec_fields}],
@@ -742,24 +821,32 @@ def layer_to_iceberg(layer, out_dir: str, name: str | None = None,
         s = file_stats.get(n) or {}
         mins: dict = {}
         maxs: dict = {}
-        for src, dst, side in (("xmin", "xmin", "min"),
-                               ("ymin", "ymin", "min"),
-                               ("xmax", "xmax", "max"),
-                               ("ymax", "ymax", "max"),
-                               ("zmin", "zkey", "min"),
-                               ("zmax", "zkey", "max")):
-            if s.get(src) is not None:
-                (mins if side == "min" else maxs)[dst] = s[src]
+        # Iceberg bounds need BOTH sides per column.  The manifest's
+        # envelope stats give the file's [xmin_stat, xmax_stat] span,
+        # which conservatively bounds EVERY envelope column (a row's
+        # xmin and xmax both lie inside the file span) — so the four
+        # bbox columns each get the full span, never a fabricated
+        # tight side that could prune a file holding matching rows.
+        if s.get("xmin") is not None and s.get("xmax") is not None:
+            for c in ("xmin", "xmax"):
+                mins[c] = s["xmin"]
+                maxs[c] = s["xmax"]
+        if s.get("ymin") is not None and s.get("ymax") is not None:
+            for c in ("ymin", "ymax"):
+                mins[c] = s["ymin"]
+                maxs[c] = s["ymax"]
+        if s.get("zmin") is not None and s.get("zmax") is not None:
+            mins["zkey"] = s["zmin"]
+            maxs["zkey"] = s["zmax"]
         for k, v in s.items():
-            if k.startswith("amin:"):
+            if k.startswith("amin:") and \
+                    s.get("amax:" + k[5:]) is not None:
                 mins[k[5:]] = v
-            elif k.startswith("amax:"):
-                maxs[k[5:]] = v
+                maxs[k[5:]] = s["amax:" + k[5:]]
         stats = {"numRecords": s.get("rows", 0)}
         if mins:
             stats["minValues"] = mins
-            stats["maxValues"] = {k: maxs.get(k, mins[k])
-                                  for k in mins}
+            stats["maxValues"] = maxs
         entries.append({
             "status": 1, "snapshot_id": snap_id,
             "sequence_number": 1, "file_sequence_number": 1,
@@ -861,20 +948,12 @@ def expire_snapshots(path: str, keep_last: int = 1,
                   str(version + 1).encode())
     removed = 0
     for p in (drop_mls - keep_mls) | (drop_mans - keep_mans):
-        try:
-            os.unlink(p)
-            removed += 1
-        except OSError:
-            pass
+        removed += st.delete(p)
     if clean_data:
         own_data = os.path.abspath(os.path.join(path, "data")) + os.sep
         for p in drop_datas - keep_datas:
             if os.path.abspath(p).startswith(own_data):
-                try:
-                    os.unlink(p)
-                    removed += 1
-                except OSError:
-                    pass
+                removed += st.delete(p)
     return {"removed_snapshots": len(drop), "removed_files": removed}
 
 
@@ -905,8 +984,11 @@ def read_iceberg_meta(path: str, snapshot_id: int | None = None,
         raise ValueError(
             f"iceberg: snapshot {want!r} not found "
             f"({[s['snapshot-id'] for s in snaps]})")
+    # decode under the SNAPSHOT's schema (pinned at commit time), so
+    # time travel across schema-changing overwrites stays type-exact
+    want_sid = snap.get("schema-id", meta["current-schema-id"])
     ice_schema = next(s for s in meta["schemas"]
-                      if s["schema-id"] == meta["current-schema-id"])
+                      if s["schema-id"] == want_sid)
     types = _types_by_id(ice_schema)
     spec = next(s for s in meta["partition-specs"]
                 if s["spec-id"] == meta["default-spec-id"])
