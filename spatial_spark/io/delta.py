@@ -138,17 +138,19 @@ class LogStore:
             return False
 
     def delete(self, path: str) -> bool:
-        """Best-effort object delete through the io when it has one
-        (object stores), else the local filesystem.  Returns whether
-        the object was removed — cleanup paths (vacuum, snapshot
-        expiration) must count deletions, not assume them."""
-        d = getattr(self.io, "delete", None)
-        if d is not None:
-            try:
-                d(path)
-                return True
-            except (FileNotFoundError, OSError):
-                return False
+        """Object delete through the io seam — the manifest IOs name
+        this ``remove`` (probed first; ``delete`` accepted for
+        foreign duck-types), local unlink as the last resort.
+        Returns whether the object was removed — cleanup paths
+        (vacuum, snapshot expiration) must COUNT deletions, not
+        assume them."""
+        for attr in ("remove", "delete"):
+            d = getattr(self.io, attr, None)
+            if d is not None:
+                try:
+                    return bool(d(path))
+                except (FileNotFoundError, OSError):
+                    return False
         try:
             os.unlink(path)
             return True
@@ -206,7 +208,12 @@ def _json_safe_stat(v):
     (prune only on evidence — same rule as the layer manifest)."""
     if isinstance(v, bool) or v is None:
         return None
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        # NaN/Infinity have no RFC-JSON form — json.dumps would emit
+        # bare literals strict foreign parsers reject; omit the stat
+        import math
+        return v if math.isfinite(v) else None
+    if isinstance(v, int):
         return v
     if isinstance(v, str):
         return v
@@ -375,6 +382,8 @@ def export_delta(df, path: str, mode: str = "overwrite",
     snap = None
     if st.isdir(os.path.join(path, _LOG)):
         snap = read_delta_log(path, store=st)
+    if snap is not None:
+        _check_writer_protocol(snap, mode)
     if txn is not None and snap is not None and \
             snap["txns"].get(str(txn[0]), -1) >= int(txn[1]):
         return snap["version"]          # idempotent replay: no-op
@@ -463,6 +472,15 @@ def export_delta(df, path: str, mode: str = "overwrite",
                 raise ValueError(
                     "export_delta: concurrent writer created the "
                     "table with a different schema")
+            if snap2["metadata"]["partitionColumns"] != partition_by:
+                # same rule as the initial-path check: rebasing
+                # hive-layout adds onto a differently-partitioned
+                # winner reads back as all-NULL partition columns
+                raise ValueError(
+                    "export_delta: concurrent writer created the "
+                    "table with different partition columns "
+                    f"{snap2['metadata']['partitionColumns']}")
+            _check_writer_protocol(snap2, mode)
             if txn is not None and \
                     snap2["txns"].get(str(txn[0]), -1) >= int(txn[1]):
                 return snap2["version"]    # our txn landed elsewhere
@@ -614,7 +632,14 @@ def write_delta_checkpoint(path: str,
     proto_rows, meta_rows, add_rows, rm_rows = [], [], [], []
     txn_rows = [{"appId": k, "version": n, "lastUpdated": None}
                 for k, n in sorted(snap["txns"].items())]
-    proto_rows.append(dict(_PROTOCOL))
+    # the TABLE's protocol, not ours — checkpointing a foreign table
+    # must never downgrade its declared reader/writer requirements
+    # (the JSON commits that carried the real protocol action may be
+    # cleaned up after this checkpoint)
+    proto = snap.get("protocol") or dict(_PROTOCOL)
+    proto_rows.append({
+        "minReaderVersion": proto.get("minReaderVersion", 1),
+        "minWriterVersion": proto.get("minWriterVersion", 2)})
     meta_rows.append({
         "id": snap["metadata"]["id"],
         "name": snap["metadata"].get("name"),
@@ -641,12 +666,6 @@ def write_delta_checkpoint(path: str,
                         "deletionTimestamp":
                             tomb.get("deletionTimestamp"),
                         "dataChange": False})
-    n = max(len(proto_rows), len(meta_rows), len(add_rows),
-            len(rm_rows), len(txn_rows))
-
-    def pad(rows):
-        return rows + [None] * (n - len(rows))
-
     # explicit schema: partitionValues/configuration/options are the
     # spec's map<string,string> (an empty inferred struct can't even
     # be written)
@@ -674,12 +693,24 @@ def write_delta_checkpoint(path: str,
     txn_t = pa.struct([("appId", pa.string()),
                        ("version", pa.int64()),
                        ("lastUpdated", pa.int64())])
-    tbl = pa.table({
-        "protocol": pa.array(pad(proto_rows), type=proto_t),
-        "metaData": pa.array(pad(meta_rows), type=meta_t),
-        "add": pa.array(pad(add_rows), type=add_t),
-        "remove": pa.array(pad(rm_rows), type=rm_t),
-        "txn": pa.array(pad(txn_rows), type=txn_t)})
+    # spec checkpoint format: ONE action per row (every other action
+    # column null) and _last_checkpoint.size = the ACTION count —
+    # co-packing actions into shared rows breaks strict foreign
+    # readers that take the single non-null action per row
+    groups = [("protocol", proto_rows, proto_t),
+              ("metaData", meta_rows, meta_t),
+              ("add", add_rows, add_t),
+              ("remove", rm_rows, rm_t),
+              ("txn", txn_rows, txn_t)]
+    n = sum(len(rows) for _, rows, _ in groups)
+    cols = {}
+    off = 0
+    for cname, rows, typ in groups:
+        cols[cname] = pa.array(
+            [None] * off + rows + [None] * (n - off - len(rows)),
+            type=typ)
+        off += len(rows)
+    tbl = pa.table(cols)
     cp = os.path.join(path, _LOG, f"{v:020d}.checkpoint.parquet")
     buf = _io.BytesIO()
     pq.write_table(tbl, buf)
@@ -692,6 +723,30 @@ def write_delta_checkpoint(path: str,
 # --------------------------------------------------------------------
 # reader (independent replay — no shared state with the writer)
 # --------------------------------------------------------------------
+def _check_writer_protocol(snap: dict, mode: str) -> None:
+    """Spec: a writer must refuse tables whose minWriterVersion (or
+    writerFeatures) it does not implement, exactly as readers refuse
+    minReaderVersion — committing anyway would skip invariants / CDC
+    / constraint enforcement other engines rely on.  Also enforces
+    ``delta.appendOnly``: an overwrite's remove actions are illegal
+    on an append-only table."""
+    proto = snap.get("protocol") or {}
+    if proto.get("minWriterVersion", 2) > 2 or \
+            proto.get("writerFeatures"):
+        raise NotImplementedError(
+            "Delta writer: table requires writer protocol "
+            f"{proto.get('minWriterVersion')} features "
+            f"{proto.get('writerFeatures')} (invariants / constraints "
+            "/ CDC / deletion vectors) — this engine commits "
+            "protocol-2 writes")
+    cfg = (snap.get("metadata") or {}).get("configuration") or {}
+    if mode == "overwrite" and \
+            str(cfg.get("delta.appendOnly", "")).lower() == "true":
+        raise ValueError(
+            "export_delta: table is delta.appendOnly=true — "
+            "overwrite would commit remove actions; append instead")
+
+
 def _check_protocol(proto: dict) -> None:
     if proto.get("minReaderVersion", 1) > 1 or proto.get(
             "readerFeatures"):
@@ -869,6 +924,8 @@ def optimize_delta(spark, path: str, zorder_by: list | None = None,
 
     st = _store(store)
     snap = read_delta_log(path, store=st)
+    _check_writer_protocol(snap, "append")   # OPTIMIZE removes are
+    # dataChange=false — legal on appendOnly, so the append rule
     part_cols = snap["metadata"]["partitionColumns"]
     old_files = snap["files"]
     if partitions:
@@ -876,6 +933,12 @@ def optimize_delta(spark, path: str, zorder_by: list | None = None,
             raise ValueError(
                 "optimize_delta: partitions= given but the table is "
                 "unpartitioned")
+        bad = set(partitions) - set(part_cols)
+        if bad:
+            raise ValueError(
+                f"optimize_delta: partitions= keys {sorted(bad)} are "
+                f"not partition columns {part_cols} — a typo would "
+                "silently match nothing")
         want = {k: (None if v is None else str(v))
                 for k, v in partitions.items()}
         old_files = [fe for fe in old_files
@@ -888,6 +951,15 @@ def optimize_delta(spark, path: str, zorder_by: list | None = None,
     n_out = max(1, int(target_files if target_files is not None
                        else math.ceil(total / (128 << 20))))
     if zorder_by:
+        # the interleaved key lives in ONE signed 64-bit long: more
+        # than 63 total bits would set the sign bit (high ranks sort
+        # first) or wrap shifts mod 64 (bits scattered) — clamp per
+        # column instead of silently corrupting the clustering
+        bits = min(bits, 63 // len(zorder_by))
+        if bits < 1:
+            raise ValueError(
+                "optimize_delta: zorder_by supports at most 63 "
+                f"columns ({len(zorder_by)} given)")
         lo_hi = df.agg(*[f for c in zorder_by for f in (
             F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}"))]
         ).first()
@@ -1025,8 +1097,8 @@ def cleanup_delta_log(path: str,
     for fname in sorted(st.listdir(log_dir)):
         if fname.endswith(".json") and fname[:-5].isdigit() \
                 and int(fname[:-5]) <= cpv:
-            st.io.remove(os.path.join(log_dir, fname))
-            deleted.append(fname)
+            if st.delete(os.path.join(log_dir, fname)):
+                deleted.append(fname)
     return deleted
 
 
@@ -1051,6 +1123,12 @@ def delta_source(spark, path: str, version: int | None = None,
     part_cols = meta["partitionColumns"]
     files = snap["files"]
     if partitions:
+        bad = set(partitions) - set(part_cols)
+        if bad:
+            raise ValueError(
+                f"delta_source: partitions= keys {sorted(bad)} are "
+                f"not partition columns {part_cols} — a typo would "
+                "silently read an empty table")
         want = {k: (None if v is None else str(v))
                 for k, v in partitions.items()}
         files = [fe for fe in files

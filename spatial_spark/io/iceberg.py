@@ -1059,6 +1059,13 @@ def iceberg_source(spark, path: str, snapshot_id: int | None = None,
     spark_schema = _spark_schema_from_ice(ice_schema)
     files = meta["files"]
     if partitions:
+        part_names = {sf["name"] for sf in meta["spec_fields"]}
+        bad = set(partitions) - part_names
+        if bad:
+            raise ValueError(
+                f"iceberg_source: partitions= keys {sorted(bad)} are "
+                f"not partition fields {sorted(part_names)} — a typo "
+                "would silently read an empty table")
         files = [fe for fe in files
                  if all(fe["partition"].get(k) == v
                         for k, v in partitions.items())]

@@ -111,6 +111,10 @@ class LocalManifestIO:
         with open(p) as fh:
             return fh.read()
 
+    def read_bytes(self, p: str) -> bytes:
+        with open(p, "rb") as fh:
+            return fh.read()
+
     def write_file(self, p: str, data: bytes) -> None:
         with open(p, "wb") as fh:
             fh.write(data)
@@ -200,6 +204,18 @@ class HadoopManifestIO:
             # commons-io ships with Spark; one JVM call, not one per byte
             return self._jvm.org.apache.commons.io.IOUtils.toString(
                 stream, "UTF-8")
+        finally:
+            stream.close()
+
+    def read_bytes(self, p: str) -> bytes:
+        fs, jp = self._fs_path(p)
+        if not fs.exists(jp):
+            raise FileNotFoundError(p)
+        stream = fs.open(jp)
+        try:
+            return bytes(
+                self._jvm.org.apache.commons.io.IOUtils.toByteArray(
+                    stream))
         finally:
             stream.close()
 
@@ -298,6 +314,12 @@ class S3ManifestIO:
     def read_text(self, p: str) -> str:
         try:
             return self.client.get(p).decode()
+        except KeyError:
+            raise FileNotFoundError(p)
+
+    def read_bytes(self, p: str) -> bytes:
+        try:
+            return bytes(self.client.get(p))
         except KeyError:
             raise FileNotFoundError(p)
 

@@ -789,3 +789,228 @@ def test_delta_logstore_conditional_put_fake(spark, tmp_path):
     # every log object the reader touched lives in the fake store
     assert any(k.endswith(".checkpoint.parquet")
                for k in client.objects)
+
+
+# --------------------------------------------------------------------
+# r15 review-findings regressions
+# --------------------------------------------------------------------
+def test_delta_checkpoint_one_action_per_row(spark, tmp_path):
+    """Spec checkpoint format: ONE action per row (other columns
+    null) and _last_checkpoint.size == the action count — the
+    regression co-packed actions into shared padded rows."""
+    import pyarrow.parquet as pq
+
+    tab = str(tmp_path / "cp1")
+    df = spark.range(10).selectExpr("id")
+    export_delta(df.coalesce(2), tab, txn=("app", 1))
+    export_delta(df.coalesce(1), tab, mode="overwrite")
+    v = write_delta_checkpoint(tab)
+    cp = os.path.join(tab, "_delta_log",
+                      f"{v:020d}.checkpoint.parquet")
+    t = pq.read_table(cp)
+    cols = ["protocol", "metaData", "add", "remove", "txn"]
+    rows = t.to_pylist()
+    for r in rows:
+        assert sum(r[c] is not None for c in cols) == 1, r
+    lc = json.loads(open(os.path.join(
+        tab, "_delta_log", "_last_checkpoint")).read())
+    assert lc["size"] == len(rows)
+    n_actions = sum(1 for r in rows for c in cols
+                    if r[c] is not None)
+    assert lc["size"] == n_actions
+
+
+def test_delta_checkpoint_preserves_foreign_protocol(spark, tmp_path):
+    """Checkpointing records the TABLE's protocol, never downgrades a
+    foreign table's declared requirements."""
+    import pyarrow.parquet as pq
+
+    from spatial_spark.io.delta import _write_commit
+    tab = str(tmp_path / "cpp")
+    schema = json.dumps({"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {}}]})
+    _write_commit(tab, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 3}},
+        {"metaData": {"id": "x", "format": {
+            "provider": "parquet", "options": {}},
+            "schemaString": schema, "partitionColumns": [],
+            "configuration": {}, "createdTime": 0}},
+        {"add": {"path": "a.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0,
+                 "dataChange": True}}])
+    v = write_delta_checkpoint(tab)
+    t = pq.read_table(os.path.join(
+        tab, "_delta_log", f"{v:020d}.checkpoint.parquet"))
+    protos = [r for r in t.column("protocol").to_pylist() if r]
+    assert protos == [{"minReaderVersion": 1, "minWriterVersion": 3}]
+
+
+def test_delta_writer_protocol_and_append_only(spark, tmp_path):
+    """Writers refuse minWriterVersion > 2 / writerFeatures, and
+    overwrite refuses delta.appendOnly=true tables."""
+    from spatial_spark.io.delta import _write_commit
+    df = spark.range(3).selectExpr("id")
+    # schemaString comparison is STRING equality — use the exact form
+    schema_str = df.schema.json()
+    tab = str(tmp_path / "wp")
+    _write_commit(tab, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+        {"metaData": {"id": "x", "format": {
+            "provider": "parquet", "options": {}},
+            "schemaString": schema_str,
+            "partitionColumns": [], "configuration": {},
+            "createdTime": 0}}])
+    with pytest.raises(NotImplementedError, match="writer protocol"):
+        export_delta(df, tab, mode="append")
+    from spatial_spark.io.delta import optimize_delta
+    with pytest.raises(NotImplementedError, match="writer protocol"):
+        optimize_delta(spark, tab)
+
+    tab2 = str(tmp_path / "ao")
+    _write_commit(tab2, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "y", "format": {
+            "provider": "parquet", "options": {}},
+            "schemaString": schema_str,
+            "partitionColumns": [],
+            "configuration": {"delta.appendOnly": "true"},
+            "createdTime": 0}}])
+    with pytest.raises(ValueError, match="appendOnly"):
+        export_delta(df, tab2, mode="overwrite")
+    export_delta(df.coalesce(1), tab2, mode="append")   # appends fine
+    assert delta_source(spark, tab2).count() == 3
+
+
+def test_delta_nonfinite_stats_omitted(spark, tmp_path):
+    """inf/NaN footer min/max never reach add.stats — json.dumps
+    would emit non-RFC literals strict foreign parsers reject."""
+    tab = str(tmp_path / "inf")
+    df = spark.sql("""
+        SELECT id, CASE WHEN id = 0 THEN double('Infinity')
+                        ELSE CAST(id AS DOUBLE) END AS v
+        FROM range(5)""")
+    export_delta(df.coalesce(1), tab)
+    log = open(os.path.join(
+        tab, "_delta_log", f"{0:020d}.json")).read()
+    assert "Infinity" not in log and "NaN" not in log
+    for line in log.splitlines():
+        json.loads(line)                         # strict-parseable
+    snap = read_delta_log(tab)
+    st = snap["files"][0]["stats"]
+    assert "v" not in (st.get("minValues") or {})
+    assert "id" in (st.get("minValues") or {})   # finite cols kept
+
+
+def test_delta_partitions_key_validation(spark, tmp_path):
+    """Unknown partitions= keys raise instead of silently matching
+    nothing (delta_source, optimize_delta, iceberg_source)."""
+    from spatial_spark.io.delta import optimize_delta
+    tab = str(tmp_path / "pv")
+    df = spark.range(20).selectExpr("id", "id % 2 AS g")
+    export_delta(df, tab, partition_by=["g"])
+    with pytest.raises(ValueError, match="not partition columns"):
+        delta_source(spark, tab, partitions={"colour": "red"})
+    with pytest.raises(ValueError, match="not partition columns"):
+        optimize_delta(spark, tab, partitions={"colour": "red"})
+    from spatial_spark.io.iceberg import (export_iceberg,
+                                          iceberg_source)
+    itab = str(tmp_path / "ipv")
+    export_iceberg(df.coalesce(1), itab, partition_by=["g"])
+    with pytest.raises(ValueError, match="not partition fields"):
+        iceberg_source(spark, itab, partitions={"colour": 1})
+
+
+def test_delta_zorder_bits_clamped(spark, tmp_path):
+    """4+ z-order columns at default bits=16 would overflow the
+    signed 64-bit key — bits clamp to 63 // n_cols and the rewrite
+    stays content-identical."""
+    from spatial_spark.io.delta import optimize_delta
+    tab = str(tmp_path / "zb")
+    df = spark.range(200).selectExpr(
+        "id", "id % 7 AS a", "id % 11 AS b", "id % 13 AS c",
+        "id % 17 AS d")
+    export_delta(df.repartition(4), tab)
+    optimize_delta(spark, tab, zorder_by=["a", "b", "c", "d"],
+                   target_files=2)
+    got = delta_source(spark, tab)
+    assert got.count() == 200
+    assert got.agg({"id": "sum"}).first()[0] == sum(range(200))
+
+
+def test_delta_rebase_checks_partition_columns(spark, tmp_path):
+    """A lost append whose partitioning differs from the winner's
+    REFUSES instead of committing hive-layout adds onto a table whose
+    metadata says unpartitioned (all-NULL partition column reads)."""
+    import spatial_spark.io.delta as D
+    tab = str(tmp_path / "rp")
+    df = spark.range(10).selectExpr("id", "id % 2 AS g")
+    real = D._write_commit
+    state = {"raced": False}
+
+    def racy(path, version, actions, store=None):
+        if not state["raced"]:
+            state["raced"] = True
+            real(path, version, [
+                {"protocol": dict(D._PROTOCOL)},
+                {"metaData": {"id": "w", "format": {
+                    "provider": "parquet", "options": {}},
+                    "schemaString": df.schema.json(),
+                    "partitionColumns": [], "configuration": {},
+                    "createdTime": 0}}], store=store)
+            raise FileExistsError(path)
+        return real(path, version, actions, store=store)
+
+    D._write_commit = racy
+    try:
+        with pytest.raises(ValueError,
+                           match="different partition columns"):
+            export_delta(df, tab, mode="append", partition_by=["g"])
+    finally:
+        D._write_commit = real
+
+
+def test_logstore_delete_routes_through_io_remove(tmp_path):
+    """LogStore.delete probes the seam's remove() (the manifest IO
+    method name) before any local unlink — the regression probed a
+    nonexistent delete() and always fell back to os.unlink."""
+    from spatial_spark.io.delta import LogStore
+
+    calls = []
+
+    class IO:
+        def remove(self, p):
+            calls.append(p)
+            return True
+    st = LogStore(io=IO())
+    assert st.delete("s3://bucket/obj") is True
+    assert calls == ["s3://bucket/obj"]
+
+
+def test_manifest_ios_read_bytes(tmp_path):
+    """The IO seam now carries read_bytes (checkpoint parquet reads
+    must go through the store, not a local open fallback)."""
+    from spatial_spark.manifest import LocalManifestIO, S3ManifestIO
+    p = str(tmp_path / "b.bin")
+    LocalManifestIO().write_file(p, b"\x00\x01\xff")
+    assert LocalManifestIO().read_bytes(p) == b"\x00\x01\xff"
+
+    class Client:
+        def __init__(self):
+            self.d = {}
+
+        def put(self, k, data, if_none_match):
+            self.d[k] = bytes(data)
+            return True
+
+        def get(self, k):
+            return self.d[k]
+
+        def list(self, prefix):
+            return [k for k in self.d if k.startswith(prefix)]
+
+        def delete(self, k):
+            return bool(self.d.pop(k, None))
+    s3 = S3ManifestIO(Client())
+    s3.write_file("k/b.bin", b"\x07\x00")
+    assert s3.read_bytes("k/b.bin") == b"\x07\x00"
