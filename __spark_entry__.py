@@ -85,6 +85,24 @@ def _local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
     return spark.createDataFrame(pdf, schema=schema)
 
 
+def _arrow_local(spark: SparkSession, rows, schema) -> DataFrame:
+    """Gate-fixture rows -> one Arrow local relation (see _local_df; the
+    shared package helper handles StructType schemas + binary cells)."""
+    from spatial_spark.localrel import arrow_local_df
+    return arrow_local_df(spark, rows, schema)
+
+
+def _media_local_df(spark: SparkSession, rows) -> DataFrame:
+    """MEDIA_SCHEMA fixture rows -> one Arrow local relation.  The old
+    Python-rows createDataFrame planned a 32-slice pickled relation:
+    ~0.4s of Python-worker spin-up PER ACTION on a 30-60 row fixture
+    (guide §4/§5 — the driver/JVM boundary), re-paid by EVERY action
+    because the relation is re-evaluated, not cached.  Values identical;
+    downstream .repartition(n) keeps the decode stages parallel."""
+    from spatial_spark.operators.multimodal import MEDIA_SCHEMA
+    return _arrow_local(spark, rows, MEDIA_SCHEMA)
+
+
 def _setup(spark: SparkSession, sf_dir: str) -> None:
     # Memoized on the session's CURRENT sf_dir: re-registering 61 UDFs and
     # re-reading 10 parquet schemas added a fixed ~0.2s to EVERY query (the
@@ -1137,7 +1155,7 @@ def _q_render_sink(spark, sf_dir) -> DataFrame:
         y0 = 24 * (n // 5) + 4.5
         data.append((n, f"POLYGON (({x0} {y0}, {x0 + s} {y0}, "
                         f"{x0 + s} {y0 + s}, {x0} {y0 + s}, {x0} {y0}))"))
-    df = (spark.createDataFrame(data, "n_nationkey long, wkt string")
+    df = (_arrow_local(spark, data, "n_nationkey long, wkt string")
           .withColumn("geom", F.expr("st_geomfromtext(wkt)"))
           .select("geom")
           .coalesce(4))   # 25 rows: still multi-partition compositing,
@@ -1179,7 +1197,7 @@ def _q_audio_features(spark, sf_dir) -> DataFrame:
             .astype(np.int16).reshape(-1, 1)
         rows.append((i, bytearray(encode_wav(s, 16000)),
                      "audio", "wav", 2 * nfft, 1, None))
-    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    df = _media_local_df(spark, rows)
     return (audio_features(df, nfft=nfft)
             .select("media_id", "window_no", "dominant_bin", "rms_q",
                     "spectral_centroid_bin"))
@@ -1219,7 +1237,7 @@ def _q_mp4_meta(spark, sf_dir) -> DataFrame:
         rows.append((i, bytearray(build_mp4(
             w, h, n, 1000, delta, codec=codecs_by_mod[i % 3])),
             "video", "mp4", w, h, None))
-    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    df = _media_local_df(spark, rows)
     return mp4_metadata(df)
 
 
@@ -1262,7 +1280,7 @@ def _q_mp4_codec_meta(spark, sf_dir) -> DataFrame:
                 codec_config=build_esds(build_aac_asc(obj, rate, ch)))
             rows.append((i, bytearray(payload), "audio", "mp4",
                          None, None, None))
-    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    df = _media_local_df(spark, rows)
     return mp4_codec_meta(df)
 
 
@@ -2231,7 +2249,7 @@ def _q_media_jpeg(spark, sf_dir) -> DataFrame:
         rows.append((i, bytearray(encode_jpeg(img, quality=90,
                                               subsample=bool(i % 2))),
                      "image", "jpeg", w, h, None))
-    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    df = _media_local_df(spark, rows)
     return (decode_features(df, decoder="real")
             .select("media_id", "decoded_w", "decoded_h",
                     F.round("mean_intensity", 6).alias("mean_intensity")))
@@ -2263,7 +2281,7 @@ def _q_media_mjpeg(spark, sf_dir) -> DataFrame:
         rows.append((1000 + i, bytearray(build_mp4(
             64, 48, 5, 1000, 40, codec="avc1")), "video", "mp4",
             64, 48, None))
-    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    df = _media_local_df(spark, rows)
     return (mp4_frames(df)
             .select("media_id", "frame_no", "decoded_w", "decoded_h",
                     F.round("mean_intensity", 6).alias("mean_intensity"))
@@ -2305,7 +2323,7 @@ def _q_media_avc_ipcm(spark, sf_dir) -> DataFrame:
         rows.append((1000 + i, bytearray(build_mp4(
             64, 48, 5, 1000, 40, codec="avc1")), "video", "mp4",
             64, 48, None))
-    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    df = _media_local_df(spark, rows)
     return (mp4_frames(df)
             .select("media_id", "frame_no", "decoded_w", "decoded_h",
                     F.round("mean_intensity", 6).alias("mean_intensity"))
@@ -2355,7 +2373,7 @@ def _q_media_resize(spark, sf_dir) -> DataFrame:
         img[:, wa:] = u
         rows.append((i, bytearray(encode_gif(img)), "image", "gif",
                      w, h, None))
-    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    df = _media_local_df(spark, rows)
     return (decode_features(resize_images(df, 8, 4), decoder="real")
             .select("media_id", "decoded_w", "decoded_h",
                     F.round("mean_intensity", 6).alias("mean_intensity"))
@@ -2383,7 +2401,7 @@ def _q_media_gif(spark, sf_dir) -> DataFrame:
         img[:, w // 2:] = u
         rows.append((i, bytearray(encode_gif(img)),
                      "image", "gif", w, h, None))
-    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    df = _media_local_df(spark, rows)
     return (decode_features(df, decoder="real")
             .select("media_id", "decoded_w", "decoded_h",
                     F.round("mean_intensity", 6).alias("mean_intensity")))
@@ -2427,7 +2445,7 @@ def _image_hash_fixture_df(spark):
         rows.append((1000 + i, bytearray(encode_gif(tone(i, w, wa2, v, u)))))
     schema = T.StructType([T.StructField("media_id", T.LongType(), False),
                            T.StructField("payload", T.BinaryType(), True)])
-    return spark.createDataFrame(rows, schema)
+    return _arrow_local(spark, rows, schema).repartition(8)
 
 
 def _q_image_hashes(spark, sf_dir) -> DataFrame:
@@ -3062,7 +3080,7 @@ def _q_pipeline_mm_e2e(spark, sf_dir) -> DataFrame:
             img[:, wax:] = u
             rows.append((mid, bytearray(encode_gif(img)), "image", "gif",
                          w, h, None))
-    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    media = _media_local_df(spark, rows)
     return image_dedup_pipeline(media, target_w=8, target_h=4,
                                 hash_method="dhash",
                                 max_distance=16)["result"]
@@ -4024,7 +4042,7 @@ def _q_media_avc_cavlc(spark, sf_dir) -> DataFrame:
         rows.append((1000 + i, bytearray(build_mp4(
             64, 48, 5, 1000, 40, codec="avc1")), "video", "mp4",
             64, 48, None))
-    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    df = _media_local_df(spark, rows)
     return (mp4_frames(df)
             .select("media_id", "frame_no", "decoded_w", "decoded_h",
                     F.round("mean_intensity", 6).alias("mean_intensity"))
@@ -4490,7 +4508,7 @@ def _q_media_aac(spark, sf_dir) -> DataFrame:
             samples=[entropy_coded_frame()],
             codec_config=build_esds(build_aac_asc(2, 44100, 1)))),
             "audio", "mp4", None, None, None))
-    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(8)
+    df = _media_local_df(spark, rows).repartition(8)
     return mp4_audio(df).orderBy("media_id", "frame_no")
 
 
@@ -5084,7 +5102,7 @@ def _q_media_avc_pskip(spark, sf_dir) -> DataFrame:
             w, h, 0, 1000, 40, codec="avc1", samples=nals,
             codec_config=build_avcc(build_h264_sps(w, h)))),
             "video", "mp4", w, h, None))
-    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(8)
+    df = _media_local_df(spark, rows).repartition(8)
     return (mp4_frames(df)
             .select("media_id", "frame_no", "decoded_w", "decoded_h",
                     F.round("mean_intensity", 6).alias("mean_intensity"))
@@ -5126,7 +5144,7 @@ def _q_media_avc_qpel(spark, sf_dir) -> DataFrame:
             w, h, 0, 1000, 40, codec="avc1", samples=nals,
             codec_config=build_avcc(build_h264_sps(w, h)))),
             "video", "mp4", w, h, None))
-    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(8)
+    df = _media_local_df(spark, rows).repartition(8)
     return (mp4_frames(df)
             .select("media_id", "frame_no", "decoded_w", "decoded_h",
                     F.expr("CAST(round(mean_intensity * decoded_w * "
@@ -5250,7 +5268,7 @@ def _q_media_aac_huff(spark, sf_dir) -> DataFrame:
             handler="soun", samples=frames,
             codec_config=build_esds(build_aac_asc(2, 44100, 1)))),
             "audio", "mp4", None, None, None))
-    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4)
+    df = _media_local_df(spark, rows).repartition(4)
     return (mp4_audio(df, codebooks=cbs, spectral_stats=True)
             .select("media_id", "frame_no", "global_gain", "max_sfb",
                     "n_nonzero",
@@ -5331,7 +5349,7 @@ def _q_media_avc_ipred(spark, sf_dir) -> DataFrame:
             w, h, 0, 1000, 40, codec="avc1", samples=nals,
             codec_config=build_avcc(build_h264_sps(w, h)))),
             "video", "mp4", w, h, None))
-    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(8)
+    df = _media_local_df(spark, rows).repartition(8)
     return (mp4_frames(df)
             .select("media_id", "frame_no", "decoded_w", "decoded_h",
                     F.expr("CAST(round(mean_intensity * decoded_w * "
@@ -5471,7 +5489,7 @@ def _q_media_avc_icres(spark, sf_dir) -> DataFrame:
             w, h, 0, 1000, 40, codec="avc1", samples=nals,
             codec_config=build_avcc(build_h264_sps(w, h)))),
             "video", "mp4", w, h, None))
-    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(8)
+    df = _media_local_df(spark, rows).repartition(8)
     return (mp4_frames(df)
             .select("media_id", "frame_no", "decoded_w", "decoded_h",
                     F.expr("CAST(round(mean_intensity * decoded_w * "
@@ -5588,7 +5606,7 @@ def _q_media_aac_cpe(spark, sf_dir) -> DataFrame:
             handler="soun", samples=frames,
             codec_config=build_esds(build_aac_asc(2, 44100, 2)))),
             "audio", "mp4", None, None, None))
-    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4)
+    df = _media_local_df(spark, rows).repartition(4)
     return (mp4_audio(df, codebooks=cbs, spectral_stats=True)
             .select("media_id", "frame_no", "global_gain", "max_sfb",
                     "n_nonzero",
@@ -5720,7 +5738,7 @@ def _q_media_aac_short(spark, sf_dir) -> DataFrame:
             handler="soun", samples=frames,
             codec_config=build_esds(build_aac_asc(2, 44100, 1)))),
             "audio", "mp4", None, None, None))
-    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4)
+    df = _media_local_df(spark, rows).repartition(4)
     return (mp4_audio(df, codebooks=cbs, spectral_stats=True)
             .select("media_id", "frame_no", "global_gain", "max_sfb",
                     "n_nonzero",
@@ -5828,7 +5846,7 @@ def _q_media_avc_mc(spark, sf_dir) -> DataFrame:
             w, h, 0, 1000, 40, codec="avc1", samples=nals,
             codec_config=build_avcc(build_h264_sps(w, h)))),
             "video", "mp4", w, h, None))
-    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(8)
+    df = _media_local_df(spark, rows).repartition(8)
     return (mp4_frames(df)
             .select("media_id", "frame_no", "decoded_w", "decoded_h",
                     F.expr("CAST(round(mean_intensity * decoded_w * "
@@ -5900,7 +5918,7 @@ def _q_media_avc_pres(spark, sf_dir) -> DataFrame:
             w, h, 0, 1000, 40, codec="avc1", samples=nals,
             codec_config=build_avcc(build_h264_sps(w, h)))),
             "video", "mp4", w, h, None))
-    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(8)
+    df = _media_local_df(spark, rows).repartition(8)
     return (mp4_frames(df)
             .select("media_id", "frame_no", "decoded_w", "decoded_h",
                     F.expr("CAST(round(mean_intensity * decoded_w * "
@@ -5981,7 +5999,7 @@ def _q_media_avc_cres(spark, sf_dir) -> DataFrame:
             w, h, 0, 1000, 40, codec="avc1", samples=nals,
             codec_config=build_avcc(build_h264_sps(w, h)))),
             "video", "mp4", w, h, None))
-    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(8)
+    df = _media_local_df(spark, rows).repartition(8)
     return (mp4_frames(df)
             .select("media_id", "frame_no", "decoded_w", "decoded_h",
                     F.expr("CAST(round(mean_intensity * decoded_w * "

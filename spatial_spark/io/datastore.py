@@ -202,7 +202,8 @@ def _geoms_to_df(spark, geoms, attrs) -> DataFrame:
                        for f in fields]))
     schema = ("geom binary, xmin double, ymin double, xmax double, ymax double"
               + "".join(f", {f} string" for f in fields))
-    return spark.createDataFrame(data, schema)
+    from ..localrel import arrow_local_df
+    return arrow_local_df(spark, data, schema)
 
 
 _GJL_SCHEMA = T.StructType([

@@ -618,7 +618,8 @@ def _read_headers(spark, paths: list) -> list:
                                               "env_json"])
 
     npart = max(1, min(len(paths), 256))
-    pdf = (spark.createDataFrame([(p,) for p in paths], "path string")
+    from ..localrel import arrow_local_df
+    pdf = (arrow_local_df(spark, [(p,) for p in paths], "path string")
            .repartition(npart))
     by_path = {r["path"]: r for r in pdf.mapInPandas(read_heads,
                                                      schema).collect()}
@@ -742,7 +743,8 @@ def fgb_source(spark, paths, bbox=None, manifest=None):
 
     if not paths:
         return spark.createDataFrame([], schema)
-    pdf = spark.createDataFrame([(p,) for p in paths], "path string") \
+    from ..localrel import arrow_local_df
+    pdf = arrow_local_df(spark, [(p,) for p in paths], "path string") \
         .repartition(len(paths))
     return pdf.mapInPandas(parse, schema)
 

@@ -361,7 +361,8 @@ def parse_osm_pbf(spark: SparkSession, path: str) -> dict:
              if btype == "OSMData"]
     if not spans:
         raise ValueError(f"{path}: no OSMData blobs")
-    spans_df = spark.createDataFrame(spans, "off long, size long")
+    from ..localrel import arrow_local_df
+    spans_df = arrow_local_df(spark, spans, "off long, size long")
     cols = ["kind", "id", "lon", "lat", "seq", "ref", "mtype", "role", "k",
             "v", "user", "uid", "ts", "changeset", "version"]
 

@@ -181,8 +181,10 @@ def render_tiles(df, bbox, tiles_x: int, tiles_y: int, tile_px: int = 256,
               xmin + (tx + 1) * tw, ymin + (ty + 1) * th)
              for tx in range(tiles_x) for ty in range(tiles_y)]
     spark = df.sparkSession
-    tiles_df = spark.createDataFrame(
-        tiles, "tx int, ty int, txmin double, tymin double, txmax double, tymax double")
+    from ..localrel import arrow_local_df
+    tiles_df = arrow_local_df(
+        spark, tiles,
+        "tx int, ty int, txmin double, tymin double, txmax double, tymax double")
     pairs = df.join(
         F.broadcast(tiles_df),
         (F.col("xmax") >= F.col("txmin")) & (F.col("xmin") <= F.col("txmax"))

@@ -245,7 +245,8 @@ def import_shapefile(ctx, shp_path: str, layer_name: str,
         else:
             t = T.StringType()
         fields.append(T.StructField(k, t))
-    df = ctx.spark.createDataFrame(rows, T.StructType(fields))
+    from ..localrel import arrow_local_df
+    df = arrow_local_df(ctx.spark, rows, T.StructType(fields))
     layer = ctx.create_layer(layer_name, crs=crs or "WGS84")
     layer.add(df)
     return layer

@@ -1281,5 +1281,7 @@ class Layer:
                  else T.BooleanType() if isinstance(v, bool) else T.StringType())
             fields.append(T.StructField(k, t))
             row.append(v)
-        df = self.ctx.spark.createDataFrame([tuple(row)], T.StructType(fields))
+        from .localrel import arrow_local_df
+        df = arrow_local_df(self.ctx.spark, [tuple(row)],
+                            T.StructType(fields))
         self.add(df, wkt="wkt")

@@ -151,8 +151,9 @@ def density_islands_greedy(df: DataFrame, density: float,
             labels.append((r[id_col], r[id_col]))
     spark = df.sparkSession
     id_type = df.schema[id_col].dataType.simpleString()
-    return spark.createDataFrame(
-        labels, f"{id_col} {id_type}, island {id_type}")
+    from ..localrel import arrow_local_df
+    return arrow_local_df(spark, labels,
+                          f"{id_col} {id_type}, island {id_type}")
 
 
 def density_islands(df: DataFrame, density: float, id_col: str = "id",

@@ -125,7 +125,8 @@ def _driver_union_find(nodes_l: DataFrame, edges_sym: DataFrame) -> DataFrame:
     spark = nodes_l.sparkSession
     if not mapping:
         return nodes_l.withColumn("island", F.col("node"))
-    map_df = spark.createDataFrame(mapping, "node long, island long")
+    from ..localrel import arrow_local_df
+    map_df = arrow_local_df(spark, mapping, "node long, island long")
     return (nodes_l.join(F.broadcast(map_df), "node", "left")
             .select("node", F.coalesce("island", "node").alias("island")))
 
@@ -466,8 +467,9 @@ def strongly_connected_components(edges: DataFrame, src: str = "src",
         pairs = [(r["src"], r["dst"]) for r in e.collect()]
         node_list = sorted({a for a, _ in pairs} | {b for _, b in pairs})
         lab = _driver_tarjan(node_list, pairs)
-        return spark.createDataFrame(
-            sorted(lab.items()), "node long, scc long")
+        from ..localrel import arrow_local_df
+        return arrow_local_df(spark, sorted(lab.items()),
+                              "node long, scc long")
 
     active_nodes = nodes.localCheckpoint(eager=True)
     active_edges = e

@@ -40,7 +40,8 @@ def make_fake_media_df(spark, n: int = 64) -> DataFrame:
         header = struct.pack("<4sIII", b"FAKE", w, h, i)
         body = bytes(((i * 31 + j * 7) % 251) for j in range(w * h))
         rows.append((i, header + body, "image", "fake", w, h, None))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    from ..localrel import arrow_local_df
+    return arrow_local_df(spark, rows, MEDIA_SCHEMA).repartition(8)
 
 
 def decode_features(df: DataFrame, decoder: str = "fake",

@@ -163,8 +163,9 @@ def sketch_quantiles(sketch_rows: DataFrame, qs: list[float]) -> DataFrame:
                   Window.orderBy("value", "level")
                   .rowsBetween(Window.unboundedPreceding, 0)))
               .withColumn("_n", F.sum("_w").over(Window.partitionBy())))
-    qdf = ranked.sparkSession.createDataFrame(
-        [(float(q),) for q in qs], "q double")
+    from ..localrel import arrow_local_df
+    qdf = arrow_local_df(ranked.sparkSession,
+                         [(float(q),) for q in qs], "q double")
     hits = (ranked.crossJoin(F.broadcast(qdf))
             .where(F.col("_cum") >=
                    F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("_n"))))
