@@ -3219,7 +3219,10 @@ def _q_mvt_export(spark, sf_dir) -> DataFrame:
     stream / varint layer is additionally pinned against the public
     spec's worked examples in pytest (golden bytes), so encoder and
     decoder cannot share a compensating bug.  Bounded collect: at
-    z=3 the world holds at most 64 tiles."""
+    z=3 the world holds at most 64 tiles.  (r15 opt note: an
+    executor-side decode was A/B'd and LOST here — 64 cheap point
+    tiles add a 64-task Python stage that costs more than the ~0.5s
+    serial loop it replaces; the clip-heavy geom gates keep it.)"""
     from spatial_spark.io.mvt import decode_mvt, mvt_tiles
     pts = _customer_points(spark).select(
         F.col("c_custkey").alias("id"), "lon", "lat")
@@ -3270,28 +3273,42 @@ def _q_mvt_lines(spark, sf_dir) -> DataFrame:
     against the DuckDB interval-clip replay (identical floor/clamp
     quantization; pieces whose two endpoints quantize to the SAME
     pixel are dropped by BOTH sides — the >=2-distinct-points path
-    rule).  Bounded collect: z=2 holds at most 16 tiles."""
+    rule).  z=2 holds at most 16 tiles; the independent decode runs as
+    a mapInPandas over those 16 tile rows (r15 opt: the old driver
+    decode loop was ~1s serial Python after the collect; distributing
+    it also lets the geom UDF run after a repartition instead of on the
+    single scan task the small part file plans — guide §2.6/§4)."""
     from spatial_spark.io.mvt import decode_mvt, mvt_tiles_geoms
+    par = spark.sparkContext.defaultParallelism
     df = (spark.sql(f"""
             SELECT p_partkey AS id, {_MVTP_X0} AS x0, {_MVTP_Y0} AS y0,
                    {_MVTP_X0} + {_MVTP_W} AS x1
             FROM part""")
+          .repartition(par)
           .withColumn("geom", F.expr(
               "st_geomfromtext(concat('LINESTRING (', x0, ' ', y0,"
               " ', ', x1, ' ', y0, ')'))"))
           .selectExpr("id", "geom", "x0 AS xmin", "y0 AS ymin",
                       "x1 AS xmax", "y0 AS ymax"))
-    out = []
-    for r in mvt_tiles_geoms(df, 2, layer_name="seg").collect():
-        layer = decode_mvt(bytes(r["mvt"]))[0]
-        for f in layer["features"]:
-            path = f["parts"][0]
-            out.append((r["tile_x"], r["tile_y"], f["id"],
-                        len(f["parts"]), len(path),
-                        path[0][0], path[-1][0], path[0][1]))
-    return _local_df(
-        spark, out, "tile_x bigint, tile_y bigint, id bigint, n_paths int, "
-             "n_pts int, px0 bigint, px1 bigint, py bigint")
+
+    def _decode(batches):
+        import pandas as pd
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                layer = decode_mvt(bytes(r.mvt))[0]
+                for f in layer["features"]:
+                    path = f["parts"][0]
+                    out.append((r.tile_x, r.tile_y, f["id"],
+                                len(f["parts"]), len(path),
+                                path[0][0], path[-1][0], path[0][1]))
+            yield pd.DataFrame(out, columns=[
+                "tile_x", "tile_y", "id", "n_paths", "n_pts",
+                "px0", "px1", "py"])
+
+    return mvt_tiles_geoms(df, 2, layer_name="seg").mapInPandas(
+        _decode, "tile_x bigint, tile_y bigint, id bigint, n_paths int, "
+                 "n_pts int, px0 bigint, px1 bigint, py bigint")
 
 
 def _mvt_lines_oracle_sql() -> str:
@@ -3351,28 +3368,40 @@ def _q_mvt_polygons(spark, sf_dir) -> DataFrame:
     DuckDB replay (rect ∩ tile = interval intersection; local integers
     by the same floor formulas; slivers whose quantized ring loses its
     area are dropped by BOTH sides — the MVT nonzero-area ring rule).
-    Bounded collect: z=2 holds at most 16 tiles."""
+    z=2 holds at most 16 tiles; the independent decode runs as a
+    mapInPandas over those 16 tile rows (r15 opt — see mvt_lines)."""
     from spatial_spark.io.mvt import decode_mvt, mvt_tiles_geoms
+    par = spark.sparkContext.defaultParallelism
     df = (spark.sql(f"""
             SELECT p_partkey AS id, {_MVTP_X0} AS x0, {_MVTP_Y0} AS y0,
                    {_MVTP_X0} + {_MVTP_W} AS x1,
                    {_MVTP_Y0} + {_MVTP_H} AS y1
             FROM part""")
+          .repartition(par)
           .withColumn("geom", F.expr("st_make_box(x0, y0, x1, y1)"))
           .selectExpr("id", "geom", "x0 AS xmin", "y0 AS ymin",
                       "x1 AS xmax", "y1 AS ymax"))
-    out = []
-    for r in mvt_tiles_geoms(df, 2, layer_name="parts").collect():
-        layer = decode_mvt(bytes(r["mvt"]))[0]
-        for f in layer["features"]:
-            ring = f["parts"][0]
-            xs = [pt[0] for pt in ring]
-            ys = [pt[1] for pt in ring]
-            out.append((r["tile_x"], r["tile_y"], f["id"], len(ring),
-                        min(xs), max(xs), min(ys), max(ys)))
-    return _local_df(
-        spark, out, "tile_x bigint, tile_y bigint, id bigint, n_pts int, "
-             "min_px bigint, max_px bigint, min_py bigint, max_py bigint")
+
+    def _decode(batches):
+        import pandas as pd
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                layer = decode_mvt(bytes(r.mvt))[0]
+                for f in layer["features"]:
+                    ring = f["parts"][0]
+                    xs = [pt[0] for pt in ring]
+                    ys = [pt[1] for pt in ring]
+                    out.append((r.tile_x, r.tile_y, f["id"], len(ring),
+                                min(xs), max(xs), min(ys), max(ys)))
+            yield pd.DataFrame(out, columns=[
+                "tile_x", "tile_y", "id", "n_pts",
+                "min_px", "max_px", "min_py", "max_py"])
+
+    return mvt_tiles_geoms(df, 2, layer_name="parts").mapInPandas(
+        _decode, "tile_x bigint, tile_y bigint, id bigint, n_pts int, "
+                 "min_px bigint, max_px bigint, min_py bigint, "
+                 "max_py bigint")
 
 
 def _mvt_polygons_oracle_sql() -> str:
