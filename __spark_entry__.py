@@ -92,6 +92,61 @@ def _arrow_local(spark: SparkSession, rows, schema) -> DataFrame:
     return arrow_local_df(spark, rows, schema)
 
 
+# State-store / shuffle width for the capped streaming-gate fixtures.
+# Each stateful operator checkpoints one state-store instance PER shuffle
+# partition PER micro-batch; the gate fixtures are capped at <=2k keys, so
+# 8 partitions paid 4x the commit+task overhead of 2 for identical
+# results (interleaved A/B at sf0.1: interval_join_outer stream phase
+# 6.5-7.9s at 8 -> 4.0-4.3s at 2).  Parameterized: production streams
+# size this by key cardinality/volume, not by a constant (guide §2.2).
+_STREAM_GATE_SHUFFLE = os.environ.get("SPARK_GRAFT_STREAM_GATE_PARTITIONS",
+                                      "2")
+
+
+def _stream_slices(src_dir: str, slices, cols) -> None:
+    """Write fixture slices as single parquet files with pyarrow, on the
+    driver.  Replaces the N per-slice ``coalesce(1)`` Spark write jobs in
+    the streaming gates' prep (~0.3-0.5s each, plus the persist they
+    forced) with one collect + tiny driver IO — the capped fixtures are
+    a few thousand rows by contract (guide §5: move small-frame work off
+    the job scheduler).  ``slices``: (subdir, pandas frame) pairs;
+    ``cols``: (name, kind) with kind 'i64'|'f64'|'str'|'us' — 'us' is
+    int64 epoch-micros written as timestamp(us, UTC), which Spark's
+    streaming reader decodes to the identical TIMESTAMP values the old
+    Spark-written files held."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    kinds = {"i64": pa.int64(), "f64": pa.float64(), "str": pa.string()}
+    for sub, pdf in slices:
+        arrays, names = [], []
+        for name, kind in cols:
+            v = pdf[name]
+            if kind == "us":
+                arrays.append(pa.array(v.to_numpy(dtype="int64"),
+                                       pa.int64())
+                              .cast(pa.timestamp("us", tz="UTC")))
+            elif kind == "str":
+                arrays.append(pa.array(v.astype(object), pa.string()))
+            else:
+                arrays.append(pa.array(v.to_numpy(dtype=kind.replace(
+                    "i64", "int64").replace("f64", "float64")),
+                    kinds[kind]))
+            names.append(name)
+        d = os.path.join(src_dir, sub)
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(pa.table(dict(zip(names, arrays))),
+                       os.path.join(d, "part-0.parquet"))
+
+
+def _ntile(n_rows: int, n: int):
+    """Replicate F.ntile(n) bucket ids (1-based) over n_rows ordered
+    rows: the first (n_rows % n) buckets get ceil(n_rows/n) rows."""
+    import numpy as np
+    base, extra = divmod(n_rows, n)
+    return np.repeat(np.arange(1, n + 1),
+                     [base + (1 if i < extra else 0) for i in range(n)])
+
+
 def _media_local_df(spark: SparkSession, rows) -> DataFrame:
     """MEDIA_SCHEMA fixture rows -> one Arrow local relation.  The old
     Python-rows createDataFrame planned a 32-slice pickled relation:
@@ -3106,30 +3161,30 @@ def _q_tile_counts_stream(spark, sf_dir) -> DataFrame:
     import shutil
     import tempfile
 
-    from pyspark.sql import Window
     from spatial_spark.operators.tiles import windowed_tile_counts
     from spatial_spark.streaming.events import run_batchlike
 
     work = tempfile.mkdtemp(prefix="tile_stream_gate_")
     old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    ev = None
+    spark.conf.set("spark.sql.shuffle.partitions", _STREAM_GATE_SHUFFLE)
     try:
         src = os.path.join(work, "src")
-        # persist: 4 slice writes would otherwise re-run the ntile
-        # window each (the r14 fixture-audit recipe, applied r15)
-        ev = (spark.table("events")
-              .filter(F.col("event_id") <= 2000)
-              .select("event_id", "ts",
-                      F.expr(EV_LON).alias("lon"),
-                      F.expr(EV_LAT).alias("lat"))
-              .withColumn("_slice", F.ntile(4).over(
-                  Window.orderBy("ts", "event_id")))
-              .persist())
-        for b in range(1, 5):
-            (ev.filter(F.col("_slice") == b).drop("_slice")
-             .coalesce(1)
-             .write.mode("overwrite").parquet(os.path.join(src, f"b{b}")))
+        # r15 opt: ONE collect + driver-side pyarrow slice writes replace
+        # the persist + 4 coalesce(1) write jobs (the ntile split is
+        # replicated exactly by position over the same (ts, event_id)
+        # order — see _ntile); the capped fixture is <=2k rows
+        pdf = (spark.table("events")
+               .filter(F.col("event_id") <= 2000)
+               .select("event_id", F.expr("unix_micros(ts)").alias("ts"),
+                       F.expr(EV_LON).alias("lon"),
+                       F.expr(EV_LAT).alias("lat"))
+               .toPandas()
+               .sort_values(["ts", "event_id"], kind="mergesort")
+               .reset_index(drop=True))
+        sl = _ntile(len(pdf), 4)
+        _stream_slices(src, [(f"b{b}", pdf[sl == b]) for b in range(1, 5)],
+                       [("event_id", "i64"), ("ts", "us"),
+                        ("lon", "f64"), ("lat", "f64")])
         stream = (spark.readStream
                   .schema("event_id bigint, ts timestamp, "
                           "lon double, lat double")
@@ -3144,8 +3199,6 @@ def _q_tile_counts_stream(spark, sf_dir) -> DataFrame:
             spark, rows, "window_epoch bigint, tile_z int, tile_x bigint, "
                   "tile_y bigint, n bigint")
     finally:
-        if ev is not None:
-            ev.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
         shutil.rmtree(work, ignore_errors=True)
 
@@ -4269,26 +4322,24 @@ def _q_kmv_stream(spark, sf_dir) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="kmv_stream_gate_")
     old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    toks = None
+    spark.conf.set("spark.sql.shuffle.partitions", _STREAM_GATE_SHUFFLE)
     try:
         src = os.path.join(work, "src")
-        # persist: 5 slice writes would otherwise rescan + re-explode
-        # documents each (the r14 fixture-audit recipe, applied r15)
+        # r15 opt: tokenization stays in Spark (identical split/lower
+        # semantics) but ONE collect + driver-side pyarrow writes
+        # replace the persist + 5 coalesce(1) write jobs.  One file per
+        # slice → exactly 5 micro-batches under maxFilesPerTrigger=1.
         toks = (spark.table("documents")
                 .filter(F.col("doc_id") <= 200)
                 .select("doc_id",
                         F.explode(F.filter(
                             F.split(F.lower(F.col("text")), r"\s+"),
                             lambda t: F.length(t) > 0)).alias("tok"))
-                .persist())
-        for b in range(5):
-            # one file per slice → exactly 5 micro-batches under
-            # maxFilesPerTrigger=1 (a multi-file slice would multiply
-            # the per-batch streaming latency by the file count)
-            (toks.filter(F.col("doc_id") % 5 == b).select("tok")
-             .coalesce(1)
-             .write.mode("overwrite").parquet(os.path.join(src, f"b{b}")))
+                .toPandas())
+        _stream_slices(src,
+                       [(f"b{b}", toks[toks["doc_id"] % 5 == b][["tok"]])
+                        for b in range(5)],
+                       [("tok", "str")])
         stream = (spark.readStream.schema("tok string")
                   .option("maxFilesPerTrigger", 1)
                   .parquet(src + "/b*"))
@@ -4306,8 +4357,6 @@ def _q_kmv_stream(spark, sf_dir) -> DataFrame:
         return _local_df(
             spark, rows, "n bigint, h_max bigint, est_distinct double")
     finally:
-        if toks is not None:
-            toks.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
         shutil.rmtree(work, ignore_errors=True)
 
@@ -4333,20 +4382,20 @@ def _q_quantile_stream(spark, sf_dir) -> DataFrame:
                                                   stream_quantile_sketch)
 
     work = tempfile.mkdtemp(prefix="quantile_stream_gate_")
-    vals = None
     try:
         src = os.path.join(work, "src")
-        # persist: 4 slice writes would otherwise rescan customer
-        # each (the r14 fixture-audit recipe, applied r15)
+        # r15 opt: one collect + driver-side pyarrow slice writes replace
+        # the persist + 4 coalesce(1) Spark write jobs (same recipe as
+        # the other stream gates; the %29 fixture is a few hundred rows)
         vals = (spark.table("customer")
                 .where(F.col("c_custkey") % 29 == 0)
                 .select("c_custkey",
                         F.col("c_acctbal").cast("double").alias("v"))
-                .persist())
-        for b in range(4):
-            (vals.filter(F.col("c_custkey") % 4 == b).select("v")
-             .coalesce(1)
-             .write.mode("overwrite").parquet(os.path.join(src, f"b{b}")))
+                .toPandas())
+        _stream_slices(src,
+                       [(f"b{b}", vals[vals["c_custkey"] % 4 == b][["v"]])
+                        for b in range(4)],
+                       [("v", "f64")])
         stream = (spark.readStream.schema("v double")
                   .option("maxFilesPerTrigger", 1)
                   .parquet(src + "/b*"))
@@ -4361,8 +4410,6 @@ def _q_quantile_stream(spark, sf_dir) -> DataFrame:
         rows = out.collect()        # before the temp state dir goes
         return _local_df(spark, rows, "q double, value double")
     finally:
-        if vals is not None:
-            vals.unpersist()
         shutil.rmtree(work, ignore_errors=True)
 
 
@@ -4691,38 +4738,41 @@ def _q_interval_join_stream(spark, sf_dir) -> DataFrame:
     import tempfile
     import time as _time
 
-    from spatial_spark.streaming.events import stream_interval_join
+    from spatial_spark.streaming.events import (run_batchlike_ck,
+                                                 stream_interval_join)
 
     work = tempfile.mkdtemp(prefix="ivj_gate_")
     # the stream-stream join's state store is partitioned at
     # spark.sql.shuffle.partitions per stateful operator per batch;
-    # 8 partitions ample for the capped fixture (restored in finally)
+    # sized for the capped fixture (restored in finally)
     old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    ev = None
+    spark.conf.set("spark.sql.shuffle.partitions", _STREAM_GATE_SHUFFLE)
     try:
-        # persist: the agg + 2 sides x 2 halves would otherwise each
-        # rescan events (the ivjo r14 fixture-audit recipe)
+        # r15 opt: one collect + driver-side pyarrow slice writes
+        # replace the persist + agg job + 4 coalesce(1) write jobs;
+        # mid replicates CAST(avg(unix_millis) AS BIGINT) exactly
+        # (exact int64 sum, one double division, truncation)
         ev = (spark.table("events")
               .filter(F.col("user_id") % 5 == 0)
-              .select("event_id", "user_id", "event_type", "ts")
-              .persist())
-        mid = ev.agg(F.expr(
-            "timestamp_millis(CAST(avg(unix_millis(ts)) AS BIGINT))")
-        ).first()[0]
+              .select("event_id", "user_id", "event_type",
+                      F.expr("unix_micros(ts)").alias("us"))
+              .toPandas())
+        ms = ev["us"] // 1000
+        mid_us = int(ms.sum() / len(ms)) * 1000
         srcs = {}
         now = _time.time()
         for side, typ in (("views", "view"), ("purch", "purchase")):
             d = os.path.join(work, side)
             srcs[side] = d
-            part = ev.filter(F.col("event_type") == typ) \
-                .select("event_id", "user_id", "ts")
-            for i, pred in enumerate((F.col("ts") <= F.lit(mid),
-                                      F.col("ts") > F.lit(mid))):
+            part = ev[ev["event_type"] == typ].rename(
+                columns={"us": "ts"})
+            _stream_slices(d, [("b0", part[part["ts"] <= mid_us]),
+                               ("b1", part[part["ts"] > mid_us])],
+                           [("event_id", "i64"), ("user_id", "i64"),
+                            ("ts", "us")])
+            for i in range(2):   # time-ordered replay
                 sub = os.path.join(d, f"b{i}")
-                part.filter(pred).coalesce(1).write.mode(
-                    "overwrite").parquet(sub)
-                for f in os.listdir(sub):   # time-ordered replay
+                for f in os.listdir(sub):
                     os.utime(os.path.join(sub, f),
                              (now - 600 + 300 * i,) * 2)
         schema = "event_id bigint, user_id bigint, ts timestamp"
@@ -4736,21 +4786,15 @@ def _q_interval_join_stream(spark, sf_dir) -> DataFrame:
                                       ts_col="ts", lower="0 seconds",
                                       upper="4 hours",
                                       watermark="30 minutes")
-        out_dir = os.path.join(work, "out")
-        q = (joined.select(F.col("l_event_id").alias("view_id"),
-                           F.col("r_event_id").alias("purchase_id"),
-                           "user_id")
-             .writeStream.format("parquet")
-             .option("path", out_dir)
-             .option("checkpointLocation", os.path.join(work, "ck"))
-             .trigger(availableNow=True).start())
-        q.awaitTermination(600)
-        rows = spark.read.parquet(out_dir).collect()
+        out = run_batchlike_ck(
+            joined.select(F.col("l_event_id").alias("view_id"),
+                          F.col("r_event_id").alias("purchase_id"),
+                          "user_id"),
+            os.path.join(work, "ck"))
+        rows = out.collect()
         return _local_df(
             spark, rows, "view_id bigint, purchase_id bigint, user_id bigint")
     finally:
-        if ev is not None:
-            ev.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
         shutil.rmtree(work, ignore_errors=True)
 
@@ -4774,46 +4818,50 @@ def _q_interval_join_outer(spark, sf_dir) -> DataFrame:
     import tempfile
     import time as _time
 
-    from spatial_spark.streaming.events import stream_interval_join_outer
+    from spatial_spark.streaming.events import (
+        run_batchlike_ck, stream_interval_join_outer)
 
     work = tempfile.mkdtemp(prefix="ivjo_gate_")
     old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    ev = None
+    spark.conf.set("spark.sql.shuffle.partitions", _STREAM_GATE_SHUFFLE)
     try:
-        # persist: the agg + 2 sides x 2 halves would otherwise each
-        # rescan events.  r15 phase profile (the r14 persist alone
-        # didn't move the driver number, as the verdict flagged): the
-        # true cost was the two SENTINEL writes — a 1-row Python
-        # createDataFrame plans a defaultParallelism(32)-task local
-        # relation, ~4-5s per write; the JVM-side range(1).select(lit)
-        # below is ~0.2s, halving the whole gate (13.9 -> ~7s)
+        # r15 opt round two (the r14 persist didn't move the driver
+        # number; the r15 build round found the 32-task sentinel local
+        # relations and fixed those): prep is now ONE collect + driver-
+        # side pyarrow slice writes — the agg job, the persist, and all
+        # six per-slice Spark write jobs are gone; the sentinel is two
+        # pyarrow rows.  State runs at _STREAM_GATE_SHUFFLE partitions
+        # (A/B: stream phase 6.5-7.9s at 8 -> 4.0s at 2, rows equal)
+        # and the join lands in a memory sink instead of a parquet sink
+        # + re-read.  Sentinels still carry user_id -1 and are excluded
+        # AFTER the collect (a pre-sink filter would push down to the
+        # scans and starve the watermark — see the r11 note above).
+        import pandas as pd
         ev = (spark.table("events")
               .filter(F.col("user_id") % 5 == 0)
-              .select("event_id", "user_id", "event_type", "ts")
-              .persist())
-        mid, hi = ev.agg(
-            F.expr("timestamp_millis(CAST(avg(unix_millis(ts)) "
-                   "AS BIGINT))"),
-            F.expr("timestamp_millis(max(unix_millis(ts)) "
-                   "+ 864000000)")).first()
+              .select("event_id", "user_id", "event_type",
+                      F.expr("unix_micros(ts)").alias("us"))
+              .toPandas())
+        ms = ev["us"] // 1000
+        mid_us = int(ms.sum() / len(ms)) * 1000
+        hi_us = (int(ms.max()) + 864000000) * 1000
+        sentinel = pd.DataFrame(
+            {"event_id": [-1], "user_id": [-1], "ts": [hi_us]})
         srcs = {}
         now = _time.time()
         for side, typ in (("views", "view"), ("purch", "purchase")):
             d = os.path.join(work, side)
             srcs[side] = d
-            part = ev.filter(F.col("event_type") == typ) \
-                .select("event_id", "user_id", "ts")
-            slices = [part.filter(F.col("ts") <= F.lit(mid)),
-                      part.filter(F.col("ts") > F.lit(mid)),
-                      spark.range(1).select(
-                          F.lit(-1).cast("bigint").alias("event_id"),
-                          F.lit(-1).cast("bigint").alias("user_id"),
-                          F.lit(hi).cast("timestamp").alias("ts"))]
-            for i, sl in enumerate(slices):
+            part = ev[ev["event_type"] == typ].rename(
+                columns={"us": "ts"})
+            _stream_slices(d, [("b0", part[part["ts"] <= mid_us]),
+                               ("b1", part[part["ts"] > mid_us]),
+                               ("b2", sentinel)],
+                           [("event_id", "i64"), ("user_id", "i64"),
+                            ("ts", "us")])
+            for i in range(3):   # time-ordered replay
                 sub = os.path.join(d, f"b{i}")
-                sl.coalesce(1).write.mode("overwrite").parquet(sub)
-                for f in os.listdir(sub):   # time-ordered replay
+                for f in os.listdir(sub):
                     os.utime(os.path.join(sub, f),
                              (now - 600 + 200 * i,) * 2)
         schema = "event_id bigint, user_id bigint, ts timestamp"
@@ -4829,23 +4877,16 @@ def _q_interval_join_outer(spark, sf_dir) -> DataFrame:
                                             lower="0 seconds",
                                             upper="4 hours",
                                             watermark="30 minutes")
-        out_dir = os.path.join(work, "out")
-        q = (joined.select(F.col("l_event_id").alias("view_id"),
-                           F.coalesce(F.col("r_event_id"),
-                                      F.lit(-1)).alias("purchase_id"),
-                           "user_id")
-             .writeStream.format("parquet")
-             .option("path", out_dir)
-             .option("checkpointLocation", os.path.join(work, "ck"))
-             .trigger(availableNow=True).start())
-        q.awaitTermination(600)
-        rows = [r for r in spark.read.parquet(out_dir).collect()
-                if r.user_id >= 0]
+        out = run_batchlike_ck(
+            joined.select(F.col("l_event_id").alias("view_id"),
+                          F.coalesce(F.col("r_event_id"),
+                                     F.lit(-1)).alias("purchase_id"),
+                          "user_id"),
+            os.path.join(work, "ck"))
+        rows = [r for r in out.collect() if r.user_id >= 0]
         return _local_df(
             spark, rows, "view_id bigint, purchase_id bigint, user_id bigint")
     finally:
-        if ev is not None:
-            ev.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
         shutil.rmtree(work, ignore_errors=True)
 
@@ -4881,49 +4922,43 @@ def _q_funnel_stream(spark, sf_dir) -> DataFrame:
     import shutil
     import tempfile
 
-    from pyspark.sql import Window
+    from spatial_spark.streaming.events import run_batchlike_ck
     from spatial_spark.streaming.funnel import funnel_stream
 
     steps = ["view", "click", "purchase"]
     work = tempfile.mkdtemp(prefix="funnel_stream_gate_")
     old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    ev = None
+    spark.conf.set("spark.sql.shuffle.partitions", _STREAM_GATE_SHUFFLE)
     try:
         src = os.path.join(work, "src")
-        # persist: 4 slice writes would otherwise re-run the ntile
-        # window each (r14 fixture audit)
-        ev = (spark.table("events")
-              .filter(F.col("event_id") <= 2000)
-              .select("event_id", "ts", "user_id", "event_type")
-              .withColumn("_slice", F.ntile(4).over(
-                  Window.orderBy("ts", "event_id")))
-              .persist())
-        for b in range(1, 5):
-            (ev.filter(F.col("_slice") == b).drop("_slice")
-             .coalesce(1)
-             .write.mode("overwrite").parquet(os.path.join(src, f"b{b}")))
+        # r15 opt: one collect + pyarrow slice writes replace the persist
+        # + 4 coalesce(1) write jobs; ntile replicated by position (same
+        # (ts, event_id) order — _ntile); memory sink replaces the
+        # parquet sink + re-read (same rows, no file-sink commit machinery)
+        pdf = (spark.table("events")
+               .filter(F.col("event_id") <= 2000)
+               .select("event_id", F.expr("unix_micros(ts)").alias("ts"),
+                       "user_id", "event_type")
+               .toPandas()
+               .sort_values(["ts", "event_id"], kind="mergesort")
+               .reset_index(drop=True))
+        sl = _ntile(len(pdf), 4)
+        _stream_slices(src, [(f"b{b}", pdf[sl == b]) for b in range(1, 5)],
+                       [("event_id", "i64"), ("ts", "us"),
+                        ("user_id", "i64"), ("event_type", "str")])
         stream = (spark.readStream
                   .schema("event_id bigint, ts timestamp, "
                           "user_id bigint, event_type string")
                   .option("maxFilesPerTrigger", 1)
                   .parquet(src + "/b*"))
-        out_dir = os.path.join(work, "out")
-        q = (funnel_stream(stream, steps)
-             .writeStream.format("parquet")
-             .option("path", out_dir)
-             .option("checkpointLocation", os.path.join(work, "ck"))
-             .trigger(availableNow=True).start())
-        q.awaitTermination(600)
-        adv = spark.read.parquet(out_dir)
+        adv = run_batchlike_ck(funnel_stream(stream, steps),
+                               os.path.join(work, "ck"))
         rows = (adv.groupBy("step_idx", "step")
                 .agg(F.count(F.lit(1)).alias("n_users"))
                 .orderBy("step_idx").collect())
         return _local_df(
             spark, rows, "step_idx int, step string, n_users bigint")
     finally:
-        if ev is not None:
-            ev.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
         shutil.rmtree(work, ignore_errors=True)
 
@@ -4971,51 +5006,40 @@ def _q_dedup_stream(spark, sf_dir) -> DataFrame:
     import shutil
     import tempfile
 
-    from pyspark.sql import Window
     from spatial_spark.streaming.dedup import dedup_stream
+    from spatial_spark.streaming.events import run_batchlike_ck
 
     work = tempfile.mkdtemp(prefix="dedup_stream_gate_")
     old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    docs = None
+    spark.conf.set("spark.sql.shuffle.partitions", _STREAM_GATE_SHUFFLE)
     try:
         src = os.path.join(work, "src")
-        docs = (spark.table("documents")
-                .filter(F.col("doc_id") <= 2000)
-                .select(
-                    "doc_id",
-                    F.concat(F.lit("content-"),
-                             (F.col("doc_id") % 97).cast("string"))
-                    .alias("text"),
-                    F.timestamp_millis(F.col("doc_id") * 60000)
-                    .alias("ts"))
-                .withColumn("_slice", F.ntile(4).over(
-                    Window.orderBy("ts", "doc_id")))
-                .persist())
-        for b in range(1, 5):
-            (docs.filter(F.col("_slice") == b).drop("_slice")
-             .coalesce(1)
-             .write.mode("overwrite").parquet(os.path.join(src, f"b{b}")))
+        # r15 opt: the fixture is pure doc_id arithmetic — build it in
+        # pandas from ONE scan of the ids (ntile over (ts, doc_id) ==
+        # doc_id order because ts = doc_id * 60000 ms); memory sink
+        # replaces the parquet sink + re-read
+        pdf = (spark.table("documents")
+               .filter(F.col("doc_id") <= 2000)
+               .select("doc_id").toPandas()
+               .sort_values("doc_id", kind="mergesort")
+               .reset_index(drop=True))
+        pdf["text"] = "content-" + (pdf["doc_id"] % 97).astype(str)
+        pdf["ts"] = pdf["doc_id"] * 60_000_000   # epoch micros
+        sl = _ntile(len(pdf), 4)
+        _stream_slices(src, [(f"b{b}", pdf[sl == b]) for b in range(1, 5)],
+                       [("doc_id", "i64"), ("text", "str"), ("ts", "us")])
         stream = (spark.readStream
                   .schema("doc_id bigint, text string, ts timestamp")
                   .option("maxFilesPerTrigger", 1)
                   .parquet(src + "/b*"))
-        out_dir = os.path.join(work, "out")
-        q = (dedup_stream(stream, text_col="text", ts_col="ts",
-                          delay="30 days")
-             .writeStream.format("parquet")
-             .option("path", out_dir)
-             .option("checkpointLocation", os.path.join(work, "ck"))
-             .trigger(availableNow=True).start())
-        q.awaitTermination(600)
-        rows = (spark.read.parquet(out_dir)
-                .groupBy("text")
+        out = run_batchlike_ck(
+            dedup_stream(stream, text_col="text", ts_col="ts",
+                         delay="30 days"), os.path.join(work, "ck"))
+        rows = (out.groupBy("text")
                 .agg(F.count(F.lit(1)).alias("n_emitted"))
                 .orderBy("text").collect())
         return _local_df(spark, rows, "text string, n_emitted bigint")
     finally:
-        if docs is not None:
-            docs.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
         shutil.rmtree(work, ignore_errors=True)
 
@@ -5041,45 +5065,39 @@ def _q_retention_stream(spark, sf_dir) -> DataFrame:
     import shutil
     import tempfile
 
-    from pyspark.sql import Window
+    from spatial_spark.streaming.events import run_batchlike_ck
     from spatial_spark.streaming.retention import retention_stream
 
     work = tempfile.mkdtemp(prefix="retention_stream_gate_")
     old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    ev = None
+    spark.conf.set("spark.sql.shuffle.partitions", _STREAM_GATE_SHUFFLE)
     try:
         src = os.path.join(work, "src")
-        ev = (spark.table("events")
-              .filter(F.col("event_id") <= 2000)
-              .select("event_id", "user_id", "ts")
-              .withColumn("_slice", F.ntile(4).over(
-                  Window.orderBy("ts", "event_id")))
-              .persist())
-        for b in range(1, 5):
-            (ev.filter(F.col("_slice") == b).drop("_slice")
-             .coalesce(1)
-             .write.mode("overwrite").parquet(os.path.join(src, f"b{b}")))
+        # r15 opt: one collect + pyarrow slice writes; memory sink
+        # replaces the parquet sink + re-read (see funnel_stream)
+        pdf = (spark.table("events")
+               .filter(F.col("event_id") <= 2000)
+               .select("event_id", "user_id",
+                       F.expr("unix_micros(ts)").alias("ts"))
+               .toPandas()
+               .sort_values(["ts", "event_id"], kind="mergesort")
+               .reset_index(drop=True))
+        sl = _ntile(len(pdf), 4)
+        _stream_slices(src, [(f"b{b}", pdf[sl == b]) for b in range(1, 5)],
+                       [("event_id", "i64"), ("user_id", "i64"),
+                        ("ts", "us")])
         stream = (spark.readStream
                   .schema("event_id bigint, user_id bigint, ts timestamp")
                   .option("maxFilesPerTrigger", 1)
                   .parquet(src + "/b*"))
-        out_dir = os.path.join(work, "out")
-        q = (retention_stream(stream)
-             .writeStream.format("parquet")
-             .option("path", out_dir)
-             .option("checkpointLocation", os.path.join(work, "ck"))
-             .trigger(availableNow=True).start())
-        q.awaitTermination(600)
-        rows = (spark.read.parquet(out_dir)
-                .groupBy("cohort_week", "weeks_since")
+        out = run_batchlike_ck(retention_stream(stream),
+                               os.path.join(work, "ck"))
+        rows = (out.groupBy("cohort_week", "weeks_since")
                 .agg(F.count(F.lit(1)).alias("n_users"))
                 .orderBy("cohort_week", "weeks_since").collect())
         return _local_df(
             spark, rows, "cohort_week string, weeks_since int, n_users bigint")
     finally:
-        if ev is not None:
-            ev.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
         shutil.rmtree(work, ignore_errors=True)
 

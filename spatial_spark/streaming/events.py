@@ -79,6 +79,22 @@ def run_batchlike(stream_df: DataFrame, out_mode: str = "append"):
     return stream_df.sparkSession.table(name)
 
 
+def run_batchlike_ck(stream_df: DataFrame, checkpoint: str,
+                     out_mode: str = "append"):
+    """run_batchlike with an explicit checkpoint directory — for the
+    stateful gates that previously wrote a parquet file sink just to
+    read it back: the memory sink returns the same rows without the
+    per-batch file-sink commit machinery or the re-read job."""
+    import uuid
+    name = "s_" + uuid.uuid4().hex[:8]
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode(out_mode)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
 def zone_transitions(events: DataFrame, zone, entity_col: str = "user_id",
                      ts_col: str = "ts", order_cols: list | None = None) -> DataFrame:
     """Per-entity zone-transition detection — the geofence enter/exit
