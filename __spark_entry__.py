@@ -986,23 +986,40 @@ def _q_st_transform_registry(spark, sf_dir) -> DataFrame:
     cm integers hash-compared against the dual-engine closed-form
     CTEs.  The registry rows are pure DATA over kernels whose SQL
     twins are already pinned; unknown codes still refuse.  Parity
-    envelope: DefaultLayer.java:135-141 (GeoTools CRS decode)."""
-    out = None
-    for code, kind, params, lon_b, lon_m, lat_b, lat_m in _REG_GATE_SPECS:
-        lon, lat = _reg_gate_lonlat(lon_b, lon_m, lat_b, lat_m)
-        blk = (spark.table("customer")
-               .select("c_custkey", F.expr(lon).alias("lon"),
-                       F.expr(lat).alias("lat"))
-               .withColumn("u", F.expr(
-                   f"st_transform(st_point(lon, lat), 'EPSG:4326', "
-                   f"'EPSG:{code}')"))
-               .select(F.lit(code).alias("code"), "c_custkey",
-                       F.expr("CAST(round(st_x(u) * 100) AS BIGINT)")
-                       .alias("e_cm"),
-                       F.expr("CAST(round(st_y(u) * 100) AS BIGINT)")
-                       .alias("n_cm")))
-        out = blk if out is None else out.unionAll(blk)
-    return out
+    envelope: DefaultLayer.java:135-141 (GeoTools CRS decode).
+
+    r15 opt (guide §4): the old 20-branch unionAll planned 20 separate
+    customer scans with 80 ArrowEvalPython nodes (2 Python stages per
+    branch); st_transform's per-row-CRS fast path already groups an
+    Arrow batch by (src, dst) and transforms each group vectorized, so
+    the registry is now DATA — a 20-row broadcast frame cross-joined
+    onto ONE spread customer scan, one st_transform pass, identical
+    float64 arithmetic per code (same literals, same int modulus, same
+    double division)."""
+    from spatial_spark.partitioning import spread
+    rows = [(code, float(lon_b), int(lon_m), float(lat_b), int(lat_m))
+            for code, _k, _p, lon_b, lon_m, lat_b, lat_m
+            in _REG_GATE_SPECS]
+    codes = _arrow_local(
+        spark, rows,
+        "code int, lon_b double, lon_m bigint, lat_b double, lat_m bigint")
+    cust = spread(spark.table("customer").select("c_custkey"))
+    return (cust.crossJoin(F.broadcast(codes))
+            .select("code", "c_custkey",
+                    (F.col("lon_b")
+                     + ((F.col("c_custkey") * 7919) % F.col("lon_m"))
+                     .cast("double") / 100.0).alias("lon"),
+                    (F.col("lat_b")
+                     + ((F.col("c_custkey") * 104729) % F.col("lat_m"))
+                     .cast("double") / 100.0).alias("lat"))
+            .withColumn("u", F.expr(
+                "st_transform(st_point(lon, lat), 'EPSG:4326', "
+                "concat('EPSG:', CAST(code AS STRING)))"))
+            .select("code", "c_custkey",
+                    F.expr("CAST(round(st_x(u) * 100) AS BIGINT)")
+                    .alias("e_cm"),
+                    F.expr("CAST(round(st_y(u) * 100) AS BIGINT)")
+                    .alias("n_cm")))
 
 
 def _registry_oracle_sql() -> str:
@@ -3092,10 +3109,13 @@ def _q_image_dedup_groups(spark, sf_dir) -> DataFrame:
     from spatial_spark.operators.imagehash import (hamming_near_dup_pairs,
                                                    image_hashes)
     hashes = image_hashes(_image_hash_fixture_df(spark), methods=("dhash",))
-    pairs = hamming_near_dup_pairs(hashes, hash_col="dhash",
+    # r15: signatures cached once — pairs AND the node list otherwise
+    # each replay the GIF decode+hash mapInPandas lineage (guide §5)
+    sig = hashes.select("media_id", "dhash").cache()
+    pairs = hamming_near_dup_pairs(sig, hash_col="dhash",
                                    max_distance=16)
     comp = min_label_components(
-        hashes.select(F.col("media_id").alias("node")),
+        sig.select(F.col("media_id").alias("node")),
         pairs.select(F.col("id_a").alias("a_id"),
                      F.col("id_b").alias("b_id")))
     return (comp.select(F.col("node").alias("media_id"),

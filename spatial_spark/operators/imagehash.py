@@ -234,9 +234,16 @@ def hamming_near_dup_pairs(df: DataFrame, hash_col: str = "dhash",
         raise ValueError("max_distance must be in [0, 63]")
     nb = t + 1
     base, extra = divmod(64, nb)
+    # cache the (id, hash) projection: it is referenced four times below
+    # (distinct hashes, both cross sides, within-groups) and its lineage
+    # usually contains the decode+hash mapInPandas — without the cache
+    # the whole image decode re-runs per reference (r15; the minhash
+    # twin has cached its signatures the same way since r7).  One row
+    # per image, two longs — bounded at any corpus size.
     ids = (df.select(F.col(id_col).alias("_id"),
                      F.col(hash_col).alias("_h"))
-           .where(F.col(hash_col).isNotNull()))
+           .where(F.col(hash_col).isNotNull())
+           .cache())
     hashes = ids.select("_h").distinct()
     # block b covers `base` bits (+1 for the first `extra` blocks)
     blocks = []

@@ -64,6 +64,13 @@ def pretrain_pipeline(docs: DataFrame,
     from .operators.profile import corpus_stats
     from .operators.sample import deterministic_shuffle
     from .operators.text import gopher_rules, language_id
+    from .partitioning import spread
+
+    # Widen a narrow scan ONCE before the heavy per-row stages (lang-id,
+    # Gopher metrics, digesting, shingling): a single-file source plans
+    # one task and the whole chain runs on one core otherwise.  No-op on
+    # production-width inputs (spread is conditional).
+    docs = spread(docs)
 
     out: dict = {"stats_before": corpus_stats(
         docs, by="source", text_col=text_col,
@@ -164,11 +171,16 @@ def image_dedup_pipeline(media: DataFrame, target_w: int = 8,
 
     resized = resize_images(media, target_w, target_h)
     hashes = image_hashes(resized, methods=(hash_method,))
-    pairs = hamming_near_dup_pairs(hashes, hash_col=hash_method,
+    # materialize the signatures ONCE (id + hash only — never the
+    # payloads): pairs and the component node list both sit on the
+    # decode→resize→hash mapInPandas lineage, which otherwise re-runs
+    # per reference (r15, guide §5)
+    sig = hashes.select(id_col, hash_method).cache()
+    pairs = hamming_near_dup_pairs(sig, hash_col=hash_method,
                                    max_distance=max_distance,
                                    id_col=id_col)
     comp = min_label_components(
-        hashes.select(F.col(id_col).alias("node")),
+        sig.select(F.col(id_col).alias("node")),
         pairs.select(F.col("id_a").alias("a_id"),
                      F.col("id_b").alias("b_id")))
     result = (comp.select(F.col("node").alias(id_col),
