@@ -3905,14 +3905,25 @@ def _q_bloom_dedup(spark, sf_dir) -> DataFrame:
 def _q_cms_hitters(spark, sf_dir) -> DataFrame:
     """Count-min heavy-hitter tokens (width 512, depth 3 — narrow
     enough that counters genuinely collide) with their upward-biased
-    estimates; the oracle replays the identical md5 grid."""
+    estimates; the oracle replays the identical md5 grid.
+
+    r15 opt (guide §2/§4): fold token FREQUENCIES first (one map-side-
+    combined agg over a spread scan), then build the sketch weighted by
+    the counts and probe only the distinct tokens — count-min is linear,
+    so sum(1 per occurrence) == sum(cnt per distinct token) counter for
+    counter, and the md5 grid work drops from 2 x occurrences x depth to
+    distinct x depth.  The old shape also re-ran the whole explode for
+    the probe pass."""
     from spatial_spark.operators.sketch import build_cms, cms_heavy_hitters
-    toks = (spark.table("documents")
+    from spatial_spark.partitioning import spread
+    toks = (spread(spark.table("documents"))
             .select(F.explode(F.filter(
                 F.split(F.lower(F.col("text")), r"\s+"),
                 lambda t: F.length(t) > 0)).alias("tok")))
-    cms = build_cms(toks, "tok", width=512, depth=3)
-    return cms_heavy_hitters(toks, cms, "tok", min_count=100,
+    freqs = (toks.groupBy("tok")
+             .agg(F.count(F.lit(1)).alias("cnt")).cache())
+    cms = build_cms(freqs, "tok", width=512, depth=3, weight_col="cnt")
+    return cms_heavy_hitters(freqs, cms, "tok", min_count=100,
                              width=512, depth=3)
 
 

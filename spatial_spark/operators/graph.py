@@ -223,7 +223,8 @@ def min_label_components(nodes: DataFrame, edges: DataFrame,
 
 
 def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
-             src: str = "src", dst: str = "dst") -> DataFrame:
+             src: str = "src", dst: str = "dst",
+             checkpoint_every: int = 4) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list; returns
     (node, rank) for every endpoint after ``iters`` power steps.
 
@@ -236,9 +237,15 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
 
         rank'(v) = (1 - d)/N + d * sum_{(u,v) in E} rank(u)/outdeg(u)
 
-    Per-round ``localCheckpoint`` truncates the iterative lineage the
-    same way min_label_components does, so iters=20 does not compile a
-    20-deep join tree."""
+    ``localCheckpoint`` every ``checkpoint_every`` rounds truncates the
+    iterative lineage the same way min_label_components does, so
+    iters=20 does not compile a 20-deep join tree — but a short run
+    (iters <= the period) stays ONE lazy plan that AQE optimizes whole,
+    instead of paying a materialization job per round (r15, guide §5:
+    each eager checkpoint was a full 32-partition shuffle-join job; the
+    3-step gate ran 3 of them where 1 suffices).  The final frame is
+    always checkpointed eagerly, so consumers that both count and
+    re-read it (the gate shape) compute the power steps once."""
     e = edges.select(F.col(src).alias("src"),
                      F.col(dst).alias("dst")).distinct()
     # the per-iteration loop touches three STATIC frames (edges with
@@ -254,7 +261,7 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     n_nodes = nodes.count()
     base = (1.0 - damping) / n_nodes
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (e_deg.join(ranks.withColumnRenamed("node", "src"),
                               "src")
                    .select(F.col("dst").alias("node"),
@@ -266,8 +273,10 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
                  .select("node",
                          (F.lit(base) + F.lit(damping)
                           * F.coalesce(F.col("contrib"), F.lit(0.0)))
-                         .alias("rank"))
-                 .localCheckpoint(eager=True))
+                         .alias("rank")))
+        if i + 1 < iters and (i + 1) % max(checkpoint_every, 1) == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    ranks = ranks.localCheckpoint(eager=True)
     e_deg.unpersist()
     nodes.unpersist()
     return ranks
