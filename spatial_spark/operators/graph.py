@@ -83,10 +83,13 @@ def _split_active(nodes: DataFrame, edges_sym: DataFrame):
 _DRIVER_UNION_FIND_EDGES = 4_000_000
 
 
-def _driver_union_find(nodes_l: DataFrame, edges_sym: DataFrame) -> DataFrame:
-    """Small-graph short-circuit: collect the (cached, symmetrized) edge
-    list, run union-find on the driver, broadcast the endpoint→island
-    mapping back, and label the corpus with ONE broadcast left join.
+def _driver_union_find(nodes_l: DataFrame, edges_one: DataFrame) -> DataFrame:
+    """Small-graph short-circuit: collect the (cached, ONE-directional)
+    edge list, run union-find on the driver, broadcast the
+    endpoint→island mapping back, and label the corpus with ONE
+    broadcast left join.  Union-find is direction-blind, so the caller
+    never symmetrizes for this path (r15: the union's two branches each
+    replayed the candidate-pair lineage — half the collect, one compute).
 
     Matches the distributed loop's semantics exactly: an edge only takes
     effect if BOTH endpoints are in ``nodes`` (the loop drops the other
@@ -100,11 +103,14 @@ def _driver_union_find(nodes_l: DataFrame, edges_sym: DataFrame) -> DataFrame:
     turns the whole clustering step into a single broadcast join over the
     corpus — no iterative job overhead at all.
     """
-    eps = edges_sym.select("a_id", "b_id").collect()
-    endpoint_rows = (nodes_l.join(
-        F.broadcast(edges_sym.select(F.col("a_id").alias("node"))),
-        "node", "left_semi").collect())
-    member = {r["node"] for r in endpoint_rows}
+    # Arrow collects (guide §6): pickled Row paths pay per-row cost; the
+    # pair list is two long columns.
+    eps = edges_one.select("a_id", "b_id").toPandas()
+    endpoints = edges_one.select(F.col("a_id").alias("node")).union(
+        edges_one.select(F.col("b_id").alias("node")))
+    member_pdf = (nodes_l.join(F.broadcast(endpoints), "node", "left_semi")
+                  .toPandas())
+    member = set(member_pdf["node"].tolist())
     parent = {n: n for n in member}
 
     def find(x):
@@ -115,8 +121,7 @@ def _driver_union_find(nodes_l: DataFrame, edges_sym: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for r in eps:
-        a, b = r["a_id"], r["b_id"]
+    for a, b in zip(eps["a_id"].tolist(), eps["b_id"].tolist()):
         if a in member and b in member:
             ra, rb = find(a), find(b)
             if ra != rb:
@@ -148,18 +153,24 @@ def min_label_components(nodes: DataFrame, edges: DataFrame,
     Graphs whose edge list fits on the driver (≤ ``driver_threshold``
     symmetrized rows) skip the loop entirely via ``_driver_union_find``.
     """
-    edges = edges.select(F.col("a_id").cast("long").alias("a_id"),
-                         F.col("b_id").cast("long").alias("b_id"))
-    edges = edges.union(edges.select(F.col("b_id").alias("a_id"),
-                                     F.col("a_id").alias("b_id"))).cache()
+    # Cache the ONE-directional edge list and count it first (r15, guide
+    # §2.4/§5): symmetrizing before the cache made the union's two
+    # branches each replay the candidate-pair lineage (minhash/banding/
+    # verify — the expensive part) inside the count job.  Now the pairs
+    # compute exactly once; the symmetrized frame, when the iterative
+    # path needs it, is a cheap union over the in-memory rows.
+    e0 = edges.select(F.col("a_id").cast("long").alias("a_id"),
+                      F.col("b_id").cast("long").alias("b_id")).cache()
 
     nodes_l = nodes.select(F.col("node").cast("long").alias("node"))
-    n_edges = edges.count()  # materializes the cache either way
+    n_edges = 2 * e0.count()  # symmetrized row count, as documented
     if n_edges <= driver_threshold:
         try:
-            return _driver_union_find(nodes_l, edges)
+            return _driver_union_find(nodes_l, e0)
         finally:
-            edges.unpersist()
+            e0.unpersist()
+    edges = e0.union(e0.select(F.col("b_id").alias("a_id"),
+                               F.col("a_id").alias("b_id"))).cache()
     active, _ = _split_active(nodes_l, edges)
     labels = (active
               .withColumn("island", F.col("node"))
@@ -207,6 +218,7 @@ def min_label_components(nodes: DataFrame, edges: DataFrame,
         if changed == 0:
             break
     edges.unpersist()
+    e0.unpersist()
     if changed != 0:
         warnings.warn(
             f"min_label_components: did not converge within {max_rounds} "
