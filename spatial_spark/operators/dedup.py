@@ -795,40 +795,45 @@ def remove_duplicate_spans(df: DataFrame, n: int = 8,
     — the conservative form that needs no global occurrence ordering,
     and what decontamination-style scrubbing wants anyway).
 
-    Shape: spans explode to (doc, idx) drop-rows (bounded by the
-    corpus's duplicated-token volume, not its size), tokens left-anti
-    equi-join them per (doc, idx) — no range join needed — and the
-    survivors rebuild in position order with the same min-struct-free
-    groupBy as paragraph_dedup.  Span MATCHING is case-insensitive (it
-    reuses ``duplicate_spans``' lowercased grams) but the rebuild keeps
-    each surviving token's ORIGINAL case — lowercasing never moves a
-    whitespace boundary, so the original-case split has the same token
-    positions as the lowered one and the drop indices line up.
-    Whitespace runs do collapse to single spaces (tokens rejoin with
-    ``" "``), same as ``paragraph_dedup``'s separator rejoin.  Returns
+    Shape (r15, guide §2.3/§2.4 — aggregate before the shuffle, then go
+    map-only): spans fold to ONE per-doc drop-index array (bounded by
+    the corpus's duplicated-token volume, never exploded), join back to
+    the input per DOC row, and the rebuild is a pure array expression —
+    ``array_except(sequence(0, T-1), drop)`` keeps surviving positions
+    in order, ``element_at`` rebuilds the text.  The old shape
+    posexploded every token twice and shuffled the whole corpus through
+    a (doc, idx) anti-join plus a collect_list/sort agg; now the only
+    token-granular shuffle left is inside ``duplicate_spans`` itself.
+    Span MATCHING is case-insensitive (it reuses ``duplicate_spans``'
+    lowercased grams) but the rebuild keeps each surviving token's
+    ORIGINAL case — lowercasing never moves a whitespace boundary, so
+    the original-case split has the same token positions as the lowered
+    one and the drop indices line up.  Whitespace runs do collapse to
+    single spaces (tokens rejoin with ``" "``), same as
+    ``paragraph_dedup``'s separator rejoin.  Returns
     ``(id_col, text, n_kept, n_removed)`` for every input row."""
     spans = duplicate_spans(df, n, text_col, id_col, min_docs)
-    drop = spans.select(
-        F.col(id_col),
-        F.explode(F.expr("sequence(span_start, span_end)")).alias("idx"))
-    toks = df.select(
-        F.col(id_col),
-        F.posexplode(F.filter(F.split(F.col(text_col), r"\s+"),
-                              lambda t: F.length(t) > 0))
-        .alias("idx", "tok"))
-    kept = toks.join(drop, [id_col, "idx"], "left_anti")
-    rebuilt = (kept.groupBy(id_col)
-               .agg(F.array_join(
-                        F.transform(
-                            F.array_sort(F.collect_list(
-                                F.struct("idx", "tok"))),
-                            lambda s: s["tok"]), " ").alias("_text"),
-                    F.count(F.lit(1)).alias("n_kept")))
-    totals = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_total"))
-    return (df.select(id_col).join(totals, id_col, "left")
-            .join(rebuilt, id_col, "left")
+    drop = (spans.groupBy(id_col)
+            .agg(F.flatten(F.collect_list(
+                F.expr("sequence(span_start, span_end)"))).alias("_drop")))
+    toks = F.filter(F.split(F.col(text_col), r"\s+"),
+                    lambda t: F.length(t) > 0)
+    keep_idx = F.array_except(
+        F.when(F.size("_toks") > 0,
+               F.sequence(F.lit(0), F.size("_toks") - 1))
+        .otherwise(F.array().cast("array<int>")),
+        F.coalesce(F.col("_drop"), F.array().cast("array<int>")))
+    return (df.select(id_col, toks.alias("_toks"))
+            .join(drop, id_col, "left")
+            .select(F.col(id_col), F.col("_toks"),
+                    F.size("_toks").alias("_total"),
+                    keep_idx.alias("_keep"))
             .select(id_col,
-                    F.coalesce("_text", F.lit("")).alias("text"),
-                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-                    (F.coalesce("_total", F.lit(0))
-                     - F.coalesce("n_kept", F.lit(0))).alias("n_removed")))
+                    F.array_join(
+                        F.transform("_keep",
+                                    lambda i: F.element_at(
+                                        "_toks", (i + 1).cast("int"))),
+                        " ").alias("text"),
+                    F.size("_keep").cast("long").alias("n_kept"),
+                    (F.col("_total") - F.size("_keep")).cast("long")
+                    .alias("n_removed")))
