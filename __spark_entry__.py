@@ -1309,7 +1309,7 @@ def _q_mp4_meta(spark, sf_dir) -> DataFrame:
         rows.append((i, bytearray(build_mp4(
             w, h, n, 1000, delta, codec=codecs_by_mod[i % 3])),
             "video", "mp4", w, h, None))
-    df = _media_local_df(spark, rows)
+    df = _media_local_df(spark, rows).repartition(8)
     return mp4_metadata(df)
 
 
@@ -1352,7 +1352,7 @@ def _q_mp4_codec_meta(spark, sf_dir) -> DataFrame:
                 codec_config=build_esds(build_aac_asc(obj, rate, ch)))
             rows.append((i, bytearray(payload), "audio", "mp4",
                          None, None, None))
-    df = _media_local_df(spark, rows)
+    df = _media_local_df(spark, rows).repartition(8)
     return mp4_codec_meta(df)
 
 
@@ -2353,7 +2353,7 @@ def _q_media_mjpeg(spark, sf_dir) -> DataFrame:
         rows.append((1000 + i, bytearray(build_mp4(
             64, 48, 5, 1000, 40, codec="avc1")), "video", "mp4",
             64, 48, None))
-    df = _media_local_df(spark, rows)
+    df = _media_local_df(spark, rows).repartition(8)
     return (mp4_frames(df)
             .select("media_id", "frame_no", "decoded_w", "decoded_h",
                     F.round("mean_intensity", 6).alias("mean_intensity"))
@@ -2395,7 +2395,7 @@ def _q_media_avc_ipcm(spark, sf_dir) -> DataFrame:
         rows.append((1000 + i, bytearray(build_mp4(
             64, 48, 5, 1000, 40, codec="avc1")), "video", "mp4",
             64, 48, None))
-    df = _media_local_df(spark, rows)
+    df = _media_local_df(spark, rows).repartition(8)
     return (mp4_frames(df)
             .select("media_id", "frame_no", "decoded_w", "decoded_h",
                     F.round("mean_intensity", 6).alias("mean_intensity"))
@@ -2445,7 +2445,7 @@ def _q_media_resize(spark, sf_dir) -> DataFrame:
         img[:, wa:] = u
         rows.append((i, bytearray(encode_gif(img)), "image", "gif",
                      w, h, None))
-    df = _media_local_df(spark, rows)
+    df = _media_local_df(spark, rows).repartition(8)
     return (decode_features(resize_images(df, 8, 4), decoder="real")
             .select("media_id", "decoded_w", "decoded_h",
                     F.round("mean_intensity", 6).alias("mean_intensity"))
@@ -2473,7 +2473,7 @@ def _q_media_gif(spark, sf_dir) -> DataFrame:
         img[:, w // 2:] = u
         rows.append((i, bytearray(encode_gif(img)),
                      "image", "gif", w, h, None))
-    df = _media_local_df(spark, rows)
+    df = _media_local_df(spark, rows).repartition(8)
     return (decode_features(df, decoder="real")
             .select("media_id", "decoded_w", "decoded_h",
                     F.round("mean_intensity", 6).alias("mean_intensity")))
@@ -4155,7 +4155,7 @@ def _q_media_avc_cavlc(spark, sf_dir) -> DataFrame:
         rows.append((1000 + i, bytearray(build_mp4(
             64, 48, 5, 1000, 40, codec="avc1")), "video", "mp4",
             64, 48, None))
-    df = _media_local_df(spark, rows)
+    df = _media_local_df(spark, rows).repartition(8)
     return (mp4_frames(df)
             .select("media_id", "frame_no", "decoded_w", "decoded_h",
                     F.round("mean_intensity", 6).alias("mean_intensity"))
