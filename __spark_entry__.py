@@ -4186,19 +4186,25 @@ def _q_kmv_intersect(spark, sf_dir) -> DataFrame:
     scaled by domain/theta; the oracle replays sketches and estimator."""
     from spatial_spark.operators.sketch import (build_kmv,
                                                 kmv_intersect_estimate)
-
-    def toks_of(src):
-        return (spark.table("documents")
-                .filter(F.col("source") == src)
-                .select(F.explode(F.filter(
-                    F.split(F.lower(F.col("text")), r"\s+"),
-                    lambda t: F.length(t) > 0)).alias("tok")))
+    from spatial_spark.partitioning import spread
 
     srcs = [r[0] for r in spark.table("documents")
             .select("source").distinct().orderBy("source").limit(2)
             .collect()]
-    a = build_kmv(toks_of(srcs[0]), "tok", k=256)
-    b = build_kmv(toks_of(srcs[1]), "tok", k=256)
+    # r15 opt (guide §2.3/§5): ONE grouped build over one scan instead
+    # of two separate corpus scans, and the tiny (<= 2k rows) sketch
+    # frame cached — kmv_intersect_estimate references each side twice
+    # (stats + common join), which re-ran the corpus distinct per
+    # reference.  Grouped bottom-k == per-source bottom-k exactly
+    # (merge == rebuild; same md5-u60 grid).
+    toks = (spread(spark.table("documents"))
+            .filter(F.col("source").isin(srcs))
+            .select("source", F.explode(F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda t: F.length(t) > 0)).alias("tok")))
+    g = build_kmv(toks, "tok", k=256, group_col="source").cache()
+    a = g.filter(F.col("grp") == srcs[0]).select("pos", "h")
+    b = g.filter(F.col("grp") == srcs[1]).select("pos", "h")
     return kmv_intersect_estimate(a, b, k=256)
 
 

@@ -215,7 +215,12 @@ def perplexity_buckets(df: DataFrame, ref_df: DataFrame | None = None,
     if smoothing not in ("kn", "additive"):
         raise ValueError(f"unknown smoothing {smoothing!r}")
     scored = scorer(df, ref_df, text_col=text_col, id_col=id_col)
-    joined = df.select(id_col, by).join(scored, id_col)
+    # cache the scored per-doc rows (narrow: id, by, n_bigrams, nll):
+    # the ranked subframe and the final left join BOTH read this frame,
+    # and its lineage is the whole bigram scoring pass, which otherwise
+    # runs twice (r15, guide §5 — same fix as minhash's cached
+    # signatures)
+    joined = df.select(id_col, by).join(scored, id_col).cache()
     # rank ONLY scored rows: a NULL-nll row must not occupy an ntile
     # slot and shift every real document's bucket
     w = Window.partitionBy(by).orderBy(F.col("nll").asc(),
