@@ -364,6 +364,21 @@ class Layer:
                 "geom", "xmin", "ymin", "xmax", "ymax").cast("int"))
         else:
             body = body.withColumn("_rect", F.lit(0))
+        # r15 opt (guide §5/§2.4): repartitionByRange's key-sampling pass
+        # re-executes the whole encode subtree (WKT/WKB parse + the zkey
+        # and rect pandas UDFs) before the write re-runs it for real.
+        # For NARROW inputs (at most one task wave — every gate fixture,
+        # and any small layer) persisting the encoded frame makes the
+        # sampling pass fill the cache and the write read it: the encode
+        # runs once.  Production-shaped inputs (more splits than cores)
+        # skip the persist — duplicating a 100 TB frame into the cache
+        # would cost more than the second scan it saves.
+        _persisted = None
+        try:
+            if body.rdd.getNumPartitions() <= n:
+                _persisted = body.persist()
+        except Exception:  # pragma: no cover — exotic plans; stay lazy
+            _persisted = None
         # observe sits ABOVE the range shuffle: repartitionByRange's sampling
         # pass re-executes the subtree below it, which would double-count
         writer = (body
@@ -385,34 +400,39 @@ class Layer:
         # the lock, and the file set only becomes visible at the
         # manifest publish — a crash mid-write leaves invisible orphans
         man = self._manifest
-        with man.lock() as lk:
-            self._adopt_manifest(man, lk.token)
-            if mode == "overwrite":
-                before = man.snapshot_names()
-                writer.mode("overwrite").parquet(self.path)
-                after = man.snapshot_names()
-                stats = self._footer_stats(sorted(after - before))
-                man.commit(sorted(after), lock_token=lk.token, stats=stats)
-            else:
-                # r12: the append is O(changed) END TO END — the job
-                # writes a fresh tmp dir (listing it lists only the new
-                # files, never the store), part files move in through
-                # the manifest IO, and commit_delta publishes without
-                # materializing the snapshot or opening any existing
-                # shard doc.  Part names carry a per-job UUID, so moves
-                # cannot collide with store files.
-                tmp = self.path + ".add.tmp"
-                writer.mode("overwrite").parquet(tmp)
-                man.io.mkdirs(self.path)
-                moved = []
-                for p in man.io.listdir(tmp):
-                    if p.startswith("part-"):
-                        man.io.rename(os.path.join(tmp, p),
-                                      os.path.join(self.path, p))
-                        moved.append(p)
-                man.io.remove_dir(tmp)
-                man.commit_delta(add=sorted(moved), lock_token=lk.token,
-                                 stats=self._footer_stats(sorted(moved)))
+        try:
+            with man.lock() as lk:
+                self._adopt_manifest(man, lk.token)
+                if mode == "overwrite":
+                    before = man.snapshot_names()
+                    writer.mode("overwrite").parquet(self.path)
+                    after = man.snapshot_names()
+                    stats = self._footer_stats(sorted(after - before))
+                    man.commit(sorted(after), lock_token=lk.token,
+                               stats=stats)
+                else:
+                    # r12: the append is O(changed) END TO END — the job
+                    # writes a fresh tmp dir (listing it lists only the new
+                    # files, never the store), part files move in through
+                    # the manifest IO, and commit_delta publishes without
+                    # materializing the snapshot or opening any existing
+                    # shard doc.  Part names carry a per-job UUID, so moves
+                    # cannot collide with store files.
+                    tmp = self.path + ".add.tmp"
+                    writer.mode("overwrite").parquet(tmp)
+                    man.io.mkdirs(self.path)
+                    moved = []
+                    for p in man.io.listdir(tmp):
+                        if p.startswith("part-"):
+                            man.io.rename(os.path.join(tmp, p),
+                                          os.path.join(self.path, p))
+                            moved.append(p)
+                    man.io.remove_dir(tmp)
+                    man.commit_delta(add=sorted(moved), lock_token=lk.token,
+                                     stats=self._footer_stats(sorted(moved)))
+        finally:
+            if _persisted is not None:
+                _persisted.unpersist()
         try:
             self.ctx.catalog.merge_stats(self.name, dict(obs.get),
                                          replace=(mode == "overwrite"))

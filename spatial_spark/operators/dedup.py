@@ -163,8 +163,14 @@ def simhash_64(df: DataFrame, text_col: str = "text",
     # shiftleft(1L, 63) wraps to the sign bit — same value as -(2^63)
     fold = " | ".join(f"IF(b{i} > 0, shiftleft(1L, {i}), 0L)" for i in range(64))
     out = sums.select(F.col(id_col), F.expr(fold).alias("simhash"))
-    # docs with zero tokens hash to 0
-    empty = (df.join(out, id_col, "left_anti")
+    # docs with zero tokens hash to 0.  Complement computed MAP-ONLY from
+    # the text itself (a doc is empty iff no split token survives the
+    # length filter) — the previous left-anti join against `out`
+    # re-evaluated the whole explode + 64-aggregate subtree a second
+    # time (r15 opt, guide §2.4/§1.2); coalesce keeps null-text docs.
+    has_tok = F.size(F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                              lambda t: F.length(t) > 0)) > 0
+    empty = (df.filter(~F.coalesce(has_tok, F.lit(False)))
              .select(F.col(id_col), F.lit(0).cast("long").alias("simhash")))
     return out.unionByName(empty)
 
@@ -237,6 +243,14 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         F.transform(zipped,
                     lambda s: F.xxhash64(*[s[f"t{i}"] for i in range(n)])),
         1, F.greatest(F.size(tcol) - (n - 1), F.lit(1))))
+    # r15 opt (guide §1.2/§5): materialize the per-doc distinct gram-hash
+    # arrays ONCE.  grams (exploded), sizes, and — in capped mode — the
+    # two recount sides all derive from this frame; previously each
+    # consumer re-ran the regex split + gram hashing + array_distinct
+    # over the corpus (2 full tokenize passes in exact mode, 4 in capped
+    # mode).  The cached rows are (id, array<long>) ≈ 8 bytes per token —
+    # the narrow proxy, not the text payload (guide §8).
+    gsets = pre.select(F.col(id_col), garr.alias("_g")).cache()
     # Pair generation: ONE groupBy(gram) collects each gram's (tiny) doc
     # list, singleton grams — the vast majority of any corpus — drop
     # before expansion, and ordered pairs expand IN PLACE.  vs the naive
@@ -265,7 +279,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         return (b.select(F.explode(pair_arr).alias("p"))
                 .select("p.a_id", "p.b_id"))
 
-    grams = pre.select(F.col(id_col), F.explode(garr).alias("gram"))
+    grams = gsets.select(F.col(id_col), F.explode("_g").alias("gram"))
     if max_df is None:
         # fully exact mode: each shared distinct gram contributes EXACTLY
         # one pair row, so |A∩B| is a straight count — no recount joins.
@@ -281,7 +295,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                  .groupBy("a_id", "b_id")
                  .agg(F.count(F.lit(1)).alias("n_common")))
     # |A∪B| = |A|+|B|-|A∩B|; per-doc distinct-gram counts are a pure map
-    sizes = pre.select(F.col(id_col), F.size(garr).alias("n_grams"))
+    sizes = gsets.select(F.col(id_col), F.size("_g").alias("n_grams"))
     sa = sizes.select(F.col(id_col).alias("a_id"), F.col("n_grams").alias("a_n"))
     sb = sizes.select(F.col(id_col).alias("b_id"), F.col("n_grams").alias("b_n"))
     return (inter.join(sa, "a_id").join(sb, "b_id")
@@ -589,7 +603,12 @@ def cosine_pairs_exact(df: DataFrame, vec_col: str = "embedding",
               m.ravel().tolist(), m.shape[0], m.shape[1]]],
             columns=["ck", "ids", "vecs", "n", "d"])
 
-    chunks = unit.groupBy("_ck").applyInPandas(pack, pack_schema)
+    # r15 opt (guide §5): both cross-join sides read the packed chunks;
+    # uncached, the normalize + groupBy + applyInPandas pack stage (a
+    # full Python pass over every embedding) executed twice per call.
+    # The cache holds n_chunks rows totalling one copy of the unit
+    # vectors — the same bytes the GEMM stage ships anyway.
+    chunks = unit.groupBy("_ck").applyInPandas(pack, pack_schema).cache()
     a = chunks.select(F.col("ck").alias("a_ck"), F.col("ids").alias("a_ids"),
                       F.col("vecs").alias("a_vecs"), F.col("n").alias("a_n"),
                       F.col("d").alias("a_d"))
@@ -703,7 +722,12 @@ def dedup_against(df: DataFrame, reference: DataFrame,
                               k=bloom_k)
     sigs_c = minhash_signatures(df, text_col, id_col,
                                 num_perm, shingle_k).cache()
-    sigs_r = minhash_signatures(reference, rtext, rid, num_perm, shingle_k)
+    # r15 opt (guide §5): the reference signatures are consumed twice
+    # (banding + the r_sig join-back); uncached, the shingle+permute
+    # Arrow pass over the reference ran twice per call.  The cached rows
+    # are (id, 64 ints) — same narrow shape sigs_c already caches.
+    sigs_r = minhash_signatures(reference, rtext, rid,
+                                num_perm, shingle_k).cache()
     bc = _band_signatures(sigs_c, id_col, num_perm, bands)
     br = (_band_signatures(sigs_r, rid, num_perm, bands)
           .withColumnRenamed(rid, "_ref_id"))
@@ -759,9 +783,15 @@ def duplicate_spans(df: DataFrame, n: int = 8, text_col: str = "text",
         F.transform(zipped,
                     lambda s: F.xxhash64(*[s[f"t{i}"] for i in range(n)])),
         1, F.greatest(F.size(tcol) - (n - 1), F.lit(1)))
-    grams = pre.select(
-        F.col(id_col), F.size(tcol).alias("_L"),
-        F.posexplode(gram_arr).alias("idx", "g"))
+    # r15 opt (guide §1.2/§5): the exploded gram stream feeds BOTH the
+    # doc-frequency agg and the position join — uncached, the regex
+    # tokenize + gram hashing of the whole corpus ran once per consumer.
+    # Cache the per-doc gram-hash ARRAYS (8 bytes/token — the narrow
+    # proxy, not the text or the exploded rows) and explode from there.
+    garrs = pre.select(F.col(id_col), F.size(tcol).alias("_L"),
+                       gram_arr.alias("_ga")).cache()
+    grams = garrs.select(
+        F.col(id_col), "_L", F.posexplode("_ga").alias("idx", "g"))
     dfreq = (grams.groupBy("g")
              .agg(F.countDistinct(id_col).alias("_d"))
              .filter(F.col("_d") >= min_docs).select("g"))

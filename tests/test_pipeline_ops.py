@@ -69,6 +69,20 @@ def test_simhash(spark):
     assert (1, 2) in ids and not any(3 in p for p in ids)
 
 
+def test_simhash_empty_docs(spark):
+    """Zero-token docs hash to 0 (the r15 map-only complement path must
+    classify empty / whitespace-only / null text exactly like the old
+    left-anti join against the aggregate did)."""
+    from spatial_spark.operators.dedup import simhash_64
+    df = spark.createDataFrame(
+        [(1, "some real tokens here"), (2, ""), (3, "   "), (4, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["simhash"] for r in simhash_64(df).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[2] == out[3] == out[4] == 0
+    assert out[1] != 0
+
+
 def test_ngram_jaccard(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e f g h"), (2, "a b c d e f g x"), (3, "p q r s t u v w")],
