@@ -1615,11 +1615,15 @@ def _q_filter_equal(spark, sf_dir) -> DataFrame:
     Norm/Topo pipes (GeoPipeline equality family).  Input capped at
     4000 rows (r9): per-row WKT-build semantics fixture, not a scan
     benchmark — same honesty cap as isvalid_isempty."""
-    base = spark.sql(f"""
+    from spatial_spark.partitioning import spread
+    # spread: the single-file scan plans ONE task, so both ArrowEvalPython
+    # stages (WKT parse x2 + 3 equality kernels per row) serialized on
+    # one core (r15, guide §2.1)
+    base = spread(spark.sql(f"""
         SELECT p_partkey, {PART_X0} AS x0, {PART_Y0} AS y0,
                {PART_W} AS w, {PART_H} AS h FROM part
         WHERE p_partkey <= 4000
-    """)
+    """))
     a = ("concat('POLYGON ((', x0, ' ', y0, ', ', x0+w, ' ', y0, ', ', "
          "x0+w, ' ', y0+h, ', ', x0, ' ', y0+h, ', ', x0, ' ', y0, '))')")
     rot = ("concat('POLYGON ((', x0+w, ' ', y0, ', ', x0+w, ' ', y0+h, "
@@ -1684,11 +1688,14 @@ def _q_isvalid_isempty(spark, sf_dir) -> DataFrame:
     4000 rows: this is a per-row semantics fixture (WKT build + two
     kernel calls each), not a scan benchmark — the cap keeps the bench
     honest about what it measures."""
-    base = spark.sql(f"""
+    from spatial_spark.partitioning import spread
+    # spread: the single-file scan plans ONE task, so the per-row kernel
+    # work (the whole gate) serialized on one core (r15, guide §2.1)
+    base = spread(spark.sql(f"""
         SELECT p_partkey, {PART_X0} AS x0, {PART_Y0} AS y0,
                {PART_W} AS w, {PART_H} AS h FROM part
         WHERE p_partkey <= 4000
-    """)
+    """))
     rect = "st_make_box(x0, y0, x0+w, y0+h)"
     bow = ("st_geomfromtext(concat('POLYGON ((', x0, ' ', y0, ', ', "
            "x0+w, ' ', y0+h, ', ', x0+w, ' ', y0, ', ', x0, ' ', y0+h, "
