@@ -189,6 +189,33 @@ def encode_mvt(features: list, name: str = "layer",
     return bytes(_w_bytes(3, bytes(layer)))          # Tile.layers
 
 
+def _encode_feature_notags(fid: int, gtype: int, parts: list) -> bytes:
+    """One UNWRAPPED Feature message for a tag-less feature —
+    byte-identical to the feature body ``encode_mvt`` builds when
+    ``tags`` is empty (pinned by a test), so per-feature blobs can be
+    encoded in parallel and concatenated per tile."""
+    f = bytearray()
+    f += _w_field(1, int(fid))
+    f += _w_field(3, int(gtype))
+    geom = bytearray()
+    for c in _encode_geometry(gtype, parts):
+        geom += _w_uvarint(c)
+    f += _w_bytes(4, bytes(geom))
+    return bytes(f)
+
+
+def _assemble_layer_notags(body: bytes, name: str, extent: int) -> bytes:
+    """Tile bytes from pre-encoded feature bodies (already
+    ``_w_bytes(2, ...)``-wrapped and concatenated in feature order) —
+    byte-identical to ``encode_mvt`` with no keys/values tables."""
+    layer = bytearray()
+    layer += _w_field(15, 2)                         # version
+    layer += _w_bytes(1, name.encode("utf-8"))
+    layer += bytes(body)
+    layer += _w_field(5, int(extent))
+    return bytes(_w_bytes(3, bytes(layer)))          # Tile.layers
+
+
 def decode_mvt(buf: bytes) -> list:
     """Tile bytes -> [{"name", "extent", "version", "features":
     [{"id", "type", "parts", "tags"}]}]."""
@@ -355,7 +382,17 @@ def mvt_tiles_geoms(df: DataFrame, z: int, id_col: str = "id",
     Vertex integerization floors onto the extent grid, so geometry is
     exact only when vertices land on grid points (the test fixtures) —
     production tiling accepts the sub-pixel quantization, as every
-    tiler does."""
+    tiler does.
+
+    Execution shape (r15): the per-(tile, feature) clip + feature
+    encode runs in a map stage over rows hash-balanced on
+    (tile, fid) — a hot tile's features spread across the whole
+    cluster instead of serializing on that tile's one task (this
+    path's features carry no tags, so feature blobs are
+    byte-independent; pinned by a test against ``encode_mvt``).  The
+    per-tile stage only concatenates the encoded blobs in fid order
+    and wraps the layer header, so the tile-keyed shuffle carries
+    encoded bytes, not WKB, and tile skew no longer makes stragglers."""
     import math
 
     n = 1 << z
@@ -392,35 +429,40 @@ def mvt_tiles_geoms(df: DataFrame, z: int, id_col: str = "id",
         T.StructField("n_features", T.LongType()),
     ])
 
-    def pack(key, pdf):
+    def clip_encode(batches):
         import pandas as pd
 
         from ..geom import Geometry, from_wkb
         from ..geom.clip import intersection
-        tx, ty = int(key[0]), int(key[1])
-        lon0, lat0, lon1, lat1 = _tile_envelope(z, tx, ty)
-        box = Geometry.box(lon0, lat0, lon1, lat1)
+        env_cache: dict = {}
 
-        def local(x, y):
-            xn = (x + 180.0) / 360.0
-            lat_c = min(max(y, -MAX_MERC_LAT), MAX_MERC_LAT)
-            yn = (1.0 - math.log(math.tan(math.radians(lat_c))
-                                 + 1.0 / math.cos(math.radians(lat_c)))
-                  / math.pi) / 2.0
-            px = int(min(max(math.floor(extent * (xn * n - tx)), 0),
-                         extent - 1))
-            py = int(min(max(math.floor(extent * (yn * n - ty)), 0),
-                         extent - 1))
-            return px, py
+        def clip_one(geom_wkb, tx, ty):
+            ent = env_cache.get((tx, ty))
+            if ent is None:
+                lon0, lat0, lon1, lat1 = _tile_envelope(z, tx, ty)
+                ent = (lon0, lat0, lon1, lat1,
+                       Geometry.box(lon0, lat0, lon1, lat1))
+                env_cache[(tx, ty)] = ent
+            lon0, lat0, lon1, lat1, box = ent
 
-        feats = []
-        for r in pdf.sort_values("fid").itertuples():
-            g = from_wkb(bytes(r.geom))
+            def local(x, y):
+                xn = (x + 180.0) / 360.0
+                lat_c = min(max(y, -MAX_MERC_LAT), MAX_MERC_LAT)
+                yn = (1.0 - math.log(math.tan(math.radians(lat_c))
+                                     + 1.0 / math.cos(math.radians(lat_c)))
+                      / math.pi) / 2.0
+                px = int(min(max(math.floor(extent * (xn * n - tx)), 0),
+                             extent - 1))
+                py = int(min(max(math.floor(extent * (yn * n - ty)), 0),
+                             extent - 1))
+                return px, py
+
+            g = from_wkb(geom_wkb)
             dim = g.dimension()
             if dim == 1:
                 clipped = intersection(g, box)
                 if clipped.is_empty():
-                    continue
+                    return None
                 paths = []
                 for p in clipped.parts():
                     if p.gtype != 2:
@@ -430,19 +472,17 @@ def mvt_tiles_geoms(df: DataFrame, z: int, id_col: str = "id",
                              if i == 0 or pt != pts[i - 1]]
                     if len(dedup) >= 2:
                         paths.append(dedup)
-                if paths:
-                    feats.append((int(r.fid), 2, paths, {}))
-                continue
+                return (2, paths) if paths else None
             if dim != 2:
                 raise ValueError(
                     "mvt_tiles_geoms packs POLYGON/LINESTRING features;"
                     " route point layers through mvt_tiles")
             cls = _tile_classify(g, lon0, lat0, lon1, lat1)
             if cls == "outside":
-                continue
+                return None
             clipped = box if cls == "inside" else intersection(g, box)
             if clipped.is_empty():
-                continue
+                return None
             rings = []
             for p in clipped.parts():
                 if p.gtype != 3:
@@ -470,15 +510,41 @@ def mvt_tiles_geoms(df: DataFrame, z: int, id_col: str = "id",
                         if (area2 > 0) != (ri == 0):
                             dedup = [dedup[0]] + dedup[:0:-1]
                         rings.append(dedup)
-            if rings:
-                feats.append((int(r.fid), 3, rings, {}))
-        if not feats:
-            return pd.DataFrame({c.name: [] for c in out_schema.fields}
-                                ).astype({"tile_z": "int32"})
-        buf = encode_mvt(feats, name=layer_name, extent=extent)
-        return pd.DataFrame({
-            "tile_z": [z], "tile_x": [tx], "tile_y": [ty],
-            "mvt": [bytearray(buf)], "n_features": [len(feats)]})
+            return (3, rings) if rings else None
 
-    return _spread_tiles(staged, z).groupBy("tile_x", "tile_y").applyInPandas(
-        pack, out_schema)
+        for pdf in batches:
+            fids, txs, tys, blobs = [], [], [], []
+            for r in pdf.itertuples():
+                feat = clip_one(bytes(r.geom), int(r.tile_x),
+                                int(r.tile_y))
+                if feat is None:
+                    continue
+                gtype, parts = feat
+                fids.append(int(r.fid))
+                txs.append(int(r.tile_x))
+                tys.append(int(r.tile_y))
+                blobs.append(_encode_feature_notags(int(r.fid), gtype,
+                                                    parts))
+            yield pd.DataFrame({"fid": pd.Series(fids, dtype="int64"),
+                                "tile_x": pd.Series(txs, dtype="int64"),
+                                "tile_y": pd.Series(tys, dtype="int64"),
+                                "feat": blobs})
+
+    def assemble(key, pdf):
+        import pandas as pd
+        body = bytearray()
+        for b in pdf.sort_values("fid")["feat"]:
+            body += _w_bytes(2, bytes(b))
+        buf = _assemble_layer_notags(bytes(body), layer_name, extent)
+        return pd.DataFrame({
+            "tile_z": [z], "tile_x": [int(key[0])], "tile_y": [int(key[1])],
+            "mvt": [bytearray(buf)], "n_features": [len(pdf)]})
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    width = max(par, min(1 << (2 * z), 4 * par))
+    encoded = (staged.repartition(width, "tile_x", "tile_y", "fid")
+               .mapInPandas(clip_encode,
+                            "fid long, tile_x long, tile_y long, "
+                            "feat binary"))
+    return encoded.groupBy("tile_x", "tile_y").applyInPandas(
+        assemble, out_schema)

@@ -696,6 +696,31 @@ def test_mvt_golden_bytes_and_roundtrip(spark):
     assert total == 200
 
 
+def test_mvt_split_feature_encode_matches_encode_mvt():
+    """r15: mvt_tiles_geoms encodes feature blobs in a parallel map
+    stage and concatenates them per tile — the split path
+    (_encode_feature_notags + _assemble_layer_notags) must stay
+    byte-identical to one encode_mvt call over the same tag-less
+    features, or tile bytes change under the refactor."""
+    from spatial_spark.io.mvt import (_assemble_layer_notags,
+                                      _encode_feature_notags,
+                                      _w_bytes, encode_mvt)
+
+    feats = [(7, 1, [[(25, 17)]]),
+             (8, 2, [[(2, 2), (2, 10), (10, 10)], [(0, 0), (5, 5)]]),
+             (11, 3, [[(3, 6), (8, 12), (20, 34)]])]
+    whole = encode_mvt([(fid, g, parts, {}) for fid, g, parts in feats],
+                       name="seg", extent=512)
+    body = bytearray()
+    for fid, g, parts in feats:
+        body += _w_bytes(2, _encode_feature_notags(fid, g, parts))
+    split = _assemble_layer_notags(bytes(body), "seg", 512)
+    assert split == whole
+    # empty tile body: header + extent only, still identical
+    assert _assemble_layer_notags(b"", "seg", 4096) == \
+        encode_mvt([], name="seg", extent=4096)
+
+
 def test_mvt_polygon_tiling_with_clipping(spark):
     """r12: the polygon MVT path — WKB rects explode to the tiles
     their bbox covers, clip through the EXACT overlay kernel against
