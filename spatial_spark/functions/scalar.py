@@ -544,12 +544,28 @@ REGISTRY = {
 }
 
 
-def register_all(spark) -> None:
+_REGISTERED_SESSIONS = None  # lazy WeakSet — avoids import-time weakref dep
+
+
+def register_all(spark, force: bool = False) -> None:
     """Register every st_* function for SQL use (the engine's analogue of the
     reference's procedure/function registration,
-    SpatialProcedures.java / SpatialFunctions.java)."""
+    SpatialProcedures.java / SpatialFunctions.java).
+
+    Idempotent per SparkSession: registration is 69 py4j round-trips
+    (~0.8 s measured), and a session keeps its registrations, so a
+    second call on the same session is skipped (every SpatialContext
+    construction calls this).  ``force=True`` re-registers — use it if
+    an st_* name was overwritten with a foreign function."""
+    global _REGISTERED_SESSIONS
+    if _REGISTERED_SESSIONS is None:
+        import weakref
+        _REGISTERED_SESSIONS = weakref.WeakSet()
+    if not force and spark in _REGISTERED_SESSIONS:
+        return
     for name, udf in REGISTRY.items():
         spark.udf.register(name, udf)
+    _REGISTERED_SESSIONS.add(spark)
 
 
 def wkb_lit(geom_or_wkt):

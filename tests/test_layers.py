@@ -2121,3 +2121,23 @@ def test_files_where_per_file_pruning():
     assert man.files_where(
         lambda s: s.get("amin:score", 0.0) > 1e9) == \
         ["/mem/store/part-007"]
+
+
+def test_register_all_idempotent_per_session(spark):
+    """r15: SpatialContext construction calls register_all every time;
+    registration is 69 py4j round-trips, so a second call on the same
+    session must be a guarded no-op (and force=True must re-register)."""
+    from spatial_spark.functions.scalar import register_all
+
+    register_all(spark)
+    # overwrite one name with a foreign function: a plain second call
+    # must NOT touch it (guard active), force=True must restore it
+    spark.udf.register("st_area", lambda s: -1.0, "double")
+    register_all(spark)
+    assert spark.sql(
+        "SELECT st_area('x') v").collect()[0].v == -1.0
+    register_all(spark, force=True)
+    wkt = "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+    assert spark.sql(
+        f"SELECT st_area(st_geomfromtext('{wkt}')) v"
+    ).collect()[0].v == 4.0
