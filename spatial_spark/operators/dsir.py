@@ -54,8 +54,14 @@ def dsir_weights(df: DataFrame, target_df: DataFrame,
     ``(id_col, n_tokens, weight)`` for every input row — ``weight`` is
     the mean log-ratio rounded to 6 decimals, NULL for token-less docs.
     """
-    tgt = _token_buckets(target_df, text_col, id_col, n_buckets)
-    raw = _token_buckets(df, text_col, id_col, n_buckets)
+    # The raw bucket stream sits under THREE differently-keyed
+    # consumers (bucket counts, the global count, the per-doc scored
+    # join) — AQE's ReuseExchange cannot dedup them, so the
+    # tokenize+explode ran three times.  Cache the PROXY, not the
+    # text: two longs per token (~16 B), the compact-column shape the
+    # lm-family string-bigram cache (measured a wash) is not.
+    tgt = _token_buckets(target_df, text_col, id_col, n_buckets).cache()
+    raw = _token_buckets(df, text_col, id_col, n_buckets).cache()
     ct = tgt.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
     cr = raw.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
     nt = tgt.agg(F.count(F.lit(1)).alias("nt"))
