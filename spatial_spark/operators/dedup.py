@@ -420,17 +420,22 @@ def contamination_check(corpus: DataFrame, benchmark: DataFrame,
     (long n-grams from a small benchmark set are near-unique, so a hit
     means the document quotes the benchmark).
 
-    Shape: both sides explode to distinct (id, gram); the join hits only
-    on grams the BENCHMARK contains — a broadcast-sized dimension at any
-    corpus scale — so the corpus never shuffles on anything wider than
-    its own gram extraction."""
-    c_grams = (corpus.select(F.col(id_col),
-                             F.explode(_ngrams_col(text_col, n)).alias("gram"))
-               .distinct())
+    Shape: the benchmark side explodes to distinct (bench_id, gram) —
+    a broadcast-sized dimension at any corpus scale — and the
+    broadcast join runs BEFORE any corpus-side dedup, so the only
+    shuffled corpus rows are gram MATCHES (near-none on a clean
+    corpus); the corpus-wide distinct the r14 shape paid (every
+    (id, 8-word-gram) string through one exchange) is gone.
+    Join-then-dedup is set-identical to distinct-then-join: the
+    per-(doc, bench) count is over distinct matched (id, gram,
+    bench_id) triples either way."""
+    c_grams = corpus.select(F.col(id_col),
+                            F.explode(_ngrams_col(text_col, n)).alias("gram"))
     b_grams = (benchmark.select(F.col(bench_id_col),
                                 F.explode(_ngrams_col(text_col, n)).alias("gram"))
                .distinct())
     hits = (c_grams.join(F.broadcast(b_grams), "gram")
+            .dropDuplicates([id_col, "gram", bench_id_col])
             .groupBy(id_col, bench_id_col)
             .agg(F.count(F.lit(1)).alias("shared_ngrams"))
             .filter(F.col("shared_ngrams") >= min_hits))
