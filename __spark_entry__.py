@@ -301,13 +301,17 @@ def _parcel_polys(spark) -> DataFrame:
     a REAL-arithmetic tie with the integer-granular zone edges impossible
     ((zone_edge - cx)*100 is an integer, r*100 is half-odd), so the
     kernel and the DuckDB oracle can never disagree on a touch."""
+    from spatial_spark.partitioning import spread
     r = "(CAST(0.055 AS DOUBLE) + CAST(c_custkey % 5 AS DOUBLE) * CAST(0.05 AS DOUBLE))"
     cx, cy = CUST_LON, CUST_LAT
     wkt = F.expr(
         f"concat('POLYGON ((', {cx} - {r}, ' ', {cy}, ', ', {cx}, ' ', "
         f"{cy} - {r}, ', ', {cx} + {r}, ' ', {cy}, ', ', {cx}, ' ', "
         f"{cy} + {r}, ', ', {cx} - {r}, ' ', {cy}, '))')")
-    df = (spark.table("customer").withColumn("wkt", wkt)
+    # spread: the single-file customer scan plans ONE task, so the WKT
+    # parse AND the downstream polygon refine serialized on one core
+    # (r15 entry 20; same class as filter_equal).  No-op at real width.
+    df = (spread(spark.table("customer")).withColumn("wkt", wkt)
           .withColumn("geom", F.expr("st_geomfromtext(wkt)")))
     return (df.withColumn("gtype", F.lit(3))
             .withColumn("xmin", F.expr(f"{cx} - {r}"))
