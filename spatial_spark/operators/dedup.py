@@ -527,6 +527,56 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
     (documents losing all paragraphs come back with empty text)."""
     if scope not in ("corpus", "document"):
         raise ValueError(f"scope must be corpus|document, got {scope!r}")
+    if scope == "document":
+        # Within-document dedup is ROW-LOCAL: the corpus-scope plan
+        # (explode + two corpus-keyed aggs + join-back) shuffled the
+        # whole paragraph corpus three ways for per-row work.  One
+        # Arrow pass, zero shuffles (r15, guide §2.4); semantics are
+        # pinned to the relational path — Spark `trim` strips ASCII
+        # space only (so .strip(' ')), `F.split` keeps trailing
+        # empties like str.split on a literal separator, and a test
+        # compares both paths row-for-row.
+        from ..partitioning import spread
+        out_t = T.StructType([
+            T.StructField("text", T.StringType()),
+            T.StructField("n_kept", T.LongType()),
+            T.StructField("n_removed", T.LongType()),
+        ])
+
+        @F.pandas_udf(out_t)
+        def _scrub(texts: pd.Series) -> pd.DataFrame:
+            rows = []
+            for t in texts:
+                if t is None:
+                    rows.append(("", 0, 0))
+                    continue
+                seen = set()
+                kept = []
+                total = 0
+                for p in t.split(sep):
+                    norm = p.strip(" ")
+                    if not norm:
+                        continue
+                    total += 1
+                    if norm in seen:
+                        continue
+                    seen.add(norm)
+                    kept.append(p)
+                rows.append((sep.join(kept), len(kept),
+                             total - len(kept)))
+            return pd.DataFrame(rows,
+                                columns=["text", "n_kept", "n_removed"])
+
+        # coalesce mirrors the relational path's non-null output schema
+        return (spread(df)
+                .select(F.col(id_col), _scrub(F.col(text_col)).alias("_r"))
+                .select(id_col,
+                        F.coalesce(F.col("_r.text"),
+                                   F.lit("")).alias("text"),
+                        F.coalesce(F.col("_r.n_kept"),
+                                   F.lit(0)).alias("n_kept"),
+                        F.coalesce(F.col("_r.n_removed"),
+                                   F.lit(0)).alias("n_removed")))
     paras = (df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col),

@@ -1994,6 +1994,43 @@ def test_paragraph_dedup_document_scope(spark):
     assert corpus[2].text == "content two" and corpus[2].n_removed == 1
 
 
+def test_paragraph_dedup_document_scope_matches_relational(spark):
+    """r15: document scope runs as a zero-shuffle Arrow pass; it must
+    agree row-for-row (and in schema) with the relational formulation
+    run at corpus scope over SINGLE-doc inputs — including the edge
+    semantics: Spark `trim` strips ASCII space only (tabs survive),
+    split keeps trailing empties, regex-special separators are
+    literal, duplicate keys keep the FIRST original (untrimmed) text,
+    and null/empty/all-blank docs come back ("", 0, 0)."""
+    from spatial_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (1, "a| a |b|a||  |b"),          # dup with different padding
+        (2, "\tx|x|x\t"),                # tabs are NOT trimmed -> distinct
+        (3, None),                       # null text
+        (4, ""),                         # empty text
+        (5, " | |  "),                   # all-blank paragraphs
+        (6, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.text, r.n_kept, r.n_removed) for r in
+           paragraph_dedup(df, sep="|", scope="document").collect()}
+    # corpus scope on one doc at a time == document scope by definition
+    want = {}
+    for did, txt in rows:
+        one = spark.createDataFrame([(did, txt)], "doc_id long, text string")
+        r = paragraph_dedup(one, sep="|").collect()[0]
+        want[did] = (r.text, r.n_kept, r.n_removed)
+    assert got == want
+    assert got[1] == ("a|b", 2, 3)
+    assert got[2] == ("\tx|x|x\t", 3, 0)
+    assert got[3] == ("", 0, 0) and got[4] == ("", 0, 0)
+    assert got[5] == ("", 0, 0)
+    s_doc = paragraph_dedup(df, sep="|", scope="document").schema
+    s_cor = paragraph_dedup(df, sep="|").schema
+    assert s_doc == s_cor
+
+
 def test_duplicate_spans(spark):
     """Exact-substring duplicate spans: shared n-gram runs merge into
     maximal intervals; unique text yields none; short docs clamp."""
