@@ -555,7 +555,7 @@ def main():
         for q, v in violations.items():
             print(f"# BUDGET EXCEEDED: {q} {v['sec']}s > {v['budget']}s",
                   file=sys.stderr)
-    print(json.dumps({
+    payload = json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -564,7 +564,20 @@ def main():
         "cold_sec": round(cold, 3),
         "wall_sec": wall,
         "budget_violations": violations,
-    }))
+    })
+    print(payload)
+    # VERDICT r15 ask #2: the one-line JSON (156 queries) overflowed the
+    # driver's stdout tail buffer, destroying the round-over-round record
+    # (BENCH_r14 parsed: null).  ALSO write the identical JSON to a file
+    # next to this script so the comparison can never be lost again.
+    # Additions-only: the stdout contract above is unchanged.
+    try:
+        out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH_LAST.json")
+        with open(out_path, "w") as fh:
+            fh.write(payload + "\n")
+    except OSError as e:  # never let the record file break the bench
+        print(f"# bench record write failed: {e}", file=sys.stderr)
     if violations and os.environ.get("SPARK_GRAFT_STRICT_BENCH") == "1":
         sys.exit(3)
 
